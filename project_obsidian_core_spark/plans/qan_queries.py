@@ -1,0 +1,446 @@
+"""QAN query shapes (SURVEY §2) mapped onto the driver's `events` table.
+
+The reference's domain tables (qan_db/metrics_db) don't exist in the driver's
+testdata, so for the oracle gate each QAN operator is expressed over `events`
+with the natural mapping: ``user_id`` -> instance, ``event_type`` -> digest,
+``value`` -> metric, ``ts`` -> collection time. The same operator code paths
+(delta windowing, rollup aggregation, ranked unions, conditional pivots) run
+against real qan_db tables via the ``analytics`` package; unit tests pin that
+behavior on snapshot fixtures.
+
+Every query here has an ANSI-SQL oracle (same module, ``ORACLE`` dict) that
+DuckDB runs on identical parquet; see plans/common.py for the determinism
+rules.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from project_obsidian_core_spark.plans.common import cents, load
+
+
+# --------------------------------------------------------------------- Q1
+def qan_top_digests(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-N by total metric — the signature QAN query (A3+A4+O1;
+    02-Query_Analysis.ipynb get_top_queries)."""
+    ev = load(spark, sf_dir, "events")
+    agg = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("total_calls"),
+        F.sum(cents("value")).alias("total_value_cents"),
+    )
+    return (
+        agg.withColumn(
+            "avg_value",
+            F.when(
+                F.col("total_calls") > 0,
+                (F.col("total_value_cents").cast("double") / 100.0) / F.col("total_calls"),
+            ).otherwise(F.lit(0.0)),
+        )
+        .orderBy(F.desc("total_value_cents"), F.asc("event_type"))
+        .limit(10)
+    )
+
+
+ORACLE_qan_top_digests = """
+SELECT event_type,
+       count(*) AS total_calls,
+       CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS total_value_cents,
+       CASE WHEN count(*) > 0
+            THEN (CAST(CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS DOUBLE) / 100.0) / count(*)
+            ELSE 0.0 END AS avg_value
+FROM events
+GROUP BY event_type
+ORDER BY total_value_cents DESC, event_type ASC
+LIMIT 10
+"""
+
+
+# --------------------------------------------------------------------- Q2
+def qan_snapshot_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The core snapshot-delta operator (J1/W2/T2-T5) as a lag window.
+
+    A deterministic cumulative counter is synthesized per event
+    (``event_id*37 % 10000`` — non-monotone, so the counter-reset branch is
+    exercised), keyed by (user_id=instance, event_type=digest), ordered by
+    scrape time. Delta rule: curr-prev if monotone else curr; first
+    observation per key emits nothing; zero deltas filtered (P3);
+    time_period_seconds attached (T5).
+    """
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    s = ev.select(
+        "user_id",
+        "event_type",
+        "event_id",
+        ((F.col("event_id") * 37) % 10000).alias("counter"),
+        F.unix_micros("ts").alias("ts_us"),
+        "ts",
+    )
+    d = s.select(
+        "user_id",
+        "event_type",
+        "event_id",
+        "counter",
+        F.lag("counter").over(w).alias("prev_counter"),
+        F.lag("ts_us").over(w).alias("prev_ts_us"),
+        "ts_us",
+    )
+    delta = F.when(
+        F.col("counter") >= F.col("prev_counter"),
+        F.col("counter") - F.col("prev_counter"),
+    ).otherwise(F.col("counter"))
+    return (
+        d.filter(F.col("prev_counter").isNotNull())
+        .select(
+            "user_id",
+            "event_type",
+            "event_id",
+            delta.alias("calls_delta"),
+            (
+                (F.col("ts_us") - F.col("prev_ts_us")).cast("double") / F.lit(1000000.0)
+            ).alias("time_period_seconds"),
+        )
+        .filter(F.col("calls_delta") > 0)
+    )
+
+
+ORACLE_qan_snapshot_delta = """
+WITH s AS (
+    SELECT user_id, event_type, event_id,
+           (event_id * 37) % 10000 AS counter,
+           epoch_us(ts) AS ts_us, ts
+    FROM events
+), d AS (
+    SELECT user_id, event_type, event_id, counter, ts_us,
+           lag(counter) OVER w AS prev_counter,
+           lag(ts_us)   OVER w AS prev_ts_us
+    FROM s
+    WINDOW w AS (PARTITION BY user_id, event_type ORDER BY ts, event_id)
+)
+SELECT user_id, event_type, event_id,
+       CASE WHEN counter >= prev_counter THEN counter - prev_counter ELSE counter END AS calls_delta,
+       CAST(ts_us - prev_ts_us AS DOUBLE) / 1000000.0 AS time_period_seconds
+FROM d
+WHERE prev_counter IS NOT NULL
+  AND (CASE WHEN counter >= prev_counter THEN counter - prev_counter ELSE counter END) > 0
+"""
+
+
+# --------------------------------------------------------------------- Q3
+def qan_rollup_minute(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingest-time rollup (A1/A2, S10): minute-truncated time bucket,
+    dimension group, sum + max + min — the metrics_db materialization."""
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.date_trunc("minute", F.col("ts")).alias("time"),
+            "user_id",
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(cents("value")).alias("value_sum_cents"),
+            F.max(cents("value")).alias("value_max_cents"),
+            F.min(cents("value")).alias("value_min_cents"),
+        )
+    )
+
+
+ORACLE_qan_rollup_minute = """
+SELECT date_trunc('minute', ts) AS time,
+       user_id, event_type,
+       count(*) AS n_rows,
+       CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS value_sum_cents,
+       max(CAST(round(value * 100, 0) AS BIGINT)) AS value_max_cents,
+       min(CAST(round(value * 100, 0) AS BIGINT)) AS value_min_cents
+FROM events
+GROUP BY 1, 2, 3
+"""
+
+
+# --------------------------------------------------------------------- Q4
+def qan_trend_5m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-bucketed trend (A6/F1): TIME_FLOOR(ts, PT5M) buckets per digest
+    with guarded per-call average (A4). Bucket emitted as epoch seconds."""
+    ev = load(spark, sf_dir, "events")
+    # integer div keeps the bucket arithmetic exact (µs epochs are ~1.7e15)
+    bucket = (F.expr("unix_micros(ts) div 300000000") * 300).alias("bucket_epoch_s")
+    agg = ev.groupBy(bucket, F.col("event_type")).agg(
+        F.count(F.lit(1)).alias("total_calls"),
+        F.sum(cents("value")).alias("total_value_cents"),
+    )
+    return agg.withColumn(
+        "avg_value_per_call",
+        F.when(
+            F.col("total_calls") > 0,
+            (F.col("total_value_cents").cast("double") / 100.0) / F.col("total_calls"),
+        ).otherwise(F.lit(0.0)),
+    )
+
+
+ORACLE_qan_trend_5m = """
+SELECT (epoch_us(ts) // 300000000) * 300 AS bucket_epoch_s,
+       event_type,
+       count(*) AS total_calls,
+       CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS total_value_cents,
+       CASE WHEN count(*) > 0
+            THEN (CAST(CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS DOUBLE) / 100.0) / count(*)
+            ELSE 0.0 END AS avg_value_per_call
+FROM events
+GROUP BY 1, 2
+"""
+
+
+# --------------------------------------------------------------------- Q5
+def qan_multi_metric_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-metric ranked comparison (W1+U1+O3+P9): one aggregate ranked by
+    three different metrics via ROW_NUMBER, rank<=3 filtered, UNION ALLed
+    with literal metric tags (02-Query_Analysis.ipynb cell-12)."""
+    ev = load(spark, sf_dir, "events")
+    agg = ev.groupBy("event_type").agg(
+        F.sum(cents("value")).alias("total_value_cents"),
+        F.count(F.lit(1)).alias("total_calls"),
+        F.max(cents("value")).alias("max_value_cents"),
+    )
+    parts = []
+    for label, col in [
+        ("total_value", "total_value_cents"),
+        ("calls", "total_calls"),
+        ("max_value", "max_value_cents"),
+    ]:
+        w = Window.orderBy(F.desc(col), F.asc("event_type"))
+        parts.append(
+            agg.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= 3)
+            .select(
+                F.lit(label).alias("metric"),
+                F.col("event_type"),
+                F.col(col).alias("value"),
+                F.col("rank"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+ORACLE_qan_multi_metric_topn = """
+WITH agg AS (
+    SELECT event_type,
+           CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS total_value_cents,
+           count(*) AS total_calls,
+           max(CAST(round(value * 100, 0) AS BIGINT)) AS max_value_cents
+    FROM events GROUP BY event_type
+), r1 AS (
+    SELECT 'total_value' AS metric, event_type, total_value_cents AS value,
+           row_number() OVER (ORDER BY total_value_cents DESC, event_type ASC) AS rank
+    FROM agg
+), r2 AS (
+    SELECT 'calls' AS metric, event_type, total_calls AS value,
+           row_number() OVER (ORDER BY total_calls DESC, event_type ASC) AS rank
+    FROM agg
+), r3 AS (
+    SELECT 'max_value' AS metric, event_type, max_value_cents AS value,
+           row_number() OVER (ORDER BY max_value_cents DESC, event_type ASC) AS rank
+    FROM agg
+)
+SELECT * FROM r1 WHERE rank <= 3
+UNION ALL SELECT * FROM r2 WHERE rank <= 3
+UNION ALL SELECT * FROM r3 WHERE rank <= 3
+"""
+
+
+# --------------------------------------------------------------------- Q6
+def qan_compare_systems(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-system summary (A7+A8): rows bucketed into two synthetic
+    db_systems; per system count, COUNT(DISTINCT digest), total metric and a
+    conditional average that dispatches on system."""
+    ev = load(spark, sf_dir, "events")
+    sys_col = F.when(F.col("user_id") % 2 == 0, F.lit("mysql")).otherwise(
+        F.lit("postgresql")
+    )
+    df = ev.withColumn("db_system", sys_col).withColumn("vc", cents("value"))
+    # The per-system unit conversion (A8's CASE dispatch) is constant within
+    # each group, so it hoists out of the SUM — keeping the aggregate an
+    # exact integer sum (a double SUM would be summation-order-dependent).
+    scaled_total = F.when(
+        F.col("db_system") == "mysql", F.col("total_value_cents").cast("double") / 10.0
+    ).when(
+        F.col("db_system") == "postgresql",
+        F.col("total_value_cents").cast("double") / 100.0,
+    )
+    return (
+        df.groupBy("db_system")
+        .agg(
+            F.count(F.lit(1)).alias("record_count"),
+            F.countDistinct("event_type").alias("unique_queries"),
+            F.sum("vc").alias("total_value_cents"),
+        )
+        .withColumn(
+            "avg_latency_ms",
+            F.when(
+                F.col("record_count") > 0, scaled_total / F.col("record_count")
+            ).otherwise(F.lit(0.0)),
+        )
+        .orderBy("db_system")
+    )
+
+
+ORACLE_qan_compare_systems = """
+WITH t AS (
+    SELECT CASE WHEN user_id % 2 = 0 THEN 'mysql' ELSE 'postgresql' END AS db_system,
+           event_type,
+           CAST(round(value * 100, 0) AS BIGINT) AS vc
+    FROM events
+), agg AS (
+    SELECT db_system,
+           count(*) AS record_count,
+           count(DISTINCT event_type) AS unique_queries,
+           CAST(sum(vc) AS BIGINT) AS total_value_cents
+    FROM t GROUP BY db_system
+)
+SELECT db_system, record_count, unique_queries, total_value_cents,
+       CASE WHEN record_count > 0
+            THEN (CASE WHEN db_system = 'mysql' THEN CAST(total_value_cents AS DOUBLE) / 10.0
+                       WHEN db_system = 'postgresql' THEN CAST(total_value_cents AS DOUBLE) / 100.0 END)
+                 / record_count
+            ELSE 0.0 END AS avg_latency_ms
+FROM agg
+ORDER BY db_system
+"""
+
+
+# --------------------------------------------------------------------- Q7
+def qan_hit_ratio_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metrics self-alignment pivot (J2+A5): two metric series from the long
+    table aligned per (hour, instance) via conditional aggregation, ratio
+    hit/(hit+read) — the buffer-cache-hit-ratio query."""
+    ev = load(spark, sf_dir, "events")
+    agg = ev.groupBy(
+        F.date_trunc("hour", F.col("ts")).alias("time_bucket"),
+        F.col("user_id"),
+    ).agg(
+        F.coalesce(
+            F.sum(F.when(F.col("event_type") == "view", cents("value"))), F.lit(0)
+        ).alias("hit_cents"),
+        F.coalesce(
+            F.sum(F.when(F.col("event_type") == "click", cents("value"))), F.lit(0)
+        ).alias("read_cents"),
+    )
+    return agg.withColumn(
+        "hit_ratio",
+        F.when(
+            (F.col("hit_cents") + F.col("read_cents")) > 0,
+            F.col("hit_cents").cast("double")
+            / (F.col("hit_cents") + F.col("read_cents")),
+        ).otherwise(F.lit(0.0)),
+    )
+
+
+ORACLE_qan_hit_ratio_pivot = """
+WITH agg AS (
+    SELECT date_trunc('hour', ts) AS time_bucket,
+           user_id,
+           CAST(coalesce(sum(CASE WHEN event_type = 'view'
+                             THEN CAST(round(value * 100, 0) AS BIGINT) END), 0) AS BIGINT) AS hit_cents,
+           CAST(coalesce(sum(CASE WHEN event_type = 'click'
+                             THEN CAST(round(value * 100, 0) AS BIGINT) END), 0) AS BIGINT) AS read_cents
+    FROM events
+    GROUP BY 1, 2
+)
+SELECT time_bucket, user_id, hit_cents, read_cents,
+       CASE WHEN (hit_cents + read_cents) > 0
+            THEN CAST(hit_cents AS DOUBLE) / (hit_cents + read_cents)
+            ELSE 0.0 END AS hit_ratio
+FROM agg
+"""
+
+
+# --------------------------------------------------------------------- Q8
+def qan_distinct_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DISTINCT projection (A10): metric discovery."""
+    ev = load(spark, sf_dir, "events")
+    sys_col = F.when(F.col("user_id") % 2 == 0, F.lit("mysql")).otherwise(
+        F.lit("postgresql")
+    )
+    return (
+        ev.select(F.col("event_type"), sys_col.alias("db_system"))
+        .distinct()
+        .orderBy("event_type", "db_system")
+    )
+
+
+ORACLE_qan_distinct_metrics = """
+SELECT DISTINCT event_type,
+       CASE WHEN user_id % 2 = 0 THEN 'mysql' ELSE 'postgresql' END AS db_system
+FROM events
+ORDER BY event_type, db_system
+"""
+
+
+# --------------------------------------------------------------------- Q9
+def qan_like_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LIKE pattern filter + HAVING on aggregate (P6+P8): the notebook's
+    interactive sample filter over statement text."""
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.filter(F.col("props").like("%8%"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("matching_calls"),
+            F.sum(cents("value")).alias("total_value_cents"),
+        )
+        .filter(F.col("matching_calls") > 5)
+        .orderBy("event_type")
+    )
+
+
+ORACLE_qan_like_having = """
+SELECT event_type,
+       count(*) AS matching_calls,
+       CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS total_value_cents
+FROM events
+WHERE props LIKE '%8%'
+GROUP BY event_type
+HAVING count(*) > 5
+ORDER BY event_type
+"""
+
+
+# --------------------------------------------------------------------- Q10
+def qan_load_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The governor's load formula (A11+F12+T10): per instance a weighted
+    composite of activity ratios, clamped to [0,1] —
+    0.7*busy_ratio + 0.3*slow_ratio (adaptive/mysql_collector.go:88-113)."""
+    ev = load(spark, sf_dir, "events")
+    agg = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("total_events"),
+        F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0)).alias("busy_events"),
+        F.sum(F.when(F.col("event_type") == "error", 1).otherwise(0)).alias("slow_events"),
+    )
+    load_expr = F.lit(0.7) * (
+        F.col("busy_events").cast("double") / F.col("total_events")
+    ) + F.lit(0.3) * (F.col("slow_events").cast("double") / F.col("total_events"))
+    return agg.withColumn(
+        "load_score",
+        F.least(F.lit(1.0), F.greatest(load_expr, F.lit(0.0))),
+    ).orderBy("user_id")
+
+
+ORACLE_qan_load_score = """
+WITH agg AS (
+    SELECT user_id,
+           count(*) AS total_events,
+           CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS busy_events,
+           CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS slow_events
+    FROM events GROUP BY user_id
+)
+SELECT user_id, total_events, busy_events, slow_events,
+       least(1.0, greatest(0.7 * (CAST(busy_events AS DOUBLE) / total_events)
+                         + 0.3 * (CAST(slow_events AS DOUBLE) / total_events), 0.0)) AS load_score
+FROM agg
+ORDER BY user_id
+"""

@@ -1,0 +1,39 @@
+"""Driver-contract registry: query name -> (callable, oracle SQL | None).
+
+Aggregates every implemented SURVEY §2 query shape. Names are stable — the
+driver records per-name correctness, so renames lose history.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+from project_obsidian_core_spark.plans import qan_queries as q
+from project_obsidian_core_spark.plans import relational_queries as r
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+_ENTRIES: list[tuple[str, QueryFn, str | None]] = [
+    # QAN query shapes (SURVEY §2 — the reference's analytics surface)
+    ("qan_top_digests", q.qan_top_digests, q.ORACLE_qan_top_digests),
+    ("qan_snapshot_delta", q.qan_snapshot_delta, q.ORACLE_qan_snapshot_delta),
+    ("qan_rollup_minute", q.qan_rollup_minute, q.ORACLE_qan_rollup_minute),
+    ("qan_trend_5m", q.qan_trend_5m, q.ORACLE_qan_trend_5m),
+    ("qan_multi_metric_topn", q.qan_multi_metric_topn, q.ORACLE_qan_multi_metric_topn),
+    ("qan_compare_systems", q.qan_compare_systems, q.ORACLE_qan_compare_systems),
+    ("qan_hit_ratio_pivot", q.qan_hit_ratio_pivot, q.ORACLE_qan_hit_ratio_pivot),
+    ("qan_distinct_metrics", q.qan_distinct_metrics, q.ORACLE_qan_distinct_metrics),
+    ("qan_like_having", q.qan_like_having, q.ORACLE_qan_like_having),
+    ("qan_load_score", q.qan_load_score, q.ORACLE_qan_load_score),
+    # Relational / workload-mix shapes (SURVEY §2.3 J3, §2.6)
+    ("pricing_summary", r.pricing_summary, r.ORACLE_pricing_summary),
+    ("top_revenue_orders", r.top_revenue_orders, r.ORACLE_top_revenue_orders),
+    ("regional_revenue", r.regional_revenue, r.ORACLE_regional_revenue),
+    ("customer_order_stats", r.customer_order_stats, r.ORACLE_customer_order_stats),
+    ("cte_order_summary", r.cte_order_summary, r.ORACLE_cte_order_summary),
+]
+
+QUERIES: dict[str, QueryFn] = {name: fn for name, fn, _ in _ENTRIES}
+ORACLES: dict[str, str] = {name: sql for name, _, sql in _ENTRIES if sql is not None}
