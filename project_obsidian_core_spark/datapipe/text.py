@@ -1,0 +1,184 @@
+"""Text-analysis operators for training-data pipelines.
+
+Language-ID (n-gram/stopword profile heuristic), quality scoring, token
+counting (whitespace + BPE-ish regex) and content fingerprinting (k-gram
+min-hash, winnowing-style) — the text-side preprocessing a 100 TB document
+corpus needs before model training.
+
+Scale notes
+-----------
+Every operator here is a *narrow*, per-row projection built from JVM
+expressions (split / regexp / transform / aggregate): no shuffle, no Python,
+fully pipelined inside WholeStageCodegen with the parquet scan. On a
+1000-executor cluster these run at scan speed; the only shuffles are the
+explicit groupBys in the dedup/rollup consumers downstream.
+
+Cross-engine determinism (DuckDB oracle): ratios are int/int divisions;
+weighted scores use identical association order; the shared 60-bit hash is
+``conv(substr(md5(s),1,15),16,10)`` (Spark) == ``CAST('0x'||substr(md5(s),1,15)
+AS BIGINT)`` (DuckDB) — both exact in int64.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: Words whose presence marks a "language" profile. The corpus is synthetic
+#: word-salad, so profiles are topical rather than natural languages; the
+#: operator structure (per-profile token-hit ratio, deterministic argmax) is
+#: exactly an n-gram-profile language identifier.
+LANG_PROFILES: dict[str, tuple[str, ...]] = {
+    "common": ("the", "a", "is", "of", "and", "to", "in"),
+    "sql": ("table", "query", "join", "group", "order", "filter", "sort", "agg"),
+    "exec": ("scan", "hash", "merge", "batch", "stream", "window", "part", "row", "column"),
+    "data": ("data", "value", "key", "line", "vector", "customer", "spark"),
+}
+
+#: Stopword set for the quality score (subset of the corpus function words).
+STOPWORDS: tuple[str, ...] = ("the", "a", "is", "of", "and", "to", "in")
+
+#: BPE-ish tokenizer: letter runs | digit runs | single non-space symbol.
+BPE_TOKEN_RE = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+
+#: Punctuation class for the punctuation-density feature.
+PUNCT_RE = "[^.,;:!?]"
+
+#: k-gram width for the content fingerprint.
+FINGERPRINT_K = 5
+
+
+def shared_hash60(col: Column) -> Column:
+    """60-bit deterministic string hash reproducible in ANSI SQL:
+    first 15 hex chars of md5, parsed base-16. Positive, fits int64."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+def _tokens(col: Column) -> Column:
+    return F.split(col, " ")
+
+
+def with_token_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Token counting (whitespace + BPE-ish regex) and length features.
+
+    All per-row JVM expressions — pipelined with the scan, no shuffle.
+    """
+    t = F.col(text_col)
+    toks = _tokens(t)
+    bpe = F.regexp_extract_all(t, F.lit(BPE_TOKEN_RE), 0)
+    # int->long casts: DuckDB len()/length() are BIGINT; keep schemas aligned
+    return df.select(
+        "doc_id",
+        F.length(t).cast("long").alias("n_chars_measured"),
+        F.size(toks).cast("long").alias("n_ws_tokens"),
+        F.size(bpe).cast("long").alias("n_bpe_tokens"),
+        F.size(F.array_distinct(toks)).cast("long").alias("n_distinct_tokens"),
+        F.when(
+            F.size(toks) > 0,
+            (F.length(t) - F.size(toks) + 1).cast("double") / F.size(toks),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("avg_token_len"),
+    )
+
+
+def with_quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Document quality scoring: length / punctuation / stopword / lexical-
+    diversity ratios combined into one [0,1] score.
+
+    The weighted combination mirrors the heuristic quality filters used on
+    web-scale corpora (C4/Gopher-style rules); weights are fixed constants so
+    the score is a pure per-row expression.
+    """
+    t = F.col(text_col)
+    toks = _tokens(t)
+    n_tok = F.size(toks)
+    stop_hits = F.size(
+        F.filter(toks, lambda x: x.isin(*STOPWORDS))
+    )
+    punct = F.length(F.regexp_replace(t, PUNCT_RE, ""))
+    stop_ratio = F.when(n_tok > 0, stop_hits.cast("double") / n_tok).otherwise(F.lit(0.0))
+    uniq_ratio = F.when(
+        n_tok > 0, F.size(F.array_distinct(toks)).cast("double") / n_tok
+    ).otherwise(F.lit(0.0))
+    punct_ratio = F.when(
+        F.length(t) > 0, punct.cast("double") / F.length(t)
+    ).otherwise(F.lit(0.0))
+    len_score = F.least(F.lit(1.0), F.length(t).cast("double") / F.lit(500.0))
+    # fixed association order — the oracle SQL parenthesizes identically
+    quality = (
+        F.lit(0.35) * len_score
+        + F.lit(0.25) * uniq_ratio
+        + F.lit(0.25) * (F.lit(1.0) - punct_ratio)
+        + F.lit(0.15) * (F.lit(1.0) - stop_ratio)
+    )
+    return df.select(
+        "doc_id",
+        n_tok.cast("long").alias("n_tokens"),
+        stop_ratio.alias("stopword_ratio"),
+        uniq_ratio.alias("uniq_ratio"),
+        punct_ratio.alias("punct_ratio"),
+        F.least(F.lit(1.0), F.greatest(quality, F.lit(0.0))).alias("quality_score"),
+    )
+
+
+def with_lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Profile-based language identification: per-profile token-hit ratio,
+    deterministic argmax (ties broken by profile declaration order)."""
+    t = F.col(text_col)
+    toks = _tokens(t)
+    n_tok = F.size(toks)
+    out = df.select("doc_id", toks.alias("_toks"), n_tok.alias("_n"))
+    names = list(LANG_PROFILES)
+    for name in names:
+        words = LANG_PROFILES[name]
+        hits = F.size(F.filter(F.col("_toks"), lambda x: x.isin(*words)))
+        out = out.withColumn(
+            f"score_{name}",
+            F.when(F.col("_n") > 0, hits.cast("double") / F.col("_n")).otherwise(
+                F.lit(0.0)
+            ),
+        )
+    # argmax with first-declared-wins ties: name_i wins iff score_i strictly
+    # exceeds every earlier profile and is >= every later one.
+    pred = None
+    for i, name in enumerate(names):
+        cond = F.lit(True)
+        for j, other in enumerate(names):
+            if j < i:
+                cond = cond & (F.col(f"score_{name}") > F.col(f"score_{other}"))
+            elif j > i:
+                cond = cond & (F.col(f"score_{name}") >= F.col(f"score_{other}"))
+        pred = F.when(cond, F.lit(name)) if pred is None else pred.when(cond, F.lit(name))
+    return out.select(
+        "doc_id",
+        *[F.col(f"score_{n}") for n in names],
+        pred.otherwise(F.lit(names[0])).alias("lang_pred"),
+    )
+
+
+def with_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Content fingerprint: min over the 60-bit hashes of all character
+    k-grams of the normalized text (winnowing-style rolling-hash min-sketch).
+
+    Robust to token order and duplicated whitespace; two documents with the
+    same k-gram set share a fingerprint. Pure per-row expression: the k-gram
+    enumeration is `transform(sequence(...))` over substring offsets — JVM
+    array ops, no explode, no shuffle.
+    """
+    k = FINGERPRINT_K
+    norm = F.trim(
+        F.regexp_replace(F.regexp_replace(F.lower(F.col(text_col)), "[^a-z0-9 ]", ""), " +", " ")
+    )
+    d = df.select("doc_id", norm.alias("_norm"))
+    kgram_hashes = F.expr(
+        f"transform(sequence(1, greatest(length(_norm) - {k - 1}, 1)), "
+        f"i -> cast(conv(substr(md5(substring(_norm, i, {k})), 1, 15), 16, 10) as bigint))"
+    )
+    return d.select(
+        "doc_id",
+        F.length("_norm").cast("long").alias("norm_len"),
+        F.when(F.length("_norm") >= k, F.array_min(kgram_hashes))
+        .otherwise(shared_hash60(F.col("_norm")))
+        .alias("fingerprint"),
+    )

@@ -10,6 +10,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from project_obsidian_core_spark.plans import datapipe_queries as d
 from project_obsidian_core_spark.plans import qan_queries as q
 from project_obsidian_core_spark.plans import relational_queries as r
 
@@ -33,6 +34,11 @@ _ENTRIES: list[tuple[str, QueryFn, str | None]] = [
     ("regional_revenue", r.regional_revenue, r.ORACLE_regional_revenue),
     ("customer_order_stats", r.customer_order_stats, r.ORACLE_customer_order_stats),
     ("cte_order_summary", r.cte_order_summary, r.ORACLE_cte_order_summary),
+    # Training-data pipeline: text analysis (SURVEY §7.2 phase 5)
+    ("text_token_stats", d.text_token_stats, d.ORACLE_text_token_stats),
+    ("text_quality", d.text_quality, d.ORACLE_text_quality),
+    ("text_lang_id", d.text_lang_id, d.ORACLE_text_lang_id),
+    ("text_fingerprint", d.text_fingerprint, d.ORACLE_text_fingerprint),
 ]
 
 QUERIES: dict[str, QueryFn] = {name: fn for name, fn, _ in _ENTRIES}

@@ -1,0 +1,61 @@
+"""Text-analysis operator semantics on hand-built fixtures."""
+
+from __future__ import annotations
+
+import pytest
+
+from project_obsidian_core_spark.datapipe import text as T
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "THE QUICK  BROWN fox, jumps over the lazy dog!!"),  # noisy dup of 1
+        (3, "table query join table query join table query join"),
+        (4, "x"),  # shorter than fingerprint k
+        (5, "scan hash merge batch stream window row column scan"),
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def by_id(df):
+    return {r["doc_id"]: r.asDict() for r in df.collect()}
+
+
+def test_token_stats(docs):
+    r = by_id(T.with_token_stats(docs))
+    assert r[1]["n_ws_tokens"] == 9
+    assert r[1]["n_distinct_tokens"] == 8  # 'the' twice
+    assert r[4]["n_ws_tokens"] == 1
+    # doc 2: double space -> empty ws token (10 total); BPE splits ',' and
+    # '!!' into single-symbol tokens: 9 words + ',' + '!' + '!' = 12
+    assert r[2]["n_ws_tokens"] == 10
+    assert r[2]["n_bpe_tokens"] == 12
+
+
+def test_quality_monotone_in_diversity(docs):
+    r = by_id(T.with_quality_score(docs))
+    # doc 3 repeats 3 words -> low uniq ratio -> lower quality than doc 1
+    assert r[3]["uniq_ratio"] < r[1]["uniq_ratio"]
+    assert r[3]["quality_score"] < r[1]["quality_score"]
+    for d in r.values():
+        assert 0.0 <= d["quality_score"] <= 1.0
+
+
+def test_lang_id_argmax_and_ties(docs):
+    r = by_id(T.with_lang_id(docs))
+    assert r[3]["lang_pred"] == "sql"
+    assert r[5]["lang_pred"] == "exec"
+    assert r[1]["lang_pred"] == "common"
+    # all-zero scores fall back to first declared profile
+    assert r[4]["lang_pred"] == "common"
+
+
+def test_fingerprint_robust_to_case_punct_whitespace(docs):
+    r = by_id(T.with_fingerprint(docs))
+    # doc 2 is doc 1 up to case, doubled spaces and punctuation
+    assert r[1]["fingerprint"] == r[2]["fingerprint"]
+    assert r[1]["fingerprint"] != r[3]["fingerprint"]
+    # short doc takes the whole-string hash branch and still yields a value
+    assert r[4]["fingerprint"] is not None
