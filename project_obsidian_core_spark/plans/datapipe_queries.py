@@ -142,3 +142,149 @@ SELECT doc_id,
 FROM n
 ORDER BY doc_id
 """
+
+
+# =============================================================== dedup ====
+from project_obsidian_core_spark.datapipe import dedup as D  # noqa: E402
+from project_obsidian_core_spark.datapipe import vectors as V  # noqa: E402
+
+
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact content-hash dedup groups (keeper = min doc_id)."""
+    return D.exact_groups(load(spark, sf_dir, "documents")).orderBy("text_hash")
+
+
+ORACLE_dedup_exact = """
+SELECT md5(text) AS text_hash,
+       count(*) AS n_docs,
+       min(doc_id) AS keeper_doc_id
+FROM documents
+GROUP BY 1
+ORDER BY text_hash
+"""
+
+
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH candidates with exact-jaccard verification (>= 0.1)."""
+    return (
+        D.minhash_candidates(load(spark, sf_dir, "documents"))
+        .filter(F.col("jaccard") >= 0.1)
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+def _minhash_oracle() -> str:
+    P, w, r = D.MINHASH_P, D.SHINGLE_W, D.MINHASH_BAND_ROWS
+    h60 = "CAST('0x' || substr(md5(s), 1, 15) AS BIGINT)"
+    mh_items = ", ".join(
+        f"list_aggregate(list_transform(hs, x -> ({a} * x + {b}) % {P}), 'min')"
+        for a, b in D.MINHASH_COEF
+    )
+    key = "concat_ws('_', " + ", ".join(
+        f"mh[band_idx * {r} + {row + 1}]" for row in range(r)
+    ) + ")"
+    return f"""
+WITH t AS (
+    SELECT doc_id,
+           list_distinct([array_to_string(toks[i:i+{w - 1}], ' ')
+               for i in generate_series(1, greatest(len(toks) - {w - 1}, 1))]) AS sh
+    FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+), h AS (
+    SELECT doc_id, sh,
+           list_transform(sh, s -> {h60} % {P}) AS hs
+    FROM t
+), m AS (
+    SELECT doc_id, sh, [{mh_items}] AS mh FROM h
+), buckets AS (
+    SELECT doc_id, band_idx, {key} AS band_key
+    FROM m, (SELECT unnest(generate_series(0, {D.MINHASH_BANDS - 1})) AS band_idx)
+), cand AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM buckets a JOIN buckets b
+      ON a.band_idx = b.band_idx AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+)
+SELECT c.doc_a, c.doc_b,
+       CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+           / len(list_distinct(sa.sh || sb.sh)) AS jaccard
+FROM cand c
+JOIN t sa ON sa.doc_id = c.doc_a
+JOIN t sb ON sb.doc_id = c.doc_b
+WHERE CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+          / len(list_distinct(sa.sh || sb.sh)) >= 0.1
+ORDER BY doc_a, doc_b
+"""
+
+
+ORACLE_dedup_minhash_lsh = _minhash_oracle()
+
+
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document 32-bit SimHash signatures."""
+    return D.simhash_signatures(load(spark, sf_dir, "documents")).orderBy("doc_id")
+
+
+def _simhash_oracle() -> str:
+    h = "list_transform(list_distinct(string_split(text, ' ')), s -> CAST('0x' || substr(md5(s), 1, 15) AS BIGINT) % 4294967296)"
+    terms = " + ".join(
+        f"CASE WHEN 2 * len(list_filter(h, x -> (x // {2 ** b}) % 2 = 1)) > len(h) "
+        f"THEN CAST({2 ** b} AS BIGINT) ELSE CAST(0 AS BIGINT) END"
+        for b in range(D.SIMHASH_BITS)
+    )
+    return f"""
+WITH t AS (SELECT doc_id, {h} AS h FROM documents)
+SELECT doc_id, len(h) AS n_tokens, {terms} AS simhash
+FROM t
+ORDER BY doc_id
+"""
+
+
+ORACLE_dedup_simhash = _simhash_oracle()
+
+
+def dedup_ngram_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 char-4-gram Jaccard pairs within source blocks."""
+    return (
+        D.ngram_jaccard_pairs(load(spark, sf_dir, "documents"))
+        .orderBy(F.desc("jaccard"), "doc_a", "doc_b")
+        .limit(20)
+    )
+
+
+ORACLE_dedup_ngram_pairs = f"""
+WITH t AS (
+    SELECT doc_id, source AS block,
+           list_distinct([substring(text, i, {D.NGRAM_W})
+               for i in generate_series(1, greatest(length(text) - {D.NGRAM_W - 1}, 1))]) AS gr
+    FROM documents
+)
+SELECT a.block AS block, a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(len(list_intersect(a.gr, b.gr)) AS DOUBLE)
+           / len(list_distinct(a.gr || b.gr)) AS jaccard
+FROM t a JOIN t b ON a.block = b.block AND a.doc_id < b.doc_id
+ORDER BY jaccard DESC, doc_a, doc_b
+LIMIT 20
+"""
+
+
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-50 within-label cosine pairs over the embeddings table."""
+    return (
+        D.embedding_cosine_pairs(load(spark, sf_dir, "embeddings"))
+        .orderBy(F.desc("cos_sim"), "vec_a", "vec_b")
+        .limit(50)
+    )
+
+
+_EMB_DIM = 64
+ORACLE_dedup_embedding_cosine = f"""
+WITH t AS (
+    SELECT vec_id, label AS block, embedding AS v,
+           {V.sql_norm('embedding', _EMB_DIM)} AS nrm
+    FROM embeddings
+)
+SELECT a.block AS block, a.vec_id AS vec_a, b.vec_id AS vec_b,
+       {V.sql_dot('a.v', 'b.v', _EMB_DIM)} / (a.nrm * b.nrm) AS cos_sim
+FROM t a JOIN t b ON a.block = b.block AND a.vec_id < b.vec_id
+ORDER BY cos_sim DESC, vec_a, vec_b
+LIMIT 50
+"""

@@ -39,6 +39,12 @@ _ENTRIES: list[tuple[str, QueryFn, str | None]] = [
     ("text_quality", d.text_quality, d.ORACLE_text_quality),
     ("text_lang_id", d.text_lang_id, d.ORACLE_text_lang_id),
     ("text_fingerprint", d.text_fingerprint, d.ORACLE_text_fingerprint),
+    # Training-data pipeline: deduplication
+    ("dedup_exact", d.dedup_exact, d.ORACLE_dedup_exact),
+    ("dedup_minhash_lsh", d.dedup_minhash_lsh, d.ORACLE_dedup_minhash_lsh),
+    ("dedup_simhash", d.dedup_simhash, d.ORACLE_dedup_simhash),
+    ("dedup_ngram_pairs", d.dedup_ngram_pairs, d.ORACLE_dedup_ngram_pairs),
+    ("dedup_embedding_cosine", d.dedup_embedding_cosine, d.ORACLE_dedup_embedding_cosine),
 ]
 
 QUERIES: dict[str, QueryFn] = {name: fn for name, fn, _ in _ENTRIES}

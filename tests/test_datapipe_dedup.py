@@ -1,0 +1,84 @@
+"""Dedup operator semantics on planted-duplicate fixtures."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from project_obsidian_core_spark.datapipe import dedup as D
+
+BASE = (
+    "spark query engine shuffles data across the cluster while the optimizer "
+    "prunes partitions and pushes filters down to the columnar scan layer"
+)
+NEAR = BASE.replace("columnar scan layer", "columnar file scan layer")  # 1-word insert
+FAR = "completely different content about cats dogs birds and fish in the garden pond"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, BASE, "s1"),
+        (2, BASE, "s1"),       # exact dup of 1
+        (3, NEAR, "s1"),       # near dup of 1
+        (4, FAR, "s1"),
+        (5, "tiny", "s2"),
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text", "source"])
+
+
+def test_exact_groups(docs):
+    g = {r["keeper_doc_id"]: r["n_docs"] for r in D.exact_groups(docs).collect()}
+    assert g[1] == 2           # docs 1+2 collapse, keeper is min(doc_id)
+    assert g[3] == 1 and g[4] == 1
+
+
+def test_minhash_finds_near_dup_not_far(docs):
+    pairs = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in D.minhash_candidates(docs).collect()
+    }
+    assert pairs[(1, 2)] == 1.0          # exact dup -> jaccard 1
+    assert pairs[(1, 3)] > 0.7           # near dup found via banding
+    assert (1, 4) not in pairs           # unrelated text never collides
+    assert (2, 3) in pairs               # transitive near dup
+
+
+def test_simhash_near_dup_is_close_in_hamming(docs):
+    sig = {r["doc_id"]: r["simhash"] for r in D.simhash_signatures(docs).collect()}
+    assert sig[1] == sig[2]
+    ham_near = bin(sig[1] ^ sig[3]).count("1")
+    ham_far = bin(sig[1] ^ sig[4]).count("1")
+    assert ham_near < ham_far
+    assert 0 <= sig[1] < 2 ** D.SIMHASH_BITS
+
+
+def test_ngram_jaccard_blocking(docs):
+    pairs = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in D.ngram_jaccard_pairs(docs).collect()
+    }
+    assert pairs[(1, 2)] == 1.0
+    assert pairs[(1, 3)] > 0.8
+    assert pairs[(1, 4)] < 0.2
+    # doc 5 is in another block: no cross-block pairs emitted
+    assert not any(5 in p for p in pairs)
+
+
+def test_embedding_cosine_pairs(spark):
+    emb = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0, 0.0], 0),
+            (2, [0.9, 0.1, 0.0], 0),   # close to 1
+            (3, [0.0, 1.0, 0.0], 0),   # orthogonal to 1
+            (4, [1.0, 0.0, 0.0], 1),   # other block
+        ],
+        ["vec_id", "embedding", "label"],
+    ).withColumn("embedding", F.col("embedding").cast("array<float>"))
+    pairs = {
+        (r["vec_a"], r["vec_b"]): r["cos_sim"]
+        for r in D.embedding_cosine_pairs(emb).collect()
+    }
+    assert pairs[(1, 2)] > 0.99
+    assert abs(pairs[(1, 3)]) < 1e-9
+    assert not any(4 in p for p in pairs)  # blocked by label
