@@ -1,0 +1,211 @@
+"""Similarity search (ANN) over an embedding column.
+
+Three tiers, in ascending scale-readiness:
+
+- **Brute force** (`brute_force_topk`): every query scores every candidate.
+  The query side is broadcast, so the big side is never shuffled — each
+  executor streams its candidate partitions once. Exact; the recall
+  baseline for the bucketed variants. O(|Q|·N·dim) — fine for |Q| ≤ 10³
+  per pass even at 100 TB, because it is one scan of the corpus.
+- **Sign-LSH, multi-probe** (`lsh_topk`): 4 fixed ±1 hyperplanes → 16
+  buckets; queries probe their own bucket plus every bucket at Hamming
+  distance 1 (Lv et al. 2007 multi-probe LSH), scoring (1+bits)/2^bits of
+  the corpus. The bucket column is a per-row expression, so the "index
+  build" is free at scan time; the bucket equi-join shuffles each side
+  once. More hyperplanes → exponentially more buckets; at 100 TB you pick
+  bits so a bucket fits one task (e.g. 20 bits → ~1M buckets) and keep
+  the probe ring at distance ≤ 1-2.
+- **IVF** (`ivf_topk`): coarse quantizer = one deterministic seed vector
+  per label (min vec_id — a medoid seed, NOT a float mean, so results are
+  bit-reproducible); vectors are assigned to their nearest seed, queries
+  probe the `nprobe` nearest cells. The seed table is tiny and broadcast
+  everywhere; assignment is one pass over the corpus.
+
+All scoring uses datapipe.vectors (double left-fold dot) — bit-identical to
+the DuckDB oracle. Ties in every ranking are broken by candidate id.
+"""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from project_obsidian_core_spark.datapipe import vectors as V
+
+#: number of ±1 hyperplanes (2^bits buckets).
+LSH_BITS = 4
+#: embedding dimensionality of the testdata corpus.
+DIM = 64
+#: IVF probes per query.
+NPROBE = 2
+
+_rng = random.Random(20260814)
+#: fixed ±1 hyperplane matrix, shared with the SQL oracle generator.
+LSH_PLANES: list[list[int]] = [
+    [_rng.choice((-1, 1)) for _ in range(DIM)] for _ in range(LSH_BITS)
+]
+
+
+def _signed_sum_expr(vec_sql: str, signs: list[int], elem: str) -> str:
+    """±chain `v[1] - v[2] + ...` — left-assoc, identical in Spark & DuckDB.
+
+    `elem` is the 1-based element accessor template: Spark
+    ``element_at({v}, {i})``, DuckDB ``{v}[{i}]``.
+    """
+    terms = []
+    for i, s in enumerate(signs, start=1):
+        op = "+" if s > 0 else "-"
+        terms.append(f"{op} CAST({elem.format(v=vec_sql, i=i)} AS DOUBLE)")
+    joined = " ".join(terms)
+    return joined[2:] if signs[0] > 0 else "0.0 " + joined
+
+
+def _bucket_sql(vec_sql: str, elem: str) -> str:
+    return " + ".join(
+        f"(CASE WHEN ({_signed_sum_expr(vec_sql, plane, elem)}) >= 0.0 THEN {2 ** i} ELSE 0 END)"
+        for i, plane in enumerate(LSH_PLANES)
+    )
+
+
+def lsh_bucket(vec_sql: str = "embedding") -> Column:
+    """16-way sign-LSH bucket id as a per-row JVM expression."""
+    return F.expr(f"cast({_bucket_sql(vec_sql, 'element_at({v}, {i})')} as bigint)")
+
+
+def sql_lsh_bucket(vec_sql: str = "embedding") -> str:
+    """DuckDB mirror of :func:`lsh_bucket`."""
+    return f"CAST({_bucket_sql(vec_sql, '{v}[{i}]')} AS BIGINT)"
+
+
+def _scored(queries: DataFrame, cands: DataFrame, join_on=None) -> DataFrame:
+    """(q_id, cand_id, cos_sim) for every query×candidate pair; the query
+    side is broadcast so the candidate scan never shuffles."""
+    q = queries.select(
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").alias("qv"),
+        V.norm(F.col("embedding")).alias("q_nrm"),
+        *([F.col("bucket").alias("q_bucket")] if join_on == "bucket" else []),
+    )
+    c = cands.select(
+        F.col("vec_id").alias("cand_id"),
+        F.col("embedding").alias("cv"),
+        V.norm(F.col("embedding")).alias("c_nrm"),
+        *([F.col("bucket").alias("c_bucket")] if join_on == "bucket" else []),
+    )
+    cond = F.col("q_id") != F.col("cand_id")
+    if join_on == "bucket":
+        cond = cond & (F.col("q_bucket") == F.col("c_bucket"))
+    return (
+        c.join(F.broadcast(q), cond)
+        .select(
+            "q_id",
+            "cand_id",
+            V.cosine_prenormed(
+                V.dot(F.col("qv"), F.col("cv")), F.col("q_nrm"), F.col("c_nrm")
+            ).alias("cos_sim"),
+        )
+    )
+
+
+def _topk(scored: DataFrame, k: int) -> DataFrame:
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos_sim"), F.asc("cand_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "cand_id", "cos_sim", "rank")
+    )
+
+
+def brute_force_topk(emb: DataFrame, queries: DataFrame, k: int = 10) -> DataFrame:
+    """Exact top-k cosine neighbors; queries broadcast, corpus scanned once."""
+    return _topk(_scored(queries, emb), k)
+
+
+def probe_buckets(bucket_col: str = "bucket") -> Column:
+    """Multi-probe ring: the query's bucket plus all Hamming-distance-1
+    flips. Buckets partition the corpus, so probes never duplicate a
+    candidate."""
+    flips = ", ".join(str(2 ** i) for i in range(LSH_BITS))
+    return F.expr(f"transform(array(0, {flips}), f -> cast({bucket_col} ^ f as bigint))")
+
+
+def lsh_topk(emb: DataFrame, queries: DataFrame, k: int = 10) -> DataFrame:
+    """Approximate top-k: candidates from the query's multi-probe bucket ring."""
+    eb = emb.withColumn("bucket", lsh_bucket("embedding"))
+    qb = (
+        queries.withColumn("bucket", lsh_bucket("embedding"))
+        .withColumn("bucket", F.explode(probe_buckets("bucket")))
+    )
+    return _topk(_scored(qb, eb, join_on="bucket"), k)
+
+
+def ivf_seeds(emb: DataFrame, label_col: str = "label") -> DataFrame:
+    """Deterministic coarse quantizer: the min-vec_id vector of each label."""
+    w = Window.partitionBy(label_col).orderBy("vec_id")
+    return (
+        emb.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(
+            F.col(label_col).alias("cell"),
+            F.col("embedding").alias("seed_v"),
+            V.norm(F.col("embedding")).alias("seed_nrm"),
+        )
+    )
+
+
+def ivf_assign(emb: DataFrame, seeds: DataFrame, rank_limit: int = 1) -> DataFrame:
+    """Assign each vector to its `rank_limit` nearest cells (1 = residency,
+    NPROBE = query probe list). Seeds are broadcast; one corpus pass."""
+    scored = emb.join(F.broadcast(seeds)).select(
+        "vec_id",
+        "embedding",
+        "cell",
+        V.cosine_prenormed(
+            V.dot(F.col("embedding"), F.col("seed_v")),
+            V.norm(F.col("embedding")),
+            F.col("seed_nrm"),
+        ).alias("cell_sim"),
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("cell_sim"), F.asc("cell"))
+    return (
+        scored.withColumn("_r", F.row_number().over(w))
+        .filter(F.col("_r") <= rank_limit)
+        .select("vec_id", "embedding", "cell")
+    )
+
+
+def ivf_topk(emb: DataFrame, queries: DataFrame, k: int = 10, nprobe: int = NPROBE) -> DataFrame:
+    """IVF search: score only candidates resident in the query's nprobe cells."""
+    seeds = ivf_seeds(emb)
+    resident = ivf_assign(emb, seeds, rank_limit=1)
+    probes = ivf_assign(queries, seeds, rank_limit=nprobe)
+    q = probes.select(
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").alias("qv"),
+        V.norm(F.col("embedding")).alias("q_nrm"),
+        F.col("cell").alias("probe_cell"),
+    )
+    c = resident.select(
+        F.col("vec_id").alias("cand_id"),
+        F.col("embedding").alias("cv"),
+        V.norm(F.col("embedding")).alias("c_nrm"),
+        F.col("cell").alias("c_cell"),
+    )
+    scored = (
+        c.join(
+            F.broadcast(q),
+            (F.col("probe_cell") == F.col("c_cell")) & (F.col("q_id") != F.col("cand_id")),
+        )
+        .select(
+            "q_id",
+            "cand_id",
+            V.cosine_prenormed(
+                V.dot(F.col("qv"), F.col("cv")), F.col("q_nrm"), F.col("c_nrm")
+            ).alias("cos_sim"),
+        )
+        # a candidate reachable via two probes must score once, not twice
+        .distinct()
+    )
+    return _topk(scored, k)

@@ -288,3 +288,114 @@ FROM t a JOIN t b ON a.block = b.block AND a.vec_id < b.vec_id
 ORDER BY cos_sim DESC, vec_a, vec_b
 LIMIT 50
 """
+
+
+# ========================================================== similarity ====
+from project_obsidian_core_spark.datapipe import similarity as S  # noqa: E402
+
+_N_QUERY_VECS = 5
+_TOPK = 10
+
+
+def _query_vecs(spark: SparkSession, sf_dir: str):
+    emb = load(spark, sf_dir, "embeddings")
+    return emb, emb.filter(F.col("vec_id") < _N_QUERY_VECS)
+
+
+def knn_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-10 for the first 5 vectors (broadcast query side)."""
+    emb, q = _query_vecs(spark, sf_dir)
+    return S.brute_force_topk(emb, q, k=_TOPK).orderBy("q_id", "rank")
+
+
+ORACLE_knn_brute = f"""
+WITH t AS (
+    SELECT vec_id, embedding AS v, {V.sql_norm('embedding', _EMB_DIM)} AS nrm
+    FROM embeddings
+), scored AS (
+    SELECT q.vec_id AS q_id, c.vec_id AS cand_id,
+           {V.sql_dot('q.v', 'c.v', _EMB_DIM)} / (q.nrm * c.nrm) AS cos_sim
+    FROM t q, t c
+    WHERE q.vec_id < {_N_QUERY_VECS} AND q.vec_id != c.vec_id
+), ranked AS (
+    SELECT q_id, cand_id, cos_sim,
+           row_number() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, cand_id ASC) AS rank
+    FROM scored
+)
+SELECT q_id, cand_id, cos_sim, rank FROM ranked
+WHERE rank <= {_TOPK}
+ORDER BY q_id, rank
+"""
+
+
+def knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe sign-LSH ANN: query bucket + Hamming-1 ring."""
+    emb, q = _query_vecs(spark, sf_dir)
+    return S.lsh_topk(emb, q, k=_TOPK).orderBy("q_id", "rank")
+
+
+_FLIPS = ", ".join(str(2 ** i) for i in range(S.LSH_BITS))
+ORACLE_knn_lsh = f"""
+WITH t AS (
+    SELECT vec_id, embedding AS v, {V.sql_norm('embedding', _EMB_DIM)} AS nrm,
+           {S.sql_lsh_bucket('embedding')} AS bucket
+    FROM embeddings
+), probes AS (
+    SELECT vec_id, v, nrm, CAST(xor(bucket, f) AS BIGINT) AS bucket
+    FROM t, (SELECT unnest([0, {_FLIPS}]) AS f)
+    WHERE vec_id < {_N_QUERY_VECS}
+), scored AS (
+    SELECT q.vec_id AS q_id, c.vec_id AS cand_id,
+           {V.sql_dot('q.v', 'c.v', _EMB_DIM)} / (q.nrm * c.nrm) AS cos_sim
+    FROM probes q, t c
+    WHERE q.vec_id != c.vec_id AND q.bucket = c.bucket
+), ranked AS (
+    SELECT q_id, cand_id, cos_sim,
+           row_number() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, cand_id ASC) AS rank
+    FROM scored
+)
+SELECT q_id, cand_id, cos_sim, rank FROM ranked
+WHERE rank <= {_TOPK}
+ORDER BY q_id, rank
+"""
+
+
+def knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF search: deterministic seed quantizer, nprobe=2 cell probe."""
+    emb, q = _query_vecs(spark, sf_dir)
+    return S.ivf_topk(emb, q, k=_TOPK).orderBy("q_id", "rank")
+
+
+ORACLE_knn_ivf = f"""
+WITH e AS (
+    SELECT vec_id, label, embedding AS v, {V.sql_norm('embedding', _EMB_DIM)} AS nrm
+    FROM embeddings
+), seeds AS (
+    SELECT label AS cell, v AS seed_v, nrm AS seed_nrm
+    FROM e
+    QUALIFY row_number() OVER (PARTITION BY label ORDER BY vec_id) = 1
+), cell_scored AS (
+    SELECT e.vec_id, e.v, e.nrm, s.cell,
+           {V.sql_dot('e.v', 's.seed_v', _EMB_DIM)} / (e.nrm * s.seed_nrm) AS cell_sim
+    FROM e, seeds s
+), resident AS (
+    SELECT vec_id, v, nrm, cell FROM cell_scored
+    QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY cell_sim DESC, cell ASC) <= 1
+), probes AS (
+    SELECT vec_id, v, nrm, cell FROM cell_scored
+    WHERE vec_id < {_N_QUERY_VECS}
+    QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY cell_sim DESC, cell ASC) <= {S.NPROBE}
+), scored AS (
+    SELECT DISTINCT q.vec_id AS q_id, c.vec_id AS cand_id,
+           {V.sql_dot('q.v', 'c.v', _EMB_DIM)} / (q.nrm * c.nrm) AS cos_sim
+    FROM probes q JOIN resident c
+      ON q.cell = c.cell AND q.vec_id != c.vec_id
+), ranked AS (
+    SELECT q_id, cand_id, cos_sim,
+           row_number() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, cand_id ASC) AS rank
+    FROM scored
+)
+SELECT q_id, cand_id, cos_sim, rank FROM ranked
+WHERE rank <= {_TOPK}
+ORDER BY q_id, rank
+"""

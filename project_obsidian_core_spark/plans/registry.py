@@ -45,6 +45,10 @@ _ENTRIES: list[tuple[str, QueryFn, str | None]] = [
     ("dedup_simhash", d.dedup_simhash, d.ORACLE_dedup_simhash),
     ("dedup_ngram_pairs", d.dedup_ngram_pairs, d.ORACLE_dedup_ngram_pairs),
     ("dedup_embedding_cosine", d.dedup_embedding_cosine, d.ORACLE_dedup_embedding_cosine),
+    # Training-data pipeline: similarity search
+    ("knn_brute", d.knn_brute, d.ORACLE_knn_brute),
+    ("knn_lsh", d.knn_lsh, d.ORACLE_knn_lsh),
+    ("knn_ivf", d.knn_ivf, d.ORACLE_knn_ivf),
 ]
 
 QUERIES: dict[str, QueryFn] = {name: fn for name, fn, _ in _ENTRIES}

@@ -1,0 +1,68 @@
+"""Similarity-search semantics: exactness of brute force, recall of ANN tiers."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from project_obsidian_core_spark.datapipe import similarity as S
+from project_obsidian_core_spark.plans.common import load
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return load(spark, SF_DIR, "embeddings")
+
+
+@pytest.fixture(scope="module")
+def queries(emb):
+    return emb.filter(F.col("vec_id") < 5)
+
+
+def _pairs(df):
+    return {(r["q_id"], r["cand_id"]) for r in df.collect()}
+
+
+def test_brute_force_is_exact_topk(emb, queries, spark):
+    got = S.brute_force_topk(emb, queries, k=5).collect()
+    assert len(got) == 25
+    for r in got:
+        assert r["q_id"] != r["cand_id"]
+        assert -1.0 - 1e-12 <= r["cos_sim"] <= 1.0 + 1e-12
+    # ranks are 1..5 per query, descending similarity
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r["q_id"], []).append((r["rank"], r["cos_sim"]))
+    for rows in by_q.values():
+        rows.sort()
+        assert [r for r, _ in rows] == [1, 2, 3, 4, 5]
+        sims = [s for _, s in rows]
+        assert sims == sorted(sims, reverse=True)
+
+
+def test_lsh_subset_of_bucket_and_reasonable_recall(emb, queries):
+    brute = _pairs(S.brute_force_topk(emb, queries, k=5))
+    lsh = _pairs(S.lsh_topk(emb, queries, k=5))
+    # ANN results are a subset of the same-bucket candidates; recall vs
+    # exact top-5 should be well above random (1/16 of corpus per bucket)
+    recall = len(brute & lsh) / len(brute)
+    assert recall >= 0.2, f"LSH recall collapsed: {recall}"
+
+
+def test_ivf_probe_recall_beats_single_cell(emb, queries):
+    brute = _pairs(S.brute_force_topk(emb, queries, k=5))
+    ivf = _pairs(S.ivf_topk(emb, queries, k=5, nprobe=2))
+    recall2 = len(brute & ivf) / len(brute)
+    ivf1 = _pairs(S.ivf_topk(emb, queries, k=5, nprobe=1))
+    recall1 = len(brute & ivf1) / len(brute)
+    assert recall2 >= recall1      # more probes never hurt recall
+    assert recall2 >= 0.3, f"IVF recall collapsed: {recall2}"
+
+
+def test_bucket_expression_is_stable(emb, spark):
+    b = emb.withColumn("bucket", S.lsh_bucket("embedding"))
+    stats = b.groupBy("bucket").count().collect()
+    assert all(0 <= r["bucket"] < 2 ** S.LSH_BITS for r in stats)
+    assert len(stats) > 1  # hyperplanes actually split the corpus
