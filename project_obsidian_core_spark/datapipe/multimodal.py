@@ -1,0 +1,179 @@
+"""Multimodal (image/audio/video) column plumbing.
+
+Media payloads are opaque ``binary`` columns plus a typed metadata struct;
+decode / feature-extract / frame-sample run as Arrow-batched pandas
+transforms over ``mapInPandas``. The actual codecs (PIL / soundfile /
+pyav) are NOT in this container, so the decode step is gated: the *real*
+branch raises ``NotImplementedError`` behind an import-try (clearly-marked
+stub), while the *fake* branch derives deterministic bytes-level features —
+which keeps the whole pipeline testable end-to-end and even DuckDB-oracle
+checkable (the synthetic payload is md5-derived, so the oracle can recompute
+the same features from hex strings).
+
+Scale notes
+-----------
+- The binary column never leaves the executor: ``mapInPandas`` streams
+  Arrow record batches (``spark.sql.execution.arrow.maxRecordsPerBatch``
+  bounds batch memory — size it so batch_rows × payload ≤ a few hundred MB).
+- Partitioning is preserved: decode is a narrow transform; keep payloads
+  out of shuffles by extracting features first, joining features later.
+- For 100 TB of media, store payloads in parquet with a small row-group
+  size (payload-dominated pages), or reference external object-store URIs
+  and fetch inside the pandas batch — the operator signature is the same.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BinaryType,
+    DoubleType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+#: payload = R md5 blocks of 16 bytes → 64-byte fake media objects.
+PAYLOAD_BLOCKS = 4
+BLOCK_BYTES = 16
+FRAME_BYTES = 16
+
+MEDIA_TYPES = ("image", "audio", "video")
+
+MEDIA_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("media_type", StringType()),
+        StructField("content", BinaryType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("sample_rate", IntegerType()),
+        StructField("n_frames", IntegerType()),
+    ]
+)
+
+FEATURES_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("media_type", StringType()),
+        StructField("n_bytes", LongType()),
+        StructField("byte_sum", LongType()),
+        StructField("byte_mean", DoubleType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+    ]
+)
+
+FRAMES_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("frame_idx", IntegerType()),
+        StructField("frame_hex", StringType()),
+    ]
+)
+
+
+def attach_media(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Synthesize a deterministic media table from the documents corpus.
+
+    Payload = unhex(md5(text||':1') || ... || md5(text||':R')) — distinct
+    16-byte blocks so frame sampling is non-trivial. Metadata is arithmetic
+    in doc_id. All built-ins; the binary column is real BinaryType.
+    """
+    hex_blocks = F.concat(
+        *[F.md5(F.concat(F.col(text_col), F.lit(f":{i}"))) for i in range(1, PAYLOAD_BLOCKS + 1)]
+    )
+    mt = F.element_at(
+        F.array(*[F.lit(t) for t in MEDIA_TYPES]), (F.col("doc_id") % 3).cast("int") + 1
+    )
+    return docs.select(
+        "doc_id",
+        mt.alias("media_type"),
+        F.unhex(hex_blocks).alias("content"),
+        (16 + F.col("doc_id") % 17).cast("int").alias("width"),
+        (16 + F.col("doc_id") % 13).cast("int").alias("height"),
+        (8000 + 100 * (F.col("doc_id") % 5)).cast("int").alias("sample_rate"),
+        F.lit(PAYLOAD_BLOCKS).cast("int").alias("n_frames"),
+    )
+
+
+def _decode_real(media_type: str, payload: bytes):  # pragma: no cover - stub
+    """STUB: the real codec path. The container ships no image/audio libs;
+    when they exist, route per media_type (PIL.Image.open / soundfile.read /
+    av.open) here."""
+    try:
+        import PIL.Image  # noqa: F401
+    except ImportError as exc:
+        raise NotImplementedError(
+            "real media decode requires PIL/soundfile/pyav — not available "
+            "in this environment; use mode='fake'"
+        ) from exc
+    raise NotImplementedError("real decode wiring is intentionally left to deployments")
+
+
+def extract_features(media: DataFrame, mode: str = "fake") -> DataFrame:
+    """Bytes-level feature extraction over Arrow batches (mapInPandas).
+
+    ``mode='fake'`` computes deterministic features straight from the
+    payload bytes (sum/mean of uint8 values); ``mode='real'`` dispatches to
+    the stubbed codec path.
+    """
+    if mode not in ("fake", "real"):
+        raise ValueError(f"unknown decode mode: {mode}")
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in it:
+            if mode == "real":
+                pdf["content"].map(lambda b: _decode_real("", b))
+            arrs = [np.frombuffer(b, dtype=np.uint8) for b in pdf["content"]]
+            n_bytes = np.array([a.size for a in arrs], dtype=np.int64)
+            byte_sum = np.array([int(a.sum()) for a in arrs], dtype=np.int64)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].astype("int64"),
+                    "media_type": pdf["media_type"],
+                    "n_bytes": n_bytes,
+                    "byte_sum": byte_sum,
+                    "byte_mean": byte_sum / n_bytes,
+                    "width": pdf["width"].astype("int32"),
+                    "height": pdf["height"].astype("int32"),
+                }
+            )
+
+    return media.mapInPandas(batches, schema=FEATURES_SCHEMA)
+
+
+def sample_frames(media: DataFrame, every: int = 1) -> DataFrame:
+    """Frame sampling for video payloads: every `every`-th 16-byte block
+    becomes a frame row (doc_id, frame_idx, frame_hex). Arrow-batched;
+    the explode happens inside the pandas batch, not as a Spark explode,
+    so payload bytes are read exactly once."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out_ids, out_idx, out_hex = [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["content"]):
+                b = bytes(payload)
+                for j in range(0, len(b) // FRAME_BYTES, every):
+                    out_ids.append(int(doc_id))
+                    out_idx.append(j)
+                    out_hex.append(b[j * FRAME_BYTES : (j + 1) * FRAME_BYTES].hex())
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(out_ids, dtype="int64"),
+                    "frame_idx": pd.Series(out_idx, dtype="int32"),
+                    "frame_hex": pd.Series(out_hex, dtype="object"),
+                }
+            )
+
+    return media.filter(F.col("media_type") == "video").mapInPandas(
+        batches, schema=FRAMES_SCHEMA
+    )

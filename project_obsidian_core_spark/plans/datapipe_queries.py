@@ -399,3 +399,61 @@ SELECT q_id, cand_id, cos_sim, rank FROM ranked
 WHERE rank <= {_TOPK}
 ORDER BY q_id, rank
 """
+
+
+# ========================================================== multimodal ====
+from project_obsidian_core_spark.datapipe import multimodal as M  # noqa: E402
+
+
+def media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bytes-level media features via the mapInPandas decode stub."""
+    media = M.attach_media(load(spark, sf_dir, "documents"))
+    return M.extract_features(media).orderBy("doc_id")
+
+
+_FULL_HEX = " || ".join(
+    f"md5(text || ':{i}')" for i in range(1, M.PAYLOAD_BLOCKS + 1)
+)
+_N_PAYLOAD = M.PAYLOAD_BLOCKS * M.BLOCK_BYTES
+
+ORACLE_media_features = f"""
+WITH p AS (
+    SELECT doc_id,
+           (['image', 'audio', 'video'])[CAST(doc_id % 3 AS INTEGER) + 1] AS media_type,
+           {_FULL_HEX} AS fh
+    FROM documents
+), f AS (
+    SELECT doc_id, media_type,
+           list_aggregate([CAST('0x' || substr(fh, 2 * i - 1, 2) AS BIGINT)
+                           for i in generate_series(1, {_N_PAYLOAD})], 'sum') AS byte_sum
+    FROM p
+)
+SELECT doc_id, media_type,
+       CAST({_N_PAYLOAD} AS BIGINT) AS n_bytes,
+       CAST(byte_sum AS BIGINT) AS byte_sum,
+       CAST(byte_sum AS DOUBLE) / {_N_PAYLOAD} AS byte_mean,
+       CAST(16 + doc_id % 17 AS INTEGER) AS width,
+       CAST(16 + doc_id % 13 AS INTEGER) AS height
+FROM f
+ORDER BY doc_id
+"""
+
+
+def media_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling of video payloads inside Arrow batches."""
+    media = M.attach_media(load(spark, sf_dir, "documents"))
+    return M.sample_frames(media).orderBy("doc_id", "frame_idx")
+
+
+ORACLE_media_frame_sample = f"""
+WITH p AS (
+    SELECT doc_id, {_FULL_HEX} AS fh
+    FROM documents
+    WHERE doc_id % 3 = 2
+)
+SELECT doc_id,
+       CAST(j AS INTEGER) AS frame_idx,
+       substr(fh, j * {M.FRAME_BYTES * 2} + 1, {M.FRAME_BYTES * 2}) AS frame_hex
+FROM p, (SELECT unnest(generate_series(0, {M.PAYLOAD_BLOCKS - 1})) AS j)
+ORDER BY doc_id, frame_idx
+"""

@@ -49,6 +49,9 @@ _ENTRIES: list[tuple[str, QueryFn, str | None]] = [
     ("knn_brute", d.knn_brute, d.ORACLE_knn_brute),
     ("knn_lsh", d.knn_lsh, d.ORACLE_knn_lsh),
     ("knn_ivf", d.knn_ivf, d.ORACLE_knn_ivf),
+    # Training-data pipeline: multimodal binary plumbing (pandas decode stub)
+    ("media_features", d.media_features, d.ORACLE_media_features),
+    ("media_frame_sample", d.media_frame_sample, d.ORACLE_media_frame_sample),
 ]
 
 QUERIES: dict[str, QueryFn] = {name: fn for name, fn, _ in _ENTRIES}

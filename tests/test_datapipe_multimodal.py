@@ -1,0 +1,79 @@
+"""Multimodal plumbing: binary payloads, Arrow batch shapes, decode gating."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from project_obsidian_core_spark.datapipe import multimodal as M
+
+
+@pytest.fixture(scope="module")
+def media(spark):
+    docs = spark.createDataFrame(
+        [(i, f"document number {i} with some content") for i in range(12)],
+        ["doc_id", "text"],
+    )
+    return M.attach_media(docs)
+
+
+def test_media_schema_and_payload(media):
+    # nullability differs for literal-derived cols; names+types must match
+    assert [(f.name, f.dataType) for f in media.schema.fields] == [
+        (f.name, f.dataType) for f in M.MEDIA_SCHEMA.fields
+    ]
+    rows = {r["doc_id"]: r for r in media.collect()}
+    assert len(rows[0]["content"]) == M.PAYLOAD_BLOCKS * M.BLOCK_BYTES
+    assert rows[0]["media_type"] == "image"
+    assert rows[1]["media_type"] == "audio"
+    assert rows[2]["media_type"] == "video"
+    # payload blocks differ (frame sampling is non-trivial)
+    c = bytes(rows[2]["content"])
+    assert c[:16] != c[16:32]
+
+
+def test_features_match_bytes(media):
+    feats = {r["doc_id"]: r for r in M.extract_features(media).collect()}
+    raw = {r["doc_id"]: bytes(r["content"]) for r in media.collect()}
+    for doc_id, b in raw.items():
+        f = feats[doc_id]
+        assert f["n_bytes"] == len(b)
+        assert f["byte_sum"] == sum(b)
+        assert f["byte_mean"] == pytest.approx(sum(b) / len(b))
+
+
+def test_features_survive_tiny_arrow_batches(media, spark):
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "3")
+    try:
+        n = M.extract_features(media.repartition(2)).count()
+        assert n == 12
+    finally:
+        spark.conf.unset("spark.sql.execution.arrow.maxRecordsPerBatch")
+
+
+def test_frame_sampling(media):
+    frames = M.sample_frames(media).collect()
+    video_ids = {r["doc_id"] for r in media.filter(F.col("media_type") == "video").collect()}
+    assert {r["doc_id"] for r in frames} == video_ids
+    by_doc = {}
+    for r in frames:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    raw = {r["doc_id"]: bytes(r["content"]) for r in media.collect()}
+    for doc_id, rs in by_doc.items():
+        assert sorted(r["frame_idx"] for r in rs) == [0, 1, 2, 3]
+        for r in rs:
+            lo = r["frame_idx"] * M.FRAME_BYTES
+            assert r["frame_hex"] == raw[doc_id][lo : lo + M.FRAME_BYTES].hex()
+    # stride sampling
+    half = M.sample_frames(media, every=2).collect()
+    assert sorted({r["frame_idx"] for r in half}) == [0, 2]
+
+
+def test_real_decode_is_gated(media):
+    with pytest.raises(Exception) as exc_info:
+        M.extract_features(media, mode="real").collect()
+    assert "NotImplementedError" in str(exc_info.value) or isinstance(
+        exc_info.value, NotImplementedError
+    )
+    with pytest.raises(ValueError):
+        M.extract_features(media, mode="nope")
