@@ -13,6 +13,7 @@ from pyspark.sql import DataFrame, SparkSession
 from project_obsidian_core_spark.plans import datapipe_queries as d
 from project_obsidian_core_spark.plans import qan_queries as q
 from project_obsidian_core_spark.plans import relational_queries as r
+from project_obsidian_core_spark.plans import streaming_queries as st
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
@@ -52,6 +53,8 @@ _ENTRIES: list[tuple[str, QueryFn, str | None]] = [
     # Training-data pipeline: multimodal binary plumbing (pandas decode stub)
     ("media_features", d.media_features, d.ORACLE_media_features),
     ("media_frame_sample", d.media_frame_sample, d.ORACLE_media_frame_sample),
+    # Streaming stateful delta (applyInPandasWithState) vs batch-lag oracle
+    ("stream_snapshot_delta", st.stream_snapshot_delta, st.ORACLE_stream_snapshot_delta),
 ]
 
 QUERIES: dict[str, QueryFn] = {name: fn for name, fn, _ in _ENTRIES}

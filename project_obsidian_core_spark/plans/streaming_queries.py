@@ -1,0 +1,152 @@
+"""Driver-facing wrapper for the streaming stateful delta (SURVEY §2.9).
+
+Synthesizes a dense cumulative-counter snapshot history from the `events`
+table (instance = user_id%10, digest = event_type, hourly scrape ticks,
+counter stored mod 100 so the reset branch T3 fires), replays it through the
+``applyInPandasWithState`` pipeline in one availableNow pass, and returns the
+emitted deltas.
+
+The oracle is the *batch* lag-window formulation of the same semantics —
+the two must agree exactly (the streaming fold and the lag window are the
+same recurrence), so this query pins streaming↔batch equivalence at the
+driver's correctness gate.
+"""
+
+from __future__ import annotations
+
+import itertools
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from project_obsidian_core_spark.plans.common import cents, load
+from project_obsidian_core_spark.streaming import delta_stream as DS
+
+_RUN_IDS = itertools.count()
+
+#: counter modulus — small enough that sf0.01's cumulative counts wrap (T3).
+MOD = 100
+
+_SNAP_SCHEMA = T.StructType(
+    [
+        T.StructField("instance_id", T.StringType()),
+        T.StructField("snapshot_ts", T.TimestampType()),
+        T.StructField("digest", T.StringType()),
+        T.StructField("count_star", T.LongType()),
+        T.StructField("value_cents", T.LongType()),
+    ]
+)
+
+
+def synthesize_snapshots(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense hourly cumulative snapshots per (instance, digest).
+
+    Dense = every pair has a row for every global scrape hour from its
+    first appearance on (once in perf-schema, a digest stays), which is what
+    makes the streaming fold and the batch lag window coincide.
+    """
+    ev = load(spark, sf_dir, "events")
+    inc = ev.groupBy(
+        (F.col("user_id") % 10).cast("string").alias("instance_id"),
+        F.col("event_type").alias("digest"),
+        F.date_trunc("hour", F.col("ts")).alias("snap_ts"),
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(cents("value")).alias("v"),
+    )
+    hours = inc.select("snap_ts").distinct()
+    pairs = inc.groupBy("instance_id", "digest").agg(F.min("snap_ts").alias("first_ts"))
+    grid = pairs.join(F.broadcast(hours), F.col("snap_ts") >= F.col("first_ts")).select(
+        "instance_id", "digest", "snap_ts"
+    )
+    dense = grid.join(inc, ["instance_id", "digest", "snap_ts"], "left").select(
+        "instance_id",
+        "digest",
+        "snap_ts",
+        F.coalesce("n", F.lit(0)).alias("n"),
+        F.coalesce("v", F.lit(0)).alias("v"),
+    )
+    w = Window.partitionBy("instance_id", "digest").orderBy("snap_ts")
+    return dense.select(
+        "instance_id",
+        F.col("snap_ts").alias("snapshot_ts"),
+        "digest",
+        (F.sum("n").over(w) % MOD).alias("count_star"),
+        F.sum("v").over(w).alias("value_cents"),
+    )
+
+
+def stream_snapshot_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Replay the synthesized snapshot history through the streaming
+    stateful delta and return every emitted delta row."""
+    run = next(_RUN_IDS)
+    tmp = tempfile.mkdtemp(prefix=f"obsidian_stream_{run}_")
+    src, ckpt = f"{tmp}/src", f"{tmp}/ckpt"
+    synthesize_snapshots(spark, sf_dir).write.mode("overwrite").parquet(src)
+
+    stream = spark.readStream.schema(_SNAP_SCHEMA).parquet(src)
+    deltas = DS.stateful_deltas(
+        stream,
+        key_cols=["digest"],
+        metric_fields=[("count_star", T.LongType()), ("value_cents", T.LongType())],
+        activity_col="count_star",
+    )
+    name = f"stream_snapshot_delta_{run}"
+    DS.run_replay(deltas, ckpt, query_name=name)
+    return spark.table(name).orderBy("instance_id", "digest", "snapshot_ts")
+
+
+ORACLE_stream_snapshot_delta = f"""
+WITH inc AS (
+    SELECT CAST(user_id % 10 AS VARCHAR) AS instance_id,
+           event_type AS digest,
+           date_trunc('hour', ts) AS snap_ts,
+           count(*) AS n,
+           CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS v
+    FROM events GROUP BY 1, 2, 3
+), hours AS (
+    SELECT DISTINCT snap_ts FROM inc
+), pairs AS (
+    SELECT instance_id, digest, min(snap_ts) AS first_ts FROM inc GROUP BY 1, 2
+), dense AS (
+    SELECT p.instance_id, p.digest, h.snap_ts,
+           coalesce(i.n, 0) AS n, coalesce(i.v, 0) AS v
+    FROM pairs p
+    JOIN hours h ON h.snap_ts >= p.first_ts
+    LEFT JOIN inc i ON i.instance_id = p.instance_id
+                   AND i.digest = p.digest AND i.snap_ts = h.snap_ts
+), cum AS (
+    SELECT instance_id, digest, snap_ts,
+           CAST(sum(n) OVER w % {MOD} AS BIGINT) AS count_star,
+           CAST(sum(v) OVER w AS BIGINT) AS value_cents
+    FROM dense
+    WINDOW w AS (PARTITION BY instance_id, digest ORDER BY snap_ts)
+), inst AS (
+    SELECT instance_id, snap_ts,
+           lag(snap_ts) OVER (PARTITION BY instance_id ORDER BY snap_ts) AS prev_its,
+           min(snap_ts) OVER (PARTITION BY instance_id) AS inst_first
+    FROM (SELECT DISTINCT instance_id, snap_ts FROM dense)
+), lagd AS (
+    SELECT instance_id, digest, snap_ts, count_star, value_cents,
+           lag(count_star) OVER w2 AS pc,
+           lag(value_cents) OVER w2 AS pv
+    FROM cum
+    WINDOW w2 AS (PARTITION BY instance_id, digest ORDER BY snap_ts)
+)
+SELECT l.instance_id,
+       l.snap_ts AS snapshot_ts,
+       l.digest,
+       CASE WHEN l.pc IS NULL OR l.count_star < l.pc
+            THEN l.count_star ELSE l.count_star - l.pc END AS count_star_delta,
+       CASE WHEN l.pv IS NULL OR l.value_cents < l.pv
+            THEN l.value_cents ELSE l.value_cents - l.pv END AS value_cents_delta,
+       (epoch_us(i.snap_ts) - epoch_us(i.prev_its)) / 1000000.0 AS time_period_seconds
+FROM lagd l
+JOIN inst i ON i.instance_id = l.instance_id AND i.snap_ts = l.snap_ts
+WHERE l.snap_ts > i.inst_first
+  AND (CASE WHEN l.pc IS NULL OR l.count_star < l.pc
+            THEN l.count_star ELSE l.count_star - l.pc END) > 0
+ORDER BY l.instance_id, l.digest, snapshot_ts
+"""

@@ -1,0 +1,185 @@
+"""Stateful streaming snapshot-delta operator.
+
+Reference semantics reproduced (mysql/snapshot.go:159-239,
+mysql/collector.go:75-85, postgresql/snapshot.go:183-279):
+
+- state per **instance** = the full previous snapshot (digest → cumulative
+  metrics + snapshot ts) — the exact analogue of the reference's
+  ``SnapshotStore{latestSnapshots map[string]*Snapshot}``;
+- first snapshot of an instance emits nothing (T2);
+- per-metric delta: ``curr - prev`` if monotone else ``curr`` (counter
+  reset, T3); keys absent from the previous snapshot emit their full
+  cumulative value (T4); keys that disappeared are dropped;
+- ``time_period_seconds`` is the *snapshot-level* Δt attached to every
+  delta row (T5) — including new keys, which per-key lag state could not
+  reproduce;
+- rows with non-positive activity delta are filtered (P3).
+
+Scale notes
+-----------
+State cardinality = #instances; each state value is bounded by the
+monitored DB's digest cap (pg_stat_statements.max = 10000,
+performance_schema digest limits — BASELINE.md), so state size is
+O(instances × 10k × metrics) — kilobytes per instance, safely inside the
+state store even at fleet scale. Groups hash-partition by instance across
+executors; the RocksDB/HDFS state store checkpoints per micro-batch, which
+is the streaming equivalent of the reference's persisted snapshot store.
+
+Multiple snapshots of one instance inside a single micro-batch are sorted
+by ``snapshot_ts`` and folded in order, so replaying a whole history in one
+``availableNow`` pass gives byte-identical output to tick-by-tick execution.
+"""
+
+from __future__ import annotations
+
+import json
+from collections.abc import Iterator, Sequence
+from typing import Any
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+#: state payload: one JSON document per instance — the previous snapshot.
+STATE_SCHEMA = T.StructType([T.StructField("snapshot_json", T.StringType())])
+
+
+def output_schema(
+    key_cols: Sequence[str], metric_fields: Sequence[tuple[str, T.DataType]]
+) -> T.StructType:
+    fields = [
+        T.StructField("instance_id", T.StringType()),
+        T.StructField("snapshot_ts", T.TimestampType()),
+        *[T.StructField(k, T.StringType()) for k in key_cols],
+        *[T.StructField(f"{m}_delta", dt) for m, dt in metric_fields],
+        T.StructField("time_period_seconds", T.DoubleType()),
+    ]
+    return T.StructType(fields)
+
+
+def _delta(curr: float, prev: float | None):
+    if prev is None or curr < prev:
+        return curr  # new key (T4) or counter reset (T3)
+    return curr - prev
+
+
+def make_delta_fn(
+    key_cols: Sequence[str],
+    metric_cols: Sequence[str],
+    activity_col: str | None,
+):
+    """Build the applyInPandasWithState group function.
+
+    The pandas code only touches one instance's snapshots per call — the
+    per-row work is dict probes, exactly the reference's map lookup; the
+    heavy lifting (partitioning, state store, checkpointing) stays in Spark.
+    """
+
+    def fn(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        instance_id = key[0]
+        rows = pd.concat(list(pdfs), ignore_index=True)
+        if rows.empty:
+            return
+        rows = rows.sort_values("snapshot_ts", kind="mergesort")
+
+        if state.exists:
+            st = json.loads(state.get[0])
+            prev_ts_us: int | None = st["ts_us"]
+            prev_digests: dict[str, list] = st["d"]
+        else:
+            prev_ts_us, prev_digests = None, {}
+
+        out: list[dict[str, Any]] = []
+        for ts, snap in rows.groupby("snapshot_ts", sort=True):
+            ts_us = int(pd.Timestamp(ts).value // 1000)
+            curr_digests: dict[str, list] = {}
+            for rec in snap.itertuples(index=False):
+                kc = [getattr(rec, k) for k in key_cols]
+                metrics = [getattr(rec, m) for m in metric_cols]
+                curr_digests[json.dumps(kc)] = [
+                    None if pd.isna(v) else (v.item() if hasattr(v, "item") else v)
+                    for v in metrics
+                ]
+            if prev_ts_us is not None:  # T2: first snapshot emits nothing
+                dt = (ts_us - prev_ts_us) / 1_000_000.0
+                for kjson, curr_m in curr_digests.items():
+                    prev_m = prev_digests.get(kjson)
+                    deltas = [
+                        _delta(c, None if prev_m is None else prev_m[i])
+                        for i, c in enumerate(curr_m)
+                    ]
+                    if activity_col is not None:
+                        act = deltas[metric_cols.index(activity_col)]
+                        if act is None or act <= 0:  # P3
+                            continue
+                    rec_out = {
+                        "instance_id": instance_id,
+                        "snapshot_ts": pd.Timestamp(ts),
+                        **dict(zip(key_cols, json.loads(kjson))),
+                        **{f"{m}_delta": d for m, d in zip(metric_cols, deltas)},
+                        "time_period_seconds": dt,
+                    }
+                    out.append(rec_out)
+            prev_ts_us, prev_digests = ts_us, curr_digests
+
+        state.update((json.dumps({"ts_us": prev_ts_us, "d": prev_digests}),))
+        if out:
+            yield pd.DataFrame(out)
+
+    return fn
+
+
+def stateful_deltas(
+    snapshots: DataFrame,
+    key_cols: Sequence[str],
+    metric_fields: Sequence[tuple[str, T.DataType]],
+    activity_col: str | None = None,
+) -> DataFrame:
+    """Wire the stateful delta over a *streaming* snapshots DataFrame."""
+    metric_cols = [m for m, _ in metric_fields]
+    return snapshots.groupBy("instance_id").applyInPandasWithState(
+        make_delta_fn(list(key_cols), metric_cols, activity_col),
+        outputStructType=output_schema(key_cols, metric_fields),
+        stateStructType=STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+# ---------------------------------------------------------------- sinks ---
+def idempotent_parquet_sink(path: str):
+    """foreachBatch writer with exactly-once semantics via batch-scoped
+    overwrite: each micro-batch lands in ``_batch=<epoch>`` and a retried
+    epoch overwrites its own directory instead of appending twice
+    (SURVEY §7.3 "rollup idempotency"). Readers just scan ``path``."""
+
+    def write(batch_df: DataFrame, epoch_id: int) -> None:
+        batch_df.write.mode("overwrite").parquet(f"{path}/_batch={epoch_id}")
+
+    return write
+
+
+def run_replay(
+    stream_df: DataFrame,
+    checkpoint_dir: str,
+    sink_path: str | None = None,
+    query_name: str = "qan_deltas",
+):
+    """Run a bounded (availableNow) pass of the stateful pipeline.
+
+    With a sink path: idempotent parquet append. Without: in-memory table
+    named ``query_name`` for inspection/tests.
+    """
+    writer = stream_df.writeStream.option("checkpointLocation", checkpoint_dir)
+    if sink_path is None:
+        q = writer.format("memory").queryName(query_name).outputMode("append").start()
+    else:
+        q = writer.foreachBatch(idempotent_parquet_sink(sink_path)).start()
+    q.processAllAvailable()
+    q.stop()
+    q.awaitTermination()
+    return q
