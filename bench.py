@@ -33,6 +33,13 @@ BENCH_QUERIES = [
     "pricing_summary",        # scan+agg workhorse
     "top_revenue_orders",     # selective 3-way join
     "regional_revenue",       # star join
+    # training-data pipeline operators (SURVEY §7.2 phase 5)
+    "text_quality",           # per-row text feature extraction
+    "text_fingerprint",       # k-gram min-hash fingerprint
+    "dedup_minhash_lsh",      # signature + band join + verify
+    "knn_brute",              # broadcast cosine top-k
+    "knn_lsh",                # multi-probe bucketed ANN
+    "media_features",         # Arrow-batched mapInPandas decode
 ]
 
 

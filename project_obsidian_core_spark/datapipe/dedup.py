@@ -124,6 +124,13 @@ def minhash_candidates(df: DataFrame, text_col: str = "text") -> DataFrame:
     Returns (doc_a, doc_b, jaccard) for every pair sharing ≥1 LSH band,
     doc_a < doc_b, with the *exact* resemblance attached. Callers filter on
     jaccard for their dedup threshold.
+
+    The signature relation is persisted: it feeds both sides of the band
+    self-join plus two verification joins, and without materialization
+    Spark recomputes the md5+minhash subtree once per branch (measured 4×
+    at sf0.1). This is the "build the LSH index once" step — at 100 TB it
+    becomes an intermediate table (checkpoint / staged parquet), not an
+    in-memory cache.
     """
     sigs = (
         df.select("doc_id", shingle_set(text_col).alias("sh"))
@@ -131,6 +138,7 @@ def minhash_candidates(df: DataFrame, text_col: str = "text") -> DataFrame:
         .withColumn("mh", minhash_signature("hs"))
         .withColumn("bands", band_keys("mh"))
         .select("doc_id", "sh", "bands")
+        .persist()
     )
     buckets = sigs.select(
         "doc_id",

@@ -157,23 +157,40 @@ def with_lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+#: fingerprint hash params: Mersenne prime + Knuth multiplicative scramble.
+FP_P = 2_147_483_647
+FP_MULT = 2_654_435_761
+
+
 def with_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
-    """Content fingerprint: min over the 60-bit hashes of all character
-    k-grams of the normalized text (winnowing-style rolling-hash min-sketch).
+    """Content fingerprint: min over scrambled polynomial hashes of all
+    character k-grams of the normalized text (winnowing-style rolling-hash
+    min-sketch).
 
     Robust to token order and duplicated whitespace; two documents with the
-    same k-gram set share a fingerprint. Pure per-row expression: the k-gram
-    enumeration is `transform(sequence(...))` over substring offsets — JVM
-    array ops, no explode, no shuffle.
+    same k-gram set share a fingerprint. Pure per-row *integer* expression:
+    codepoints are materialized once per row, each k-gram is a base-128
+    polynomial over them (injective for k=5 ascii chars), scrambled with a
+    Knuth multiplicative step so the min isn't biased toward
+    space-prefixed k-grams. No md5/string building in the hot loop — this
+    stays inside WholeStageCodegen at ~scan speed (the md5 variant measured
+    4× slower at sf0.1).
     """
     k = FINGERPRINT_K
     norm = F.trim(
         F.regexp_replace(F.regexp_replace(F.lower(F.col(text_col)), "[^a-z0-9 ]", ""), " +", " ")
     )
-    d = df.select("doc_id", norm.alias("_norm"))
+    # split-to-chars then ascii: O(L) — a sequence+substring(j,1) variant is
+    # O(L²) per row (substring seeks) and measured 80× slower at sf0.1
+    d = df.select("doc_id", norm.alias("_norm")).withColumn(
+        "_codes", F.expr("transform(split(_norm, ''), ch -> ascii(ch))")
+    )
+    poly = " + ".join(
+        f"element_at(_codes, i + {j}) * {128 ** (k - 1 - j)}L" for j in range(k)
+    )
     kgram_hashes = F.expr(
         f"transform(sequence(1, greatest(length(_norm) - {k - 1}, 1)), "
-        f"i -> cast(conv(substr(md5(substring(_norm, i, {k})), 1, 15), 16, 10) as bigint))"
+        f"i -> ((({poly}) % {FP_P}L) * {FP_MULT}L) % {FP_P}L)"
     )
     return d.select(
         "doc_id",

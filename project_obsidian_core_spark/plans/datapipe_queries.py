@@ -123,23 +123,30 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _K = T.FINGERPRINT_K
+_FP_POLY = " + ".join(
+    f"cds[i + {j}] * {128 ** (T.FINGERPRINT_K - 1 - j)}" for j in range(T.FINGERPRINT_K)
+)
 ORACLE_text_fingerprint = f"""
 WITH n AS (
     SELECT doc_id,
            trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
                                ' +', ' ', 'g')) AS norm
     FROM documents
+), c AS (
+    SELECT doc_id, norm,
+           list_transform(string_split(norm, ''), ch -> CAST(ascii(ch) AS BIGINT)) AS cds
+    FROM n
 )
 SELECT doc_id,
        length(norm) AS norm_len,
        CASE WHEN length(norm) >= {_K}
             THEN list_aggregate(
-                [CAST('0x' || substr(md5(substring(norm, i, {_K})), 1, 15) AS BIGINT)
+                [((({_FP_POLY}) % {T.FP_P}) * {T.FP_MULT}) % {T.FP_P}
                  for i in generate_series(1, greatest(length(norm) - {_K - 1}, 1))],
                 'min')
             ELSE CAST('0x' || substr(md5(norm), 1, 15) AS BIGINT)
        END AS fingerprint
-FROM n
+FROM c
 ORDER BY doc_id
 """
 
