@@ -444,3 +444,37 @@ SELECT user_id, total_events, busy_events, slow_events,
 FROM agg
 ORDER BY user_id
 """
+
+
+# --------------------------------------------------------------------- Q11
+def qan_labels_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dynamic-schema escape hatch (SURVEY §1.2): `metric.labels` is a
+    JSON dimension in the reference (metrics_db_ingestion.json:33-36). Here:
+    extract a label from the JSON props column, bucket it, aggregate — the
+    Druid json-dimension groupBy re-expressed with get_json_object.
+
+    JSON parsing happens once per row in the scan projection (JVM-side
+    simdjson-like parser, no Python); the groupBy key is the extracted
+    scalar, so the shuffle carries longs, not JSON strings.
+    """
+    ev = load(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("long")
+    return (
+        ev.select((k % 10).alias("label_bucket"), cents("value").alias("vc"))
+        .groupBy("label_bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("vc").alias("total_value_cents"),
+        )
+        .orderBy("label_bucket")
+    )
+
+
+ORACLE_qan_labels_json = """
+SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS label_bucket,
+       count(*) AS n_events,
+       CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS total_value_cents
+FROM events
+GROUP BY 1
+ORDER BY label_bucket
+"""
