@@ -243,3 +243,55 @@ class AdaptiveGovernor:
         self.current_interval_s = state.interval_s
         self._last_save = state.timestamp
         return True
+
+
+# ---------------------------------------------------------------- T10 -----
+@dataclass
+class StatusSample:
+    """One global_status scrape (adaptive/mysql_collector.go:14-23, S5)."""
+
+    threads_running: int
+    threads_connected: int
+    questions: int
+    slow_queries: int
+    uptime: int
+    ts: float  # unix seconds
+
+
+@dataclass
+class StatusDiff:
+    """Rates derived from two consecutive samples
+    (adaptive/mysql_collector.go:45-85, T10)."""
+
+    questions_diff: int
+    slow_queries_diff: int
+    elapsed_seconds: float
+    qps: float
+    slow_qps: float
+    load: float
+
+
+def _counter_delta(curr: int, prev: int) -> int:
+    """Reset-aware counter difference (same T3 rule as the snapshot delta)."""
+    return curr - prev if curr >= prev else curr
+
+
+def status_diff(prev: StatusSample, curr: StatusSample) -> StatusDiff:
+    """Diff two status scrapes into rates + the composite load scalar.
+
+    Elapsed time is guarded to 1 s when non-positive
+    (mysql/adaptive_collector.go:212-216) so rates never divide by zero.
+    """
+    elapsed = curr.ts - prev.ts
+    if elapsed <= 0:
+        elapsed = 1.0
+    qd = _counter_delta(curr.questions, prev.questions)
+    sd = _counter_delta(curr.slow_queries, prev.slow_queries)
+    return StatusDiff(
+        questions_diff=qd,
+        slow_queries_diff=sd,
+        elapsed_seconds=elapsed,
+        qps=qd / elapsed,
+        slow_qps=sd / elapsed,
+        load=calculate_load(curr.threads_running, curr.threads_connected, sd, qd),
+    )

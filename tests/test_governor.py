@@ -143,3 +143,21 @@ def test_reset_restores_base_and_removes_state(tmp_path):
     g.reset()
     assert g.get_raw_interval() == 1.0
     assert not (tmp_path / G.STATE_FILE_NAME).exists()
+
+
+# ----------------------------------------------------------------- T10 ----
+def test_status_diff_rates_and_reset():
+    a = G.StatusSample(2, 10, 1000, 10, 500, ts=100.0)
+    b = G.StatusSample(5, 10, 1600, 22, 560, ts=160.0)
+    d = G.status_diff(a, b)
+    assert d.questions_diff == 600 and d.slow_queries_diff == 12
+    assert d.qps == pytest.approx(10.0)
+    assert d.slow_qps == pytest.approx(0.2)
+    assert d.load == pytest.approx(0.7 * 0.5 + 0.3 * (12 / 600))
+    # counter reset (server restart): full current value is the diff
+    c = G.StatusSample(5, 10, 50, 1, 10, ts=220.0)
+    d2 = G.status_diff(b, c)
+    assert d2.questions_diff == 50 and d2.slow_queries_diff == 1
+    # non-positive elapsed guards to 1 s
+    d3 = G.status_diff(b, G.StatusSample(5, 10, 1700, 23, 561, ts=160.0))
+    assert d3.elapsed_seconds == 1.0 and d3.qps == 100.0
