@@ -1,0 +1,111 @@
+"""Fact-table maintenance: small-file compaction + partition statistics.
+
+Druid runs background segment compaction; the Parquet equivalent is
+rewriting hour partitions that have accumulated many small files (every
+streaming micro-batch appends at least one file per partition) into a few
+target-sized files. At 100 TB this is the difference between a scan planning
+millions of splits and planning thousands.
+
+Compaction is per-partition and idempotent: each (event_date, event_hour)
+directory is rewritten independently with an overwrite of just that
+directory, so a failed job leaves untouched partitions valid and a retry
+redoes only its own partition. Run it as a scheduled batch job over
+partitions older than the streaming watermark (they no longer receive
+appends).
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+
+from pyspark.sql import SparkSession
+
+DEFAULT_TARGET_FILE_BYTES = 256 * 1024 * 1024
+
+
+@dataclass
+class PartitionStats:
+    partition: str       # e.g. "event_date=2026-03-01/event_hour=10"
+    n_files: int
+    total_bytes: int
+
+
+def _fs_and_path(spark: SparkSession, path: str):
+    jvm = spark.sparkContext._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
+    return fs, hpath, jvm
+
+
+def partition_stats(spark: SparkSession, path: str) -> list[PartitionStats]:
+    """File count/bytes per leaf partition directory (two-level layout)."""
+    fs, root, jvm = _fs_and_path(spark, path)
+    out: list[PartitionStats] = []
+    for date_dir in fs.listStatus(root):
+        if not date_dir.isDirectory() or not date_dir.getPath().getName().startswith("event_date="):
+            continue
+        for hour_dir in fs.listStatus(date_dir.getPath()):
+            if not hour_dir.isDirectory():
+                continue
+            files = [
+                f
+                for f in fs.listStatus(hour_dir.getPath())
+                if f.isFile() and f.getPath().getName().endswith(".parquet")
+            ]
+            out.append(
+                PartitionStats(
+                    partition=f"{date_dir.getPath().getName()}/{hour_dir.getPath().getName()}",
+                    n_files=len(files),
+                    total_bytes=sum(f.getLen() for f in files),
+                )
+            )
+    return sorted(out, key=lambda s: s.partition)
+
+
+def compact_partition(
+    spark: SparkSession,
+    path: str,
+    partition: str,
+    target_file_bytes: int = DEFAULT_TARGET_FILE_BYTES,
+) -> int:
+    """Rewrite one leaf partition into ceil(bytes/target) files.
+
+    Returns the new file count. Reads the leaf directory directly (the
+    partition columns live in the path, not the files, and are restored on
+    read of the root), coalesces, and overwrites only that directory.
+    """
+    fs, _, jvm = _fs_and_path(spark, path)
+    leaf = f"{path}/{partition}"
+    stats = [s for s in partition_stats(spark, path) if s.partition == partition]
+    if not stats:
+        raise ValueError(f"no such partition under {path}: {partition}")
+    n_target = max(1, math.ceil(stats[0].total_bytes / target_file_bytes))
+    df = spark.read.parquet(leaf).coalesce(n_target)
+    tmp = f"{leaf}__compact_tmp"
+    df.write.mode("overwrite").parquet(tmp)
+    # atomic-ish swap: remove old leaf, rename tmp into place
+    leaf_p = jvm.org.apache.hadoop.fs.Path(leaf)
+    tmp_p = jvm.org.apache.hadoop.fs.Path(tmp)
+    fs.delete(leaf_p, True)
+    fs.rename(tmp_p, leaf_p)
+    return n_target
+
+
+def compact_table(
+    spark: SparkSession,
+    path: str,
+    target_file_bytes: int = DEFAULT_TARGET_FILE_BYTES,
+    min_files: int = 2,
+) -> dict[str, int]:
+    """Compact every partition with more than ``min_files`` files.
+
+    Serial over partitions by design: each rewrite is itself a distributed
+    job, and partition-at-a-time keeps the failure domain to one directory.
+    Returns {partition: new_file_count} for the partitions rewritten.
+    """
+    done: dict[str, int] = {}
+    for s in partition_stats(spark, path):
+        if s.n_files > min_files:
+            done[s.partition] = compact_partition(spark, path, s.partition, target_file_bytes)
+    return done
