@@ -266,3 +266,60 @@ def embedding_cosine_pairs(
             ).alias("cos_sim"),
         )
     )
+
+
+# --------------------------------------------- dedup cluster assignment ---
+def connected_components(
+    pairs: DataFrame, src: str = "doc_a", dst: str = "doc_b", max_iter: int = 20
+) -> DataFrame:
+    """Transitive near-dup clusters: min-label propagation over the
+    candidate-pair graph. Returns (doc_id, cluster) where cluster is the
+    smallest doc_id reachable through pairs — the canonical keeper.
+
+    Driver-coordinated iteration (one shuffle per round, rounds = graph
+    diameter): near-dup components are shallow (boilerplate clusters are
+    star-shaped), so this converges in a handful of rounds. For web-scale
+    graphs with long chains, swap in the large-star/small-star algorithm
+    (Kiveris et al. 2014) — same DataFrame-only structure.
+
+    Each round's labels are **localCheckpoint**ed: persist alone truncates
+    recomputation but not the logical plan, and an iterated join lineage
+    doubles per round until plan rendering itself OOMs. Checkpointing cuts
+    the lineage at every iteration (use a reliable `checkpoint()` on a real
+    cluster for executor-loss tolerance).
+    """
+    e = pairs.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    edges = e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b"))).distinct().persist()
+    labels = (
+        edges.select(F.col("a").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        neighbor_min = (
+            edges.join(
+                labels.select(F.col("node").alias("b"), F.col("label").alias("nl")), "b"
+            )
+            .groupBy("a")
+            .agg(F.min("nl").alias("nmin"))
+            .select(F.col("a").alias("node"), "nmin")
+        )
+        new_labels = (
+            labels.join(neighbor_min, "node", "left")
+            .select(
+                "node",
+                F.least(F.col("label"), F.coalesce("nmin", F.col("label"))).alias("label"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.select(F.col("node"), F.col("label").alias("new_l"))
+            .join(labels, "node")
+            .filter(F.col("new_l") != F.col("label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("cluster"))

@@ -464,3 +464,45 @@ SELECT doc_id,
 FROM p, (SELECT unnest(generate_series(0, {M.PAYLOAD_BLOCKS - 1})) AS j)
 ORDER BY doc_id, frame_idx
 """
+
+
+# ------------------------------------------------- dedup cluster groups ---
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive near-dup clusters over verified MinHash pairs: each doc in
+    a candidate component mapped to its canonical keeper (min doc_id)."""
+    pairs = D.minhash_candidates(load(spark, sf_dir, "documents")).filter(
+        F.col("jaccard") >= 0.1
+    )
+    return D.connected_components(pairs).orderBy("doc_id")
+
+
+def _clusters_oracle() -> str:
+    # same generated CTE chain as ORACLE_dedup_minhash_lsh, then a recursive
+    # min-label closure over the verified pairs
+    body = _minhash_oracle()
+    prefix, _, _ = body.partition("\nSELECT c.doc_a")
+    prefix = prefix.replace("WITH t AS", "WITH RECURSIVE t AS", 1)
+    return f"""{prefix},
+pairs AS (
+    SELECT c.doc_a AS a, c.doc_b AS b
+    FROM cand c
+    JOIN t sa ON sa.doc_id = c.doc_a
+    JOIN t sb ON sb.doc_id = c.doc_b
+    WHERE CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+              / len(list_distinct(sa.sh || sb.sh)) >= 0.1
+), edges AS (
+    SELECT a, b FROM pairs UNION SELECT b, a FROM pairs
+), cc(node, label) AS (
+    SELECT DISTINCT a AS node, a AS label FROM edges
+    UNION
+    SELECT e.a AS node, cc.label
+    FROM cc JOIN edges e ON cc.node = e.b
+    WHERE cc.label < e.a
+)
+SELECT node AS doc_id, min(label) AS cluster
+FROM cc GROUP BY node
+ORDER BY doc_id
+"""
+
+
+ORACLE_dedup_clusters = _clusters_oracle()

@@ -82,3 +82,20 @@ def test_embedding_cosine_pairs(spark):
     assert pairs[(1, 2)] > 0.99
     assert abs(pairs[(1, 3)]) < 1e-9
     assert not any(4 in p for p in pairs)  # blocked by label
+
+
+def test_connected_components_transitive_clusters(spark):
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (5, 6), (9, 8)], ["doc_a", "doc_b"]
+    )
+    got = {r["doc_id"]: r["cluster"] for r in D.connected_components(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 5: 5, 6: 5, 8: 8, 9: 8}
+
+
+def test_connected_components_long_chain_converges(spark):
+    # path graph 0-1-2-...-7: worst-case diameter for min-label propagation
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(7)], ["doc_a", "doc_b"]
+    )
+    got = {r["doc_id"]: r["cluster"] for r in D.connected_components(pairs).collect()}
+    assert got == {i: 0 for i in range(8)}
