@@ -478,3 +478,27 @@ FROM events
 GROUP BY 1
 ORDER BY label_bucket
 """
+
+
+# --------------------------------------------------------------------- Q12
+def qan_unique_queries_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A7's scale path: approx_count_distinct (HyperLogLog++) instead of an
+    exact distinct for unique-query counting. At 100 TB an exact distinct
+    shuffles every digest; the HLL sketch aggregates map-side into ~1.5 KB
+    per group. No SQL oracle: HLL estimates are engine-specific — the unit
+    test pins the relative error against the exact count instead; the
+    driver records the weaker rows-only check for this query by design.
+    """
+    ev = load(spark, sf_dir, "events")
+    sys_col = F.when(F.col("user_id") % 2 == 0, F.lit("mysql")).otherwise(
+        F.lit("postgresql")
+    )
+    return (
+        ev.withColumn("db_system", sys_col)
+        .groupBy("db_system")
+        .agg(
+            F.approx_count_distinct("event_type", rsd=0.01).alias("unique_queries_approx"),
+            F.count(F.lit(1)).alias("record_count"),
+        )
+        .orderBy("db_system")
+    )

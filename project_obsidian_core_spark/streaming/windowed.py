@@ -58,3 +58,21 @@ def streaming_metrics_rollup(
             "n_rows",
         )
     )
+
+
+def dedup_event_stream(
+    events_stream: DataFrame,
+    key_cols: list[str] | None = None,
+    watermark: str = "10 minutes",
+    time_col: str = "time",
+) -> DataFrame:
+    """Streaming exact-once dedup: drop rows whose key was already seen
+    within the watermark horizon (``dropDuplicatesWithinWatermark``).
+
+    The reference dedups nothing (T11) — this is the extension that makes
+    at-least-once collectors safe: re-delivered rows inside the horizon are
+    dropped, and state is evicted as the watermark advances, so dedup state
+    is bounded by (arrival rate × horizon), not history.
+    """
+    keys = key_cols or ["event_id"]
+    return events_stream.withWatermark(time_col, watermark).dropDuplicatesWithinWatermark(keys)

@@ -153,3 +153,25 @@ def test_metrics_rollup_dedups_to_second(spark):
     assert len(out) == 2  # labels maps distinguish groups
     g = next(r for r in out if r["metric_labels"] == {"a": "1"})
     assert g["metric_value"] == 11.0 and g["metric_max"] == 9.0 and g["metric_min"] == 2.0
+
+
+def test_approx_count_distinct_accuracy(spark):
+    from project_obsidian_core_spark.plans.qan_queries import qan_unique_queries_approx
+    from project_obsidian_core_spark.plans.common import load as _load
+
+    sf = "/root/testdata/sf0.001"
+    approx = {r["db_system"]: r["unique_queries_approx"]
+              for r in qan_unique_queries_approx(spark, sf).collect()}
+    ev = _load(spark, sf, "events")
+    exact = {
+        r["db_system"]: r["n"]
+        for r in ev.withColumn(
+            "db_system",
+            F.when(F.col("user_id") % 2 == 0, F.lit("mysql")).otherwise(F.lit("postgresql")),
+        )
+        .groupBy("db_system")
+        .agg(F.countDistinct("event_type").alias("n"))
+        .collect()
+    }
+    for sys_name, n in exact.items():
+        assert abs(approx[sys_name] - n) <= max(1, 0.05 * n)

@@ -75,3 +75,38 @@ def test_windows_finalize_and_late_rows_drop(spark, tmp_path):
     finalized = [k for k in out2 if k[0] == T0]
     assert finalized == [key0]
     assert out2[key0]["metric_value"] == 12.0
+
+
+def test_stream_dedup_drops_redelivered_rows(spark, tmp_path):
+    src, ckpt, sink = str(tmp_path / "ds"), str(tmp_path / "dc"), str(tmp_path / "do")
+    ev_schema = T.StructType(
+        [
+            T.StructField("time", T.TimestampType()),
+            T.StructField("event_id", T.LongType()),
+            T.StructField("v", T.DoubleType()),
+        ]
+    )
+
+    def write(rows):
+        spark.createDataFrame(rows, ev_schema).coalesce(1).write.mode("append").parquet(src)
+
+    def run():
+        stream = spark.readStream.schema(ev_schema).parquet(src)
+        deduped = W.dedup_event_stream(stream, ["event_id"], watermark="1 hour")
+        q = (
+            deduped.writeStream.option("checkpointLocation", ckpt)
+            .foreachBatch(lambda df, eid: df.write.mode("overwrite").parquet(f"{sink}/_b={eid}"))
+            .outputMode("append")
+            .start()
+        )
+        q.processAllAvailable(); q.stop(); q.awaitTermination()
+        return spark.read.parquet(sink).collect()
+
+    write([(T0, 1, 1.0), (T0, 1, 1.0), (T0, 2, 2.0)])   # in-batch duplicate
+    out1 = run()
+    assert sorted(r["event_id"] for r in out1) == [1, 2]
+
+    # redelivery in a later micro-batch, inside the watermark horizon
+    write([(T0, 1, 1.0), (T0 + dt.timedelta(minutes=1), 3, 3.0)])
+    out2 = run()
+    assert sorted(r["event_id"] for r in out2) == [1, 2, 3]
