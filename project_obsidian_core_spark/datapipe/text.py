@@ -199,3 +199,43 @@ def with_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
         .otherwise(shared_hash60(F.col("_norm")))
         .alias("fingerprint"),
     )
+
+
+def tfidf_top_terms(df: DataFrame, k: int = 3, text_col: str = "text") -> DataFrame:
+    """Top-k characteristic terms per document by tf·idf.
+
+    The idf is the log-free rational form (N+1)/(df+1): monotone in the
+    usual ln((N+1)/(df+1)), so rankings are identical, but the score stays
+    inside exact integer-ratio arithmetic — ln() differs at ULP level
+    between libm implementations, which would break cross-engine
+    reproducibility (see plans/common.py determinism rules).
+
+    Plan shape: this is the one text operator that genuinely explodes
+    (building the inverted index IS the job). Document frequency is
+    derived from the already-deduplicated (doc, term) tf relation — no
+    second pass over the corpus — and joined back per term; the term
+    dimension is tiny relative to the corpus, so at 100 TB it broadcasts.
+    """
+    toks = _tokens(F.col(text_col))
+    pairs = df.select("doc_id", F.explode(toks).alias("term"))
+    tf = pairs.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    n_docs = df.count()
+    doc_freq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    from pyspark.sql import Window
+
+    scored = tf.join(F.broadcast(doc_freq), "term").select(
+        "doc_id",
+        "term",
+        "tf",
+        F.col("df").alias("doc_freq"),
+        (
+            F.col("tf").cast("double")
+            * (F.lit(float(n_docs + 1)) / (F.col("df") + F.lit(1)).cast("double"))
+        ).alias("tfidf"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("doc_id", "term", "tf", "doc_freq", "tfidf", "rank")
+    )

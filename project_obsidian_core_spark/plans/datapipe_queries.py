@@ -506,3 +506,37 @@ ORDER BY doc_id
 
 
 ORACLE_dedup_clusters = _clusters_oracle()
+
+
+# ------------------------------------------------------------- tf-idf -----
+def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 characteristic terms per document (rational tf-idf)."""
+    return T.tfidf_top_terms(load(spark, sf_dir, "documents"), k=3).orderBy(
+        "doc_id", "rank"
+    )
+
+
+ORACLE_text_tfidf_topk = """
+WITH pairs AS (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+), tf AS (
+    SELECT doc_id, term, count(*) AS tf FROM pairs GROUP BY 1, 2
+), n AS (
+    SELECT count(*) AS n_docs FROM documents
+), dfreq AS (
+    SELECT term, count(*) AS doc_freq FROM tf GROUP BY 1
+), scored AS (
+    SELECT tf.doc_id, tf.term, CAST(tf.tf AS BIGINT) AS tf,
+           CAST(dfreq.doc_freq AS BIGINT) AS doc_freq,
+           CAST(tf.tf AS DOUBLE)
+               * (CAST(n.n_docs + 1 AS DOUBLE) / CAST(dfreq.doc_freq + 1 AS DOUBLE)) AS tfidf
+    FROM tf JOIN dfreq USING (term), n
+), ranked AS (
+    SELECT doc_id, term, tf, doc_freq, tfidf,
+           row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term ASC) AS rank
+    FROM scored
+)
+SELECT doc_id, term, tf, doc_freq, tfidf, rank
+FROM ranked WHERE rank <= 3
+ORDER BY doc_id, rank
+"""

@@ -43,6 +43,7 @@ _ENTRIES: list[tuple[str, QueryFn, str | None]] = [
     ("text_quality", d.text_quality, d.ORACLE_text_quality),
     ("text_lang_id", d.text_lang_id, d.ORACLE_text_lang_id),
     ("text_fingerprint", d.text_fingerprint, d.ORACLE_text_fingerprint),
+    ("text_tfidf_topk", d.text_tfidf_topk, d.ORACLE_text_tfidf_topk),
     # Training-data pipeline: deduplication
     ("dedup_exact", d.dedup_exact, d.ORACLE_dedup_exact),
     ("dedup_minhash_lsh", d.dedup_minhash_lsh, d.ORACLE_dedup_minhash_lsh),
