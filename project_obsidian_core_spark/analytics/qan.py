@@ -135,22 +135,27 @@ def top_by_multiple_metrics(
         *[F.sum(F.coalesce(F.col(c), F.lit(0))).alias(label) for label, c in metric_for.items()]
     )
 
+    # Top-N via orderBy+limit (TakeOrderedAndProject — per-partition heaps,
+    # no global single-partition sort); the rank column (P9) is recovered on
+    # the ≤ 3*limit-row union with a window PARTITIONed BY metric. The cast
+    # to double is monotone, so ranking by `value` reproduces the per-label
+    # ordering exactly.
     ranked = []
     for label in metric_for:
-        w = Window.orderBy(F.desc(label), F.asc("query_identity"))
         ranked.append(
-            agg.withColumn("rank", F.row_number().over(w))
-            .filter(F.col("rank") <= limit)  # P9
+            agg.orderBy(F.desc(label), F.asc("query_identity"))
+            .limit(limit)
             .select(
                 F.lit(label).alias("metric"),
                 F.col("query_identity"),
                 F.col(label).cast("double").alias("value"),
-                F.col("rank"),
             )
         )
     out = ranked[0]
     for r in ranked[1:]:
         out = out.unionByName(r)  # U1
+    w = Window.partitionBy("metric").orderBy(F.desc("value"), F.asc("query_identity"))
+    out = out.withColumn("rank", F.row_number().over(w))
     return out.orderBy("metric", F.desc("value"), "query_identity")  # O3
 
 

@@ -219,19 +219,31 @@ def tfidf_top_terms(df: DataFrame, k: int = 3, text_col: str = "text") -> DataFr
     toks = _tokens(F.col(text_col))
     pairs = df.select("doc_id", F.explode(toks).alias("term"))
     tf = pairs.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
-    n_docs = df.count()
+    # Corpus size folded INTO the plan as a broadcast 1-row aggregate — no
+    # eager df.count() driver action at construction time (the constructor
+    # stays a pure logical-plan builder like every other operator here).
+    # The count(*) subtree prunes to zero columns, so at 100 TB it resolves
+    # from parquet footer row counts, not a data scan.
+    n_docs = df.select(F.count(F.lit(1)).alias("n_docs"))
     doc_freq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     from pyspark.sql import Window
 
-    scored = tf.join(F.broadcast(doc_freq), "term").select(
-        "doc_id",
-        "term",
-        "tf",
-        F.col("df").alias("doc_freq"),
-        (
-            F.col("tf").cast("double")
-            * (F.lit(float(n_docs + 1)) / (F.col("df") + F.lit(1)).cast("double"))
-        ).alias("tfidf"),
+    scored = (
+        tf.join(F.broadcast(doc_freq), "term")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            "term",
+            "tf",
+            F.col("df").alias("doc_freq"),
+            (
+                F.col("tf").cast("double")
+                * (
+                    (F.col("n_docs") + F.lit(1)).cast("double")
+                    / (F.col("df") + F.lit(1)).cast("double")
+                )
+            ).alias("tfidf"),
+        )
     )
     w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("term"))
     return (

@@ -204,27 +204,30 @@ def qan_multi_metric_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("total_calls"),
         F.max(cents("value")).alias("max_value_cents"),
     )
+    # Per-branch top-N as orderBy+limit (plans as TakeOrderedAndProject —
+    # per-partition heaps, no single-partition WindowExec sort); rank is
+    # recovered on the tiny union with a window PARTITIONed BY metric, so
+    # no unpartitioned window appears anywhere in the plan.
     parts = []
     for label, col in [
         ("total_value", "total_value_cents"),
         ("calls", "total_calls"),
         ("max_value", "max_value_cents"),
     ]:
-        w = Window.orderBy(F.desc(col), F.asc("event_type"))
         parts.append(
-            agg.withColumn("rank", F.row_number().over(w))
-            .filter(F.col("rank") <= 3)
+            agg.orderBy(F.desc(col), F.asc("event_type"))
+            .limit(3)
             .select(
                 F.lit(label).alias("metric"),
                 F.col("event_type"),
                 F.col(col).alias("value"),
-                F.col("rank"),
             )
         )
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)
-    return out
+    w = Window.partitionBy("metric").orderBy(F.desc("value"), F.asc("event_type"))
+    return out.withColumn("rank", F.row_number().over(w))
 
 
 ORACLE_qan_multi_metric_topn = """
@@ -482,13 +485,44 @@ ORDER BY label_bucket
 
 # --------------------------------------------------------------------- Q12
 def qan_unique_queries_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A7's scale path: approx_count_distinct (HyperLogLog++) instead of an
-    exact distinct for unique-query counting. At 100 TB an exact distinct
-    shuffles every digest; the HLL sketch aggregates map-side into ~1.5 KB
-    per group. No SQL oracle: HLL estimates are engine-specific — the unit
-    test pins the relative error against the exact count instead; the
-    driver records the weaker rows-only check for this query by design.
+    """A7 unique-query counting, registered with the exact ``countDistinct``
+    as the hash-checked contract (HLL estimates are engine-specific, so an
+    approx column can never hash-match a DuckDB oracle). The HLL scale path
+    lives in :func:`qan_unique_queries_hll` — identical shape with
+    ``approx_count_distinct`` — and is pinned by a relative-error unit test
+    (tests/test_e2e_pipeline.py::test_approx_count_distinct_accuracy).
+    At 100 TB you run the HLL variant: the sketch aggregates map-side into
+    ~1.5 KB per group instead of shuffling every digest.
     """
+    ev = load(spark, sf_dir, "events")
+    sys_col = F.when(F.col("user_id") % 2 == 0, F.lit("mysql")).otherwise(
+        F.lit("postgresql")
+    )
+    return (
+        ev.withColumn("db_system", sys_col)
+        .groupBy("db_system")
+        .agg(
+            F.countDistinct("event_type").alias("unique_queries"),
+            F.count(F.lit(1)).alias("record_count"),
+        )
+        .orderBy("db_system")
+    )
+
+
+ORACLE_qan_unique_queries_approx = """
+SELECT CASE WHEN user_id % 2 = 0 THEN 'mysql' ELSE 'postgresql' END AS db_system,
+       count(DISTINCT event_type) AS unique_queries,
+       count(*) AS record_count
+FROM events
+GROUP BY 1
+ORDER BY db_system
+"""
+
+
+def qan_unique_queries_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The approx (HyperLogLog++) twin of :func:`qan_unique_queries_approx`
+    — the plan you run at 100 TB. Not oracle-gated (engine-specific
+    estimate); accuracy pinned against the exact count in unit tests."""
     ev = load(spark, sf_dir, "events")
     sys_col = F.when(F.col("user_id") % 2 == 0, F.lit("mysql")).otherwise(
         F.lit("postgresql")

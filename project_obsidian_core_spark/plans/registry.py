@@ -30,8 +30,13 @@ _ENTRIES: list[tuple[str, QueryFn, str | None]] = [
     ("qan_like_having", q.qan_like_having, q.ORACLE_qan_like_having),
     ("qan_load_score", q.qan_load_score, q.ORACLE_qan_load_score),
     ("qan_labels_json", q.qan_labels_json, q.ORACLE_qan_labels_json),
-    # HLL scale path: engine-specific estimate -> rows-only check (no oracle)
-    ("qan_unique_queries_approx", q.qan_unique_queries_approx, None),
+    # Exact countDistinct is the hash-checked contract; the HLL scale twin
+    # (qan_unique_queries_hll) is pinned by a relative-error unit test.
+    (
+        "qan_unique_queries_approx",
+        q.qan_unique_queries_approx,
+        q.ORACLE_qan_unique_queries_approx,
+    ),
     # Relational / workload-mix shapes (SURVEY §2.3 J3, §2.6)
     ("pricing_summary", r.pricing_summary, r.ORACLE_pricing_summary),
     ("top_revenue_orders", r.top_revenue_orders, r.ORACLE_top_revenue_orders),

@@ -156,12 +156,12 @@ def test_metrics_rollup_dedups_to_second(spark):
 
 
 def test_approx_count_distinct_accuracy(spark):
-    from project_obsidian_core_spark.plans.qan_queries import qan_unique_queries_approx
+    from project_obsidian_core_spark.plans.qan_queries import qan_unique_queries_hll
     from project_obsidian_core_spark.plans.common import load as _load
 
     sf = "/root/testdata/sf0.001"
     approx = {r["db_system"]: r["unique_queries_approx"]
-              for r in qan_unique_queries_approx(spark, sf).collect()}
+              for r in qan_unique_queries_hll(spark, sf).collect()}
     ev = _load(spark, sf, "events")
     exact = {
         r["db_system"]: r["n"]
