@@ -70,8 +70,9 @@ def compute_deltas(
     key = [instance_col, *key_cols]
     w = Window.partitionBy(*key).orderBy(ts_col)
 
-    # Snapshot-level Δt: distinct (instance, ts) is tiny (one row per scrape
-    # tick per instance), so compute the lag there and broadcast-join back.
+    # Snapshot-level Δt and previous-tick timestamp: distinct (instance, ts)
+    # is tiny (one row per scrape tick per instance), so compute the lag
+    # there and broadcast-join back.
     snap_times = snapshots.select(instance_col, ts_col).distinct()
     w_inst = Window.partitionBy(instance_col).orderBy(ts_col)
     snap_meta = snap_times.select(
@@ -85,18 +86,29 @@ def compute_deltas(
         ),
     )
 
-    deltas = snapshots
+    deltas = snapshots.join(
+        F.broadcast(snap_meta), on=[instance_col, ts_col], how="left"
+    )
+    # Reference SnapshotStore semantics (T4): prev is valid ONLY when the key
+    # appeared in the instance's *immediately-previous* scrape. A key whose
+    # last row is older — routine performance_schema eviction at the digest
+    # cap, then reappearance — is a NEW key: the full cumulative value is the
+    # delta (mysql/snapshot.go:159-239), exactly as the streaming SnapshotStore
+    # fold treats it. An ungated lag would silently difference across the gap,
+    # making batch and streaming disagree on sparse histories.
+    deltas = deltas.withColumn("__prev_key_ts", F.lag(ts_col).over(w))
+    consecutive = F.col("__prev_key_ts") == F.col("__prev_snap_ts")
     for m in metric_cols:
         deltas = deltas.withColumn(
-            f"{m}_delta", _reset_aware_delta(F.col(m), F.lag(m).over(w))
+            f"{m}_delta",
+            _reset_aware_delta(F.col(m), F.when(consecutive, F.lag(m).over(w))),
         )
-    # T2: the first snapshot of an instance emits nothing. Detect it at the
-    # instance level (not per key) so a digest first seen in snapshot #2 still
-    # emits its full value (new-key semantics T4).
-    first_ts = F.min(ts_col).over(Window.partitionBy(instance_col))
-    deltas = deltas.withColumn("__first_instance_ts", first_ts).filter(
-        F.col(ts_col) > F.col("__first_instance_ts")
-    )
+    # T2: the first snapshot of an instance emits nothing — exactly the rows
+    # with no previous instance tick. The flag rides in on the broadcast
+    # snap_meta join, so no extra instance-partitioned window pass is needed
+    # (the old min-over-instance window was a full second WindowExec whose
+    # partitions grow with digests-per-instance).
+    deltas = deltas.filter(F.col("__prev_snap_ts").isNotNull())
 
     out_cols = (
         [F.col(instance_col), F.col(ts_col).alias("snapshot_ts")]
@@ -104,11 +116,7 @@ def compute_deltas(
         + [F.col(c) for c in carry_cols]
         + [F.col(f"{m}_delta") for m in metric_cols]
     )
-    out = deltas.join(
-        F.broadcast(snap_meta.select(instance_col, ts_col, "time_period_seconds")),
-        on=[instance_col, ts_col],
-        how="left",
-    ).select(*out_cols, F.col("time_period_seconds"))
+    out = deltas.select(*out_cols, F.col("time_period_seconds"))
 
     if activity_col is not None:
         out = out.filter(F.col(f"{activity_col}_delta") > 0)

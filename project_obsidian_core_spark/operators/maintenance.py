@@ -46,7 +46,10 @@ def partition_stats(spark: SparkSession, path: str) -> list[PartitionStats]:
         if not date_dir.isDirectory() or not date_dir.getPath().getName().startswith("event_date="):
             continue
         for hour_dir in fs.listStatus(date_dir.getPath()):
-            if not hour_dir.isDirectory():
+            # only real partition leaves: skips hidden/working dirs outright
+            if not hour_dir.isDirectory() or not hour_dir.getPath().getName().startswith(
+                "event_hour="
+            ):
                 continue
             files = [
                 f
@@ -82,13 +85,31 @@ def compact_partition(
         raise ValueError(f"no such partition under {path}: {partition}")
     n_target = max(1, math.ceil(stats[0].total_bytes / target_file_bytes))
     df = spark.read.parquet(leaf).coalesce(n_target)
-    tmp = f"{leaf}__compact_tmp"
+
+    # The rewrite lands under dot-prefixed working dirs at the table root:
+    # Hadoop's partition discovery and FileInputFormat skip '.'/'_'-prefixed
+    # paths, so concurrent readers never see the in-flight copy (a bare
+    # '<leaf>__compact_tmp' sibling would be discovered as another leaf and
+    # double every row mid-compaction, permanently on a crash-before-delete).
+    tmp = f"{path}/.compact_tmp/{partition}"
     df.write.mode("overwrite").parquet(tmp)
-    # atomic-ish swap: remove old leaf, rename tmp into place
-    leaf_p = jvm.org.apache.hadoop.fs.Path(leaf)
-    tmp_p = jvm.org.apache.hadoop.fs.Path(tmp)
-    fs.delete(leaf_p, True)
-    fs.rename(tmp_p, leaf_p)
+
+    # Swap = rename old leaf aside, rename new one in, then delete the old.
+    # The data-loss window is two metadata renames (vs. a recursive delete
+    # before the old sequence's rename); a crash between them leaves the old
+    # data recoverable under .compact_trash.
+    P = jvm.org.apache.hadoop.fs.Path
+    leaf_p, tmp_p = P(leaf), P(tmp)
+    aside_p = P(f"{path}/.compact_trash/{partition}")
+    fs.delete(aside_p, True)
+    fs.mkdirs(aside_p.getParent())
+    if not fs.rename(leaf_p, aside_p):
+        raise IOError(f"compaction: could not move {leaf} aside")
+    if not fs.rename(tmp_p, leaf_p):
+        # restore the original leaf before surfacing the failure
+        fs.rename(aside_p, leaf_p)
+        raise IOError(f"compaction: could not move rewrite into {leaf}")
+    fs.delete(aside_p, True)
     return n_target
 
 

@@ -32,7 +32,6 @@ by ``snapshot_ts`` and folded in order, so replaying a whole history in one
 
 from __future__ import annotations
 
-import json
 from collections.abc import Iterator, Sequence
 from typing import Any
 
@@ -42,8 +41,27 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-#: state payload: one JSON document per instance — the previous snapshot.
-STATE_SCHEMA = T.StructType([T.StructField("snapshot_json", T.StringType())])
+
+def state_schema(
+    key_cols: Sequence[str], metric_fields: Sequence[tuple[str, T.DataType]]
+) -> T.StructType:
+    """Typed state struct per instance: previous tick + parallel arrays.
+
+    ``keys[i]`` holds the i-th key tuple of the previous snapshot and
+    ``m<j>[i]`` that key's j-th metric, in each metric's *native* Spark type
+    — the state store serializes typed Arrow columns instead of one JSON
+    string rebuilt row-by-row in Python per micro-batch (integer counters
+    stay exact; no ser/de of field names per tick)."""
+    return T.StructType(
+        [
+            T.StructField("ts_us", T.LongType()),
+            T.StructField("keys", T.ArrayType(T.ArrayType(T.StringType()))),
+            *[
+                T.StructField(f"m{j}", T.ArrayType(dt))
+                for j, (_, dt) in enumerate(metric_fields)
+            ],
+        ]
+    )
 
 
 def output_schema(
@@ -59,7 +77,11 @@ def output_schema(
     return T.StructType(fields)
 
 
-def _delta(curr: float, prev: float | None):
+def _delta(curr: float | None, prev: float | None):
+    if curr is None:
+        # a NULL metric in the incoming snapshot degrades to a null delta
+        # (matching the batch path) instead of raising inside the stream
+        return None
     if prev is None or curr < prev:
         return curr  # new key (T4) or counter reset (T3)
     return curr - prev
@@ -69,13 +91,31 @@ def make_delta_fn(
     key_cols: Sequence[str],
     metric_cols: Sequence[str],
     activity_col: str | None,
+    metric_types: Sequence[T.DataType] | None = None,
 ):
     """Build the applyInPandasWithState group function.
 
     The pandas code only touches one instance's snapshots per call — the
     per-row work is dict probes, exactly the reference's map lookup; the
     heavy lifting (partitioning, state store, checkpointing) stays in Spark.
+
+    ``metric_types`` (the declared state array types) drives coercion into
+    the typed state columns: pandas silently promotes integer columns with
+    any null to float64, so values are pinned back to int before they enter
+    a long-typed state array.
     """
+    integral = (
+        [isinstance(dt, (T.LongType, T.IntegerType, T.ShortType)) for dt in metric_types]
+        if metric_types is not None
+        else [False] * len(metric_cols)
+    )
+    n_metrics = len(metric_cols)
+
+    def _coerce(j: int, v):
+        if pd.isna(v):
+            return None
+        v = v.item() if hasattr(v, "item") else v
+        return int(v) if integral[j] else v
 
     def fn(
         key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
@@ -87,27 +127,28 @@ def make_delta_fn(
         rows = rows.sort_values("snapshot_ts", kind="mergesort")
 
         if state.exists:
-            st = json.loads(state.get[0])
-            prev_ts_us: int | None = st["ts_us"]
-            prev_digests: dict[str, list] = st["d"]
+            st = state.get
+            prev_ts_us: int | None = st[0]
+            prev_digests: dict[tuple, list] = {
+                tuple(k): [st[2 + j][i] for j in range(n_metrics)]
+                for i, k in enumerate(st[1])
+            }
         else:
             prev_ts_us, prev_digests = None, {}
 
         out: list[dict[str, Any]] = []
         for ts, snap in rows.groupby("snapshot_ts", sort=True):
             ts_us = int(pd.Timestamp(ts).value // 1000)
-            curr_digests: dict[str, list] = {}
+            curr_digests: dict[tuple, list] = {}
             for rec in snap.itertuples(index=False):
-                kc = [getattr(rec, k) for k in key_cols]
-                metrics = [getattr(rec, m) for m in metric_cols]
-                curr_digests[json.dumps(kc)] = [
-                    None if pd.isna(v) else (v.item() if hasattr(v, "item") else v)
-                    for v in metrics
+                kc = tuple(getattr(rec, k) for k in key_cols)
+                curr_digests[kc] = [
+                    _coerce(j, getattr(rec, m)) for j, m in enumerate(metric_cols)
                 ]
             if prev_ts_us is not None:  # T2: first snapshot emits nothing
                 dt = (ts_us - prev_ts_us) / 1_000_000.0
-                for kjson, curr_m in curr_digests.items():
-                    prev_m = prev_digests.get(kjson)
+                for kc, curr_m in curr_digests.items():
+                    prev_m = prev_digests.get(kc)
                     deltas = [
                         _delta(c, None if prev_m is None else prev_m[i])
                         for i, c in enumerate(curr_m)
@@ -119,14 +160,23 @@ def make_delta_fn(
                     rec_out = {
                         "instance_id": instance_id,
                         "snapshot_ts": pd.Timestamp(ts),
-                        **dict(zip(key_cols, json.loads(kjson))),
+                        **dict(zip(key_cols, kc)),
                         **{f"{m}_delta": d for m, d in zip(metric_cols, deltas)},
                         "time_period_seconds": dt,
                     }
                     out.append(rec_out)
             prev_ts_us, prev_digests = ts_us, curr_digests
 
-        state.update((json.dumps({"ts_us": prev_ts_us, "d": prev_digests}),))
+        state.update(
+            (
+                prev_ts_us,
+                [list(k) for k in prev_digests],
+                *[
+                    [vals[j] for vals in prev_digests.values()]
+                    for j in range(n_metrics)
+                ],
+            )
+        )
         if out:
             yield pd.DataFrame(out)
 
@@ -141,10 +191,11 @@ def stateful_deltas(
 ) -> DataFrame:
     """Wire the stateful delta over a *streaming* snapshots DataFrame."""
     metric_cols = [m for m, _ in metric_fields]
+    metric_types = [dt for _, dt in metric_fields]
     return snapshots.groupBy("instance_id").applyInPandasWithState(
-        make_delta_fn(list(key_cols), metric_cols, activity_col),
+        make_delta_fn(list(key_cols), metric_cols, activity_col, metric_types),
         outputStructType=output_schema(key_cols, metric_fields),
-        stateStructType=STATE_SCHEMA,
+        stateStructType=state_schema(key_cols, metric_fields),
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )

@@ -101,6 +101,80 @@ def test_new_digest_emits_full_value(spark):
     assert r["time_period_seconds"] == 60.0
 
 
+def test_gap_reappearance_is_new_key(spark):
+    # T4 sparse history: a digest evicted from the scrape (absent at ts(1)
+    # while the instance WAS scraped) then reappearing is a NEW key to the
+    # reference SnapshotStore — full cumulative value, not a difference
+    # across the gap (mysql/snapshot.go:172-195).
+    rows = [
+        mysql_row(snap=ts(0), digest="d1", count_star=10, sum_timer_wait=100),
+        mysql_row(snap=ts(0), digest="d2", count_star=1),
+        mysql_row(snap=ts(1), digest="d2", count_star=2),  # d1 evicted here
+        mysql_row(snap=ts(2), digest="d1", count_star=50, sum_timer_wait=900),
+        mysql_row(snap=ts(2), digest="d2", count_star=3),
+    ]
+    out = by_key(mysql_deltas(make_df(spark, rows)))
+    r = out[("mysql://db1:3306", "d1", ts(2))]
+    assert r["count_star_delta"] == 50  # NOT 40
+    assert r["sum_timer_wait_delta"] == 900
+    assert r["time_period_seconds"] == 60.0
+
+
+def test_unscraped_instance_tick_is_not_a_gap(spark):
+    # If the whole instance missed a tick, the previous scrape is simply
+    # older — keys present in both scrapes still difference normally
+    # (the SnapshotStore holds the last successful scrape, whenever it was).
+    rows = [
+        mysql_row(snap=ts(0), digest="d1", count_star=10),
+        # instance entirely absent at ts(1)
+        mysql_row(snap=ts(2), digest="d1", count_star=50),
+    ]
+    out = by_key(mysql_deltas(make_df(spark, rows)))
+    r = out[("mysql://db1:3306", "d1", ts(2))]
+    assert r["count_star_delta"] == 40
+    assert r["time_period_seconds"] == 120.0
+
+
+def test_batch_matches_reference_model_on_sparse_histories(spark):
+    # Seeded-random sparse histories (evictions, resets, late digests,
+    # multi-instance), all folded into ONE compute_deltas call and compared
+    # to the Python reference model shared with the streaming property test.
+    import datetime as dt
+    import random
+
+    from test_delta_equivalence import T0, _reference_model
+
+    rng = random.Random(20260813)
+    history = {}
+    for case in range(40):
+        inst = f"case{case}_i{rng.randint(1, 2)}"
+        for dg in ["qa", "qb", "qc"][: rng.randint(1, 3)]:
+            vals = [
+                None if rng.random() < 0.35 else rng.randint(0, 1000)
+                for _ in range(rng.randint(2, 6))
+            ]
+            history[(inst, dg)] = vals
+
+    rows = [
+        mysql_row(
+            instance=inst,
+            snap=T0 + dt.timedelta(minutes=t),
+            digest=dg,
+            count_star=v,
+        )
+        for (inst, dg), vals in history.items()
+        for t, v in enumerate(vals)
+        if v is not None
+    ]
+    got = {
+        (r["instance_id"], r["digest"],
+         int((r["snapshot_ts"] - T0).total_seconds() // 60),
+         int(r["count_star_delta"]), float(r["time_period_seconds"]))
+        for r in mysql_deltas(make_df(spark, rows)).collect()
+    }
+    assert got == _reference_model(history)
+
+
 def test_idle_digest_dropped(spark):
     # P3: mysql/snapshot.go:207 — zero calls delta -> not emitted
     rows = [

@@ -99,6 +99,23 @@ def test_multiple_snapshots_in_one_batch_fold_in_order(spark, tmp_path):
     }
 
 
+def test_null_metric_degrades_to_null_delta(spark, tmp_path):
+    # A NULL secondary metric must not kill the stream (TypeError on
+    # None < prev); it degrades to a null delta like the batch path.
+    src, ckpt = str(tmp_path / "src"), str(tmp_path / "ckpt")
+    rows = [
+        ("i1", TS[0], "q1", 10, 100),
+        ("i1", TS[1], "q1", 25, None),  # bytes went null mid-stream
+        ("i1", TS[2], "q1", 45, 500),   # and comes back (prev bytes=None -> full value)
+    ]
+    _write(spark, rows, src)
+    out = _run(spark, src, ckpt, str(tmp_path / "out"))
+    assert out[("i1", "q1", TS[1])]["count_star_delta"] == 15
+    assert out[("i1", "q1", TS[1])]["bytes_delta"] is None
+    assert out[("i1", "q1", TS[2])]["count_star_delta"] == 20
+    assert out[("i1", "q1", TS[2])]["bytes_delta"] == 500
+
+
 def test_idempotent_sink_overwrites_same_epoch(spark, tmp_path):
     sink = str(tmp_path / "sink")
     df = spark.createDataFrame([("a", 1)], ["k", "v"])

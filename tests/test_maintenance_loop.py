@@ -49,6 +49,29 @@ def test_partition_stats_and_compaction(spark, tmp_path):
     assert MT.compact_table(spark, path) == {}
 
 
+def test_inflight_compaction_invisible_to_readers(spark, tmp_path):
+    # A crashed compaction leaves its rewrite under dot-prefixed working
+    # dirs; partition discovery and full-table reads must not see it
+    # (the old '<leaf>__compact_tmp' sibling layout doubled every row).
+    path = str(tmp_path / "fact")
+    _write_fragmented(spark, path, n_appends=3)
+    n_before = spark.read.parquet(path).count()
+    stats = MT.partition_stats(spark, path)
+
+    # simulate a crash-before-swap: rewrite present under .compact_tmp
+    leaf = f"{path}/{stats[0].partition}"
+    spark.read.parquet(leaf).coalesce(1).write.mode("overwrite").parquet(
+        f"{path}/.compact_tmp/{stats[0].partition}"
+    )
+    assert spark.read.parquet(path).count() == n_before  # no duplication
+    assert MT.partition_stats(spark, path) == stats  # discovery unchanged
+
+    # retry after the simulated crash completes normally
+    done = MT.compact_table(spark, path, target_file_bytes=1 << 30)
+    assert done == {stats[0].partition: 1}
+    assert spark.read.parquet(path).count() == n_before
+
+
 def test_adaptive_loop_backs_off_and_recovers():
     gov = AdaptiveGovernor(base_interval_s=1.0, rng=random.Random(7))
     loads = [0.2] * 5 + [1.0] * 30 + [0.1] * 60
