@@ -15,8 +15,13 @@ Two source families, mirroring the reference's split (SURVEY §2.1):
 from __future__ import annotations
 
 import os
+from datetime import datetime
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from project_obsidian_core_spark import schemas
 
 TESTDATA_TABLES = (
     "region",
@@ -117,3 +122,46 @@ def jdbc_scrape(
     for k, v in (properties or {}).items():
         reader = reader.option(k, v)
     return reader.load()
+
+
+def _conform_scrape(
+    df: DataFrame, schema: T.StructType, instance_id: str, snapshot_ts: datetime
+) -> DataFrame:
+    """Map one scrape result set onto a snapshot schema.
+
+    JDBC drivers disagree on identifier-case normalization (MySQL preserves
+    alias case as written; Derby/Oracle uppercase unquoted aliases) and on
+    integer widths for counters, so columns are matched case-insensitively
+    and cast to their declared snapshot types. A missing contract column is
+    a hard error — the scrape SQL and the snapshot schema must agree
+    (mysql/collector.go:123-143 ↔ mysql/snapshot.go:12-63)."""
+    by_lower = {c.lower(): c for c in df.columns}
+    missing = [
+        f.name
+        for f in schema.fields[2:]  # instance_id/snapshot_ts are added here
+        if f.name.lower() not in by_lower
+    ]
+    if missing:
+        raise ValueError(f"scrape result missing contract columns: {missing}")
+    cols = [
+        F.lit(instance_id).cast("string").alias("instance_id"),
+        F.lit(snapshot_ts).cast("timestamp").alias("snapshot_ts"),
+    ] + [
+        F.col(by_lower[f.name.lower()]).cast(f.dataType).alias(f.name)
+        for f in schema.fields[2:]
+    ]
+    return df.select(*cols)
+
+
+def mysql_scrape_to_snapshot(
+    df: DataFrame, instance_id: str, snapshot_ts: datetime
+) -> DataFrame:
+    """S1 scrape result → MYSQL_SNAPSHOT_SCHEMA rows for one tick."""
+    return _conform_scrape(df, schemas.MYSQL_SNAPSHOT_SCHEMA, instance_id, snapshot_ts)
+
+
+def pg_scrape_to_snapshot(
+    df: DataFrame, instance_id: str, snapshot_ts: datetime
+) -> DataFrame:
+    """S3 scrape result → PG_SNAPSHOT_SCHEMA rows for one tick."""
+    return _conform_scrape(df, schemas.PG_SNAPSHOT_SCHEMA, instance_id, snapshot_ts)
