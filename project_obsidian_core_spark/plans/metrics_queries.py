@@ -1,0 +1,116 @@
+"""Driver-gated wrappers for the metrics_db analytics (A9/J2 — SURVEY §2.4).
+
+The metrics_db long table (time, instance, metric_name, value) doesn't exist
+in the driver testdata, so a deterministic long-format metrics relation is
+synthesized from `events` (event_type → OTel-style metric name, cents →
+metric_value) and fed through the REAL analytics operators
+(:mod:`analytics.metrics`) — the same code paths the notebook drives
+(01-Connect_and_Metrics.ipynb cell-8/cell-10). The oracle SQL is generated
+from the same constants so the mapping cannot drift.
+
+Determinism: metric_value is integer cents, so the AVG accumulates integers
+exactly in a double accumulator (values ≪ 2^53) on both engines and the
+single final division is bit-stable; the hit ratio is a guarded single
+division of exact conditional sums (plans/common.py rules).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from project_obsidian_core_spark.analytics import metrics as MA
+from project_obsidian_core_spark.plans.common import cents, load
+
+HIT = "postgresql.blocks_hit"
+READ = "postgresql.blocks_read"
+
+#: shared events → long-metrics mapping, SQL side (kept in lockstep with
+#: :func:`synthesize_metrics` by construction)
+_SYN_SQL = f"""
+    SELECT ts AS time,
+           CAST(user_id AS VARCHAR) AS instance_id,
+           CASE WHEN event_type = 'view' THEN '{HIT}'
+                WHEN event_type = 'click' THEN '{READ}'
+                ELSE 'postgresql.' || event_type END AS metric_name,
+           CAST(round(value * 100, 0) AS BIGINT) AS metric_value
+    FROM events
+"""
+
+
+def synthesize_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Long-format metrics rows derived from `events` (S11's receiver shape)."""
+    ev = load(spark, sf_dir, "events")
+    name = (
+        F.when(F.col("event_type") == "view", F.lit(HIT))
+        .when(F.col("event_type") == "click", F.lit(READ))
+        .otherwise(F.concat(F.lit("postgresql."), F.col("event_type")))
+    )
+    return ev.select(
+        F.col("ts").alias("time"),
+        F.col("user_id").cast("string").alias("instance_id"),
+        F.lit("postgresql").alias("db_system"),
+        name.alias("metric_name"),
+        cents("value").alias("metric_value"),
+    )
+
+
+def metric_series(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A9: 5-minute AVG series per metric through
+    :func:`analytics.metrics.metric_series`."""
+    m = synthesize_metrics(spark, sf_dir)
+    out = MA.metric_series(m, [HIT, READ], bucket="5 minutes")
+    return out.select(
+        F.col("time_bucket").cast("long").alias("bucket_epoch_s"),
+        "metric_name",
+        "avg_value",
+    ).orderBy("bucket_epoch_s", "metric_name")
+
+
+ORACLE_metric_series = f"""
+WITH m AS ({_SYN_SQL})
+SELECT (epoch_us(time) // 300000000) * 300 AS bucket_epoch_s,
+       metric_name,
+       avg(metric_value) AS avg_value
+FROM m
+WHERE metric_name IN ('{HIT}', '{READ}')
+GROUP BY 1, 2
+ORDER BY bucket_epoch_s, metric_name
+"""
+
+
+def buffer_hit_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2+A5: per-(minute, instance) hit/(hit+read) through
+    :func:`analytics.metrics.buffer_hit_ratio`."""
+    m = synthesize_metrics(spark, sf_dir)
+    out = MA.buffer_hit_ratio(m)  # defaults: blocks_hit/blocks_read, 1 minute
+    return out.select(
+        F.col("time_bucket").cast("long").alias("bucket_epoch_s"),
+        "instance_id",
+        "blocks_hit",
+        "blocks_read",
+        "hit_ratio",
+    ).orderBy("bucket_epoch_s", "instance_id")
+
+
+ORACLE_buffer_hit_ratio = f"""
+WITH m AS ({_SYN_SQL}),
+agg AS (
+    SELECT (epoch_us(time) // 60000000) * 60 AS bucket_epoch_s,
+           instance_id,
+           CAST(sum(CASE WHEN metric_name = '{HIT}' THEN metric_value END) AS BIGINT) AS blocks_hit,
+           CAST(sum(CASE WHEN metric_name = '{READ}' THEN metric_value END) AS BIGINT) AS blocks_read
+    FROM m
+    WHERE metric_name IN ('{HIT}', '{READ}')
+    GROUP BY 1, 2
+)
+SELECT bucket_epoch_s, instance_id, blocks_hit, blocks_read,
+       CASE WHEN (coalesce(CAST(blocks_hit AS DOUBLE), 0.0)
+                + coalesce(CAST(blocks_read AS DOUBLE), 0.0)) > 0
+            THEN coalesce(CAST(blocks_hit AS DOUBLE), 0.0)
+                 / (coalesce(CAST(blocks_hit AS DOUBLE), 0.0)
+                  + coalesce(CAST(blocks_read AS DOUBLE), 0.0))
+            ELSE 0.0 END AS hit_ratio
+FROM agg
+ORDER BY bucket_epoch_s, instance_id
+"""

