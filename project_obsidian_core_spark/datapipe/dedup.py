@@ -118,12 +118,25 @@ def exact_groups(df: DataFrame, text_col: str = "text") -> DataFrame:
 
 
 # ----------------------------------------------------------- minhash + LSH
-def minhash_candidates(df: DataFrame, text_col: str = "text") -> DataFrame:
+def minhash_candidates(
+    df: DataFrame, text_col: str = "text", max_bucket: int | None = None
+) -> DataFrame:
     """MinHash-LSH candidate pairs verified with exact shingle Jaccard.
 
     Returns (doc_a, doc_b, jaccard) for every pair sharing ≥1 LSH band,
     doc_a < doc_b, with the *exact* resemblance attached. Callers filter on
     jaccard for their dedup threshold.
+
+    ``max_bucket`` caps band-bucket size: a bucket of n rows fans out
+    n(n-1)/2 candidate pairs, so one boilerplate cluster (every page sharing
+    a template) turns the self-join quadratic. Oversized buckets are dropped
+    *before* the join — the count rides a window over the same
+    (band_idx, band_key) partitioning the join shuffles on, so the cap adds
+    no extra shuffle. Pairs inside a dropped bucket still surface through
+    any of their other, smaller bands; buckets that exceed a sane cap
+    (10³-10⁴) are near-identical boilerplate already collapsed by
+    :func:`exact_groups` in a pipeline. Default None preserves exhaustive
+    candidates for the oracle gate.
 
     The signature relation is persisted: it feeds both sides of the band
     self-join plus two verification joins, and without materialization
@@ -144,6 +157,15 @@ def minhash_candidates(df: DataFrame, text_col: str = "text") -> DataFrame:
         "doc_id",
         F.posexplode("bands").alias("band_idx", "band_key"),
     )
+    if max_bucket is not None:
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("band_idx", "band_key")
+        buckets = (
+            buckets.withColumn("__bucket_n", F.count(F.lit(1)).over(w))
+            .filter(F.col("__bucket_n") <= max_bucket)
+            .drop("__bucket_n")
+        )
     cand = (
         buckets.alias("a")
         .join(
@@ -201,12 +223,20 @@ def simhash_signatures(df: DataFrame, text_col: str = "text") -> DataFrame:
 
 # -------------------------------------------------- blocked n-gram jaccard
 def ngram_jaccard_pairs(
-    df: DataFrame, block_col: str = "source", text_col: str = "text", w: int = NGRAM_W
+    df: DataFrame,
+    block_col: str = "source",
+    text_col: str = "text",
+    w: int = NGRAM_W,
+    max_block: int | None = None,
 ) -> DataFrame:
     """Exact char-n-gram Jaccard for all pairs *within* a block.
 
     The block key bounds the quadratic term; at scale the block is an LSH
-    bucket or a crawl shard, never the whole corpus.
+    bucket or a crawl shard, never the whole corpus. ``max_block`` is the
+    guard rail for when it isn't: blocks above the cap are dropped before
+    the self-join (same co-partitioned window trick as
+    :func:`minhash_candidates`'s ``max_bucket``) — re-block oversized
+    groups on a finer key instead of letting one block go O(n²).
     """
     grams = F.expr(
         f"array_distinct(transform("
@@ -214,6 +244,15 @@ def ngram_jaccard_pairs(
         f"  i -> substring({text_col}, i, {w})))"
     )
     t = df.select("doc_id", F.col(block_col).alias("block"), grams.alias("gr"))
+    if max_block is not None:
+        from pyspark.sql import Window
+
+        wnd = Window.partitionBy("block")
+        t = (
+            t.withColumn("__block_n", F.count(F.lit(1)).over(wnd))
+            .filter(F.col("__block_n") <= max_block)
+            .drop("__block_n")
+        )
     return (
         t.alias("a")
         .join(

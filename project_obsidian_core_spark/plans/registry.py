@@ -14,6 +14,7 @@ from project_obsidian_core_spark.plans import datapipe_queries as d
 from project_obsidian_core_spark.plans import metrics_queries as m
 from project_obsidian_core_spark.plans import qan_queries as q
 from project_obsidian_core_spark.plans import relational_queries as r
+from project_obsidian_core_spark.plans import status_queries as sq
 from project_obsidian_core_spark.plans import streaming_queries as st
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
@@ -38,6 +39,8 @@ _ENTRIES: list[tuple[str, QueryFn, str | None]] = [
         q.qan_unique_queries_approx,
         q.ORACLE_qan_unique_queries_approx,
     ),
+    # S5: string-KV global-status scrape → typed pivot (adaptive sampler input)
+    ("global_status_pivot", sq.global_status_pivot, sq.ORACLE_global_status_pivot),
     # metrics_db analytics (A9/J2) over a synthesized long-metrics relation
     ("metric_series", m.metric_series, m.ORACLE_metric_series),
     ("buffer_hit_ratio", m.buffer_hit_ratio, m.ORACLE_buffer_hit_ratio),

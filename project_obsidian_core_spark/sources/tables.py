@@ -95,6 +95,91 @@ SELECT
 FROM pg_stat_statements
 """
 
+#: The adaptive sampler's global-status scrape (S5) — name list identical to
+#: adaptive/mysql_collector.go:168-196.
+MYSQL_GLOBAL_STATUS_QUERY = """
+SELECT VARIABLE_NAME, VARIABLE_VALUE
+FROM performance_schema.global_status
+WHERE VARIABLE_NAME IN (
+    'Threads_running',
+    'Threads_connected',
+    'Questions',
+    'Slow_queries',
+    'Innodb_row_lock_time',
+    'Uptime'
+)
+"""
+
+#: Pivot targets in MYSQL_STATUS_SCHEMA field order (after the two key cols).
+STATUS_VARIABLES = (
+    "Threads_running",
+    "Threads_connected",
+    "Questions",
+    "Slow_queries",
+    "Innodb_row_lock_time",
+    "Uptime",
+)
+
+
+def status_kv_pivot(df: DataFrame, instance_id: str | None = None,
+                    sample_ts: datetime | None = None) -> DataFrame:
+    """S5: (VARIABLE_NAME, VARIABLE_VALUE) key-value rows → typed status rows.
+
+    The reference walks the result set row-by-row and strconv-parses each
+    value into a struct field (adaptive/mysql_collector.go:192-219); the
+    Spark-first equivalent is a `pivot` with the variable names given
+    up-front — no discovery pass, one narrow exchange — followed by typed
+    casts onto MYSQL_STATUS_SCHEMA. Parse failures become 0, matching Go's
+    ignored strconv error (`val, _ := strconv.Atoi`).
+
+    Accepts a single-scrape relation (no instance column; pass
+    ``instance_id``/``sample_ts``) or a multi-instance/multi-tick KV feed
+    with ``instance_id`` / ``sample_ts`` columns, which become group keys.
+    """
+    from project_obsidian_core_spark import schemas
+
+    by_lower = {c.lower(): c for c in df.columns}
+    sel = [
+        (F.col(by_lower["instance_id"]) if "instance_id" in by_lower
+         else F.lit(instance_id)).cast("string").alias("instance_id"),
+        (F.col(by_lower["sample_ts"]) if "sample_ts" in by_lower
+         else F.lit(sample_ts)).cast("timestamp").alias("sample_ts"),
+        F.col(by_lower["variable_name"]).alias("variable_name"),
+        F.col(by_lower["variable_value"]).cast("string").alias("variable_value"),
+    ]
+    wide = (
+        df.select(*sel)
+        .groupBy("instance_id", "sample_ts")
+        .pivot("variable_name", list(STATUS_VARIABLES))
+        .agg(F.first("variable_value"))
+    )
+    fields = schemas.MYSQL_STATUS_SCHEMA.fields
+    return wide.select(
+        "instance_id",
+        "sample_ts",
+        *[
+            # try_cast: ANSI mode would throw on malformed counter text; Go
+            # ignores the strconv error and leaves 0 — coalesce matches that.
+            F.coalesce(F.col(v).try_cast(f.dataType), F.lit(0).cast(f.dataType)).alias(f.name)
+            for v, f in zip(STATUS_VARIABLES, fields[2:])
+        ],
+    )
+
+
+def row_to_status_sample(row) -> "StatusSample":  # noqa: F821
+    """One MYSQL_STATUS_SCHEMA row → the governor's StatusSample (T10 input)."""
+    from project_obsidian_core_spark.streaming.governor import StatusSample
+
+    return StatusSample(
+        threads_running=row["threads_running"],
+        threads_connected=row["threads_connected"],
+        questions=row["questions"],
+        slow_queries=row["slow_queries"],
+        uptime=row["uptime"],
+        ts=row["sample_ts"].timestamp(),
+    )
+
+
 #: Precondition probes (S2/S4): mysql/collector.go:98-120,
 #: postgresql/collector.go:96-107.
 MYSQL_PRECONDITION_QUERY = (

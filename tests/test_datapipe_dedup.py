@@ -44,6 +44,25 @@ def test_minhash_finds_near_dup_not_far(docs):
     assert (2, 3) in pairs               # transitive near dup
 
 
+def test_minhash_max_bucket_drops_boilerplate_buckets(spark):
+    # 6 identical boilerplate docs share every band -> bucket size 6 in all
+    # 4 bands -> 15 quadratic pairs; the cap drops those buckets while the
+    # small near-dup pair (bucket size 2) survives.
+    rows = [(i, BASE, "s1") for i in range(1, 7)]
+    rows += [(10, FAR, "s1"), (11, FAR + " pond", "s1")]
+    docs = spark.createDataFrame(rows, ["doc_id", "text", "source"])
+
+    uncapped = {(r["doc_a"], r["doc_b"]) for r in D.minhash_candidates(docs).collect()}
+    assert sum(1 for a, b in uncapped if a <= 6 and b <= 6) == 15
+    assert (10, 11) in uncapped
+
+    capped = {
+        (r["doc_a"], r["doc_b"])
+        for r in D.minhash_candidates(docs, max_bucket=5).collect()
+    }
+    assert capped == {(10, 11)}
+
+
 def test_simhash_near_dup_is_close_in_hamming(docs):
     sig = {r["doc_id"]: r["simhash"] for r in D.simhash_signatures(docs).collect()}
     assert sig[1] == sig[2]

@@ -191,3 +191,80 @@ def test_conform_rejects_missing_contract_column(spark):
     df = spark.createDataFrame([("app", "d1")], ["schema_name", "digest"])
     with pytest.raises(ValueError, match="missing contract columns"):
         SRC.mysql_scrape_to_snapshot(df, "i", dt.datetime(2026, 5, 1))
+
+
+def test_global_status_scrape_pivot_via_embedded_jdbc(spark):
+    # S5 end-to-end: the REAL global-status SQL over JDBC (string KV rows,
+    # exactly what performance_schema serves) → pivot → typed status row →
+    # the governor's StatusSample (adaptive/mysql_collector.go:168-227).
+    db = "status_replay"
+    conn = _derby(spark, db)
+    st = conn.createStatement()
+    st.execute("CREATE SCHEMA performance_schema")
+    st.execute(
+        "CREATE TABLE performance_schema.global_status("
+        "variable_name VARCHAR(64), variable_value VARCHAR(64))"
+    )
+    for name, val in [
+        ("Threads_running", "3"),
+        ("Threads_connected", "12"),
+        ("Questions", "123456"),
+        ("Slow_queries", "7"),
+        ("Innodb_row_lock_time", "890"),
+        ("Uptime", "3600"),
+        ("Aborted_clients", "99"),  # not in the IN-list: must not be scraped
+    ]:
+        st.execute(
+            "INSERT INTO performance_schema.global_status VALUES "
+            f"('{name}', '{val}')"
+        )
+
+    scrape = SRC.jdbc_scrape(
+        spark,
+        f"jdbc:derby:memory:{db}",
+        SRC.MYSQL_GLOBAL_STATUS_QUERY,
+        {"driver": DERBY_DRIVER},
+    )
+    tick = dt.datetime(2026, 5, 1, 9, 0)
+    out = SRC.status_kv_pivot(scrape, "mysql://replay:3306", tick)
+    # names+types must match the contract; nullability is tighter here (the
+    # 0-default coalesce makes every counter non-null)
+    assert [(f.name, f.dataType) for f in out.schema.fields] == [
+        (f.name, f.dataType) for f in schemas.MYSQL_STATUS_SCHEMA.fields
+    ]
+    rows = out.collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["threads_running"] == 3
+    assert r["threads_connected"] == 12
+    assert r["questions"] == 123456
+    assert r["slow_queries"] == 7
+    assert r["innodb_row_lock_time"] == 890
+    assert r["uptime"] == 3600
+
+    sample = SRC.row_to_status_sample(r)
+    assert sample.qps_inputs() if hasattr(sample, "qps_inputs") else True
+    assert sample.questions == 123456 and sample.ts == tick.timestamp()
+    conn.close()
+
+
+def test_status_kv_pivot_parse_failure_and_missing_variable(spark):
+    # Go's `val, _ := strconv.Atoi` leaves 0 on parse failure; an evicted /
+    # absent variable also reads as 0. Multi-instance KV feeds pivot into
+    # one typed row per (instance, tick).
+    tick = dt.datetime(2026, 5, 1, 9, 0)
+    kv = spark.createDataFrame(
+        [
+            ("i1", tick, "Threads_running", "not-a-number"),
+            ("i1", tick, "Questions", "100"),
+            ("i2", tick, "Threads_running", "5"),
+            ("i2", tick, "Questions", "200"),
+        ],
+        ["instance_id", "sample_ts", "variable_name", "variable_value"],
+    )
+    rows = {r["instance_id"]: r for r in SRC.status_kv_pivot(kv).collect()}
+    assert rows["i1"]["threads_running"] == 0      # parse failure → 0
+    assert rows["i1"]["questions"] == 100
+    assert rows["i1"]["uptime"] == 0               # missing variable → 0
+    assert rows["i2"]["threads_running"] == 5
+    assert rows["i2"]["questions"] == 200
