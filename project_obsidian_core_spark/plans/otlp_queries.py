@@ -1,0 +1,130 @@
+"""Driver-gated round trip for the S11 OTLP receiver parser.
+
+No OTel collector runs in the test environment, so the receiver wire format
+itself is synthesized: `events` rows are serialized into **real OTLP/JSON
+`ExportMetricsServiceRequest` payloads** (one document per resource
+instance; counters as monotonic `sum` metrics, the rest as `gauge` — both
+receiver branches), then parsed back through the actual receiver
+(:func:`sources.otlp.parse_otlp_metrics`). The oracle recomputes the long
+rows directly from `events`: serialize → parse must be the identity.
+
+Determinism: values ride the OTLP `asInt` string path (exact scaled cents),
+timestamps as `timeUnixNano` decimal strings (exact µs→ns), and every data
+point carries its `event_id` as a point attribute — the unique sort key.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from project_obsidian_core_spark.plans.common import cents, load
+from project_obsidian_core_spark.sources import otlp
+
+#: event_types whose synthetic metrics are monotonic counters (OTLP `sum`)
+_SUM_TYPES = ("click", "view")
+
+
+def _payloads(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events → one OTLP/JSON payload per instance."""
+    ev = load(spark, sf_dir, "events")
+    base = ev.select(
+        F.col("user_id").cast("string").alias("instance_id"),
+        F.concat(F.lit("postgresql."), F.col("event_type")).alias("metric_name"),
+        F.when(F.col("event_type").isin(*_SUM_TYPES), F.lit("sum"))
+        .otherwise(F.lit("gauge"))
+        .alias("kind"),
+        (F.expr("unix_micros(ts)") * F.lit(1000)).cast("string").alias("tun"),
+        cents("value").cast("string").alias("as_int"),
+        F.col("event_id").cast("string").alias("event_id"),
+    )
+    dp = F.struct(
+        F.col("tun").alias("timeUnixNano"),
+        F.col("as_int").alias("asInt"),
+        F.array(
+            F.struct(
+                F.lit("event_id").alias("key"),
+                F.struct(F.col("event_id").alias("intValue")).alias("value"),
+            )
+        ).alias("attributes"),
+    )
+    per_metric = base.groupBy("instance_id", "metric_name", "kind").agg(
+        F.collect_list(dp).alias("dps")
+    )
+    metric = F.struct(
+        F.col("metric_name").alias("name"),
+        F.lit("1").alias("unit"),
+        F.when(
+            F.col("kind") == "gauge",
+            F.struct(F.col("dps").alias("dataPoints")),
+        ).alias("gauge"),
+        F.when(
+            F.col("kind") == "sum",
+            F.struct(
+                F.col("dps").alias("dataPoints"),
+                F.lit(True).alias("isMonotonic"),
+                F.lit(2).alias("aggregationTemporality"),
+            ),
+        ).alias("sum"),
+    )
+    per_instance = per_metric.groupBy("instance_id").agg(
+        F.collect_list(metric).alias("metrics")
+    )
+    resource = F.struct(
+        F.array(
+            F.struct(
+                F.lit("service.instance.id").alias("key"),
+                F.struct(F.col("instance_id").alias("stringValue")).alias("value"),
+            ),
+            F.struct(
+                F.lit("db.system").alias("key"),
+                F.struct(F.lit("postgresql").alias("stringValue")).alias("value"),
+            ),
+        ).alias("attributes")
+    )
+    scope_metrics = F.array(
+        F.struct(
+            F.struct(F.lit("obsidian-synth").alias("name")).alias("scope"),
+            F.col("metrics").alias("metrics"),
+        )
+    )
+    return per_instance.select(
+        F.to_json(
+            F.struct(
+                F.array(
+                    F.struct(
+                        resource.alias("resource"),
+                        scope_metrics.alias("scopeMetrics"),
+                    )
+                ).alias("resourceMetrics")
+            )
+        ).alias("payload")
+    )
+
+
+def otlp_metrics_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S11: OTLP/JSON serialize → receiver parse round trip over events."""
+    parsed = otlp.parse_otlp_metrics(_payloads(spark, sf_dir))
+    return parsed.select(
+        "instance_id",
+        "db_system",
+        "metric_name",
+        "metric_kind",
+        F.col("point_attrs").getItem("event_id").cast("long").alias("event_id"),
+        F.expr("unix_micros(time)").alias("time_epoch_us"),
+        F.col("metric_value_int").alias("metric_value"),
+    ).orderBy("event_id")
+
+
+ORACLE_otlp_metrics_parse = """
+SELECT CAST(user_id AS VARCHAR) AS instance_id,
+       'postgresql' AS db_system,
+       'postgresql.' || event_type AS metric_name,
+       CASE WHEN event_type IN ('click', 'view') THEN 'sum' ELSE 'gauge' END
+           AS metric_kind,
+       event_id,
+       epoch_us(ts) AS time_epoch_us,
+       CAST(round(value * 100, 0) AS BIGINT) AS metric_value
+FROM events
+ORDER BY event_id
+"""

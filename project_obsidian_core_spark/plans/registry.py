@@ -13,6 +13,7 @@ from pyspark.sql import DataFrame, SparkSession
 from project_obsidian_core_spark.plans import datapipe_queries as d
 from project_obsidian_core_spark.plans import metrics_queries as m
 from project_obsidian_core_spark.plans import qan_queries as q
+from project_obsidian_core_spark.plans import otlp_queries as o
 from project_obsidian_core_spark.plans import relational_queries as r
 from project_obsidian_core_spark.plans import status_queries as sq
 from project_obsidian_core_spark.plans import streaming_queries as st
@@ -41,6 +42,8 @@ _ENTRIES: list[tuple[str, QueryFn, str | None]] = [
     ),
     # S5: string-KV global-status scrape → typed pivot (adaptive sampler input)
     ("global_status_pivot", sq.global_status_pivot, sq.ORACLE_global_status_pivot),
+    # S11: OTLP/JSON receiver parse (serialize → parse identity over events)
+    ("otlp_metrics_parse", o.otlp_metrics_parse, o.ORACLE_otlp_metrics_parse),
     # metrics_db analytics (A9/J2) over a synthesized long-metrics relation
     ("metric_series", m.metric_series, m.ORACLE_metric_series),
     ("buffer_hit_ratio", m.buffer_hit_ratio, m.ORACLE_buffer_hit_ratio),
