@@ -1,0 +1,232 @@
+"""Corpus-management operators for training-data pipelines.
+
+The ops a 100 TB pretraining pipeline runs after cleaning/dedup and before
+training: deterministic train/val/test splitting, hash-based sampling,
+event sessionization, and sequence packing of tokenized documents into
+fixed-length contexts.
+
+Scale notes
+-----------
+- Split/sample are per-row JVM expressions over the shared 60-bit md5 hash
+  (:func:`datapipe.text.shared_hash60`): no shuffle, no RNG state, stable
+  under re-runs and cluster re-partitioning — the property that matters for
+  reproducible training sets.
+- Sessionization is one window over (entity, time) — a single shuffle on
+  the entity key, the minimum possible; gap detection is a lag diff, the
+  same shape as the QAN snapshot delta (operators/delta.py).
+- Packing ships two variants: :func:`pack_sequential` (prefix-sum bin
+  assignment, pure SQL window — documents may span bin boundaries, the
+  "concat-then-chunk" packing most LLM data loaders use) and
+  :func:`pack_greedy` (first-fit within a shard via ``applyInPandas`` —
+  no document splitting). Both partition by shard first, so packing
+  parallelizes per shard and never shuffles document text — only
+  (doc_id, n_tokens) metadata moves.
+"""
+
+from __future__ import annotations
+
+from typing import Iterable
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.window import Window
+
+from project_obsidian_core_spark.datapipe.text import shared_hash60
+
+# ------------------------------------------------------------ split -------
+
+#: default split weights (per mille, summing to 1000)
+DEFAULT_SPLITS: tuple[tuple[str, int], ...] = (
+    ("train", 980),
+    ("val", 10),
+    ("test", 10),
+)
+
+
+def split_column(
+    key: Column, splits: Iterable[tuple[str, int]] = DEFAULT_SPLITS, salt: str = "split"
+) -> Column:
+    """Deterministic split assignment from a stable key column.
+
+    ``hash60(salt || key) % 1000`` against cumulative per-mille thresholds.
+    Salting decorrelates the split hash from any other hash of the same key
+    (dedup buckets, shard assignment); changing the salt resamples every
+    split membership at once.
+    """
+    bucket = shared_hash60(F.concat(F.lit(salt + ":"), key)) % 1000
+    expr = None
+    cum = 0
+    for name, weight in splits:
+        cum += weight
+        cond = bucket < cum
+        expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
+    return expr.otherwise(F.lit("train"))
+
+
+def assign_splits(
+    df: DataFrame,
+    key_col: str = "doc_id",
+    splits: Iterable[tuple[str, int]] = DEFAULT_SPLITS,
+    salt: str = "split",
+) -> DataFrame:
+    """Attach a `split` column keyed on ``key_col`` (cast to string)."""
+    return df.withColumn(
+        "split", split_column(F.col(key_col).cast("string"), splits, salt)
+    )
+
+
+def hash_sample(
+    df: DataFrame, rate_permille: int, key_col: str = "doc_id", salt: str = "sample"
+) -> DataFrame:
+    """Deterministic Bernoulli(rate/1000) sample — the reproducible
+    alternative to `df.sample()`: membership depends only on (salt, key),
+    so re-runs, retries, and different partitionings select identical rows.
+    """
+    bucket = shared_hash60(
+        F.concat(F.lit(salt + ":"), F.col(key_col).cast("string"))
+    ) % 1000
+    return df.filter(bucket < rate_permille)
+
+
+# ------------------------------------------------------- sessionize -------
+def sessionize(
+    df: DataFrame,
+    entity_col: str = "user_id",
+    ts_col: str = "ts",
+    gap: str = "30 minutes",
+) -> DataFrame:
+    """Gap-based sessionization: a new session starts when the time since
+    the entity's previous event exceeds ``gap``.
+
+    One shuffle (window on the entity key). `session_idx` is the running
+    count of session starts per entity; (entity, session_idx) is the
+    session key. At 100 TB the window holds only one entity's events per
+    task — skew comes from hot entities, which AQE's skew-join handling
+    does not cover for windows; hot-key mitigation is to pre-split such
+    entities by day before sessionizing.
+    """
+    w = Window.partitionBy(entity_col).orderBy(ts_col)
+    prev_ts = F.lag(F.col(ts_col)).over(w)
+    # gap comparison in exact µs (timestamp arithmetic stays integral)
+    gap_us = F.expr(f"unix_micros(timestamp'1970-01-01 00:00:00' + INTERVAL {gap})")
+    diff_us = F.expr(f"unix_micros({ts_col})") - F.unix_micros(prev_ts)
+    is_start = prev_ts.isNull() | (diff_us > gap_us)
+    return df.withColumn(
+        "session_idx",
+        F.sum(is_start.cast("long")).over(
+            Window.partitionBy(entity_col)
+            .orderBy(ts_col)
+            .rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+
+
+def session_stats(sessions: DataFrame, entity_col: str = "user_id",
+                  ts_col: str = "ts", value_col: Column | None = None) -> DataFrame:
+    """Per-session aggregates over a sessionized frame."""
+    aggs = [
+        F.min(F.expr(f"unix_micros({ts_col})")).alias("session_start_us"),
+        F.max(F.expr(f"unix_micros({ts_col})")).alias("session_end_us"),
+        F.count(F.lit(1)).alias("n_events"),
+    ]
+    if value_col is not None:
+        aggs.append(F.sum(value_col).alias("value_sum"))
+    return sessions.groupBy(entity_col, "session_idx").agg(*aggs)
+
+
+# ---------------------------------------------------------- packing -------
+def pack_sequential(
+    df: DataFrame,
+    ctx_len: int,
+    tokens_col: str = "n_tokens",
+    shard_col: str = "source",
+    order_col: str = "doc_id",
+) -> DataFrame:
+    """Concat-then-chunk packing: within a shard, documents are laid out in
+    ``order_col`` order and cut into ``ctx_len``-token contexts; a document
+    may span a boundary (standard GPT-style pretraining packing).
+
+    `pack_id` = which context this document *starts* in; `pack_offset` =
+    its token offset inside that context. One window per shard — a single
+    shuffle on the shard key, token counts only.
+    """
+    w = (
+        Window.partitionBy(shard_col)
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    prefix = F.coalesce(F.sum(tokens_col).over(w), F.lit(0))
+    return df.select(
+        order_col,
+        shard_col,
+        F.col(tokens_col),
+        F.floor(prefix / ctx_len).cast("long").alias("pack_id"),
+        (prefix % ctx_len).cast("long").alias("pack_offset"),
+    )
+
+
+_PACK_SCHEMA_SUFFIX = [
+    T.StructField("pack_id", T.LongType()),
+    T.StructField("pack_fill", T.LongType()),
+]
+
+
+def pack_greedy(
+    df: DataFrame,
+    ctx_len: int,
+    tokens_col: str = "n_tokens",
+    shard_col: str = "source",
+    order_col: str = "doc_id",
+) -> DataFrame:
+    """First-fit packing without document splitting: walk the shard in
+    ``order_col`` order; a document that would overflow the current context
+    opens a new one. Oversized documents (> ctx_len) get a context alone.
+
+    The recurrence (current fill carries across rows) is not expressible as
+    a closed-form window, so it runs as Arrow-batched ``applyInPandas`` per
+    shard — the same pattern as the streaming snapshot fold
+    (streaming/delta_stream.py). Only (order, tokens) columns move; at
+    100 TB the text stays in place and the assignment joins back on
+    ``order_col``.
+    """
+    out_schema = T.StructType(
+        [
+            T.StructField("doc_key", T.StringType()),
+            T.StructField("shard", T.StringType()),
+            T.StructField("n_tokens", T.LongType()),
+        ]
+        + _PACK_SCHEMA_SUFFIX
+    )
+
+    def _pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("__order").reset_index(drop=True)
+        pack_id, fill = 0, 0
+        ids, fills = [], []
+        for n in pdf["__tokens"].astype("int64"):
+            if fill > 0 and fill + n > ctx_len:
+                pack_id += 1
+                fill = 0
+            ids.append(pack_id)
+            fills.append(fill)
+            fill += int(n)
+            if fill >= ctx_len:
+                pack_id += 1
+                fill = 0
+        return pd.DataFrame(
+            {
+                "doc_key": pdf["__order"].astype(str),
+                "shard": pdf["__shard"].astype(str),
+                "n_tokens": pdf["__tokens"].astype("int64"),
+                "pack_id": ids,
+                "pack_fill": fills,
+            }
+        )
+
+    slim = df.select(
+        F.col(order_col).alias("__order"),
+        F.col(shard_col).alias("__shard"),
+        F.col(tokens_col).cast("long").alias("__tokens"),
+    )
+    return slim.groupBy("__shard").applyInPandas(_pack, schema=out_schema)

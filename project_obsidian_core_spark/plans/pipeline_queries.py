@@ -1,0 +1,145 @@
+"""Driver-gated wrappers for the corpus-management operators
+(:mod:`datapipe.pipeline`): deterministic splits, hash sampling,
+sessionization, sequence packing.
+
+Oracle SQL is generated from the same constants as the Spark operators
+(split weights, salts, gap, context length) so the two sides cannot drift.
+The shared 60-bit md5 hash (plans/common.py rules) makes split/sample
+membership bit-identical across engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from project_obsidian_core_spark.datapipe import pipeline as P
+from project_obsidian_core_spark.plans.common import cents, load
+
+# ---------------------------------------------------------------- split ---
+_SPLITS = P.DEFAULT_SPLITS
+_SPLIT_SALT = "split"
+_SAMPLE_SALT = "sample"
+_SAMPLE_RATE = 200  # per mille
+_SESSION_GAP = "30 minutes"
+_SESSION_GAP_US = 30 * 60 * 1_000_000
+_CTX_LEN = 256
+
+
+def _sql_hash60(expr: str) -> str:
+    """DuckDB twin of datapipe.text.shared_hash60."""
+    return f"CAST('0x' || substr(md5({expr}), 1, 15) AS BIGINT)"
+
+
+def corpus_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test assignment for every document."""
+    docs = load(spark, sf_dir, "documents")
+    return P.assign_splits(docs, splits=_SPLITS, salt=_SPLIT_SALT).select(
+        "doc_id", "source", "split"
+    ).orderBy("doc_id")
+
+
+def _split_case_sql(bucket_expr: str) -> str:
+    parts, cum = [], 0
+    for name, weight in _SPLITS:
+        cum += weight
+        parts.append(f"WHEN {bucket_expr} < {cum} THEN '{name}'")
+    return "CASE " + " ".join(parts) + " ELSE 'train' END"
+
+
+ORACLE_corpus_split = f"""
+SELECT doc_id,
+       source,
+       {_split_case_sql(_sql_hash60(f"'{_SPLIT_SALT}:' || CAST(doc_id AS VARCHAR)") + " % 1000")} AS split
+FROM documents
+ORDER BY doc_id
+"""
+
+
+def corpus_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 20% Bernoulli sample of the corpus."""
+    docs = load(spark, sf_dir, "documents")
+    return P.hash_sample(docs, _SAMPLE_RATE, salt=_SAMPLE_SALT).select(
+        "doc_id", "source"
+    ).orderBy("doc_id")
+
+
+ORACLE_corpus_sample = f"""
+SELECT doc_id, source
+FROM documents
+WHERE {_sql_hash60(f"'{_SAMPLE_SALT}:' || CAST(doc_id AS VARCHAR)")} % 1000 < {_SAMPLE_RATE}
+ORDER BY doc_id
+"""
+
+
+# ---------------------------------------------------------- sessionize ----
+def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessions over events with per-session aggregates."""
+    ev = load(spark, sf_dir, "events")
+    sess = P.sessionize(ev, entity_col="user_id", ts_col="ts", gap=_SESSION_GAP)
+    out = P.session_stats(
+        sess, entity_col="user_id", ts_col="ts", value_col=cents("value")
+    )
+    return out.orderBy("user_id", "session_idx")
+
+
+ORACLE_sessionize_events = f"""
+WITH flagged AS (
+    SELECT user_id, ts,
+           CAST(round(value * 100, 0) AS BIGINT) AS cents,
+           CASE WHEN lag(ts) OVER w IS NULL
+                  OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > {_SESSION_GAP_US}
+                THEN 1 ELSE 0 END AS is_start
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+),
+sess AS (
+    SELECT *,
+           sum(is_start) OVER (PARTITION BY user_id ORDER BY ts
+                               ROWS UNBOUNDED PRECEDING) AS session_idx
+    FROM flagged
+)
+SELECT user_id, session_idx,
+       min(epoch_us(ts)) AS session_start_us,
+       max(epoch_us(ts)) AS session_end_us,
+       count(*) AS n_events,
+       CAST(sum(cents) AS BIGINT) AS value_sum
+FROM sess
+GROUP BY 1, 2
+ORDER BY user_id, session_idx
+"""
+
+
+# ------------------------------------------------------------- packing ----
+def corpus_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-then-chunk sequence packing of whitespace-token counts into
+    _CTX_LEN-token contexts, sharded by source."""
+    docs = load(spark, sf_dir, "documents")
+    with_tokens = docs.select(
+        "doc_id",
+        "source",
+        F.size(F.split(F.col("text"), " ")).cast("long").alias("n_tokens"),
+    )
+    out = P.pack_sequential(with_tokens, _CTX_LEN)
+    return out.orderBy("source", "doc_id")
+
+
+ORACLE_corpus_pack = f"""
+WITH t AS (
+    SELECT doc_id, source,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+    FROM documents
+),
+p AS (
+    SELECT *,
+           COALESCE(SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                    0) AS prefix
+    FROM t
+)
+SELECT doc_id, source, n_tokens,
+       prefix // {_CTX_LEN} AS pack_id,
+       prefix % {_CTX_LEN} AS pack_offset
+FROM p
+ORDER BY source, doc_id
+"""

@@ -14,6 +14,7 @@ from project_obsidian_core_spark.plans import datapipe_queries as d
 from project_obsidian_core_spark.plans import metrics_queries as m
 from project_obsidian_core_spark.plans import qan_queries as q
 from project_obsidian_core_spark.plans import otlp_queries as o
+from project_obsidian_core_spark.plans import pipeline_queries as pl
 from project_obsidian_core_spark.plans import relational_queries as r
 from project_obsidian_core_spark.plans import status_queries as sq
 from project_obsidian_core_spark.plans import streaming_queries as st
@@ -73,6 +74,11 @@ _ENTRIES: list[tuple[str, QueryFn, str | None]] = [
     # Training-data pipeline: multimodal binary plumbing (pandas decode stub)
     ("media_features", d.media_features, d.ORACLE_media_features),
     ("media_frame_sample", d.media_frame_sample, d.ORACLE_media_frame_sample),
+    # Training-data pipeline: corpus management (splits/sampling/sessions/packing)
+    ("corpus_split", pl.corpus_split, pl.ORACLE_corpus_split),
+    ("corpus_sample", pl.corpus_sample, pl.ORACLE_corpus_sample),
+    ("sessionize_events", pl.sessionize_events, pl.ORACLE_sessionize_events),
+    ("corpus_pack", pl.corpus_pack, pl.ORACLE_corpus_pack),
     # Streaming stateful delta (applyInPandasWithState) vs batch-lag oracle
     ("stream_snapshot_delta", st.stream_snapshot_delta, st.ORACLE_stream_snapshot_delta),
 ]

@@ -1,0 +1,120 @@
+"""Corpus-management operators (datapipe/pipeline.py): deterministic
+splits/sampling, sessionization edges, and greedy packing invariants."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from project_obsidian_core_spark.datapipe import pipeline as P
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(
+        [(i, f"s{i % 3}", (i * 37) % 120 + 1) for i in range(200)],
+        ["doc_id", "source", "n_tokens"],
+    )
+
+
+def test_split_deterministic_and_roughly_weighted(docs):
+    a = {r["doc_id"]: r["split"] for r in P.assign_splits(docs).collect()}
+    b = {r["doc_id"]: r["split"] for r in P.assign_splits(docs).collect()}
+    assert a == b  # rerun-stable
+    counts = {s: list(a.values()).count(s) for s in ("train", "val", "test")}
+    assert counts["train"] > 180  # 98% nominal
+    assert set(a.values()) <= {"train", "val", "test"}
+
+    # a different salt resamples membership
+    c = {r["doc_id"]: r["split"] for r in P.assign_splits(docs, salt="v2").collect()}
+    assert c != a
+
+
+def test_hash_sample_reproducible_and_disjoint_from_salt(docs):
+    s1 = {r["doc_id"] for r in P.hash_sample(docs, 300).collect()}
+    s2 = {r["doc_id"] for r in P.hash_sample(docs, 300).collect()}
+    assert s1 == s2
+    assert 0 < len(s1) < 200
+    # monotone: raising the rate only adds members
+    s_more = {r["doc_id"] for r in P.hash_sample(docs, 600).collect()}
+    assert s1 <= s_more
+
+
+def test_sessionize_gap_edges(spark):
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    mins = lambda m: t0 + dt.timedelta(minutes=m)
+    rows = [
+        (1, mins(0)),    # session 1
+        (1, mins(30)),   # exactly the gap → same session (strict >)
+        (1, mins(61)),   # 31 min since last → session 2
+        (2, mins(0)),    # separate entity → its own session 1
+    ]
+    df = spark.createDataFrame(rows, ["user_id", "ts"])
+    out = {
+        (r["user_id"], r["ts"].minute + 60 * r["ts"].hour): r["session_idx"]
+        for r in P.sessionize(df, gap="30 minutes").collect()
+    }
+    assert out[(1, 0)] == 1 and out[(1, 30)] == 1
+    assert out[(1, 61)] == 2
+    assert out[(2, 0)] == 1
+
+
+def test_session_stats_aggregates(spark):
+    t0 = dt.datetime(2024, 1, 1)
+    df = spark.createDataFrame(
+        [(1, t0, 10), (1, t0 + dt.timedelta(minutes=5), 20)],
+        ["user_id", "ts", "v"],
+    )
+    sess = P.sessionize(df, gap="30 minutes")
+    r = P.session_stats(sess, value_col=F.col("v")).collect()[0]
+    assert r["n_events"] == 2 and r["value_sum"] == 30
+    assert r["session_end_us"] - r["session_start_us"] == 5 * 60 * 1_000_000
+
+
+def test_pack_sequential_spans_boundaries(spark):
+    df = spark.createDataFrame(
+        [(1, "s", 100), (2, "s", 100), (3, "s", 100)],
+        ["doc_id", "source", "n_tokens"],
+    )
+    out = {r["doc_id"]: r for r in P.pack_sequential(df, 128).collect()}
+    assert (out[1]["pack_id"], out[1]["pack_offset"]) == (0, 0)
+    assert (out[2]["pack_id"], out[2]["pack_offset"]) == (0, 100)  # spans 0→1
+    assert (out[3]["pack_id"], out[3]["pack_offset"]) == (1, 72)
+
+
+def test_pack_greedy_first_fit_golden(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "s", 100),
+            (2, "s", 100),   # 200 > 128 → new pack
+            (3, "s", 28),    # fits with doc 2 (100+28=128, exactly full)
+            (4, "s", 1),     # previous pack closed at exactly ctx → new pack
+            (5, "s", 300),   # oversized → its own pack
+            (6, "s", 10),
+        ],
+        ["doc_id", "source", "n_tokens"],
+    )
+    rows = {int(r["doc_key"]): r for r in P.pack_greedy(df, 128).collect()}
+    assert (rows[1]["pack_id"], rows[1]["pack_fill"]) == (0, 0)
+    assert (rows[2]["pack_id"], rows[2]["pack_fill"]) == (1, 0)
+    assert (rows[3]["pack_id"], rows[3]["pack_fill"]) == (1, 100)
+    assert (rows[4]["pack_id"], rows[4]["pack_fill"]) == (2, 0)
+    assert (rows[5]["pack_id"], rows[5]["pack_fill"]) == (3, 0)  # oversized alone
+    assert (rows[6]["pack_id"], rows[6]["pack_fill"]) == (4, 0)
+
+
+def test_pack_greedy_invariants(docs):
+    ctx = 128
+    out = P.pack_greedy(docs, ctx).collect()
+    # no pack overflows unless it holds a single oversized doc
+    fill = {}
+    for r in out:
+        key = (r["shard"], r["pack_id"])
+        fill.setdefault(key, []).append(r["n_tokens"])
+    for key, toks in fill.items():
+        if len(toks) > 1:
+            assert sum(toks) <= ctx, key
+    # every doc assigned exactly once
+    assert len(out) == docs.count()
