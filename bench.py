@@ -48,6 +48,12 @@ BENCH_QUERIES = [
     "text_tfidf_topk",        # explode + broadcast idf join + per-doc top-k
     "stream_snapshot_delta",  # applyInPandasWithState availableNow replay
     "metric_series",          # windowed AVG series (A9)
+    # round-2 additions
+    "global_status_pivot",    # S5 KV→typed pivot scrape
+    "otlp_metrics_parse",     # S11 OTLP/JSON receiver (from_json + explodes)
+    "corpus_split",           # salted-hash split assignment
+    "sessionize_events",      # gap sessions (lag window + agg)
+    "corpus_pack",            # prefix-sum sequence packing
 ]
 
 
