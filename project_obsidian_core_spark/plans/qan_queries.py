@@ -483,6 +483,74 @@ ORDER BY label_bucket
 """
 
 
+# --------------------------------------------------------------------- Q11b
+def qan_query_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The wide per-query profile of qan_analysis_example.ipynb cell-7: one
+    aggregate producing every headline metric — execution count, total time
+    (unit-converted), guarded avg-per-call, rows examined/sent, and the
+    examined:sent ratio-of-sums — then top-N.
+
+    One shuffle for the groupBy; every derived column is a single
+    deterministic double division of exact integer sums (plans/common.py
+    rules). countDistinct adds a second aggregation pass over the same
+    partitioning, not a new shuffle of the fact table.
+    """
+    from project_obsidian_core_spark.functions.units import guarded_div
+
+    ev = load(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("long")
+    agg = ev.groupBy(F.col("event_type").alias("digest")).agg(
+        F.count(F.lit(1)).alias("execution_count"),
+        F.sum(cents("value")).alias("tc"),
+        F.sum(k).alias("rows_examined"),
+        F.countDistinct("user_id").alias("rows_sent"),
+    )
+    return (
+        agg.select(
+            "digest",
+            "execution_count",
+            (F.col("tc").cast("double") / 1000.0).alias("total_time_sec"),
+            guarded_div(F.col("tc").cast("double"), F.col("execution_count")).alias(
+                "avg_time_ms"
+            ),
+            "rows_examined",
+            "rows_sent",
+            guarded_div(
+                F.col("rows_examined").cast("double"), F.col("rows_sent")
+            ).alias("examined_sent_ratio"),
+        )
+        .orderBy(F.desc("total_time_sec"), "digest")
+        .limit(10)
+    )
+
+
+ORACLE_qan_query_profile = """
+WITH agg AS (
+    SELECT event_type AS digest,
+           count(*) AS execution_count,
+           CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS tc,
+           CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT)
+               AS rows_examined,
+           count(DISTINCT user_id) AS rows_sent
+    FROM events
+    GROUP BY 1
+)
+SELECT digest,
+       execution_count,
+       CAST(tc AS DOUBLE) / 1000.0 AS total_time_sec,
+       CASE WHEN execution_count > 0
+            THEN CAST(tc AS DOUBLE) / execution_count ELSE 0.0 END AS avg_time_ms,
+       rows_examined,
+       rows_sent,
+       CASE WHEN rows_sent > 0
+            THEN CAST(rows_examined AS DOUBLE) / rows_sent ELSE 0.0 END
+           AS examined_sent_ratio
+FROM agg
+ORDER BY total_time_sec DESC, digest
+LIMIT 10
+"""
+
+
 # --------------------------------------------------------------------- Q12
 def qan_unique_queries_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A7 unique-query counting, registered with the exact ``countDistinct``

@@ -34,6 +34,7 @@ _ENTRIES: list[tuple[str, QueryFn, str | None]] = [
     ("qan_like_having", q.qan_like_having, q.ORACLE_qan_like_having),
     ("qan_load_score", q.qan_load_score, q.ORACLE_qan_load_score),
     ("qan_labels_json", q.qan_labels_json, q.ORACLE_qan_labels_json),
+    ("qan_query_profile", q.qan_query_profile, q.ORACLE_qan_query_profile),
     # Exact countDistinct is the hash-checked contract; the HLL scale twin
     # (qan_unique_queries_hll) is pinned by a relative-error unit test.
     (
