@@ -118,3 +118,55 @@ def test_pack_greedy_invariants(docs):
             assert sum(toks) <= ctx, key
     # every doc assigned exactly once
     assert len(out) == docs.count()
+
+
+# ----------------------------------------------------------- properties ---
+from hypothesis import HealthCheck, given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+corpora = st.lists(
+    st.tuples(st.integers(1, 500), st.integers(1, 400)),  # (doc_id, n_tokens)
+    min_size=1,
+    max_size=60,
+    unique_by=lambda t: t[0],
+)
+
+
+def _greedy_model(docs, ctx):
+    """Driver-side reference model of first-fit packing (same recurrence)."""
+    out, pack_id, fill = {}, 0, 0
+    for doc_id, n in sorted(docs):
+        if fill > 0 and fill + n > ctx:
+            pack_id, fill = pack_id + 1, 0
+        out[doc_id] = (pack_id, fill)
+        fill += n
+        if fill >= ctx:
+            pack_id, fill = pack_id + 1, 0
+    return out
+
+
+@settings(max_examples=12, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(corpora, st.integers(64, 256))
+def test_pack_greedy_matches_sequential_model(spark, docs, ctx):
+    df = spark.createDataFrame(
+        [(d, "s", n) for d, n in docs], ["doc_id", "source", "n_tokens"]
+    )
+    got = {
+        int(r["doc_key"]): (r["pack_id"], r["pack_fill"])
+        for r in P.pack_greedy(df, ctx).collect()
+    }
+    assert got == _greedy_model(docs, ctx)
+
+
+@settings(max_examples=12, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(corpora, st.integers(64, 256))
+def test_pack_sequential_conserves_tokens(spark, docs, ctx):
+    df = spark.createDataFrame(
+        [(d, "s", n) for d, n in docs], ["doc_id", "source", "n_tokens"]
+    )
+    rows = sorted(P.pack_sequential(df, ctx).collect(), key=lambda r: r["doc_id"])
+    # prefix reconstruction: pack_id*ctx + offset is the running token sum
+    running = 0
+    for r in rows:
+        assert r["pack_id"] * ctx + r["pack_offset"] == running
+        running += r["n_tokens"]
