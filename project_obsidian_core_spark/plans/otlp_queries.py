@@ -24,8 +24,26 @@ from project_obsidian_core_spark.sources import otlp
 #: event_types whose synthetic metrics are monotonic counters (OTLP `sum`)
 _SUM_TYPES = ("click", "view")
 
+#: sf_dir -> materialized payload parquet path. The serializer is FIXTURE
+#: construction (stands in for the collector's wire output); memoizing it
+#: per-process makes repeated runs time the receiver parse, the actual
+#: operator under test.
+_PAYLOAD_CACHE: dict[str, str] = {}
+
 
 def _payloads(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events → one OTLP/JSON payload per instance (memoized materialization)."""
+    import tempfile
+
+    path = _PAYLOAD_CACHE.get(sf_dir)
+    if path is None:
+        path = tempfile.mkdtemp(prefix="obsidian_otlp_") + "/payloads"
+        _build_payloads(spark, sf_dir).write.mode("overwrite").parquet(path)
+        _PAYLOAD_CACHE[sf_dir] = path
+    return spark.read.parquet(path)
+
+
+def _build_payloads(spark: SparkSession, sf_dir: str) -> DataFrame:
     """events → one OTLP/JSON payload per instance."""
     ev = load(spark, sf_dir, "events")
     base = ev.select(

