@@ -1,0 +1,222 @@
+"""Analytics-surface extensions beyond the notebook parity set: exact
+quantiles, new-digest detection (anti-join), moving averages, grouping-set
+rollups, and value histograms — the dashboard shapes a QAN user reaches for
+next, each as one more oracle-gated operator family.
+
+Determinism notes (plans/common.py rules apply):
+- Quantiles: Spark `percentile` and DuckDB `quantile_cont` implement the
+  same (n-1)·p linear interpolation over sorted exact integers; verified
+  bit-equal at sf0.01 before registration.
+- Moving averages divide an exact integer window sum by its exact window
+  count — one double division, never a windowed double sum.
+- Grouping sets coalesce their null super-aggregate keys to a sentinel so
+  both engines hash identical key columns.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from project_obsidian_core_spark.plans.common import cents, load
+
+#: epoch-µs cutoff splitting the "known digests" baseline period from the
+#: detection period (2024-01-08 00:00 UTC)
+_CUTOFF_US = 1704672000000000
+
+
+# ---------------------------------------------------------- quantiles -----
+def qan_latency_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A-family: exact p50/p95/p99 per digest (Druid APPROX_QUANTILE's
+    exact twin; at 100 TB swap `percentile` for `percentile_approx` — the
+    t-digest sketch merges map-side like the HLL scale path)."""
+    ev = load(spark, sf_dir, "events")
+    q = F.expr("percentile(c, array(0.5, 0.95, 0.99))")
+    return (
+        ev.select("event_type", cents("value").alias("c"))
+        .groupBy("event_type")
+        .agg(q.alias("q"), F.count(F.lit(1)).alias("n"))
+        .select(
+            "event_type",
+            F.element_at("q", 1).alias("p50"),
+            F.element_at("q", 2).alias("p95"),
+            F.element_at("q", 3).alias("p99"),
+            "n",
+        )
+        .orderBy("event_type")
+    )
+
+
+ORACLE_qan_latency_quantiles = """
+WITH t AS (
+    SELECT event_type, CAST(round(value * 100, 0) AS BIGINT) AS c FROM events
+)
+SELECT event_type,
+       quantile_cont(c, 0.5)  AS p50,
+       quantile_cont(c, 0.95) AS p95,
+       quantile_cont(c, 0.99) AS p99,
+       count(*) AS n
+FROM t
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+# ---------------------------------------------------- new-digest anti -----
+def qan_new_digests(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J-family extension: left ANTI join — (instance, digest) pairs first
+    observed in the detection period, i.e. absent from the baseline period.
+    The QAN "new query appeared" alert. Both sides reduce to distinct keys
+    before the join, so the anti join shuffles keys, not facts."""
+    ev = load(spark, sf_dir, "events")
+    us = F.expr("unix_micros(ts)")
+    keyed = ev.select(
+        F.col("user_id").alias("instance_id"),
+        F.col("event_type").alias("digest"),
+        us.alias("ts_us"),
+    )
+    base = keyed.filter(F.col("ts_us") < _CUTOFF_US).select("instance_id", "digest").distinct()
+    det = keyed.filter(F.col("ts_us") >= _CUTOFF_US)
+    new_keys = det.select("instance_id", "digest").distinct().join(
+        base, ["instance_id", "digest"], "left_anti"
+    )
+    return (
+        det.join(new_keys, ["instance_id", "digest"])
+        .groupBy("instance_id", "digest")
+        .agg(F.min("ts_us").alias("first_seen_us"), F.count(F.lit(1)).alias("n_events"))
+        .orderBy("instance_id", "digest")
+    )
+
+
+ORACLE_qan_new_digests = f"""
+WITH keyed AS (
+    SELECT user_id AS instance_id, event_type AS digest, epoch_us(ts) AS ts_us
+    FROM events
+),
+det AS (SELECT * FROM keyed WHERE ts_us >= {_CUTOFF_US})
+SELECT instance_id, digest,
+       min(ts_us) AS first_seen_us,
+       count(*) AS n_events
+FROM det d
+WHERE NOT EXISTS (
+    SELECT 1 FROM keyed b
+    WHERE b.ts_us < {_CUTOFF_US}
+      AND b.instance_id = d.instance_id AND b.digest = d.digest
+)
+GROUP BY instance_id, digest
+ORDER BY instance_id, digest
+"""
+
+
+# ------------------------------------------------------- moving avg -------
+def qan_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W-family extension: 3-bucket moving average of 5-minute call counts
+    per digest — trend smoothing over the qan_trend series. The window
+    frame runs over the *aggregated* relation (≤ buckets×digests rows), so
+    the sort is per-digest and tiny."""
+    ev = load(spark, sf_dir, "events")
+    # integer div, not double: a double quotient can round across a bucket
+    # boundary for large epochs
+    bucket = F.expr("unix_micros(ts) div 300000000") * 300
+    agg = ev.groupBy(
+        F.col("event_type").alias("digest"), bucket.alias("bucket_epoch_s")
+    ).agg(F.count(F.lit(1)).alias("calls"))
+    w = (
+        Window.partitionBy("digest")
+        .orderBy("bucket_epoch_s")
+        .rowsBetween(-2, 0)
+    )
+    return agg.select(
+        "digest",
+        "bucket_epoch_s",
+        "calls",
+        (
+            F.sum("calls").over(w).cast("double") / F.count(F.lit(1)).over(w)
+        ).alias("calls_ma3"),
+    ).orderBy("digest", "bucket_epoch_s")
+
+
+ORACLE_qan_moving_avg = """
+WITH agg AS (
+    SELECT event_type AS digest,
+           (epoch_us(ts) // 300000000) * 300 AS bucket_epoch_s,
+           count(*) AS calls
+    FROM events
+    GROUP BY 1, 2
+)
+SELECT digest, bucket_epoch_s, calls,
+       CAST(sum(calls) OVER w AS DOUBLE) / count(*) OVER w AS calls_ma3
+FROM agg
+WINDOW w AS (PARTITION BY digest ORDER BY bucket_epoch_s
+             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+ORDER BY digest, bucket_epoch_s
+"""
+
+
+# ----------------------------------------------------- grouping sets ------
+def qan_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A-family extension: one pass producing (system, digest), (system),
+    and grand-total aggregates — Spark `rollup`, the map-side-combinable
+    form of three separate groupBys."""
+    ev = load(spark, sf_dir, "events")
+    sys_col = F.when(F.col("user_id") % 2 == 0, F.lit("mysql")).otherwise(
+        F.lit("postgresql")
+    )
+    base = ev.select(
+        sys_col.alias("db_system"),
+        F.col("event_type").alias("digest"),
+        cents("value").alias("vc"),
+    )
+    out = base.rollup("db_system", "digest").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("vc").alias("total_value_cents"),
+    )
+    return out.select(
+        F.coalesce("db_system", F.lit("(all)")).alias("db_system"),
+        F.coalesce("digest", F.lit("(all)")).alias("digest"),
+        "n_events",
+        "total_value_cents",
+    ).orderBy("db_system", "digest")
+
+
+ORACLE_qan_grouping_sets = """
+WITH base AS (
+    SELECT CASE WHEN user_id % 2 = 0 THEN 'mysql' ELSE 'postgresql' END AS db_system,
+           event_type AS digest,
+           CAST(round(value * 100, 0) AS BIGINT) AS vc
+    FROM events
+)
+SELECT COALESCE(db_system, '(all)') AS db_system,
+       COALESCE(digest, '(all)') AS digest,
+       count(*) AS n_events,
+       CAST(sum(vc) AS BIGINT) AS total_value_cents
+FROM base
+GROUP BY ROLLUP (db_system, digest)
+ORDER BY db_system, digest
+"""
+
+
+# --------------------------------------------------------- histogram ------
+def qan_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A-family extension: fixed-width value histogram per digest
+    (width_bucket over exact cents) — the latency-distribution panel."""
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.select(
+            F.col("event_type").alias("digest"),
+            F.expr("CAST(round(value * 100, 0) AS BIGINT) div 2500").alias("bucket"),
+        )
+        .groupBy("digest", "bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("digest", "bucket")
+    )
+
+
+ORACLE_qan_value_histogram = """
+SELECT event_type AS digest,
+       CAST(round(value * 100, 0) AS BIGINT) // 2500 AS bucket,
+       count(*) AS n
+FROM events
+GROUP BY 1, 2
+ORDER BY digest, bucket
+"""

@@ -10,6 +10,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from project_obsidian_core_spark.plans import analytics_ext_queries as ax
 from project_obsidian_core_spark.plans import datapipe_queries as d
 from project_obsidian_core_spark.plans import metrics_queries as m
 from project_obsidian_core_spark.plans import qan_queries as q
@@ -42,6 +43,13 @@ _ENTRIES: list[tuple[str, QueryFn, str | None]] = [
         q.qan_unique_queries_approx,
         q.ORACLE_qan_unique_queries_approx,
     ),
+    # Analytics-surface extensions: quantiles / anti-join / moving avg /
+    # grouping sets / histogram
+    ("qan_latency_quantiles", ax.qan_latency_quantiles, ax.ORACLE_qan_latency_quantiles),
+    ("qan_new_digests", ax.qan_new_digests, ax.ORACLE_qan_new_digests),
+    ("qan_moving_avg", ax.qan_moving_avg, ax.ORACLE_qan_moving_avg),
+    ("qan_grouping_sets", ax.qan_grouping_sets, ax.ORACLE_qan_grouping_sets),
+    ("qan_value_histogram", ax.qan_value_histogram, ax.ORACLE_qan_value_histogram),
     # S5: string-KV global-status scrape → typed pivot (adaptive sampler input)
     ("global_status_pivot", sq.global_status_pivot, sq.ORACLE_global_status_pivot),
     # S11: OTLP/JSON receiver parse (serialize → parse identity over events)
