@@ -54,6 +54,8 @@ BENCH_QUERIES = [
     "corpus_split",           # salted-hash split assignment
     "sessionize_events",      # gap sessions (lag window + agg)
     "corpus_pack",            # prefix-sum sequence packing
+    "qan_latency_quantiles",  # exact per-digest percentiles (sort-heavy agg)
+    "qan_new_digests",        # distinct-key anti join
 ]
 
 
