@@ -123,6 +123,40 @@ def sessionize(
     )
 
 
+def sessionize_window(
+    df: DataFrame,
+    entity_col: str = "user_id",
+    ts_col: str = "ts",
+    gap: str = "30 minutes",
+    value_col: Column | None = None,
+) -> DataFrame:
+    """Gap sessions via Spark's native ``session_window`` — the
+    streaming-capable form of :func:`sessionize` (works under a watermark
+    as a stateful streaming aggregation with mergeable session state).
+
+    Same session boundaries as the lag-window formulation for strictly
+    increasing per-entity timestamps, with one semantic edge: an event at
+    *exactly* ``gap`` after its predecessor starts a NEW session here
+    (session_window merges only strictly-closer events), where
+    :func:`sessionize`'s strict ``>`` comparison keeps it. Emits
+    (entity, session_start_us, session_end_us=last event, n_events
+    [, value_sum]); session_window's native `end` is last-event + gap, so
+    the last-event time is re-derived with max().
+    """
+    aggs = [
+        F.min(F.expr(f"unix_micros({ts_col})")).alias("session_start_us"),
+        F.max(F.expr(f"unix_micros({ts_col})")).alias("session_end_us"),
+        F.count(F.lit(1)).alias("n_events"),
+    ]
+    if value_col is not None:
+        aggs.append(F.sum(value_col).alias("value_sum"))
+    return (
+        df.groupBy(F.session_window(ts_col, gap), entity_col)
+        .agg(*aggs)
+        .drop("session_window")
+    )
+
+
 def session_stats(sessions: DataFrame, entity_col: str = "user_id",
                   ts_col: str = "ts", value_col: Column | None = None) -> DataFrame:
     """Per-session aggregates over a sessionized frame."""

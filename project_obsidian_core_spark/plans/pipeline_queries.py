@@ -110,6 +110,49 @@ ORDER BY user_id, session_idx
 """
 
 
+def session_window_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native ``session_window`` sessions over events — the
+    streaming-capable twin of :func:`sessionize_events`. Boundary semantics
+    differ at exactly-gap spacing (see datapipe/pipeline.py docstring), so
+    the oracle's new-session condition is ``>=`` where the lag form uses
+    ``>``."""
+    ev = load(spark, sf_dir, "events")
+    out = P.sessionize_window(
+        ev, entity_col="user_id", ts_col="ts", gap=_SESSION_GAP,
+        value_col=cents("value"),
+    )
+    return out.select(
+        "user_id", "session_start_us", "session_end_us", "n_events", "value_sum"
+    ).orderBy("user_id", "session_start_us")
+
+
+ORACLE_session_window_stats = f"""
+WITH flagged AS (
+    SELECT user_id, ts,
+           CAST(round(value * 100, 0) AS BIGINT) AS cents,
+           CASE WHEN lag(ts) OVER w IS NULL
+                  OR epoch_us(ts) - epoch_us(lag(ts) OVER w) >= {_SESSION_GAP_US}
+                THEN 1 ELSE 0 END AS is_start
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+),
+sess AS (
+    SELECT *,
+           sum(is_start) OVER (PARTITION BY user_id ORDER BY ts
+                               ROWS UNBOUNDED PRECEDING) AS session_idx
+    FROM flagged
+)
+SELECT user_id,
+       min(epoch_us(ts)) AS session_start_us,
+       max(epoch_us(ts)) AS session_end_us,
+       count(*) AS n_events,
+       CAST(sum(cents) AS BIGINT) AS value_sum
+FROM sess
+GROUP BY user_id, session_idx
+ORDER BY user_id, session_start_us
+"""
+
+
 # ------------------------------------------------------------- packing ----
 def corpus_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Concat-then-chunk sequence packing of whitespace-token counts into

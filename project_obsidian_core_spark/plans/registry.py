@@ -87,6 +87,7 @@ _ENTRIES: list[tuple[str, QueryFn, str | None]] = [
     ("corpus_split", pl.corpus_split, pl.ORACLE_corpus_split),
     ("corpus_sample", pl.corpus_sample, pl.ORACLE_corpus_sample),
     ("sessionize_events", pl.sessionize_events, pl.ORACLE_sessionize_events),
+    ("session_window_stats", pl.session_window_stats, pl.ORACLE_session_window_stats),
     ("corpus_pack", pl.corpus_pack, pl.ORACLE_corpus_pack),
     # Streaming stateful delta (applyInPandasWithState) vs batch-lag oracle
     ("stream_snapshot_delta", st.stream_snapshot_delta, st.ORACLE_stream_snapshot_delta),

@@ -170,3 +170,64 @@ def test_pack_sequential_conserves_tokens(spark, docs, ctx):
     for r in rows:
         assert r["pack_id"] * ctx + r["pack_offset"] == running
         running += r["n_tokens"]
+
+
+def test_sessionize_window_matches_lag_form(spark):
+    # same boundaries on non-degenerate spacing; native op is streaming-capable
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        (1, t0 + dt.timedelta(minutes=m)) for m in (0, 10, 29, 75, 80)
+    ] + [(2, t0)]
+    df = spark.createDataFrame(rows, ["user_id", "ts"])
+    lag_sessions = (
+        P.session_stats(P.sessionize(df, gap="30 minutes"))
+        .orderBy("user_id", "session_start_us")
+        .collect()
+    )
+    win_sessions = (
+        P.sessionize_window(df, gap="30 minutes")
+        .orderBy("user_id", "session_start_us")
+        .collect()
+    )
+    assert [
+        (r["user_id"], r["session_start_us"], r["session_end_us"], r["n_events"])
+        for r in lag_sessions
+    ] == [
+        (r["user_id"], r["session_start_us"], r["session_end_us"], r["n_events"])
+        for r in win_sessions
+    ]
+
+
+def test_sessionize_window_streams_with_watermark(spark, tmp_path):
+    import pyspark.sql.types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("ts", T.TimestampType()),
+        ]
+    )
+    t0 = dt.datetime(2026, 3, 1, 12, 0, 0)
+    src, ckpt, sink = str(tmp_path / "s"), str(tmp_path / "c"), str(tmp_path / "o")
+    rows = [
+        (1, t0),
+        (1, t0 + dt.timedelta(minutes=5)),          # same session
+        (1, t0 + dt.timedelta(hours=3)),            # watermark driver
+    ]
+    spark.createDataFrame(rows, schema).write.parquet(src)
+    stream = spark.readStream.schema(schema).parquet(src)
+    agg = P.sessionize_window(
+        stream.withWatermark("ts", "30 minutes"), gap="30 minutes"
+    )
+    q = (
+        agg.writeStream.option("checkpointLocation", ckpt)
+        .foreachBatch(lambda df, eid: df.write.mode("overwrite").parquet(f"{sink}/_b={eid}"))
+        .outputMode("append")
+        .start()
+    )
+    q.processAllAvailable(); q.stop(); q.awaitTermination()
+    got = spark.read.parquet(sink).collect()
+    # the 2-event session finalized once the watermark passed its close
+    sess = [r for r in got if r["n_events"] == 2]
+    assert len(sess) == 1
+    assert sess[0]["session_end_us"] - sess[0]["session_start_us"] == 5 * 60 * 1_000_000

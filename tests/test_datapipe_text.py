@@ -59,3 +59,20 @@ def test_fingerprint_robust_to_case_punct_whitespace(docs):
     assert r[1]["fingerprint"] != r[3]["fingerprint"]
     # short doc takes the whole-string hash branch and still yields a value
     assert r[4]["fingerprint"] is not None
+
+
+def test_approx_quantiles_track_exact(spark, sf_dir):
+    """The percentile_approx scale twin of qan_latency_quantiles: the
+    t-digest sketch must stay within 5% relative error of the exact
+    interpolated percentiles (same pinning pattern as the HLL twin)."""
+    from pyspark.sql import functions as F
+
+    from project_obsidian_core_spark.plans.common import cents, load
+
+    ev = load(spark, sf_dir, "events").select(cents("value").alias("c"))
+    row = ev.agg(
+        F.expr("percentile(c, array(0.5, 0.95, 0.99))").alias("exact"),
+        F.expr("percentile_approx(c, array(0.5, 0.95, 0.99), 1000)").alias("approx"),
+    ).collect()[0]
+    for e, a in zip(row["exact"], row["approx"]):
+        assert abs(a - e) / e < 0.05, (e, a)
