@@ -57,6 +57,41 @@ LIMIT 10
 """
 
 
+def qan_top_digests_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same top-N contract as :func:`qan_top_digests`, computed through
+    the skew-immune salted two-phase aggregation (functions/skew.py) — the
+    path you switch to when one hot digest dominates the shuffle. Integer
+    partial sums merge exactly, so the oracle is IDENTICAL to the plain
+    formulation: salting must not change a single value."""
+    from project_obsidian_core_spark.functions.skew import salted_agg
+
+    ev = load(spark, sf_dir, "events")
+    agg = salted_agg(
+        ev.select("event_type", cents("value").alias("vc")),
+        keys=["event_type"],
+        aggs={
+            "total_calls": ("count", "vc"),
+            "total_value_cents": ("sum", "vc"),
+        },
+    )
+    return (
+        agg.withColumn(
+            "avg_value",
+            F.when(
+                F.col("total_calls") > 0,
+                (F.col("total_value_cents").cast("double") / 100.0) / F.col("total_calls"),
+            ).otherwise(F.lit(0.0)),
+        )
+        .orderBy(F.desc("total_value_cents"), F.asc("event_type"))
+        .limit(10)
+    )
+
+
+#: identical contract — the salted plan must reproduce the plain plan's
+#: values bit-for-bit
+ORACLE_qan_top_digests_salted = ORACLE_qan_top_digests
+
+
 # --------------------------------------------------------------------- Q2
 def qan_snapshot_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The core snapshot-delta operator (J1/W2/T2-T5) as a lag window.

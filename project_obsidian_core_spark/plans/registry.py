@@ -25,6 +25,7 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 _ENTRIES: list[tuple[str, QueryFn, str | None]] = [
     # QAN query shapes (SURVEY §2 — the reference's analytics surface)
     ("qan_top_digests", q.qan_top_digests, q.ORACLE_qan_top_digests),
+    ("qan_top_digests_salted", q.qan_top_digests_salted, q.ORACLE_qan_top_digests_salted),
     ("qan_snapshot_delta", q.qan_snapshot_delta, q.ORACLE_qan_snapshot_delta),
     ("qan_rollup_minute", q.qan_rollup_minute, q.ORACLE_qan_rollup_minute),
     ("qan_trend_5m", q.qan_trend_5m, q.ORACLE_qan_trend_5m),
