@@ -56,6 +56,7 @@ BENCH_QUERIES = [
     "corpus_pack",            # prefix-sum sequence packing
     "qan_latency_quantiles",  # exact per-digest percentiles (sort-heavy agg)
     "qan_new_digests",        # distinct-key anti join
+    "prepare_training_set",   # composed corpus-prep pipeline (one plan)
 ]
 
 

@@ -14,7 +14,9 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from project_obsidian_core_spark.datapipe import pipeline as P
+from project_obsidian_core_spark.datapipe.text import with_quality_score
 from project_obsidian_core_spark.plans.common import cents, load
+from project_obsidian_core_spark.plans.datapipe_queries import ORACLE_text_quality
 
 # ---------------------------------------------------------------- split ---
 _SPLITS = P.DEFAULT_SPLITS
@@ -172,6 +174,81 @@ WITH t AS (
     SELECT doc_id, source,
            CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
     FROM documents
+),
+p AS (
+    SELECT *,
+           COALESCE(SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                    0) AS prefix
+    FROM t
+)
+SELECT doc_id, source, n_tokens,
+       prefix // {_CTX_LEN} AS pack_id,
+       prefix % {_CTX_LEN} AS pack_offset
+FROM p
+ORDER BY source, doc_id
+"""
+
+
+# ----------------------------------------------- end-to-end composition ---
+_QUALITY_THRESH = 0.5
+
+#: the quality-score relation, reused verbatim from the text_quality oracle
+#: (strip its driver-facing ORDER BY for CTE embedding)
+_QUALITY_CTE = ORACLE_text_quality.rsplit("ORDER BY", 1)[0]
+
+
+def prepare_training_set(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full corpus-prep pipeline as ONE logical plan: quality filter →
+    exact-dedup keep-first → train split → sequence packing.
+
+    Each stage is the already-gated operator (text.with_quality_score,
+    md5 keep-first groups, pipeline.assign_splits, pipeline.pack_sequential)
+    composed declaratively, so Catalyst plans the whole thing end-to-end:
+    the quality score and split hash are per-row projections fused with the
+    scan; the only shuffles are the dedup groupBy and the per-shard packing
+    window — at 100 TB this is scan → 2 exchanges, no materialization
+    between stages.
+    """
+    docs = load(spark, sf_dir, "documents")
+    quality = with_quality_score(docs).select("doc_id", "quality_score")
+    kept = docs.join(quality, "doc_id").filter(
+        F.col("quality_score") >= _QUALITY_THRESH
+    )
+    first = kept.groupBy(F.md5("text").alias("h")).agg(
+        F.min("doc_id").alias("doc_id")
+    )
+    deduped = kept.join(first.select("doc_id"), "doc_id")
+    train = P.assign_splits(deduped, splits=_SPLITS, salt=_SPLIT_SALT).filter(
+        F.col("split") == "train"
+    )
+    with_tokens = train.select(
+        "doc_id",
+        "source",
+        F.size(F.split(F.col("text"), " ")).cast("long").alias("n_tokens"),
+    )
+    return P.pack_sequential(with_tokens, _CTX_LEN).orderBy("source", "doc_id")
+
+
+ORACLE_prepare_training_set = f"""
+WITH q AS ({_QUALITY_CTE}),
+kept AS (
+    SELECT d.doc_id, d.text, d.source
+    FROM documents d JOIN q USING (doc_id)
+    WHERE q.quality_score >= {_QUALITY_THRESH}
+),
+first AS (
+    SELECT min(doc_id) AS doc_id FROM kept GROUP BY md5(text)
+),
+dd AS (SELECT k.* FROM kept k JOIN first USING (doc_id)),
+tr AS (
+    SELECT * FROM dd
+    WHERE {_split_case_sql(_sql_hash60(f"'{_SPLIT_SALT}:' || CAST(doc_id AS VARCHAR)") + " % 1000")} = 'train'
+),
+t AS (
+    SELECT doc_id, source,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+    FROM tr
 ),
 p AS (
     SELECT *,

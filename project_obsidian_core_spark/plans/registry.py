@@ -90,6 +90,7 @@ _ENTRIES: list[tuple[str, QueryFn, str | None]] = [
     ("sessionize_events", pl.sessionize_events, pl.ORACLE_sessionize_events),
     ("session_window_stats", pl.session_window_stats, pl.ORACLE_session_window_stats),
     ("corpus_pack", pl.corpus_pack, pl.ORACLE_corpus_pack),
+    ("prepare_training_set", pl.prepare_training_set, pl.ORACLE_prepare_training_set),
     # Streaming stateful delta (applyInPandasWithState) vs batch-lag oracle
     ("stream_snapshot_delta", st.stream_snapshot_delta, st.ORACLE_stream_snapshot_delta),
 ]
