@@ -57,6 +57,11 @@ BENCH_QUERIES = [
     "qan_latency_quantiles",  # exact per-digest percentiles (sort-heavy agg)
     "qan_new_digests",        # distinct-key anti join
     "prepare_training_set",   # composed corpus-prep pipeline (one plan)
+    # corpus curation (round-2 batch 2)
+    "corpus_decontaminate",   # broadcast benchmark n-gram set + per-row intersect
+    "text_repetition_stats",  # per-row O(d·g) n-gram occurrence counting
+    "pii_scan_redact",        # chained regexp scan/replace
+    "vocab_build",            # explode + term-dim agg + windowless rank join
 ]
 
 

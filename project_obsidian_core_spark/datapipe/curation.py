@@ -1,0 +1,328 @@
+"""Corpus-curation operators for training-data pipelines.
+
+The cleaning/filtering stages a 100 TB pretraining corpus goes through
+between raw ingest and packing: benchmark decontamination (n-gram overlap
+against a held-out evaluation set), repetition-based quality filtering
+(Gopher-style duplicate/top n-gram fractions), PII detection + redaction,
+per-stratum balanced sampling, and vocabulary construction.
+
+These extend the reference's surface (it is a DB-observability engine with
+no corpus tooling); they are first-class here per SURVEY §2.11.
+
+Scale notes
+-----------
+- **Decontamination** never shuffles the corpus: the benchmark n-gram set is
+  aggregated to ONE row (benchmarks are ~10⁴-10⁶ n-grams — MMLU-sized, not
+  corpus-sized) and broadcast; overlap is then a per-row array intersection
+  pipelined with the scan. At 100 TB this is scan-bound, the optimum.
+- **Repetition stats** are pure per-row expressions (O(d·g) per doc where d
+  = distinct n-grams — bounded by document length, not corpus size).
+- **PII scan** is per-row regexp work inside WholeStageCodegen; the
+  redacted text never shuffles.
+- **Stratified sampling** joins a broadcast stratum-count relation (strata
+  are low-cardinality by construction) and filters on the shared salted
+  60-bit hash — deterministic under re-runs and repartitioning, like
+  pipeline.hash_sample.
+- **Vocabulary build** aggregates (term → count) — term dimension is tiny
+  relative to the corpus — caps with TakeOrderedAndProject (orderBy+limit,
+  no global-window sort), and ranks the ≤V survivors with a broadcast
+  nested-loop self-join instead of an unpartitioned row_number window, so
+  no stage ever funnels through a single task.
+
+Cross-engine determinism: the shared 60-bit md5 hash
+(:func:`datapipe.text.shared_hash60`); `floor()` before every double→long
+cast (DuckDB CAST rounds, Spark truncates); ratios are int/int → double
+divisions with fixed association order.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from project_obsidian_core_spark.datapipe.text import shared_hash60
+
+# ------------------------------------------------------------ constants ----
+
+#: word n-gram width for benchmark decontamination ("13-gram overlap" style
+#: exact-overlap checks, scaled to the synthetic corpus's ~55-token docs and
+#: 31-word vocabulary so both classes actually occur)
+DECON_NGRAM = 3
+
+#: doc_id modulus that designates the held-out "benchmark" slice
+DECON_BENCH_MOD = 25
+
+#: Gopher-style repetition thresholds (tuned to the synthetic corpus's
+#: distribution — dup2 p90≈0.065/max 0.133 — so both classes occur; the
+#: *shape* — dup-fraction OR top-fraction trip — is the rule)
+REP_DUP2_MAX = 0.09
+REP_TOP2_MAX = 0.10
+
+#: PII patterns (RE2-compatible: both Java regex and DuckDB accept these)
+EMAIL_RE = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+IPV4_RE = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+PHONE_RE = "\\b555-\\d{4}\\b"
+
+#: per-stratum target row count for balanced sampling
+STRATA_TARGET = 3.0
+
+#: vocabulary: minimum term frequency and vocabulary cap
+VOCAB_MIN_COUNT = 3
+VOCAB_CAP = 200
+
+
+def _toks(text_col: str) -> Column:
+    return F.split(F.col(text_col), " ")
+
+
+def word_ngrams(toks: Column, n: int) -> Column:
+    """Word n-grams of a token array as space-joined strings.
+
+    Guarded for short docs: Spark ``sequence(1, 0)`` returns ``[1, 0]``
+    (descending!), so the empty case is an explicit branch.
+    """
+    idx = F.sequence(F.lit(1), F.size(toks) - F.lit(n - 1))
+    grams = F.transform(idx, lambda i: F.array_join(F.slice(toks, i, n), " "))
+    return F.when(F.size(toks) >= n, grams).otherwise(
+        F.expr("cast(array() as array<string>)")
+    )
+
+
+# -------------------------------------------------------- decontamination --
+
+
+def decontaminate(
+    df: DataFrame,
+    text_col: str = "text",
+    n: int = DECON_NGRAM,
+    bench_mod: int = DECON_BENCH_MOD,
+) -> DataFrame:
+    """Benchmark decontamination: flag training documents sharing any word
+    n-gram with the held-out benchmark slice (``doc_id % bench_mod == 0``).
+
+    The standard eval-set overlap check (GPT-3 App. C / Gopher style): build
+    the benchmark's n-gram set, mark a training doc contaminated if any of
+    its n-grams appears in the set. N-grams are compared via the shared
+    60-bit hash so only fixed-width longs ever move.
+
+    Plan shape: benchmark n-grams → ONE collected-set row → broadcast cross
+    join → per-row ``array_intersect``-style filter. The corpus side is a
+    narrow projection with no shuffle; at 100 TB it runs at scan speed.
+    """
+    toks = _toks(text_col)
+    grams = F.array_distinct(
+        F.transform(
+            word_ngrams(toks, n), lambda g: shared_hash60(g)
+        )
+    )
+    d = df.select("doc_id", grams.alias("_grams"))
+    bench = (
+        d.filter(F.col("doc_id") % bench_mod == 0)
+        .select(F.explode("_grams").alias("g"))
+        .agg(F.collect_set("g").alias("_bench"))
+    )
+    train = d.filter(F.col("doc_id") % bench_mod != 0).crossJoin(F.broadcast(bench))
+    overlap = F.size(
+        F.filter(F.col("_grams"), lambda x: F.array_contains(F.col("_bench"), x))
+    )
+    return train.select(
+        "doc_id",
+        F.size("_grams").cast("long").alias("n_ngrams"),
+        overlap.cast("long").alias("n_overlap"),
+        (overlap > 0).alias("contaminated"),
+    )
+
+
+# ------------------------------------------------------- repetition stats --
+
+
+def repetition_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Gopher-style repetition quality signals per document.
+
+    - ``dup_2gram_frac`` / ``dup_3gram_frac``: fraction of n-gram slots
+      occupied by repeats (1 − distinct/total).
+    - ``top_2gram_frac``: fraction of slots taken by the single most
+      frequent 2-gram (the "fraction of characters in most common n-gram"
+      rule, in token space).
+    - ``repetitive``: trips when either signal exceeds its threshold.
+
+    Pure per-row expressions; the occurrence count is O(d·g) per row with
+    d = distinct 2-grams, bounded by document length — no shuffle anywhere.
+    """
+    toks = _toks(text_col)
+    g2 = word_ngrams(toks, 2)
+    g3 = word_ngrams(toks, 3)
+
+    def dup_frac(g: Column) -> Column:
+        n = F.size(g)
+        return F.when(
+            n > 0,
+            F.lit(1.0) - F.size(F.array_distinct(g)).cast("double") / n,
+        ).otherwise(F.lit(0.0))
+
+    d = df.select("doc_id", g2.alias("_g2"), g3.alias("_g3"))
+    counts2 = F.transform(
+        F.array_distinct(F.col("_g2")),
+        lambda dg: F.size(F.filter(F.col("_g2"), lambda x: x == dg)),
+    )
+    top_count = F.when(F.size("_g2") > 0, F.array_max(counts2)).otherwise(F.lit(0))
+    top2 = F.when(
+        F.size("_g2") > 0,
+        F.array_max(counts2).cast("double") / F.size("_g2"),
+    ).otherwise(F.lit(0.0))
+    # the top-fraction rule only fires when the top gram actually repeats —
+    # otherwise every short all-distinct doc trips on 1/n
+    return d.select(
+        "doc_id",
+        dup_frac(F.col("_g2")).alias("dup_2gram_frac"),
+        dup_frac(F.col("_g3")).alias("dup_3gram_frac"),
+        top2.alias("top_2gram_frac"),
+        (
+            (dup_frac(F.col("_g2")) > REP_DUP2_MAX)
+            | ((top2 > REP_TOP2_MAX) & (top_count >= 2))
+        ).alias("repetitive"),
+    )
+
+
+# ---------------------------------------------------------------- PII scan --
+
+
+def with_synthetic_pii(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Deterministically inject PII-shaped spans (the image/audio stub
+    pattern: the container has no real PII corpus, so the fixture derives
+    from ``doc_id`` — every doc gets an email, every 3rd an IPv4, every 5th
+    a phone number), producing the ``enriched`` column the scanner reads."""
+    did = F.col("doc_id")
+    enriched = F.concat(
+        F.col(text_col),
+        F.lit(" contact user"),
+        did.cast("string"),
+        F.lit("@mail.example.com"),
+        F.when(
+            did % 3 == 0,
+            F.concat(
+                F.lit(" ip 10.0."),
+                (did % 256).cast("string"),
+                F.lit("."),
+                ((did * 7) % 256).cast("string"),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            did % 5 == 0,
+            F.concat(F.lit(" tel 555-"), F.lpad((did % 10000).cast("string"), 4, "0")),
+        ).otherwise(F.lit("")),
+    )
+    return df.withColumn("enriched", enriched)
+
+
+def pii_scan(df: DataFrame, text_col: str = "enriched") -> DataFrame:
+    """PII detection + redaction: count and mask emails, IPv4s, phone
+    numbers. Counts and the redacted text's (length, 60-bit hash) are the
+    verifiable output; the redaction itself is chained ``regexp_replace``
+    (email → ip → phone, fixed order) inside WholeStageCodegen."""
+    t = F.col(text_col)
+    redacted = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(t, EMAIL_RE, "<EMAIL>"), IPV4_RE, "<IP>"
+        ),
+        PHONE_RE,
+        "<PHONE>",
+    )
+    return df.select(
+        "doc_id",
+        F.size(F.regexp_extract_all(t, F.lit(EMAIL_RE), F.lit(0)))
+        .cast("long")
+        .alias("n_emails"),
+        F.size(F.regexp_extract_all(t, F.lit(IPV4_RE), F.lit(0)))
+        .cast("long")
+        .alias("n_ips"),
+        F.size(F.regexp_extract_all(t, F.lit(PHONE_RE), F.lit(0)))
+        .cast("long")
+        .alias("n_phones"),
+        F.length(redacted).cast("long").alias("redacted_len"),
+        shared_hash60(redacted).alias("redacted_hash"),
+    )
+
+
+# ------------------------------------------------------ stratified sample --
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata: tuple[str, ...] = ("lang", "source"),
+    target: float = STRATA_TARGET,
+    key_col: str = "doc_id",
+    salt: str = "strat",
+) -> DataFrame:
+    """Per-stratum balanced sampling: each stratum keeps ~``target`` rows,
+    so over-represented strata are downsampled and rare strata survive
+    whole — the rebalancing pass a source/language-skewed crawl needs.
+
+    fraction = min(1, target / stratum_n); keep iff
+    ``hash60(salt:key) % 1e6 < floor(fraction · 1e6)``. The integer
+    threshold avoids double comparison drift; ``floor`` before the long
+    cast because DuckDB CAST rounds where Spark truncates.
+
+    Plan: one broadcast join of the (tiny) stratum-count relation + a
+    per-row hash filter. The corpus shuffles zero times.
+    """
+    counts = df.groupBy(*strata).agg(F.count(F.lit(1)).alias("stratum_n"))
+    joined = df.join(F.broadcast(counts), list(strata))
+    thr = F.floor(
+        F.least(F.lit(1.0), F.lit(target) / F.col("stratum_n")) * F.lit(1_000_000)
+    )
+    keep = (
+        shared_hash60(F.concat(F.lit(salt + ":"), F.col(key_col).cast("string")))
+        % 1_000_000
+    ) < thr
+    return joined.filter(keep).select(
+        key_col, *strata, F.col("stratum_n").cast("long").alias("stratum_n")
+    )
+
+
+# ------------------------------------------------------- vocabulary build --
+
+
+def build_vocab(
+    df: DataFrame,
+    text_col: str = "text",
+    min_count: int = VOCAB_MIN_COUNT,
+    cap: int = VOCAB_CAP,
+) -> DataFrame:
+    """Corpus vocabulary over unigrams + bigrams: term frequency, document
+    frequency, and a dense ``vocab_id`` by (count desc, term asc).
+
+    Plan shape, chosen for scale:
+    - explode → groupBy(term): the only corpus-wide shuffle, on the tiny
+      term dimension (map-side partial aggregation applies).
+    - the cap is ``orderBy(count desc, term).limit(cap)`` —
+      TakeOrderedAndProject, NOT a global sort.
+    - ``vocab_id`` = 1 + number of strictly-preceding survivors, via a
+      broadcast nested-loop self-join over the ≤cap rows — deliberately not
+      an unpartitioned ``row_number`` window (which would funnel the
+      relation through one task and warn; see VERDICT r1 item 4). cap² ≤
+      4·10⁴ comparisons here, bounded by cap, not the corpus.
+    """
+    toks = _toks(text_col)
+    terms = F.concat(toks, word_ngrams(toks, 2))
+    pairs = df.select("doc_id", F.explode(terms).alias("term"))
+    counts = (
+        pairs.groupBy("term")
+        .agg(
+            F.count(F.lit(1)).alias("term_count"),
+            F.countDistinct("doc_id").alias("doc_freq"),
+        )
+        .filter(F.col("term_count") >= min_count)
+    )
+    top = counts.orderBy(F.desc("term_count"), F.asc("term")).limit(cap)
+    a, b = top.alias("a"), top.alias("b")
+    before = (F.col("b.term_count") > F.col("a.term_count")) | (
+        (F.col("b.term_count") == F.col("a.term_count"))
+        & (F.col("b.term") < F.col("a.term"))
+    )
+    return (
+        a.join(F.broadcast(b), before, "left")
+        .groupBy("a.term", "a.term_count", "a.doc_freq")
+        .agg((F.count("b.term") + 1).alias("vocab_id"))
+        .select("term", "term_count", "doc_freq", "vocab_id")
+    )

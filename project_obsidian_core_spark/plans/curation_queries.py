@@ -1,0 +1,186 @@
+"""Driver-facing query wrappers for the corpus-curation operators.
+
+Every oracle SQL string is generated from the SAME constants as the Spark
+operator (n-gram widths, thresholds, regexes, targets) so the two sides
+cannot drift. Determinism rules per plans/common.py; notable here:
+``floor()`` before every double→long cast (DuckDB CAST rounds, Spark
+truncates) and the shared 60-bit md5 hash for every string that becomes a
+join/compare key.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from project_obsidian_core_spark.datapipe import curation as C
+from project_obsidian_core_spark.plans.common import load
+
+#: DuckDB twin of datapipe.text.shared_hash60
+def _h60(expr: str) -> str:
+    return f"CAST('0x' || substr(md5({expr}), 1, 15) AS BIGINT)"
+
+
+def _ngrams(toks: str, n: int) -> str:
+    """DuckDB word-n-gram list comprehension (empty for short docs, matching
+    the Spark operator's guarded branch)."""
+    return (
+        f"[array_to_string({toks}[i:i+{n - 1}], ' ') "
+        f"FOR i IN generate_series(1, len({toks}) - {n - 1})]"
+    )
+
+
+# --------------------------------------------------------- decontamination
+def corpus_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark n-gram overlap decontamination over documents."""
+    return C.decontaminate(load(spark, sf_dir, "documents")).orderBy("doc_id")
+
+
+ORACLE_corpus_decontaminate = f"""
+WITH t AS (
+    SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+), g0 AS (
+    SELECT doc_id, {_ngrams('toks', C.DECON_NGRAM)} AS grams FROM t
+), g AS (
+    SELECT doc_id,
+           list_distinct(list_transform(grams, s -> {_h60('s')})) AS grams
+    FROM g0
+), bench AS (
+    SELECT list(DISTINCT gg) AS bl
+    FROM (SELECT unnest(grams) AS gg FROM g WHERE doc_id % {C.DECON_BENCH_MOD} = 0)
+)
+SELECT doc_id,
+       len(grams) AS n_ngrams,
+       len(list_filter(grams, x -> list_contains(bl, x))) AS n_overlap,
+       len(list_filter(grams, x -> list_contains(bl, x))) > 0 AS contaminated
+FROM g CROSS JOIN bench
+WHERE doc_id % {C.DECON_BENCH_MOD} <> 0
+ORDER BY doc_id
+"""
+
+
+# -------------------------------------------------------- repetition stats
+def text_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style duplicate/top n-gram fractions per document."""
+    return C.repetition_stats(load(spark, sf_dir, "documents")).orderBy("doc_id")
+
+
+ORACLE_text_repetition_stats = f"""
+WITH t AS (
+    SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+), g AS (
+    SELECT doc_id,
+           {_ngrams('toks', 2)} AS g2,
+           {_ngrams('toks', 3)} AS g3
+    FROM t
+), f AS (
+    SELECT doc_id,
+           CASE WHEN len(g2) > 0
+                THEN 1.0 - CAST(len(list_distinct(g2)) AS DOUBLE) / len(g2)
+                ELSE 0.0 END AS dup_2gram_frac,
+           CASE WHEN len(g3) > 0
+                THEN 1.0 - CAST(len(list_distinct(g3)) AS DOUBLE) / len(g3)
+                ELSE 0.0 END AS dup_3gram_frac,
+           CASE WHEN len(g2) > 0
+                THEN CAST(list_max(list_transform(list_distinct(g2),
+                          d -> len(list_filter(g2, x -> x = d)))) AS DOUBLE) / len(g2)
+                ELSE 0.0 END AS top_2gram_frac,
+           CASE WHEN len(g2) > 0
+                THEN list_max(list_transform(list_distinct(g2),
+                          d -> len(list_filter(g2, x -> x = d))))
+                ELSE 0 END AS top_count
+    FROM g
+)
+SELECT doc_id, dup_2gram_frac, dup_3gram_frac, top_2gram_frac,
+       (dup_2gram_frac > {C.REP_DUP2_MAX}
+        OR (top_2gram_frac > {C.REP_TOP2_MAX} AND top_count >= 2)) AS repetitive
+FROM f
+ORDER BY doc_id
+"""
+
+
+# ---------------------------------------------------------------- PII scan
+def pii_scan_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII detect + redact over the deterministic synthetic-PII fixture."""
+    docs = C.with_synthetic_pii(load(spark, sf_dir, "documents"))
+    return C.pii_scan(docs).orderBy("doc_id")
+
+
+ORACLE_pii_scan_redact = f"""
+WITH e AS (
+    SELECT doc_id,
+           text || ' contact user' || CAST(doc_id AS VARCHAR) || '@mail.example.com'
+           || CASE WHEN doc_id % 3 = 0
+                   THEN ' ip 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.'
+                        || CAST((doc_id * 7) % 256 AS VARCHAR)
+                   ELSE '' END
+           || CASE WHEN doc_id % 5 = 0
+                   THEN ' tel 555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                   ELSE '' END AS enriched
+    FROM documents
+), r AS (
+    SELECT doc_id, enriched,
+           regexp_replace(regexp_replace(regexp_replace(enriched,
+               '{C.EMAIL_RE}', '<EMAIL>', 'g'),
+               '{C.IPV4_RE}', '<IP>', 'g'),
+               '{C.PHONE_RE}', '<PHONE>', 'g') AS red
+    FROM e
+)
+SELECT doc_id,
+       len(regexp_extract_all(enriched, '{C.EMAIL_RE}')) AS n_emails,
+       len(regexp_extract_all(enriched, '{C.IPV4_RE}')) AS n_ips,
+       len(regexp_extract_all(enriched, '{C.PHONE_RE}')) AS n_phones,
+       length(red) AS redacted_len,
+       {_h60('red')} AS redacted_hash
+FROM r
+ORDER BY doc_id
+"""
+
+
+# ------------------------------------------------------- stratified sample
+def corpus_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(lang, source)-stratum balanced hash sampling."""
+    return C.stratified_sample(load(spark, sf_dir, "documents")).orderBy("doc_id")
+
+
+ORACLE_corpus_stratified_sample = f"""
+WITH c AS (
+    SELECT lang, source, count(*) AS stratum_n
+    FROM documents GROUP BY lang, source
+), j AS (
+    SELECT d.doc_id, d.lang, d.source, c.stratum_n
+    FROM documents d JOIN c USING (lang, source)
+)
+SELECT doc_id, lang, source, stratum_n
+FROM j
+WHERE {_h60("'strat:' || CAST(doc_id AS VARCHAR)")} % 1000000
+      < CAST(floor(least(1.0, {C.STRATA_TARGET} / stratum_n) * 1000000) AS BIGINT)
+ORDER BY doc_id
+"""
+
+
+# --------------------------------------------------------- vocabulary build
+def vocab_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Capped unigram+bigram vocabulary with dense ids."""
+    return C.build_vocab(load(spark, sf_dir, "documents")).orderBy("vocab_id")
+
+
+ORACLE_vocab_build = f"""
+WITH t AS (
+    SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+), u AS (
+    SELECT doc_id, list_concat(toks, {_ngrams('toks', 2)}) AS terms FROM t
+), p AS (
+    SELECT doc_id, unnest(terms) AS term FROM u
+), c AS (
+    SELECT term, count(*) AS term_count, count(DISTINCT doc_id) AS doc_freq
+    FROM p GROUP BY term
+    HAVING count(*) >= {C.VOCAB_MIN_COUNT}
+), v AS (
+    SELECT term, term_count, doc_freq
+    FROM c ORDER BY term_count DESC, term LIMIT {C.VOCAB_CAP}
+)
+SELECT term, term_count, doc_freq,
+       row_number() OVER (ORDER BY term_count DESC, term) AS vocab_id
+FROM v
+ORDER BY vocab_id
+"""

@@ -11,6 +11,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 from project_obsidian_core_spark.plans import analytics_ext_queries as ax
+from project_obsidian_core_spark.plans import curation_queries as cu
 from project_obsidian_core_spark.plans import datapipe_queries as d
 from project_obsidian_core_spark.plans import metrics_queries as m
 from project_obsidian_core_spark.plans import qan_queries as q
@@ -91,6 +92,17 @@ _ENTRIES: list[tuple[str, QueryFn, str | None]] = [
     ("session_window_stats", pl.session_window_stats, pl.ORACLE_session_window_stats),
     ("corpus_pack", pl.corpus_pack, pl.ORACLE_corpus_pack),
     ("prepare_training_set", pl.prepare_training_set, pl.ORACLE_prepare_training_set),
+    # Training-data pipeline: corpus curation (decontamination / repetition /
+    # PII / balanced sampling / vocabulary)
+    ("corpus_decontaminate", cu.corpus_decontaminate, cu.ORACLE_corpus_decontaminate),
+    ("text_repetition_stats", cu.text_repetition_stats, cu.ORACLE_text_repetition_stats),
+    ("pii_scan_redact", cu.pii_scan_redact, cu.ORACLE_pii_scan_redact),
+    (
+        "corpus_stratified_sample",
+        cu.corpus_stratified_sample,
+        cu.ORACLE_corpus_stratified_sample,
+    ),
+    ("vocab_build", cu.vocab_build, cu.ORACLE_vocab_build),
     # Streaming stateful delta (applyInPandasWithState) vs batch-lag oracle
     ("stream_snapshot_delta", st.stream_snapshot_delta, st.ORACLE_stream_snapshot_delta),
 ]

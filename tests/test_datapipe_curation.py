@@ -1,0 +1,117 @@
+"""Corpus-curation operator semantics on hand-built fixtures."""
+
+from __future__ import annotations
+
+import pytest
+
+from project_obsidian_core_spark.datapipe import curation as C
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        # doc 0 is the "benchmark" doc (0 % DECON_BENCH_MOD == 0)
+        (0, "alpha beta gamma delta epsilon zeta", "en", "srcA"),
+        (1, "alpha beta gamma other words here entirely", "en", "srcA"),  # overlaps 0
+        (2, "nothing shared with that benchmark document at all", "en", "srcA"),
+        (3, "spam spam spam spam spam spam spam spam", "en", "srcB"),  # repetitive
+        (4, "xy", "fr", "srcB"),  # shorter than any n-gram
+        (5, "one two three four five six seven eight nine ten", "fr", "srcB"),
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text", "lang", "source"])
+
+
+def by_id(df, key="doc_id"):
+    return {r[key]: r.asDict() for r in df.collect()}
+
+
+def test_decontaminate_flags_overlap(docs):
+    r = by_id(C.decontaminate(docs, n=3, bench_mod=25))
+    assert 0 not in r  # benchmark docs are excluded from the output
+    assert r[1]["contaminated"] and r[1]["n_overlap"] >= 1  # shares 'alpha beta gamma'
+    assert not r[2]["contaminated"] and r[2]["n_overlap"] == 0
+    assert r[4]["n_ngrams"] == 0 and not r[4]["contaminated"]  # short-doc guard
+
+
+def test_repetition_stats(docs):
+    r = by_id(C.repetition_stats(docs))
+    # 'spam' x8 -> 7 identical 2-grams: dup frac 6/7, top frac 7/7
+    assert r[3]["dup_2gram_frac"] == pytest.approx(6 / 7)
+    assert r[3]["top_2gram_frac"] == pytest.approx(1.0)
+    assert r[3]["repetitive"]
+    # all-distinct tokens -> zero repetition; top frac 1/9 does NOT trip
+    # because the top gram appears only once (the >=2 occurrence guard)
+    assert r[5]["dup_2gram_frac"] == 0.0
+    assert r[5]["top_2gram_frac"] == pytest.approx(1 / 9)
+    assert not r[5]["repetitive"]
+    # short doc: no 2-grams, guarded to zeros
+    assert r[4]["dup_2gram_frac"] == 0.0 and r[4]["top_2gram_frac"] == 0.0
+
+
+def test_pii_scan_counts_and_redacts(docs):
+    r = by_id(C.pii_scan(C.with_synthetic_pii(docs)))
+    for d in r.values():
+        assert d["n_emails"] == 1  # every doc gets exactly one injected email
+    assert r[3]["n_ips"] == 1 and r[1]["n_ips"] == 0  # doc_id % 3
+    assert r[5]["n_phones"] == 1 and r[1]["n_phones"] == 0  # doc_id % 5
+    # redaction replaced every detected span
+    from pyspark.sql import functions as F
+
+    enriched = C.with_synthetic_pii(docs)
+    red = enriched.select(
+        "doc_id",
+        F.regexp_replace(
+            F.regexp_replace(
+                F.regexp_replace("enriched", C.EMAIL_RE, "<EMAIL>"),
+                C.IPV4_RE,
+                "<IP>",
+            ),
+            C.PHONE_RE,
+            "<PHONE>",
+        ).alias("red"),
+    )
+    rr = by_id(red)
+    assert "<EMAIL>" in rr[1]["red"] and "@" not in rr[1]["red"]
+    assert "<IP>" in rr[3]["red"]
+    assert "<PHONE>" in rr[5]["red"]
+
+
+def test_stratified_sample_caps_strata(spark):
+    from pyspark.sql import functions as F
+
+    # 100 docs in stratum A, 2 in stratum B: A is downsampled toward the
+    # target, B survives whole (fraction clamps to 1.0)
+    rows = [(i, "t", "en", "big") for i in range(100)] + [
+        (1000, "t", "en", "small"),
+        (1001, "t", "en", "small"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "lang", "source"])
+    out = C.stratified_sample(df, target=10.0)
+    got = out.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()
+    n = {r["source"]: r["n"] for r in got}
+    assert n.get("small") == 2  # clamp keeps the whole rare stratum
+    assert 2 <= n.get("big", 0) <= 30  # ~10 expected from 100 at f=0.1
+    # determinism: same input -> identical sample
+    again = C.stratified_sample(df, target=10.0)
+    assert sorted(r["doc_id"] for r in out.collect()) == sorted(
+        r["doc_id"] for r in again.collect()
+    )
+
+
+def test_vocab_build_ids_dense_and_ordered(docs):
+    v = C.build_vocab(docs, min_count=2, cap=5).orderBy("vocab_id").collect()
+    assert len(v) <= 5
+    ids = [r["vocab_id"] for r in v]
+    assert ids == list(range(1, len(v) + 1))  # dense, 1-based
+    counts = [r["term_count"] for r in v]
+    assert counts == sorted(counts, reverse=True)  # ranked by frequency
+    # 'spam' (8 occurrences) must be the top term
+    assert v[0]["term"] == "spam"
+    # bigrams participate: 'spam spam' (7 occurrences) ranks second
+    assert v[1]["term"] == "spam spam"
+
+
+def test_vocab_no_single_partition_window(docs):
+    # the rank join must not plan a Window at all (scale guard)
+    plan = C.build_vocab(docs)._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan
