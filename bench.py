@@ -62,6 +62,7 @@ BENCH_QUERIES = [
     "text_repetition_stats",  # per-row O(d·g) n-gram occurrence counting
     "pii_scan_redact",        # chained regexp scan/replace
     "vocab_build",            # explode + term-dim agg + windowless rank join
+    "embedding_kmeans",       # 3 broadcast-argmin passes + 2 centroid shuffles
 ]
 
 

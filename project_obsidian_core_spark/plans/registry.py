@@ -11,6 +11,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 from project_obsidian_core_spark.plans import analytics_ext_queries as ax
+from project_obsidian_core_spark.plans import clustering_queries as km
 from project_obsidian_core_spark.plans import curation_queries as cu
 from project_obsidian_core_spark.plans import datapipe_queries as d
 from project_obsidian_core_spark.plans import metrics_queries as m
@@ -103,6 +104,8 @@ _ENTRIES: list[tuple[str, QueryFn, str | None]] = [
         cu.ORACLE_corpus_stratified_sample,
     ),
     ("vocab_build", cu.vocab_build, cu.ORACLE_vocab_build),
+    # Training-data pipeline: embedding clustering (quantized Lloyd k-means)
+    ("embedding_kmeans", km.embedding_kmeans, km.ORACLE_embedding_kmeans),
     # Streaming stateful delta (applyInPandasWithState) vs batch-lag oracle
     ("stream_snapshot_delta", st.stream_snapshot_delta, st.ORACLE_stream_snapshot_delta),
 ]
