@@ -63,6 +63,7 @@ BENCH_QUERIES = [
     "pii_scan_redact",        # chained regexp scan/replace
     "vocab_build",            # explode + term-dim agg + windowless rank join
     "embedding_kmeans",       # 3 broadcast-argmin passes + 2 centroid shuffles
+    "corpus_tile_dedup",      # explode + hash-window first-occurrence + reassembly
 ]
 
 

@@ -158,6 +158,50 @@ ORDER BY doc_id
 """
 
 
+# ----------------------------------------------------- tile substring dedup
+def corpus_tile_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document exact tile dedup with in-order reassembly."""
+    return C.tile_dedup(load(spark, sf_dir, "documents")).orderBy("doc_id")
+
+
+ORACLE_corpus_tile_dedup = f"""
+WITH t AS (
+    SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+), tl0 AS (
+    SELECT doc_id,
+           unnest([{{'idx': i, 'tile': array_to_string(
+                       toks[((i - 1) * {C.TILE_TOKENS} + 1):(i * {C.TILE_TOKENS})], ' ')}}
+                   FOR i IN generate_series(1,
+                       (len(toks) + {C.TILE_TOKENS - 1}) // {C.TILE_TOKENS})]) AS s
+    FROM t
+), tl AS (
+    SELECT doc_id, s.idx AS tile_idx, s.tile AS tile,
+           {_h60('s.tile')} AS tile_hash
+    FROM tl0
+), w AS (
+    SELECT *,
+           (doc_id * {C.TILE_IDX_SPAN} + tile_idx) =
+               min(doc_id * {C.TILE_IDX_SPAN} + tile_idx)
+                   OVER (PARTITION BY tile_hash) AS keep
+    FROM tl
+), agg AS (
+    SELECT doc_id,
+           count(*) AS n_tiles,
+           sum(CASE WHEN keep THEN 1 ELSE 0 END) AS n_kept,
+           -- list() over zero kept rows is NULL in DuckDB; Spark's
+           -- collect_list is an empty array -> coalesce to match
+           coalesce(array_to_string(list(tile ORDER BY tile_idx)
+                                        FILTER (WHERE keep), ' '), '')
+               AS kept_text
+    FROM w GROUP BY doc_id
+)
+SELECT doc_id, n_tiles, CAST(n_kept AS BIGINT) AS n_kept,
+       length(kept_text) AS dedup_len, {_h60('kept_text')} AS dedup_hash
+FROM agg
+ORDER BY doc_id
+"""
+
+
 # --------------------------------------------------------- vocabulary build
 def vocab_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Capped unigram+bigram vocabulary with dense ids."""

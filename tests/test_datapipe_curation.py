@@ -98,6 +98,36 @@ def test_stratified_sample_caps_strata(spark):
     )
 
 
+def test_tile_dedup_drops_repeats_keeps_first(spark):
+    rows = [
+        # doc 1: tiles [a b] [c d]; doc 2 repeats [a b] then new [e f];
+        # doc 3 is entirely doc 1's content -> everything dropped
+        (1, "a b c d"),
+        (2, "a b e f"),
+        (3, "a b c d"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    r = {x["doc_id"]: x.asDict() for x in C.tile_dedup(df, tile=2).collect()}
+    assert r[1]["n_tiles"] == 2 and r[1]["n_kept"] == 2  # first occurrences survive
+    assert r[2]["n_kept"] == 1  # 'a b' already seen in doc 1
+    assert r[3]["n_kept"] == 0 and r[3]["dedup_len"] == 0  # fully duplicate doc
+    # reassembly preserves tile order: doc 2 keeps 'e f'
+    from project_obsidian_core_spark.datapipe.text import shared_hash60
+    from pyspark.sql import functions as F
+
+    expect = df.limit(0).sparkSession.range(1).select(
+        shared_hash60(F.lit("e f")).alias("h")
+    ).collect()[0]["h"]
+    assert r[2]["dedup_hash"] == expect
+
+
+def test_tile_dedup_partial_last_tile(spark):
+    # 5 tokens with tile=2 -> 3 tiles, last tile is the single trailing token
+    df = spark.createDataFrame([(1, "a b c d e")], ["doc_id", "text"])
+    r = C.tile_dedup(df, tile=2).collect()[0]
+    assert r["n_tiles"] == 3 and r["n_kept"] == 3
+
+
 def test_vocab_build_ids_dense_and_ordered(docs):
     v = C.build_vocab(docs, min_count=2, cap=5).orderBy("vocab_id").collect()
     assert len(v) <= 5
