@@ -64,6 +64,8 @@ BENCH_QUERIES = [
     "vocab_build",            # explode + term-dim agg + windowless rank join
     "embedding_kmeans",       # 3 broadcast-argmin passes + 2 centroid shuffles
     "corpus_tile_dedup",      # explode + hash-window first-occurrence + reassembly
+    "events_asof_join",       # union + carry-forward window (vs DuckDB native ASOF)
+    "events_range_join",      # binned equi-join, constant fan-out
 ]
 
 

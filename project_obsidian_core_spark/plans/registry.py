@@ -19,6 +19,7 @@ from project_obsidian_core_spark.plans import qan_queries as q
 from project_obsidian_core_spark.plans import otlp_queries as o
 from project_obsidian_core_spark.plans import pipeline_queries as pl
 from project_obsidian_core_spark.plans import relational_queries as r
+from project_obsidian_core_spark.plans import temporal_queries as tj
 from project_obsidian_core_spark.plans import status_queries as sq
 from project_obsidian_core_spark.plans import streaming_queries as st
 
@@ -66,6 +67,9 @@ _ENTRIES: list[tuple[str, QueryFn, str | None]] = [
     ("regional_revenue", r.regional_revenue, r.ORACLE_regional_revenue),
     ("customer_order_stats", r.customer_order_stats, r.ORACLE_customer_order_stats),
     ("cte_order_summary", r.cte_order_summary, r.ORACLE_cte_order_summary),
+    # Temporal joins (as-of / binned range) — §2.3 extensions
+    ("events_asof_join", tj.events_asof_join, tj.ORACLE_events_asof_join),
+    ("events_range_join", tj.events_range_join, tj.ORACLE_events_range_join),
     # Training-data pipeline: text analysis (SURVEY §7.2 phase 5)
     ("text_token_stats", d.text_token_stats, d.ORACLE_text_token_stats),
     ("text_quality", d.text_quality, d.ORACLE_text_quality),

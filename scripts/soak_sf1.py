@@ -23,6 +23,8 @@ sys.path.insert(0, REPO)
 
 from pyspark.sql import functions as F  # noqa: E402
 
+from project_obsidian_core_spark.datapipe import clustering as KM  # noqa: E402
+from project_obsidian_core_spark.datapipe import curation as C  # noqa: E402
 from project_obsidian_core_spark.datapipe import dedup as D  # noqa: E402
 from project_obsidian_core_spark.datapipe import similarity as S  # noqa: E402
 from project_obsidian_core_spark.plans.common import load  # noqa: E402
@@ -37,6 +39,7 @@ def replicate_docs(spark, replicas: int):
     return docs.crossJoin(r).select(
         (F.col("doc_id") + F.col("rep") * F.lit(1_000_000)).alias("doc_id"),
         F.concat(F.col("text"), F.lit(" r"), F.col("rep")).alias("text"),
+        "lang",
         "source",
     )
 
@@ -122,6 +125,60 @@ def main():
         .collect()[0]
     )
     print(json.dumps({"op": "ann_bucket_stats", **bucket_stats.asDict()}), flush=True)
+
+    # --- round-2 curation/clustering operators -------------------------------
+
+    def run_decon():
+        out = C.decontaminate(docs)
+        r = out.agg(
+            F.count(F.lit(1)).alias("docs"),
+            F.sum(F.col("contaminated").cast("long")).alias("contaminated"),
+        ).collect()[0]
+        return r.asDict()
+
+    timed("corpus_decontaminate", run_decon)
+
+    def run_rep():
+        out = C.repetition_stats(docs)
+        r = out.agg(
+            F.count(F.lit(1)).alias("docs"),
+            F.sum(F.col("repetitive").cast("long")).alias("repetitive"),
+        ).collect()[0]
+        return r.asDict()
+
+    timed("text_repetition_stats", run_rep)
+
+    def run_tile():
+        out = C.tile_dedup(docs)
+        r = out.agg(
+            F.sum("n_tiles").alias("tiles"), F.sum("n_kept").alias("kept")
+        ).collect()[0]
+        return {
+            "tiles": r["tiles"],
+            "kept": r["kept"],
+            "kept_frac": round(r["kept"] / r["tiles"], 4),
+        }
+
+    timed("corpus_tile_dedup", run_tile)
+
+    timed(
+        "vocab_build",
+        lambda: {"terms": C.build_vocab(docs).count()},
+    )
+
+    timed(
+        "stratified_sample",
+        lambda: {"rows": C.stratified_sample(docs, target=500.0).count()},
+    )
+
+    def run_kmeans():
+        out = KM.embedding_kmeans(emb).groupBy("cluster").count()
+        r = out.agg(
+            F.count(F.lit(1)).alias("clusters"), F.max("count").alias("max_cluster")
+        ).collect()[0]
+        return r.asDict()
+
+    timed("embedding_kmeans", run_kmeans)
 
 
 if __name__ == "__main__":
