@@ -66,6 +66,7 @@ BENCH_QUERIES = [
     "corpus_tile_dedup",      # explode + hash-window first-occurrence + reassembly
     "events_asof_join",       # union + carry-forward window (vs DuckDB native ASOF)
     "events_range_join",      # binned equi-join, constant fan-out
+    "stream_range_join",      # watermarked stream-stream interval join replay
 ]
 
 

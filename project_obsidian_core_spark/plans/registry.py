@@ -113,6 +113,8 @@ _ENTRIES: list[tuple[str, QueryFn, str | None]] = [
     ("embedding_kmeans", km.embedding_kmeans, km.ORACLE_embedding_kmeans),
     # Streaming stateful delta (applyInPandasWithState) vs batch-lag oracle
     ("stream_snapshot_delta", st.stream_snapshot_delta, st.ORACLE_stream_snapshot_delta),
+    # Stream-stream interval join vs the BATCH range-join oracle (equivalence)
+    ("stream_range_join", st.stream_range_join, tj.ORACLE_events_range_join),
 ]
 
 QUERIES: dict[str, QueryFn] = {name: fn for name, fn, _ in _ENTRIES}

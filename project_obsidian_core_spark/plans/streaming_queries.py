@@ -174,3 +174,61 @@ WHERE l.snap_ts > i.inst_first
             THEN l.count_star ELSE l.count_star - l.pc END) > 0
 ORDER BY l.instance_id, l.digest, snapshot_ts
 """
+
+
+# ------------------------------------------------- stream-stream range join
+def stream_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Replay events through the watermarked stream-stream interval join and
+    aggregate the emitted pairs — must match the BATCH range join's oracle
+    (plans/temporal_queries.ORACLE_events_range_join) exactly: streaming ↔
+    batch equivalence for the interval-join semantics at the driver gate.
+    """
+    from project_obsidian_core_spark.plans.temporal_queries import RANGE_SPAN_US
+    from project_obsidian_core_spark.streaming import interval_join as IJ
+
+    run = next(_RUN_IDS)
+    tmp = tempfile.mkdtemp(prefix=f"obsidian_ij_{run}_")
+    src = _SRC_CACHE.get(f"events:{sf_dir}")
+    if src is None:
+        src = f"{tmp}/events_src"
+        load(spark, sf_dir, "events").select(
+            "event_id", "user_id", "ts", "event_type", cents("value").alias("cents")
+        ).write.mode("overwrite").parquet(src)
+        _SRC_CACHE[f"events:{sf_dir}"] = src
+
+    schema = spark.read.parquet(src).schema
+    anchors = (
+        spark.readStream.schema(schema)
+        .parquet(src)
+        .filter(F.col("event_type") == "purchase")
+        .select("event_id", "user_id", "ts")
+    )
+    probes = spark.readStream.schema(schema).parquet(src).select(
+        "user_id", "ts", "cents"
+    )
+    pairs = IJ.interval_join(
+        anchors, probes, on="user_id", span_seconds=RANGE_SPAN_US // 1_000_000
+    )
+    out_path = f"{tmp}/pairs"
+    name = f"stream_range_join_{run}"
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        DS.run_replay(pairs, f"{tmp}/ckpt", sink_path=out_path, query_name=name)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    emitted = spark.read.parquet(out_path)
+    return (
+        emitted.groupBy("a_event_id", "a_ts")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("p_cents").alias("sum_cents"),
+        )
+        .select(
+            F.col("a_event_id").alias("event_id"),
+            F.unix_micros("a_ts").alias("anchor_us"),
+            "n_events",
+            "sum_cents",
+        )
+        .orderBy("event_id")
+    )
