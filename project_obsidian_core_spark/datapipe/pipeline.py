@@ -264,3 +264,48 @@ def pack_greedy(
         F.col(tokens_col).cast("long").alias("__tokens"),
     )
     return slim.groupBy("__shard").applyInPandas(_pack, schema=out_schema)
+
+
+# --------------------------------------------------------- corpus sink ----
+
+
+def write_corpus(
+    df: DataFrame,
+    path: str,
+    partition_cols: tuple[str, ...] = ("split", "lang"),
+    target_file_rows: int | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Write a curated corpus partitioned by (split, lang) — the layout a
+    training job reads: split pruning is free (a val-only eval reads 1% of
+    files) and language mixtures are selectable at the directory level.
+
+    ``target_file_rows`` bounds BOTH failure modes of partitioned writes:
+    a naive ``repartition(partition_cols)`` puts each (split, lang) in ONE
+    task — the small-files problem inverted into a giant-file +
+    one-straggler-task problem at 100 TB — so a salt spreads each partition
+    over ceil(rows/target) tasks; ``maxRecordsPerFile`` then caps file size
+    within whatever task layout the shuffle produced.
+    """
+    out = df
+    if target_file_rows is not None:
+        counts = df.groupBy(*partition_cols).agg(F.count(F.lit(1)).alias("_n"))
+        out = (
+            df.join(F.broadcast(counts), list(partition_cols))
+            .withColumn(
+                "_salt",
+                F.pmod(
+                    shared_hash60(F.col("doc_id").cast("string")),
+                    F.greatest(
+                        F.ceil(F.col("_n") / F.lit(target_file_rows)).cast("long"),
+                        F.lit(1),
+                    ),
+                ),
+            )
+            .repartition(*partition_cols, "_salt")
+            .drop("_n", "_salt")
+        )
+    writer = out.write.mode(mode)
+    if target_file_rows is not None:
+        writer = writer.option("maxRecordsPerFile", target_file_rows)
+    writer.partitionBy(*partition_cols).parquet(path)

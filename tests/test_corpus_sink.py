@@ -1,0 +1,47 @@
+"""Partitioned corpus sink: layout, pruning, and file-count control."""
+
+from __future__ import annotations
+
+import glob
+import tempfile
+
+from pyspark.sql import functions as F
+
+from project_obsidian_core_spark.datapipe import pipeline as P
+
+
+def _corpus(spark, n=200):
+    return spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("text "), F.col("id").cast("string")).alias("text"),
+        F.when(F.col("id") % 3 == 0, "en").otherwise("fr").alias("lang"),
+        F.when(F.col("id") % 10 == 0, "val").otherwise("train").alias("split"),
+    )
+
+
+def test_write_corpus_layout_and_pruning(spark):
+    tmp = tempfile.mkdtemp(prefix="corpus_sink_")
+    P.write_corpus(_corpus(spark), tmp)
+    # directory layout: split=.../lang=...
+    assert glob.glob(f"{tmp}/split=train/lang=en/*.parquet")
+    assert glob.glob(f"{tmp}/split=val/lang=fr/*.parquet")
+    # read-back with a split filter must prune to the val directories only
+    back = spark.read.parquet(tmp).filter(F.col("split") == "val")
+    plan = back._jdf.queryExecution().executedPlan().toString()
+    assert back.count() == 20
+    assert "PartitionFilters: [isnotnull(split" in plan or "split#" in plan
+    # the scan's file listing must not include train partitions
+    files = back.select(F.input_file_name()).distinct().collect()
+    assert all("split=val" in r[0] for r in files)
+
+
+def test_write_corpus_file_count_control(spark):
+    tmp = tempfile.mkdtemp(prefix="corpus_sink_files_")
+    # 180 train docs with target 50 rows/file -> ceil(180/50)=4 salt buckets
+    P.write_corpus(_corpus(spark), tmp, target_file_rows=50)
+    train_en = glob.glob(f"{tmp}/split=train/lang=en/*.parquet")
+    assert 1 < len(train_en) <= 8  # spread across salt buckets, not one giant file
+    # round-trip is lossless
+    back = spark.read.parquet(tmp)
+    assert back.count() == 200
+    assert back.select(F.sum("doc_id")).collect()[0][0] == sum(range(200))
