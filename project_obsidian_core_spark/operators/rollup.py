@@ -43,8 +43,8 @@ def write_qan(qan: DataFrame, path: str, mode: str = "append") -> None:
 
     Idempotency note (SURVEY §7.3): streaming foreachBatch retries would
     double-count with blind append; callers in the streaming path use
-    dynamic-partition overwrite of the touched hour partitions instead
-    (see streaming/pipeline.py).
+    batch-scoped overwrite instead
+    (streaming/delta_stream.idempotent_parquet_sink).
     """
     (
         qan_rollup(qan)
