@@ -67,6 +67,7 @@ BENCH_QUERIES = [
     "events_asof_join",       # union + carry-forward window (vs DuckDB native ASOF)
     "events_range_join",      # binned equi-join, constant fan-out
     "stream_range_join",      # watermarked stream-stream interval join replay
+    "qan_anomaly_zscore",     # trailing-window exact-int z-score flags
 ]
 
 

@@ -260,3 +260,74 @@ FROM d
 GROUP BY 1, 2
 ORDER BY lang, decile
 """
+
+
+# --------------------------------------------------- anomaly z-score ------
+def qan_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W-family extension: per-digest anomaly flags — each hourly value
+    z-scored against its own trailing 12-bucket baseline (frame excludes
+    the current row, as an alerting baseline must).
+
+    Cross-engine determinism: mean/std are DERIVED from exact integer
+    window sums (n, S, S2) converted to double once — every intermediate
+    is < 2^53 so the doubles are exact and the z expression (identical
+    association order in the oracle) is bit-reproducible. A naive
+    stddev_samp() over doubles would be partial-aggregation-order
+    dependent and could never hash-match.
+    """
+    ev = load(spark, sf_dir, "events")
+    bucket = F.expr("unix_micros(ts) div 3600000000") * 3600
+    agg = ev.groupBy(
+        F.col("event_type").alias("digest"), bucket.alias("bucket_epoch_s")
+    ).agg(F.sum(F.expr("CAST(round(value * 100, 0) AS BIGINT)")).alias("cents"))
+    w = Window.partitionBy("digest").orderBy("bucket_epoch_s").rowsBetween(-12, -1)
+    n = F.count(F.lit(1)).over(w)
+    s = F.sum("cents").over(w)
+    s2 = F.sum(F.col("cents") * F.col("cents")).over(w)
+    x = F.col("cents").cast("double")
+    nn, ss, ss2 = n.cast("double"), s.cast("double"), s2.cast("double")
+    var = (ss2 - ss * ss / nn) / (nn - F.lit(1.0))
+    z = F.when(
+        (n >= 4) & (var > 0), (x - ss / nn) / F.sqrt(var)
+    ).otherwise(F.lit(0.0))
+    return (
+        agg.select(
+            "digest",
+            "bucket_epoch_s",
+            "cents",
+            z.alias("zscore"),
+            (F.abs(z) > 3.0).alias("anomalous"),
+        )
+        .orderBy("digest", "bucket_epoch_s")
+    )
+
+
+ORACLE_qan_anomaly_zscore = """
+WITH agg AS (
+    SELECT event_type AS digest,
+           (epoch_us(ts) // 3600000000) * 3600 AS bucket_epoch_s,
+           CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS cents
+    FROM events
+    GROUP BY 1, 2
+), stats AS (
+    SELECT digest, bucket_epoch_s, cents,
+           CAST(count(*) OVER w AS DOUBLE) AS nn,
+           CAST(CAST(sum(cents) OVER w AS BIGINT) AS DOUBLE) AS ss,
+           CAST(CAST(sum(cents * cents) OVER w AS BIGINT) AS DOUBLE) AS ss2,
+           count(*) OVER w AS n
+    FROM agg
+    WINDOW w AS (PARTITION BY digest ORDER BY bucket_epoch_s
+                 ROWS BETWEEN 12 PRECEDING AND 1 PRECEDING)
+)
+SELECT digest, bucket_epoch_s, cents,
+       CASE WHEN n >= 4 AND (ss2 - ss * ss / nn) / (nn - 1.0) > 0
+            THEN (CAST(cents AS DOUBLE) - ss / nn)
+                 / sqrt((ss2 - ss * ss / nn) / (nn - 1.0))
+            ELSE 0.0 END AS zscore,
+       abs(CASE WHEN n >= 4 AND (ss2 - ss * ss / nn) / (nn - 1.0) > 0
+            THEN (CAST(cents AS DOUBLE) - ss / nn)
+                 / sqrt((ss2 - ss * ss / nn) / (nn - 1.0))
+            ELSE 0.0 END) > 3.0 AS anomalous
+FROM stats
+ORDER BY digest, bucket_epoch_s
+"""

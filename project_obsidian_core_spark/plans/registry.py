@@ -55,6 +55,7 @@ _ENTRIES: list[tuple[str, QueryFn, str | None]] = [
     ("qan_grouping_sets", ax.qan_grouping_sets, ax.ORACLE_qan_grouping_sets),
     ("qan_value_histogram", ax.qan_value_histogram, ax.ORACLE_qan_value_histogram),
     ("corpus_length_ntile", ax.corpus_length_ntile, ax.ORACLE_corpus_length_ntile),
+    ("qan_anomaly_zscore", ax.qan_anomaly_zscore, ax.ORACLE_qan_anomaly_zscore),
     # S5: string-KV global-status scrape → typed pivot (adaptive sampler input)
     ("global_status_pivot", sq.global_status_pivot, sq.ORACLE_global_status_pivot),
     # S11: OTLP/JSON receiver parse (serialize → parse identity over events)
