@@ -68,6 +68,7 @@ BENCH_QUERIES = [
     "events_range_join",      # binned equi-join, constant fan-out
     "stream_range_join",      # watermarked stream-stream interval join replay
     "qan_anomaly_zscore",     # trailing-window exact-int z-score flags
+    "media_resize",           # Arrow-batched nearest-neighbor pixel gather
 ]
 
 

@@ -177,3 +177,66 @@ def sample_frames(media: DataFrame, every: int = 1) -> DataFrame:
     return media.filter(F.col("media_type") == "video").mapInPandas(
         batches, schema=FRAMES_SCHEMA
     )
+
+
+#: nearest-neighbor resize target (square, fits every synthetic payload)
+RESIZE_TARGET = 8
+
+RESIZED_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("out_w", IntegerType()),
+        StructField("out_h", IntegerType()),
+        StructField("pixel_sum", LongType()),
+        StructField("resized_hex", StringType()),
+    ]
+)
+
+
+def resize_images(media: DataFrame, target: int = RESIZE_TARGET) -> DataFrame:
+    """Nearest-neighbor image resize over Arrow batches (mapInPandas).
+
+    The fake "image" is the payload viewed as a row-major width×height
+    uint8 grid (wrapping modulo payload length, since the synthetic payload
+    is shorter than w·h); source pixel for output (i, j) is
+    ``(floor(i·h/t)·w + floor(j·w/t)) mod n_bytes`` — pure integer index
+    arithmetic, so the DuckDB oracle reproduces the resized bytes exactly
+    from the payload-generation formula without any codec. ``mode='real'``
+    deployments swap the indexing for PIL's resampling behind the same
+    :func:`_decode_real` gate.
+
+    Scale shape: per-row numpy gather inside one Arrow batch pass; payloads
+    never shuffle; output is target² bytes per image regardless of input
+    size (the point of resizing before the training loader).
+    """
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in it:
+            ids, sums, hexes = [], [], []
+            for doc_id, payload, w, h in zip(
+                pdf["doc_id"], pdf["content"], pdf["width"], pdf["height"]
+            ):
+                b = np.frombuffer(bytes(payload), dtype=np.uint8)
+                n = b.size
+                i = np.arange(target).repeat(target)  # output row index
+                j = np.tile(np.arange(target), target)  # output col index
+                src = ((i * int(h) // target) * int(w) + (j * int(w) // target)) % n
+                px = b[src]
+                ids.append(int(doc_id))
+                sums.append(int(px.sum()))
+                hexes.append(px.tobytes().hex())
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "out_w": pd.Series([target] * len(ids), dtype="int32"),
+                    "out_h": pd.Series([target] * len(ids), dtype="int32"),
+                    "pixel_sum": pd.Series(sums, dtype="int64"),
+                    "resized_hex": pd.Series(hexes, dtype="object"),
+                }
+            )
+
+    return media.filter(F.col("media_type") == "image").mapInPandas(
+        batches, schema=RESIZED_SCHEMA
+    )

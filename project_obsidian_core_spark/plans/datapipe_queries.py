@@ -540,3 +540,38 @@ SELECT doc_id, term, tf, doc_freq, tfidf, rank
 FROM ranked WHERE rank <= 3
 ORDER BY doc_id, rank
 """
+
+
+# ----------------------------------------------------------- media resize
+def media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-neighbor resize of the synthetic image payloads (M-family):
+    Arrow-batched numpy gather; oracle recomputes the resized bytes from
+    the payload-generation formula (no codec needed on either side)."""
+    docs = load(spark, sf_dir, "documents")
+    return M.resize_images(M.attach_media(docs)).orderBy("doc_id")
+
+
+_T = M.RESIZE_TARGET
+_SRC_IDX = (
+    f"((((s // {_T}) * h) // {_T}) * w + (((s % {_T}) * w) // {_T})) % {_N_PAYLOAD}"
+)
+ORACLE_media_resize = f"""
+WITH p AS (
+    SELECT doc_id, {_FULL_HEX} AS fh,
+           16 + doc_id % 17 AS w, 16 + doc_id % 13 AS h
+    FROM documents WHERE doc_id % 3 = 0
+), r AS (
+    SELECT doc_id,
+           [CAST('0x' || substr(fh, 2 * ({_SRC_IDX}) + 1, 2) AS BIGINT)
+            FOR s IN generate_series(0, {_T * _T - 1})] AS px,
+           list_aggregate([substr(fh, 2 * ({_SRC_IDX}) + 1, 2)
+                           FOR s IN generate_series(0, {_T * _T - 1})],
+                          'string_agg', '') AS hexstr
+    FROM p
+)
+SELECT doc_id, CAST({_T} AS INTEGER) AS out_w, CAST({_T} AS INTEGER) AS out_h,
+       CAST(list_aggregate(px, 'sum') AS BIGINT) AS pixel_sum,
+       hexstr AS resized_hex
+FROM r
+ORDER BY doc_id
+"""

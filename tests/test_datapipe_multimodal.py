@@ -77,3 +77,29 @@ def test_real_decode_is_gated(media):
     )
     with pytest.raises(ValueError):
         M.extract_features(media, mode="nope")
+
+
+def test_resize_images_nearest_neighbor(spark):
+    from project_obsidian_core_spark.datapipe import multimodal as M
+
+    docs = spark.createDataFrame(
+        [(0, "alpha doc"), (3, "bravo doc"), (1, "not an image")],
+        ["doc_id", "text"],
+    )
+    media = M.attach_media(docs)
+    out = {r["doc_id"]: r.asDict() for r in M.resize_images(media).collect()}
+    # only image docs (doc_id % 3 == 0) survive the filter
+    assert set(out) == {0, 3}
+    for r in out.values():
+        assert r["out_w"] == M.RESIZE_TARGET and r["out_h"] == M.RESIZE_TARGET
+        assert len(r["resized_hex"]) == 2 * M.RESIZE_TARGET ** 2
+    # python model on the actual payload bytes
+    row = media.filter("doc_id = 0").collect()[0]
+    b, w, h, t = bytes(row["content"]), row["width"], row["height"], M.RESIZE_TARGET
+    px = [
+        b[((i * h // t) * w + (j * w // t)) % len(b)]
+        for i in range(t)
+        for j in range(t)
+    ]
+    assert out[0]["pixel_sum"] == sum(px)
+    assert out[0]["resized_hex"] == bytes(px).hex()
