@@ -435,3 +435,47 @@ def build_vocab(
         .agg((F.count("b.term") + 1).alias("vocab_id"))
         .select("term", "term_count", "doc_freq", "vocab_id")
     )
+
+
+# --------------------------------------------------- unigram LM surprisal --
+
+#: surprisal weight quantization: weight(token) = (N_tokens · SCALE) div count
+SURPRISAL_SCALE = 1_000
+
+
+def surprisal_score(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Model-based quality scoring: per-document mean unigram improbability,
+    the corpus acting as its own language model (the cheap stand-in for the
+    perplexity filters web pipelines run with a small LM).
+
+    Per token, weight = ``(N · SCALE) div count(token)`` — the reciprocal
+    unigram probability, integer-quantized. Rare-token-heavy documents
+    score high (surprising), common-word documents low. The monotone
+    reciprocal replaces log-perplexity because ln() differs at ULP level
+    between libm implementations (same rationale as tf-idf's rational idf);
+    rankings are preserved.
+
+    Determinism: weights are exact int64, so the per-doc SUM is order-free
+    — safe under any partitioning, no float fold needed anywhere.
+
+    Plan: explode → broadcast-join the (tiny) unigram count relation →
+    one map-side-combined sum per doc; N folds in as a broadcast 1-row
+    aggregate (no driver-side count action).
+    """
+    toks = _toks(text_col)
+    pairs = df.select("doc_id", F.explode(toks).alias("term"))
+    counts = pairs.groupBy("term").agg(F.count(F.lit(1)).alias("cnt"))
+    total = pairs.agg(F.count(F.lit(1)).alias("n_total"))
+    weighted = (
+        pairs.join(F.broadcast(counts), "term")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "doc_id",
+            F.expr(f"(n_total * {SURPRISAL_SCALE}) div cnt").alias("w"),
+        )
+    )
+    return weighted.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.sum("w").alias("surprisal_q"),
+        (F.sum("w").cast("double") / F.count(F.lit(1))).alias("mean_surprisal"),
+    )

@@ -228,3 +228,30 @@ SELECT term, term_count, doc_freq,
 FROM v
 ORDER BY vocab_id
 """
+
+
+# --------------------------------------------------------- LM surprisal
+def text_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM surprisal quality score over documents."""
+    return C.surprisal_score(load(spark, sf_dir, "documents")).orderBy("doc_id")
+
+
+ORACLE_text_surprisal = f"""
+WITH p AS (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+), c AS (
+    SELECT term, count(*) AS cnt FROM p GROUP BY term
+), t AS (
+    SELECT count(*) AS n_total FROM p
+), w AS (
+    SELECT p.doc_id, (t.n_total * {C.SURPRISAL_SCALE}) // c.cnt AS w
+    FROM p JOIN c USING (term) CROSS JOIN t
+)
+SELECT doc_id,
+       count(*) AS n_tokens,
+       CAST(sum(w) AS BIGINT) AS surprisal_q,
+       CAST(CAST(sum(w) AS BIGINT) AS DOUBLE) / count(*) AS mean_surprisal
+FROM w
+GROUP BY doc_id
+ORDER BY doc_id
+"""

@@ -145,3 +145,17 @@ def test_vocab_no_single_partition_window(docs):
     # the rank join must not plan a Window at all (scale guard)
     plan = C.build_vocab(docs)._jdf.queryExecution().executedPlan().toString()
     assert "Window" not in plan
+
+
+def test_surprisal_rare_tokens_score_higher(spark):
+    rows = [
+        (1, "common common common common"),
+        (2, "common common rare common"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    r = {x["doc_id"]: x.asDict() for x in C.surprisal_score(df).collect()}
+    # 'rare' appears once in 8 tokens -> weight 8000; 'common' 7 times -> 1142
+    assert r[2]["mean_surprisal"] > r[1]["mean_surprisal"]
+    assert r[1]["surprisal_q"] == 4 * ((8 * C.SURPRISAL_SCALE) // 7)
+    assert r[2]["surprisal_q"] == 3 * ((8 * C.SURPRISAL_SCALE) // 7) + 8 * C.SURPRISAL_SCALE
+    assert r[1]["n_tokens"] == 4 and r[2]["n_tokens"] == 4
