@@ -69,6 +69,8 @@ BENCH_QUERIES = [
     "stream_range_join",      # watermarked stream-stream interval join replay
     "qan_anomaly_zscore",     # trailing-window exact-int z-score flags
     "media_resize",           # Arrow-batched nearest-neighbor pixel gather
+    "text_surprisal",         # explode + broadcast count join + int sums
+    "curation_report",        # all curation signals composed in one plan
 ]
 
 

@@ -255,3 +255,83 @@ FROM w
 GROUP BY doc_id
 ORDER BY doc_id
 """
+
+
+# ------------------------------------------------------- curation report
+def curation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The corpus dashboard: every per-document curation signal — heuristic
+    quality, repetition, surprisal, benchmark contamination, PII counts —
+    joined into ONE wide relation in ONE logical plan.
+
+    Composability check: each signal is the already-gated operator reused
+    verbatim; Catalyst fuses the per-row projections with a shared scan and
+    plans one join tree. The oracle is the same composition of the
+    already-proven SQL, so a drift in ANY stage fails this query too.
+    """
+    from pyspark.sql import functions as F
+
+    from project_obsidian_core_spark.datapipe.text import with_quality_score
+
+    docs = load(spark, sf_dir, "documents")
+    q = with_quality_score(docs).select("doc_id", "quality_score")
+    rep = C.repetition_stats(docs).select("doc_id", "dup_2gram_frac", "repetitive")
+    surp = C.surprisal_score(docs).select("doc_id", "mean_surprisal")
+    dec = C.decontaminate(docs).select("doc_id", "n_overlap", "contaminated")
+    pii = C.pii_scan(C.with_synthetic_pii(docs)).select(
+        "doc_id", "n_emails", "n_ips", "n_phones"
+    )
+    out = (
+        docs.select("doc_id", "lang", "source")
+        .join(q, "doc_id")
+        .join(rep, "doc_id")
+        .join(surp, "doc_id")
+        .join(dec, "doc_id", "left")  # benchmark docs carry null contamination
+        .join(pii, "doc_id")
+    )
+    return out.select(
+        "doc_id",
+        "lang",
+        "source",
+        "quality_score",
+        "dup_2gram_frac",
+        "repetitive",
+        "mean_surprisal",
+        F.coalesce("n_overlap", F.lit(0)).alias("n_overlap"),
+        F.coalesce("contaminated", F.lit(False)).alias("contaminated"),
+        "n_emails",
+        "n_ips",
+        "n_phones",
+    ).orderBy("doc_id")
+
+
+def _report_oracle() -> str:
+    # compose the proven per-signal SQL as subqueries of one statement
+    def sub(sql: str) -> str:
+        return sql.replace("ORDER BY doc_id", "")
+
+    from project_obsidian_core_spark.plans.datapipe_queries import ORACLE_text_quality
+
+    return f"""
+WITH q AS ({sub(ORACLE_text_quality)}),
+rep AS ({sub(ORACLE_text_repetition_stats)}),
+surp AS ({sub(ORACLE_text_surprisal)}),
+dec AS ({sub(ORACLE_corpus_decontaminate)}),
+pii AS ({sub(ORACLE_pii_scan_redact)})
+SELECT d.doc_id, d.lang, d.source,
+       q.quality_score,
+       rep.dup_2gram_frac, rep.repetitive,
+       surp.mean_surprisal,
+       coalesce(dec.n_overlap, 0) AS n_overlap,
+       coalesce(dec.contaminated, false) AS contaminated,
+       pii.n_emails, pii.n_ips, pii.n_phones
+FROM documents d
+JOIN q USING (doc_id)
+JOIN rep USING (doc_id)
+JOIN surp USING (doc_id)
+LEFT JOIN dec USING (doc_id)
+JOIN pii USING (doc_id)
+ORDER BY doc_id
+"""
+
+
+ORACLE_curation_report = _report_oracle()

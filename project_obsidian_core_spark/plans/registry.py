@@ -113,6 +113,7 @@ _ENTRIES: list[tuple[str, QueryFn, str | None]] = [
     ("vocab_build", cu.vocab_build, cu.ORACLE_vocab_build),
     ("corpus_tile_dedup", cu.corpus_tile_dedup, cu.ORACLE_corpus_tile_dedup),
     ("text_surprisal", cu.text_surprisal, cu.ORACLE_text_surprisal),
+    ("curation_report", cu.curation_report, cu.ORACLE_curation_report),
     # Training-data pipeline: embedding clustering (quantized Lloyd k-means)
     ("embedding_kmeans", km.embedding_kmeans, km.ORACLE_embedding_kmeans),
     # Streaming stateful delta (applyInPandasWithState) vs batch-lag oracle
