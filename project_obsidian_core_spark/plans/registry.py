@@ -14,6 +14,7 @@ from project_obsidian_core_spark.plans import analytics_ext_queries as ax
 from project_obsidian_core_spark.plans import clustering_queries as km
 from project_obsidian_core_spark.plans import curation_queries as cu
 from project_obsidian_core_spark.plans import datapipe_queries as d
+from project_obsidian_core_spark.plans import ingest_queries as ing
 from project_obsidian_core_spark.plans import metrics_queries as m
 from project_obsidian_core_spark.plans import qan_queries as q
 from project_obsidian_core_spark.plans import otlp_queries as o
@@ -60,6 +61,8 @@ _ENTRIES: list[tuple[str, QueryFn, str | None]] = [
     ("global_status_pivot", sq.global_status_pivot, sq.ORACLE_global_status_pivot),
     # S11: OTLP/JSON receiver parse (serialize → parse identity over events)
     ("otlp_metrics_parse", o.otlp_metrics_parse, o.ORACLE_otlp_metrics_parse),
+    # JSONL corpus ingestion with corrupt-record quarantine
+    ("jsonl_ingest", ing.jsonl_ingest, ing.ORACLE_jsonl_ingest),
     # metrics_db analytics (A9/J2) over a synthesized long-metrics relation
     ("metric_series", m.metric_series, m.ORACLE_metric_series),
     ("buffer_hit_ratio", m.buffer_hit_ratio, m.ORACLE_buffer_hit_ratio),
