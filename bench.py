@@ -71,6 +71,7 @@ BENCH_QUERIES = [
     "media_resize",           # Arrow-batched nearest-neighbor pixel gather
     "text_surprisal",         # explode + broadcast count join + int sums
     "curation_report",        # all curation signals composed in one plan
+    "prepare_training_set_v2",  # full curation chain -> packed contexts
 ]
 
 

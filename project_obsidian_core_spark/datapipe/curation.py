@@ -384,6 +384,11 @@ def tile_dedup(df: DataFrame, text_col: str = "text", tile: int = TILE_TOKENS) -
     return marked.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_tiles"),
         F.sum(F.col("_keep").cast("long")).alias("n_kept"),
+        F.sum(
+            F.when(F.col("_keep"), F.size(F.split(F.col("tile"), " ")))
+            .otherwise(F.lit(0))
+            .cast("long")
+        ).alias("n_kept_tokens"),
         F.length(kept_text).cast("long").alias("dedup_len"),
         shared_hash60(kept_text).alias("dedup_hash"),
     )

@@ -164,40 +164,50 @@ def corpus_tile_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return C.tile_dedup(load(spark, sf_dir, "documents")).orderBy("doc_id")
 
 
-ORACLE_corpus_tile_dedup = f"""
-WITH t AS (
-    SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+def _tile_chain(rel: str) -> str:
+    """Tile-dedup CTE chain over any (doc_id, text) relation, ending in a
+    CTE named ``tile_agg`` with (doc_id, n_tiles, n_kept, n_kept_tokens,
+    kept_text). Reused verbatim by the v2 end-to-end pipeline so the
+    standalone gate and the composition cannot drift."""
+    return f"""tsrc AS (
+    SELECT doc_id, string_split(text, ' ') AS toks FROM {rel}
 ), tl0 AS (
     SELECT doc_id,
            unnest([{{'idx': i, 'tile': array_to_string(
                        toks[((i - 1) * {C.TILE_TOKENS} + 1):(i * {C.TILE_TOKENS})], ' ')}}
                    FOR i IN generate_series(1,
                        (len(toks) + {C.TILE_TOKENS - 1}) // {C.TILE_TOKENS})]) AS s
-    FROM t
+    FROM tsrc
 ), tl AS (
     SELECT doc_id, s.idx AS tile_idx, s.tile AS tile,
-           {_h60('s.tile')} AS tile_hash
+           {_h60("s.tile")} AS tile_hash
     FROM tl0
-), w AS (
+), tw AS (
     SELECT *,
            (doc_id * {C.TILE_IDX_SPAN} + tile_idx) =
                min(doc_id * {C.TILE_IDX_SPAN} + tile_idx)
                    OVER (PARTITION BY tile_hash) AS keep
     FROM tl
-), agg AS (
+), tile_agg AS (
     SELECT doc_id,
            count(*) AS n_tiles,
            sum(CASE WHEN keep THEN 1 ELSE 0 END) AS n_kept,
+           CAST(sum(CASE WHEN keep THEN len(string_split(tile, ' '))
+                         ELSE 0 END) AS BIGINT) AS n_kept_tokens,
            -- list() over zero kept rows is NULL in DuckDB; Spark's
            -- collect_list is an empty array -> coalesce to match
            coalesce(array_to_string(list(tile ORDER BY tile_idx)
                                         FILTER (WHERE keep), ' '), '')
                AS kept_text
-    FROM w GROUP BY doc_id
-)
-SELECT doc_id, n_tiles, CAST(n_kept AS BIGINT) AS n_kept,
+    FROM tw GROUP BY doc_id
+)"""
+
+
+ORACLE_corpus_tile_dedup = f"""
+WITH {_tile_chain('documents')}
+SELECT doc_id, n_tiles, CAST(n_kept AS BIGINT) AS n_kept, n_kept_tokens,
        length(kept_text) AS dedup_len, {_h60('kept_text')} AS dedup_hash
-FROM agg
+FROM tile_agg
 ORDER BY doc_id
 """
 
@@ -335,3 +345,88 @@ ORDER BY doc_id
 
 
 ORACLE_curation_report = _report_oracle()
+
+
+# ---------------------------------------- end-to-end curation pipeline (v2)
+#: context length for the packed output (matches pipeline_queries._CTX_LEN)
+V2_CTX_LEN = 256
+
+
+def prepare_training_set_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FULL curation chain as one logical plan: repetition filter →
+    benchmark decontamination → cross-document tile dedup → train split →
+    sequence packing of the deduped token counts.
+
+    Extends prepare_training_set (quality→exact-dedup→split→pack) with the
+    round-2 stages; every stage is the already-gated operator reused
+    verbatim, and the oracle is assembled from the same proven CTE chains.
+    Plan shape at 100 TB: scan → per-row filters (fused) → tile explode +
+    two keyed shuffles (dedup) → per-shard packing window. Nothing
+    materializes between stages.
+    """
+    from pyspark.sql import functions as F
+
+    from project_obsidian_core_spark.datapipe import pipeline as P
+
+    docs = load(spark, sf_dir, "documents")
+    rep_ok = C.repetition_stats(docs).filter(~F.col("repetitive")).select("doc_id")
+    dec_ok = (
+        C.decontaminate(docs).filter(~F.col("contaminated")).select("doc_id")
+    )
+    survivors = docs.join(rep_ok, "doc_id").join(dec_ok, "doc_id")
+    tiled = C.tile_dedup(survivors).filter(F.col("n_kept") > 0)
+    with_tokens = (
+        tiled.select("doc_id", F.col("n_kept_tokens").alias("n_tokens"))
+        .join(docs.select("doc_id", "source"), "doc_id")
+    )
+    train = P.assign_splits(with_tokens).filter(F.col("split") == "train")
+    return P.pack_sequential(
+        train.select("doc_id", "source", "n_tokens"), V2_CTX_LEN
+    ).orderBy("source", "doc_id")
+
+
+def _v2_oracle() -> str:
+    from project_obsidian_core_spark.plans.pipeline_queries import (
+        _split_case_sql,
+        _sql_hash60,
+    )
+
+    rep = ORACLE_text_repetition_stats.rsplit("ORDER BY", 1)[0]
+    dec = ORACLE_corpus_decontaminate.rsplit("ORDER BY", 1)[0]
+    split_case = _split_case_sql(
+        _sql_hash60("'split:' || CAST(doc_id AS VARCHAR)") + " % 1000"
+    )
+    return f"""
+WITH rep AS ({rep}),
+dec AS ({dec}),
+survivors AS (
+    SELECT d.doc_id, d.text, d.source
+    FROM documents d
+    JOIN rep ON rep.doc_id = d.doc_id AND NOT rep.repetitive
+    JOIN dec ON dec.doc_id = d.doc_id AND NOT dec.contaminated
+),
+{_tile_chain('survivors')},
+tok AS (
+    SELECT t.doc_id, s.source, t.n_kept_tokens AS n_tokens
+    FROM tile_agg t JOIN survivors s USING (doc_id)
+    WHERE t.n_kept > 0
+),
+tr AS (
+    SELECT * FROM tok WHERE {split_case} = 'train'
+),
+p AS (
+    SELECT *,
+           COALESCE(SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                    0) AS prefix
+    FROM tr
+)
+SELECT doc_id, source, n_tokens,
+       prefix // {V2_CTX_LEN} AS pack_id,
+       prefix % {V2_CTX_LEN} AS pack_offset
+FROM p
+ORDER BY source, doc_id
+"""
+
+
+ORACLE_prepare_training_set_v2 = _v2_oracle()

@@ -117,6 +117,11 @@ _ENTRIES: list[tuple[str, QueryFn, str | None]] = [
     ("corpus_tile_dedup", cu.corpus_tile_dedup, cu.ORACLE_corpus_tile_dedup),
     ("text_surprisal", cu.text_surprisal, cu.ORACLE_text_surprisal),
     ("curation_report", cu.curation_report, cu.ORACLE_curation_report),
+    (
+        "prepare_training_set_v2",
+        cu.prepare_training_set_v2,
+        cu.ORACLE_prepare_training_set_v2,
+    ),
     # Training-data pipeline: embedding clustering (quantized Lloyd k-means)
     ("embedding_kmeans", km.embedding_kmeans, km.ORACLE_embedding_kmeans),
     # Streaming stateful delta (applyInPandasWithState) vs batch-lag oracle
