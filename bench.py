@@ -72,6 +72,7 @@ BENCH_QUERIES = [
     "text_surprisal",         # explode + broadcast count join + int sums
     "curation_report",        # all curation signals composed in one plan
     "prepare_training_set_v2",  # full curation chain -> packed contexts
+    "bpe_merges",             # iterative top-pair merges on the word table
 ]
 
 

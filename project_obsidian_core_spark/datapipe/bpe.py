@@ -1,0 +1,121 @@
+"""Distributed BPE merge learning over the word-frequency table.
+
+The step between token counting and a trained tokenizer: learn byte-pair
+merges from the corpus. The scale insight is that BPE training never
+touches the corpus after one pass — it operates on the WORD-FREQUENCY
+table (10⁵-10⁶ rows for web corpora, weighted by count), which is tiny
+relative to 100 TB of text. One explode+groupBy builds that table; every
+merge round is then arithmetic on a small relation with the chosen pair
+broadcast back as a 1-row join.
+
+Merge semantics: standard greedy left-to-right, with SELF-PAIRS (a == b)
+EXCLUDED from candidates. Excluding them makes matches provably
+non-overlapping (overlap at i, i+1 requires arr[i+1] to equal both the
+pair's right and left symbol), so the merge is a pure indexed ``transform``
+— vectorizable identically in Spark and the SQL oracle — instead of a
+sequential fold. Run-parity handling for self-pairs is the documented
+deployment extension.
+
+Determinism: pair totals are exact int64; each round's winner is the
+(total desc, pair asc) lexicographic top-1 — a total order, so Spark and
+DuckDB pick the same pair every round.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: number of merge rounds learned by the driver-gated query
+BPE_ROUNDS = 3
+
+
+def word_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """(word, cnt): the one corpus-wide pass BPE training needs."""
+    return (
+        df.select(F.explode(F.split(F.col(text_col), " ")).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def initial_segmentation(words: DataFrame) -> DataFrame:
+    """Each word as its character array."""
+    return words.select("word", "cnt", F.split("word", "").alias("seg"))
+
+
+def _adjacent_pairs(seg: Column) -> Column:
+    n = F.size(seg)
+    idx = F.sequence(F.lit(1), n - 1)
+    pairs = F.transform(
+        idx,
+        lambda i: F.concat(
+            F.element_at(seg, i), F.lit(" "), F.element_at(seg, i + 1)
+        ),
+    )
+    return F.when(n >= 2, pairs).otherwise(F.expr("cast(array() as array<string>)"))
+
+
+def top_pair(segs: DataFrame) -> DataFrame:
+    """The highest-weight non-self adjacent pair: 1 row (pair, total).
+
+    TakeOrderedAndProject, not a global sort; self-pairs are filtered at
+    candidate time (see module docstring).
+    """
+    pairs = segs.select(
+        "cnt", F.explode(_adjacent_pairs(F.col("seg"))).alias("pair")
+    ).filter(
+        F.split(F.col("pair"), " ").getItem(0) != F.split(F.col("pair"), " ").getItem(1)
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.sum("cnt").alias("total"))
+        .orderBy(F.desc("total"), F.asc("pair"))
+        .limit(1)
+    )
+
+
+def apply_merge(segs: DataFrame) -> DataFrame:
+    """Merge every (left, right) occurrence in each segmentation.
+
+    The chosen pair arrives broadcast as columns ``pair``/``total``; with
+    a ≠ b, matches cannot overlap, so position i either dies (it is the
+    right half of a match), becomes the merged symbol (left half), or
+    survives unchanged — one indexed transform + null filter.
+    """
+    left = F.split(F.col("pair"), " ").getItem(0)
+    right = F.split(F.col("pair"), " ").getItem(1)
+    seg = F.col("seg")
+    n = F.size(seg)
+    merged = F.filter(
+        F.transform(
+            F.sequence(F.lit(1), n),
+            lambda i: F.when(
+                (i > 1)
+                & (F.element_at(seg, i - 1) == left)
+                & (F.element_at(seg, i) == right),
+                F.lit(None).cast("string"),
+            )
+            .when(
+                (i < n)
+                & (F.element_at(seg, i) == left)
+                & (F.element_at(seg, i + 1) == right),
+                F.concat(left, right),
+            )
+            .otherwise(F.element_at(seg, i)),
+        ),
+        lambda x: x.isNotNull(),
+    )
+    return segs.select("word", "cnt", merged.alias("seg"))
+
+
+def learn_merges(df: DataFrame, rounds: int = BPE_ROUNDS, text_col: str = "text") -> DataFrame:
+    """Learn ``rounds`` BPE merges; returns (round, pair, total)."""
+    segs = initial_segmentation(word_counts(df, text_col))
+    out: DataFrame | None = None
+    for r in range(1, rounds + 1):
+        top = top_pair(segs)
+        this = top.select(F.lit(r).alias("round"), "pair", "total")
+        out = this if out is None else out.unionByName(this)
+        segs = apply_merge(segs.crossJoin(F.broadcast(top)))
+    return out

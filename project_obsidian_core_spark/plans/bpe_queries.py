@@ -1,0 +1,71 @@
+"""Driver-facing wrapper for BPE merge learning, with an unrolled oracle.
+
+The oracle unrolls the merge rounds into a CTE chain generated from the
+same constants. The merge step is the same indexed comprehension (non-self
+pairs cannot overlap, so both engines vectorize identically); each round's
+winner is the (total desc, pair asc) top-1 — a total order.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from project_obsidian_core_spark.datapipe import bpe as B
+from project_obsidian_core_spark.plans.common import load
+
+
+def bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Learn BPE_ROUNDS merges from the documents word-frequency table."""
+    return B.learn_merges(load(spark, sf_dir, "documents")).orderBy("round")
+
+
+def _round_ctes(r: int) -> str:
+    """CTEs for round r: pair counts over s{r-1}, top-1 t{r}, merged s{r}."""
+    prev, cur = f"s{r - 1}", f"s{r}"
+    return f"""p{r} AS (
+    SELECT pair, CAST(sum(cnt) AS BIGINT) AS total
+    FROM (
+        SELECT cnt,
+               unnest([seg[i] || ' ' || seg[i + 1]
+                       FOR i IN generate_series(1, len(seg) - 1)]) AS pair
+        FROM {prev}
+    )
+    WHERE string_split(pair, ' ')[1] <> string_split(pair, ' ')[2]
+    GROUP BY pair
+), t{r} AS (
+    SELECT pair, total FROM p{r} ORDER BY total DESC, pair LIMIT 1
+), {cur} AS (
+    SELECT word, cnt,
+           list_filter(
+               [CASE WHEN i > 1 AND seg[i - 1] = string_split(t{r}.pair, ' ')[1]
+                          AND seg[i] = string_split(t{r}.pair, ' ')[2]
+                     THEN NULL
+                     WHEN i < len(seg) AND seg[i] = string_split(t{r}.pair, ' ')[1]
+                          AND seg[i + 1] = string_split(t{r}.pair, ' ')[2]
+                     THEN string_split(t{r}.pair, ' ')[1] || string_split(t{r}.pair, ' ')[2]
+                     ELSE seg[i] END
+                FOR i IN generate_series(1, len(seg))],
+               x -> x IS NOT NULL) AS seg
+    FROM {prev} CROSS JOIN t{r}
+)"""
+
+
+def _bpe_oracle() -> str:
+    rounds = B.BPE_ROUNDS
+    ctes = [
+        """wc AS (
+    SELECT word, CAST(count(*) AS BIGINT) AS cnt
+    FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+    GROUP BY word
+), s0 AS (
+    SELECT word, cnt, string_split(word, '') AS seg FROM wc
+)"""
+    ]
+    ctes += [_round_ctes(r) for r in range(1, rounds + 1)]
+    union = "\nUNION ALL\n".join(
+        f"SELECT {r} AS round, pair, total FROM t{r}" for r in range(1, rounds + 1)
+    )
+    return "WITH " + ",\n".join(ctes) + f"\n{union}\nORDER BY round\n"
+
+
+ORACLE_bpe_merges = _bpe_oracle()

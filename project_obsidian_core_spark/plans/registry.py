@@ -11,6 +11,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 from project_obsidian_core_spark.plans import analytics_ext_queries as ax
+from project_obsidian_core_spark.plans import bpe_queries as bq
 from project_obsidian_core_spark.plans import clustering_queries as km
 from project_obsidian_core_spark.plans import curation_queries as cu
 from project_obsidian_core_spark.plans import datapipe_queries as d
@@ -114,6 +115,7 @@ _ENTRIES: list[tuple[str, QueryFn, str | None]] = [
         cu.ORACLE_corpus_stratified_sample,
     ),
     ("vocab_build", cu.vocab_build, cu.ORACLE_vocab_build),
+    ("bpe_merges", bq.bpe_merges, bq.ORACLE_bpe_merges),
     ("corpus_tile_dedup", cu.corpus_tile_dedup, cu.ORACLE_corpus_tile_dedup),
     ("text_surprisal", cu.text_surprisal, cu.ORACLE_text_surprisal),
     ("curation_report", cu.curation_report, cu.ORACLE_curation_report),
