@@ -119,3 +119,33 @@ def learn_merges(df: DataFrame, rounds: int = BPE_ROUNDS, text_col: str = "text"
         out = this if out is None else out.unionByName(this)
         segs = apply_merge(segs.crossJoin(F.broadcast(top)))
     return out
+
+
+def segment_words(df: DataFrame, rounds: int = BPE_ROUNDS, text_col: str = "text") -> DataFrame:
+    """(word, cnt, seg) after ``rounds`` learned merges — the trained
+    tokenizer's segmentation table (tiny; broadcasts to encoders)."""
+    segs = initial_segmentation(word_counts(df, text_col))
+    for _ in range(rounds):
+        segs = apply_merge(segs.crossJoin(F.broadcast(top_pair(segs))))
+    return segs
+
+
+def encode_stats(df: DataFrame, rounds: int = BPE_ROUNDS, text_col: str = "text") -> DataFrame:
+    """Per-document BPE token counts under the learned merges: the
+    compression measurement that decides whether a tokenizer is worth its
+    vocab size. Encoding = broadcast-join each document word against the
+    segmentation table — the corpus shuffles zero times."""
+    segs = segment_words(df, rounds, text_col).select(
+        "word", F.size("seg").cast("long").alias("word_tokens")
+    )
+    words = df.select(
+        "doc_id", F.explode(F.split(F.col(text_col), " ")).alias("word")
+    )
+    return (
+        words.join(F.broadcast(segs), "word")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum("word_tokens").alias("n_bpe_tokens"),
+        )
+    )

@@ -69,3 +69,32 @@ def _bpe_oracle() -> str:
 
 
 ORACLE_bpe_merges = _bpe_oracle()
+
+
+# ----------------------------------------------------------- BPE encoding
+def bpe_encode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document token counts under the learned merges."""
+    return B.encode_stats(load(spark, sf_dir, "documents")).orderBy("doc_id")
+
+
+def _encode_oracle() -> str:
+    rounds = B.BPE_ROUNDS
+    base = ORACLE_bpe_merges
+    # reuse everything up to the final union, then encode against s{rounds}
+    ctes = base[len("WITH ") : base.index("\nSELECT 1 AS round")]
+    return f"""WITH {ctes},
+wt AS (
+    SELECT word, CAST(len(seg) AS BIGINT) AS word_tokens FROM s{rounds}
+),
+dw AS (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
+)
+SELECT doc_id, count(*) AS n_words,
+       CAST(sum(word_tokens) AS BIGINT) AS n_bpe_tokens
+FROM dw JOIN wt USING (word)
+GROUP BY doc_id
+ORDER BY doc_id
+"""
+
+
+ORACLE_bpe_encode_stats = _encode_oracle()

@@ -116,6 +116,7 @@ _ENTRIES: list[tuple[str, QueryFn, str | None]] = [
     ),
     ("vocab_build", cu.vocab_build, cu.ORACLE_vocab_build),
     ("bpe_merges", bq.bpe_merges, bq.ORACLE_bpe_merges),
+    ("bpe_encode_stats", bq.bpe_encode_stats, bq.ORACLE_bpe_encode_stats),
     ("corpus_tile_dedup", cu.corpus_tile_dedup, cu.ORACLE_corpus_tile_dedup),
     ("text_surprisal", cu.text_surprisal, cu.ORACLE_text_surprisal),
     ("curation_report", cu.curation_report, cu.ORACLE_curation_report),

@@ -42,3 +42,14 @@ def test_merge_is_a_no_op_without_occurrences(spark):
         [("x", 1, ["q", "r"])], ["word", "cnt", "seg"]
     ).withColumn("pair", F.lit("a b"))
     assert B.apply_merge(segs).collect()[0]["seg"] == ["q", "r"]
+
+
+def test_encode_stats_compression(spark):
+    docs = spark.createDataFrame(
+        [(0, "low low low low low lower lower lowest")], ["doc_id", "text"]
+    )
+    r = B.encode_stats(docs, rounds=2).collect()[0]
+    assert r["n_words"] == 8
+    # after merges 'lo' then 'low': 'low'->1 token, 'lower'->3 ('low','e','r'),
+    # 'lowest'->4 -> 5*1 + 2*3 + 1*4 = 15; without merges it would be 42 chars
+    assert r["n_bpe_tokens"] == 15
