@@ -240,3 +240,51 @@ def resize_images(media: DataFrame, target: int = RESIZE_TARGET) -> DataFrame:
     return media.filter(F.col("media_type") == "image").mapInPandas(
         batches, schema=RESIZED_SCHEMA
     )
+
+
+#: 1-D resample target for audio payloads
+RESAMPLE_TARGET = 32
+
+RESAMPLED_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("n_samples", IntegerType()),
+        StructField("sample_sum", LongType()),
+        StructField("resampled_hex", StringType()),
+    ]
+)
+
+
+def resample_audio(media: DataFrame, target: int = RESAMPLE_TARGET) -> DataFrame:
+    """Nearest-neighbor audio resample: the 1-D twin of
+    :func:`resize_images`. The fake "waveform" is the payload's uint8
+    samples; output sample i reads input ``i·n // target`` — integer index
+    arithmetic, so the oracle reproduces the resampled bytes from the
+    payload formula. Real deployments swap in soundfile/torchaudio behind
+    :func:`_decode_real`; the Spark-side shape (Arrow batch in, fixed-width
+    vector out, no shuffle) is what carries to 100 TB."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in it:
+            ids, sums, hexes = [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["content"]):
+                b = np.frombuffer(bytes(payload), dtype=np.uint8)
+                idx = (np.arange(target) * b.size) // target
+                s = b[idx]
+                ids.append(int(doc_id))
+                sums.append(int(s.sum()))
+                hexes.append(s.tobytes().hex())
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "n_samples": pd.Series([target] * len(ids), dtype="int32"),
+                    "sample_sum": pd.Series(sums, dtype="int64"),
+                    "resampled_hex": pd.Series(hexes, dtype="object"),
+                }
+            )
+
+    return media.filter(F.col("media_type") == "audio").mapInPandas(
+        batches, schema=RESAMPLED_SCHEMA
+    )

@@ -575,3 +575,33 @@ SELECT doc_id, CAST({_T} AS INTEGER) AS out_w, CAST({_T} AS INTEGER) AS out_h,
 FROM r
 ORDER BY doc_id
 """
+
+
+# --------------------------------------------------------- audio resample
+def media_resample_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-D nearest-neighbor resample of the synthetic audio payloads."""
+    docs = load(spark, sf_dir, "documents")
+    return M.resample_audio(M.attach_media(docs)).orderBy("doc_id")
+
+
+_RT = M.RESAMPLE_TARGET
+_A_IDX = f"((s * {_N_PAYLOAD}) // {_RT})"
+ORACLE_media_resample_audio = f"""
+WITH p AS (
+    SELECT doc_id, {_FULL_HEX} AS fh
+    FROM documents WHERE doc_id % 3 = 1
+), r AS (
+    SELECT doc_id,
+           [CAST('0x' || substr(fh, 2 * {_A_IDX} + 1, 2) AS BIGINT)
+            FOR s IN generate_series(0, {_RT - 1})] AS sm,
+           list_aggregate([substr(fh, 2 * {_A_IDX} + 1, 2)
+                           FOR s IN generate_series(0, {_RT - 1})],
+                          'string_agg', '') AS hexstr
+    FROM p
+)
+SELECT doc_id, CAST({_RT} AS INTEGER) AS n_samples,
+       CAST(list_aggregate(sm, 'sum') AS BIGINT) AS sample_sum,
+       hexstr AS resampled_hex
+FROM r
+ORDER BY doc_id
+"""

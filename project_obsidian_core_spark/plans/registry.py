@@ -97,6 +97,7 @@ _ENTRIES: list[tuple[str, QueryFn, str | None]] = [
     ("media_features", d.media_features, d.ORACLE_media_features),
     ("media_frame_sample", d.media_frame_sample, d.ORACLE_media_frame_sample),
     ("media_resize", d.media_resize, d.ORACLE_media_resize),
+    ("media_resample_audio", d.media_resample_audio, d.ORACLE_media_resample_audio),
     # Training-data pipeline: corpus management (splits/sampling/sessions/packing)
     ("corpus_split", pl.corpus_split, pl.ORACLE_corpus_split),
     ("corpus_sample", pl.corpus_sample, pl.ORACLE_corpus_sample),

@@ -103,3 +103,22 @@ def test_resize_images_nearest_neighbor(spark):
     ]
     assert out[0]["pixel_sum"] == sum(px)
     assert out[0]["resized_hex"] == bytes(px).hex()
+
+
+def test_resample_audio_nearest_neighbor(spark):
+    from project_obsidian_core_spark.datapipe import multimodal as M
+
+    docs = spark.createDataFrame(
+        [(1, "audio doc"), (4, "other audio"), (0, "an image")],
+        ["doc_id", "text"],
+    )
+    out = {
+        r["doc_id"]: r.asDict()
+        for r in M.resample_audio(M.attach_media(docs)).collect()
+    }
+    assert set(out) == {1, 4}  # only audio docs (doc_id % 3 == 1)
+    row = M.attach_media(docs).filter("doc_id = 1").collect()[0]
+    b, t = bytes(row["content"]), M.RESAMPLE_TARGET
+    expect = [b[(i * len(b)) // t] for i in range(t)]
+    assert out[1]["sample_sum"] == sum(expect)
+    assert out[1]["resampled_hex"] == bytes(expect).hex()
