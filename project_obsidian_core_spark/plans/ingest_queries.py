@@ -44,3 +44,55 @@ FROM documents
 WHERE doc_id % {CORRUPT_MOD} <> 0
 ORDER BY doc_id
 """
+
+
+# ------------------------------------------- custom Python DataSource scan
+#: crawl-source dimensions for the driver-gated scan
+CRAWL_SHARDS = 8
+CRAWL_DOCS_PER_SHARD = 64
+CRAWL_SEED = "crawl"
+
+
+def pysource_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scan the custom Python DataSource (one split per shard) and
+    aggregate per shard — the oracle regenerates the same rows in SQL from
+    the (seed, doc_id) formula, checking the connector end-to-end."""
+    from project_obsidian_core_spark.sources import pysource as PS
+
+    PS.register(spark)
+    df = (
+        spark.read.format(PS.FORMAT_NAME)
+        .option("seed", CRAWL_SEED)
+        .option("shards", CRAWL_SHARDS)
+        .option("docs_per_shard", CRAWL_DOCS_PER_SHARD)
+        .load()
+    )
+    # 60-bit hashes summed over a shard overflow int64 — fold each through
+    # a prime modulus first (same reduction in the oracle)
+    return (
+        df.groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.col("crawl_hash") % 1_000_000_007).alias("hash_sum"),
+            F.sum(F.length("text")).alias("text_len_sum"),
+        )
+        .orderBy("shard")
+    )
+
+
+ORACLE_pysource_scan = f"""
+WITH g AS (
+    SELECT i AS doc_id,
+           i // {CRAWL_DOCS_PER_SHARD} AS shard,
+           md5('{CRAWL_SEED}:' || CAST(i AS VARCHAR)) AS text
+    FROM generate_series(0, {CRAWL_SHARDS * CRAWL_DOCS_PER_SHARD - 1}) t(i)
+)
+SELECT shard,
+       count(*) AS n_docs,
+       CAST(sum(CAST('0x' || substr(text, 1, 15) AS BIGINT) % 1000000007)
+            AS BIGINT) AS hash_sum,
+       CAST(sum(length(text)) AS BIGINT) AS text_len_sum
+FROM g
+GROUP BY shard
+ORDER BY shard
+"""

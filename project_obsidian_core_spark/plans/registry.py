@@ -64,6 +64,7 @@ _ENTRIES: list[tuple[str, QueryFn, str | None]] = [
     ("otlp_metrics_parse", o.otlp_metrics_parse, o.ORACLE_otlp_metrics_parse),
     # JSONL corpus ingestion with corrupt-record quarantine
     ("jsonl_ingest", ing.jsonl_ingest, ing.ORACLE_jsonl_ingest),
+    ("pysource_scan", ing.pysource_scan, ing.ORACLE_pysource_scan),
     # metrics_db analytics (A9/J2) over a synthesized long-metrics relation
     ("metric_series", m.metric_series, m.ORACLE_metric_series),
     ("buffer_hit_ratio", m.buffer_hit_ratio, m.ORACLE_buffer_hit_ratio),
