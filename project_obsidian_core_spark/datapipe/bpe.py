@@ -117,7 +117,11 @@ def learn_merges(df: DataFrame, rounds: int = BPE_ROUNDS, text_col: str = "text"
         top = top_pair(segs)
         this = top.select(F.lit(r).alias("round"), "pair", "total")
         out = this if out is None else out.unionByName(this)
-        segs = apply_merge(segs.crossJoin(F.broadcast(top)))
+        # localCheckpoint bounds lineage: without it every round's top_pair
+        # replays ALL previous rounds' merges (same rationale as
+        # dedup.connected_components). The word table is tiny, so the
+        # materialization cost is noise even at web scale.
+        segs = apply_merge(segs.crossJoin(F.broadcast(top))).localCheckpoint()
     return out
 
 
@@ -126,7 +130,10 @@ def segment_words(df: DataFrame, rounds: int = BPE_ROUNDS, text_col: str = "text
     tokenizer's segmentation table (tiny; broadcasts to encoders)."""
     segs = initial_segmentation(word_counts(df, text_col))
     for _ in range(rounds):
-        segs = apply_merge(segs.crossJoin(F.broadcast(top_pair(segs))))
+        # per-round localCheckpoint: see learn_merges
+        segs = apply_merge(
+            segs.crossJoin(F.broadcast(top_pair(segs)))
+        ).localCheckpoint()
     return segs
 
 
