@@ -23,10 +23,12 @@ sys.path.insert(0, REPO)
 
 from pyspark.sql import functions as F  # noqa: E402
 
+from project_obsidian_core_spark.datapipe import bpe as B  # noqa: E402
 from project_obsidian_core_spark.datapipe import clustering as KM  # noqa: E402
 from project_obsidian_core_spark.datapipe import curation as C  # noqa: E402
 from project_obsidian_core_spark.datapipe import dedup as D  # noqa: E402
 from project_obsidian_core_spark.datapipe import similarity as S  # noqa: E402
+from project_obsidian_core_spark.operators import temporal_joins as TJ  # noqa: E402
 from project_obsidian_core_spark.plans.common import load  # noqa: E402
 from project_obsidian_core_spark.session import build_session  # noqa: E402
 
@@ -179,6 +181,51 @@ def main():
         return r.asDict()
 
     timed("embedding_kmeans", run_kmeans)
+
+    # --- temporal joins + BPE at 10× ----------------------------------------
+    ev = load(spark, SF_DIR, "events")
+    r = spark.range(replicas).withColumnRenamed("id", "rep")
+    ev10 = ev.crossJoin(r).select(
+        (F.col("event_id") + F.col("rep") * F.lit(10_000_000)).alias("event_id"),
+        "ts",
+        (F.col("user_id") + F.col("rep") * F.lit(10_000)).alias("user_id"),
+        "event_type",
+        "value",
+    ).persist()
+    n_ev = ev10.count()
+    print(json.dumps({"op": "events_corpus", "events": n_ev}), flush=True)
+
+    def run_asof():
+        left = ev10.filter(F.col("event_type") == "click").select(
+            "event_id", "user_id", "ts"
+        )
+        right = (
+            ev10.filter(F.col("event_type") == "purchase")
+            .groupBy("user_id", "ts")
+            .agg(F.max("value").alias("v"))
+        )
+        out = TJ.asof_join(left, right, on="user_id", value_cols=("v",))
+        return {"rows": out.count()}
+
+    timed("events_asof_join", run_asof)
+
+    def run_range():
+        anchors = ev10.filter(F.col("event_type") == "purchase").select(
+            "event_id", "user_id", "ts"
+        )
+        probes = ev10.select("user_id", "ts", "value")
+        return {
+            "pairs": TJ.range_join(
+                anchors, probes, on="user_id", span_us=3_600_000_000
+            ).count()
+        }
+
+    timed("events_range_join", run_range)
+
+    timed(
+        "bpe_merges",
+        lambda: {"merges": B.learn_merges(docs).count()},
+    )
 
 
 if __name__ == "__main__":
