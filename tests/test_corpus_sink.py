@@ -45,3 +45,25 @@ def test_write_corpus_file_count_control(spark):
     back = spark.read.parquet(tmp)
     assert back.count() == 200
     assert back.select(F.sum("doc_id")).collect()[0][0] == sum(range(200))
+
+
+def test_write_corpus_schema_evolution(spark):
+    import tempfile
+
+    tmp = tempfile.mkdtemp(prefix="corpus_evolve_")
+    v1 = _corpus(spark, n=40)
+    P.write_corpus(v1, tmp, mode="append")
+    # a later pipeline version adds a column; append with mergeSchema read
+    v2 = _corpus(spark, n=40).withColumn(
+        "quality", (F.col("doc_id") % 10).cast("double") / 10
+    ).withColumn("doc_id", F.col("doc_id") + 1000)
+    P.write_corpus(v2, tmp, mode="append")
+    back = spark.read.option("mergeSchema", "true").parquet(tmp)
+    assert back.count() == 80
+    assert "quality" in back.columns
+    # old rows surface the new column as null, new rows carry values
+    old = back.filter("doc_id < 1000")
+    assert old.filter(F.col("quality").isNotNull()).count() == 0
+    assert back.filter("doc_id >= 1000").filter(
+        F.col("quality").isNull()
+    ).count() == 0
