@@ -133,6 +133,9 @@ def decontaminate(
     # corpus per branch (same persist-for-reuse rationale as
     # dedup.minhash_signatures; measured 6 s -> 2 s at sf0.1). At 100 TB
     # this is the staged signatures table you'd materialize anyway.
+    # Lifetime note: CacheManager dedups identical plans ("already cached"
+    # on re-call), so repeat invocations over the same input share ONE
+    # entry per distinct source rather than leaking per call.
     d = df.select("doc_id", grams.alias("_grams")).persist()
     bench_grams = (
         d.filter(F.col("doc_id") % bench_mod == 0)
@@ -428,7 +431,10 @@ def build_vocab(
         )
         .filter(F.col("term_count") >= min_count)
     )
-    top = counts.orderBy(F.desc("term_count"), F.asc("term")).limit(cap)
+    # persisted: `top` feeds BOTH sides of the rank self-join, and the
+    # subtree above it (corpus explode + term aggregation) is the expensive
+    # part — without the cache it executes twice per query
+    top = counts.orderBy(F.desc("term_count"), F.asc("term")).limit(cap).persist()
     a, b = top.alias("a"), top.alias("b")
     before = (F.col("b.term_count") > F.col("a.term_count")) | (
         (F.col("b.term_count") == F.col("a.term_count"))

@@ -289,21 +289,26 @@ def write_corpus(
     """
     out = df
     if target_file_rows is not None:
-        counts = df.groupBy(*partition_cols).agg(F.count(F.lit(1)).alias("_n"))
+        from pyspark.sql.window import Window
+
+        # stratum sizes via a window, NOT a self-join: an inner join on the
+        # partition columns evaluates NULL = NULL as false and silently
+        # drops rows with a NULL key (which the plain write path would
+        # still deliver to __HIVE_DEFAULT_PARTITION__). Windows group NULLs.
+        n = F.count(F.lit(1)).over(Window.partitionBy(*partition_cols))
         out = (
-            df.join(F.broadcast(counts), list(partition_cols))
-            .withColumn(
+            df.withColumn(
                 "_salt",
                 F.pmod(
                     shared_hash60(F.col("doc_id").cast("string")),
                     F.greatest(
-                        F.ceil(F.col("_n") / F.lit(target_file_rows)).cast("long"),
+                        F.ceil(n / F.lit(target_file_rows)).cast("long"),
                         F.lit(1),
                     ),
                 ),
             )
             .repartition(*partition_cols, "_salt")
-            .drop("_n", "_salt")
+            .drop("_salt")
         )
     writer = out.write.mode(mode)
     if target_file_rows is not None:

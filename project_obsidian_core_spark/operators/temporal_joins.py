@@ -57,34 +57,42 @@ def asof_join(
     semantics). One exchange, one sort — nothing quadratic anywhere.
     """
     lcols = [c for c in left.columns if c != on]
+    # the matched right row travels as ONE struct: carrying each value
+    # column independently through last(ignorenulls) would substitute a
+    # stale older value when the matched row's field is legitimately NULL,
+    # yielding an (ts, value) combination that never existed
+    ref = F.struct(
+        F.col(right_ts).alias("ts"), *[F.col(c).alias(c) for c in value_cols]
+    )
+    ref_type = right.select(ref.alias("_r")).schema["_r"].dataType.simpleString()
     tagged_r = right.select(
         F.col(on),
         F.col(right_ts).alias("_ats"),
         F.lit(0).alias("_tag"),
         *[F.lit(None).cast(dict(left.dtypes)[c]).alias(c) for c in lcols],
-        F.col(right_ts).alias(f"{prefix}ts"),
-        *[F.col(c).alias(f"{prefix}{c}") for c in value_cols],
+        ref.alias("_ref"),
     )
     tagged_l = left.select(
         F.col(on),
         F.col(left_ts).alias("_ats"),
         F.lit(1).alias("_tag"),
         *lcols,
-        F.lit(None).cast(dict(right.dtypes)[right_ts]).alias(f"{prefix}ts"),
-        *[
-            F.lit(None).cast(dict(right.dtypes)[c]).alias(f"{prefix}{c}")
-            for c in value_cols
-        ],
+        F.lit(None).cast(ref_type).alias("_ref"),
     )
     w = (
         Window.partitionBy(on)
         .orderBy("_ats", "_tag")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    carried = tagged_r.unionByName(tagged_l)
-    for c in [f"{prefix}ts", *[f"{prefix}{v}" for v in value_cols]]:
-        carried = carried.withColumn(c, F.last(c, ignorenulls=True).over(w))
-    return carried.filter(F.col("_tag") == 1).drop("_tag", "_ats")
+    carried = tagged_r.unionByName(tagged_l).withColumn(
+        "_ref", F.last("_ref", ignorenulls=True).over(w)
+    )
+    return carried.filter(F.col("_tag") == 1).select(
+        F.col(on),
+        *lcols,
+        F.col("_ref.ts").alias(f"{prefix}ts"),
+        *[F.col(f"_ref.{c}").alias(f"{prefix}{c}") for c in value_cols],
+    )
 
 
 def range_join(
@@ -107,7 +115,6 @@ def range_join(
     """
     if bin_us is None:
         bin_us = span_us
-    n_bins = span_us // bin_us + 1
 
     def _bin_of(us: Column) -> Column:
         # floor division via floor(): epoch µs (~1.7e15) is exact in double
@@ -116,12 +123,14 @@ def range_join(
 
     a_us = F.unix_micros(F.col(anchor_ts))
     p_us = F.unix_micros(F.col(probe_ts))
-    first_bin = _bin_of(a_us - span_us)
+    # per-anchor bin range [bin(a-span), bin(a)] — a fixed span//bin+1 count
+    # is one bin short whenever bin_us doesn't divide the anchor's offset,
+    # silently dropping pairs near the anchor timestamp
     a = anchors.select(
         F.col(on),
         *[c for c in anchors.columns if c != on],
         a_us.alias("_a_us"),
-        F.explode(F.sequence(first_bin, first_bin + (n_bins - 1))).alias("_a_bin"),
+        F.explode(F.sequence(_bin_of(a_us - span_us), _bin_of(a_us))).alias("_a_bin"),
     )
     p = probes.select(
         F.col(on).alias("_p_key"),

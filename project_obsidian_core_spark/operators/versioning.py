@@ -35,7 +35,15 @@ def write_snapshot(df: DataFrame, root: str) -> int:
     dangling (unreferenced) version directory, never a corrupt latest.
     """
     os.makedirs(root, exist_ok=True)
-    version = latest_version(root) + 1
+    # allocate past BOTH the published latest and any dangling directory a
+    # crashed writer left behind — otherwise the next write collides with
+    # the dangling v=N forever (errorifexists) and snapshots wedge
+    existing = [
+        int(d.split("=", 1)[1])
+        for d in os.listdir(root)
+        if d.startswith("v=") and d.split("=", 1)[1].isdigit()
+    ]
+    version = max([latest_version(root), *existing], default=0) + 1
     vdir = os.path.join(root, f"v={version}")
     df.write.mode("errorifexists").parquet(vdir)
     files = sorted(

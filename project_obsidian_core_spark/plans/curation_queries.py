@@ -15,9 +15,11 @@ from pyspark.sql import DataFrame, SparkSession
 from project_obsidian_core_spark.datapipe import curation as C
 from project_obsidian_core_spark.plans.common import load
 
-#: DuckDB twin of datapipe.text.shared_hash60
-def _h60(expr: str) -> str:
-    return f"CAST('0x' || substr(md5({expr}), 1, 15) AS BIGINT)"
+#: DuckDB twin of datapipe.text.shared_hash60 — single definition shared
+#: with the pipeline oracles so the two families cannot drift
+from project_obsidian_core_spark.plans.pipeline_queries import (  # noqa: E402
+    _sql_hash60 as _h60,
+)
 
 
 def _ngrams(toks: str, n: int) -> str:

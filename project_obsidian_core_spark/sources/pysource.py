@@ -72,8 +72,14 @@ class CrawlShardSource(DataSource):
 
 
 def register(spark) -> None:
-    """Idempotent registration of the format with this session."""
+    """Idempotent registration of the format with this session.
+
+    Only the already-registered error is swallowed; anything else (e.g. a
+    Spark build without the Python DataSource API) propagates now instead
+    of resurfacing later as an unrelated DATA_SOURCE_NOT_FOUND.
+    """
     try:
         spark.dataSource.register(CrawlShardSource)
-    except Exception:
-        pass  # already registered in this session
+    except Exception as exc:
+        if "EXISTS" not in str(exc).upper():
+            raise

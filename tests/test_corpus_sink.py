@@ -67,3 +67,16 @@ def test_write_corpus_schema_evolution(spark):
     assert back.filter("doc_id >= 1000").filter(
         F.col("quality").isNull()
     ).count() == 0
+
+
+def test_write_corpus_null_partition_value_not_dropped(spark):
+    import tempfile
+
+    tmp = tempfile.mkdtemp(prefix="corpus_nullpart_")
+    rows = [(1, "t", "en", "train"), (2, "t", None, "train")]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "lang", "split"])
+    P.write_corpus(df, tmp, target_file_rows=10)
+    # the NULL-lang row must land in the default partition, not vanish
+    back = spark.read.parquet(tmp)
+    assert back.count() == 2
+    assert back.filter(F.col("lang").isNull()).count() == 1

@@ -90,3 +90,33 @@ def test_range_join_fanout_is_constant(spark):
     probes = spark.createDataFrame([(1, _ts(0), 0)], ["user_id", "ts", "v"])
     pairs = TJ.range_join(anchors, probes, on="user_id", span_us=60_000_000)
     assert "CartesianProduct" not in pairs._jdf.queryExecution().executedPlan().toString()
+
+
+def test_range_join_nondivisible_bin_width(spark):
+    # span=5min, bin=2min: the per-anchor bin range must cover bin(a-span)
+    # .. bin(a) inclusive (a fixed span//bin+1 count loses boundary pairs)
+    anchors = spark.createDataFrame(
+        [(1, 10, dt.datetime(2024, 1, 1, 0, 10, 0))], ["event_id", "user_id", "ts"]
+    )
+    probes = spark.createDataFrame(
+        [(10, dt.datetime(2024, 1, 1, 0, 10, 0), 1),   # at anchor, bin 5
+         (10, dt.datetime(2024, 1, 1, 0, 6, 0), 2),    # inside, bin 3
+         (10, dt.datetime(2024, 1, 1, 0, 5, 1), 3)],   # just inside, bin 2
+        ["user_id", "ts", "v"],
+    )
+    pairs = TJ.range_join(
+        anchors, probes, on="user_id", span_us=300_000_000, bin_us=120_000_000
+    )
+    assert sorted(r["probe_v"] for r in pairs.collect()) == [1, 2, 3]
+
+
+def test_asof_null_value_in_matched_row_not_substituted(spark):
+    # the matched right row's NULL value must surface as NULL, not be
+    # backfilled from an older row (DuckDB ASOF semantics)
+    left = spark.createDataFrame([(1, 10, _ts(3))], ["event_id", "user_id", "ts"])
+    right = spark.createDataFrame(
+        [(10, _ts(1), 5), (10, _ts(2), None)], ["user_id", "ts", "v"]
+    )
+    out = TJ.asof_join(left, right, on="user_id", value_cols=("v",)).collect()[0]
+    assert out["asof_ts"] == _ts(2)
+    assert out["asof_v"] is None  # the ts=2 row's actual (null) value

@@ -42,3 +42,18 @@ def test_manifest_guards_against_listing_races(spark):
         stray
     )
     assert V.read_snapshot(spark, root, version=1).count() == 7
+
+
+def test_write_recovers_after_crashed_writer(spark):
+    import tempfile
+
+    root = tempfile.mkdtemp(prefix="corpus_ver_recover_")
+    V.write_snapshot(spark.range(5).select(F.col("id").alias("doc_id")), root)
+    # crashed writer left v=2 unpublished; the next write must skip past it
+    spark.range(9).select(F.col("id").alias("doc_id")).write.parquet(
+        os.path.join(root, "v=2")
+    )
+    v = V.write_snapshot(spark.range(3).select(F.col("id").alias("doc_id")), root)
+    assert v == 3
+    assert V.latest_version(root) == 3
+    assert V.read_snapshot(spark, root).count() == 3
