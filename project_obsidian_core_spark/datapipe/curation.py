@@ -490,3 +490,37 @@ def surprisal_score(df: DataFrame, text_col: str = "text") -> DataFrame:
         F.sum("w").alias("surprisal_q"),
         (F.sum("w").cast("double") / F.count(F.lit(1))).alias("mean_surprisal"),
     )
+
+
+# ------------------------------------------------------ weighted sampling --
+
+#: weighted-sample acceptance scale: P(keep) = min(1, rate · quality)
+WEIGHTED_RATE = 1.2
+
+
+def weighted_sample(
+    df: DataFrame,
+    weight: Column,
+    rate: float = WEIGHTED_RATE,
+    key_col: str = "doc_id",
+    salt: str = "wsample",
+) -> DataFrame:
+    """Importance sampling: keep each row with probability
+    ``min(1, rate · weight)`` — how curation pipelines up-weight
+    high-quality documents without hard thresholds (soft quality filtering,
+    as in the FineWeb/DCLM mixing recipes).
+
+    Deterministic like every sampler here: acceptance compares the salted
+    60-bit hash against a per-row integer threshold
+    (``floor`` before the long cast — DuckDB CAST rounds, Spark truncates).
+    Re-runs, repartitioning, and engine choice cannot change membership.
+    Pure per-row expression: zero shuffles.
+    """
+    thr = F.floor(
+        F.least(F.lit(1.0), F.lit(rate) * weight) * F.lit(1_000_000)
+    )
+    keep = (
+        shared_hash60(F.concat(F.lit(salt + ":"), F.col(key_col).cast("string")))
+        % 1_000_000
+    ) < thr
+    return df.filter(keep)

@@ -432,3 +432,35 @@ ORDER BY source, doc_id
 
 
 ORACLE_prepare_training_set_v2 = _v2_oracle()
+
+
+# ------------------------------------------------------- weighted sampling
+def corpus_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-weighted importance sample: P(keep) = min(1, rate·quality)."""
+    from pyspark.sql import functions as F
+
+    from project_obsidian_core_spark.datapipe.text import with_quality_score
+
+    docs = load(spark, sf_dir, "documents")
+    q = with_quality_score(docs).select("doc_id", "quality_score")
+    joined = docs.select("doc_id", "lang", "source").join(q, "doc_id")
+    out = C.weighted_sample(joined, weight=F.col("quality_score"))
+    return out.select("doc_id", "lang", "source", "quality_score").orderBy("doc_id")
+
+
+def _weighted_oracle() -> str:
+    from project_obsidian_core_spark.plans.datapipe_queries import ORACLE_text_quality
+
+    q = ORACLE_text_quality.rsplit("ORDER BY", 1)[0]
+    return f"""
+WITH q AS ({q})
+SELECT d.doc_id, d.lang, d.source, q.quality_score
+FROM documents d JOIN q USING (doc_id)
+WHERE {_h60("'wsample:' || CAST(doc_id AS VARCHAR)")} % 1000000
+      < CAST(floor(least(1.0, {C.WEIGHTED_RATE} * q.quality_score) * 1000000)
+             AS BIGINT)
+ORDER BY doc_id
+"""
+
+
+ORACLE_corpus_weighted_sample = _weighted_oracle()

@@ -116,6 +116,11 @@ _ENTRIES: list[tuple[str, QueryFn, str | None]] = [
         cu.corpus_stratified_sample,
         cu.ORACLE_corpus_stratified_sample,
     ),
+    (
+        "corpus_weighted_sample",
+        cu.corpus_weighted_sample,
+        cu.ORACLE_corpus_weighted_sample,
+    ),
     ("vocab_build", cu.vocab_build, cu.ORACLE_vocab_build),
     ("bpe_merges", bq.bpe_merges, bq.ORACLE_bpe_merges),
     ("bpe_encode_stats", bq.bpe_encode_stats, bq.ORACLE_bpe_encode_stats),

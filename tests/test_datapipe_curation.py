@@ -159,3 +159,21 @@ def test_surprisal_rare_tokens_score_higher(spark):
     assert r[1]["surprisal_q"] == 4 * ((8 * C.SURPRISAL_SCALE) // 7)
     assert r[2]["surprisal_q"] == 3 * ((8 * C.SURPRISAL_SCALE) // 7) + 8 * C.SURPRISAL_SCALE
     assert r[1]["n_tokens"] == 4 and r[2]["n_tokens"] == 4
+
+
+def test_weighted_sample_biases_toward_quality(spark):
+    from pyspark.sql import functions as F
+
+    # weight 0 -> never kept; weight 1 with rate>=1 -> always kept
+    rows = [(i, 0.0 if i % 2 else 1.0) for i in range(200)]
+    df = spark.createDataFrame(rows, ["doc_id", "w"])
+    out = C.weighted_sample(df, weight=F.col("w"), rate=1.0)
+    got = [r["doc_id"] for r in out.collect()]
+    assert len(got) == 100 and all(i % 2 == 0 for i in got)
+    # determinism: same inputs -> same membership
+    again = [r["doc_id"] for r in C.weighted_sample(df, weight=F.col("w"), rate=1.0).collect()]
+    assert sorted(got) == sorted(again)
+    # intermediate weight keeps roughly that fraction
+    half = spark.createDataFrame([(i, 0.5) for i in range(1000)], ["doc_id", "w"])
+    n = C.weighted_sample(half, weight=F.col("w"), rate=1.0).count()
+    assert 400 < n < 600
