@@ -362,3 +362,78 @@ def connected_components(
         if changed == 0:
             break
     return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("cluster"))
+
+
+#: simhash pairing: band count and the Hamming-distance acceptance radius.
+#: 4 bands of 8 bits guarantee (pigeonhole) that any pair within Hamming 3
+#: shares at least one intact band — recall 1.0 at the chosen radius.
+SIMHASH_BANDS = 4
+SIMHASH_HAMMING_MAX = 3
+
+
+def simhash_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    hamming_max: int = SIMHASH_HAMMING_MAX,
+    max_bucket: int | None = None,
+) -> DataFrame:
+    """Near-dup pairs by SimHash: band-bucketed candidate join, then an
+    exact popcount filter ``bit_count(a XOR b) <= hamming_max``.
+
+    The MinHash complement: SimHash buckets catch small *bit-level* drifts
+    (token swaps barely move the majority vote) where MinHash needs shingle
+    overlap. Plan shape mirrors minhash_candidates: explode to
+    (band_idx, band_val) keys, equi-self-join within buckets (quadratic
+    only in bucket size, guarded by ``max_bucket``), distinct, popcount.
+    """
+    bits = SIMHASH_BITS // SIMHASH_BANDS
+    sigs = simhash_signatures(df, text_col).select("doc_id", "simhash")
+    bands = sigs.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_idx"),
+                        F.expr(f"(simhash div {2 ** (bits * b)}L) % {2 ** bits}L").alias(
+                            "band_val"
+                        ),
+                    )
+                    for b in range(SIMHASH_BANDS)
+                ]
+            )
+        ).alias("bk"),
+    ).select("doc_id", "simhash", "bk.band_idx", "bk.band_val")
+    if max_bucket is not None:
+        sizes = bands.groupBy("band_idx", "band_val").agg(
+            F.count(F.lit(1)).alias("_bn")
+        )
+        bands = bands.join(
+            F.broadcast(sizes.filter(F.col("_bn") <= max_bucket)),
+            ["band_idx", "band_val"],
+        ).drop("_bn")
+    a = bands.select(
+        F.col("band_idx"),
+        F.col("band_val"),
+        F.col("doc_id").alias("doc_a"),
+        F.col("simhash").alias("sim_a"),
+    )
+    b = bands.select(
+        F.col("band_idx"),
+        F.col("band_val"),
+        F.col("doc_id").alias("doc_b"),
+        F.col("simhash").alias("sim_b"),
+    )
+    cands = (
+        a.join(b, ["band_idx", "band_val"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "sim_a", "sim_b")
+        .distinct()
+    )
+    hamming = F.bit_count(F.expr("sim_a ^ sim_b"))
+    return (
+        cands.withColumn("hamming", hamming.cast("long"))
+        .filter(F.col("hamming") <= hamming_max)
+        .select("doc_a", "doc_b", "hamming")
+    )

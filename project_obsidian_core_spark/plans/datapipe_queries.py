@@ -605,3 +605,43 @@ SELECT doc_id, CAST({_RT} AS INTEGER) AS n_samples,
 FROM r
 ORDER BY doc_id
 """
+
+
+# -------------------------------------------------------- simhash pairing
+def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash band-bucketed near-dup pairs with exact popcount filter."""
+    return D.simhash_pairs(load(spark, sf_dir, "documents")).orderBy(
+        "doc_a", "doc_b"
+    )
+
+
+def _simhash_pairs_oracle() -> str:
+    bits = D.SIMHASH_BITS // D.SIMHASH_BANDS
+    base = _simhash_oracle().rsplit("ORDER BY", 1)[0]
+    band_structs = ", ".join(
+        f"{{'band_idx': {b}, 'band_val': (simhash // {2 ** (bits * b)}) % {2 ** bits}}}"
+        for b in range(D.SIMHASH_BANDS)
+    )
+    return f"""
+WITH sigs AS ({base}),
+bands AS (
+    SELECT doc_id, simhash, unnest([{band_structs}]) AS bk FROM sigs
+), bk AS (
+    SELECT doc_id, simhash, bk.band_idx AS band_idx, bk.band_val AS band_val
+    FROM bands
+), cands AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           a.simhash AS sim_a, b.simhash AS sim_b
+    FROM bk a JOIN bk b
+      ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+     AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b,
+       CAST(bit_count(xor(sim_a, sim_b)) AS BIGINT) AS hamming
+FROM cands
+WHERE bit_count(xor(sim_a, sim_b)) <= {D.SIMHASH_HAMMING_MAX}
+ORDER BY doc_a, doc_b
+"""
+
+
+ORACLE_dedup_simhash_pairs = _simhash_pairs_oracle()

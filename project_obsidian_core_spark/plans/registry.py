@@ -87,6 +87,7 @@ _ENTRIES: list[tuple[str, QueryFn, str | None]] = [
     ("dedup_exact", d.dedup_exact, d.ORACLE_dedup_exact),
     ("dedup_minhash_lsh", d.dedup_minhash_lsh, d.ORACLE_dedup_minhash_lsh),
     ("dedup_simhash", d.dedup_simhash, d.ORACLE_dedup_simhash),
+    ("dedup_simhash_pairs", d.dedup_simhash_pairs, d.ORACLE_dedup_simhash_pairs),
     ("dedup_ngram_pairs", d.dedup_ngram_pairs, d.ORACLE_dedup_ngram_pairs),
     ("dedup_embedding_cosine", d.dedup_embedding_cosine, d.ORACLE_dedup_embedding_cosine),
     ("dedup_clusters", d.dedup_clusters, d.ORACLE_dedup_clusters),

@@ -118,3 +118,25 @@ def test_connected_components_long_chain_converges(spark):
     )
     got = {r["doc_id"]: r["cluster"] for r in D.connected_components(pairs).collect()}
     assert got == {i: 0 for i in range(8)}
+
+
+def test_simhash_pairs_radius_and_cap(spark):
+    from project_obsidian_core_spark.datapipe import dedup as D
+    from pyspark.sql import functions as F
+
+    rows = [
+        (1, "alpha beta gamma delta epsilon zeta eta theta"),
+        (2, "alpha beta gamma delta epsilon zeta eta iota"),  # near-dup of 1
+        (3, "completely different words entirely unrelated content here now"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    pairs = {
+        (r["doc_a"], r["doc_b"]): r["hamming"]
+        for r in D.simhash_pairs(df).collect()
+    }
+    assert (1, 2) in pairs  # one-token swap stays within the radius
+    # every reported pair respects the radius and canonical ordering
+    for (a, b), h in pairs.items():
+        assert a < b and h <= D.SIMHASH_HAMMING_MAX
+    # max_bucket=1 drops every bucket with >1 member -> no pairs at all
+    assert D.simhash_pairs(df, max_bucket=1).count() == 0
