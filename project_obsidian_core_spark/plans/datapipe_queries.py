@@ -645,3 +645,61 @@ ORDER BY doc_a, doc_b
 
 
 ORACLE_dedup_simhash_pairs = _simhash_pairs_oracle()
+
+
+# --------------------------------------------------- canonical selection
+def dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware keeper selection per duplicate cluster: instead of the
+    arbitrary min-doc_id keeper, each near-dup cluster keeps its
+    HIGHEST-QUALITY member (ties to the lower id) — what a production
+    dedup actually wants to retain.
+
+    Determinism: argmax is encoded as an int64 MIN over
+    ``floor((1 - quality)·10⁹)·10⁹ + doc_id`` (quality is the proven
+    bit-identical score, floor() before widening; doc_id < 10⁹ documented),
+    so both engines pick the same keeper without struct comparison.
+    """
+    from project_obsidian_core_spark.datapipe.text import with_quality_score
+
+    docs = load(spark, sf_dir, "documents")
+    pairs = D.minhash_candidates(docs).filter(F.col("jaccard") >= 0.1)
+    clusters = D.connected_components(pairs)
+    quality = with_quality_score(docs).select("doc_id", "quality_score")
+    key = (
+        F.floor((F.lit(1.0) - F.col("quality_score")) * 1_000_000_000)
+        * F.lit(1_000_000_000)
+        + F.col("doc_id")
+    )
+    return (
+        clusters.join(quality, "doc_id")
+        .select("cluster", "doc_id", key.alias("_k"))
+        .groupBy("cluster")
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            (F.min("_k") % 1_000_000_000).alias("keeper_doc_id"),
+        )
+        .orderBy("cluster")
+    )
+
+
+def _canonical_oracle() -> str:
+    # reuse the recursive cluster chain UP TO its final SELECT, which
+    # becomes a named CTE here
+    ctes = ORACLE_dedup_clusters.partition("\nSELECT node AS doc_id")[0]
+    quality = ORACLE_text_quality.rsplit("ORDER BY", 1)[0]
+    return f"""{ctes.rstrip().rstrip(',')},
+clusters AS (
+    SELECT node AS doc_id, min(label) AS cluster FROM cc GROUP BY node
+), q AS ({quality})
+SELECT c.cluster,
+       count(*) AS n_members,
+       CAST(min(CAST(floor((1.0 - q.quality_score) * 1000000000) AS BIGINT)
+                * 1000000000 + c.doc_id) % 1000000000 AS BIGINT)
+           AS keeper_doc_id
+FROM clusters c JOIN q USING (doc_id)
+GROUP BY c.cluster
+ORDER BY c.cluster
+"""
+
+
+ORACLE_dedup_canonical = _canonical_oracle()

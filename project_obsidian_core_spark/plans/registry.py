@@ -91,6 +91,7 @@ _ENTRIES: list[tuple[str, QueryFn, str | None]] = [
     ("dedup_ngram_pairs", d.dedup_ngram_pairs, d.ORACLE_dedup_ngram_pairs),
     ("dedup_embedding_cosine", d.dedup_embedding_cosine, d.ORACLE_dedup_embedding_cosine),
     ("dedup_clusters", d.dedup_clusters, d.ORACLE_dedup_clusters),
+    ("dedup_canonical", d.dedup_canonical, d.ORACLE_dedup_canonical),
     # Training-data pipeline: similarity search
     ("knn_brute", d.knn_brute, d.ORACLE_knn_brute),
     ("knn_lsh", d.knn_lsh, d.ORACLE_knn_lsh),

@@ -140,3 +140,28 @@ def test_simhash_pairs_radius_and_cap(spark):
         assert a < b and h <= D.SIMHASH_HAMMING_MAX
     # max_bucket=1 drops every bucket with >1 member -> no pairs at all
     assert D.simhash_pairs(df, max_bucket=1).count() == 0
+
+
+def test_canonical_keeper_is_max_quality_member(spark, sf_dir):
+    from project_obsidian_core_spark.datapipe.text import with_quality_score
+    from project_obsidian_core_spark.plans.common import load
+    from project_obsidian_core_spark.plans.datapipe_queries import (
+        dedup_canonical,
+        dedup_clusters,
+    )
+
+    members = {}
+    for r in dedup_clusters(spark, sf_dir).collect():
+        members.setdefault(r["cluster"], []).append(r["doc_id"])
+    q = {
+        r["doc_id"]: r["quality_score"]
+        for r in with_quality_score(load(spark, sf_dir, "documents")).collect()
+    }
+    canon = {r["cluster"]: r for r in dedup_canonical(spark, sf_dir).collect()}
+    assert set(canon) == set(members)
+    for cluster, docs in members.items():
+        # expected keeper: max quality, ties to the lower doc_id — via the
+        # same integer key encoding the operator uses
+        best = min(docs, key=lambda d: (int((1.0 - q[d]) * 1e9), d))
+        assert canon[cluster]["keeper_doc_id"] == best
+        assert canon[cluster]["n_members"] == len(docs)
