@@ -8,13 +8,19 @@ relative to 100 TB of text. One explode+groupBy builds that table; every
 merge round is then arithmetic on a small relation with the chosen pair
 broadcast back as a 1-row join.
 
-Merge semantics: standard greedy left-to-right, with SELF-PAIRS (a == b)
-EXCLUDED from candidates. Excluding them makes matches provably
-non-overlapping (overlap at i, i+1 requires arr[i+1] to equal both the
-pair's right and left symbol), so the merge is a pure indexed ``transform``
-— vectorizable identically in Spark and the SQL oracle — instead of a
-sequential fold. Run-parity handling for self-pairs is the documented
-deployment extension.
+Merge semantics: standard greedy left-to-right, INCLUDING self-pairs
+(a == b) — the same semantics as Sennrich-style / tokenizer-library BPE.
+Pair counting enumerates every adjacent symbol pair (so "aaaa" contributes
+3 to the (a, a) count, exactly like the reference implementations), and
+the merge consumes matches left-to-right. For a ≠ b matches cannot
+overlap (overlap at i, i+1 would force arr[i+1] to equal both halves), so
+each position is decided locally. For a == b, left-to-right greediness
+means positions at EVEN offset within a maximal run of the symbol start a
+merge and odd offsets are consumed — run parity, computed per position
+from the distance to the last non-`a` symbol. Both cases are one indexed
+``transform`` — vectorizable identically in Spark and the SQL oracle; the
+parity probe is O(run) per position, bounded by word length (words, not
+documents — the relation is the word-frequency table).
 
 Determinism: pair totals are exact int64; each round's winner is the
 (total desc, pair asc) lexicographic top-1 — a total order, so Spark and
@@ -57,16 +63,15 @@ def _adjacent_pairs(seg: Column) -> Column:
 
 
 def top_pair(segs: DataFrame) -> DataFrame:
-    """The highest-weight non-self adjacent pair: 1 row (pair, total).
+    """The highest-weight adjacent pair (self-pairs included): 1 row
+    (pair, total).
 
-    TakeOrderedAndProject, not a global sort; self-pairs are filtered at
-    candidate time (see module docstring).
+    TakeOrderedAndProject, not a global sort. Counting is Sennrich-style:
+    every adjacent position contributes, so a run "aaaa" adds 3 to
+    (a, a) even though only 2 merges can apply — matching the reference
+    tokenizer-training algorithms.
     """
-    pairs = segs.select(
-        "cnt", F.explode(_adjacent_pairs(F.col("seg"))).alias("pair")
-    ).filter(
-        F.split(F.col("pair"), " ").getItem(0) != F.split(F.col("pair"), " ").getItem(1)
-    )
+    pairs = segs.select("cnt", F.explode(_adjacent_pairs(F.col("seg"))).alias("pair"))
     return (
         pairs.groupBy("pair")
         .agg(F.sum("cnt").alias("total"))
@@ -76,21 +81,31 @@ def top_pair(segs: DataFrame) -> DataFrame:
 
 
 def apply_merge(segs: DataFrame) -> DataFrame:
-    """Merge every (left, right) occurrence in each segmentation.
+    """Merge every (left, right) occurrence left-to-right greedily.
 
-    The chosen pair arrives broadcast as columns ``pair``/``total``; with
-    a ≠ b, matches cannot overlap, so position i either dies (it is the
-    right half of a match), becomes the merged symbol (left half), or
-    survives unchanged — one indexed transform + null filter.
+    The chosen pair arrives broadcast as columns ``pair``/``total``.
+
+    * a ≠ b: matches cannot overlap, so position i either dies (right
+      half of a match), becomes the merged symbol (left half), or
+      survives unchanged — decided locally.
+    * a == b (self-pair): left-to-right greediness is run parity. For a
+      position inside a maximal run of `a`, ``offset = i - last_non - 1``
+      where ``last_non`` is the last index ≤ i holding a different
+      symbol (0 if none). Odd offsets were consumed by the merge starting
+      one to the left; even offsets start a merge if a partner follows,
+      else survive as the run's odd tail.
+
+    One indexed transform + null filter either way; both branches have
+    bit-identical SQL twins in the oracle.
     """
     left = F.split(F.col("pair"), " ").getItem(0)
     right = F.split(F.col("pair"), " ").getItem(1)
     seg = F.col("seg")
     n = F.size(seg)
-    merged = F.filter(
-        F.transform(
-            F.sequence(F.lit(1), n),
-            lambda i: F.when(
+
+    def _non_self(i: Column) -> Column:
+        return (
+            F.when(
                 (i > 1)
                 & (F.element_at(seg, i - 1) == left)
                 & (F.element_at(seg, i) == right),
@@ -102,7 +117,30 @@ def apply_merge(segs: DataFrame) -> DataFrame:
                 & (F.element_at(seg, i + 1) == right),
                 F.concat(left, right),
             )
-            .otherwise(F.element_at(seg, i)),
+            .otherwise(F.element_at(seg, i))
+        )
+
+    def _self(i: Column) -> Column:
+        last_non = F.coalesce(
+            F.array_max(
+                F.filter(
+                    F.sequence(F.lit(1), i), lambda j: F.element_at(seg, j) != left
+                )
+            ),
+            F.lit(0),
+        )
+        offset = i - last_non - 1
+        return (
+            F.when(F.element_at(seg, i) != left, F.element_at(seg, i))
+            .when(offset % 2 == 1, F.lit(None).cast("string"))
+            .when((i < n) & (F.element_at(seg, i + 1) == left), F.concat(left, right))
+            .otherwise(F.element_at(seg, i))
+        )
+
+    merged = F.filter(
+        F.transform(
+            F.sequence(F.lit(1), n),
+            lambda i: F.when(left == right, _self(i)).otherwise(_non_self(i)),
         ),
         lambda x: x.isNotNull(),
     )

@@ -1,8 +1,9 @@
 """Driver-facing wrapper for BPE merge learning, with an unrolled oracle.
 
 The oracle unrolls the merge rounds into a CTE chain generated from the
-same constants. The merge step is the same indexed comprehension (non-self
-pairs cannot overlap, so both engines vectorize identically); each round's
+same constants. The merge step is the same indexed comprehension as the
+Spark operator — including the self-pair (a == b) run-parity branch, so
+both engines implement standard left-to-right greedy BPE; each round's
 winner is the (total desc, pair asc) top-1 — a total order.
 """
 
@@ -20,7 +21,12 @@ def bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _round_ctes(r: int) -> str:
-    """CTEs for round r: pair counts over s{r-1}, top-1 t{r}, merged s{r}."""
+    """CTEs for round r: pair counts over s{r-1}, top-1 t{r}, merged s{r}.
+
+    The merge comprehension mirrors ``bpe.apply_merge`` exactly: a
+    self-pair (lft = rgt) branch using run parity (distance to the last
+    non-`lft` symbol), and the local non-self branch otherwise.
+    """
     prev, cur = f"s{r - 1}", f"s{r}"
     return f"""p{r} AS (
     SELECT pair, CAST(sum(cnt) AS BIGINT) AS total
@@ -30,20 +36,30 @@ def _round_ctes(r: int) -> str:
                        FOR i IN generate_series(1, len(seg) - 1)]) AS pair
         FROM {prev}
     )
-    WHERE string_split(pair, ' ')[1] <> string_split(pair, ' ')[2]
     GROUP BY pair
 ), t{r} AS (
-    SELECT pair, total FROM p{r} ORDER BY total DESC, pair LIMIT 1
+    SELECT pair, total,
+           string_split(pair, ' ')[1] AS lft,
+           string_split(pair, ' ')[2] AS rgt
+    FROM p{r} ORDER BY total DESC, pair LIMIT 1
 ), {cur} AS (
     SELECT word, cnt,
            list_filter(
-               [CASE WHEN i > 1 AND seg[i - 1] = string_split(t{r}.pair, ' ')[1]
-                          AND seg[i] = string_split(t{r}.pair, ' ')[2]
-                     THEN NULL
-                     WHEN i < len(seg) AND seg[i] = string_split(t{r}.pair, ' ')[1]
-                          AND seg[i + 1] = string_split(t{r}.pair, ' ')[2]
-                     THEN string_split(t{r}.pair, ' ')[1] || string_split(t{r}.pair, ' ')[2]
-                     ELSE seg[i] END
+               [CASE WHEN lft = rgt THEN
+                     CASE WHEN seg[i] <> lft THEN seg[i]
+                          WHEN (i - coalesce(list_max(list_filter(
+                                   generate_series(1, i), j -> seg[j] <> lft)), 0) - 1)
+                               % 2 = 1
+                          THEN NULL
+                          WHEN i < len(seg) AND seg[i + 1] = lft THEN lft || rgt
+                          ELSE seg[i] END
+                ELSE
+                     CASE WHEN i > 1 AND seg[i - 1] = lft AND seg[i] = rgt
+                          THEN NULL
+                          WHEN i < len(seg) AND seg[i] = lft AND seg[i + 1] = rgt
+                          THEN lft || rgt
+                          ELSE seg[i] END
+                END
                 FOR i IN generate_series(1, len(seg))],
                x -> x IS NOT NULL) AS seg
     FROM {prev} CROSS JOIN t{r}
