@@ -318,14 +318,20 @@ def connected_components(
     Driver-coordinated iteration (one shuffle per round, rounds = graph
     diameter): near-dup components are shallow (boilerplate clusters are
     star-shaped), so this converges in a handful of rounds. For web-scale
-    graphs with long chains, swap in the large-star/small-star algorithm
-    (Kiveris et al. 2014) — same DataFrame-only structure.
+    graphs with long chains, use :func:`connected_components_ls`
+    (large-star/small-star, Kiveris et al. 2014) — provably O(log² n)
+    rounds regardless of diameter.
 
     Each round's labels are **localCheckpoint**ed: persist alone truncates
     recomputation but not the logical plan, and an iterated join lineage
     doubles per round until plan rendering itself OOMs. Checkpointing cuts
     the lineage at every iteration (use a reliable `checkpoint()` on a real
     cluster for executor-loss tolerance).
+
+    Convergence detection is folded into the label update: the new-label
+    projection carries a ``changed`` flag, so the per-round driver action
+    is a scan-only aggregate over the just-checkpointed partitions — no
+    extra join against the previous labels.
     """
     e = pairs.select(F.col(src).alias("a"), F.col(dst).alias("b"))
     edges = e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b"))).distinct().persist()
@@ -348,20 +354,128 @@ def connected_components(
             labels.join(neighbor_min, "node", "left")
             .select(
                 "node",
-                F.least(F.col("label"), F.coalesce("nmin", F.col("label"))).alias("label"),
+                F.least(F.col("label"), F.coalesce("nmin", F.col("label"))).alias(
+                    "new_label"
+                ),
+                (F.coalesce("nmin", F.col("label")) < F.col("label")).alias("changed"),
             )
             .localCheckpoint()
         )
-        changed = (
-            new_labels.select(F.col("node"), F.col("label").alias("new_l"))
-            .join(labels, "node")
-            .filter(F.col("new_l") != F.col("label"))
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
+        changed = new_labels.agg(F.sum(F.col("changed").cast("long"))).first()[0]
+        labels = new_labels.select("node", F.col("new_label").alias("label"))
+        if not changed:
             break
     return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("cluster"))
+
+
+def _symmetric(edges: DataFrame) -> DataFrame:
+    """Undirected closure of an (a, b) edge relation, self-loops dropped."""
+    fwd = edges.filter(F.col("a") != F.col("b"))
+    return fwd.union(fwd.select(F.col("b").alias("a"), F.col("a").alias("b"))).distinct()
+
+
+def _large_star(edges: DataFrame) -> DataFrame:
+    """Large-star round (Kiveris et al. 2014, Alg. 2).
+
+    For each node u with neighborhood Γ(u): connect every LARGER neighbor
+    v > u to m = min(Γ(u) ∪ {u}). Input must be the symmetric closure;
+    output is a directed (child > parent is NOT guaranteed mid-stream)
+    edge list with self-loops removed.
+    """
+    m = edges.groupBy("a").agg(F.least(F.min("b"), F.first("a")).alias("m"))
+    return (
+        edges.join(m, "a")
+        .filter(F.col("b") > F.col("a"))
+        .select(F.col("b").alias("a"), F.col("m").alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+
+
+def _small_star(edges: DataFrame) -> DataFrame:
+    """Small-star round: orient edges larger→smaller, then for each node u
+    connect all of its smaller neighbors (and u itself) to their minimum."""
+    oriented = edges.select(
+        F.greatest("a", "b").alias("a"), F.least("a", "b").alias("b")
+    ).filter(F.col("a") != F.col("b"))
+    m = oriented.groupBy("a").agg(F.min("b").alias("m"))
+    out = (
+        oriented.join(m, "a")
+        .select(F.col("b").alias("a"), F.col("m").alias("b"))
+        .union(m.select(F.col("a"), F.col("m").alias("b")))
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    return out
+
+
+def connected_components_ls(
+    pairs: DataFrame,
+    src: str = "doc_a",
+    dst: str = "doc_b",
+    max_iter: int = 30,
+    stats: dict | None = None,
+) -> DataFrame:
+    """Web-scale connected components via alternating large-star /
+    small-star rounds (Kiveris et al. 2014, "Connected Components in
+    MapReduce and Beyond"). Returns (doc_id, cluster) with cluster = the
+    component's minimum doc_id — identical contract (and results) to
+    :func:`connected_components`.
+
+    Why this exists alongside min-label propagation: label propagation
+    needs `diameter` rounds, so a 10⁶-node path graph needs 10⁶ shuffles.
+    Large-star/small-star contracts long chains geometrically —
+    **O(log² n) rounds on any graph** — at the cost of rewriting the edge
+    list (same asymptotic shuffle volume per round). Use it when
+    candidate-pair graphs may chain (tile/substring dedup, transitive
+    boilerplate), keep plain propagation for shallow star-shaped graphs.
+
+    Convergence: at the fixed point every component is a star centered at
+    its minimum; a round that changes nothing leaves the edge fingerprint
+    (count + order-independent xxhash64 sum) unchanged, which is the
+    per-round driver check — one scan-only aggregate over checkpointed
+    edges, no join-based diff. Each round localCheckpoints to cut the
+    iterated-join lineage (reliable checkpoint on a real cluster).
+    """
+    base = pairs.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    # isolated self-pairs (a == b) contribute a node but no edge
+    nodes = (
+        base.select(F.col("a").alias("node"))
+        .union(base.select(F.col("b").alias("node")))
+        .distinct()
+        .persist()
+    )
+    edges = _symmetric(base).localCheckpoint()
+    prev_fp: tuple[int, int] | None = None
+    rounds = 0
+    for _ in range(max_iter):
+        rounds += 1
+        # large-star reasons about full neighborhoods, so re-symmetrize the
+        # (directed) small-star output at the top of every round
+        edges = _small_star(_large_star(_symmetric(edges))).localCheckpoint()
+        # bit_xor, not sum: order-independent, immune to ANSI overflow, and
+        # exact on a distinct edge set
+        fp_row = edges.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.coalesce(F.expr("bit_xor(xxhash64(a, b))"), F.lit(0)).alias("h"),
+        ).first()
+        fp = (fp_row["n"], fp_row["h"])
+        if fp == prev_fp:
+            break
+        prev_fp = fp
+    if stats is not None:
+        stats["rounds"] = rounds
+    # at convergence edges are (child, center) star edges; centers and
+    # isolated nodes label themselves
+    labels = edges.select(F.col("a").alias("node"), F.col("b").alias("cluster"))
+    out = (
+        nodes.join(labels, "node", "left")
+        .select(
+            F.col("node").alias("doc_id"),
+            F.coalesce("cluster", F.col("node")).alias("cluster"),
+        )
+    )
+    return out
 
 
 #: simhash pairing: band count and the Hamming-distance acceptance radius.

@@ -120,6 +120,38 @@ def test_connected_components_long_chain_converges(spark):
     assert got == {i: 0 for i in range(8)}
 
 
+def test_connected_components_ls_matches_propagation(spark):
+    # star + chain + isolated self-pair + duplicate/reversed edges
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (5, 6), (9, 8), (8, 9), (7, 7), (3, 1)],
+        ["doc_a", "doc_b"],
+    )
+    want = {1: 1, 2: 1, 3: 1, 5: 5, 6: 5, 7: 7, 8: 8, 9: 8}
+    got = {r["doc_id"]: r["cluster"] for r in D.connected_components_ls(pairs).collect()}
+    assert got == want
+
+
+def test_connected_components_ls_long_chain_few_rounds(spark):
+    # path graph 0-..-63: diameter 63 would need 63 propagation rounds;
+    # large-star/small-star must finish inside the default max_iter=30
+    # (it needs O(log^2 n) ~ a handful here)
+    pairs = spark.createDataFrame([(i, i + 1) for i in range(63)], ["doc_a", "doc_b"])
+    got = {r["doc_id"]: r["cluster"] for r in D.connected_components_ls(pairs).collect()}
+    assert got == {i: 0 for i in range(64)}
+
+
+def test_connected_components_ls_random_graph_equivalence(spark):
+    import random
+
+    rng = random.Random(7)
+    n = 200
+    edges = [(rng.randrange(n), rng.randrange(n)) for _ in range(220)]
+    pairs = spark.createDataFrame(edges, ["doc_a", "doc_b"])
+    a = {r["doc_id"]: r["cluster"] for r in D.connected_components(pairs).collect()}
+    b = {r["doc_id"]: r["cluster"] for r in D.connected_components_ls(pairs).collect()}
+    assert a == b
+
+
 def test_simhash_pairs_radius_and_cap(spark):
     from project_obsidian_core_spark.datapipe import dedup as D
     from pyspark.sql import functions as F
