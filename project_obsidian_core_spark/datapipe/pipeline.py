@@ -213,6 +213,7 @@ def pack_greedy(
     tokens_col: str = "n_tokens",
     shard_col: str = "source",
     order_col: str = "doc_id",
+    max_shard_rows: int | None = None,
 ) -> DataFrame:
     """First-fit packing without document splitting: walk the shard in
     ``order_col`` order; a document that would overflow the current context
@@ -224,6 +225,18 @@ def pack_greedy(
     (streaming/delta_stream.py). Only (order, tokens) columns move; at
     100 TB the text stays in place and the assignment joins back on
     ``order_col``.
+
+    ``max_shard_rows`` is the hot-shard guard rail (same contract as
+    dedup's ``max_bucket``/``max_block``): a shard larger than the cap is
+    split on a salted sub-key into ceil(n / cap) sub-shards and packed per
+    sub-shard, so one giant shard cannot serialize the stage into a single
+    task. Pack ids are namespaced ``sub * max_shard_rows + local`` (a
+    sub-shard opens at most one pack per row, so local < cap) — globally
+    unique within the shard and deterministic. The trade is the same as the
+    dedup caps: packing is first-fit per SUB-shard rather than across the
+    whole shard, costing at most ceil(n/cap) partially-filled tail
+    contexts — noise against n/cap full ones — in exchange for bounded
+    task size.
     """
     out_schema = T.StructType(
         [
@@ -236,7 +249,8 @@ def pack_greedy(
 
     def _pack(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values("__order").reset_index(drop=True)
-        pack_id, fill = 0, 0
+        base = int(pdf["__sub"].iloc[0]) * (max_shard_rows or 0)
+        pack_id, fill = base, 0
         ids, fills = [], []
         for n in pdf["__tokens"].astype("int64"):
             if fill > 0 and fill + n > ctx_len:
@@ -263,7 +277,20 @@ def pack_greedy(
         F.col(shard_col).alias("__shard"),
         F.col(tokens_col).cast("long").alias("__tokens"),
     )
-    return slim.groupBy("__shard").applyInPandas(_pack, schema=out_schema)
+    if max_shard_rows is None:
+        slim = slim.withColumn("__sub", F.lit(0))
+    else:
+        # shard sizes via a window (NULL-safe, like write_corpus); the salt
+        # spreads a hot shard over ceil(n / cap) groups
+        n = F.count(F.lit(1)).over(Window.partitionBy("__shard"))
+        n_subs = F.greatest(
+            F.ceil(n / F.lit(max_shard_rows)).cast("long"), F.lit(1)
+        )
+        slim = slim.withColumn(
+            "__sub",
+            F.pmod(shared_hash60(F.col("__order").cast("string")), n_subs),
+        )
+    return slim.groupBy("__shard", "__sub").applyInPandas(_pack, schema=out_schema)
 
 
 # --------------------------------------------------------- corpus sink ----

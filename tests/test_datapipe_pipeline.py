@@ -120,6 +120,39 @@ def test_pack_greedy_invariants(docs):
     assert len(out) == docs.count()
 
 
+def test_pack_greedy_max_shard_rows_splits_hot_shard(spark):
+    # one 1e6-row shard with the cap → packing spreads over ~10 sub-shards
+    # (tasks) instead of serializing into one; tokens conserved, invariants
+    # hold, pack ids stay unique per doc set
+    ctx, cap, n = 2048, 100_000, 1_000_000
+    df = (
+        spark.range(n)
+        .select(
+            F.col("id").alias("doc_id"),
+            F.lit("hot").alias("source"),
+            (F.pmod(F.col("id") * 37, F.lit(500)) + 1).alias("n_tokens"),
+        )
+    )
+    out = P.pack_greedy(df, ctx, max_shard_rows=cap).persist()
+    assert out.count() == n  # every doc assigned exactly once
+    # work actually split: multiple pack-id namespaces (sub-shards) in use
+    n_subs = out.select(F.floor(F.col("pack_id") / cap)).distinct().count()
+    assert n_subs >= 5
+    # tokens conserved through the operator
+    total_in = df.agg(F.sum("n_tokens")).first()[0]
+    total_out = out.agg(F.sum("n_tokens")).first()[0]
+    assert total_in == total_out
+    # no multi-doc pack overflows the context
+    over = (
+        out.groupBy("pack_id")
+        .agg(F.sum("n_tokens").alias("t"), F.count(F.lit(1)).alias("c"))
+        .filter((F.col("c") > 1) & (F.col("t") > ctx))
+        .count()
+    )
+    assert over == 0
+    out.unpersist()
+
+
 # ----------------------------------------------------------- properties ---
 from hypothesis import HealthCheck, given, settings  # noqa: E402
 from hypothesis import strategies as st  # noqa: E402
