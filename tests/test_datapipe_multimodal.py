@@ -69,7 +69,75 @@ def test_frame_sampling(media):
     assert sorted({r["frame_idx"] for r in half}) == [0, 2]
 
 
-def test_real_decode_is_gated(media):
+def _make_wav(samples: list[int], rate: int = 8000) -> bytes:
+    """A genuine PCM16 mono RIFF/WAVE file, stdlib-only."""
+    import io
+    import struct
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(rate)
+        w.writeframes(b"".join(struct.pack("<h", s) for s in samples))
+    return buf.getvalue()
+
+
+def _make_bmp(pixels: list[list[tuple[int, int, int]]]) -> bytes:
+    """A genuine uncompressed 24-bit BMP (BI_RGB), stdlib-only.
+
+    ``pixels`` is rows of (b, g, r) triples, top-down as given; BMP stores
+    bottom-up, which is part of what the parser must cope with."""
+    import struct
+
+    h, w = len(pixels), len(pixels[0])
+    row_bytes = (w * 3 + 3) // 4 * 4
+    body = b""
+    for row in reversed(pixels):
+        raw = b"".join(bytes(p) for p in row)
+        body += raw + b"\x00" * (row_bytes - len(raw))
+    header = struct.pack("<2sIHHI", b"BM", 54 + len(body), 0, 0, 54)
+    info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(body), 0, 0, 0, 0)
+    return header + info + body
+
+
+def test_real_decode_wav(spark):
+    # features in real mode come from the DECODED PCM bytes, not the file
+    samples = [0, 1000, -1000, 32767, -32768, 513]
+    wav = _make_wav(samples)
+    import struct
+
+    pcm = b"".join(struct.pack("<h", s) for s in samples)
+    df = spark.createDataFrame(
+        [(1, "audio", bytearray(wav), None, None, 8000, None)],
+        M.MEDIA_SCHEMA,
+    )
+    f = M.extract_features(df, mode="real").collect()[0]
+    assert f["n_bytes"] == len(pcm)
+    assert f["byte_sum"] == sum(pcm)
+    assert f["byte_mean"] == pytest.approx(sum(pcm) / len(pcm))
+
+
+def test_real_decode_bmp(spark):
+    pixels = [
+        [(255, 0, 0), (0, 255, 0)],
+        [(0, 0, 255), (10, 20, 30)],
+    ]
+    bmp = _make_bmp(pixels)
+    df = spark.createDataFrame(
+        [(2, "image", bytearray(bmp), 2, 2, None, None)],
+        M.MEDIA_SCHEMA,
+    )
+    f = M.extract_features(df, mode="real").collect()[0]
+    # 2px * 3B = 6B per row, padded to 8; 2 rows
+    assert f["n_bytes"] == 16
+    flat = sum(sum(p) for row in pixels for p in row)
+    assert f["byte_sum"] == flat  # padding bytes are zero
+
+
+def test_real_decode_unsupported_format_is_gated(media):
+    # synthetic md5 payloads are not a real container -> NotImplementedError
     with pytest.raises(Exception) as exc_info:
         M.extract_features(media, mode="real").collect()
     assert "NotImplementedError" in str(exc_info.value) or isinstance(
