@@ -318,10 +318,19 @@ def stratified_sample(
     cast because DuckDB CAST rounds where Spark truncates.
 
     Plan: one broadcast join of the (tiny) stratum-count relation + a
-    per-row hash filter. The corpus shuffles zero times.
+    per-row hash filter. The corpus shuffles zero times. The join keys are
+    ``eqNullSafe``: a NULL stratum (unknown lang/source) is a legitimate
+    stratum and must be SAMPLED, not silently dropped the way a plain
+    equi-join's NULL = NULL would (the same reasoning as write_corpus's
+    window-based stratum counts).
     """
     counts = df.groupBy(*strata).agg(F.count(F.lit(1)).alias("stratum_n"))
-    joined = df.join(F.broadcast(counts), list(strata))
+    d, c = df.alias("d"), F.broadcast(counts.alias("c"))
+    cond = None
+    for col in strata:
+        eq = F.col(f"d.{col}").eqNullSafe(F.col(f"c.{col}"))
+        cond = eq if cond is None else (cond & eq)
+    joined = d.join(c, cond).select("d.*", "c.stratum_n")
     thr = F.floor(
         F.least(F.lit(1.0), F.lit(target) / F.col("stratum_n")) * F.lit(1_000_000)
     )
@@ -433,7 +442,12 @@ def build_vocab(
     )
     # persisted: `top` feeds BOTH sides of the rank self-join, and the
     # subtree above it (corpus explode + term aggregation) is the expensive
-    # part — without the cache it executes twice per query
+    # part — without the cache it executes twice per query.
+    # Lifetime note: CacheManager dedups identical plans, so the cached
+    # relation is one entry per distinct source corpus, not per call; in a
+    # long-lived session iterating over MANY distinct corpora, entries
+    # accumulate until executor storage evicts them (LRU) — call
+    # spark.catalog.clearCache() between corpora if that pressure matters.
     top = counts.orderBy(F.desc("term_count"), F.asc("term")).limit(cap).persist()
     a, b = top.alias("a"), top.alias("b")
     before = (F.col("b.term_count") > F.col("a.term_count")) | (

@@ -143,7 +143,10 @@ def minhash_candidates(
     Spark recomputes the md5+minhash subtree once per branch (measured 4×
     at sf0.1). This is the "build the LSH index once" step — at 100 TB it
     becomes an intermediate table (checkpoint / staged parquet), not an
-    in-memory cache.
+    in-memory cache. Cache lifetime: CacheManager dedups identical plans,
+    so repeat calls over the same corpus share one entry; distinct corpora
+    each add one until LRU eviction — clear with
+    ``spark.catalog.clearCache()`` between corpora in long-lived sessions.
     """
     sigs = (
         df.select("doc_id", shingle_set(text_col).alias("sh"))

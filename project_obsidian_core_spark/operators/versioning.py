@@ -11,6 +11,18 @@ trees; the same guarantees at corpus granularity need only:
   either see the previous version or the complete new one, never a torn
   write.
 
+All metadata I/O goes through the Hadoop FileSystem API (same as
+operators/maintenance.py), so the root may be any Spark-reachable scheme
+(file://, hdfs://, s3a://). The ``_LATEST`` publish uses FileContext's
+rename-with-OVERWRITE — atomic on HDFS and local filesystems; on S3
+(no atomic rename) pair this with a conditional-put layer or single-writer
+discipline. Version allocation (max(existing)+1) is likewise
+last-writer-wins under concurrency: with multiple concurrent writers on
+different hosts, front it with an external lock or allocate ids centrally
+— the manifest/atomic-publish machinery below is safe either way (a lost
+race surfaces as ``errorifexists`` on the version directory, never as a
+corrupt snapshot).
+
 Scale notes: the manifest holds file names, not data — O(files). Readers
 load by explicit file list, so a snapshot read is immune to concurrent
 writers adding v=n+1 alongside (no directory-listing races).
@@ -19,12 +31,56 @@ writers adding v=n+1 alongside (no directory-listing races).
 from __future__ import annotations
 
 import json
-import os
 
 from pyspark.sql import DataFrame, SparkSession
 
 _MANIFEST = "_MANIFEST.json"
 _LATEST = "_LATEST"
+
+
+def _fs(spark: SparkSession, path: str):
+    """(FileSystem, jvm, Path-class) for ``path`` — any Hadoop scheme."""
+    jvm = spark.sparkContext._jvm
+    conf = spark.sparkContext._jsc.hadoopConfiguration()
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    return hpath.getFileSystem(conf), jvm, jvm.org.apache.hadoop.fs.Path
+
+
+def _read_text(spark: SparkSession, path: str) -> str | None:
+    fs, jvm, P = _fs(spark, path)
+    p = P(path)
+    if not fs.exists(p):
+        return None
+    stream = fs.open(p)
+    try:
+        return jvm.org.apache.commons.io.IOUtils.toString(stream, "UTF-8")
+    finally:
+        stream.close()
+
+
+def _write_text(spark: SparkSession, path: str, content: str) -> None:
+    fs, _, P = _fs(spark, path)
+    out = fs.create(P(path), True)
+    try:
+        out.write(bytearray(content.encode("utf-8")))
+    finally:
+        out.close()
+
+
+def _rename_overwrite(spark: SparkSession, src: str, dst: str) -> None:
+    """Atomic publish: FileContext rename with Options.Rename.OVERWRITE
+    (the same primitive Spark's own checkpoint/commit protocols use)."""
+    jvm = spark.sparkContext._jvm
+    gateway = spark.sparkContext._gateway
+    conf = spark.sparkContext._jsc.hadoopConfiguration()
+    P = jvm.org.apache.hadoop.fs.Path
+    src_p = P(src)
+    fc = jvm.org.apache.hadoop.fs.FileContext.getFileContext(
+        src_p.getFileSystem(conf).getUri(), conf
+    )
+    opts = gateway.new_array(jvm.org.apache.hadoop.fs.Options.Rename, 1)
+    opts[0] = jvm.org.apache.hadoop.fs.Options.Rename.OVERWRITE
+    fc.rename(src_p, P(dst), opts)
 
 
 def write_snapshot(df: DataFrame, root: str) -> int:
@@ -34,40 +90,42 @@ def write_snapshot(df: DataFrame, root: str) -> int:
     → atomic ``_LATEST`` rename. A crash before the rename leaves a
     dangling (unreferenced) version directory, never a corrupt latest.
     """
-    os.makedirs(root, exist_ok=True)
+    spark = df.sparkSession
+    fs, _, P = _fs(spark, root)
+    root_p = P(root)
+    fs.mkdirs(root_p)
     # allocate past BOTH the published latest and any dangling directory a
     # crashed writer left behind — otherwise the next write collides with
     # the dangling v=N forever (errorifexists) and snapshots wedge
-    existing = [
-        int(d.split("=", 1)[1])
-        for d in os.listdir(root)
-        if d.startswith("v=") and d.split("=", 1)[1].isdigit()
-    ]
-    version = max([latest_version(root), *existing], default=0) + 1
-    vdir = os.path.join(root, f"v={version}")
+    existing = []
+    for st in fs.listStatus(root_p):
+        name = st.getPath().getName()
+        if st.isDirectory() and name.startswith("v=") and name[2:].isdigit():
+            existing.append(int(name[2:]))
+    version = max([latest_version(root, spark), *existing], default=0) + 1
+    vdir = f"{root}/v={version}"
     df.write.mode("errorifexists").parquet(vdir)
     files = sorted(
-        f for f in os.listdir(vdir) if f.endswith(".parquet")
+        st.getPath().getName()
+        for st in fs.listStatus(P(vdir))
+        if st.isFile() and st.getPath().getName().endswith(".parquet")
     )
-    spark = df.sparkSession
     n_rows = spark.read.parquet(vdir).count()
     manifest = {"version": version, "files": files, "n_rows": n_rows}
-    with open(os.path.join(vdir, _MANIFEST), "w") as fh:
-        json.dump(manifest, fh)
-    tmp = os.path.join(root, f"{_LATEST}.tmp.{version}")
-    with open(tmp, "w") as fh:
-        fh.write(str(version))
-    os.replace(tmp, os.path.join(root, _LATEST))  # atomic publish
+    _write_text(spark, f"{vdir}/{_MANIFEST}", json.dumps(manifest))
+    tmp = f"{root}/.{_LATEST}.tmp.{version}"
+    _write_text(spark, tmp, str(version))
+    _rename_overwrite(spark, tmp, f"{root}/{_LATEST}")  # atomic publish
     return version
 
 
-def latest_version(root: str) -> int:
+def latest_version(root: str, spark: SparkSession | None = None) -> int:
     """The last published version (0 if none)."""
-    try:
-        with open(os.path.join(root, _LATEST)) as fh:
-            return int(fh.read().strip())
-    except FileNotFoundError:
-        return 0
+    spark = spark or SparkSession.getActiveSession()
+    if spark is None:
+        raise RuntimeError("latest_version needs an active SparkSession")
+    text = _read_text(spark, f"{root}/{_LATEST}")
+    return int(text.strip()) if text else 0
 
 
 def read_snapshot(
@@ -76,9 +134,11 @@ def read_snapshot(
     """Read a pinned (or the latest published) snapshot by its manifest's
     explicit file list — never by directory listing, so concurrent writers
     and dangling partial versions are invisible."""
-    v = latest_version(root) if version is None else version
-    vdir = os.path.join(root, f"v={v}")
-    with open(os.path.join(vdir, _MANIFEST)) as fh:
-        manifest = json.load(fh)
-    paths = [os.path.join(vdir, f) for f in manifest["files"]]
+    v = latest_version(root, spark) if version is None else version
+    vdir = f"{root}/v={v}"
+    text = _read_text(spark, f"{vdir}/{_MANIFEST}")
+    if text is None:
+        raise FileNotFoundError(f"no manifest for version {v} under {root}")
+    manifest = json.loads(text)
+    paths = [f"{vdir}/{f}" for f in manifest["files"]]
     return spark.read.parquet(*paths)

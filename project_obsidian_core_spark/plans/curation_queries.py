@@ -149,8 +149,12 @@ WITH c AS (
     SELECT lang, source, count(*) AS stratum_n
     FROM documents GROUP BY lang, source
 ), j AS (
+    -- IS NOT DISTINCT FROM mirrors the operator's eqNullSafe join keys:
+    -- NULL strata are sampled, not dropped
     SELECT d.doc_id, d.lang, d.source, c.stratum_n
-    FROM documents d JOIN c USING (lang, source)
+    FROM documents d JOIN c
+      ON d.lang IS NOT DISTINCT FROM c.lang
+     AND d.source IS NOT DISTINCT FROM c.source
 )
 SELECT doc_id, lang, source, stratum_n
 FROM j

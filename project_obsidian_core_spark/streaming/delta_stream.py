@@ -117,6 +117,18 @@ def make_delta_fn(
         v = v.item() if hasattr(v, "item") else v
         return int(v) if integral[j] else v
 
+    def _key(rec) -> tuple:
+        # canonicalize key values to str at the boundary: the state schema
+        # declares keys as array<array<string>>, so a non-string key column
+        # (e.g. a bigint digest id) must be coerced BEFORE it enters the
+        # state tuple — otherwise Arrow state serialization fails and
+        # current-vs-previous dict probes compare str to int and never hit.
+        # The output schema types key columns as string, so emitting the
+        # canonicalized form is lossless.
+        return tuple(
+            None if (v := getattr(rec, k)) is None else str(v) for k in key_cols
+        )
+
     def fn(
         key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
@@ -141,7 +153,7 @@ def make_delta_fn(
             ts_us = int(pd.Timestamp(ts).value // 1000)
             curr_digests: dict[tuple, list] = {}
             for rec in snap.itertuples(index=False):
-                kc = tuple(getattr(rec, k) for k in key_cols)
+                kc = _key(rec)
                 curr_digests[kc] = [
                     _coerce(j, getattr(rec, m)) for j, m in enumerate(metric_cols)
                 ]

@@ -30,6 +30,7 @@ so it is pinned by the load-ramp integration test
 
 from __future__ import annotations
 
+import threading
 import time
 from collections.abc import Callable
 
@@ -95,6 +96,11 @@ class GovernedStreamRunner:
         self.applied_intervals: list[float] = []
         self.loads_seen: list[float] = []
         self._pending_interval: float | None = None
+        # guards _pending_interval: written by the foreachBatch thread,
+        # read-and-cleared by the runner thread — without the lock a write
+        # landing between the runner's read and clear would be lost and the
+        # query would idle on a stale cadence until the governor re-fires
+        self._pending_lock = threading.Lock()
         governor.interval_change_callback = self._on_interval_change
 
     # -- called from the micro-batch thread --------------------------------
@@ -109,7 +115,8 @@ class GovernedStreamRunner:
     def _on_interval_change(self, new_interval_s: float) -> None:
         # hysteresis already passed inside the governor; just record — the
         # restart happens on the runner thread, not the batch thread
-        self._pending_interval = new_interval_s
+        with self._pending_lock:
+            self._pending_interval = new_interval_s
 
     # -- runner thread ------------------------------------------------------
     def run(self, duration_s: float, stop_event=None) -> None:
@@ -122,9 +129,9 @@ class GovernedStreamRunner:
             while time.monotonic() < deadline:
                 if stop_event is not None and stop_event.is_set():
                     return
-                pending = self._pending_interval
+                with self._pending_lock:  # atomic take: no lost update
+                    pending, self._pending_interval = self._pending_interval, None
                 if pending is not None:
-                    self._pending_interval = None
                     query.stop()
                     query.awaitTermination()
                     query = self.start_query(

@@ -98,6 +98,29 @@ def test_stratified_sample_caps_strata(spark):
     )
 
 
+def test_stratified_sample_keeps_null_strata(spark):
+    from pyspark.sql import types as T
+
+    # rows with NULL lang/source form their own stratum and must be
+    # sampled, not dropped by a NULL=NULL join miss
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+            T.StructField("lang", T.StringType()),
+            T.StructField("source", T.StringType()),
+        ]
+    )
+    rows = [(i, "t", None, None) for i in range(3)] + [
+        (10 + i, "t", "en", "web") for i in range(3)
+    ]
+    df = spark.createDataFrame(rows, schema)
+    out = C.stratified_sample(df, target=10.0).collect()
+    # fraction clamps to 1.0 in both strata -> every row survives
+    assert sorted(r["doc_id"] for r in out) == [0, 1, 2, 10, 11, 12]
+    assert all(r["stratum_n"] == 3 for r in out)
+
+
 def test_tile_dedup_drops_repeats_keeps_first(spark):
     rows = [
         # doc 1: tiles [a b] [c d]; doc 2 repeats [a b] then new [e f];

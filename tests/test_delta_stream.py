@@ -99,6 +99,43 @@ def test_multiple_snapshots_in_one_batch_fold_in_order(spark, tmp_path):
     }
 
 
+def test_bigint_key_column_round_trips_state(spark, tmp_path):
+    # a LongType key must survive the array<array<string>> state schema:
+    # values are canonicalized to str at the boundary, so the cross-batch
+    # dict probe still hits and deltas (not full values) come back
+    schema = T.StructType(
+        [
+            T.StructField("instance_id", T.StringType()),
+            T.StructField("snapshot_ts", T.TimestampType()),
+            T.StructField("digest_id", T.LongType()),
+            T.StructField("count_star", T.LongType()),
+        ]
+    )
+    src, ckpt = str(tmp_path / "src"), str(tmp_path / "ckpt")
+    sink = str(tmp_path / "out")
+
+    def put(rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode("append").parquet(src)
+
+    def run():
+        stream = spark.readStream.schema(schema).parquet(src)
+        deltas = DS.stateful_deltas(
+            stream, ["digest_id"], [("count_star", T.LongType())]
+        )
+        DS.run_replay(deltas, ckpt, sink_path=sink)
+        return {
+            (r["digest_id"], r["snapshot_ts"]): r
+            for r in spark.read.parquet(sink).collect()
+        }
+
+    put([("i1", TS[0], 123456789012345, 100)])
+    run()  # first snapshot: state written, nothing emitted
+    put([("i1", TS[1], 123456789012345, 170)])
+    out = run()  # second pass resumes from checkpointed bigint-keyed state
+    assert set(out) == {("123456789012345", TS[1])}
+    assert out[("123456789012345", TS[1])]["count_star_delta"] == 70
+
+
 def test_null_metric_degrades_to_null_delta(spark, tmp_path):
     # A NULL secondary metric must not kill the stream (TypeError on
     # None < prev); it degrades to a null delta like the batch path.
