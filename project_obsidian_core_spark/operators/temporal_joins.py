@@ -95,6 +95,103 @@ def asof_join(
     )
 
 
+def asof_join_presplit(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    value_cols: tuple[str, ...] = ("value",),
+    prefix: str = "asof_",
+    period: str = "1 day",
+) -> DataFrame:
+    """Hot-key-safe :func:`asof_join`: identical output, bounded tasks.
+
+    The plain formulation sorts each key's full history in one task; a key
+    with 10⁸ rows is a straggler AQE cannot split (window, not join). Here
+    both sides are bucketed into ``period`` slices and the union-window
+    carry runs per (key, period) — task size is bounded by rows per key per
+    period. Left rows whose period holds no earlier right row take their
+    value from a per-(key, period) CARRY relation: the last right struct of
+    each period, carried forward across the (tiny, one row per bucket)
+    period spine with a second window, then equi-joined back on
+    (key, period).
+
+    Cost: one extra shuffle of the events (the carry join reuses the
+    (key, period) partitioning) plus a window over the bucket-level spine.
+    Equivalence with :func:`asof_join` is pinned in tests across period
+    boundaries.
+    """
+    period_us = F.expr(
+        f"unix_micros(timestamp'1970-01-01 00:00:00' + INTERVAL {period})"
+    )
+
+    def bucket(ts: str) -> Column:
+        return F.floor(F.unix_micros(F.col(ts)) / period_us).cast("long")
+
+    lcols = [c for c in left.columns if c != on]
+    ref = F.struct(
+        F.col(right_ts).alias("ts"), *[F.col(c).alias(c) for c in value_cols]
+    )
+    ref_type = right.select(ref.alias("_r")).schema["_r"].dataType.simpleString()
+    tagged_r = right.select(
+        F.col(on),
+        F.col(right_ts).alias("_ats"),
+        bucket(right_ts).alias("_p"),
+        F.lit(0).alias("_tag"),
+        *[F.lit(None).cast(dict(left.dtypes)[c]).alias(c) for c in lcols],
+        ref.alias("_ref"),
+    )
+    tagged_l = left.select(
+        F.col(on),
+        F.col(left_ts).alias("_ats"),
+        bucket(left_ts).alias("_p"),
+        F.lit(1).alias("_tag"),
+        *lcols,
+        F.lit(None).cast(ref_type).alias("_ref"),
+    )
+    w = (
+        Window.partitionBy(on, "_p")
+        .orderBy("_ats", "_tag")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    within = tagged_r.unionByName(tagged_l).withColumn(
+        "_ref", F.last("_ref", ignorenulls=True).over(w)
+    )
+
+    # period spine: every (key, period) either side touches, with the last
+    # right struct of the period (if any) carried forward across periods
+    last_right = right.groupBy(F.col(on), bucket(right_ts).alias("_p")).agg(
+        F.max_by(ref, F.col(right_ts)).alias("_period_ref")
+    )
+    spine = (
+        tagged_l.select(on, "_p")
+        .union(tagged_r.select(on, "_p"))
+        .distinct()
+        .join(last_right, [on, "_p"], "left")
+    )
+    ws = Window.partitionBy(on).orderBy("_p")
+    carry = spine.select(
+        on,
+        "_p",
+        F.last("_period_ref", ignorenulls=True)
+        .over(ws.rowsBetween(Window.unboundedPreceding, -1))
+        .alias("_carry_in"),
+    )
+
+    out = (
+        within.filter(F.col("_tag") == 1)
+        .join(carry, [on, "_p"])
+        .withColumn("_ref", F.coalesce("_ref", "_carry_in"))
+    )
+    return out.select(
+        F.col(on),
+        *lcols,
+        F.col("_ref.ts").alias(f"{prefix}ts"),
+        *[F.col(f"_ref.{c}").alias(f"{prefix}{c}") for c in value_cols],
+    )
+
+
 def range_join(
     anchors: DataFrame,
     probes: DataFrame,

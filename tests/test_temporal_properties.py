@@ -69,6 +69,68 @@ def test_asof_matches_sequential_model(spark, lefts, rights):
             assert out[i] == (None, None)
 
 
+@given(lefts=lefts, rights=rights)
+@settings(**_SETTINGS)
+def test_asof_presplit_matches_plain(spark, lefts, rights):
+    # a 2-minute period over 0-8 minute timestamps forces cross-boundary
+    # carries (left rows whose period holds no earlier right row)
+    rmap: dict[tuple[int, int], int] = {}
+    for k, t, v in rights:
+        rmap[(k, t)] = max(rmap.get((k, t), -1), v)
+    left_rows = [
+        (i, k, T0 + dt.timedelta(minutes=t)) for i, (k, t) in enumerate(lefts)
+    ]
+    right_rows = [
+        (k, T0 + dt.timedelta(minutes=t), v) for (k, t), v in sorted(rmap.items())
+    ]
+    ldf = spark.createDataFrame(left_rows, ["event_id", "user_id", "ts"])
+    if right_rows:
+        rdf = spark.createDataFrame(right_rows, ["user_id", "ts", "v"])
+    else:
+        rdf = spark.createDataFrame([], "user_id long, ts timestamp, v long")
+    plain = {
+        r["event_id"]: (r["asof_ts"], r["asof_v"])
+        for r in TJ.asof_join(ldf, rdf, on="user_id", value_cols=("v",)).collect()
+    }
+    split = {
+        r["event_id"]: (r["asof_ts"], r["asof_v"])
+        for r in TJ.asof_join_presplit(
+            ldf, rdf, on="user_id", value_cols=("v",), period="2 minutes"
+        ).collect()
+    }
+    assert split == plain
+
+
+sessions_events = st.lists(
+    st.tuples(st.sampled_from(["u1", "u2"]), st.integers(0, 600)),
+    min_size=1,
+    max_size=25,
+    unique=True,
+)
+
+
+@given(events=sessions_events)
+@settings(**_SETTINGS)
+def test_sessionize_presplit_matches_plain(spark, events):
+    from project_obsidian_core_spark.datapipe import pipeline as P
+
+    # 2-minute periods, 45 s gap, timestamps over 10 minutes: sessions
+    # regularly span period boundaries and some periods are empty
+    rows = [(u, T0 + dt.timedelta(seconds=s)) for u, s in events]
+    df = spark.createDataFrame(rows, ["user_id", "ts"])
+    plain = {
+        (r["user_id"], r["ts"]): r["session_idx"]
+        for r in P.sessionize(df, gap="45 seconds").collect()
+    }
+    split = {
+        (r["user_id"], r["ts"]): r["session_idx"]
+        for r in P.sessionize_presplit(
+            df, gap="45 seconds", period="2 minutes"
+        ).collect()
+    }
+    assert split == plain
+
+
 texts = st.lists(
     st.lists(st.sampled_from(["a", "b", "c"]), min_size=1, max_size=9).map(" ".join),
     min_size=1,
