@@ -113,6 +113,60 @@ def compact_partition(
     return n_target
 
 
+def recover_compaction(spark: SparkSession, path: str) -> dict[str, str]:
+    """Repair the table after a compaction crash; idempotent, safe to run
+    at every maintenance-loop startup.
+
+    The swap in :func:`compact_partition` is two metadata renames
+    (leaf → ``.compact_trash``, ``.compact_tmp`` → leaf) followed by a
+    trash delete. Every crash point leaves a recoverable state:
+
+    - **between the renames**: the leaf is MISSING and the original data
+      sits under ``.compact_trash`` → rename it back (restore).
+    - **after the second rename, before the delete**: the leaf holds the
+      rewrite and ``.compact_trash`` still holds the old copy → delete the
+      trash (the rewrite is complete and equivalent).
+    - **before the first rename**: only ``.compact_tmp`` leftovers exist →
+      delete them (the next compaction rewrites from live data).
+
+    Readers are correct at EVERY crash point except the missing-leaf
+    window (rows temporarily absent, never doubled — both working dirs are
+    dot-prefixed and invisible to partition discovery); recovery closes
+    that window. Returns {partition: action}.
+    """
+    fs, _, jvm = _fs_and_path(spark, path)
+    P = jvm.org.apache.hadoop.fs.Path
+    actions: dict[str, str] = {}
+
+    trash_root = P(f"{path}/.compact_trash")
+    if fs.exists(trash_root):
+        for date_dir in fs.listStatus(trash_root):
+            for hour_dir in fs.listStatus(date_dir.getPath()):
+                partition = f"{date_dir.getPath().getName()}/{hour_dir.getPath().getName()}"
+                leaf_p = P(f"{path}/{partition}")
+                if fs.exists(leaf_p):
+                    # swap completed; old copy is redundant
+                    fs.delete(hour_dir.getPath(), True)
+                    actions[partition] = "dropped_stale_trash"
+                else:
+                    fs.mkdirs(leaf_p.getParent())
+                    if not fs.rename(hour_dir.getPath(), leaf_p):
+                        raise IOError(f"recovery: could not restore {partition}")
+                    actions[partition] = "restored_from_trash"
+        # prune now-empty date dirs, then the trash root itself
+        for date_dir in fs.listStatus(trash_root):
+            if len(list(fs.listStatus(date_dir.getPath()))) == 0:
+                fs.delete(date_dir.getPath(), True)
+        if len(list(fs.listStatus(trash_root))) == 0:
+            fs.delete(trash_root, True)
+
+    tmp_root = P(f"{path}/.compact_tmp")
+    if fs.exists(tmp_root):
+        fs.delete(tmp_root, True)
+        actions.setdefault("_compact_tmp", "dropped_incomplete_rewrite")
+    return actions
+
+
 def compact_table(
     spark: SparkSession,
     path: str,

@@ -72,6 +72,102 @@ def test_inflight_compaction_invisible_to_readers(spark, tmp_path):
     assert spark.read.parquet(path).count() == n_before
 
 
+class _CrashingFS:
+    """Delegating FileSystem proxy that raises at an injected call point."""
+
+    def __init__(self, fs, crash_rename_at=None, crash_delete_at=None):
+        self._fs = fs
+        self._renames = 0
+        self._deletes = 0
+        self._crash_rename_at = crash_rename_at
+        self._crash_delete_at = crash_delete_at
+
+    def rename(self, src, dst):
+        self._renames += 1
+        if self._renames == self._crash_rename_at:
+            raise RuntimeError("injected crash: kill between renames")
+        return self._fs.rename(src, dst)
+
+    def delete(self, p, recursive):
+        self._deletes += 1
+        if self._deletes == self._crash_delete_at:
+            raise RuntimeError("injected crash: kill before trash delete")
+        return self._fs.delete(p, recursive)
+
+    def __getattr__(self, name):
+        return getattr(self._fs, name)
+
+
+def _patch_fs(monkeypatch, **crash_kw):
+    real = MT._fs_and_path
+
+    def patched(spark, path):
+        fs, hpath, jvm = real(spark, path)
+        return _CrashingFS(fs, **crash_kw), hpath, jvm
+
+    monkeypatch.setattr(MT, "_fs_and_path", patched)
+
+
+def test_crash_between_renames_recovers_from_trash(spark, tmp_path, monkeypatch):
+    import pytest
+
+    path = str(tmp_path / "fact")
+    _write_fragmented(spark, path, n_appends=3)
+    baseline = sorted(r["payload"] for r in spark.read.parquet(path).collect())
+    stats = MT.partition_stats(spark, path)
+
+    # rename #1 = leaf -> trash, rename #2 = tmp -> leaf: die in between
+    _patch_fs(monkeypatch, crash_rename_at=2)
+    with pytest.raises(RuntimeError, match="injected crash"):
+        MT.compact_partition(spark, path, stats[0].partition)
+    monkeypatch.undo()
+
+    # crash window: rows may be absent but are NEVER doubled
+    import glob
+
+    leaf_files = glob.glob(f"{path}/{stats[0].partition}/*.parquet")
+    assert leaf_files == []  # leaf went aside; rewrite not yet promoted
+    assert MT.partition_stats(spark, path) == []  # discovery sees no leaf
+
+    actions = MT.recover_compaction(spark, path)
+    assert actions[stats[0].partition] == "restored_from_trash"
+    restored = sorted(r["payload"] for r in spark.read.parquet(path).collect())
+    assert restored == baseline
+    # recovery is idempotent and leaves no working dirs behind
+    assert MT.recover_compaction(spark, path) == {}
+    # the table compacts normally afterwards
+    assert MT.compact_table(spark, path, target_file_bytes=1 << 30) == {
+        stats[0].partition: 1
+    }
+    assert sorted(r["payload"] for r in spark.read.parquet(path).collect()) == baseline
+
+
+def test_crash_before_trash_delete_drops_stale_copy(spark, tmp_path, monkeypatch):
+    import pytest
+
+    path = str(tmp_path / "fact")
+    _write_fragmented(spark, path, n_appends=3)
+    baseline = sorted(r["payload"] for r in spark.read.parquet(path).collect())
+    stats = MT.partition_stats(spark, path)
+
+    # delete #1 clears any old trash pre-swap; delete #2 is the post-swap
+    # trash removal: die right before it
+    _patch_fs(monkeypatch, crash_delete_at=2)
+    with pytest.raises(RuntimeError, match="injected crash"):
+        MT.compact_partition(spark, path, stats[0].partition)
+    monkeypatch.undo()
+
+    # swap completed: readers see exactly the baseline rows (old copy is
+    # dot-prefixed and invisible) — never doubled
+    assert sorted(r["payload"] for r in spark.read.parquet(path).collect()) == baseline
+    assert MT.partition_stats(spark, path)[0].n_files == 1
+
+    actions = MT.recover_compaction(spark, path)
+    assert actions[stats[0].partition] == "dropped_stale_trash"
+    assert sorted(r["payload"] for r in spark.read.parquet(path).collect()) == baseline
+    assert MT.recover_compaction(spark, path) == {}
+
+
 def test_adaptive_loop_backs_off_and_recovers():
     gov = AdaptiveGovernor(base_interval_s=1.0, rng=random.Random(7))
     loads = [0.2] * 5 + [1.0] * 30 + [0.1] * 60
