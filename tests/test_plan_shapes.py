@@ -61,3 +61,74 @@ def test_decontaminate_scan_is_pruned(docs, tmp_path):
     out = C.decontaminate(spark.read.parquet(p), n=2)
     scan = _plan(out)
     assert "lang" not in scan.split("ReadSchema")[1][:200]
+
+
+# ------------------------------------------- round-3 flagship plan pins ---
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_curation_report_single_composed_plan(spark):
+    from project_obsidian_core_spark.plans import curation_queries as cu
+
+    plan = _plan(cu.curation_report(spark, SF_DIR))
+    # every small side broadcasts; nothing nested-loops or goes cartesian
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    # the only nested-loop joins allowed are deliberate 1-row broadcast
+    # cross joins (corpus-level scalars joined onto every row)
+    for frag in plan.split("BroadcastNestedLoopJoin")[1:]:
+        assert "Cross" in frag[:40]  # "BuildRight, Cross" / "BuildLeft, Cross"
+    assert "No Partition Defined" not in plan
+
+
+def test_prepare_training_set_v2_single_composed_plan(spark):
+    from project_obsidian_core_spark.plans import curation_queries as cu
+
+    plan = _plan(cu.prepare_training_set_v2(spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "No Partition Defined" not in plan
+
+
+def test_bpe_round_shapes(spark):
+    from project_obsidian_core_spark.datapipe import bpe as B
+
+    docs = spark.createDataFrame(
+        [(0, "aa ab aa baaab zoo zoo")], ["doc_id", "text"]
+    )
+    segs = B.initial_segmentation(B.word_counts(docs))
+    top = B.top_pair(segs)
+    # winner selection is TakeOrderedAndProject (limit 1), never a global sort
+    assert "TakeOrderedAndProject" in _plan(top)
+    merged = B.apply_merge(segs.crossJoin(F.broadcast(top)))
+    mplan = _plan(merged)
+    # the 1-row pair join must be the BROADCAST cross join, not a shuffle
+    # cartesian product
+    assert "CartesianProduct" not in mplan
+
+
+def test_stream_range_join_uses_symmetric_hash_join(spark, tmp_path):
+    from project_obsidian_core_spark.streaming.interval_join import interval_join
+
+    src_a, src_b = str(tmp_path / "a"), str(tmp_path / "b")
+    schema = "user_id string, ts timestamp, value double"
+    spark.createDataFrame([], schema).write.parquet(src_a)
+    spark.createDataFrame([], schema).write.parquet(src_b)
+    left = spark.readStream.schema(schema).parquet(src_a)
+    right = spark.readStream.schema(schema).parquet(src_b)
+    joined = interval_join(left, right, on="user_id", span_seconds=60)
+    q = (
+        joined.writeStream.format("noop")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        plan = q._jsq.explainInternal(True)
+    finally:
+        q.stop()
+    # watermark-bounded stateful equi-join — never a nested loop
+    assert "StreamingSymmetricHashJoin" in plan
+    assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
