@@ -73,6 +73,14 @@ BENCH_QUERIES = [
     "curation_report",        # all curation signals composed in one plan
     "prepare_training_set_v2",  # full curation chain -> packed contexts
     "bpe_merges",             # iterative top-pair merges on the word table
+    # round-3 additions
+    "events_funnel",          # ordered-stage conversion (chained equi-joins)
+    "events_retention",       # cohort-day retention matrix
+    "corpus_quality_filter",  # C4/Gopher composite gate, pure codegen
+    "corpus_language_mixture",  # per-source mixture with exact ppm shares
+    "customer_cumulative_spend",  # partitioned running total window
+    "knn_graph_degree",       # symmetrized kNN graph degree histogram
+    "dedup_clusters_ls",      # large-star/small-star connected components
 ]
 
 

@@ -1,0 +1,98 @@
+"""User-behavior analytics: ordered funnels and cohort retention.
+
+The event-sequence queries every product-analytics surface ships (and the
+reference's notebook workload implies over its events table): which users
+progress through an ordered stage sequence, and how cohorts decay over
+time. Both are expressible as chained equi-joins + aggregations — no
+window over the whole user history, no nested loops — so they shuffle on
+the user key only and scale with the (users × stages) relation, not the
+raw event volume.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def funnel(
+    events: DataFrame,
+    stages: Sequence[str],
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Ordered conversion funnel: a user reaches stage i+1 iff they have a
+    stage-i+1 event AT OR AFTER their earliest qualifying stage-i time
+    (the strict-progression semantics analytics engines call a "closed"
+    funnel).
+
+    Returns (stage_idx, stage, n_users) — one row per stage.
+
+    Plan shape: stage 1 is one groupBy(user); each later stage is an
+    equi-join of the (shrinking) qualified-user relation against that
+    stage's events + one groupBy(user). At 100 TB the per-stage relations
+    are bounded by the user count; nothing rescans the full event table
+    more than once per stage (filter pushdown prunes each scan to one
+    event type).
+    """
+    qualified = (
+        events.filter(F.col(type_col) == stages[0])
+        .groupBy(user_col)
+        .agg(F.min(ts_col).alias("_t"))
+    )
+    counts = [qualified.agg(F.count(F.lit(1)).alias("n_users"))]
+    for stage in stages[1:]:
+        qualified = (
+            events.filter(F.col(type_col) == stage)
+            .join(qualified.select(user_col, "_t"), user_col)
+            .filter(F.col(ts_col) >= F.col("_t"))
+            .groupBy(user_col)
+            .agg(F.min(ts_col).alias("_t"))
+        )
+        counts.append(qualified.agg(F.count(F.lit(1)).alias("n_users")))
+    out = None
+    for i, (stage, c) in enumerate(zip(stages, counts), start=1):
+        row = c.select(
+            F.lit(i).alias("stage_idx"),
+            F.lit(stage).alias("stage"),
+            F.col("n_users").cast("long").alias("n_users"),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out
+
+
+def retention(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    max_offset_days: int = 30,
+) -> DataFrame:
+    """Cohort retention: users grouped by first-activity date; for each
+    (cohort_date, day offset) the count of cohort members active that day.
+
+    Returns (cohort_date, offset_days, n_users).
+
+    Plan shape: one groupBy(user) for cohort assignment, one distinct over
+    (user, day), one equi-join on user, one final aggregation — every
+    shuffle keys on user or (cohort, offset), both well-distributed.
+    """
+    cohorts = events.groupBy(user_col).agg(
+        F.min(F.to_date(ts_col)).alias("cohort_date")
+    )
+    active = events.select(user_col, F.to_date(ts_col).alias("_day")).distinct()
+    return (
+        active.join(cohorts, user_col)
+        .select(
+            "cohort_date",
+            F.datediff(F.col("_day"), F.col("cohort_date")).cast("long").alias(
+                "offset_days"
+            ),
+            F.col(user_col),
+        )
+        .filter(F.col("offset_days") <= max_offset_days)
+        .groupBy("cohort_date", "offset_days")
+        .agg(F.countDistinct(user_col).alias("n_users"))
+    )

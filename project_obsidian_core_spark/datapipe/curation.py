@@ -538,3 +538,92 @@ def weighted_sample(
         % 1_000_000
     ) < thr
     return df.filter(keep)
+
+
+# ---------------------------------------------- composite quality filter ---
+
+#: reason bits for quality_filter (C4/Gopher-style heuristic rules)
+QF_TOO_FEW_WORDS = 1
+QF_MEAN_WORD_LEN = 2
+QF_LOW_ALPHA = 4
+QF_HIGH_DIGIT = 8
+
+QF_MIN_WORDS = 5
+QF_MEAN_LEN_LO = 2   # mean word length lower bound (inclusive)
+QF_MEAN_LEN_HI = 12  # upper bound (inclusive)
+
+
+def quality_filter(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """C4/Gopher-style composite quality gate with a REASONS bitmask —
+    the per-document filter pass every pretraining corpus goes through,
+    kept auditable (why was this dropped?) instead of a bare boolean.
+
+    Rules (bit set = rule violated):
+
+    - ``QF_TOO_FEW_WORDS``: fewer than 5 whitespace words;
+    - ``QF_MEAN_WORD_LEN``: mean word length outside [2, 12] — gibberish
+      or minified blobs (compared in exact integer cross-multiplication:
+      ``chars < 2·n`` / ``chars > 12·n``, no float division anywhere);
+    - ``QF_LOW_ALPHA``: alphabetic characters under half the text
+      (``2·alpha < len``);
+    - ``QF_HIGH_DIGIT``: digits over 30% (``10·digits > 3·len``).
+
+    Pure per-row expressions in codegen — zero shuffles, zero UDFs; the
+    bit arithmetic is identical in the DuckDB oracle.
+    """
+    toks = _toks(text_col)
+    n_words = F.size(toks).cast("long")
+    total_len = F.length(F.col(text_col)).cast("long")
+    word_chars = F.length(F.regexp_replace(F.col(text_col), " ", "")).cast("long")
+    alpha = F.length(F.regexp_replace(F.col(text_col), "[^A-Za-z]", "")).cast("long")
+    digits = F.length(F.regexp_replace(F.col(text_col), "[^0-9]", "")).cast("long")
+    reasons = (
+        F.when(n_words < QF_MIN_WORDS, QF_TOO_FEW_WORDS).otherwise(0)
+        + F.when(
+            (word_chars < QF_MEAN_LEN_LO * n_words)
+            | (word_chars > QF_MEAN_LEN_HI * n_words),
+            QF_MEAN_WORD_LEN,
+        ).otherwise(0)
+        + F.when(2 * alpha < total_len, QF_LOW_ALPHA).otherwise(0)
+        + F.when(10 * digits > 3 * total_len, QF_HIGH_DIGIT).otherwise(0)
+    )
+    return df.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        reasons.cast("long").alias("reasons"),
+        (reasons == 0).alias("kept"),
+    )
+
+
+# ------------------------------------------------------- language mixture --
+
+
+def language_mixture(df: DataFrame) -> DataFrame:
+    """Per-source language composition: (source, lang, n_docs, share_ppm)
+    — the mixture report a multilingual corpus needs before setting
+    sampling weights.
+
+    ``share_ppm`` is exact integer arithmetic (``n·10⁶ div total``; Spark
+    ``div`` ≡ DuckDB ``//`` truncating division), so the result hashes
+    bit-identically across engines. Source totals come from a window over
+    the aggregated (source, lang) relation — tiny, and NULL-safe the way
+    a self-join would not be.
+    """
+    from pyspark.sql.window import Window
+
+    counts = df.groupBy("source", "lang").agg(F.count(F.lit(1)).alias("n_docs"))
+    total = F.sum("n_docs").over(Window.partitionBy("source"))
+    return counts.select(
+        "source",
+        "lang",
+        F.col("n_docs").cast("long").alias("n_docs"),
+        F.expr("n_docs * 1000000").cast("long").alias("_scaled"),
+        total.cast("long").alias("_tot"),
+    ).select(
+        "source",
+        "lang",
+        "n_docs",
+        ((F.col("_scaled") - F.col("_scaled") % F.col("_tot")) / F.col("_tot"))
+        .cast("long")
+        .alias("share_ppm"),
+    )

@@ -209,3 +209,35 @@ def ivf_topk(emb: DataFrame, queries: DataFrame, k: int = 10, nprobe: int = NPRO
         .distinct()
     )
     return _topk(scored, k)
+
+
+def knn_graph_degrees(emb: DataFrame, k: int = 5) -> DataFrame:
+    """k-NN graph degree distribution: symmetrize the directed top-k
+    neighbor lists into an undirected graph and histogram the node degrees
+    — the connectivity sanity check before using a k-NN graph for
+    clustering / diversity sampling (a degree histogram skewed to 2k means
+    hub vectors; isolated low-degree nodes mean out-of-distribution docs).
+
+    Returns (degree, n_nodes). Built on :func:`brute_force_topk` here (the
+    oracle-checkable exact path); at corpus scale feed the same
+    construction from :func:`lsh_topk` / :func:`ivf_topk` candidates —
+    the graph/degree stages are identical and shuffle on high-cardinality
+    node keys either way.
+    """
+    nn = brute_force_topk(emb, emb, k=k)
+    edges = (
+        nn.select(
+            F.least("q_id", "cand_id").alias("a"),
+            F.greatest("q_id", "cand_id").alias("b"),
+        )
+        .distinct()
+    )
+    degrees = (
+        edges.select(F.col("a").alias("node"))
+        .union(edges.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )
+    return degrees.groupBy("degree").agg(
+        F.count(F.lit(1)).cast("long").alias("n_nodes")
+    )

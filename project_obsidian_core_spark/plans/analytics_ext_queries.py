@@ -331,3 +331,32 @@ SELECT digest, bucket_epoch_s, cents,
 FROM stats
 ORDER BY digest, bucket_epoch_s
 """
+
+
+# ------------------------------------------------- rank-distribution stats --
+def qan_percent_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """percent_rank + cume_dist of per-type call volume — the "where does
+    this query sit in the workload distribution" view. Ratios are exact
+    small-integer divisions ((rank-1)/(n-1), k/n), bit-identical in IEEE
+    across engines."""
+    ev = load(spark, sf_dir, "events")
+    agg = ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("total_calls"))
+    w = Window.orderBy(F.asc("total_calls"), F.asc("event_type"))
+    return agg.select(
+        "event_type",
+        F.col("total_calls").cast("long").alias("total_calls"),
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume_dist"),
+    ).orderBy("event_type")
+
+
+ORACLE_qan_percent_rank = """
+WITH agg AS (
+    SELECT event_type, CAST(count(*) AS BIGINT) AS total_calls
+    FROM events GROUP BY event_type
+)
+SELECT event_type, total_calls,
+       percent_rank() OVER (ORDER BY total_calls, event_type) AS pct_rank,
+       cume_dist() OVER (ORDER BY total_calls, event_type) AS cume_dist
+FROM agg ORDER BY event_type
+"""

@@ -468,3 +468,55 @@ ORDER BY doc_id
 
 
 ORACLE_corpus_weighted_sample = _weighted_oracle()
+
+
+# ---------------------------------------------------- composite QF report --
+def corpus_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4/Gopher-style heuristic gate with an auditable reasons bitmask."""
+    return C.quality_filter(load(spark, sf_dir, "documents")).orderBy("doc_id")
+
+
+ORACLE_corpus_quality_filter = f"""
+WITH m AS (
+    SELECT doc_id,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+           CAST(length(text) AS BIGINT) AS total_len,
+           CAST(length(regexp_replace(text, ' ', '', 'g')) AS BIGINT) AS word_chars,
+           CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS BIGINT) AS alpha,
+           CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS BIGINT) AS digits
+    FROM documents
+), r AS (
+    SELECT doc_id, n_words,
+           (CASE WHEN n_words < {C.QF_MIN_WORDS} THEN {C.QF_TOO_FEW_WORDS} ELSE 0 END
+            + CASE WHEN word_chars < {C.QF_MEAN_LEN_LO} * n_words
+                     OR word_chars > {C.QF_MEAN_LEN_HI} * n_words
+                   THEN {C.QF_MEAN_WORD_LEN} ELSE 0 END
+            + CASE WHEN 2 * alpha < total_len THEN {C.QF_LOW_ALPHA} ELSE 0 END
+            + CASE WHEN 10 * digits > 3 * total_len THEN {C.QF_HIGH_DIGIT} ELSE 0 END
+           ) AS reasons
+    FROM m
+)
+SELECT doc_id, n_words, CAST(reasons AS BIGINT) AS reasons, reasons = 0 AS kept
+FROM r ORDER BY doc_id
+"""
+
+
+# ------------------------------------------------------- language mixture --
+def corpus_language_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source language composition with exact-integer ppm shares."""
+    return C.language_mixture(load(spark, sf_dir, "documents")).orderBy(
+        "source", "lang"
+    )
+
+
+ORACLE_corpus_language_mixture = """
+WITH counts AS (
+    SELECT source, lang, CAST(count(*) AS BIGINT) AS n_docs
+    FROM documents GROUP BY source, lang
+)
+SELECT source, lang, n_docs,
+       CAST((n_docs * 1000000) // sum(n_docs) OVER (PARTITION BY source)
+            AS BIGINT) AS share_ppm
+FROM counts
+ORDER BY source, lang
+"""

@@ -703,3 +703,55 @@ ORDER BY c.cluster
 
 
 ORACLE_dedup_canonical = _canonical_oracle()
+
+
+# ----------------------------------------------------- kNN graph degrees --
+_GRAPH_VECS = 200
+_GRAPH_K = 5
+
+
+def knn_graph_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree histogram of the symmetrized exact 5-NN graph over the first
+    200 vectors (the oracle-checkable exact subgraph; the LSH/IVF candidate
+    paths plug into the same construction at scale)."""
+    emb = load(spark, sf_dir, "embeddings").filter(F.col("vec_id") < _GRAPH_VECS)
+    return S.knn_graph_degrees(emb, k=_GRAPH_K).orderBy("degree")
+
+
+ORACLE_knn_graph_degree = f"""
+WITH t AS (
+    SELECT vec_id, embedding AS v, {V.sql_norm('embedding', _EMB_DIM)} AS nrm
+    FROM embeddings WHERE vec_id < {_GRAPH_VECS}
+), scored AS (
+    SELECT q.vec_id AS q_id, c.vec_id AS cand_id,
+           {V.sql_dot('q.v', 'c.v', _EMB_DIM)} / (q.nrm * c.nrm) AS cos_sim
+    FROM t q, t c
+    WHERE q.vec_id != c.vec_id
+), ranked AS (
+    SELECT q_id, cand_id,
+           row_number() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, cand_id ASC) AS rank
+    FROM scored
+), edges AS (
+    SELECT DISTINCT least(q_id, cand_id) AS a, greatest(q_id, cand_id) AS b
+    FROM ranked WHERE rank <= {_GRAPH_K}
+), degrees AS (
+    SELECT node, CAST(count(*) AS BIGINT) AS degree
+    FROM (SELECT a AS node FROM edges UNION ALL SELECT b FROM edges)
+    GROUP BY node
+)
+SELECT degree, CAST(count(*) AS BIGINT) AS n_nodes
+FROM degrees GROUP BY degree
+ORDER BY degree
+"""
+
+
+# ------------------------------------------- web-scale CC variant (ls/ss) --
+def dedup_clusters_ls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same transitive clusters as dedup_clusters, computed by the
+    large-star/small-star algorithm (O(log² n) rounds on ANY graph shape,
+    vs diameter-many for propagation) — checked against the IDENTICAL
+    recursive oracle, so the two CC implementations cannot drift."""
+    pairs = D.minhash_candidates(load(spark, sf_dir, "documents")).filter(
+        F.col("jaccard") >= 0.1
+    )
+    return D.connected_components_ls(pairs).orderBy("doc_id")

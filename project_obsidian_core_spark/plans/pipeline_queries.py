@@ -263,3 +263,17 @@ SELECT doc_id, source, n_tokens,
 FROM p
 ORDER BY source, doc_id
 """
+
+
+def sessionize_presplit_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hot-entity-safe presplit sessionization, checked against the
+    IDENTICAL lag-window oracle as sessionize_events — boundary stitching
+    must reproduce plain sessionize exactly."""
+    ev = load(spark, sf_dir, "events")
+    sess = P.sessionize_presplit(
+        ev, entity_col="user_id", ts_col="ts", gap=_SESSION_GAP
+    )
+    out = P.session_stats(
+        sess, entity_col="user_id", ts_col="ts", value_col=cents("value")
+    )
+    return out.orderBy("user_id", "session_idx")

@@ -24,6 +24,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 from project_obsidian_core_spark.plans import analytics_ext_queries as ax
+from project_obsidian_core_spark.plans import behavior_queries as bh
 from project_obsidian_core_spark.plans import bpe_queries as bq
 from project_obsidian_core_spark.plans import clustering_queries as km
 from project_obsidian_core_spark.plans import curation_queries as cu
@@ -89,7 +90,39 @@ _ENTRIES: list[tuple[str, QueryFn, str | None]] = [
     ("stream_range_join", st.stream_range_join, tj.ORACLE_events_range_join),
     # ------------------------------------------------------------------
     # Block 2 — new queries added in round 3 (slots 26+ keep them inside
-    # the gate's first-50 window).  Inserted here as they are built.
+    # the gate's first-50 window).
+    # Behavior analytics over events (funnel / cohort retention)
+    ("events_funnel", bh.events_funnel, bh.ORACLE_events_funnel),
+    ("events_retention", bh.events_retention, bh.ORACLE_events_retention),
+    # Corpus curation: composite quality gate + language mixture report
+    ("corpus_quality_filter", cu.corpus_quality_filter, cu.ORACLE_corpus_quality_filter),
+    (
+        "corpus_language_mixture",
+        cu.corpus_language_mixture,
+        cu.ORACLE_corpus_language_mixture,
+    ),
+    # Rank-distribution analytics + partitioned running total
+    ("qan_percent_rank", ax.qan_percent_rank, ax.ORACLE_qan_percent_rank),
+    (
+        "customer_cumulative_spend",
+        r.customer_cumulative_spend,
+        r.ORACLE_customer_cumulative_spend,
+    ),
+    # kNN graph construction (degree histogram over the exact subgraph)
+    ("knn_graph_degree", d.knn_graph_degree, d.ORACLE_knn_graph_degree),
+    # Scale-variant twins checked against the SAME oracles as their plain
+    # counterparts (the mitigation cannot drift from the semantics)
+    ("dedup_clusters_ls", d.dedup_clusters_ls, d.ORACLE_dedup_clusters),
+    (
+        "events_asof_join_presplit",
+        tj.events_asof_join_presplit,
+        tj.ORACLE_events_asof_join,
+    ),
+    (
+        "sessionize_presplit_events",
+        pl.sessionize_presplit_events,
+        pl.ORACLE_sessionize_events,
+    ),
     # ------------------------------------------------------------------
     # Block 3 — official green row already on record (CORRECTNESS_r02).
     # QAN query shapes (SURVEY §2 — the reference's analytics surface)

@@ -11,7 +11,7 @@ plans/common.py determinism rules (scaled-integer money).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from project_obsidian_core_spark.plans.common import cents, load
@@ -261,4 +261,41 @@ SELECT o_orderkey, o_orderstatus,
        CAST(coalesce(total_qty, 0) AS BIGINT) AS total_qty
 FROM orders LEFT JOIN order_summary ON o_orderkey = l_orderkey
 WHERE o_orderstatus = 'O'
+"""
+
+
+# ------------------------------------------------ per-customer running sum --
+def customer_cumulative_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running total of order value per customer in order-date order — the
+    classic partitioned cumulative window (exact cents, no float sums).
+    Partitioned by customer: no global window, no single-task funnel."""
+    o = load(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("order_us", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        o.select(
+            "o_custkey",
+            "o_orderkey",
+            # o_orderdate loads as TIMESTAMP_NTZ; cast (session TZ pinned
+            # UTC) so unix_micros matches DuckDB epoch_us
+            F.unix_micros(F.col("o_orderdate").cast("timestamp")).alias("order_us"),
+            cents("o_totalprice").alias("price_cents"),
+        )
+        .withColumn("cum_cents", F.sum("price_cents").over(w).cast("long"))
+        .orderBy("o_custkey", "order_us", "o_orderkey")
+    )
+
+
+ORACLE_customer_cumulative_spend = """
+SELECT o_custkey, o_orderkey,
+       epoch_us(o_orderdate) AS order_us,
+       CAST(round(o_totalprice * 100, 0) AS BIGINT) AS price_cents,
+       CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+            OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_cents
+FROM orders
+ORDER BY o_custkey, order_us, o_orderkey
 """

@@ -101,3 +101,27 @@ FROM a JOIN p
 GROUP BY 1, 2
 ORDER BY event_id
 """
+
+
+def events_asof_join_presplit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The hot-key-safe presplit as-of join, checked against the IDENTICAL
+    DuckDB native ASOF oracle as events_asof_join — the mitigation cannot
+    drift from the plain operator's semantics."""
+    ev = load(spark, sf_dir, "events")
+    left = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts", cents("value").alias("cents")
+    )
+    right = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max(cents("value")).alias("pcents"))
+    )
+    out = TJ.asof_join_presplit(left, right, on="user_id", value_cols=("pcents",))
+    return out.select(
+        "event_id",
+        "user_id",
+        F.unix_micros("ts").alias("ts_us"),
+        "cents",
+        F.unix_micros("asof_ts").alias("last_purchase_us"),
+        F.col("asof_pcents").alias("last_purchase_cents"),
+    ).orderBy("event_id")
