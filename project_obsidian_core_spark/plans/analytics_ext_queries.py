@@ -360,3 +360,28 @@ SELECT event_type, total_calls,
        cume_dist() OVER (ORDER BY total_calls, event_type) AS cume_dist
 FROM agg ORDER BY event_type
 """
+
+
+# --------------------------------------------------- JSON property parsing --
+def events_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parse the events.props JSON column and histogram its 'k' property
+    into deciles — semi-structured payload analytics (get_json_object /
+    json_extract) with pure-integer bucketing."""
+    ev = load(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("long")
+    return (
+        ev.select((k - k % 10).alias("k_bucket"))
+        .groupBy("k_bucket")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_events"))
+        .orderBy("k_bucket")
+    )
+
+
+ORACLE_events_props_stats = """
+WITH k AS (
+    SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS kv FROM events
+)
+SELECT kv - kv % 10 AS k_bucket, CAST(count(*) AS BIGINT) AS n_events
+FROM k GROUP BY k_bucket
+ORDER BY k_bucket
+"""

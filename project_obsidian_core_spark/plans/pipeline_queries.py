@@ -277,3 +277,66 @@ def sessionize_presplit_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         sess, entity_col="user_id", ts_col="ts", value_col=cents("value")
     )
     return out.orderBy("user_id", "session_idx")
+
+
+# -------------------------------------------- first-fit greedy packing ----
+def corpus_pack_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-fit greedy packing (no document splitting) of whitespace-token
+    counts, sharded by source — the applyInPandas recurrence checked
+    against a DuckDB RECURSIVE CTE running the identical fold, upgrading
+    the operator from golden-tested to oracle-gated."""
+    docs = load(spark, sf_dir, "documents")
+    with_tokens = docs.select(
+        "doc_id",
+        "source",
+        F.size(F.split(F.col("text"), " ")).cast("long").alias("n_tokens"),
+    )
+    out = P.pack_greedy(with_tokens, _CTX_LEN)
+    return out.orderBy("shard", "doc_key")
+
+
+ORACLE_corpus_pack_greedy = f"""
+WITH RECURSIVE t AS (
+    SELECT CAST(doc_id AS VARCHAR) AS doc_key, source AS shard,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+           row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+    FROM documents
+), rec AS (
+    -- state BEFORE row rn is (after_pack, after_fill) of rn-1; placement:
+    -- overflow opens a new pack; landing exactly on ctx closes the pack
+    SELECT shard, rn, doc_key, n_tokens,
+           CAST(0 AS BIGINT) AS pack_id,
+           CAST(0 AS BIGINT) AS pack_fill,
+           CASE WHEN n_tokens >= {_CTX_LEN} THEN 1 ELSE 0 END AS after_pack,
+           CASE WHEN n_tokens >= {_CTX_LEN} THEN 0 ELSE n_tokens END AS after_fill
+    FROM t WHERE rn = 1
+    UNION ALL
+    SELECT o.shard, o.rn, o.doc_key, o.n_tokens,
+           CASE WHEN r.after_fill > 0 AND r.after_fill + o.n_tokens > {_CTX_LEN}
+                THEN r.after_pack + 1 ELSE r.after_pack END AS pack_id,
+           CASE WHEN r.after_fill > 0 AND r.after_fill + o.n_tokens > {_CTX_LEN}
+                THEN 0 ELSE r.after_fill END AS pack_fill,
+           CASE WHEN (CASE WHEN r.after_fill > 0
+                                AND r.after_fill + o.n_tokens > {_CTX_LEN}
+                           THEN 0 ELSE r.after_fill END) + o.n_tokens >= {_CTX_LEN}
+                THEN (CASE WHEN r.after_fill > 0
+                                AND r.after_fill + o.n_tokens > {_CTX_LEN}
+                           THEN r.after_pack + 1 ELSE r.after_pack END) + 1
+                ELSE (CASE WHEN r.after_fill > 0
+                                AND r.after_fill + o.n_tokens > {_CTX_LEN}
+                           THEN r.after_pack + 1 ELSE r.after_pack END)
+                END AS after_pack,
+           CASE WHEN (CASE WHEN r.after_fill > 0
+                                AND r.after_fill + o.n_tokens > {_CTX_LEN}
+                           THEN 0 ELSE r.after_fill END) + o.n_tokens >= {_CTX_LEN}
+                THEN 0
+                ELSE (CASE WHEN r.after_fill > 0
+                                AND r.after_fill + o.n_tokens > {_CTX_LEN}
+                           THEN 0 ELSE r.after_fill END) + o.n_tokens
+                END AS after_fill
+    FROM rec r JOIN t o ON o.shard = r.shard AND o.rn = r.rn + 1
+)
+SELECT doc_key, shard, n_tokens, pack_id, pack_fill
+FROM rec
+ORDER BY shard, doc_key
+"""

@@ -123,6 +123,12 @@ _ENTRIES: list[tuple[str, QueryFn, str | None]] = [
         pl.sessionize_presplit_events,
         pl.ORACLE_sessionize_events,
     ),
+    # Streaming native session_window vs the batch session oracle
+    ("stream_session_stats", st.stream_session_stats, pl.ORACLE_session_window_stats),
+    # Semi-structured JSON property analytics over events.props
+    ("events_props_stats", ax.events_props_stats, ax.ORACLE_events_props_stats),
+    # First-fit greedy packing vs a DuckDB RECURSIVE CTE of the same fold
+    ("corpus_pack_greedy", pl.corpus_pack_greedy, pl.ORACLE_corpus_pack_greedy),
     # ------------------------------------------------------------------
     # Block 3 — official green row already on record (CORRECTNESS_r02).
     # QAN query shapes (SURVEY §2 — the reference's analytics surface)

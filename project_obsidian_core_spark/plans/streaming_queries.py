@@ -232,3 +232,58 @@ def stream_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_id")
     )
+
+
+# ------------------------------------------------ streaming session windows
+def stream_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Replay events through a STREAMING native session_window aggregation
+    and return per-session stats — must match the batch session_window
+    oracle (plans/pipeline_queries.ORACLE_session_window_stats) exactly:
+    streaming ↔ batch equivalence for mergeable session state.
+
+    The replay runs in complete output mode (no watermark), so every
+    session is emitted at stream end regardless of batch layout; the
+    watermark/finalization semantics of the same operator are pinned
+    separately by tests/test_windowed_stream.py. Session state merges
+    across micro-batches — the stateful path a live deployment runs.
+    """
+    from project_obsidian_core_spark.plans.pipeline_queries import _SESSION_GAP
+
+    run = next(_RUN_IDS)
+    tmp = tempfile.mkdtemp(prefix=f"obsidian_sess_{run}_")
+    src = _SRC_CACHE.get(f"events:{sf_dir}")
+    if src is None:
+        src = f"{tmp}/events_src"
+        load(spark, sf_dir, "events").select(
+            "event_id", "user_id", "ts", "event_type", cents("value").alias("cents")
+        ).write.mode("overwrite").parquet(src)
+        _SRC_CACHE[f"events:{sf_dir}"] = src
+
+    schema = spark.read.parquet(src).schema
+    stream = spark.readStream.schema(schema).parquet(src)
+    sess = stream.groupBy(
+        F.session_window("ts", _SESSION_GAP), F.col("user_id")
+    ).agg(
+        F.min(F.expr("unix_micros(ts)")).alias("session_start_us"),
+        F.max(F.expr("unix_micros(ts)")).alias("session_end_us"),
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("cents").alias("value_sum"),
+    )
+    name = f"stream_session_stats_{run}"
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            sess.drop("session_window")
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .option("checkpointLocation", f"{tmp}/ckpt")
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    return spark.table(name).orderBy("user_id", "session_start_us")
