@@ -110,6 +110,24 @@ def kmeans_update(assigned: DataFrame) -> DataFrame:
     )
 
 
+def kmeans_centroids(
+    emb: DataFrame,
+    k: int = KMEANS_K,
+    iters: int = KMEANS_ITERS,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """The final (cluster, cv) centroid relation after ``iters`` Lloyd
+    rounds — the learned coarse quantizer other operators (IVF search)
+    build on. Seeds are the vectors with ``vec_id < k``."""
+    q = quantize(emb, vec_col)
+    centroids = q.filter(F.col("vec_id") < k).select(
+        F.col("vec_id").alias("cluster"), F.col("qv").alias("cv")
+    )
+    for _ in range(iters):
+        centroids = kmeans_update(kmeans_assign(q, centroids, k))
+    return centroids
+
+
 def embedding_kmeans(
     emb: DataFrame,
     k: int = KMEANS_K,
@@ -124,9 +142,5 @@ def embedding_kmeans(
     then one final assignment.
     """
     q = quantize(emb, vec_col)
-    centroids = q.filter(F.col("vec_id") < k).select(
-        F.col("vec_id").alias("cluster"), F.col("qv").alias("cv")
-    )
-    for _ in range(iters):
-        centroids = kmeans_update(kmeans_assign(q, centroids, k))
+    centroids = kmeans_centroids(emb, k, iters, vec_col)
     return kmeans_assign(q, centroids, k).select("vec_id", "cluster", "dist_q")

@@ -241,3 +241,74 @@ def knn_graph_degrees(emb: DataFrame, k: int = 5) -> DataFrame:
     return degrees.groupBy("degree").agg(
         F.count(F.lit(1)).cast("long").alias("n_nodes")
     )
+
+
+def ivf_kmeans_topk(
+    emb: DataFrame, queries: DataFrame, k: int = 10, nprobe: int = 2
+) -> DataFrame:
+    """IVF search over a LEARNED coarse quantizer: the quantized-Lloyd
+    k-means centroids (datapipe/clustering.py) replace the label-seeded
+    cells of :func:`ivf_topk` — the production IVF construction (train the
+    quantizer on the corpus, probe the nprobe nearest cells, score exact
+    cosine inside them).
+
+    Everything up to candidate selection is exact int64 arithmetic (the
+    k-means contract), so cell residency and probe lists are bit-identical
+    across engines; candidate scoring reuses the fixed-order float cosine.
+    Plan: centroids collapse to one broadcast row; residency is one corpus
+    pass; probing is per-query argmin over K keys — no shuffle anywhere
+    except the final per-query top-k."""
+    from project_obsidian_core_spark.datapipe import clustering as KM
+
+    cents_df = KM.kmeans_centroids(emb)
+    resident = KM.kmeans_assign(KM.quantize(emb), cents_df).select(
+        "vec_id", F.col("cluster").alias("c_cell")
+    )
+    cents = cents_df.agg(
+        F.sort_array(F.collect_list(F.struct("cluster", "cv"))).alias("_cents")
+    )
+    qq = KM.quantize(queries)
+    keys = F.transform(
+        F.col("_cents"),
+        lambda c: KM._qdist(F.col("qv"), c.getField("cv")) * KM.KMEANS_K
+        + c.getField("cluster"),
+    )
+    probes = (
+        qq.crossJoin(F.broadcast(cents))
+        .select(
+            F.col("vec_id").alias("q_id"),
+            F.explode(
+                F.transform(
+                    F.slice(F.array_sort(keys), 1, nprobe),
+                    lambda x: x % KM.KMEANS_K,
+                )
+            ).alias("probe_cell"),
+        )
+    )
+    q = probes.join(
+        F.broadcast(
+            queries.select(
+                F.col("vec_id").alias("q_id"),
+                F.col("embedding").alias("qv"),
+                V.norm(F.col("embedding")).alias("q_nrm"),
+            )
+        ),
+        "q_id",
+    )
+    c = emb.join(resident, "vec_id").select(
+        F.col("vec_id").alias("cand_id"),
+        F.col("embedding").alias("cv"),
+        V.norm(F.col("embedding")).alias("c_nrm"),
+        "c_cell",
+    )
+    scored = c.join(
+        F.broadcast(q),
+        (F.col("probe_cell") == F.col("c_cell")) & (F.col("q_id") != F.col("cand_id")),
+    ).select(
+        "q_id",
+        "cand_id",
+        V.cosine_prenormed(
+            V.dot(F.col("qv"), F.col("cv")), F.col("q_nrm"), F.col("c_nrm")
+        ).alias("cos_sim"),
+    )
+    return _topk(scored, k)

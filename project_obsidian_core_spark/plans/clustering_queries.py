@@ -20,7 +20,10 @@ def embedding_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return KM.embedding_kmeans(load(spark, sf_dir, "embeddings")).orderBy("vec_id")
 
 
-def _kmeans_oracle() -> str:
+def kmeans_cte_parts() -> tuple[list[str], int]:
+    """The Lloyd-iteration CTE chain (shared with the IVF-kmeans oracle):
+    returns (parts, final_assignment_index) where ``a{final}`` holds the
+    final int64 argmin keys and ``c{iters}`` the final centroids."""
     k, dim, scale, iters = (
         KM.KMEANS_K,
         KM.KMEANS_DIM,
@@ -66,7 +69,12 @@ def _kmeans_oracle() -> str:
     ) GROUP BY cluster
 )"""
             )
-    final = iters + 1
+    return parts, iters + 1
+
+
+def _kmeans_oracle() -> str:
+    k = KM.KMEANS_K
+    parts, final = kmeans_cte_parts()
     return (
         "WITH "
         + ",\n".join(parts)

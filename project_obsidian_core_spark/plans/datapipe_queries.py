@@ -755,3 +755,74 @@ def dedup_clusters_ls(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("jaccard") >= 0.1
     )
     return D.connected_components_ls(pairs).orderBy("doc_id")
+
+
+# ------------------------------------------------ IVF over learned cells --
+def knn_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN whose coarse quantizer is the LEARNED k-means centroid set
+    (the production construction: train quantizer → probe nprobe cells →
+    exact cosine inside). Cell residency and probe lists are exact int64
+    k-means arithmetic; the oracle composes the Lloyd CTE chain with the
+    same probe/score SQL."""
+    emb, q = _query_vecs(spark, sf_dir)
+    return S.ivf_kmeans_topk(emb, q, k=_TOPK).orderBy("q_id", "rank")
+
+
+def _ivf_kmeans_oracle() -> str:
+    from project_obsidian_core_spark.datapipe import clustering as KM
+    from project_obsidian_core_spark.plans.clustering_queries import kmeans_cte_parts
+
+    k, dim, nprobe = KM.KMEANS_K, KM.KMEANS_DIM, 2
+    parts, final = kmeans_cte_parts()
+    cdist = (
+        f"CAST(list_sum([(p.qv[j] - c.cv[j]) * (p.qv[j] - c.cv[j]) "
+        f"FOR j IN generate_series(1, {dim})]) AS BIGINT)"
+    )
+    parts += [
+        f"""res AS (
+    SELECT vec_id, CAST(key % {k} AS BIGINT) AS c_cell FROM a{final}
+)""",
+        f"""cl AS (
+    SELECT list({{'cluster': cluster, 'cv': cv}}) AS cs FROM c{final - 1}
+)""",
+        f"""pk AS (
+    SELECT p.vec_id AS q_id,
+           unnest(list_sort([{cdist} * {k} + c.cluster
+                             FOR c IN cl.cs])[1:{nprobe}]) AS pkey
+    FROM q p CROSS JOIN cl
+    WHERE p.vec_id < {_N_QUERY_VECS}
+)""",
+        f"""probes AS (
+    SELECT q_id, CAST(pkey % {k} AS BIGINT) AS probe_cell FROM pk
+)""",
+        f"""t AS (
+    SELECT vec_id, embedding AS v, {V.sql_norm('embedding', _EMB_DIM)} AS nrm
+    FROM embeddings
+)""",
+        f"""scored AS (
+    SELECT p.q_id, r.vec_id AS cand_id,
+           {V.sql_dot('tq.v', 'tc.v', _EMB_DIM)} / (tq.nrm * tc.nrm) AS cos_sim
+    FROM probes p
+    JOIN res r ON r.c_cell = p.probe_cell AND r.vec_id != p.q_id
+    JOIN t tq ON tq.vec_id = p.q_id
+    JOIN t tc ON tc.vec_id = r.vec_id
+)""",
+        """ranked AS (
+    SELECT q_id, cand_id, cos_sim,
+           row_number() OVER (PARTITION BY q_id
+                              ORDER BY cos_sim DESC, cand_id ASC) AS rank
+    FROM scored
+)""",
+    ]
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"""
+SELECT q_id, cand_id, cos_sim, rank FROM ranked
+WHERE rank <= {_TOPK}
+ORDER BY q_id, rank
+"""
+    )
+
+
+ORACLE_knn_ivf_kmeans = _ivf_kmeans_oracle()

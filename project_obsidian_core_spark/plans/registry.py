@@ -129,6 +129,8 @@ _ENTRIES: list[tuple[str, QueryFn, str | None]] = [
     ("events_props_stats", ax.events_props_stats, ax.ORACLE_events_props_stats),
     # First-fit greedy packing vs a DuckDB RECURSIVE CTE of the same fold
     ("corpus_pack_greedy", pl.corpus_pack_greedy, pl.ORACLE_corpus_pack_greedy),
+    # IVF ANN over the LEARNED k-means quantizer (composed Lloyd-CTE oracle)
+    ("knn_ivf_kmeans", d.knn_ivf_kmeans, d.ORACLE_knn_ivf_kmeans),
     # ------------------------------------------------------------------
     # Block 3 — official green row already on record (CORRECTNESS_r02).
     # QAN query shapes (SURVEY §2 — the reference's analytics surface)
