@@ -66,3 +66,28 @@ def test_bucket_expression_is_stable(emb, spark):
     stats = b.groupBy("bucket").count().collect()
     assert all(0 <= r["bucket"] < 2 ** S.LSH_BITS for r in stats)
     assert len(stats) > 1  # hyperplanes actually split the corpus
+
+
+def test_ivf_kmeans_recall_and_cell_discipline(emb, queries):
+    brute = _pairs(S.brute_force_topk(emb, queries, k=5))
+    got = S.ivf_kmeans_topk(emb, queries, k=5, nprobe=2)
+    pairs = _pairs(got)
+    recall = len(brute & pairs) / len(brute)
+    assert recall >= 0.3, f"IVF-kmeans recall collapsed: {recall}"
+    # scores are the same exact cosine as brute force for shared pairs
+    bsims = {
+        (r["q_id"], r["cand_id"]): r["cos_sim"]
+        for r in S.brute_force_topk(emb, queries, k=5).collect()
+    }
+    for r in got.collect():
+        key = (r["q_id"], r["cand_id"])
+        if key in bsims:
+            assert r["cos_sim"] == bsims[key]  # bit-identical fixed-order fold
+
+
+def test_knn_graph_degree_invariants(emb, spark):
+    sub = emb.filter(F.col("vec_id") < 60)
+    hist = {r["degree"]: r["n_nodes"] for r in S.knn_graph_degrees(sub, k=3).collect()}
+    # every node appears once; min degree >= k (out-edges always exist)
+    assert sum(hist.values()) == 60
+    assert min(hist) >= 3
