@@ -81,6 +81,10 @@ BENCH_QUERIES = [
     "customer_cumulative_spend",  # partitioned running total window
     "knn_graph_degree",       # symmetrized kNN graph degree histogram
     "dedup_clusters_ls",      # large-star/small-star connected components
+    "corpus_pack_greedy",     # first-fit packing (applyInPandas fold)
+    "knn_ivf_kmeans",         # IVF over the learned k-means quantizer
+    "events_props_stats",     # JSON property extraction + histogram
+    "stream_session_stats",   # streaming session_window replay
 ]
 
 
