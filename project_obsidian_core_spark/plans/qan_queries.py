@@ -639,3 +639,38 @@ def qan_unique_queries_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("db_system")
     )
+
+
+def qan_rollup_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partial-rollup merge (Druid ``rollup=true`` segment-merge
+    semantics, S10): two disjoint half-corpus rollups re-aggregated with
+    sum/sum/max/min must equal the full rollup — the algebraic
+    mergeability every distributed rollup (and Spark's own partial
+    aggregation) relies on. The oracle computes the full rollup directly,
+    so the gate IS the merge-equivalence proof."""
+    ev = load(spark, sf_dir, "events")
+
+    def half_rollup(part: DataFrame) -> DataFrame:
+        return part.groupBy(
+            F.date_trunc("minute", F.col("ts")).alias("time"),
+            "user_id",
+            "event_type",
+        ).agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(cents("value")).alias("value_sum_cents"),
+            F.max(cents("value")).alias("value_max_cents"),
+            F.min(cents("value")).alias("value_min_cents"),
+        )
+
+    halves = half_rollup(ev.filter(F.col("event_id") % 2 == 0)).unionByName(
+        half_rollup(ev.filter(F.col("event_id") % 2 == 1))
+    )
+    return halves.groupBy("time", "user_id", "event_type").agg(
+        F.sum("n_rows").alias("n_rows"),
+        F.sum("value_sum_cents").alias("value_sum_cents"),
+        F.max("value_max_cents").alias("value_max_cents"),
+        F.min("value_min_cents").alias("value_min_cents"),
+    )
+
+
+ORACLE_qan_rollup_merge = ORACLE_qan_rollup_minute

@@ -131,6 +131,8 @@ _ENTRIES: list[tuple[str, QueryFn, str | None]] = [
     ("corpus_pack_greedy", pl.corpus_pack_greedy, pl.ORACLE_corpus_pack_greedy),
     # IVF ANN over the LEARNED k-means quantizer (composed Lloyd-CTE oracle)
     ("knn_ivf_kmeans", d.knn_ivf_kmeans, d.ORACLE_knn_ivf_kmeans),
+    # Partial-rollup merge == full rollup (Druid rollup=true mergeability)
+    ("qan_rollup_merge", q.qan_rollup_merge, q.ORACLE_qan_rollup_merge),
     # ------------------------------------------------------------------
     # Block 3 — official green row already on record (CORRECTNESS_r02).
     # QAN query shapes (SURVEY §2 — the reference's analytics surface)

@@ -108,6 +108,16 @@ def test_bpe_round_shapes(spark):
     assert "CartesianProduct" not in mplan
 
 
+def test_ivf_kmeans_no_shuffled_cartesian(spark):
+    from project_obsidian_core_spark.plans import datapipe_queries as dq
+
+    plan = _plan(dq.knn_ivf_kmeans(spark, SF_DIR))
+    # centroid attach + query attach are deliberate 1-row/5-row broadcast
+    # cross joins; nothing may fall back to a shuffle CartesianProduct
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
 def test_stream_range_join_uses_symmetric_hash_join(spark, tmp_path):
     from project_obsidian_core_spark.streaming.interval_join import interval_join
 
