@@ -133,6 +133,8 @@ _ENTRIES: list[tuple[str, QueryFn, str | None]] = [
     ("knn_ivf_kmeans", d.knn_ivf_kmeans, d.ORACLE_knn_ivf_kmeans),
     # Partial-rollup merge == full rollup (Druid rollup=true mergeability)
     ("qan_rollup_merge", q.qan_rollup_merge, q.ORACLE_qan_rollup_merge),
+    # Streaming dedup of a doubled stream vs the batch distinct oracle
+    ("stream_dedup_events", st.stream_dedup_events, st.ORACLE_stream_dedup_events),
     # ------------------------------------------------------------------
     # Block 3 — official green row already on record (CORRECTNESS_r02).
     # QAN query shapes (SURVEY §2 — the reference's analytics surface)

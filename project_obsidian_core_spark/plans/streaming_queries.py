@@ -287,3 +287,66 @@ def stream_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     return spark.table(name).orderBy("user_id", "session_start_us")
+
+
+# ------------------------------------------------- streaming deduplication
+def stream_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Replay the events table DUPLICATED (every row twice) through
+    ``dropDuplicatesWithinWatermark`` on the event key, then aggregate
+    per-type counts — which must equal the batch distinct counts over the
+    original table (the oracle). This is the D7 streaming-dedup operator
+    promoted to the driver gate: if the stateful dedup ever under- or
+    over-drops across micro-batches, the counts diverge.
+    """
+    run = next(_RUN_IDS)
+    tmp = tempfile.mkdtemp(prefix=f"obsidian_dedup_{run}_")
+    src = _SRC_CACHE.get(f"events2x:{sf_dir}")
+    if src is None:
+        src = f"{tmp}/events2x"
+        ev = load(spark, sf_dir, "events").select("event_id", "ts", "event_type")
+        # two writes -> two file sets -> duplicates arrive across batches
+        ev.write.mode("overwrite").parquet(src)
+        ev.write.mode("append").parquet(src)
+        _SRC_CACHE[f"events2x:{sf_dir}"] = src
+
+    schema = spark.read.parquet(src).schema
+    # the watermark delay must cover the table's full time span: replay
+    # file order is not time order, so a shorter delay would drop late
+    # FIRST copies (undercount) rather than just late duplicates. A live
+    # deployment uses a realistic delay; the gate needs exact equality
+    # under arbitrary file-batch order.
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "8")
+        .parquet(src)
+        .withWatermark("ts", "90 days")
+        .dropDuplicatesWithinWatermark(["event_id"])
+    )
+    counts = stream.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_events"))
+    name = f"stream_dedup_events_{run}"
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            counts.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .option("checkpointLocation", f"{tmp}/ckpt")
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    return spark.table(name).select(
+        "event_type", F.col("n_events").cast("long").alias("n_events")
+    ).orderBy("event_type")
+
+
+ORACLE_stream_dedup_events = """
+SELECT event_type, CAST(count(*) AS BIGINT) AS n_events
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
