@@ -385,3 +385,99 @@ SELECT kv - kv % 10 AS k_bucket, CAST(count(*) AS BIGINT) AS n_events
 FROM k GROUP BY k_bucket
 ORDER BY k_bucket
 """
+
+
+# ---------------------------------------------------- week-over-week movers --
+def qan_top_movers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Period-over-period volume change per event type (first half of the
+    observed range vs second half): the "what regressed since last week"
+    QAN triage view. Change is exact int arithmetic; pct_x100 is an
+    integer-truncated percentage (DuckDB // ≡ Spark div)."""
+    ev = load(spark, sf_dir, "events")
+    # integer-truncated midpoint (div, not /): DuckDB's // truncates, and a
+    # half-second mid could classify a boundary event differently
+    mid = ev.agg(
+        F.timestamp_seconds(
+            F.expr(
+                "(unix_seconds(min(ts)) + unix_seconds(max(ts))) div 2"
+            ).cast("long")
+        ).alias("mid")
+    )
+    halves = ev.crossJoin(F.broadcast(mid)).select(
+        "event_type",
+        F.when(F.col("ts") < F.col("mid"), F.lit(0)).otherwise(F.lit(1)).alias("h"),
+        cents("value").alias("cents"),
+    )
+    agg = halves.groupBy("event_type").agg(
+        F.sum(F.when(F.col("h") == 0, F.col("cents")).otherwise(0)).alias("prev_cents"),
+        F.sum(F.when(F.col("h") == 1, F.col("cents")).otherwise(0)).alias("curr_cents"),
+    )
+    delta = F.col("curr_cents") - F.col("prev_cents")
+    return agg.select(
+        "event_type",
+        F.col("prev_cents").cast("long").alias("prev_cents"),
+        F.col("curr_cents").cast("long").alias("curr_cents"),
+        delta.cast("long").alias("delta_cents"),
+        F.when(F.col("prev_cents") != 0, F.expr(
+            "(curr_cents * 100 - (curr_cents * 100) % prev_cents) div prev_cents"
+        )).alias("pct_x100"),
+    ).orderBy(F.desc("delta_cents"), F.asc("event_type"))
+
+
+ORACLE_qan_top_movers = """
+WITH mid AS (
+    SELECT to_timestamp((epoch(min(ts)) + epoch(max(ts))) // 2) AS mid FROM events
+), halves AS (
+    SELECT event_type,
+           CASE WHEN ts < mid THEN 0 ELSE 1 END AS h,
+           CAST(round(value * 100, 0) AS BIGINT) AS cents
+    FROM events CROSS JOIN mid
+), agg AS (
+    SELECT event_type,
+           CAST(sum(CASE WHEN h = 0 THEN cents ELSE 0 END) AS BIGINT) AS prev_cents,
+           CAST(sum(CASE WHEN h = 1 THEN cents ELSE 0 END) AS BIGINT) AS curr_cents
+    FROM halves GROUP BY event_type
+)
+SELECT event_type, prev_cents, curr_cents,
+       curr_cents - prev_cents AS delta_cents,
+       CASE WHEN prev_cents != 0
+            THEN (curr_cents * 100 - (curr_cents * 100) % prev_cents) // prev_cents
+            END AS pct_x100
+FROM agg
+ORDER BY delta_cents DESC, event_type
+"""
+
+
+# ------------------------------------------------- event-sequence bigrams --
+def events_user_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Most common 2-step event-type transitions per user history (ordered
+    by ts, tie-broken by event_id): the path-mining primitive behind
+    "what do users do after X" analyses. One lag window on the user key,
+    one count aggregation."""
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    steps = ev.select(
+        "user_id",
+        F.lag("event_type").over(w).alias("from_type"),
+        F.col("event_type").alias("to_type"),
+    ).filter(F.col("from_type").isNotNull())
+    return (
+        steps.groupBy("from_type", "to_type")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_transitions"))
+        .orderBy(F.desc("n_transitions"), F.asc("from_type"), F.asc("to_type"))
+    )
+
+
+ORACLE_events_user_paths = """
+WITH steps AS (
+    SELECT user_id,
+           lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS from_type,
+           event_type AS to_type
+    FROM events
+)
+SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n_transitions
+FROM steps WHERE from_type IS NOT NULL
+GROUP BY from_type, to_type
+ORDER BY n_transitions DESC, from_type, to_type
+"""

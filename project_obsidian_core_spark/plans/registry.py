@@ -135,6 +135,9 @@ _ENTRIES: list[tuple[str, QueryFn, str | None]] = [
     ("qan_rollup_merge", q.qan_rollup_merge, q.ORACLE_qan_rollup_merge),
     # Streaming dedup of a doubled stream vs the batch distinct oracle
     ("stream_dedup_events", st.stream_dedup_events, st.ORACLE_stream_dedup_events),
+    # Period-over-period movers + event-sequence transition mining
+    ("qan_top_movers", ax.qan_top_movers, ax.ORACLE_qan_top_movers),
+    ("events_user_paths", ax.events_user_paths, ax.ORACLE_events_user_paths),
     # ------------------------------------------------------------------
     # Block 3 — official green row already on record (CORRECTNESS_r02).
     # QAN query shapes (SURVEY §2 — the reference's analytics surface)

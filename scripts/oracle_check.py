@@ -77,6 +77,12 @@ def main() -> int:
 
     queries = entry_mod.queries()
     oracles = entry_mod.oracle_sql()
+    unknown = only - set(queries)
+    if unknown:
+        # a typo'd or not-yet-registered name must be an ERROR: silently
+        # skipping it makes "ALL QUERIES MATCH" meaningless for the caller
+        print(f"UNKNOWN QUERY NAMES (not in registry): {sorted(unknown)}")
+        return 2
     failures = []
     for name, fn in queries.items():
         if only and name not in only:
