@@ -198,6 +198,80 @@ def minhash_candidates(
     )
 
 
+def minhash_candidates_incremental(
+    df: DataFrame,
+    new_col: str = "is_new",
+    text_col: str = "text",
+    max_bucket: int | None = None,
+) -> DataFrame:
+    """Incremental near-dup detection: each NEW document's MinHash-LSH
+    matches against the EXISTING corpus — the daily-ingest pattern (dedup
+    today's crawl against the accumulated corpus without re-pairing the
+    corpus with itself).
+
+    Returns (doc_new, doc_old, jaccard) for every (new, existing) pair
+    sharing ≥1 band. Plan: one signature pass over the union (at scale the
+    existing side's signatures are the staged LSH index table, read not
+    recomputed), then a band equi-join whose LEFT side is only the new
+    batch — the join output is |new|-bounded, never corpus². Same
+    ``max_bucket`` guard as :func:`minhash_candidates`.
+    """
+    sigs = (
+        df.select("doc_id", F.col(new_col).alias("_new"), shingle_set(text_col).alias("sh"))
+        .withColumn("hs", shingle_hashes("sh"))
+        .withColumn("mh", minhash_signature("hs"))
+        .withColumn("bands", band_keys("mh"))
+        .select("doc_id", "_new", "sh", "bands")
+        .persist()
+    )
+    buckets = sigs.select(
+        "doc_id", "_new", F.posexplode("bands").alias("band_idx", "band_key")
+    )
+    if max_bucket is not None:
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("band_idx", "band_key")
+        buckets = (
+            buckets.withColumn("__bucket_n", F.count(F.lit(1)).over(w))
+            .filter(F.col("__bucket_n") <= max_bucket)
+            .drop("__bucket_n")
+        )
+    new_b = buckets.filter(F.col("_new")).drop("_new")
+    old_b = buckets.filter(~F.col("_new")).drop("_new")
+    cand = (
+        new_b.alias("a")
+        .join(
+            old_b.alias("b"),
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_key") == F.col("b.band_key")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_new"),
+            F.col("b.doc_id").alias("doc_old"),
+        )
+        .distinct()
+    )
+    sh = sigs.select("doc_id", "sh")
+    return (
+        cand.join(
+            sh.withColumnRenamed("doc_id", "doc_new").withColumnRenamed("sh", "sh_a"),
+            "doc_new",
+        )
+        .join(
+            sh.withColumnRenamed("doc_id", "doc_old").withColumnRenamed("sh", "sh_b"),
+            "doc_old",
+        )
+        .select(
+            "doc_new",
+            "doc_old",
+            (
+                F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+                / F.size(F.array_union("sh_a", "sh_b"))
+            ).alias("jaccard"),
+        )
+    )
+
+
 # ----------------------------------------------------------------- simhash
 def simhash_signatures(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Per-document SIMHASH_BITS-bit SimHash over distinct token hashes.

@@ -826,3 +826,51 @@ ORDER BY q_id, rank
 
 
 ORACLE_knn_ivf_kmeans = _ivf_kmeans_oracle()
+
+
+# ---------------------------------------------------- incremental dedup ---
+_INCR_MOD = 5  # doc_id % 5 == 0 plays the "new batch"; the rest "existing"
+
+
+def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """New-batch-vs-existing-corpus near-dup detection (daily-ingest
+    pattern): the new slice's LSH matches against the accumulated corpus,
+    verified with exact Jaccard at the same 0.1 threshold as the batch
+    dedup gate."""
+    docs = load(spark, sf_dir, "documents").withColumn(
+        "is_new", F.col("doc_id") % _INCR_MOD == 0
+    )
+    return (
+        D.minhash_candidates_incremental(docs)
+        .filter(F.col("jaccard") >= 0.1)
+        .orderBy("doc_new", "doc_old")
+    )
+
+
+def _incremental_oracle() -> str:
+    # the same generated signature chain as _minhash_oracle, with the band
+    # join split new-vs-existing instead of a < b
+    body = _minhash_oracle()
+    prefix, _, _ = body.partition("), cand AS (")
+    return (
+        prefix
+        + f"""), cand AS (
+    SELECT DISTINCT a.doc_id AS doc_new, b.doc_id AS doc_old
+    FROM buckets a JOIN buckets b
+      ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+     AND a.doc_id % {_INCR_MOD} = 0 AND b.doc_id % {_INCR_MOD} != 0
+)
+SELECT c.doc_new, c.doc_old,
+       CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+           / len(list_distinct(sa.sh || sb.sh)) AS jaccard
+FROM cand c
+JOIN t sa ON sa.doc_id = c.doc_new
+JOIN t sb ON sb.doc_id = c.doc_old
+WHERE CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+          / len(list_distinct(sa.sh || sb.sh)) >= 0.1
+ORDER BY doc_new, doc_old
+"""
+    )
+
+
+ORACLE_dedup_incremental = _incremental_oracle()

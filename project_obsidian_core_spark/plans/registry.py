@@ -138,6 +138,8 @@ _ENTRIES: list[tuple[str, QueryFn, str | None]] = [
     # Period-over-period movers + event-sequence transition mining
     ("qan_top_movers", ax.qan_top_movers, ax.ORACLE_qan_top_movers),
     ("events_user_paths", ax.events_user_paths, ax.ORACLE_events_user_paths),
+    # Incremental (new-batch vs existing-corpus) near-dup detection
+    ("dedup_incremental", d.dedup_incremental, d.ORACLE_dedup_incremental),
     # ------------------------------------------------------------------
     # Block 3 — official green row already on record (CORRECTNESS_r02).
     # QAN query shapes (SURVEY §2 — the reference's analytics surface)
