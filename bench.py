@@ -112,7 +112,7 @@ def main() -> None:
         cold[name] = round(runs[0], 4)
         warm[name] = round(min(runs[1:]) if len(runs) > 1 else runs[0], 4)
 
-    line = json.dumps(
+    full = json.dumps(
         {
             "metric": "bench_suite_seconds",
             "value": round(sum(warm.values()), 4),
@@ -123,11 +123,24 @@ def main() -> None:
             "sf": sf,
         }
     )
-    # the artifact must survive output truncation (BENCH_r02's warm totals
-    # were lost to a clipped capture): write the whole line to a file the
-    # driver can pick up intact, THEN print it as the last stdout line
+    # Full detail (incl. per-query cold times) goes to a file the driver can
+    # pick up intact. The PRINTED line must survive the driver's fixed-size
+    # stdout tail capture (r03's 4 KB line was clipped mid-JSON and recorded
+    # as parsed:null), so it carries the contract fields only — warm
+    # per-query breakdown, 2-decimal precision, separators without spaces.
     with open(os.path.join(REPO, "BENCH_LOCAL.json"), "w") as fh:
-        fh.write(line + "\n")
+        fh.write(full + "\n")
+    line = json.dumps(
+        {
+            "metric": "bench_suite_seconds",
+            "value": round(sum(warm.values()), 2),
+            "unit": "sec",
+            "queries": {k: round(v, 2) for k, v in warm.items()},
+            "value_cold": round(sum(cold.values()), 2),
+            "sf": sf,
+        },
+        separators=(",", ":"),
+    )
     print(line, flush=True)
 
 

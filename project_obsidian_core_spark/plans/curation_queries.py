@@ -422,9 +422,13 @@ tr AS (
 ),
 p AS (
     SELECT *,
-           COALESCE(SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+           -- CAST: window SUM of BIGINT is HUGEINT in DuckDB; pack_id /
+           -- pack_offset derive from it, so cast back to BIGINT or the
+           -- driver-side fetch encodes them differently from Spark's
+           -- LongType (r03 hash mismatch)
+           CAST(COALESCE(SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
-                    0) AS prefix
+                    0) AS BIGINT) AS prefix
     FROM tr
 )
 SELECT doc_id, source, n_tokens,

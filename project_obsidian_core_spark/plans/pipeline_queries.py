@@ -96,9 +96,13 @@ WITH flagged AS (
     WINDOW w AS (PARTITION BY user_id ORDER BY ts)
 ),
 sess AS (
+    -- window SUM over ints is HUGEINT in DuckDB; session_idx is an OUTPUT
+    -- column here, so cast back to BIGINT or the driver-side fetch encodes
+    -- it differently from Spark's LongType (r03 hash mismatch)
     SELECT *,
-           sum(is_start) OVER (PARTITION BY user_id ORDER BY ts
-                               ROWS UNBOUNDED PRECEDING) AS session_idx
+           CAST(sum(is_start) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS UNBOUNDED PRECEDING) AS BIGINT)
+               AS session_idx
     FROM flagged
 )
 SELECT user_id, session_idx,
@@ -177,9 +181,13 @@ WITH t AS (
 ),
 p AS (
     SELECT *,
-           COALESCE(SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+           -- CAST: window SUM of BIGINT is HUGEINT in DuckDB; pack_id /
+           -- pack_offset derive from it, so cast back to BIGINT or the
+           -- driver-side fetch encodes them differently from Spark's
+           -- LongType (r03 hash mismatch)
+           CAST(COALESCE(SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
-                    0) AS prefix
+                    0) AS BIGINT) AS prefix
     FROM t
 )
 SELECT doc_id, source, n_tokens,
@@ -252,9 +260,13 @@ t AS (
 ),
 p AS (
     SELECT *,
-           COALESCE(SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+           -- CAST: window SUM of BIGINT is HUGEINT in DuckDB; pack_id /
+           -- pack_offset derive from it, so cast back to BIGINT or the
+           -- driver-side fetch encodes them differently from Spark's
+           -- LongType (r03 hash mismatch)
+           CAST(COALESCE(SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
-                    0) AS prefix
+                    0) AS BIGINT) AS prefix
     FROM t
 )
 SELECT doc_id, source, n_tokens,

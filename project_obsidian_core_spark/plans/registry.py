@@ -3,17 +3,17 @@
 Aggregates every implemented SURVEY §2 query shape. Names are stable — the
 driver records per-name correctness, so renames lose history.
 
-ORDERING CONTRACT: the driver's correctness gate records the FIRST 50
+ORDERING CONTRACT: the driver correctness gate records the FIRST 50
 entries only (CORRECTNESS_r02.json stopped at slot 50).  Entries are
 therefore ordered by gate priority, not by theme:
 
-  1. Queries with no official green row yet (round-2 additions the r02
-     gate never reached, plus anything new this round) — these occupy the
-     leading slots so the next gate run gives them official rows.
-  2. Queries that already hold a green row in CORRECTNESS_r01/r02 — these
-     sit at the tail; their history is on record.
+  1. Queries with no official green row yet (the five r03 hash-mismatch
+     fixes, plus anything new this round) — these occupy the leading
+     slots so the next gate run gives them official rows.
+  2. Queries that already hold a green row in CORRECTNESS_r01/r02/r03 —
+     these sit at the tail; their history is on record.
 
-All 75 round-2 queries pass the identical oracle locally
+All registered queries pass the identical oracle locally
 (`scripts/oracle_check.py`, bit-EXACT) regardless of position.
 """
 
@@ -43,7 +43,27 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 
 _ENTRIES: list[tuple[str, QueryFn, str | None]] = [
     # ------------------------------------------------------------------
-    # Block 1 — no official CORRECTNESS row yet (r02 gate stopped at 50).
+    # Block 0 — r03 hash mismatches, now fixed (DuckDB window SUM returns
+    # HUGEINT; the oracle SQL casts back to BIGINT so the driver-side fetch
+    # encodes identically to Spark's LongType). These are the only five
+    # registry entries without a green CORRECTNESS row — lead the gate.
+    ("sessionize_events", pl.sessionize_events, pl.ORACLE_sessionize_events),
+    ("corpus_pack", pl.corpus_pack, pl.ORACLE_corpus_pack),
+    ("prepare_training_set", pl.prepare_training_set, pl.ORACLE_prepare_training_set),
+    (
+        "prepare_training_set_v2",
+        cu.prepare_training_set_v2,
+        cu.ORACLE_prepare_training_set_v2,
+    ),
+    (
+        "sessionize_presplit_events",
+        pl.sessionize_presplit_events,
+        pl.ORACLE_sessionize_events,
+    ),
+    # ------------------------------------------------------------------
+    # Block 1 — round-4 additions (keep inside the gate's first-50 window).
+    # ------------------------------------------------------------------
+    # Block 2 — official green row already on record (r01/r02/r03).
     # Training-data pipeline: multimodal binary plumbing (pandas decode)
     ("media_features", d.media_features, d.ORACLE_media_features),
     ("media_frame_sample", d.media_frame_sample, d.ORACLE_media_frame_sample),
@@ -52,10 +72,7 @@ _ENTRIES: list[tuple[str, QueryFn, str | None]] = [
     # Training-data pipeline: corpus management (splits/sampling/sessions/packing)
     ("corpus_split", pl.corpus_split, pl.ORACLE_corpus_split),
     ("corpus_sample", pl.corpus_sample, pl.ORACLE_corpus_sample),
-    ("sessionize_events", pl.sessionize_events, pl.ORACLE_sessionize_events),
     ("session_window_stats", pl.session_window_stats, pl.ORACLE_session_window_stats),
-    ("corpus_pack", pl.corpus_pack, pl.ORACLE_corpus_pack),
-    ("prepare_training_set", pl.prepare_training_set, pl.ORACLE_prepare_training_set),
     # Training-data pipeline: corpus curation (decontamination / repetition /
     # PII / balanced sampling / vocabulary)
     ("corpus_decontaminate", cu.corpus_decontaminate, cu.ORACLE_corpus_decontaminate),
@@ -77,11 +94,6 @@ _ENTRIES: list[tuple[str, QueryFn, str | None]] = [
     ("corpus_tile_dedup", cu.corpus_tile_dedup, cu.ORACLE_corpus_tile_dedup),
     ("text_surprisal", cu.text_surprisal, cu.ORACLE_text_surprisal),
     ("curation_report", cu.curation_report, cu.ORACLE_curation_report),
-    (
-        "prepare_training_set_v2",
-        cu.prepare_training_set_v2,
-        cu.ORACLE_prepare_training_set_v2,
-    ),
     # Training-data pipeline: embedding clustering (quantized Lloyd k-means)
     ("embedding_kmeans", km.embedding_kmeans, km.ORACLE_embedding_kmeans),
     # Streaming stateful delta (applyInPandasWithState) vs batch-lag oracle
@@ -89,8 +101,7 @@ _ENTRIES: list[tuple[str, QueryFn, str | None]] = [
     # Stream-stream interval join vs the BATCH range-join oracle (equivalence)
     ("stream_range_join", st.stream_range_join, tj.ORACLE_events_range_join),
     # ------------------------------------------------------------------
-    # Block 2 — new queries added in round 3 (slots 26+ keep them inside
-    # the gate's first-50 window).
+    # (round-3 additions — green rows in CORRECTNESS_r03)
     # Behavior analytics over events (funnel / cohort retention)
     ("events_funnel", bh.events_funnel, bh.ORACLE_events_funnel),
     ("events_retention", bh.events_retention, bh.ORACLE_events_retention),
@@ -118,11 +129,6 @@ _ENTRIES: list[tuple[str, QueryFn, str | None]] = [
         tj.events_asof_join_presplit,
         tj.ORACLE_events_asof_join,
     ),
-    (
-        "sessionize_presplit_events",
-        pl.sessionize_presplit_events,
-        pl.ORACLE_sessionize_events,
-    ),
     # Streaming native session_window vs the batch session oracle
     ("stream_session_stats", st.stream_session_stats, pl.ORACLE_session_window_stats),
     # Semi-structured JSON property analytics over events.props
@@ -141,7 +147,7 @@ _ENTRIES: list[tuple[str, QueryFn, str | None]] = [
     # Incremental (new-batch vs existing-corpus) near-dup detection
     ("dedup_incremental", d.dedup_incremental, d.ORACLE_dedup_incremental),
     # ------------------------------------------------------------------
-    # Block 3 — official green row already on record (CORRECTNESS_r02).
+    # (r01/r02 green rows)
     # QAN query shapes (SURVEY §2 — the reference's analytics surface)
     ("qan_top_digests", q.qan_top_digests, q.ORACLE_qan_top_digests),
     ("qan_top_digests_salted", q.qan_top_digests_salted, q.ORACLE_qan_top_digests_salted),

@@ -104,6 +104,17 @@ def main() -> int:
         d_rows = rel.fetchall()
         duck_s = time.time() - t0
         status = []
+        # Python fetchall() maps HUGEINT/DECIMAL to plain ints, hiding the
+        # type from this replica — but the driver's fetch path encodes them
+        # differently from Spark's LongType (r03: five hash mismatches from
+        # un-cast window SUMs). Fail loudly on any non-Spark-exact type.
+        odd = [
+            f"{c}:{t}"
+            for c, t in zip(d_cols, rel.types)
+            if str(t) in ("HUGEINT", "UHUGEINT") or str(t).startswith("DECIMAL")
+        ]
+        if odd:
+            status.append(f"ORACLE-TYPE {odd} (cast to BIGINT/DOUBLE in the SQL)")
         if len(s_rows) != len(d_rows):
             status.append(f"ROWCOUNT {len(s_rows)} vs {len(d_rows)}")
         if sorted(s_cols) != sorted(d_cols):
