@@ -251,3 +251,47 @@ def tfidf_top_terms(df: DataFrame, k: int = 3, text_col: str = "text") -> DataFr
         .filter(F.col("rank") <= k)
         .select("doc_id", "term", "tf", "doc_freq", "tfidf", "rank")
     )
+
+
+# ----------------------------------------------------------- heavy hitters
+
+#: frequent-token cut: a token is a heavy hitter in its source when it is
+#: ≥ 4% of the source's token mass (exact parts-per-million, int arithmetic)
+HEAVY_HITTER_PPM = 40_000
+
+
+def heavy_hitters(
+    df: DataFrame,
+    text_col: str = "text",
+    group_col: str = "source",
+    threshold_ppm: int = HEAVY_HITTER_PPM,
+) -> DataFrame:
+    """Exact per-group frequent-token detection: tokens whose share of the
+    group's token mass is at least ``threshold_ppm`` parts per million —
+    the exact two-pass replacement for Misra-Gries/Count-Min heavy-hitter
+    sketches when the group-token pair cardinality (≤ vocab × groups) is
+    itself tractable, which for natural-language corpora it always is.
+
+    Plan: one explode, then two aggregations over the SAME exploded pass —
+    per-(group, token) counts shuffle on the pair key (map-side combined,
+    so the shuffle carries at most |vocab × groups| rows per mapper, not
+    the token stream), and per-group totals come from re-aggregating those
+    pair counts (no second scan of the corpus). The tiny per-group totals
+    broadcast back. Shares are exact BIGINT ppm — no float fold anywhere.
+    """
+    toks = df.select(
+        F.col(group_col), F.explode(_tokens(F.col(text_col))).alias("tok")
+    ).filter(F.col("tok") != "")
+    pair_counts = toks.groupBy(group_col, "tok").agg(F.count(F.lit(1)).alias("n"))
+    totals = pair_counts.groupBy(group_col).agg(F.sum("n").alias("n_total"))
+    return (
+        pair_counts.join(F.broadcast(totals), group_col)
+        .select(
+            group_col,
+            "tok",
+            "n",
+            F.col("n_total").cast("long").alias("n_total"),
+            F.expr("(n * 1000000L) div n_total").alias("share_ppm"),
+        )
+        .filter(F.col("share_ppm") >= threshold_ppm)
+    )

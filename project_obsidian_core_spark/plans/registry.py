@@ -62,6 +62,14 @@ _ENTRIES: list[tuple[str, QueryFn, str | None]] = [
     ),
     # ------------------------------------------------------------------
     # Block 1 — round-4 additions (keep inside the gate's first-50 window).
+    # Streaming twins of the reference's core ingest + analytics paths,
+    # each gated on the IDENTICAL batch oracle (streaming↔batch
+    # mergeability of rollup / top-N state)
+    ("stream_rollup_minute", st.stream_rollup_minute, q.ORACLE_qan_rollup_minute),
+    ("stream_top_digests", st.stream_top_digests, q.ORACLE_qan_top_digests),
+    # Relational breadth: Q8-shaped market share, Q4-shaped EXISTS semi-join
+    ("nation_market_share", r.nation_market_share, r.ORACLE_nation_market_share),
+    ("late_shipment_orders", r.late_shipment_orders, r.ORACLE_late_shipment_orders),
     # ------------------------------------------------------------------
     # Block 2 — official green row already on record (r01/r02/r03).
     # Training-data pipeline: multimodal binary plumbing (pandas decode)

@@ -299,3 +299,122 @@ SELECT o_custkey, o_orderkey,
 FROM orders
 ORDER BY o_custkey, order_us, o_orderkey
 """
+
+
+# ------------------------------------------------------------- Q8-shaped
+def nation_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8-shaped market share: within the ASIA customer market, the
+    fraction of yearly revenue supplied by one nation (NATION_5), as exact
+    parts-per-million of exact e4-integer revenue.
+
+    Plan shape: one fact-side shuffle (lineitem ⋈ orders on orderkey);
+    customer / supplier / nation / region all broadcast; the share is a
+    conditional aggregate (CASE inside SUM) so both the numerator and the
+    denominator come out of a single pass — no second scan, no self-join.
+    """
+    region = load(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    nation = load(spark, sf_dir, "nation")
+    cust = load(spark, sf_dir, "customer")
+    supp = load(spark, sf_dir, "supplier")
+    s_nation = nation.select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    orders = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    rev = (cents("l_extendedprice") * (100 - cents("l_discount"))).alias("rev_e4")
+    joined = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(s_nation), supp.s_nationkey == F.col("sn_key"))
+        .select(
+            F.year("o_orderdate").alias("o_year"),
+            rev,
+            F.col("supp_nation"),
+        )
+    )
+    agg = joined.groupBy("o_year").agg(
+        F.sum("rev_e4").alias("mkt_rev_e4"),
+        F.sum(
+            F.when(F.col("supp_nation") == "NATION_5", F.col("rev_e4")).otherwise(
+                F.lit(0)
+            )
+        ).alias("nation_rev_e4"),
+    )
+    return agg.select(
+        "o_year",
+        "mkt_rev_e4",
+        "nation_rev_e4",
+        F.expr("(nation_rev_e4 * 1000000L) div mkt_rev_e4").alias("share_ppm"),
+    ).orderBy("o_year")
+
+
+ORACLE_nation_market_share = """
+WITH j AS (
+    SELECT year(o_orderdate) AS o_year,
+           CAST(round(l_extendedprice * 100, 0) AS BIGINT)
+             * (100 - CAST(round(l_discount * 100, 0) AS BIGINT)) AS rev_e4,
+           sn.n_name AS supp_nation
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation cn ON c_nationkey = cn.n_nationkey
+    JOIN region   ON cn.n_regionkey = r_regionkey AND r_name = 'ASIA'
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation sn ON s_nationkey = sn.n_nationkey
+)
+SELECT o_year,
+       CAST(sum(rev_e4) AS BIGINT) AS mkt_rev_e4,
+       CAST(sum(CASE WHEN supp_nation = 'NATION_5' THEN rev_e4 ELSE 0 END) AS BIGINT)
+           AS nation_rev_e4,
+       CAST(sum(CASE WHEN supp_nation = 'NATION_5' THEN rev_e4 ELSE 0 END) AS BIGINT)
+           * 1000000 // CAST(sum(rev_e4) AS BIGINT) AS share_ppm
+FROM j
+GROUP BY o_year
+ORDER BY o_year
+"""
+
+
+# ------------------------------------------------------------- Q4-shaped
+def late_shipment_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4-shaped EXISTS semi-join: count orders per priority having at
+    least one line item shipped more than 60 days after the order date.
+
+    Plan shape: a LEFT SEMI join — the lineitem side is reduced to the
+    qualifying orderkeys and never multiplies the orders rows, so the count
+    is per-order no matter how many late lines an order has. Both sides
+    shuffle once on orderkey; at 100 TB this is the join you bucket both
+    tables on.
+    """
+    orders = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    late = orders.join(
+        li,
+        (orders.o_orderkey == li.l_orderkey)
+        & (
+            F.unix_micros(F.col("l_shipdate").cast("timestamp"))
+            > F.unix_micros(F.col("o_orderdate").cast("timestamp"))
+            + F.lit(60 * 86400 * 1000000)
+        ),
+        "left_semi",
+    )
+    return (
+        late.groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_late_orders"))
+        .orderBy("o_orderpriority")
+    )
+
+
+ORACLE_late_shipment_orders = """
+SELECT o_orderpriority, count(*) AS n_late_orders
+FROM orders
+WHERE EXISTS (
+    SELECT 1 FROM lineitem
+    WHERE l_orderkey = o_orderkey
+      AND epoch_us(l_shipdate) > epoch_us(o_orderdate) + CAST(5184000 AS BIGINT) * 1000000
+)
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
