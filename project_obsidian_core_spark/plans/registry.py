@@ -43,6 +43,15 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 
 _ENTRIES: list[tuple[str, QueryFn, str | None]] = [
     # ------------------------------------------------------------------
+    # Block R5 — round-5 additions (no official row yet — lead the gate).
+    # Relational breadth: the remaining classic TPC-H join/subquery shapes
+    ("promo_revenue", r.promo_revenue, r.ORACLE_promo_revenue),
+    ("small_quantity_revenue", r.small_quantity_revenue, r.ORACLE_small_quantity_revenue),
+    ("large_order_customers", r.large_order_customers, r.ORACLE_large_order_customers),
+    ("brand_type_revenue", r.brand_type_revenue, r.ORACLE_brand_type_revenue),
+    ("dormant_customers", r.dormant_customers, r.ORACLE_dormant_customers),
+    ("top_supplier_revenue", r.top_supplier_revenue, r.ORACLE_top_supplier_revenue),
+    # ------------------------------------------------------------------
     # Block 0 — r03 hash mismatches, now fixed (DuckDB window SUM returns
     # HUGEINT; the oracle SQL casts back to BIGINT so the driver-side fetch
     # encodes identically to Spark's LongType). These are the only five

@@ -418,3 +418,329 @@ WHERE EXISTS (
 GROUP BY o_orderpriority
 ORDER BY o_orderpriority
 """
+
+
+# ------------------------------------------------------------- Q14-shaped
+def promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14-shaped promotion share: fraction of 1997 revenue coming
+    from PROMO-type parts, as exact parts-per-million.
+
+    Plan shape: part is a pure broadcast dimension (no shuffle on the fact
+    side beyond the final 1-group aggregate); numerator and denominator come
+    out of one conditional-aggregate pass (A4/A5 family applied to a join).
+    """
+    part = load(spark, sf_dir, "part").select("p_partkey", "p_type")
+    li = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    rev = (cents("l_extendedprice") * (100 - cents("l_discount"))).alias("rev_e4")
+    joined = li.join(F.broadcast(part), li.l_partkey == part.p_partkey).select(
+        rev, F.col("p_type")
+    )
+    agg = joined.agg(
+        F.sum(
+            F.when(F.col("p_type") == "PROMO", F.col("rev_e4")).otherwise(F.lit(0))
+        ).alias("promo_rev_e4"),
+        F.sum("rev_e4").alias("total_rev_e4"),
+    )
+    return agg.select(
+        "promo_rev_e4",
+        "total_rev_e4",
+        F.expr("(promo_rev_e4 * 1000000L) div total_rev_e4").alias("promo_ppm"),
+    )
+
+
+ORACLE_promo_revenue = """
+WITH j AS (
+    SELECT CAST(round(l_extendedprice * 100, 0) AS BIGINT)
+             * (100 - CAST(round(l_discount * 100, 0) AS BIGINT)) AS rev_e4,
+           p_type
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+)
+SELECT CAST(sum(CASE WHEN p_type = 'PROMO' THEN rev_e4 ELSE 0 END) AS BIGINT) AS promo_rev_e4,
+       CAST(sum(rev_e4) AS BIGINT) AS total_rev_e4,
+       CAST(sum(CASE WHEN p_type = 'PROMO' THEN rev_e4 ELSE 0 END) AS BIGINT)
+         * 1000000 // CAST(sum(rev_e4) AS BIGINT) AS promo_ppm
+FROM j
+"""
+
+
+# ------------------------------------------------------------- Q17-shaped
+def small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17-shaped correlated aggregate: revenue of lineitems whose
+    quantity is below 20% of the average quantity for their part, for one
+    brand.
+
+    Decorrelation: the per-part AVG subquery becomes a groupBy over the
+    (already brand-filtered) lineitems joined back to the fact rows — the
+    canonical decorrelated plan Catalyst would produce for the EXISTS-style
+    correlated scalar. The avg comparison is kept in exact integers
+    (5 * qty * n < sum_qty  ⟺  qty < 0.2 * avg) so the oracle hashes
+    bit-identically.
+
+    At scale both sides of the self-join shuffle on l_partkey once; the
+    brand filter reaches the scan (broadcast part dim), shrinking the fact
+    side ~25x before any shuffle.
+    """
+    part = load(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#3")
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        F.col("l_quantity").cast("long").alias("qty"),
+        cents("l_extendedprice").alias("epc"),
+    )
+    branded = li.join(
+        F.broadcast(part.select("p_partkey")), li.l_partkey == F.col("p_partkey")
+    ).select("l_partkey", "qty", "epc")
+    per_part = branded.groupBy(F.col("l_partkey").alias("agg_partkey")).agg(
+        F.sum("qty").alias("sum_qty"), F.count(F.lit(1)).alias("n_li")
+    )
+    small = branded.join(
+        per_part, branded.l_partkey == F.col("agg_partkey")
+    ).filter(F.col("qty") * 5 * F.col("n_li") < F.col("sum_qty"))
+    return small.agg(
+        F.count(F.lit(1)).alias("n_small_lines"),
+        F.coalesce(F.sum("epc"), F.lit(0)).alias("sum_price_cents"),
+        F.coalesce(F.expr("sum(epc) div 7"), F.lit(0)).alias("avg_yearly_cents"),
+    )
+
+
+ORACLE_small_quantity_revenue = """
+WITH branded AS (
+    SELECT l_partkey, CAST(l_quantity AS BIGINT) AS qty,
+           CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS epc
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE p_brand = 'Brand#3'
+), per_part AS (
+    SELECT l_partkey AS agg_partkey,
+           CAST(sum(qty) AS BIGINT) AS sum_qty, count(*) AS n_li
+    FROM branded GROUP BY l_partkey
+)
+SELECT count(*) AS n_small_lines,
+       CAST(coalesce(sum(epc), 0) AS BIGINT) AS sum_price_cents,
+       CAST(coalesce(sum(epc), 0) AS BIGINT) // 7 AS avg_yearly_cents
+FROM branded JOIN per_part ON l_partkey = agg_partkey
+WHERE qty * 5 * n_li < sum_qty
+"""
+
+
+# ------------------------------------------------------------- Q18-shaped
+def large_order_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18-shaped large-volume orders: customers whose orders carry
+    total quantity above a threshold — a HAVING-subquery turned LEFT SEMI
+    join.
+
+    Plan shape: the qualifying-orderkey set is built by one groupBy on the
+    fact table and is tiny (hundreds of keys), so it broadcast-semi-joins
+    back against orders; customer is broadcast. The fact table shuffles
+    once, on its natural key.
+    """
+    threshold = 350
+    orders = load(spark, sf_dir, "orders")
+    cust = load(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", F.col("l_quantity").cast("long").alias("qty")
+    )
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("qty").alias("total_qty"))
+        .filter(F.col("total_qty") > threshold)
+    )
+    return (
+        orders.join(F.broadcast(big), orders.o_orderkey == big.l_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .select(
+            "c_custkey",
+            "c_name",
+            "o_orderkey",
+            F.unix_micros(F.col("o_orderdate").cast("timestamp")).alias("order_us"),
+            cents("o_totalprice").alias("total_price_cents"),
+            "total_qty",
+        )
+        .orderBy(F.desc("total_price_cents"), F.asc("o_orderkey"))
+        .limit(20)
+    )
+
+
+ORACLE_large_order_customers = """
+SELECT c_custkey, c_name, o_orderkey,
+       epoch_us(o_orderdate) AS order_us,
+       CAST(round(o_totalprice * 100, 0) AS BIGINT) AS total_price_cents,
+       CAST(t.total_qty AS BIGINT) AS total_qty
+FROM orders
+JOIN (SELECT l_orderkey, CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS total_qty
+      FROM lineitem GROUP BY l_orderkey HAVING sum(CAST(l_quantity AS BIGINT)) > 350) t
+  ON o_orderkey = t.l_orderkey
+JOIN customer ON o_custkey = c_custkey
+ORDER BY total_price_cents DESC, o_orderkey ASC
+LIMIT 20
+"""
+
+
+# ------------------------------------------------------------- Q19-shaped
+def brand_type_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19-shaped disjunctive-predicate revenue: OR of three
+    (brand, size-range, quantity-range) conjunctions across the
+    lineitem ⋈ part join.
+
+    Plan shape: part is broadcast; the OR-of-ANDs predicate references both
+    sides so it evaluates post-join, but each disjunct's part-only conjuncts
+    (brand, size) are ALSO pushed to the part scan as their union — Catalyst
+    derives `(brand=1 AND size<=15) OR (brand=2 AND ...) OR ...` for the
+    build side, shrinking the broadcast. One conditional-aggregate pass.
+    """
+    part = load(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        F.col("l_quantity").cast("long").alias("qty"),
+        (cents("l_extendedprice") * (100 - cents("l_discount"))).alias("rev_e4"),
+    )
+    j = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    cond = (
+        (
+            (F.col("p_brand") == "Brand#1")
+            & F.col("p_size").between(1, 15)
+            & F.col("qty").between(1, 11)
+        )
+        | (
+            (F.col("p_brand") == "Brand#2")
+            & F.col("p_size").between(1, 25)
+            & F.col("qty").between(10, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#3")
+            & F.col("p_size").between(1, 35)
+            & F.col("qty").between(20, 30)
+        )
+    )
+    return j.filter(cond).agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.coalesce(F.sum("rev_e4"), F.lit(0)).alias("revenue_e4"),
+    )
+
+
+ORACLE_brand_type_revenue = """
+SELECT count(*) AS n_lines,
+       CAST(coalesce(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)
+             * (100 - CAST(round(l_discount * 100, 0) AS BIGINT))), 0) AS BIGINT) AS revenue_e4
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+       AND CAST(l_quantity AS BIGINT) BETWEEN 1 AND 11)
+   OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 25
+       AND CAST(l_quantity AS BIGINT) BETWEEN 10 AND 20)
+   OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 35
+       AND CAST(l_quantity AS BIGINT) BETWEEN 20 AND 30)
+"""
+
+
+# ------------------------------------------------------------- Q22-shaped
+def dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22-shaped anti-join: above-average-balance customers with no
+    recent orders (none since 2000-01-01), counted per market segment.
+
+    Plan shape: the global positive-balance average is a broadcast 1-row
+    aggregate (exact integer cross-multiplication, no float avg); the
+    "no recent orders" test is a LEFT ANTI join against the date-filtered
+    orderkey side — the filter reaches the orders scan, so the anti build
+    side is a fraction of the table. No correlated per-row subqueries
+    survive into the plan.
+    """
+    cust = load(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment", cents("c_acctbal").alias("bal_cents")
+    )
+    pos = cust.filter(F.col("bal_cents") > 0).agg(
+        F.sum("bal_cents").alias("sum_bal"), F.count(F.lit(1)).alias("n_bal")
+    )
+    recent = (
+        load(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp"))
+        .select("o_custkey")
+    )
+    rich = cust.join(F.broadcast(pos)).filter(
+        F.col("bal_cents") * F.col("n_bal") > F.col("sum_bal")
+    )
+    dormant = rich.join(
+        recent, rich.c_custkey == recent.o_custkey, "left_anti"
+    )
+    return (
+        dormant.groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_custs"),
+            F.sum("bal_cents").alias("total_bal_cents"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+ORACLE_dormant_customers = """
+WITH c AS (
+    SELECT c_custkey, c_mktsegment,
+           CAST(round(c_acctbal * 100, 0) AS BIGINT) AS bal_cents
+    FROM customer
+), pos AS (
+    SELECT CAST(sum(bal_cents) AS BIGINT) AS sum_bal, count(*) AS n_bal
+    FROM c WHERE bal_cents > 0
+)
+SELECT c_mktsegment, count(*) AS n_custs,
+       CAST(sum(bal_cents) AS BIGINT) AS total_bal_cents
+FROM c, pos
+WHERE bal_cents * n_bal > sum_bal
+  AND NOT EXISTS (
+      SELECT 1 FROM orders
+      WHERE o_custkey = c_custkey
+        AND o_orderdate >= TIMESTAMP '2000-01-01 00:00:00'
+  )
+GROUP BY c_mktsegment
+ORDER BY c_mktsegment
+"""
+
+
+# ------------------------------------------------------------- Q15-shaped
+def top_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15-shaped argmax-by-view: per-supplier revenue over one
+    quarter, returning the supplier(s) achieving the maximum.
+
+    Plan shape: the "view" is a groupBy over the date-filtered fact table;
+    the MAX over it is a broadcast 1-row aggregate joined back — the
+    decorrelated form of `WHERE total_revenue = (SELECT max(...) ...)`.
+    The fact table is scanned once (reused subplan), shuffled once on
+    suppkey; supplier is broadcast.
+    """
+    li = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp"))
+    )
+    rev = (cents("l_extendedprice") * (100 - cents("l_discount"))).alias("rev_e4")
+    by_supp = (
+        li.select("l_suppkey", rev)
+        .groupBy("l_suppkey")
+        .agg(F.sum("rev_e4").alias("total_rev_e4"))
+    )
+    mx = by_supp.agg(F.max("total_rev_e4").alias("max_rev_e4"))
+    supp = load(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        by_supp.join(F.broadcast(mx), F.col("total_rev_e4") == F.col("max_rev_e4"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", "total_rev_e4")
+        .orderBy("s_suppkey")
+    )
+
+
+ORACLE_top_supplier_revenue = """
+WITH revenue AS (
+    SELECT l_suppkey,
+           CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)
+                    * (100 - CAST(round(l_discount * 100, 0) AS BIGINT))) AS BIGINT)
+               AS total_rev_e4
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1997-04-01 00:00:00'
+    GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, total_rev_e4
+FROM revenue JOIN supplier ON l_suppkey = s_suppkey
+WHERE total_rev_e4 = (SELECT max(total_rev_e4) FROM revenue)
+ORDER BY s_suppkey
+"""
