@@ -1,0 +1,141 @@
+"""Driver-facing CDC / table-maintenance queries (operators/merge.py).
+
+A deterministic CDC batch is derived from the orders table itself (key
+arithmetic only, no randomness) so the Spark MERGE result and the DuckDB
+oracle reconstruct the identical post-merge snapshot:
+
+- keys ``o_orderkey % 10 == 3``  → **U**: status forced to 'F', price +500c
+- keys ``o_orderkey % 10 == 7``  → **D**: removed
+- keys ``o_orderkey % 10 == 5``  → **I**: re-keyed clone at key+10^9 (new
+  key space), priority tagged 'CDC-INSERT'
+
+``orders_cdc_merge`` returns the merged snapshot (one row per surviving
+key); ``orders_scd2`` builds the SCD2 validity-interval history of each
+customer's order timeline with lead() windows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from project_obsidian_core_spark.operators.merge import merge_upsert, scd2_history
+from project_obsidian_core_spark.plans.common import cents, load
+
+_NEW_KEY_OFFSET = 1_000_000_000
+
+
+def _orders_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        cents("o_totalprice").alias("price_cents"),
+        F.unix_micros(F.col("o_orderdate").cast("timestamp")).alias("order_us"),
+        "o_orderpriority",
+    )
+
+
+def _cdc_batch(base: DataFrame) -> DataFrame:
+    """Deterministic I/U/D batch derived from the base snapshot."""
+    m = F.col("o_orderkey") % 10
+    updates = (
+        base.filter(m == 3)
+        .withColumn("o_orderstatus", F.lit("F"))
+        .withColumn("price_cents", F.col("price_cents") + F.lit(500))
+        .withColumn("op", F.lit("U"))
+    )
+    deletes = base.filter(m == 7).withColumn("op", F.lit("D"))
+    inserts = (
+        base.filter(m == 5)
+        .withColumn("o_orderkey", F.col("o_orderkey") + F.lit(_NEW_KEY_OFFSET))
+        .withColumn("o_orderpriority", F.lit("CDC-INSERT"))
+        .withColumn("op", F.lit("I"))
+    )
+    return updates.unionByName(deletes).unionByName(inserts)
+
+
+def orders_cdc_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO semantics on the orders snapshot (insert/update/delete).
+
+    The base is scanned once and anti-joined against the touched-key set
+    (broadcast at any realistic batch:base ratio); change rows with op≠D are
+    unioned in. No base-side shuffle when the batch broadcasts.
+    """
+    base = _orders_snapshot(spark, sf_dir)
+    merged = merge_upsert(base, _cdc_batch(base), keys=["o_orderkey"])
+    return merged.orderBy("o_orderkey")
+
+
+ORACLE_orders_cdc_merge = """
+WITH base AS (
+    SELECT o_orderkey, o_custkey, o_orderstatus,
+           CAST(round(o_totalprice * 100, 0) AS BIGINT) AS price_cents,
+           epoch_us(o_orderdate) AS order_us,
+           o_orderpriority
+    FROM orders
+), changes AS (
+    SELECT o_orderkey, o_custkey, 'F' AS o_orderstatus,
+           price_cents + 500 AS price_cents, order_us, o_orderpriority,
+           'U' AS op
+    FROM base WHERE o_orderkey % 10 = 3
+    UNION ALL
+    SELECT o_orderkey, o_custkey, o_orderstatus, price_cents, order_us,
+           o_orderpriority, 'D' AS op
+    FROM base WHERE o_orderkey % 10 = 7
+    UNION ALL
+    SELECT o_orderkey + 1000000000, o_custkey, o_orderstatus, price_cents,
+           order_us, 'CDC-INSERT' AS o_orderpriority, 'I' AS op
+    FROM base WHERE o_orderkey % 10 = 5
+)
+SELECT o_orderkey, o_custkey, o_orderstatus, price_cents, order_us,
+       o_orderpriority
+FROM base
+WHERE o_orderkey NOT IN (SELECT o_orderkey FROM changes)
+UNION ALL
+SELECT o_orderkey, o_custkey, o_orderstatus, price_cents, order_us,
+       o_orderpriority
+FROM changes WHERE op <> 'D'
+ORDER BY o_orderkey
+"""
+
+
+def orders_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 validity intervals over each customer's order timeline.
+
+    One shuffle on the entity key (customer); lead() supplies valid_to and
+    the is_current flag. valid_to is NULL on the open interval — rendered
+    as -1 so the hash gate compares exact BIGINTs.
+    """
+    base = _orders_snapshot(spark, sf_dir)
+    hist = scd2_history(
+        base,
+        entity_col="o_custkey",
+        order_col="order_us",
+        tiebreak_col="o_orderkey",
+    )
+    return hist.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_orderstatus",
+        F.col("valid_from").cast("long").alias("valid_from_us"),
+        F.coalesce(F.col("valid_to"), F.lit(-1)).cast("long").alias("valid_to_us"),
+        "is_current",
+    ).orderBy("o_custkey", "valid_from_us", "o_orderkey")
+
+
+ORACLE_orders_scd2 = """
+WITH base AS (
+    SELECT o_orderkey, o_custkey, o_orderstatus,
+           epoch_us(o_orderdate) AS order_us
+    FROM orders
+)
+SELECT o_custkey, o_orderkey, o_orderstatus,
+       order_us AS valid_from_us,
+       coalesce(lead(order_us) OVER w, -1) AS valid_to_us,
+       lead(order_us) OVER w IS NULL AS is_current
+FROM base
+WINDOW w AS (PARTITION BY o_custkey ORDER BY order_us, o_orderkey)
+ORDER BY o_custkey, valid_from_us, o_orderkey
+"""

@@ -25,6 +25,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from project_obsidian_core_spark.plans import analytics_ext_queries as ax
 from project_obsidian_core_spark.plans import behavior_queries as bh
+from project_obsidian_core_spark.plans import cdc_queries as cdc
 from project_obsidian_core_spark.plans import bpe_queries as bq
 from project_obsidian_core_spark.plans import clustering_queries as km
 from project_obsidian_core_spark.plans import curation_queries as cu
@@ -51,6 +52,9 @@ _ENTRIES: list[tuple[str, QueryFn, str | None]] = [
     ("brand_type_revenue", r.brand_type_revenue, r.ORACLE_brand_type_revenue),
     ("dormant_customers", r.dormant_customers, r.ORACLE_dormant_customers),
     ("top_supplier_revenue", r.top_supplier_revenue, r.ORACLE_top_supplier_revenue),
+    # CDC MERGE upsert + SCD2 history (operators/merge.py)
+    ("orders_cdc_merge", cdc.orders_cdc_merge, cdc.ORACLE_orders_cdc_merge),
+    ("orders_scd2", cdc.orders_scd2, cdc.ORACLE_orders_scd2),
     # ------------------------------------------------------------------
     # Block 0 — r03 hash mismatches, now fixed (DuckDB window SUM returns
     # HUGEINT; the oracle SQL casts back to BIGINT so the driver-side fetch
