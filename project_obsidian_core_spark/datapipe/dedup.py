@@ -349,6 +349,68 @@ def ngram_jaccard_pairs(
     )
 
 
+def ngram_containment_pairs(
+    df: DataFrame,
+    block_col: str = "source",
+    text_col: str = "text",
+    w: int = NGRAM_W,
+    max_block: int | None = None,
+) -> DataFrame:
+    """Directed n-gram containment within a block: how much of each doc's
+    shingle set lies inside the other's.
+
+    Containment (|A∩B| / |A|) catches the asymmetric near-dup Jaccard
+    misses: a short document pasted inside a long one scores ~1.0 from the
+    short side while its Jaccard stays near |A|/|B|. This is the dedup rule
+    for quote-inclusion / boilerplate-wrapping cases a pretraining corpus
+    is full of.
+
+    Same scale story as :func:`ngram_jaccard_pairs`: the block key bounds
+    the quadratic, ``max_block`` guards hot blocks, shingle sets are built
+    once per row at scan. Output adds exact parts-per-million integer
+    scores (hash-stable) for both directions.
+    """
+    grams = F.expr(
+        f"array_distinct(transform("
+        f"  sequence(1, greatest(length({text_col}) - {w - 1}, 1)),"
+        f"  i -> substring({text_col}, i, {w})))"
+    )
+    t = df.select("doc_id", F.col(block_col).alias("block"), grams.alias("gr"))
+    if max_block is not None:
+        from pyspark.sql import Window
+
+        wnd = Window.partitionBy("block")
+        t = (
+            t.withColumn("__block_n", F.count(F.lit(1)).over(wnd))
+            .filter(F.col("__block_n") <= max_block)
+            .drop("__block_n")
+        )
+    inter = F.size(F.array_intersect("a.gr", "b.gr")).cast("long")
+    return (
+        t.alias("a")
+        .join(
+            t.alias("b"),
+            (F.col("a.block") == F.col("b.block"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.block").alias("block"),
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            inter.alias("n_inter"),
+            F.size("a.gr").cast("long").alias("n_a"),
+            F.size("b.gr").cast("long").alias("n_b"),
+        )
+        .select(
+            "block",
+            "doc_a",
+            "doc_b",
+            F.expr("(n_inter * 1000000L) div n_a").alias("cont_a_ppm"),
+            F.expr("(n_inter * 1000000L) div n_b").alias("cont_b_ppm"),
+        )
+    )
+
+
 # ------------------------------------------------- embedding cosine dedup
 def embedding_cosine_pairs(
     emb: DataFrame, block_col: str = "label", vec_col: str = "embedding"

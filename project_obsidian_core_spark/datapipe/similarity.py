@@ -312,3 +312,146 @@ def ivf_kmeans_topk(
         ).alias("cos_sim"),
     )
     return _topk(scored, k)
+
+
+# ------------------------------------------------------------------ PQ/ADC
+#: product-quantization geometry: M subspaces of SUBDIM dims each.
+PQ_M = 4
+PQ_SUBDIM = 16
+#: per-subspace codebook size (codes are 3-bit here; 256 in production).
+PQ_KSUB = 8
+#: Lloyd refinement rounds per subspace codebook.
+PQ_ITERS = 1
+
+
+def _pq_sub(q: DataFrame, m: int) -> DataFrame:
+    """The m-th quantized subvector relation (vec_id, qv[SUBDIM])."""
+    return q.select("vec_id", F.slice("qv", m * PQ_SUBDIM + 1, PQ_SUBDIM).alias("qv"))
+
+
+def pq_codebooks(emb: DataFrame) -> DataFrame:
+    """Per-subspace codebooks: (m, cluster, cv) learned by quantized-integer
+    Lloyd k-means on each subvector slice (seeds = vectors vec_id < KSUB).
+
+    Same exactness contract as datapipe/clustering.py: everything after
+    coordinate quantization is int64 arithmetic, so codebooks, codes, and
+    ADC distances are bit-identical across engines and cluster layouts.
+    Cost: PQ_M small Lloyd runs over 1/PQ_M of the coordinates each — the
+    same total work as ONE full-dim k-means.
+    """
+    from project_obsidian_core_spark.datapipe import clustering as KM
+
+    q = KM.quantize(emb)
+    books = []
+    for m in range(PQ_M):
+        sub = _pq_sub(q, m)
+        cents = sub.filter(F.col("vec_id") < PQ_KSUB).select(
+            F.col("vec_id").alias("cluster"), F.col("qv").alias("cv")
+        )
+        for _ in range(PQ_ITERS):
+            cents = KM.kmeans_update(KM.kmeans_assign(sub, cents, k=PQ_KSUB))
+        books.append(cents.select(F.lit(m).alias("m"), "cluster", "cv"))
+    out = books[0]
+    for b in books[1:]:
+        out = out.unionByName(b)
+    return out
+
+
+def _collected_codebook(books: DataFrame):
+    """All M codebooks collapsed to ONE sorted struct-array row for
+    broadcast — encode and ADC then run shuffle-free over the corpus."""
+    return books.agg(
+        F.sort_array(F.collect_list(F.struct("m", "cluster", "cv"))).alias("_cb")
+    )
+
+
+def pq_encode(emb: DataFrame, books: DataFrame) -> DataFrame:
+    """(vec_id, codes[M]): per-subspace nearest-codeword ids.
+
+    One corpus pass against the broadcast codebook row; the per-subspace
+    argmin is the same ``dist·K + cluster`` int64 min as kmeans_assign.
+    At 100 TB this is the compression pass that shrinks a 64-dim float
+    corpus 64× (4 bytes/vector); codes are what get shuffled/stored, never
+    the vectors.
+    """
+    from project_obsidian_core_spark.datapipe import clustering as KM
+
+    q = KM.quantize(emb)
+    cb = _collected_codebook(books)
+    code_for_m = lambda m: (  # noqa: E731
+        F.array_min(
+            F.transform(
+                F.filter(F.col("_cb"), lambda c: c.getField("m") == m),
+                lambda c: KM._qdist(
+                    F.slice(F.col("qv"), m.cast("int") * PQ_SUBDIM + 1, PQ_SUBDIM),
+                    c.getField("cv"),
+                )
+                * PQ_KSUB
+                + c.getField("cluster"),
+            )
+        )
+        % PQ_KSUB
+    )
+    codes = F.transform(F.sequence(F.lit(0), F.lit(PQ_M - 1)), code_for_m)
+    return (
+        q.crossJoin(F.broadcast(cb))
+        .select("vec_id", codes.alias("codes"))
+    )
+
+
+def pq_adc_topk(emb: DataFrame, queries: DataFrame, k: int = 10) -> DataFrame:
+    """Approximate top-k by Asymmetric Distance Computation over PQ codes.
+
+    Each query precomputes a distance table ``dt[m·K+c] = ‖q_sub_m −
+    codeword_{m,c}‖²`` (M·K int64 entries, one map per query row); every
+    candidate's approximate distance is then M map lookups summed over its
+    codes — O(M) per pair instead of O(dim). The query side (table + codes)
+    broadcasts; the code relation is scanned once, no shuffle before the
+    per-query top-k.
+
+    All-int arithmetic end to end → the oracle (same codebook CTEs) hashes
+    bit-identically.
+    """
+    from project_obsidian_core_spark.datapipe import clustering as KM
+
+    books = pq_codebooks(emb)
+    codes = pq_encode(emb, books)
+    cb = _collected_codebook(books)
+    dt = F.map_from_entries(
+        F.transform(
+            F.col("_cb"),
+            lambda c: F.struct(
+                (c.getField("m") * PQ_KSUB + c.getField("cluster")).alias("key"),
+                KM._qdist(
+                    F.slice(
+                        F.col("qv"), c.getField("m").cast("int") * PQ_SUBDIM + 1, PQ_SUBDIM
+                    ),
+                    c.getField("cv"),
+                ).alias("value"),
+            ),
+        )
+    )
+    qside = (
+        KM.quantize(queries)
+        .crossJoin(F.broadcast(cb))
+        .select(F.col("vec_id").alias("q_id"), dt.alias("dt"))
+    )
+    adist = F.aggregate(
+        F.sequence(F.lit(0), F.lit(PQ_M - 1)),
+        F.lit(0).cast("long"),
+        lambda acc, m: acc
+        + F.element_at(
+            F.col("dt"), m * PQ_KSUB + F.element_at(F.col("codes"), m.cast("int") + 1)
+        ),
+    )
+    scored = (
+        codes.withColumnRenamed("vec_id", "cand_id")
+        .join(F.broadcast(qside), F.col("q_id") != F.col("cand_id"))
+        .select("q_id", "cand_id", adist.alias("adist_q"))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.asc("adist_q"), F.asc("cand_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "cand_id", "adist_q", "rank")
+    )

@@ -273,6 +273,42 @@ LIMIT 20
 """
 
 
+def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 directed n-gram containment pairs within source blocks —
+    the asymmetric (short-doc-inside-long-doc) near-dup rule Jaccard
+    misses. Exact ppm integer scores; ordered by the max direction."""
+    pairs = D.ngram_containment_pairs(load(spark, sf_dir, "documents"))
+    return (
+        pairs.withColumn(
+            "cont_max_ppm", F.greatest("cont_a_ppm", "cont_b_ppm")
+        )
+        .orderBy(F.desc("cont_max_ppm"), "doc_a", "doc_b")
+        .limit(20)
+    )
+
+
+ORACLE_dedup_containment_pairs = f"""
+WITH t AS (
+    SELECT doc_id, source AS block,
+           list_distinct([substring(text, i, {D.NGRAM_W})
+               for i in generate_series(1, greatest(length(text) - {D.NGRAM_W - 1}, 1))]) AS gr
+    FROM documents
+), pairs AS (
+    SELECT a.block AS block, a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(len(list_intersect(a.gr, b.gr)) AS BIGINT) * 1000000
+               // CAST(len(a.gr) AS BIGINT) AS cont_a_ppm,
+           CAST(len(list_intersect(a.gr, b.gr)) AS BIGINT) * 1000000
+               // CAST(len(b.gr) AS BIGINT) AS cont_b_ppm
+    FROM t a JOIN t b ON a.block = b.block AND a.doc_id < b.doc_id
+)
+SELECT block, doc_a, doc_b, cont_a_ppm, cont_b_ppm,
+       greatest(cont_a_ppm, cont_b_ppm) AS cont_max_ppm
+FROM pairs
+ORDER BY cont_max_ppm DESC, doc_a, doc_b
+LIMIT 20
+"""
+
+
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-50 within-label cosine pairs over the embeddings table."""
     return (

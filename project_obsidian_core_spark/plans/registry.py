@@ -35,6 +35,7 @@ from project_obsidian_core_spark.plans import metrics_queries as m
 from project_obsidian_core_spark.plans import qan_queries as q
 from project_obsidian_core_spark.plans import otlp_queries as o
 from project_obsidian_core_spark.plans import pipeline_queries as pl
+from project_obsidian_core_spark.plans import pq_queries as pq
 from project_obsidian_core_spark.plans import relational_queries as r
 from project_obsidian_core_spark.plans import temporal_queries as tj
 from project_obsidian_core_spark.plans import status_queries as sq
@@ -55,6 +56,14 @@ _ENTRIES: list[tuple[str, QueryFn, str | None]] = [
     # CDC MERGE upsert + SCD2 history (operators/merge.py)
     ("orders_cdc_merge", cdc.orders_cdc_merge, cdc.ORACLE_orders_cdc_merge),
     ("orders_scd2", cdc.orders_scd2, cdc.ORACLE_orders_scd2),
+    # Product-quantization ANN (codebooks -> codes -> ADC top-k)
+    ("knn_pq_adc", pq.knn_pq_adc, pq.ORACLE_knn_pq_adc),
+    # Asymmetric containment near-dup (short-doc-inside-long-doc rule)
+    (
+        "dedup_containment_pairs",
+        d.dedup_containment_pairs,
+        d.ORACLE_dedup_containment_pairs,
+    ),
     # ------------------------------------------------------------------
     # Block 0 — r03 hash mismatches, now fixed (DuckDB window SUM returns
     # HUGEINT; the oracle SQL casts back to BIGINT so the driver-side fetch
