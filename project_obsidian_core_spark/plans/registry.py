@@ -58,6 +58,9 @@ _ENTRIES: list[tuple[str, QueryFn, str | None]] = [
     ("orders_scd2", cdc.orders_scd2, cdc.ORACLE_orders_scd2),
     # Product-quantization ANN (codebooks -> codes -> ADC top-k)
     ("knn_pq_adc", pq.knn_pq_adc, pq.ORACLE_knn_pq_adc),
+    # Stream-static broadcast enrichment + stateless streaming curation twin
+    ("stream_enrich_events", st.stream_enrich_events, st.ORACLE_stream_enrich_events),
+    ("stream_quality_filter", st.stream_quality_filter, cu.ORACLE_corpus_quality_filter),
     # Asymmetric containment near-dup (short-doc-inside-long-doc rule)
     (
         "dedup_containment_pairs",

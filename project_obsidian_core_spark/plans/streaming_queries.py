@@ -467,3 +467,95 @@ def stream_top_digests(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("total_value_cents"), F.asc("event_type"))
         .limit(10)
     )
+
+
+# ------------------------------------------------ stream-static enrichment
+def stream_enrich_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming events enriched by a STATIC broadcast dimension (the
+    nation table on ``user_id % 25``), then aggregated per nation — must
+    match the equivalent batch join's oracle exactly.
+
+    This pins the stream-static join path: the static side is planned as a
+    broadcast against every micro-batch (no state, no watermark — Spark
+    re-resolves the static relation per batch), which is how a live
+    pipeline attaches slowly-changing dimension data to a hot stream
+    without restarting it. State is only the per-nation aggregate (25
+    rows), regardless of stream volume.
+    """
+    run = next(_RUN_IDS)
+    src = _events_src(spark, sf_dir, run)
+    dim = load(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    schema = spark.read.parquet(src).schema
+    stream = spark.readStream.schema(schema).parquet(src)
+    joined = stream.join(
+        F.broadcast(dim), stream.user_id % 25 == dim.n_nationkey
+    )
+    agg = joined.groupBy("n_name").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("cents").alias("sum_cents"),
+    )
+    name = f"stream_enrich_events_{run}"
+    tmp = tempfile.mkdtemp(prefix=f"obsidian_enrich_{run}_")
+    _run_complete(agg, name, f"{tmp}/ckpt", spark)
+    return spark.table(name).orderBy("n_name")
+
+
+ORACLE_stream_enrich_events = """
+SELECT n_name, count(*) AS n_events,
+       CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS sum_cents
+FROM events JOIN nation ON user_id % 25 = n_nationkey
+GROUP BY n_name
+ORDER BY n_name
+"""
+
+
+# ------------------------------------------- streaming stateless curation
+def stream_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The corpus quality gate run as a STATELESS append-mode stream over a
+    documents replay — must match the batch ``corpus_quality_filter``
+    oracle exactly.
+
+    The gate is pure per-row codegen expressions (datapipe/curation.py
+    quality_filter), so the streaming plan carries zero state: each
+    micro-batch filters independently and appends. This is the shape of a
+    live curation front-door — score documents as they land, no
+    reprocessing — and the green row proves the batch and streaming gates
+    can never drift (same Column expressions, same oracle).
+    """
+    from project_obsidian_core_spark.datapipe import curation as C
+
+    run = next(_RUN_IDS)
+    src = _SRC_CACHE.get(f"documents:{sf_dir}")
+    if src is None:
+        tmp = tempfile.mkdtemp(prefix=f"obsidian_docsrc_{run}_")
+        src = f"{tmp}/documents_src"
+        load(spark, sf_dir, "documents").select(
+            "doc_id", "text"
+        ).write.mode("overwrite").parquet(src)
+        _SRC_CACHE[f"documents:{sf_dir}"] = src
+
+    schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "4")
+        .parquet(src)
+    )
+    gated = C.quality_filter(stream)
+    name = f"stream_quality_filter_{run}"
+    tmp2 = tempfile.mkdtemp(prefix=f"obsidian_qf_{run}_")
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            gated.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .option("checkpointLocation", f"{tmp2}/ckpt")
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    return spark.table(name).orderBy("doc_id")
