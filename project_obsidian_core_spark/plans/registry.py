@@ -53,6 +53,12 @@ _ENTRIES: list[tuple[str, QueryFn, str | None]] = [
     ("brand_type_revenue", r.brand_type_revenue, r.ORACLE_brand_type_revenue),
     ("dormant_customers", r.dormant_customers, r.ORACLE_dormant_customers),
     ("top_supplier_revenue", r.top_supplier_revenue, r.ORACLE_top_supplier_revenue),
+    # Value-RANGE window frame (trailing 30-day spend, tie-correct)
+    (
+        "customer_trailing_revenue",
+        r.customer_trailing_revenue,
+        r.ORACLE_customer_trailing_revenue,
+    ),
     # CDC MERGE upsert + SCD2 history (operators/merge.py)
     ("orders_cdc_merge", cdc.orders_cdc_merge, cdc.ORACLE_orders_cdc_merge),
     ("orders_scd2", cdc.orders_scd2, cdc.ORACLE_orders_scd2),

@@ -744,3 +744,55 @@ FROM revenue JOIN supplier ON l_suppkey = s_suppkey
 WHERE total_rev_e4 = (SELECT max(total_rev_e4) FROM revenue)
 ORDER BY s_suppkey
 """
+
+
+# ------------------------------------------------------ RANGE-frame window
+def customer_trailing_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-30-day spend per customer at each order, via a RANGE window
+    frame (value-based, not row-based): every order sums all of the same
+    customer's orders whose order DAY falls within the last 30 days —
+    including same-day ties, which a ROWS frame would miscount.
+
+    Plan shape: one shuffle on the customer key; the frame bound is a
+    numeric day offset (``rangeBetween(-30, 0)`` over days-since-epoch) so
+    the window stays a single pass over each partition, exact cents ints
+    end to end. The W-family inventory gains its only value-RANGE frame.
+    """
+    o = load(spark, sf_dir, "orders")
+    day = (
+        F.unix_micros(F.col("o_orderdate").cast("timestamp"))
+        / F.lit(86400_000_000)
+    ).cast("long")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("order_day")
+        .rangeBetween(-30, 0)
+    )
+    return (
+        o.select(
+            "o_custkey",
+            "o_orderkey",
+            day.alias("order_day"),
+            cents("o_totalprice").alias("price_cents"),
+        )
+        .withColumn("trail30_cents", F.sum("price_cents").over(w).cast("long"))
+        .withColumn("n_trail30", F.count(F.lit(1)).over(w).cast("long"))
+        .orderBy("o_custkey", "order_day", "o_orderkey")
+    )
+
+
+ORACLE_customer_trailing_revenue = """
+WITH t AS (
+    SELECT o_custkey, o_orderkey,
+           epoch_us(o_orderdate) // 86400000000 AS order_day,
+           CAST(round(o_totalprice * 100, 0) AS BIGINT) AS price_cents
+    FROM orders
+)
+SELECT o_custkey, o_orderkey, order_day, price_cents,
+       CAST(sum(price_cents) OVER w AS BIGINT) AS trail30_cents,
+       CAST(count(*) OVER w AS BIGINT) AS n_trail30
+FROM t
+WINDOW w AS (PARTITION BY o_custkey ORDER BY order_day
+             RANGE BETWEEN 30 PRECEDING AND CURRENT ROW)
+ORDER BY o_custkey, order_day, o_orderkey
+"""
