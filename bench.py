@@ -85,6 +85,17 @@ BENCH_QUERIES = [
     "knn_ivf_kmeans",         # IVF over the learned k-means quantizer
     "events_props_stats",     # JSON property extraction + histogram
     "stream_session_stats",   # streaming session_window replay
+    # round-5 additions
+    "promo_revenue",          # broadcast-dim conditional-share join (Q14)
+    "large_order_customers",  # HAVING-subquery semi-join (Q18)
+    "dormant_customers",      # scalar-subquery + anti join (Q22)
+    "brand_type_revenue",     # OR-of-ANDs disjunctive pushdown (Q19)
+    "orders_cdc_merge",       # MERGE upsert (anti join + union)
+    "orders_scd2",            # lead-window SCD2 validity intervals
+    "customer_trailing_revenue",  # value-RANGE window frame
+    "knn_pq_adc",             # PQ codebooks + ADC top-k
+    "dedup_containment_pairs",  # directed n-gram containment
+    "stream_enrich_events",   # stream-static broadcast enrichment
 ]
 
 

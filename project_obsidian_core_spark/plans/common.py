@@ -21,11 +21,13 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-#: Timestamp columns stored as parquet TIMESTAMP(NANOS) — Spark rejects the
-#: type outright, so they are read as ns-longs (legacy.parquet.nanosAsLong)
-#: and truncated to µs timestamps here. DuckDB 1.0 reads the same files as
-#: µs TIMESTAMP (ns silently truncated), so this conversion is exactly
-#: value- and order-equivalent to what the oracle sees.
+#: Timestamp columns whose parquet encoding varies across testdata
+#: generations: TIMESTAMP(NANOS) (read as ns-longs via
+#: legacy.parquet.nanosAsLong, truncated to µs here) or TIMESTAMP(MICROS,
+#: isAdjustedToUTC=false) (read as TIMESTAMP_NTZ, cast to the session-UTC
+#: instant type here). Both normalizations yield the identical µs TIMESTAMP
+#: column DuckDB sees when reading the same files, so every downstream
+#: query and oracle is encoding-agnostic.
 _NANOS_TS_COLS = {
     "events": ("ts",),
     "orders": ("o_orderdate",),
@@ -45,6 +47,10 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             # ns -> µs must be integer division: ns epoch values exceed 2^53,
             # so a double roundtrip would corrupt the low bits.
             df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+        elif dtypes.get(c) == "timestamp_ntz":
+            # naive µs -> instant; session TZ is pinned UTC above, so the
+            # wall-clock value is preserved exactly.
+            df = df.withColumn(c, F.col(c).cast("timestamp"))
     return df
 
 

@@ -142,3 +142,57 @@ def test_stream_range_join_uses_symmetric_hash_join(spark, tmp_path):
     # watermark-bounded stateful equi-join — never a nested loop
     assert "StreamingSymmetricHashJoin" in plan
     assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
+
+
+# ------------------------------------------- round-5 flagship plan pins ---
+
+
+def test_cdc_merge_base_side_broadcast_anti(spark):
+    from project_obsidian_core_spark.plans import cdc_queries as cdc
+
+    plan = _plan(cdc.orders_cdc_merge(spark, SF_DIR))
+    # the touched-key anti probe must be a broadcast hash join (LeftAnti):
+    # the base table is never shuffled for a small CDC batch
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_pq_adc_broadcasts_codebook_and_queries(spark):
+    from project_obsidian_core_spark.plans import pq_queries as pq
+
+    plan = _plan(pq.knn_pq_adc(spark, SF_DIR))
+    # codebook row + query distance tables attach via broadcast; the code
+    # relation is scanned, never shuffled before the per-query top-k
+    assert "CartesianProduct" not in plan
+    for frag in plan.split("BroadcastNestedLoopJoin")[1:]:
+        assert "Cross" in frag[:40] or "Inner" in frag[:40]
+    # the per-query top-k window is partitioned by q_id, never global
+    assert "No Partition Defined" not in plan
+
+
+def test_trailing_revenue_single_partitioned_window(spark):
+    from project_obsidian_core_spark.plans import relational_queries as r
+
+    plan = _plan(r.customer_trailing_revenue(spark, SF_DIR))
+    assert "Window" in plan
+    assert "No Partition Defined" not in plan
+    # RANGE frame: one pass, one shuffle on the customer key
+    assert plan.count("Exchange hashpartitioning(o_custkey") <= 1
+
+
+def test_large_order_customers_semi_join_broadcasts(spark):
+    from project_obsidian_core_spark.plans import relational_queries as r
+
+    plan = _plan(r.large_order_customers(spark, SF_DIR))
+    # the qualifying-orderkey set and the customer dim both broadcast
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_promo_revenue_part_dim_broadcasts(spark):
+    from project_obsidian_core_spark.plans import relational_queries as r
+
+    plan = _plan(r.promo_revenue(spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
