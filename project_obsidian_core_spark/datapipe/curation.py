@@ -627,3 +627,49 @@ def language_mixture(df: DataFrame) -> DataFrame:
         .cast("long")
         .alias("share_ppm"),
     )
+
+
+def mixture_plan(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Domain-mixture sampling plan: per-source keep rates that realize a
+    uniform target mixture WITHOUT upsampling any source.
+
+    The pretraining-mix planning step: given available tokens per source
+    and a target share per source, the largest achievable corpus is
+    ``T* = min_s avail_s·10⁶ ÷ share_ppm_s`` (the scarcest source binds);
+    every source then keeps ``share_ppm_s·T* ÷ 10⁶`` tokens, i.e. sampling
+    rate ``keep_s·10⁶ ÷ avail_s`` ppm. All exact integer arithmetic — the
+    plan is reproducible bit-for-bit and feeds corpus_weighted_sample /
+    corpus_stratified_sample as the rate table.
+
+    Plan shape: one groupBy(source) over the corpus (token counts are a
+    per-row codegen expression), then a broadcast 1-row scalar join for
+    the binding minimum — no second corpus scan, no window, no collect.
+    """
+    avail = (
+        df.select(
+            "source", F.size(_toks(text_col)).cast("long").alias("n_tokens")
+        )
+        .groupBy("source")
+        .agg(F.sum("n_tokens").alias("avail_tokens"))
+    )
+    n_src = avail.agg(F.count(F.lit(1)).alias("n_sources"))
+    shared = avail.join(F.broadcast(n_src)).withColumn(
+        "target_ppm", F.expr("1000000L div n_sources")
+    )
+    tstar = shared.agg(
+        F.min(F.expr("(avail_tokens * 1000000L) div target_ppm")).alias("t_star")
+    )
+    return (
+        shared.join(F.broadcast(tstar))
+        .select(
+            "source",
+            "avail_tokens",
+            "target_ppm",
+            F.expr("(target_ppm * t_star) div 1000000L").alias("keep_tokens"),
+            F.expr(
+                "least(1000000L,"
+                " ((target_ppm * t_star) div 1000000L) * 1000000L div avail_tokens)"
+            ).alias("rate_ppm"),
+        )
+        .orderBy("source")
+    )

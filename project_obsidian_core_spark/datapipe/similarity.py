@@ -211,6 +211,20 @@ def ivf_topk(emb: DataFrame, queries: DataFrame, k: int = 10, nprobe: int = NPRO
     return _topk(scored, k)
 
 
+def knn_edges(emb: DataFrame, k: int = 5) -> DataFrame:
+    """Symmetrized undirected k-NN edge list (a < b), deduplicated — the
+    shared substrate of the graph analytics (degree histograms, PageRank,
+    graph-based diversity sampling)."""
+    nn = brute_force_topk(emb, emb, k=k)
+    return (
+        nn.select(
+            F.least("q_id", "cand_id").alias("a"),
+            F.greatest("q_id", "cand_id").alias("b"),
+        )
+        .distinct()
+    )
+
+
 def knn_graph_degrees(emb: DataFrame, k: int = 5) -> DataFrame:
     """k-NN graph degree distribution: symmetrize the directed top-k
     neighbor lists into an undirected graph and histogram the node degrees
@@ -224,14 +238,7 @@ def knn_graph_degrees(emb: DataFrame, k: int = 5) -> DataFrame:
     the graph/degree stages are identical and shuffle on high-cardinality
     node keys either way.
     """
-    nn = brute_force_topk(emb, emb, k=k)
-    edges = (
-        nn.select(
-            F.least("q_id", "cand_id").alias("a"),
-            F.greatest("q_id", "cand_id").alias("b"),
-        )
-        .distinct()
-    )
+    edges = knn_edges(emb, k=k)
     degrees = (
         edges.select(F.col("a").alias("node"))
         .union(edges.select(F.col("b").alias("node")))
@@ -455,3 +462,60 @@ def pq_adc_topk(emb: DataFrame, queries: DataFrame, k: int = 10) -> DataFrame:
         .filter(F.col("rank") <= k)
         .select("q_id", "cand_id", "adist_q", "rank")
     )
+
+
+# ------------------------------------------------------ integer PageRank
+#: PageRank score scale (parts-per-billion) and damping as an exact ratio.
+PR_SCALE = 1_000_000_000
+PR_DAMP_NUM = 85
+PR_DAMP_DEN = 100
+
+
+def pagerank_int(edges: DataFrame, iters: int = 2) -> DataFrame:
+    """PageRank over an undirected edge list in exact integer arithmetic.
+
+    Scores live at parts-per-billion scale; each step is
+    ``score' = ((DEN-NUM)·(SCALE÷N) + NUM·Σ_j (score_j ÷ deg_j)) ÷ DEN``
+    with every division a truncating integer division — bit-identical on
+    any partitioning and in any engine, which is what lets an ITERATIVE
+    graph algorithm pass a value-hash oracle (same trick as the quantized
+    Lloyd k-means).
+
+    Scale notes: per round, one shuffle keyed on the destination node (the
+    contribution sum); degrees and the per-node quotient are computed once
+    per round from the previous scores; N and the teleport term are a
+    broadcast 1-row scalar. kNN graphs have no dangling nodes (deg ≥ 1 by
+    construction), so no dangling redistribution term is needed. At web
+    scale you'd localCheckpoint scores per round exactly like
+    dedup.connected_components.
+    """
+    dedges = edges.select(
+        F.col("a").alias("src"), F.col("b").alias("dst")
+    ).unionByName(edges.select(F.col("b").alias("src"), F.col("a").alias("dst")))
+    deg = dedges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    nodes = dedges.select(F.col("src").alias("node")).distinct()
+    n = nodes.agg(F.count(F.lit(1)).alias("n"))
+    scores = nodes.join(F.broadcast(n)).select(
+        "node", F.expr(f"{PR_SCALE}L div n").alias("score")
+    )
+    for _ in range(iters):
+        quot = scores.join(deg, scores.node == deg.src).select(
+            F.col("src"), F.expr("score div deg").alias("q")
+        )
+        contrib = (
+            dedges.join(quot, "src")
+            .groupBy("dst")
+            .agg(F.sum("q").alias("contrib"))
+        )
+        scores = (
+            nodes.join(F.broadcast(n))
+            .join(contrib, nodes.node == contrib.dst, "left")
+            .select(
+                "node",
+                F.expr(
+                    f"({PR_DAMP_DEN - PR_DAMP_NUM} * ({PR_SCALE}L div n)"
+                    f" + {PR_DAMP_NUM} * coalesce(contrib, 0L)) div {PR_DAMP_DEN}"
+                ).alias("score"),
+            )
+        )
+    return scores

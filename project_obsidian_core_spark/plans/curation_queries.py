@@ -524,3 +524,33 @@ SELECT source, lang, n_docs,
 FROM counts
 ORDER BY source, lang
 """
+
+
+# ------------------------------------------------------- mixture planning --
+def corpus_mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Uniform-target domain-mixture sampling plan over the documents
+    corpus (exact integer rates; the scarcest source binds)."""
+    return C.mixture_plan(load(spark, sf_dir, "documents"))
+
+
+ORACLE_corpus_mixture_plan = """
+WITH avail AS (
+    SELECT source,
+           CAST(sum(CAST(len(string_split(text, ' ')) AS BIGINT)) AS BIGINT)
+               AS avail_tokens
+    FROM documents GROUP BY source
+), shared AS (
+    SELECT source, avail_tokens,
+           1000000 // (SELECT count(*) FROM avail) AS target_ppm
+    FROM avail
+), t AS (
+    SELECT min((avail_tokens * 1000000) // target_ppm) AS t_star FROM shared
+)
+SELECT source, avail_tokens, CAST(target_ppm AS BIGINT) AS target_ppm,
+       CAST((target_ppm * t_star) // 1000000 AS BIGINT) AS keep_tokens,
+       CAST(least(1000000,
+            ((target_ppm * t_star) // 1000000) * 1000000 // avail_tokens) AS BIGINT)
+           AS rate_ppm
+FROM shared, t
+ORDER BY source
+"""

@@ -910,3 +910,85 @@ ORDER BY doc_new, doc_old
 
 
 ORACLE_dedup_incremental = _incremental_oracle()
+
+
+# ---------------------------------------------------- integer PageRank --
+def knn_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-integer PageRank (2 rounds, ppb scale) over the symmetrized
+    5-NN graph of the first 200 vectors — graph centrality for diversity
+    sampling / hub detection, oracle-checked bit-exact because every step
+    is truncating int64 arithmetic (see datapipe/similarity.pagerank_int)."""
+    emb = load(spark, sf_dir, "embeddings").filter(F.col("vec_id") < _GRAPH_VECS)
+    edges = S.knn_edges(emb, k=_GRAPH_K)
+    return S.pagerank_int(edges, iters=2).orderBy("node")
+
+
+def _pagerank_oracle() -> str:
+    from project_obsidian_core_spark.datapipe.similarity import (
+        PR_DAMP_DEN,
+        PR_DAMP_NUM,
+        PR_SCALE,
+    )
+
+    base = PR_DAMP_DEN - PR_DAMP_NUM
+    parts = [
+        f"""t AS (
+    SELECT vec_id, embedding AS v, {V.sql_norm('embedding', _EMB_DIM)} AS nrm
+    FROM embeddings WHERE vec_id < {_GRAPH_VECS}
+)""",
+        f"""scored AS (
+    SELECT q.vec_id AS q_id, c.vec_id AS cand_id,
+           {V.sql_dot('q.v', 'c.v', _EMB_DIM)} / (q.nrm * c.nrm) AS cos_sim
+    FROM t q, t c
+    WHERE q.vec_id != c.vec_id
+)""",
+        f"""ranked AS (
+    SELECT q_id, cand_id,
+           row_number() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, cand_id ASC) AS rank
+    FROM scored
+)""",
+        f"""edges AS (
+    SELECT DISTINCT least(q_id, cand_id) AS a, greatest(q_id, cand_id) AS b
+    FROM ranked WHERE rank <= {_GRAPH_K}
+)""",
+        """dedges AS (
+    SELECT a AS src, b AS dst FROM edges
+    UNION ALL
+    SELECT b AS src, a AS dst FROM edges
+)""",
+        """deg AS (SELECT src, count(*) AS deg FROM dedges GROUP BY src)""",
+        """nodes AS (SELECT DISTINCT src AS node FROM dedges)""",
+        """nn AS (SELECT count(*) AS n FROM nodes)""",
+        f"""s0 AS (
+    SELECT node, {PR_SCALE} // n AS score FROM nodes CROSS JOIN nn
+)""",
+    ]
+    for i in (1, 2):
+        parts.append(
+            f"""c{i} AS (
+    SELECT d.dst, CAST(sum(s.score // g.deg) AS BIGINT) AS contrib
+    FROM dedges d
+    JOIN s{i - 1} s ON s.node = d.src
+    JOIN deg g ON g.src = d.src
+    GROUP BY d.dst
+)"""
+        )
+        parts.append(
+            f"""s{i} AS (
+    SELECT nodes.node,
+           CAST(({base} * ({PR_SCALE} // n)
+                 + {PR_DAMP_NUM} * coalesce(c.contrib, 0)) // {PR_DAMP_DEN} AS BIGINT)
+               AS score
+    FROM nodes CROSS JOIN nn LEFT JOIN c{i} c ON c.dst = nodes.node
+)"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + """
+SELECT node, CAST(score AS BIGINT) AS score FROM s2 ORDER BY node
+"""
+    )
+
+
+ORACLE_knn_pagerank = _pagerank_oracle()

@@ -67,6 +67,12 @@ _ENTRIES: list[tuple[str, QueryFn, str | None]] = [
     # Stream-static broadcast enrichment + stateless streaming curation twin
     ("stream_enrich_events", st.stream_enrich_events, st.ORACLE_stream_enrich_events),
     ("stream_quality_filter", st.stream_quality_filter, cu.ORACLE_corpus_quality_filter),
+    # foreachBatch MERGE fold of a CDC stream == single-shot batch MERGE
+    ("stream_cdc_merge", st.stream_cdc_merge, cdc.ORACLE_orders_cdc_merge),
+    # Domain-mixture sampling plan (exact-int rates, scarcest source binds)
+    ("corpus_mixture_plan", cu.corpus_mixture_plan, cu.ORACLE_corpus_mixture_plan),
+    # Exact-integer PageRank over the symmetrized kNN graph
+    ("knn_pagerank", d.knn_pagerank, d.ORACLE_knn_pagerank),
     # Asymmetric containment near-dup (short-doc-inside-long-doc rule)
     (
         "dedup_containment_pairs",

@@ -559,3 +559,64 @@ def stream_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     return spark.table(name).orderBy("doc_id")
+
+
+# ------------------------------------------------- streaming CDC MERGE
+def stream_cdc_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC batches arriving on a STREAM applied to a base snapshot with
+    MERGE semantics via foreachBatch — must match the batch
+    ``orders_cdc_merge`` oracle exactly.
+
+    The change feed (the same deterministic I/U/D batch, one op per key) is
+    replayed as a file stream split across micro-batches; each batch runs
+    ``merge_upsert`` against the current snapshot and atomically swaps the
+    snapshot directory (write-new + rename, the operators/versioning.py
+    publish pattern in miniature). One op per key makes the fold
+    batch-order-independent, which is exactly why the gate can demand
+    equality with the single-shot batch MERGE.
+
+    This is the live table-maintenance loop a lakehouse runs: continuous
+    upserts folding into a queryable snapshot, zero base-table rewrites
+    beyond the touched keys' files (here: the whole miniature snapshot).
+    """
+    import os
+    import shutil
+
+    from project_obsidian_core_spark.operators.merge import merge_upsert
+    from project_obsidian_core_spark.plans import cdc_queries as cdc
+
+    run = next(_RUN_IDS)
+    tmp = tempfile.mkdtemp(prefix=f"obsidian_cdcstream_{run}_")
+    base = cdc._orders_snapshot(spark, sf_dir)
+    changes_src = f"{tmp}/changes"
+    # split the change feed into several file groups -> several micro-batches
+    cdc._cdc_batch(base).repartition(4).write.mode("overwrite").parquet(changes_src)
+
+    snap = f"{tmp}/snapshot"
+    base.write.mode("overwrite").parquet(snap)
+
+    schema = spark.read.parquet(changes_src).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(changes_src)
+    )
+
+    def apply_batch(batch_df, batch_id: int) -> None:
+        current = spark.read.parquet(snap)
+        merged = merge_upsert(current, batch_df, keys=["o_orderkey"])
+        nxt = f"{snap}.next"
+        merged.write.mode("overwrite").parquet(nxt)
+        old = f"{snap}.old"
+        os.rename(snap, old)
+        os.rename(nxt, snap)
+        shutil.rmtree(old)
+
+    q = (
+        stream.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", f"{tmp}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(snap).orderBy("o_orderkey")
