@@ -184,17 +184,95 @@ def minhash_candidates(
         .distinct()
     )
     sh = sigs.select("doc_id", "sh")
-    return (
-        cand.join(sh.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sh", "sh_a"), "doc_a")
-        .join(sh.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sh", "sh_b"), "doc_b")
-        .select(
-            "doc_a",
-            "doc_b",
-            (
-                F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
-                / F.size(F.array_union("sh_a", "sh_b"))
-            ).alias("jaccard"),
+    pairs = cand.join(
+        sh.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sh", "sh_a"),
+        "doc_a",
+    ).join(
+        sh.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sh", "sh_b"),
+        "doc_b",
+    )
+    return pairs.select(
+        "doc_a",
+        "doc_b",
+        (
+            F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+            / F.size(F.array_union("sh_a", "sh_b"))
+        ).alias("jaccard"),
+    )
+
+
+def minhash_containment_pairs(
+    df: DataFrame, text_col: str = "text", max_bucket: int | None = None
+) -> DataFrame:
+    """Directed shingle containment over MinHash-LSH candidate pairs — the
+    scale path for the asymmetric (short-doc-inside-long-doc) near-dup
+    rule.
+
+    :func:`ngram_containment_pairs` scores all pairs inside a fixed block
+    — right for pre-blocked corpora, quadratic in block size. This variant
+    draws candidates from the LSH band buckets instead (the same
+    ``max_bucket``-guarded machinery as :func:`minhash_candidates`), so the
+    pair count is bounded by bucket geometry, not corpus shape, and the
+    signature relation is built once. Containment is exact ppm integers on
+    the verified word-shingle sets.
+    """
+    sigs = (
+        df.select("doc_id", shingle_set(text_col).alias("sh"))
+        .withColumn("hs", shingle_hashes("sh"))
+        .withColumn("mh", minhash_signature("hs"))
+        .withColumn("bands", band_keys("mh"))
+        .select("doc_id", "sh", "bands")
+        .persist()
+    )
+    buckets = sigs.select(
+        "doc_id", F.posexplode("bands").alias("band_idx", "band_key")
+    )
+    if max_bucket is not None:
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("band_idx", "band_key")
+        buckets = (
+            buckets.withColumn("__bucket_n", F.count(F.lit(1)).over(w))
+            .filter(F.col("__bucket_n") <= max_bucket)
+            .drop("__bucket_n")
         )
+    cand = (
+        buckets.alias("a")
+        .join(
+            buckets.alias("b"),
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .distinct()
+    )
+    sh = sigs.select("doc_id", "sh")
+    pairs = cand.join(
+        sh.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sh", "sh_a"),
+        "doc_a",
+    ).join(
+        sh.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sh", "sh_b"),
+        "doc_b",
+    )
+    return pairs.select(
+        "doc_a",
+        "doc_b",
+        F.size(F.array_intersect("sh_a", "sh_b")).cast("long").alias("n_inter"),
+        F.size("sh_a").cast("long").alias("n_a"),
+        F.size("sh_b").cast("long").alias("n_b"),
+    ).select(
+        "doc_a",
+        "doc_b",
+        F.expr("(n_inter * 1000000L) div n_a").alias("cont_a_ppm"),
+        F.expr("(n_inter * 1000000L) div n_b").alias("cont_b_ppm"),
+        F.greatest(
+            F.expr("(n_inter * 1000000L) div n_a"),
+            F.expr("(n_inter * 1000000L) div n_b"),
+        ).alias("cont_max_ppm"),
     )
 
 

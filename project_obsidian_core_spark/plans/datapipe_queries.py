@@ -274,39 +274,66 @@ LIMIT 20
 
 
 def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Top-20 directed n-gram containment pairs within source blocks —
-    the asymmetric (short-doc-inside-long-doc) near-dup rule Jaccard
-    misses. Exact ppm integer scores; ordered by the max direction."""
-    pairs = D.ngram_containment_pairs(load(spark, sf_dir, "documents"))
+    """Top-20 directed shingle-containment pairs drawn from the MinHash-LSH
+    candidate buckets — the asymmetric (short-doc-inside-long-doc) near-dup
+    rule on the scale path: pair count bounded by bucket geometry (with the
+    max_bucket guard available), never corpus-quadratic. Exact ppm integer
+    scores; ordered by the max direction."""
     return (
-        pairs.withColumn(
-            "cont_max_ppm", F.greatest("cont_a_ppm", "cont_b_ppm")
-        )
+        D.minhash_containment_pairs(load(spark, sf_dir, "documents"))
         .orderBy(F.desc("cont_max_ppm"), "doc_a", "doc_b")
         .limit(20)
     )
 
 
-ORACLE_dedup_containment_pairs = f"""
+def _containment_oracle() -> str:
+    P, w, r = D.MINHASH_P, D.SHINGLE_W, D.MINHASH_BAND_ROWS
+    h60 = "CAST('0x' || substr(md5(s), 1, 15) AS BIGINT)"
+    mh_items = ", ".join(
+        f"list_aggregate(list_transform(hs, x -> ({a} * x + {b}) % {P}), 'min')"
+        for a, b in D.MINHASH_COEF
+    )
+    key = "concat_ws('_', " + ", ".join(
+        f"mh[band_idx * {r} + {row + 1}]" for row in range(r)
+    ) + ")"
+    return f"""
 WITH t AS (
-    SELECT doc_id, source AS block,
-           list_distinct([substring(text, i, {D.NGRAM_W})
-               for i in generate_series(1, greatest(length(text) - {D.NGRAM_W - 1}, 1))]) AS gr
-    FROM documents
+    SELECT doc_id,
+           list_distinct([array_to_string(toks[i:i+{w - 1}], ' ')
+               for i in generate_series(1, greatest(len(toks) - {w - 1}, 1))]) AS sh
+    FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+), h AS (
+    SELECT doc_id, sh,
+           list_transform(sh, s -> {h60} % {P}) AS hs
+    FROM t
+), m AS (
+    SELECT doc_id, sh, [{mh_items}] AS mh FROM h
+), buckets AS (
+    SELECT doc_id, band_idx, {key} AS band_key
+    FROM m, (SELECT unnest(generate_series(0, {D.MINHASH_BANDS - 1})) AS band_idx)
+), cand AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM buckets a JOIN buckets b
+      ON a.band_idx = b.band_idx AND a.band_key = b.band_key AND a.doc_id < b.doc_id
 ), pairs AS (
-    SELECT a.block AS block, a.doc_id AS doc_a, b.doc_id AS doc_b,
-           CAST(len(list_intersect(a.gr, b.gr)) AS BIGINT) * 1000000
-               // CAST(len(a.gr) AS BIGINT) AS cont_a_ppm,
-           CAST(len(list_intersect(a.gr, b.gr)) AS BIGINT) * 1000000
-               // CAST(len(b.gr) AS BIGINT) AS cont_b_ppm
-    FROM t a JOIN t b ON a.block = b.block AND a.doc_id < b.doc_id
+    SELECT c.doc_a, c.doc_b,
+           CAST(len(list_intersect(sa.sh, sb.sh)) AS BIGINT) * 1000000
+               // CAST(len(sa.sh) AS BIGINT) AS cont_a_ppm,
+           CAST(len(list_intersect(sa.sh, sb.sh)) AS BIGINT) * 1000000
+               // CAST(len(sb.sh) AS BIGINT) AS cont_b_ppm
+    FROM cand c
+    JOIN t sa ON sa.doc_id = c.doc_a
+    JOIN t sb ON sb.doc_id = c.doc_b
 )
-SELECT block, doc_a, doc_b, cont_a_ppm, cont_b_ppm,
+SELECT doc_a, doc_b, cont_a_ppm, cont_b_ppm,
        greatest(cont_a_ppm, cont_b_ppm) AS cont_max_ppm
 FROM pairs
 ORDER BY cont_max_ppm DESC, doc_a, doc_b
 LIMIT 20
 """
+
+
+ORACLE_dedup_containment_pairs = _containment_oracle()
 
 
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -104,3 +104,25 @@ def test_containment_max_block_guard(spark):
     out = D.ngram_containment_pairs(df, max_block=4)
     blocks = {r.block for r in out.select("block").distinct().collect()}
     assert blocks == {"cold"}  # the oversized hot block was dropped, guarded
+
+
+def test_minhash_containment_detects_inclusion(spark):
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    df = spark.createDataFrame(
+        [
+            (1, base),
+            (2, base + " lam mu"),
+            (3, "entirely different words nothing shared here at all ok fine"),
+        ],
+        "doc_id int, text string",
+    )
+    pairs = {
+        (r.doc_a, r.doc_b): (r.cont_a_ppm, r.cont_b_ppm)
+        for r in D.minhash_containment_pairs(df).collect()
+    }
+    # (1,2) must surface as an LSH candidate and show the asymmetry
+    a_in_b, b_in_a = pairs[(1, 2)]
+    assert a_in_b == 1_000_000  # every shingle of doc 1 is inside doc 2
+    assert b_in_a < 1_000_000
+    # the unrelated doc shares no band with either
+    assert not any(3 in k for k in pairs)
