@@ -336,7 +336,7 @@ def _pq_sub(q: DataFrame, m: int) -> DataFrame:
     return q.select("vec_id", F.slice("qv", m * PQ_SUBDIM + 1, PQ_SUBDIM).alias("qv"))
 
 
-def pq_codebooks(emb: DataFrame) -> DataFrame:
+def pq_codebooks(emb: DataFrame, q: DataFrame | None = None) -> DataFrame:
     """Per-subspace codebooks: (m, cluster, cv) learned by quantized-integer
     Lloyd k-means on each subvector slice (seeds = vectors vec_id < KSUB).
 
@@ -348,7 +348,8 @@ def pq_codebooks(emb: DataFrame) -> DataFrame:
     """
     from project_obsidian_core_spark.datapipe import clustering as KM
 
-    q = KM.quantize(emb)
+    if q is None:
+        q = KM.quantize(emb)
     books = []
     for m in range(PQ_M):
         sub = _pq_sub(q, m)
@@ -372,7 +373,9 @@ def _collected_codebook(books: DataFrame):
     )
 
 
-def pq_encode(emb: DataFrame, books: DataFrame) -> DataFrame:
+def pq_encode(
+    emb: DataFrame, books: DataFrame, q: DataFrame | None = None
+) -> DataFrame:
     """(vec_id, codes[M]): per-subspace nearest-codeword ids.
 
     One corpus pass against the broadcast codebook row; the per-subspace
@@ -383,7 +386,8 @@ def pq_encode(emb: DataFrame, books: DataFrame) -> DataFrame:
     """
     from project_obsidian_core_spark.datapipe import clustering as KM
 
-    q = KM.quantize(emb)
+    if q is None:
+        q = KM.quantize(emb)
     cb = _collected_codebook(books)
     code_for_m = lambda m: (  # noqa: E731
         F.array_min(
@@ -421,8 +425,12 @@ def pq_adc_topk(emb: DataFrame, queries: DataFrame, k: int = 10) -> DataFrame:
     """
     from project_obsidian_core_spark.datapipe import clustering as KM
 
-    books = pq_codebooks(emb)
-    codes = pq_encode(emb, books)
+    # The quantized relation feeds every codebook round (2 actions per
+    # subspace), the encode pass, and the query tables — persist it once,
+    # same as the LSH signature relation (at 100 TB: a staged table).
+    q = KM.quantize(emb).persist()
+    books = pq_codebooks(emb, q=q)
+    codes = pq_encode(emb, books, q=q)
     cb = _collected_codebook(books)
     dt = F.map_from_entries(
         F.transform(
