@@ -96,6 +96,7 @@ BENCH_QUERIES = [
     "knn_pq_adc",             # PQ codebooks + ADC top-k
     "dedup_containment_pairs",  # directed n-gram containment
     "stream_enrich_events",   # stream-static broadcast enrichment
+    "events_sliding_active_users",  # overlapping-window exact distinct
 ]
 
 

@@ -481,3 +481,47 @@ FROM steps WHERE from_type IS NOT NULL
 GROUP BY from_type, to_type
 ORDER BY n_transitions DESC, from_type, to_type
 """
+
+
+# ------------------------------------------------------- sliding windows --
+def events_sliding_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window engagement: distinct active users and event counts per
+    1-hour window sliding every 15 minutes.
+
+    Spark's window(slide) assigns each event to hour/slide = 4 windows
+    (epoch-aligned starts) — a constant fan-out explode, then one
+    hash-aggregate shuffle keyed on (window, user) for the exact distinct.
+    This is the A-family's only *overlapping* window aggregation (tumbling
+    rollups elsewhere); the same expression runs unchanged as a watermarked
+    streaming aggregation.
+    """
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour", "15 minutes"))
+        .agg(
+            F.countDistinct("user_id").alias("active_users"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .select(
+            F.unix_micros(F.col("window.start")).alias("win_start_us"),
+            "active_users",
+            "n_events",
+        )
+        .orderBy("win_start_us")
+    )
+
+
+ORACLE_events_sliding_active_users = """
+WITH e AS (
+    SELECT epoch_us(ts) AS us, user_id FROM events
+), assigned AS (
+    SELECT (us - (us % 900000000)) - k.k * 900000000 AS win_start_us, user_id
+    FROM e CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS k) k
+)
+SELECT win_start_us,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS active_users,
+       count(*) AS n_events
+FROM assigned
+GROUP BY win_start_us
+ORDER BY win_start_us
+"""

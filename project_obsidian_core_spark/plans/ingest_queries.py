@@ -96,3 +96,29 @@ FROM g
 GROUP BY shard
 ORDER BY shard
 """
+
+
+# ---------------------------------------------------------- CSV ingestion
+_CSV_SRC_CACHE: dict[str, str] = {}
+
+
+def csv_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents → headered CSV (with deterministic corruption) →
+    schema-first PERMISSIVE read → quarantine split → clean rows."""
+    src = _CSV_SRC_CACHE.get(sf_dir)
+    if src is None:
+        src = tempfile.mkdtemp(prefix=f"obsidian_csv_{next(_RUN_IDS)}_") + "/docs"
+        SC.write_csv_corpus(
+            load(spark, sf_dir, "documents"), src, corrupt_mod=CORRUPT_MOD
+        )
+        _CSV_SRC_CACHE[sf_dir] = src
+    good, _bad = SC.split_corrupt(SC.read_csv_corpus(spark, src))
+    return good.select("doc_id", "lang", "source", "n_chars").orderBy("doc_id")
+
+
+ORACLE_csv_ingest = f"""
+SELECT doc_id, lang, source, n_chars
+FROM documents
+WHERE doc_id % {CORRUPT_MOD} <> 0
+ORDER BY doc_id
+"""

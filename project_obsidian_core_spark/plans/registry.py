@@ -73,6 +73,14 @@ _ENTRIES: list[tuple[str, QueryFn, str | None]] = [
     ("corpus_mixture_plan", cu.corpus_mixture_plan, cu.ORACLE_corpus_mixture_plan),
     # Exact-integer PageRank over the symmetrized kNN graph
     ("knn_pagerank", d.knn_pagerank, d.ORACLE_knn_pagerank),
+    # CSV wire-format ingestion with malformed-row quarantine
+    ("csv_ingest", ing.csv_ingest, ing.ORACLE_csv_ingest),
+    # Overlapping (sliding) window aggregation with exact distinct
+    (
+        "events_sliding_active_users",
+        ax.events_sliding_active_users,
+        ax.ORACLE_events_sliding_active_users,
+    ),
     # Asymmetric containment near-dup (short-doc-inside-long-doc rule)
     (
         "dedup_containment_pairs",

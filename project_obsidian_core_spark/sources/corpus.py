@@ -71,3 +71,57 @@ def split_corrupt(df: DataFrame) -> tuple[DataFrame, DataFrame]:
     good = df.filter(F.col(CORRUPT_COL).isNull()).drop(CORRUPT_COL)
     bad = df.filter(F.col(CORRUPT_COL).isNotNull()).select(CORRUPT_COL)
     return good, bad
+
+
+def write_csv_corpus(
+    df: DataFrame, path: str, corrupt_mod: int | None = None
+) -> None:
+    """Serialize a documents relation to headered CSV. With
+    ``corrupt_mod``, deterministically mangle every
+    ``doc_id % corrupt_mod == 0`` row (non-numeric doc_id) — the fixture
+    for the malformed-row quarantine path."""
+    out = df.select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        "lang",
+        "source",
+        F.col("n_chars").cast("string").alias("n_chars"),
+    )
+    if corrupt_mod is not None:
+        out = out.withColumn(
+            "doc_id",
+            F.when(
+                F.col("doc_id").cast("long") % corrupt_mod == 0,
+                F.concat(F.lit("id_"), F.col("doc_id")),
+            ).otherwise(F.col("doc_id")),
+        )
+    out.write.mode("overwrite").option("header", "true").csv(path)
+
+
+#: the header line write_csv_corpus emits (filtered back out on read)
+CSV_HEADER = "doc_id,lang,source,n_chars"
+
+
+def read_csv_corpus(spark: SparkSession, path: str) -> DataFrame:
+    """Schema-first PERMISSIVE CSV read with malformed-row capture.
+
+    Same contract as :func:`read_jsonl_corpus` for the other wire format
+    corpora arrive in: explicit schema (no 100 TB inference pass),
+    PERMISSIVE mode so a bad row quarantines instead of killing the job
+    (FAILFAST) or vanishing (DROPMALFORMED). A type-mismatched field nulls
+    out and the raw line lands in the corrupt column.
+
+    Implemented as text-scan + ``from_csv`` for the same reason as the
+    JSONL path: the raw CSV reader forbids plans that reference only the
+    corrupt-record column (QUERY_ONLY_CORRUPT_RECORD_COLUMN), which the
+    quarantine branch does. Header lines are filtered out of the text scan.
+    """
+    raw = spark.read.text(path).filter(F.col("value") != CSV_HEADER)
+    parsed = raw.select(
+        F.from_csv(
+            F.col("value"),
+            "doc_id BIGINT, lang STRING, source STRING, n_chars BIGINT, "
+            f"{CORRUPT_COL} STRING",
+            {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": CORRUPT_COL},
+        ).alias("c")
+    )
+    return parsed.select("c.*")

@@ -38,3 +38,19 @@ def test_jsonl_corrupt_lines_quarantined_not_dropped(spark):
     assert bad.count() == 2  # quarantined, not silently dropped
     # the quarantine column holds the raw offending line for repair routing
     assert all(len(r[SC.CORRUPT_COL]) == 10 for r in bad.collect())
+
+
+def test_csv_round_trip_and_quarantine(spark):
+    tmp = tempfile.mkdtemp(prefix="csv_rt_") + "/d"
+    df = _docs(spark).select("doc_id", "lang", "source", "n_chars")
+    SC.write_csv_corpus(_docs(spark), tmp)
+    good, bad = SC.split_corrupt(SC.read_csv_corpus(spark, tmp))
+    assert bad.count() == 0
+    assert sorted(map(tuple, good.collect())) == sorted(map(tuple, df.collect()))
+
+    tmp2 = tempfile.mkdtemp(prefix="csv_bad_") + "/d"
+    SC.write_csv_corpus(_docs(spark), tmp2, corrupt_mod=3)  # docs 0, 3 mangled
+    good2, bad2 = SC.split_corrupt(SC.read_csv_corpus(spark, tmp2))
+    assert sorted(r["doc_id"] for r in good2.collect()) == [1, 2]
+    assert bad2.count() == 2  # malformed rows quarantined, not dropped
+    assert all(r[SC.CORRUPT_COL].startswith("id_") for r in bad2.collect())
