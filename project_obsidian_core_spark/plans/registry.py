@@ -81,6 +81,12 @@ _ENTRIES: list[tuple[str, QueryFn, str | None]] = [
         ax.events_sliding_active_users,
         ax.ORACLE_events_sliding_active_users,
     ),
+    # Streaming twin: overlapping-window state merged across micro-batches
+    (
+        "stream_sliding_active_users",
+        st.stream_sliding_active_users,
+        ax.ORACLE_events_sliding_active_users,
+    ),
     # Asymmetric containment near-dup (short-doc-inside-long-doc rule)
     (
         "dedup_containment_pairs",

@@ -620,3 +620,37 @@ def stream_cdc_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination()
     return spark.read.parquet(snap).orderBy("o_orderkey")
+
+
+# --------------------------------------------- streaming sliding windows
+def stream_sliding_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The overlapping-window engagement aggregation run as a STREAMING
+    complete-mode query — must match the batch
+    ``events_sliding_active_users`` oracle exactly.
+
+    Each event lands in 4 overlapping windows (1h span, 15min slide); the
+    streaming state holds per-(window, user) partials that merge across
+    micro-batches, so a green row pins that OVERLAPPING window state — not
+    just tumbling — merges associatively. Exact distinct comes off the
+    drained state via a second aggregation over the (window, user) pairs,
+    the standard two-level shape for streaming COUNT(DISTINCT).
+    """
+    run = next(_RUN_IDS)
+    src = _events_src(spark, sf_dir, run)
+    schema = spark.read.parquet(src).schema
+    stream = spark.readStream.schema(schema).parquet(src)
+    pairs = stream.groupBy(
+        F.window("ts", "1 hour", "15 minutes"), F.col("user_id")
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+    name = f"stream_sliding_{run}"
+    tmp = tempfile.mkdtemp(prefix=f"obsidian_slide_{run}_")
+    _run_complete(pairs, name, f"{tmp}/ckpt", spark)
+    return (
+        spark.table(name)
+        .groupBy(F.unix_micros(F.col("window.start")).alias("win_start_us"))
+        .agg(
+            F.count(F.lit(1)).alias("active_users"),
+            F.sum("n_events").alias("n_events"),
+        )
+        .orderBy("win_start_us")
+    )
