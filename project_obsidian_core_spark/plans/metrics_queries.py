@@ -114,3 +114,77 @@ SELECT bucket_epoch_s, instance_id, blocks_hit, blocks_read,
 FROM agg
 ORDER BY bucket_epoch_s, instance_id
 """
+
+
+# ------------------------------------------------- time-weighted average --
+def metric_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-weighted metric average per (instance, metric) over
+    irregular samples — the avg_over_time semantics a monitoring store
+    needs when scrape intervals drift (the reference's adaptive governor
+    makes them drift BY DESIGN: SURVEY §2.9 T7/T8).
+
+    Each sample's weight is the µs gap to the NEXT sample of the same
+    series (lead window; the last sample carries no weight — standard
+    left-closed step interpolation). All arithmetic exact int64:
+    Σ(value_cents·Δt_us) stays < 2^63 for month-scale spans at cent scale,
+    and the final average is an exact milli-cent ratio. One shuffle on
+    the series key; no UDFs.
+    """
+    ev = load(spark, sf_dir, "events")
+    samples = ev.select(
+        (F.col("user_id") % 10).cast("string").alias("instance"),
+        F.col("event_type").alias("metric_name"),
+        F.unix_micros(F.col("ts")).alias("us"),
+        cents("value").alias("v_cents"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("instance", "metric_name").orderBy("us", "v_cents")
+    stepped = samples.withColumn("next_us", F.lead("us").over(w)).filter(
+        F.col("next_us").isNotNull()
+    )
+    # weights in ms and a 10^3 ratio scale keep every product < 2^63 for
+    # month-scale series at cent resolution (us weights * 10^6 overflow)
+    return (
+        stepped.groupBy("instance", "metric_name")
+        .agg(
+            F.sum(F.expr("v_cents * ((next_us - us) div 1000)")).alias("wv_sum"),
+            F.sum(F.expr("(next_us - us) div 1000")).alias("w_sum"),
+            F.count(F.lit(1)).alias("n_intervals"),
+        )
+        .select(
+            "instance",
+            "metric_name",
+            "wv_sum",
+            "w_sum",
+            "n_intervals",
+            F.expr("(wv_sum * 1000L) div w_sum").alias("twa_millicents"),
+        )
+        .orderBy("instance", "metric_name")
+    )
+
+
+ORACLE_metric_time_weighted_avg = """
+WITH samples AS (
+    SELECT CAST(user_id % 10 AS VARCHAR) AS instance,
+           event_type AS metric_name,
+           epoch_us(ts) AS us,
+           CAST(round(value * 100, 0) AS BIGINT) AS v_cents
+    FROM events
+), stepped AS (
+    SELECT instance, metric_name, us, v_cents,
+           lead(us) OVER (PARTITION BY instance, metric_name
+                          ORDER BY us, v_cents) AS next_us
+    FROM samples
+)
+SELECT instance, metric_name,
+       CAST(sum(v_cents * ((next_us - us) // 1000)) AS BIGINT) AS wv_sum,
+       CAST(sum((next_us - us) // 1000) AS BIGINT) AS w_sum,
+       count(*) AS n_intervals,
+       CAST(sum(v_cents * ((next_us - us) // 1000)) AS BIGINT) * 1000
+           // CAST(sum((next_us - us) // 1000) AS BIGINT) AS twa_millicents
+FROM stepped
+WHERE next_us IS NOT NULL
+GROUP BY instance, metric_name
+ORDER BY instance, metric_name
+"""

@@ -73,6 +73,12 @@ _ENTRIES: list[tuple[str, QueryFn, str | None]] = [
     ("corpus_mixture_plan", cu.corpus_mixture_plan, cu.ORACLE_corpus_mixture_plan),
     # Exact-integer PageRank over the symmetrized kNN graph
     ("knn_pagerank", d.knn_pagerank, d.ORACLE_knn_pagerank),
+    # Interval-weighted avg_over_time (drifting scrape intervals, exact ints)
+    (
+        "metric_time_weighted_avg",
+        m.metric_time_weighted_avg,
+        m.ORACLE_metric_time_weighted_avg,
+    ),
     # CSV wire-format ingestion with malformed-row quarantine
     ("csv_ingest", ing.csv_ingest, ing.ORACLE_csv_ingest),
     # Overlapping (sliding) window aggregation with exact distinct
