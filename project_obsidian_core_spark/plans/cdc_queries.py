@@ -139,3 +139,80 @@ FROM base
 WINDOW w AS (PARTITION BY o_custkey ORDER BY order_us, o_orderkey)
 ORDER BY o_custkey, valid_from_us, o_orderkey
 """
+
+
+_AS_OF = "1998-06-15 00:00:00"
+
+
+def orders_asof_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time (time-travel) read over the SCD2 history: the state of
+    each customer's order timeline AS OF a fixed instant — which history
+    row was current, and the cumulative orders/spend booked by then.
+
+    The interval predicate ``valid_from <= T < valid_to`` turns time travel
+    into a plain filter over the history relation (the lakehouse pattern:
+    SCD2 + predicate instead of snapshot copies); the cumulative columns
+    come from the same single pass. One shuffle on the entity key total.
+    """
+    base = _orders_snapshot(spark, sf_dir)
+    hist = scd2_history(
+        base,
+        entity_col="o_custkey",
+        order_col="order_us",
+        tiebreak_col="o_orderkey",
+    )
+    t = F.unix_micros(F.lit(_AS_OF).cast("timestamp"))
+    current = hist.filter(
+        (F.col("valid_from") <= t)
+        & (F.coalesce(F.col("valid_to"), F.lit(2**62)) > t)
+    )
+    cum = current.select(
+        "o_custkey",
+        F.col("o_orderkey").alias("current_orderkey"),
+        F.col("o_orderstatus").alias("current_status"),
+        F.col("valid_from").cast("long").alias("valid_from_us"),
+    )
+    booked = (
+        base.filter(F.col("order_us") <= t)
+        .groupBy("o_custkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders_asof"),
+            F.sum("price_cents").alias("spend_cents_asof"),
+        )
+    )
+    return (
+        cum.join(booked, "o_custkey")
+        .orderBy("o_custkey")
+    )
+
+
+ORACLE_orders_asof_snapshot = f"""
+WITH base AS (
+    SELECT o_orderkey, o_custkey, o_orderstatus,
+           CAST(round(o_totalprice * 100, 0) AS BIGINT) AS price_cents,
+           epoch_us(o_orderdate) AS order_us
+    FROM orders
+), hist AS (
+    SELECT o_custkey, o_orderkey, o_orderstatus,
+           order_us AS valid_from,
+           lead(order_us) OVER (PARTITION BY o_custkey
+                                ORDER BY order_us, o_orderkey) AS valid_to
+    FROM base
+), t AS (SELECT epoch_us(TIMESTAMP '{_AS_OF}') AS pit)
+SELECT h.o_custkey,
+       h.o_orderkey AS current_orderkey,
+       h.o_orderstatus AS current_status,
+       h.valid_from AS valid_from_us,
+       b.n_orders_asof,
+       b.spend_cents_asof
+FROM hist h
+CROSS JOIN t
+JOIN (
+    SELECT o_custkey,
+           count(*) AS n_orders_asof,
+           CAST(sum(price_cents) AS BIGINT) AS spend_cents_asof
+    FROM base CROSS JOIN t WHERE order_us <= pit GROUP BY o_custkey
+) b ON b.o_custkey = h.o_custkey
+WHERE h.valid_from <= pit AND coalesce(h.valid_to, 4611686018427387904) > pit
+ORDER BY h.o_custkey
+"""

@@ -62,6 +62,8 @@ _ENTRIES: list[tuple[str, QueryFn, str | None]] = [
     # CDC MERGE upsert + SCD2 history (operators/merge.py)
     ("orders_cdc_merge", cdc.orders_cdc_merge, cdc.ORACLE_orders_cdc_merge),
     ("orders_scd2", cdc.orders_scd2, cdc.ORACLE_orders_scd2),
+    # Point-in-time (time-travel) read over the SCD2 history
+    ("orders_asof_snapshot", cdc.orders_asof_snapshot, cdc.ORACLE_orders_asof_snapshot),
     # Product-quantization ANN (codebooks -> codes -> ADC top-k)
     ("knn_pq_adc", pq.knn_pq_adc, pq.ORACLE_knn_pq_adc),
     # Stream-static broadcast enrichment + stateless streaming curation twin
