@@ -53,6 +53,17 @@ _ENTRIES: list[tuple[str, QueryFn, str | None]] = [
     ("brand_type_revenue", r.brand_type_revenue, r.ORACLE_brand_type_revenue),
     ("dormant_customers", r.dormant_customers, r.ORACLE_dormant_customers),
     ("top_supplier_revenue", r.top_supplier_revenue, r.ORACLE_top_supplier_revenue),
+    ("nation_trade_volume", r.nation_trade_volume, r.ORACLE_nation_trade_volume),
+    (
+        "returned_item_customers",
+        r.returned_item_customers,
+        r.ORACLE_returned_item_customers,
+    ),
+    (
+        "customer_order_distribution",
+        r.customer_order_distribution,
+        r.ORACLE_customer_order_distribution,
+    ),
     # Value-RANGE window frame (trailing 30-day spend, tie-correct)
     (
         "customer_trailing_revenue",

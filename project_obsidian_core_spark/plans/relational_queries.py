@@ -796,3 +796,168 @@ WINDOW w AS (PARTITION BY o_custkey ORDER BY order_day
              RANGE BETWEEN 30 PRECEDING AND CURRENT ROW)
 ORDER BY o_custkey, order_day, o_orderkey
 """
+
+
+# ------------------------------------------------------------- Q7-shaped
+def nation_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7-shaped bilateral trade volume: revenue shipped between two
+    specific nations (either direction), per year.
+
+    Plan shape: both nation filters push into the broadcast dim sides
+    (supplier-nation via supplier, customer-nation via orders→customer);
+    the OR-of-two-directions predicate evaluates post-join on two tiny
+    broadcast attaches. The fact table shuffles once (orders join).
+    """
+    n1, n2 = "NATION_1", "NATION_2"
+    nation = load(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    supp = (
+        load(spark, sf_dir, "supplier")
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .filter(F.col("n_name").isin(n1, n2))
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    cust = (
+        load(spark, sf_dir, "customer")
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .filter(F.col("n_name").isin(n1, n2))
+        .select("c_custkey", F.col("n_name").alias("cust_nation"))
+    )
+    orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load(spark, sf_dir, "lineitem")
+    rev = (cents("l_extendedprice") * (100 - cents("l_discount"))).alias("rev_e4")
+    j = (
+        li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .filter(
+            ((F.col("supp_nation") == n1) & (F.col("cust_nation") == n2))
+            | ((F.col("supp_nation") == n2) & (F.col("cust_nation") == n1))
+        )
+        .select(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").alias("l_year"),
+            rev,
+        )
+    )
+    return (
+        j.groupBy("supp_nation", "cust_nation", "l_year")
+        .agg(F.sum("rev_e4").alias("revenue_e4"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+ORACLE_nation_trade_volume = """
+WITH j AS (
+    SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+           year(l_shipdate) AS l_year,
+           CAST(round(l_extendedprice * 100, 0) AS BIGINT)
+             * (100 - CAST(round(l_discount * 100, 0) AS BIGINT)) AS rev_e4
+    FROM lineitem
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation sn ON s_nationkey = sn.n_nationkey
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation cn ON c_nationkey = cn.n_nationkey
+    WHERE (sn.n_name = 'NATION_1' AND cn.n_name = 'NATION_2')
+       OR (sn.n_name = 'NATION_2' AND cn.n_name = 'NATION_1')
+)
+SELECT supp_nation, cust_nation, l_year,
+       CAST(sum(rev_e4) AS BIGINT) AS revenue_e4
+FROM j
+GROUP BY supp_nation, cust_nation, l_year
+ORDER BY supp_nation, cust_nation, l_year
+"""
+
+
+# ------------------------------------------------------------ Q10-shaped
+def returned_item_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10-shaped returned-item losers: top 20 customers by revenue
+    lost to returns ('R' lines) in one quarter.
+
+    Plan shape: the return-flag + date filters push to the lineitem and
+    orders scans; customer/nation broadcast onto the aggregated result —
+    the aggregate runs on (custkey) BEFORE the dimension attach, so the
+    broadcast join sees thousands of rows, not the fact table.
+    """
+    li = load(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    orders = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-07-01").cast("timestamp"))
+    )
+    rev = (cents("l_extendedprice") * (100 - cents("l_discount"))).alias("rev_e4")
+    per_cust = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .select("o_custkey", rev)
+        .groupBy("o_custkey")
+        .agg(F.sum("rev_e4").alias("lost_revenue_e4"))
+    )
+    cust = load(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_nationkey", cents("c_acctbal").alias("bal_cents")
+    )
+    nation = load(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    return (
+        per_cust.join(F.broadcast(cust), per_cust.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .select("c_custkey", "c_name", "n_name", "bal_cents", "lost_revenue_e4")
+        .orderBy(F.desc("lost_revenue_e4"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+ORACLE_returned_item_customers = """
+SELECT c_custkey, c_name, n_name,
+       CAST(round(c_acctbal * 100, 0) AS BIGINT) AS bal_cents,
+       CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)
+                * (100 - CAST(round(l_discount * 100, 0) AS BIGINT))) AS BIGINT)
+           AS lost_revenue_e4
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+  AND o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND o_orderdate <  TIMESTAMP '1997-07-01 00:00:00'
+GROUP BY c_custkey, c_name, n_name, bal_cents
+ORDER BY lost_revenue_e4 DESC, c_custkey ASC
+LIMIT 20
+"""
+
+
+# ------------------------------------------------------------ Q13-shaped
+def customer_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13-shaped double aggregation: the distribution of customers
+    by how many (non-special) orders they placed, zero-order customers
+    included.
+
+    Plan shape: orders aggregate to per-customer counts; the left join
+    keeps customers with no orders (count 0); the second aggregate
+    histograms the counts. Two small shuffles — custkey then count — and
+    the filter is a pushed-down NOT LIKE on the orders scan.
+    """
+    orders = load(spark, sf_dir, "orders").filter(
+        ~F.col("o_orderpriority").like("%URGENT%")
+    )
+    per_cust = orders.groupBy("o_custkey").agg(F.count(F.lit(1)).alias("c_count"))
+    cust = load(spark, sf_dir, "customer").select("c_custkey")
+    counts = cust.join(
+        per_cust, cust.c_custkey == per_cust.o_custkey, "left"
+    ).select(F.coalesce("c_count", F.lit(0)).alias("c_count"))
+    return (
+        counts.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+ORACLE_customer_order_distribution = """
+SELECT c_count, count(*) AS custdist
+FROM (
+    SELECT c_custkey, CAST(coalesce(count(o_orderkey), 0) AS BIGINT) AS c_count
+    FROM customer LEFT JOIN orders
+      ON c_custkey = o_custkey AND o_orderpriority NOT LIKE '%URGENT%'
+    GROUP BY c_custkey
+) t
+GROUP BY c_count
+ORDER BY custdist DESC, c_count DESC
+"""
