@@ -97,6 +97,10 @@ BENCH_QUERIES = [
     "dedup_containment_pairs",  # directed n-gram containment
     "stream_enrich_events",   # stream-static broadcast enrichment
     "events_sliding_active_users",  # overlapping-window exact distinct
+    "metric_time_weighted_avg",  # interval-weighted avg_over_time
+    "returned_item_customers",  # Q10: aggregate-then-attach top-N
+    "customer_order_distribution",  # Q13: double aggregation
+    "orders_asof_snapshot",   # SCD2 point-in-time read
 ]
 
 
