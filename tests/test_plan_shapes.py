@@ -196,3 +196,34 @@ def test_promo_revenue_part_dim_broadcasts(spark):
     plan = _plan(r.promo_revenue(spark, SF_DIR))
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_returned_item_customers_aggregates_before_dim_attach(spark):
+    from project_obsidian_core_spark.plans import relational_queries as r
+
+    plan = _plan(r.returned_item_customers(spark, SF_DIR))
+    # customer/nation broadcast onto the per-custkey AGGREGATE, never onto
+    # the fact table: the HashAggregate must sit below the broadcast joins
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    agg_pos = plan.index("HashAggregate")
+    bj_pos = plan.index("BroadcastHashJoin")
+    assert agg_pos > bj_pos  # tree prints top-down: join above, agg below
+
+
+def test_customer_order_distribution_two_aggregations(spark):
+    from project_obsidian_core_spark.plans import relational_queries as r
+
+    plan = _plan(r.customer_order_distribution(spark, SF_DIR))
+    # the NOT LIKE filter reaches the orders scan
+    assert "PushedFilters" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_time_weighted_avg_single_series_shuffle(spark):
+    from project_obsidian_core_spark.plans import metrics_queries as m
+
+    plan = _plan(m.metric_time_weighted_avg(spark, SF_DIR))
+    # one partitioned lead window + hash aggregate; no global window
+    assert "Window" in plan
+    assert "No Partition Defined" not in plan
