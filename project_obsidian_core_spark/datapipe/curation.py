@@ -617,15 +617,17 @@ def language_mixture(df: DataFrame) -> DataFrame:
         "source",
         "lang",
         F.col("n_docs").cast("long").alias("n_docs"),
-        F.expr("n_docs * 1000000").cast("long").alias("_scaled"),
         total.cast("long").alias("_tot"),
     ).select(
         "source",
         "lang",
         "n_docs",
-        ((F.col("_scaled") - F.col("_scaled") % F.col("_tot")) / F.col("_tot"))
-        .cast("long")
-        .alias("share_ppm"),
+        # decimal(38,0) widen before the ×10⁶ so the share stays exact past
+        # int64 doc counts (`div` on decimal returns BIGINT, truncating —
+        # DuckDB `//` semantics for the non-negative operands here).
+        F.expr("(cast(n_docs as decimal(38,0)) * 1000000) div _tot").alias(
+            "share_ppm"
+        ),
     )
 
 
@@ -656,19 +658,30 @@ def mixture_plan(df: DataFrame, text_col: str = "text") -> DataFrame:
     shared = avail.join(F.broadcast(n_src)).withColumn(
         "target_ppm", F.expr("1000000L div n_sources")
     )
+    # Every ×10⁶ product is widened to decimal(38,0) first: avail_tokens
+    # grows linearly with the corpus, so the bare int64 multiply would wrap
+    # past ~9.2·10¹² tokens per source (Spark non-ANSI wraps silently while
+    # DuckDB raises). `div` on decimal returns BIGINT — exact while T* and
+    # keep_tokens themselves fit int64, i.e. corpora up to ~9.2·10¹⁸ tokens.
     tstar = shared.agg(
-        F.min(F.expr("(avail_tokens * 1000000L) div target_ppm")).alias("t_star")
+        F.min(
+            F.expr("(cast(avail_tokens as decimal(38,0)) * 1000000) div target_ppm")
+        ).alias("t_star")
     )
     return (
         shared.join(F.broadcast(tstar))
+        .withColumn(
+            "keep_tokens",
+            F.expr("(cast(target_ppm as decimal(38,0)) * t_star) div 1000000"),
+        )
         .select(
             "source",
             "avail_tokens",
             "target_ppm",
-            F.expr("(target_ppm * t_star) div 1000000L").alias("keep_tokens"),
+            "keep_tokens",
             F.expr(
                 "least(1000000L,"
-                " ((target_ppm * t_star) div 1000000L) * 1000000L div avail_tokens)"
+                " (cast(keep_tokens as decimal(38,0)) * 1000000) div avail_tokens)"
             ).alias("rate_ppm"),
         )
         .orderBy("source")

@@ -258,7 +258,7 @@ def minhash_containment_pairs(
         sh.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sh", "sh_b"),
         "doc_b",
     )
-    return pairs.select(
+    out = pairs.select(
         "doc_a",
         "doc_b",
         F.size(F.array_intersect("sh_a", "sh_b")).cast("long").alias("n_inter"),
@@ -274,6 +274,9 @@ def minhash_containment_pairs(
             F.expr("(n_inter * 1000000L) div n_b"),
         ).alias("cont_max_ppm"),
     )
+    from project_obsidian_core_spark.functions.cache import release_after
+
+    return release_after(out, sigs)
 
 
 def minhash_candidates_incremental(
@@ -582,6 +585,8 @@ def connected_components(
         labels = new_labels.select("node", F.col("new_label").alias("label"))
         if not changed:
             break
+    # labels are checkpoint-backed, so the edge cache is no longer referenced
+    edges.unpersist()
     return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("cluster"))
 
 
@@ -692,7 +697,9 @@ def connected_components_ls(
             F.coalesce("cluster", F.col("node")).alias("cluster"),
         )
     )
-    return out
+    from project_obsidian_core_spark.functions.cache import release_after
+
+    return release_after(out, nodes)
 
 
 #: simhash pairing: band count and the Hamming-distance acceptance radius.

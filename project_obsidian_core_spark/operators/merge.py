@@ -38,6 +38,7 @@ def merge_upsert(
     changes: DataFrame,
     keys: Sequence[str],
     op_col: str = "op",
+    order_col: str | None = None,
 ) -> DataFrame:
     """Apply a keyed CDC batch to a base snapshot (MERGE INTO semantics).
 
@@ -45,6 +46,16 @@ def merge_upsert(
     ``I`` (insert a new key), ``U`` (replace the row for an existing key),
     ``D`` (remove the key). Rows of ``base`` whose key is untouched pass
     through unchanged; the change row wins for touched keys.
+
+    PRECONDITION: ``changes`` must carry AT MOST ONE row per key (the
+    contract Delta/Iceberg ``MERGE INTO`` enforces by raising on multiple
+    matches). With several rows per key the anti-join ∪ union would emit
+    them all, leaving duplicate keys in the snapshot. If the batch may
+    contain intra-batch key collisions (e.g. a log-compacted CDC feed),
+    pass ``order_col``: the batch is first reduced last-wins per key by
+    that ordering (ties broken by ``op_col`` so the reduction is
+    deterministic), which also makes a trailing ``D`` correctly suppress
+    earlier ``I``/``U`` rows for the same key.
 
     Semantics match ``MERGE INTO base USING changes ON keys
     WHEN MATCHED AND op='D' THEN DELETE
@@ -54,8 +65,19 @@ def merge_upsert(
     Plan: base LEFT ANTI (touched keys) ∪ change rows with op≠D. The anti
     probe side is just the key columns of ``changes`` — tiny, broadcastable;
     the base is scanned once and never shuffled when the batch is small.
+    The optional last-wins reduction is a window over the (small) change
+    batch only — the base never pays for it.
     """
     key_cols = list(keys)
+    if order_col is not None:
+        w = Window.partitionBy(*key_cols).orderBy(
+            F.col(order_col).desc(), F.col(op_col).desc()
+        )
+        changes = (
+            changes.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+        )
     touched = changes.select(*key_cols).distinct()
     untouched = base.join(touched, key_cols, "left_anti")
     applied = changes.filter(F.col(op_col) != OP_DELETE).drop(op_col)

@@ -519,7 +519,8 @@ WITH counts AS (
     FROM documents GROUP BY source, lang
 )
 SELECT source, lang, n_docs,
-       CAST((n_docs * 1000000) // sum(n_docs) OVER (PARTITION BY source)
+       CAST((CAST(n_docs AS HUGEINT) * 1000000)
+            // sum(n_docs) OVER (PARTITION BY source)
             AS BIGINT) AS share_ppm
 FROM counts
 ORDER BY source, lang
@@ -544,12 +545,16 @@ WITH avail AS (
            1000000 // (SELECT count(*) FROM avail) AS target_ppm
     FROM avail
 ), t AS (
-    SELECT min((avail_tokens * 1000000) // target_ppm) AS t_star FROM shared
+    SELECT CAST(min((CAST(avail_tokens AS HUGEINT) * 1000000) // target_ppm)
+               AS BIGINT) AS t_star
+    FROM shared
 )
 SELECT source, avail_tokens, CAST(target_ppm AS BIGINT) AS target_ppm,
-       CAST((target_ppm * t_star) // 1000000 AS BIGINT) AS keep_tokens,
+       CAST((CAST(target_ppm AS HUGEINT) * t_star) // 1000000 AS BIGINT)
+           AS keep_tokens,
        CAST(least(1000000,
-            ((target_ppm * t_star) // 1000000) * 1000000 // avail_tokens) AS BIGINT)
+            (CAST((CAST(target_ppm AS HUGEINT) * t_star) // 1000000 AS HUGEINT)
+             * 1000000) // avail_tokens) AS BIGINT)
            AS rate_ppm
 FROM shared, t
 ORDER BY source

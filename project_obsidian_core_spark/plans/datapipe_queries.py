@@ -404,15 +404,19 @@ def knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.lsh_topk(emb, q, k=_TOPK).orderBy("q_id", "rank")
 
 
-_FLIPS = ", ".join(str(2 ** i) for i in range(S.LSH_BITS))
-ORACLE_knn_lsh = f"""
+def _oracle_knn_lsh(bits: int) -> str:
+    """DuckDB oracle for :func:`lsh_topk` at any hash geometry — generated
+    from the SAME plane matrix (`sql_lsh_bucket(bits=...)`), so the
+    round-6 bits/dim knobs stay oracle-checkable at every setting."""
+    flips = ", ".join(str(2 ** i) for i in range(bits))
+    return f"""
 WITH t AS (
     SELECT vec_id, embedding AS v, {V.sql_norm('embedding', _EMB_DIM)} AS nrm,
-           {S.sql_lsh_bucket('embedding')} AS bucket
+           {S.sql_lsh_bucket('embedding', bits=bits)} AS bucket
     FROM embeddings
 ), probes AS (
     SELECT vec_id, v, nrm, CAST(xor(bucket, f) AS BIGINT) AS bucket
-    FROM t, (SELECT unnest([0, {_FLIPS}]) AS f)
+    FROM t, (SELECT unnest([0, {flips}]) AS f)
     WHERE vec_id < {_N_QUERY_VECS}
 ), scored AS (
     SELECT q.vec_id AS q_id, c.vec_id AS cand_id,
@@ -428,6 +432,27 @@ SELECT q_id, cand_id, cos_sim, rank FROM ranked
 WHERE rank <= {_TOPK}
 ORDER BY q_id, rank
 """
+
+
+ORACLE_knn_lsh = _oracle_knn_lsh(S.LSH_BITS)
+
+#: scaled LSH geometry exercised end-to-end by knn_lsh_scaled: 8 bits →
+#: 256 buckets (the multi-probe ring then scans 9/256 ≈ 3.5% of the corpus
+#: per query instead of 5/16 ≈ 31% at the 4-bit default).
+_LSH_SCALED_BITS = 8
+
+
+def knn_lsh_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lsh_topk at the SCALED hash geometry (bits=8 → 256 buckets) — the
+    round-6 proof that the 100 TB knob is code, not a docstring: same
+    operator, same oracle generator, 16× finer bucketing."""
+    emb, q = _query_vecs(spark, sf_dir)
+    return S.lsh_topk(emb, q, k=_TOPK, bits=_LSH_SCALED_BITS).orderBy(
+        "q_id", "rank"
+    )
+
+
+ORACLE_knn_lsh_scaled = _oracle_knn_lsh(_LSH_SCALED_BITS)
 
 
 def knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:

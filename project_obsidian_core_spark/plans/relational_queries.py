@@ -347,7 +347,13 @@ def nation_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_year",
         "mkt_rev_e4",
         "nation_rev_e4",
-        F.expr("(nation_rev_e4 * 1000000L) div mkt_rev_e4").alias("share_ppm"),
+        # decimal(38,0) widen before the ×10⁶: rev_e4 sums grow linearly
+        # with the fact table, so a bare int64 multiply wraps around SF~0.3
+        # (Spark non-ANSI wraps silently; DuckDB raises). `div` on decimal
+        # returns BIGINT, exact for totals up to 10³² — the operating range.
+        F.expr("(cast(nation_rev_e4 as decimal(38,0)) * 1000000) div mkt_rev_e4").alias(
+            "share_ppm"
+        ),
     ).orderBy("o_year")
 
 
@@ -369,8 +375,8 @@ SELECT o_year,
        CAST(sum(rev_e4) AS BIGINT) AS mkt_rev_e4,
        CAST(sum(CASE WHEN supp_nation = 'NATION_5' THEN rev_e4 ELSE 0 END) AS BIGINT)
            AS nation_rev_e4,
-       CAST(sum(CASE WHEN supp_nation = 'NATION_5' THEN rev_e4 ELSE 0 END) AS BIGINT)
-           * 1000000 // CAST(sum(rev_e4) AS BIGINT) AS share_ppm
+       CAST(CAST(sum(CASE WHEN supp_nation = 'NATION_5' THEN rev_e4 ELSE 0 END) AS HUGEINT)
+           * 1000000 // CAST(sum(rev_e4) AS HUGEINT) AS BIGINT) AS share_ppm
 FROM j
 GROUP BY o_year
 ORDER BY o_year
@@ -447,7 +453,11 @@ def promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     return agg.select(
         "promo_rev_e4",
         "total_rev_e4",
-        F.expr("(promo_rev_e4 * 1000000L) div total_rev_e4").alias("promo_ppm"),
+        # decimal(38,0) widen — see share_ppm in nation_market_share; exact
+        # for totals up to 10³² instead of wrapping past int64 around SF~0.3.
+        F.expr(
+            "(cast(promo_rev_e4 as decimal(38,0)) * 1000000) div total_rev_e4"
+        ).alias("promo_ppm"),
     )
 
 
@@ -462,8 +472,8 @@ WITH j AS (
 )
 SELECT CAST(sum(CASE WHEN p_type = 'PROMO' THEN rev_e4 ELSE 0 END) AS BIGINT) AS promo_rev_e4,
        CAST(sum(rev_e4) AS BIGINT) AS total_rev_e4,
-       CAST(sum(CASE WHEN p_type = 'PROMO' THEN rev_e4 ELSE 0 END) AS BIGINT)
-         * 1000000 // CAST(sum(rev_e4) AS BIGINT) AS promo_ppm
+       CAST(CAST(sum(CASE WHEN p_type = 'PROMO' THEN rev_e4 ELSE 0 END) AS HUGEINT)
+         * 1000000 // CAST(sum(rev_e4) AS HUGEINT) AS BIGINT) AS promo_ppm
 FROM j
 """
 

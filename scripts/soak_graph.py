@@ -27,26 +27,42 @@ def main() -> None:
     spark = build_session(app_name="soak-graph")
     n_nodes, n_edges = 200_000, 1_000_000
 
-    # (a) balanced pseudo-random graph: hash-derived endpoints
-    ed = spark.range(n_edges).select(
-        (F.xxhash64("id") % n_nodes).alias("a"),
-        (F.xxhash64("id", F.lit(1)) % n_nodes).alias("b"),
-    ).select(F.abs("a").alias("a"), F.abs("b").alias("b")).filter("a != b")
+    # (a) balanced pseudo-random graph: hash-derived endpoints, normalized
+    # to the deduplicated a<b contract of knn_edges (least/greatest +
+    # distinct) — raw random draws emit duplicate and mirrored pairs, which
+    # pagerank_int's symmetrizing union would double-count in node degrees
+    ed = (
+        spark.range(n_edges)
+        .select(
+            (F.abs(F.xxhash64("id")) % n_nodes).alias("x"),
+            (F.abs(F.xxhash64("id", F.lit(1))) % n_nodes).alias("y"),
+        )
+        .filter("x != y")
+        .select(F.least("x", "y").alias("a"), F.greatest("x", "y").alias("b"))
+        .distinct()
+    )
     t0 = time.time()
     total = S.pagerank_int(ed, iters=2).agg(F.sum("score")).first()[0]
     t_rand = time.time() - t0
 
-    # (b) star-heavy: hub 0 touches 20% of nodes + a random remainder
+    # (b) star-heavy: hub 0 touches 20% of nodes + a random remainder —
+    # same a<b + distinct normalization as (a)
     hub = spark.range(n_nodes // 5).select(
         F.lit(0).alias("a"), (F.col("id") + 1).alias("b")
     )
-    rest = spark.range(n_edges - n_nodes // 5).select(
-        (F.abs(F.xxhash64("id")) % n_nodes).alias("a"),
-        (F.abs(F.xxhash64("id", F.lit(7))) % n_nodes).alias("b"),
-    ).filter("a != b")
+    rest = (
+        spark.range(n_edges - n_nodes // 5)
+        .select(
+            (F.abs(F.xxhash64("id")) % n_nodes).alias("x"),
+            (F.abs(F.xxhash64("id", F.lit(7))) % n_nodes).alias("y"),
+        )
+        .filter("x != y")
+        .select(F.least("x", "y").alias("a"), F.greatest("x", "y").alias("b"))
+    )
+    star = hub.unionByName(rest).distinct()
     t0 = time.time()
     hub_score = (
-        S.pagerank_int(hub.unionByName(rest), iters=2)
+        S.pagerank_int(star, iters=2)
         .orderBy(F.desc("score"))
         .limit(1)
         .first()
