@@ -6,11 +6,19 @@ and prints ONE JSON line.
 
 Each query is materialized through the noop sink — full computation, no
 driver-side collect cost — after a warmup query that absorbs session/JIT
-startup. Each query is timed SPARK_GRAFT_BENCH_REPEAT times (default 2);
-cold (first run: codegen, footer reads, index builds) and warm (min of the
-later runs: persisted LSH index reused, the production steady state) are
+startup. Each query is timed SPARK_GRAFT_BENCH_REPEAT times (default 4);
+cold (first run: codegen, footer reads, index builds) and warm (MEDIAN of
+the later runs — variance-proof vs the min-of-2 used through r05) are
 reported SEPARATELY — `queries`/`value` are the warm path, `queries_cold`/
 `value_cold` the cold one.
+
+Round-6 variance hardening (the r4→r5 uniform 1.48× could not be
+attributed to host vs plan): the JSON now carries `queries_spread`
+(per-query [min, max] across warm repeats, file JSON only), a `host`
+fingerprint (cpu model, logical cpus, 1-min loadavg at start), and
+`r1_ratio` — the warm total over the queries BENCH_r01.json also timed,
+divided by the r01 recording, computed by the harness itself so a real
+regression can't hide behind "the host was slow".
 """
 
 from __future__ import annotations
@@ -18,6 +26,7 @@ from __future__ import annotations
 import json
 import os
 import re
+import statistics
 import sys
 import time
 
@@ -101,7 +110,49 @@ BENCH_QUERIES = [
     "returned_item_customers",  # Q10: aggregate-then-attach top-N
     "customer_order_distribution",  # Q13: double aggregation
     "orders_asof_snapshot",   # SCD2 point-in-time read
+    # round-6 additions
+    "knn_lsh_scaled",         # parameterized LSH at bits=8 (256 buckets)
 ]
+
+
+def _host_fingerprint() -> dict:
+    """CPU model + logical count + 1-min loadavg — enough to tell one
+    bench host/load regime from another when comparing rounds."""
+    model = ""
+    try:
+        with open("/proc/cpuinfo") as fh:
+            for ln in fh:
+                if ln.lower().startswith("model name"):
+                    model = ln.split(":", 1)[1].strip()
+                    break
+    except OSError:
+        pass
+    try:
+        load1 = round(os.getloadavg()[0], 2)
+    except OSError:
+        load1 = None
+    return {"cpu": model, "n_cpus": os.cpu_count(), "load1": load1}
+
+
+def _r1_ratio(warm: dict[str, float], sf: float | None) -> float | None:
+    """Warm-total ratio vs the round-1 recorded baseline over the common
+    query subset (the driver's 2x contract). None if no r01 record or the
+    scale factors differ (a cross-SF ratio would be meaningless)."""
+    try:
+        with open(os.path.join(REPO, "BENCH_r01.json")) as fh:
+            rec = json.load(fh)
+        # the driver wraps the printed line under "parsed"
+        parsed = rec.get("parsed") or rec
+        r1 = parsed.get("queries") or {}
+        if parsed.get("sf") != sf:
+            return None
+    except (OSError, ValueError, AttributeError):
+        return None
+    common = [q for q in r1 if q in warm]
+    base = sum(r1[q] for q in common)
+    if not common or base <= 0:
+        return None
+    return round(sum(warm[q] for q in common) / base, 4)
 
 
 def main() -> None:
@@ -116,9 +167,11 @@ def main() -> None:
         "overwrite"
     ).save()
 
-    repeat = int(os.environ.get("SPARK_GRAFT_BENCH_REPEAT", "2"))
+    host = _host_fingerprint()
+    repeat = int(os.environ.get("SPARK_GRAFT_BENCH_REPEAT", "4"))
     warm: dict[str, float] = {}
     cold: dict[str, float] = {}
+    spread: dict[str, list[float]] = {}
     for name in BENCH_QUERIES:
         runs = []
         for _ in range(repeat):
@@ -126,8 +179,11 @@ def main() -> None:
             QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
             runs.append(time.time() - t0)
         cold[name] = round(runs[0], 4)
-        warm[name] = round(min(runs[1:]) if len(runs) > 1 else runs[0], 4)
+        warm_runs = runs[1:] if len(runs) > 1 else runs
+        warm[name] = round(statistics.median(warm_runs), 4)
+        spread[name] = [round(min(warm_runs), 4), round(max(warm_runs), 4)]
 
+    r1_ratio = _r1_ratio(warm, sf)
     full = json.dumps(
         {
             "metric": "bench_suite_seconds",
@@ -136,6 +192,10 @@ def main() -> None:
             "queries": warm,
             "value_cold": round(sum(cold.values()), 4),
             "queries_cold": cold,
+            "queries_spread": spread,
+            "warm_repeats": max(1, repeat - 1),
+            "host": host,
+            "r1_ratio": r1_ratio,
             "sf": sf,
         }
     )
@@ -153,6 +213,8 @@ def main() -> None:
             "unit": "sec",
             "queries": {k: round(v, 2) for k, v in warm.items()},
             "value_cold": round(sum(cold.values()), 2),
+            "r1_ratio": r1_ratio,
+            "load1": host["load1"],
             "sf": sf,
         },
         separators=(",", ":"),
