@@ -81,6 +81,10 @@ def merge_upsert(
     touched = changes.select(*key_cols).distinct()
     untouched = base.join(touched, key_cols, "left_anti")
     applied = changes.filter(F.col(op_col) != OP_DELETE).drop(op_col)
+    if order_col is not None and order_col not in base.columns:
+        # batch-only sequencing column (e.g. a CDC log offset): not part of
+        # the snapshot row image
+        applied = applied.drop(order_col)
     return untouched.unionByName(applied)
 
 
@@ -104,3 +108,152 @@ def scd2_history(
         F.lead(order_col).over(w).alias("valid_to"),
         F.lead(order_col).over(w).isNull().alias("is_current"),
     )
+
+
+# ------------------------------------------- partitioned snapshot MERGE
+#: partition directory column for bucketed snapshots.
+BUCKET_COL = "part_bucket"
+
+
+def _bucket_expr(keys: Sequence[str], n_buckets: int):
+    """Deterministic key → bucket expression (non-negative Murmur3 mod N).
+
+    Stable for a given Spark lineage — the bucket is a storage-layout
+    detail, never part of the data contract (readers drop it).
+    """
+    return F.pmod(F.hash(*[F.col(k) for k in keys]), F.lit(n_buckets)).cast(
+        "int"
+    )
+
+
+def write_partitioned_snapshot(
+    df: DataFrame, path: str, keys: Sequence[str], n_buckets: int
+) -> None:
+    """Publish ``df`` as a key-bucketed parquet snapshot:
+    ``path/part_bucket=K/``. The layout targeted merges rewrite per-leaf."""
+    df.withColumn(BUCKET_COL, _bucket_expr(keys, n_buckets)).write.partitionBy(
+        BUCKET_COL
+    ).mode("overwrite").parquet(path)
+
+
+def read_partitioned_snapshot(spark, path: str) -> DataFrame:
+    """Read a bucketed snapshot, hiding the layout column."""
+    return spark.read.parquet(path).drop(BUCKET_COL)
+
+
+def merge_into_partitioned(
+    spark,
+    path: str,
+    changes: DataFrame,
+    keys: Sequence[str],
+    n_buckets: int,
+    op_col: str = "op",
+    order_col: str | None = None,
+) -> list[int]:
+    """MERGE a CDC batch into a bucketed snapshot, rewriting ONLY the
+    bucket leaves the batch touches (round-5 verdict: the streaming CDC
+    fold must not rewrite the whole snapshot per micro-batch).
+
+    Steps — one distributed job plus per-leaf metadata renames:
+
+    1. The batch's touched buckets are computed from its keys (distinct
+       bucket ids, at most ``n_buckets`` values — a bounded collect).
+    2. ONLY those leaves are read back (the ``part_bucket`` filter is
+       partition pruning: untouched directories are never opened) and
+       merged with the batch via :func:`merge_upsert`.
+    3. The merged relation is written in one job to a dot-prefixed working
+       dir (invisible to partition discovery), partitioned by bucket.
+    4. Each touched leaf is swapped in via the two-rename protocol of
+       operators/maintenance.py (old leaf → ``.merge_trash``, rewrite →
+       leaf, drop trash): concurrent readers see each leaf atomically old
+       or new, a crash leaves every leaf recoverable, and untouched leaves
+       keep their exact files.
+
+    At 100 TB the rewrite cost per micro-batch is |touched buckets| ×
+    bucket size, not the table size: with well-spread keys a small batch
+    touches a small fraction of the buckets; pick ``n_buckets`` so one
+    bucket ≈ one task's worth of data. Returns the touched bucket ids.
+
+    (The native-Spark alternative — dynamic partition overwrite — does the
+    same targeted replacement in one commit but without the per-leaf
+    trash/restore window; this explicit protocol matches the compaction
+    machinery so one recovery sweep serves both.)
+    """
+    from project_obsidian_core_spark.operators.maintenance import _fs_and_path
+
+    changes_b = changes.withColumn(BUCKET_COL, _bucket_expr(keys, n_buckets))
+    touched = sorted(
+        r[0] for r in changes_b.select(BUCKET_COL).distinct().collect()
+    )
+    if not touched:
+        return []
+
+    current = (
+        spark.read.parquet(path)
+        .filter(F.col(BUCKET_COL).isin(touched))
+        .drop(BUCKET_COL)
+    )
+    merged = merge_upsert(
+        current, changes_b.drop(BUCKET_COL), keys, op_col, order_col
+    ).withColumn(BUCKET_COL, _bucket_expr(keys, n_buckets))
+
+    tmp_root = f"{path}/.merge_tmp"
+    merged.write.partitionBy(BUCKET_COL).mode("overwrite").parquet(tmp_root)
+
+    fs, _, jvm = _fs_and_path(spark, path)
+    P = jvm.org.apache.hadoop.fs.Path
+    for b in touched:
+        leaf = f"{BUCKET_COL}={b}"
+        leaf_p = P(f"{path}/{leaf}")
+        tmp_p = P(f"{tmp_root}/{leaf}")
+        aside_p = P(f"{path}/.merge_trash/{leaf}")
+        fs.delete(aside_p, True)
+        fs.mkdirs(aside_p.getParent())
+        had_leaf = fs.exists(leaf_p)
+        if had_leaf and not fs.rename(leaf_p, aside_p):
+            raise IOError(f"merge: could not move {leaf} aside")
+        if fs.exists(tmp_p):
+            if not fs.rename(tmp_p, leaf_p):
+                if had_leaf:
+                    fs.rename(aside_p, leaf_p)
+                raise IOError(f"merge: could not publish rewrite of {leaf}")
+        # else: every row of this bucket was deleted — leaf stays absent
+        fs.delete(aside_p, True)
+    fs.delete(P(tmp_root), True)
+    fs.delete(P(f"{path}/.merge_trash"), True)
+    return touched
+
+
+def recover_partitioned_merge(spark, path: str) -> dict[str, str]:
+    """Repair a bucketed snapshot after a merge crash; idempotent.
+
+    Mirrors maintenance.recover_compaction for the single-level bucket
+    layout: a leaf present in ``.merge_trash`` but missing at the root is
+    restored; one also present at the root means the swap completed and
+    the trash copy is dropped; ``.merge_tmp`` leftovers are deleted (the
+    next merge rewrites from live data). Returns {leaf: action}.
+    """
+    from project_obsidian_core_spark.operators.maintenance import _fs_and_path
+
+    fs, _, jvm = _fs_and_path(spark, path)
+    P = jvm.org.apache.hadoop.fs.Path
+    actions: dict[str, str] = {}
+    trash_root = P(f"{path}/.merge_trash")
+    if fs.exists(trash_root):
+        for d in fs.listStatus(trash_root):
+            leaf = d.getPath().getName()
+            leaf_p = P(f"{path}/{leaf}")
+            if fs.exists(leaf_p):
+                fs.delete(d.getPath(), True)
+                actions[leaf] = "dropped_stale_trash"
+            else:
+                if not fs.rename(d.getPath(), leaf_p):
+                    raise IOError(f"recovery: could not restore {leaf}")
+                actions[leaf] = "restored_from_trash"
+        if len(list(fs.listStatus(trash_root))) == 0:
+            fs.delete(trash_root, True)
+    tmp_root = P(f"{path}/.merge_tmp")
+    if fs.exists(tmp_root):
+        fs.delete(tmp_root, True)
+        actions.setdefault("_merge_tmp", "dropped_incomplete_rewrite")
+    return actions

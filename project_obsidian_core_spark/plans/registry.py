@@ -311,9 +311,11 @@ _ENTRIES: list[tuple[str, QueryFn, str | None]] = [
 # row is r03.  Everything else keeps its relative order at the tail
 # (stable sort).  Names absent from this list rank after all listed ones.
 _GATE_PRIORITY: list[str] = [
-    # -- (a) new round-6 queries (no official row yet) ------------------
+    # -- (a) new round-6 queries (no official row yet) or reworked this
+    # round (stream_cdc_merge: partition-targeted rewrite) --------------
     "events_sliding_active_users_salted",
     "knn_lsh_scaled",
+    "stream_cdc_merge",
     # -- (b) newest official row is r02; implementation touched since ---
     "qan_compare_systems",
     "qan_hit_ratio_pivot",

@@ -569,31 +569,37 @@ def stream_cdc_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The change feed (the same deterministic I/U/D batch, one op per key) is
     replayed as a file stream split across micro-batches; each batch runs
-    ``merge_upsert`` against the current snapshot and atomically swaps the
-    snapshot directory (write-new + rename, the operators/versioning.py
-    publish pattern in miniature). One op per key makes the fold
-    batch-order-independent, which is exactly why the gate can demand
-    equality with the single-shot batch MERGE.
+    ``merge_into_partitioned`` against a key-BUCKETED snapshot
+    (``part_bucket=K`` leaves), rewriting ONLY the leaves its keys touch
+    via the per-leaf two-rename protocol — the round-6 fix for the r5
+    weak spot where every micro-batch rewrote the whole snapshot. One op
+    per key makes the fold batch-order-independent, which is exactly why
+    the gate can demand equality with the single-shot batch MERGE.
 
     This is the live table-maintenance loop a lakehouse runs: continuous
-    upserts folding into a queryable snapshot, zero base-table rewrites
-    beyond the touched keys' files (here: the whole miniature snapshot).
+    upserts folding into a queryable snapshot; per batch the rewrite cost
+    is |touched buckets| × bucket size, never the table size, and
+    untouched leaves keep their exact files (pinned by
+    tests/test_merge.py::test_partitioned_merge_leaves_untouched_buckets).
     """
-    import os
-    import shutil
-
-    from project_obsidian_core_spark.operators.merge import merge_upsert
+    from project_obsidian_core_spark.operators.merge import (
+        merge_into_partitioned,
+        read_partitioned_snapshot,
+        write_partitioned_snapshot,
+    )
     from project_obsidian_core_spark.plans import cdc_queries as cdc
 
     run = next(_RUN_IDS)
     tmp = tempfile.mkdtemp(prefix=f"obsidian_cdcstream_{run}_")
     base = cdc._orders_snapshot(spark, sf_dir)
+    base_cols = base.columns
     changes_src = f"{tmp}/changes"
     # split the change feed into several file groups -> several micro-batches
     cdc._cdc_batch(base).repartition(4).write.mode("overwrite").parquet(changes_src)
 
     snap = f"{tmp}/snapshot"
-    base.write.mode("overwrite").parquet(snap)
+    n_buckets = 8
+    write_partitioned_snapshot(base, snap, keys=["o_orderkey"], n_buckets=n_buckets)
 
     schema = spark.read.parquet(changes_src).schema
     stream = (
@@ -603,14 +609,9 @@ def stream_cdc_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def apply_batch(batch_df, batch_id: int) -> None:
-        current = spark.read.parquet(snap)
-        merged = merge_upsert(current, batch_df, keys=["o_orderkey"])
-        nxt = f"{snap}.next"
-        merged.write.mode("overwrite").parquet(nxt)
-        old = f"{snap}.old"
-        os.rename(snap, old)
-        os.rename(nxt, snap)
-        shutil.rmtree(old)
+        merge_into_partitioned(
+            spark, snap, batch_df, keys=["o_orderkey"], n_buckets=n_buckets
+        )
 
     q = (
         stream.writeStream.foreachBatch(apply_batch)
@@ -619,7 +620,9 @@ def stream_cdc_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         .start()
     )
     q.awaitTermination()
-    return spark.read.parquet(snap).orderBy("o_orderkey")
+    return read_partitioned_snapshot(spark, snap).select(base_cols).orderBy(
+        "o_orderkey"
+    )
 
 
 # --------------------------------------------- streaming sliding windows

@@ -72,3 +72,135 @@ def test_scd2_intervals_tile_without_gaps(spark):
     for prev, nxt in zip(hist, hist[1:]):
         assert prev.valid_to == nxt.valid_from
     assert hist[-1].valid_to is None and hist[-1].is_current
+
+
+def test_merge_last_wins_with_order_col(spark):
+    """A batch carrying several ops for one key reduces last-wins when
+    order_col is given; a trailing D suppresses earlier I/U for the key."""
+    base = _base(spark)
+    ch = spark.createDataFrame(
+        [
+            (2, "b2", 250, "U", 1),
+            (2, "b3", 260, "U", 2),  # later update wins
+            (4, "d", 400, "I", 1),
+            (4, None, 0, "D", 2),  # trailing delete suppresses the insert
+        ],
+        "k int, name string, v int, op string, seq int",
+    )
+    out = merge_upsert(base, ch, keys=["k"], order_col="seq")
+    rows = {r.k: (r.name, r.v) for r in out.collect()}
+    assert rows == {1: ("a", 100), 2: ("b3", 260), 3: ("c", 300)}
+
+
+# ------------------------------------------- partitioned snapshot MERGE
+def _leaf_files(root):
+    import os
+
+    out = {}
+    for leaf in sorted(os.listdir(root)):
+        if not leaf.startswith("part_bucket="):
+            continue
+        d = os.path.join(root, leaf)
+        out[leaf] = {
+            f: os.stat(os.path.join(d, f)).st_mtime_ns
+            for f in sorted(os.listdir(d))
+            if f.endswith(".parquet")
+        }
+    return out
+
+
+def test_partitioned_merge_leaves_untouched_buckets(spark, tmp_path):
+    """A targeted merge rewrites ONLY the bucket leaves the batch touches:
+    every other leaf keeps the identical files (paths AND mtimes)."""
+    from project_obsidian_core_spark.operators.merge import (
+        merge_into_partitioned,
+        read_partitioned_snapshot,
+        write_partitioned_snapshot,
+    )
+
+    snap = str(tmp_path / "snap")
+    base = spark.createDataFrame(
+        [(k, f"n{k}", k * 10) for k in range(100)], "k int, name string, v int"
+    )
+    write_partitioned_snapshot(base, snap, keys=["k"], n_buckets=8)
+    before = _leaf_files(snap)
+    assert len(before) > 1
+
+    ch = spark.createDataFrame(
+        [(7, "seven", 777, "U"), (100, "new", 1000, "I"), (13, None, 0, "D")],
+        "k int, name string, v int, op string",
+    )
+    touched = merge_into_partitioned(spark, snap, ch, keys=["k"], n_buckets=8)
+    after = _leaf_files(snap)
+
+    touched_leaves = {f"part_bucket={b}" for b in touched}
+    for leaf, files in before.items():
+        if leaf not in touched_leaves:
+            assert after[leaf] == files, f"untouched {leaf} was rewritten"
+    for leaf in touched_leaves:
+        assert before.get(leaf) != after.get(leaf)
+
+    rows = {
+        r.k: (r.name, r.v)
+        for r in read_partitioned_snapshot(spark, snap).collect()
+    }
+    assert rows[7] == ("seven", 777)
+    assert rows[100] == ("new", 1000)
+    assert 13 not in rows
+    assert len(rows) == 100  # 100 base - 1 delete + 1 insert
+
+
+def test_partitioned_merge_matches_full_merge(spark, tmp_path):
+    """Targeted per-leaf rewrite == plain merge_upsert on the same data."""
+    from project_obsidian_core_spark.operators.merge import (
+        merge_into_partitioned,
+        read_partitioned_snapshot,
+        write_partitioned_snapshot,
+    )
+
+    snap = str(tmp_path / "snap")
+    base = _base(spark)
+    write_partitioned_snapshot(base, snap, keys=["k"], n_buckets=4)
+    merge_into_partitioned(spark, snap, _changes(spark), keys=["k"], n_buckets=4)
+    got = sorted(
+        map(tuple, read_partitioned_snapshot(spark, snap).select("k", "name", "v").collect())
+    )
+    want = sorted(
+        map(tuple, merge_upsert(base, _changes(spark), keys=["k"]).collect())
+    )
+    assert got == want
+
+
+def test_partitioned_merge_crash_recovery(spark, tmp_path):
+    """A leaf stranded in .merge_trash (crash between the two renames) is
+    restored by recover_partitioned_merge; stale trash is dropped."""
+    import os
+    import shutil
+
+    from project_obsidian_core_spark.operators.merge import (
+        read_partitioned_snapshot,
+        recover_partitioned_merge,
+        write_partitioned_snapshot,
+    )
+
+    snap = str(tmp_path / "snap")
+    write_partitioned_snapshot(
+        spark.createDataFrame(
+            [(k, k * 10) for k in range(20)], "k int, v int"
+        ),
+        snap,
+        keys=["k"],
+        n_buckets=4,
+    )
+    before = sorted(map(tuple, read_partitioned_snapshot(spark, snap).collect()))
+    leaves = [d for d in os.listdir(snap) if d.startswith("part_bucket=")]
+    victim = leaves[0]
+    os.makedirs(f"{snap}/.merge_trash", exist_ok=True)
+    shutil.move(f"{snap}/{victim}", f"{snap}/.merge_trash/{victim}")
+    os.makedirs(f"{snap}/.merge_tmp/leftover", exist_ok=True)
+
+    actions = recover_partitioned_merge(spark, snap)
+    assert actions[victim] == "restored_from_trash"
+    assert not os.path.exists(f"{snap}/.merge_tmp")
+    after = sorted(map(tuple, read_partitioned_snapshot(spark, snap).collect()))
+    assert after == before
