@@ -4,12 +4,13 @@ Media payloads are opaque ``binary`` columns plus a typed metadata struct;
 decode / feature-extract / frame-sample run as Arrow-batched pandas
 transforms over ``mapInPandas``. Decoding is two-tier:
 
-* ``mode='real'`` decodes genuine container formats with STDLIB-ONLY
-  parsers — RIFF/WAVE (PCM, via the ``wave`` module) and uncompressed BMP
-  (via ``struct``) need no third-party codec. Formats that genuinely
-  require one (JPEG/PNG/MP3/MP4 — PIL / soundfile / pyav are NOT in this
-  container) raise ``NotImplementedError`` from the same dispatch point;
-  deployments with codecs installed extend :func:`_decode_real`.
+* ``mode='real'`` decodes genuine container formats. RIFF/WAVE (PCM, via
+  the ``wave`` module) and uncompressed BMP (via ``struct``) are parsed
+  STDLIB-ONLY; JPEG/PNG dispatch through Pillow WHEN an executor-side
+  import probe finds it (this container does not ship it — the probe and
+  decode path are unit-tested against a stub). Containers with no decoder
+  in the current environment (MP3/MP4, or JPEG/PNG without Pillow) raise
+  ``NotImplementedError`` from the same dispatch point.
 * ``mode='fake'`` derives deterministic bytes-level features from the
   synthetic md5 payload — which keeps the whole pipeline testable
   end-to-end and even DuckDB-oracle checkable (the oracle recomputes the
@@ -146,20 +147,51 @@ def _decode_bmp(payload: bytes):
     return np.frombuffer(pixels, dtype=np.uint8)
 
 
+def _pil_image_module():
+    """Optional-dependency probe: Pillow's Image module, or None.
+
+    Resolved lazily INSIDE the executor-side decode (never at import), so
+    the module works identically on clusters with and without Pillow; a
+    mixed cluster fails loudly per-task rather than silently diverging.
+    """
+    try:
+        from PIL import Image  # noqa: PLC0415
+    except ImportError:
+        return None
+    return Image
+
+
+def _decode_pil(payload: bytes):
+    """Decode a compressed image (JPEG/PNG/...) via Pillow into its raw
+    pixel bytes — same uint8-array contract as the stdlib BMP path."""
+    import io
+
+    import numpy as np
+
+    Image = _pil_image_module()
+    with Image.open(io.BytesIO(payload)) as img:
+        return np.asarray(img, dtype=np.uint8).reshape(-1)
+
+
 def _decode_real(media_type: str, payload: bytes):
     """Real-format decode dispatch. WAV and BMP are parsed stdlib-only;
-    anything else needs a codec library this container does not ship
-    (PIL / soundfile / pyav) and raises ``NotImplementedError`` — the gate
-    is now reachable ONLY for genuinely unsupported formats."""
+    JPEG/PNG decode through Pillow WHEN it is importable (optional
+    dependency probe — this container does not ship it, production images
+    would). ``NotImplementedError`` remains reachable only for containers
+    with no decoder on the current environment."""
     b = bytes(payload)
     if len(b) >= 12 and b[:4] == b"RIFF" and b[8:12] == b"WAVE":
         return _decode_wav(b)
     if b[:2] == b"BM":
         return _decode_bmp(b)
+    is_png = b[:8] == b"\x89PNG\r\n\x1a\n"
+    is_jpeg = b[:3] == b"\xff\xd8\xff"
+    if (is_png or is_jpeg) and _pil_image_module() is not None:
+        return _decode_pil(b)
     raise NotImplementedError(
-        f"no stdlib decoder for this payload (media_type={media_type!r}); "
-        "JPEG/PNG/MP3/MP4 require PIL/soundfile/pyav, which are not "
-        "available in this environment"
+        f"no available decoder for this payload (media_type={media_type!r}); "
+        "JPEG/PNG need Pillow (not installed in this environment), "
+        "MP3/MP4 need soundfile/pyav"
     )
 
 

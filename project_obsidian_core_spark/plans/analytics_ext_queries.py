@@ -525,3 +525,48 @@ FROM assigned
 GROUP BY win_start_us
 ORDER BY win_start_us
 """
+
+
+def events_sliding_active_users_salted(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Skew-guarded twin of :func:`events_sliding_active_users` — identical
+    output, checked against the SAME oracle.
+
+    The plain two-level distinct groups on (window, user_id) first; one
+    hot user at 100 TB concentrates its 4x window fan-out on a single
+    reducer. This variant applies the functions/skew.py salted-partial
+    pattern to that first level: phase 1 groups on (window, user_id, salt)
+    — the hot pair's rows spread over SALT_BUCKETS reducers — phase 2
+    merges the per-salt partial counts, and the final per-window distinct
+    is unchanged (row count of the merged pairs). The salt is a
+    deterministic row hash, so placement changes but no result does.
+    """
+    salt_buckets = 16
+    ev = load(spark, sf_dir, "events")
+    pairs = (
+        ev.withColumn(
+            "__salt", F.pmod(F.xxhash64("ts", "event_id"), F.lit(salt_buckets))
+        )
+        .groupBy(
+            F.window("ts", "1 hour", "15 minutes").alias("window"),
+            "user_id",
+            "__salt",
+        )
+        .agg(F.count(F.lit(1)).alias("__pn"))
+        .groupBy("window", "user_id")
+        .agg(F.sum("__pn").alias("n_events"))
+    )
+    return (
+        pairs.groupBy("window")
+        .agg(
+            F.count(F.lit(1)).alias("active_users"),
+            F.sum("n_events").alias("n_events"),
+        )
+        .select(
+            F.unix_micros(F.col("window.start")).alias("win_start_us"),
+            "active_users",
+            "n_events",
+        )
+        .orderBy("win_start_us")
+    )

@@ -111,6 +111,13 @@ _ENTRIES: list[tuple[str, QueryFn, str | None]] = [
         st.stream_sliding_active_users,
         ax.ORACLE_events_sliding_active_users,
     ),
+    # Round-6 skew-guard twin: salted first-level (window,user) partials,
+    # identical output checked against the SAME oracle
+    (
+        "events_sliding_active_users_salted",
+        ax.events_sliding_active_users_salted,
+        ax.ORACLE_events_sliding_active_users,
+    ),
     # Asymmetric containment near-dup (short-doc-inside-long-doc rule)
     (
         "dedup_containment_pairs",

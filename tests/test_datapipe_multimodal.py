@@ -190,3 +190,58 @@ def test_resample_audio_nearest_neighbor(spark):
     expect = [b[(i * len(b)) // t] for i in range(t)]
     assert out[1]["sample_sum"] == sum(expect)
     assert out[1]["resampled_hex"] == bytes(expect).hex()
+
+
+# ------------------------------------------------ optional Pillow probe
+def _tiny_png_bytes():
+    """Valid-magic PNG header + junk body (enough for dispatch tests)."""
+    return b"\x89PNG\r\n\x1a\n" + b"\x00" * 32
+
+
+def test_real_decode_png_without_pillow_raises():
+    """With no Pillow importable, a PNG payload hits the documented
+    NotImplementedError naming the missing dependency."""
+    import pytest
+
+    from project_obsidian_core_spark.datapipe import multimodal as M
+
+    if M._pil_image_module() is not None:
+        pytest.skip("Pillow is installed in this environment")
+    with pytest.raises(NotImplementedError, match="Pillow"):
+        M._decode_real("image", _tiny_png_bytes())
+
+
+def test_real_decode_png_dispatches_to_pillow(monkeypatch):
+    """When the probe finds Pillow, JPEG/PNG payloads decode through it
+    into flat uint8 pixel bytes (stubbed Image module — the dispatch and
+    pixel-flattening contract is ours, the codec isn't)."""
+    import sys
+    import types
+
+    import numpy as np
+
+    from project_obsidian_core_spark.datapipe import multimodal as M
+
+    class _FakeImg:
+        def __enter__(self):
+            return self
+
+        def __exit__(self, *a):
+            return False
+
+        def __array__(self, dtype=None, copy=None):
+            return np.arange(12, dtype=np.uint8).reshape(3, 4)
+
+    fake_image_mod = types.SimpleNamespace(open=lambda fh: _FakeImg())
+    fake_pil = types.ModuleType("PIL")
+    fake_pil.Image = fake_image_mod
+    monkeypatch.setitem(sys.modules, "PIL", fake_pil)
+    monkeypatch.setitem(sys.modules, "PIL.Image", fake_image_mod)
+
+    out = M._decode_real("image", _tiny_png_bytes())
+    assert out.dtype == np.uint8 and out.shape == (12,)
+    assert out.tolist() == list(range(12))
+
+    # JPEG magic routes through the same probe
+    out2 = M._decode_real("image", b"\xff\xd8\xff" + b"\x00" * 16)
+    assert out2.tolist() == list(range(12))
