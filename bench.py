@@ -112,6 +112,16 @@ BENCH_QUERIES = [
     "orders_asof_snapshot",   # SCD2 point-in-time read
     # round-6 additions
     "knn_lsh_scaled",         # parameterized LSH at bits=8 (256 buckets)
+    "forecast_revenue",       # Q6: pure pushed-down filter + 1-row agg
+    "nation_year_profit",     # Q9: 3 broadcast dims around the fact join
+    "major_suppliers",        # Q11: share-of-total HAVING (broadcast scalar)
+    "late_priority_lines",    # Q12: CASE-conditional counts after date math
+    "part_supplier_variety",  # Q16: broadcast NOT-IN anti + 3-key distinct
+    "sole_late_suppliers",    # Q21: decorrelated EXISTS/NOT-EXISTS
+    # (stream_cdc_merge stays out: its checkpointed replay harness costs
+    # ~12 s/run at sf0.1 — harness overhead, not plan cost; the
+    # correctness gate covers it)
+    "events_sliding_active_users_salted",  # salted two-level distinct
 ]
 
 

@@ -309,6 +309,18 @@ _ENTRIES: list[tuple[str, QueryFn, str | None]] = [
     # Round-6: the parameterized LSH geometry exercised at bits=8 (256
     # buckets) against an oracle generated from the same plane matrix
     ("knn_lsh_scaled", d.knn_lsh_scaled, d.ORACLE_knn_lsh_scaled),
+    # Round-6 relational breadth: the remaining classic TPC-H shapes the
+    # testdata's columns can express (Q6/Q9/Q11/Q12/Q16/Q21)
+    ("forecast_revenue", r.forecast_revenue, r.ORACLE_forecast_revenue),
+    ("nation_year_profit", r.nation_year_profit, r.ORACLE_nation_year_profit),
+    ("major_suppliers", r.major_suppliers, r.ORACLE_major_suppliers),
+    ("late_priority_lines", r.late_priority_lines, r.ORACLE_late_priority_lines),
+    (
+        "part_supplier_variety",
+        r.part_supplier_variety,
+        r.ORACLE_part_supplier_variety,
+    ),
+    ("sole_late_suppliers", r.sole_late_suppliers, r.ORACLE_sole_late_suppliers),
 ]
 
 # ----------------------------------------------------------------------
@@ -323,6 +335,12 @@ _GATE_PRIORITY: list[str] = [
     "events_sliding_active_users_salted",
     "knn_lsh_scaled",
     "stream_cdc_merge",
+    "forecast_revenue",
+    "nation_year_profit",
+    "major_suppliers",
+    "late_priority_lines",
+    "part_supplier_variety",
+    "sole_late_suppliers",
     # -- (b) newest official row is r02; implementation touched since ---
     "qan_compare_systems",
     "qan_hit_ratio_pivot",

@@ -971,3 +971,291 @@ FROM (
 GROUP BY c_count
 ORDER BY custdist DESC, c_count DESC
 """
+
+
+# ------------------------------------------------------------- Q6-shaped
+def forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6-shaped forecast revenue: one filtered scan, one global
+    sum — the pure predicate-pushdown probe (every filter reaches the
+    parquet scan; no join, no shuffle beyond the 1-row aggregate).
+
+    Revenue is Σ(extendedprice·discount) in exact 1e-4 units over 1997
+    shipments with discount 2-4 cents and quantity < 24.
+    """
+    li = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+        & cents("l_discount").between(2, 4)
+        & (F.col("l_quantity") < 24)
+    )
+    return li.agg(
+        F.sum(cents("l_extendedprice") * cents("l_discount")).alias("revenue_e4"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+
+
+ORACLE_forecast_revenue = """
+SELECT CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)
+                * CAST(round(l_discount * 100, 0) AS BIGINT)) AS BIGINT)
+           AS revenue_e4,
+       count(*) AS n_lines
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+  AND CAST(round(l_discount * 100, 0) AS BIGINT) BETWEEN 2 AND 4
+  AND l_quantity < 24
+"""
+
+
+# ------------------------------------------------------------- Q9-shaped
+def nation_year_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9-shaped product profit: revenue on name-matched parts by
+    (supplier nation, order year). The testdata has no partsupp table, so
+    profit is the discounted revenue side of Q9's expression — the JOIN
+    TOPOLOGY is the point: three broadcast dims (part filter, supplier,
+    nation) around the lineitem⋈orders shuffle join.
+    """
+    part = (
+        load(spark, sf_dir, "part")
+        .filter(F.col("p_name").like("%widget%"))
+        .select("p_partkey")
+    )
+    supp = load(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nation = load(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("nation")
+    )
+    orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    li = load(spark, sf_dir, "lineitem")
+    amount = (cents("l_extendedprice") * (100 - cents("l_discount"))).alias(
+        "amount_e4"
+    )
+    joined = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation), supp.s_nationkey == F.col("sn_key"))
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .select("nation", F.year("o_orderdate").alias("o_year"), amount)
+    )
+    return (
+        joined.groupBy("nation", "o_year")
+        .agg(F.sum("amount_e4").alias("sum_profit_e4"))
+        .orderBy("nation", F.desc("o_year"))
+    )
+
+
+ORACLE_nation_year_profit = """
+SELECT n_name AS nation, year(o_orderdate) AS o_year,
+       CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)
+                * (100 - CAST(round(l_discount * 100, 0) AS BIGINT))) AS BIGINT)
+           AS sum_profit_e4
+FROM lineitem
+JOIN part     ON l_partkey = p_partkey AND p_name LIKE '%widget%'
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN orders   ON l_orderkey = o_orderkey
+GROUP BY n_name, year(o_orderdate)
+ORDER BY nation, o_year DESC
+"""
+
+
+# ------------------------------------------------------------ Q11-shaped
+def major_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11-shaped share-of-total HAVING: suppliers whose revenue
+    exceeds 1/1000 of the global total.
+
+    The Q11 mechanics without partsupp: group, then filter against a
+    scalar subquery — here a broadcast 1-row total joined in (no second
+    scan of the fact; the decimal-widened comparison keeps the ×1000
+    exact past int64).
+    """
+    li = load(spark, sf_dir, "lineitem")
+    rev = (
+        li.select(
+            "l_suppkey",
+            (cents("l_extendedprice") * (100 - cents("l_discount"))).alias("rev_e4"),
+        )
+        .groupBy("l_suppkey")
+        .agg(F.sum("rev_e4").alias("value_e4"))
+    )
+    total = rev.agg(F.sum("value_e4").alias("total_e4"))
+    return (
+        rev.join(F.broadcast(total))
+        .filter(
+            F.expr("(cast(value_e4 as decimal(38,0)) * 1000) > total_e4")
+        )
+        .select("l_suppkey", "value_e4")
+        .orderBy(F.desc("value_e4"), "l_suppkey")
+    )
+
+
+ORACLE_major_suppliers = """
+WITH rev AS (
+    SELECT l_suppkey,
+           CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)
+                    * (100 - CAST(round(l_discount * 100, 0) AS BIGINT)))
+               AS BIGINT) AS value_e4
+    FROM lineitem GROUP BY l_suppkey
+)
+SELECT l_suppkey, value_e4
+FROM rev
+WHERE CAST(value_e4 AS HUGEINT) * 1000
+      > (SELECT CAST(sum(value_e4) AS HUGEINT) FROM rev)
+ORDER BY value_e4 DESC, l_suppkey
+"""
+
+
+# ------------------------------------------------------------ Q12-shaped
+def late_priority_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12-shaped priority split over late shipments: per line
+    status, how many late-shipped lines belong to critical vs ordinary
+    orders (CASE-conditional counts after a date-arithmetic predicate —
+    the shipmode split with the columns the testdata carries).
+    """
+    orders = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linestatus", "l_shipdate"
+    )
+    late = li.join(orders, li.l_orderkey == orders.o_orderkey).filter(
+        F.unix_micros(F.col("l_shipdate").cast("timestamp"))
+        > F.unix_micros(F.col("o_orderdate").cast("timestamp"))
+        + F.lit(30 * 86400 * 1000000)
+    )
+    crit = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        late.groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(crit, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(crit, 0).otherwise(1)).alias("low_line_count"),
+        )
+        .orderBy("l_linestatus")
+    )
+
+
+ORACLE_late_priority_lines = """
+SELECT l_linestatus,
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE epoch_us(l_shipdate) > epoch_us(o_orderdate)
+      + CAST(2592000 AS BIGINT) * 1000000
+GROUP BY l_linestatus
+ORDER BY l_linestatus
+"""
+
+
+# ------------------------------------------------------------ Q16-shaped
+def part_supplier_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16-shaped supplier-variety count: distinct suppliers per
+    (brand, type, size) for selected parts, EXCLUDING a NOT-IN supplier
+    set (low-balance suppliers stand in for the complaint filter; the
+    lineitem relation stands in for partsupp).
+
+    Plan: the exclusion is a broadcast LEFT ANTI join (NOT IN without
+    null traps — acctbal is non-null); the distinct count shuffles once
+    on the 3-key group.
+    """
+    part = load(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#11")
+        & (~F.col("p_type").like("PROMO%"))
+        & (F.col("p_size").isin(1, 5, 9, 13))
+    )
+    bad_supp = (
+        load(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") < 1000.0)
+        .select(F.col("s_suppkey").alias("l_suppkey"))
+    )
+    li = load(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    kept = li.join(F.broadcast(bad_supp), "l_suppkey", "left_anti")
+    return (
+        kept.join(F.broadcast(part), kept.l_partkey == part.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type", "p_size")
+    )
+
+
+ORACLE_part_supplier_variety = """
+SELECT p_brand, p_type, p_size,
+       CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE p_brand <> 'Brand#11'
+  AND p_type NOT LIKE 'PROMO%'
+  AND p_size IN (1, 5, 9, 13)
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 1000.0)
+GROUP BY p_brand, p_type, p_size
+ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+"""
+
+
+# ------------------------------------------------------------ Q21-shaped
+def sole_late_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21-shaped waiting-supplier search: suppliers who were the
+    ONLY late shipper on multi-supplier orders (late = shipped > 60 days
+    after the order date).
+
+    The EXISTS / NOT-EXISTS pair is decorrelated into per-order
+    aggregates: any_late per (order, supplier), then supplier & late
+    counts per order — the candidate filter `n_supp > 1 AND n_late = 1`
+    is exactly "another supplier exists, no other late supplier exists".
+    The oracle keeps the textbook correlated EXISTS form, so the gate
+    also pins the decorrelation's equivalence. Two keyed shuffles
+    (orderkey, then supplier), dims broadcast.
+    """
+    orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    lo = li.join(orders, li.l_orderkey == orders.o_orderkey).select(
+        "l_orderkey",
+        "l_suppkey",
+        (
+            F.unix_micros(F.col("l_shipdate").cast("timestamp"))
+            > F.unix_micros(F.col("o_orderdate").cast("timestamp"))
+            + F.lit(60 * 86400 * 1000000)
+        ).alias("late"),
+    )
+    sup_order = lo.groupBy("l_orderkey", "l_suppkey").agg(
+        F.max("late").alias("any_late")
+    )
+    order_stats = sup_order.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("n_supp"),
+        F.sum(F.col("any_late").cast("long")).alias("n_late"),
+    )
+    cand = (
+        sup_order.filter(F.col("any_late"))
+        .join(order_stats, "l_orderkey")
+        .filter((F.col("n_supp") > 1) & (F.col("n_late") == 1))
+    )
+    supp = load(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        cand.join(F.broadcast(supp), cand.l_suppkey == supp.s_suppkey)
+        .groupBy("s_suppkey", "s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.desc("numwait"), "s_suppkey")
+        .limit(20)
+    )
+
+
+ORACLE_sole_late_suppliers = """
+WITH lo AS (
+    SELECT l_orderkey AS ok, l_suppkey AS sk,
+           epoch_us(l_shipdate) > epoch_us(o_orderdate)
+               + CAST(5184000 AS BIGINT) * 1000000 AS late
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+), so AS (
+    SELECT ok, sk, max(late) AS any_late FROM lo GROUP BY ok, sk
+)
+SELECT s_suppkey, s_name, count(*) AS numwait
+FROM so s1 JOIN supplier ON s1.sk = s_suppkey
+WHERE s1.any_late
+  AND EXISTS (SELECT 1 FROM so s2 WHERE s2.ok = s1.ok AND s2.sk <> s1.sk)
+  AND NOT EXISTS (SELECT 1 FROM so s3
+                  WHERE s3.ok = s1.ok AND s3.sk <> s1.sk AND s3.any_late)
+GROUP BY s_suppkey, s_name
+ORDER BY numwait DESC, s_suppkey
+LIMIT 20
+"""

@@ -227,3 +227,36 @@ def test_time_weighted_avg_single_series_shuffle(spark):
     # one partitioned lead window + hash aggregate; no global window
     assert "Window" in plan
     assert "No Partition Defined" not in plan
+
+
+def test_forecast_revenue_filters_reach_scan(spark):
+    from project_obsidian_core_spark.plans import relational_queries as r
+
+    plan = _plan(r.forecast_revenue(spark, SF_DIR))
+    # the Q6 point: every predicate pushes to the parquet scan, and the
+    # whole query is scan -> partial agg -> 1-row final (no join, no sort)
+    assert "PushedFilters" in plan
+    assert "Join" not in plan
+
+
+def test_part_supplier_variety_anti_join_broadcasts(spark):
+    from project_obsidian_core_spark.plans import relational_queries as r
+
+    plan = _plan(r.part_supplier_variety(spark, SF_DIR))
+    # the NOT-IN exclusion must be a broadcast anti join, never a
+    # nested-loop; the part dim broadcasts too
+    assert "BroadcastHashJoin" in plan
+    assert "LeftAnti" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_sole_late_suppliers_decorrelates_without_cartesian(spark):
+    from project_obsidian_core_spark.plans import relational_queries as r
+
+    plan = _plan(r.sole_late_suppliers(spark, SF_DIR))
+    # the EXISTS/NOT-EXISTS pair is aggregates + equi-joins: no cartesian,
+    # supplier dim broadcast, ordered top-20 via TakeOrderedAndProject
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "TakeOrderedAndProject" in plan
