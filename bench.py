@@ -122,6 +122,8 @@ BENCH_QUERIES = [
     # ~12 s/run at sf0.1 — harness overhead, not plan cost; the
     # correctness gate covers it)
     "events_sliding_active_users_salted",  # salted two-level distinct
+    "orders_snapshot_diff",   # CDC feed generation (inverse MERGE)
+    "metric_gap_fill",        # carry-forward grid interpolation
 ]
 
 

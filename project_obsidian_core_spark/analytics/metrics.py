@@ -84,3 +84,63 @@ def buffer_hit_ratio(
         )
         .orderBy("time_bucket", "instance_id")
     )
+
+
+def gap_fill_minutes(metrics: DataFrame, step_us: int = 60_000_000) -> DataFrame:
+    """Carry-forward gap filling on a minute grid per (instance, metric)
+    series — the `avg_over_time`-adjacent interpolation a monitoring store
+    applies before rendering sparse series (scrape gaps, governor backoff
+    stretches: SURVEY §2.9 T7/T8 make sampling intervals drift by design).
+
+    Per series: samples collapse to one value per minute (latest sample
+    wins, deterministic time/value tiebreak), the full [min, max] minute
+    range is generated with ``sequence`` (grid size is span-bounded —
+    independent of sample count), and missing minutes take the most recent
+    earlier value via ``last(ignorenulls)`` over an ordered window.
+    ``is_filled`` marks interpolated rows.
+
+    Scale: one shuffle to the per-minute reduction, one per-series window
+    — the same partitioning, so the window reuses the exchange. The grid
+    explode is |series| × span/step rows of 4 small columns; value columns
+    stay exact ints.
+    """
+    from pyspark.sql import Window
+
+    minute = (F.unix_micros(F.col("time")) - F.unix_micros(F.col("time")) % step_us).alias(
+        "minute_us"
+    )
+    w_pick = Window.partitionBy("instance_id", "metric_name", "minute_us").orderBy(
+        F.desc(F.unix_micros(F.col("time"))), F.desc("metric_value")
+    )
+    per_min = (
+        metrics.select("instance_id", "metric_name", "time", "metric_value", minute)
+        .withColumn("_rn", F.row_number().over(w_pick))
+        .filter(F.col("_rn") == 1)
+        .select("instance_id", "metric_name", "minute_us", "metric_value")
+    )
+    grid = (
+        per_min.groupBy("instance_id", "metric_name")
+        .agg(F.min("minute_us").alias("_mn"), F.max("minute_us").alias("_mx"))
+        .select(
+            "instance_id",
+            "metric_name",
+            F.explode(
+                F.sequence(F.col("_mn"), F.col("_mx"), F.lit(step_us))
+            ).alias("minute_us"),
+        )
+    )
+    w_fill = (
+        Window.partitionBy("instance_id", "metric_name")
+        .orderBy("minute_us")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        grid.join(per_min, ["instance_id", "metric_name", "minute_us"], "left")
+        .select(
+            "instance_id",
+            "metric_name",
+            "minute_us",
+            F.last("metric_value", ignorenulls=True).over(w_fill).alias("value"),
+            F.col("metric_value").isNull().alias("is_filled"),
+        )
+    )

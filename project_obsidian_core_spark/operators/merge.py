@@ -257,3 +257,48 @@ def recover_partitioned_merge(spark, path: str) -> dict[str, str]:
         fs.delete(tmp_root, True)
         actions.setdefault("_merge_tmp", "dropped_incomplete_rewrite")
     return actions
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    keys: Sequence[str],
+    op_col: str = "op",
+) -> DataFrame:
+    """Derive the CDC batch between two snapshot versions — the INVERSE of
+    :func:`merge_upsert`: ``merge_upsert(old, snapshot_diff(old, new, k),
+    k)`` reconstructs ``new`` exactly (pinned by test).
+
+    Emits one row per changed key with ``op_col`` ∈ I/U/D: inserts and
+    updates carry the NEW row image, deletes the OLD one (merge ignores a
+    delete's non-key columns). Unchanged keys emit nothing — comparison is
+    null-safe equality over all non-key columns.
+
+    This is the change-data-feed generator a lakehouse exposes (Delta CDF
+    semantics computed from plain snapshots): a full outer join keyed on
+    the merge keys, one shuffle per side (or a broadcast when either
+    version is small), comparisons all JVM-side.
+    """
+    key_cols = list(keys)
+    data_cols = [c for c in new.columns if c not in key_cols]
+    o = old.select(*key_cols, *data_cols).withColumn("_in_old", F.lit(True))
+    n = new.select(*key_cols, *data_cols).withColumn("_in_new", F.lit(True))
+    for c in data_cols:
+        o = o.withColumnRenamed(c, f"_old_{c}")
+    joined = o.join(n, key_cols, "full_outer")
+    changed = F.lit(False)
+    for c in data_cols:
+        changed = changed | ~F.col(c).eqNullSafe(F.col(f"_old_{c}"))
+    op = (
+        F.when(F.col("_in_old").isNull(), F.lit(OP_INSERT))
+        .when(F.col("_in_new").isNull(), F.lit(OP_DELETE))
+        .when(changed, F.lit(OP_UPDATE))
+    )
+    out_cols = [
+        F.coalesce(F.col(c), F.col(f"_old_{c}")).alias(c) for c in data_cols
+    ]
+    return (
+        joined.withColumn(op_col, op)
+        .filter(F.col(op_col).isNotNull())
+        .select(*key_cols, *out_cols, op_col)
+    )

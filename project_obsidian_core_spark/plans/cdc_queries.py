@@ -216,3 +216,72 @@ JOIN (
 WHERE h.valid_from <= pit AND coalesce(h.valid_to, 4611686018427387904) > pit
 ORDER BY h.o_custkey
 """
+
+
+def orders_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change-data-feed generation: diff the pre- and post-MERGE order
+    snapshots back into the I/U/D batch (operators/merge.py
+    ``snapshot_diff`` — the inverse of ``merge_upsert``, Delta CDF
+    semantics from plain snapshots).
+
+    The oracle reconstructs the same feed with a FULL OUTER JOIN, so the
+    gate pins insert/update/delete classification AND the emitted row
+    images (new image for I/U, old image for D).
+    """
+    from project_obsidian_core_spark.operators.merge import snapshot_diff
+
+    base = _orders_snapshot(spark, sf_dir)
+    merged = merge_upsert(base, _cdc_batch(base), keys=["o_orderkey"])
+    return snapshot_diff(base, merged, keys=["o_orderkey"]).orderBy(
+        "op", "o_orderkey"
+    )
+
+
+ORACLE_orders_snapshot_diff = """
+WITH base AS (
+    SELECT o_orderkey, o_custkey, o_orderstatus,
+           CAST(round(o_totalprice * 100, 0) AS BIGINT) AS price_cents,
+           epoch_us(o_orderdate) AS order_us,
+           o_orderpriority
+    FROM orders
+), changes AS (
+    SELECT o_orderkey, o_custkey, 'F' AS o_orderstatus,
+           price_cents + 500 AS price_cents, order_us, o_orderpriority,
+           'U' AS op
+    FROM base WHERE o_orderkey % 10 = 3
+    UNION ALL
+    SELECT o_orderkey, o_custkey, o_orderstatus, price_cents, order_us,
+           o_orderpriority, 'D' AS op
+    FROM base WHERE o_orderkey % 10 = 7
+    UNION ALL
+    SELECT o_orderkey + 1000000000, o_custkey, o_orderstatus, price_cents,
+           order_us, 'CDC-INSERT' AS o_orderpriority, 'I' AS op
+    FROM base WHERE o_orderkey % 10 = 5
+), merged AS (
+    SELECT o_orderkey, o_custkey, o_orderstatus, price_cents, order_us,
+           o_orderpriority
+    FROM base
+    WHERE o_orderkey NOT IN (SELECT o_orderkey FROM changes)
+    UNION ALL
+    SELECT o_orderkey, o_custkey, o_orderstatus, price_cents, order_us,
+           o_orderpriority
+    FROM changes WHERE op <> 'D'
+)
+SELECT coalesce(n.o_orderkey, o.o_orderkey) AS o_orderkey,
+       coalesce(n.o_custkey, o.o_custkey) AS o_custkey,
+       coalesce(n.o_orderstatus, o.o_orderstatus) AS o_orderstatus,
+       coalesce(n.price_cents, o.price_cents) AS price_cents,
+       coalesce(n.order_us, o.order_us) AS order_us,
+       coalesce(n.o_orderpriority, o.o_orderpriority) AS o_orderpriority,
+       CASE WHEN o.o_orderkey IS NULL THEN 'I'
+            WHEN n.o_orderkey IS NULL THEN 'D'
+            ELSE 'U' END AS op
+FROM base o FULL OUTER JOIN merged n ON o.o_orderkey = n.o_orderkey
+WHERE o.o_orderkey IS NULL OR n.o_orderkey IS NULL
+   OR o.o_custkey IS DISTINCT FROM n.o_custkey
+   OR o.o_orderstatus IS DISTINCT FROM n.o_orderstatus
+   OR o.price_cents IS DISTINCT FROM n.price_cents
+   OR o.order_us IS DISTINCT FROM n.order_us
+   OR o.o_orderpriority IS DISTINCT FROM n.o_orderpriority
+ORDER BY op, o_orderkey
+"""

@@ -188,3 +188,79 @@ WHERE next_us IS NOT NULL
 GROUP BY instance, metric_name
 ORDER BY instance, metric_name
 """
+
+
+def metric_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Carry-forward grid gap filling
+    (:func:`analytics.metrics.gap_fill_minutes`) summarized per series.
+
+    Instances fold to 20 buckets and the grid steps hourly so the filled
+    relation stays |series| × span/step ≈ 10⁵ rows at any SF (span-bounded,
+    not sample-bounded); the GATE row compares a per-series summary that
+    still pins every filled value: grid count, filled count, and the exact
+    int64 sum of the carried values.
+    """
+    metrics = synthesize_metrics(spark, sf_dir).withColumn(
+        "instance_id",
+        F.expr("cast(cast(instance_id as bigint) % 20 as string)"),
+    )
+    filled = MA.gap_fill_minutes(metrics, step_us=3_600_000_000)
+    return (
+        filled.groupBy("instance_id", "metric_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_points"),
+            F.sum(F.col("is_filled").cast("long")).alias("n_filled"),
+            F.sum("value").alias("sum_value_cents"),
+            F.min("minute_us").alias("first_us"),
+            F.max("minute_us").alias("last_us"),
+        )
+        .orderBy("instance_id", "metric_name")
+    )
+
+
+ORACLE_metric_gap_fill = f"""
+WITH m0 AS ({_SYN_SQL}),
+m AS (
+    SELECT time, CAST(CAST(instance_id AS BIGINT) % 20 AS VARCHAR) AS instance_id,
+           metric_name, metric_value
+    FROM m0
+), b AS (
+    SELECT instance_id, metric_name,
+           epoch_us(time) - epoch_us(time) % 3600000000 AS minute_us,
+           metric_value,
+           row_number() OVER (
+               PARTITION BY instance_id, metric_name,
+                            epoch_us(time) - epoch_us(time) % 3600000000
+               ORDER BY epoch_us(time) DESC, metric_value DESC) AS rn
+    FROM m
+), per_min AS (
+    SELECT instance_id, metric_name, minute_us, metric_value
+    FROM b WHERE rn = 1
+), bounds AS (
+    SELECT instance_id, metric_name,
+           min(minute_us) AS mn, max(minute_us) AS mx
+    FROM per_min GROUP BY instance_id, metric_name
+), grid AS (
+    SELECT instance_id, metric_name,
+           unnest(generate_series(mn, mx, 3600000000)) AS minute_us
+    FROM bounds
+), filled AS (
+    SELECT g.instance_id, g.metric_name, g.minute_us,
+           last_value(p.metric_value IGNORE NULLS) OVER (
+               PARTITION BY g.instance_id, g.metric_name
+               ORDER BY g.minute_us) AS value,
+           p.metric_value IS NULL AS is_filled
+    FROM grid g LEFT JOIN per_min p
+      ON g.instance_id = p.instance_id AND g.metric_name = p.metric_name
+     AND g.minute_us = p.minute_us
+)
+SELECT instance_id, metric_name,
+       count(*) AS n_points,
+       CAST(sum(CASE WHEN is_filled THEN 1 ELSE 0 END) AS BIGINT) AS n_filled,
+       CAST(sum(value) AS BIGINT) AS sum_value_cents,
+       CAST(min(minute_us) AS BIGINT) AS first_us,
+       CAST(max(minute_us) AS BIGINT) AS last_us
+FROM filled
+GROUP BY instance_id, metric_name
+ORDER BY instance_id, metric_name
+"""

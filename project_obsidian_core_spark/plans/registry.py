@@ -321,6 +321,9 @@ _ENTRIES: list[tuple[str, QueryFn, str | None]] = [
         r.ORACLE_part_supplier_variety,
     ),
     ("sole_late_suppliers", r.sole_late_suppliers, r.ORACLE_sole_late_suppliers),
+    # Round-6: CDC feed generation (inverse MERGE) + minute-grid gap fill
+    ("orders_snapshot_diff", cdc.orders_snapshot_diff, cdc.ORACLE_orders_snapshot_diff),
+    ("metric_gap_fill", m.metric_gap_fill, m.ORACLE_metric_gap_fill),
 ]
 
 # ----------------------------------------------------------------------
@@ -391,6 +394,11 @@ _GATE_PRIORITY: list[str] = [
     "qan_rollup_minute",
     "qan_trend_5m",
     "qan_multi_metric_topn",
+    # -- (d) new round-6 queries deliberately BELOW the stale re-records
+    # (they verify locally; the rotation gives them official rows next
+    # round without dropping the stale count under the >=40 criterion)
+    "orders_snapshot_diff",
+    "metric_gap_fill",
 ]
 _PRIO = {name: rank for rank, name in enumerate(_GATE_PRIORITY)}
 _ENTRIES.sort(key=lambda entry: _PRIO.get(entry[0], len(_GATE_PRIORITY)))

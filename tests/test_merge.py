@@ -204,3 +204,42 @@ def test_partitioned_merge_crash_recovery(spark, tmp_path):
     assert not os.path.exists(f"{snap}/.merge_tmp")
     after = sorted(map(tuple, read_partitioned_snapshot(spark, snap).collect()))
     assert after == before
+
+
+def test_snapshot_diff_roundtrip_and_classification(spark):
+    """snapshot_diff is the inverse of merge_upsert: applying the derived
+    feed to the old snapshot reconstructs the new one; ops classify as
+    I (new key), U (changed row), D (gone key); unchanged keys are absent."""
+    from project_obsidian_core_spark.operators.merge import snapshot_diff
+
+    old = _base(spark)  # keys 1,2,3
+    new = spark.createDataFrame(
+        [(1, "a", 100), (2, "b2", 250), (4, "d", 400)],
+        "k int, name string, v int",
+    )
+    feed = snapshot_diff(old, new, keys=["k"])
+    ops = {r.k: r.op for r in feed.collect()}
+    assert ops == {2: "U", 3: "D", 4: "I"}  # key 1 unchanged -> absent
+    # D rows carry the old image
+    d_row = feed.filter("k = 3").collect()[0]
+    assert (d_row.name, d_row.v) == ("c", 300)
+
+    rebuilt = merge_upsert(old, feed, keys=["k"])
+    assert sorted(map(tuple, rebuilt.collect())) == sorted(
+        map(tuple, new.collect())
+    )
+
+
+def test_snapshot_diff_null_safe_comparison(spark):
+    """NULL-to-value and value-to-NULL transitions register as updates;
+    NULL-to-NULL does not."""
+    from project_obsidian_core_spark.operators.merge import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, None, 1), (2, "x", 2), (3, None, 3)], "k int, name string, v int"
+    )
+    new = spark.createDataFrame(
+        [(1, "now", 1), (2, None, 2), (3, None, 3)], "k int, name string, v int"
+    )
+    ops = {r.k: r.op for r in snapshot_diff(old, new, keys=["k"]).collect()}
+    assert ops == {1: "U", 2: "U"}  # key 3: NULL == NULL, unchanged
