@@ -124,6 +124,7 @@ BENCH_QUERIES = [
     "events_sliding_active_users_salted",  # salted two-level distinct
     "orders_snapshot_diff",   # CDC feed generation (inverse MERGE)
     "metric_gap_fill",        # carry-forward grid interpolation
+    "metric_time_weighted_avg_presplit",  # hot-series-safe TWA twin
 ]
 
 

@@ -264,3 +264,84 @@ FROM filled
 GROUP BY instance_id, metric_name
 ORDER BY instance_id, metric_name
 """
+
+
+def metric_time_weighted_avg_presplit(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Hot-series-safe twin of :func:`metric_time_weighted_avg` — identical
+    output, checked against the SAME oracle.
+
+    The plain formulation runs one lead window per series, so a series
+    holding 10⁸ samples sorts in one task (the round-6 soak's conclusion:
+    window-bound, not shuffle-bound). This variant applies the
+    sessionize_presplit pattern: samples bucket into 1-day periods, the
+    lead runs per (series, period) — tasks bounded by samples per series
+    per day — and the one cross-boundary weight per bucket (last sample →
+    next non-empty bucket's first sample) comes from a lead over the
+    per-bucket SUMMARY relation (one row per (series, day)). Struct
+    min/max under (us, v_cents) ordering reproduces the plain version's
+    tiebreak exactly.
+    """
+    from pyspark.sql import Window
+
+    period_us = 86_400_000_000
+    ev = load(spark, sf_dir, "events")
+    samples = ev.select(
+        (F.col("user_id") % 10).cast("string").alias("instance"),
+        F.col("event_type").alias("metric_name"),
+        F.unix_micros(F.col("ts")).alias("us"),
+        cents("value").alias("v_cents"),
+    ).withColumn("_p", F.floor(F.col("us") / F.lit(period_us)))
+
+    wp = Window.partitionBy("instance", "metric_name", "_p").orderBy(
+        "us", "v_cents"
+    )
+    local = samples.withColumn("next_us", F.lead("us").over(wp)).filter(
+        F.col("next_us").isNotNull()
+    )
+    in_bucket = local.groupBy("instance", "metric_name").agg(
+        F.sum(F.expr("v_cents * ((next_us - us) div 1000)")).alias("wv_sum"),
+        F.sum(F.expr("(next_us - us) div 1000")).alias("w_sum"),
+        F.count(F.lit(1)).alias("n_intervals"),
+    )
+
+    summary = samples.groupBy("instance", "metric_name", "_p").agg(
+        F.min(F.struct("us", "v_cents")).alias("_first"),
+        F.max(F.struct("us", "v_cents")).alias("_last"),
+    )
+    ws = Window.partitionBy("instance", "metric_name").orderBy("_p")
+    boundary = (
+        summary.withColumn("_next_first", F.lead("_first").over(ws))
+        .filter(F.col("_next_first").isNotNull())
+        .select(
+            "instance",
+            "metric_name",
+            F.col("_last.v_cents").alias("v_cents"),
+            F.col("_last.us").alias("us"),
+            F.col("_next_first.us").alias("next_us"),
+        )
+        .groupBy("instance", "metric_name")
+        .agg(
+            F.sum(F.expr("v_cents * ((next_us - us) div 1000)")).alias("wv_sum"),
+            F.sum(F.expr("(next_us - us) div 1000")).alias("w_sum"),
+            F.count(F.lit(1)).alias("n_intervals"),
+        )
+    )
+    merged = (
+        in_bucket.unionByName(boundary)
+        .groupBy("instance", "metric_name")
+        .agg(
+            F.sum("wv_sum").alias("wv_sum"),
+            F.sum("w_sum").alias("w_sum"),
+            F.sum("n_intervals").alias("n_intervals"),
+        )
+    )
+    return merged.select(
+        "instance",
+        "metric_name",
+        "wv_sum",
+        "w_sum",
+        "n_intervals",
+        F.expr("(wv_sum * 1000L) div w_sum").alias("twa_millicents"),
+    ).orderBy("instance", "metric_name")

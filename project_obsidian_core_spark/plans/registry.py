@@ -324,6 +324,13 @@ _ENTRIES: list[tuple[str, QueryFn, str | None]] = [
     # Round-6: CDC feed generation (inverse MERGE) + minute-grid gap fill
     ("orders_snapshot_diff", cdc.orders_snapshot_diff, cdc.ORACLE_orders_snapshot_diff),
     ("metric_gap_fill", m.metric_gap_fill, m.ORACLE_metric_gap_fill),
+    # Round-6 scale-variant twin: per-(series, day) presplit lead windows,
+    # identical output checked against the SAME oracle
+    (
+        "metric_time_weighted_avg_presplit",
+        m.metric_time_weighted_avg_presplit,
+        m.ORACLE_metric_time_weighted_avg,
+    ),
 ]
 
 # ----------------------------------------------------------------------
@@ -399,6 +406,7 @@ _GATE_PRIORITY: list[str] = [
     # round without dropping the stale count under the >=40 criterion)
     "orders_snapshot_diff",
     "metric_gap_fill",
+    "metric_time_weighted_avg_presplit",
 ]
 _PRIO = {name: rank for rank, name in enumerate(_GATE_PRIORITY)}
 _ENTRIES.sort(key=lambda entry: _PRIO.get(entry[0], len(_GATE_PRIORITY)))
