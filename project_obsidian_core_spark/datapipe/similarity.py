@@ -312,13 +312,22 @@ def knn_graph_degrees(emb: DataFrame, k: int = 5) -> DataFrame:
 
 
 def ivf_kmeans_topk(
-    emb: DataFrame, queries: DataFrame, k: int = 10, nprobe: int = 2
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    nprobe: int = 2,
+    k_cells: int | None = None,
 ) -> DataFrame:
     """IVF search over a LEARNED coarse quantizer: the quantized-Lloyd
     k-means centroids (datapipe/clustering.py) replace the label-seeded
     cells of :func:`ivf_topk` — the production IVF construction (train the
     quantizer on the corpus, probe the nprobe nearest cells, score exact
     cosine inside them).
+
+    ``k_cells`` sizes the quantizer (default: clustering.KMEANS_K, the
+    testdata geometry) — at 100 TB pick cells ≈ corpus / target-cell-size
+    exactly like the LSH ``bits`` knob; the oracle stays green at the
+    default because every stage threads the same value.
 
     Everything up to candidate selection is exact int64 arithmetic (the
     k-means contract), so cell residency and probe lists are bit-identical
@@ -328,8 +337,9 @@ def ivf_kmeans_topk(
     except the final per-query top-k."""
     from project_obsidian_core_spark.datapipe import clustering as KM
 
-    cents_df = KM.kmeans_centroids(emb)
-    resident = KM.kmeans_assign(KM.quantize(emb), cents_df).select(
+    kc = KM.KMEANS_K if k_cells is None else k_cells
+    cents_df = KM.kmeans_centroids(emb, k=kc)
+    resident = KM.kmeans_assign(KM.quantize(emb), cents_df, k=kc).select(
         "vec_id", F.col("cluster").alias("c_cell")
     )
     cents = cents_df.agg(
@@ -338,7 +348,7 @@ def ivf_kmeans_topk(
     qq = KM.quantize(queries)
     keys = F.transform(
         F.col("_cents"),
-        lambda c: KM._qdist(F.col("qv"), c.getField("cv")) * KM.KMEANS_K
+        lambda c: KM._qdist(F.col("qv"), c.getField("cv")) * kc
         + c.getField("cluster"),
     )
     probes = (
@@ -348,7 +358,7 @@ def ivf_kmeans_topk(
             F.explode(
                 F.transform(
                     F.slice(F.array_sort(keys), 1, nprobe),
-                    lambda x: x % KM.KMEANS_K,
+                    lambda x: x % kc,
                 )
             ).alias("probe_cell"),
         )

@@ -91,3 +91,45 @@ def test_knn_graph_degree_invariants(emb, spark):
     # every node appears once; min degree >= k (out-edges always exist)
     assert sum(hist.values()) == 60
     assert min(hist) >= 3
+
+
+def test_lsh_bits_knob_shrinks_buckets_and_keeps_topk_shape(emb, queries):
+    """The round-6 geometry knob: more bits -> strictly finer buckets;
+    results at any bits are well-formed top-k subsets of brute force's
+    candidate space."""
+    s4 = S.lsh_bucket_stats(emb, bits=4).agg(F.max("n")).first()[0]
+    s8 = S.lsh_bucket_stats(emb, bits=8).agg(F.max("n")).first()[0]
+    assert s8 <= s4
+    got = S.lsh_topk(emb, queries, k=5, bits=8).collect()
+    for r in got:
+        assert 1 <= r["rank"] <= 5 and r["q_id"] != r["cand_id"]
+
+
+def test_lsh_max_bucket_guard_bounds_candidates(emb, queries):
+    """With a tiny max_bucket cap every surviving candidate's bucket is
+    within the cap — the silent-quadratic guard in action."""
+    capped = S.lsh_topk(emb, queries, k=5, max_bucket=50)
+    eb = emb.withColumn("bucket", S.lsh_bucket("embedding"))
+    sizes = {r["bucket"]: r["n"] for r in S.lsh_bucket_stats(emb).collect()}
+    cand_buckets = {
+        r["bucket"]
+        for r in eb.join(
+            capped.select(F.col("cand_id").alias("vec_id")).distinct(), "vec_id"
+        ).collect()
+    }
+    assert all(sizes[b] <= 50 for b in cand_buckets)
+
+
+def test_ivf_kmeans_k_cells_knob(emb, queries):
+    """k_cells threads through quantizer training, residency, and probe
+    arithmetic: results stay well-formed and recall does not collapse."""
+    got = S.ivf_kmeans_topk(emb, queries, k=5, nprobe=2, k_cells=4).collect()
+    by_q = {}
+    for r in got:
+        assert r["q_id"] != r["cand_id"]
+        by_q.setdefault(r["q_id"], []).append(r["rank"])
+    for ranks in by_q.values():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1))
+    brute = _pairs(S.brute_force_topk(emb, queries, k=5))
+    recall = len(brute & _pairs(S.ivf_kmeans_topk(emb, queries, k=5, nprobe=2, k_cells=4))) / len(brute)
+    assert recall >= 0.3, f"k_cells=4 recall collapsed: {recall}"
