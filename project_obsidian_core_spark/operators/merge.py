@@ -115,25 +115,38 @@ def scd2_history(
 BUCKET_COL = "part_bucket"
 
 
-def _bucket_expr(keys: Sequence[str], n_buckets: int):
-    """Deterministic key → bucket expression (non-negative Murmur3 mod N).
+def _bucket_expr(keys: Sequence[str], n_buckets: int, bucket_sql: str | None):
+    """Deterministic key → bucket expression.
 
-    Stable for a given Spark lineage — the bucket is a storage-layout
-    detail, never part of the data contract (readers drop it).
+    Default: non-negative Murmur3 of the keys mod N — uniform, but a CDC
+    batch of B random keys then touches ~min(B, N) leaves, so targeting
+    only beats a full rewrite when batches are much smaller than the
+    bucket count. ``bucket_sql`` (a SQL expression over the key columns
+    yielding an int in [0, N)) opts into RANGE/date bucketing instead —
+    when updates cluster on recent keys (the common CDC shape), a batch
+    touches O(1) leaves regardless of batch size. Writer and merger must
+    use the SAME expression; the bucket is a storage-layout detail, never
+    part of the data contract (readers drop it).
     """
+    if bucket_sql is not None:
+        return F.expr(bucket_sql).cast("int")
     return F.pmod(F.hash(*[F.col(k) for k in keys]), F.lit(n_buckets)).cast(
         "int"
     )
 
 
 def write_partitioned_snapshot(
-    df: DataFrame, path: str, keys: Sequence[str], n_buckets: int
+    df: DataFrame,
+    path: str,
+    keys: Sequence[str],
+    n_buckets: int,
+    bucket_sql: str | None = None,
 ) -> None:
     """Publish ``df`` as a key-bucketed parquet snapshot:
     ``path/part_bucket=K/``. The layout targeted merges rewrite per-leaf."""
-    df.withColumn(BUCKET_COL, _bucket_expr(keys, n_buckets)).write.partitionBy(
-        BUCKET_COL
-    ).mode("overwrite").parquet(path)
+    df.withColumn(
+        BUCKET_COL, _bucket_expr(keys, n_buckets, bucket_sql)
+    ).write.partitionBy(BUCKET_COL).mode("overwrite").parquet(path)
 
 
 def read_partitioned_snapshot(spark, path: str) -> DataFrame:
@@ -149,6 +162,7 @@ def merge_into_partitioned(
     n_buckets: int,
     op_col: str = "op",
     order_col: str | None = None,
+    bucket_sql: str | None = None,
 ) -> list[int]:
     """MERGE a CDC batch into a bucketed snapshot, rewriting ONLY the
     bucket leaves the batch touches (round-5 verdict: the streaming CDC
@@ -181,7 +195,9 @@ def merge_into_partitioned(
     """
     from project_obsidian_core_spark.operators.maintenance import _fs_and_path
 
-    changes_b = changes.withColumn(BUCKET_COL, _bucket_expr(keys, n_buckets))
+    changes_b = changes.withColumn(
+        BUCKET_COL, _bucket_expr(keys, n_buckets, bucket_sql)
+    )
     touched = sorted(
         r[0] for r in changes_b.select(BUCKET_COL).distinct().collect()
     )
@@ -195,7 +211,7 @@ def merge_into_partitioned(
     )
     merged = merge_upsert(
         current, changes_b.drop(BUCKET_COL), keys, op_col, order_col
-    ).withColumn(BUCKET_COL, _bucket_expr(keys, n_buckets))
+    ).withColumn(BUCKET_COL, _bucket_expr(keys, n_buckets, bucket_sql))
 
     tmp_root = f"{path}/.merge_tmp"
     merged.write.partitionBy(BUCKET_COL).mode("overwrite").parquet(tmp_root)

@@ -243,3 +243,39 @@ def test_snapshot_diff_null_safe_comparison(spark):
     )
     ops = {r.k: r.op for r in snapshot_diff(old, new, keys=["k"]).collect()}
     assert ops == {1: "U", 2: "U"}  # key 3: NULL == NULL, unchanged
+
+
+def test_partitioned_merge_range_bucketing_touches_one_leaf(spark, tmp_path):
+    """With range bucket_sql and a clustered batch, exactly one leaf is
+    touched and every other leaf keeps its files — the CDC shape where
+    targeting beats a full rewrite."""
+    from project_obsidian_core_spark.operators.merge import (
+        merge_into_partitioned,
+        read_partitioned_snapshot,
+        write_partitioned_snapshot,
+    )
+
+    snap = str(tmp_path / "snap")
+    bucket_sql = "cast(k div 25 as int)"  # keys 0-99 -> 4 range leaves
+    base = spark.createDataFrame(
+        [(k, k * 10) for k in range(100)], "k int, v int"
+    )
+    write_partitioned_snapshot(
+        base, snap, keys=["k"], n_buckets=4, bucket_sql=bucket_sql
+    )
+    before = _leaf_files(snap)
+
+    ch = spark.createDataFrame(
+        [(90, 900_0, "U"), (95, 950_0, "U"), (99, 990_0, "U")],
+        "k int, v int, op string",
+    )
+    touched = merge_into_partitioned(
+        spark, snap, ch, keys=["k"], n_buckets=4, bucket_sql=bucket_sql
+    )
+    assert touched == [3]  # all three keys live in the last range leaf
+    after = _leaf_files(snap)
+    for leaf, files in before.items():
+        if leaf != "part_bucket=3":
+            assert after[leaf] == files
+    rows = {r.k: r.v for r in read_partitioned_snapshot(spark, snap).collect()}
+    assert rows[90] == 9000 and rows[99] == 9900 and len(rows) == 100
