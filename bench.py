@@ -125,6 +125,7 @@ BENCH_QUERIES = [
     "orders_snapshot_diff",   # CDC feed generation (inverse MERGE)
     "metric_gap_fill",        # carry-forward grid interpolation
     "metric_time_weighted_avg_presplit",  # hot-series-safe TWA twin
+    "corpus_schema_evolution",  # mergeSchema generations + default backfill
 ]
 
 

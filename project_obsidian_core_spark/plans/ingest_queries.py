@@ -122,3 +122,58 @@ FROM documents
 WHERE doc_id % {CORRUPT_MOD} <> 0
 ORDER BY doc_id
 """
+
+
+def corpus_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two parquet generations with EVOLVED schemas (v1: doc_id/text/source
+    only — the columns a year-old pipeline wrote; v2: today's full five)
+    read as one relation via ``mergeSchema`` + typed defaults
+    (:func:`sources.corpus.read_evolving_corpus`), then a per-lang
+    summary. The oracle restates union-by-name + default semantics
+    directly over the documents view, so the gate pins Spark's
+    footer-reconciliation behavior against the semantic spec.
+    """
+    key = f"evolve:{sf_dir}"
+    src = _SRC_CACHE.get(key)
+    if src is None:
+        src = tempfile.mkdtemp(prefix=f"obsidian_evolve_{next(_RUN_IDS)}_")
+        docs = load(spark, sf_dir, "documents")
+        docs.filter(F.col("doc_id") % 2 == 0).select(
+            "doc_id", "text", "source"
+        ).write.mode("overwrite").parquet(f"{src}/gen=v1")
+        docs.filter(F.col("doc_id") % 2 == 1).write.mode("overwrite").parquet(
+            f"{src}/gen=v2"
+        )
+        _SRC_CACHE[key] = src
+    evolved = SC.read_evolving_corpus(
+        spark,
+        f"{src}/gen=v1",
+        f"{src}/gen=v2",
+        added_defaults={"lang": "und", "n_chars": -1},
+    )
+    return (
+        evolved.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("sum_n_chars"),
+            F.count("text").alias("n_text"),
+        )
+        .orderBy("lang")
+    )
+
+
+ORACLE_corpus_schema_evolution = """
+WITH evolved AS (
+    SELECT doc_id, text, source, 'und' AS lang, CAST(-1 AS BIGINT) AS n_chars
+    FROM documents WHERE doc_id % 2 = 0
+    UNION ALL
+    SELECT doc_id, text, source, lang, n_chars
+    FROM documents WHERE doc_id % 2 = 1
+)
+SELECT lang, count(*) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS sum_n_chars,
+       count(text) AS n_text
+FROM evolved
+GROUP BY lang
+ORDER BY lang
+"""

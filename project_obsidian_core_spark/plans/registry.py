@@ -331,6 +331,12 @@ _ENTRIES: list[tuple[str, QueryFn, str | None]] = [
         m.metric_time_weighted_avg_presplit,
         m.ORACLE_metric_time_weighted_avg,
     ),
+    # Round-6: mergeSchema read over evolved parquet generations
+    (
+        "corpus_schema_evolution",
+        ing.corpus_schema_evolution,
+        ing.ORACLE_corpus_schema_evolution,
+    ),
 ]
 
 # ----------------------------------------------------------------------
@@ -407,6 +413,7 @@ _GATE_PRIORITY: list[str] = [
     "orders_snapshot_diff",
     "metric_gap_fill",
     "metric_time_weighted_avg_presplit",
+    "corpus_schema_evolution",
 ]
 _PRIO = {name: rank for rank, name in enumerate(_GATE_PRIORITY)}
 _ENTRIES.sort(key=lambda entry: _PRIO.get(entry[0], len(_GATE_PRIORITY)))

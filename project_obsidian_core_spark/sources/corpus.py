@@ -125,3 +125,29 @@ def read_csv_corpus(spark: SparkSession, path: str) -> DataFrame:
         ).alias("c")
     )
     return parsed.select("c.*")
+
+
+# ------------------------------------------------------ schema evolution --
+def read_evolving_corpus(
+    spark: SparkSession, *paths: str, added_defaults: dict | None = None
+) -> DataFrame:
+    """Read parquet generations whose schemas EVOLVED (columns added over
+    time) as one relation — the long-lived-corpus reality: yesterday's
+    shards lack the columns today's pipeline writes.
+
+    ``mergeSchema`` unions the file schemas (old files yield NULL for
+    columns they predate — Spark reconciles footers per file, no rewrite
+    of old generations); ``added_defaults`` then coalesces chosen columns
+    to a typed default so downstream operators never special-case the
+    old generation.
+
+    Scale notes: schema merging reads FOOTERS of every file at planning
+    time — on a 10⁶-file corpus pin the merged schema explicitly
+    (``spark.read.schema(merged)``) and skip the discovery cost; the
+    per-row behavior (NULL backfill, default coalesce) is identical and
+    stays in whole-stage codegen.
+    """
+    df = spark.read.option("mergeSchema", "true").parquet(*paths)
+    for col, default in (added_defaults or {}).items():
+        df = df.withColumn(col, F.coalesce(F.col(col), F.lit(default)))
+    return df
