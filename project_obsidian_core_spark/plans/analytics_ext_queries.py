@@ -62,6 +62,31 @@ ORDER BY event_type
 """
 
 
+def qan_latency_quantiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The sketch twin of :func:`qan_latency_quantiles` — the plan you run
+    at 100 TB: ``approx_percentile`` builds a bounded-memory quantile
+    summary that merges MAP-SIDE (partial aggregation before the
+    exchange), where exact ``percentile`` buffers every value through the
+    shuffle. Not oracle-gated (engine-specific sketch); accuracy is pinned
+    against the exact result in unit tests (same pattern as
+    qan_unique_queries_hll)."""
+    ev = load(spark, sf_dir, "events")
+    q = F.expr("approx_percentile(c, array(0.5, 0.95, 0.99), 10000)")
+    return (
+        ev.select("event_type", cents("value").alias("c"))
+        .groupBy("event_type")
+        .agg(q.alias("q"), F.count(F.lit(1)).alias("n"))
+        .select(
+            "event_type",
+            F.element_at("q", 1).alias("p50"),
+            F.element_at("q", 2).alias("p95"),
+            F.element_at("q", 3).alias("p99"),
+            "n",
+        )
+        .orderBy("event_type")
+    )
+
+
 # ---------------------------------------------------- new-digest anti -----
 def qan_new_digests(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J-family extension: left ANTI join — (instance, digest) pairs first

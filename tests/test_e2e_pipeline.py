@@ -175,3 +175,34 @@ def test_approx_count_distinct_accuracy(spark):
     }
     for sys_name, n in exact.items():
         assert abs(approx[sys_name] - n) <= max(1, 0.05 * n)
+
+
+def test_approx_percentile_accuracy(spark):
+    """The sketch quantile twin guarantees RANK error (not value error —
+    a heavy tail can put adjacent ranks far apart in value space), so the
+    pin is rank-based: each approx quantile must sit within 2 percentage
+    points of its target rank in the exact per-group value distribution."""
+    from project_obsidian_core_spark.plans.analytics_ext_queries import (
+        qan_latency_quantiles_approx,
+    )
+    from project_obsidian_core_spark.plans.common import cents, load as _load
+
+    sf = "/root/testdata/sf0.001"
+    approx = {
+        r["event_type"]: r for r in qan_latency_quantiles_approx(spark, sf).collect()
+    }
+    vals = {}
+    for r in (
+        _load(spark, sf, "events")
+        .select("event_type", cents("value").alias("c"))
+        .collect()
+    ):
+        vals.setdefault(r["event_type"], []).append(r["c"])
+    assert set(vals) == set(approx)
+    for et, a in approx.items():
+        xs = sorted(vals[et])
+        assert a["n"] == len(xs)
+        for p, target in (("p50", 0.5), ("p95", 0.95), ("p99", 0.99)):
+            got = float(a[p])
+            rank = sum(1 for x in xs if x <= got) / len(xs)
+            assert abs(rank - target) <= 0.02, (et, p, got, rank, target)
