@@ -186,6 +186,7 @@ def main() -> None:
     warm: dict[str, float] = {}
     cold: dict[str, float] = {}
     spread: dict[str, list[float]] = {}
+    partial_path = os.path.join(REPO, "BENCH_LOCAL.partial.json")
     for name in BENCH_QUERIES:
         runs = []
         for _ in range(repeat):
@@ -196,6 +197,15 @@ def main() -> None:
         warm_runs = runs[1:] if len(runs) > 1 else runs
         warm[name] = round(statistics.median(warm_runs), 4)
         spread[name] = [round(min(warm_runs), 4), round(max(warm_runs), 4)]
+        # checkpoint after every query: a timeout/kill mid-suite still
+        # leaves every completed measurement on disk
+        with open(partial_path, "w") as fh:
+            fh.write(
+                json.dumps(
+                    {"queries": warm, "queries_cold": cold, "host": host, "sf": sf}
+                )
+                + "\n"
+            )
 
     r1_ratio = _r1_ratio(warm, sf)
     full = json.dumps(
@@ -220,6 +230,8 @@ def main() -> None:
     # per-query breakdown, 2-decimal precision, separators without spaces.
     with open(os.path.join(REPO, "BENCH_LOCAL.json"), "w") as fh:
         fh.write(full + "\n")
+    if os.path.exists(partial_path):
+        os.remove(partial_path)
     line = json.dumps(
         {
             "metric": "bench_suite_seconds",
