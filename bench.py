@@ -126,6 +126,7 @@ BENCH_QUERIES = [
     "metric_gap_fill",        # carry-forward grid interpolation
     "metric_time_weighted_avg_presplit",  # hot-series-safe TWA twin
     "corpus_schema_evolution",  # mergeSchema generations + default backfill
+    "dedup_embedding_lsh",    # label-free LSH-bucketed embedding near-dup
 ]
 
 

@@ -775,3 +775,60 @@ def simhash_pairs(
         .filter(F.col("hamming") <= hamming_max)
         .select("doc_a", "doc_b", "hamming")
     )
+
+
+def embedding_lsh_pairs(
+    emb: DataFrame,
+    vec_col: str = "embedding",
+    bits: int = 8,
+    dim: int = 64,
+    max_bucket: int | None = None,
+) -> DataFrame:
+    """Embedding near-dup candidate pairs blocked by SIGN-LSH bucket —
+    the label-free scale path of :func:`embedding_cosine_pairs` (label
+    blocking presumes a label exists; a raw crawl corpus has none).
+
+    Buckets come from the parameterized hash geometry
+    (similarity.lsh_bucket): near-identical vectors agree on every
+    hyperplane sign, so true near-dups share a bucket with high
+    probability while the pair space is bucket-quadratic, not
+    corpus-quadratic. ``bits`` sizes the buckets (round-6 rule:
+    bits ≈ log2(corpus / target_bucket)); ``max_bucket`` drops
+    pathological buckets the same way the MinHash band guard does.
+    Output matches embedding_cosine_pairs: (block, vec_a, vec_b,
+    cos_sim) with block = bucket id.
+    """
+    from project_obsidian_core_spark.datapipe import similarity as S
+    from project_obsidian_core_spark.datapipe import vectors as V
+
+    t = emb.select(
+        "vec_id",
+        S.lsh_bucket(vec_col, bits, dim).alias("block"),
+        F.col(vec_col).alias("v"),
+        V.norm(F.col(vec_col)).alias("nrm"),
+    )
+    if max_bucket is not None:
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("block")
+        t = (
+            t.withColumn("__bucket_n", F.count(F.lit(1)).over(w))
+            .filter(F.col("__bucket_n") <= max_bucket)
+            .drop("__bucket_n")
+        )
+    return (
+        t.alias("a")
+        .join(
+            t.alias("b"),
+            (F.col("a.block") == F.col("b.block"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.block").alias("block"),
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            V.cosine_prenormed(
+                V.dot(F.col("a.v"), F.col("b.v")), F.col("a.nrm"), F.col("b.nrm")
+            ).alias("cos_sim"),
+        )
+    )

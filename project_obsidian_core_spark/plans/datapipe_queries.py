@@ -360,6 +360,37 @@ LIMIT 50
 """
 
 
+def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-50 cosine pairs blocked by SIGN-LSH bucket (bits=8) — the
+    label-free production path of dedup_embedding_cosine (round 6; a raw
+    crawl corpus has no label column to block on)."""
+    return (
+        D.embedding_lsh_pairs(load(spark, sf_dir, "embeddings"), bits=8)
+        .orderBy(F.desc("cos_sim"), "vec_a", "vec_b")
+        .limit(50)
+    )
+
+
+def _oracle_dedup_embedding_lsh(bits: int) -> str:
+    from project_obsidian_core_spark.datapipe import similarity as _S
+
+    return f"""
+WITH t AS (
+    SELECT vec_id, {_S.sql_lsh_bucket('embedding', bits=bits)} AS block,
+           embedding AS v, {V.sql_norm('embedding', _EMB_DIM)} AS nrm
+    FROM embeddings
+)
+SELECT a.block AS block, a.vec_id AS vec_a, b.vec_id AS vec_b,
+       {V.sql_dot('a.v', 'b.v', _EMB_DIM)} / (a.nrm * b.nrm) AS cos_sim
+FROM t a JOIN t b ON a.block = b.block AND a.vec_id < b.vec_id
+ORDER BY cos_sim DESC, vec_a, vec_b
+LIMIT 50
+"""
+
+
+ORACLE_dedup_embedding_lsh = _oracle_dedup_embedding_lsh(8)
+
+
 # ========================================================== similarity ====
 from project_obsidian_core_spark.datapipe import similarity as S  # noqa: E402
 

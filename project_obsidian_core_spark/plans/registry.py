@@ -337,6 +337,8 @@ _ENTRIES: list[tuple[str, QueryFn, str | None]] = [
         ing.corpus_schema_evolution,
         ing.ORACLE_corpus_schema_evolution,
     ),
+    # Round-6: label-free embedding near-dup (sign-LSH bucket blocks)
+    ("dedup_embedding_lsh", d.dedup_embedding_lsh, d.ORACLE_dedup_embedding_lsh),
 ]
 
 # ----------------------------------------------------------------------
@@ -414,6 +416,7 @@ _GATE_PRIORITY: list[str] = [
     "metric_gap_fill",
     "metric_time_weighted_avg_presplit",
     "corpus_schema_evolution",
+    "dedup_embedding_lsh",
 ]
 _PRIO = {name: rank for rank, name in enumerate(_GATE_PRIORITY)}
 _ENTRIES.sort(key=lambda entry: _PRIO.get(entry[0], len(_GATE_PRIORITY)))
