@@ -233,6 +233,13 @@ def main() -> None:
         fh.write(full + "\n")
     if os.path.exists(partial_path):
         os.remove(partial_path)
+    # aggregate spread stats (full per-query spread lives in BENCH_LOCAL
+    # only — ~2 KB that would push this line past the driver's ~4 KB tail
+    # capture, the r03 clip failure mode)
+    rels = sorted(
+        (sp[1] - sp[0]) / w if w > 0 else 0.0
+        for w, sp in ((warm[k], spread[k]) for k in warm)
+    )
     line = json.dumps(
         {
             "metric": "bench_suite_seconds",
@@ -242,6 +249,8 @@ def main() -> None:
             "value_cold": round(sum(cold.values()), 2),
             "r1_ratio": r1_ratio,
             "load1": host["load1"],
+            "spread_med_rel": round(rels[len(rels) // 2], 3) if rels else None,
+            "spread_max_rel": round(rels[-1], 3) if rels else None,
             "sf": sf,
         },
         separators=(",", ":"),
