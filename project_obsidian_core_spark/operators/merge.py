@@ -310,8 +310,14 @@ def snapshot_diff(
         .when(F.col("_in_new").isNull(), F.lit(OP_DELETE))
         .when(changed, F.lit(OP_UPDATE))
     )
+    # Image selection is by JOIN SIDE, never by value nullness: an update
+    # that sets a column to NULL must emit NULL (coalesce would resurrect
+    # the old value and break the merge∘diff round-trip invariant).
     out_cols = [
-        F.coalesce(F.col(c), F.col(f"_old_{c}")).alias(c) for c in data_cols
+        F.when(F.col("_in_new").isNotNull(), F.col(c))
+        .otherwise(F.col(f"_old_{c}"))
+        .alias(c)
+        for c in data_cols
     ]
     return (
         joined.withColumn(op_col, op)

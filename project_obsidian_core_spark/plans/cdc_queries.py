@@ -268,11 +268,11 @@ WITH base AS (
     FROM changes WHERE op <> 'D'
 )
 SELECT coalesce(n.o_orderkey, o.o_orderkey) AS o_orderkey,
-       coalesce(n.o_custkey, o.o_custkey) AS o_custkey,
-       coalesce(n.o_orderstatus, o.o_orderstatus) AS o_orderstatus,
-       coalesce(n.price_cents, o.price_cents) AS price_cents,
-       coalesce(n.order_us, o.order_us) AS order_us,
-       coalesce(n.o_orderpriority, o.o_orderpriority) AS o_orderpriority,
+       CASE WHEN n.o_orderkey IS NULL THEN o.o_custkey ELSE n.o_custkey END AS o_custkey,
+       CASE WHEN n.o_orderkey IS NULL THEN o.o_orderstatus ELSE n.o_orderstatus END AS o_orderstatus,
+       CASE WHEN n.o_orderkey IS NULL THEN o.price_cents ELSE n.price_cents END AS price_cents,
+       CASE WHEN n.o_orderkey IS NULL THEN o.order_us ELSE n.order_us END AS order_us,
+       CASE WHEN n.o_orderkey IS NULL THEN o.o_orderpriority ELSE n.o_orderpriority END AS o_orderpriority,
        CASE WHEN o.o_orderkey IS NULL THEN 'I'
             WHEN n.o_orderkey IS NULL THEN 'D'
             ELSE 'U' END AS op

@@ -241,8 +241,21 @@ def test_snapshot_diff_null_safe_comparison(spark):
     new = spark.createDataFrame(
         [(1, "now", 1), (2, None, 2), (3, None, 3)], "k int, name string, v int"
     )
-    ops = {r.k: r.op for r in snapshot_diff(old, new, keys=["k"]).collect()}
-    assert ops == {1: "U", 2: "U"}  # key 3: NULL == NULL, unchanged
+    feed = snapshot_diff(old, new, keys=["k"])
+    rows = {r.k: r for r in feed.collect()}
+    assert {k: r.op for k, r in rows.items()} == {1: "U", 2: "U"}
+    # key 3: NULL == NULL, unchanged
+
+    # The U row's image is the NEW side even when the new value is NULL —
+    # selecting by nullness (coalesce) would resurrect the old value.
+    assert rows[2].name is None
+    assert rows[1].name == "now"
+
+    # Round-trip invariant holds through a value -> NULL update.
+    rebuilt = merge_upsert(old, feed, keys=["k"])
+    assert sorted(
+        map(tuple, rebuilt.collect())
+    ) == sorted(map(tuple, new.collect()))
 
 
 def test_partitioned_merge_range_bucketing_touches_one_leaf(spark, tmp_path):
