@@ -234,27 +234,43 @@ def main() -> None:
     if os.path.exists(partial_path):
         os.remove(partial_path)
     # aggregate spread stats (full per-query spread lives in BENCH_LOCAL
-    # only — ~2 KB that would push this line past the driver's ~4 KB tail
-    # capture, the r03 clip failure mode)
+    # only — ~2 KB that would push this line past the driver's tail capture)
     rels = sorted(
         (sp[1] - sp[0]) / w if w > 0 else 0.0
         for w, sp in ((warm[k], spread[k]) for k in warm)
     )
+    # The driver records only the LAST 2000 chars of stdout and json-parses
+    # the final line: r06's 80-query map (~2.3 KB) overflowed it and the
+    # official record came back parsed:null. The printed line therefore
+    # carries per-query times ONLY for the round-1 contract subset (the 14
+    # queries the 2x-baseline ratio is computed over, ~450 bytes) plus the
+    # suite aggregates; every query's warm/cold/spread detail is in
+    # BENCH_LOCAL.json.
+    r1_subset = [
+        "qan_top_digests", "qan_multi_metric_topn", "qan_trend_5m",
+        "qan_rollup_minute", "qan_snapshot_delta", "pricing_summary",
+        "top_revenue_orders", "regional_revenue", "text_quality",
+        "text_fingerprint", "dedup_minhash_lsh", "knn_brute", "knn_lsh",
+        "media_features",
+    ]
     line = json.dumps(
         {
             "metric": "bench_suite_seconds",
             "value": round(sum(warm.values()), 2),
             "unit": "sec",
-            "queries": {k: round(v, 2) for k, v in warm.items()},
+            "queries": {q: round(warm[q], 2) for q in r1_subset if q in warm},
+            "n_queries": len(warm),
             "value_cold": round(sum(cold.values()), 2),
             "r1_ratio": r1_ratio,
             "load1": host["load1"],
             "spread_med_rel": round(rels[len(rels) // 2], 3) if rels else None,
             "spread_max_rel": round(rels[-1], 3) if rels else None,
+            "detail": "BENCH_LOCAL.json",
             "sf": sf,
         },
         separators=(",", ":"),
     )
+    assert len(line) < 1900, f"bench line too long for tail capture: {len(line)}"
     print(line, flush=True)
 
 

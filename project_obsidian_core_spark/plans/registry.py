@@ -342,65 +342,24 @@ _ENTRIES: list[tuple[str, QueryFn, str | None]] = [
 ]
 
 # ----------------------------------------------------------------------
-# Gate rotation (round 6): the driver records only the first 50 entries,
-# so lead with (a) queries that have NO official row yet, then (b) the 44
-# queries whose newest official row is r02, then (c) the 4 whose newest
-# row is r03.  Everything else keeps its relative order at the tail
-# (stable sort).  Names absent from this list rank after all listed ones.
+# Gate rotation (round 7): the driver records only the first 50 entries.
+# After r06 every query has a green official row EXCEPT the five round-6
+# additions — those lead unconditionally (r6 verdict next-#2).  The rest
+# of the 50-slot window re-records the queries whose newest official row
+# is OLDEST (r02 -> r03 -> r04, then an r05 fill), so no row drifts more
+# than a few rounds behind the living code.  Everything else keeps its
+# relative order at the tail (stable sort).  Names absent from this list
+# rank after all listed ones.
 _GATE_PRIORITY: list[str] = [
-    # -- (a) new round-6 queries (no official row yet) or reworked this
-    # round (stream_cdc_merge: partition-targeted rewrite) --------------
-    "events_sliding_active_users_salted",
-    "knn_lsh_scaled",
-    "stream_cdc_merge",
-    "forecast_revenue",
-    "nation_year_profit",
-    "major_suppliers",
-    "late_priority_lines",
-    "part_supplier_variety",
-    "sole_late_suppliers",
-    # -- (b) newest official row is r02; implementation touched since ---
-    "qan_compare_systems",
-    "qan_hit_ratio_pivot",
-    "qan_distinct_metrics",
-    "qan_like_having",
-    "qan_load_score",
-    "qan_labels_json",
-    "qan_query_profile",
-    "qan_unique_queries_approx",
-    "qan_latency_quantiles",
-    "qan_new_digests",
-    "qan_moving_avg",
-    "qan_grouping_sets",
-    "qan_value_histogram",
-    "corpus_length_ntile",
-    "qan_anomaly_zscore",
-    "global_status_pivot",
-    "otlp_metrics_parse",
-    "jsonl_ingest",
-    "pysource_scan",
-    "metric_series",
-    "buffer_hit_ratio",
-    "pricing_summary",
-    "top_revenue_orders",
-    "regional_revenue",
-    "customer_order_stats",
-    "cte_order_summary",
-    "events_asof_join",
-    "events_range_join",
-    "text_token_stats",
-    "text_quality",
-    "text_lang_id",
-    "text_fingerprint",
-    "text_tfidf_topk",
-    "dedup_exact",
-    "dedup_minhash_lsh",
-    "dedup_simhash",
-    "dedup_simhash_pairs",
-    "dedup_ngram_pairs",
-    "dedup_embedding_cosine",
-    "dedup_clusters",
-    "dedup_canonical",
+    # -- (a) no official row yet (round-6 additions; orders_snapshot_diff
+    # also carries this round's NULL-image fix) -------------------------
+    "orders_snapshot_diff",
+    "metric_gap_fill",
+    "metric_time_weighted_avg_presplit",
+    "corpus_schema_evolution",
+    "dedup_embedding_lsh",
+    # -- (a') new round-7 queries slot in HERE, after the five ----------
+    # -- (b) newest official row is r02 ---------------------------------
     "knn_brute",
     "knn_lsh",
     "knn_ivf",
@@ -409,14 +368,46 @@ _GATE_PRIORITY: list[str] = [
     "qan_rollup_minute",
     "qan_trend_5m",
     "qan_multi_metric_topn",
-    # -- (d) new round-6 queries deliberately BELOW the stale re-records
-    # (they verify locally; the rotation gives them official rows next
-    # round without dropping the stale count under the >=40 criterion)
-    "orders_snapshot_diff",
-    "metric_gap_fill",
-    "metric_time_weighted_avg_presplit",
-    "corpus_schema_evolution",
-    "dedup_embedding_lsh",
+    # -- (d) newest official row is r04 ---------------------------------
+    "qan_top_digests",
+    "qan_top_digests_salted",
+    "qan_percent_rank",
+    "qan_rollup_merge",
+    "qan_top_movers",
+    "corpus_language_mixture",
+    "corpus_pack_greedy",
+    "corpus_quality_filter",
+    "curation_report",
+    "customer_cumulative_spend",
+    "dedup_clusters_ls",
+    "dedup_incremental",
+    "embedding_kmeans",
+    "events_asof_join_presplit",
+    "events_funnel",
+    "events_props_stats",
+    "events_retention",
+    "events_user_paths",
+    "knn_graph_degree",
+    "knn_ivf_kmeans",
+    "stream_dedup_events",
+    "stream_range_join",
+    "stream_session_stats",
+    "stream_snapshot_delta",
+    # -- (e) r05 fill to slot 50 (oldest half of the r05 cohort) --------
+    "bpe_encode_stats",
+    "bpe_merges",
+    "brand_type_revenue",
+    "corpus_decontaminate",
+    "corpus_mixture_plan",
+    "corpus_pack",
+    "corpus_sample",
+    "corpus_split",
+    "corpus_stratified_sample",
+    "corpus_tile_dedup",
+    "corpus_weighted_sample",
+    "csv_ingest",
+    "customer_order_distribution",
+    "customer_trailing_revenue",
 ]
 _PRIO = {name: rank for rank, name in enumerate(_GATE_PRIORITY)}
 _ENTRIES.sort(key=lambda entry: _PRIO.get(entry[0], len(_GATE_PRIORITY)))

@@ -130,7 +130,11 @@ def test_partitioned_merge_leaves_untouched_buckets(spark, tmp_path):
         [(7, "seven", 777, "U"), (100, "new", 1000, "I"), (13, None, 0, "D")],
         "k int, name string, v int, op string",
     )
-    touched = merge_into_partitioned(spark, snap, ch, keys=["k"], n_buckets=8)
+    # full_rewrite_frac=1.0 pins the TARGETED path (3 keys can land in 3
+    # of 8 buckets, above the adaptive default's fallback threshold)
+    touched = merge_into_partitioned(
+        spark, snap, ch, keys=["k"], n_buckets=8, full_rewrite_frac=1.0
+    )
     after = _leaf_files(snap)
 
     touched_leaves = {f"part_bucket={b}" for b in touched}
@@ -169,6 +173,82 @@ def test_partitioned_merge_matches_full_merge(spark, tmp_path):
         map(tuple, merge_upsert(base, _changes(spark), keys=["k"]).collect())
     )
     assert got == want
+
+
+def test_partitioned_merge_adaptive_full_rewrite(spark, tmp_path):
+    """A batch touching more than full_rewrite_frac of the buckets falls
+    back to the single-job full rewrite: the result is identical to
+    merge_upsert, the layout stays bucketed, and no per-leaf working dirs
+    are left behind."""
+    import os
+
+    from project_obsidian_core_spark.operators.merge import (
+        merge_into_partitioned,
+        merge_upsert,
+        read_partitioned_snapshot,
+        write_partitioned_snapshot,
+    )
+
+    snap = str(tmp_path / "snap")
+    base = spark.createDataFrame(
+        [(k, f"n{k}", k * 10) for k in range(200)], "k int, name string, v int"
+    )
+    write_partitioned_snapshot(base, snap, keys=["k"], n_buckets=8)
+    # 40 random-ish keys spread over ~all 8 buckets -> way past 8/4 = 2
+    ch = spark.createDataFrame(
+        [(k * 5 + 1, f"u{k}", k, "U") for k in range(40)],
+        "k int, name string, v int, op string",
+    )
+    touched = merge_into_partitioned(spark, snap, ch, keys=["k"], n_buckets=8)
+    assert len(touched) > 2  # adaptive threshold actually crossed
+
+    got = sorted(
+        map(tuple, read_partitioned_snapshot(spark, snap).select("k", "name", "v").collect())
+    )
+    want = sorted(map(tuple, merge_upsert(base, ch, keys=["k"]).collect()))
+    assert got == want
+    # bucketed layout preserved; sibling working dirs cleaned up
+    assert any(d.startswith("part_bucket=") for d in os.listdir(snap))
+    parent = os.path.dirname(snap)
+    assert not any(".merge_full" in d for d in os.listdir(parent))
+
+
+def test_partitioned_merge_full_rewrite_crash_recovery(spark, tmp_path):
+    """Crash windows of the sibling-dir full rewrite: a snapshot stranded
+    in <path>.merge_full_old (crash between the two root renames) is
+    restored; stale sibling dirs are dropped when the snapshot exists."""
+    import os
+    import shutil
+
+    from project_obsidian_core_spark.operators.merge import (
+        read_partitioned_snapshot,
+        recover_partitioned_merge,
+        write_partitioned_snapshot,
+    )
+
+    snap = str(tmp_path / "snap")
+    write_partitioned_snapshot(
+        spark.createDataFrame([(k, k * 10) for k in range(20)], "k int, v int"),
+        snap,
+        keys=["k"],
+        n_buckets=4,
+    )
+    before = sorted(map(tuple, read_partitioned_snapshot(spark, snap).collect()))
+
+    # crash between rename(path -> old) and rename(tmp -> path)
+    os.rename(snap, f"{snap}.merge_full_old")
+    os.makedirs(f"{snap}.merge_full_tmp/leftover", exist_ok=True)
+    actions = recover_partitioned_merge(spark, snap)
+    assert actions["_merge_full_old"] == "restored_snapshot"
+    assert actions["_merge_full_tmp"] == "dropped_incomplete_full_rewrite"
+    after = sorted(map(tuple, read_partitioned_snapshot(spark, snap).collect()))
+    assert after == before
+
+    # crash after publish but before dropping the old copy
+    shutil.copytree(snap, f"{snap}.merge_full_old")
+    actions = recover_partitioned_merge(spark, snap)
+    assert actions["_merge_full_old"] == "dropped_stale_full_old"
+    assert not os.path.exists(f"{snap}.merge_full_old")
 
 
 def test_partitioned_merge_crash_recovery(spark, tmp_path):
