@@ -97,7 +97,11 @@ def gap_fill_minutes(metrics: DataFrame, step_us: int = 60_000_000) -> DataFrame
     range is generated with ``sequence`` (grid size is span-bounded —
     independent of sample count), and missing minutes take the most recent
     earlier value via ``last(ignorenulls)`` over an ordered window.
-    ``is_filled`` marks interpolated rows.
+    ``is_filled`` marks interpolated rows — derived from the grid-join
+    MISS (a presence flag), not from value nullness, so a genuine sample
+    whose value is NULL keeps ``is_filled=false`` and its NULL value
+    (carry-forward applies only to absent minutes; later gaps carry the
+    last non-null value past it).
 
     Scale: one shuffle to the per-minute reduction, one per-series window
     — the same partitioning, so the window reuses the exchange. The grid
@@ -116,7 +120,13 @@ def gap_fill_minutes(metrics: DataFrame, step_us: int = 60_000_000) -> DataFrame
         metrics.select("instance_id", "metric_name", "time", "metric_value", minute)
         .withColumn("_rn", F.row_number().over(w_pick))
         .filter(F.col("_rn") == 1)
-        .select("instance_id", "metric_name", "minute_us", "metric_value")
+        .select(
+            "instance_id",
+            "metric_name",
+            "minute_us",
+            "metric_value",
+            F.lit(True).alias("_present"),
+        )
     )
     grid = (
         per_min.groupBy("instance_id", "metric_name")
@@ -140,7 +150,147 @@ def gap_fill_minutes(metrics: DataFrame, step_us: int = 60_000_000) -> DataFrame
             "instance_id",
             "metric_name",
             "minute_us",
-            F.last("metric_value", ignorenulls=True).over(w_fill).alias("value"),
-            F.col("metric_value").isNull().alias("is_filled"),
+            # a PRESENT minute keeps its own value (even NULL); only grid
+            # misses take the carry-forward
+            F.when(
+                F.col("_present").isNotNull(), F.col("metric_value")
+            )
+            .otherwise(
+                F.last("metric_value", ignorenulls=True).over(w_fill)
+            )
+            .alias("value"),
+            F.col("_present").isNull().alias("is_filled"),
+        )
+    )
+
+
+def gap_fill_minutes_presplit(
+    metrics: DataFrame,
+    step_us: int = 60_000_000,
+    split_us: int = 86_400_000_000,
+) -> DataFrame:
+    """Scale twin of :func:`gap_fill_minutes` with per-(series, period)
+    windows — the escape hatch for series whose span/step is too large
+    for one window partition (a multi-year 1-min series is ~10⁶ grid rows;
+    fine at one task today, but unbounded in principle — SCALE.md r6/r7).
+
+    Identical output, different partitioning (the sessionize_presplit /
+    TWA-presplit pattern):
+
+    1. Per-minute reduction as in the plain version.
+    2. A per-(series, period) summary — LAST non-null sample value in each
+       period (``max_by``) — feeds a tiny per-series window over PERIODS
+       (≤ span/split rows per series) that computes each period's
+       carry-IN value from earlier periods.
+    3. The grid explodes per (series, period) — bounded by split/step rows
+       per partition (1440 for day periods at 1-min step) — and the
+       intra-period carry window runs per (series, period).
+    4. A grid miss takes the intra-period carry, falling back to the
+       period's carry-in; boundary stitching reproduces the plain
+       unbounded window exactly (equivalence pinned by test).
+
+    ``split_us`` must be a multiple of ``step_us`` so period boundaries
+    land on grid points.
+    """
+    from pyspark.sql import Window
+
+    if split_us % step_us:
+        raise ValueError("split_us must be a multiple of step_us")
+
+    series = ["instance_id", "metric_name"]
+    minute = (
+        F.unix_micros(F.col("time")) - F.unix_micros(F.col("time")) % step_us
+    ).alias("minute_us")
+    w_pick = Window.partitionBy(*series, "minute_us").orderBy(
+        F.desc(F.unix_micros(F.col("time"))), F.desc("metric_value")
+    )
+    per_min = (
+        metrics.select(*series, "time", "metric_value", minute)
+        .withColumn("_rn", F.row_number().over(w_pick))
+        .filter(F.col("_rn") == 1)
+        .select(
+            *series,
+            "minute_us",
+            "metric_value",
+            F.lit(True).alias("_present"),
+            (F.col("minute_us") - F.col("minute_us") % split_us).alias(
+                "_period"
+            ),
+        )
+    )
+
+    # per-(series, period) last non-null sample -> per-period carry-in via
+    # a window over PERIODS (tiny: span/split rows per series)
+    period_last = (
+        per_min.filter(F.col("metric_value").isNotNull())
+        .groupBy(*series, "_period")
+        .agg(F.max_by("metric_value", "minute_us").alias("_period_last"))
+    )
+    bounds = per_min.groupBy(*series).agg(
+        F.min("minute_us").alias("_mn"), F.max("minute_us").alias("_mx")
+    )
+    periods = bounds.select(
+        *series,
+        "_mn",
+        "_mx",
+        F.explode(
+            F.sequence(
+                F.col("_mn") - F.col("_mn") % split_us,
+                F.col("_mx") - F.col("_mx") % split_us,
+                F.lit(split_us),
+            )
+        ).alias("_period"),
+    )
+    w_carry = (
+        Window.partitionBy(*series)
+        .orderBy("_period")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    periods = periods.join(period_last, [*series, "_period"], "left").select(
+        *series,
+        "_period",
+        "_mn",
+        "_mx",
+        F.last("_period_last", ignorenulls=True).over(w_carry).alias(
+            "_carry_in"
+        ),
+    )
+
+    # per-period grid: <= split/step rows per (series, period) partition
+    grid = periods.select(
+        *series,
+        "_period",
+        "_carry_in",
+        F.explode(
+            F.sequence(
+                F.greatest(F.col("_period"), F.col("_mn")),
+                F.least(
+                    F.col("_period") + F.lit(split_us - step_us), F.col("_mx")
+                ),
+                F.lit(step_us),
+            )
+        ).alias("minute_us"),
+    )
+    w_intra = (
+        Window.partitionBy(*series, "_period")
+        .orderBy("minute_us")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        grid.join(
+            per_min.drop("_period"), [*series, "minute_us"], "left"
+        )
+        .select(
+            *series,
+            "minute_us",
+            F.when(F.col("_present").isNotNull(), F.col("metric_value"))
+            .otherwise(
+                F.coalesce(
+                    F.last("metric_value", ignorenulls=True).over(w_intra),
+                    F.col("_carry_in"),
+                )
+            )
+            .alias("value"),
+            F.col("_present").isNull().alias("is_filled"),
         )
     )

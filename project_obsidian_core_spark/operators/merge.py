@@ -143,10 +143,16 @@ def write_partitioned_snapshot(
     bucket_sql: str | None = None,
 ) -> None:
     """Publish ``df`` as a key-bucketed parquet snapshot:
-    ``path/part_bucket=K/``. The layout targeted merges rewrite per-leaf."""
+    ``path/part_bucket=K/``. The layout targeted merges rewrite per-leaf.
+
+    Rows are clustered by bucket before the write (one shuffle): without
+    it every task writes a sliver into every leaf dir — tasks x buckets
+    tiny files that tax every subsequent read."""
     df.withColumn(
         BUCKET_COL, _bucket_expr(keys, n_buckets, bucket_sql)
-    ).write.partitionBy(BUCKET_COL).mode("overwrite").parquet(path)
+    ).repartition(n_buckets, F.col(BUCKET_COL)).write.partitionBy(
+        BUCKET_COL
+    ).mode("overwrite").parquet(path)
 
 
 def read_partitioned_snapshot(spark, path: str) -> DataFrame:
@@ -241,7 +247,11 @@ def merge_into_partitioned(
     ).withColumn(BUCKET_COL, _bucket_expr(keys, n_buckets, bucket_sql))
 
     tmp_root = f"{path}/.merge_tmp"
-    merged.write.partitionBy(BUCKET_COL).mode("overwrite").parquet(tmp_root)
+    # one write partition per touched bucket (a bucket is sized to ~one
+    # task): keeps the leaf to one file instead of tasks x |touched|
+    merged.repartition(len(touched), F.col(BUCKET_COL)).write.partitionBy(
+        BUCKET_COL
+    ).mode("overwrite").parquet(tmp_root)
 
     fs, _, jvm = _fs_and_path(spark, path)
     P = jvm.org.apache.hadoop.fs.Path
@@ -296,7 +306,13 @@ def _merge_full_rewrite(
         BUCKET_COL, _bucket_expr(keys, n_buckets, bucket_sql)
     )
     tmp_root = f"{path}.merge_full_tmp"
-    merged.write.partitionBy(BUCKET_COL).mode("overwrite").parquet(tmp_root)
+    # cluster rows by bucket before the partitioned write: without it every
+    # task writes into all n_buckets leaf dirs (tasks x buckets small
+    # files + committer overhead — soak-measured 6-15 s vs ~1 s at 2 M
+    # rows); one shuffle keyed on the bucket keeps file count ~ n_buckets
+    merged.repartition(n_buckets, F.col(BUCKET_COL)).write.partitionBy(
+        BUCKET_COL
+    ).mode("overwrite").parquet(tmp_root)
 
     fs, _, jvm = _fs_and_path(spark, path)
     P = jvm.org.apache.hadoop.fs.Path

@@ -234,7 +234,7 @@ m AS (
                ORDER BY epoch_us(time) DESC, metric_value DESC) AS rn
     FROM m
 ), per_min AS (
-    SELECT instance_id, metric_name, minute_us, metric_value
+    SELECT instance_id, metric_name, minute_us, metric_value, TRUE AS present
     FROM b WHERE rn = 1
 ), bounds AS (
     SELECT instance_id, metric_name,
@@ -246,10 +246,11 @@ m AS (
     FROM bounds
 ), filled AS (
     SELECT g.instance_id, g.metric_name, g.minute_us,
-           last_value(p.metric_value IGNORE NULLS) OVER (
-               PARTITION BY g.instance_id, g.metric_name
-               ORDER BY g.minute_us) AS value,
-           p.metric_value IS NULL AS is_filled
+           CASE WHEN p.present THEN p.metric_value
+                ELSE last_value(p.metric_value IGNORE NULLS) OVER (
+                    PARTITION BY g.instance_id, g.metric_name
+                    ORDER BY g.minute_us) END AS value,
+           p.present IS NULL AS is_filled
     FROM grid g LEFT JOIN per_min p
       ON g.instance_id = p.instance_id AND g.metric_name = p.metric_name
      AND g.minute_us = p.minute_us
@@ -345,3 +346,34 @@ def metric_time_weighted_avg_presplit(
         "n_intervals",
         F.expr("(wv_sum * 1000L) div w_sum").alias("twa_millicents"),
     ).orderBy("instance", "metric_name")
+
+
+def metric_gap_fill_presplit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale twin of :func:`metric_gap_fill` — identical summary, checked
+    against the SAME oracle, but the carry-forward windows run per
+    (series, 1-day period) via
+    :func:`analytics.metrics.gap_fill_minutes_presplit` (24 hourly grid
+    rows per partition here) with a per-series boundary stitch over the
+    period SUMMARY only. The per-partition grid size is bounded by
+    split/step regardless of series span — the escape hatch for the
+    multi-year series the plain per-series window would sort in one task
+    (SCALE.md round-7 soak).
+    """
+    metrics = synthesize_metrics(spark, sf_dir).withColumn(
+        "instance_id",
+        F.expr("cast(cast(instance_id as bigint) % 20 as string)"),
+    )
+    filled = MA.gap_fill_minutes_presplit(
+        metrics, step_us=3_600_000_000, split_us=86_400_000_000
+    )
+    return (
+        filled.groupBy("instance_id", "metric_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_points"),
+            F.sum(F.col("is_filled").cast("long")).alias("n_filled"),
+            F.sum("value").alias("sum_value_cents"),
+            F.min("minute_us").alias("first_us"),
+            F.max("minute_us").alias("last_us"),
+        )
+        .orderBy("instance_id", "metric_name")
+    )

@@ -331,6 +331,13 @@ _ENTRIES: list[tuple[str, QueryFn, str | None]] = [
         m.metric_time_weighted_avg_presplit,
         m.ORACLE_metric_time_weighted_avg,
     ),
+    # Round-7 scale-variant twin: per-(series, period) gap-fill windows +
+    # boundary stitch, identical output checked against the SAME oracle
+    (
+        "metric_gap_fill_presplit",
+        m.metric_gap_fill_presplit,
+        m.ORACLE_metric_gap_fill,
+    ),
     # Round-6: mergeSchema read over evolved parquet generations
     (
         "corpus_schema_evolution",
@@ -359,6 +366,7 @@ _GATE_PRIORITY: list[str] = [
     "corpus_schema_evolution",
     "dedup_embedding_lsh",
     # -- (a') new round-7 queries slot in HERE, after the five ----------
+    "metric_gap_fill_presplit",
     # -- (b) newest official row is r02 ---------------------------------
     "knn_brute",
     "knn_lsh",
