@@ -173,12 +173,55 @@ def _decode_pil(payload: bytes):
         return np.asarray(img, dtype=np.uint8).reshape(-1)
 
 
+def _pyav_module():
+    """Optional-dependency probe: the PyAV (libav/ffmpeg bindings) module,
+    or None. Same lazy executor-side resolution discipline as
+    :func:`_pil_image_module` — never imported at module load, so the
+    code path is identical on clusters with and without the codec, and a
+    mixed cluster fails loudly per-task."""
+    try:
+        import av  # noqa: PLC0415
+    except ImportError:
+        return None
+    return av
+
+
+def _decode_av(payload: bytes):
+    """Decode a compressed audio/video container (MP4/MP3/...) via PyAV
+    into flat uint8 bytes — video frames as RGB pixel planes in decode
+    order, audio as raw sample bytes — the same uint8-array contract as
+    the stdlib and Pillow paths."""
+    import io
+
+    import numpy as np
+
+    av = _pyav_module()
+    chunks = []
+    with av.open(io.BytesIO(payload)) as container:
+        for frame in container.decode():
+            if hasattr(frame, "to_ndarray"):
+                arr = (
+                    frame.to_ndarray(format="rgb24")
+                    if hasattr(frame, "to_image")
+                    else frame.to_ndarray()
+                )
+                chunks.append(
+                    np.asarray(arr, dtype=np.uint8).reshape(-1)
+                    if arr.dtype == np.uint8
+                    else np.frombuffer(arr.tobytes(), dtype=np.uint8)
+                )
+    if not chunks:
+        raise ValueError("container decoded to zero frames")
+    return np.concatenate(chunks)
+
+
 def _decode_real(media_type: str, payload: bytes):
     """Real-format decode dispatch. WAV and BMP are parsed stdlib-only;
-    JPEG/PNG decode through Pillow WHEN it is importable (optional
-    dependency probe — this container does not ship it, production images
-    would). ``NotImplementedError`` remains reachable only for containers
-    with no decoder on the current environment."""
+    JPEG/PNG decode through Pillow and MP4/MP3 through PyAV WHEN the
+    library is importable (optional dependency probes — this container
+    ships neither, production images would). ``NotImplementedError``
+    remains reachable only for containers with no decoder on the current
+    environment."""
     b = bytes(payload)
     if len(b) >= 12 and b[:4] == b"RIFF" and b[8:12] == b"WAVE":
         return _decode_wav(b)
@@ -188,10 +231,16 @@ def _decode_real(media_type: str, payload: bytes):
     is_jpeg = b[:3] == b"\xff\xd8\xff"
     if (is_png or is_jpeg) and _pil_image_module() is not None:
         return _decode_pil(b)
+    is_mp4 = len(b) >= 12 and b[4:8] == b"ftyp"
+    is_mp3 = b[:3] == b"ID3" or (
+        len(b) >= 2 and b[0] == 0xFF and (b[1] & 0xE0) == 0xE0
+    )
+    if (is_mp4 or is_mp3) and _pyav_module() is not None:
+        return _decode_av(b)
     raise NotImplementedError(
         f"no available decoder for this payload (media_type={media_type!r}); "
-        "JPEG/PNG need Pillow (not installed in this environment), "
-        "MP3/MP4 need soundfile/pyav"
+        "JPEG/PNG need Pillow, MP3/MP4 need PyAV "
+        "(neither installed in this environment)"
     )
 
 

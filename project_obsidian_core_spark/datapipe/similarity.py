@@ -29,6 +29,7 @@ the DuckDB oracle. Ties in every ranking are broken by candidate id.
 
 from __future__ import annotations
 
+import math
 import random
 
 from pyspark.sql import Column, DataFrame, Window
@@ -117,6 +118,28 @@ def lsh_bucket_stats(
     )
 
 
+#: default per-bucket population target for :func:`suggest_lsh_bits` —
+#: a bucket this size stays comfortably inside one task at any shard size.
+TARGET_BUCKET = 1000
+
+
+def suggest_lsh_bits(
+    corpus_count: int, target_bucket: int = TARGET_BUCKET
+) -> int:
+    """The SCALE.md sizing rule as a callable: ``bits ≈ log2(corpus /
+    target_bucket)``, rounded up, floored at 1.
+
+    Soak-proven geometry (SCALE.md round-6): at 200k vectors the rule
+    gives bits=8, whose measured max bucket was 2,128 (vs 16,023 at the
+    4-bit default); bits=16 over-partitions the same corpus to max 55.
+    At 100 TB plug in the real corpus count — e.g. 10^9 vectors with the
+    default target suggests 20 bits (~1M buckets).
+    """
+    if corpus_count <= 0 or target_bucket <= 0:
+        raise ValueError("corpus_count and target_bucket must be positive")
+    return max(1, math.ceil(math.log2(max(2, corpus_count / target_bucket))))
+
+
 def _scored(queries: DataFrame, cands: DataFrame, join_on=None) -> DataFrame:
     """(q_id, cand_id, cos_sim) for every query×candidate pair; the query
     side is broadcast so the candidate scan never shuffles."""
@@ -176,6 +199,7 @@ def lsh_topk(
     bits: int = LSH_BITS,
     dim: int = DIM,
     max_bucket: int | None = None,
+    check_capacity: bool = False,
 ) -> DataFrame:
     """Approximate top-k: candidates from the query's multi-probe bucket ring.
 
@@ -186,7 +210,23 @@ def lsh_topk(
     side (a bucket that big means ``bits`` is undersized — the guard turns
     a silent quadratic blow-up into a bounded, observable recall loss;
     check :func:`lsh_bucket_stats` and raise ``bits`` instead of the cap).
+    ``check_capacity=True`` runs that probe as a pre-flight (one extra
+    small aggregate) and raises ``ValueError`` naming the
+    :func:`suggest_lsh_bits` recommendation when the corpus size says
+    ``bits`` is undersized — failing loudly BEFORE the bucket join.
     """
+    if check_capacity:
+        stats = lsh_bucket_stats(emb, bits, dim).agg(
+            F.sum("n").alias("total"), F.max("n").alias("mx")
+        ).collect()[0]
+        suggested = suggest_lsh_bits(int(stats["total"] or 0) or 1)
+        if suggested > bits:
+            raise ValueError(
+                f"lsh_topk capacity check: corpus={stats['total']} rows, "
+                f"hottest bucket={stats['mx']} at bits={bits}; "
+                f"suggest_lsh_bits recommends bits={suggested} "
+                f"(target_bucket={TARGET_BUCKET})"
+            )
     eb = emb.withColumn("bucket", lsh_bucket("embedding", bits, dim))
     if max_bucket is not None:
         counts = eb.groupBy("bucket").agg(F.count(F.lit(1)).alias("__bucket_n"))

@@ -245,3 +245,63 @@ def test_real_decode_png_dispatches_to_pillow(monkeypatch):
     # JPEG magic routes through the same probe
     out2 = M._decode_real("image", b"\xff\xd8\xff" + b"\x00" * 16)
     assert out2.tolist() == list(range(12))
+
+
+# ------------------------------------------------ optional PyAV probe
+def _tiny_mp4_bytes():
+    """Valid-magic MP4 (ftyp box) header + junk body (dispatch tests)."""
+    return b"\x00\x00\x00\x18ftypisom" + b"\x00" * 32
+
+
+def test_real_decode_mp4_without_pyav_raises():
+    """With no PyAV importable, an MP4 payload hits the documented
+    NotImplementedError naming the missing dependency."""
+    import pytest
+
+    from project_obsidian_core_spark.datapipe import multimodal as M
+
+    if M._pyav_module() is not None:
+        pytest.skip("PyAV is installed in this environment")
+    with pytest.raises(NotImplementedError, match="PyAV"):
+        M._decode_real("video", _tiny_mp4_bytes())
+
+
+def test_real_decode_mp4_dispatches_to_pyav(monkeypatch):
+    """When the probe finds PyAV, MP4/MP3 payloads decode through it into
+    flat uint8 frame bytes (stubbed av module — the dispatch and
+    flattening contract is ours, the codec isn't)."""
+    import sys
+    import types
+
+    import numpy as np
+
+    from project_obsidian_core_spark.datapipe import multimodal as M
+
+    class _FakeFrame:
+        def to_ndarray(self, format=None):
+            return np.arange(24, dtype=np.uint8).reshape(2, 3, 4)
+
+        def to_image(self):  # marks this as a video frame
+            raise NotImplementedError
+
+    class _FakeContainer:
+        def __enter__(self):
+            return self
+
+        def __exit__(self, *a):
+            return False
+
+        def decode(self):
+            return iter([_FakeFrame(), _FakeFrame()])
+
+    fake_av = types.ModuleType("av")
+    fake_av.open = lambda fh: _FakeContainer()
+    monkeypatch.setitem(sys.modules, "av", fake_av)
+
+    out = M._decode_real("video", _tiny_mp4_bytes())
+    assert out.dtype == np.uint8 and out.shape == (48,)
+    assert out.tolist() == list(range(24)) * 2
+
+    # MP3 magic (ID3 and bare frame-sync) routes through the same probe
+    assert M._decode_real("audio", b"ID3" + b"\x00" * 16).shape == (48,)
+    assert M._decode_real("audio", b"\xff\xfb" + b"\x00" * 16).shape == (48,)

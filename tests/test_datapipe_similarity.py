@@ -133,3 +133,35 @@ def test_ivf_kmeans_k_cells_knob(emb, queries):
     brute = _pairs(S.brute_force_topk(emb, queries, k=5))
     recall = len(brute & _pairs(S.ivf_kmeans_topk(emb, queries, k=5, nprobe=2, k_cells=4))) / len(brute)
     assert recall >= 0.3, f"k_cells=4 recall collapsed: {recall}"
+
+
+def test_suggest_lsh_bits_pins_soak_rule():
+    """The SCALE.md sizing rule, callable: 200k vectors (the round-6 soak
+    geometry) suggest bits=8; 10^9 vectors suggest 20; tiny corpora floor
+    at 1."""
+    assert S.suggest_lsh_bits(200_000) == 8
+    assert S.suggest_lsh_bits(1_000_000_000) == 20
+    assert S.suggest_lsh_bits(10) == 1
+    assert S.suggest_lsh_bits(200_000, target_bucket=50) == 12
+    with pytest.raises(ValueError):
+        S.suggest_lsh_bits(0)
+
+
+def test_lsh_topk_check_capacity_preflight(emb, queries):
+    """check_capacity raises (naming the recommended bits) when the
+    corpus says bits is undersized, and passes through when sized right.
+    The sf0.001 embeddings corpus is ~600 vectors -> suggestion is 1 at
+    the default target, so bits=4 passes; a tiny target forces a failure."""
+    # adequately sized: no raise, results well-formed
+    got = S.lsh_topk(emb, queries, k=3, bits=4, check_capacity=True).collect()
+    assert len(got) > 0
+    # undersized: replicate the corpus until the rule demands more bits
+    # than we pass (8x ~600 vectors -> suggestion 3 > bits=1)
+    big = emb.crossJoin(
+        F.broadcast(emb.sparkSession.range(8).select(F.col("id").alias("_rep")))
+    ).withColumn("vec_id", F.col("vec_id") * 8 + F.col("_rep")).drop("_rep")
+    n = big.count()
+    needed = S.suggest_lsh_bits(n)
+    assert needed > 1
+    with pytest.raises(ValueError, match="recommends bits"):
+        S.lsh_topk(big, queries, k=3, bits=needed - 1, check_capacity=True)
