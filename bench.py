@@ -127,6 +127,78 @@ BENCH_QUERIES = [
     "metric_time_weighted_avg_presplit",  # hot-series-safe TWA twin
     "corpus_schema_evolution",  # mergeSchema generations + default backfill
     "dedup_embedding_lsh",    # label-free LSH-bucketed embedding near-dup
+    # round-7: the rest of the registry (r6 verdict next-#8 — time the
+    # full surface, not a subset). Grouped by family:
+    "metric_gap_fill_presplit",  # per-(series, period) gap-fill twin
+    "corpus_chunk",           # overlapping char chunking (narrow, no shuffle)
+    # QAN analytics surface
+    "qan_compare_systems",
+    "qan_hit_ratio_pivot",
+    "qan_distinct_metrics",
+    "qan_like_having",
+    "qan_load_score",
+    "qan_labels_json",
+    "qan_query_profile",
+    "qan_unique_queries_approx",
+    "qan_moving_avg",
+    "qan_grouping_sets",
+    "qan_value_histogram",
+    "qan_top_digests_salted",
+    "qan_percent_rank",
+    "qan_rollup_merge",
+    "qan_top_movers",
+    "corpus_length_ntile",
+    "buffer_hit_ratio",
+    # ingest formats
+    "jsonl_ingest",
+    "csv_ingest",
+    "pysource_scan",
+    # relational remainder
+    "customer_order_stats",
+    "cte_order_summary",
+    "small_quantity_revenue",
+    "top_supplier_revenue",
+    "nation_trade_volume",
+    "nation_market_share",
+    "late_shipment_orders",
+    # text/dedup remainder
+    "text_token_stats",
+    "text_lang_id",
+    "dedup_exact",
+    "dedup_simhash",
+    "dedup_simhash_pairs",
+    "dedup_ngram_pairs",
+    "dedup_embedding_cosine",
+    "dedup_canonical",
+    "dedup_incremental",
+    # similarity/graph remainder
+    "knn_ivf",
+    "knn_pagerank",
+    # corpus management remainder
+    "bpe_encode_stats",
+    "corpus_mixture_plan",
+    "corpus_sample",
+    "corpus_stratified_sample",
+    "corpus_weighted_sample",
+    "session_window_stats",
+    "sessionize_presplit_events",
+    # behavior remainder
+    "events_user_paths",
+    "events_asof_join_presplit",
+    # media remainder
+    "media_frame_sample",
+    "media_resample_audio",
+    # streaming twins (availableNow replay harnesses — wall time is
+    # harness+plan; still timed so regressions surface)
+    "stream_rollup_minute",
+    "stream_top_digests",
+    "stream_dedup_events",
+    "stream_quality_filter",
+    "stream_sliding_active_users",
+    # EXCLUDED: stream_cdc_merge — its checkpointed replay rewrites a
+    # bucketed parquet snapshot per micro-batch (~12 s/run at sf0.1,
+    # >90% filesystem publish/rename harness, not plan cost); the
+    # correctness gate covers it and SCALE.md soaks its merge path.
 ]
 
 

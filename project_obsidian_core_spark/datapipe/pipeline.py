@@ -281,6 +281,54 @@ def pack_sequential(
     )
 
 
+def chunk_documents(
+    docs: DataFrame,
+    size: int,
+    overlap: int = 0,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Overlapping fixed-size character chunking — the context-window prep
+    step for embedding/RAG indexing and long-document pretraining: each
+    document becomes ``ceil((len - overlap) / stride)`` chunks (≥ 1) of up
+    to ``size`` chars, consecutive chunks sharing ``overlap`` chars
+    (``stride = size - overlap``).
+
+    Emits (id, chunk_idx, chunk_text, n_chars). Fully narrow — a per-row
+    ``sequence``+``explode`` with fan-out bounded by len/stride and
+    JVM-side ``substring``; NO shuffle, no Python. At 100 TB this is a
+    map-only pass that runs at scan speed; chunk count is derived
+    arithmetically (exact ints), so the plan needs no second pass over
+    the text.
+    """
+    if not 0 <= overlap < size:
+        raise ValueError("require 0 <= overlap < size")
+    stride = size - overlap
+    n_chunks = F.greatest(
+        F.lit(1),
+        F.expr(
+            f"(length({text_col}) - {overlap} + {stride} - 1) div {stride}"
+        ),
+    )
+    return (
+        docs.select(
+            id_col,
+            text_col,
+            F.explode(F.sequence(F.lit(0), (n_chunks - 1).cast("int"))).alias(
+                "chunk_idx"
+            ),
+        )
+        .select(
+            id_col,
+            F.col("chunk_idx").cast("long").alias("chunk_idx"),
+            F.expr(
+                f"substring({text_col}, chunk_idx * {stride} + 1, {size})"
+            ).alias("chunk_text"),
+        )
+        .withColumn("n_chars", F.length("chunk_text").cast("long"))
+    )
+
+
 _PACK_SCHEMA_SUFFIX = [
     T.StructField("pack_id", T.LongType()),
     T.StructField("pack_fill", T.LongType()),

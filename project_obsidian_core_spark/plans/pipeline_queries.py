@@ -352,3 +352,41 @@ SELECT doc_key, shard, n_tokens, pack_id, pack_fill
 FROM rec
 ORDER BY shard, doc_key
 """
+
+
+# ---------------------------------------------------------------- chunk ---
+_CHUNK_SIZE = 480
+_CHUNK_OVERLAP = 120
+_CHUNK_STRIDE = _CHUNK_SIZE - _CHUNK_OVERLAP
+
+
+def corpus_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping fixed-size character chunking of every document
+    (:func:`datapipe.pipeline.chunk_documents`): the RAG/embedding-index
+    prep step. Narrow map-only plan — per-row sequence+explode with
+    JVM-side substring, zero shuffles."""
+    docs = load(spark, sf_dir, "documents")
+    return P.chunk_documents(
+        docs, size=_CHUNK_SIZE, overlap=_CHUNK_OVERLAP
+    ).orderBy("doc_id", "chunk_idx")
+
+
+ORACLE_corpus_chunk = f"""
+WITH d AS (
+    SELECT doc_id, text,
+           greatest(1, (length(text) - {_CHUNK_OVERLAP} + {_CHUNK_STRIDE} - 1)
+                       // {_CHUNK_STRIDE}) AS n_chunks
+    FROM documents
+), c AS (
+    SELECT doc_id, text,
+           unnest(generate_series(0, n_chunks - 1)) AS chunk_idx
+    FROM d
+)
+SELECT doc_id,
+       CAST(chunk_idx AS BIGINT) AS chunk_idx,
+       substr(text, chunk_idx * {_CHUNK_STRIDE} + 1, {_CHUNK_SIZE}) AS chunk_text,
+       CAST(length(substr(text, chunk_idx * {_CHUNK_STRIDE} + 1, {_CHUNK_SIZE}))
+            AS BIGINT) AS n_chars
+FROM c
+ORDER BY doc_id, chunk_idx
+"""

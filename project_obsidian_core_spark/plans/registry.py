@@ -338,6 +338,8 @@ _ENTRIES: list[tuple[str, QueryFn, str | None]] = [
         m.metric_gap_fill_presplit,
         m.ORACLE_metric_gap_fill,
     ),
+    # Round-7: overlapping character chunking (RAG/embedding-index prep)
+    ("corpus_chunk", pl.corpus_chunk, pl.ORACLE_corpus_chunk),
     # Round-6: mergeSchema read over evolved parquet generations
     (
         "corpus_schema_evolution",
@@ -367,6 +369,7 @@ _GATE_PRIORITY: list[str] = [
     "dedup_embedding_lsh",
     # -- (a') new round-7 queries slot in HERE, after the five ----------
     "metric_gap_fill_presplit",
+    "corpus_chunk",
     # -- (b) newest official row is r02 ---------------------------------
     "knn_brute",
     "knn_lsh",

@@ -264,3 +264,46 @@ def test_sessionize_window_streams_with_watermark(spark, tmp_path):
     sess = [r for r in got if r["n_events"] == 2]
     assert len(sess) == 1
     assert sess[0]["session_end_us"] - sess[0]["session_start_us"] == 5 * 60 * 1_000_000
+
+
+# ------------------------------------------------------------- chunking
+def test_chunk_documents_boundaries_and_overlap(spark):
+    """Chunk layout: stride spacing, shared overlap content, short docs
+    yield exactly one chunk, reassembly covers the full text."""
+    docs = spark.createDataFrame(
+        [
+            (1, "abcdefghij"),   # len 10: size 6 overlap 2 stride 4 -> 2 chunks
+            (2, "abc"),          # shorter than size -> 1 chunk
+            (3, "abcd"),         # == stride boundary -> 1 chunk
+            (4, "abcdefg"),      # size+1 -> 2 chunks (tail not contained)
+            (5, ""),             # empty -> 1 empty chunk
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        (r.doc_id, r.chunk_idx): (r.chunk_text, r.n_chars)
+        for r in P.chunk_documents(docs, size=6, overlap=2).collect()
+    }
+    assert out[(1, 0)] == ("abcdef", 6)
+    assert out[(1, 1)] == ("efghij", 6)          # starts at stride 4
+    assert out[(1, 0)][0][-2:] == out[(1, 1)][0][:2]  # shared overlap
+    assert out[(2, 0)] == ("abc", 3)
+    assert out[(3, 0)] == ("abcd", 4)
+    assert out[(4, 0)] == ("abcdef", 6)
+    assert out[(4, 1)] == ("efg", 3)
+    assert out[(5, 0)] == ("", 0)
+    assert len(out) == 7
+
+    # reassembly: dropping each chunk's leading overlap reproduces the text
+    txt = "".join(
+        out[(1, i)][0][(2 if i else 0):] for i in range(2)
+    )
+    assert txt == "abcdefghij"
+
+
+def test_chunk_documents_rejects_bad_overlap(spark):
+    docs = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+    with pytest.raises(ValueError):
+        P.chunk_documents(docs, size=4, overlap=4)
+    with pytest.raises(ValueError):
+        P.chunk_documents(docs, size=4, overlap=-1)
