@@ -131,6 +131,7 @@ BENCH_QUERIES = [
     # full surface, not a subset). Grouped by family:
     "metric_gap_fill_presplit",  # per-(series, period) gap-fill twin
     "corpus_chunk",           # overlapping char chunking (narrow, no shuffle)
+    "corpus_oov_rate",        # broadcast-vocab OOV coverage report
     # QAN analytics surface
     "qan_compare_systems",
     "qan_hit_ratio_pivot",

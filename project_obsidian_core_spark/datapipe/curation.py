@@ -462,6 +462,34 @@ def build_vocab(
     )
 
 
+def oov_rate(
+    df: DataFrame, vocab: DataFrame, text_col: str = "text"
+) -> DataFrame:
+    """Per-document out-of-vocabulary rate against a capped vocabulary —
+    tokenizer/vocab evaluation: which documents a vocabulary fails to
+    cover, and by how much (exact parts-per-million, no floats).
+
+    Unigram tokens probe the vocab's ``term`` column via a BROADCAST left
+    join (the vocab is ≤ cap rows by construction); per-doc aggregation is
+    the only shuffle, keyed on doc_id with map-side partials. At 100 TB:
+    one corpus scan, one bounded broadcast, one aggregation — no
+    corpus-side join shuffle.
+    """
+    pairs = df.select("doc_id", F.explode(_toks(text_col)).alias("term"))
+    v = vocab.select("term", F.lit(True).alias("_in_vocab"))
+    return (
+        pairs.join(F.broadcast(v), "term", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(
+                F.when(F.col("_in_vocab").isNull(), 1).otherwise(0)
+            ).cast("long").alias("n_oov"),
+        )
+        .withColumn("oov_ppm", F.expr("n_oov * 1000000 div n_tokens"))
+    )
+
+
 # --------------------------------------------------- unigram LM surprisal --
 
 #: surprisal weight quantization: weight(token) = (N_tokens · SCALE) div count

@@ -559,3 +559,43 @@ SELECT source, avail_tokens, CAST(target_ppm AS BIGINT) AS target_ppm,
 FROM shared, t
 ORDER BY source
 """
+
+
+# ------------------------------------------------------------- OOV rate
+def corpus_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document OOV rate against the corpus's own capped vocabulary
+    (:func:`datapipe.curation.oov_rate` over :func:`build_vocab`'s top
+    terms) — the coverage report a tokenizer/vocab choice is judged by."""
+    docs = load(spark, sf_dir, "documents")
+    vocab = C.build_vocab(docs)
+    return C.oov_rate(docs, vocab).orderBy("doc_id")
+
+
+ORACLE_corpus_oov_rate = f"""
+WITH t AS (
+    SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+), u AS (
+    SELECT doc_id, list_concat(toks, {_ngrams('toks', 2)}) AS terms FROM t
+), p AS (
+    SELECT doc_id, unnest(terms) AS term FROM u
+), c AS (
+    SELECT term, count(*) AS term_count
+    FROM p GROUP BY term
+    HAVING count(*) >= {C.VOCAB_MIN_COUNT}
+), v AS (
+    SELECT term FROM c ORDER BY term_count DESC, term LIMIT {C.VOCAB_CAP}
+), up AS (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+), j AS (
+    SELECT up.doc_id, v.term AS hit
+    FROM up LEFT JOIN v ON up.term = v.term
+)
+SELECT doc_id,
+       count(*) AS n_tokens,
+       CAST(sum(CASE WHEN hit IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+       CAST(sum(CASE WHEN hit IS NULL THEN 1 ELSE 0 END) AS BIGINT) * 1000000
+           // count(*) AS oov_ppm
+FROM j
+GROUP BY doc_id
+ORDER BY doc_id
+"""

@@ -36,6 +36,7 @@ from project_obsidian_core_spark.plans import clustering_queries as km
 from project_obsidian_core_spark.plans import curation_queries as cu
 from project_obsidian_core_spark.plans import datapipe_queries as d
 from project_obsidian_core_spark.plans import ingest_queries as ing
+from project_obsidian_core_spark.plans import layout_queries as lay
 from project_obsidian_core_spark.plans import metrics_queries as m
 from project_obsidian_core_spark.plans import qan_queries as q
 from project_obsidian_core_spark.plans import otlp_queries as o
@@ -340,6 +341,10 @@ _ENTRIES: list[tuple[str, QueryFn, str | None]] = [
     ),
     # Round-7: overlapping character chunking (RAG/embedding-index prep)
     ("corpus_chunk", pl.corpus_chunk, pl.ORACLE_corpus_chunk),
+    # Round-7: per-doc OOV rate vs the capped vocab (tokenizer coverage)
+    ("corpus_oov_rate", cu.corpus_oov_rate, cu.ORACLE_corpus_oov_rate),
+    # Round-7: Z-order layout key (quantize+interleave, engine-neutral)
+    ("orders_zorder_stats", lay.orders_zorder_stats, lay.ORACLE_orders_zorder_stats),
     # Round-6: mergeSchema read over evolved parquet generations
     (
         "corpus_schema_evolution",
@@ -370,6 +375,8 @@ _GATE_PRIORITY: list[str] = [
     # -- (a') new round-7 queries slot in HERE, after the five ----------
     "metric_gap_fill_presplit",
     "corpus_chunk",
+    "corpus_oov_rate",
+    "orders_zorder_stats",
     # -- (b) newest official row is r02 ---------------------------------
     "knn_brute",
     "knn_lsh",

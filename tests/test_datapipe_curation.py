@@ -200,3 +200,25 @@ def test_weighted_sample_biases_toward_quality(spark):
     half = spark.createDataFrame([(i, 0.5) for i in range(1000)], ["doc_id", "w"])
     n = C.weighted_sample(half, weight=F.col("w"), rate=1.0).count()
     assert 400 < n < 600
+
+
+# -------------------------------------------------------------- OOV rate
+def test_oov_rate_counts_and_ppm(spark):
+    """Exact per-doc token/OOV counts and integer ppm against a hand
+    vocabulary; fully-covered and fully-OOV docs hit the 0 / 1e6 rails."""
+    from project_obsidian_core_spark.datapipe.curation import oov_rate
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b a c"),   # c is OOV -> 1/4
+            (2, "a a b"),     # covered -> 0/3
+            (3, "x y"),       # all OOV -> 2/2
+        ],
+        "doc_id long, text string",
+    )
+    vocab = spark.createDataFrame([("a",), ("b",)], "term string")
+    out = {r.doc_id: (r.n_tokens, r.n_oov, r.oov_ppm)
+           for r in oov_rate(docs, vocab).collect()}
+    assert out[1] == (4, 1, 250_000)
+    assert out[2] == (3, 0, 0)
+    assert out[3] == (2, 2, 1_000_000)
