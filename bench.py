@@ -132,6 +132,7 @@ BENCH_QUERIES = [
     "metric_gap_fill_presplit",  # per-(series, period) gap-fill twin
     "corpus_chunk",           # overlapping char chunking (narrow, no shuffle)
     "corpus_oov_rate",        # broadcast-vocab OOV coverage report
+    "orders_zorder_stats",    # z-curve cell stats (narrow interleave expr)
     # QAN analytics surface
     "qan_compare_systems",
     "qan_hit_ratio_pivot",
