@@ -133,6 +133,7 @@ BENCH_QUERIES = [
     "corpus_chunk",           # overlapping char chunking (narrow, no shuffle)
     "corpus_oov_rate",        # broadcast-vocab OOV coverage report
     "orders_zorder_stats",    # z-curve cell stats (narrow interleave expr)
+    "orders_dq_report",       # one-pass declarative data-quality gate
     # QAN analytics surface
     "qan_compare_systems",
     "qan_hit_ratio_pivot",

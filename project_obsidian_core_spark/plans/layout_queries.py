@@ -71,3 +71,60 @@ FROM z
 GROUP BY 1
 ORDER BY 1
 """
+
+
+# ----------------------------------------------------------- DQ report ---
+def orders_dq_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality gate over orders
+    (:func:`operators.quality.dq_report`): null / range / enum /
+    uniqueness contracts, all exact counts in one scan + one reduce
+    (uniqueness adds its distinct shuffle)."""
+    from project_obsidian_core_spark.operators.quality import dq_report
+
+    orders = load(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        cents("o_totalprice").alias("price_cents"),
+    )
+    return dq_report(
+        orders,
+        [
+            ("not_null", "o_custkey"),
+            ("range", "price_cents", 0, 60_000_000),
+            ("in_set", "o_orderstatus", ["O", "F", "P"]),
+            ("unique", "o_orderkey"),
+        ],
+    ).orderBy("rule")
+
+
+ORACLE_orders_dq_report = """
+WITH o AS (
+    SELECT o_orderkey, o_custkey, o_orderstatus,
+           CAST(round(o_totalprice * 100, 0) AS BIGINT) AS price_cents
+    FROM orders
+), a AS (
+    SELECT count(*) AS n_rows,
+           CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS v_not_null,
+           CAST(sum(CASE WHEN price_cents IS NULL OR price_cents < 0
+                         OR price_cents > 60000000 THEN 1 ELSE 0 END) AS BIGINT)
+               AS v_range,
+           CAST(sum(CASE WHEN o_orderstatus IS NULL
+                         OR o_orderstatus NOT IN ('O', 'F', 'P')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS v_in_set,
+           CAST(count(o_orderkey) - count(DISTINCT o_orderkey) AS BIGINT)
+               AS v_unique
+    FROM o
+)
+SELECT rule, n_violations, n_rows FROM (
+    SELECT 'not_null:o_custkey' AS rule, v_not_null AS n_violations, n_rows FROM a
+    UNION ALL
+    SELECT 'range:price_cents', v_range, n_rows FROM a
+    UNION ALL
+    SELECT 'in_set:o_orderstatus', v_in_set, n_rows FROM a
+    UNION ALL
+    SELECT 'unique:o_orderkey', v_unique, n_rows FROM a
+)
+ORDER BY rule
+"""

@@ -345,6 +345,8 @@ _ENTRIES: list[tuple[str, QueryFn, str | None]] = [
     ("corpus_oov_rate", cu.corpus_oov_rate, cu.ORACLE_corpus_oov_rate),
     # Round-7: Z-order layout key (quantize+interleave, engine-neutral)
     ("orders_zorder_stats", lay.orders_zorder_stats, lay.ORACLE_orders_zorder_stats),
+    # Round-7: declarative data-quality gate (one-pass conditional aggs)
+    ("orders_dq_report", lay.orders_dq_report, lay.ORACLE_orders_dq_report),
     # Round-6: mergeSchema read over evolved parquet generations
     (
         "corpus_schema_evolution",
@@ -377,6 +379,7 @@ _GATE_PRIORITY: list[str] = [
     "corpus_chunk",
     "corpus_oov_rate",
     "orders_zorder_stats",
+    "orders_dq_report",
     # -- (b) newest official row is r02 ---------------------------------
     "knn_brute",
     "knn_lsh",
