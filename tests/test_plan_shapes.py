@@ -260,3 +260,54 @@ def test_sole_late_suppliers_decorrelates_without_cartesian(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "TakeOrderedAndProject" in plan
+
+
+# ------------------------------------------------- round-7 operator plans
+def test_oov_rate_probes_vocab_via_broadcast(docs):
+    """The vocab probe must be a broadcast hash join — never a shuffle of
+    the exploded token relation against the <=cap-row vocab."""
+    from project_obsidian_core_spark.datapipe.curation import build_vocab, oov_rate
+
+    plan = _plan(oov_rate(docs, build_vocab(docs)))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_chunk_documents_plan_is_narrow(docs):
+    """Chunking is a map-only pass: no Exchange anywhere in the plan."""
+    from project_obsidian_core_spark.datapipe.pipeline import chunk_documents
+
+    plan = _plan(chunk_documents(docs, size=16, overlap=4))
+    assert "Exchange" not in plan
+    assert "Generate" in plan  # the per-row explode
+
+
+def test_zorder_value_plan_is_narrow_codegen(docs):
+    """The z key is a pure projection inside whole-stage codegen."""
+    from project_obsidian_core_spark.operators.layout import zorder_value
+
+    df = docs.select("doc_id").withColumn(
+        "z", zorder_value([("doc_id", 0, 100)], bits=8)
+    )
+    plan = _plan(df)
+    assert "Exchange" not in plan
+    # "*(n)" marks a whole-stage-codegen stage in the plan string; the
+    # interleave expression must not fall out of codegen
+    assert "*(1) Project" in plan
+
+
+def test_dq_report_single_aggregation(spark):
+    """All non-unique rules fold into one aggregation pass: exactly one
+    pair of partial/final HashAggregate over the scan (2 occurrences),
+    and no join."""
+    from project_obsidian_core_spark.operators.quality import dq_report
+
+    df = spark.range(100).select(
+        F.col("id").alias("k"), (F.col("id") % 7).alias("v")
+    )
+    plan = _plan(
+        dq_report(df, [("not_null", "k"), ("range", "v", 0, 5), ("in_set", "v", [1, 2])])
+    )
+    assert plan.count("Join") == 0
+    # partial + final aggregate of the single reduction
+    assert "HashAggregate" in plan or "SortAggregate" in plan
