@@ -6,11 +6,14 @@ and prints ONE JSON line.
 
 Each query is materialized through the noop sink — full computation, no
 driver-side collect cost — after a warmup query that absorbs session/JIT
-startup. Each query is timed SPARK_GRAFT_BENCH_REPEAT times (default 4);
-cold (first run: codegen, footer reads, index builds) and warm (MEDIAN of
-the later runs — variance-proof vs the min-of-2 used through r05) are
-reported SEPARATELY — `queries`/`value` are the warm path, `queries_cold`/
-`value_cold` the cold one.
+startup. The 14-query round-1 contract subset (R1_SUBSET — the 2x ratio
+is computed over it) is timed SPARK_GRAFT_BENCH_REPEAT times (default 4,
+warm = MEDIAN of the later runs); the 124-query tail runs cold + 1 warm
+(4 repeats over the full 138-query suite would double the wall for
+variance data only the contract subset needs). Cold (first run: codegen,
+footer reads, index builds) and warm are reported SEPARATELY —
+`queries`/`value` are the warm path, `queries_cold`/`value_cold` the
+cold one.
 
 Round-6 variance hardening (the r4→r5 uniform 1.48× could not be
 attributed to host vs plan): the JSON now carries `queries_spread`
@@ -205,6 +208,20 @@ BENCH_QUERIES = [
 ]
 
 
+#: the round-1 contract subset: the 14 queries BENCH_r01.json timed — the
+#: 2x-baseline ratio is computed over these, so they get the full repeat
+#: count; the long tail gets cold + 1 warm (the suite is 138 queries now,
+#: and 4 repeats across all of them would double the bench wall for
+#: variance data only the contract subset needs).
+R1_SUBSET = [
+    "qan_top_digests", "qan_multi_metric_topn", "qan_trend_5m",
+    "qan_rollup_minute", "qan_snapshot_delta", "pricing_summary",
+    "top_revenue_orders", "regional_revenue", "text_quality",
+    "text_fingerprint", "dedup_minhash_lsh", "knn_brute", "knn_lsh",
+    "media_features",
+]
+
+
 def _host_fingerprint() -> dict:
     """CPU model + logical count + 1-min loadavg — enough to tell one
     bench host/load regime from another when comparing rounds."""
@@ -265,7 +282,8 @@ def main() -> None:
     partial_path = os.path.join(REPO, "BENCH_LOCAL.partial.json")
     for name in BENCH_QUERIES:
         runs = []
-        for _ in range(repeat):
+        q_repeat = repeat if name in R1_SUBSET else min(repeat, 2)
+        for _ in range(q_repeat):
             t0 = time.time()
             QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
             runs.append(time.time() - t0)
@@ -293,7 +311,7 @@ def main() -> None:
             "value_cold": round(sum(cold.values()), 4),
             "queries_cold": cold,
             "queries_spread": spread,
-            "warm_repeats": max(1, repeat - 1),
+            "warm_repeats": {"r1_subset": max(1, repeat - 1), "tail": 1},
             "host": host,
             "r1_ratio": r1_ratio,
             "sf": sf,
@@ -321,19 +339,12 @@ def main() -> None:
     # queries the 2x-baseline ratio is computed over, ~450 bytes) plus the
     # suite aggregates; every query's warm/cold/spread detail is in
     # BENCH_LOCAL.json.
-    r1_subset = [
-        "qan_top_digests", "qan_multi_metric_topn", "qan_trend_5m",
-        "qan_rollup_minute", "qan_snapshot_delta", "pricing_summary",
-        "top_revenue_orders", "regional_revenue", "text_quality",
-        "text_fingerprint", "dedup_minhash_lsh", "knn_brute", "knn_lsh",
-        "media_features",
-    ]
     line = json.dumps(
         {
             "metric": "bench_suite_seconds",
             "value": round(sum(warm.values()), 2),
             "unit": "sec",
-            "queries": {q: round(warm[q], 2) for q in r1_subset if q in warm},
+            "queries": {q: round(warm[q], 2) for q in R1_SUBSET if q in warm},
             "n_queries": len(warm),
             "value_cold": round(sum(cold.values()), 2),
             "r1_ratio": r1_ratio,
