@@ -137,6 +137,7 @@ BENCH_QUERIES = [
     "corpus_oov_rate",        # broadcast-vocab OOV coverage report
     "orders_zorder_stats",    # z-curve cell stats (narrow interleave expr)
     "orders_dq_report",       # one-pass declarative data-quality gate
+    "qan_rollup_cascade",     # hour-from-minute rollup (lossless cascade)
     # QAN analytics surface
     "qan_compare_systems",
     "qan_hit_ratio_pivot",

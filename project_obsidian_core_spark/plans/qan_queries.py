@@ -674,3 +674,51 @@ def qan_rollup_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLE_qan_rollup_merge = ORACLE_qan_rollup_minute
+
+
+def qan_rollup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-granularity rollup cascade (Druid segment-granularity
+    hierarchy, S9/S10): the HOUR rollup is derived FROM the minute rollup
+    (sum of counts/sums, max of maxes, min of mins) — never from raw. The
+    oracle computes the hour rollup directly from raw events, so the gate
+    IS the proof that the cascade is lossless: at 100 TB coarser grains
+    re-aggregate the previous materialization (minutes-per-hour rows),
+    not the fact table."""
+    ev = load(spark, sf_dir, "events")
+    minute = ev.groupBy(
+        F.date_trunc("minute", F.col("ts")).alias("time"),
+        "user_id",
+        "event_type",
+    ).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(cents("value")).alias("value_sum_cents"),
+        F.max(cents("value")).alias("value_max_cents"),
+        F.min(cents("value")).alias("value_min_cents"),
+    )
+    return (
+        minute.groupBy(
+            F.date_trunc("hour", F.col("time")).alias("time"),
+            "user_id",
+            "event_type",
+        )
+        .agg(
+            F.sum("n_rows").alias("n_rows"),
+            F.sum("value_sum_cents").alias("value_sum_cents"),
+            F.max("value_max_cents").alias("value_max_cents"),
+            F.min("value_min_cents").alias("value_min_cents"),
+        )
+        .orderBy("time", "user_id", "event_type")
+    )
+
+
+ORACLE_qan_rollup_cascade = """
+SELECT date_trunc('hour', ts) AS time,
+       user_id, event_type,
+       count(*) AS n_rows,
+       CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS value_sum_cents,
+       max(CAST(round(value * 100, 0) AS BIGINT)) AS value_max_cents,
+       min(CAST(round(value * 100, 0) AS BIGINT)) AS value_min_cents
+FROM events
+GROUP BY 1, 2, 3
+ORDER BY 1, 2, 3
+"""

@@ -347,6 +347,8 @@ _ENTRIES: list[tuple[str, QueryFn, str | None]] = [
     ("orders_zorder_stats", lay.orders_zorder_stats, lay.ORACLE_orders_zorder_stats),
     # Round-7: declarative data-quality gate (one-pass conditional aggs)
     ("orders_dq_report", lay.orders_dq_report, lay.ORACLE_orders_dq_report),
+    # Round-7: hour-from-minute rollup cascade vs a raw-derived oracle
+    ("qan_rollup_cascade", q.qan_rollup_cascade, q.ORACLE_qan_rollup_cascade),
     # Round-6: mergeSchema read over evolved parquet generations
     (
         "corpus_schema_evolution",
@@ -380,6 +382,7 @@ _GATE_PRIORITY: list[str] = [
     "corpus_oov_rate",
     "orders_zorder_stats",
     "orders_dq_report",
+    "qan_rollup_cascade",
     # -- (b) newest official row is r02 ---------------------------------
     "knn_brute",
     "knn_lsh",
