@@ -138,6 +138,7 @@ BENCH_QUERIES = [
     "orders_zorder_stats",    # z-curve cell stats (narrow interleave expr)
     "orders_dq_report",       # one-pass declarative data-quality gate
     "qan_rollup_cascade",     # hour-from-minute rollup (lossless cascade)
+    "knn_ivf_incremental",    # frozen-quantizer batch append (no retrain)
     # QAN analytics surface
     "qan_compare_systems",
     "qan_hit_ratio_pivot",

@@ -357,6 +357,7 @@ def ivf_kmeans_topk(
     k: int = 10,
     nprobe: int = 2,
     k_cells: int | None = None,
+    train: DataFrame | None = None,
 ) -> DataFrame:
     """IVF search over a LEARNED coarse quantizer: the quantized-Lloyd
     k-means centroids (datapipe/clustering.py) replace the label-seeded
@@ -372,13 +373,19 @@ def ivf_kmeans_topk(
     Everything up to candidate selection is exact int64 arithmetic (the
     k-means contract), so cell residency and probe lists are bit-identical
     across engines; candidate scoring reuses the fixed-order float cosine.
+    ``train`` restricts quantizer TRAINING to a subset (the frozen-
+    centroid incremental-index pattern: train once on the base corpus,
+    then new batches only pay the one-pass residency assignment — the
+    Lloyd iterations never re-run). Residency and search always cover the
+    full ``emb``.
+
     Plan: centroids collapse to one broadcast row; residency is one corpus
     pass; probing is per-query argmin over K keys — no shuffle anywhere
     except the final per-query top-k."""
     from project_obsidian_core_spark.datapipe import clustering as KM
 
     kc = KM.KMEANS_K if k_cells is None else k_cells
-    cents_df = KM.kmeans_centroids(emb, k=kc)
+    cents_df = KM.kmeans_centroids(emb if train is None else train, k=kc)
     resident = KM.kmeans_assign(KM.quantize(emb), cents_df, k=kc).select(
         "vec_id", F.col("cluster").alias("c_cell")
     )

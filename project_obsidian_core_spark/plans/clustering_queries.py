@@ -20,10 +20,16 @@ def embedding_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return KM.embedding_kmeans(load(spark, sf_dir, "embeddings")).orderBy("vec_id")
 
 
-def kmeans_cte_parts() -> tuple[list[str], int]:
+def kmeans_cte_parts(train_pred: str | None = None) -> tuple[list[str], int]:
     """The Lloyd-iteration CTE chain (shared with the IVF-kmeans oracle):
     returns (parts, final_assignment_index) where ``a{final}`` holds the
-    final int64 argmin keys and ``c{iters}`` the final centroids."""
+    final int64 argmin keys and ``c{iters}`` the final centroids.
+
+    ``train_pred`` (SQL over ``vec_id``) restricts quantizer TRAINING to a
+    subset — seeds, refinement assignments, and centroid updates see only
+    matching rows, while the FINAL assignment still covers every row
+    (frozen-centroid incremental indexing). Default None trains on the
+    full relation and generates the exact SQL this function always has."""
     k, dim, scale, iters = (
         KM.KMEANS_K,
         KM.KMEANS_DIM,
@@ -40,15 +46,24 @@ def kmeans_cte_parts() -> tuple[list[str], int]:
            [CAST(round(CAST(e AS DOUBLE) * {scale}) AS BIGINT) FOR e IN embedding] AS qv
     FROM embeddings
 )""",
-        f"""c0 AS (
-    SELECT vec_id AS cluster, qv AS cv FROM q WHERE vec_id < {k}
-)""",
     ]
+    train = "q"
+    if train_pred is not None:
+        parts.append(f"qt AS (\n    SELECT * FROM q WHERE {train_pred}\n)")
+        train = "qt"
+    parts.append(
+        f"""c0 AS (
+    SELECT vec_id AS cluster, qv AS cv FROM {train} WHERE vec_id < {k}
+)"""
+    )
     for i in range(1, iters + 2):  # iters refinements + the final assignment
+        # refinement assignments see only the training rows; the FINAL
+        # assignment (i == iters+1) covers the full relation
+        src = train if i <= iters else "q"
         parts.append(
             f"""a{i} AS (
     SELECT v.vec_id, min({dist} * {k} + c.cluster) AS key
-    FROM q v CROSS JOIN c{i - 1} c
+    FROM {src} v CROSS JOIN c{i - 1} c
     GROUP BY v.vec_id
 )"""
         )

@@ -887,12 +887,12 @@ def knn_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.ivf_kmeans_topk(emb, q, k=_TOPK).orderBy("q_id", "rank")
 
 
-def _ivf_kmeans_oracle() -> str:
+def _ivf_kmeans_oracle(train_pred: str | None = None) -> str:
     from project_obsidian_core_spark.datapipe import clustering as KM
     from project_obsidian_core_spark.plans.clustering_queries import kmeans_cte_parts
 
     k, dim, nprobe = KM.KMEANS_K, KM.KMEANS_DIM, 2
-    parts, final = kmeans_cte_parts()
+    parts, final = kmeans_cte_parts(train_pred)
     cdist = (
         f"CAST(list_sum([(p.qv[j] - c.cv[j]) * (p.qv[j] - c.cv[j]) "
         f"FOR j IN generate_series(1, {dim})]) AS BIGINT)"
@@ -945,6 +945,34 @@ ORDER BY q_id, rank
 
 
 ORACLE_knn_ivf_kmeans = _ivf_kmeans_oracle()
+
+
+# ------------------------------------------- incremental IVF maintenance --
+#: the frozen-quantizer training prefix (embeddings is a fixed 500-row
+#: table at every SF; the tail 100 vectors play the "new batch").
+_IVF_BASE_N = 400
+
+
+def knn_ivf_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental IVF index maintenance: the coarse quantizer is trained
+    ONCE on the base corpus (vec_id < 400) and FROZEN; the new batch (the
+    remaining vectors) only pays the one-pass nearest-centroid residency
+    assignment — no Lloyd re-run, no index rebuild. Queries then search
+    the full (base + new) index. The oracle composes the same Lloyd CTEs
+    with training restricted to the base subset, so frozen-centroid
+    residency of the new batch is bit-exact.
+
+    At 100 TB this is the ingest path for a living ANN index: appending a
+    batch costs one broadcast-argmin scan of the batch, never a re-train
+    over the corpus."""
+    emb, q = _query_vecs(spark, sf_dir)
+    base = emb.filter(F.col("vec_id") < _IVF_BASE_N)
+    return S.ivf_kmeans_topk(emb, q, k=_TOPK, train=base).orderBy(
+        "q_id", "rank"
+    )
+
+
+ORACLE_knn_ivf_incremental = _ivf_kmeans_oracle(f"vec_id < {_IVF_BASE_N}")
 
 
 # ---------------------------------------------------- incremental dedup ---

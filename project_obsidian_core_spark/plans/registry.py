@@ -349,6 +349,8 @@ _ENTRIES: list[tuple[str, QueryFn, str | None]] = [
     ("orders_dq_report", lay.orders_dq_report, lay.ORACLE_orders_dq_report),
     # Round-7: hour-from-minute rollup cascade vs a raw-derived oracle
     ("qan_rollup_cascade", q.qan_rollup_cascade, q.ORACLE_qan_rollup_cascade),
+    # Round-7: frozen-quantizer incremental IVF (batch append, no retrain)
+    ("knn_ivf_incremental", d.knn_ivf_incremental, d.ORACLE_knn_ivf_incremental),
     # Round-6: mergeSchema read over evolved parquet generations
     (
         "corpus_schema_evolution",
@@ -383,6 +385,7 @@ _GATE_PRIORITY: list[str] = [
     "orders_zorder_stats",
     "orders_dq_report",
     "qan_rollup_cascade",
+    "knn_ivf_incremental",
     # -- (b) newest official row is r02 ---------------------------------
     "knn_brute",
     "knn_lsh",

@@ -165,3 +165,26 @@ def test_lsh_topk_check_capacity_preflight(emb, queries):
     assert needed > 1
     with pytest.raises(ValueError, match="recommends bits"):
         S.lsh_topk(big, queries, k=3, bits=needed - 1, check_capacity=True)
+
+
+def test_ivf_incremental_frozen_quantizer_searches_new_batch(emb, queries):
+    """train=base freezes the quantizer on the base prefix; the new batch
+    (vec_id >= 400) is still assigned residency and searchable, and the
+    training subset genuinely drives the centroids."""
+    from project_obsidian_core_spark.datapipe import clustering as KM
+
+    base = emb.filter(F.col("vec_id") < 400)
+    got = S.ivf_kmeans_topk(emb, queries, k=10, train=base).collect()
+    by_q = {}
+    for r in got:
+        assert r["q_id"] != r["cand_id"]
+        by_q.setdefault(r["q_id"], []).append(r["rank"])
+    for ranks in by_q.values():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1))
+    # the frozen index covers the union: new-batch vectors are candidates
+    assert any(r["cand_id"] >= 400 for r in got)
+    # the training subset actually matters: base-trained centroids differ
+    # from full-corpus centroids
+    cb = sorted(map(tuple, KM.kmeans_centroids(base).collect()))
+    cf = sorted(map(tuple, KM.kmeans_centroids(emb).collect()))
+    assert cb != cf
