@@ -139,6 +139,7 @@ BENCH_QUERIES = [
     "orders_dq_report",       # one-pass declarative data-quality gate
     "qan_rollup_cascade",     # hour-from-minute rollup (lossless cascade)
     "knn_ivf_incremental",    # frozen-quantizer batch append (no retrain)
+    "dedup_ngram_pairs_hashed",  # int64-hashed gram sets (4x the string path)
     # QAN analytics surface
     "qan_compare_systems",
     "qan_hit_ratio_pivot",

@@ -257,6 +257,21 @@ def dedup_ngram_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def dedup_ngram_pairs_hashed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale twin of :func:`dedup_ngram_pairs` — identical output, checked
+    against the SAME string-gram oracle, but the pairwise intersections
+    run over xxhash64-hashed int64 gram sets (4x the string path's wall
+    at sf0.1; collision odds ~2⁻⁶⁴ per pair — the gate match IS the
+    no-collision proof on this corpus)."""
+    return (
+        D.ngram_jaccard_pairs(
+            load(spark, sf_dir, "documents"), hashed_grams=True
+        )
+        .orderBy(F.desc("jaccard"), "doc_a", "doc_b")
+        .limit(20)
+    )
+
+
 ORACLE_dedup_ngram_pairs = f"""
 WITH t AS (
     SELECT doc_id, source AS block,

@@ -351,6 +351,12 @@ _ENTRIES: list[tuple[str, QueryFn, str | None]] = [
     ("qan_rollup_cascade", q.qan_rollup_cascade, q.ORACLE_qan_rollup_cascade),
     # Round-7: frozen-quantizer incremental IVF (batch append, no retrain)
     ("knn_ivf_incremental", d.knn_ivf_incremental, d.ORACLE_knn_ivf_incremental),
+    # Round-7: hashed-gram jaccard scale twin (same oracle)
+    (
+        "dedup_ngram_pairs_hashed",
+        d.dedup_ngram_pairs_hashed,
+        d.ORACLE_dedup_ngram_pairs,
+    ),
     # Round-6: mergeSchema read over evolved parquet generations
     (
         "corpus_schema_evolution",
@@ -386,6 +392,7 @@ _GATE_PRIORITY: list[str] = [
     "orders_dq_report",
     "qan_rollup_cascade",
     "knn_ivf_incremental",
+    "dedup_ngram_pairs_hashed",
     # -- (b) newest official row is r02 ---------------------------------
     "knn_brute",
     "knn_lsh",
