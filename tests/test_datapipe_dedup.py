@@ -83,6 +83,14 @@ def test_ngram_jaccard_blocking(docs):
     # doc 5 is in another block: no cross-block pairs emitted
     assert not any(5 in p for p in pairs)
 
+    # the hashed-gram scale twin produces IDENTICAL scores (xxhash64
+    # collisions aside — none on any real corpus this size)
+    hashed = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in D.ngram_jaccard_pairs(docs, hashed_grams=True).collect()
+    }
+    assert hashed == pairs
+
 
 def test_embedding_cosine_pairs(spark):
     emb = spark.createDataFrame(
