@@ -140,6 +140,7 @@ BENCH_QUERIES = [
     "qan_rollup_cascade",     # hour-from-minute rollup (lossless cascade)
     "knn_ivf_incremental",    # frozen-quantizer batch append (no retrain)
     "dedup_ngram_pairs_hashed",  # int64-hashed gram sets (4x the string path)
+    "stream_chunk",           # stateless streaming chunking twin
     # QAN analytics surface
     "qan_compare_systems",
     "qan_hit_ratio_pivot",

@@ -357,6 +357,8 @@ _ENTRIES: list[tuple[str, QueryFn, str | None]] = [
         d.dedup_ngram_pairs_hashed,
         d.ORACLE_dedup_ngram_pairs,
     ),
+    # Round-7: stateless streaming chunking twin (same oracle as batch)
+    ("stream_chunk", st.stream_chunk, pl.ORACLE_corpus_chunk),
     # Round-6: mergeSchema read over evolved parquet generations
     (
         "corpus_schema_evolution",
@@ -393,6 +395,7 @@ _GATE_PRIORITY: list[str] = [
     "qan_rollup_cascade",
     "knn_ivf_incremental",
     "dedup_ngram_pairs_hashed",
+    "stream_chunk",
     # -- (b) newest official row is r02 ---------------------------------
     "knn_brute",
     "knn_lsh",

@@ -657,3 +657,60 @@ def stream_sliding_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("win_start_us")
     )
+
+
+# ------------------------------------------------- streaming chunking
+def stream_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping character chunking run as a STATELESS append-mode
+    stream over a documents replay — must match the batch ``corpus_chunk``
+    oracle exactly.
+
+    Chunking is a pure per-row sequence+explode+substring (zero state,
+    zero shuffle), so it composes with the streaming ingest front door
+    unchanged: documents chunk as they land, each micro-batch
+    independently — the live RAG/embedding-index feed. The green row
+    proves the batch and streaming chunkers can never drift (same
+    operator, same oracle)."""
+    from project_obsidian_core_spark.datapipe import pipeline as P
+    from project_obsidian_core_spark.plans.pipeline_queries import (
+        _CHUNK_OVERLAP,
+        _CHUNK_SIZE,
+    )
+
+    run = next(_RUN_IDS)
+    src = _SRC_CACHE.get(f"documents:{sf_dir}")
+    if src is None:
+        tmp = tempfile.mkdtemp(prefix=f"obsidian_docsrc_{run}_")
+        src = f"{tmp}/documents_src"
+        load(spark, sf_dir, "documents").select(
+            "doc_id", "text"
+        ).write.mode("overwrite").parquet(src)
+        _SRC_CACHE[f"documents:{sf_dir}"] = src
+
+    schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "4")
+        .parquet(src)
+    )
+    chunked = P.chunk_documents(
+        stream, size=_CHUNK_SIZE, overlap=_CHUNK_OVERLAP
+    )
+    name = f"stream_chunk_{run}"
+    tmp2 = tempfile.mkdtemp(prefix=f"obsidian_chunk_{run}_")
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            chunked.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .option("checkpointLocation", f"{tmp2}/ckpt")
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    return spark.table(name).orderBy("doc_id", "chunk_idx")
