@@ -142,3 +142,48 @@ def read_snapshot(
     manifest = json.loads(text)
     paths = [f"{vdir}/{f}" for f in manifest["files"]]
     return spark.read.parquet(*paths)
+
+
+def vacuum_snapshots(
+    spark: SparkSession, root: str, keep_last: int = 2
+) -> list[int]:
+    """Retention sweep: delete version directories older than the newest
+    ``keep_last`` PUBLISHED-or-earlier versions; returns what was removed.
+
+    Rules (the time-travel retention contract):
+
+    - the published latest is always kept, whatever ``keep_last`` says;
+    - versions NEWER than the published latest are kept too — they are a
+      concurrent writer's in-flight publish, not garbage (its ``_LATEST``
+      rename may land any moment);
+    - a dangling directory (no manifest — a crashed writer below the kept
+      horizon) is garbage and is removed;
+    - idempotent: a second sweep deletes nothing.
+
+    Readers pinned to a vacuumed version get ``FileNotFoundError`` from
+    :func:`read_snapshot` — retention is the documented trade of
+    time-travel depth for storage; at 100 TB each kept version is a full
+    snapshot copy, so ``keep_last`` IS the storage multiplier.
+    """
+    if keep_last < 1:
+        raise ValueError("keep_last must be >= 1")
+    fs, _, P = _fs(spark, root)
+    root_p = P(root)
+    if not fs.exists(root_p):
+        return []
+    latest = latest_version(root, spark)
+    versions = sorted(
+        int(st.getPath().getName()[2:])
+        for st in fs.listStatus(root_p)
+        if st.isDirectory()
+        and st.getPath().getName().startswith("v=")
+        and st.getPath().getName()[2:].isdigit()
+    )
+    eligible = [v for v in versions if v <= latest]
+    keep = set(eligible[-keep_last:]) | {latest}
+    removed = []
+    for v in versions:
+        if v <= latest and v not in keep:
+            fs.delete(P(f"{root}/v={v}"), True)
+            removed.append(v)
+    return removed

@@ -57,3 +57,41 @@ def test_write_recovers_after_crashed_writer(spark):
     assert v == 3
     assert V.latest_version(root) == 3
     assert V.read_snapshot(spark, root).count() == 3
+
+
+def test_vacuum_keeps_latest_and_inflight(spark, tmp_path):
+    """Retention removes only old published versions: the latest survives
+    any keep_last, in-flight (newer-than-latest) dirs survive, dangling
+    old dirs go, and the sweep is idempotent."""
+    import os
+
+    from project_obsidian_core_spark.operators.versioning import (
+        latest_version,
+        read_snapshot,
+        vacuum_snapshots,
+        write_snapshot,
+    )
+
+    root = str(tmp_path / "corpus")
+    for i in range(4):
+        write_snapshot(
+            spark.createDataFrame([(i, "x")], "k int, s string"), root
+        )
+    assert latest_version(root, spark) == 4
+
+    # simulate a concurrent writer's in-flight version (newer than latest)
+    os.makedirs(f"{root}/v=9")
+
+    removed = vacuum_snapshots(spark, root, keep_last=2)
+    assert removed == [1, 2]
+    assert read_snapshot(spark, root).collect()[0].k == 3  # latest intact
+    assert read_snapshot(spark, root, version=3).count() == 1
+    assert os.path.isdir(f"{root}/v=9")  # in-flight untouched
+    import pytest
+
+    with pytest.raises(FileNotFoundError):
+        read_snapshot(spark, root, version=1)
+
+    assert vacuum_snapshots(spark, root, keep_last=2) == []  # idempotent
+    with pytest.raises(ValueError):
+        vacuum_snapshots(spark, root, keep_last=0)
