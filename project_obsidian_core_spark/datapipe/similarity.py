@@ -122,6 +122,11 @@ def lsh_bucket_stats(
 #: a bucket this size stays comfortably inside one task at any shard size.
 TARGET_BUCKET = 1000
 
+#: check_capacity head-room: the pre-flight rejects only when the MEASURED
+#: hottest bucket exceeds ``CAPACITY_SLACK * TARGET_BUCKET`` — skew-aware,
+#: so a well-spread corpus above the nominal sizing rule still passes.
+CAPACITY_SLACK = 4
+
 
 def suggest_lsh_bits(
     corpus_count: int, target_bucket: int = TARGET_BUCKET
@@ -211,20 +216,27 @@ def lsh_topk(
     a silent quadratic blow-up into a bounded, observable recall loss;
     check :func:`lsh_bucket_stats` and raise ``bits`` instead of the cap).
     ``check_capacity=True`` runs that probe as a pre-flight (one extra
-    small aggregate) and raises ``ValueError`` naming the
-    :func:`suggest_lsh_bits` recommendation when the corpus size says
-    ``bits`` is undersized — failing loudly BEFORE the bucket join.
+    small aggregate) and raises ``ValueError`` when the MEASURED hottest
+    bucket exceeds ``CAPACITY_SLACK * TARGET_BUCKET`` — the decision uses
+    the actual
+    population histogram the scan already paid for, so a skewed corpus
+    fails even when its total row count passes the sizing rule, and a
+    well-spread corpus above the rule's nominal count is NOT rejected.
+    The error names the :func:`suggest_lsh_bits` recommendation for the
+    measured total — failing loudly BEFORE the bucket join.
     """
     if check_capacity:
         stats = lsh_bucket_stats(emb, bits, dim).agg(
             F.sum("n").alias("total"), F.max("n").alias("mx")
         ).collect()[0]
-        suggested = suggest_lsh_bits(int(stats["total"] or 0) or 1)
-        if suggested > bits:
+        mx = int(stats["mx"] or 0)
+        if mx > CAPACITY_SLACK * TARGET_BUCKET:
+            suggested = suggest_lsh_bits(int(stats["total"] or 0) or 1)
             raise ValueError(
-                f"lsh_topk capacity check: corpus={stats['total']} rows, "
-                f"hottest bucket={stats['mx']} at bits={bits}; "
-                f"suggest_lsh_bits recommends bits={suggested} "
+                f"lsh_topk capacity check: hottest bucket={mx} rows "
+                f"(> {CAPACITY_SLACK * TARGET_BUCKET}) at bits={bits}, "
+                f"corpus={stats['total']} rows; "
+                f"suggest_lsh_bits recommends bits={max(suggested, bits + 1)} "
                 f"(target_bucket={TARGET_BUCKET})"
             )
     eb = emb.withColumn("bucket", lsh_bucket("embedding", bits, dim))

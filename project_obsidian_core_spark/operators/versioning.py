@@ -156,8 +156,10 @@ def vacuum_snapshots(
     - versions NEWER than the published latest are kept too — they are a
       concurrent writer's in-flight publish, not garbage (its ``_LATEST``
       rename may land any moment);
-    - a dangling directory (no manifest — a crashed writer below the kept
-      horizon) is garbage and is removed;
+    - a dangling directory (no manifest — a crashed writer at or below
+      the published latest) is garbage and is removed unconditionally: it
+      never occupies one of the ``keep_last`` slots, so it cannot displace
+      a readable version from the retention horizon;
     - idempotent: a second sweep deletes nothing.
 
     Readers pinned to a vacuumed version get ``FileNotFoundError`` from
@@ -179,7 +181,16 @@ def vacuum_snapshots(
         and st.getPath().getName().startswith("v=")
         and st.getPath().getName()[2:].isdigit()
     )
-    eligible = [v for v in versions if v <= latest]
+    # Only manifest-bearing (readable) versions may occupy keep slots: a
+    # dangling dir below the horizon is a crashed writer, and letting it
+    # consume a slot would silently evict a READABLE version and shrink
+    # time-travel depth below keep_last.
+    readable = {
+        v
+        for v in versions
+        if v <= latest and fs.exists(P(f"{root}/v={v}/{_MANIFEST}"))
+    }
+    eligible = sorted(readable)
     keep = set(eligible[-keep_last:]) | {latest}
     removed = []
     for v in versions:

@@ -148,23 +148,27 @@ def test_suggest_lsh_bits_pins_soak_rule():
 
 
 def test_lsh_topk_check_capacity_preflight(emb, queries):
-    """check_capacity raises (naming the recommended bits) when the
-    corpus says bits is undersized, and passes through when sized right.
-    The sf0.001 embeddings corpus is ~600 vectors -> suggestion is 1 at
-    the default target, so bits=4 passes; a tiny target forces a failure."""
+    """check_capacity is skew-aware: the decision uses the MEASURED
+    hottest bucket (> CAPACITY_SLACK * TARGET_BUCKET rejects), not just
+    the corpus row count. The sf0.001 embeddings corpus is ~600 vectors
+    (max bucket far below the 4,000 threshold) so bits=4 passes; a 16x
+    replication squeezed into 2 buckets puts >=4,800 in the hottest one
+    and must fail loudly, naming a bits recommendation."""
     # adequately sized: no raise, results well-formed
     got = S.lsh_topk(emb, queries, k=3, bits=4, check_capacity=True).collect()
     assert len(got) > 0
-    # undersized: replicate the corpus until the rule demands more bits
-    # than we pass (8x ~600 vectors -> suggestion 3 > bits=1)
+    # skewed/undersized: 16x ~600 vectors over 2^1 buckets -> hottest
+    # bucket >= 9600/2 = 4800 > CAPACITY_SLACK * TARGET_BUCKET = 4000
     big = emb.crossJoin(
-        F.broadcast(emb.sparkSession.range(8).select(F.col("id").alias("_rep")))
-    ).withColumn("vec_id", F.col("vec_id") * 8 + F.col("_rep")).drop("_rep")
-    n = big.count()
-    needed = S.suggest_lsh_bits(n)
-    assert needed > 1
+        F.broadcast(emb.sparkSession.range(16).select(F.col("id").alias("_rep")))
+    ).withColumn("vec_id", F.col("vec_id") * 16 + F.col("_rep")).drop("_rep")
     with pytest.raises(ValueError, match="recommends bits"):
-        S.lsh_topk(big, queries, k=3, bits=needed - 1, check_capacity=True)
+        S.lsh_topk(big, queries, k=3, bits=1, check_capacity=True)
+    # well-spread above the nominal count rule still passes: same rows at
+    # bits=4 spread the population ~16 ways (hottest well under 4,000)
+    # even though suggest_lsh_bits(9600) = 4 would equal, not exceed, it.
+    got = S.lsh_topk(big, queries, k=3, bits=4, check_capacity=True).collect()
+    assert len(got) > 0
 
 
 def test_ivf_incremental_frozen_quantizer_searches_new_batch(emb, queries):

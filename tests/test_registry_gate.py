@@ -4,6 +4,7 @@ These pins fail loudly if a refactor reorders the window."""
 
 from __future__ import annotations
 
+import glob
 import json
 import os
 
@@ -12,23 +13,9 @@ from project_obsidian_core_spark.plans.registry import ORACLES, QUERIES
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
-#: queries with no green row in any official CORRECTNESS_r*.json — these
-#: MUST lead the gate (round-6 verdict next-#2) until a row lands.
-_ROUND7_LEADS = [
-    "orders_snapshot_diff",
-    "metric_gap_fill",
-    "metric_time_weighted_avg_presplit",
-    "corpus_schema_evolution",
-    "dedup_embedding_lsh",
-]
-
-
 def _official_green() -> set[str]:
     green = set()
-    for i in range(1, 7):
-        p = os.path.join(REPO, f"CORRECTNESS_r{i:02d}.json")
-        if not os.path.exists(p):
-            continue
+    for p in glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json")):
         for name, row in json.load(open(p)).items():
             if row.get("hash_match") and not row.get("err"):
                 green.add(name)
@@ -36,8 +23,12 @@ def _official_green() -> set[str]:
 
 
 def test_no_row_queries_lead_the_gate():
+    """Queries with no green row in ANY official CORRECTNESS_r*.json MUST
+    occupy the leading slots (they can't earn a row from the tail)."""
+    green = _official_green()
     names = list(QUERIES)
-    assert names[: len(_ROUND7_LEADS)] == _ROUND7_LEADS
+    unrecorded = {n for n in names if n not in green}
+    assert set(names[: len(unrecorded)]) == unrecorded
 
 
 def test_every_unrecorded_query_is_inside_the_50_window():

@@ -95,3 +95,31 @@ def test_vacuum_keeps_latest_and_inflight(spark, tmp_path):
     assert vacuum_snapshots(spark, root, keep_last=2) == []  # idempotent
     with pytest.raises(ValueError):
         vacuum_snapshots(spark, root, keep_last=0)
+
+
+def test_vacuum_dangling_dir_never_consumes_a_keep_slot(spark, tmp_path):
+    """[v1 readable, v2 dangling (crashed writer, no manifest), v3 latest]
+    with keep_last=2: the dangling v2 must NOT displace the readable v1
+    from the retention horizon — v1 is kept, v2 is removed (ADVICE r7)."""
+    import os
+
+    from project_obsidian_core_spark.operators.versioning import (
+        read_snapshot,
+        vacuum_snapshots,
+        write_snapshot,
+    )
+
+    root = str(tmp_path / "corpus")
+    write_snapshot(spark.createDataFrame([(1, "a")], "k int, s string"), root)
+    # crashed writer: dir exists, no _MANIFEST.json, below the next publish
+    os.makedirs(f"{root}/v=2")
+    with open(f"{root}/v=2/part-orphan.parquet", "w") as f:
+        f.write("garbage")
+    write_snapshot(spark.createDataFrame([(3, "c")], "k int, s string"), root)
+    assert {"_LATEST", "v=1", "v=2", "v=3"} <= set(os.listdir(root))
+
+    removed = vacuum_snapshots(spark, root, keep_last=2)
+    assert removed == [2]                       # dangling dir swept
+    assert read_snapshot(spark, root, version=1).count() == 1  # v1 KEPT
+    assert read_snapshot(spark, root).collect()[0].k == 3
+    assert not os.path.isdir(f"{root}/v=2")
