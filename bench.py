@@ -205,10 +205,16 @@ BENCH_QUERIES = [
     "stream_dedup_events",
     "stream_quality_filter",
     "stream_sliding_active_users",
-    # EXCLUDED: stream_cdc_merge — its checkpointed replay rewrites a
-    # bucketed parquet snapshot per micro-batch (~12 s/run at sf0.1,
-    # >90% filesystem publish/rename harness, not plan cost); the
-    # correctness gate covers it and SCALE.md soaks its merge path.
+    # round-8 additions
+    "events_interval_peak",   # sweep-line interval concurrency
+    "qan_anomaly_mad",        # robust median/MAD anomaly flags
+    "corpus_inverted_index",  # capped posting-list index build
+    "customer_entity_match",  # blocked edit-distance entity resolution
+    "corpus_decontaminate_embedding",  # embedding-cosine decon screen
+    # stream_cdc_merge is timed via _time_cdc_merge below (merge work
+    # only): its checkpointed replay rewrites a bucketed parquet snapshot
+    # per micro-batch (~12 s/run at sf0.1, >90% filesystem publish/rename
+    # harness, not plan cost), so the replay path itself stays untimed.
 ]
 
 
@@ -224,6 +230,44 @@ R1_SUBSET = [
     "text_fingerprint", "dedup_minhash_lsh", "knn_brute", "knn_lsh",
     "media_features",
 ]
+
+
+def _time_cdc_merge(spark, sf_dir: str) -> float:
+    """Harness-normalized ``stream_cdc_merge`` timing: build the bucketed
+    snapshot and change feed OUTSIDE the timer (the replay harness's
+    checkpoint/file-stream machinery is >90% of its wall time), then time
+    what the operator actually does per micro-batch — one
+    ``merge_into_partitioned`` of the full change batch plus the
+    snapshot read-back. This gives the one registry query the replay
+    excludes a comparable per-round perf record (r7 verdict next-#7)."""
+    import shutil
+    import tempfile
+
+    from project_obsidian_core_spark.operators.merge import (
+        merge_into_partitioned,
+        read_partitioned_snapshot,
+        write_partitioned_snapshot,
+    )
+    from project_obsidian_core_spark.plans import cdc_queries as cdc
+
+    tmp = tempfile.mkdtemp(prefix="obsidian_bench_cdc_")
+    try:
+        base = cdc._orders_snapshot(spark, sf_dir)
+        snap = f"{tmp}/snapshot"
+        write_partitioned_snapshot(base, snap, keys=["o_orderkey"], n_buckets=8)
+        ch_path = f"{tmp}/changes"
+        cdc._cdc_batch(base).write.parquet(ch_path)
+        changes = spark.read.parquet(ch_path)
+        t0 = time.time()
+        merge_into_partitioned(
+            spark, snap, changes, keys=["o_orderkey"], n_buckets=8
+        )
+        read_partitioned_snapshot(spark, snap).write.format("noop").mode(
+            "overwrite"
+        ).save()
+        return time.time() - t0
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
 
 
 def _host_fingerprint() -> dict:
@@ -291,6 +335,17 @@ def main() -> None:
             t0 = time.time()
             QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
             runs.append(time.time() - t0)
+        # sub-second tail queries get promoted to median-of-3 warm repeats:
+        # cold+warm-once gave them spread_max_rel 0.38 (r7 verdict next-#5)
+        # — untraceable noise — and they are cheap precisely because they
+        # are fast (two extra runs cost < 2 s each).
+        if name not in R1_SUBSET and len(runs) == 2 and runs[1] < 1.0:
+            for _ in range(2):
+                t0 = time.time()
+                QUERIES[name](spark, sf_dir).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+                runs.append(time.time() - t0)
         cold[name] = round(runs[0], 4)
         warm_runs = runs[1:] if len(runs) > 1 else runs
         warm[name] = round(statistics.median(warm_runs), 4)
@@ -304,6 +359,17 @@ def main() -> None:
                 )
                 + "\n"
             )
+
+    # stream_cdc_merge: merge work timed directly, replay harness excluded
+    # (see _time_cdc_merge). cold = first run (includes codegen), warm =
+    # median of two more.
+    cdc_runs = [_time_cdc_merge(spark, sf_dir) for _ in range(3)]
+    cold["stream_cdc_merge"] = round(cdc_runs[0], 4)
+    warm["stream_cdc_merge"] = round(statistics.median(cdc_runs[1:]), 4)
+    spread["stream_cdc_merge"] = [
+        round(min(cdc_runs[1:]), 4),
+        round(max(cdc_runs[1:]), 4),
+    ]
 
     r1_ratio = _r1_ratio(warm, sf)
     full = json.dumps(

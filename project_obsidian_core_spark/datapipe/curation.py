@@ -714,3 +714,69 @@ def mixture_plan(df: DataFrame, text_col: str = "text") -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ------------------------------------- embedding-level decontamination ----
+
+#: default sign-LSH geometry / cosine cut for embedding decontamination.
+#: Production embeddings use a ~0.9 cut; the synthetic corpus's max
+#: train↔eval cosine is ~0.45 (its near-dup pairs land inside one label,
+#: and the %-mod eval split rarely separates them), so the gate threshold
+#: sits where the operator's screen genuinely fires at every test SF.
+DECON_EMB_BITS = 4
+DECON_EMB_THRESHOLD = 0.3
+
+
+def decontaminate_embedding(
+    emb: DataFrame,
+    bits: int = DECON_EMB_BITS,
+    threshold: float = DECON_EMB_THRESHOLD,
+    bench_mod: int = DECON_BENCH_MOD,
+) -> DataFrame:
+    """Embedding-level benchmark decontamination: flag training vectors
+    whose cosine similarity to ANY held-out eval vector (``vec_id %
+    bench_mod == 0``) reaches ``threshold``.
+
+    The semantic sibling of :func:`decontaminate` — n-gram overlap misses
+    paraphrased eval leakage, embedding cosine catches it (the screen
+    modern pretraining pipelines run alongside exact-match decon).
+    Returns one audit row per (train, eval) hit: ``(train_id, eval_id,
+    cos_sim)``.
+
+    Plan shape: the eval side is benchmark-sized (MMLU, not corpus), so it
+    is BROADCAST; candidates are restricted to the eval vector's sign-LSH
+    bucket (datapipe.similarity geometry), so each training vector probes
+    only the hash-colliding slice of the bench set instead of all of it —
+    at 100 TB the corpus scan is the whole cost, exactly like the n-gram
+    path. Cosine uses the bit-exact left-fold dot (datapipe.vectors), so
+    the threshold compare is engine-identical.
+    """
+    from project_obsidian_core_spark.datapipe import similarity as S
+    from project_obsidian_core_spark.datapipe import vectors as V
+
+    base = emb.select(
+        "vec_id",
+        "embedding",
+        S.lsh_bucket("embedding", bits).alias("bucket"),
+        V.norm(F.col("embedding")).alias("nrm"),
+    )
+    ev = base.filter(F.col("vec_id") % bench_mod == 0).select(
+        F.col("vec_id").alias("eval_id"),
+        F.col("embedding").alias("ev"),
+        F.col("nrm").alias("e_nrm"),
+        "bucket",
+    )
+    train = base.filter(F.col("vec_id") % bench_mod != 0).select(
+        F.col("vec_id").alias("train_id"),
+        F.col("embedding").alias("tv"),
+        F.col("nrm").alias("t_nrm"),
+        "bucket",
+    )
+    cos = V.cosine_prenormed(
+        V.dot(F.col("tv"), F.col("ev")), F.col("t_nrm"), F.col("e_nrm")
+    )
+    return (
+        train.join(F.broadcast(ev), "bucket")
+        .select("train_id", "eval_id", cos.alias("cos_sim"))
+        .filter(F.col("cos_sim") >= F.lit(threshold))
+    )

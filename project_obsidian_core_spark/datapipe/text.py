@@ -295,3 +295,49 @@ def heavy_hitters(
         )
         .filter(F.col("share_ppm") >= threshold_ppm)
     )
+
+
+# --------------------------------------------------------- inverted index
+
+#: per-term posting-list cap for `inverted_index` (driver-facing audit cut).
+POSTINGS_CAP = 20
+
+
+def inverted_index(
+    df: DataFrame, text_col: str = "text", postings_cap: int = POSTINGS_CAP
+) -> DataFrame:
+    """Term → posting-list index build: per term, its document frequency,
+    total occurrence count, and the first ``postings_cap`` doc_ids.
+
+    The retrieval-side primitive of the RAG/serving stack (tfidf_top_terms
+    is the ranking view over the same relation; this materializes the
+    index itself). Returns ``(term, doc_freq, total_tf, postings)``.
+
+    Plan shape — the collect is CAPPED BEFORE it buffers: a naive
+    ``slice(collect_list(doc_id))`` would gather every posting of a
+    stop-word term into one aggregation buffer (the whole corpus for
+    "the") before slicing. Instead a row_number window over the same
+    term-key shuffle keeps only rank ≤ cap rows, so no aggregate ever
+    holds more than ``postings_cap`` ids; the full tf relation separately
+    folds to the exact doc_freq/total_tf stats with map-side combine.
+    """
+    pairs = df.select(
+        "doc_id", F.explode(_tokens(F.col(text_col))).alias("term")
+    ).filter(F.col("term") != "")
+    tf = pairs.groupBy("term", "doc_id").agg(F.count(F.lit(1)).alias("tf"))
+    stats = tf.groupBy("term").agg(
+        F.count(F.lit(1)).cast("long").alias("doc_freq"),
+        F.sum("tf").cast("long").alias("total_tf"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("term").orderBy("doc_id")
+    posts = (
+        tf.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= postings_cap)
+        .groupBy("term")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("postings"))
+    )
+    return stats.join(posts, "term").select(
+        "term", "doc_freq", "total_tf", "postings"
+    )

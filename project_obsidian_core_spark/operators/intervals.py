@@ -1,0 +1,79 @@
+"""Interval concurrency via distributed sweep-line.
+
+"How many intervals are active at once?" is the capacity question behind
+connection-pool sizing, concurrent-session dashboards and overlap billing.
+The classic answer is a sweep-line: explode each interval into a +1 point
+at its start and a -1 point at its (exclusive) end, order by time, and the
+running sum IS the concurrency profile. Re-expressed for Spark:
+
+- the +1/-1 point relation is a narrow union of two projections (no
+  shuffle beyond the window's);
+- the running sum is one window per partition key — Spark shuffles on the
+  key once and each partition sorts locally;
+- ties are handled by ordering ``(t, delta)``: ends (-1) sort before
+  starts (+1) at the same instant, giving end-EXCLUSIVE semantics, and the
+  default RANGE frame makes every peer row see the same cumulative value
+  in both Spark and the SQL oracle.
+
+Scale: the window partitions by the caller's key columns, so the pattern
+holds at 100 TB exactly when keys bound partition size. For one global
+timeline (no key) or a multi-month key span, slice time into coarse chunks
+and carry the open-interval count across boundaries — the same
+presplit-twin pattern as ``sessionize_presplit_events`` and
+``metric_gap_fill_presplit``.
+
+Reference parity: the reference has no interval operator; this extends
+the §2.11 analytics family (A-series) for workload-overlap questions its
+dashboards answer with per-second gauge sampling.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def interval_concurrency(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    start_col: str,
+    end_col: str,
+) -> DataFrame:
+    """Per-key concurrency profile: one row per sweep point with the number
+    of intervals active just after it (end-exclusive).
+
+    Returns ``(*key_cols, t, delta, concurrent)`` where ``delta`` is +1
+    (an interval opened) or -1 (one closed) and ``concurrent`` is the
+    running active count including every peer at the same ``(t, delta)``.
+    """
+    keys = list(key_cols)
+    opens = df.select(
+        *keys, F.col(start_col).alias("t"), F.lit(1).alias("delta")
+    )
+    closes = df.select(
+        *keys, F.col(end_col).alias("t"), F.lit(-1).alias("delta")
+    )
+    pts = opens.unionByName(closes)
+    # Default (unspecified) frame = RANGE UNBOUNDED PRECEDING..CURRENT ROW:
+    # peers share one cumulative value, identically in Spark and DuckDB.
+    w = Window.partitionBy(*keys).orderBy("t", "delta")
+    return pts.withColumn("concurrent", F.sum("delta").over(w))
+
+
+def interval_peaks(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    start_col: str,
+    end_col: str,
+) -> DataFrame:
+    """Per-key peak concurrency summary: ``(*key_cols, n_intervals,
+    peak_concurrent)``. One key-shuffle for the sweep window, then a
+    map-side-combining aggregate over the already-partitioned points."""
+    keys = list(key_cols)
+    prof = interval_concurrency(df, keys, start_col, end_col)
+    return prof.groupBy(*keys).agg(
+        (F.count(F.lit(1)) / 2).cast("long").alias("n_intervals"),
+        F.max("concurrent").alias("peak_concurrent"),
+    )

@@ -595,3 +595,127 @@ def events_sliding_active_users_salted(
         )
         .orderBy("win_start_us")
     )
+
+
+# ------------------------------------------------- interval concurrency ----
+def events_interval_peak(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sweep-line interval concurrency (operators.intervals): each event
+    opens an interval of ``floor(value)+1`` minutes; per event type, how
+    many were ever active at once. The capacity question behind
+    connection-pool sizing — answered with one key-shuffle window, not
+    per-second gauge sampling.
+
+    Determinism: +1/-1 deltas are exact ints; the ``(t, delta)`` ordering
+    (ends before starts at the same instant = end-exclusive) and the
+    default RANGE frame give every peer row the same cumulative value in
+    both engines; ``floor()`` before the int cast avoids DuckDB's
+    round-on-cast."""
+    from project_obsidian_core_spark.operators.intervals import interval_peaks
+
+    ev = (
+        load(spark, sf_dir, "events")
+        .withColumn("dur_min", (F.floor("value") + 1).cast("int"))
+        .select(
+            "event_type",
+            F.col("ts").alias("start_ts"),
+            F.expr("ts + make_interval(0, 0, 0, 0, 0, dur_min, 0)").alias(
+                "end_ts"
+            ),
+        )
+    )
+    return interval_peaks(
+        ev, ["event_type"], "start_ts", "end_ts"
+    ).orderBy("event_type")
+
+
+ORACLE_events_interval_peak = """
+WITH iv AS (
+    SELECT event_type, ts AS t0,
+           ts + to_minutes(CAST(floor(value) + 1 AS BIGINT)) AS t1
+    FROM events
+), pts AS (
+    SELECT event_type, t0 AS t, 1 AS delta FROM iv
+    UNION ALL
+    SELECT event_type, t1 AS t, -1 AS delta FROM iv
+), prof AS (
+    SELECT event_type,
+           sum(delta) OVER (PARTITION BY event_type ORDER BY t, delta)
+               AS concurrent
+    FROM pts
+)
+SELECT event_type,
+       count(*) // 2 AS n_intervals,
+       CAST(max(concurrent) AS BIGINT) AS peak_concurrent
+FROM prof
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+# ------------------------------------------------- robust MAD anomalies ----
+def qan_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median/MAD anomaly flags — the robust sibling of qan_anomaly_zscore:
+    a digest's hourly totals are scored against its own median absolute
+    deviation, so a handful of true spikes can't inflate the baseline the
+    way they inflate a mean/stddev one (the masking problem z-scores have).
+
+    Cross-engine determinism: hourly totals are exact integer cents, so
+    the interpolated median lands on .0/.5 doubles (exact dyadics), the
+    absolute deviations on .0/.5, and the MAD on .0/.25 — every quantity
+    and the ``dev > 3·MAD`` compare is bit-identical in Spark
+    (``percentile``) and DuckDB (``quantile_cont``), which implement the
+    same (n-1)·p linear interpolation.
+
+    Plan shape: both percentile passes run as WINDOW aggregates over the
+    same ``digest`` partitioning — one events scan and two exchanges
+    total (hourly agg key, then digest), where the groupBy+join-back
+    formulation re-scanned the fact table per statistic. The window
+    partitions carry one row per (digest, hour) — bounded by the rollup
+    grain, never the event count, so per-partition state stays small at
+    any corpus size."""
+    ev = load(spark, sf_dir, "events")
+    bucket = F.expr("unix_micros(ts) div 3600000000") * 3600
+    agg = ev.groupBy(
+        F.col("event_type").alias("digest"), bucket.alias("bucket_epoch_s")
+    ).agg(F.sum(F.expr("CAST(round(value * 100, 0) AS BIGINT)")).alias("cents"))
+    w = Window.partitionBy("digest")
+    dev = agg.withColumn(
+        "med", F.expr("percentile(cents, 0.5)").over(w)
+    ).withColumn("dev", F.abs(F.col("cents").cast("double") - F.col("med")))
+    out = dev.withColumn("mad", F.expr("percentile(dev, 0.5)").over(w))
+    anomalous = ((F.col("mad") > 0) & (F.col("dev") > 3 * F.col("mad"))) | (
+        (F.col("mad") == 0) & (F.col("dev") > 0)
+    )
+    return out.select(
+        "digest",
+        "bucket_epoch_s",
+        "cents",
+        "med",
+        "mad",
+        anomalous.alias("anomalous"),
+    ).orderBy("digest", "bucket_epoch_s")
+
+
+ORACLE_qan_anomaly_mad = """
+WITH agg AS (
+    SELECT event_type AS digest,
+           (epoch_us(ts) // 3600000000) * 3600 AS bucket_epoch_s,
+           CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS cents
+    FROM events
+    GROUP BY 1, 2
+), dev AS (
+    SELECT digest, bucket_epoch_s, cents,
+           quantile_cont(cents, 0.5) OVER (PARTITION BY digest) AS med,
+           abs(CAST(cents AS DOUBLE)
+               - quantile_cont(cents, 0.5) OVER (PARTITION BY digest)) AS dev
+    FROM agg
+), scored AS (
+    SELECT digest, bucket_epoch_s, cents, med, dev,
+           quantile_cont(dev, 0.5) OVER (PARTITION BY digest) AS mad
+    FROM dev
+)
+SELECT digest, bucket_epoch_s, cents, med, mad,
+       (mad > 0 AND dev > 3 * mad) OR (mad = 0 AND dev > 0) AS anomalous
+FROM scored
+ORDER BY digest, bucket_epoch_s
+"""

@@ -599,3 +599,48 @@ FROM j
 GROUP BY doc_id
 ORDER BY doc_id
 """
+
+
+# ---------------------------------------- embedding-level decontamination
+def corpus_decontaminate_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine benchmark decontamination
+    (curation.decontaminate_embedding): train vectors too close to the
+    held-out eval slice — the paraphrase-leak screen n-gram overlap
+    misses. Top-50 hits by similarity."""
+    from pyspark.sql import functions as F
+
+    return (
+        C.decontaminate_embedding(load(spark, sf_dir, "embeddings"))
+        .orderBy(F.desc("cos_sim"), "train_id", "eval_id")
+        .limit(50)
+    )
+
+
+def _oracle_decon_embedding() -> str:
+    from project_obsidian_core_spark.datapipe import similarity as _S
+    from project_obsidian_core_spark.datapipe import vectors as _V
+
+    dim = 64
+    return f"""
+WITH base AS (
+    SELECT vec_id, embedding AS v,
+           {_S.sql_lsh_bucket('embedding', bits=C.DECON_EMB_BITS)} AS bucket,
+           {_V.sql_norm('embedding', dim)} AS nrm
+    FROM embeddings
+), ev AS (
+    SELECT vec_id AS eval_id, v AS e_v, nrm AS e_nrm, bucket FROM base
+    WHERE vec_id % {C.DECON_BENCH_MOD} = 0
+), tr AS (
+    SELECT vec_id AS train_id, v AS t_v, nrm AS t_nrm, bucket FROM base
+    WHERE vec_id % {C.DECON_BENCH_MOD} <> 0
+)
+SELECT train_id, eval_id,
+       {_V.sql_dot('t_v', 'e_v', dim)} / (t_nrm * e_nrm) AS cos_sim
+FROM tr JOIN ev USING (bucket)
+WHERE {_V.sql_dot('t_v', 'e_v', dim)} / (t_nrm * e_nrm) >= {C.DECON_EMB_THRESHOLD}
+ORDER BY cos_sim DESC, train_id, eval_id
+LIMIT 50
+"""
+
+
+ORACLE_corpus_decontaminate_embedding = _oracle_decon_embedding()

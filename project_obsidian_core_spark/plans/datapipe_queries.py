@@ -1118,3 +1118,73 @@ SELECT node, CAST(score AS BIGINT) AS score FROM s2 ORDER BY node
 
 
 ORACLE_knn_pagerank = _pagerank_oracle()
+
+
+# ------------------------------------------------------- inverted index ----
+def corpus_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Posting-list index build over documents (text.inverted_index):
+    per term its doc_freq, total_tf, and first-20 doc_id postings — the
+    retrieval-side primitive behind the tfidf ranking view."""
+    return T.inverted_index(load(spark, sf_dir, "documents")).orderBy("term")
+
+
+ORACLE_corpus_inverted_index = f"""
+WITH pairs AS (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+), tf AS (
+    SELECT term, doc_id, count(*) AS tf FROM pairs WHERE term <> ''
+    GROUP BY 1, 2
+), stats AS (
+    SELECT term, CAST(count(*) AS BIGINT) AS doc_freq,
+           CAST(sum(tf) AS BIGINT) AS total_tf
+    FROM tf GROUP BY 1
+), capped AS (
+    SELECT term, doc_id,
+           row_number() OVER (PARTITION BY term ORDER BY doc_id) AS rn
+    FROM tf
+), posts AS (
+    SELECT term, list(doc_id ORDER BY doc_id) AS postings
+    FROM capped WHERE rn <= {T.POSTINGS_CAP} GROUP BY 1
+)
+SELECT stats.term, doc_freq, total_tf, postings
+FROM stats JOIN posts USING (term)
+ORDER BY stats.term
+"""
+
+
+# ------------------------------------------------ blocked entity match ----
+from project_obsidian_core_spark.datapipe import linkage as LK  # noqa: E402
+
+_ER_MAX_DIST = 2
+
+
+def customer_entity_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked fuzzy entity resolution (datapipe.linkage) over customer:
+    block on (nation, market segment), verify with early-exit banded
+    levenshtein ≤ 2 on the name — the dimension-table linkage step of a
+    training-data join pipeline. Top-100 pairs by (dist, id_a, id_b)."""
+    pairs = LK.blocked_match_pairs(
+        load(spark, sf_dir, "customer"),
+        id_col="c_custkey",
+        text_col="c_name",
+        block_cols=["c_nationkey", "c_mktsegment"],
+        max_dist=_ER_MAX_DIST,
+    )
+    return pairs.orderBy("dist", "id_a", "id_b").limit(100)
+
+
+ORACLE_customer_entity_match = f"""
+WITH c AS (
+    SELECT c_nationkey, c_mktsegment, c_custkey, c_name FROM customer
+)
+SELECT a.c_nationkey, a.c_mktsegment,
+       a.c_custkey AS id_a, b.c_custkey AS id_b,
+       CAST(levenshtein(a.c_name, b.c_name) AS INTEGER) AS dist
+FROM c a JOIN c b
+  ON a.c_nationkey = b.c_nationkey
+ AND a.c_mktsegment = b.c_mktsegment
+ AND a.c_custkey < b.c_custkey
+WHERE levenshtein(a.c_name, b.c_name) <= {_ER_MAX_DIST}
+ORDER BY dist, id_a, id_b
+LIMIT 100
+"""

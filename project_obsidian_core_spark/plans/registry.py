@@ -367,75 +367,46 @@ _ENTRIES: list[tuple[str, QueryFn, str | None]] = [
     ),
     # Round-6: label-free embedding near-dup (sign-LSH bucket blocks)
     ("dedup_embedding_lsh", d.dedup_embedding_lsh, d.ORACLE_dedup_embedding_lsh),
+    # Round-8: sweep-line interval concurrency (new operator class)
+    ("events_interval_peak", ax.events_interval_peak, ax.ORACLE_events_interval_peak),
+    # Round-8: robust median/MAD anomaly flags (exact dyadic arithmetic)
+    ("qan_anomaly_mad", ax.qan_anomaly_mad, ax.ORACLE_qan_anomaly_mad),
+    # Round-8: posting-list inverted index (capped-before-buffering)
+    (
+        "corpus_inverted_index",
+        d.corpus_inverted_index,
+        d.ORACLE_corpus_inverted_index,
+    ),
+    # Round-8: blocked edit-distance entity resolution
+    (
+        "customer_entity_match",
+        d.customer_entity_match,
+        d.ORACLE_customer_entity_match,
+    ),
+    # Round-8: embedding-cosine benchmark decontamination
+    (
+        "corpus_decontaminate_embedding",
+        cu.corpus_decontaminate_embedding,
+        cu.ORACLE_corpus_decontaminate_embedding,
+    ),
 ]
 
 # ----------------------------------------------------------------------
-# Gate rotation (round 7): the driver records only the first 50 entries.
-# After r06 every query has a green official row EXCEPT the five round-6
-# additions — those lead unconditionally (r6 verdict next-#2).  The rest
-# of the 50-slot window re-records the queries whose newest official row
-# is OLDEST (r02 -> r03 -> r04, then an r05 fill), so no row drifts more
-# than a few rounds behind the living code.  Everything else keeps its
-# relative order at the tail (stable sort).  Names absent from this list
-# rank after all listed ones.
+# Gate rotation (round 8): the driver records only the first 50 entries.
+# The five round-8 additions lead unconditionally (no official row yet);
+# the remaining 45 slots re-record the ENTIRE 44-query cohort whose
+# newest official row is r05 (three rounds stale after r8 — the r7
+# verdict's top next item) plus one r06 fill, so no query's official row
+# ages past two rounds.  Everything else keeps its relative order at the
+# tail (stable sort).  Names absent from this list rank after all listed.
 _GATE_PRIORITY: list[str] = [
-    # -- (a) no official row yet (round-6 additions; orders_snapshot_diff
-    # also carries this round's NULL-image fix) -------------------------
-    "orders_snapshot_diff",
-    "metric_gap_fill",
-    "metric_time_weighted_avg_presplit",
-    "corpus_schema_evolution",
-    "dedup_embedding_lsh",
-    # -- (a') new round-7 queries slot in HERE, after the five ----------
-    "metric_gap_fill_presplit",
-    "corpus_chunk",
-    "corpus_oov_rate",
-    "orders_zorder_stats",
-    "orders_dq_report",
-    "qan_rollup_cascade",
-    "knn_ivf_incremental",
-    "dedup_ngram_pairs_hashed",
-    "stream_chunk",
-    # -- (b) newest official row is r02 ---------------------------------
-    "knn_brute",
-    "knn_lsh",
-    "knn_ivf",
-    # -- (c) newest official row is r03 ---------------------------------
-    "qan_snapshot_delta",
-    "qan_rollup_minute",
-    "qan_trend_5m",
-    "qan_multi_metric_topn",
-    # -- (d) newest official row is r04 ---------------------------------
-    "qan_top_digests",
-    "qan_top_digests_salted",
-    "qan_percent_rank",
-    "qan_rollup_merge",
-    "qan_top_movers",
-    "corpus_language_mixture",
-    "corpus_pack_greedy",
-    "corpus_quality_filter",
-    "curation_report",
-    "customer_cumulative_spend",
-    "dedup_clusters_ls",
-    "dedup_incremental",
-    "embedding_kmeans",
-    "events_asof_join_presplit",
-    "events_funnel",
-    "events_props_stats",
-    "events_retention",
-    "events_user_paths",
-    "knn_graph_degree",
-    "knn_ivf_kmeans",
-    "stream_dedup_events",
-    "stream_range_join",
-    "stream_session_stats",
-    "stream_snapshot_delta",
-    # -- (e) r05 fill to slot 50 (oldest half of the r05 cohort) --------
-    "bpe_encode_stats",
-    "bpe_merges",
-    "brand_type_revenue",
-    "corpus_decontaminate",
-    "corpus_mixture_plan",
+    # -- (a) round-8 additions: no official row yet ---------------------
+    "events_interval_peak",
+    "qan_anomaly_mad",
+    "corpus_inverted_index",
+    "customer_entity_match",
+    "corpus_decontaminate_embedding",
+    # -- (b) the full r05 cohort (newest official row is r05) -----------
     "corpus_pack",
     "corpus_sample",
     "corpus_split",
@@ -445,6 +416,43 @@ _GATE_PRIORITY: list[str] = [
     "csv_ingest",
     "customer_order_distribution",
     "customer_trailing_revenue",
+    "dedup_containment_pairs",
+    "dormant_customers",
+    "events_sliding_active_users",
+    "knn_pagerank",
+    "knn_pq_adc",
+    "large_order_customers",
+    "late_shipment_orders",
+    "media_features",
+    "media_frame_sample",
+    "media_resample_audio",
+    "media_resize",
+    "metric_time_weighted_avg",
+    "nation_market_share",
+    "nation_trade_volume",
+    "orders_asof_snapshot",
+    "orders_cdc_merge",
+    "orders_scd2",
+    "pii_scan_redact",
+    "prepare_training_set",
+    "prepare_training_set_v2",
+    "promo_revenue",
+    "returned_item_customers",
+    "session_window_stats",
+    "sessionize_events",
+    "sessionize_presplit_events",
+    "small_quantity_revenue",
+    "stream_enrich_events",
+    "stream_quality_filter",
+    "stream_rollup_minute",
+    "stream_sliding_active_users",
+    "stream_top_digests",
+    "text_repetition_stats",
+    "text_surprisal",
+    "top_supplier_revenue",
+    "vocab_build",
+    # -- (c) one r06 fill to slot 50 ------------------------------------
+    "buffer_hit_ratio",
 ]
 _PRIO = {name: rank for rank, name in enumerate(_GATE_PRIORITY)}
 _ENTRIES.sort(key=lambda entry: _PRIO.get(entry[0], len(_GATE_PRIORITY)))
