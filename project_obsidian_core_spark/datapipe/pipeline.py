@@ -25,7 +25,7 @@ Scale notes
 
 from __future__ import annotations
 
-from typing import Iterable
+from typing import Iterable, Sequence
 
 import pandas as pd
 from pyspark.sql import Column, DataFrame
@@ -430,6 +430,9 @@ def write_corpus(
     partition_cols: tuple[str, ...] = ("split", "lang"),
     target_file_rows: int | None = None,
     mode: str = "overwrite",
+    zorder_cols: Sequence[tuple[str, int, int]] | None = None,
+    zorder_bits: int = 12,
+    zorder_tasks: int | None = None,
 ) -> None:
     """Write a curated corpus partitioned by (split, lang) — the layout a
     training job reads: split pruning is free (a val-only eval reads 1% of
@@ -441,9 +444,35 @@ def write_corpus(
     one-straggler-task problem at 100 TB — so a salt spreads each partition
     over ceil(rows/target) tasks; ``maxRecordsPerFile`` then caps file size
     within whatever task layout the shuffle produced.
+
+    ``zorder_cols`` (``(column, lo, hi)`` specs, see
+    :func:`operators.layout.zorder_value`) replaces the salted spread with
+    Z-CURVE clustering INSIDE each directory partition: rows range-shuffle
+    on ``(*partition_cols, z)`` — big strata still split across many tasks
+    (the range sampler sees the z spread), so no straggler — and sort by z
+    within tasks, so every file carries tight min/max footer stats on ALL
+    the z dimensions. This is the composition the L1 soak calls out for
+    100 TB: split/lang stay directory partitions (exact pruning), z-order
+    covers the residual multi-column selectivity inside them.
     """
     out = df
-    if target_file_rows is not None:
+    if zorder_cols is not None:
+        from project_obsidian_core_spark.operators.layout import zorder_value
+
+        z = df.withColumn("_z", zorder_value(zorder_cols, zorder_bits))
+        # explicit task count pins the file granularity (AQE would coalesce
+        # a small write into one task and erase the z-local file layout);
+        # default leaves it to shuffle.partitions + AQE, right at scale
+        range_args = ([zorder_tasks] if zorder_tasks else []) + [
+            *partition_cols,
+            "_z",
+        ]
+        out = (
+            z.repartitionByRange(*range_args)
+            .sortWithinPartitions(*partition_cols, "_z")
+            .drop("_z")
+        )
+    elif target_file_rows is not None:
         from pyspark.sql.window import Window
 
         # stratum sizes via a window, NOT a self-join: an inner join on the

@@ -80,3 +80,60 @@ def test_write_corpus_null_partition_value_not_dropped(spark):
     back = spark.read.parquet(tmp)
     assert back.count() == 2
     assert back.filter(F.col("lang").isNull()).count() == 1
+
+
+def test_write_corpus_zorder_clusters_within_partitions(spark):
+    """zorder_cols clusters files INSIDE each directory partition: a small
+    box probe on the z dimensions must skip most files by parquet footer
+    min/max, while the partition layout and row contents stay identical."""
+    import pyarrow.parquet as pq
+
+    tmp = tempfile.mkdtemp(prefix="corpus_sink_z_")
+    docs = (
+        spark.range(4000)
+        .select(
+            F.col("id").alias("doc_id"),
+            (F.col("id") % 617).alias("x"),
+            (F.col("id") * 31 % 1009).alias("y"),
+            F.when(F.col("id") % 10 == 0, "val").otherwise("train").alias("split"),
+            F.lit("en").alias("lang"),
+        )
+    )
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        P.write_corpus(
+            docs,
+            tmp,
+            zorder_cols=[("x", 0, 617), ("y", 0, 1009)],
+            zorder_bits=8,
+            zorder_tasks=8,
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", "4")
+    # layout + contents intact
+    assert glob.glob(f"{tmp}/split=train/lang=en/*.parquet")
+    back = spark.read.parquet(tmp)
+    assert back.count() == 4000
+    # footer-stat pruning on BOTH z dimensions inside the train partition:
+    # a ~1.5% box should intersect well under half of the files
+    files = glob.glob(f"{tmp}/split=train/lang=en/*.parquet")
+    assert len(files) >= 4  # range shuffle spread the stratum over tasks
+    hit = 0
+    for f in files:
+        md = pq.ParquetFile(f).metadata
+        for rg in range(md.num_row_groups):
+            cols = {
+                md.row_group(rg).column(i).path_in_schema: md.row_group(rg)
+                .column(i)
+                .statistics
+                for i in range(md.row_group(rg).num_columns)
+            }
+            if (
+                cols["x"].min <= 80
+                and cols["x"].max >= 0
+                and cols["y"].min <= 120
+                and cols["y"].max >= 0
+            ):
+                hit += 1
+                break
+    assert hit < len(files) / 2, (hit, len(files))
