@@ -211,6 +211,7 @@ BENCH_QUERIES = [
     "corpus_inverted_index",  # capped posting-list index build
     "customer_entity_match",  # blocked edit-distance entity resolution
     "corpus_decontaminate_embedding",  # embedding-cosine decon screen
+    "part_pareto_frontier",   # join-free 2-D skyline (two RANGE windows)
     # stream_cdc_merge is timed via _time_cdc_merge below (merge work
     # only): its checkpointed replay rewrites a bucketed parquet snapshot
     # per micro-batch (~12 s/run at sf0.1, >90% filesystem publish/rename

@@ -389,6 +389,12 @@ _ENTRIES: list[tuple[str, QueryFn, str | None]] = [
         cu.corpus_decontaminate_embedding,
         cu.ORACLE_corpus_decontaminate_embedding,
     ),
+    # Round-8: per-group 2-D Pareto frontier (skyline, join-free)
+    (
+        "part_pareto_frontier",
+        r.part_pareto_frontier,
+        r.ORACLE_part_pareto_frontier,
+    ),
 ]
 
 # ----------------------------------------------------------------------
@@ -406,6 +412,7 @@ _GATE_PRIORITY: list[str] = [
     "corpus_inverted_index",
     "customer_entity_match",
     "corpus_decontaminate_embedding",
+    "part_pareto_frontier",
     # -- (b) the full r05 cohort (newest official row is r05) -----------
     "corpus_pack",
     "corpus_sample",
@@ -451,8 +458,6 @@ _GATE_PRIORITY: list[str] = [
     "text_surprisal",
     "top_supplier_revenue",
     "vocab_build",
-    # -- (c) one r06 fill to slot 50 ------------------------------------
-    "buffer_hit_ratio",
 ]
 _PRIO = {name: rank for rank, name in enumerate(_GATE_PRIORITY)}
 _ENTRIES.sort(key=lambda entry: _PRIO.get(entry[0], len(_GATE_PRIORITY)))

@@ -1259,3 +1259,41 @@ GROUP BY s_suppkey, s_name
 ORDER BY numwait DESC, s_suppkey
 LIMIT 20
 """
+
+
+# ------------------------------------------------------ Pareto frontier ---
+def part_pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type part skyline (operators.skyline): the parts not beaten on
+    BOTH price (minimize) and size (maximize) by any same-type part — two
+    value-RANGE windows on one group shuffle, never the O(n²) dominance
+    self-join. Exact integer cents keep the compare engine-identical."""
+    from project_obsidian_core_spark.operators.skyline import pareto_frontier_2d
+
+    parts = load(spark, sf_dir, "part").select(
+        "p_type", "p_partkey", cents("p_retailprice").alias("price_cents"), "p_size"
+    )
+    return pareto_frontier_2d(
+        parts, ["p_type"], "price_cents", "p_size"
+    ).orderBy("p_type", "price_cents", "p_partkey")
+
+
+ORACLE_part_pareto_frontier = """
+WITH p AS (
+    SELECT p_type, p_partkey,
+           CAST(round(p_retailprice * 100, 0) AS BIGINT) AS price_cents,
+           p_size
+    FROM part
+), scored AS (
+    SELECT p_type, p_partkey, price_cents, p_size,
+           max(p_size) OVER (PARTITION BY p_type ORDER BY price_cents
+                             RANGE BETWEEN UNBOUNDED PRECEDING
+                                   AND 1 PRECEDING) AS prev_best,
+           max(p_size) OVER (PARTITION BY p_type, price_cents) AS tie_best
+    FROM p
+)
+SELECT p_type, p_partkey, price_cents, p_size
+FROM scored
+WHERE p_size = tie_best
+  AND (prev_best IS NULL OR p_size > prev_best)
+ORDER BY p_type, price_cents, p_partkey
+"""
