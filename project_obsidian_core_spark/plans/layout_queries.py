@@ -128,3 +128,84 @@ SELECT rule, n_violations, n_rows FROM (
 )
 ORDER BY rule
 """
+
+
+# ----------------------------------------------- bucketed co-located join --
+#: bucket count for the gate tables (matches both sides — the elision rule).
+_N_BUCKETS = 8
+#: external-table location; per-sf so sf0.01 gate runs and sf0.1 bench runs
+#: cannot clobber each other's layout.
+_BUCKET_ROOT = "/tmp/spark_graft_bucketed"
+
+
+def orders_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B1 oracle gate: the exchange-free fact-fact join over bucketed
+    tables (:mod:`operators.bucketing`).
+
+    Both orders and lineitem are written bucketed (and sorted) on the
+    order key, then joined through the catalog: with matching bucket
+    specs Spark plans a SortMergeJoin with NO shuffle Exchange on either
+    side, and the follow-up per-order aggregate reuses the same hash
+    partitioning (outputPartitioning is already satisfied), so the only
+    exchange in the whole plan is the final top-N. At 100 TB this is the
+    layout that turns every orders⋈lineitem query from a dual full
+    shuffle into a local per-bucket merge — the write cost is paid once,
+    the shuffle saving is per-query.
+
+    The bucketed layout is physical only — the oracle computes the same
+    join/aggregate over the raw tables, so the gate proves layout does
+    not change results (and the no-Exchange property is pinned by
+    tests/test_bucketing.py::test_gate_query_join_is_exchange_free).
+    """
+    import os
+
+    from project_obsidian_core_spark.operators import bucketing as B
+
+    tag = os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
+    lt, rt = f"sg_bkt_orders_{tag}", f"sg_bkt_lineitem_{tag}"
+    orders = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority"
+    )
+    lineitem = load(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("o_orderkey"),
+        cents("l_extendedprice").alias("ext_cents"),
+        cents("l_discount").alias("disc_pct"),
+    )
+    B.write_bucketed(
+        orders, lt, ["o_orderkey"], _N_BUCKETS,
+        path=f"{_BUCKET_ROOT}/{tag}/orders",
+    )
+    B.write_bucketed(
+        lineitem, rt, ["o_orderkey"], _N_BUCKETS,
+        path=f"{_BUCKET_ROOT}/{tag}/lineitem",
+    )
+    joined = B.co_located_join(
+        spark, lt, rt, ["o_orderkey"], force_sortmerge=True
+    )
+    return (
+        joined.groupBy("o_orderkey", "o_orderpriority")
+        .agg(
+            (F.sum(F.col("ext_cents") * (F.lit(100) - F.col("disc_pct"))))
+            .alias("revenue_cp"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+        .orderBy(F.col("revenue_cp").desc(), "o_orderkey")
+        .limit(100)
+    )
+
+
+ORACLE_orders_bucketed_join = """
+WITH l AS (
+    SELECT l_orderkey AS o_orderkey,
+           CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS ext_cents,
+           CAST(round(l_discount * 100, 0) AS BIGINT) AS disc_pct
+    FROM lineitem
+)
+SELECT o.o_orderkey, o.o_orderpriority,
+       CAST(sum(l.ext_cents * (100 - l.disc_pct)) AS BIGINT) AS revenue_cp,
+       count(*) AS n_lines
+FROM orders o JOIN l USING (o_orderkey)
+GROUP BY o.o_orderkey, o.o_orderpriority
+ORDER BY revenue_cp DESC, o_orderkey
+LIMIT 100
+"""

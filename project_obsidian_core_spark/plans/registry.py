@@ -395,6 +395,18 @@ _ENTRIES: list[tuple[str, QueryFn, str | None]] = [
         r.part_pareto_frontier,
         r.ORACLE_part_pareto_frontier,
     ),
+    # ------------------------------------------------------------------
+    # Block R8b — late round-8 additions.  NOT in this round's 50-slot
+    # gate (the 50 slots are committed to the r05-cohort rotation, the
+    # r7 verdict's top ask); these rank 51+ now and lead `_GATE_PRIORITY`
+    # in round 9, exactly like the round-6 tail did in round 7.  All are
+    # oracle-checked locally (scripts/oracle_check.py) from day one.
+    # B1 upgrade: exchange-free bucketed fact-fact join, oracle-gated
+    (
+        "orders_bucketed_join",
+        lay.orders_bucketed_join,
+        lay.ORACLE_orders_bucketed_join,
+    ),
 ]
 
 # ----------------------------------------------------------------------

@@ -52,3 +52,17 @@ def test_unbucketed_join_does_shuffle(spark, bucketed_tables):
     raw = spark.range(0, 10_000, 7).select(F.col("id").alias("digest_id"))
     plan = _plan(spark.table(lt).hint("merge").join(raw, ["digest_id"]))
     assert "Exchange" in plan
+
+
+def test_gate_query_join_is_exchange_free(spark):
+    # the registry gate query (orders_bucketed_join) must plan its
+    # orders⋈lineitem as a bucket-local SMJ: the ONLY exchange allowed in
+    # the whole plan is the final top-N (rangepartitioning/singlepartition),
+    # never a hashpartitioning shuffle feeding the join or the per-order agg
+    from project_obsidian_core_spark.plans import layout_queries as lay
+
+    df = lay.orders_bucketed_join(spark, "/root/testdata/sf0.001")
+    plan = _plan(df)
+    assert "SortMergeJoin" in plan
+    assert "Bucketed: true" in plan
+    assert "hashpartitioning" not in plan, plan
