@@ -212,6 +212,9 @@ BENCH_QUERIES = [
     "customer_entity_match",  # blocked edit-distance entity resolution
     "corpus_decontaminate_embedding",  # embedding-cosine decon screen
     "part_pareto_frontier",   # join-free 2-D skyline (two RANGE windows)
+    "orders_bucketed_join",   # exchange-free bucketed fact-fact join (B1)
+    "metric_ohlc",            # OHLC candles, one-exchange resample
+    "stream_ohlc",            # streaming twin (struct-min/max open/close)
     # stream_cdc_merge is timed via _time_cdc_merge below (merge work
     # only): its checkpointed replay rewrites a bucketed parquet snapshot
     # per micro-batch (~12 s/run at sf0.1, >90% filesystem publish/rename

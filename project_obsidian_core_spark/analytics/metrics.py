@@ -294,3 +294,52 @@ def gap_fill_minutes_presplit(
             F.col("_present").isNull().alias("is_filled"),
         )
     )
+
+
+def ohlc(
+    metrics: DataFrame,
+    bucket_s: int = 300,
+) -> DataFrame:
+    """OHLC (open/high/low/close) candle downsampling per metric series —
+    the Timescale `first()/last()`-style resample every metrics store
+    offers (Druid exposes it as first/last aggregators) re-expressed as
+    ONE Spark partitioning.
+
+    open/close are the earliest/latest sample's value within each
+    ``bucket_s``-second bucket; ties on timestamp break deterministically
+    by value (row_number ordered by (time, value)), so the result is
+    engine-independent even on duplicate-timestamp data. Both row_number
+    windows share one (metric, bucket) hash partitioning with the final
+    aggregate: the whole candle build costs a single exchange, which is
+    the minimum for a keyed resample. At 100 TB the input stays bucketed
+    by series key, the windows never see more than one series-bucket per
+    sort run, and the output is ~n_series x n_buckets rows — the classic
+    1000x raw->candle reduction paid with one shuffle.
+    """
+    from pyspark.sql.window import Window
+
+    # integer division on the µs epoch — a double-divide here can round
+    # across the bucket boundary for large epochs
+    bucket = (
+        F.expr(f"unix_micros(time) div {bucket_s * 1_000_000}")
+        * F.lit(bucket_s)
+    ).alias("bucket_epoch_s")
+    rows = metrics.select(
+        bucket, "metric_name", "time", F.col("metric_value").alias("v")
+    )
+    w = Window.partitionBy("metric_name", "bucket_epoch_s")
+    asc = w.orderBy(F.col("time").asc(), F.col("v").asc())
+    desc = w.orderBy(F.col("time").desc(), F.col("v").desc())
+    return (
+        rows.withColumn("rn_a", F.row_number().over(asc))
+        .withColumn("rn_d", F.row_number().over(desc))
+        .groupBy("metric_name", "bucket_epoch_s")
+        .agg(
+            F.max(F.when(F.col("rn_a") == 1, F.col("v"))).alias("open"),
+            F.max("v").alias("high"),
+            F.min("v").alias("low"),
+            F.max(F.when(F.col("rn_d") == 1, F.col("v"))).alias("close"),
+            F.sum("v").alias("volume"),
+            F.count(F.lit(1)).alias("n_samples"),
+        )
+    )

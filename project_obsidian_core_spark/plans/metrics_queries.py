@@ -377,3 +377,48 @@ def metric_gap_fill_presplit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("instance_id", "metric_name")
     )
+
+
+# --------------------------------------------------------- OHLC candles ---
+_OHLC_BUCKET_S = 300
+
+
+def metric_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A26: OHLC candle downsampling (:func:`analytics.metrics.ohlc`) —
+    open/high/low/close/volume per (metric, 5-min bucket), the
+    first()/last() resample every metrics store offers. One exchange
+    total: both tie-safe row_number windows and the final aggregate share
+    the (metric, bucket) partitioning. Values are exact cents ints."""
+    m = synthesize_metrics(spark, sf_dir)
+    return MA.ohlc(m, bucket_s=_OHLC_BUCKET_S).orderBy(
+        "metric_name", "bucket_epoch_s"
+    )
+
+
+ORACLE_metric_ohlc = f"""
+WITH m AS ({_SYN_SQL}),
+b AS (
+    SELECT metric_name,
+           (epoch_us(time) // {_OHLC_BUCKET_S * 1_000_000}) * {_OHLC_BUCKET_S}
+               AS bucket_epoch_s,
+           time, metric_value AS v
+    FROM m
+), r AS (
+    SELECT *,
+           row_number() OVER (PARTITION BY metric_name, bucket_epoch_s
+                              ORDER BY time ASC, v ASC) AS rn_a,
+           row_number() OVER (PARTITION BY metric_name, bucket_epoch_s
+                              ORDER BY time DESC, v DESC) AS rn_d
+    FROM b
+)
+SELECT metric_name, bucket_epoch_s,
+       CAST(max(CASE WHEN rn_a = 1 THEN v END) AS BIGINT) AS open,
+       CAST(max(v) AS BIGINT) AS high,
+       CAST(min(v) AS BIGINT) AS low,
+       CAST(max(CASE WHEN rn_d = 1 THEN v END) AS BIGINT) AS close,
+       CAST(sum(v) AS BIGINT) AS volume,
+       count(*) AS n_samples
+FROM r
+GROUP BY metric_name, bucket_epoch_s
+ORDER BY metric_name, bucket_epoch_s
+"""

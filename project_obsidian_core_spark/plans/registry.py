@@ -407,6 +407,10 @@ _ENTRIES: list[tuple[str, QueryFn, str | None]] = [
         lay.orders_bucketed_join,
         lay.ORACLE_orders_bucketed_join,
     ),
+    # A26: OHLC candle downsample + its arrival-order-independent
+    # streaming twin (min/max over struct(time, v) == the batch tiebreak)
+    ("metric_ohlc", m.metric_ohlc, m.ORACLE_metric_ohlc),
+    ("stream_ohlc", st.stream_ohlc, m.ORACLE_metric_ohlc),
 ]
 
 # ----------------------------------------------------------------------

@@ -714,3 +714,67 @@ def stream_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     return spark.table(name).orderBy("doc_id", "chunk_idx")
+
+
+# --------------------------------------------------- streaming OHLC twin --
+def stream_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Replay the synthesized metrics stream through a STREAMING OHLC
+    candle aggregation — must match the batch ``metric_ohlc`` oracle
+    exactly.
+
+    The batch operator picks open/close via tie-safe row_number windows;
+    a stream cannot (row order across micro-batches is not a thing), so
+    the twin re-expresses first/last as min/max over struct(time, value)
+    — an associative, commutative, MERGEABLE aggregate whose tie order
+    (time ASC then value ASC for open; both DESC for close) is exactly
+    the batch tiebreaker. A green row therefore pins that the candle
+    build is arrival-order-independent: partial candles merge across
+    micro-batches into the same bit-exact result the batch plan computes,
+    which is what lets a 100 TB backfill and a live tail share one
+    operator. State is one row per (metric, open bucket) — bounded by
+    time span x series cardinality, never by row volume.
+    """
+    from project_obsidian_core_spark.plans import metrics_queries as MQ
+
+    run = next(_RUN_IDS)
+    src = _events_src(spark, sf_dir, run)
+    schema = spark.read.parquet(src).schema
+    stream = spark.readStream.schema(schema).parquet(src)
+    name_col = (
+        F.when(F.col("event_type") == "view", F.lit(MQ.HIT))
+        .when(F.col("event_type") == "click", F.lit(MQ.READ))
+        .otherwise(F.concat(F.lit("postgresql."), F.col("event_type")))
+    )
+    rows = stream.select(
+        name_col.alias("metric_name"),
+        (F.expr("unix_micros(ts) div 300000000") * F.lit(300)).alias(
+            "bucket_epoch_s"
+        ),
+        F.col("ts").alias("time"),
+        F.col("cents").alias("v"),
+    )
+    agg = rows.groupBy("metric_name", "bucket_epoch_s").agg(
+        F.min(F.struct("time", "v")).alias("_open"),
+        F.max("v").alias("high"),
+        F.min("v").alias("low"),
+        F.max(F.struct("time", "v")).alias("_close"),
+        F.sum("v").alias("volume"),
+        F.count(F.lit(1)).alias("n_samples"),
+    )
+    name = f"stream_ohlc_{run}"
+    tmp = tempfile.mkdtemp(prefix=f"obsidian_ohlc_{run}_")
+    _run_complete(agg, name, f"{tmp}/ckpt", spark)
+    return (
+        spark.table(name)
+        .select(
+            "metric_name",
+            "bucket_epoch_s",
+            F.col("_open.v").alias("open"),
+            "high",
+            "low",
+            F.col("_close.v").alias("close"),
+            "volume",
+            "n_samples",
+        )
+        .orderBy("metric_name", "bucket_epoch_s")
+    )
