@@ -215,6 +215,7 @@ BENCH_QUERIES = [
     "orders_bucketed_join",   # exchange-free bucketed fact-fact join (B1)
     "metric_ohlc",            # OHLC candles, one-exchange resample
     "stream_ohlc",            # streaming twin (struct-min/max open/close)
+    "events_heavy_hitters",   # two-pass exact heavy hitters (sketch-pruned)
     # stream_cdc_merge is timed via _time_cdc_merge below (merge work
     # only): its checkpointed replay rewrites a bucketed parquet snapshot
     # per micro-batch (~12 s/run at sf0.1, >90% filesystem publish/rename

@@ -719,3 +719,56 @@ SELECT digest, bucket_epoch_s, cents, med, mad,
 FROM scored
 ORDER BY digest, bucket_epoch_s
 """
+
+
+# ----------------------------------------------- exact heavy hitters ------
+#: φ = 1/100: a key is reported iff it holds strictly more than 1% of rows.
+_HH_NUM, _HH_DEN = 1, 100
+
+
+def events_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-pass exact φ-heavy hitters
+    (:mod:`analytics.heavy_hitters`) over a deliberately skew-shaped key:
+    2/3 of events collapse onto 5 hot keys, the rest are unique cold keys
+    — the head/long-tail shape of URL / token / user-id streams.
+
+    The sketch pass prunes the key space (per-Arrow-batch φ-heavy
+    candidates, pigeonhole-complete), the verify pass recounts exactly;
+    the oracle is the direct group-by-everything formulation, so a green
+    row proves the pruned plan is bit-identical to the naive one — while
+    shuffling candidate keys only, which is what survives a 100 TB key
+    space where one-row-per-distinct-key is itself corpus-sized."""
+    from fractions import Fraction
+
+    from project_obsidian_core_spark.analytics import heavy_hitters as HH
+
+    ev = load(spark, sf_dir, "events")
+    keyed = ev.select(
+        F.when(
+            F.col("event_id") % 3 != 0,
+            F.concat(F.lit("hot_"), (F.col("user_id") % 5).cast("string")),
+        )
+        .otherwise(F.concat(F.lit("cold_"), F.col("event_id").cast("string")))
+        .alias("key")
+    )
+    return HH.heavy_hitters(
+        keyed, key="key", phi=Fraction(_HH_NUM, _HH_DEN)
+    ).orderBy(F.col("cnt").desc(), "key")
+
+
+ORACLE_events_heavy_hitters = f"""
+WITH keyed AS (
+    SELECT CASE WHEN event_id % 3 != 0
+                THEN 'hot_' || CAST(user_id % 5 AS VARCHAR)
+                ELSE 'cold_' || CAST(event_id AS VARCHAR) END AS key
+    FROM events
+), tot AS (
+    SELECT count(*) AS n_rows FROM keyed
+)
+SELECT k.key, CAST(count(*) AS BIGINT) AS cnt, t.n_rows,
+       CAST(count(*) * 1000000 // t.n_rows AS BIGINT) AS share_ppm
+FROM keyed k CROSS JOIN tot t
+GROUP BY k.key, t.n_rows
+HAVING count(*) * {_HH_DEN} > t.n_rows * {_HH_NUM}
+ORDER BY cnt DESC, key
+"""

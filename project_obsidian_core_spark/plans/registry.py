@@ -411,6 +411,12 @@ _ENTRIES: list[tuple[str, QueryFn, str | None]] = [
     # streaming twin (min/max over struct(time, v) == the batch tiebreak)
     ("metric_ohlc", m.metric_ohlc, m.ORACLE_metric_ohlc),
     ("stream_ohlc", st.stream_ohlc, m.ORACLE_metric_ohlc),
+    # HH1: two-pass exact heavy hitters (sketch-pruned candidate shuffle)
+    (
+        "events_heavy_hitters",
+        ax.events_heavy_hitters,
+        ax.ORACLE_events_heavy_hitters,
+    ),
 ]
 
 # ----------------------------------------------------------------------
