@@ -216,6 +216,7 @@ BENCH_QUERIES = [
     "metric_ohlc",            # OHLC candles, one-exchange resample
     "stream_ohlc",            # streaming twin (struct-min/max open/close)
     "events_heavy_hitters",   # two-pass exact heavy hitters (sketch-pruned)
+    "knn_triangles",          # degree-ordered triangle enumeration
     # stream_cdc_merge is timed via _time_cdc_merge below (merge work
     # only): its checkpointed replay rewrites a bucketed parquet snapshot
     # per micro-batch (~12 s/run at sf0.1, >90% filesystem publish/rename

@@ -662,3 +662,61 @@ def pagerank_int(edges: DataFrame, iters: int = 2) -> DataFrame:
             )
         )
     return scores
+
+
+# ------------------------------------------------------- triangle listing --
+def triangle_list(edges: DataFrame) -> DataFrame:
+    """Degree-ordered triangle enumeration over an undirected edge list
+    (columns ``a < b``) — the node-iterator algorithm behind every
+    web-scale clustering-coefficient / community-density job
+    (Suri-Vassilvitskii "Counting triangles and the curse of the last
+    reducer", WWW'11).
+
+    Every edge is oriented from its lower-(degree, id) endpoint to the
+    higher one; wedges are enumerated per oriented source and closed
+    against the oriented edge set. The orientation is the scale move: the
+    wedge join is quadratic ONLY in per-node out-degree, which the
+    degree ordering bounds by O(√m) on any graph (hubs never fan out), so
+    a 100 TB power-law graph pays O(m^1.5) wedge rows instead of the
+    hub-degree² blowup a naive per-node enumeration hits. All joins
+    shuffle on node keys; each triangle emerges exactly once.
+
+    Returns one row per triangle, as the node triple sorted by id.
+    """
+    deg = (
+        edges.select(F.col("a").alias("node"))
+        .union(edges.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )
+    # total order on (degree, id) as one int64: ids are < 2^31 by contract
+    rank = deg.select(
+        "node", (F.col("degree") * F.lit(1 << 31) + F.col("node")).alias("rnk")
+    )
+    e = (
+        edges.join(
+            rank.select(F.col("node").alias("a"), F.col("rnk").alias("rank_a")),
+            "a",
+        ).join(
+            rank.select(F.col("node").alias("b"), F.col("rnk").alias("rank_b")),
+            "b",
+        )
+    )
+    flip = F.col("rank_a") < F.col("rank_b")
+    oriented = e.select(
+        F.when(flip, F.col("a")).otherwise(F.col("b")).alias("src"),
+        F.when(flip, F.col("b")).otherwise(F.col("a")).alias("dst"),
+        F.when(flip, F.col("rank_b")).otherwise(F.col("rank_a")).alias("rank_dst"),
+    )
+    w1 = oriented.select("src", F.col("dst").alias("x"), F.col("rank_dst").alias("rx"))
+    w2 = oriented.select("src", F.col("dst").alias("y"), F.col("rank_dst").alias("ry"))
+    wedges = w1.join(w2, "src").filter(F.col("rx") < F.col("ry"))
+    closed = wedges.join(
+        oriented.select(F.col("src").alias("x"), F.col("dst").alias("y")),
+        ["x", "y"],
+    )
+    u, x, y = F.col("src"), F.col("x"), F.col("y")
+    lo, hi = F.least(u, x, y), F.greatest(u, x, y)
+    return closed.select(
+        lo.alias("a"), (u + x + y - lo - hi).alias("b"), hi.alias("c")
+    )

@@ -1188,3 +1188,35 @@ WHERE levenshtein(a.c_name, b.c_name) <= {_ER_MAX_DIST}
 ORDER BY dist, id_a, id_b
 LIMIT 100
 """
+
+
+# ------------------------------------------------------ triangle counting --
+def knn_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree-ordered triangle enumeration
+    (:func:`datapipe.similarity.triangle_list`) over the same symmetrized
+    exact 5-NN graph as ``knn_graph_degree`` — the clustering-coefficient
+    primitive for graph-based corpus diagnostics (dense triangle
+    neighborhoods = redundant near-dup clusters worth thinning before
+    training). The oracle closes triangles with the textbook a<b<c
+    3-way self-join; the Spark plan instead orients edges by (degree, id)
+    so wedge fan-out is bounded by O(√m) per node — same triangles,
+    hub-safe at 100 TB."""
+    emb = load(spark, sf_dir, "embeddings").filter(F.col("vec_id") < _GRAPH_VECS)
+    edges = S.knn_edges(emb, k=_GRAPH_K)
+    return S.triangle_list(edges).orderBy("a", "b", "c")
+
+
+def _triangles_oracle() -> str:
+    # reuse the degree oracle's signature->edges CTE chain verbatim; only
+    # the final consumer differs (3-way closure instead of the histogram)
+    edges_ctes = ORACLE_knn_graph_degree.partition("), degrees AS")[0] + ")"
+    return f"""{edges_ctes}
+SELECT e1.a AS a, e1.b AS b, e2.b AS c
+FROM edges e1
+JOIN edges e2 ON e2.a = e1.b
+JOIN edges e3 ON e3.a = e1.a AND e3.b = e2.b
+ORDER BY a, b, c
+"""
+
+
+ORACLE_knn_triangles = _triangles_oracle()

@@ -417,6 +417,8 @@ _ENTRIES: list[tuple[str, QueryFn, str | None]] = [
         ax.events_heavy_hitters,
         ax.ORACLE_events_heavy_hitters,
     ),
+    # G2: degree-ordered triangle enumeration on the kNN graph
+    ("knn_triangles", d.knn_triangles, d.ORACLE_knn_triangles),
 ]
 
 # ----------------------------------------------------------------------
