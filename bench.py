@@ -217,6 +217,7 @@ BENCH_QUERIES = [
     "stream_ohlc",            # streaming twin (struct-min/max open/close)
     "events_heavy_hitters",   # two-pass exact heavy hitters (sketch-pruned)
     "knn_triangles",          # degree-ordered triangle enumeration
+    "orders_profile",         # Expand-free exact column profiling
     # stream_cdc_merge is timed via _time_cdc_merge below (merge work
     # only): its checkpointed replay rewrites a bucketed parquet snapshot
     # per micro-batch (~12 s/run at sf0.1, >90% filesystem publish/rename

@@ -111,3 +111,48 @@ def dq_report(df: DataFrame, rules: Sequence[tuple]) -> DataFrame:
         u = dup.crossJoin(F.broadcast(n_rows_row))
         out = u if out is None else out.unionByName(u)
     return out.select("rule", "n_violations", "n_rows")
+
+
+def profile(df: DataFrame, columns: Sequence[tuple[str, "F.Column"]]) -> DataFrame:
+    """One-pass column profiling report — (column, n_rows, n_nulls,
+    n_distinct, min_repr, max_repr) per profiled column, all exact.
+
+    ``columns`` maps each output column name to a CANONICAL STRING
+    representation expression.  Canonical means (a) injective, so distinct
+    counts over the repr equal distinct counts over the value, and (b)
+    order-preserving (zero-padded numerics, ISO timestamps), so
+    lexicographic min/max equal the typed min/max.  NULL values must stay
+    NULL through the repr.
+
+    The shape is the Expand-trap dodge at profiling scale: k exact
+    ``countDistinct`` aggregates in one pass would Expand every input row
+    (k+1)x through the shuffle (the dq_report docstring's 100 TB
+    amplification).  Instead the table melts ONCE into (column, repr)
+    long rows — an explicit, partial-aggregation-friendly k× Generate —
+    and two stacked hash aggregates do the rest: groupBy(column, repr)
+    with map-side combine collapses the melt to ~Σ distinct-cardinalities
+    rows BEFORE the shuffle, then groupBy(column) reduces to k report
+    rows.  Null/row counts ride the first aggregate's partial counts.
+    """
+    k = len(columns)
+    reprs = df.select(
+        *[expr.alias(f"__repr_{i}") for i, (_, expr) in enumerate(columns)]
+    )
+    stack_args = ", ".join(
+        f"'{name}', __repr_{i}" for i, (name, _) in enumerate(columns)
+    )
+    melted = reprs.select(
+        F.expr(f"stack({k}, {stack_args}) AS (column, value)")
+    )
+    per_value = melted.groupBy("column", "value").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    return per_value.groupBy("column").agg(
+        F.sum("cnt").alias("n_rows"),
+        F.sum(F.when(F.col("value").isNull(), F.col("cnt")).otherwise(0)).alias(
+            "n_nulls"
+        ),
+        F.count(F.col("value")).alias("n_distinct"),
+        F.min("value").alias("min_repr"),
+        F.max("value").alias("max_repr"),
+    )

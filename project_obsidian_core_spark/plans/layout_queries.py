@@ -209,3 +209,66 @@ GROUP BY o.o_orderkey, o.o_orderpriority
 ORDER BY revenue_cp DESC, o_orderkey
 LIMIT 100
 """
+
+
+# ----------------------------------------------------- column profiling ---
+def orders_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q15: one-pass exact column profiling (:func:`operators.quality.profile`)
+    over orders — null / distinct / min / max per column through canonical
+    order-preserving string reprs (zero-padded ints, ISO timestamps), so
+    the whole report is one melt + two partial-aggregated hash aggs and
+    NEVER a k-way countDistinct Expand. The discovery step before any
+    dq_report contract is written."""
+    from project_obsidian_core_spark.operators.quality import profile
+
+    o = load(spark, sf_dir, "orders")
+    pad10 = lambda c: F.lpad(F.col(c).cast("string"), 10, "0")  # noqa: E731
+    cols = [
+        ("o_orderkey", pad10("o_orderkey")),
+        ("o_custkey", pad10("o_custkey")),
+        ("o_orderstatus", F.col("o_orderstatus")),
+        ("o_orderpriority", F.col("o_orderpriority")),
+        (
+            "price_cents",
+            F.lpad(cents("o_totalprice").cast("string"), 12, "0"),
+        ),
+        (
+            "o_orderdate",
+            F.date_format("o_orderdate", "yyyy-MM-dd HH:mm:ss.SSSSSS"),
+        ),
+    ]
+    return profile(o, cols).orderBy("column")
+
+
+ORACLE_orders_profile = """
+WITH reprs AS (
+    SELECT lpad(CAST(o_orderkey AS VARCHAR), 10, '0') AS r_orderkey,
+           lpad(CAST(o_custkey AS VARCHAR), 10, '0') AS r_custkey,
+           o_orderstatus AS r_status,
+           o_orderpriority AS r_priority,
+           lpad(CAST(CAST(round(o_totalprice * 100, 0) AS BIGINT) AS VARCHAR),
+                12, '0') AS r_price,
+           strftime(o_orderdate, '%Y-%m-%d %H:%M:%S.%f') AS r_date
+    FROM orders
+), melted AS (
+    SELECT 'o_orderkey' AS "column", r_orderkey AS value FROM reprs
+    UNION ALL SELECT 'o_custkey', r_custkey FROM reprs
+    UNION ALL SELECT 'o_orderstatus', r_status FROM reprs
+    UNION ALL SELECT 'o_orderpriority', r_priority FROM reprs
+    UNION ALL SELECT 'price_cents', r_price FROM reprs
+    UNION ALL SELECT 'o_orderdate', r_date FROM reprs
+), per_value AS (
+    SELECT "column", value, count(*) AS cnt
+    FROM melted GROUP BY 1, 2
+)
+SELECT "column",
+       CAST(sum(cnt) AS BIGINT) AS n_rows,
+       CAST(sum(CASE WHEN value IS NULL THEN cnt ELSE 0 END) AS BIGINT)
+           AS n_nulls,
+       CAST(count(value) AS BIGINT) AS n_distinct,
+       min(value) AS min_repr,
+       max(value) AS max_repr
+FROM per_value
+GROUP BY "column"
+ORDER BY "column"
+"""

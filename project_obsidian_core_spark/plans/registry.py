@@ -419,6 +419,8 @@ _ENTRIES: list[tuple[str, QueryFn, str | None]] = [
     ),
     # G2: degree-ordered triangle enumeration on the kNN graph
     ("knn_triangles", d.knn_triangles, d.ORACLE_knn_triangles),
+    # Q15: Expand-free exact column profiling (melt + two-level agg)
+    ("orders_profile", lay.orders_profile, lay.ORACLE_orders_profile),
 ]
 
 # ----------------------------------------------------------------------
