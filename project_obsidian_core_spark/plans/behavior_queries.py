@@ -7,10 +7,11 @@ float-hashed).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
 
 from project_obsidian_core_spark.analytics import behavior as B
-from project_obsidian_core_spark.plans.common import load
+from project_obsidian_core_spark.plans.common import cents, load
 
 _STAGES = ("view", "click", "purchase")
 
@@ -66,4 +67,109 @@ FROM active a JOIN cohorts c USING (user_id)
 WHERE date_diff('day', c.cohort_date, a.d) <= 30
 GROUP BY c.cohort_date, offset_days
 ORDER BY c.cohort_date, offset_days
+"""
+
+
+# ------------------------------------------------- last-touch attribution --
+#: attribution lookback: a purchase credits its most recent touch within
+#: this many seconds, else the 'direct' channel.
+_ATTR_LOOKBACK_S = 7 * 24 * 3600
+
+
+def events_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A28: last-touch revenue attribution — every purchase credits the
+    user's most recent preceding click/view touch (channel = touch type +
+    JSON campaign bucket) within a 7-day lookback, else 'direct'; revenue
+    then aggregates per channel.
+
+    The carry-forward is ONE window over the (user) partitioning —
+    ``last(touch, ignorenulls=True)`` ordered by (ts, event_id), the same
+    union-then-carry shape as the as-of join — so attribution costs a
+    single user-key shuffle regardless of the touch:purchase ratio. No
+    per-purchase backward scan, no range self-join: at 100 TB the
+    row-at-a-time formulation (for each purchase, scan back for a touch)
+    is a skew-amplified range join, while this plan is linear in events
+    per user and hot users parallelize across their window sort run.
+    Deterministic: event_id breaks same-instant ties; exact cents ints.
+    """
+    ev = load(spark, sf_dir, "events")
+    is_touch = F.col("event_type").isin("click", "view")
+    campaign = F.get_json_object(F.col("props"), "$.k").cast("long") % 4
+    touch_ch = F.when(
+        is_touch,
+        F.concat(F.col("event_type"), F.lit("_c"), campaign.cast("string")),
+    )
+    rows = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        cents("value").alias("cents"),
+        touch_ch.alias("touch_ch"),
+        F.when(is_touch, F.col("ts")).alias("touch_ts"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = rows.select(
+        "*",
+        F.last("touch_ch", ignorenulls=True).over(w).alias("last_ch"),
+        F.last("touch_ts", ignorenulls=True).over(w).alias("last_ts"),
+    )
+    purchases = carried.filter(F.col("event_type") == "purchase")
+    in_window = F.col("last_ts").isNotNull() & (
+        F.unix_micros(F.col("ts")) - F.unix_micros(F.col("last_ts"))
+        <= _ATTR_LOOKBACK_S * 1_000_000
+    )
+    attributed = purchases.select(
+        F.when(in_window, F.col("last_ch")).otherwise(F.lit("direct")).alias(
+            "channel"
+        ),
+        "cents",
+    )
+    return (
+        attributed.groupBy("channel")
+        .agg(
+            F.count(F.lit(1)).alias("n_purchases"),
+            F.sum("cents").alias("revenue_cents"),
+        )
+        .orderBy("channel")
+    )
+
+
+ORACLE_events_attribution = f"""
+WITH rows_ AS (
+    SELECT user_id, ts, event_id, event_type,
+           CAST(round(value * 100, 0) AS BIGINT) AS cents,
+           CASE WHEN event_type IN ('click', 'view')
+                THEN event_type || '_c' ||
+                     CAST(CAST(json_extract_string(props, '$.k') AS BIGINT) % 4
+                          AS VARCHAR)
+           END AS touch_ch,
+           CASE WHEN event_type IN ('click', 'view') THEN ts END AS touch_ts
+    FROM events
+), carried AS (
+    SELECT *,
+           last_value(touch_ch IGNORE NULLS) OVER w AS last_ch,
+           last_value(touch_ts IGNORE NULLS) OVER w AS last_ts
+    FROM rows_
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+), attributed AS (
+    SELECT CASE WHEN last_ts IS NOT NULL
+                 AND epoch_us(ts) - epoch_us(last_ts)
+                     <= {_ATTR_LOOKBACK_S * 1_000_000}
+                THEN last_ch ELSE 'direct' END AS channel,
+           cents
+    FROM carried
+    WHERE event_type = 'purchase'
+)
+SELECT channel,
+       count(*) AS n_purchases,
+       CAST(sum(cents) AS BIGINT) AS revenue_cents
+FROM attributed
+GROUP BY channel
+ORDER BY channel
 """

@@ -421,6 +421,8 @@ _ENTRIES: list[tuple[str, QueryFn, str | None]] = [
     ("knn_triangles", d.knn_triangles, d.ORACLE_knn_triangles),
     # Q15: Expand-free exact column profiling (melt + two-level agg)
     ("orders_profile", lay.orders_profile, lay.ORACLE_orders_profile),
+    # A28: last-touch attribution (one-window carry-forward, no range join)
+    ("events_attribution", bh.events_attribution, bh.ORACLE_events_attribution),
 ]
 
 # ----------------------------------------------------------------------
