@@ -77,3 +77,63 @@ def interval_peaks(
         (F.count(F.lit(1)) / 2).cast("long").alias("n_intervals"),
         F.max("concurrent").alias("peak_concurrent"),
     )
+
+
+def interval_merge(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    start_col: str,
+    end_col: str,
+) -> DataFrame:
+    """Per-key interval coalescing ("islands"): overlapping-or-touching
+    intervals merge into maximal covered spans — the timeline-union
+    primitive behind uptime/coverage accounting, maintenance-window
+    dedup, and "total active time" billing (the other half of the
+    sweep-line family: concurrency asks how DEEP the overlap is, merge
+    asks how WIDE the cover is).
+
+    Plan: one hash partitioning on the key carries everything — a
+    rows-frame running max of interval ends (excluding the current row)
+    flags island starts (``start > max(prev ends)``), the default-RANGE
+    running sum of flags numbers the islands, and the final
+    groupBy(keys, island) reuses the SAME partitioning (keys is a prefix
+    of the grouping — no second exchange, pinned by tests). Linear per
+    key at 100 TB; long-span keys slice with the same boundary-carry
+    presplit pattern as the concurrency operator.
+
+    Tie safety: identical (start, end) twins order arbitrarily, but the
+    first-ordered twin always carries the island-open flag and peers
+    share the RANGE-frame cumulative id, so (island_id, bounds, count)
+    are engine-invariant.
+
+    Returns ``(*key_cols, island_id, island_start, island_end,
+    n_intervals, covered_us)`` — covered_us the exact µs width of the
+    merged span.
+    """
+    keys = list(key_cols)
+    order = Window.partitionBy(*keys).orderBy(start_col, end_col)
+    prev_max = (
+        F.max(F.col(end_col))
+        .over(order.rowsBetween(Window.unboundedPreceding, -1))
+    )
+    flagged = df.select(
+        *keys,
+        F.col(start_col).alias("_s"),
+        F.col(end_col).alias("_e"),
+        F.when(
+            prev_max.isNull() | (F.col(start_col) > prev_max), 1
+        ).otherwise(0).alias("_new"),
+    )
+    order_f = Window.partitionBy(*keys).orderBy("_s", "_e")
+    with_id = flagged.withColumn(
+        "island_id", F.sum("_new").over(order_f)
+    )
+    return with_id.groupBy(*keys, "island_id").agg(
+        F.min("_s").alias("island_start"),
+        F.max("_e").alias("island_end"),
+        F.count(F.lit(1)).alias("n_intervals"),
+        (
+            F.max(F.unix_micros(F.col("_e")))
+            - F.min(F.unix_micros(F.col("_s")))
+        ).alias("covered_us"),
+    )

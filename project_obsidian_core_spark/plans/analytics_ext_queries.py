@@ -772,3 +772,62 @@ GROUP BY k.key, t.n_rows
 HAVING count(*) * {_HH_DEN} > t.n_rows * {_HH_NUM}
 ORDER BY cnt DESC, key
 """
+
+
+# --------------------------------------------------- interval coalescing --
+def events_interval_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A29: per-type interval coalescing (operators.intervals.interval_merge)
+    over the same synthesized intervals as ``events_interval_peak`` —
+    maximal merged spans ("islands") with bounds, member counts and exact
+    µs coverage. Concurrency asks how deep overlap goes; this asks how
+    wide the cover is. One key shuffle for both windows AND the island
+    aggregate (grouping extends the partition key — no second exchange)."""
+    from project_obsidian_core_spark.operators.intervals import interval_merge
+
+    ev = (
+        load(spark, sf_dir, "events")
+        .withColumn("dur_min", (F.floor("value") + 1).cast("int"))
+        .select(
+            "event_type",
+            F.col("ts").alias("start_ts"),
+            F.expr("ts + make_interval(0, 0, 0, 0, 0, dur_min, 0)").alias(
+                "end_ts"
+            ),
+        )
+    )
+    return interval_merge(ev, ["event_type"], "start_ts", "end_ts").orderBy(
+        "event_type", "island_id"
+    )
+
+
+ORACLE_events_interval_merge = """
+WITH iv AS (
+    SELECT event_type, ts AS s,
+           ts + to_minutes(CAST(floor(value) + 1 AS BIGINT)) AS e
+    FROM events
+), flagged AS (
+    SELECT event_type, s, e,
+           CASE WHEN max(e) OVER (PARTITION BY event_type ORDER BY s, e
+                                  ROWS BETWEEN UNBOUNDED PRECEDING
+                                           AND 1 PRECEDING) IS NULL
+                  OR s > max(e) OVER (PARTITION BY event_type ORDER BY s, e
+                                      ROWS BETWEEN UNBOUNDED PRECEDING
+                                               AND 1 PRECEDING)
+                THEN 1 ELSE 0 END AS new_island
+    FROM iv
+), with_id AS (
+    SELECT event_type, s, e,
+           sum(new_island) OVER (PARTITION BY event_type ORDER BY s, e)
+               AS island_id
+    FROM flagged
+)
+SELECT event_type,
+       CAST(island_id AS BIGINT) AS island_id,
+       min(s) AS island_start,
+       max(e) AS island_end,
+       count(*) AS n_intervals,
+       max(epoch_us(e)) - min(epoch_us(s)) AS covered_us
+FROM with_id
+GROUP BY event_type, island_id
+ORDER BY event_type, island_id
+"""

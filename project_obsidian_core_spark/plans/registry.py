@@ -423,6 +423,12 @@ _ENTRIES: list[tuple[str, QueryFn, str | None]] = [
     ("orders_profile", lay.orders_profile, lay.ORACLE_orders_profile),
     # A28: last-touch attribution (one-window carry-forward, no range join)
     ("events_attribution", bh.events_attribution, bh.ORACLE_events_attribution),
+    # A29: interval coalescing into islands (one-shuffle cover spans)
+    (
+        "events_interval_merge",
+        ax.events_interval_merge,
+        ax.ORACLE_events_interval_merge,
+    ),
 ]
 
 # ----------------------------------------------------------------------
