@@ -31,8 +31,10 @@ writers adding v=n+1 alongside (no directory-listing races).
 from __future__ import annotations
 
 import json
+from collections.abc import Sequence
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 _MANIFEST = "_MANIFEST.json"
 _LATEST = "_LATEST"
@@ -198,3 +200,42 @@ def vacuum_snapshots(
             fs.delete(P(f"{root}/v={v}"), True)
             removed.append(v)
     return removed
+
+
+def table_fingerprint(
+    df: "DataFrame",
+    repr_col: "Column",
+    group_cols: Sequence[str] = (),
+) -> "DataFrame":
+    """Order-independent content fingerprint — the cheap "is this table
+    bit-identical over there" check behind snapshot replication audits,
+    pre/post-migration diffs and cross-engine parity gates (exactly what
+    this repo's own oracle harness does row-by-row, collapsed to one
+    commutative signature per group).
+
+    ``repr_col`` must be a CANONICAL string rendering of the row (caller
+    fixes column order, number formatting, null encoding). Each row maps
+    to a 60-bit md5-derived int (``shared_hash60`` — reproducible in ANSI
+    SQL), and per group the report carries: exact row count, the XOR fold
+    of hashes, a modular-sum fold (``sum(h mod 1000003)``), and min/max
+    hash. XOR alone is blind to duplicated row PAIRS (x⊕x=0); the
+    modular sum alone wraps; together with the count a divergence in any
+    multiset of rows is detected with ~2^-60 collision odds.
+
+    All four folds are commutative + associative → one partial-aggregated
+    scan, no shuffle beyond the tiny per-group reduce, no sort, no
+    window. At 100 TB this is scan-bound — the minimum possible cost for
+    a content check — and two clusters can each compute their side
+    independently and compare ~bytes.
+    """
+    from project_obsidian_core_spark.datapipe.text import shared_hash60
+
+    keys = list(group_cols)
+    rows = df.select(*keys, shared_hash60(repr_col).alias("_h"))
+    return rows.groupBy(*keys).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.expr("bit_xor(_h)").alias("xor_sig"),
+        F.sum(F.col("_h") % 1_000_003).alias("modsum_sig"),
+        F.min("_h").alias("min_hash"),
+        F.max("_h").alias("max_hash"),
+    )

@@ -272,3 +272,56 @@ FROM per_value
 GROUP BY "column"
 ORDER BY "column"
 """
+
+
+# ------------------------------------------------- table fingerprinting ---
+def orders_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """V2: order-independent snapshot fingerprint
+    (:func:`operators.versioning.table_fingerprint`) of orders, one
+    signature row per order priority — count + XOR fold + modular-sum
+    fold + hash bounds over a canonical row rendering. The replication /
+    migration / cross-engine parity check: both sides compute their
+    signature independently (one partial-aggregated scan, no sort, no
+    window) and compare bytes. The oracle recomputes the identical folds
+    in DuckDB — which IS the cross-engine use case, run as a gate."""
+    from project_obsidian_core_spark.operators.versioning import table_fingerprint
+
+    o = load(spark, sf_dir, "orders")
+    repr_col = F.concat_ws(
+        "|",
+        F.col("o_orderkey").cast("string"),
+        F.col("o_custkey").cast("string"),
+        F.col("o_orderstatus"),
+        cents("o_totalprice").cast("string"),
+        F.date_format("o_orderdate", "yyyy-MM-dd HH:mm:ss.SSSSSS"),
+        F.col("o_orderpriority"),
+    )
+    return table_fingerprint(o, repr_col, ["o_orderpriority"]).orderBy(
+        "o_orderpriority"
+    )
+
+
+ORACLE_orders_checksum = """
+WITH reprs AS (
+    SELECT o_orderpriority,
+           CAST('0x' || substr(md5(
+               CAST(o_orderkey AS VARCHAR) || '|' ||
+               CAST(o_custkey AS VARCHAR) || '|' ||
+               o_orderstatus || '|' ||
+               CAST(CAST(round(o_totalprice * 100, 0) AS BIGINT) AS VARCHAR)
+                   || '|' ||
+               strftime(o_orderdate, '%Y-%m-%d %H:%M:%S.%f') || '|' ||
+               o_orderpriority
+           ), 1, 15) AS BIGINT) AS h
+    FROM orders
+)
+SELECT o_orderpriority,
+       count(*) AS n_rows,
+       bit_xor(h) AS xor_sig,
+       CAST(sum(h % 1000003) AS BIGINT) AS modsum_sig,
+       min(h) AS min_hash,
+       max(h) AS max_hash
+FROM reprs
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""

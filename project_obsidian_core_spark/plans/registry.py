@@ -429,6 +429,8 @@ _ENTRIES: list[tuple[str, QueryFn, str | None]] = [
         ax.events_interval_merge,
         ax.ORACLE_events_interval_merge,
     ),
+    # V2: order-independent snapshot fingerprint (replication parity check)
+    ("orders_checksum", lay.orders_checksum, lay.ORACLE_orders_checksum),
 ]
 
 # ----------------------------------------------------------------------

@@ -123,3 +123,48 @@ def test_vacuum_dangling_dir_never_consumes_a_keep_slot(spark, tmp_path):
     assert read_snapshot(spark, root, version=1).count() == 1  # v1 KEPT
     assert read_snapshot(spark, root).collect()[0].k == 3
     assert not os.path.isdir(f"{root}/v=2")
+
+
+# ----------------------------------------------------- table_fingerprint --
+def test_fingerprint_is_order_and_partitioning_independent(spark):
+    from pyspark.sql import functions as F
+
+    from project_obsidian_core_spark.operators.versioning import (
+        table_fingerprint,
+    )
+
+    rows = [(i, f"v{i % 13}") for i in range(500)]
+    a = spark.createDataFrame(rows, "id int, v string")
+    b = spark.createDataFrame(list(reversed(rows)), "id int, v string").repartition(7)
+    rep = F.concat_ws("|", F.col("id").cast("string"), F.col("v"))
+    fa = table_fingerprint(a, rep).collect()[0]
+    fb = table_fingerprint(b, rep).collect()[0]
+    assert fa == fb
+
+
+def test_fingerprint_detects_single_row_change_and_dup_pair(spark):
+    from pyspark.sql import functions as F
+
+    from project_obsidian_core_spark.operators.versioning import (
+        table_fingerprint,
+    )
+
+    rep = F.concat_ws("|", F.col("id").cast("string"), F.col("v"))
+    base = [(i, "x") for i in range(100)]
+    f0 = table_fingerprint(
+        spark.createDataFrame(base, "id int, v string"), rep
+    ).collect()[0]
+    # one value flipped
+    changed = base[:50] + [(50, "y")] + base[51:]
+    f1 = table_fingerprint(
+        spark.createDataFrame(changed, "id int, v string"), rep
+    ).collect()[0]
+    assert f1["xor_sig"] != f0["xor_sig"]
+    # a duplicated PAIR of an existing row: XOR fold cancels (x^x=0) but
+    # count+modsum catch it — the documented reason for the second fold
+    dup_pair = base + [base[0], base[0]]
+    f2 = table_fingerprint(
+        spark.createDataFrame(dup_pair, "id int, v string"), rep
+    ).collect()[0]
+    assert f2["xor_sig"] == f0["xor_sig"]
+    assert (f2["n_rows"], f2["modsum_sig"]) != (f0["n_rows"], f0["modsum_sig"])
