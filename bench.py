@@ -221,6 +221,8 @@ BENCH_QUERIES = [
     "events_attribution",     # last-touch attribution (one-window carry)
     "events_interval_merge",  # interval coalescing into islands
     "orders_checksum",        # order-independent snapshot fingerprint
+    "lineitem_weighted_median",  # exact weighted median (prefix weights)
+    "events_chisq",           # contingency + chi-square independence
     # stream_cdc_merge is timed via _time_cdc_merge below (merge work
     # only): its checkpointed replay rewrites a bucketed parquet snapshot
     # per micro-batch (~12 s/run at sf0.1, >90% filesystem publish/rename

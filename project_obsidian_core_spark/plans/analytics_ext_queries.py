@@ -831,3 +831,87 @@ FROM with_id
 GROUP BY event_type, island_id
 ORDER BY event_type, island_id
 """
+
+
+# ------------------------------------------- contingency / independence ---
+def events_chisq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A31: contingency table + per-cell chi-square contributions between
+    event type and JSON campaign bucket — the independence screen behind
+    "does this segment behave differently" dashboards and feature-leak
+    checks on training data.
+
+    Observed counts, row/column marginals and the grand total are exact
+    int64 (marginals re-aggregate the CELL counts — no second scan, and
+    the two broadcast joins attach driver-sized relations). The per-cell
+    statistic (O·n − R·C)² / (R·C·n) is emitted PER CELL as one
+    deterministic double expression from exact ints — never a
+    parallel float sum, so cross-engine hashing stays stable; the global
+    χ² is the caller's driver-side fold over ~|types|·|buckets| rows.
+    """
+    ev = load(spark, sf_dir, "events")
+    campaign = (
+        F.get_json_object(F.col("props"), "$.k").cast("long") % 4
+    ).alias("campaign")
+    cells = ev.select(F.col("event_type"), campaign).groupBy(
+        "event_type", "campaign"
+    ).agg(F.count(F.lit(1)).alias("observed"))
+    row_tot = cells.groupBy("event_type").agg(
+        F.sum("observed").alias("row_total")
+    )
+    col_tot = cells.groupBy("campaign").agg(
+        F.sum("observed").alias("col_total")
+    )
+    grand = cells.groupBy().agg(F.sum("observed").alias("n_total"))
+    joined = (
+        cells.join(F.broadcast(row_tot), "event_type")
+        .join(F.broadcast(col_tot), "campaign")
+        .crossJoin(F.broadcast(grand))
+    )
+    o, r, c, n = (
+        F.col("observed").cast("double"),
+        F.col("row_total").cast("double"),
+        F.col("col_total").cast("double"),
+        F.col("n_total").cast("double"),
+    )
+    return joined.select(
+        "event_type",
+        "campaign",
+        "observed",
+        F.col("row_total").cast("long").alias("row_total"),
+        F.col("col_total").cast("long").alias("col_total"),
+        F.col("n_total").cast("long").alias("n_total"),
+        ((o * n - r * c) * (o * n - r * c) / (r * c * n)).alias("chi2_contrib"),
+    ).orderBy("event_type", "campaign")
+
+
+ORACLE_events_chisq = """
+WITH e AS (
+    SELECT event_type,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) % 4 AS campaign
+    FROM events
+), cells AS (
+    SELECT event_type, campaign, count(*) AS observed
+    FROM e GROUP BY 1, 2
+), rt AS (
+    SELECT event_type, CAST(sum(observed) AS BIGINT) AS row_total
+    FROM cells GROUP BY 1
+), ct AS (
+    SELECT campaign, CAST(sum(observed) AS BIGINT) AS col_total
+    FROM cells GROUP BY 1
+), g AS (
+    SELECT CAST(sum(observed) AS BIGINT) AS n_total FROM cells
+)
+SELECT cells.event_type, cells.campaign,
+       CAST(observed AS BIGINT) AS observed,
+       row_total, col_total, n_total,
+       (CAST(observed AS DOUBLE) * n_total
+            - CAST(row_total AS DOUBLE) * col_total)
+       * (CAST(observed AS DOUBLE) * n_total
+            - CAST(row_total AS DOUBLE) * col_total)
+       / (CAST(row_total AS DOUBLE) * col_total * n_total) AS chi2_contrib
+FROM cells
+JOIN rt USING (event_type)
+JOIN ct USING (campaign)
+CROSS JOIN g
+ORDER BY event_type, campaign
+"""

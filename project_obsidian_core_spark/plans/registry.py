@@ -431,6 +431,14 @@ _ENTRIES: list[tuple[str, QueryFn, str | None]] = [
     ),
     # V2: order-independent snapshot fingerprint (replication parity check)
     ("orders_checksum", lay.orders_checksum, lay.ORACLE_orders_checksum),
+    # A30: exact weighted median (single-exchange windowed prefix weights)
+    (
+        "lineitem_weighted_median",
+        r.lineitem_weighted_median,
+        r.ORACLE_lineitem_weighted_median,
+    ),
+    # A31: contingency + per-cell chi-square independence screen
+    ("events_chisq", ax.events_chisq, ax.ORACLE_events_chisq),
 ]
 
 # ----------------------------------------------------------------------

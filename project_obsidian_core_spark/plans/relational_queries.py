@@ -1297,3 +1297,74 @@ WHERE p_size = tie_best
   AND (prev_best IS NULL OR p_size > prev_best)
 ORDER BY p_type, price_cents, p_partkey
 """
+
+
+# ----------------------------------------------- exact weighted median ----
+def lineitem_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A30: exact quantity-weighted median price per return flag — the
+    distributed weighted-quantile primitive (cost-weighted SLO cuts,
+    size-weighted latency medians) computed WITHOUT any approx sketch:
+
+    the RANGE-frame running weight per (flag, price) prefix gives, at any
+    row, the total weight of prices ≤ it (peers share the frame, so
+    duplicate prices fold correctly); the weighted median is the smallest
+    price whose doubled prefix weight reaches the group total. Both
+    windows and the final aggregate share ONE (flag) partitioning — a
+    single exchange, and the only per-key cost is the window sort, which
+    is the information-theoretic floor for an exact quantile. Compare
+    `qan_latency_quantiles` (unweighted percentiles): this is its
+    weighted sibling, all in exact int64 arithmetic."""
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        cents("l_extendedprice").alias("price_cents"),
+        cents("l_quantity", scale=1).alias("qty"),
+    )
+    w_cum = (
+        Window.partitionBy("l_returnflag")
+        .orderBy("price_cents")
+        .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.partitionBy("l_returnflag")
+    scored = li.select(
+        "l_returnflag",
+        "price_cents",
+        "qty",
+        F.sum("qty").over(w_cum).alias("cum_w"),
+        F.sum("qty").over(w_all).alias("tot_w"),
+    )
+    return (
+        scored.groupBy("l_returnflag")
+        .agg(
+            F.min(
+                F.when(F.col("cum_w") * 2 >= F.col("tot_w"), F.col("price_cents"))
+            ).alias("weighted_median_cents"),
+            F.sum("qty").alias("total_qty"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+ORACLE_lineitem_weighted_median = """
+WITH li AS (
+    SELECT l_returnflag,
+           CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS price_cents,
+           CAST(round(l_quantity, 0) AS BIGINT) AS qty
+    FROM lineitem
+), scored AS (
+    SELECT l_returnflag, price_cents, qty,
+           sum(qty) OVER (PARTITION BY l_returnflag ORDER BY price_cents
+                          RANGE BETWEEN UNBOUNDED PRECEDING
+                                AND CURRENT ROW) AS cum_w,
+           sum(qty) OVER (PARTITION BY l_returnflag) AS tot_w
+    FROM li
+)
+SELECT l_returnflag,
+       CAST(min(CASE WHEN cum_w * 2 >= tot_w THEN price_cents END) AS BIGINT)
+           AS weighted_median_cents,
+       CAST(sum(qty) AS BIGINT) AS total_qty,
+       count(*) AS n_lines
+FROM scored
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
