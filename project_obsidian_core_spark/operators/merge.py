@@ -424,3 +424,56 @@ def snapshot_diff(
         .filter(F.col(op_col).isNotNull())
         .select(*key_cols, *out_cols, op_col)
     )
+
+
+# ------------------------------------------------------- merge-on-read ----
+def write_mor_base(df: DataFrame, path: str) -> None:
+    """Write the merge-on-read base snapshot (plain parquet at
+    ``{path}/base``). See :func:`read_mor` for the read-side contract."""
+    df.write.mode("overwrite").parquet(f"{path}/base")
+
+
+def append_mor_delta(changes: DataFrame, path: str, seq: int) -> None:
+    """Append one CDC delta batch (rows carry an ``op`` ∈ I/U/D column)
+    as ``{path}/deltas/seq={seq}`` — an O(|batch|) write that never
+    touches the base.  ``seq`` must be monotically increasing; it is the
+    total order the read side folds batches in."""
+    changes.write.mode("overwrite").parquet(f"{path}/deltas/seq={seq}")
+
+
+def read_mor(spark, path: str, keys: Sequence[str]) -> DataFrame:
+    """Merge-on-read reconstruction: the OTHER side of the lakehouse
+    write/read amortization from ``merge_into_partitioned`` (Hudi MOR /
+    Iceberg v2 delete-file reads vs copy-on-write).  CoW pays the rewrite
+    at ingest so reads are plain scans; MOR writes only the delta files
+    (``append_mor_delta``) and reconstructs at read time:
+
+    - per key, the LATEST delta row across all batches wins (row_number
+      over (key) ordered by (seq DESC, op) — op as deterministic
+      tiebreak if a batch carries duplicate keys);
+    - base rows whose key was ever touched are anti-joined away (the
+      touched-key set is delta-sized → broadcast; the base is scanned
+      once and NEVER shuffled);
+    - surviving latest rows with op ≠ D union in.
+
+    Cost model at 100 TB: ingest O(|batch|) instead of O(touched
+    partitions); every read pays one delta-side window + broadcast
+    anti-join — cheap while deltas are small, degrading as they pile up,
+    which is exactly when a compaction (one ``merge_into_partitioned``
+    of the folded deltas, then drop the delta dir) resets the ledger.
+    """
+    keyl = list(keys)
+    base = spark.read.parquet(f"{path}/base")
+    deltas = spark.read.option("basePath", f"{path}/deltas").parquet(
+        f"{path}/deltas"
+    )
+    w = Window.partitionBy(*keyl).orderBy(F.col("seq").desc(), F.col("op"))
+    latest = (
+        deltas.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    touched = latest.select(*keyl)
+    kept = base.join(F.broadcast(touched), keyl, "left_anti")
+    live = latest.filter(F.col("op") != OP_DELETE).drop("op", "seq")
+    return kept.unionByName(live)

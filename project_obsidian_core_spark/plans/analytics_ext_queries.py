@@ -915,3 +915,101 @@ JOIN ct USING (campaign)
 CROSS JOIN g
 ORDER BY event_type, campaign
 """
+
+
+# ---------------------------------------------- distribution drift (PSI) --
+#: fixed-width price bins (cents): 20 bins of 3M cents, top bin open-ended.
+_PSI_BIN_W = 3_000_000
+_PSI_BINS = 20
+#: cohort cut: orders before 1996 are the reference distribution.
+_PSI_CUT = "1996-01-01"
+
+
+def orders_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A32: population-stability-index drift report — the train/serve
+    distribution-shift screen every ML data pipeline runs before trusting
+    a new snapshot. Reference cohort (orders before 1996) vs current
+    (1996+), fixed-width price bins.
+
+    Fixed bins, not data-dependent deciles, on purpose: decile boundaries
+    need either a driver collect or a per-row broadcast nested-loop probe
+    (the anti-pattern), while fixed-width binning is a narrow projection
+    — both cohorts bin in ONE conditional-aggregate scan, totals
+    re-aggregate the 20 bin rows (no second scan), and shares are exact
+    Laplace-smoothed ppm ints ((n+1)·10⁶ div (tot+bins), so empty bins
+    stay finite). The per-bin PSI term (p−q)·ln(p/q) is one
+    deterministic double expression from those ints — no parallel float
+    sum; the headline PSI is the caller's 20-row fold."""
+    o = load(spark, sf_dir, "orders").select(
+        cents("o_totalprice").alias("price_cents"),
+        (F.col("o_orderdate") < F.lit(_PSI_CUT).cast("timestamp")).alias(
+            "is_ref"
+        ),
+    )
+    bin_col = F.least(
+        F.lit(_PSI_BINS - 1), F.expr(f"price_cents div {_PSI_BIN_W}")
+    ).alias("bin")
+    cells = (
+        o.select(bin_col, "is_ref")
+        .groupBy("bin")
+        .agg(
+            F.sum(F.when(F.col("is_ref"), 1).otherwise(0)).alias("ref_n"),
+            F.sum(F.when(~F.col("is_ref"), 1).otherwise(0)).alias("cur_n"),
+        )
+    )
+    totals = cells.groupBy().agg(
+        F.sum("ref_n").alias("ref_tot"), F.sum("cur_n").alias("cur_tot")
+    )
+    j = cells.crossJoin(F.broadcast(totals))
+    p = F.expr(f"(ref_n + 1) * 1000000 div (ref_tot + {_PSI_BINS})")
+    q = F.expr(f"(cur_n + 1) * 1000000 div (cur_tot + {_PSI_BINS})")
+    return (
+        j.select(
+            "bin",
+            "ref_n",
+            "cur_n",
+            p.alias("ref_ppm"),
+            q.alias("cur_ppm"),
+        )
+        .withColumn(
+            "psi_term",
+            (
+                (F.col("ref_ppm") - F.col("cur_ppm")).cast("double")
+                / 1_000_000.0
+            )
+            * (
+                F.log(F.col("ref_ppm").cast("double"))
+                - F.log(F.col("cur_ppm").cast("double"))
+            ),
+        )
+        .orderBy("bin")
+    )
+
+
+ORACLE_orders_drift_psi = f"""
+WITH o AS (
+    SELECT CAST(round(o_totalprice * 100, 0) AS BIGINT) AS price_cents,
+           o_orderdate < TIMESTAMP '{_PSI_CUT}' AS is_ref
+    FROM orders
+), cells AS (
+    SELECT least({_PSI_BINS - 1}, price_cents // {_PSI_BIN_W}) AS bin,
+           CAST(sum(CASE WHEN is_ref THEN 1 ELSE 0 END) AS BIGINT) AS ref_n,
+           CAST(sum(CASE WHEN NOT is_ref THEN 1 ELSE 0 END) AS BIGINT) AS cur_n
+    FROM o GROUP BY 1
+), tot AS (
+    SELECT CAST(sum(ref_n) AS BIGINT) AS ref_tot,
+           CAST(sum(cur_n) AS BIGINT) AS cur_tot
+    FROM cells
+), shares AS (
+    SELECT bin, ref_n, cur_n,
+           (ref_n + 1) * 1000000 // (ref_tot + {_PSI_BINS}) AS ref_ppm,
+           (cur_n + 1) * 1000000 // (cur_tot + {_PSI_BINS}) AS cur_ppm
+    FROM cells CROSS JOIN tot
+)
+SELECT bin, ref_n, cur_n, ref_ppm, cur_ppm,
+       (CAST(ref_ppm - cur_ppm AS DOUBLE) / 1000000.0)
+           * (ln(CAST(ref_ppm AS DOUBLE)) - ln(CAST(cur_ppm AS DOUBLE)))
+           AS psi_term
+FROM shares
+ORDER BY bin
+"""

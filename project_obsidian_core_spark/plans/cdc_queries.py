@@ -285,3 +285,129 @@ WHERE o.o_orderkey IS NULL OR n.o_orderkey IS NULL
    OR o.o_orderpriority IS DISTINCT FROM n.o_orderpriority
 ORDER BY op, o_orderkey
 """
+
+
+# ------------------------------------------------------- merge-on-read ----
+def _cdc_batch2(base: DataFrame) -> DataFrame:
+    """Second deterministic delta batch, defined from the BASE image (full
+    row images, so sequential-merge composition == per-key latest-wins):
+    overrides some batch-1 updates, deletes one batch-1 update cohort and
+    one batch-1 insert cohort, touches fresh keys, inserts a new cohort."""
+    k = F.col("o_orderkey")
+    override = (
+        base.filter((k % 10 == 3) & (k % 100 == 23))
+        .withColumn("o_orderstatus", F.lit("P"))
+        .withColumn("price_cents", F.col("price_cents") + F.lit(1200))
+        .withColumn("op", F.lit("U"))
+    )
+    del_updated = base.filter((k % 10 == 3) & (k % 100 == 33)).withColumn(
+        "op", F.lit("D")
+    )
+    del_inserted = (
+        base.filter((k % 10 == 5) & (k % 100 == 15))
+        .withColumn("o_orderkey", k + F.lit(_NEW_KEY_OFFSET))
+        .withColumn("op", F.lit("D"))
+    )
+    fresh = (
+        base.filter(k % 10 == 1)
+        .withColumn("price_cents", F.col("price_cents") + F.lit(11))
+        .withColumn("op", F.lit("U"))
+    )
+    inserts = (
+        base.filter(k % 10 == 9)
+        .withColumn("o_orderkey", k + F.lit(2 * _NEW_KEY_OFFSET))
+        .withColumn("o_orderpriority", F.lit("CDC-INSERT-2"))
+        .withColumn("op", F.lit("I"))
+    )
+    return (
+        override.unionByName(del_updated)
+        .unionByName(del_inserted)
+        .unionByName(fresh)
+        .unionByName(inserts)
+    )
+
+
+def orders_mor_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J16: merge-on-read CDC — the base snapshot plus TWO delta batches
+    written as O(|batch|) delta files (never rewriting the base), folded
+    at read time by :func:`operators.merge.read_mor` (per-key
+    latest-batch-wins + broadcast anti-join). The oracle composes the
+    same two batches as SEQUENTIAL MERGE steps, so a green row proves
+    read-time folding ≡ eager copy-on-write merging — the equivalence a
+    lakehouse needs before it may defer compaction."""
+    import os
+
+    from project_obsidian_core_spark.operators.merge import (
+        append_mor_delta,
+        read_mor,
+        write_mor_base,
+    )
+
+    base = _orders_snapshot(spark, sf_dir)
+    tag = os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
+    path = f"/tmp/spark_graft_mor/{tag}"
+    write_mor_base(base, path)
+    append_mor_delta(_cdc_batch(base), path, seq=1)
+    append_mor_delta(_cdc_batch2(base), path, seq=2)
+    return read_mor(spark, path, keys=["o_orderkey"]).orderBy("o_orderkey")
+
+
+ORACLE_orders_mor_merge = """
+WITH base AS (
+    SELECT o_orderkey, o_custkey, o_orderstatus,
+           CAST(round(o_totalprice * 100, 0) AS BIGINT) AS price_cents,
+           epoch_us(o_orderdate) AS order_us,
+           o_orderpriority
+    FROM orders
+), c1 AS (
+    SELECT o_orderkey, o_custkey, 'F' AS o_orderstatus,
+           price_cents + 500 AS price_cents, order_us, o_orderpriority,
+           'U' AS op
+    FROM base WHERE o_orderkey % 10 = 3
+    UNION ALL
+    SELECT o_orderkey, o_custkey, o_orderstatus, price_cents, order_us,
+           o_orderpriority, 'D' AS op
+    FROM base WHERE o_orderkey % 10 = 7
+    UNION ALL
+    SELECT o_orderkey + 1000000000, o_custkey, o_orderstatus, price_cents,
+           order_us, 'CDC-INSERT' AS o_orderpriority, 'I' AS op
+    FROM base WHERE o_orderkey % 10 = 5
+), m1 AS (
+    SELECT o_orderkey, o_custkey, o_orderstatus, price_cents, order_us,
+           o_orderpriority
+    FROM base WHERE o_orderkey NOT IN (SELECT o_orderkey FROM c1)
+    UNION ALL
+    SELECT o_orderkey, o_custkey, o_orderstatus, price_cents, order_us,
+           o_orderpriority
+    FROM c1 WHERE op <> 'D'
+), c2 AS (
+    SELECT o_orderkey, o_custkey, 'P' AS o_orderstatus,
+           price_cents + 1200 AS price_cents, order_us, o_orderpriority,
+           'U' AS op
+    FROM base WHERE o_orderkey % 10 = 3 AND o_orderkey % 100 = 23
+    UNION ALL
+    SELECT o_orderkey, o_custkey, o_orderstatus, price_cents, order_us,
+           o_orderpriority, 'D' AS op
+    FROM base WHERE o_orderkey % 10 = 3 AND o_orderkey % 100 = 33
+    UNION ALL
+    SELECT o_orderkey + 1000000000, o_custkey, o_orderstatus, price_cents,
+           order_us, o_orderpriority, 'D' AS op
+    FROM base WHERE o_orderkey % 10 = 5 AND o_orderkey % 100 = 15
+    UNION ALL
+    SELECT o_orderkey, o_custkey, o_orderstatus, price_cents + 11, order_us,
+           o_orderpriority, 'U' AS op
+    FROM base WHERE o_orderkey % 10 = 1
+    UNION ALL
+    SELECT o_orderkey + 2000000000, o_custkey, o_orderstatus, price_cents,
+           order_us, 'CDC-INSERT-2' AS o_orderpriority, 'I' AS op
+    FROM base WHERE o_orderkey % 10 = 9
+)
+SELECT o_orderkey, o_custkey, o_orderstatus, price_cents, order_us,
+       o_orderpriority
+FROM m1 WHERE o_orderkey NOT IN (SELECT o_orderkey FROM c2)
+UNION ALL
+SELECT o_orderkey, o_custkey, o_orderstatus, price_cents, order_us,
+       o_orderpriority
+FROM c2 WHERE op <> 'D'
+ORDER BY o_orderkey
+"""

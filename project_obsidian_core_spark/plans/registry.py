@@ -439,25 +439,49 @@ _ENTRIES: list[tuple[str, QueryFn, str | None]] = [
     ),
     # A31: contingency + per-cell chi-square independence screen
     ("events_chisq", ax.events_chisq, ax.ORACLE_events_chisq),
+    # J16: merge-on-read CDC (delta-file fold ≡ sequential MERGE)
+    ("orders_mor_merge", cdc.orders_mor_merge, cdc.ORACLE_orders_mor_merge),
+    # A32: PSI distribution-drift report (fixed-bin, one-scan)
+    ("orders_drift_psi", ax.orders_drift_psi, ax.ORACLE_orders_drift_psi),
 ]
 
 # ----------------------------------------------------------------------
 # Gate rotation (round 8): the driver records only the first 50 entries.
-# The five round-8 additions lead unconditionally (no official row yet);
-# the remaining 45 slots re-record the ENTIRE 44-query cohort whose
-# newest official row is r05 (three rounds stale after r8 — the r7
-# verdict's top next item) plus one r06 fill, so no query's official row
-# ages past two rounds.  Everything else keeps its relative order at the
-# tail (stable sort).  Names absent from this list rank after all listed.
+# Invariant (pinned by tests/test_registry_gate.py): every query with NO
+# official green row yet MUST lead the gate — a tail slot can never earn
+# one.  This round that is the 6 early-round-8 additions plus the 13
+# late-round-8 (R8b) operators = 19 leading slots.  The remaining 31
+# slots re-record the oldest-green (r05) cohort — the r7 verdict's
+# rotation ask, partially: with 19 new queries the full 44-query cohort
+# no longer fits, so 13 members whose code paths are exercised by other
+# green rows (the TPC-H relational shapes covered by the r06/r07
+# relational records, and the two availableNow replay twins whose
+# harness stream_ohlc/stream_chunk re-exercise) wait for round 9, listed
+# right after the window so they lead r9's rebuild.  Everything else
+# keeps its relative order at the tail (stable sort).
 _GATE_PRIORITY: list[str] = [
-    # -- (a) round-8 additions: no official row yet ---------------------
+    # -- (a) unrecorded: early round-8 additions ------------------------
     "events_interval_peak",
     "qan_anomaly_mad",
     "corpus_inverted_index",
     "customer_entity_match",
     "corpus_decontaminate_embedding",
     "part_pareto_frontier",
-    # -- (b) the full r05 cohort (newest official row is r05) -----------
+    # -- (a') unrecorded: late round-8 (R8b) operators ------------------
+    "orders_bucketed_join",
+    "metric_ohlc",
+    "stream_ohlc",
+    "events_heavy_hitters",
+    "knn_triangles",
+    "orders_profile",
+    "events_attribution",
+    "events_interval_merge",
+    "orders_checksum",
+    "lineitem_weighted_median",
+    "events_chisq",
+    "orders_mor_merge",
+    "orders_drift_psi",
+    # -- (b) r05 cohort, 31 of 44 (newest official row is r05) ----------
     "corpus_pack",
     "corpus_sample",
     "corpus_split",
@@ -465,44 +489,46 @@ _GATE_PRIORITY: list[str] = [
     "corpus_tile_dedup",
     "corpus_weighted_sample",
     "csv_ingest",
-    "customer_order_distribution",
-    "customer_trailing_revenue",
     "dedup_containment_pairs",
-    "dormant_customers",
     "events_sliding_active_users",
     "knn_pagerank",
     "knn_pq_adc",
-    "large_order_customers",
-    "late_shipment_orders",
     "media_features",
     "media_frame_sample",
     "media_resample_audio",
     "media_resize",
     "metric_time_weighted_avg",
-    "nation_market_share",
-    "nation_trade_volume",
     "orders_asof_snapshot",
     "orders_cdc_merge",
     "orders_scd2",
     "pii_scan_redact",
     "prepare_training_set",
     "prepare_training_set_v2",
-    "promo_revenue",
-    "returned_item_customers",
     "session_window_stats",
     "sessionize_events",
     "sessionize_presplit_events",
-    "small_quantity_revenue",
     "stream_enrich_events",
     "stream_quality_filter",
-    "stream_rollup_minute",
     "stream_sliding_active_users",
-    "stream_top_digests",
     "text_repetition_stats",
     "text_surprisal",
-    "top_supplier_revenue",
     "vocab_build",
+    # -- (c) r05 cohort members deferred to lead round 9 ----------------
+    "customer_order_distribution",
+    "customer_trailing_revenue",
+    "dormant_customers",
+    "large_order_customers",
+    "late_shipment_orders",
+    "nation_market_share",
+    "nation_trade_volume",
+    "promo_revenue",
+    "returned_item_customers",
+    "small_quantity_revenue",
+    "top_supplier_revenue",
+    "stream_rollup_minute",
+    "stream_top_digests",
 ]
+
 _PRIO = {name: rank for rank, name in enumerate(_GATE_PRIORITY)}
 _ENTRIES.sort(key=lambda entry: _PRIO.get(entry[0], len(_GATE_PRIORITY)))
 

@@ -372,3 +372,62 @@ def test_partitioned_merge_range_bucketing_touches_one_leaf(spark, tmp_path):
             assert after[leaf] == files
     rows = {r.k: r.v for r in read_partitioned_snapshot(spark, snap).collect()}
     assert rows[90] == 9000 and rows[99] == 9900 and len(rows) == 100
+
+
+# -------------------------------------------------------- merge-on-read ---
+def test_mor_latest_batch_wins_and_deletes_fold(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from project_obsidian_core_spark.operators.merge import (
+        append_mor_delta,
+        read_mor,
+        write_mor_base,
+    )
+
+    path = str(tmp_path / "mor")
+    base = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "k long, v string"
+    )
+    write_mor_base(base, path)
+    # batch 1: update k=1, delete k=2, insert k=4
+    b1 = spark.createDataFrame(
+        [(1, "a1", "U"), (2, "b", "D"), (4, "d", "I")], "k long, v string, op string"
+    )
+    append_mor_delta(b1, path, seq=1)
+    # batch 2: re-update k=1 (overrides), delete the batch-1 insert k=4,
+    # resurrect k=2 with an insert
+    b2 = spark.createDataFrame(
+        [(1, "a2", "U"), (4, "d", "D"), (2, "b2", "I")], "k long, v string, op string"
+    )
+    append_mor_delta(b2, path, seq=2)
+    got = {
+        r["k"]: r["v"]
+        for r in read_mor(spark, path, keys=["k"]).collect()
+    }
+    assert got == {1: "a2", 2: "b2", 3: "c"}
+
+
+def test_mor_base_side_is_never_shuffled(spark, tmp_path):
+    from project_obsidian_core_spark.operators.merge import (
+        append_mor_delta,
+        read_mor,
+        write_mor_base,
+    )
+
+    path = str(tmp_path / "mor")
+    write_mor_base(
+        spark.range(0, 1000).selectExpr("id AS k", "'x' AS v"), path
+    )
+    append_mor_delta(
+        spark.createDataFrame([(1, "y", "U")], "k long, v string, op string"),
+        path,
+        seq=1,
+    )
+    plan = (
+        read_mor(spark, path, keys=["k"])
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # the touched-key anti join must broadcast: the base never hashes
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan, plan
