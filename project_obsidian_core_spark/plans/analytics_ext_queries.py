@@ -937,9 +937,11 @@ def orders_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
     — both cohorts bin in ONE conditional-aggregate scan, totals
     re-aggregate the 20 bin rows (no second scan), and shares are exact
     Laplace-smoothed ppm ints ((n+1)·10⁶ div (tot+bins), so empty bins
-    stay finite). The per-bin PSI term (p−q)·ln(p/q) is one
-    deterministic double expression from those ints — no parallel float
-    sum; the headline PSI is the caller's 20-row fold."""
+    stay finite). The gate pins the exact integer shares only; the
+    per-bin (p−q)·ln(p/q) term lives in :func:`psi_from_shares`, because
+    ln()'s last ulp differs between the JVM and DuckDB's libm (observed
+    live at sf0.1) — the headline PSI is the caller's 20-row fold over
+    that helper."""
     o = load(spark, sf_dir, "orders").select(
         cents("o_totalprice").alias("price_cents"),
         (F.col("o_orderdate") < F.lit(_PSI_CUT).cast("timestamp")).alias(
@@ -971,17 +973,6 @@ def orders_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
             p.alias("ref_ppm"),
             q.alias("cur_ppm"),
         )
-        .withColumn(
-            "psi_term",
-            (
-                (F.col("ref_ppm") - F.col("cur_ppm")).cast("double")
-                / 1_000_000.0
-            )
-            * (
-                F.log(F.col("ref_ppm").cast("double"))
-                - F.log(F.col("cur_ppm").cast("double"))
-            ),
-        )
         .orderBy("bin")
     )
 
@@ -1006,10 +997,28 @@ WITH o AS (
            (cur_n + 1) * 1000000 // (cur_tot + {_PSI_BINS}) AS cur_ppm
     FROM cells CROSS JOIN tot
 )
-SELECT bin, ref_n, cur_n, ref_ppm, cur_ppm,
-       (CAST(ref_ppm - cur_ppm AS DOUBLE) / 1000000.0)
-           * (ln(CAST(ref_ppm AS DOUBLE)) - ln(CAST(cur_ppm AS DOUBLE)))
-           AS psi_term
+SELECT bin, ref_n, cur_n, ref_ppm, cur_ppm
 FROM shares
 ORDER BY bin
 """
+
+
+def psi_from_shares(df: DataFrame) -> DataFrame:
+    """Attach the per-bin PSI term (p−q)·ln(p/q) to a drift report.
+
+    Deliberately OUTSIDE the hashed gate projection: ln() is a
+    transcendental whose last ulp differs between the JVM
+    (java.lang.Math.log) and DuckDB's libm — observed live at sf0.1,
+    where one bin's term diverged in the final bit while every integer
+    column stayed exact. The gate therefore pins the exact ppm shares
+    (which carry all the information) and this helper derives the log
+    term for consumers; its values are unit-pinned against Python's
+    math.log (same libm class) instead of cross-engine hashing."""
+    return df.withColumn(
+        "psi_term",
+        ((F.col("ref_ppm") - F.col("cur_ppm")).cast("double") / 1_000_000.0)
+        * (
+            F.log(F.col("ref_ppm").cast("double"))
+            - F.log(F.col("cur_ppm").cast("double"))
+        ),
+    )
