@@ -1022,3 +1022,161 @@ def psi_from_shares(df: DataFrame) -> DataFrame:
             - F.log(F.col("cur_ppm").cast("double"))
         ),
     )
+
+
+# ------------------------------------------------- join-key skew report ---
+def events_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q16: join-key skew diagnostic — the pre-flight behind every
+    salting/broadcast decision (this repo already runs ad-hoc versions
+    for LSH buckets and the salted top-N twin; this is the reusable
+    form). Over a three-tier (hot/warm/cold)
+    synthetic join key: per power-of-two frequency bucket, how many
+    keys land there and what share of ROWS they carry — the histogram
+    that says "0.1% of keys carry 60% of rows, salt them".
+
+    Scale shape: groupBy(key) with map-side combine collapses the stream
+    to one row per distinct key; the log2 bucketing (exact via binary
+    string length — no float log) then reduces keys to ≤64 buckets, and
+    the grand total re-aggregates those buckets (driver-sized broadcast,
+    no second scan). Nothing global ever sorts; percentiles of the
+    frequency distribution are read off the bucket rows."""
+    ev = load(spark, sf_dir, "events")
+    keyed = ev.select(
+        F.when(
+            F.col("event_id") % 3 != 0,
+            F.concat(F.lit("hot_"), (F.col("user_id") % 5).cast("string")),
+        )
+        .when(
+            F.col("user_id") % 2 == 0,
+            F.concat(F.lit("warm_"), F.col("user_id").cast("string")),
+        )
+        .otherwise(F.concat(F.lit("cold_"), F.col("event_id").cast("string")))
+        .alias("key")
+    )
+    per_key = keyed.groupBy("key").agg(F.count(F.lit(1)).alias("cnt"))
+    buckets = per_key.groupBy(
+        (F.length(F.bin(F.col("cnt"))) - 1).cast("long").alias("freq_log2")
+    ).agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.sum("cnt").alias("n_rows"),
+    )
+    total = buckets.groupBy().agg(F.sum("n_rows").alias("tot_rows"))
+    return (
+        buckets.crossJoin(F.broadcast(total))
+        .select(
+            "freq_log2",
+            "n_keys",
+            "n_rows",
+            F.expr("n_rows * 1000000 div tot_rows").alias("rows_ppm"),
+        )
+        .orderBy("freq_log2")
+    )
+
+
+ORACLE_events_skew_report = """
+WITH keyed AS (
+    SELECT CASE WHEN event_id % 3 != 0
+                THEN 'hot_' || CAST(user_id % 5 AS VARCHAR)
+                WHEN user_id % 2 = 0
+                THEN 'warm_' || CAST(user_id AS VARCHAR)
+                ELSE 'cold_' || CAST(event_id AS VARCHAR) END AS key
+    FROM events
+), per_key AS (
+    SELECT key, count(*) AS cnt FROM keyed GROUP BY key
+), buckets AS (
+    SELECT CAST(length(bin(cnt)) - 1 AS BIGINT) AS freq_log2,
+           count(*) AS n_keys,
+           CAST(sum(cnt) AS BIGINT) AS n_rows
+    FROM per_key GROUP BY 1
+), tot AS (
+    SELECT CAST(sum(n_rows) AS BIGINT) AS tot_rows FROM buckets
+)
+SELECT freq_log2, n_keys, n_rows,
+       n_rows * 1000000 // tot_rows AS rows_ppm
+FROM buckets CROSS JOIN tot
+ORDER BY freq_log2
+"""
+
+
+# -------------------------------------------- seasonal-baseline outliers --
+_SEASONAL_TOPK = 20
+
+
+def metric_seasonal_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A33: seasonal-baseline anomaly ranking — each sample scored
+    against its metric's hour-of-day profile (the simplest seasonal
+    decomposition: weekly/diurnal baseline + residual), top-20 absolute
+    residuals across all metrics.
+
+    The profile is a (metric, hour) aggregate — ≤ metrics×24 rows — that
+    BROADCASTS back onto the stream, so scoring is one scan + one tiny
+    join, never a self-join on time. Residuals stay exact until the last
+    step: resid_num = value·n − sum is exact int64, and the ranking
+    magnitude |resid_num|/n is a single IEEE division per row
+    (hash-stable, like the χ² contributions — no transcendental, see
+    SCALE.md r8). TakeOrdered keeps the top-K without a global sort."""
+    from project_obsidian_core_spark.plans.metrics_queries import (
+        synthesize_metrics,
+    )
+
+    m = synthesize_metrics(spark, sf_dir)
+    prof = m.groupBy("metric_name", F.hour("time").alias("hod")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("metric_value").alias("sum_cents"),
+    )
+    scored = m.withColumn("hod", F.hour("time")).join(
+        F.broadcast(prof), ["metric_name", "hod"]
+    )
+    resid_num = F.col("metric_value") * F.col("n") - F.col("sum_cents")
+    return (
+        scored.select(
+            "metric_name",
+            F.unix_micros(F.col("time")).alias("t_us"),
+            F.col("metric_value").alias("value_cents"),
+            "hod",
+            "n",
+            "sum_cents",
+            resid_num.alias("resid_num"),
+            (F.abs(resid_num).cast("double") / F.col("n").cast("double")).alias(
+                "resid_abs"
+            ),
+        )
+        .orderBy(
+            F.col("resid_abs").desc(),
+            "metric_name",
+            "t_us",
+            "value_cents",
+        )
+        .limit(_SEASONAL_TOPK)
+    )
+
+
+def _seasonal_oracle() -> str:
+    from project_obsidian_core_spark.plans.metrics_queries import _SYN_SQL
+
+    return f"""
+WITH m AS ({_SYN_SQL}),
+prof AS (
+    SELECT metric_name, hour(time) AS hod,
+           count(*) AS n,
+           CAST(sum(metric_value) AS BIGINT) AS sum_cents
+    FROM m GROUP BY 1, 2
+), scored AS (
+    SELECT m.metric_name, epoch_us(m.time) AS t_us,
+           m.metric_value AS value_cents, p.hod, p.n, p.sum_cents,
+           m.metric_value * p.n - p.sum_cents AS resid_num,
+           CAST(abs(m.metric_value * p.n - p.sum_cents) AS DOUBLE)
+               / CAST(p.n AS DOUBLE) AS resid_abs
+    FROM m JOIN prof p
+      ON p.metric_name = m.metric_name AND p.hod = hour(m.time)
+)
+SELECT metric_name, t_us, value_cents, hod,
+       CAST(n AS BIGINT) AS n, sum_cents,
+       CAST(resid_num AS BIGINT) AS resid_num, resid_abs
+FROM scored
+ORDER BY resid_abs DESC, metric_name, t_us, value_cents
+LIMIT {_SEASONAL_TOPK}
+"""
+
+
+ORACLE_metric_seasonal_outliers = _seasonal_oracle()

@@ -443,6 +443,14 @@ _ENTRIES: list[tuple[str, QueryFn, str | None]] = [
     ("orders_mor_merge", cdc.orders_mor_merge, cdc.ORACLE_orders_mor_merge),
     # A32: PSI distribution-drift report (fixed-bin, one-scan)
     ("orders_drift_psi", ax.orders_drift_psi, ax.ORACLE_orders_drift_psi),
+    # Q16: join-key skew diagnostic (log2 frequency histogram)
+    ("events_skew_report", ax.events_skew_report, ax.ORACLE_events_skew_report),
+    # A33: seasonal-baseline residual anomalies (broadcast hour profile)
+    (
+        "metric_seasonal_outliers",
+        ax.metric_seasonal_outliers,
+        ax.ORACLE_metric_seasonal_outliers,
+    ),
 ]
 
 # ----------------------------------------------------------------------
@@ -450,10 +458,10 @@ _ENTRIES: list[tuple[str, QueryFn, str | None]] = [
 # Invariant (pinned by tests/test_registry_gate.py): every query with NO
 # official green row yet MUST lead the gate — a tail slot can never earn
 # one.  This round that is the 6 early-round-8 additions plus the 13
-# late-round-8 (R8b) operators = 19 leading slots.  The remaining 31
+# late-round-8 (R8b) operators = 21 leading slots.  The remaining 29
 # slots re-record the oldest-green (r05) cohort — the r7 verdict's
 # rotation ask, partially: with 19 new queries the full 44-query cohort
-# no longer fits, so 13 members whose code paths are exercised by other
+# no longer fits, so 15 members whose code paths are exercised by other
 # green rows (the TPC-H relational shapes covered by the r06/r07
 # relational records, and the two availableNow replay twins whose
 # harness stream_ohlc/stream_chunk re-exercise) wait for round 9, listed
@@ -481,7 +489,9 @@ _GATE_PRIORITY: list[str] = [
     "events_chisq",
     "orders_mor_merge",
     "orders_drift_psi",
-    # -- (b) r05 cohort, 31 of 44 (newest official row is r05) ----------
+    "events_skew_report",
+    "metric_seasonal_outliers",
+    # -- (b) r05 cohort, 29 of 44 (newest official row is r05) ----------
     "corpus_pack",
     "corpus_sample",
     "corpus_split",
@@ -489,10 +499,8 @@ _GATE_PRIORITY: list[str] = [
     "corpus_tile_dedup",
     "corpus_weighted_sample",
     "csv_ingest",
-    "dedup_containment_pairs",
     "events_sliding_active_users",
     "knn_pagerank",
-    "knn_pq_adc",
     "media_features",
     "media_frame_sample",
     "media_resample_audio",
@@ -514,6 +522,8 @@ _GATE_PRIORITY: list[str] = [
     "text_surprisal",
     "vocab_build",
     # -- (c) r05 cohort members deferred to lead round 9 ----------------
+    "dedup_containment_pairs",
+    "knn_pq_adc",
     "customer_order_distribution",
     "customer_trailing_revenue",
     "dormant_customers",
