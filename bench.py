@@ -8,8 +8,8 @@ Each query is materialized through the noop sink — full computation, no
 driver-side collect cost — after a warmup query that absorbs session/JIT
 startup. The 14-query round-1 contract subset (R1_SUBSET — the 2x ratio
 is computed over it) is timed SPARK_GRAFT_BENCH_REPEAT times (default 4,
-warm = MEDIAN of the later runs); the 124-query tail runs cold + 1 warm
-(4 repeats over the full 138-query suite would double the wall for
+warm = MEDIAN of the later runs); the 150-query tail runs cold + 1 warm
+(4 repeats over the full 164-query suite would double the wall for
 variance data only the contract subset needs). Cold (first run: codegen,
 footer reads, index builds) and warm are reported SEPARATELY —
 `queries`/`value` are the warm path, `queries_cold`/`value_cold` the
@@ -236,7 +236,7 @@ BENCH_QUERIES = [
 
 #: the round-1 contract subset: the 14 queries BENCH_r01.json timed — the
 #: 2x-baseline ratio is computed over these, so they get the full repeat
-#: count; the long tail gets cold + 1 warm (the suite is 138 queries now,
+#: count; the long tail gets cold + 1 warm (the suite is 164 queries now,
 #: and 4 repeats across all of them would double the bench wall for
 #: variance data only the contract subset needs).
 R1_SUBSET = [

@@ -5,16 +5,16 @@ driver records per-name correctness, so renames lose history.
 
 ORDERING CONTRACT: the driver correctness gate records the FIRST 50
 entries only (CORRECTNESS_r02.json stopped at slot 50).  Entries are
-therefore ordered by gate priority, not by theme.  The priority rule
-(round-5 verdict, "rotate stale rows"):
+therefore ordered by gate priority, not by theme.  The standing rule
+(re-derived every round; see the `_GATE_PRIORITY` block comment for the
+current round's concrete rotation):
 
-  1. Queries with no official green row yet (new this round).
-  2. Queries whose NEWEST official green row predates changes to their
-     implementation files (44 queries whose latest row is r02, then the
-     4 whose latest row is r03) — re-recording them proves today's code,
-     not a historical snapshot.
-  3. Queries with a recent (r04/r05) green row sit at the tail; their
-     history is fresh.
+  1. Queries with no official green row yet MUST lead — a tail slot can
+     never earn one (pinned by tests/test_registry_gate.py).
+  2. The remaining window slots re-record the queries whose newest
+     official green row is OLDEST, so no row ages indefinitely.
+  3. Cohort members that no longer fit are listed directly after the
+     window so they lead the next round's rebuild.
 
 The rotation is applied by the `_GATE_PRIORITY` stable sort at the
 bottom of this module, so `_ENTRIES` itself stays grouped by theme.
