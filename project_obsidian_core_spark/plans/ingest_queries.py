@@ -177,3 +177,69 @@ FROM evolved
 GROUP BY lang
 ORDER BY lang
 """
+
+
+# ------------------------------------------------------------ ORC ---------
+_ORC_CACHE: dict[str, str] = {}
+
+
+def orc_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Columnar-format breadth: orders round-tripped through ORC (Spark's
+    other built-in columnar sink besides parquet) and re-aggregated — the
+    gate proves type fidelity across the format boundary, including the
+    timestamp column (TZ handling is where ORC↔parquet migrations
+    actually break: the µs bounds below are derived from the ROUND-TRIPPED
+    timestamps, so any instant shift fails the hash). The oracle computes
+    the same aggregate straight from the parquet view — if ORC preserved
+    every value, the two are indistinguishable.
+
+    At 100 TB the read path matters as much as the write: ORC carries the
+    same column pruning + predicate pushdown + stripe-level min/max
+    statistics as parquet, so the scan shape (pushed filter, pruned
+    schema) is identical — only the container differs.
+    """
+    from project_obsidian_core_spark.plans.common import cents
+
+    src = _ORC_CACHE.get(sf_dir)
+    if src is None:
+        src = (
+            tempfile.mkdtemp(prefix=f"obsidian_orc_{next(_RUN_IDS)}_")
+            + "/orders_orc"
+        )
+        load(spark, sf_dir, "orders").select(
+            "o_orderkey",
+            "o_custkey",
+            "o_orderstatus",
+            "o_orderpriority",
+            cents("o_totalprice").alias("price_cents"),
+            "o_orderdate",
+        ).write.mode("overwrite").orc(src)
+        _ORC_CACHE[sf_dir] = src
+    o = spark.read.orc(src)
+    return (
+        o.filter(F.col("o_orderstatus") != "P")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum("price_cents").alias("total_cents"),
+            F.min(F.unix_micros(F.col("o_orderdate"))).alias("min_order_us"),
+            F.max(F.unix_micros(F.col("o_orderdate"))).alias("max_order_us"),
+            F.countDistinct("o_custkey").alias("n_customers"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+ORACLE_orc_ingest = """
+SELECT o_orderpriority,
+       count(*) AS n_orders,
+       CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT)
+           AS total_cents,
+       min(epoch_us(o_orderdate)) AS min_order_us,
+       max(epoch_us(o_orderdate)) AS max_order_us,
+       count(DISTINCT o_custkey) AS n_customers
+FROM orders
+WHERE o_orderstatus != 'P'
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
