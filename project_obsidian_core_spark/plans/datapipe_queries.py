@@ -1220,3 +1220,89 @@ ORDER BY a, b, c
 
 
 ORACLE_knn_triangles = _triangles_oracle()
+
+
+# ------------------------------------------------------ ANN recall eval ---
+def knn_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N12: index-quality evaluation — recall@k of the multi-probe LSH
+    index against the exact brute-force ground truth, per query. The
+    "measure your ANN before trusting it" operator every index rollout
+    needs: ground truth is computed on the SAME (bounded) query sample
+    the production queries use (brute force over the eval slice is the
+    documented cost — recall evaluation is a sampled audit, never a
+    full-corpus pass), hits come from a left-semi-style indicator join
+    on (q_id, cand_id), and recall is an exact ppm int.
+
+    At 100 TB: the eval sample stays ~10³ queries (broadcast), ground
+    truth is one broadcast-scored corpus scan per audit, and the report
+    is the go/no-go gate for LSH bits / IVF nprobe retuning — the
+    feedback loop for the N10 auto-sizing rule."""
+    emb, q = _query_vecs(spark, sf_dir)
+    truth = S.brute_force_topk(emb, q, k=_TOPK).select("q_id", "cand_id")
+    found = S.lsh_topk(emb, q, k=_TOPK).select(
+        "q_id", F.col("cand_id").alias("f_cand")
+    )
+    joined = truth.join(
+        found,
+        (truth.q_id == found.q_id) & (truth.cand_id == found.f_cand),
+        "left",
+    ).select(truth.q_id, truth.cand_id, found.f_cand)
+    return (
+        joined.groupBy("q_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_truth"),
+            F.count("f_cand").alias("n_hits"),
+        )
+        .withColumn("recall_ppm", F.expr("n_hits * 1000000 div n_truth"))
+        .orderBy("q_id")
+    )
+
+
+def _recall_oracle() -> str:
+    flips = ", ".join(str(2 ** i) for i in range(S.LSH_BITS))
+    return f"""
+WITH t AS (
+    SELECT vec_id, embedding AS v, {V.sql_norm('embedding', _EMB_DIM)} AS nrm,
+           {S.sql_lsh_bucket('embedding', bits=S.LSH_BITS)} AS bucket
+    FROM embeddings
+), probes AS (
+    SELECT vec_id, v, nrm, CAST(xor(bucket, f) AS BIGINT) AS bucket
+    FROM t, (SELECT unnest([0, {flips}]) AS f)
+    WHERE vec_id < {_N_QUERY_VECS}
+), lscored AS (
+    SELECT q.vec_id AS q_id, c.vec_id AS cand_id,
+           {V.sql_dot('q.v', 'c.v', _EMB_DIM)} / (q.nrm * c.nrm) AS cos_sim
+    FROM probes q, t c
+    WHERE q.vec_id != c.vec_id AND q.bucket = c.bucket
+), lranked AS (
+    SELECT q_id, cand_id,
+           row_number() OVER (PARTITION BY q_id
+                              ORDER BY cos_sim DESC, cand_id ASC) AS rank
+    FROM lscored
+), lsh AS (
+    SELECT q_id, cand_id FROM lranked WHERE rank <= {_TOPK}
+), bscored AS (
+    SELECT q.vec_id AS q_id, c.vec_id AS cand_id,
+           {V.sql_dot('q.v', 'c.v', _EMB_DIM)} / (q.nrm * c.nrm) AS cos_sim
+    FROM t q, t c
+    WHERE q.vec_id < {_N_QUERY_VECS} AND q.vec_id != c.vec_id
+), branked AS (
+    SELECT q_id, cand_id,
+           row_number() OVER (PARTITION BY q_id
+                              ORDER BY cos_sim DESC, cand_id ASC) AS rank
+    FROM bscored
+), truth AS (
+    SELECT q_id, cand_id FROM branked WHERE rank <= {_TOPK}
+)
+SELECT tr.q_id,
+       count(*) AS n_truth,
+       CAST(count(l.cand_id) AS BIGINT) AS n_hits,
+       count(l.cand_id) * 1000000 // count(*) AS recall_ppm
+FROM truth tr
+LEFT JOIN lsh l ON l.q_id = tr.q_id AND l.cand_id = tr.cand_id
+GROUP BY tr.q_id
+ORDER BY tr.q_id
+"""
+
+
+ORACLE_knn_recall_report = _recall_oracle()

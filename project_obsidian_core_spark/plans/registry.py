@@ -453,6 +453,8 @@ _ENTRIES: list[tuple[str, QueryFn, str | None]] = [
     ),
     # S13: ORC columnar round-trip (type fidelity across the format boundary)
     ("orc_ingest", ing.orc_ingest, ing.ORACLE_orc_ingest),
+    # N12: ANN recall@k audit (LSH vs exact ground truth, exact ppm)
+    ("knn_recall_report", d.knn_recall_report, d.ORACLE_knn_recall_report),
 ]
 
 # ----------------------------------------------------------------------
@@ -460,10 +462,10 @@ _ENTRIES: list[tuple[str, QueryFn, str | None]] = [
 # Invariant (pinned by tests/test_registry_gate.py): every query with NO
 # official green row yet MUST lead the gate — a tail slot can never earn
 # one.  This round that is the 6 early-round-8 additions plus the 13
-# late-round-8 (R8b) operators = 22 leading slots.  The remaining 28
+# late-round-8 (R8b) operators = 23 leading slots.  The remaining 27
 # slots re-record the oldest-green (r05) cohort — the r7 verdict's
 # rotation ask, partially: with 19 new queries the full 44-query cohort
-# no longer fits, so 16 members whose code paths are exercised by other
+# no longer fits, so 17 members whose code paths are exercised by other
 # green rows (the TPC-H relational shapes covered by the r06/r07
 # relational records, and the two availableNow replay twins whose
 # harness stream_ohlc/stream_chunk re-exercise) wait for round 9, listed
@@ -494,7 +496,8 @@ _GATE_PRIORITY: list[str] = [
     "events_skew_report",
     "metric_seasonal_outliers",
     "orc_ingest",
-    # -- (b) r05 cohort, 28 of 44 (newest official row is r05) ----------
+    "knn_recall_report",
+    # -- (b) r05 cohort, 27 of 44 (newest official row is r05) ----------
     "corpus_pack",
     "corpus_sample",
     "corpus_split",
@@ -503,7 +506,6 @@ _GATE_PRIORITY: list[str] = [
     "corpus_weighted_sample",
     "csv_ingest",
     "events_sliding_active_users",
-    "media_features",
     "media_frame_sample",
     "media_resample_audio",
     "media_resize",
@@ -524,6 +526,7 @@ _GATE_PRIORITY: list[str] = [
     "text_surprisal",
     "vocab_build",
     # -- (c) r05 cohort members deferred to lead round 9 ----------------
+    "media_features",
     "knn_pagerank",
     "dedup_containment_pairs",
     "knn_pq_adc",
