@@ -229,6 +229,7 @@ BENCH_QUERIES = [
     "metric_seasonal_outliers",  # hour-profile residual anomalies
     "orc_ingest",             # ORC columnar round-trip fidelity
     "knn_recall_report",      # ANN recall@k audit vs exact truth
+    "dedup_recall_report",    # LSH recall audit vs all-pairs Jaccard
     # stream_cdc_merge is timed via _time_cdc_merge below (merge work
     # only): its checkpointed replay rewrites a bucketed parquet snapshot
     # per micro-batch (~12 s/run at sf0.1, >90% filesystem publish/rename

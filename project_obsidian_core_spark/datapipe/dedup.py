@@ -852,3 +852,56 @@ def embedding_lsh_pairs(
             ).alias("cos_sim"),
         )
     )
+
+
+# ------------------------------------------------------- LSH recall audit --
+def lsh_recall(
+    df: DataFrame, text_col: str = "text", threshold: float = 0.1
+) -> DataFrame:
+    """Sampled recall audit of MinHash-LSH candidate generation against
+    the EXACT all-pairs ground truth — the companion measurement to the
+    band/row geometry choice (the S-curve says what recall *should* be;
+    this measures what it *is* on your corpus).
+
+    The all-pairs truth join is a deliberate bounded quadratic: recall
+    evaluation is a SAMPLED audit over ≤~10³ documents (the broadcast
+    nested-loop below is the honest plan for an inequality pair join at
+    that size), never a full-corpus pass — at 100 TB you audit a random
+    slice per ingest batch and trend the ppm. Found pairs are already
+    exact-verified (minhash_candidates attaches true Jaccard), so found
+    ⊆ truth and the report is pure counting: one row,
+    (n_truth, n_found, n_missed, recall_ppm), all exact ints.
+    """
+    sh = df.select("doc_id", shingle_set(text_col).alias("sh"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = F.size(F.array_intersect(F.col("a.sh"), F.col("b.sh")))
+    union = F.size(F.col("a.sh")) + F.size(F.col("b.sh")) - inter
+    pairs = a.join(F.broadcast(b), F.col("a.doc_id") < F.col("b.doc_id"))
+    truth = pairs.select(
+        F.col("a.doc_id").alias("doc_a"),
+        F.col("b.doc_id").alias("doc_b"),
+        (inter.cast("double") / union).alias("jacc"),
+    ).filter(F.col("jacc") >= threshold)
+    found = (
+        minhash_candidates(df, text_col=text_col)
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", F.col("doc_b").alias("f_b"))
+    )
+    joined = truth.join(
+        found,
+        (truth.doc_a == found.doc_a) & (truth.doc_b == found.f_b),
+        "left",
+    ).select(truth.doc_a, truth.doc_b, found.f_b)
+    return (
+        joined.groupBy()
+        .agg(
+            F.count(F.lit(1)).alias("n_truth"),
+            F.count("f_b").alias("n_found"),
+        )
+        .select(
+            "n_truth",
+            "n_found",
+            (F.col("n_truth") - F.col("n_found")).alias("n_missed"),
+            F.expr("n_found * 1000000 div n_truth").alias("recall_ppm"),
+        )
+    )

@@ -1306,3 +1306,42 @@ ORDER BY tr.q_id
 
 
 ORACLE_knn_recall_report = _recall_oracle()
+
+
+# -------------------------------------------------- dedup recall audit ----
+def dedup_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D15: MinHash-LSH recall audit (:func:`datapipe.dedup.lsh_recall`)
+    — exact all-pairs Jaccard ground truth on the bounded eval corpus vs
+    the banded candidate pairs; one exact-int row
+    (n_truth, n_found, n_missed, recall_ppm). The measured counterpart
+    of the band/row S-curve the LSH geometry was chosen from."""
+    return D.lsh_recall(load(spark, sf_dir, "documents"))
+
+
+def _dedup_recall_oracle() -> str:
+    body = _minhash_oracle()
+    prefix, _, _ = body.partition("\nSELECT c.doc_a")
+    return f"""{prefix}
+, found AS (
+    SELECT c.doc_a, c.doc_b
+    FROM cand c
+    JOIN t sa ON sa.doc_id = c.doc_a
+    JOIN t sb ON sb.doc_id = c.doc_b
+    WHERE CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+              / len(list_distinct(sa.sh || sb.sh)) >= 0.1
+), truth AS (
+    SELECT sa.doc_id AS doc_a, sb.doc_id AS doc_b
+    FROM t sa JOIN t sb ON sa.doc_id < sb.doc_id
+    WHERE CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+              / len(list_distinct(sa.sh || sb.sh)) >= 0.1
+)
+SELECT count(*) AS n_truth,
+       CAST(count(f.doc_a) AS BIGINT) AS n_found,
+       CAST(count(*) - count(f.doc_a) AS BIGINT) AS n_missed,
+       count(f.doc_a) * 1000000 // count(*) AS recall_ppm
+FROM truth tr
+LEFT JOIN found f ON f.doc_a = tr.doc_a AND f.doc_b = tr.doc_b
+"""
+
+
+ORACLE_dedup_recall_report = _dedup_recall_oracle()

@@ -455,6 +455,8 @@ _ENTRIES: list[tuple[str, QueryFn, str | None]] = [
     ("orc_ingest", ing.orc_ingest, ing.ORACLE_orc_ingest),
     # N12: ANN recall@k audit (LSH vs exact ground truth, exact ppm)
     ("knn_recall_report", d.knn_recall_report, d.ORACLE_knn_recall_report),
+    # D15: MinHash-LSH recall audit vs exact all-pairs Jaccard truth
+    ("dedup_recall_report", d.dedup_recall_report, d.ORACLE_dedup_recall_report),
 ]
 
 # ----------------------------------------------------------------------
@@ -462,10 +464,10 @@ _ENTRIES: list[tuple[str, QueryFn, str | None]] = [
 # Invariant (pinned by tests/test_registry_gate.py): every query with NO
 # official green row yet MUST lead the gate — a tail slot can never earn
 # one.  This round that is the 6 early-round-8 additions plus the 13
-# late-round-8 (R8b) operators = 23 leading slots.  The remaining 27
+# late-round-8 (R8b) operators = 24 leading slots.  The remaining 26
 # slots re-record the oldest-green (r05) cohort — the r7 verdict's
 # rotation ask, partially: with 19 new queries the full 44-query cohort
-# no longer fits, so 17 members whose code paths are exercised by other
+# no longer fits, so 18 members whose code paths are exercised by other
 # green rows (the TPC-H relational shapes covered by the r06/r07
 # relational records, and the two availableNow replay twins whose
 # harness stream_ohlc/stream_chunk re-exercise) wait for round 9, listed
@@ -497,14 +499,14 @@ _GATE_PRIORITY: list[str] = [
     "metric_seasonal_outliers",
     "orc_ingest",
     "knn_recall_report",
-    # -- (b) r05 cohort, 27 of 44 (newest official row is r05) ----------
+    "dedup_recall_report",
+    # -- (b) r05 cohort, 26 of 44 (newest official row is r05) ----------
     "corpus_pack",
     "corpus_sample",
     "corpus_split",
     "corpus_stratified_sample",
     "corpus_tile_dedup",
     "corpus_weighted_sample",
-    "csv_ingest",
     "events_sliding_active_users",
     "media_frame_sample",
     "media_resample_audio",
@@ -526,6 +528,7 @@ _GATE_PRIORITY: list[str] = [
     "text_surprisal",
     "vocab_build",
     # -- (c) r05 cohort members deferred to lead round 9 ----------------
+    "csv_ingest",
     "media_features",
     "knn_pagerank",
     "dedup_containment_pairs",
