@@ -1309,17 +1309,30 @@ ORACLE_knn_recall_report = _recall_oracle()
 
 
 # -------------------------------------------------- dedup recall audit ----
+#: audit sample bound: the all-pairs truth join is quadratic BY DESIGN,
+#: so the gate caps its input to the first 1000 doc_ids at every SF
+#: (sf0.01 = the whole corpus; sf0.1 = a 1000-doc slice of 5000) — the
+#: "sampled audit" contract from the operator docstring made literal.
+_RECALL_SAMPLE = 1000
+
+
 def dedup_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """D15: MinHash-LSH recall audit (:func:`datapipe.dedup.lsh_recall`)
-    — exact all-pairs Jaccard ground truth on the bounded eval corpus vs
-    the banded candidate pairs; one exact-int row
+    — exact all-pairs Jaccard ground truth on the bounded eval sample
+    (doc_id < 1000) vs the banded candidate pairs; one exact-int row
     (n_truth, n_found, n_missed, recall_ppm). The measured counterpart
     of the band/row S-curve the LSH geometry was chosen from."""
-    return D.lsh_recall(load(spark, sf_dir, "documents"))
+    docs = load(spark, sf_dir, "documents").filter(
+        F.col("doc_id") < _RECALL_SAMPLE
+    )
+    return D.lsh_recall(docs)
 
 
 def _dedup_recall_oracle() -> str:
-    body = _minhash_oracle()
+    body = _minhash_oracle().replace(
+        "AS toks FROM documents)",
+        f"AS toks FROM documents WHERE doc_id < {_RECALL_SAMPLE})",
+    )
     prefix, _, _ = body.partition("\nSELECT c.doc_a")
     return f"""{prefix}
 , found AS (
