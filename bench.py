@@ -230,6 +230,8 @@ BENCH_QUERIES = [
     "orc_ingest",             # ORC columnar round-trip fidelity
     "knn_recall_report",      # ANN recall@k audit vs exact truth
     "dedup_recall_report",    # LSH recall audit vs all-pairs Jaccard
+    "qan_burn_rate",          # multi-window SLO burn-rate alert
+    "qan_top_digests_other",  # top-N + other 100%-accounting rollup
     # stream_cdc_merge is timed via _time_cdc_merge below (merge work
     # only): its checkpointed replay rewrites a bucketed parquet snapshot
     # per micro-batch (~12 s/run at sf0.1, >90% filesystem publish/rename

@@ -722,3 +722,154 @@ FROM events
 GROUP BY 1, 2, 3
 ORDER BY 1, 2, 3
 """
+
+
+# ------------------------------------------------------ SLO burn rate -----
+#: SLO: 99% success => 1% error budget (10_000 ppm); the Google SRE
+#: workbook fast-burn pair alerts when BOTH the short and long window burn
+#: the budget at >= 14.4x (i.e. a 30-day budget gone in ~2 days).
+_SLO_BUDGET_PPM = 10_000
+_BURN_X10 = 144  # 14.4x, scaled by 10 to stay integral
+
+
+def qan_burn_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A34: multi-window error-budget burn-rate alert — the SRE-workbook
+    alerting rule run as a query: per instance, the 5-minute error rate
+    AND its enclosing 1-hour error rate, with the fast-burn flag set
+    only when BOTH windows exceed 14.4x the SLO budget (the short window
+    gives reaction time, the long one suppresses blips).
+
+    One scan: 5-minute (instance, bucket) conditional counts; the 1-hour
+    rates RE-AGGREGATE those 5-minute rows (never a second scan) and
+    join back on the hour key — the same lossless-cascade shape as
+    qan_rollup_cascade. All rates exact ppm ints; the burn comparison is
+    pure integer arithmetic (err_ppm·10 > 144·budget), so the alert
+    flag is bit-stable cross-engine."""
+    ev = load(spark, sf_dir, "events")
+    b5 = (F.expr("unix_micros(ts) div 300000000") * 300).alias("bucket5_s")
+    five = (
+        ev.select(
+            (F.col("user_id") % 10).alias("instance_id"),
+            b5,
+            (F.col("event_type") == "error").cast("int").alias("is_err"),
+        )
+        .groupBy("instance_id", "bucket5_s")
+        .agg(
+            F.count(F.lit(1)).alias("n5"),
+            F.sum("is_err").alias("err5"),
+        )
+        .withColumn("hour_s", F.expr("bucket5_s div 3600") * 3600)
+    )
+    hour = five.groupBy("instance_id", "hour_s").agg(
+        F.sum("n5").alias("n1h"), F.sum("err5").alias("err1h")
+    )
+    j = five.join(hour, ["instance_id", "hour_s"])
+    ppm5 = F.expr("err5 * 1000000 div n5")
+    ppm1h = F.expr("err1h * 1000000 div n1h")
+    fast = (ppm5 * 10 > _BURN_X10 * _SLO_BUDGET_PPM) & (
+        ppm1h * 10 > _BURN_X10 * _SLO_BUDGET_PPM
+    )
+    return j.select(
+        "instance_id",
+        "bucket5_s",
+        "n5",
+        "err5",
+        ppm5.alias("err_ppm_5m"),
+        ppm1h.alias("err_ppm_1h"),
+        fast.alias("fast_burn"),
+    ).orderBy("instance_id", "bucket5_s")
+
+
+ORACLE_qan_burn_rate = f"""
+WITH five AS (
+    SELECT user_id % 10 AS instance_id,
+           (epoch_us(ts) // 300000000) * 300 AS bucket5_s,
+           count(*) AS n5,
+           CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+                AS BIGINT) AS err5
+    FROM events
+    GROUP BY 1, 2
+), five_h AS (
+    SELECT *, (bucket5_s // 3600) * 3600 AS hour_s FROM five
+), hour AS (
+    SELECT instance_id, hour_s,
+           CAST(sum(n5) AS BIGINT) AS n1h,
+           CAST(sum(err5) AS BIGINT) AS err1h
+    FROM five_h GROUP BY 1, 2
+)
+SELECT f.instance_id, f.bucket5_s, f.n5, f.err5,
+       f.err5 * 1000000 // f.n5 AS err_ppm_5m,
+       h.err1h * 1000000 // h.n1h AS err_ppm_1h,
+       (f.err5 * 1000000 // f.n5) * 10 > {_BURN_X10 * _SLO_BUDGET_PPM}
+           AND (h.err1h * 1000000 // h.n1h) * 10
+               > {_BURN_X10 * _SLO_BUDGET_PPM} AS fast_burn
+FROM five_h f JOIN hour h
+  ON h.instance_id = f.instance_id AND h.hour_s = f.hour_s
+ORDER BY f.instance_id, f.bucket5_s
+"""
+
+
+# ---------------------------------------------------- top-N + other -------
+_TOPN_OTHER_K = 3
+
+
+def qan_top_digests_other(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O5: the "top-N + other" dashboard contract — the top 3 digests by
+    total value keep their identity, everything else folds into one
+    'other' row, and the report still accounts for 100% of the volume
+    (the property plain top-N silently drops). Rank over the per-digest
+    aggregate (≤ digest-cardinality rows — tiny), CASE-relabel, one
+    re-aggregation; the fact table is scanned once."""
+    ev = load(spark, sf_dir, "events")
+    agg = ev.groupBy(F.col("event_type").alias("digest")).agg(
+        F.count(F.lit(1)).alias("calls"),
+        F.sum(cents("value")).alias("value_cents"),
+    )
+    w = Window.orderBy(F.col("value_cents").desc(), F.col("digest"))
+    ranked = agg.withColumn("rnk", F.row_number().over(w))
+    labeled = ranked.select(
+        F.when(F.col("rnk") <= _TOPN_OTHER_K, F.col("digest"))
+        .otherwise(F.lit("other"))
+        .alias("digest"),
+        F.when(F.col("rnk") <= _TOPN_OTHER_K, F.col("rnk"))
+        .otherwise(F.lit(_TOPN_OTHER_K + 1))
+        .alias("rnk"),
+        "calls",
+        "value_cents",
+    )
+    return (
+        labeled.groupBy("digest", "rnk")
+        .agg(
+            F.sum("calls").alias("calls"),
+            F.sum("value_cents").alias("value_cents"),
+            F.count(F.lit(1)).alias("n_digests"),
+        )
+        .orderBy("rnk", "digest")
+    )
+
+
+ORACLE_qan_top_digests_other = f"""
+WITH agg AS (
+    SELECT event_type AS digest, count(*) AS calls,
+           CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT)
+               AS value_cents
+    FROM events GROUP BY 1
+), ranked AS (
+    SELECT *, row_number() OVER (ORDER BY value_cents DESC, digest) AS rnk
+    FROM agg
+), labeled AS (
+    SELECT CASE WHEN rnk <= {_TOPN_OTHER_K} THEN digest ELSE 'other' END
+               AS digest,
+           CASE WHEN rnk <= {_TOPN_OTHER_K} THEN rnk
+                ELSE {_TOPN_OTHER_K + 1} END AS rnk,
+           calls, value_cents
+    FROM ranked
+)
+SELECT digest, CAST(rnk AS BIGINT) AS rnk,
+       CAST(sum(calls) AS BIGINT) AS calls,
+       CAST(sum(value_cents) AS BIGINT) AS value_cents,
+       count(*) AS n_digests
+FROM labeled
+GROUP BY digest, rnk
+ORDER BY rnk, digest
+"""

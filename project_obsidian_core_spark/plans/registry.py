@@ -457,6 +457,14 @@ _ENTRIES: list[tuple[str, QueryFn, str | None]] = [
     ("knn_recall_report", d.knn_recall_report, d.ORACLE_knn_recall_report),
     # D15: MinHash-LSH recall audit vs exact all-pairs Jaccard truth
     ("dedup_recall_report", d.dedup_recall_report, d.ORACLE_dedup_recall_report),
+    # A34: SRE multi-window error-budget burn-rate alert (exact-int rates)
+    ("qan_burn_rate", q.qan_burn_rate, q.ORACLE_qan_burn_rate),
+    # O5: top-N + 'other' rollup (100%-accounting dashboard contract)
+    (
+        "qan_top_digests_other",
+        q.qan_top_digests_other,
+        q.ORACLE_qan_top_digests_other,
+    ),
 ]
 
 # ----------------------------------------------------------------------
@@ -464,10 +472,10 @@ _ENTRIES: list[tuple[str, QueryFn, str | None]] = [
 # Invariant (pinned by tests/test_registry_gate.py): every query with NO
 # official green row yet MUST lead the gate — a tail slot can never earn
 # one.  This round that is the 6 early-round-8 additions plus the 13
-# late-round-8 (R8b) operators = 24 leading slots.  The remaining 26
+# late-round-8 (R8b) operators = 26 leading slots.  The remaining 24
 # slots re-record the oldest-green (r05) cohort — the r7 verdict's
 # rotation ask, partially: with 19 new queries the full 44-query cohort
-# no longer fits, so 18 members whose code paths are exercised by other
+# no longer fits, so 20 members whose code paths are exercised by other
 # green rows (the TPC-H relational shapes covered by the r06/r07
 # relational records, and the two availableNow replay twins whose
 # harness stream_ohlc/stream_chunk re-exercise) wait for round 9, listed
@@ -500,12 +508,13 @@ _GATE_PRIORITY: list[str] = [
     "orc_ingest",
     "knn_recall_report",
     "dedup_recall_report",
-    # -- (b) r05 cohort, 26 of 44 (newest official row is r05) ----------
+    "qan_burn_rate",
+    "qan_top_digests_other",
+    # -- (b) r05 cohort, 24 of 44 (newest official row is r05) ----------
     "corpus_pack",
     "corpus_sample",
     "corpus_split",
     "corpus_stratified_sample",
-    "corpus_tile_dedup",
     "corpus_weighted_sample",
     "events_sliding_active_users",
     "media_frame_sample",
@@ -515,7 +524,6 @@ _GATE_PRIORITY: list[str] = [
     "orders_asof_snapshot",
     "orders_cdc_merge",
     "orders_scd2",
-    "pii_scan_redact",
     "prepare_training_set",
     "prepare_training_set_v2",
     "session_window_stats",
@@ -528,6 +536,8 @@ _GATE_PRIORITY: list[str] = [
     "text_surprisal",
     "vocab_build",
     # -- (c) r05 cohort members deferred to lead round 9 ----------------
+    "corpus_tile_dedup",
+    "pii_scan_redact",
     "csv_ingest",
     "media_features",
     "knn_pagerank",
