@@ -84,6 +84,7 @@ def interval_merge(
     key_cols: Sequence[str],
     start_col: str,
     end_col: str,
+    weight_col: str | None = None,
 ) -> DataFrame:
     """Per-key interval coalescing ("islands"): overlapping-or-touching
     intervals merge into maximal covered spans — the timeline-union
@@ -111,15 +112,21 @@ def interval_merge(
     merged span.
     """
     keys = list(key_cols)
+    # weight_col: each input row counts as this many intervals in
+    # n_intervals (the presplit twin passes level-1 island counts through)
     order = Window.partitionBy(*keys).orderBy(start_col, end_col)
     prev_max = (
         F.max(F.col(end_col))
         .over(order.rowsBetween(Window.unboundedPreceding, -1))
     )
+    weight = (
+        F.col(weight_col) if weight_col is not None else F.lit(1)
+    ).alias("_w")
     flagged = df.select(
         *keys,
         F.col(start_col).alias("_s"),
         F.col(end_col).alias("_e"),
+        weight,
         F.when(
             prev_max.isNull() | (F.col(start_col) > prev_max), 1
         ).otherwise(0).alias("_new"),
@@ -131,9 +138,61 @@ def interval_merge(
     return with_id.groupBy(*keys, "island_id").agg(
         F.min("_s").alias("island_start"),
         F.max("_e").alias("island_end"),
-        F.count(F.lit(1)).alias("n_intervals"),
+        F.sum("_w").cast("long").alias("n_intervals"),
         (
             F.max(F.unix_micros(F.col("_e")))
             - F.min(F.unix_micros(F.col("_s")))
         ).alias("covered_us"),
     )
+
+
+def interval_merge_presplit(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    start_col: str,
+    end_col: str,
+    chunk: str = "1 day",
+) -> DataFrame:
+    """Hot-key-safe twin of :func:`interval_merge` — the boundary-carry
+    presplit pattern the sessionize/gap-fill twins use, applied to
+    islands: a key with 10⁹ intervals in one window partition is the
+    scale failure mode of the plain operator, so the merge runs in two
+    levels:
+
+    1. intervals group by (key, start-time chunk) and merge WITHIN each
+       chunk — window partitions are bounded by per-chunk density, never
+       by key lifetime;
+    2. the level-1 islands (already ≥10-10⁶× fewer rows than raw
+       intervals on telemetry-shaped data) merge again per key, stitching
+       islands that cross chunk boundaries; level-1 counts pass through
+       the ``weight_col`` hook so ``n_intervals`` still counts RAW
+       intervals.
+
+    Level-2 is still a per-key window; its input is the island count,
+    which is what makes the bound useful — islands ≪ intervals whenever
+    overlap exists (the no-overlap worst case degenerates to the plain
+    operator's partition size and needs coarser chunks, documented).
+    Output is IDENTICAL to the plain operator for every chunking
+    (pinned by the equivalence property test), because merging is
+    associative over time-ordered fragments.
+    """
+    chunk_us = {
+        "1 hour": 3_600_000_000,
+        "1 day": 86_400_000_000,
+        "7 days": 7 * 86_400_000_000,
+    }.get(chunk)
+    if chunk_us is None:
+        raise ValueError(f"unsupported chunk: {chunk!r}")
+    keys = list(key_cols)
+    chunked = df.withColumn(
+        "_chunk", F.expr(f"unix_micros({start_col}) div {chunk_us}")
+    )
+    lvl1 = interval_merge(
+        chunked, keys + ["_chunk"], start_col, end_col
+    ).select(
+        *keys,
+        F.col("island_start").alias("_s1"),
+        F.col("island_end").alias("_e1"),
+        F.col("n_intervals").alias("_n1"),
+    )
+    return interval_merge(lvl1, keys, "_s1", "_e1", weight_col="_n1")

@@ -96,3 +96,35 @@ def test_weighted_median_matches_sequential_model(spark, vw, tmp_path_factory):
     df.write.mode("overwrite").parquet(f"{p}/lineitem.parquet")
     got = R.lineitem_weighted_median(spark, p).collect()[0]
     assert got["weighted_median_cents"] == _wmedian_model(vw) * 100
+
+
+@given(ivs=intervals)
+@settings(**_SETTINGS)
+def test_presplit_interval_merge_equals_plain(spark, ivs):
+    from project_obsidian_core_spark.operators.intervals import (
+        interval_merge_presplit,
+    )
+
+    # spread intervals across several hours so the "1 hour" chunking
+    # actually splits (minutes*13 pushes spans across chunk boundaries)
+    rows = [
+        (
+            "k",
+            T0 + dt.timedelta(minutes=s * 13),
+            T0 + dt.timedelta(minutes=s * 13 + w * 9),
+        )
+        for s, w in ivs
+    ]
+    df = spark.createDataFrame(rows, "k string, s timestamp, e timestamp")
+
+    def norm(res):
+        return sorted(
+            (r["island_start"], r["island_end"], r["n_intervals"])
+            for r in res.collect()
+        )
+
+    from project_obsidian_core_spark.operators.intervals import interval_merge
+
+    assert norm(
+        interval_merge_presplit(df, ["k"], "s", "e", chunk="1 hour")
+    ) == norm(interval_merge(df, ["k"], "s", "e"))
