@@ -1,0 +1,152 @@
+"""Stateful streaming interval coalescing — live "islands" per key.
+
+The streaming twin of :func:`operators.intervals.interval_merge`
+(uptime/coverage accounting on a live feed): state per key is the
+CURRENT disjoint island set, and every incoming interval folds into it
+incrementally — no window over history, no reprocessing. The batch
+operator is one sorted sweep; the streaming fold exploits that interval
+union is associative and commutative, so ANY arrival order of the same
+intervals converges to the same island set (pinned by the
+shuffled-replay equivalence test against the batch operator).
+
+Mechanics
+---------
+- state = three parallel arrays (island starts, ends, raw-interval
+  counts), starts strictly increasing, islands pairwise non-touching —
+  the canonical form; each incoming interval binary-searches its overlap
+  span (touch-inclusive, matching the batch operator's
+  ``start > prev_max`` rule) and splices in O(merged span).
+- each micro-batch EMITS the full updated island set for keys it
+  touched, stamped with ``version`` = total intervals absorbed by that
+  key so far. Consumers (and the tests) read the per-key MAX-version
+  rows — the same superseding contract a compacted changelog topic has;
+  intermediate versions are the live dashboard's progressive view.
+- state size = open islands per key, which telemetry-shaped data keeps
+  orders of magnitude below interval count; a production deployment
+  evicts islands whose end passed the watermark (they can never merge
+  again) by emitting them as FINAL — the eviction hook is the same
+  splice, not new machinery.
+
+Scale: groups hash-partition by key across executors; per-batch work is
+O(batch · log islands + merged spans). The state store checkpoints the
+arrays as typed Arrow columns per micro-batch.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator, Sequence
+from typing import Any
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("s", T.ArrayType(T.LongType())),
+        T.StructField("e", T.ArrayType(T.LongType())),
+        T.StructField("n", T.ArrayType(T.LongType())),
+        T.StructField("version", T.LongType()),
+    ]
+)
+
+
+def output_schema(key_cols: Sequence[str]) -> T.StructType:
+    return T.StructType(
+        [
+            *[T.StructField(k, T.StringType()) for k in key_cols],
+            T.StructField("island_start_us", T.LongType()),
+            T.StructField("island_end_us", T.LongType()),
+            T.StructField("n_intervals", T.LongType()),
+            T.StructField("version", T.LongType()),
+        ]
+    )
+
+
+def fold_interval(
+    s_arr: np.ndarray, e_arr: np.ndarray, n_arr: np.ndarray, s: int, e: int
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Splice one interval [s, e) into a canonical island set.
+
+    Islands overlap-or-TOUCH the new interval iff ``end >= s`` and
+    ``start <= e`` — binary search on the (strictly increasing) end and
+    start arrays brackets the merge span.
+    """
+    lo = int(np.searchsorted(e_arr, s, side="left"))
+    hi = int(np.searchsorted(s_arr, e, side="right"))
+    if lo >= hi:  # disjoint from every island: insert at lo
+        return (
+            np.insert(s_arr, lo, s),
+            np.insert(e_arr, lo, e),
+            np.insert(n_arr, lo, 1),
+        )
+    new_s = min(int(s_arr[lo]), s)
+    new_e = max(int(e_arr[hi - 1]), e)
+    new_n = int(n_arr[lo:hi].sum()) + 1
+    return (
+        np.concatenate([s_arr[:lo], [new_s], s_arr[hi:]]),
+        np.concatenate([e_arr[:lo], [new_e], e_arr[hi:]]),
+        np.concatenate([n_arr[:lo], [new_n], n_arr[hi:]]),
+    )
+
+
+def make_islands_fn(key_cols: Sequence[str]):
+    keys = list(key_cols)
+
+    def fn(
+        key: tuple,
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            s_l, e_l, n_l, version = state.get
+            s_arr = np.asarray(s_l, dtype=np.int64)
+            e_arr = np.asarray(e_l, dtype=np.int64)
+            n_arr = np.asarray(n_l, dtype=np.int64)
+        else:
+            s_arr = np.empty(0, dtype=np.int64)
+            e_arr = np.empty(0, dtype=np.int64)
+            n_arr = np.empty(0, dtype=np.int64)
+            version = 0
+        absorbed = 0
+        for pdf in pdfs:
+            for s, e in zip(
+                pdf["start_us"].to_numpy(), pdf["end_us"].to_numpy()
+            ):
+                s_arr, e_arr, n_arr = fold_interval(
+                    s_arr, e_arr, n_arr, int(s), int(e)
+                )
+                absorbed += 1
+        if not absorbed:
+            return
+        version += absorbed
+        state.update((s_arr.tolist(), e_arr.tolist(), n_arr.tolist(), version))
+        out = pd.DataFrame(
+            {
+                **{k: [key[i]] * len(s_arr) for i, k in enumerate(keys)},
+                "island_start_us": s_arr,
+                "island_end_us": e_arr,
+                "n_intervals": n_arr,
+                "version": np.full(len(s_arr), version, dtype=np.int64),
+            }
+        )
+        yield out
+
+    return fn
+
+
+def streaming_islands(
+    stream: DataFrame, key_cols: Sequence[str]
+) -> DataFrame:
+    """Wire the stateful fold over a streaming DataFrame with columns
+    ``(*key_cols, start_us, end_us)``. Emits superseding island-set
+    versions per key (read the max-version rows for the current set)."""
+    return stream.groupBy(*key_cols).applyInPandasWithState(
+        make_islands_fn(key_cols),
+        outputStructType=output_schema(key_cols),
+        stateStructType=STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

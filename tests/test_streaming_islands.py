@@ -1,0 +1,111 @@
+"""Stateful streaming islands: pure-fold edge cases and shuffled-replay
+equivalence against the batch interval_merge operator."""
+
+from __future__ import annotations
+
+import datetime as dt
+import random
+
+import numpy as np
+
+from project_obsidian_core_spark.streaming.interval_state import (
+    fold_interval,
+    streaming_islands,
+)
+
+T0 = dt.datetime(2024, 1, 1)
+
+
+def _fold_all(pairs):
+    s = np.empty(0, dtype=np.int64)
+    e = np.empty(0, dtype=np.int64)
+    n = np.empty(0, dtype=np.int64)
+    for a, b in pairs:
+        s, e, n = fold_interval(s, e, n, a, b)
+    return list(zip(s.tolist(), e.tolist(), n.tolist()))
+
+
+def test_fold_insert_merge_touch_contain():
+    assert _fold_all([(10, 20)]) == [(10, 20, 1)]
+    # disjoint before / after
+    assert _fold_all([(10, 20), (30, 40), (0, 5)]) == [
+        (0, 5, 1), (10, 20, 1), (30, 40, 1),
+    ]
+    # touching merges (end == next start)
+    assert _fold_all([(10, 20), (20, 30)]) == [(10, 30, 2)]
+    # containment keeps the outer bounds
+    assert _fold_all([(10, 50), (20, 30)]) == [(10, 50, 2)]
+    # one interval bridges three islands
+    assert _fold_all([(0, 5), (10, 15), (20, 25), (4, 21)]) == [(0, 25, 4)]
+
+
+def test_shuffled_replay_matches_batch(spark, tmp_path):
+    from project_obsidian_core_spark.operators.intervals import interval_merge
+
+    rng = random.Random(88)
+    rows = []
+    for k in ("a", "b"):
+        for _ in range(40):
+            s = rng.randrange(0, 600)
+            rows.append((k, s, s + rng.randrange(5, 60)))
+    # batch truth
+    bdf = spark.createDataFrame(
+        [
+            (k, T0 + dt.timedelta(minutes=s), T0 + dt.timedelta(minutes=e))
+            for k, s, e in rows
+        ],
+        "k string, s timestamp, e timestamp",
+    )
+    truth = sorted(
+        (
+            r["k"],
+            int((r["island_start"] - T0).total_seconds() // 60),
+            int((r["island_end"] - T0).total_seconds() // 60),
+            r["n_intervals"],
+        )
+        for r in interval_merge(bdf, ["k"], "s", "e").collect()
+    )
+    # streaming replay in SHUFFLED order, multiple files -> multiple batches
+    shuffled = rows[:]
+    rng.shuffle(shuffled)
+    src = str(tmp_path / "src")
+    chunk = 10
+    for i in range(0, len(shuffled), chunk):
+        spark.createDataFrame(
+            [
+                (k, s * 60_000_000, e * 60_000_000)
+                for k, s, e in shuffled[i : i + chunk]
+            ],
+            "k string, start_us long, end_us long",
+        ).coalesce(1).write.mode("append").parquet(src)
+    stream = (
+        spark.readStream.schema("k string, start_us long, end_us long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    out = streaming_islands(stream, ["k"])
+    q = (
+        out.writeStream.format("memory")
+        .queryName("islands_replay")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    q.awaitTermination()
+    emitted = spark.table("islands_replay").collect()
+    latest = {}
+    for r in emitted:
+        latest[r["k"]] = max(latest.get(r["k"], 0), r["version"])
+    got = sorted(
+        (
+            r["k"],
+            r["island_start_us"] // 60_000_000,
+            r["island_end_us"] // 60_000_000,
+            r["n_intervals"],
+        )
+        for r in emitted
+        if r["version"] == latest[r["k"]]
+    )
+    assert got == truth
