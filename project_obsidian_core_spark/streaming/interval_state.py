@@ -61,6 +61,7 @@ def output_schema(key_cols: Sequence[str]) -> T.StructType:
             T.StructField("island_end_us", T.LongType()),
             T.StructField("n_intervals", T.LongType()),
             T.StructField("version", T.LongType()),
+            T.StructField("is_final", T.BooleanType()),
         ]
     )
 
@@ -92,7 +93,13 @@ def fold_interval(
     )
 
 
-def make_islands_fn(key_cols: Sequence[str]):
+def make_islands_fn(key_cols: Sequence[str], evict: bool = False):
+    """``evict=True`` enables watermark eviction: islands whose end is
+    older than the group-state watermark can never merge again (the
+    watermark bounds how late a new interval's start may be), so they
+    are emitted once with ``is_final=True`` and DROPPED from state —
+    this is what keeps state at "open islands", not "all islands", on
+    an unbounded stream. Requires ``withWatermark`` on the source."""
     keys = list(key_cols)
 
     def fn(
@@ -122,29 +129,46 @@ def make_islands_fn(key_cols: Sequence[str]):
         if not absorbed:
             return
         version += absorbed
+
+        def emit(sa, ea, na, final):
+            return pd.DataFrame(
+                {
+                    **{k: [key[i]] * len(sa) for i, k in enumerate(keys)},
+                    "island_start_us": sa,
+                    "island_end_us": ea,
+                    "n_intervals": na,
+                    "version": np.full(len(sa), version, dtype=np.int64),
+                    "is_final": np.full(len(sa), final, dtype=bool),
+                }
+            )
+
+        if evict:
+            wm_us = state.getCurrentWatermarkMs() * 1000
+            closed = e_arr < wm_us  # strictly: end < watermark never merges
+            if closed.any():
+                yield emit(s_arr[closed], e_arr[closed], n_arr[closed], True)
+                s_arr, e_arr, n_arr = (
+                    s_arr[~closed],
+                    e_arr[~closed],
+                    n_arr[~closed],
+                )
         state.update((s_arr.tolist(), e_arr.tolist(), n_arr.tolist(), version))
-        out = pd.DataFrame(
-            {
-                **{k: [key[i]] * len(s_arr) for i, k in enumerate(keys)},
-                "island_start_us": s_arr,
-                "island_end_us": e_arr,
-                "n_intervals": n_arr,
-                "version": np.full(len(s_arr), version, dtype=np.int64),
-            }
-        )
-        yield out
+        if len(s_arr):
+            yield emit(s_arr, e_arr, n_arr, False)
 
     return fn
 
 
 def streaming_islands(
-    stream: DataFrame, key_cols: Sequence[str]
+    stream: DataFrame, key_cols: Sequence[str], evict: bool = False
 ) -> DataFrame:
     """Wire the stateful fold over a streaming DataFrame with columns
     ``(*key_cols, start_us, end_us)``. Emits superseding island-set
-    versions per key (read the max-version rows for the current set)."""
+    versions per key; the current set = all ``is_final`` rows plus the
+    max-version live rows. With ``evict=True`` (requires a watermarked
+    source) closed islands leave state — the unbounded-stream mode."""
     return stream.groupBy(*key_cols).applyInPandasWithState(
-        make_islands_fn(key_cols),
+        make_islands_fn(key_cols, evict=evict),
         outputStructType=output_schema(key_cols),
         stateStructType=STATE_SCHEMA,
         outputMode="append",

@@ -109,3 +109,80 @@ def test_shuffled_replay_matches_batch(spark, tmp_path):
         if r["version"] == latest[r["k"]]
     )
     assert got == truth
+
+
+def test_watermark_eviction_finals_plus_live_equal_batch(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from project_obsidian_core_spark.operators.intervals import interval_merge
+
+    # time-ordered feed: bursts of overlapping intervals separated by
+    # wide gaps, so earlier islands close long before the stream ends
+    rows = []
+    for burst in range(6):
+        base = burst * 1000  # minutes; gaps >> interval widths
+        for j in range(8):
+            s = base + j * 3
+            rows.append(("a", s, s + 5))
+    bdf = spark.createDataFrame(
+        [
+            (k, T0 + dt.timedelta(minutes=s), T0 + dt.timedelta(minutes=e))
+            for k, s, e in rows
+        ],
+        "k string, s timestamp, e timestamp",
+    )
+    truth = sorted(
+        (
+            int((r["island_start"] - T0).total_seconds() // 60),
+            int((r["island_end"] - T0).total_seconds() // 60),
+            r["n_intervals"],
+        )
+        for r in interval_merge(bdf, ["k"], "s", "e").collect()
+    )
+    base_us = int(T0.timestamp()) * 1_000_000
+    src = str(tmp_path / "src")
+    for i in range(0, len(rows), 8):  # one burst per file -> per batch
+        spark.createDataFrame(
+            [
+                (k, base_us + s * 60_000_000, base_us + e * 60_000_000)
+                for k, s, e in rows[i : i + 8]
+            ],
+            "k string, start_us long, end_us long",
+        ).coalesce(1).write.mode("append").parquet(src)
+    stream = (
+        spark.readStream.schema("k string, start_us long, end_us long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .withColumn("ts", F.timestamp_micros(F.col("start_us")))
+        .withWatermark("ts", "1 minute")
+    )
+    from project_obsidian_core_spark.streaming.interval_state import (
+        streaming_islands,
+    )
+
+    out = streaming_islands(stream, ["k"], evict=True)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("islands_evict")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    q.awaitTermination()
+    emitted = spark.table("islands_evict").collect()
+    finals = [r for r in emitted if r["is_final"]]
+    assert finals, "watermark eviction never fired"
+    live = [r for r in emitted if not r["is_final"]]
+    vmax = max(r["version"] for r in live)
+    current = finals + [r for r in live if r["version"] == vmax]
+    got = sorted(
+        (
+            (r["island_start_us"] - base_us) // 60_000_000,
+            (r["island_end_us"] - base_us) // 60_000_000,
+            r["n_intervals"],
+        )
+        for r in current
+    )
+    assert got == truth
