@@ -464,6 +464,11 @@ def read_mor(spark, path: str, keys: Sequence[str]) -> DataFrame:
     """
     keyl = list(keys)
     base = spark.read.parquet(f"{path}/base")
+    # a freshly-compacted table has no ledger: the base IS the table
+    sc = spark.sparkContext
+    hp = sc._jvm.org.apache.hadoop.fs.Path(f"{path}/deltas")
+    if not hp.getFileSystem(sc._jsc.hadoopConfiguration()).exists(hp):
+        return base
     deltas = spark.read.option("basePath", f"{path}/deltas").parquet(
         f"{path}/deltas"
     )
@@ -477,3 +482,73 @@ def read_mor(spark, path: str, keys: Sequence[str]) -> DataFrame:
     kept = base.join(F.broadcast(touched), keyl, "left_anti")
     live = latest.filter(F.col("op") != OP_DELETE).drop("op", "seq")
     return kept.unionByName(live)
+
+
+def mor_ledger_stats(spark, path: str) -> dict:
+    """Byte sizes of a MOR table's base and delta ledger (Hadoop FS walk —
+    driver-side metadata only, no data read)."""
+    sc = spark.sparkContext
+    jvm = sc._jvm
+    conf = sc._jsc.hadoopConfiguration()
+    P = jvm.org.apache.hadoop.fs.Path
+
+    def du(p: str) -> int:
+        hp = P(p)
+        fs = hp.getFileSystem(conf)
+        if not fs.exists(hp):
+            return 0
+        return fs.getContentSummary(hp).getLength()
+
+    base_b = du(f"{path}/base")
+    delta_b = du(f"{path}/deltas")
+    return {"base_bytes": base_b, "delta_bytes": delta_b}
+
+
+def compact_mor(
+    spark,
+    path: str,
+    keys: Sequence[str],
+    threshold_frac: float = 0.25,
+) -> dict:
+    """Fold the delta ledger back into the base when it has grown past
+    ``threshold_frac`` of the base size — the compaction cadence the
+    round-8 soak recommends (the MOR read penalty is flat in BATCH COUNT
+    but the fold cost scales with ledger BYTES, so bytes is the trigger).
+
+    Protocol mirrors :func:`operators.maintenance.compact_partition`'s
+    crash-safe swap: the folded snapshot is written under a dot-prefixed
+    working dir (invisible to discovery), then two metadata renames swap
+    it in and the old base+ledger land in a trash dir deleted last — a
+    crash mid-swap leaves either the old table intact or the old data
+    recoverable, never a half-folded view.
+
+    Returns ``{"action": "compacted" | "skipped", ...stats}``.
+    """
+    stats = mor_ledger_stats(spark, path)
+    if (
+        stats["delta_bytes"] == 0
+        or stats["delta_bytes"] < threshold_frac * stats["base_bytes"]
+    ):
+        return {"action": "skipped", **stats}
+    folded = read_mor(spark, path, keys)
+    tmp = f"{path}/.mor_compact_tmp/base"
+    folded.write.mode("overwrite").parquet(tmp)
+
+    sc = spark.sparkContext
+    jvm = sc._jvm
+    conf = sc._jsc.hadoopConfiguration()
+    P = jvm.org.apache.hadoop.fs.Path
+    root = P(path)
+    fs = root.getFileSystem(conf)
+    trash = P(f"{path}/.mor_compact_trash")
+    fs.delete(trash, True)
+    fs.mkdirs(trash)
+    if not fs.rename(P(f"{path}/base"), P(f"{path}/.mor_compact_trash/base")):
+        raise IOError(f"mor compaction: could not move {path}/base aside")
+    if not fs.rename(P(tmp), P(f"{path}/base")):
+        fs.rename(P(f"{path}/.mor_compact_trash/base"), P(f"{path}/base"))
+        raise IOError(f"mor compaction: could not publish folded base")
+    fs.rename(P(f"{path}/deltas"), P(f"{path}/.mor_compact_trash/deltas"))
+    fs.delete(trash, True)
+    fs.delete(P(f"{path}/.mor_compact_tmp"), True)
+    return {"action": "compacted", **stats}

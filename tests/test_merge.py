@@ -431,3 +431,57 @@ def test_mor_base_side_is_never_shuffled(spark, tmp_path):
     )
     # the touched-key anti join must broadcast: the base never hashes
     assert "BroadcastHashJoin" in plan and "LeftAnti" in plan, plan
+
+
+def test_mor_compaction_threshold_and_equivalence(spark, tmp_path):
+    from project_obsidian_core_spark.operators.merge import (
+        append_mor_delta,
+        compact_mor,
+        mor_ledger_stats,
+        read_mor,
+        write_mor_base,
+    )
+
+    path = str(tmp_path / "mor")
+    write_mor_base(
+        spark.range(0, 2000).selectExpr("id AS k", "CAST(id % 7 AS STRING) AS v"),
+        path,
+    )
+    append_mor_delta(
+        spark.createDataFrame(
+            [(5, "x", "U"), (2001, "y", "I"), (7, "z", "D")],
+            "k long, v string, op string",
+        ),
+        path,
+        seq=1,
+    )
+    before = {
+        r["k"]: r["v"] for r in read_mor(spark, path, keys=["k"]).collect()
+    }
+    # tiny delta, high threshold -> no action
+    out = compact_mor(spark, path, keys=["k"], threshold_frac=0.9)
+    assert out["action"] == "skipped"
+    # force compaction
+    out = compact_mor(spark, path, keys=["k"], threshold_frac=0.0)
+    assert out["action"] == "compacted"
+    # ledger gone, base is the folded view, and a fresh delta still applies
+    assert mor_ledger_stats(spark, path)["delta_bytes"] == 0
+    # a compacted table reads fine with no ledger at all
+    no_ledger = {
+        r["k"]: r["v"] for r in read_mor(spark, path, keys=["k"]).collect()
+    }
+    assert no_ledger == before
+    after = {
+        r["k"]: r["v"]
+        for r in spark.read.parquet(f"{path}/base").collect()
+    }
+    assert after == before
+    append_mor_delta(
+        spark.createDataFrame([(5, "x2", "U")], "k long, v string, op string"),
+        path,
+        seq=2,
+    )
+    again = {
+        r["k"]: r["v"] for r in read_mor(spark, path, keys=["k"]).collect()
+    }
+    assert again[5] == "x2" and len(again) == len(before)
