@@ -186,3 +186,72 @@ def test_watermark_eviction_finals_plus_live_equal_batch(spark, tmp_path):
         for r in current
     )
     assert got == truth
+
+
+# The MOR streaming sink test lives here to reuse this module's replay
+# helpers' style; it pins the fourth corner of the CDC quadrant.
+def test_streaming_mor_sink_matches_batch_merge(spark, tmp_path):
+    from project_obsidian_core_spark.operators.merge import (
+        merge_upsert,
+        read_mor,
+        write_mor_base,
+    )
+    from project_obsidian_core_spark.streaming.mor_sink import mor_delta_sink
+
+    path = str(tmp_path / "mor")
+    base = spark.range(0, 500).selectExpr(
+        "id AS k", "CAST(id % 11 AS STRING) AS v"
+    )
+    write_mor_base(base, path)
+    # a CDC change feed: updates, deletes, inserts across several batches
+    changes = [
+        (i, f"u{i}", "U") if i % 3 == 0 else
+        (i, "x", "D") if i % 3 == 1 else
+        (500 + i, f"n{i}", "I")
+        for i in range(0, 120)
+    ]
+    src = str(tmp_path / "feed")
+    for i in range(0, len(changes), 30):
+        spark.createDataFrame(
+            changes[i : i + 30], "k long, v string, op string"
+        ).coalesce(1).write.mode("append").parquet(src)
+    stream = spark.readStream.schema("k long, v string, op string").option(
+        "maxFilesPerTrigger", 1
+    ).parquet(src)
+    q = (
+        stream.writeStream.foreachBatch(
+            mor_delta_sink(path, keys=["k"], compact_threshold_frac=None)
+        )
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {r["k"]: r["v"] for r in read_mor(spark, path, keys=["k"]).collect()}
+    # batch truth: one-shot MERGE of the whole feed (keys are disjoint
+    # across ops here, so one batch == the sequential fold)
+    cdf = spark.createDataFrame(changes, "k long, v string, op string")
+    truth = {
+        r["k"]: r["v"]
+        for r in merge_upsert(base, cdf, keys=["k"]).collect()
+    }
+    assert got == truth
+    # compacting sink variant: same result, ledger folded away
+    path2 = str(tmp_path / "mor2")
+    write_mor_base(base, path2)
+    q2 = (
+        spark.readStream.schema("k long, v string, op string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .writeStream.foreachBatch(
+            mor_delta_sink(path2, keys=["k"], compact_threshold_frac=0.0)
+        )
+        .option("checkpointLocation", str(tmp_path / "ckpt2"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q2.awaitTermination()
+    got2 = {
+        r["k"]: r["v"] for r in read_mor(spark, path2, keys=["k"]).collect()
+    }
+    assert got2 == truth
