@@ -344,7 +344,12 @@ def orders_mor_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     base = _orders_snapshot(spark, sf_dir)
-    tag = os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
+    # pid-scoped path: concurrent processes must not clobber each other's
+    # base/delta files mid-read
+    tag = (
+        os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
+        + f"_{os.getpid()}"
+    )
     path = f"/tmp/spark_graft_mor/{tag}"
     write_mor_base(base, path)
     append_mor_delta(_cdc_batch(base), path, seq=1)

@@ -161,7 +161,12 @@ def orders_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from project_obsidian_core_spark.operators import bucketing as B
 
-    tag = os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
+    # pid in the tag: a concurrent process (bench beside an oracle run)
+    # must not overwrite the tables/files this session is reading
+    tag = (
+        os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
+        + f"_{os.getpid()}"
+    )
     lt, rt = f"sg_bkt_orders_{tag}", f"sg_bkt_lineitem_{tag}"
     orders = load(spark, sf_dir, "orders").select(
         "o_orderkey", "o_orderpriority"
