@@ -232,6 +232,7 @@ BENCH_QUERIES = [
     "dedup_recall_report",    # LSH recall audit vs all-pairs Jaccard
     "qan_burn_rate",          # multi-window SLO burn-rate alert
     "qan_top_digests_other",  # top-N + other 100%-accounting rollup
+    "dedup_prefix_pairs",     # prefix-filter exact-complete Jaccard join
     # stream_cdc_merge is timed via _time_cdc_merge below (merge work
     # only): its checkpointed replay rewrites a bucketed parquet snapshot
     # per micro-batch (~12 s/run at sf0.1, >90% filesystem publish/rename

@@ -1358,3 +1358,63 @@ LEFT JOIN found f ON f.doc_a = tr.doc_a AND f.doc_b = tr.doc_b
 
 
 ORACLE_dedup_recall_report = _dedup_recall_oracle()
+
+
+# ------------------------------------- prefix-filter exact join (D16) --
+#: ppm Jaccard threshold for the prefix-filter exact join gate.
+PREFIX_T_PPM = 600_000
+
+
+def dedup_prefix_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EVERY pair with word-3-shingle Jaccard >= 0.6, found by the
+    prefix-filter exact join (SSJoin/PPJoin) — provably complete, no
+    blocking column, no LSH recall loss.  The full qualifying set is
+    returned (not a top-N): completeness IS the claim, and the oracle
+    computes the identical prefix-filtered join, while the brute-force
+    all-pairs equality is pinned by a unit property test."""
+    return D.prefix_filter_pairs(
+        load(spark, sf_dir, "documents"), threshold_ppm=PREFIX_T_PPM
+    ).select(
+        "doc_a",
+        "doc_b",
+        F.col("n_a").cast("long").alias("n_a"),
+        F.col("n_b").cast("long").alias("n_b"),
+        "j_ppm",
+    ).orderBy("doc_a", "doc_b")
+
+
+def _prefix_pairs_oracle() -> str:
+    w1, t = D.SHINGLE_W - 1, PREFIX_T_PPM
+    return f"""
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+sh AS (
+    SELECT doc_id, list_distinct([array_to_string(tk[i:i+{w1}], ' ')
+        for i in generate_series(1, greatest(len(tk) - {w1}, 1))]) AS s
+    FROM toks
+), ex AS (SELECT doc_id, unnest(s) AS tok FROM sh),
+freq AS (SELECT tok, count(*) AS df FROM ex GROUP BY tok),
+ord AS (
+    SELECT e.doc_id, list(e.tok ORDER BY f.df, e.tok) AS osh
+    FROM ex e JOIN freq f ON e.tok = f.tok GROUP BY e.doc_id
+), pre AS (
+    SELECT doc_id, len(osh) AS n,
+           osh[1 : len(osh) - ({t} * len(osh) + 999999) // 1000000 + 1] AS pfx
+    FROM ord
+), cand AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM (SELECT doc_id, n, unnest(pfx) AS tok FROM pre) a
+    JOIN (SELECT doc_id, n, unnest(pfx) AS tok FROM pre) b
+      ON a.tok = b.tok AND a.doc_id < b.doc_id
+     AND {t} * greatest(a.n, b.n) <= 1000000 * least(a.n, b.n)
+)
+SELECT doc_a, doc_b, len(x.s) AS n_a, len(y.s) AS n_b,
+       1000000 * len(list_intersect(x.s, y.s))
+           // (len(x.s) + len(y.s) - len(list_intersect(x.s, y.s))) AS j_ppm
+FROM cand JOIN sh x ON x.doc_id = doc_a JOIN sh y ON y.doc_id = doc_b
+WHERE 1000000 * len(list_intersect(x.s, y.s))
+          // (len(x.s) + len(y.s) - len(list_intersect(x.s, y.s))) >= {t}
+ORDER BY doc_a, doc_b
+"""
+
+
+ORACLE_dedup_prefix_pairs = _prefix_pairs_oracle()

@@ -396,10 +396,9 @@ _ENTRIES: list[tuple[str, QueryFn, str | None]] = [
         r.ORACLE_part_pareto_frontier,
     ),
     # ------------------------------------------------------------------
-    # Block R8b — late round-8 additions.  NOT in this round's 50-slot
-    # gate (the 50 slots are committed to the r05-cohort rotation, the
-    # r7 verdict's top ask); these rank 51+ now and lead `_GATE_PRIORITY`
-    # in round 9, exactly like the round-6 tail did in round 7.  All are
+    # Block R8b — late round-8 additions.  These lead `_GATE_PRIORITY`
+    # together with the early-round-8 block (unrecorded-first invariant);
+    # the remaining gate slots re-record the r05 cohort.  All are
     # oracle-checked locally (scripts/oracle_check.py) from day one.
     # B1 upgrade: exchange-free bucketed fact-fact join, oracle-gated
     (
@@ -465,16 +464,19 @@ _ENTRIES: list[tuple[str, QueryFn, str | None]] = [
         q.qan_top_digests_other,
         q.ORACLE_qan_top_digests_other,
     ),
+    # D16: prefix-filter EXACT-COMPLETE threshold Jaccard join (the
+    # exactness counterpart to MinHash-LSH on the same shingle space)
+    ("dedup_prefix_pairs", d.dedup_prefix_pairs, d.ORACLE_dedup_prefix_pairs),
 ]
 
 # ----------------------------------------------------------------------
 # Gate rotation (round 8): the driver records only the first 50 entries.
 # Invariant (pinned by tests/test_registry_gate.py): every query with NO
 # official green row yet MUST lead the gate — a tail slot can never earn
-# one.  This round that is the 6 early-round-8 additions plus the 13
-# late-round-8 (R8b) operators = 26 leading slots.  The remaining 24
+# one.  This round that is the round-8 additions (early block, R8b block,
+# and this session's) = 27 leading slots.  The remaining 23
 # slots re-record the oldest-green (r05) cohort — the r7 verdict's
-# rotation ask, partially: with 19 new queries the full 44-query cohort
+# rotation ask, partially: with the new queries the full 44-query cohort
 # no longer fits, so 20 members whose code paths are exercised by other
 # green rows (the TPC-H relational shapes covered by the r06/r07
 # relational records, and the two availableNow replay twins whose
@@ -482,6 +484,8 @@ _ENTRIES: list[tuple[str, QueryFn, str | None]] = [
 # right after the window so they lead r9's rebuild.  Everything else
 # keeps its relative order at the tail (stable sort).
 _GATE_PRIORITY: list[str] = [
+    # -- (a0) unrecorded: this session's additions ----------------------
+    "dedup_prefix_pairs",
     # -- (a) unrecorded: early round-8 additions ------------------------
     "events_interval_peak",
     "qan_anomaly_mad",

@@ -1,0 +1,108 @@
+"""Prefix-filter exact similarity join (D16): completeness vs brute force.
+
+The operator's claim is COMPLETENESS — every pair with shingle Jaccard >=
+threshold is returned, with exact ppm scores.  These tests pin that claim
+against the O(n²) brute-force all-pairs join on small corpora (including a
+randomized one), plus the guard rails (size filter, prefix length edges).
+"""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import functions as F
+
+from project_obsidian_core_spark.datapipe.dedup import (
+    prefix_filter_pairs,
+    shingle_set,
+)
+
+
+def _brute_pairs(spark, docs, t_ppm):
+    """O(n²) ground truth with the same exact-int ppm arithmetic."""
+    sh = docs.select("doc_id", shingle_set("text").alias("sh"))
+    inter = F.size(F.array_intersect("a.sh", "b.sh"))
+    union = F.size("a.sh") + F.size("b.sh") - inter
+    return (
+        sh.alias("a")
+        .join(F.broadcast(sh.alias("b")), F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.expr(
+                "1000000L * size(array_intersect(a.sh, b.sh))"
+                " div (size(a.sh) + size(b.sh)"
+                "      - size(array_intersect(a.sh, b.sh)))"
+            ).alias("j_ppm"),
+        )
+        .filter(F.col("j_ppm") >= t_ppm)
+    )
+
+
+def test_handcrafted_dups_found_with_exact_scores(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "the cat sat on the mat today"),
+            (2, "the cat sat on the mat today"),  # exact dup of 1
+            (3, "the cat sat on the mat yesterday"),  # near dup
+            (4, "completely different words entirely here now"),
+        ],
+        ["doc_id", "text"],
+    )
+    got = {
+        (r.doc_a, r.doc_b): r.j_ppm
+        for r in prefix_filter_pairs(docs, threshold_ppm=500_000).collect()
+    }
+    assert (1, 2) in got and got[(1, 2)] == 1_000_000
+    assert (1, 3) in got and (2, 3) in got
+    assert got[(1, 3)] == got[(2, 3)] < 1_000_000
+    assert not any(4 in p for p in got)
+
+
+def test_matches_brute_force_on_random_corpus(spark):
+    rng = random.Random(20260814)
+    vocab = [f"w{i}" for i in range(12)]  # tiny vocab -> many borderline pairs
+    rows = [
+        (i, " ".join(rng.choice(vocab) for _ in range(rng.randrange(4, 14))))
+        for i in range(60)
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    for t_ppm in (300_000, 600_000, 900_000):
+        got = {
+            (r.doc_a, r.doc_b, r.j_ppm)
+            for r in prefix_filter_pairs(docs, threshold_ppm=t_ppm).collect()
+        }
+        want = {
+            (r.doc_a, r.doc_b, r.j_ppm)
+            for r in _brute_pairs(spark, docs, t_ppm).collect()
+        }
+        assert got == want, f"t={t_ppm}: missed {want - got}, extra {got - want}"
+
+
+def test_threshold_one_returns_only_exact_set_dups(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e"),
+            (2, "a b c d e"),
+            (3, "a b c d f"),
+        ],
+        ["doc_id", "text"],
+    )
+    rows = prefix_filter_pairs(docs, threshold_ppm=1_000_000).collect()
+    assert {(r.doc_a, r.doc_b) for r in rows} == {(1, 2)}
+    # prefix length at t=1 is exactly 1 token per doc — the minimum
+    assert rows[0].j_ppm == 1_000_000
+
+
+def test_size_filter_never_drops_a_true_pair(spark):
+    # short doc vs long doc right at the size boundary: |A|=3, |B|=5,
+    # t=0.6 -> size filter keeps (3,5) since 0.6*5=3 <= 3
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e"),  # 3 shingles
+            (2, "a b c d e f g"),  # 5 shingles, shares 3
+        ],
+        ["doc_id", "text"],
+    )
+    got = prefix_filter_pairs(docs, threshold_ppm=600_000).collect()
+    assert len(got) == 1 and got[0].j_ppm == 600_000
