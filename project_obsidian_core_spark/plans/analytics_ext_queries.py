@@ -1180,3 +1180,101 @@ LIMIT {_SEASONAL_TOPK}
 
 
 ORACLE_metric_seasonal_outliers = _seasonal_oracle()
+
+
+# ---------------------------------------------------------- A35: KS test --
+def events_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A35: exact two-sample Kolmogorov-Smirnov statistic per event type —
+    the binning-free member of the drift family (A32 PSI = fixed bins,
+    A31 chi-square = categorical cells, this = the exact sup-gap over the
+    EMPIRICAL CDFs).  The screen for "did this A/B split shift the metric
+    distribution" that no bin choice can hide a shift from.
+
+    Cohorts are the deterministic user-hash A/B split (user_id % 2).  The
+    statistic is computed exactly in int64: group to per-(type, value)
+    cohort counts (map-side combined — the only corpus-wide shuffle),
+    running sums over the value order give both empirical CDFs, and
+    D = max |cum_a·n_b − cum_b·n_a| avoids every division until the final
+    ppm report (ks_ppm = D·10⁶ div (n_a·n_b)).  Overflow bound: exact up
+    to ~3·10⁹ rows per cohort side (n_a·n_b < 2⁶³); beyond that, pre-
+    aggregate values to a fixed grid first (the PSI fallback).
+
+    Scale: the window partitions by event_type over DISTINCT-value rows
+    (already reduced by the group-by), and the final per-type max reuses
+    the same key partitioning — one corpus shuffle + one distinct-values
+    exchange, no joins, no floats until the report.
+    """
+    from pyspark.sql import Window
+
+    ev = load(spark, sf_dir, "events").select(
+        "event_type",
+        "value",
+        F.when(F.col("user_id") % 2 == 0, F.lit(1)).otherwise(F.lit(0)).alias("ca"),
+        F.when(F.col("user_id") % 2 == 1, F.lit(1)).otherwise(F.lit(0)).alias("cb"),
+    )
+    per_val = ev.groupBy("event_type", "value").agg(
+        F.sum("ca").cast("long").alias("da"),
+        F.sum("cb").cast("long").alias("db"),
+    )
+    wcum = (
+        Window.partitionBy("event_type")
+        .orderBy("value")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wtot = Window.partitionBy("event_type")
+    stepped = per_val.select(
+        "event_type",
+        F.sum("da").over(wcum).alias("cum_a"),
+        F.sum("db").over(wcum).alias("cum_b"),
+        F.sum("da").over(wtot).alias("n_a"),
+        F.sum("db").over(wtot).alias("n_b"),
+    )
+    return (
+        stepped.groupBy("event_type")
+        .agg(
+            F.max("n_a").alias("n_a"),
+            F.max("n_b").alias("n_b"),
+            F.max(F.abs(F.col("cum_a") * F.col("n_b") - F.col("cum_b") * F.col("n_a"))).alias(
+                "ks_num"
+            ),
+        )
+        .select(
+            "event_type",
+            "n_a",
+            "n_b",
+            "ks_num",
+            F.expr("ks_num * 1000000 div (n_a * n_b)").alias("ks_ppm"),
+        )
+        .orderBy("event_type")
+    )
+
+
+ORACLE_events_ks_test = """
+WITH e AS (
+    SELECT event_type, value,
+           CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END AS ca,
+           CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END AS cb
+    FROM events
+), per_val AS (
+    SELECT event_type, value,
+           CAST(sum(ca) AS BIGINT) AS da, CAST(sum(cb) AS BIGINT) AS db
+    FROM e GROUP BY 1, 2
+), stepped AS (
+    SELECT event_type,
+           sum(da) OVER (PARTITION BY event_type ORDER BY value
+                         ROWS UNBOUNDED PRECEDING) AS cum_a,
+           sum(db) OVER (PARTITION BY event_type ORDER BY value
+                         ROWS UNBOUNDED PRECEDING) AS cum_b,
+           sum(da) OVER (PARTITION BY event_type) AS n_a,
+           sum(db) OVER (PARTITION BY event_type) AS n_b
+    FROM per_val
+)
+SELECT event_type,
+       CAST(max(n_a) AS BIGINT) AS n_a, CAST(max(n_b) AS BIGINT) AS n_b,
+       CAST(max(abs(cum_a * n_b - cum_b * n_a)) AS BIGINT) AS ks_num,
+       CAST(max(abs(cum_a * n_b - cum_b * n_a)) * 1000000
+           // (max(n_a) * max(n_b)) AS BIGINT) AS ks_ppm
+FROM stepped
+GROUP BY event_type
+ORDER BY event_type
+"""

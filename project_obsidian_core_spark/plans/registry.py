@@ -467,6 +467,8 @@ _ENTRIES: list[tuple[str, QueryFn, str | None]] = [
     # D16: prefix-filter EXACT-COMPLETE threshold Jaccard join (the
     # exactness counterpart to MinHash-LSH on the same shingle space)
     ("dedup_prefix_pairs", d.dedup_prefix_pairs, d.ORACLE_dedup_prefix_pairs),
+    # A35: exact KS two-sample statistic (binning-free drift screen)
+    ("events_ks_test", ax.events_ks_test, ax.ORACLE_events_ks_test),
 ]
 
 # ----------------------------------------------------------------------
@@ -486,6 +488,7 @@ _ENTRIES: list[tuple[str, QueryFn, str | None]] = [
 _GATE_PRIORITY: list[str] = [
     # -- (a0) unrecorded: this session's additions ----------------------
     "dedup_prefix_pairs",
+    "events_ks_test",
     # -- (a) unrecorded: early round-8 additions ------------------------
     "events_interval_peak",
     "qan_anomaly_mad",
