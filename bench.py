@@ -234,6 +234,7 @@ BENCH_QUERIES = [
     "qan_top_digests_other",  # top-N + other 100%-accounting rollup
     "dedup_prefix_pairs",     # prefix-filter exact-complete Jaccard join
     "events_ks_test",         # exact KS two-sample drift statistic
+    "orders_bloom_join",      # explicit bloom runtime-filter join
     # stream_cdc_merge is timed via _time_cdc_merge below (merge work
     # only): its checkpointed replay rewrites a bucketed parquet snapshot
     # per micro-batch (~12 s/run at sf0.1, >90% filesystem publish/rename

@@ -330,3 +330,60 @@ FROM reprs
 GROUP BY o_orderpriority
 ORDER BY o_orderpriority
 """
+
+
+# ------------------------------------------- J17: bloom runtime filter --
+#: selective dim predicate for the bloom gate (132 of 1500 customers at
+#: sf0.01 — the shape where probe-side pre-pruning pays).
+_BLOOM_SEGMENT = "BUILDING"
+_BLOOM_MIN_BAL = 5000.0
+
+
+def orders_bloom_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J17: fact-dim join with an EXPLICIT Bloom runtime filter — the
+    orders scan is pre-pruned by an 8 KiB bitmap built from the selective
+    customer subset BEFORE the join shuffle, then the join removes the
+    bloom's false positives.
+
+    The oracle is the PLAIN join: the gate asserts the bloom path never
+    changes a row — the no-false-negative property made bit-exact.  At
+    100 TB the pre-filter drops ~(1 - sel) of the fact scan out of the
+    shuffle for the cost of k hash probes per row inside codegen
+    (``operators/bloom.py`` for geometry and the bounded-collect note).
+    """
+    from project_obsidian_core_spark.operators import bloom as B
+
+    cust = (
+        load(spark, sf_dir, "customer")
+        .filter(
+            (F.col("c_mktsegment") == _BLOOM_SEGMENT)
+            & (F.col("c_acctbal") > _BLOOM_MIN_BAL)
+        )
+        .select("c_custkey")
+    )
+    words = B.build_bloom(cust, "c_custkey")
+    orders = load(spark, sf_dir, "orders").filter(
+        B.might_contain("o_custkey", words)
+    )
+    return (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(cents("o_totalprice")).alias("revenue_cents"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+ORACLE_orders_bloom_join = f"""
+SELECT o_orderpriority,
+       count(*) AS n_orders,
+       CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT)
+           AS revenue_cents
+FROM orders o
+JOIN customer c ON o.o_custkey = c.c_custkey
+WHERE c.c_mktsegment = '{_BLOOM_SEGMENT}' AND c.c_acctbal > {_BLOOM_MIN_BAL}
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""

@@ -469,6 +469,9 @@ _ENTRIES: list[tuple[str, QueryFn, str | None]] = [
     ("dedup_prefix_pairs", d.dedup_prefix_pairs, d.ORACLE_dedup_prefix_pairs),
     # A35: exact KS two-sample statistic (binning-free drift screen)
     ("events_ks_test", ax.events_ks_test, ax.ORACLE_events_ks_test),
+    # J17: explicit Bloom runtime-filter join (plain-join oracle — the
+    # no-false-negative property made bit-exact)
+    ("orders_bloom_join", lay.orders_bloom_join, lay.ORACLE_orders_bloom_join),
 ]
 
 # ----------------------------------------------------------------------
@@ -489,6 +492,7 @@ _GATE_PRIORITY: list[str] = [
     # -- (a0) unrecorded: this session's additions ----------------------
     "dedup_prefix_pairs",
     "events_ks_test",
+    "orders_bloom_join",
     # -- (a) unrecorded: early round-8 additions ------------------------
     "events_interval_peak",
     "qan_anomaly_mad",
