@@ -235,6 +235,7 @@ BENCH_QUERIES = [
     "dedup_prefix_pairs",     # prefix-filter exact-complete Jaccard join
     "events_ks_test",         # exact KS two-sample drift statistic
     "orders_bloom_join",      # explicit bloom runtime-filter join
+    "metric_trend_slope",     # exact per-series OLS trend slope
     # stream_cdc_merge is timed via _time_cdc_merge below (merge work
     # only): its checkpointed replay rewrites a bucketed parquet snapshot
     # per micro-batch (~12 s/run at sf0.1, >90% filesystem publish/rename

@@ -422,3 +422,82 @@ FROM r
 GROUP BY metric_name, bucket_epoch_s
 ORDER BY metric_name, bucket_epoch_s
 """
+
+
+# ------------------------------------------------- A36: OLS trend slope --
+def metric_trend_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A36: exact least-squares trend slope per metric series — the
+    capacity-planning regression behind "is this counter drifting up"
+    alerts, computed as ONE aggregation over exact int64 moments.
+
+    slope = (n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²) with x = seconds since the
+    SERIES' OWN first sample and y = metric cents, both min-centered so
+    every moment stays inside int64 (raw epoch² ~ 3·10¹⁸ per row would
+    overflow immediately; centered, the bound is n·span_s²·y_span_cents —
+    exact past 10⁷ rows/series on day-scale spans).  Centering x shifts
+    the intercept, never the slope; the numerator/denominator ints hash
+    bit-exact cross-engine and the ONLY float is the final division
+    (cents/hour), one deterministic IEEE op per OUTPUT row (SCALE.md r8
+    transcendental rule).  The min() window shares the aggregate's
+    partitioning — one corpus shuffle total.
+    """
+    from pyspark.sql import Window
+
+    m = synthesize_metrics(spark, sf_dir).select(
+        "metric_name",
+        F.expr("unix_micros(time) div 1000000").alias("xs"),
+        F.col("metric_value").alias("y"),
+    )
+    w = Window.partitionBy("metric_name")
+    c = m.select(
+        "metric_name",
+        (F.col("xs") - F.min("xs").over(w)).alias("x"),
+        (F.col("y") - F.min("y").over(w)).alias("yc"),
+    )
+    agg = c.groupBy("metric_name").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("yc").alias("sy"),
+        F.sum(F.col("x") * F.col("yc")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    return agg.select(
+        "metric_name",
+        "n",
+        num.alias("slope_num"),
+        den.alias("slope_den"),
+        F.when(den != 0, num.cast("double") * 3600.0 / den.cast("double")).alias(
+            "slope_cents_per_hour"
+        ),
+    ).orderBy("metric_name")
+
+
+ORACLE_metric_trend_slope = f"""
+WITH m AS ({_SYN_SQL}),
+c AS (
+    SELECT metric_name,
+           epoch_us(time) // 1000000
+               - min(epoch_us(time) // 1000000) OVER (PARTITION BY metric_name)
+               AS x,
+           metric_value
+               - min(metric_value) OVER (PARTITION BY metric_name) AS yc
+    FROM m
+), a AS (
+    SELECT metric_name, count(*) AS n,
+           CAST(sum(x) AS BIGINT) AS sx, CAST(sum(yc) AS BIGINT) AS sy,
+           CAST(sum(x * yc) AS BIGINT) AS sxy,
+           CAST(sum(x * x) AS BIGINT) AS sxx
+    FROM c GROUP BY metric_name
+)
+SELECT metric_name, n,
+       CAST(n * sxy - sx * sy AS BIGINT) AS slope_num,
+       CAST(n * sxx - sx * sx AS BIGINT) AS slope_den,
+       CASE WHEN n * sxx - sx * sx <> 0
+            THEN CAST(n * sxy - sx * sy AS DOUBLE) * 3600.0
+                 / CAST(n * sxx - sx * sx AS DOUBLE)
+       END AS slope_cents_per_hour
+FROM a
+ORDER BY metric_name
+"""

@@ -472,6 +472,8 @@ _ENTRIES: list[tuple[str, QueryFn, str | None]] = [
     # J17: explicit Bloom runtime-filter join (plain-join oracle — the
     # no-false-negative property made bit-exact)
     ("orders_bloom_join", lay.orders_bloom_join, lay.ORACLE_orders_bloom_join),
+    # A36: exact OLS trend slope per metric series (min-centered moments)
+    ("metric_trend_slope", m.metric_trend_slope, m.ORACLE_metric_trend_slope),
 ]
 
 # ----------------------------------------------------------------------
@@ -493,6 +495,7 @@ _GATE_PRIORITY: list[str] = [
     "dedup_prefix_pairs",
     "events_ks_test",
     "orders_bloom_join",
+    "metric_trend_slope",
     # -- (a) unrecorded: early round-8 additions ------------------------
     "events_interval_peak",
     "qan_anomaly_mad",
