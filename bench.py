@@ -236,6 +236,7 @@ BENCH_QUERIES = [
     "events_ks_test",         # exact KS two-sample drift statistic
     "orders_bloom_join",      # explicit bloom runtime-filter join
     "metric_trend_slope",     # exact per-series OLS trend slope
+    "knn_rp_recall",          # JL projection recall audit vs full space
     # stream_cdc_merge is timed via _time_cdc_merge below (merge work
     # only): its checkpointed replay rewrites a bucketed parquet snapshot
     # per micro-batch (~12 s/run at sf0.1, >90% filesystem publish/rename

@@ -720,3 +720,44 @@ def triangle_list(edges: DataFrame) -> DataFrame:
     return closed.select(
         lo.alias("a"), (u + x + y - lo - hi).alias("b"), hi.alias("c")
     )
+
+
+# ------------------------- N13: random-projection (JL) dim reduction --
+#: seed + output dimensionality for the sparse-sign JL projection.
+RP_SEED = 20260814
+RP_DIM_OUT = 16
+
+
+def rp_signs(d_in: int = DIM, d_out: int = RP_DIM_OUT) -> list[list[int]]:
+    """Seeded ±1 projection matrix (Achlioptas 2003 database-friendly JL):
+    d_out rows of d_in signs, regenerated identically by operator and
+    oracle — the same shared-constants contract as the LSH planes."""
+    rng = random.Random(RP_SEED)
+    return [[rng.choice((-1, 1)) for _ in range(d_in)] for _ in range(d_out)]
+
+
+def rp_project(vec: Column, signs: list[list[int]]) -> Column:
+    """Project a d_in vector to d_out dims: each output coordinate is one
+    deterministic left-fold dot with a ±1 row (V.dot's fixed order), so
+    projections are bit-identical cross-engine.  The 1/sqrt(d_out) JL
+    scale factor is deliberately omitted — cosine is scale-invariant, and
+    downstream search only ever compares cosines.
+
+    Scale: 100 TB of 768-d embeddings reduced to 64 dims cuts every
+    downstream pairwise score 12x for a one-off scan cost of
+    d_in·d_out fused multiply-adds per row inside codegen — the classic
+    cheap pre-filter in front of exact re-scoring (re-rank the reduced-
+    space top-k' in full space to recover recall; knn_rp_recall MEASURES
+    what the reduction alone loses on this corpus)."""
+    return F.array(
+        *[V.dot(vec, F.lit([float(s) for s in row])) for row in signs]
+    )
+
+
+def sql_rp_project(vec: str, signs: list[list[int]], d_in: int) -> str:
+    """DuckDB mirror of :func:`rp_project` — same rows, same fold order."""
+    rows = []
+    for row in signs:
+        lit = "[" + ", ".join(f"{float(s):.1f}" for s in row) + "]"
+        rows.append(V.sql_dot(vec, f"({lit})", d_in))
+    return "[" + ", ".join(rows) + "]"

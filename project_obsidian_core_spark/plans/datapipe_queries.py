@@ -1418,3 +1418,84 @@ ORDER BY doc_a, doc_b
 
 
 ORACLE_dedup_prefix_pairs = _prefix_pairs_oracle()
+
+
+# ------------------------------- N13: random-projection recall audit --
+def knn_rp_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N13: recall@k of brute-force search in the 16-dim JL sign-projected
+    space against full-64-dim exact truth — the measurement behind "how
+    much does the cheap reduced-space pre-filter lose on THIS corpus"
+    (the companion audit to N12's LSH recall, same indicator-join shape).
+
+    At 100 TB the projection is a one-off codegen scan (d_in·d_out FMAs
+    per row) and the reduced vectors are what the ANN index ingests;
+    re-ranking the reduced top-k' in full space recovers recall — this
+    report sizes how much head-room (k' vs k) that re-rank needs."""
+    emb, q = _query_vecs(spark, sf_dir)
+    signs = S.rp_signs(_EMB_DIM, S.RP_DIM_OUT)
+
+    def prj(df):
+        return df.select(
+            "vec_id", S.rp_project(F.col("embedding"), signs).alias("embedding")
+        )
+
+    truth = S.brute_force_topk(emb, q, k=_TOPK).select("q_id", "cand_id")
+    red = S.brute_force_topk(prj(emb), prj(q), k=_TOPK).select(
+        "q_id", F.col("cand_id").alias("f_cand")
+    )
+    joined = truth.join(
+        red,
+        (truth.q_id == red.q_id) & (truth.cand_id == red.f_cand),
+        "left",
+    ).select(truth.q_id, truth.cand_id, red.f_cand)
+    return (
+        joined.groupBy("q_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_truth"),
+            F.count("f_cand").alias("n_hits"),
+        )
+        .withColumn("recall_ppm", F.expr("n_hits * 1000000 div n_truth"))
+        .orderBy("q_id")
+    )
+
+
+def _rp_recall_oracle() -> str:
+    signs = S.rp_signs(_EMB_DIM, S.RP_DIM_OUT)
+    rp = S.sql_rp_project("embedding", signs, _EMB_DIM)
+    return f"""
+WITH t AS (
+    SELECT vec_id, embedding AS v, {V.sql_norm('embedding', _EMB_DIM)} AS nrm,
+           {rp} AS rv
+    FROM embeddings
+), rt AS (
+    SELECT vec_id, rv, {V.sql_norm('rv', S.RP_DIM_OUT)} AS rnrm FROM t
+), truth AS (
+    SELECT q_id, cand_id FROM (
+        SELECT q.vec_id AS q_id, c.vec_id AS cand_id,
+               row_number() OVER (PARTITION BY q.vec_id
+                   ORDER BY {V.sql_dot('q.v', 'c.v', _EMB_DIM)} / (q.nrm * c.nrm) DESC,
+                            c.vec_id) AS rk
+        FROM t q, t c
+        WHERE q.vec_id < {_N_QUERY_VECS} AND q.vec_id != c.vec_id
+    ) WHERE rk <= {_TOPK}
+), red AS (
+    SELECT q_id, cand_id FROM (
+        SELECT q.vec_id AS q_id, c.vec_id AS cand_id,
+               row_number() OVER (PARTITION BY q.vec_id
+                   ORDER BY {V.sql_dot('q.rv', 'c.rv', S.RP_DIM_OUT)} / (q.rnrm * c.rnrm) DESC,
+                            c.vec_id) AS rk
+        FROM rt q, rt c
+        WHERE q.vec_id < {_N_QUERY_VECS} AND q.vec_id != c.vec_id
+    ) WHERE rk <= {_TOPK}
+)
+SELECT tr.q_id, count(*) AS n_truth,
+       CAST(count(r.cand_id) AS BIGINT) AS n_hits,
+       count(r.cand_id) * 1000000 // count(*) AS recall_ppm
+FROM truth tr
+LEFT JOIN red r ON r.q_id = tr.q_id AND r.cand_id = tr.cand_id
+GROUP BY tr.q_id
+ORDER BY tr.q_id
+"""
+
+
+ORACLE_knn_rp_recall = _rp_recall_oracle()

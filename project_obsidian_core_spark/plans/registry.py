@@ -474,6 +474,8 @@ _ENTRIES: list[tuple[str, QueryFn, str | None]] = [
     ("orders_bloom_join", lay.orders_bloom_join, lay.ORACLE_orders_bloom_join),
     # A36: exact OLS trend slope per metric series (min-centered moments)
     ("metric_trend_slope", m.metric_trend_slope, m.ORACLE_metric_trend_slope),
+    # N13: JL sign-projection dim reduction + recall audit vs full space
+    ("knn_rp_recall", d.knn_rp_recall, d.ORACLE_knn_rp_recall),
 ]
 
 # ----------------------------------------------------------------------
@@ -496,6 +498,7 @@ _GATE_PRIORITY: list[str] = [
     "events_ks_test",
     "orders_bloom_join",
     "metric_trend_slope",
+    "knn_rp_recall",
     # -- (a) unrecorded: early round-8 additions ------------------------
     "events_interval_peak",
     "qan_anomaly_mad",
