@@ -501,3 +501,111 @@ SELECT metric_name, n,
 FROM a
 ORDER BY metric_name
 """
+
+
+# ------------------------------------------ A37: metric correlation --
+def metric_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A37: Pearson correlation between every metric-series pair after
+    minute-bucket alignment — the redundancy/co-movement screen behind
+    "these two dashboards show the same signal" and feature-selection
+    pruning before model training.
+
+    Series align by an exact minute rollup (sum of cents per bucket),
+    pairs come from a self-join on the bucket key (metric_a < metric_b),
+    and all five moment sums (n, Σa, Σb, Σab, Σa², Σb²) are EXACT int64
+    over min-centered values (the A36 centering: shift-invariant for
+    covariance/correlation, keeps squares inside int64 — exact while
+    n·span_cents² < 2⁶³, i.e. ~10⁵ buckets at 10⁶-cent spans; quantize
+    coarser beyond).  The only floats: numerator cast, one multiply, one
+    sqrt, one divide per OUTPUT pair row — deterministic IEEE ops from
+    exact ints, so even corr hashes bit-identical cross-engine.
+    """
+    from pyspark.sql import Window
+
+    m = synthesize_metrics(spark, sf_dir).select(
+        "metric_name",
+        F.expr("unix_micros(time) div 60000000").alias("bucket"),
+        F.col("metric_value").alias("v"),
+    )
+    per_bucket = m.groupBy("metric_name", "bucket").agg(
+        F.sum("v").alias("y")
+    )
+    w = Window.partitionBy("metric_name")
+    c = per_bucket.select(
+        "metric_name", "bucket", (F.col("y") - F.min("y").over(w)).alias("yc")
+    )
+    pairs = (
+        c.alias("a")
+        .join(
+            c.alias("b"),
+            (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.metric_name") < F.col("b.metric_name")),
+        )
+        .select(
+            F.col("a.metric_name").alias("metric_a"),
+            F.col("b.metric_name").alias("metric_b"),
+            F.col("a.yc").alias("ya"),
+            F.col("b.yc").alias("yb"),
+        )
+    )
+    agg = pairs.groupBy("metric_a", "metric_b").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("ya").alias("sa"),
+        F.sum("yb").alias("sb"),
+        F.sum(F.col("ya") * F.col("yb")).alias("sab"),
+        F.sum(F.col("ya") * F.col("ya")).alias("saa"),
+        F.sum(F.col("yb") * F.col("yb")).alias("sbb"),
+    )
+    num = F.col("n") * F.col("sab") - F.col("sa") * F.col("sb")
+    dx = F.col("n") * F.col("saa") - F.col("sa") * F.col("sa")
+    dy = F.col("n") * F.col("sbb") - F.col("sb") * F.col("sb")
+    return agg.select(
+        "metric_a",
+        "metric_b",
+        "n",
+        num.alias("corr_num"),
+        dx.alias("var_a_num"),
+        dy.alias("var_b_num"),
+        F.when(
+            (dx > 0) & (dy > 0),
+            num.cast("double")
+            / F.sqrt(dx.cast("double") * dy.cast("double")),
+        ).alias("corr"),
+    ).orderBy("metric_a", "metric_b")
+
+
+ORACLE_metric_corr_matrix = f"""
+WITH m AS ({_SYN_SQL}),
+pb AS (
+    SELECT metric_name, epoch_us(time) // 60000000 AS bucket,
+           CAST(sum(metric_value) AS BIGINT) AS y
+    FROM m GROUP BY 1, 2
+), c AS (
+    SELECT metric_name, bucket,
+           y - min(y) OVER (PARTITION BY metric_name) AS yc
+    FROM pb
+), pairs AS (
+    SELECT a.metric_name AS metric_a, b.metric_name AS metric_b,
+           a.yc AS ya, b.yc AS yb
+    FROM c a JOIN c b
+      ON a.bucket = b.bucket AND a.metric_name < b.metric_name
+), agg AS (
+    SELECT metric_a, metric_b, count(*) AS n,
+           CAST(sum(ya) AS BIGINT) AS sa, CAST(sum(yb) AS BIGINT) AS sb,
+           CAST(sum(ya * yb) AS BIGINT) AS sab,
+           CAST(sum(ya * ya) AS BIGINT) AS saa,
+           CAST(sum(yb * yb) AS BIGINT) AS sbb
+    FROM pairs GROUP BY 1, 2
+)
+SELECT metric_a, metric_b, n,
+       CAST(n * sab - sa * sb AS BIGINT) AS corr_num,
+       CAST(n * saa - sa * sa AS BIGINT) AS var_a_num,
+       CAST(n * sbb - sb * sb AS BIGINT) AS var_b_num,
+       CASE WHEN n * saa - sa * sa > 0 AND n * sbb - sb * sb > 0
+            THEN CAST(n * sab - sa * sb AS DOUBLE)
+                 / sqrt(CAST(n * saa - sa * sa AS DOUBLE)
+                        * CAST(n * sbb - sb * sb AS DOUBLE))
+       END AS corr
+FROM agg
+ORDER BY metric_a, metric_b
+"""

@@ -476,6 +476,8 @@ _ENTRIES: list[tuple[str, QueryFn, str | None]] = [
     ("metric_trend_slope", m.metric_trend_slope, m.ORACLE_metric_trend_slope),
     # N13: JL sign-projection dim reduction + recall audit vs full space
     ("knn_rp_recall", d.knn_rp_recall, d.ORACLE_knn_rp_recall),
+    # A37: exact Pearson correlation matrix over aligned metric pairs
+    ("metric_corr_matrix", m.metric_corr_matrix, m.ORACLE_metric_corr_matrix),
 ]
 
 # ----------------------------------------------------------------------
@@ -499,6 +501,7 @@ _GATE_PRIORITY: list[str] = [
     "orders_bloom_join",
     "metric_trend_slope",
     "knn_rp_recall",
+    "metric_corr_matrix",
     # -- (a) unrecorded: early round-8 additions ------------------------
     "events_interval_peak",
     "qan_anomaly_mad",
