@@ -761,3 +761,43 @@ def sql_rp_project(vec: str, signs: list[list[int]], d_in: int) -> str:
         lit = "[" + ", ".join(f"{float(s):.1f}" for s in row) + "]"
         rows.append(V.sql_dot(vec, f"({lit})", d_in))
     return "[" + ", ".join(rows) + "]"
+
+
+# ------------------------- G4: deterministic label propagation (LPA) --
+def label_propagation(edges: DataFrame, rounds: int = 3) -> DataFrame:
+    """Community detection by synchronous label propagation (Raghavan et
+    al. 2007) made fully deterministic: every node starts as its own
+    label, and each round adopts the most frequent neighbor label with
+    ties broken by SMALLEST label — the argmax is a window rank, never a
+    random choice, so a fixed round count yields one well-defined
+    answer any engine can reproduce (the property that lets an iterative
+    community algorithm pass a value-hash oracle, like pagerank_int and
+    the quantized Lloyd k-means).
+
+    Scale: each round is one join keyed on the label side + one
+    (node, label) aggregation + one per-node window argmax — all
+    partial-aggregated shuffles on node keys, state is exactly one row
+    per node, and rounds compose like connected_components (localCheckpoint
+    per round at web scale).  Sync LPA on bipartite-ish structures can
+    oscillate rather than converge; a FIXED round budget is therefore the
+    contract (the caller picks rounds, the result is the round-r
+    labeling, oscillation or not).
+    """
+    dedges = edges.select(
+        F.col("a").alias("src"), F.col("b").alias("dst")
+    ).unionByName(edges.select(F.col("b").alias("src"), F.col("a").alias("dst")))
+    labels = dedges.select(F.col("src").alias("node")).distinct().select(
+        "node", F.col("node").alias("lbl")
+    )
+    for _ in range(rounds):
+        nb = dedges.join(
+            labels.withColumnRenamed("node", "dst"), "dst"
+        ).select(F.col("src").alias("node"), "lbl")
+        cnt = nb.groupBy("node", "lbl").agg(F.count(F.lit(1)).alias("c"))
+        w = Window.partitionBy("node").orderBy(F.desc("c"), F.asc("lbl"))
+        labels = (
+            cnt.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("node", "lbl")
+        )
+    return labels

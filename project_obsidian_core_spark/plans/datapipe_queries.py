@@ -1499,3 +1499,66 @@ ORDER BY tr.q_id
 
 
 ORACLE_knn_rp_recall = _rp_recall_oracle()
+
+
+# ----------------------------------- G4: label-propagation communities --
+_LPA_ROUNDS = 3
+
+
+def knn_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G4: deterministic synchronous label propagation (3 rounds, ties to
+    the smallest label) over the symmetrized 5-NN graph of the first 200
+    vectors — community detection for corpus diversity analysis and
+    cluster-aware sampling; the iterative sibling of dedup's connected
+    components (CC finds *reachability*, LPA finds *density* groups)."""
+    emb = load(spark, sf_dir, "embeddings").filter(F.col("vec_id") < _GRAPH_VECS)
+    edges = S.knn_edges(emb, k=_GRAPH_K)
+    return S.label_propagation(edges, rounds=_LPA_ROUNDS).orderBy("node")
+
+
+def _lpa_oracle() -> str:
+    head = f"""
+WITH t AS (
+    SELECT vec_id, embedding AS v, {V.sql_norm('embedding', _EMB_DIM)} AS nrm
+    FROM embeddings WHERE vec_id < {_GRAPH_VECS}
+), scored AS (
+    SELECT q.vec_id AS q_id, c.vec_id AS cand_id,
+           {V.sql_dot('q.v', 'c.v', _EMB_DIM)} / (q.nrm * c.nrm) AS cos_sim
+    FROM t q, t c WHERE q.vec_id != c.vec_id
+), ranked AS (
+    SELECT q_id, cand_id,
+           row_number() OVER (PARTITION BY q_id
+                              ORDER BY cos_sim DESC, cand_id ASC) AS rank
+    FROM scored
+), edges AS (
+    SELECT DISTINCT least(q_id, cand_id) AS a, greatest(q_id, cand_id) AS b
+    FROM ranked WHERE rank <= {_GRAPH_K}
+), dedges AS (
+    SELECT a AS src, b AS dst FROM edges
+    UNION ALL
+    SELECT b AS src, a AS dst FROM edges
+), l0 AS (
+    SELECT DISTINCT src AS node, src AS lbl FROM dedges
+)"""
+    rounds = []
+    for r in range(1, _LPA_ROUNDS + 1):
+        prev = "l0" if r == 1 else f"l{r - 1}"
+        rounds.append(
+            f""", l{r} AS (
+    SELECT node, lbl FROM (
+        SELECT d.src AS node, p.lbl,
+               row_number() OVER (PARTITION BY d.src
+                                  ORDER BY count(*) DESC, p.lbl ASC) AS rn
+        FROM dedges d JOIN {prev} p ON d.dst = p.node
+        GROUP BY d.src, p.lbl
+    ) WHERE rn = 1
+)"""
+        )
+    return (
+        head
+        + "".join(rounds)
+        + f"\nSELECT node, lbl FROM l{_LPA_ROUNDS} ORDER BY node\n"
+    )
+
+
+ORACLE_knn_communities = _lpa_oracle()

@@ -478,6 +478,8 @@ _ENTRIES: list[tuple[str, QueryFn, str | None]] = [
     ("knn_rp_recall", d.knn_rp_recall, d.ORACLE_knn_rp_recall),
     # A37: exact Pearson correlation matrix over aligned metric pairs
     ("metric_corr_matrix", m.metric_corr_matrix, m.ORACLE_metric_corr_matrix),
+    # G4: deterministic label-propagation communities (unrolled rounds)
+    ("knn_communities", d.knn_communities, d.ORACLE_knn_communities),
 ]
 
 # ----------------------------------------------------------------------
@@ -502,6 +504,7 @@ _GATE_PRIORITY: list[str] = [
     "metric_trend_slope",
     "knn_rp_recall",
     "metric_corr_matrix",
+    "knn_communities",
     # -- (a) unrecorded: early round-8 additions ------------------------
     "events_interval_peak",
     "qan_anomaly_mad",
