@@ -780,3 +780,55 @@ def decontaminate_embedding(
         .select("train_id", "eval_id", cos.alias("cos_sim"))
         .filter(F.col("cos_sim") >= F.lit(threshold))
     )
+
+
+# ----------------------------------------- X19: k-anonymity risk report --
+def k_anonymity_report(
+    df: DataFrame, qi_cols: list[str], ks: tuple[int, ...] = (2, 5, 10)
+) -> DataFrame:
+    """Re-identification risk report over a quasi-identifier tuple — the
+    privacy gate a training-data release runs next to the PII scan (X8):
+    a row whose QI combination is shared by fewer than k rows is
+    k-anonymity-violating (Sweeney 2002); publishing it risks linkage.
+
+    One corpus scan: groupBy the QI columns (map-side combined to one row
+    per equivalence class), then ONE reduction over the class sizes emits
+    every threshold's numbers (conditional aggregates, the dq_report
+    shape), stacked to a driver-sized (k, classes_below, rows_below,
+    classes_total, rows_total, risk_ppm) report — all exact ints, rule
+    count never adds passes.
+    """
+    sizes = df.groupBy(*[F.col(c) for c in qi_cols]).agg(
+        F.count(F.lit(1)).alias("cls")
+    )
+    aggs = [
+        F.count(F.lit(1)).alias("classes_total"),
+        F.sum("cls").alias("rows_total"),
+    ]
+    for k in ks:
+        aggs.append(
+            F.sum(F.when(F.col("cls") < k, 1).otherwise(0))
+            .cast("long")
+            .alias(f"cb_{k}")
+        )
+        aggs.append(
+            F.sum(F.when(F.col("cls") < k, F.col("cls")).otherwise(0))
+            .cast("long")
+            .alias(f"rb_{k}")
+        )
+    row = sizes.agg(*aggs)
+    stack = ", ".join(f"{k}L, cb_{k}, rb_{k}" for k in ks)
+    return row.select(
+        F.expr(
+            f"stack({len(ks)}, {stack}) as (k, classes_below, rows_below)"
+        ),
+        F.col("classes_total"),
+        F.col("rows_total"),
+    ).select(
+        "k",
+        "classes_below",
+        "rows_below",
+        "classes_total",
+        "rows_total",
+        F.expr("rows_below * 1000000 div rows_total").alias("risk_ppm"),
+    )

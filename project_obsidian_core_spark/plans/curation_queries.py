@@ -644,3 +644,52 @@ LIMIT 50
 
 
 ORACLE_corpus_decontaminate_embedding = _oracle_decon_embedding()
+
+
+# ------------------------------------------ X19: k-anonymity risk gate --
+from pyspark.sql import functions as F  # noqa: E402
+
+#: QI tuple for the gate: behaviour type x activity day x user cohort.
+_KANON_KS = (2, 5, 10)
+
+
+def events_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X19: k-anonymity risk report over the (event_type, day, user-cohort)
+    quasi-identifier tuple of the events table — how many equivalence
+    classes (and rows) fall below k for k in {2, 5, 10}.  The privacy
+    sibling of the PII regex scan: PII is *direct* identification, QI
+    sparsity is *linkage* identification."""
+    ev = load(spark, sf_dir, "events").select(
+        "event_type",
+        F.to_date("ts").alias("day"),
+        (F.col("user_id") % 50).alias("cohort"),
+    )
+    return C.k_anonymity_report(
+        ev, ["event_type", "day", "cohort"], ks=_KANON_KS
+    ).orderBy("k")
+
+
+def _kanon_oracle() -> str:
+    rows = "\nUNION ALL\n".join(
+        f"""SELECT {k} AS k,
+       CAST(sum(CASE WHEN cls < {k} THEN 1 ELSE 0 END) AS BIGINT) AS classes_below,
+       CAST(sum(CASE WHEN cls < {k} THEN cls ELSE 0 END) AS BIGINT) AS rows_below,
+       count(*) AS classes_total,
+       CAST(sum(cls) AS BIGINT) AS rows_total,
+       CAST(sum(CASE WHEN cls < {k} THEN cls ELSE 0 END) * 1000000
+           // sum(cls) AS BIGINT) AS risk_ppm
+FROM sizes"""
+        for k in _KANON_KS
+    )
+    return f"""
+WITH sizes AS (
+    SELECT event_type, CAST(ts AS DATE) AS day, user_id % 50 AS cohort,
+           count(*) AS cls
+    FROM events GROUP BY 1, 2, 3
+)
+{rows}
+ORDER BY k
+"""
+
+
+ORACLE_events_k_anonymity = _kanon_oracle()

@@ -480,6 +480,8 @@ _ENTRIES: list[tuple[str, QueryFn, str | None]] = [
     ("metric_corr_matrix", m.metric_corr_matrix, m.ORACLE_metric_corr_matrix),
     # G4: deterministic label-propagation communities (unrolled rounds)
     ("knn_communities", d.knn_communities, d.ORACLE_knn_communities),
+    # X19: k-anonymity risk report over a quasi-identifier tuple
+    ("events_k_anonymity", cu.events_k_anonymity, cu.ORACLE_events_k_anonymity),
 ]
 
 # ----------------------------------------------------------------------
@@ -505,6 +507,7 @@ _GATE_PRIORITY: list[str] = [
     "knn_rp_recall",
     "metric_corr_matrix",
     "knn_communities",
+    "events_k_anonymity",
     # -- (a) unrecorded: early round-8 additions ------------------------
     "events_interval_peak",
     "qan_anomaly_mad",
