@@ -482,6 +482,9 @@ _ENTRIES: list[tuple[str, QueryFn, str | None]] = [
     ("knn_communities", d.knn_communities, d.ORACLE_knn_communities),
     # X19: k-anonymity risk report over a quasi-identifier tuple
     ("events_k_anonymity", cu.events_k_anonymity, cu.ORACLE_events_k_anonymity),
+    # C23: streaming KS drift twin (drained complete-mode state; oracle =
+    # the batch A35 SQL -> streaming<->batch equivalence)
+    ("stream_ks_test", st.stream_ks_test, ax.ORACLE_events_ks_test),
 ]
 
 # ----------------------------------------------------------------------
@@ -508,6 +511,7 @@ _GATE_PRIORITY: list[str] = [
     "metric_corr_matrix",
     "knn_communities",
     "events_k_anonymity",
+    "stream_ks_test",
     # -- (a) unrecorded: early round-8 additions ------------------------
     "events_interval_peak",
     "qan_anomaly_mad",

@@ -192,7 +192,11 @@ def stream_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     if src is None:
         src = f"{tmp}/events_src"
         load(spark, sf_dir, "events").select(
-            "event_id", "user_id", "ts", "event_type", cents("value").alias("cents")
+            # `value` raw double rides along for the KS twin (distribution
+            # state keys on the exact value, not the cents projection);
+            # all three builders share _SRC_CACHE so must write one schema
+            "event_id", "user_id", "ts", "event_type",
+            cents("value").alias("cents"), "value",
         ).write.mode("overwrite").parquet(src)
         _SRC_CACHE[f"events:{sf_dir}"] = src
 
@@ -255,7 +259,11 @@ def stream_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     if src is None:
         src = f"{tmp}/events_src"
         load(spark, sf_dir, "events").select(
-            "event_id", "user_id", "ts", "event_type", cents("value").alias("cents")
+            # `value` raw double rides along for the KS twin (distribution
+            # state keys on the exact value, not the cents projection);
+            # all three builders share _SRC_CACHE so must write one schema
+            "event_id", "user_id", "ts", "event_type",
+            cents("value").alias("cents"), "value",
         ).write.mode("overwrite").parquet(src)
         _SRC_CACHE[f"events:{sf_dir}"] = src
 
@@ -361,7 +369,11 @@ def _events_src(spark: SparkSession, sf_dir: str, run: int) -> str:
         tmp = tempfile.mkdtemp(prefix=f"obsidian_evsrc_{run}_")
         src = f"{tmp}/events_src"
         load(spark, sf_dir, "events").select(
-            "event_id", "user_id", "ts", "event_type", cents("value").alias("cents")
+            # `value` raw double rides along for the KS twin (distribution
+            # state keys on the exact value, not the cents projection);
+            # all three builders share _SRC_CACHE so must write one schema
+            "event_id", "user_id", "ts", "event_type",
+            cents("value").alias("cents"), "value",
         ).write.mode("overwrite").parquet(src)
         _SRC_CACHE[f"events:{sf_dir}"] = src
     return src
@@ -777,4 +789,71 @@ def stream_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_samples",
         )
         .orderBy("metric_name", "bucket_epoch_s")
+    )
+
+
+# --------------------------------------------- C23: streaming KS twin --
+def stream_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C23: the A35 KS drift screen served from a LIVE stream — per-(type,
+    value) cohort counts accumulate as complete-mode state across
+    micro-batches (counts are associative, so arrival order is
+    irrelevant), and the CDF walk + sup-gap runs on the DRAINED state,
+    not inside the stream (the stream_top_digests shape: no per-batch
+    global sort).  Must match the batch ``events_ks_test`` oracle
+    bit-exact — streaming <-> batch equivalence for drift monitoring.
+
+    State bound: one row per (event_type, distinct value).  For truly
+    continuous live metrics quantize the value to a fixed grid first (the
+    A32 PSI rationale); the equivalence contract here is on the exact
+    value space."""
+    run = next(_RUN_IDS)
+    src = _events_src(spark, sf_dir, run)
+    schema = spark.read.parquet(src).schema
+    stream = spark.readStream.schema(schema).parquet(src)
+    agg = stream.select(
+        "event_type",
+        "value",
+        F.when(F.col("user_id") % 2 == 0, F.lit(1)).otherwise(F.lit(0)).alias("ca"),
+        F.when(F.col("user_id") % 2 == 1, F.lit(1)).otherwise(F.lit(0)).alias("cb"),
+    ).groupBy("event_type", "value").agg(
+        F.sum("ca").cast("long").alias("da"),
+        F.sum("cb").cast("long").alias("db"),
+    )
+    name = f"stream_ks_{run}"
+    tmp = tempfile.mkdtemp(prefix=f"obsidian_ks_{run}_")
+    _run_complete(agg, name, f"{tmp}/ckpt", spark)
+
+    from pyspark.sql import Window
+
+    per_val = spark.table(name)
+    wcum = (
+        Window.partitionBy("event_type")
+        .orderBy("value")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wtot = Window.partitionBy("event_type")
+    stepped = per_val.select(
+        "event_type",
+        F.sum("da").over(wcum).alias("cum_a"),
+        F.sum("db").over(wcum).alias("cum_b"),
+        F.sum("da").over(wtot).alias("n_a"),
+        F.sum("db").over(wtot).alias("n_b"),
+    )
+    return (
+        stepped.groupBy("event_type")
+        .agg(
+            F.max("n_a").alias("n_a"),
+            F.max("n_b").alias("n_b"),
+            F.max(
+                F.abs(F.col("cum_a") * F.col("n_b") - F.col("cum_b") * F.col("n_a"))
+            ).alias("ks_num"),
+        )
+        .select(
+            "event_type",
+            "n_a",
+            "n_b",
+            "ks_num",
+            F.expr("ks_num * 1000000 div (n_a * n_b)").alias("ks_ppm"),
+        )
+        .orderBy("event_type")
     )
