@@ -430,22 +430,26 @@ def metric_trend_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
     capacity-planning regression behind "is this counter drifting up"
     alerts, computed as ONE aggregation over exact int64 moments.
 
-    slope = (n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²) with x = seconds since the
-    SERIES' OWN first sample and y = metric cents, both min-centered so
-    every moment stays inside int64 (raw epoch² ~ 3·10¹⁸ per row would
-    overflow immediately; centered, the bound is n·span_s²·y_span_cents —
-    exact past 10⁷ rows/series on day-scale spans).  Centering x shifts
+    slope = (n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²) with x = the sample's
+    MINUTE index since the series' own first sample and y = metric cents,
+    both min-centered so every moment stays inside int64.  Minute
+    granularity is the semantic: capacity trends live above sub-minute
+    jitter, and it buys the overflow headroom (raw epoch² ~ 3·10¹⁸ per
+    row overflows immediately; centered SECONDS still overflowed n·Σx² at
+    a 16k-minute span × 20k rows — caught live by the sf0.1 oracle run;
+    centered minutes bound n·Σx² by n·span_min², exact to ~3·10¹²
+    row-minutes² — months of data at 10⁶ rows/series).  Centering shifts
     the intercept, never the slope; the numerator/denominator ints hash
     bit-exact cross-engine and the ONLY float is the final division
-    (cents/hour), one deterministic IEEE op per OUTPUT row (SCALE.md r8
-    transcendental rule).  The min() window shares the aggregate's
-    partitioning — one corpus shuffle total.
+    (cents/hour = 60·num/den), one deterministic IEEE op per OUTPUT row
+    (SCALE.md r8 transcendental rule).  The min() window shares the
+    aggregate's partitioning — one corpus shuffle total.
     """
     from pyspark.sql import Window
 
     m = synthesize_metrics(spark, sf_dir).select(
         "metric_name",
-        F.expr("unix_micros(time) div 1000000").alias("xs"),
+        F.expr("unix_micros(time) div 60000000").alias("xs"),
         F.col("metric_value").alias("y"),
     )
     w = Window.partitionBy("metric_name")
@@ -468,7 +472,7 @@ def metric_trend_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         num.alias("slope_num"),
         den.alias("slope_den"),
-        F.when(den != 0, num.cast("double") * 3600.0 / den.cast("double")).alias(
+        F.when(den != 0, num.cast("double") * 60.0 / den.cast("double")).alias(
             "slope_cents_per_hour"
         ),
     ).orderBy("metric_name")
@@ -478,8 +482,8 @@ ORACLE_metric_trend_slope = f"""
 WITH m AS ({_SYN_SQL}),
 c AS (
     SELECT metric_name,
-           epoch_us(time) // 1000000
-               - min(epoch_us(time) // 1000000) OVER (PARTITION BY metric_name)
+           epoch_us(time) // 60000000
+               - min(epoch_us(time) // 60000000) OVER (PARTITION BY metric_name)
                AS x,
            metric_value
                - min(metric_value) OVER (PARTITION BY metric_name) AS yc
@@ -495,7 +499,7 @@ SELECT metric_name, n,
        CAST(n * sxy - sx * sy AS BIGINT) AS slope_num,
        CAST(n * sxx - sx * sx AS BIGINT) AS slope_den,
        CASE WHEN n * sxx - sx * sx <> 0
-            THEN CAST(n * sxy - sx * sy AS DOUBLE) * 3600.0
+            THEN CAST(n * sxy - sx * sy AS DOUBLE) * 60.0
                  / CAST(n * sxx - sx * sx AS DOUBLE)
        END AS slope_cents_per_hour
 FROM a
@@ -513,12 +517,16 @@ def metric_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     Series align by an exact minute rollup (sum of cents per bucket),
     pairs come from a self-join on the bucket key (metric_a < metric_b),
     and all five moment sums (n, Σa, Σb, Σab, Σa², Σb²) are EXACT int64
-    over min-centered values (the A36 centering: shift-invariant for
-    covariance/correlation, keeps squares inside int64 — exact while
-    n·span_cents² < 2⁶³, i.e. ~10⁵ buckets at 10⁶-cent spans; quantize
-    coarser beyond).  The only floats: numerator cast, one multiply, one
-    sqrt, one divide per OUTPUT pair row — deterministic IEEE ops from
-    exact ints, so even corr hashes bit-identical cross-engine.
+    over min-centered, DOLLAR-QUANTIZED values: the statistic is defined
+    on yq = (y − min y) div 100 — quantization is part of the operator's
+    semantics, not an approximation knob, because it is what bounds the
+    moments (n·Σy² at cent precision sat within 8x of int64 at sf0.1;
+    at dollar precision the bound n·span_$² is ~10⁴x slacker — months of
+    minutes at 10⁵-dollar spans).  Centering is shift-invariant for
+    covariance/correlation.  The only floats: numerator cast, one
+    multiply, one sqrt, one divide per OUTPUT pair row — deterministic
+    IEEE ops from exact ints, so even corr hashes bit-identical
+    cross-engine.
     """
     from pyspark.sql import Window
 
@@ -532,8 +540,8 @@ def metric_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w = Window.partitionBy("metric_name")
     c = per_bucket.select(
-        "metric_name", "bucket", (F.col("y") - F.min("y").over(w)).alias("yc")
-    )
+        "metric_name", "bucket", (F.col("y") - F.min("y").over(w)).alias("yc0")
+    ).select("metric_name", "bucket", F.expr("yc0 div 100").alias("yc"))
     pairs = (
         c.alias("a")
         .join(
@@ -582,7 +590,7 @@ pb AS (
     FROM m GROUP BY 1, 2
 ), c AS (
     SELECT metric_name, bucket,
-           y - min(y) OVER (PARTITION BY metric_name) AS yc
+           (y - min(y) OVER (PARTITION BY metric_name)) // 100 AS yc
     FROM pb
 ), pairs AS (
     SELECT a.metric_name AS metric_a, b.metric_name AS metric_b,

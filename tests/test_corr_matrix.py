@@ -32,21 +32,25 @@ def _run(spark, series):
 
 
 def test_corr_matches_numpy(spark):
+    # the statistic is defined on dollar-quantized centered bucket sums:
+    # mirror the (y - min) // 100 in the numpy reference
     t0 = 1_700_000_000
-    a = [(t0 + i * 60, 1000 + 13 * i + (i % 5) * 7) for i in range(40)]
-    b = [(t0 + i * 60, 5000 - 9 * i + (i % 3) * 21) for i in range(40)]
+    a = [(t0 + i * 60, 100_000 + 1300 * i + (i % 5) * 700) for i in range(40)]
+    b = [(t0 + i * 60, 500_000 - 900 * i + (i % 3) * 2100) for i in range(40)]
     (r,) = _run(spark, {"a": a, "b": b})
-    ya = np.array([c for _, c in a], dtype=float)
-    yb = np.array([c for _, c in b], dtype=float)
+    q = lambda v: (v - v.min()) // 100  # noqa: E731
+    ya = q(np.array([c for _, c in a], dtype=np.int64)).astype(float)
+    yb = q(np.array([c for _, c in b], dtype=np.int64)).astype(float)
     want = np.corrcoef(ya, yb)[0, 1]
     assert abs(r.corr - want) < 1e-12
     assert r.n == 40
 
 
 def test_perfectly_linear_gives_exact_pm_one(spark):
+    # multiples of 100 cents: dollar quantization is lossless here
     t0 = 1_700_000_000
-    a = [(t0 + i * 60, 100 + 2 * i) for i in range(10)]
-    b_pos = [(t0 + i * 60, 500 + 6 * i) for i in range(10)]
+    a = [(t0 + i * 60, 10_000 + 200 * i) for i in range(10)]
+    b_pos = [(t0 + i * 60, 50_000 + 600 * i) for i in range(10)]
     (r,) = _run(spark, {"a": a, "b": b_pos})
     # integer moments make the +-1 case exact: num^2 == dx*dy
     assert r.corr_num**2 == r.var_a_num * r.var_b_num

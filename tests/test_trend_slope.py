@@ -36,23 +36,24 @@ def _run(spark, rows):
 
 
 def test_slope_matches_numpy_polyfit(spark):
+    # minute-spaced samples: the regression is defined on minute indices
     t0 = 1_700_000_000
     rows = [("a", t0 + i * 60, 1000 + 7 * i + (i % 3) * 11) for i in range(50)]
     got = _run(spark, rows)
     (r,) = got.values()
-    x = np.array([t for _, t, _ in rows], dtype=float)
+    x = np.array([t // 60 for _, t, _ in rows], dtype=float)
     y = np.array([c for _, _, c in rows], dtype=float)
-    want = np.polyfit(x, y, 1)[0] * 3600  # cents/hour
+    want = np.polyfit(x, y, 1)[0] * 60  # cents/minute -> cents/hour
     assert abs(r.slope_cents_per_hour - want) < 1e-6 * abs(want)
     assert r.n == 50
 
 
 def test_exact_linear_series_is_exact(spark):
-    # y = 2 cents/second exactly -> 7200 cents/hour, num/den exact ints
+    # y = 120 cents/minute exactly -> 7200 cents/hour, num/den exact ints
     t0 = 1_700_000_000
-    rows = [("a", t0 + i, 500 + 2 * i) for i in range(10)]
+    rows = [("a", t0 + i * 60, 500 + 120 * i) for i in range(10)]
     (r,) = _run(spark, rows).values()
-    assert r.slope_num * 3600 == 7200 * r.slope_den
+    assert r.slope_num * 60 == 7200 * r.slope_den
     assert r.slope_cents_per_hour == 7200.0
 
 
