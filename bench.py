@@ -376,6 +376,18 @@ def main() -> None:
                     "overwrite"
                 ).save()
                 runs.append(time.time() - t0)
+        # transient-hiccup guard: a warm run slower than 1.5x cold is
+        # physically suspect (cold includes IO + codegen) — re-time twice
+        # and let the median wash the stall out.  r8: events_chisq
+        # recorded 18 s for a 2 s query from one GC/host stall, reading
+        # as a fake 8x regression in the round diff.
+        if len(runs) > 1 and min(runs[1:]) > 1.5 * runs[0] + 0.2:
+            for _ in range(2):
+                t0 = time.time()
+                QUERIES[name](spark, sf_dir).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+                runs.append(time.time() - t0)
         cold[name] = round(runs[0], 4)
         warm_runs = runs[1:] if len(runs) > 1 else runs
         warm[name] = round(statistics.median(warm_runs), 4)
