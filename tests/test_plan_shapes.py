@@ -311,3 +311,62 @@ def test_dq_report_single_aggregation(spark):
     assert plan.count("Join") == 0
     # partial + final aggregate of the single reduction
     assert "HashAggregate" in plan or "SortAggregate" in plan
+
+
+# ------------------------------------------- round-8c operator shapes --
+def test_bloom_probe_filters_before_join(spark):
+    from project_obsidian_core_spark.operators import bloom as B
+
+    dim = spark.createDataFrame([(k,) for k in range(0, 200, 5)], ["k"])
+    fact = spark.createDataFrame([(i, i % 300) for i in range(2000)], ["rid", "k2"])
+    words = B.build_bloom(dim, "k")
+    pruned = fact.filter(B.might_contain("k2", words)).join(
+        F.broadcast(dim), F.col("k2") == F.col("k")
+    )
+    plan = _plan(pruned)
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    # the bitmap predicate must sit in a Filter below the join (scan-side),
+    # not be deferred into/above the join
+    join_pos = plan.find("BroadcastHashJoin")
+    filt_pos = plan.find("getbit")
+    assert filt_pos != -1 and filt_pos > join_pos  # below = printed after
+
+
+def test_prefix_join_never_goes_cartesian(spark):
+    from project_obsidian_core_spark.datapipe import dedup as D
+
+    rows = [(i, f"w{i % 9} w{i % 7} w{i % 5} w{i % 3} w{i % 2} end") for i in range(50)]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    plan = _plan(D.prefix_filter_pairs(docs, threshold_ppm=600_000))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # candidate generation shuffles/joins on the prefix token equality
+    assert "SortMergeJoin" in plan or "BroadcastHashJoin" in plan or "ShuffledHashJoin" in plan
+
+
+def test_ks_test_windows_share_type_partitioning(spark):
+    from project_obsidian_core_spark.plans import analytics_ext_queries as ax
+
+    rows = [("m", i, float(i % 17)) for i in range(200)]
+    df = spark.createDataFrame(rows, ["event_type", "user_id", "value"])
+    real_load = ax.load
+    ax.load = lambda s, d, t: df
+    try:
+        plan = _plan(ax.events_ks_test(spark, "unused"))
+    finally:
+        ax.load = real_load
+    # windows must be partitioned (no global single-partition window)
+    assert "Window" in plan
+    assert "No Partition Defined" not in plan
+
+
+def test_label_propagation_rounds_are_hash_joins(spark):
+    from project_obsidian_core_spark.datapipe.similarity import label_propagation
+
+    edges = spark.createDataFrame(
+        [(i, (i + 1) % 30) for i in range(30)], ["a", "b"]
+    )
+    plan = _plan(label_propagation(edges, rounds=2))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
