@@ -492,7 +492,7 @@ _ENTRIES: list[tuple[str, QueryFn, str | None]] = [
 # Invariant (pinned by tests/test_registry_gate.py): every query with NO
 # official green row yet MUST lead the gate — a tail slot can never earn
 # one.  This round that is the round-8 additions (early block, R8b block,
-# and this session's) = 27 leading slots.  The remaining 23
+# and the 9 late-session operators) = 35 leading slots.  The remaining 15
 # slots re-record the oldest-green (r05) cohort — the r7 verdict's
 # rotation ask, partially: with the new queries the full 44-query cohort
 # no longer fits, so 20 members whose code paths are exercised by other
@@ -540,7 +540,9 @@ _GATE_PRIORITY: list[str] = [
     "dedup_recall_report",
     "qan_burn_rate",
     "qan_top_digests_other",
-    # -- (b) r05 cohort, 24 of 44 (newest official row is r05) ----------
+    # -- (b) r05 cohort (newest official row is r05): the first 15 fit
+    # the window this round; the rest spill past slot 50 and lead r9
+    # together with block (c) ------------------------------------------
     "corpus_pack",
     "corpus_sample",
     "corpus_split",
