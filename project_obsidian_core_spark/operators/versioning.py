@@ -85,13 +85,11 @@ def _rename_overwrite(spark: SparkSession, src: str, dst: str) -> None:
     fc.rename(src_p, P(dst), opts)
 
 
-def write_snapshot(df: DataFrame, root: str) -> int:
-    """Write the next corpus version; returns its number.
-
-    Order of operations is the crash-safety contract: data files → manifest
-    → atomic ``_LATEST`` rename. A crash before the rename leaves a
-    dangling (unreferenced) version directory, never a corrupt latest.
-    """
+def _publish_version(df: DataFrame, root: str, base: int | None) -> int:
+    """Shared write path: data files → manifest (optionally chained to
+    ``base``) → atomic ``_LATEST`` rename. A crash before the rename
+    leaves a dangling (unreferenced) version directory, never a corrupt
+    latest."""
     spark = df.sparkSession
     fs, _, P = _fs(spark, root)
     root_p = P(root)
@@ -114,11 +112,75 @@ def write_snapshot(df: DataFrame, root: str) -> int:
     )
     n_rows = spark.read.parquet(vdir).count()
     manifest = {"version": version, "files": files, "n_rows": n_rows}
+    if base is not None:
+        manifest["base"] = base
     _write_text(spark, f"{vdir}/{_MANIFEST}", json.dumps(manifest))
     tmp = f"{root}/.{_LATEST}.tmp.{version}"
     _write_text(spark, tmp, str(version))
     _rename_overwrite(spark, tmp, f"{root}/{_LATEST}")  # atomic publish
     return version
+
+
+def write_snapshot(df: DataFrame, root: str) -> int:
+    """Write the next corpus version as a FULL snapshot; returns its
+    number.  See :func:`_publish_version` for the crash-safety contract.
+    """
+    return _publish_version(df, root, base=None)
+
+
+def append_snapshot(df: DataFrame, root: str) -> int:
+    """B6: publish the next version as an APPEND over the current latest —
+    the new directory holds only ``df``'s rows, and the manifest's
+    ``base`` pointer chains to the previous version, so readers of v=N
+    transparently union the whole chain while the WRITE cost is O(batch),
+    not O(corpus).
+
+    This is the manifest-tree move (Iceberg/Delta appends) at corpus
+    granularity, and what makes :func:`read_snapshot_increment` possible:
+    consumers that already processed v=M read ONLY the directories of
+    (M, N] — the incremental-ETL contract a 100 TB ingest pipeline needs
+    (re-reading the corpus per batch is the thing this exists to avoid).
+
+    With no published latest this degrades to a full snapshot (the chain
+    root).  Chains re-root at every :func:`write_snapshot` (a full
+    rewrite — compaction's output, a backfill) — increments across a
+    re-root raise rather than silently double-count.
+    """
+    spark = df.sparkSession
+    latest = latest_version(root, spark)
+    return _publish_version(df, root, base=latest if latest > 0 else None)
+
+
+def read_snapshot_increment(
+    spark: SparkSession, root: str, since_version: int, to_version: int | None = None
+) -> DataFrame:
+    """Rows ADDED between two versions of an append chain: exactly the
+    files of versions (since, to], validated by walking ``to``'s base
+    pointers back to ``since``.  Raises ``ValueError`` if the walk hits a
+    full snapshot first (the chain was re-rooted by a rewrite — an
+    increment would be meaningless), so a consumer can fall back to a
+    full re-read explicitly instead of double-counting silently.
+    """
+    to = latest_version(root, spark) if to_version is None else to_version
+    if since_version > to:
+        raise ValueError(f"since={since_version} is newer than to={to}")
+    paths: list[str] = []
+    cur: int | None = to
+    while cur is not None and cur != since_version:
+        man = _manifest(spark, root, cur)
+        if man is None:
+            raise FileNotFoundError(f"no manifest for version {cur} under {root}")
+        paths.extend(f"{root}/v={cur}/{f}" for f in man["files"])
+        cur = man.get("base")
+    if cur != since_version:
+        raise ValueError(
+            f"versions ({since_version}, {to}] are not an append chain "
+            "(a full rewrite re-rooted it); re-read the full snapshot "
+            "instead"
+        )
+    if not paths:  # since == to
+        return read_snapshot(spark, root, to).limit(0)
+    return spark.read.parquet(*paths)
 
 
 def latest_version(root: str, spark: SparkSession | None = None) -> int:
@@ -130,20 +192,38 @@ def latest_version(root: str, spark: SparkSession | None = None) -> int:
     return int(text.strip()) if text else 0
 
 
+def _manifest(spark: SparkSession, root: str, version: int) -> dict | None:
+    text = _read_text(spark, f"{root}/v={version}/{_MANIFEST}")
+    return json.loads(text) if text else None
+
+
+def _chain_files(spark: SparkSession, root: str, version: int) -> list[str]:
+    """Absolute data paths of a version, following append-chain ``base``
+    pointers: an appended version's data physically spans every ancestor
+    directory back to the last full snapshot."""
+    paths: list[str] = []
+    cur: int | None = version
+    while cur is not None:
+        man = _manifest(spark, root, cur)
+        if man is None:
+            raise FileNotFoundError(
+                f"no manifest for version {cur} under {root}"
+            )
+        paths.extend(f"{root}/v={cur}/{f}" for f in man["files"])
+        cur = man.get("base")
+    return paths
+
+
 def read_snapshot(
     spark: SparkSession, root: str, version: int | None = None
 ) -> DataFrame:
     """Read a pinned (or the latest published) snapshot by its manifest's
     explicit file list — never by directory listing, so concurrent writers
-    and dangling partial versions are invisible."""
+    and dangling partial versions are invisible.  Append-chain versions
+    (:func:`append_snapshot`) transparently include their ancestors'
+    files."""
     v = latest_version(root, spark) if version is None else version
-    vdir = f"{root}/v={v}"
-    text = _read_text(spark, f"{vdir}/{_MANIFEST}")
-    if text is None:
-        raise FileNotFoundError(f"no manifest for version {v} under {root}")
-    manifest = json.loads(text)
-    paths = [f"{vdir}/{f}" for f in manifest["files"]]
-    return spark.read.parquet(*paths)
+    return spark.read.parquet(*_chain_files(spark, root, v))
 
 
 def vacuum_snapshots(
@@ -162,7 +242,10 @@ def vacuum_snapshots(
       the published latest) is garbage and is removed unconditionally: it
       never occupies one of the ``keep_last`` slots, so it cannot displace
       a readable version from the retention horizon;
-    - idempotent: a second sweep deletes nothing.
+    - idempotent: a second sweep deletes nothing;
+    - append-chain safe: directories a KEPT version's manifest chain
+      references (``base`` pointers) are kept too, without consuming
+      ``keep_last`` slots — retention counts snapshots, not directories.
 
     Readers pinned to a vacuumed version get ``FileNotFoundError`` from
     :func:`read_snapshot` — retention is the documented trade of
@@ -194,6 +277,18 @@ def vacuum_snapshots(
     }
     eligible = sorted(readable)
     keep = set(eligible[-keep_last:]) | {latest}
+    # Append-chain closure: a kept version's DATA may physically live in
+    # ancestor directories (append_snapshot's base pointers) — deleting a
+    # base would corrupt a kept snapshot, so bases ride along without
+    # consuming keep_last slots.
+    frontier = list(keep)
+    while frontier:
+        v = frontier.pop()
+        man = _manifest(spark, root, v)
+        base = man.get("base") if man else None
+        if base is not None and base not in keep:
+            keep.add(base)
+            frontier.append(base)
     removed = []
     for v in versions:
         if v <= latest and v not in keep:

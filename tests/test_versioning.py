@@ -168,3 +168,68 @@ def test_fingerprint_detects_single_row_change_and_dup_pair(spark):
     ).collect()[0]
     assert f2["xor_sig"] == f0["xor_sig"]
     assert (f2["n_rows"], f2["modsum_sig"]) != (f0["n_rows"], f0["modsum_sig"])
+
+
+# ------------------------------------------- B6: append-chain increments --
+def test_append_chain_reads_union_and_increment_reads_delta(spark):
+    root = tempfile.mkdtemp(prefix="corpus_ver_chain_")
+    ids = lambda lo, hi: spark.range(lo, hi).select(  # noqa: E731
+        F.col("id").alias("doc_id")
+    )
+    assert V.write_snapshot(ids(0, 10), root) == 1  # full root
+    assert V.append_snapshot(ids(10, 15), root) == 2
+    assert V.append_snapshot(ids(15, 22), root) == 3
+    # chain reads union every ancestor directory
+    assert V.read_snapshot(spark, root).count() == 22
+    assert V.read_snapshot(spark, root, version=2).count() == 15
+    # increments read ONLY the delta directories
+    inc = V.read_snapshot_increment(spark, root, since_version=1)
+    assert sorted(r.doc_id for r in inc.collect()) == list(range(10, 22))
+    inc2 = V.read_snapshot_increment(spark, root, 2, 3)
+    assert sorted(r.doc_id for r in inc2.collect()) == list(range(15, 22))
+    # since == to: empty with the right schema
+    assert V.read_snapshot_increment(spark, root, 3, 3).count() == 0
+
+
+def test_increment_across_reroot_raises(spark):
+    import pytest
+
+    root = tempfile.mkdtemp(prefix="corpus_ver_reroot_")
+    ids = lambda lo, hi: spark.range(lo, hi).select(  # noqa: E731
+        F.col("id").alias("doc_id")
+    )
+    V.write_snapshot(ids(0, 10), root)  # v1 full
+    V.append_snapshot(ids(10, 12), root)  # v2 append
+    V.write_snapshot(ids(0, 30), root)  # v3 FULL REWRITE (re-root)
+    V.append_snapshot(ids(30, 33), root)  # v4 append on the new root
+    # within the new chain: fine
+    assert V.read_snapshot_increment(spark, root, 3, 4).count() == 3
+    # across the re-root: a consumer at v2 must NOT get a silent delta
+    with pytest.raises(ValueError, match="re-rooted"):
+        V.read_snapshot_increment(spark, root, 2, 4)
+
+
+def test_append_without_root_is_a_full_snapshot(spark):
+    root = tempfile.mkdtemp(prefix="corpus_ver_seed_")
+    d = spark.range(7).select(F.col("id").alias("doc_id"))
+    assert V.append_snapshot(d, root) == 1
+    assert V.read_snapshot(spark, root).count() == 7
+
+
+def test_vacuum_keeps_chain_bases_of_kept_versions(spark, tmp_path):
+    root = str(tmp_path / "chainvac")
+    ids = lambda lo, hi: spark.range(lo, hi).select(  # noqa: E731
+        F.col("id").alias("doc_id")
+    )
+    V.write_snapshot(ids(0, 10), root)  # v1: base of the chain
+    V.append_snapshot(ids(10, 15), root)  # v2: chained to v1
+    V.append_snapshot(ids(15, 18), root)  # v3: chained to v2
+    # keep_last=1 keeps only v3 as a SNAPSHOT — but its data lives in
+    # v1+v2+v3, so nothing may be deleted
+    assert V.vacuum_snapshots(spark, root, keep_last=1) == []
+    assert V.read_snapshot(spark, root).count() == 18
+    # a full rewrite re-roots; now the old chain IS reclaimable
+    V.write_snapshot(ids(0, 20), root)  # v4 full
+    removed = V.vacuum_snapshots(spark, root, keep_last=1)
+    assert removed == [1, 2, 3]
+    assert V.read_snapshot(spark, root).count() == 20
