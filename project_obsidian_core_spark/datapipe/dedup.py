@@ -975,20 +975,34 @@ def prefix_filter_pairs(
     pre = ordered.select(
         "doc_id", "n", F.explode(F.expr("slice(osh, 1, cast(p as int))")).alias("tok")
     )
+    # Candidates come from PER-TOKEN BUCKETS (groupBy + in-array pair
+    # comprehension), not a prefix self-join: a self-join would compute
+    # the whole ordered-array build twice (scan + freq shuffle + rebuild
+    # shuffle per side — Spark's exchange reuse does not canonicalize the
+    # deduplicated branches; measured 4 exchanges at sf0.1), while the
+    # bucket fold computes it ONCE and shuffles only (tok, doc_id, n)
+    # rows.  Bucket sizes are bounded by the rarest-first ordering, so
+    # the in-bucket quadratic is the same work the join fan-out did.
+    t_sz = (
+        f"{threshold_ppm} * greatest(x.n, y.n) <= 1000000 * least(x.n, y.n)"
+    )
+    buckets = pre.groupBy("tok").agg(
+        F.collect_list(F.struct("doc_id", "n")).alias("ds")
+    )
     cand = (
-        pre.alias("a")
-        .join(
-            pre.alias("b"),
-            (F.col("a.tok") == F.col("b.tok"))
-            & (F.col("a.doc_id") < F.col("b.doc_id"))
-            & (
-                F.lit(threshold_ppm) * F.greatest("a.n", "b.n")
-                <= F.lit(1_000_000) * F.least("a.n", "b.n")
-            ),
+        buckets.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ds, (x, i) ->"
+                    "  filter(transform(slice(ds, i + 2, size(ds)), y ->"
+                    "    struct(least(x.doc_id, y.doc_id) AS doc_a,"
+                    "           greatest(x.doc_id, y.doc_id) AS doc_b,"
+                    "           x.n AS xn, y.n AS yn)),"
+                    f"   p -> {t_sz.replace('x.n', 'p.xn').replace('y.n', 'p.yn')})))"
+                )
+            ).alias("pr")
         )
-        .select(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
-        )
+        .select(F.col("pr.doc_a").alias("doc_a"), F.col("pr.doc_b").alias("doc_b"))
         .distinct()
     )
     x, y = t.alias("x"), t.alias("y")
