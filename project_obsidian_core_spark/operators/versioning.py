@@ -85,7 +85,9 @@ def _rename_overwrite(spark: SparkSession, src: str, dst: str) -> None:
     fc.rename(src_p, P(dst), opts)
 
 
-def _publish_version(df: DataFrame, root: str, base: int | None) -> int:
+def _publish_version(
+    df: DataFrame, root: str, base: int | None, epoch: int | None = None
+) -> int:
     """Shared write path: data files → manifest (optionally chained to
     ``base``) → atomic ``_LATEST`` rename. A crash before the rename
     leaves a dangling (unreferenced) version directory, never a corrupt
@@ -114,6 +116,10 @@ def _publish_version(df: DataFrame, root: str, base: int | None) -> int:
     manifest = {"version": version, "files": files, "n_rows": n_rows}
     if base is not None:
         manifest["base"] = base
+    if epoch is not None:
+        # writer-supplied commit marker (e.g. a streaming epoch id): lets a
+        # replayed foreachBatch recognize its own already-published batch
+        manifest["epoch"] = epoch
     _write_text(spark, f"{vdir}/{_MANIFEST}", json.dumps(manifest))
     tmp = f"{root}/.{_LATEST}.tmp.{version}"
     _write_text(spark, tmp, str(version))
@@ -149,6 +155,25 @@ def append_snapshot(df: DataFrame, root: str) -> int:
     spark = df.sparkSession
     latest = latest_version(root, spark)
     return _publish_version(df, root, base=latest if latest > 0 else None)
+
+
+def append_snapshot_once(df: DataFrame, root: str, epoch: int) -> int | None:
+    """Exactly-once append for streaming sinks: publish ``df`` chained to
+    the latest version UNLESS the latest version already carries this
+    ``epoch`` marker (a foreachBatch replay re-delivering its last
+    committed batch).  Returns the published version, or None when the
+    epoch was already committed.  Checking only the LATEST manifest
+    suffices: Structured Streaming replays at most the last uncommitted
+    epoch, never earlier ones."""
+    spark = df.sparkSession
+    latest = latest_version(root, spark)
+    if latest > 0:
+        man = _manifest(spark, root, latest)
+        if man is not None and man.get("epoch") == epoch:
+            return None
+    return _publish_version(
+        df, root, base=latest if latest > 0 else None, epoch=epoch
+    )
 
 
 def read_snapshot_increment(
