@@ -241,6 +241,7 @@ BENCH_QUERIES = [
     "knn_communities",        # deterministic label-propagation (3 rounds)
     "events_k_anonymity",     # QI-sparsity privacy risk report
     "stream_ks_test",         # streaming KS twin (drained state)
+    "events_discovery_timeline",  # exact running-distinct breakpoints
     # stream_cdc_merge is timed via _time_cdc_merge below (merge work
     # only): its checkpointed replay rewrites a bucketed parquet snapshot
     # per micro-batch (~12 s/run at sf0.1, >90% filesystem publish/rename

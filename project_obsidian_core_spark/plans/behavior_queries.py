@@ -173,3 +173,53 @@ FROM attributed
 GROUP BY channel
 ORDER BY channel
 """
+
+
+# --------------------------------------- A38: discovery timeline --------
+def events_discovery_timeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A38: per-user DISCOVERY order of event types — the running exact
+    count-distinct curve ("how fast do users reach their Nth distinct
+    action"), the activation metric behind feature-adoption funnels.
+
+    Exact running distinct is usually an O(state) window nightmare; the
+    fold here makes it two cheap exchanges: first occurrences collapse by
+    groupBy(user, type) -> min(struct(ts, event_id)) (map-side combined;
+    ties broken by event_id, so the fold is total-order deterministic),
+    then one row_number over the user partition ranks discoveries.  Rows
+    out = users x types they ever used — corpus-independent once the
+    group-by reduces.  The running-distinct value AT any timestamp is the
+    rank of the latest discovery <= t; emitting the curve's breakpoints
+    IS the curve.
+    """
+    ev = load(spark, sf_dir, "events")
+    first = ev.groupBy("user_id", "event_type").agg(
+        F.min(F.struct("ts", "event_id")).alias("f")
+    )
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("f.ts"), F.col("f.event_id")
+    )
+    return first.select(
+        "user_id",
+        "event_type",
+        F.col("f.ts").alias("first_ts"),
+        F.col("f.event_id").alias("first_event_id"),
+        F.row_number().over(w).alias("discovery_rank"),
+    ).orderBy("user_id", "discovery_rank")
+
+
+ORACLE_events_discovery_timeline = """
+WITH f AS (
+    SELECT user_id, event_type,
+           min(struct_pack(ts := ts, event_id := event_id)) AS fr
+    FROM events
+    GROUP BY user_id, event_type
+)
+SELECT user_id, event_type,
+       fr.ts AS first_ts,
+       fr.event_id AS first_event_id,
+       CAST(row_number() OVER (PARTITION BY user_id
+                               ORDER BY fr.ts, fr.event_id) AS INT)
+           AS discovery_rank
+FROM f
+ORDER BY user_id, discovery_rank
+"""

@@ -485,6 +485,12 @@ _ENTRIES: list[tuple[str, QueryFn, str | None]] = [
     # C23: streaming KS drift twin (drained complete-mode state; oracle =
     # the batch A35 SQL -> streaming<->batch equivalence)
     ("stream_ks_test", st.stream_ks_test, ax.ORACLE_events_ks_test),
+    # A38: per-user discovery timeline (exact running-distinct breakpoints)
+    (
+        "events_discovery_timeline",
+        bh.events_discovery_timeline,
+        bh.ORACLE_events_discovery_timeline,
+    ),
 ]
 
 # ----------------------------------------------------------------------
@@ -512,6 +518,7 @@ _GATE_PRIORITY: list[str] = [
     "knn_communities",
     "events_k_anonymity",
     "stream_ks_test",
+    "events_discovery_timeline",
     # -- (a) unrecorded: early round-8 additions ------------------------
     "events_interval_peak",
     "qan_anomaly_mad",
