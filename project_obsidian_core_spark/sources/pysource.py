@@ -18,7 +18,12 @@ from __future__ import annotations
 
 import hashlib
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    InputPartition,
+    SimpleDataSourceStreamReader,
+)
 from pyspark.sql import types as T
 
 FORMAT_NAME = "obsidian_crawl"
@@ -70,6 +75,9 @@ class CrawlShardSource(DataSource):
     def reader(self, schema):
         return CrawlShardReader(self.options)
 
+    def simpleStreamReader(self, schema):
+        return CrawlShardStreamReader(self.options)
+
 
 def register(spark) -> None:
     """Idempotent registration of the format with this session.
@@ -83,3 +91,52 @@ def register(spark) -> None:
     except Exception as exc:
         if "EXISTS" not in str(exc).upper():
             raise
+
+
+# ------------------------- R10: streaming Python DataSource (Spark 4) --
+class CrawlShardStreamReader(SimpleDataSourceStreamReader):
+    """Streaming side of the crawl source: each micro-batch emits the next
+    ``batch_docs`` documents until ``max_docs``, with the offset = the
+    document counter.
+
+    The exactly-once story is the part that carries to real connectors:
+    offsets are DURABLE PROGRESS (checkpointed by the engine), and
+    ``readBetweenOffsets`` re-derives a batch's rows deterministically
+    from its offset range — a restarted query replays its last
+    uncommitted batch bit-identically (rows are a pure function of
+    (seed, doc_id), the same property the batch reader's oracle uses).
+    A real deployment maps offsets to WARC byte ranges / Kafka offsets /
+    ingest-ledger sequence numbers; the replay contract is unchanged.
+    """
+
+    def __init__(self, options):
+        self.seed = options.get("seed", "crawl")
+        self.shards = int(options.get("shards", 8))
+        self.batch_docs = int(options.get("batch_docs", 32))
+        self.max_docs = int(options.get("max_docs", 128))
+
+    def initialOffset(self) -> dict:
+        return {"pos": 0}
+
+    def _rows(self, lo: int, hi: int) -> list:
+        # a LIST, not a generator: the engine pickles the prefetched batch
+        # to ship it to executors (generators fail planPartitions)
+        out = []
+        for doc_id in range(lo, hi):
+            did, _, text, h = _row(self.seed, doc_id)
+            out.append((did, did % self.shards, text, h))
+        return out
+
+    def read(self, start: dict):
+        # iter(list): the engine requires an ITERATOR (it calls next() to
+        # prefetch) that is also PICKLABLE (it ships the cached batch to
+        # executors) — a generator satisfies the first but not the second,
+        # a bare list the second but not the first; a list_iterator does both
+        pos = int(start["pos"])
+        if pos >= self.max_docs:
+            return iter([]), start  # drained: offset does not advance
+        end = min(pos + self.batch_docs, self.max_docs)
+        return iter(self._rows(pos, end)), {"pos": end}
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        return iter(self._rows(int(start["pos"]), int(end["pos"])))
