@@ -242,6 +242,7 @@ BENCH_QUERIES = [
     "events_k_anonymity",     # QI-sparsity privacy risk report
     "stream_ks_test",         # streaming KS twin (drained state)
     "events_discovery_timeline",  # exact running-distinct breakpoints
+    "dedup_prefix_clusters",  # provably complete near-dup clusters
     # stream_cdc_merge is timed via _time_cdc_merge below (merge work
     # only): its checkpointed replay rewrites a bucketed parquet snapshot
     # per micro-batch (~12 s/run at sf0.1, >90% filesystem publish/rename

@@ -1562,3 +1562,48 @@ WITH t AS (
 
 
 ORACLE_knn_communities = _lpa_oracle()
+
+
+# --------------------------- D17: exact-complete near-dup clusters --
+def dedup_prefix_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D17: PROVABLY COMPLETE near-dup clusters — the D16 prefix-filter
+    exact join supplies every pair >= t (no LSH recall loss), and the
+    min-label connected components fold (D6) closes them transitively.
+    End to end, the claim most dedup pipelines can't make: no qualifying
+    pair was missed, so no cluster was split.  The capstone composition
+    for exactness-critical dedup (license dedup, benchmark contamination
+    families)."""
+    pairs = D.prefix_filter_pairs(
+        load(spark, sf_dir, "documents"), threshold_ppm=PREFIX_T_PPM
+    ).select("doc_a", "doc_b")
+    return D.connected_components(pairs).orderBy("doc_id")
+
+
+def _prefix_clusters_oracle() -> str:
+    body = ORACLE_dedup_prefix_pairs
+    prefix, _, _ = body.partition("\nSELECT doc_a, doc_b, len(x.s)")
+    prefix = prefix.replace("WITH toks AS", "WITH RECURSIVE toks AS", 1)
+    t = PREFIX_T_PPM
+    return f"""{prefix},
+ver AS (
+    SELECT doc_a, doc_b
+    FROM cand JOIN sh x ON x.doc_id = doc_a JOIN sh y ON y.doc_id = doc_b
+    WHERE 1000000 * len(list_intersect(x.s, y.s))
+              // (len(x.s) + len(y.s) - len(list_intersect(x.s, y.s))) >= {t}
+), edges AS (
+    SELECT doc_a AS a, doc_b AS b FROM ver
+    UNION SELECT doc_b, doc_a FROM ver
+), cc(node, label) AS (
+    SELECT DISTINCT a AS node, a AS label FROM edges
+    UNION
+    SELECT e.a AS node, cc.label
+    FROM cc JOIN edges e ON cc.node = e.b
+    WHERE cc.label < e.a
+)
+SELECT node AS doc_id, min(label) AS cluster
+FROM cc GROUP BY node
+ORDER BY doc_id
+"""
+
+
+ORACLE_dedup_prefix_clusters = _prefix_clusters_oracle()

@@ -491,6 +491,12 @@ _ENTRIES: list[tuple[str, QueryFn, str | None]] = [
         bh.events_discovery_timeline,
         bh.ORACLE_events_discovery_timeline,
     ),
+    # D17: provably complete near-dup clusters (D16 edges + D6 closure)
+    (
+        "dedup_prefix_clusters",
+        d.dedup_prefix_clusters,
+        d.ORACLE_dedup_prefix_clusters,
+    ),
 ]
 
 # ----------------------------------------------------------------------
@@ -519,6 +525,7 @@ _GATE_PRIORITY: list[str] = [
     "events_k_anonymity",
     "stream_ks_test",
     "events_discovery_timeline",
+    "dedup_prefix_clusters",
     # -- (a) unrecorded: early round-8 additions ------------------------
     "events_interval_peak",
     "qan_anomaly_mad",

@@ -106,3 +106,28 @@ def test_size_filter_never_drops_a_true_pair(spark):
     )
     got = prefix_filter_pairs(docs, threshold_ppm=600_000).collect()
     assert len(got) == 1 and got[0].j_ppm == 600_000
+
+
+def test_prefix_clusters_close_transitively(spark):
+    from project_obsidian_core_spark.datapipe.dedup import (
+        connected_components,
+        prefix_filter_pairs,
+    )
+
+    # 1~2 and 2~3 score 5/7 ~= 0.714 but 1~3 only 4/8 = 0.5: at t=0.6 the
+    # direct (1,3) edge is absent, so the cluster must close transitively
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e f g h"),
+            (2, "a b c d e f g x"),
+            (3, "y b c d e f g x"),
+            (4, "p q r s t u v w"),
+        ],
+        ["doc_id", "text"],
+    )
+    pairs = prefix_filter_pairs(docs, threshold_ppm=600_000).select(
+        "doc_a", "doc_b"
+    )
+    got = {r.doc_id: r.cluster for r in connected_components(pairs).collect()}
+    assert got.get(1) == got.get(2) == got.get(3) == 1
+    assert 4 not in got  # no qualifying edge -> not in any cluster
