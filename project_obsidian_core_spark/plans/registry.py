@@ -504,7 +504,7 @@ _ENTRIES: list[tuple[str, QueryFn, str | None]] = [
 # Invariant (pinned by tests/test_registry_gate.py): every query with NO
 # official green row yet MUST lead the gate — a tail slot can never earn
 # one.  This round that is the round-8 additions (early block, R8b block,
-# and the 9 late-session operators) = 35 leading slots.  The remaining 15
+# and the late-session operators) = 37 leading slots.  The remaining 13
 # slots re-record the oldest-green (r05) cohort — the r7 verdict's
 # rotation ask, partially: with the new queries the full 44-query cohort
 # no longer fits, so 20 members whose code paths are exercised by other
