@@ -359,3 +359,20 @@ def table_fingerprint(
         F.min("_h").alias("min_hash"),
         F.max("_h").alias("max_hash"),
     )
+
+
+def compact_chain(spark: SparkSession, root: str) -> int:
+    """B7: re-root an append chain — one full rewrite of the current
+    snapshot published as a FULL version (no ``base`` pointer), after
+    which every pre-compaction directory is reclaimable by
+    :func:`vacuum_snapshots` and the read-side chain walk resets to
+    O(1) manifests.
+
+    The amortization contract mirrors MOR compaction (operators/merge.py):
+    appends stay O(batch) forever, and the full-rewrite cost is paid once
+    per compaction cycle instead of per publish.  Incremental consumers
+    (:func:`read_snapshot_increment`) whose cursor predates the re-root
+    get the documented ValueError and fall back to a full re-read — the
+    same contract as a Kafka topic compaction crossing their offset.
+    """
+    return write_snapshot(read_snapshot(spark, root), root)

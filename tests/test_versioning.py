@@ -233,3 +233,22 @@ def test_vacuum_keeps_chain_bases_of_kept_versions(spark, tmp_path):
     removed = V.vacuum_snapshots(spark, root, keep_last=1)
     assert removed == [1, 2, 3]
     assert V.read_snapshot(spark, root).count() == 20
+
+
+def test_compact_chain_reroots_and_frees_history(spark, tmp_path):
+    root = str(tmp_path / "compact")
+    ids = lambda lo, hi: spark.range(lo, hi).select(  # noqa: E731
+        F.col("id").alias("doc_id")
+    )
+    V.write_snapshot(ids(0, 10), root)
+    V.append_snapshot(ids(10, 15), root)
+    V.append_snapshot(ids(15, 18), root)
+    v = V.compact_chain(spark, root)
+    assert v == 4
+    assert V.read_snapshot(spark, root).count() == 18
+    # the old chain is now reclaimable
+    assert V.vacuum_snapshots(spark, root, keep_last=1) == [1, 2, 3]
+    assert V.read_snapshot(spark, root).count() == 18
+    # appends resume on the new root; increments work within it
+    V.append_snapshot(ids(18, 20), root)
+    assert V.read_snapshot_increment(spark, root, v).count() == 2
