@@ -1124,8 +1124,21 @@ ORACLE_knn_pagerank = _pagerank_oracle()
 def corpus_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Posting-list index build over documents (text.inverted_index):
     per term its doc_freq, total_tf, and first-20 doc_id postings — the
-    retrieval-side primitive behind the tfidf ranking view."""
-    return T.inverted_index(load(spark, sf_dir, "documents")).orderBy("term")
+    retrieval-side primitive behind the tfidf ranking view.
+
+    The library API (:func:`datapipe.text.inverted_index`) returns
+    ``postings`` as ``array<bigint>``; the GATE query serializes it to a
+    comma-joined string because the driver harness canonicalizes rows
+    via pandas hashing, which cannot hash list cells (the r08 row
+    errored with ``unhashable type: 'list'`` despite bit-exact values).
+    """
+    idx = T.inverted_index(load(spark, sf_dir, "documents"))
+    return idx.select(
+        "term",
+        "doc_freq",
+        "total_tf",
+        F.array_join("postings", ",").alias("postings"),
+    ).orderBy("term")
 
 
 ORACLE_corpus_inverted_index = f"""
@@ -1143,7 +1156,8 @@ WITH pairs AS (
            row_number() OVER (PARTITION BY term ORDER BY doc_id) AS rn
     FROM tf
 ), posts AS (
-    SELECT term, list(doc_id ORDER BY doc_id) AS postings
+    SELECT term, string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id)
+               AS postings
     FROM capped WHERE rn <= {T.POSTINGS_CAP} GROUP BY 1
 )
 SELECT stats.term, doc_freq, total_tf, postings

@@ -5,19 +5,17 @@ driver records per-name correctness, so renames lose history.
 
 ORDERING CONTRACT: the driver correctness gate records the FIRST 50
 entries only (CORRECTNESS_r02.json stopped at slot 50).  Entries are
-therefore ordered by gate priority, not by theme.  The standing rule
-(re-derived every round; see the `_GATE_PRIORITY` block comment for the
-current round's concrete rotation):
+therefore ordered by gate priority, not by theme.  The standing rule:
 
   1. Queries with no official green row yet MUST lead — a tail slot can
      never earn one (pinned by tests/test_registry_gate.py).
   2. The remaining window slots re-record the queries whose newest
      official green row is OLDEST, so no row ages indefinitely.
-  3. Cohort members that no longer fit are listed directly after the
-     window so they lead the next round's rebuild.
 
-The rotation is applied by the `_GATE_PRIORITY` stable sort at the
-bottom of this module, so `_ENTRIES` itself stays grouped by theme.
+Since round 9 the rotation is COMPUTED from the committed
+CORRECTNESS_r*.json artifacts (see the sort at the bottom of this
+module), so `_ENTRIES` itself stays grouped by theme and the order can
+never go stale mid-round.
 All registered queries pass the identical oracle locally
 (`scripts/oracle_check.py`, bit-EXACT) regardless of position.
 """
@@ -500,112 +498,54 @@ _ENTRIES: list[tuple[str, QueryFn, str | None]] = [
 ]
 
 # ----------------------------------------------------------------------
-# Gate rotation (round 8): the driver records only the first 50 entries.
-# Invariant (pinned by tests/test_registry_gate.py): every query with NO
-# official green row yet MUST lead the gate — a tail slot can never earn
-# one.  This round that is the round-8 additions (early block, R8b block,
-# and the late-session operators) = 37 leading slots.  The remaining 13
-# slots re-record the oldest-green (r05) cohort — the r7 verdict's
-# rotation ask, partially: with the new queries the full 44-query cohort
-# no longer fits, so 20 members whose code paths are exercised by other
-# green rows (the TPC-H relational shapes covered by the r06/r07
-# relational records, and the two availableNow replay twins whose
-# harness stream_ohlc/stream_chunk re-exercise) wait for round 9, listed
-# right after the window so they lead r9's rebuild.  Everything else
-# keeps its relative order at the tail (stable sort).
-_GATE_PRIORITY: list[str] = [
-    # -- (a0) unrecorded: this session's additions ----------------------
-    "dedup_prefix_pairs",
-    "events_ks_test",
-    "orders_bloom_join",
-    "metric_trend_slope",
-    "knn_rp_recall",
-    "metric_corr_matrix",
-    "knn_communities",
-    "events_k_anonymity",
-    "stream_ks_test",
-    "events_discovery_timeline",
-    "dedup_prefix_clusters",
-    # -- (a) unrecorded: early round-8 additions ------------------------
-    "events_interval_peak",
-    "qan_anomaly_mad",
-    "corpus_inverted_index",
-    "customer_entity_match",
-    "corpus_decontaminate_embedding",
-    "part_pareto_frontier",
-    # -- (a') unrecorded: late round-8 (R8b) operators ------------------
-    "orders_bucketed_join",
-    "metric_ohlc",
-    "stream_ohlc",
-    "events_heavy_hitters",
-    "knn_triangles",
-    "orders_profile",
-    "events_attribution",
-    "events_interval_merge",
-    "orders_checksum",
-    "lineitem_weighted_median",
-    "events_chisq",
-    "orders_mor_merge",
-    "orders_drift_psi",
-    "events_skew_report",
-    "metric_seasonal_outliers",
-    "orc_ingest",
-    "knn_recall_report",
-    "dedup_recall_report",
-    "qan_burn_rate",
-    "qan_top_digests_other",
-    # -- (b) r05 cohort (newest official row is r05): the first 15 fit
-    # the window this round; the rest spill past slot 50 and lead r9
-    # together with block (c) ------------------------------------------
-    "corpus_pack",
-    "corpus_sample",
-    "corpus_split",
-    "corpus_stratified_sample",
-    "corpus_weighted_sample",
-    "events_sliding_active_users",
-    "media_frame_sample",
-    "media_resample_audio",
-    "media_resize",
-    "metric_time_weighted_avg",
-    "orders_asof_snapshot",
-    "orders_cdc_merge",
-    "orders_scd2",
-    "prepare_training_set",
-    "prepare_training_set_v2",
-    "session_window_stats",
-    "sessionize_events",
-    "sessionize_presplit_events",
-    "stream_enrich_events",
-    "stream_quality_filter",
-    "stream_sliding_active_users",
-    "text_repetition_stats",
-    "text_surprisal",
-    "vocab_build",
-    # -- (c) r05 cohort members deferred to lead round 9 ----------------
-    "corpus_tile_dedup",
-    "pii_scan_redact",
-    "csv_ingest",
-    "media_features",
-    "knn_pagerank",
-    "dedup_containment_pairs",
-    "knn_pq_adc",
-    "customer_order_distribution",
-    "customer_trailing_revenue",
-    "dormant_customers",
-    "large_order_customers",
-    "late_shipment_orders",
-    "nation_market_share",
-    "nation_trade_volume",
-    "promo_revenue",
-    "returned_item_customers",
-    "small_quantity_revenue",
-    "top_supplier_revenue",
-    "stream_rollup_minute",
-    "stream_top_digests",
-]
+# Gate rotation — DERIVED, not hardcoded (round 9).  The driver records
+# only the first 50 entries, so ordering is load-bearing.  Earlier rounds
+# hand-maintained `_GATE_PRIORITY` and the list went stale the moment the
+# driver wrote the round's CORRECTNESS file (the r8 358/359 pytest red).
+# Now the priority is computed from the same committed artifacts the
+# invariant tests police:
+#
+#   1. Queries with NO green row in any CORRECTNESS_r*.json lead, in
+#      registration order — a tail slot can never earn a first row.
+#   2. Everything else is ordered by its NEWEST green round ascending
+#      (stalest rows rotate back into the window first), registration
+#      order as the tiebreak.
+#
+# When the driver lands a new CORRECTNESS file the order self-rotates for
+# the next round; no mid-round hand edit, nothing to go stale.
 
-_PRIO = {name: rank for rank, name in enumerate(_GATE_PRIORITY)}
-_ENTRIES.sort(key=lambda entry: _PRIO.get(entry[0], len(_GATE_PRIORITY)))
+import glob as _glob
+import json as _json
+import os as _os
 
+_REPO_ROOT = _os.path.dirname(
+    _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
+)
+
+
+def _newest_green_round() -> dict[str, int]:
+    """query name -> newest round with an official green (hash-match,
+    no-err) row, read from the committed driver artifacts."""
+    newest: dict[str, int] = {}
+    for path in _glob.glob(_os.path.join(_REPO_ROOT, "CORRECTNESS_r*.json")):
+        try:
+            rnd = int(_os.path.basename(path).split("_r")[1].split(".")[0])
+            rows = _json.load(open(path))
+        except (ValueError, OSError, _json.JSONDecodeError):
+            continue
+        for name, row in rows.items():
+            if row.get("hash_match") and not row.get("err"):
+                newest[name] = max(newest.get(name, 0), rnd)
+    return newest
+
+
+_NEWEST_GREEN = _newest_green_round()
+_REG_ORDER = {name: i for i, (name, _, _) in enumerate(_ENTRIES)}
+_ENTRIES.sort(
+    key=lambda entry: (
+        _NEWEST_GREEN.get(entry[0], 0),  # unrecorded (0) first, then stalest
+        _REG_ORDER[entry[0]],
+    )
+)
 QUERIES: dict[str, QueryFn] = {name: fn for name, fn, _ in _ENTRIES}
 ORACLES: dict[str, str] = {name: sql for name, _, sql in _ENTRIES if sql is not None}
