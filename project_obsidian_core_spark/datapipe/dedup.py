@@ -333,7 +333,7 @@ def minhash_candidates_incremental(
         .distinct()
     )
     sh = sigs.select("doc_id", "sh")
-    return (
+    out = (
         cand.join(
             sh.withColumnRenamed("doc_id", "doc_new").withColumnRenamed("sh", "sh_a"),
             "doc_new",
@@ -351,6 +351,13 @@ def minhash_candidates_incremental(
             ).alias("jaccard"),
         )
     )
+    # the persisted signature relation would otherwise outlive the call:
+    # the streaming ingest sink invokes this once per micro-batch with a
+    # fresh plan each time (the corpus chain grows), so cached entries
+    # accumulate for the life of the query without this release
+    from project_obsidian_core_spark.functions.cache import release_after
+
+    return release_after(out, sigs)
 
 
 # ----------------------------------------------------------------- simhash

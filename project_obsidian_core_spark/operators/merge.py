@@ -441,7 +441,12 @@ def append_mor_delta(changes: DataFrame, path: str, seq: int) -> None:
     changes.write.mode("overwrite").parquet(f"{path}/deltas/seq={seq}")
 
 
-def read_mor(spark, path: str, keys: Sequence[str]) -> DataFrame:
+def read_mor(
+    spark,
+    path: str,
+    keys: Sequence[str],
+    order_col: str | None = None,
+) -> DataFrame:
     """Merge-on-read reconstruction: the OTHER side of the lakehouse
     write/read amortization from ``merge_into_partitioned`` (Hudi MOR /
     Iceberg v2 delete-file reads vs copy-on-write).  CoW pays the rewrite
@@ -449,8 +454,12 @@ def read_mor(spark, path: str, keys: Sequence[str]) -> DataFrame:
     (``append_mor_delta``) and reconstructs at read time:
 
     - per key, the LATEST delta row across all batches wins (row_number
-      over (key) ordered by (seq DESC, op) — op as deterministic
-      tiebreak if a batch carries duplicate keys);
+      over (key) ordered by seq DESC, then — like ``merge_upsert`` —
+      ``order_col`` DESC when a batch can carry duplicate keys (a CDC
+      log offset within the micro-batch), then op DESC so an update
+      beats a same-key insert instead of the reverse; without an
+      ``order_col`` two same-op rows for one key in one batch have no
+      defined order, so land key-unique batches or pass the column);
     - base rows whose key was ever touched are anti-joined away (the
       touched-key set is delta-sized → broadcast; the base is scanned
       once and NEVER shuffled);
@@ -472,7 +481,11 @@ def read_mor(spark, path: str, keys: Sequence[str]) -> DataFrame:
     deltas = spark.read.option("basePath", f"{path}/deltas").parquet(
         f"{path}/deltas"
     )
-    w = Window.partitionBy(*keyl).orderBy(F.col("seq").desc(), F.col("op"))
+    order = [F.col("seq").desc()]
+    if order_col is not None:
+        order.append(F.col(order_col).desc())
+    order.append(F.col("op").desc())
+    w = Window.partitionBy(*keyl).orderBy(*order)
     latest = (
         deltas.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") == 1)
@@ -481,6 +494,10 @@ def read_mor(spark, path: str, keys: Sequence[str]) -> DataFrame:
     touched = latest.select(*keyl)
     kept = base.join(F.broadcast(touched), keyl, "left_anti")
     live = latest.filter(F.col("op") != OP_DELETE).drop("op", "seq")
+    if order_col is not None and order_col not in base.columns:
+        # batch-only sequencing column (CDC log offset): not part of the
+        # reconstructed table shape
+        live = live.drop(order_col)
     return kept.unionByName(live)
 
 

@@ -28,9 +28,31 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from project_obsidian_core_spark.datapipe.dedup import (
+    minhash_candidates,
     minhash_candidates_incremental,
 )
 from project_obsidian_core_spark.operators import versioning as V
+
+
+def dedup_within_batch(
+    batch: DataFrame, threshold: float = 0.9
+) -> DataFrame:
+    """Near-dup collapse INSIDE one micro-batch: the min doc_id of each
+    qualifying pair survives, the other side is dropped.
+
+    Without this step, near-duplicates that ARRIVE TOGETHER both clear
+    the new-vs-corpus anti-join (``minhash_candidates_incremental``
+    pairs only new against existing) and enter the versioned corpus
+    permanently — and the bootstrap batch (empty corpus) skipped dedup
+    entirely. Batch-sized quadratic at worst, LSH-bounded like every
+    other candidate join here."""
+    losers = (
+        minhash_candidates(batch.select("doc_id", "text"))
+        .filter(F.col("jaccard") >= threshold)
+        .select(F.col("doc_b").alias("doc_id"))
+        .distinct()
+    )
+    return batch.join(losers, "doc_id", "left_anti")
 
 
 def survivors_vs_corpus(
@@ -55,6 +77,7 @@ def dedup_ingest_sink(spark: SparkSession, root: str, threshold: float = 0.9):
     corpus at ``root`` with corpus-dedup on the way in."""
 
     def sink(batch: DataFrame, epoch_id: int) -> None:
+        batch = dedup_within_batch(batch, threshold)
         if V.latest_version(root, spark) > 0:
             corpus = V.read_snapshot(spark, root)
             keep = survivors_vs_corpus(corpus, batch, threshold)

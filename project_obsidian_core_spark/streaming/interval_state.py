@@ -53,10 +53,15 @@ STATE_SCHEMA = T.StructType(
 )
 
 
-def output_schema(key_cols: Sequence[str]) -> T.StructType:
+def output_schema(key_fields: Sequence[T.StructField]) -> T.StructType:
+    """Emitted-row schema. Key field TYPES are taken from the input
+    relation (``streaming_islands`` passes ``stream.schema[k]``): the
+    fold copies key values through verbatim, so declaring them all as
+    strings would fail Arrow conversion the moment a group key is, say,
+    a long host_id."""
     return T.StructType(
         [
-            *[T.StructField(k, T.StringType()) for k in key_cols],
+            *[T.StructField(f.name, f.dataType) for f in key_fields],
             T.StructField("island_start_us", T.LongType()),
             T.StructField("island_end_us", T.LongType()),
             T.StructField("n_intervals", T.LongType()),
@@ -169,7 +174,7 @@ def streaming_islands(
     source) closed islands leave state — the unbounded-stream mode."""
     return stream.groupBy(*key_cols).applyInPandasWithState(
         make_islands_fn(key_cols, evict=evict),
-        outputStructType=output_schema(key_cols),
+        outputStructType=output_schema([stream.schema[k] for k in key_cols]),
         stateStructType=STATE_SCHEMA,
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,

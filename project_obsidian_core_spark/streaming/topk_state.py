@@ -127,9 +127,13 @@ def streaming_topk(
     capacity: int = 64,
 ) -> DataFrame:
     """Wire Space-Saving over a streaming DataFrame. ``capacity`` is per
-    shard; a key with global frequency > n/(n_shards·capacity) is
-    guaranteed present in its shard's summary (pigeonhole within the
-    shard it hashes to)."""
+    shard, and so is the guarantee: a key is guaranteed present in its
+    shard's summary iff its count exceeds n_shard/capacity, where
+    n_shard is the number of rows THAT SHARD received (the classic
+    Space-Saving pigeonhole). Hash-sharding makes n_shard ≈ n/n_shards
+    only when key mass is spread; a skewed shard weakens its own bound
+    (never the other shards'), so size ``capacity`` for the largest
+    shard you expect, not the average."""
     sharded = stream.select(
         (F.abs(F.xxhash64(F.col(key_col))) % n_shards)
         .cast("int")

@@ -48,6 +48,39 @@ def test_stream_replay_equals_batch_loop(spark):
     assert V.latest_version(root) == 3
 
 
+def test_within_batch_duplicates_collapse(spark):
+    """Near-dups arriving in the SAME micro-batch keep only the min
+    doc_id — including on the bootstrap batch, which previously bypassed
+    dedup entirely (empty corpus => keep=batch)."""
+    tmp = tempfile.mkdtemp(prefix="ingest_intra_")
+    root = f"{tmp}/corpus"
+    sink = IS.dedup_ingest_sink(spark, root)
+    # bootstrap batch carries an internal near-dup pair (5, 9)
+    b0 = spark.createDataFrame(
+        [
+            (9, "the quick brown fox jumps over the lazy dog today"),
+            (5, "the quick brown fox jumps over the lazy dog today"),
+            (7, "a totally unrelated document about streaming sinks"),
+        ],
+        ["doc_id", "text"],
+    )
+    sink(b0, epoch_id=0)
+    got = sorted(r.doc_id for r in V.read_snapshot(spark, root).collect())
+    assert got == [5, 7]
+    # later batch: intra-batch pair (30, 31) collapses to 30, which is
+    # itself novel vs the corpus and survives
+    b1 = spark.createDataFrame(
+        [
+            (31, "completely fresh second batch text with new words"),
+            (30, "completely fresh second batch text with new words"),
+        ],
+        ["doc_id", "text"],
+    )
+    sink(b1, epoch_id=1)
+    got = sorted(r.doc_id for r in V.read_snapshot(spark, root).collect())
+    assert got == [5, 7, 30]
+
+
 def test_epoch_replay_is_skipped(spark):
     tmp = tempfile.mkdtemp(prefix="ingest_once_")
     root = f"{tmp}/corpus"

@@ -407,6 +407,56 @@ def test_mor_latest_batch_wins_and_deletes_fold(spark, tmp_path):
     assert got == {1: "a2", 2: "b2", 3: "c"}
 
 
+def test_mor_intra_batch_order_col(spark, tmp_path):
+    """A micro-batch carrying several rows for one key folds by the CDC
+    log offset when ``order_col`` is given: the highest-offset row wins
+    (two same-op updates are no longer an arbitrary pick, and a later
+    update beats an earlier insert). The offset column is batch-only
+    bookkeeping and must not leak into the reconstructed table."""
+    from project_obsidian_core_spark.operators.merge import (
+        append_mor_delta,
+        read_mor,
+        write_mor_base,
+    )
+
+    path = str(tmp_path / "mor_ord")
+    base = spark.createDataFrame([(1, "a")], "k long, v string")
+    write_mor_base(base, path)
+    batch = spark.createDataFrame(
+        [
+            (1, "u_first", "U", 10),
+            (1, "u_last", "U", 30),   # two same-op rows: offset decides
+            (2, "inserted", "I", 11),
+            (2, "updated", "U", 12),  # later update beats the insert
+        ],
+        "k long, v string, op string, off long",
+    )
+    append_mor_delta(batch, path, seq=1)
+    out = read_mor(spark, path, keys=["k"], order_col="off")
+    assert out.columns == ["k", "v"]
+    got = {r["k"]: r["v"] for r in out.collect()}
+    assert got == {1: "u_last", 2: "updated"}
+
+
+def test_mor_op_tiebreak_prefers_update_without_order_col(spark, tmp_path):
+    """Without an order_col a duplicate-key batch falls back to op DESC:
+    U > I > D, so an update is never shadowed by a same-key insert."""
+    from project_obsidian_core_spark.operators.merge import (
+        append_mor_delta,
+        read_mor,
+        write_mor_base,
+    )
+
+    path = str(tmp_path / "mor_tie")
+    write_mor_base(spark.createDataFrame([(9, "x")], "k long, v string"), path)
+    batch = spark.createDataFrame(
+        [(9, "ins", "I"), (9, "upd", "U")], "k long, v string, op string"
+    )
+    append_mor_delta(batch, path, seq=1)
+    got = {r["k"]: r["v"] for r in read_mor(spark, path, keys=["k"]).collect()}
+    assert got == {9: "upd"}
+
+
 def test_mor_base_side_is_never_shuffled(spark, tmp_path):
     from project_obsidian_core_spark.operators.merge import (
         append_mor_delta,

@@ -111,6 +111,38 @@ def test_shuffled_replay_matches_batch(spark, tmp_path):
     assert got == truth
 
 
+def test_non_string_group_key(spark, tmp_path):
+    """The emitted schema takes key field types from the input relation:
+    grouping by a LONG host_id must round-trip, not die in Arrow
+    conversion against a hardcoded string field."""
+    src = str(tmp_path / "src")
+    spark.createDataFrame(
+        [(7, 0, 600_000_000), (7, 540_000_000, 900_000_000), (8, 0, 60_000_000)],
+        "host_id long, start_us long, end_us long",
+    ).coalesce(1).write.parquet(src)
+    stream = (
+        spark.readStream.schema("host_id long, start_us long, end_us long")
+        .parquet(src)
+    )
+    out = streaming_islands(stream, ["host_id"])
+    assert out.schema["host_id"].dataType.simpleString() == "bigint"
+    q = (
+        out.writeStream.format("memory")
+        .queryName("islands_longkey")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    q.awaitTermination()
+    got = sorted(
+        (r["host_id"], r["island_start_us"], r["island_end_us"], r["n_intervals"])
+        for r in spark.table("islands_longkey").collect()
+    )
+    assert got == [(7, 0, 900_000_000, 2), (8, 0, 60_000_000, 1)]
+
+
 def test_watermark_eviction_finals_plus_live_equal_batch(spark, tmp_path):
     from pyspark.sql import functions as F
 
