@@ -863,7 +863,10 @@ def embedding_lsh_pairs(
 
 # ------------------------------------------------------- LSH recall audit --
 def lsh_recall(
-    df: DataFrame, text_col: str = "text", threshold: float = 0.1
+    df: DataFrame,
+    text_col: str = "text",
+    threshold: float = 0.1,
+    max_eval: int = 1000,
 ) -> DataFrame:
     """Sampled recall audit of MinHash-LSH candidate generation against
     the EXACT all-pairs ground truth — the companion measurement to the
@@ -878,7 +881,22 @@ def lsh_recall(
     exact-verified (minhash_candidates attaches true Jaccard), so found
     ⊆ truth and the report is pure counting: one row,
     (n_truth, n_found, n_missed, recall_ppm), all exact ints.
+
+    ``max_eval`` is the operator-level guard the other quadratic-prone
+    operators here already carry (``max_bucket`` / ``max_block`` /
+    ``check_capacity``): the audit RAISES rather than silently running
+    an all-pairs join over an unbounded corpus a caller forgot to
+    sample. Pass a larger value deliberately if you mean it.
     """
+    n_docs = df.count()
+    if max_eval is not None and n_docs > max_eval:
+        raise ValueError(
+            f"lsh_recall: {n_docs} documents exceeds max_eval={max_eval}; "
+            "the exact all-pairs truth join is quadratic. Audit a sampled "
+            "slice instead (e.g. df.filter(...) / df.sample(...) down to "
+            "~10^3 docs, trending recall_ppm per batch), or raise "
+            "max_eval explicitly if the quadratic is intended."
+        )
     sh = df.select("doc_id", shingle_set(text_col).alias("sh"))
     a, b = sh.alias("a"), sh.alias("b")
     inter = F.size(F.array_intersect(F.col("a.sh"), F.col("b.sh")))

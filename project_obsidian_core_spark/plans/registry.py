@@ -353,7 +353,7 @@ _ENTRIES: list[tuple[str, QueryFn, str | None]] = [
     (
         "dedup_ngram_pairs_hashed",
         d.dedup_ngram_pairs_hashed,
-        d.ORACLE_dedup_ngram_pairs,
+        d.ORACLE_dedup_ngram_pairs_full,
     ),
     # Round-7: stateless streaming chunking twin (same oracle as batch)
     ("stream_chunk", st.stream_chunk, pl.ORACLE_corpus_chunk),

@@ -205,3 +205,19 @@ def test_canonical_keeper_is_max_quality_member(spark, sf_dir):
         best = min(docs, key=lambda d: (int((1.0 - q[d]) * 1e9), d))
         assert canon[cluster]["keeper_doc_id"] == best
         assert canon[cluster]["n_members"] == len(docs)
+
+
+def test_lsh_recall_guard_raises_past_max_eval(spark):
+    """The recall audit is operator-bounded, not caller-bounded: an
+    unsampled corpus above max_eval raises instead of broadcasting into
+    an all-pairs quadratic (same raising-guard contract as max_bucket /
+    max_block)."""
+    docs = spark.range(12).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("unique doc body number "), F.col("id")).alias("text"),
+    )
+    with pytest.raises(ValueError, match="max_eval"):
+        D.lsh_recall(docs, max_eval=10)
+    # at or under the cap the audit runs and returns its one exact row
+    row = D.lsh_recall(docs, max_eval=12).collect()[0]
+    assert row["n_truth"] == row["n_found"] + row["n_missed"]
