@@ -243,6 +243,8 @@ BENCH_QUERIES = [
     "knn_communities",        # deterministic label-propagation (3 rounds)
     "events_k_anonymity",     # QI-sparsity privacy risk report
     "stream_ks_test",         # streaming KS twin (drained state)
+    "stream_discovery_timeline",  # T17 drained discovery state (r9)
+    "stream_islands",         # T13 drained island state (r9)
     "events_discovery_timeline",  # exact running-distinct breakpoints
     "dedup_prefix_clusters",  # provably complete near-dup clusters
     # stream_cdc_merge is timed via _time_cdc_merge below (merge work

@@ -483,6 +483,20 @@ _ENTRIES: list[tuple[str, QueryFn, str | None]] = [
     # C23: streaming KS drift twin (drained complete-mode state; oracle =
     # the batch A35 SQL -> streaming<->batch equivalence)
     ("stream_ks_test", st.stream_ks_test, ax.ORACLE_events_ks_test),
+    # T17 live twin: drained superseding-versioned discovery state must
+    # equal the batch A38 plan (streaming <-> batch equivalence)
+    (
+        "stream_discovery_timeline",
+        st.stream_discovery_timeline,
+        bh.ORACLE_events_discovery_timeline,
+    ),
+    # T13 live twin: drained canonical island state vs the batch A29
+    # sweep — arrival-order independence of the interval splice
+    (
+        "stream_islands",
+        st.stream_islands,
+        ax.ORACLE_events_interval_merge,
+    ),
     # A38: per-user discovery timeline (exact running-distinct breakpoints)
     (
         "events_discovery_timeline",

@@ -857,3 +857,138 @@ def stream_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# ----------------------------------- T17: streaming discovery timeline --
+def stream_discovery_timeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A38 served LIVE: replay events through the stateful per-user
+    discovery fold (streaming/discovery_state.py) and read the timeline
+    off the drained state — must match the batch
+    ``events_discovery_timeline`` oracle bit-exact.
+
+    The emission contract is superseding versioned sets (an out-of-order
+    batch carrying an EARLIER first occurrence retroactively reshuffles a
+    user's whole rank order, so per-user the fold re-emits the full
+    timeline with a higher version); the drained read takes each user's
+    max-version rows — the same reader contract as the islands/top-k
+    state operators. State is one (type, ts, id) triple per type a user
+    ever used, independent of event volume.
+    """
+    from project_obsidian_core_spark.streaming.discovery_state import (
+        streaming_discovery,
+    )
+
+    run = next(_RUN_IDS)
+    src = _events_src(spark, sf_dir, run)
+    schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "4")
+        .parquet(src)
+    )
+    out = streaming_discovery(
+        stream.select("user_id", "event_type", "ts", "event_id")
+    )
+    name = f"stream_discovery_{run}"
+    tmp = tempfile.mkdtemp(prefix=f"obsidian_disc_{run}_")
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            out.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .option("checkpointLocation", f"{tmp}/ckpt")
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+
+    from pyspark.sql import Window
+
+    emitted = spark.table(name)
+    wmax = Window.partitionBy("user_id")
+    latest = emitted.withColumn(
+        "_vmax", F.max("version").over(wmax)
+    ).filter(F.col("version") == F.col("_vmax"))
+    return latest.select(
+        "user_id",
+        "event_type",
+        F.timestamp_micros("first_ts_us").alias("first_ts"),
+        "first_event_id",
+        "discovery_rank",
+    ).orderBy("user_id", "discovery_rank")
+
+
+# --------------------------------------- T13: streaming interval islands --
+def stream_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A29 served LIVE: the same synthesized per-type intervals as the
+    batch ``events_interval_merge``, folded by the stateful island
+    splice (streaming/interval_state.py) — must match the batch oracle
+    bit-exact, pinning that the canonical island set is arrival-order
+    independent (any interval permutation splices to the same cover).
+
+    Drained read = max-version rows per type (no eviction here: the
+    replay is unwatermarked, so every island is still live state). The
+    batch output's island_id / covered_us are derived from the drained
+    bounds — id by start order, coverage = span — because the state
+    operator keeps only the canonical (start, end, n) triples.
+    """
+    from project_obsidian_core_spark.streaming.interval_state import (
+        streaming_islands,
+    )
+
+    run = next(_RUN_IDS)
+    src = _events_src(spark, sf_dir, run)
+    schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "4")
+        .parquet(src)
+    )
+    iv = stream.select(
+        "event_type",
+        F.unix_micros("ts").alias("start_us"),
+        (
+            F.unix_micros("ts")
+            + (F.floor("value").cast("long") + 1) * F.lit(60_000_000)
+        ).alias("end_us"),
+    )
+    out = streaming_islands(iv, ["event_type"])
+    name = f"stream_islands_{run}"
+    tmp = tempfile.mkdtemp(prefix=f"obsidian_isl_{run}_")
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            out.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .option("checkpointLocation", f"{tmp}/ckpt")
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+
+    from pyspark.sql import Window
+
+    emitted = spark.table(name)
+    wmax = Window.partitionBy("event_type")
+    latest = emitted.withColumn(
+        "_vmax", F.max("version").over(wmax)
+    ).filter(F.col("version") == F.col("_vmax"))
+    wid = Window.partitionBy("event_type").orderBy("island_start_us")
+    return latest.select(
+        "event_type",
+        F.row_number().over(wid).cast("long").alias("island_id"),
+        F.timestamp_micros("island_start_us").alias("island_start"),
+        F.timestamp_micros("island_end_us").alias("island_end"),
+        "n_intervals",
+        (F.col("island_end_us") - F.col("island_start_us")).alias("covered_us"),
+    ).orderBy("event_type", "island_id")
