@@ -245,6 +245,13 @@ BENCH_QUERIES = [
     "stream_ks_test",         # streaming KS twin (drained state)
     "stream_discovery_timeline",  # T17 drained discovery state (r9)
     "stream_islands",         # T13 drained island state (r9)
+    "metric_rolling_median",  # A39 exact trailing-median smoother (r9)
+    "metric_cusum",           # A43 CUSUM drift statistic (r9)
+    "events_markov_transitions",  # A40 transition matrix (r9)
+    "customer_rfm_scores",    # A41 RFM quintiles (r9)
+    "lineitem_abc_class",     # A42 ABC revenue classes (r9)
+    "orders_benford",         # Q17 Benford digit screen (r9)
+    "corpus_bigram_pmi",      # X20 collocation lift (r9)
     "events_discovery_timeline",  # exact running-distinct breakpoints
     "dedup_prefix_clusters",  # provably complete near-dup clusters
     # stream_cdc_merge is timed via _time_cdc_merge below (merge work

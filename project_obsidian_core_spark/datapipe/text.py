@@ -341,3 +341,74 @@ def inverted_index(
     return stats.join(posts, "term").select(
         "term", "doc_freq", "total_tf", "postings"
     )
+
+
+def bigram_lift(
+    df: DataFrame,
+    text_col: str = "text",
+    min_count: int = 5,
+) -> DataFrame:
+    """X20: collocation mining — adjacent-token bigrams scored by exact
+    integer LIFT (the monotone core of PMI without the logarithm):
+
+        lift_ppm = n_bigram · N_tokens · 10⁶ div (n_w1 · n_w2)
+
+    PMI = log2(lift/10⁶), so ranking by lift_ppm IS ranking by PMI while
+    every emitted number stays an exact int64 that hashes bit-exact
+    cross-engine (the SCALE.md no-transcendentals-in-hashed-projections
+    rule).  The collocation signal feeds tokenizer-vocab candidates and
+    boilerplate detection ("click here") in a curation pipeline.
+
+    Plan: bigrams are built INSIDE the row as an array expression (zip
+    of the token array with its tail — no self-join, no per-doc window),
+    then one explode + two-level aggregate; unigram counts broadcast
+    back onto the ≤|vocab|² bigram relation.  ``min_count`` prunes the
+    hapax tail BEFORE the joins — the classic PMI-noise guard (rare
+    pairs otherwise dominate any lift ranking).
+
+    Overflow: n_bigram·N·10⁶ needs n_bigram·N < 9.2·10¹² — fine to
+    ~10⁹-token corpora with 10³-count bigrams; beyond that drop the ppm
+    scale to per-mille or pre-divide N (documented, same rationale as
+    the A36 minute quantization).
+    """
+    toks = F.filter(_tokens(F.col(text_col)), lambda t: t != "")
+    grams = F.zip_with(
+        toks,
+        F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(0))),
+        lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+    )
+    pairs = (
+        df.select(F.explode(grams).alias("g"))
+        .select(F.col("g.w1").alias("w1"), F.col("g.w2").alias("w2"))
+        .filter(F.col("w2").isNotNull())
+    )
+    big = pairs.groupBy("w1", "w2").agg(
+        F.count(F.lit(1)).alias("n_bigram")
+    ).filter(F.col("n_bigram") >= min_count)
+    uni = (
+        df.select(F.explode(toks).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("n_w"))
+    )
+    total = uni.agg(F.sum("n_w").alias("n_tokens"))
+    return (
+        big.join(
+            F.broadcast(uni.withColumnRenamed("w", "w1").withColumnRenamed("n_w", "n_w1")),
+            "w1",
+        )
+        .join(
+            F.broadcast(uni.withColumnRenamed("w", "w2").withColumnRenamed("n_w", "n_w2")),
+            "w2",
+        )
+        .crossJoin(F.broadcast(total))
+        .select(
+            "w1",
+            "w2",
+            "n_bigram",
+            "n_w1",
+            "n_w2",
+            F.expr("n_bigram * n_tokens * 1000000 div (n_w1 * n_w2)").alias(
+                "lift_ppm"
+            ),
+        )
+    )

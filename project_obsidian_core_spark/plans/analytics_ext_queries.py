@@ -1278,3 +1278,229 @@ FROM stepped
 GROUP BY event_type
 ORDER BY event_type
 """
+
+
+# ------------------------------------------------- A41: RFM scoring --
+def customer_rfm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A41: RFM (recency / frequency / monetary) quintile scoring per
+    customer — the marketing-segmentation workhorse, expressed as one
+    aggregate plus three ntile windows over the REDUCED per-customer
+    relation (≤|customers| rows; the corpus is never windowed).
+
+    Determinism: ntile is positional, so every ORDER BY carries the
+    custkey tiebreak; monetary is exact cents; the combined score is
+    r·100 + f·10 + m — all ints, bit-exact cross-engine.  At 100 TB the
+    per-customer aggregate map-side combines; the three windows share
+    one single-key relation that is orders of magnitude smaller than
+    the fact table.
+    """
+    o = load(spark, sf_dir, "orders")
+    per = o.groupBy("o_custkey").agg(
+        F.max(F.unix_micros(F.col("o_orderdate"))).alias("last_us"),
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(cents("o_totalprice")).alias("spend_cents"),
+    )
+    wr = Window.orderBy(F.desc("last_us"), F.asc("o_custkey"))
+    wf = Window.orderBy(F.desc("n_orders"), F.asc("o_custkey"))
+    wm = Window.orderBy(F.desc("spend_cents"), F.asc("o_custkey"))
+    scored = per.select(
+        "o_custkey",
+        "last_us",
+        "n_orders",
+        "spend_cents",
+        F.ntile(5).over(wr).alias("r_score"),
+        F.ntile(5).over(wf).alias("f_score"),
+        F.ntile(5).over(wm).alias("m_score"),
+    )
+    return scored.select(
+        "o_custkey",
+        "last_us",
+        "n_orders",
+        "spend_cents",
+        "r_score",
+        "f_score",
+        "m_score",
+        (
+            F.col("r_score") * 100 + F.col("f_score") * 10 + F.col("m_score")
+        ).alias("rfm"),
+    ).orderBy("o_custkey")
+
+
+ORACLE_customer_rfm_scores = """
+WITH per AS (
+    SELECT o_custkey,
+           max(epoch_us(o_orderdate)) AS last_us,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT)
+               AS spend_cents
+    FROM orders GROUP BY o_custkey
+), scored AS (
+    SELECT o_custkey, last_us, n_orders, spend_cents,
+           ntile(5) OVER (ORDER BY last_us DESC, o_custkey ASC) AS r_score,
+           ntile(5) OVER (ORDER BY n_orders DESC, o_custkey ASC) AS f_score,
+           ntile(5) OVER (ORDER BY spend_cents DESC, o_custkey ASC) AS m_score
+    FROM per
+)
+SELECT o_custkey, last_us, n_orders, spend_cents,
+       r_score, f_score, m_score,
+       r_score * 100 + f_score * 10 + m_score AS rfm
+FROM scored
+ORDER BY o_custkey
+"""
+
+
+# ------------------------------------------- A42: ABC classification --
+_ABC_A_MILLE = 800  # cumulative-revenue share boundaries (per-mille)
+_ABC_B_MILLE = 950
+
+
+def lineitem_abc_class(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A42: ABC / Pareto classification of parts by revenue — the
+    inventory-analytics cut ("which 20% of SKUs carry 80% of revenue")
+    as exact integer arithmetic end to end.
+
+    Per-part revenue in exact e4 ints (cents·(100−disc_cents), the
+    repo-wide revenue convention), one ORDER BY revenue window builds
+    the running share, and the class boundaries compare
+    cum·10⁶ ≤ bound·total in cross-multiplied int64 — no float share
+    ever computed, so the A/B/C labels can't flip on rounding.  The
+    window runs over the per-part relation (|parts| rows), not the fact
+    table.  Boundaries are PER-MILLE so the cross-multiply is cum·10³ —
+    a ppm scale overflowed int64 on the e4 revenue total at sf0.01
+    (cum ~2·10¹³ · 10⁶ > 2⁶³, caught by the gate); 10³ holds to ~9·10¹⁵
+    e4-revenue totals, and a larger corpus drops the revenue scale to
+    cents (the A36 quantization rationale).
+    """
+    li = load(spark, sf_dir, "lineitem")
+    rev = li.groupBy("l_partkey").agg(
+        F.sum(
+            cents("l_extendedprice")
+            * (F.lit(100) - cents("l_discount", scale=100))
+        ).alias("revenue_e4")
+    )
+    wcum = Window.orderBy(F.desc("revenue_e4"), F.asc("l_partkey")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    wtot = Window.partitionBy()
+    c = rev.select(
+        "l_partkey",
+        "revenue_e4",
+        F.sum("revenue_e4").over(wcum).alias("cum_e4"),
+        F.sum("revenue_e4").over(wtot).alias("total_e4"),
+    )
+    cls = (
+        F.when(
+            F.col("cum_e4") * 1000 <= F.lit(_ABC_A_MILLE) * F.col("total_e4"),
+            F.lit("A"),
+        )
+        .when(
+            F.col("cum_e4") * 1000 <= F.lit(_ABC_B_MILLE) * F.col("total_e4"),
+            F.lit("B"),
+        )
+        .otherwise(F.lit("C"))
+    )
+    return (
+        c.select(
+            "l_partkey",
+            "revenue_e4",
+            "cum_e4",
+            cls.alias("abc_class"),
+        )
+        .orderBy(F.desc("revenue_e4"), F.asc("l_partkey"))
+    )
+
+
+ORACLE_lineitem_abc_class = f"""
+WITH rev AS (
+    SELECT l_partkey,
+           CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)
+                    * (100 - CAST(round(l_discount * 100, 0) AS BIGINT)))
+                AS BIGINT) AS revenue_e4
+    FROM lineitem GROUP BY l_partkey
+), c AS (
+    SELECT l_partkey, revenue_e4,
+           CAST(sum(revenue_e4) OVER (ORDER BY revenue_e4 DESC, l_partkey ASC
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS cum_e4,
+           CAST(sum(revenue_e4) OVER () AS BIGINT) AS total_e4
+    FROM rev
+)
+SELECT l_partkey, revenue_e4, cum_e4,
+       CASE WHEN cum_e4 * 1000 <= {_ABC_A_MILLE} * total_e4 THEN 'A'
+            WHEN cum_e4 * 1000 <= {_ABC_B_MILLE} * total_e4 THEN 'B'
+            ELSE 'C' END AS abc_class
+FROM c
+ORDER BY revenue_e4 DESC, l_partkey ASC
+"""
+
+
+# ---------------------------------------------- Q17: Benford screen --
+#: expected Benford first-digit shares in exact ppm (precomputed
+#: log10(1 + 1/d) constants — shared verbatim by plan and oracle so no
+#: engine ever evaluates a transcendental)
+_BENFORD_PPM = {
+    1: 301030, 2: 176091, 3: 124939, 4: 96910,
+    5: 79181, 6: 66947, 7: 57992, 8: 51153, 9: 45757,
+}
+
+
+def orders_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q17: Benford first-significant-digit conformance screen over
+    order totals — the classic fraud / synthetic-data smell test, as a
+    data-quality family member next to the PSI/KS drift screens.
+
+    One scan: first digit via the cents-integer's string head (exact —
+    no float log10), groupBy(digit) map-side combines to ≤9 rows, and
+    the expected shares join from a 9-row broadcast literal table built
+    from the SAME ppm constants the oracle embeds.  Output per digit:
+    observed count, observed ppm, expected ppm, and the signed delta —
+    all exact ints.
+    """
+    o = load(spark, sf_dir, "orders")
+    d = o.select(
+        F.substring(cents("o_totalprice").cast("string"), 1, 1)
+        .cast("int")
+        .alias("digit")
+    ).filter(F.col("digit") >= 1)
+    counts = d.groupBy("digit").agg(F.count(F.lit(1)).alias("n"))
+    exp = spark.createDataFrame(
+        [(k, v) for k, v in sorted(_BENFORD_PPM.items())],
+        "digit int, benford_ppm long",
+    )
+    return (
+        counts.join(F.broadcast(exp), "digit")
+        .select(
+            "digit",
+            "n",
+            F.expr("n * 1000000 div sum(n) over ()").alias("obs_ppm"),
+            "benford_ppm",
+            (
+                F.expr("n * 1000000 div sum(n) over ()") - F.col("benford_ppm")
+            ).alias("delta_ppm"),
+        )
+        .orderBy("digit")
+    )
+
+
+def _benford_oracle() -> str:
+    rows = ", ".join(f"({d}, {p})" for d, p in sorted(_BENFORD_PPM.items()))
+    return f"""
+WITH c AS (
+    SELECT CAST(substr(CAST(CAST(round(o_totalprice * 100, 0) AS BIGINT)
+                            AS VARCHAR), 1, 1) AS INTEGER) AS digit,
+           CAST(count(*) AS BIGINT) AS n
+    FROM orders
+    GROUP BY 1
+), e(digit, benford_ppm) AS (VALUES {rows})
+SELECT c.digit, c.n,
+       c.n * 1000000 // CAST(sum(c.n) OVER () AS BIGINT) AS obs_ppm,
+       CAST(e.benford_ppm AS BIGINT) AS benford_ppm,
+       c.n * 1000000 // CAST(sum(c.n) OVER () AS BIGINT)
+           - CAST(e.benford_ppm AS BIGINT) AS delta_ppm
+FROM c JOIN e ON c.digit = e.digit
+WHERE c.digit >= 1
+ORDER BY c.digit
+"""
+
+
+ORACLE_orders_benford = _benford_oracle()

@@ -223,3 +223,61 @@ SELECT user_id, event_type,
 FROM f
 ORDER BY user_id, discovery_rank
 """
+
+
+# --------------------------------------- A40: Markov transition matrix --
+def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A40: first-order behavior transition matrix — for each ordered
+    pair of event types, how often does a user's next action follow the
+    previous one, and with what conditional probability.  The empirical
+    Markov chain behind next-action prediction, anomaly screens
+    ("purchase→purchase loops"), and the user-path summaries A27 samples.
+
+    Plan: one lag window over (user → ts, event_id) (total-order
+    deterministic ties, the A38 rule), then a two-level aggregate:
+    groupBy(prev, next) map-side combines to ≤|types|² rows, and the
+    per-prev totals ride a broadcast-sized window over THAT reduced
+    relation — no second pass over the corpus.  Probabilities are exact
+    ppm integers (n·10⁶ div row_total), so the matrix hashes bit-exact;
+    rows out are |types|² regardless of event volume.
+    """
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    steps = ev.select(
+        F.lag("event_type").over(w).alias("prev_type"),
+        F.col("event_type").alias("next_type"),
+    ).filter(F.col("prev_type").isNotNull())
+    mat = steps.groupBy("prev_type", "next_type").agg(
+        F.count(F.lit(1)).alias("n_transitions")
+    )
+    wrow = Window.partitionBy("prev_type")
+    return mat.select(
+        "prev_type",
+        "next_type",
+        "n_transitions",
+        F.sum("n_transitions").over(wrow).alias("row_total"),
+        F.expr("n_transitions * 1000000 div sum(n_transitions) over "
+               "(partition by prev_type)").alias("prob_ppm"),
+    ).orderBy("prev_type", "next_type")
+
+
+ORACLE_events_markov_transitions = """
+WITH s AS (
+    SELECT lag(event_type) OVER (PARTITION BY user_id
+                                 ORDER BY ts, event_id) AS prev_type,
+           event_type AS next_type
+    FROM events
+), m AS (
+    SELECT prev_type, next_type, CAST(count(*) AS BIGINT) AS n_transitions
+    FROM s WHERE prev_type IS NOT NULL
+    GROUP BY 1, 2
+)
+SELECT prev_type, next_type, n_transitions,
+       CAST(sum(n_transitions) OVER (PARTITION BY prev_type) AS BIGINT)
+           AS row_total,
+       n_transitions * 1000000
+           // CAST(sum(n_transitions) OVER (PARTITION BY prev_type) AS BIGINT)
+           AS prob_ppm
+FROM m
+ORDER BY prev_type, next_type
+"""

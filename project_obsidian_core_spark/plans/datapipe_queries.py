@@ -1644,3 +1644,50 @@ ORDER BY doc_id
 
 
 ORACLE_dedup_prefix_clusters = _prefix_clusters_oracle()
+
+
+# ---------------------------------------------- X20: collocation lift ----
+_PMI_MIN_COUNT = 5
+
+
+def corpus_bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X20: top collocations by exact integer lift
+    (:func:`datapipe.text.bigram_lift`) — PMI's monotone core with no
+    logarithm, so the ranking hashes bit-exact.  Top-100 by
+    (lift desc, w1, w2)."""
+    return (
+        T.bigram_lift(
+            load(spark, sf_dir, "documents"), min_count=_PMI_MIN_COUNT
+        )
+        .orderBy(F.desc("lift_ppm"), "w1", "w2")
+        .limit(100)
+    )
+
+
+ORACLE_corpus_bigram_pmi = f"""
+WITH d AS (
+    SELECT list_filter(string_split(text, ' '), t -> t <> '') AS toks
+    FROM documents
+), pairs AS (
+    SELECT unnest([toks[i] || ' ' || toks[i+1]
+                   for i in generate_series(1, len(toks) - 1)]) AS b
+    FROM d WHERE len(toks) >= 2
+), big AS (
+    SELECT split_part(b, ' ', 1) AS w1, split_part(b, ' ', 2) AS w2,
+           CAST(count(*) AS BIGINT) AS n_bigram
+    FROM pairs GROUP BY 1, 2
+    HAVING count(*) >= {_PMI_MIN_COUNT}
+), uni AS (
+    SELECT w, CAST(count(*) AS BIGINT) AS n_w
+    FROM (SELECT unnest(toks) AS w FROM d) GROUP BY 1
+), tot AS (SELECT CAST(sum(n_w) AS BIGINT) AS n_tokens FROM uni)
+SELECT big.w1, big.w2, n_bigram,
+       u1.n_w AS n_w1, u2.n_w AS n_w2,
+       n_bigram * n_tokens * 1000000 // (u1.n_w * u2.n_w) AS lift_ppm
+FROM big
+JOIN uni u1 ON big.w1 = u1.w
+JOIN uni u2 ON big.w2 = u2.w
+CROSS JOIN tot
+ORDER BY lift_ppm DESC, big.w1, big.w2
+LIMIT 100
+"""

@@ -617,3 +617,172 @@ SELECT metric_a, metric_b, n,
 FROM agg
 ORDER BY metric_a, metric_b
 """
+
+
+# ----------------------------------------- A39: exact rolling median --
+_ROLL_MED_K = 7  # trailing window width in buckets (ROWS frame)
+
+
+def metric_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A39: exact trailing-window median per metric series — the robust
+    smoother dashboards use where a moving average would chase spikes
+    (median-of-7 kills any ≤3-bucket burst without lag tuning).
+
+    Series = per-(metric, 5-min bucket) exact-cents sums; the smoother is
+    the LOWER median of the last ``_ROLL_MED_K`` buckets, kept exact-int
+    so it hashes bit-exact cross-engine (an interpolated even-count
+    median would be a float).  Plan: the rolling set rides a ROWS-frame
+    ``collect_list`` over the SAME (metric → bucket) ordering the bucket
+    aggregate shuffles on — one exchange total; the per-row sort is
+    O(k log k) on a k≤7 array, a codegen expression, not a UDF.  State is
+    k values per open window — independent of row volume; at 100 TB the
+    bucket aggregate has already reduced the relation by the sampling
+    ratio before any window runs.
+    """
+    from pyspark.sql import Window
+
+    m = synthesize_metrics(spark, sf_dir)
+    b = m.groupBy(
+        "metric_name",
+        (F.expr(f"unix_micros(time) div {_OHLC_BUCKET_S * 1_000_000}")
+         * _OHLC_BUCKET_S).alias("bucket_epoch_s"),
+    ).agg(F.sum("metric_value").alias("v_cents"))
+    w = (
+        Window.partitionBy("metric_name")
+        .orderBy("bucket_epoch_s")
+        .rowsBetween(-(_ROLL_MED_K - 1), Window.currentRow)
+    )
+    roll = F.sort_array(F.collect_list("v_cents").over(w))
+    return b.select(
+        "metric_name",
+        "bucket_epoch_s",
+        "v_cents",
+        F.element_at(roll, ((F.size(roll) + 1) / 2).cast("int")).alias(
+            "med_cents"
+        ),
+    ).orderBy("metric_name", "bucket_epoch_s")
+
+
+ORACLE_metric_rolling_median = f"""
+WITH m AS ({_SYN_SQL}),
+b AS (
+    SELECT metric_name,
+           (epoch_us(time) // {_OHLC_BUCKET_S * 1_000_000}) * {_OHLC_BUCKET_S}
+               AS bucket_epoch_s,
+           CAST(sum(metric_value) AS BIGINT) AS v_cents
+    FROM m GROUP BY 1, 2
+)
+SELECT metric_name, bucket_epoch_s, v_cents,
+       list_sort(list(v_cents) OVER w)[
+           (count(*) OVER w + 1) // 2] AS med_cents
+FROM b
+WINDOW w AS (PARTITION BY metric_name ORDER BY bucket_epoch_s
+             ROWS BETWEEN {_ROLL_MED_K - 1} PRECEDING AND CURRENT ROW)
+ORDER BY metric_name, bucket_epoch_s
+"""
+
+
+# ------------------------------------------------ A43: CUSUM drift --
+def metric_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A43: exact two-sided CUSUM drift statistic per metric series —
+    the classic "small persistent shift" detector the z-score/MAD
+    anomaly family misses (each deviation is sub-threshold; only the
+    SUM drifts).
+
+    The textbook recursion S_i = max(0, S_{i-1} + (x_i − μ)) is a
+    non-associative fold — useless as a distributed window.  It is
+    re-expressed closed-form: with P_i = Σ_{t≤i}(x_t·n − S) (deviations
+    from the mean scaled by n to stay integer), S_i = P_i − min(0,
+    min_{j≤i} P_j) — a prefix sum plus a running min, both plain
+    RANGE-unbounded windows over the one (metric → bucket) exchange the
+    bucket aggregate already paid.  The downward side mirrors with max.
+    Everything is exact int64: x·n ≤ bucket_cents·n_buckets and P sums
+    n_buckets of those — bounded by n²·max_bucket_cents (~10¹² here;
+    re-quantize the bucket to coarser cents at larger spans, the A36
+    centering rationale).  Emitted cusum values are the n-scaled exact
+    statistics; alerting thresholds scale by the same n.
+    """
+    from pyspark.sql import Window
+
+    m = synthesize_metrics(spark, sf_dir)
+    b = m.groupBy(
+        "metric_name",
+        (F.expr(f"unix_micros(time) div {_OHLC_BUCKET_S * 1_000_000}")
+         * _OHLC_BUCKET_S).alias("bucket_epoch_s"),
+    ).agg(F.sum("metric_value").alias("v_cents"))
+    wser = Window.partitionBy("metric_name")
+    d = b.select(
+        "metric_name",
+        "bucket_epoch_s",
+        "v_cents",
+        (
+            F.col("v_cents") * F.count(F.lit(1)).over(wser)
+            - F.sum("v_cents").over(wser)
+        ).alias("dev_n"),
+    )
+    wcum = (
+        Window.partitionBy("metric_name")
+        .orderBy("bucket_epoch_s")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    pfx = d.select(
+        "metric_name",
+        "bucket_epoch_s",
+        "v_cents",
+        F.sum("dev_n").over(wcum).alias("pfx"),
+    )
+    p = pfx.select(
+        "metric_name",
+        "bucket_epoch_s",
+        "v_cents",
+        "pfx",
+        F.min("pfx").over(wcum).alias("pmin"),
+        F.max("pfx").over(wcum).alias("pmax"),
+    )
+    return p.select(
+        "metric_name",
+        "bucket_epoch_s",
+        "v_cents",
+        (F.col("pfx") - F.least(F.lit(0).cast("long"), F.col("pmin"))).alias(
+            "cusum_pos"
+        ),
+        (F.greatest(F.lit(0).cast("long"), F.col("pmax")) - F.col("pfx")).alias(
+            "cusum_neg"
+        ),
+    ).orderBy("metric_name", "bucket_epoch_s")
+
+
+ORACLE_metric_cusum = f"""
+WITH m AS ({_SYN_SQL}),
+b AS (
+    SELECT metric_name,
+           (epoch_us(time) // {_OHLC_BUCKET_S * 1_000_000}) * {_OHLC_BUCKET_S}
+               AS bucket_epoch_s,
+           CAST(sum(metric_value) AS BIGINT) AS v_cents
+    FROM m GROUP BY 1, 2
+), d AS (
+    SELECT metric_name, bucket_epoch_s, v_cents,
+           v_cents * count(*) OVER (PARTITION BY metric_name)
+               - CAST(sum(v_cents) OVER (PARTITION BY metric_name) AS BIGINT)
+               AS dev_n
+    FROM b
+), pf AS (
+    SELECT metric_name, bucket_epoch_s, v_cents,
+           CAST(sum(dev_n) OVER w AS BIGINT) AS pfx
+    FROM d
+    WINDOW w AS (PARTITION BY metric_name ORDER BY bucket_epoch_s
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+), p AS (
+    SELECT metric_name, bucket_epoch_s, v_cents, pfx,
+           min(pfx) OVER w AS pmin,
+           max(pfx) OVER w AS pmax
+    FROM pf
+    WINDOW w AS (PARTITION BY metric_name ORDER BY bucket_epoch_s
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)
+SELECT metric_name, bucket_epoch_s, v_cents,
+       pfx - least(CAST(0 AS BIGINT), pmin) AS cusum_pos,
+       greatest(CAST(0 AS BIGINT), pmax) - pfx AS cusum_neg
+FROM p
+ORDER BY metric_name, bucket_epoch_s
+"""

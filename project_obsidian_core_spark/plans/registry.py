@@ -476,6 +476,37 @@ _ENTRIES: list[tuple[str, QueryFn, str | None]] = [
     ("knn_rp_recall", d.knn_rp_recall, d.ORACLE_knn_rp_recall),
     # A37: exact Pearson correlation matrix over aligned metric pairs
     ("metric_corr_matrix", m.metric_corr_matrix, m.ORACLE_metric_corr_matrix),
+    # A39: exact trailing-window (lower) median smoother per series
+    (
+        "metric_rolling_median",
+        m.metric_rolling_median,
+        m.ORACLE_metric_rolling_median,
+    ),
+    # A43: two-sided CUSUM drift statistic (closed-form prefix-extrema
+    # re-expression of the non-associative textbook recursion)
+    ("metric_cusum", m.metric_cusum, m.ORACLE_metric_cusum),
+    # A40: first-order behavior transition matrix (exact ppm rows)
+    (
+        "events_markov_transitions",
+        bh.events_markov_transitions,
+        bh.ORACLE_events_markov_transitions,
+    ),
+    # A41: RFM quintile scoring over the reduced per-customer relation
+    (
+        "customer_rfm_scores",
+        ax.customer_rfm_scores,
+        ax.ORACLE_customer_rfm_scores,
+    ),
+    # A42: ABC/Pareto revenue classification (cross-multiplied int shares)
+    (
+        "lineitem_abc_class",
+        ax.lineitem_abc_class,
+        ax.ORACLE_lineitem_abc_class,
+    ),
+    # Q17: Benford first-digit conformance screen (shared ppm constants)
+    ("orders_benford", ax.orders_benford, ax.ORACLE_orders_benford),
+    # X20: collocation mining by exact integer lift (log-free PMI rank)
+    ("corpus_bigram_pmi", d.corpus_bigram_pmi, d.ORACLE_corpus_bigram_pmi),
     # G4: deterministic label-propagation communities (unrolled rounds)
     ("knn_communities", d.knn_communities, d.ORACLE_knn_communities),
     # X19: k-anonymity risk report over a quasi-identifier tuple

@@ -1,0 +1,230 @@
+"""Round-9 operator units: golden vectors and closed-form equivalence
+proofs for the rolling median, CUSUM, Markov, RFM/ABC, Benford and
+collocation-lift additions (the oracle gates prove cross-engine
+exactness; these pin the SEMANTICS against hand/numpy references)."""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import functions as F
+
+
+# ------------------------------------------------------------- CUSUM --
+def _cusum_recursion(xs):
+    """Textbook one-sided CUSUM pair, numpy-free reference:
+    S+_i = max(0, S+_{i-1} + (x_i - mu)), mirrored for S-."""
+    n = len(xs)
+    tot = sum(xs)
+    pos = neg = 0.0
+    out = []
+    for x in xs:
+        dev = x * n - tot  # n-scaled deviation, exactly as the operator
+        pos = max(0, pos + dev)
+        neg = max(0, neg - dev)
+        out.append((pos, neg))
+    return out
+
+
+def test_cusum_closed_form_equals_recursion(spark):
+    """The prefix-extrema re-expression (P_i - min(0, min P) / mirrored)
+    must equal the non-associative textbook fold on random series."""
+    from project_obsidian_core_spark.plans.metrics_queries import (
+        _OHLC_BUCKET_S,
+        metric_cusum,
+    )
+
+    rng = random.Random(42)
+    # one synthetic series driven through the same plan via a temp view?
+    # simpler: replicate the plan's math on a standalone frame
+    xs = [rng.randrange(100, 10_000) for _ in range(50)]
+    rows = [(i, x) for i, x in enumerate(xs)]
+    df = spark.createDataFrame(rows, "i long, v long")
+    from pyspark.sql import Window
+
+    wser = Window.partitionBy()
+    d = df.select(
+        "i",
+        (F.col("v") * F.count(F.lit(1)).over(wser) - F.sum("v").over(wser)).alias(
+            "dev_n"
+        ),
+    )
+    wcum = Window.orderBy("i").rowsBetween(Window.unboundedPreceding, 0)
+    pfx = d.select("i", F.sum("dev_n").over(wcum).alias("pfx"))
+    p = pfx.select(
+        "i",
+        "pfx",
+        F.min("pfx").over(wcum).alias("pmin"),
+        F.max("pfx").over(wcum).alias("pmax"),
+    )
+    got = {
+        r["i"]: (
+            r["pfx"] - min(0, r["pmin"]),
+            max(0, r["pmax"]) - r["pfx"],
+        )
+        for r in p.collect()
+    }
+    ref = _cusum_recursion(xs)
+    for i, (pos, neg) in enumerate(ref):
+        assert got[i] == (pos, neg), f"i={i}"
+
+    # and the registered query runs with the expected schema
+    out = metric_cusum(spark, _sf_dir())
+    assert out.columns == [
+        "metric_name", "bucket_epoch_s", "v_cents", "cusum_pos", "cusum_neg",
+    ]
+    assert _OHLC_BUCKET_S == 300
+
+
+def _sf_dir() -> str:
+    import os
+
+    return os.environ.get("SPARK_GRAFT_TEST_SF", "/root/testdata/sf0.001")
+
+
+# ---------------------------------------------------- rolling median --
+def test_rolling_median_is_lower_median(spark):
+    from pyspark.sql import Window
+
+    vals = [(1, 5), (2, 1), (3, 9), (4, 4), (5, 7), (6, 2), (7, 8), (8, 3)]
+    df = spark.createDataFrame(vals, "i long, v long")
+    w = Window.orderBy("i").rowsBetween(-6, 0)
+    roll = F.sort_array(F.collect_list("v").over(w))
+    got = {
+        r["i"]: r["m"]
+        for r in df.select(
+            "i",
+            F.element_at(roll, ((F.size(roll) + 1) / 2).cast("int")).alias("m"),
+        ).collect()
+    }
+    for i in range(1, 9):
+        window = sorted(v for j, v in vals if i - 6 <= j <= i)
+        assert got[i] == window[(len(window) + 1) // 2 - 1], f"i={i}"
+
+
+# ------------------------------------------------------------ Markov --
+def test_markov_transitions_hand_counts(spark, tmp_path):
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        # user 1: a -> b -> b ; user 2: b -> a ; user 3: a alone (no step)
+        (1, "a", t0, 1),
+        (1, "b", t0 + dt.timedelta(minutes=1), 2),
+        (1, "b", t0 + dt.timedelta(minutes=2), 3),
+        (2, "b", t0, 4),
+        (2, "a", t0 + dt.timedelta(minutes=1), 5),
+        (3, "a", t0, 6),
+    ]
+    sf = str(tmp_path)
+    spark.createDataFrame(
+        rows, "user_id long, event_type string, ts timestamp, event_id long"
+    ).write.parquet(f"{sf}/events.parquet")
+    from project_obsidian_core_spark.plans.behavior_queries import (
+        events_markov_transitions,
+    )
+
+    got = {
+        (r["prev_type"], r["next_type"]): (r["n_transitions"], r["prob_ppm"])
+        for r in events_markov_transitions(spark, sf).collect()
+    }
+    assert got == {
+        ("a", "b"): (1, 1_000_000),
+        ("b", "b"): (1, 500_000),
+        ("b", "a"): (1, 500_000),
+    }
+
+
+# ----------------------------------------------------------- Benford --
+def test_benford_constants_and_digit_extraction(spark):
+    from project_obsidian_core_spark.plans.analytics_ext_queries import (
+        _BENFORD_PPM,
+    )
+
+    # the embedded constants really are log10(1 + 1/d) in ppm
+    import math
+
+    for d, ppm in _BENFORD_PPM.items():
+        assert ppm == round(math.log10(1 + 1 / d) * 1_000_000)
+    assert sum(_BENFORD_PPM.values()) in (999_999, 1_000_000)
+
+    # digit extraction on exact cents matches the leading digit of the
+    # decimal representation
+    df = spark.createDataFrame(
+        [(123.45,), (9.99,), (1000.00,)], "p double"
+    ).select(
+        F.substring(
+            F.round(F.col("p") * 100, 0).cast("long").cast("string"), 1, 1
+        )
+        .cast("int")
+        .alias("d")
+    )
+    assert [r["d"] for r in df.collect()] == [1, 9, 1]
+
+
+# ------------------------------------------------------ bigram lift --
+def test_bigram_lift_hand_counts(spark):
+    from project_obsidian_core_spark.datapipe.text import bigram_lift
+
+    docs = spark.createDataFrame(
+        [
+            (1, "new york new york"),
+            (2, "new york city"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        (r["w1"], r["w2"]): (r["n_bigram"], r["n_w1"], r["n_w2"], r["lift_ppm"])
+        for r in bigram_lift(docs, min_count=1).collect()
+    }
+    # tokens: new x3, york x3, city x1 -> N=7
+    # bigrams: (new,york) x3, (york,new) x1, (york,city) x1
+    assert got[("new", "york")] == (3, 3, 3, 3 * 7 * 1_000_000 // 9)
+    assert got[("york", "new")] == (1, 3, 3, 7 * 1_000_000 // 9)
+    assert got[("york", "city")] == (1, 3, 1, 7 * 1_000_000 // 3)
+    assert len(got) == 3
+
+
+def test_bigram_lift_single_token_and_empty_docs(spark):
+    from project_obsidian_core_spark.datapipe.text import bigram_lift
+
+    docs = spark.createDataFrame(
+        [(1, "lonely"), (2, ""), (3, "a  b")],  # double space -> empty token
+        "doc_id long, text string",
+    )
+    got = {
+        (r["w1"], r["w2"]): r["n_bigram"]
+        for r in bigram_lift(docs, min_count=1).collect()
+    }
+    assert got == {("a", "b"): 1}
+
+
+# ----------------------------------------------------------- RFM/ABC --
+def test_rfm_and_abc_shapes(spark):
+    from project_obsidian_core_spark.plans.analytics_ext_queries import (
+        customer_rfm_scores,
+        lineitem_abc_class,
+    )
+
+    sf = _sf_dir()
+    rfm = customer_rfm_scores(spark, sf)
+    rows = rfm.collect()
+    assert rows, "rfm returned no rows"
+    for r in rows:
+        assert 1 <= r["r_score"] <= 5 and 1 <= r["f_score"] <= 5
+        assert r["rfm"] == r["r_score"] * 100 + r["f_score"] * 10 + r["m_score"]
+
+    abc = lineitem_abc_class(spark, sf).collect()
+    assert abc
+    # classes partition the ranking monotonically: A rows precede B
+    # precede C in cumulative order
+    seen = []
+    for r in abc:
+        if not seen or seen[-1] != r["abc_class"]:
+            seen.append(r["abc_class"])
+    assert seen in (["A"], ["A", "B"], ["A", "B", "C"])
+    # the cumulative column really is the running sum of the sort order
+    run = 0
+    for r in abc:
+        run += r["revenue_e4"]
+        assert r["cum_e4"] == run
