@@ -245,6 +245,7 @@ BENCH_QUERIES = [
     "stream_ks_test",         # streaming KS twin (drained state)
     "stream_discovery_timeline",  # T17 drained discovery state (r9)
     "stream_islands",         # T13 drained island state (r9)
+    "stream_topk_exact",      # T14 exact-capacity Space-Saving gate (r9)
     "metric_rolling_median",  # A39 exact trailing-median smoother (r9)
     "metric_cusum",           # A43 CUSUM drift statistic (r9)
     "events_markov_transitions",  # A40 transition matrix (r9)

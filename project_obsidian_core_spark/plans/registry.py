@@ -528,6 +528,13 @@ _ENTRIES: list[tuple[str, QueryFn, str | None]] = [
         st.stream_islands,
         ax.ORACLE_events_interval_merge,
     ),
+    # T14 gated at the exact-capacity operating point: no eviction ->
+    # Space-Saving ≡ COUNT GROUP BY (err_bound=0 rides in the hash)
+    (
+        "stream_topk_exact",
+        st.stream_topk_exact,
+        st.ORACLE_stream_topk_exact,
+    ),
     # A38: per-user discovery timeline (exact running-distinct breakpoints)
     (
         "events_discovery_timeline",

@@ -992,3 +992,90 @@ def stream_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_intervals",
         (F.col("island_end_us") - F.col("island_start_us")).alias("covered_us"),
     ).orderBy("event_type", "island_id")
+
+
+
+# ----------------------------- T14: streaming top-k (exact-capacity gate) --
+_TOPK_SHARDS = 8
+_TOPK_CAPACITY = 4096  # >= per-shard distinct keys at gate scale -> exact
+_TOPK_N = 20
+
+
+def stream_topk_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T14 gated at its EXACT operating point: the Space-Saving summary
+    degenerates to exact per-key counting whenever per-shard distinct
+    keys ≤ capacity (no eviction ever fires, every err_bound stays 0) —
+    so the drained state must equal a plain COUNT GROUP BY, a
+    batch-SQL-expressible contract the driver can gate.
+
+    This is the sketch analogue of the C23 move (gate the streaming
+    operator where its semantics coincide with an oracle-expressible
+    batch query): the approximation regime's guarantees stay pinned by
+    the skewed-replay unit tests; THIS row proves the fold, sharding,
+    versioned emission and drained max-version read end to end on real
+    data. Top-N users by event count, exact ints, user_id tiebreak; the
+    gate also asserts err_bound drained to 0 by summing it into the
+    output (any eviction would poison the hash).
+    """
+    from pyspark.sql import Window
+
+    from project_obsidian_core_spark.streaming.topk_state import streaming_topk
+
+    run = next(_RUN_IDS)
+    src = _events_src(spark, sf_dir, run)
+    schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "4")
+        .parquet(src)
+    )
+    keyed = stream.select(F.col("user_id").cast("string").alias("user_key"))
+    out = streaming_topk(
+        keyed, key_col="user_key",
+        n_shards=_TOPK_SHARDS, capacity=_TOPK_CAPACITY,
+    )
+    name = f"stream_topk_{run}"
+    tmp = tempfile.mkdtemp(prefix=f"obsidian_topk_{run}_")
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            out.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .option("checkpointLocation", f"{tmp}/ckpt")
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+
+    emitted = spark.table(name)
+    wmax = Window.partitionBy("shard")
+    latest = emitted.withColumn(
+        "_vmax", F.max("version").over(wmax)
+    ).filter(F.col("version") == F.col("_vmax"))
+    # each key lives in exactly one shard, so the drained summaries union
+    # without reconciliation; err_bound rides along so any eviction
+    # (est != exact) breaks the value hash loudly
+    return (
+        latest.select(
+            F.col("key").cast("long").alias("user_id"),
+            F.col("est_count").alias("n_events"),
+            "err_bound",
+        )
+        .orderBy(F.desc("n_events"), "user_id")
+        .limit(_TOPK_N)
+    )
+
+
+ORACLE_stream_topk_exact = f"""
+SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+       CAST(0 AS BIGINT) AS err_bound
+FROM events
+GROUP BY user_id
+ORDER BY n_events DESC, user_id
+LIMIT {_TOPK_N}
+"""
