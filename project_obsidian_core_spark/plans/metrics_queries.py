@@ -631,13 +631,13 @@ def metric_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     Series = per-(metric, 5-min bucket) exact-cents sums; the smoother is
     the LOWER median of the last ``_ROLL_MED_K`` buckets, kept exact-int
     so it hashes bit-exact cross-engine (an interpolated even-count
-    median would be a float).  Plan: the rolling set rides a ROWS-frame
-    ``collect_list`` over the SAME (metric → bucket) ordering the bucket
-    aggregate shuffles on — one exchange total; the per-row sort is
-    O(k log k) on a k≤7 array, a codegen expression, not a UDF.  State is
-    k values per open window — independent of row volume; at 100 TB the
-    bucket aggregate has already reduced the relation by the sampling
-    ratio before any window runs.
+    median would be a float).  Plan: the corpus pays ONLY the bucket
+    aggregate's partially-combined exchange; the ROWS-frame
+    ``collect_list`` window then re-keys the REDUCED bucket relation by
+    metric (deliberately NOT pre-partitioning the raw rows by metric to
+    share an exchange — that would shuffle the full corpus un-combined
+    onto |metrics| skewed partitions).  The per-row sort is O(k log k)
+    on a k≤7 array, a codegen expression, not a UDF.
     """
     from pyspark.sql import Window
 
@@ -693,9 +693,10 @@ def metric_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
     non-associative fold — useless as a distributed window.  It is
     re-expressed closed-form: with P_i = Σ_{t≤i}(x_t·n − S) (deviations
     from the mean scaled by n to stay integer), S_i = P_i − min(0,
-    min_{j≤i} P_j) — a prefix sum plus a running min, both plain
-    RANGE-unbounded windows over the one (metric → bucket) exchange the
-    bucket aggregate already paid.  The downward side mirrors with max.
+    min_{j≤i} P_j) — a prefix sum plus a running min, all plain windows
+    sharing ONE metric-keyed exchange over the REDUCED bucket relation
+    (the corpus itself pays only the partially-combined bucket
+    aggregate).  The downward side mirrors with max.
     Everything is exact int64: x·n ≤ bucket_cents·n_buckets and P sums
     n_buckets of those — bounded by n²·max_bucket_cents (~10¹² here;
     re-quantize the bucket to coarser cents at larger spans, the A36

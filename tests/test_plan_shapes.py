@@ -370,3 +370,124 @@ def test_label_propagation_rounds_are_hash_joins(spark):
     plan = _plan(label_propagation(edges, rounds=2))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def _monkeypatched_plan(mod, fn_name, df, spark):
+    real_load = mod.load
+    mod.load = lambda s, d, t: df
+    try:
+        return _plan(getattr(mod, fn_name)(spark, "unused"))
+    finally:
+        mod.load = real_load
+
+
+def test_rolling_median_single_series_exchange(spark):
+    """A39: the corpus pays only the partially-combined bucket-aggregate
+    exchange; the median window re-keys the REDUCED bucket relation (one
+    more small exchange, never the raw rows), and the k-sort is an
+    expression, not a UDF."""
+    import datetime as dt
+
+    from project_obsidian_core_spark.plans import metrics_queries as mq
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        (i % 3, "view", t0 + dt.timedelta(minutes=i), float(i % 13))
+        for i in range(300)
+    ]
+    df = spark.createDataFrame(rows, ["user_id", "event_type", "ts", "value"])
+    real_load = mq.load
+    mq.load = lambda s, d, t: df
+    try:
+        plan = _plan(mq.metric_rolling_median(spark, "unused"))
+    finally:
+        mq.load = real_load
+    # aggregate exchange (partial-combined) + reduced-relation window
+    # exchange — and nothing more
+    assert plan.count("Exchange hashpartitioning") == 2, plan
+    # the aggregate really combines map-side before its shuffle
+    assert "partial_sum" in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_cusum_windows_share_series_partitioning(spark):
+    """A43: dev/prefix/extrema windows ALL share one metric-keyed
+    exchange over the reduced bucket relation; the corpus pays only the
+    partially-combined bucket aggregate."""
+    import datetime as dt
+
+    from project_obsidian_core_spark.plans import metrics_queries as mq
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        (i % 3, "view", t0 + dt.timedelta(minutes=i), float(i % 13))
+        for i in range(300)
+    ]
+    df = spark.createDataFrame(rows, ["user_id", "event_type", "ts", "value"])
+    real_load = mq.load
+    mq.load = lambda s, d, t: df
+    try:
+        plan = _plan(mq.metric_cusum(spark, "unused"))
+    finally:
+        mq.load = real_load
+    assert plan.count("Exchange hashpartitioning") == 2, plan
+    assert "partial_sum" in plan, plan
+    assert "No Partition Defined" not in plan
+
+
+def test_markov_total_window_runs_on_reduced_relation(spark):
+    """A40: the corpus pays only the user-keyed lag exchange plus the
+    (prev,next) aggregate exchange; the row-total window partitions the
+    ≤|types|² matrix, never the event stream."""
+    import datetime as dt
+
+    from project_obsidian_core_spark.plans import behavior_queries as bq
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        (i % 7, ["a", "b", "c"][i % 3], t0 + dt.timedelta(minutes=i), i)
+        for i in range(200)
+    ]
+    df = spark.createDataFrame(rows, ["user_id", "event_type", "ts", "event_id"])
+    real_load = bq.load
+    bq.load = lambda s, d, t: df
+    try:
+        plan = _plan(bq.events_markov_transitions(spark, "unused"))
+    finally:
+        bq.load = real_load
+    # lag shuffle (user) + matrix aggregate shuffle (prev,next) + the
+    # prev-keyed total window that reuses the aggregate's output; no more
+    assert plan.count("Exchange hashpartitioning") <= 3, plan
+    assert "No Partition Defined" not in plan
+
+
+def test_benford_expected_side_broadcasts(spark):
+    from project_obsidian_core_spark.plans import analytics_ext_queries as ax
+
+    rows = [(float(100 + i * 37),) for i in range(500)]
+    df = spark.createDataFrame(rows, ["o_totalprice"])
+    real_load = ax.load
+    ax.load = lambda s, d, t: df
+    try:
+        plan = _plan(ax.orders_benford(spark, "unused"))
+    finally:
+        ax.load = real_load
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_bigram_lift_builds_pairs_without_self_join(spark):
+    """X20: bigrams come from an in-row zip — the only joins are the two
+    broadcast unigram attaches and the broadcast total."""
+    from project_obsidian_core_spark.datapipe.text import bigram_lift
+
+    docs = spark.createDataFrame(
+        [(i, "alpha beta gamma delta alpha beta") for i in range(40)],
+        ["doc_id", "text"],
+    )
+    plan = _plan(bigram_lift(docs, min_count=1))
+    assert "SortMergeJoin" not in plan, plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastHashJoin") == 2, plan
+    # the scalar total attaches as a broadcast nested loop over ONE row
+    assert plan.count("BroadcastNestedLoopJoin") <= 1
