@@ -249,6 +249,7 @@ BENCH_QUERIES = [
     "metric_rolling_median",  # A39 exact trailing-median smoother (r9)
     "metric_cusum",           # A43 CUSUM drift statistic (r9)
     "events_markov_transitions",  # A40 transition matrix (r9)
+    "events_sequence_funnel",  # A44 anchored-window funnel (r9)
     "customer_rfm_scores",    # A41 RFM quintiles (r9)
     "lineitem_abc_class",     # A42 ABC revenue classes (r9)
     "orders_benford",         # Q17 Benford digit screen (r9)

@@ -96,3 +96,62 @@ def retention(
         .groupBy("cohort_date", "offset_days")
         .agg(F.countDistinct(user_col).alias("n_users"))
     )
+
+
+def sequence_funnel(
+    events: DataFrame,
+    stages: Sequence[str],
+    within_us: int,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """A44: TIME-BOUNDED (anchored-window) sequence funnel — "A then B
+    then C, all within T of the user's first A" — the windowed
+    conversion semantics of ClickHouse's windowFunnel, where the
+    unbounded :func:`funnel` is the special case T = ∞.
+
+    Anchor = the user's EARLIEST stage-1 event; every later stage must
+    occur strictly after the previous stage's chosen time and at or
+    before anchor + ``within_us``.  Under a FIXED global deadline,
+    greedy-earliest per stage is provably optimal (induction: the
+    minimal feasible t_i dominates any other choice, since later stages
+    only need t > t_i and the deadline never moves), so this plan finds
+    a completion iff one exists for that anchor.  Per-step deadlines or
+    multi-anchor scans are deliberately NOT this operator: the former
+    makes greedy incomplete, the latter multiplies the scan by the
+    anchor count — both documented extensions, not silent behaviors.
+
+    Returns (stage_idx, stage, n_users).  Plan: identical join topology
+    to :func:`funnel` — per stage, one type-pruned scan equi-joined to
+    the shrinking qualified-user relation (bounded by |users|), plus the
+    window predicate; nothing quadratic, nothing rescanned.
+    """
+    qualified = (
+        events.filter(F.col(type_col) == stages[0])
+        .groupBy(user_col)
+        .agg(F.min(ts_col).alias("_t"))
+        .withColumn("_deadline_us", F.unix_micros(F.col("_t")) + F.lit(within_us))
+    )
+    counts = [qualified.agg(F.count(F.lit(1)).alias("n_users"))]
+    for stage in stages[1:]:
+        qualified = (
+            events.filter(F.col(type_col) == stage)
+            .join(qualified.select(user_col, "_t", "_deadline_us"), user_col)
+            .filter(
+                (F.unix_micros(F.col(ts_col)) > F.unix_micros(F.col("_t")))
+                & (F.unix_micros(F.col(ts_col)) <= F.col("_deadline_us"))
+            )
+            .groupBy(user_col, "_deadline_us")
+            .agg(F.min(ts_col).alias("_t"))
+        )
+        counts.append(qualified.agg(F.count(F.lit(1)).alias("n_users")))
+    out = None
+    for i, (stage, c) in enumerate(zip(stages, counts), start=1):
+        row = c.select(
+            F.lit(i).alias("stage_idx"),
+            F.lit(stage).alias("stage"),
+            F.coalesce(F.col("n_users"), F.lit(0)).cast("long").alias("n_users"),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out

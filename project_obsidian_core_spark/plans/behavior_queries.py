@@ -281,3 +281,48 @@ SELECT prev_type, next_type, n_transitions,
 FROM m
 ORDER BY prev_type, next_type
 """
+
+
+# ---------------------------------- A44: anchored-window sequence funnel --
+_SEQ_WINDOW_US = 3 * 3600 * 1_000_000  # 3 h global deadline from the anchor
+
+
+def events_sequence_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A44: view → click → purchase completed within 3 h of the user's
+    first view (:func:`analytics.behavior.sequence_funnel`) — the
+    windowed-conversion counterpart of ``events_funnel``, whose counts
+    it must bound from below stage by stage."""
+    return B.sequence_funnel(
+        load(spark, sf_dir, "events"), _STAGES, within_us=_SEQ_WINDOW_US
+    ).orderBy("stage_idx")
+
+
+ORACLE_events_sequence_funnel = f"""
+WITH s1 AS (
+    SELECT user_id, min(ts) AS t,
+           epoch_us(min(ts)) + {_SEQ_WINDOW_US} AS deadline_us
+    FROM events
+    WHERE event_type = '{_STAGES[0]}' GROUP BY user_id
+), s2 AS (
+    SELECT e.user_id, min(e.ts) AS t, s1.deadline_us
+    FROM events e JOIN s1 ON e.user_id = s1.user_id
+    WHERE e.event_type = '{_STAGES[1]}'
+      AND epoch_us(e.ts) > epoch_us(s1.t)
+      AND epoch_us(e.ts) <= s1.deadline_us
+    GROUP BY e.user_id, s1.deadline_us
+), s3 AS (
+    SELECT e.user_id, min(e.ts) AS t
+    FROM events e JOIN s2 ON e.user_id = s2.user_id
+    WHERE e.event_type = '{_STAGES[2]}'
+      AND epoch_us(e.ts) > epoch_us(s2.t)
+      AND epoch_us(e.ts) <= s2.deadline_us
+    GROUP BY e.user_id
+)
+SELECT 1 AS stage_idx, '{_STAGES[0]}' AS stage,
+       CAST((SELECT count(*) FROM s1) AS BIGINT) AS n_users
+UNION ALL
+SELECT 2, '{_STAGES[1]}', CAST((SELECT count(*) FROM s2) AS BIGINT)
+UNION ALL
+SELECT 3, '{_STAGES[2]}', CAST((SELECT count(*) FROM s3) AS BIGINT)
+ORDER BY stage_idx
+"""

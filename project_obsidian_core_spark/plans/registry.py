@@ -485,6 +485,13 @@ _ENTRIES: list[tuple[str, QueryFn, str | None]] = [
     # A43: two-sided CUSUM drift statistic (closed-form prefix-extrema
     # re-expression of the non-associative textbook recursion)
     ("metric_cusum", m.metric_cusum, m.ORACLE_metric_cusum),
+    # A44: anchored-window sequence funnel (windowFunnel semantics;
+    # greedy-earliest provably complete under the fixed deadline)
+    (
+        "events_sequence_funnel",
+        bh.events_sequence_funnel,
+        bh.ORACLE_events_sequence_funnel,
+    ),
     # A40: first-order behavior transition matrix (exact ppm rows)
     (
         "events_markov_transitions",

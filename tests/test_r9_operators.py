@@ -228,3 +228,46 @@ def test_rfm_and_abc_shapes(spark):
     for r in abc:
         run += r["revenue_e4"]
         assert r["cum_e4"] == run
+
+
+# ------------------------------------------------- sequence funnel --
+def test_sequence_funnel_anchored_deadline(spark):
+    import datetime as dt
+
+    from project_obsidian_core_spark.analytics.behavior import (
+        funnel,
+        sequence_funnel,
+    )
+
+    t0 = dt.datetime(2024, 1, 1)
+
+    def ev(u, et, minutes, eid):
+        return (u, et, t0 + dt.timedelta(minutes=minutes), eid)
+
+    rows = [
+        # user 1 completes within the 60-min window
+        ev(1, "a", 0, 1), ev(1, "b", 10, 2), ev(1, "c", 30, 3),
+        # user 2: c lands past the anchor deadline -> stage 3 fails
+        ev(2, "a", 0, 4), ev(2, "b", 10, 5), ev(2, "c", 90, 6),
+        # user 3: b before a -> stage 2 fails (order is strict)
+        ev(3, "b", 0, 7), ev(3, "a", 10, 8), ev(3, "c", 20, 9),
+        # user 4: exact-deadline c (t = anchor + 60min) counts (<=)
+        ev(4, "a", 0, 10), ev(4, "b", 30, 11), ev(4, "c", 60, 12),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, event_type string, ts timestamp, event_id long"
+    )
+    got = {
+        r["stage_idx"]: r["n_users"]
+        for r in sequence_funnel(
+            df, ("a", "b", "c"), within_us=60 * 60 * 1_000_000
+        ).collect()
+    }
+    assert got == {1: 4, 2: 3, 3: 2}
+    # the windowed counts bound the unbounded funnel from below
+    unbounded = {
+        r["stage_idx"]: r["n_users"]
+        for r in funnel(df, ("a", "b", "c")).collect()
+    }
+    for i in (1, 2, 3):
+        assert got[i] <= unbounded[i]
