@@ -801,3 +801,62 @@ def label_propagation(edges: DataFrame, rounds: int = 3) -> DataFrame:
             .select("node", "lbl")
         )
     return labels
+
+
+def kcore(edges: DataFrame, k: int, max_rounds: int = 50) -> DataFrame:
+    """G5: k-core decomposition — the maximal subgraph where every node
+    keeps degree ≥ k, the standard "dense enough to matter" filter on
+    near-dup/kNN graphs (a 100 TB corpus graph's k-core isolates the
+    template/boilerplate families that degree alone under-selects,
+    because coreness survives only through MUTUAL support).
+
+    The classic peel (repeatedly delete nodes with degree < k) is an
+    iterative fixpoint, not a window — expressed as a loop of
+    degree-aggregate → semi-join rounds, each one shuffle pair on node
+    keys with state = the surviving edge set.  The peel MONOTONICALLY
+    shrinks the graph, so it terminates in ≤ \\|V\\| rounds; real graphs
+    converge in a handful (each round removes every node currently
+    under-supported, not one at a time).  ``max_rounds`` is the runaway
+    guard — hitting it raises rather than silently returning a
+    non-fixpoint.  ``localCheckpoint`` per round truncates the lineage
+    chain exactly like connected_components.
+
+    Returns the surviving nodes with their within-core degree.  No SQL
+    oracle path (iterative deletion is not expressible in a recursive
+    CTE's monotone-append model) — unit-pinned against a NetworkX-style
+    reference peel, the D9/G4 categorization.
+    """
+    und = (
+        edges.select(F.col("a").alias("src"), F.col("b").alias("dst"))
+        .unionByName(
+            edges.select(F.col("b").alias("src"), F.col("a").alias("dst"))
+        )
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()  # SIMPLE-graph coreness: parallel edges are one
+        # neighbor, self-loops support nothing
+    )
+    live = und.localCheckpoint(eager=True)
+    for _ in range(max_rounds):
+        deg = live.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+        keep = deg.filter(F.col("deg") >= k).select("src")
+        pruned = (
+            live.join(keep, "src", "left_semi")
+            .join(keep.withColumnRenamed("src", "dst"), "dst", "left_semi")
+        )
+        n_before = live.count()
+        pruned = pruned.localCheckpoint(eager=True)
+        n_after = pruned.count()
+        live = pruned
+        if n_after == n_before:
+            return live.groupBy("src").agg(
+                F.count(F.lit(1)).alias("core_degree")
+            ).select(F.col("src").alias("node"), "core_degree")
+        if n_after == 0:
+            return live.sparkSession.createDataFrame(
+                [], "node long, core_degree long"
+            )
+    raise RuntimeError(
+        f"kcore: no fixpoint after {max_rounds} rounds — raise max_rounds "
+        "for adversarial chains (each round only removes currently "
+        "under-supported nodes)"
+    )

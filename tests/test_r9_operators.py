@@ -271,3 +271,60 @@ def test_sequence_funnel_anchored_deadline(spark):
     }
     for i in (1, 2, 3):
         assert got[i] <= unbounded[i]
+
+
+# ------------------------------------------------------------ k-core --
+def _ref_kcore(edges, k):
+    """Reference sequential peel."""
+    from collections import defaultdict
+
+    adj = defaultdict(set)
+    for a, b in edges:
+        adj[a].add(b)
+        adj[b].add(a)
+    changed = True
+    while changed:
+        changed = False
+        for n in list(adj):
+            if len(adj[n]) < k:
+                for m in adj[n]:
+                    adj[m].discard(n)
+                del adj[n]
+                changed = True
+    return {n: len(ns) for n, ns in adj.items()}
+
+
+def test_kcore_matches_reference_peel(spark):
+    import random
+
+    from project_obsidian_core_spark.datapipe.similarity import kcore
+
+    rng = random.Random(7)
+    # a dense clique (survives k=3) + a tail of low-degree chains (peels)
+    edges = [(a, b) for a in range(5) for b in range(a + 1, 5)]  # K5
+    edges += [(10 + i, 11 + i) for i in range(8)]  # chain: degree <= 2
+    edges += [(0, 10), (1, 12)]  # bridges that peel away with the chain
+    extra = {(rng.randrange(20, 40), rng.randrange(20, 40)) for _ in range(40)}
+    edges += [(a, b) for a, b in extra if a != b]
+    df = spark.createDataFrame(edges, "a long, b long")
+    for k in (2, 3):
+        got = {
+            r["node"]: r["core_degree"]
+            for r in kcore(df, k=k).collect()
+        }
+        assert got == _ref_kcore(edges, k), f"k={k}"
+
+
+def test_kcore_empty_core_and_runaway_guard(spark):
+    import pytest
+
+    from project_obsidian_core_spark.datapipe.similarity import kcore
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(6)], "a long, b long"
+    )
+    assert kcore(chain, k=3).count() == 0
+    with pytest.raises(RuntimeError, match="max_rounds"):
+        # a long chain peels one layer of endpoints per round at k=2;
+        # max_rounds=1 cannot reach the (empty) fixpoint
+        kcore(chain, k=2, max_rounds=1)
