@@ -250,6 +250,9 @@ BENCH_QUERIES = [
     "metric_cusum",           # A43 CUSUM drift statistic (r9)
     "events_markov_transitions",  # A40 transition matrix (r9)
     "events_sequence_funnel",  # A44 anchored-window funnel (r9)
+    "metric_lttb",            # A45 LTTB plot downsample (r9)
+    "qan_apdex",              # A46 Apdex score (r9)
+    "customer_gini",          # A47 Gini concentration (r9)
     "customer_rfm_scores",    # A41 RFM quintiles (r9)
     "lineitem_abc_class",     # A42 ABC revenue classes (r9)
     "orders_benford",         # Q17 Benford digit screen (r9)

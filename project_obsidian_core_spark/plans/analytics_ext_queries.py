@@ -1504,3 +1504,146 @@ ORDER BY c.digit
 
 
 ORACLE_orders_benford = _benford_oracle()
+
+
+# ----------------------------------------------------- A46: Apdex --
+_APDEX_T_CENTS = 5000  # satisfied threshold; tolerating = 4T (standard)
+
+
+def qan_apdex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A46: Apdex score per event type — the SRE satisfaction index
+    (satisfied + tolerating/2) / total with the standard 4T tolerating
+    band, sitting beside the A34 burn-rate alert in the reliability
+    dashboard family.
+
+    One conditional aggregate per type (map-side combined); the score is
+    emitted in exact MILLI units ((2·sat + tol)·500 div total) so the
+    row hashes bit-exact — the float Apdex is one deterministic division
+    for display.
+    """
+    ev = load(spark, sf_dir, "events")
+    lat = ev.select("event_type", cents("value").alias("lat_cents"))
+    agg = lat.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_total"),
+        F.sum(
+            F.when(F.col("lat_cents") <= _APDEX_T_CENTS, 1).otherwise(0)
+        ).alias("n_satisfied"),
+        F.sum(
+            F.when(
+                (F.col("lat_cents") > _APDEX_T_CENTS)
+                & (F.col("lat_cents") <= 4 * _APDEX_T_CENTS),
+                1,
+            ).otherwise(0)
+        ).alias("n_tolerating"),
+    )
+    return agg.select(
+        "event_type",
+        "n_total",
+        "n_satisfied",
+        "n_tolerating",
+        F.expr("(2 * n_satisfied + n_tolerating) * 500 div n_total").alias(
+            "apdex_milli"
+        ),
+    ).orderBy("event_type")
+
+
+ORACLE_qan_apdex = f"""
+WITH lat AS (
+    SELECT event_type,
+           CAST(round(value * 100, 0) AS BIGINT) AS lat_cents
+    FROM events
+), agg AS (
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_total,
+           CAST(sum(CASE WHEN lat_cents <= {_APDEX_T_CENTS} THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_satisfied,
+           CAST(sum(CASE WHEN lat_cents > {_APDEX_T_CENTS}
+                          AND lat_cents <= {4 * _APDEX_T_CENTS}
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_tolerating
+    FROM lat GROUP BY event_type
+)
+SELECT event_type, n_total, n_satisfied, n_tolerating,
+       (2 * n_satisfied + n_tolerating) * 500 // n_total AS apdex_milli
+FROM agg
+ORDER BY event_type
+"""
+
+
+# ------------------------------------------------------ A47: Gini --
+def customer_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A47: Gini coefficient of revenue concentration across customers —
+    the inequality summary that complements A42's ABC classes (ABC says
+    WHERE the cutoffs fall; Gini says HOW concentrated the whole curve
+    is) and Q16's skew histogram (key-frequency skew vs value-mass skew).
+
+    Closed form G = (2·Σ i·x_i − (n+1)·Σ x) / (n·Σ x) over the
+    ascending-sorted x — but NOT computed by ranking rows: an
+    unpartitioned row_number would coalesce |customers| rows into one
+    task.  Instead the rank sum folds per DISTINCT value: positions of
+    value v occupy (c_lt, c_lt + c_v], so Σ i·x =
+    Σ_v v·(c_v·c_lt(v) + c_v·(c_v+1)/2) — one groupBy(x) (map-side
+    combined) plus a cumulative window over the distinct-VALUE relation,
+    which a revenue grid keeps ≤10⁶ rows at any corpus size (quantize to
+    whole currency units at 10⁹ customers, the A42 note).  Ties need no
+    break: the per-value fold is their canonical form (equal-x swaps
+    cancel in Σ i·x).  Exact int64 numerator/denominator; the float
+    ratio is one final division.  The simple ranked formula is the
+    ORACLE — the gate match proves the fold's algebraic equivalence.
+    """
+    o = load(spark, sf_dir, "orders")
+    per = o.groupBy("o_custkey").agg(
+        F.sum(cents("o_totalprice")).alias("x")
+    )
+    byval = per.groupBy("x").agg(F.count(F.lit(1)).alias("c"))
+    wcum = Window.orderBy("x").rowsBetween(Window.unboundedPreceding, -1)
+    folded = byval.select(
+        "x",
+        "c",
+        F.coalesce(F.sum("c").over(wcum), F.lit(0)).alias("c_lt"),
+    )
+    agg = folded.agg(
+        F.sum("c").alias("n"),
+        F.sum(F.col("x") * F.col("c")).alias("sx"),
+        # div keeps every term int64: c(c+1) is always even, and a double
+        # detour would shed bits past 2^53 (x·rank-sum reaches ~10^16)
+        F.sum(F.expr("x * (c * c_lt + (c * (c + 1)) div 2)")).alias("six"),
+    )
+    return agg.select(
+        "n",
+        "sx",
+        (F.lit(2) * F.col("six") - (F.col("n") + 1) * F.col("sx")).alias(
+            "gini_num"
+        ),
+        (F.col("n") * F.col("sx")).alias("gini_den"),
+        (
+            (F.lit(2) * F.col("six") - (F.col("n") + 1) * F.col("sx")).cast(
+                "double"
+            )
+            / (F.col("n") * F.col("sx")).cast("double")
+        ).alias("gini"),
+    )
+
+
+ORACLE_customer_gini = """
+WITH per AS (
+    SELECT o_custkey,
+           CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT)
+               AS x
+    FROM orders GROUP BY o_custkey
+), ranked AS (
+    SELECT x,
+           CAST(row_number() OVER (ORDER BY x ASC, o_custkey ASC) AS BIGINT)
+               AS i
+    FROM per
+), agg AS (
+    SELECT CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(x) AS BIGINT) AS sx,
+           CAST(sum(i * x) AS BIGINT) AS six
+    FROM ranked
+)
+SELECT n, sx,
+       2 * six - (n + 1) * sx AS gini_num,
+       n * sx AS gini_den,
+       CAST(2 * six - (n + 1) * sx AS DOUBLE) / CAST(n * sx AS DOUBLE) AS gini
+FROM agg
+"""

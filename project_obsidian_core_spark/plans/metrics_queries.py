@@ -787,3 +787,141 @@ SELECT metric_name, bucket_epoch_s, v_cents,
 FROM p
 ORDER BY metric_name, bucket_epoch_s
 """
+
+
+# ------------------------------------- A45: LTTB-style plot downsample --
+def metric_lttb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A45: visually-faithful series downsampling — per (metric, 5-min
+    bucket) keep the ONE raw sample that subtends the largest triangle
+    against the neighboring buckets' mean points (the bucket-mean
+    variant of Steinarsson's Largest-Triangle-Three-Buckets; classic
+    LTTB anchors on the PREVIOUS CHOSEN point, a sequential dependency
+    no distributed window can express — the mean-anchor variant is the
+    standard parallelization and what MinMaxLTTB approximates).
+
+    Everything exact-int: with prev/next bucket aggregates (n, Σx, Σy)
+    and candidate (x, y), the triangle area is proportional to
+    |(Σx₁·n₃ − Σx₃·n₁)(y·n₁ − Σy₁) − (Σx₁ − x·n₁)(Σy₃·n₁ − Σy₁·n₃)|
+    (both mean denominators multiplied through) — so the per-bucket
+    argmax is a deterministic integer comparison, tie-broken by (ts, y).
+    x is MINUTES since the series' first sample (the A36 centering: raw
+    epoch-µs blows the products past 2⁶³).  Edge buckets (no prev/next)
+    keep their earliest sample — the first/last-point rule of LTTB.
+
+    Plan: bucket aggregates map-side combine; prev/next attach by lag/
+    lead over the tiny bucket relation; candidates join their bucket's
+    anchor row (one shuffle on the bucket key); argmax is a row_number
+    over the same key.  Output: one row per bucket — the 100 TB dashboard
+    path (downsample happens engine-side, the plot gets |buckets| points).
+    """
+    from pyspark.sql import Window
+
+    m = synthesize_metrics(spark, sf_dir)
+    wser = Window.partitionBy("metric_name")
+    pts = m.select(
+        "metric_name",
+        (F.expr("unix_micros(time) div 300000000") * 300).alias(
+            "bucket_epoch_s"
+        ),
+        F.expr("unix_micros(time) div 60000000").alias("xm_raw"),
+        F.unix_micros("time").alias("ts_us"),
+        F.col("metric_value").alias("y"),
+    ).withColumn("x", F.col("xm_raw") - F.min("xm_raw").over(wser)).drop(
+        "xm_raw"
+    )
+    b = pts.groupBy("metric_name", "bucket_epoch_s").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+    )
+    wb = Window.partitionBy("metric_name").orderBy("bucket_epoch_s")
+    anchors = b.select(
+        "metric_name",
+        "bucket_epoch_s",
+        F.lag("n").over(wb).alias("n1"),
+        F.lag("sx").over(wb).alias("sx1"),
+        F.lag("sy").over(wb).alias("sy1"),
+        F.lead("n").over(wb).alias("n3"),
+        F.lead("sx").over(wb).alias("sx3"),
+        F.lead("sy").over(wb).alias("sy3"),
+    )
+    cand = pts.join(anchors, ["metric_name", "bucket_epoch_s"])
+    score = F.abs(
+        (F.col("sx1") * F.col("n3") - F.col("sx3") * F.col("n1"))
+        * (F.col("y") * F.col("n1") - F.col("sy1"))
+        - (F.col("sx1") - F.col("x") * F.col("n1"))
+        * (F.col("sy3") * F.col("n1") - F.col("sy1") * F.col("n3"))
+    )
+    edge = F.col("n1").isNull() | F.col("n3").isNull()
+    ranked = cand.withColumn(
+        "_score", F.when(edge, F.lit(None).cast("long")).otherwise(score)
+    ).withColumn(
+        "_rn",
+        F.row_number().over(
+            Window.partitionBy("metric_name", "bucket_epoch_s").orderBy(
+                F.when(edge, F.col("ts_us")).asc_nulls_last(),
+                F.desc_nulls_last("_score"),
+                F.asc("ts_us"),
+                F.asc("y"),
+            )
+        ),
+    )
+    return (
+        ranked.filter(F.col("_rn") == 1)
+        .select(
+            "metric_name",
+            "bucket_epoch_s",
+            F.col("ts_us").alias("kept_ts_us"),
+            F.col("y").alias("kept_cents"),
+        )
+        .orderBy("metric_name", "bucket_epoch_s")
+    )
+
+
+ORACLE_metric_lttb = f"""
+WITH m AS ({_SYN_SQL}),
+pts AS (
+    SELECT metric_name,
+           (epoch_us(time) // 300000000) * 300 AS bucket_epoch_s,
+           epoch_us(time) // 60000000
+               - min(epoch_us(time) // 60000000)
+                     OVER (PARTITION BY metric_name) AS x,
+           epoch_us(time) AS ts_us,
+           metric_value AS y
+    FROM m
+), b AS (
+    SELECT metric_name, bucket_epoch_s,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(x) AS BIGINT) AS sx,
+           CAST(sum(y) AS BIGINT) AS sy
+    FROM pts GROUP BY 1, 2
+), anchors AS (
+    SELECT metric_name, bucket_epoch_s,
+           lag(n) OVER w AS n1, lag(sx) OVER w AS sx1, lag(sy) OVER w AS sy1,
+           lead(n) OVER w AS n3, lead(sx) OVER w AS sx3, lead(sy) OVER w AS sy3
+    FROM b
+    WINDOW w AS (PARTITION BY metric_name ORDER BY bucket_epoch_s)
+), cand AS (
+    SELECT p.metric_name, p.bucket_epoch_s, p.ts_us, p.y,
+           (a.n1 IS NULL OR a.n3 IS NULL) AS edge,
+           CASE WHEN a.n1 IS NULL OR a.n3 IS NULL THEN NULL
+                ELSE abs((a.sx1 * a.n3 - a.sx3 * a.n1) * (p.y * a.n1 - a.sy1)
+                       - (a.sx1 - p.x * a.n1) * (a.sy3 * a.n1 - a.sy1 * a.n3))
+           END AS score
+    FROM pts p JOIN anchors a
+      ON p.metric_name = a.metric_name
+     AND p.bucket_epoch_s = a.bucket_epoch_s
+), ranked AS (
+    SELECT metric_name, bucket_epoch_s, ts_us, y,
+           row_number() OVER (
+               PARTITION BY metric_name, bucket_epoch_s
+               ORDER BY CASE WHEN edge THEN ts_us END ASC NULLS LAST,
+                        score DESC NULLS LAST,
+                        ts_us ASC, y ASC) AS rn
+    FROM cand
+)
+SELECT metric_name, bucket_epoch_s,
+       ts_us AS kept_ts_us, y AS kept_cents
+FROM ranked WHERE rn = 1
+ORDER BY metric_name, bucket_epoch_s
+"""

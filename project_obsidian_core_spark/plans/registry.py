@@ -492,6 +492,14 @@ _ENTRIES: list[tuple[str, QueryFn, str | None]] = [
         bh.events_sequence_funnel,
         bh.ORACLE_events_sequence_funnel,
     ),
+    # A45: LTTB-style plot downsample (mean-anchor variant, exact-int
+    # triangle argmax)
+    ("metric_lttb", m.metric_lttb, m.ORACLE_metric_lttb),
+    # A46: Apdex satisfaction index (exact milli units)
+    ("qan_apdex", ax.qan_apdex, ax.ORACLE_qan_apdex),
+    # A47: Gini revenue concentration (distinct-value rank-sum fold;
+    # the naive ranked formula is the oracle, equality proves the fold)
+    ("customer_gini", ax.customer_gini, ax.ORACLE_customer_gini),
     # A40: first-order behavior transition matrix (exact ppm rows)
     (
         "events_markov_transitions",

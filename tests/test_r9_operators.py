@@ -328,3 +328,130 @@ def test_kcore_empty_core_and_runaway_guard(spark):
         # a long chain peels one layer of endpoints per round at k=2;
         # max_rounds=1 cannot reach the (empty) fixpoint
         kcore(chain, k=2, max_rounds=1)
+
+
+# ------------------------------------------------------- Apdex/Gini --
+def test_gini_fold_matches_naive_rank_formula(spark):
+    """The distinct-value rank-sum fold must equal the textbook ranked
+    formula, including under heavy ties."""
+    import random
+
+    rng = random.Random(3)
+    xs = [rng.choice([100, 100, 250, 250, 250, 900, 4000]) for _ in range(60)]
+    # naive: sort ascending, i = 1..n
+    s = sorted(xs)
+    n = len(s)
+    sx = sum(s)
+    six = sum(i * x for i, x in enumerate(s, start=1))
+    num, den = 2 * six - (n + 1) * sx, n * sx
+
+    from pyspark.sql import Window
+
+    df = spark.createDataFrame([(x,) for x in xs], "x long")
+    byval = df.groupBy("x").agg(F.count(F.lit(1)).alias("c"))
+    wcum = Window.orderBy("x").rowsBetween(Window.unboundedPreceding, -1)
+    folded = byval.select(
+        "x", "c", F.coalesce(F.sum("c").over(wcum), F.lit(0)).alias("c_lt")
+    )
+    agg = folded.agg(
+        F.sum("c").alias("n"),
+        F.sum(F.col("x") * F.col("c")).alias("sx"),
+        F.sum(F.expr("x * (c * c_lt + (c * (c + 1)) div 2)")).alias("six"),
+    ).collect()[0]
+    assert (agg["n"], agg["sx"], agg["six"]) == (n, sx, six)
+    assert 2 * agg["six"] - (agg["n"] + 1) * agg["sx"] == num
+    assert agg["n"] * agg["sx"] == den
+
+
+def test_gini_extremes(spark, tmp_path):
+    """Equal revenues -> G = 0; one customer holding everything -> the
+    discrete maximum (n-1)/n."""
+    from project_obsidian_core_spark.plans.analytics_ext_queries import (
+        customer_gini,
+    )
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1)
+
+    def write(rows, d):
+        sf = str(tmp_path / d)
+        spark.createDataFrame(
+            [(i, k, float(v), t0) for i, (k, v) in enumerate(rows)],
+            "o_orderkey long, o_custkey long, o_totalprice double,"
+            " o_orderdate timestamp",
+        ).write.parquet(f"{sf}/orders.parquet")
+        return sf
+
+    equal = write([(k, 100.0) for k in range(5)], "eq")
+    r = customer_gini(spark, equal).collect()[0]
+    assert r["gini_num"] == 0 and r["gini"] == 0.0
+
+    # n=5: one customer has all (others still appear with tiny amounts
+    # rounding to >0 cents so they count as customers)
+    skew = write([(0, 10000.0)] + [(k, 0.01) for k in range(1, 5)], "sk")
+    r = customer_gini(spark, skew).collect()[0]
+    assert r["n"] == 5
+    assert abs(r["gini"] - (4 / 5)) < 0.001  # ~ (n-1)/n with ε mass
+
+
+def test_apdex_thresholds(spark, tmp_path):
+    import datetime as dt
+
+    from project_obsidian_core_spark.plans.analytics_ext_queries import (
+        _APDEX_T_CENTS,
+        qan_apdex,
+    )
+
+    t0 = dt.datetime(2024, 1, 1)
+    T = _APDEX_T_CENTS / 100.0  # threshold in raw value units
+    rows = [
+        (1, 1, "api", t0, T),          # satisfied (<= T, boundary)
+        (2, 1, "api", t0, T + 0.01),   # tolerating
+        (3, 1, "api", t0, 4 * T),      # tolerating (boundary)
+        (4, 1, "api", t0, 4 * T + 1),  # frustrated
+    ]
+    sf = str(tmp_path)
+    spark.createDataFrame(
+        rows,
+        "event_id long, user_id long, event_type string, ts timestamp,"
+        " value double",
+    ).write.parquet(f"{sf}/events.parquet")
+    r = qan_apdex(spark, sf).collect()[0]
+    assert (r["n_total"], r["n_satisfied"], r["n_tolerating"]) == (4, 1, 2)
+    # (2*1 + 2) * 500 / 4 = 500
+    assert r["apdex_milli"] == 500
+
+
+# ------------------------------------------------------------ LTTB --
+def test_lttb_picks_the_visual_extreme(spark, tmp_path):
+    """Middle bucket holds a flat run plus one spike: the spike subtends
+    the biggest triangle against the neighbor means and must be kept;
+    edge buckets keep their earliest sample."""
+    import datetime as dt
+
+    from project_obsidian_core_spark.plans.metrics_queries import metric_lttb
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = []
+    # bucket 0 (edge): two flat points
+    rows += [(1, "view", t0 + dt.timedelta(seconds=s), 10.0) for s in (0, 60)]
+    # bucket 1: flat 10s with one spike to 90 mid-bucket
+    rows += [
+        (1, "view", t0 + dt.timedelta(seconds=300 + s), v)
+        for s, v in ((0, 10.0), (60, 10.0), (120, 90.0), (180, 10.0))
+    ]
+    # bucket 2 (edge): flat
+    rows += [(1, "view", t0 + dt.timedelta(seconds=600 + s), 10.0) for s in (0, 60)]
+    sf = str(tmp_path)
+    spark.createDataFrame(
+        rows, "user_id long, event_type string, ts timestamp, value double"
+    ).write.parquet(f"{sf}/events.parquet")
+    got = {
+        r["bucket_epoch_s"]: (r["kept_ts_us"], r["kept_cents"])
+        for r in metric_lttb(spark, sf).collect()
+    }
+    t0_us = int(t0.replace(tzinfo=dt.timezone.utc).timestamp() * 1_000_000)
+    base = t0_us // 300_000_000 * 300
+    assert got[base] == (t0_us, 1000)  # edge: earliest
+    assert got[base + 300] == (t0_us + 420_000_000, 9000)  # the spike
+    assert got[base + 600] == (t0_us + 600_000_000, 1000)  # edge: earliest
