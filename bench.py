@@ -28,6 +28,7 @@ regression can't hide behind "the host was slow".
 
 from __future__ import annotations
 
+import gc
 import json
 import os
 import re
@@ -414,6 +415,19 @@ def main() -> None:
         warm_runs = runs[1:] if len(runs) > 1 else runs
         warm[name] = round(statistics.median(warm_runs), 4)
         spread[name] = [round(min(warm_runs), 4), round(max(warm_runs), 4)]
+        # session hygiene between queries: memory-sink tables (one per
+        # stream replay, holding every emitted row for the session's
+        # life), cached/checkpointed blocks and dangling python refs
+        # accumulate over a 195-query suite — the r9 run measured the
+        # LAST ~35 suite positions at a median 2.35x their r8 times
+        # while every earlier position sat at ~1.1x (position-
+        # correlated, so session state, not host drift).  Isolate each
+        # query's measurement from its predecessors' leftovers.
+        for t in spark.catalog.listTables():
+            if t.isTemporary:
+                spark.catalog.dropTempView(t.name)
+        spark.catalog.clearCache()
+        gc.collect()
         # checkpoint after every query: a timeout/kill mid-suite still
         # leaves every completed measurement on disk
         with open(partial_path, "w") as fh:

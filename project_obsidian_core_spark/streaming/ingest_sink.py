@@ -1,9 +1,12 @@
 """T16: streaming ingest-dedup sink — the LIVE form of the incremental
 ingest loop (B6 append-chain + D10 incremental near-dup).
 
-Each micro-batch of new documents is deduplicated against the ACCUMULATED
-corpus (MinHash-LSH incremental candidates — the |new|-bounded join, never
-corpus²) and the survivors are appended as one O(batch) chain version.
+Each micro-batch of new documents is deduplicated FIRST within itself
+(near-dups that arrive together would otherwise both clear the
+new-vs-corpus join — including on the bootstrap batch, which has no
+corpus to check against) and then against the ACCUMULATED corpus
+(MinHash-LSH incremental candidates — the |new|-bounded join, never
+corpus²); the survivors are appended as one O(batch) chain version.
 Exactly-once across replays comes from the epoch marker in the snapshot
 manifest (:func:`operators.versioning.append_snapshot_once`): a restarted
 query re-delivering its last batch sees its own epoch on the latest

@@ -455,3 +455,63 @@ def test_lttb_picks_the_visual_extreme(spark, tmp_path):
     assert got[base] == (t0_us, 1000)  # edge: earliest
     assert got[base + 300] == (t0_us + 420_000_000, 9000)  # the spike
     assert got[base + 600] == (t0_us + 600_000_000, 1000)  # edge: earliest
+
+
+def test_sequence_funnel_matches_bruteforce_on_random_streams(spark):
+    """Property: for random event sets, each stage count equals a
+    per-user brute-force check of the anchored-window progression."""
+    import datetime as dt
+    import random
+
+    from project_obsidian_core_spark.analytics.behavior import sequence_funnel
+
+    rng = random.Random(99)
+    t0 = dt.datetime(2024, 1, 1)
+    stages = ("a", "b", "c")
+    T_us = 45 * 60 * 1_000_000
+    rows = []
+    eid = 0
+    for u in range(40):
+        for _ in range(rng.randrange(0, 12)):
+            eid += 1
+            rows.append(
+                (
+                    u,
+                    rng.choice(["a", "b", "c", "x"]),
+                    t0 + dt.timedelta(minutes=rng.randrange(0, 180)),
+                    eid,
+                )
+            )
+    if not rows:
+        return
+    df = spark.createDataFrame(
+        rows, "user_id long, event_type string, ts timestamp, event_id long"
+    )
+    got = {
+        r["stage_idx"]: r["n_users"]
+        for r in sequence_funnel(df, stages, within_us=T_us).collect()
+    }
+
+    # brute force: anchored at the user's earliest 'a', greedy-earliest
+    def to_us(t):
+        return int(t.replace(tzinfo=dt.timezone.utc).timestamp() * 1_000_000)
+
+    by_user = {}
+    for u, et, ts, _ in rows:
+        by_user.setdefault(u, []).append((et, to_us(ts)))
+    ref = {1: 0, 2: 0, 3: 0}
+    for u, evs in by_user.items():
+        a_times = [t for et, t in evs if et == "a"]
+        if not a_times:
+            continue
+        ref[1] += 1
+        anchor = min(a_times)
+        deadline = anchor + T_us
+        prev = anchor
+        for idx, stage in enumerate(stages[1:], start=2):
+            cand = [t for et, t in evs if et == stage and prev < t <= deadline]
+            if not cand:
+                break
+            prev = min(cand)
+            ref[idx] += 1
+    assert got == ref
