@@ -258,6 +258,8 @@ BENCH_QUERIES = [
     "lineitem_abc_class",     # A42 ABC revenue classes (r9)
     "orders_benford",         # Q17 Benford digit screen (r9)
     "corpus_bigram_pmi",      # X20 collocation lift (r9)
+    "corpus_dup_spans",       # D18 repeated-span windows (r9)
+    "corpus_dup_span_coverage",  # D19 per-doc dup coverage, hashed (r9)
     "events_discovery_timeline",  # exact running-distinct breakpoints
     "dedup_prefix_clusters",  # provably complete near-dup clusters
     # stream_cdc_merge is timed via _time_cdc_merge below (merge work

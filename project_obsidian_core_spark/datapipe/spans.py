@@ -1,0 +1,151 @@
+"""D18/D19: exact duplicated-SPAN detection over a document corpus.
+
+The suffix-array substring dedup of Lee et al. 2022 ("Deduplicating
+Training Data Makes Language Models Better" — they drop any 50-token
+span that repeats verbatim) assumes the whole corpus fits one machine's
+suffix array.  The Spark-native re-expression is fixed-length token
+WINDOWS with stride 1: a duplicated span of length >= k always contains
+a duplicated k-token window, so grouping identical windows across
+documents finds every such span (with positions), at the cost of
+reporting a long shared span as its overlapping k-windows.
+
+Reference parity: the reference corpus tooling dedups whole rows /
+shingled near-dups only (fortxun/project-obsidian-core scripts/, no
+substring pass); this module is part of the §2.11 training-data
+extension surface, not a port.
+
+Scale design (100 TB / 1000 executors)
+--------------------------------------
+- Window construction is a per-row array expression (split + transform
+  + slice) inside WholeStageCodegen — no Python, no join; the explode
+  is the unavoidable one-row-per-window fan-out (~n_tokens rows/doc,
+  the same cardinality the suffix array would index).
+- The production path hashes each window to int64 *before* the
+  exchange (``hashed=True``): the shuffle carries (doc_id, gh) pairs —
+  16 bytes/window — never window text.  The duplicated-window set is a
+  partial-agg count over gh, and coverage is a shuffle hash join of two
+  int64-keyed relations; AQE handles skew (boilerplate spans hash to
+  hot keys the same way hot LSH buckets do).
+- The string path exists for the oracle gate (window text comparable in
+  SQL) and for human-readable span reports (`dup_spans`), where the
+  output is TakeOrdered-limited, not corpus-sized.
+- The md5-derived 60-bit hash is shared with the DuckDB oracle
+  (datapipe.text.shared_hash60); a real deployment would swap in
+  xxhash64 for scan-rate hashing — the plan shape is identical.
+
+Determinism: tokenisation is whitespace-normalised split; hashes are
+md5-derived; no floats anywhere (coverage is exact ppm).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from project_obsidian_core_spark.datapipe.text import shared_hash60
+
+#: default window length in tokens.  Lee et al. use 50 on web corpora;
+#: the synthetic gate corpus has ~100-token docs, so tests/gates pass
+#: k=8 explicitly — the operator takes k, nothing is tuned to the gate.
+SPAN_K = 50
+
+
+def token_windows(
+    df: DataFrame,
+    k: int = SPAN_K,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    hashed: bool = False,
+) -> DataFrame:
+    """All k-token windows (stride 1) per document.
+
+    Output: (id_col, start_pos [1-based token index], gram) — or
+    (id_col, start_pos, gh) when ``hashed`` (the window text never
+    leaves the map side).  Documents shorter than k tokens emit no
+    rows.  The ``size >= k`` filter is load-bearing: Spark's
+    ``sequence(1, n)`` generates DESCENDING sequences for n < 1, which
+    would fabricate windows for short docs.
+    """
+    toks = F.split(F.trim(F.regexp_replace(F.col(text_col), r"\s+", " ")), " ")
+    d = df.select(F.col(id_col), toks.alias("toks")).where(F.size("toks") >= k)
+    grams = F.expr(
+        f"transform(sequence(1, size(toks) - {k - 1}),"
+        f" i -> concat_ws(' ', slice(toks, i, {k})))"
+    )
+    w = d.select(
+        id_col, F.posexplode(grams).alias("pos0", "gram")
+    ).select(
+        id_col, (F.col("pos0") + 1).alias("start_pos"), "gram"
+    )
+    if hashed:
+        w = w.select(id_col, "start_pos", shared_hash60(F.col("gram")).alias("gh"))
+    return w
+
+
+def dup_spans(
+    df: DataFrame,
+    k: int = SPAN_K,
+    min_docs: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Token windows appearing in >= min_docs DISTINCT documents.
+
+    Output: (gram, n_docs, n_occ) — the verbatim-repeated spans a
+    substring-dedup pass would excise.  One exchange (hash-partitioned
+    partial counts per gram); callers cap the result with an
+    orderBy+limit (TakeOrderedAndProject), never a global sort.
+    """
+    w = token_windows(df, k=k, text_col=text_col, id_col=id_col)
+    return (
+        w.groupBy("gram")
+        .agg(
+            F.countDistinct(id_col).alias("n_docs"),
+            F.count(F.lit(1)).alias("n_occ"),
+        )
+        .where(F.col("n_docs") >= min_docs)
+    )
+
+
+def dup_span_coverage(
+    df: DataFrame,
+    k: int = SPAN_K,
+    min_docs: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document duplicated-span coverage: what fraction of a doc's
+    k-token windows repeat verbatim in >= min_docs distinct docs.
+
+    Output: (id_col, n_windows, n_dup_windows, dup_ppm) — exact-int
+    parts-per-million; docs with >= k tokens only (shorter docs have no
+    windows to classify).  This is the per-doc statistic a curation
+    pass thresholds on ("drop docs that are mostly boilerplate").
+
+    Plan: hashed windows (int64 gh) -> [exchange 1] gh-keyed distinct-
+    doc count to derive the duplicated-gh set -> [exchange 2] windows
+    join dup-set on gh (both sides already gh-keyed; the dup set
+    carries one boolean-free column) -> [exchange 3] per-doc count
+    fold.  All shuffle keys are 8-byte ints; window text dies map-side.
+    """
+    w = token_windows(df, k=k, text_col=text_col, id_col=id_col, hashed=True)
+    dup = (
+        w.groupBy("gh")
+        .agg(F.countDistinct(id_col).alias("n_docs"))
+        .where(F.col("n_docs") >= min_docs)
+        .select("gh")
+    )
+    flagged = w.join(dup.withColumn("is_dup", F.lit(1)), "gh", "left")
+    return (
+        flagged.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_windows"),
+            F.coalesce(F.sum("is_dup"), F.lit(0)).alias("n_dup_windows"),
+        )
+        .select(
+            id_col,
+            "n_windows",
+            "n_dup_windows",
+            F.expr("(n_dup_windows * 1000000L) DIV n_windows").alias("dup_ppm"),
+        )
+    )

@@ -1691,3 +1691,75 @@ CROSS JOIN tot
 ORDER BY lift_ppm DESC, big.w1, big.w2
 LIMIT 100
 """
+
+
+# ---------------------------------------------- D18/D19: duplicated spans
+from project_obsidian_core_spark.datapipe import spans as SP  # noqa: E402
+
+#: gate window length — the synthetic docs run ~100 tokens, so k=8 plays
+#: the role Lee et al.'s k=50 plays on web pages (SP.SPAN_K stays 50).
+_SPAN_GATE_K = 8
+
+
+def corpus_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D18: verbatim k-token spans repeated across >= 2 distinct docs —
+    the distributed stand-in for suffix-array substring dedup (window
+    text kept for the report; TakeOrdered caps the output)."""
+    return (
+        SP.dup_spans(load(spark, sf_dir, "documents"), k=_SPAN_GATE_K)
+        .orderBy(F.desc("n_occ"), F.desc("n_docs"), "gram")
+        .limit(200)
+    )
+
+
+ORACLE_corpus_dup_spans = f"""
+WITH d AS (
+    SELECT doc_id,
+           string_split(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' ') AS toks
+    FROM documents
+), w AS (
+    SELECT doc_id,
+           unnest([array_to_string(toks[i:i+{_SPAN_GATE_K - 1}], ' ')
+                   for i in generate_series(1, len(toks) - {_SPAN_GATE_K - 1})]) AS gram
+    FROM d WHERE len(toks) >= {_SPAN_GATE_K}
+)
+SELECT gram,
+       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       CAST(count(*) AS BIGINT) AS n_occ
+FROM w
+GROUP BY gram
+HAVING count(DISTINCT doc_id) >= 2
+ORDER BY n_occ DESC, n_docs DESC, gram
+LIMIT 200
+"""
+
+
+def corpus_dup_span_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D19: per-doc duplicated-span coverage (exact ppm) over hashed
+    windows — the shuffle carries int64 window hashes, never text."""
+    return SP.dup_span_coverage(
+        load(spark, sf_dir, "documents"), k=_SPAN_GATE_K
+    ).orderBy("doc_id")
+
+
+ORACLE_corpus_dup_span_coverage = f"""
+WITH d AS (
+    SELECT doc_id,
+           string_split(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' ') AS toks
+    FROM documents
+), w AS (
+    SELECT doc_id,
+           unnest([CAST('0x' || substr(md5(array_to_string(toks[i:i+{_SPAN_GATE_K - 1}], ' ')), 1, 15) AS BIGINT)
+                   for i in generate_series(1, len(toks) - {_SPAN_GATE_K - 1})]) AS gh
+    FROM d WHERE len(toks) >= {_SPAN_GATE_K}
+), dup AS (
+    SELECT gh FROM w GROUP BY gh HAVING count(DISTINCT doc_id) >= 2
+)
+SELECT w.doc_id,
+       CAST(count(*) AS BIGINT) AS n_windows,
+       CAST(count(dup.gh) AS BIGINT) AS n_dup_windows,
+       (count(dup.gh) * 1000000) // count(*) AS dup_ppm
+FROM w LEFT JOIN dup ON w.gh = dup.gh
+GROUP BY w.doc_id
+ORDER BY w.doc_id
+"""

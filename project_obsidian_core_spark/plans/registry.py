@@ -562,6 +562,15 @@ _ENTRIES: list[tuple[str, QueryFn, str | None]] = [
         d.dedup_prefix_clusters,
         d.ORACLE_dedup_prefix_clusters,
     ),
+    # D18: verbatim repeated k-token spans (distributed stand-in for
+    # suffix-array substring dedup, Lee et al. 2022)
+    ("corpus_dup_spans", d.corpus_dup_spans, d.ORACLE_corpus_dup_spans),
+    # D19: per-doc duplicated-span coverage over hashed windows (ppm)
+    (
+        "corpus_dup_span_coverage",
+        d.corpus_dup_span_coverage,
+        d.ORACLE_corpus_dup_span_coverage,
+    ),
 ]
 
 # ----------------------------------------------------------------------
