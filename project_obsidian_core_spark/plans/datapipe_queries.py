@@ -1763,3 +1763,52 @@ FROM w LEFT JOIN dup ON w.gh = dup.gh
 GROUP BY w.doc_id
 ORDER BY w.doc_id
 """
+
+
+# ------------------------------------------- Q18: DSIR importance weights
+from project_obsidian_core_spark.datapipe import dsir as DS  # noqa: E402
+
+
+def corpus_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q18: DSIR-style hashed-ngram importance scores, target = lang
+    'en' (exact-int lift-ppm rank proxy; see datapipe/dsir.py)."""
+    return DS.dsir_importance(
+        load(spark, sf_dir, "documents"), F.col("lang") == "en"
+    ).orderBy("doc_id")
+
+
+ORACLE_corpus_dsir_weights = f"""
+WITH d AS (
+    SELECT doc_id, CAST(lang = 'en' AS INT) AS is_tgt,
+           string_split(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' ') AS toks
+    FROM documents
+), f AS (
+    SELECT doc_id, is_tgt,
+           CAST('0x' || substr(md5(feat), 1, 15) AS BIGINT) % {DS.DSIR_BUCKETS} AS b
+    FROM (
+        SELECT doc_id, is_tgt,
+               unnest(list_concat(toks,
+                   [toks[i] || ' ' || toks[i+1]
+                    for i in generate_series(1, len(toks) - 1)])) AS feat
+        FROM d)
+), doc_feat AS (
+    SELECT doc_id, b, CAST(count(*) AS BIGINT) AS n_f FROM f GROUP BY 1, 2
+), bucket AS (
+    SELECT b, CAST(count(*) AS BIGINT) AS n_raw,
+           CAST(sum(is_tgt) AS BIGINT) AS n_tgt
+    FROM f GROUP BY 1
+), tot AS (
+    SELECT CAST(sum(n_raw) AS BIGINT) AS R, CAST(sum(n_tgt) AS BIGINT) AS T
+    FROM bucket
+), scored AS (
+    SELECT b, CAST((n_tgt + 1) * ((R + {DS.DSIR_BUCKETS}) * 1000000
+                   // (T + {DS.DSIR_BUCKETS})) // (n_raw + 1) AS BIGINT) AS lift_ppm
+    FROM bucket CROSS JOIN tot
+)
+SELECT doc_feat.doc_id,
+       CAST(sum(n_f) AS BIGINT) AS n_features,
+       CAST(sum(n_f * lift_ppm) // sum(n_f) AS BIGINT) AS importance_ppm
+FROM doc_feat JOIN scored USING (b)
+GROUP BY 1
+ORDER BY doc_feat.doc_id
+"""

@@ -571,6 +571,8 @@ _ENTRIES: list[tuple[str, QueryFn, str | None]] = [
         d.corpus_dup_span_coverage,
         d.ORACLE_corpus_dup_span_coverage,
     ),
+    # Q18: DSIR-style hashed-ngram importance weights (exact-int lift)
+    ("corpus_dsir_weights", d.corpus_dsir_weights, d.ORACLE_corpus_dsir_weights),
 ]
 
 # ----------------------------------------------------------------------
