@@ -261,6 +261,7 @@ BENCH_QUERIES = [
     "corpus_dup_spans",       # D18 repeated-span windows (r9)
     "corpus_dup_span_coverage",  # D19 per-doc dup coverage, hashed (r9)
     "corpus_dsir_weights",    # Q18 DSIR importance lift-ppm (r9)
+    "corpus_priority_sample",  # C24 fixed-k priority sampling (r9)
     "events_discovery_timeline",  # exact running-distinct breakpoints
     "dedup_prefix_clusters",  # provably complete near-dup clusters
     # stream_cdc_merge is timed via _time_cdc_merge below (merge work

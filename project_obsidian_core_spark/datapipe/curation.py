@@ -568,6 +568,60 @@ def weighted_sample(
     return df.filter(keep)
 
 
+# --------------------------------------------- fixed-k priority sampling --
+
+def priority_sample(
+    df: DataFrame,
+    k: int,
+    weight: Column,
+    group_cols: tuple[str, ...] = (),
+    key_col: str = "doc_id",
+    salt: str = "psample",
+) -> DataFrame:
+    """Fixed-size weighted sampling WITHOUT replacement: exactly k rows
+    (per group), inclusion odds ~ proportional to ``weight`` — priority
+    sampling (Duffield-Lund-Thorup) with integer-quantized priorities.
+    The fixed-budget counterpart to ``weighted_sample``'s Bernoulli pass
+    (random size there, exact k here): "give me k docs per source,
+    favouring the long/high-quality ones" is a budgeted-curation
+    primitive, not a rate.
+
+    Each row draws the deterministic uniform u = hash60(salt:key) in
+    [0, 2^60) and competes on the integer key u DIV w (w = weight cast
+    long, rows with w <= 0 excluded); the k SMALLEST keys win — doubling
+    w halves the key, ~doubling selection odds.  The classic A-ES /
+    priority formulation compares u^(1/w) or w/u, which either drags
+    transcendentals into the selection order (ln ulp drift between
+    engines — the SCALE.md r8 lesson) or needs exact rational compare;
+    integer floor-division keeps the order bit-reproducible in ANSI SQL
+    at the cost of quantization ties, broken deterministically by key.
+
+    Plan: ungrouped -> global orderBy+limit = TakeOrderedAndProject
+    (per-partition top-k then a k-row merge, never a global sort);
+    grouped -> one exchange on the group key + row_number.  Zero joins.
+    """
+    from pyspark.sql.window import Window
+
+    w = weight.cast("long")
+    u = shared_hash60(F.concat(F.lit(salt + ":"), F.col(key_col).cast("string")))
+    out = (
+        df.filter(w > 0)
+        .withColumn("_u", u)
+        .withColumn("_w", w)
+        # integer DIV, not float division: u is 60-bit and a double
+        # quotient's floor can land one off an exact multiple, which
+        # would flip selection near quantization boundaries
+        .withColumn("prio", F.expr("_u DIV _w"))
+        .drop("_u", "_w")
+    )
+    if group_cols:
+        rn = F.row_number().over(
+            Window.partitionBy(*group_cols).orderBy("prio", key_col)
+        )
+        return out.withColumn("rn", rn).filter(F.col("rn") <= k).drop("rn")
+    return out.orderBy("prio", key_col).limit(k)
+
+
 # ---------------------------------------------- composite quality filter ---
 
 #: reason bits for quality_filter (C4/Gopher-style heuristic rules)

@@ -693,3 +693,37 @@ ORDER BY k
 
 
 ORACLE_events_k_anonymity = _kanon_oracle()
+
+
+# ---------------------------------------- C24: fixed-k priority sampling
+from pyspark.sql import functions as F  # noqa: E402
+
+
+def corpus_priority_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C24: exactly 4 docs per source, inclusion odds ~ n_chars
+    (budgeted weighted curation; priority keys quantized-int)."""
+    out = C.priority_sample(
+        load(spark, sf_dir, "documents"),
+        k=4,
+        weight=F.col("n_chars"),
+        group_cols=("source",),
+    )
+    return out.select("source", "doc_id", "n_chars", "prio").orderBy(
+        "source", "prio", "doc_id"
+    )
+
+
+ORACLE_corpus_priority_sample = """
+WITH w AS (
+    SELECT source, doc_id, n_chars,
+           CAST('0x' || substr(md5('psample:' || CAST(doc_id AS VARCHAR)), 1, 15)
+                AS BIGINT) // n_chars AS prio
+    FROM documents WHERE n_chars > 0
+), r AS (
+    SELECT *, row_number() OVER (PARTITION BY source ORDER BY prio, doc_id) AS rn
+    FROM w
+)
+SELECT source, doc_id, n_chars, prio
+FROM r WHERE rn <= 4
+ORDER BY source, prio, doc_id
+"""

@@ -573,6 +573,12 @@ _ENTRIES: list[tuple[str, QueryFn, str | None]] = [
     ),
     # Q18: DSIR-style hashed-ngram importance weights (exact-int lift)
     ("corpus_dsir_weights", d.corpus_dsir_weights, d.ORACLE_corpus_dsir_weights),
+    # C24: fixed-k priority sampling (budgeted weighted curation)
+    (
+        "corpus_priority_sample",
+        cu.corpus_priority_sample,
+        cu.ORACLE_corpus_priority_sample,
+    ),
 ]
 
 # ----------------------------------------------------------------------
