@@ -579,6 +579,8 @@ _ENTRIES: list[tuple[str, QueryFn, str | None]] = [
         cu.corpus_priority_sample,
         cu.ORACLE_corpus_priority_sample,
     ),
+    # A48: per-series autocorrelation at lags 1..5 (bucket-grid exact)
+    ("metric_acf", m.metric_acf, m.ORACLE_metric_acf),
 ]
 
 # ----------------------------------------------------------------------

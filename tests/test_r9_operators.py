@@ -515,3 +515,41 @@ def test_sequence_funnel_matches_bruteforce_on_random_streams(spark):
             prev = min(cand)
             ref[idx] += 1
     assert got == ref
+
+
+def test_acf_periodic_gap_and_bruteforce(spark):
+    """A48: alternating series -> acf(1) ~ -1, acf(2) ~ +1; a bucket gap
+    pairs nothing across it; moments match a python brute force."""
+    from statistics import fmean
+
+    from project_obsidian_core_spark.plans.metrics_queries import acf_over_grid
+
+    # series s: perfect period-2 alternation on buckets 0..19
+    rows = [("s", b, 100 if b % 2 == 0 else 200) for b in range(20)]
+    # series g: constant with a hole at bucket 5 (gap must not pair 4-6 at lag 1... it pairs at lag 2)
+    rows += [("g", b, 7) for b in range(10) if b != 5]
+    df = spark.createDataFrame(rows, "metric_name string, bucket long, yc long")
+    out = {
+        (r["metric_name"], r["lag"]): r
+        for r in acf_over_grid(df, 2).collect()
+    }
+    assert out[("s", 1)]["acf"] < -0.99
+    assert out[("s", 2)]["acf"] > 0.99
+    # gap series: lag-1 pair count drops by TWO (4->5 and 5->6 both gone)
+    assert out[("g", 1)]["n"] == 7
+    assert out[("g", 2)]["n"] == 6  # 0-2..7-9 minus 3->5 and 5->7
+    # constant series has zero variance -> acf NULL, nums zero
+    assert out[("g", 1)]["acf"] is None and out[("g", 1)]["var_a_num"] == 0
+
+    # brute-force Pearson for the alternating series at lag 1
+    xs = [(b, 100 if b % 2 == 0 else 200) for b in range(20)]
+    pairs = [(a, b) for ba, a in xs for bb, b in xs if bb == ba + 1]
+    ya, yb = [p[0] for p in pairs], [p[1] for p in pairs]
+    n = len(pairs)
+    num = n * sum(a * b for a, b in pairs) - sum(ya) * sum(yb)
+    dx = n * sum(a * a for a in ya) - sum(ya) ** 2
+    dy = n * sum(b * b for b in yb) - sum(yb) ** 2
+    assert out[("s", 1)]["acf_num"] == num
+    assert out[("s", 1)]["var_a_num"] == dx and out[("s", 1)]["var_b_num"] == dy
+    assert abs(out[("s", 1)]["acf"] - num / (dx * dy) ** 0.5) < 1e-12
+    assert fmean(ya) > 0  # silence unused-import pedantry
