@@ -581,6 +581,13 @@ _ENTRIES: list[tuple[str, QueryFn, str | None]] = [
     ),
     # A48: per-series autocorrelation at lags 1..5 (bucket-grid exact)
     ("metric_acf", m.metric_acf, m.ORACLE_metric_acf),
+    # T18: streaming deterministic-KLL quantiles, gated where the
+    # ladder never compacts (sketch == sorted sample == SQL rank)
+    (
+        "stream_quantiles_exact",
+        st.stream_quantiles_exact,
+        st.ORACLE_stream_quantiles_exact,
+    ),
 ]
 
 # ----------------------------------------------------------------------

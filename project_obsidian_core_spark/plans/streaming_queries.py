@@ -1079,3 +1079,94 @@ GROUP BY user_id
 ORDER BY n_events DESC, user_id
 LIMIT {_TOPK_N}
 """
+
+
+# ------------------------------------------ T18: streaming quantile sketch
+#: level-0 capacity for the exact-operating-point gate: must exceed the
+#: largest per-type event count at any gated SF (20,302 at sf0.1) so no
+#: compaction fires and the sketch IS the sorted sample.
+_QUANT_CAPACITY = 32768
+
+
+def stream_quantiles_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T18 gated at its EXACT operating point: while per-key items <=
+    level-0 capacity the deterministic-KLL ladder never compacts,
+    err_bound stays 0, and each emitted quantile is the batch lower
+    order statistic (value at rank ceil(q*n)) — a window-SQL-expressible
+    contract. The approximation regime (multi-level ladders, rank error
+    <= the emitted err_bound) stays unit-pinned; THIS row proves the
+    fold, state round-trip, versioned emission and drained max-version
+    read end to end on real data. Values floor-quantized to micro-units
+    (the repo-wide double rule); err_bound rides in the output so any
+    compaction would poison the hash.
+    """
+    from pyspark.sql import Window
+
+    from project_obsidian_core_spark.streaming.quantile_state import (
+        streaming_quantiles,
+    )
+
+    run = next(_RUN_IDS)
+    src = _events_src(spark, sf_dir, run)
+    schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "4")
+        .parquet(src)
+    )
+    keyed = stream.select(
+        F.col("event_type"),
+        F.expr("CAST(floor(value * 1000000) AS BIGINT)").alias("v_micro"),
+    )
+    out = streaming_quantiles(
+        keyed, series_col="event_type", value_col="v_micro",
+        capacity=_QUANT_CAPACITY,
+    )
+    name = f"stream_quant_{run}"
+    tmp = tempfile.mkdtemp(prefix=f"obsidian_quant_{run}_")
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            out.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .option("checkpointLocation", f"{tmp}/ckpt")
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+
+    emitted = spark.table(name)
+    wmax = Window.partitionBy("series")
+    latest = emitted.withColumn(
+        "_vmax", F.max("version").over(wmax)
+    ).filter(F.col("version") == F.col("_vmax"))
+    return latest.select(
+        "series", "q_pct", "value", "n", "err_bound"
+    ).orderBy("series", "q_pct")
+
+
+ORACLE_stream_quantiles_exact = """
+WITH v AS (
+    SELECT event_type AS series,
+           CAST(floor(value * 1000000) AS BIGINT) AS v
+    FROM events
+), r AS (
+    SELECT series, v,
+           row_number() OVER (PARTITION BY series ORDER BY v) AS rn,
+           count(*) OVER (PARTITION BY series) AS n
+    FROM v
+), qs AS (SELECT unnest([50, 90, 99]) AS q_pct)
+SELECT series, q_pct,
+       min(CASE WHEN rn = greatest(1, CAST(ceil((q_pct / 100.0) * n) AS BIGINT))
+                THEN v END) AS value,
+       CAST(min(n) AS BIGINT) AS n,
+       CAST(0 AS BIGINT) AS err_bound
+FROM r CROSS JOIN qs
+GROUP BY series, q_pct
+ORDER BY series, q_pct
+"""
