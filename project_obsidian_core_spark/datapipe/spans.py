@@ -149,3 +149,65 @@ def dup_span_coverage(
             F.expr("(n_dup_windows * 1000000L) DIV n_windows").alias("dup_ppm"),
         )
     )
+
+
+def excise_dup_spans(
+    df: DataFrame,
+    k: int = SPAN_K,
+    min_docs: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """D20: the substring-dedup TRANSFORMATION — rewrite each document
+    with corpus-duplicated spans removed, keeping exactly one canonical
+    occurrence per span (Lee et al. 2022 drop repeated spans from all
+    but one position; canonical here = smallest (doc_id, start_pos),
+    a total order so the choice is deterministic).
+
+    A token is removed iff it is covered by a NON-canonical occurrence
+    of a duplicated k-window; overlapping windows union naturally
+    through the coverage test.  Output: (id_col, n_tokens, n_removed,
+    clean_text) for every doc with >= 1 window (shorter docs pass
+    through with n_removed = 0).
+
+    Plan: the D18 window relation -> gram-keyed dup flag + canonical
+    row_number (one exchange on gram) -> per-doc collect of removal
+    starts (one exchange on doc) -> join back to the token arrays and
+    rebuild text with a per-row filter expression (codegen: exists()
+    over the bounded starts array per token).  No token-level shuffle:
+    tokens only ever travel inside their row's array; what shuffles is
+    one row per WINDOW OCCURRENCE, the same cardinality D18 already
+    pays, then one bounded starts-array per doc.
+    """
+    from pyspark.sql.window import Window
+
+    toks = F.split(F.trim(F.regexp_replace(F.col(text_col), r"\s+", " ")), " ")
+    base = df.select(F.col(id_col), toks.alias("toks"))
+    w = token_windows(df, k=k, text_col=text_col, id_col=id_col)
+    per_gram = Window.partitionBy("gram")
+    order = Window.partitionBy("gram").orderBy(id_col, "start_pos")
+    flagged = w.select(
+        id_col,
+        "start_pos",
+        F.size(F.collect_set(id_col).over(per_gram)).alias("n_docs"),
+        F.row_number().over(order).alias("occ_rank"),
+    )
+    removals = flagged.where(
+        (F.col("n_docs") >= min_docs) & (F.col("occ_rank") > 1)
+    ).groupBy(id_col).agg(F.collect_set("start_pos").alias("starts"))
+    joined = base.join(removals, id_col, "left").select(
+        id_col,
+        "toks",
+        F.coalesce("starts", F.expr("array()")).alias("starts"),
+    )
+    kept = F.expr(
+        f"filter(transform(toks, (t, i0) -> "
+        f"  case when exists(starts, s -> i0 + 1 >= s and i0 + 1 < s + {k})"
+        f"       then null else t end), t -> t is not null)"
+    )
+    return joined.select(
+        F.col(id_col),
+        F.size("toks").alias("n_tokens"),
+        (F.size("toks") - F.size(kept)).alias("n_removed"),
+        F.array_join(kept, " ").alias("clean_text"),
+    )

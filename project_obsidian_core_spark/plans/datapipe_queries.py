@@ -1812,3 +1812,50 @@ FROM doc_feat JOIN scored USING (b)
 GROUP BY 1
 ORDER BY doc_feat.doc_id
 """
+
+
+def corpus_excise_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D20: substring-dedup rewrite — duplicated k-token spans removed
+    from every doc except the canonical (smallest doc_id, start_pos)
+    occurrence; emits the cleaned text + removal accounting."""
+    return SP.excise_dup_spans(
+        load(spark, sf_dir, "documents"), k=_SPAN_GATE_K
+    ).orderBy("doc_id")
+
+
+ORACLE_corpus_excise_spans = f"""
+WITH d AS (
+    SELECT doc_id,
+           string_split(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' ') AS toks
+    FROM documents
+), w AS (
+    SELECT doc_id, i AS start_pos,
+           array_to_string(toks[i:i+{_SPAN_GATE_K - 1}], ' ') AS gram
+    FROM d, UNNEST(generate_series(1, len(toks) - {_SPAN_GATE_K - 1})) AS t(i)
+    WHERE len(toks) >= {_SPAN_GATE_K}
+), dup AS (
+    SELECT gram FROM w GROUP BY gram HAVING count(DISTINCT doc_id) >= 2
+), occ AS (
+    SELECT w.doc_id, w.start_pos,
+           row_number() OVER (PARTITION BY w.gram
+                              ORDER BY w.doc_id, w.start_pos) AS occ_rank
+    FROM w JOIN dup USING (gram)
+), sel AS (
+    SELECT doc_id, list(start_pos) AS starts
+    FROM occ WHERE occ_rank > 1 GROUP BY doc_id
+), rebuilt AS (
+    SELECT d.doc_id, d.toks,
+           list_transform(
+               list_filter(generate_series(1, len(d.toks)),
+                   i -> len(list_filter(coalesce(sel.starts, CAST([] AS BIGINT[])),
+                            s -> i >= s AND i < s + {_SPAN_GATE_K})) = 0),
+               i -> d.toks[i]) AS kept
+    FROM d LEFT JOIN sel USING (doc_id)
+)
+SELECT doc_id,
+       CAST(len(toks) AS INT) AS n_tokens,
+       CAST(len(toks) - len(kept) AS INT) AS n_removed,
+       coalesce(array_to_string(kept, ' '), '') AS clean_text
+FROM rebuilt
+ORDER BY doc_id
+"""

@@ -588,6 +588,8 @@ _ENTRIES: list[tuple[str, QueryFn, str | None]] = [
         st.stream_quantiles_exact,
         st.ORACLE_stream_quantiles_exact,
     ),
+    # D20: substring-dedup rewrite (excise non-canonical dup spans)
+    ("corpus_excise_spans", d.corpus_excise_spans, d.ORACLE_corpus_excise_spans),
 ]
 
 # ----------------------------------------------------------------------

@@ -99,3 +99,46 @@ def test_within_doc_repeat_does_not_count_as_dup(spark):
     assert dup_spans(df, k=4).collect() == []
     cov = {r["doc_id"]: r["n_dup_windows"] for r in dup_span_coverage(df, k=4).collect()}
     assert cov == {1: 0, 2: 0}
+
+
+def test_excise_keeps_canonical_occurrence_only(spark):
+    from project_obsidian_core_spark.datapipe.spans import excise_dup_spans
+
+    shared = "alpha beta gamma delta"
+    df = _docs(
+        spark,
+        [
+            (1, f"one two {shared} three"),
+            (2, f"{shared} nine eight seven"),
+            (3, "unrelated words only here right"),
+        ],
+    )
+    got = {r["doc_id"]: r for r in excise_dup_spans(df, k=4).collect()}
+    # doc 1 holds the canonical (smallest doc_id) occurrence: untouched
+    assert got[1]["n_removed"] == 0
+    assert got[1]["clean_text"] == f"one two {shared} three"
+    # doc 2 loses exactly the 4 shared tokens
+    assert got[2]["n_removed"] == 4
+    assert got[2]["clean_text"] == "nine eight seven"
+    assert got[3]["n_removed"] == 0
+
+
+def test_excise_overlapping_windows_union(spark):
+    from project_obsidian_core_spark.datapipe.spans import excise_dup_spans
+
+    span = "a b c d e"  # shared length k+1 -> two overlapping dup 4-windows
+    df = _docs(spark, [(1, f"{span} x y z"), (2, f"p q {span} r")])
+    got = {r["doc_id"]: r for r in excise_dup_spans(df, k=4).collect()}
+    assert got[1]["n_removed"] == 0  # canonical
+    # doc 2: both windows non-canonical; union covers all 5 span tokens
+    assert got[2]["n_removed"] == 5
+    assert got[2]["clean_text"] == "p q r"
+
+
+def test_excise_short_docs_and_within_doc_repeats_pass_through(spark):
+    from project_obsidian_core_spark.datapipe.spans import excise_dup_spans
+
+    df = _docs(spark, [(1, "tiny doc"), (2, "p q r s p q r s t u v w")])
+    got = {r["doc_id"]: r for r in excise_dup_spans(df, k=4).collect()}
+    assert got[1]["n_removed"] == 0 and got[1]["clean_text"] == "tiny doc"
+    assert got[2]["n_removed"] == 0  # within-doc repeat is not corpus-dup
