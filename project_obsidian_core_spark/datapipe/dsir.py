@@ -65,6 +65,7 @@ def dsir_importance(
     text_col: str = "text",
     id_col: str = "doc_id",
     buckets: int = DSIR_BUCKETS,
+    staged: bool = True,
 ) -> DataFrame:
     """Per-document DSIR-style importance score.
 
@@ -89,9 +90,17 @@ def dsir_importance(
         "is_tgt",
         (shared_hash60(F.col("feat")) % buckets).alias("b"),
     )
+    # doc_feat feeds the bucket model AND the scoring join: persist it so
+    # the token-feature explode runs ONCE (unstaged, Spark recomputes the
+    # explode subtree per consumer — 3 Generates in the executed plan).
+    # Released via release_after below; at 100 TB this is a staged table.
+    # ``staged=False`` keeps the whole plan lazy (plan-shape tests pin
+    # the join topology, which the checkpoint scan would hide).
     doc_feat = feats.groupBy(id_col, "b").agg(
         F.count(F.lit(1)).alias("n_f"), F.max("is_tgt").alias("is_tgt")
     )
+    if staged:
+        doc_feat = doc_feat.persist()
     # the bucket model CASCADES off doc_feat (already (doc,b)-reduced):
     # one explode pass feeds both aggregates instead of two scans of the
     # token-feature fan-out — the partial-agg cascade a 100 TB corpus needs
@@ -110,7 +119,9 @@ def dsir_importance(
             F.expr("(n_tgt + 1) * q DIV (n_raw + 1)").alias("lift_ppm"),
         )
     )
-    return (
+    from project_obsidian_core_spark.functions.cache import release_after
+
+    result = (
         doc_feat.join(F.broadcast(scored), "b")
         .groupBy(id_col)
         .agg(
@@ -118,3 +129,4 @@ def dsir_importance(
             F.expr("sum(n_f * lift_ppm) DIV sum(n_f)").alias("importance_ppm"),
         )
     )
+    return release_after(result, doc_feat) if staged else result
