@@ -265,6 +265,8 @@ BENCH_QUERIES = [
     "metric_acf",             # A48 lag-grid autocorrelation (r9)
     "stream_quantiles_exact",  # T18 deterministic-KLL quantile gate (r9)
     "corpus_excise_spans",    # D20 substring-dedup rewrite (r9)
+    "orders_cube",            # A49 CUBE + grouping_id (r9)
+    "corpus_decontaminate_spans",  # D21 span-level benchmark decon (r9)
     "events_discovery_timeline",  # exact running-distinct breakpoints
     "dedup_prefix_clusters",  # provably complete near-dup clusters
     # stream_cdc_merge is timed via _time_cdc_merge below (merge work

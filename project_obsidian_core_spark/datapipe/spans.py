@@ -211,3 +211,53 @@ def excise_dup_spans(
         (F.size("toks") - F.size(kept)).alias("n_removed"),
         F.array_join(kept, " ").alias("clean_text"),
     )
+
+
+def span_decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    k: int = SPAN_K,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    broadcast_bench: bool = True,
+) -> DataFrame:
+    """D21: span-level benchmark decontamination — for each corpus doc,
+    WHICH k-token windows also appear verbatim in the benchmark set,
+    and where.  The X6 n-gram screen answers "is this doc contaminated";
+    this answers "which spans", enabling span excision instead of doc
+    drops (the D20 move applied cross-table) and auditor drill-down.
+
+    Output per corpus doc with >= 1 window: (id_col, n_windows,
+    n_contaminated, first_hit_pos [NULL if clean], n_bench_docs
+    [distinct benchmark docs sharing >= 1 window]).
+
+    Plan: both sides reduce to hashed windows map-side; the benchmark
+    side collapses to DISTINCT (gh, bench_id) and — benchmarks being
+    orders of magnitude smaller than training corpora — broadcasts by
+    default, so the corpus never shuffles at all: scan -> explode ->
+    broadcast probe -> per-doc partial agg.  Set broadcast_bench=False
+    to fall back to a shuffle hash join when the "benchmark" is itself
+    corpus-sized.
+    """
+    cw = token_windows(corpus, k=k, text_col=text_col, id_col=id_col, hashed=True)
+    bw = (
+        token_windows(benchmark, k=k, text_col=text_col, id_col=id_col, hashed=True)
+        .select("gh", F.col(id_col).alias("bench_id"))
+        .distinct()
+    )
+    if broadcast_bench:
+        bw = F.broadcast(bw)
+    hits = cw.join(bw, "gh", "left")
+    return (
+        hits.groupBy(id_col)
+        .agg(
+            F.countDistinct("start_pos").alias("n_windows"),
+            F.countDistinct(
+                F.when(F.col("bench_id").isNotNull(), F.col("start_pos"))
+            ).alias("n_contaminated"),
+            F.min(
+                F.when(F.col("bench_id").isNotNull(), F.col("start_pos"))
+            ).alias("first_hit_pos"),
+            F.countDistinct("bench_id").alias("n_bench_docs"),
+        )
+    )

@@ -1647,3 +1647,45 @@ SELECT n, sx,
        CAST(2 * six - (n + 1) * sx AS DOUBLE) / CAST(n * sx AS DOUBLE) AS gini
 FROM agg
 """
+
+
+# ------------------------------------------------- A49: CUBE + grouping_id
+def orders_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A49: full CUBE over (status, priority) with grouping_id — the
+    multi-dimensional companion to the qan_grouping_sets ROLLUP.
+    grouping_id (Spark bit order: first dim = MSB, matching DuckDB)
+    disambiguates an aggregated-away dimension from a genuinely NULL
+    value, which the coalesce-to-'(all)' idiom cannot; one pass, the
+    Expand feeds a single hash aggregate (2^dims partials map-side).
+    """
+    o = load(spark, sf_dir, "orders")
+    out = (
+        o.select(
+            "o_orderstatus",
+            "o_orderpriority",
+            cents("o_totalprice").alias("vc"),
+        )
+        .cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.grouping_id().alias("gid"),
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum("vc").alias("revenue_cents"),
+        )
+    )
+    return out.orderBy(
+        "gid",
+        F.asc_nulls_last("o_orderstatus"),
+        F.asc_nulls_last("o_orderpriority"),
+    )
+
+
+ORACLE_orders_cube = """
+SELECT CAST(grouping_id(o_orderstatus, o_orderpriority) AS BIGINT) AS gid,
+       o_orderstatus, o_orderpriority,
+       count(*) AS n_orders,
+       CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT)
+           AS revenue_cents
+FROM orders
+GROUP BY CUBE (o_orderstatus, o_orderpriority)
+ORDER BY gid, o_orderstatus NULLS LAST, o_orderpriority NULLS LAST
+"""

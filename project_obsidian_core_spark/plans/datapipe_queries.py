@@ -1859,3 +1859,44 @@ SELECT doc_id,
 FROM rebuilt
 ORDER BY doc_id
 """
+
+
+def corpus_decontaminate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D21: span-level benchmark decontamination (benchmark = the X6
+    held-out slice doc_id % 25 == 0; corpus = the rest); reports which
+    windows hit and where, not just whether the doc is contaminated."""
+    docs = load(spark, sf_dir, "documents")
+    bench = docs.where(F.col("doc_id") % 25 == 0)
+    corpus = docs.where(F.col("doc_id") % 25 != 0)
+    return SP.span_decontaminate(corpus, bench, k=_SPAN_GATE_K).orderBy("doc_id")
+
+
+ORACLE_corpus_decontaminate_spans = f"""
+WITH d AS (
+    SELECT doc_id,
+           string_split(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' ') AS toks
+    FROM documents
+), w AS (
+    SELECT doc_id, i AS start_pos,
+           CAST('0x' || substr(md5(array_to_string(toks[i:i+{_SPAN_GATE_K - 1}], ' ')), 1, 15)
+                AS BIGINT) AS gh
+    FROM d, UNNEST(generate_series(1, len(toks) - {_SPAN_GATE_K - 1})) AS t(i)
+    WHERE len(toks) >= {_SPAN_GATE_K}
+), bw AS (
+    SELECT DISTINCT gh, doc_id AS bench_id FROM w WHERE doc_id % 25 = 0
+), cw AS (
+    SELECT * FROM w WHERE doc_id % 25 <> 0
+), hits AS (
+    SELECT cw.doc_id, cw.start_pos, bw.bench_id
+    FROM cw LEFT JOIN bw USING (gh)
+)
+SELECT doc_id,
+       CAST(count(DISTINCT start_pos) AS BIGINT) AS n_windows,
+       CAST(count(DISTINCT CASE WHEN bench_id IS NOT NULL THEN start_pos END)
+            AS BIGINT) AS n_contaminated,
+       min(CASE WHEN bench_id IS NOT NULL THEN start_pos END) AS first_hit_pos,
+       CAST(count(DISTINCT bench_id) AS BIGINT) AS n_bench_docs
+FROM hits
+GROUP BY doc_id
+ORDER BY doc_id
+"""

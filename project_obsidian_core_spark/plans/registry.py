@@ -590,6 +590,14 @@ _ENTRIES: list[tuple[str, QueryFn, str | None]] = [
     ),
     # D20: substring-dedup rewrite (excise non-canonical dup spans)
     ("corpus_excise_spans", d.corpus_excise_spans, d.ORACLE_corpus_excise_spans),
+    # A49: full CUBE + grouping_id (multi-dim companion to the ROLLUP)
+    ("orders_cube", ax.orders_cube, ax.ORACLE_orders_cube),
+    # D21: span-level benchmark decontamination (which spans, where)
+    (
+        "corpus_decontaminate_spans",
+        d.corpus_decontaminate_spans,
+        d.ORACLE_corpus_decontaminate_spans,
+    ),
 ]
 
 # ----------------------------------------------------------------------

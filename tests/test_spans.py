@@ -142,3 +142,43 @@ def test_excise_short_docs_and_within_doc_repeats_pass_through(spark):
     got = {r["doc_id"]: r for r in excise_dup_spans(df, k=4).collect()}
     assert got[1]["n_removed"] == 0 and got[1]["clean_text"] == "tiny doc"
     assert got[2]["n_removed"] == 0  # within-doc repeat is not corpus-dup
+
+
+def test_span_decontaminate_positions_and_counts(spark):
+    from project_obsidian_core_spark.datapipe.spans import span_decontaminate
+
+    bench = _docs(spark, [(100, "leak one two three tail"), (101, "x y z w v")])
+    corpus = _docs(
+        spark,
+        [
+            (1, "pad pad leak one two three pad"),  # hit at start_pos 3
+            (2, "clean words without any overlap here"),
+            (3, "x y z w v and leak one two three"),  # hits both bench docs
+        ],
+    )
+    got = {
+        r["doc_id"]: r
+        for r in span_decontaminate(corpus, bench, k=4).collect()
+    }
+    assert got[1]["n_contaminated"] == 1 and got[1]["first_hit_pos"] == 3
+    assert got[1]["n_bench_docs"] == 1
+    assert got[2]["n_contaminated"] == 0 and got[2]["first_hit_pos"] is None
+    assert got[2]["n_bench_docs"] == 0
+    assert got[3]["n_contaminated"] == 3  # 'x y z w', 'y z w v', 'leak one two three'
+    assert got[3]["n_bench_docs"] == 2
+    assert got[3]["first_hit_pos"] == 1
+
+
+def test_span_decontaminate_shuffle_fallback_matches_broadcast(spark):
+    from project_obsidian_core_spark.datapipe.spans import span_decontaminate
+
+    bench = _docs(spark, [(100, "a b c d e f")])
+    corpus = _docs(spark, [(1, "z a b c d q"), (2, "m n o p q r")])
+    a = sorted(map(tuple, span_decontaminate(corpus, bench, k=4).collect()))
+    b = sorted(
+        map(
+            tuple,
+            span_decontaminate(corpus, bench, k=4, broadcast_bench=False).collect(),
+        )
+    )
+    assert a == b
