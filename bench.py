@@ -267,6 +267,7 @@ BENCH_QUERIES = [
     "corpus_excise_spans",    # D20 substring-dedup rewrite (r9)
     "orders_cube",            # A49 CUBE + grouping_id (r9)
     "corpus_decontaminate_spans",  # D21 span-level benchmark decon (r9)
+    "stream_priority_sample",  # T19 streaming k-sample vs batch oracle (r9)
     "events_discovery_timeline",  # exact running-distinct breakpoints
     "dedup_prefix_clusters",  # provably complete near-dup clusters
     # stream_cdc_merge is timed via _time_cdc_merge below (merge work

@@ -598,6 +598,13 @@ _ENTRIES: list[tuple[str, QueryFn, str | None]] = [
         d.corpus_decontaminate_spans,
         d.ORACLE_corpus_decontaminate_spans,
     ),
+    # T19: streaming priority sample — keep-k-smallest is a commutative
+    # fold, so the drained state gates against the BATCH C24 oracle
+    (
+        "stream_priority_sample",
+        st.stream_priority_sample,
+        cu.ORACLE_corpus_priority_sample,
+    ),
 ]
 
 # ----------------------------------------------------------------------

@@ -1170,3 +1170,68 @@ FROM r CROSS JOIN qs
 GROUP BY series, q_pct
 ORDER BY series, q_pct
 """
+
+
+# ---------------------------------------- T19: streaming priority sample
+def stream_priority_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T19: the C24 budgeted weighted sampler as a stateful stream —
+    keep-k-smallest is a commutative fold, so the drained max-version
+    state is BIT-IDENTICAL to the batch sampler on the same rows (full
+    regime, no exact-capacity restriction; gated against the SAME
+    oracle as `corpus_priority_sample`). Exactly-k per source, odds ~
+    n_chars, O(k) state per group forever.
+    """
+    from pyspark.sql import Window
+
+    from project_obsidian_core_spark.streaming.sample_state import (
+        streaming_priority_sample,
+    )
+
+    run = next(_RUN_IDS)
+    src = _SRC_CACHE.get(f"documents_meta:{sf_dir}")
+    if src is None:
+        tmp = tempfile.mkdtemp(prefix=f"obsidian_docmeta_{run}_")
+        src = f"{tmp}/documents_meta_src"
+        load(spark, sf_dir, "documents").select(
+            "doc_id", "source", "n_chars"
+        ).write.mode("overwrite").parquet(src)
+        _SRC_CACHE[f"documents_meta:{sf_dir}"] = src
+
+    schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "2")
+        .parquet(src)
+    )
+    out = streaming_priority_sample(
+        stream, k=4, weight=F.col("n_chars"), group_col="source"
+    )
+    name = f"stream_psample_{run}"
+    tmp2 = tempfile.mkdtemp(prefix=f"obsidian_ps_{run}_")
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            out.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .option("checkpointLocation", f"{tmp2}/ckpt")
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+
+    emitted = spark.table(name)
+    wmax = Window.partitionBy("grp")
+    latest = emitted.withColumn(
+        "_vmax", F.max("version").over(wmax)
+    ).filter(F.col("version") == F.col("_vmax"))
+    return latest.select(
+        F.col("grp").alias("source"),
+        F.col("id").alias("doc_id"),
+        F.col("weight").alias("n_chars"),
+        "prio",
+    ).orderBy("source", "prio", "doc_id")
