@@ -1900,3 +1900,72 @@ FROM hits
 GROUP BY doc_id
 ORDER BY doc_id
 """
+
+
+def knn_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G6: per-node clustering coefficient over the same symmetrized
+    5-NN graph as G1/G2 — coeff = 2·T(v) / (deg(v)·(deg(v)−1)) in exact
+    ppm (0 for deg < 2). The "how clique-like is this node's
+    neighborhood" score that separates redundant near-dup pockets
+    (coeff → 1) from hub spokes (coeff → 0); composes G2's
+    degree-ordered triangles (hub-safe wedge bound) with G1's degree
+    relation — two exchanges beyond the triangle pass, both int-keyed."""
+    emb = load(spark, sf_dir, "embeddings").filter(F.col("vec_id") < _GRAPH_VECS)
+    edges = S.knn_edges(emb, k=_GRAPH_K)
+    tri = S.triangle_list(edges)
+    tcnt = (
+        tri.select(F.explode(F.array("a", "b", "c")).alias("node"))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+    deg = (
+        edges.select(F.col("a").alias("node"))
+        .union(edges.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )
+    return (
+        deg.join(tcnt, "node", "left")
+        .select(
+            "node",
+            "degree",
+            F.coalesce("n_triangles", F.lit(0)).alias("n_triangles"),
+            F.expr(
+                "CASE WHEN degree >= 2 THEN"
+                " (2 * coalesce(n_triangles, 0L) * 1000000L)"
+                " DIV (degree * (degree - 1)) ELSE 0 END"
+            ).alias("coeff_ppm"),
+        )
+        .orderBy("node")
+    )
+
+
+def _clustering_coeff_oracle() -> str:
+    edges_ctes = ORACLE_knn_graph_degree.partition("), degrees AS")[0] + ")"
+    return f"""{edges_ctes},
+tri AS (
+    SELECT e1.a AS a, e1.b AS b, e2.b AS c
+    FROM edges e1
+    JOIN edges e2 ON e2.a = e1.b
+    JOIN edges e3 ON e3.a = e1.a AND e3.b = e2.b
+), tcnt AS (
+    SELECT node, CAST(count(*) AS BIGINT) AS n_triangles
+    FROM (SELECT a AS node FROM tri UNION ALL SELECT b FROM tri
+          UNION ALL SELECT c FROM tri)
+    GROUP BY node
+), deg AS (
+    SELECT node, CAST(count(*) AS BIGINT) AS degree
+    FROM (SELECT a AS node FROM edges UNION ALL SELECT b FROM edges)
+    GROUP BY node
+)
+SELECT deg.node, deg.degree,
+       coalesce(tcnt.n_triangles, 0) AS n_triangles,
+       CASE WHEN deg.degree >= 2 THEN
+            (2 * coalesce(tcnt.n_triangles, 0) * 1000000)
+            // (deg.degree * (deg.degree - 1)) ELSE 0 END AS coeff_ppm
+FROM deg LEFT JOIN tcnt USING (node)
+ORDER BY deg.node
+"""
+
+
+ORACLE_knn_clustering_coeff = _clustering_coeff_oracle()

@@ -605,6 +605,12 @@ _ENTRIES: list[tuple[str, QueryFn, str | None]] = [
         st.stream_priority_sample,
         cu.ORACLE_corpus_priority_sample,
     ),
+    # G6: per-node clustering coefficient (triangles / degree pairs)
+    (
+        "knn_clustering_coeff",
+        d.knn_clustering_coeff,
+        d.ORACLE_knn_clustering_coeff,
+    ),
 ]
 
 # ----------------------------------------------------------------------

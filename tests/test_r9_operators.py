@@ -553,3 +553,38 @@ def test_acf_periodic_gap_and_bruteforce(spark):
     assert out[("s", 1)]["var_a_num"] == dx and out[("s", 1)]["var_b_num"] == dy
     assert abs(out[("s", 1)]["acf"] - num / (dx * dy) ** 0.5) < 1e-12
     assert fmean(ya) > 0  # silence unused-import pedantry
+
+
+def test_clustering_coefficient_known_graphs(spark):
+    """G6: clique -> 1.0, star center -> 0, triangle-with-tail mid node
+    has coeff 2T/(d(d-1)); brute-force ppm equality."""
+    from project_obsidian_core_spark.datapipe.similarity import triangle_list
+
+    # graph: clique {1,2,3} + tail 3-4 + star 5-{6,7} (no 6-7 edge)
+    edges = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 3), (3, 4), (5, 6), (5, 7)], "a long, b long"
+    )
+    tri = triangle_list(edges)
+    tcnt = {}
+    for r in tri.collect():
+        for n in (r["a"], r["b"], r["c"]):
+            tcnt[n] = tcnt.get(n, 0) + 1
+    assert tcnt == {1: 1, 2: 1, 3: 1}
+    import pyspark.sql.functions as F
+
+    deg = (
+        edges.select(F.col("a").alias("node"))
+        .union(edges.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .count()
+    )
+    degs = {r["node"]: r["count"] for r in deg.collect()}
+    # replicate the gate formula and check hand-computed values
+    def coeff(n):
+        d, t = degs[n], tcnt.get(n, 0)
+        return 0 if d < 2 else (2 * t * 1_000_000) // (d * (d - 1))
+
+    assert coeff(1) == 1_000_000 and coeff(2) == 1_000_000  # pure clique corner
+    assert coeff(3) == (2 * 1_000_000) // (3 * 2)  # 333333: tail dilutes
+    assert coeff(4) == 0  # degree-1 leaf
+    assert coeff(5) == 0  # open star center: 0 triangles over 1 pair
