@@ -155,3 +155,110 @@ def sequence_funnel(
         )
         out = row if out is None else out.unionByName(row)
     return out
+
+
+def sequence_funnel_times(
+    events: DataFrame,
+    stages: Sequence[str],
+    within_us: int,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Per-user greedy-earliest stage times for the anchored funnel —
+    the per-user relation behind A44's counts (same loop, same proofs;
+    see :func:`sequence_funnel`). Returns (user_col, stage_idx, t_us)
+    for every stage the user reached."""
+    qualified = (
+        events.filter(F.col(type_col) == stages[0])
+        .groupBy(user_col)
+        .agg(F.min(ts_col).alias("_t"))
+        .withColumn("_deadline_us", F.unix_micros(F.col("_t")) + F.lit(within_us))
+    )
+    out = qualified.select(
+        user_col, F.lit(1).alias("stage_idx"), F.unix_micros("_t").alias("t_us")
+    )
+    for i, stage in enumerate(stages[1:], start=2):
+        qualified = (
+            events.filter(F.col(type_col) == stage)
+            .join(qualified.select(user_col, "_t", "_deadline_us"), user_col)
+            .filter(
+                (F.unix_micros(F.col(ts_col)) > F.unix_micros(F.col("_t")))
+                & (F.unix_micros(F.col(ts_col)) <= F.col("_deadline_us"))
+            )
+            .groupBy(user_col, "_deadline_us")
+            .agg(F.min(ts_col).alias("_t"))
+        )
+        out = out.unionByName(
+            qualified.select(
+                user_col, F.lit(i).alias("stage_idx"), F.unix_micros("_t").alias("t_us")
+            )
+        )
+    return out
+
+
+def sequence_funnel_latency(
+    events: DataFrame,
+    stages: Sequence[str],
+    within_us: int,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """A50: how long each funnel transition takes — per consecutive
+    stage pair, exact-int order statistics (lower median / lower p90 at
+    rank ceil(q·n), the repo-wide quantile rule) and max of
+    t_next − t_prev micros over users who completed the transition.
+    The companion a conversion dashboard needs beside A44's counts:
+    WHERE users stall, not just how many survive.
+
+    Plan: the per-user stage-time relation (|users|-bounded), one
+    self-join per consecutive pair on (user, stage_idx+1), then one
+    window over each transition partition — the same |users|-bounded
+    windowing contract as O5."""
+    from pyspark.sql.window import Window
+
+    times = sequence_funnel_times(
+        events, stages, within_us, user_col=user_col, ts_col=ts_col, type_col=type_col
+    )
+    nxt = times.select(
+        F.col(user_col),
+        (F.col("stage_idx") - 1).alias("stage_idx"),
+        F.col("t_us").alias("t_next_us"),
+    )
+    deltas = times.join(nxt, [user_col, "stage_idx"]).select(
+        F.col("stage_idx").alias("transition_idx"),
+        (F.col("t_next_us") - F.col("t_us")).alias("delta_us"),
+    )
+    w = Window.partitionBy("transition_idx").orderBy("delta_us")
+    wall = Window.partitionBy("transition_idx")
+    ranked = deltas.select(
+        "transition_idx",
+        "delta_us",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wall).alias("n_users"),
+    )
+    stats = ranked.groupBy("transition_idx", "n_users").agg(
+        F.min(
+            F.when(F.col("rn") == F.ceil(F.col("n_users") * 0.5), F.col("delta_us"))
+        ).alias("median_delta_us"),
+        F.min(
+            F.when(F.col("rn") == F.ceil(F.col("n_users") * 0.9), F.col("delta_us"))
+        ).alias("p90_delta_us"),
+        F.max("delta_us").alias("max_delta_us"),
+    )
+    labels = [
+        (i, stages[i - 1], stages[i]) for i in range(1, len(stages))
+    ]
+    lab = events.sparkSession.createDataFrame(
+        labels, "transition_idx int, from_stage string, to_stage string"
+    )
+    return stats.join(F.broadcast(lab), "transition_idx").select(
+        "transition_idx",
+        "from_stage",
+        "to_stage",
+        "n_users",
+        "median_delta_us",
+        "p90_delta_us",
+        "max_delta_us",
+    )

@@ -326,3 +326,77 @@ UNION ALL
 SELECT 3, '{_STAGES[2]}', CAST((SELECT count(*) FROM s3) AS BIGINT)
 ORDER BY stage_idx
 """
+
+
+#: the latency gate uses a wider 24 h window than A44's 3 h: at gate SF
+#: the 3 h funnel leaves stage 3 empty, and a latency report needs
+#: completed transitions to measure (both gates stay independent knobs).
+_LAT_WINDOW_US = 24 * 3600 * 1_000_000
+
+
+def events_funnel_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A50: inter-stage latency order statistics for the A44 anchored
+    funnel (lower median / lower p90 / max of t_next - t_prev per
+    completed transition) — where users stall, not just how many
+    survive."""
+    from project_obsidian_core_spark.analytics.behavior import (
+        sequence_funnel_latency,
+    )
+
+    return sequence_funnel_latency(
+        load(spark, sf_dir, "events"), _STAGES, _LAT_WINDOW_US
+    ).orderBy("transition_idx")
+
+
+ORACLE_events_funnel_latency = f"""
+WITH s1 AS (
+    SELECT user_id, min(ts) AS t,
+           epoch_us(min(ts)) + {_LAT_WINDOW_US} AS deadline_us
+    FROM events
+    WHERE event_type = '{_STAGES[0]}' GROUP BY user_id
+), s2 AS (
+    SELECT e.user_id, min(e.ts) AS t, s1.deadline_us
+    FROM events e JOIN s1 ON e.user_id = s1.user_id
+    WHERE e.event_type = '{_STAGES[1]}'
+      AND epoch_us(e.ts) > epoch_us(s1.t)
+      AND epoch_us(e.ts) <= s1.deadline_us
+    GROUP BY e.user_id, s1.deadline_us
+), s3 AS (
+    SELECT e.user_id, min(e.ts) AS t
+    FROM events e JOIN s2 ON e.user_id = s2.user_id
+    WHERE e.event_type = '{_STAGES[2]}'
+      AND epoch_us(e.ts) > epoch_us(s2.t)
+      AND epoch_us(e.ts) <= s2.deadline_us
+    GROUP BY e.user_id
+), deltas AS (
+    SELECT 1 AS transition_idx,
+           epoch_us(s2.t) - epoch_us(s1.t) AS delta_us
+    FROM s1 JOIN s2 USING (user_id)
+    UNION ALL
+    SELECT 2, epoch_us(s3.t) - epoch_us(s2.t)
+    FROM s2 JOIN s3 USING (user_id)
+), ranked AS (
+    SELECT transition_idx, delta_us,
+           row_number() OVER (PARTITION BY transition_idx ORDER BY delta_us) AS rn,
+           count(*) OVER (PARTITION BY transition_idx) AS n_users
+    FROM deltas
+), stats AS (
+    SELECT transition_idx, CAST(n_users AS BIGINT) AS n_users,
+           min(CASE WHEN rn = ceil(n_users * 0.5) THEN delta_us END)
+               AS median_delta_us,
+           min(CASE WHEN rn = ceil(n_users * 0.9) THEN delta_us END)
+               AS p90_delta_us,
+           max(delta_us) AS max_delta_us
+    FROM ranked
+    GROUP BY transition_idx, n_users
+)
+SELECT stats.transition_idx,
+       CASE stats.transition_idx WHEN 1 THEN '{_STAGES[0]}' ELSE '{_STAGES[1]}' END
+           AS from_stage,
+       CASE stats.transition_idx WHEN 1 THEN '{_STAGES[1]}' ELSE '{_STAGES[2]}' END
+           AS to_stage,
+       stats.n_users, stats.median_delta_us, stats.p90_delta_us,
+       stats.max_delta_us
+FROM stats
+ORDER BY stats.transition_idx
+"""

@@ -611,6 +611,12 @@ _ENTRIES: list[tuple[str, QueryFn, str | None]] = [
         d.knn_clustering_coeff,
         d.ORACLE_knn_clustering_coeff,
     ),
+    # A50: funnel inter-stage latency order statistics
+    (
+        "events_funnel_latency",
+        bh.events_funnel_latency,
+        bh.ORACLE_events_funnel_latency,
+    ),
 ]
 
 # ----------------------------------------------------------------------

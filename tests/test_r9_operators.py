@@ -588,3 +588,53 @@ def test_clustering_coefficient_known_graphs(spark):
     assert coeff(3) == (2 * 1_000_000) // (3 * 2)  # 333333: tail dilutes
     assert coeff(4) == 0  # degree-1 leaf
     assert coeff(5) == 0  # open star center: 0 triangles over 1 pair
+
+
+def test_funnel_latency_hand_computed(spark):
+    """A50: deltas between greedy-earliest stage times; lower median /
+    p90 ranks; users not completing a transition contribute nothing."""
+    import datetime as dt
+
+    from project_obsidian_core_spark.analytics.behavior import (
+        sequence_funnel_latency,
+    )
+
+    t0 = dt.datetime(2024, 1, 1)
+
+    def ev(u, et, mins, eid):
+        return (u, et, t0 + dt.timedelta(minutes=mins), eid)
+
+    rows = [
+        # u1: a@0 -> b@10 -> c@15   (d1=10m, d2=5m)
+        ev(1, "a", 0, 1), ev(1, "b", 10, 2), ev(1, "c", 15, 3),
+        # u2: a@0 -> b@30           (d1=30m, no c)
+        ev(2, "a", 0, 4), ev(2, "b", 30, 5),
+        # u3: a@0 only
+        ev(3, "a", 0, 6),
+        # u4: a@0 -> b@20 -> c@80   (d1=20m, d2=60m)
+        ev(4, "a", 0, 7), ev(4, "b", 20, 8), ev(4, "c", 80, 9),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, event_type string, ts timestamp, event_id long"
+    )
+    got = {
+        r["transition_idx"]: r
+        for r in sequence_funnel_latency(
+            df, ("a", "b", "c"), within_us=2 * 3600 * 1_000_000
+        ).collect()
+    }
+    M = 60 * 1_000_000
+    t1 = got[1]
+    # transition a->b: deltas {10,30,20} -> n=3, median=rank2=20m, p90=rank3=30m
+    assert (t1["from_stage"], t1["to_stage"]) == ("a", "b")
+    assert t1["n_users"] == 3
+    assert t1["median_delta_us"] == 20 * M
+    assert t1["p90_delta_us"] == 30 * M
+    assert t1["max_delta_us"] == 30 * M
+    # transition b->c: deltas {5,60} -> n=2, median=rank1=5m, p90=rank2=60m
+    t2 = got[2]
+    assert (t2["from_stage"], t2["to_stage"]) == ("b", "c")
+    assert t2["n_users"] == 2
+    assert t2["median_delta_us"] == 5 * M
+    assert t2["p90_delta_us"] == 60 * M
+    assert t2["max_delta_us"] == 60 * M
