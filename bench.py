@@ -270,6 +270,7 @@ BENCH_QUERIES = [
     "stream_priority_sample",  # T19 streaming k-sample vs batch oracle (r9)
     "knn_clustering_coeff",   # G6 per-node clustering coefficient (r9)
     "events_funnel_latency",  # A50 funnel stage-latency stats (r9)
+    "knn_mmr",                # N14 MMR diversified top-k (r9)
     "events_discovery_timeline",  # exact running-distinct breakpoints
     "dedup_prefix_clusters",  # provably complete near-dup clusters
     # stream_cdc_merge is timed via _time_cdc_merge below (merge work

@@ -860,3 +860,109 @@ def kcore(edges: DataFrame, k: int, max_rounds: int = 50) -> DataFrame:
         "for adversarial chains (each round only removes currently "
         "under-supported nodes)"
     )
+
+
+# ------------------------- N14: MMR diversified top-k re-ranking --------
+#: MMR relevance weight in ppm (λ = 0.7: the common precision/diversity
+#: default); score = λ·rel − (1−λ)·max-sim-to-selected, kept in ppm scale
+#: (argmax is scale-invariant, and fewer float ops = less drift surface).
+MMR_LAMBDA_PPM = 700_000
+
+
+def mmr_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    pool: int = 20,
+    lam_ppm: int = MMR_LAMBDA_PPM,
+) -> DataFrame:
+    """Maximal Marginal Relevance (Carbonell & Goldstein, SIGIR'98):
+    re-rank each query's top-``pool`` exact candidates into k picks that
+    trade relevance against redundancy — the diversified-retrieval pass
+    a curation pipeline runs so "nearest examples" aren't k copies of
+    the same near-dup cluster (the N-family's answer to D-family
+    redundancy, applied at selection time).
+
+    Greedy is the MMR definition, not an approximation; each round
+    picks argmax(λ·rel − (1−λ)·max_{s∈S} sim(c, s)), ties broken by
+    cand_id, all similarities the same prenormed-cosine doubles the
+    other N operators gate bit-exactly.
+
+    Scale shape: the expensive part is the ONE brute/ANN pool pass the
+    N-family already provides; everything after runs on \|queries\|·pool
+    rows (pairs: ·pool²) — broadcast-sized relations, k bounded joins.
+    The pool relation is persisted and released (release_after) because
+    every greedy round re-probes it; k and pool are operator knobs, the
+    loop is driver-composed but each round is one join + one window,
+    never a collect.
+    """
+    from project_obsidian_core_spark.functions.cache import release_after
+
+    scored = _scored(queries, emb)
+    pool_df = _topk(scored, pool).select("q_id", "cand_id", "cos_sim").persist()
+    cv = emb.select(
+        F.col("vec_id").alias("cand_id"),
+        F.col("embedding").alias("cv"),
+        V.norm(F.col("embedding")).alias("c_nrm"),
+    )
+    pv = pool_df.join(cv, "cand_id")
+    x = pv.select(
+        "q_id",
+        F.col("cand_id").alias("a"),
+        F.col("cv").alias("av"),
+        F.col("c_nrm").alias("an"),
+    )
+    y = pv.select(
+        "q_id",
+        F.col("cand_id").alias("b"),
+        F.col("cv").alias("bv"),
+        F.col("c_nrm").alias("bn"),
+    )
+    pairs = (
+        x.join(y, "q_id")
+        .where(F.col("a") != F.col("b"))
+        .select(
+            "q_id",
+            "a",
+            "b",
+            V.cosine_prenormed(
+                V.dot(F.col("av"), F.col("bv")), F.col("an"), F.col("bn")
+            ).alias("sim"),
+        )
+        .persist()
+    )
+    w1 = Window.partitionBy("q_id").orderBy(F.desc("cos_sim"), F.asc("cand_id"))
+    selected = (
+        pool_df.withColumn("rn", F.row_number().over(w1))
+        .filter(F.col("rn") == 1)
+        .select("q_id", "cand_id", "cos_sim", F.lit(1).alias("sel_rank"))
+    )
+    # each round references `selected` TWICE (penalty join + anti join);
+    # left lazy, the union chain inlines 2^k copies of every earlier
+    # round into the final plan (measured 64 s at k=5 on 500 vectors —
+    # planning, not data). Checkpoint per round, the CC-rounds rule; the
+    # relation is |queries|·i rows, so the per-round job is trivial.
+    selected = selected.localCheckpoint(eager=True)
+    for i in range(2, k + 1):
+        pen = (
+            pairs.join(
+                selected.select("q_id", F.col("cand_id").alias("b")), ["q_id", "b"]
+            )
+            .groupBy("q_id", F.col("a").alias("cand_id"))
+            .agg(F.max("sim").alias("penalty"))
+        )
+        remaining = pool_df.join(
+            selected.select("q_id", "cand_id"), ["q_id", "cand_id"], "left_anti"
+        )
+        mmr = F.lit(lam_ppm) * F.col("cos_sim") - F.lit(1_000_000 - lam_ppm) * F.col(
+            "penalty"
+        )
+        wi = Window.partitionBy("q_id").orderBy(mmr.desc(), F.asc("cand_id"))
+        nxt = (
+            remaining.join(pen, ["q_id", "cand_id"])
+            .withColumn("rn", F.row_number().over(wi))
+            .filter(F.col("rn") == 1)
+            .select("q_id", "cand_id", "cos_sim", F.lit(i).alias("sel_rank"))
+        )
+        selected = selected.unionByName(nxt).localCheckpoint(eager=True)
+    return release_after(selected, pool_df, pairs)

@@ -1969,3 +1969,74 @@ ORDER BY deg.node
 
 
 ORACLE_knn_clustering_coeff = _clustering_coeff_oracle()
+
+
+# ---------------------------------------- N14: MMR diversified top-k ----
+def knn_mmr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N14: MMR re-ranking of each query's exact top-20 pool into 5
+    diversity-aware picks (λ=0.7) — nearest examples without k copies
+    of the same near-dup cluster."""
+    emb, q = _query_vecs(spark, sf_dir)
+    return S.mmr_topk(emb, q, k=5, pool=20).orderBy("q_id", "sel_rank")
+
+
+def _mmr_oracle(k: int = 5, pool: int = 20, lam: int = S.MMR_LAMBDA_PPM) -> str:
+    """Unrolled greedy-MMR oracle: one (pen_i, sel_i, selall_i) CTE trio
+    per round — the same stage-unrolling move as the funnel oracles."""
+    rounds = []
+    for i in range(2, k + 1):
+        rounds.append(f""",
+pen{i} AS (
+    SELECT p.q_id, p.a AS cand_id, max(p.sim) AS penalty
+    FROM pairs p JOIN selall{i - 1} s ON p.q_id = s.q_id AND p.b = s.cand_id
+    GROUP BY 1, 2
+), sel{i} AS (
+    SELECT q_id, cand_id, cos_sim, {i} AS sel_rank FROM (
+        SELECT pool.q_id, pool.cand_id, pool.cos_sim,
+               row_number() OVER (PARTITION BY pool.q_id
+                   ORDER BY ({lam} * pool.cos_sim
+                             - {1_000_000 - lam} * pen{i}.penalty) DESC,
+                            pool.cand_id ASC) AS rn
+        FROM pool JOIN pen{i} USING (q_id, cand_id)
+        WHERE NOT EXISTS (SELECT 1 FROM selall{i - 1} s
+                          WHERE s.q_id = pool.q_id
+                            AND s.cand_id = pool.cand_id)
+    ) WHERE rn = 1
+), selall{i} AS MATERIALIZED (SELECT * FROM selall{i - 1} UNION ALL SELECT * FROM sel{i})""")
+    return f"""
+WITH t AS (
+    SELECT vec_id, embedding AS v, {V.sql_norm('embedding', _EMB_DIM)} AS nrm
+    FROM embeddings
+), scored AS (
+    SELECT q.vec_id AS q_id, c.vec_id AS cand_id,
+           {V.sql_dot('q.v', 'c.v', _EMB_DIM)} / (q.nrm * c.nrm) AS cos_sim
+    FROM t q, t c
+    WHERE q.vec_id < {_N_QUERY_VECS} AND q.vec_id != c.vec_id
+), pool AS MATERIALIZED (
+    SELECT q_id, cand_id, cos_sim FROM (
+        SELECT q_id, cand_id, cos_sim,
+               row_number() OVER (PARTITION BY q_id
+                   ORDER BY cos_sim DESC, cand_id ASC) AS rn
+        FROM scored
+    ) WHERE rn <= {pool}
+), pv AS (
+    SELECT pool.q_id, pool.cand_id, t.v, t.nrm
+    FROM pool JOIN t ON pool.cand_id = t.vec_id
+), pairs AS MATERIALIZED (
+    SELECT x.q_id, x.cand_id AS a, y.cand_id AS b,
+           {V.sql_dot('x.v', 'y.v', _EMB_DIM)} / (x.nrm * y.nrm) AS sim
+    FROM pv x JOIN pv y ON x.q_id = y.q_id AND x.cand_id != y.cand_id
+), sel1 AS (
+    SELECT q_id, cand_id, cos_sim, 1 AS sel_rank FROM (
+        SELECT q_id, cand_id, cos_sim,
+               row_number() OVER (PARTITION BY q_id
+                   ORDER BY cos_sim DESC, cand_id ASC) AS rn
+        FROM pool
+    ) WHERE rn = 1
+), selall1 AS MATERIALIZED (SELECT * FROM sel1){''.join(rounds)}
+SELECT q_id, cand_id, cos_sim, sel_rank FROM selall{k}
+ORDER BY q_id, sel_rank
+"""
+
+
+ORACLE_knn_mmr = _mmr_oracle()

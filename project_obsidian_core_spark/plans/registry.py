@@ -617,6 +617,8 @@ _ENTRIES: list[tuple[str, QueryFn, str | None]] = [
         bh.events_funnel_latency,
         bh.ORACLE_events_funnel_latency,
     ),
+    # N14: MMR diversity re-ranking over the exact candidate pool
+    ("knn_mmr", d.knn_mmr, d.ORACLE_knn_mmr),
 ]
 
 # ----------------------------------------------------------------------

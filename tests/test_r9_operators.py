@@ -638,3 +638,59 @@ def test_funnel_latency_hand_computed(spark):
     assert t2["median_delta_us"] == 5 * M
     assert t2["p90_delta_us"] == 60 * M
     assert t2["max_delta_us"] == 60 * M
+
+
+def test_mmr_skips_the_near_duplicate(spark):
+    """N14: relevance ranking picks the near-dup twin 2nd; MMR must
+    demote it for the diverse candidate. Greedy python reference."""
+    from project_obsidian_core_spark.datapipe.similarity import mmr_topk
+
+    def v(*xs):
+        return [float(x) for x in xs] + [0.0] * (64 - len(xs))
+
+    # geometry note: with λ=0.7 a candidate beats the near-dup twin
+    # (score 0.7r−0.3·≈1) only if 0.7·r − 0.3·sim-to-picked clears
+    # 0.7·r_dup − 0.3; the MIRROR of the picked vector (same relevance,
+    # sim = cos of twice the off-axis angle) does so decisively
+    rows = [
+        (0, v(1, 0, 0), 0),          # query
+        (1, v(0.9, 0.3, 0), 0),      # most relevant
+        (2, v(0.9, 0.301, 0), 0),    # near-dup of 1 (2nd by relevance)
+        (3, v(0.9, -0.3, 0), 0),     # mirror: same relevance, diverse
+        (4, v(0.5, 0.5, 0.5), 0),
+    ]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    q = emb.where(F.col("vec_id") == 0)
+    got = [
+        (r["sel_rank"], r["cand_id"])
+        for r in mmr_topk(emb, q, k=3, pool=4).orderBy("sel_rank").collect()
+    ]
+    assert got[0] == (1, 1)  # pure relevance leads round 1
+    assert got[1] == (2, 3), "MMR must pick the diverse mirror second"
+    assert got[2] == (3, 2)  # the twin only enters once diversity is paid
+
+    # python greedy reference over the same cosine matrix
+    import math
+
+    def cos(a, b):
+        d = sum(x * y for x, y in zip(a, b))
+        na = math.sqrt(sum(x * x for x in a))
+        nb = math.sqrt(sum(x * x for x in b))
+        return d / (na * nb)
+
+    vecs = {r[0]: r[1] for r in rows}
+    rel = {i: cos(vecs[0], vecs[i]) for i in (1, 2, 3, 4)}
+    pool = sorted(rel, key=lambda i: (-rel[i], i))[:4]
+    sel = [max(pool, key=lambda i: (rel[i], -i))]
+    lam = 700_000
+    while len(sel) < 3:
+        rest = [i for i in pool if i not in sel]
+        scoref = {
+            i: lam * rel[i]
+            - (1_000_000 - lam) * max(cos(vecs[i], vecs[s]) for s in sel)
+            for i in rest
+        }
+        sel.append(max(rest, key=lambda i: (scoref[i], -i)))
+    assert [c for _, c in got] == sel
