@@ -1043,3 +1043,66 @@ SELECT metric_name, lag, n,
 FROM agg
 ORDER BY metric_name, lag
 """
+
+
+# ------------------------------------------ W3 gated: EWMA series fold
+def metric_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W3, GATED: the governor's dual-EWMA recursion (`governor.go`
+    parity: ema += α·(x − ema), α = 0.3 fast / 0.05 slow) folded over
+    each metric's minute series in bucket order — previously unit-only
+    (golden vectors); this row proves the float recursion cross-engine
+    bit-exactly, because both sides fold the SAME expression in the
+    SAME order (Spark `aggregate` over the sorted series array, DuckDB
+    `list_reduce` over `list(y ORDER BY bucket)` — both left folds
+    seeded with the first element).
+
+    The series rides one (metric → sorted array) aggregate; array
+    length is bounded by the series' bucket count (a retention window
+    at 100 TB — the streaming governor holds the same state as one
+    scalar per key, which is why THIS shape is the batch replay, not
+    the live path).
+    """
+    m = synthesize_metrics(spark, sf_dir).select(
+        "metric_name",
+        F.expr("unix_micros(time) div 60000000").alias("bucket"),
+        F.col("metric_value").alias("v"),
+    )
+    per_bucket = m.groupBy("metric_name", "bucket").agg(F.sum("v").alias("y"))
+    arr = per_bucket.groupBy("metric_name").agg(
+        F.expr(
+            "transform(sort_array(collect_list(struct(bucket, y))),"
+            " s -> cast(s.y as double))"
+        ).alias("ys")
+    )
+    def fold(alpha: str) -> str:
+        return (
+            f"aggregate(slice(ys, 2, greatest(size(ys) - 1, 0)),"
+            f" element_at(ys, 1), (acc, x) -> acc + {alpha} * (x - acc))"
+        )
+
+    return arr.select(
+        "metric_name",
+        F.size("ys").alias("n_buckets"),
+        F.expr(fold("0.3")).alias("ewma_fast"),
+        F.expr(fold("0.05")).alias("ewma_slow"),
+    ).orderBy("metric_name")
+
+
+ORACLE_metric_ewma = f"""
+WITH m AS ({_SYN_SQL}),
+pb AS (
+    SELECT metric_name, epoch_us(time) // 60000000 AS bucket,
+           CAST(sum(metric_value) AS BIGINT) AS y
+    FROM m GROUP BY 1, 2
+), arr AS (
+    SELECT metric_name,
+           list(CAST(y AS DOUBLE) ORDER BY bucket) AS ys
+    FROM pb GROUP BY 1
+)
+SELECT metric_name,
+       CAST(len(ys) AS INT) AS n_buckets,
+       list_reduce(ys, (a, b) -> a + 0.3 * (b - a)) AS ewma_fast,
+       list_reduce(ys, (a, b) -> a + 0.05 * (b - a)) AS ewma_slow
+FROM arr
+ORDER BY metric_name
+"""

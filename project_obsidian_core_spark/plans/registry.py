@@ -619,6 +619,9 @@ _ENTRIES: list[tuple[str, QueryFn, str | None]] = [
     ),
     # N14: MMR diversity re-ranking over the exact candidate pool
     ("knn_mmr", d.knn_mmr, d.ORACLE_knn_mmr),
+    # W3 gated: the governor EWMA recursion folded batch-side, proving
+    # the float recursion cross-engine (previously unit-only)
+    ("metric_ewma", m.metric_ewma, m.ORACLE_metric_ewma),
 ]
 
 # ----------------------------------------------------------------------
