@@ -271,6 +271,7 @@ BENCH_QUERIES = [
     "knn_clustering_coeff",   # G6 per-node clustering coefficient (r9)
     "events_funnel_latency",  # A50 funnel stage-latency stats (r9)
     "knn_mmr",                # N14 MMR diversified top-k (r9)
+    "metric_ewma",            # W3 EWMA recursion oracle gate (r9)
     "events_discovery_timeline",  # exact running-distinct breakpoints
     "dedup_prefix_clusters",  # provably complete near-dup clusters
     # stream_cdc_merge is timed via _time_cdc_merge below (merge work
@@ -397,15 +398,17 @@ def main() -> None:
             t0 = time.time()
             QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
             runs.append(time.time() - t0)
-        # tail queries under 8 s warm get promoted to median-of-3 warm
-        # repeats.  r7 covered the sub-second tier (spread_max_rel 0.38
-        # from cold+warm-once noise); r8's host note showed the 2-7 s
-        # dedup/knn tier paying the same single-warm JIT/IO noise
-        # (dedup_containment_pairs 7.1 s recorded vs 2.7-4.5 s steady) —
-        # and that tier is exactly where a real plan regression would
-        # matter.  ≥8 s queries stay single-warm: they are dominated by
-        # real work and doubling them doubles the suite wall.
-        if name not in R1_SUBSET and len(runs) == 2 and runs[1] < 8.0:
+        # every tail query gets median-of-3 warm repeats.  r7 covered the
+        # sub-second tier (spread_max_rel 0.38 from cold+warm-once noise);
+        # r8's host note showed the 2-7 s dedup/knn tier paying the same
+        # single-warm JIT/IO noise (dedup_containment_pairs 7.1 s recorded
+        # vs 2.7-4.5 s steady); r9 caught the ≥8 s tier too —
+        # dedup_recall_report recorded 44 s on a single warm run vs 22 s
+        # steady-state (JIT/GC), exactly the tier where a real regression
+        # would hide.  The ~5 queries over 8 s cost ~2 extra runs × ~20 s
+        # ≈ 3-4 min of suite wall; worth it for a trustworthy tail
+        # (r9 verdict next-#3).
+        if name not in R1_SUBSET and len(runs) == 2:
             for _ in range(2):
                 t0 = time.time()
                 QUERIES[name](spark, sf_dir).write.format("noop").mode(
@@ -472,7 +475,9 @@ def main() -> None:
             "value_cold": round(sum(cold.values()), 4),
             "queries_cold": cold,
             "queries_spread": spread,
-            "warm_repeats": {"r1_subset": max(1, repeat - 1), "tail": "3 if warm < 8s else 1"},
+            # machine-readable (r9 ADVICE: an English expression string
+            # here broke numeric round-over-round comparison)
+            "warm_repeats": {"r1_subset": max(1, repeat - 1), "tail": 3},
             "host": host,
             "r1_ratio": r1_ratio,
             "sf": sf,

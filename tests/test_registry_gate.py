@@ -16,7 +16,9 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 def _official_green() -> set[str]:
     green = set()
     for p in glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json")):
-        for name, row in json.load(open(p)).items():
+        with open(p) as fh:
+            rows = json.load(fh)
+        for name, row in rows.items():
             if row.get("hash_match") and not row.get("err"):
                 green.add(name)
     return green
