@@ -272,6 +272,7 @@ BENCH_QUERIES = [
     "events_funnel_latency",  # A50 funnel stage-latency stats (r9)
     "knn_mmr",                # N14 MMR diversified top-k (r9)
     "metric_ewma",            # W3 EWMA recursion oracle gate (r9)
+    "dedup_kcore",            # G5 2-core peel on the near-dup graph (r10)
     "events_discovery_timeline",  # exact running-distinct breakpoints
     "dedup_prefix_clusters",  # provably complete near-dup clusters
     # stream_cdc_merge is timed via _time_cdc_merge below (merge work

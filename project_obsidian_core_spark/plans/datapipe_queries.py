@@ -1971,6 +1971,71 @@ ORDER BY deg.node
 ORACLE_knn_clustering_coeff = _clustering_coeff_oracle()
 
 
+# ------------------------------------- G5: k-core over the near-dup graph --
+def dedup_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G5 gate: 2-core of the verified near-dup pair graph (jaccard ≥ 0.1)
+    — the docs whose near-dup support survives MUTUALLY, i.e. the
+    template/boilerplate families, vs the pendant one-off pairs the peel
+    strips. The near-dup graph is the right coreness substrate here: the
+    uniform-random kNN graph has min-degree ≥ k by construction, so its
+    k-core is all-or-nothing (probed r10), while the pair graph has
+    pendant chains the peel genuinely cascades through (fixpoint in 2
+    rounds at sf0.01 AND sf0.1)."""
+    pairs = (
+        D.minhash_candidates(load(spark, sf_dir, "documents"))
+        .filter(F.col("jaccard") >= 0.1)
+        .select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
+    )
+    return S.kcore(pairs, k=2).orderBy("node")
+
+
+def _kcore_oracle(k: int = 2, rounds: int = 4) -> str:
+    """Unrolled fixed-round peel: degree CTE + semi-join CTE per round
+    (the knn_pagerank/knn_communities unrolling trick). The peel is
+    IDEMPOTENT past its fixpoint, so unrolling 4 rounds where the gate
+    corpora converge in 2 leaves slack without changing the result —
+    the data-dependent early-exit in :func:`datapipe.similarity.kcore`
+    and this fixed unroll meet at the same fixpoint."""
+    body = _minhash_oracle()
+    prefix, _, _ = body.partition("\nSELECT c.doc_a")
+    parts = [
+        f"""{prefix},
+pairs AS (
+    SELECT c.doc_a AS a, c.doc_b AS b
+    FROM cand c
+    JOIN t sa ON sa.doc_id = c.doc_a
+    JOIN t sb ON sb.doc_id = c.doc_b
+    WHERE CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+              / len(list_distinct(sa.sh || sb.sh)) >= 0.1
+), live0 AS (
+    SELECT a AS src, b AS dst FROM pairs
+    UNION
+    SELECT b AS src, a AS dst FROM pairs
+)"""
+    ]
+    for i in range(1, rounds + 1):
+        parts.append(
+            f""",
+deg{i} AS (SELECT src, count(*) AS c FROM live{i - 1} GROUP BY src),
+keep{i} AS (SELECT src FROM deg{i} WHERE c >= {k}),
+live{i} AS (
+    SELECT l.src, l.dst FROM live{i - 1} l
+    JOIN keep{i} ka ON l.src = ka.src
+    JOIN keep{i} kb ON l.dst = kb.src
+)"""
+        )
+    parts.append(
+        f"""
+SELECT src AS node, CAST(count(*) AS BIGINT) AS core_degree
+FROM live{rounds} GROUP BY src ORDER BY node
+"""
+    )
+    return "".join(parts)
+
+
+ORACLE_dedup_kcore = _kcore_oracle()
+
+
 # ---------------------------------------- N14: MMR diversified top-k ----
 def knn_mmr(spark: SparkSession, sf_dir: str) -> DataFrame:
     """N14: MMR re-ranking of each query's exact top-20 pool into 5

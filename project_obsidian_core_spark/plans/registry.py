@@ -622,6 +622,12 @@ _ENTRIES: list[tuple[str, QueryFn, str | None]] = [
     # W3 gated: the governor EWMA recursion folded batch-side, proving
     # the float recursion cross-engine (previously unit-only)
     ("metric_ewma", m.metric_ewma, m.ORACLE_metric_ewma),
+    # ------------------------------------------------------------------
+    # Block R10 — round-10 additions (no official row yet — the derived
+    # sort puts them in front automatically).
+    # G5 gated: 2-core peel over the verified near-dup pair graph,
+    # unrolled fixed-round DuckDB oracle (idempotent past fixpoint)
+    ("dedup_kcore", d.dedup_kcore, d.ORACLE_dedup_kcore),
 ]
 
 # ----------------------------------------------------------------------
