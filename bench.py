@@ -273,6 +273,15 @@ BENCH_QUERIES = [
     "knn_mmr",                # N14 MMR diversified top-k (r9)
     "metric_ewma",            # W3 EWMA recursion oracle gate (r9)
     "dedup_kcore",            # G5 2-core peel on the near-dup graph (r10)
+    "min_cost_supplier",      # Q2-shaped correlated-min sourcing (r10)
+    "dominant_suppliers",     # Q20-shaped majority-share semi-join (r10)
+    "metric_theil_sen",       # A51 robust pairwise-median slope (r10)
+    "metric_changepoint",     # A52 two-segment SSE split (r10)
+    "metric_holt",            # A53 coupled level+trend recursion (r10)
+    "knn_snn_strength",       # G7 shared-NN edge strength (r10)
+    "embedding_dim_stats",    # N15 per-dim embedding profile (r10)
+    "text_bigram_surprisal",  # X21 conditional bigram surprisal (r10)
+    "customer_cohort_revenue",  # A54 cohort LTV matrix (r10)
     "events_discovery_timeline",  # exact running-distinct breakpoints
     "dedup_prefix_clusters",  # provably complete near-dup clusters
     # stream_cdc_merge is timed via _time_cdc_merge below (merge work

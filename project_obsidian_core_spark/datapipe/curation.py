@@ -534,6 +534,76 @@ def surprisal_score(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def bigram_surprisal_score(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """X21: conditional (bigram) surprisal — the second rung on the
+    corpus-as-its-own-LM ladder above :func:`surprisal_score`: per
+    adjacent token pair, weight = ``(count(prev) · SCALE) div
+    count(prev, next)`` — the reciprocal CONDITIONAL probability
+    P(next|prev), integer-quantized.  Documents whose word ORDER is
+    unusual score high even when every individual word is common — the
+    signal that separates shuffled/template text from fluent prose,
+    which the unigram score cannot see.  Same monotone-reciprocal
+    rationale as the unigram operator (integer rationals instead of
+    log-perplexity: libm ln() differs at ULP level across engines;
+    rankings are preserved).
+
+    Determinism: weights are exact int64; per-doc sums are order-free.
+    Plan: bigrams zip INSIDE the row (arrays_zip of the token array
+    against its own tail — no explode before pairing, the X20 move);
+    the bigram count relation is |vocab-pairs|-bounded and the unigram
+    counts broadcast onto it; docs with < 2 tokens contribute zero
+    bigrams and surface with n_bigrams = 0 via the left join."""
+    toks = _toks(text_col)
+    pairs = df.select(
+        "doc_id",
+        F.explode(
+            # short-doc guard: sequence(1, 0) is DESCENDING in Spark, so
+            # generate >= 1 element and slice back to the true length
+            F.expr(
+                f"slice(transform("
+                f"  sequence(1, greatest(size(split({text_col}, ' ')) - 1, 1)),"
+                f"  i -> named_struct("
+                f"    'prev', element_at(split({text_col}, ' '), i),"
+                # try_: the over-generated guard element indexes past the
+                # array end on 1-token docs (ANSI element_at raises)
+                f"    'next', try_element_at(split({text_col}, ' '), i + 1))),"
+                f" 1, greatest(size(split({text_col}, ' ')) - 1, 0))"
+            )
+        ).alias("bg"),
+    ).select("doc_id", F.col("bg.prev").alias("prev"), F.col("bg.next").alias("next"))
+    uni = df.select(F.explode(toks).alias("term")).groupBy("term").agg(
+        F.count(F.lit(1)).alias("u_cnt")
+    )
+    # unigram counts as the CONDITIONING denominator must count every
+    # token occurrence, including each document's final token
+    bi = pairs.groupBy("prev", "next").agg(F.count(F.lit(1)).alias("b_cnt"))
+    weighted = (
+        pairs.join(F.broadcast(bi), ["prev", "next"])
+        .join(F.broadcast(uni.withColumnRenamed("term", "prev")), "prev")
+        .select(
+            "doc_id",
+            F.expr(f"(u_cnt * {SURPRISAL_SCALE}) div b_cnt").alias("w"),
+        )
+    )
+    agg = weighted.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.sum("w").alias("surprisal_q"),
+    )
+    return (
+        df.select("doc_id")
+        .join(agg, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_bigrams", F.lit(0)).alias("n_bigrams"),
+            F.coalesce("surprisal_q", F.lit(0)).alias("surprisal_q"),
+            F.when(
+                F.col("n_bigrams").isNotNull(),
+                F.col("surprisal_q").cast("double") / F.col("n_bigrams"),
+            ).alias("mean_surprisal"),
+        )
+    )
+
+
 # ------------------------------------------------------ weighted sampling --
 
 #: weighted-sample acceptance scale: P(keep) = min(1, rate · quality)

@@ -803,6 +803,49 @@ def label_propagation(edges: DataFrame, rounds: int = 3) -> DataFrame:
     return labels
 
 
+def snn_strength(edges: DataFrame) -> DataFrame:
+    """G7: shared-nearest-neighbor strength per undirected edge (a < b):
+    how many OTHER nodes neighbor both endpoints, plus the neighborhood
+    Jaccard in exact ppm (shared · 10⁶ div (deg_a + deg_b − shared) —
+    note a ∈ N(b) and b ∈ N(a) stay in the union, the Jarvis-Patrick
+    convention).  Two int-keyed hash joins count the wedges through
+    each edge; degrees attach broadcast.  Wedge-bounded like the
+    triangle pass — with the kNN bound deg ≤ 2k every relation after
+    the edge list is ≤ 2k·|E| rows, never corpus-quadratic."""
+    adj = edges.select(
+        F.col("a").alias("src"), F.col("b").alias("dst")
+    ).unionByName(edges.select(F.col("b").alias("src"), F.col("a").alias("dst")))
+    deg = adj.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).alias("degree")
+    )
+    adj_a = adj.select(F.col("src").alias("a"), F.col("dst").alias("c"))
+    adj_b = adj.select(F.col("src").alias("b"), F.col("dst").alias("c"))
+    wedges = (
+        edges.join(adj_a, "a")
+        .join(adj_b, ["b", "c"])
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    out = (
+        edges.join(wedges, ["a", "b"], "left")
+        .join(F.broadcast(deg.withColumnRenamed("node", "a")), "a")
+        .withColumnRenamed("degree", "deg_a")
+        .join(F.broadcast(deg.withColumnRenamed("node", "b")), "b")
+        .withColumnRenamed("degree", "deg_b")
+    )
+    return out.select(
+        "a",
+        "b",
+        F.coalesce("n_shared", F.lit(0)).alias("n_shared"),
+        "deg_a",
+        "deg_b",
+        F.expr(
+            "coalesce(n_shared, 0L) * 1000000"
+            " div (deg_a + deg_b - coalesce(n_shared, 0L))"
+        ).alias("snn_jaccard_ppm"),
+    )
+
+
 def kcore(edges: DataFrame, k: int, max_rounds: int = 50) -> DataFrame:
     """G5: k-core decomposition — the maximal subgraph where every node
     keeps degree ≥ k, the standard "dense enough to matter" filter on

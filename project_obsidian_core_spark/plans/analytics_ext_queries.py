@@ -1689,3 +1689,81 @@ FROM orders
 GROUP BY CUBE (o_orderstatus, o_orderpriority)
 ORDER BY gid, o_orderstatus NULLS LAST, o_orderpriority NULLS LAST
 """
+
+
+# ------------------------------------------ A54: cohort revenue (LTV) matrix
+def customer_cohort_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A54: acquisition-cohort revenue matrix — customers grouped by
+    their FIRST order month, then each cohort's revenue tracked per
+    calendar month with a running cumulative (the LTV curve).  The
+    money twin of ``events_retention`` (which counts heads, not
+    dollars): together they answer "do later cohorts monetize faster".
+
+    Plan: the first-order month is a min over the customer key (one
+    shuffle the per-customer relation already pays), the matrix is a
+    groupBy over ≤ cohorts×months rows, and the cumulative rides an
+    ordered window over THAT reduced relation — the
+    aggregate-then-window rule; exact cents end to end, months as
+    integer epochs (year·12 + month, no date arithmetic ambiguity).
+    """
+    o = load(spark, sf_dir, "orders").select(
+        "o_custkey",
+        (F.year("o_orderdate") * 12 + F.month("o_orderdate") - 1)
+        .cast("long")
+        .alias("m"),
+        cents("o_totalprice").alias("pc"),
+    )
+    first = o.groupBy("o_custkey").agg(F.min("m").alias("cohort_m"))
+    mat = (
+        o.join(first, "o_custkey")
+        .groupBy("cohort_m", "m")
+        .agg(
+            F.countDistinct("o_custkey").alias("n_customers"),
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum("pc").alias("revenue_cents"),
+        )
+    )
+    w = (
+        Window.partitionBy("cohort_m")
+        .orderBy("m")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        mat.select(
+            "cohort_m",
+            "m",
+            (F.col("m") - F.col("cohort_m")).alias("month_offset"),
+            "n_customers",
+            "n_orders",
+            "revenue_cents",
+            F.sum("revenue_cents").over(w).alias("cum_revenue_cents"),
+        )
+        .orderBy("cohort_m", "m")
+    )
+
+
+ORACLE_customer_cohort_revenue = """
+WITH o AS (
+    SELECT o_custkey,
+           year(o_orderdate) * 12 + month(o_orderdate) - 1 AS m,
+           CAST(round(o_totalprice * 100, 0) AS BIGINT) AS pc
+    FROM orders
+), first AS (
+    SELECT o_custkey, min(m) AS cohort_m FROM o GROUP BY 1
+), mat AS (
+    SELECT f.cohort_m, o.m,
+           CAST(count(DISTINCT o.o_custkey) AS BIGINT) AS n_customers,
+           count(*) AS n_orders,
+           CAST(sum(o.pc) AS BIGINT) AS revenue_cents
+    FROM o JOIN first f ON o.o_custkey = f.o_custkey
+    GROUP BY 1, 2
+)
+SELECT cohort_m, m,
+       m - cohort_m AS month_offset,
+       n_customers, n_orders, revenue_cents,
+       CAST(sum(revenue_cents) OVER (PARTITION BY cohort_m ORDER BY m
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS cum_revenue_cents
+FROM mat
+ORDER BY cohort_m, m
+"""

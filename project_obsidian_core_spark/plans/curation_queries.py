@@ -727,3 +727,48 @@ SELECT source, doc_id, n_chars, prio
 FROM r WHERE rn <= 4
 ORDER BY source, prio, doc_id
 """
+
+
+# ---------------------------------------- X21: conditional bigram surprisal
+def text_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X21: per-document mean CONDITIONAL (bigram) surprisal — word-order
+    fluency scoring via :func:`datapipe.curation.bigram_surprisal_score`;
+    the unigram surprisal's second rung (catches shuffled/template text
+    whose individual words are all common)."""
+    return C.bigram_surprisal_score(load(spark, sf_dir, "documents")).orderBy(
+        "doc_id"
+    )
+
+
+ORACLE_text_bigram_surprisal = f"""
+WITH p AS (
+    SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+), bg AS (
+    SELECT doc_id, toks[i] AS prev, toks[i + 1] AS next
+    FROM p, unnest(generate_series(1, len(toks) - 1)) AS g(i)
+), uni AS (
+    SELECT unnest(string_split(text, ' ')) AS term, 1 AS one FROM documents
+), uc AS (
+    SELECT term, CAST(count(*) AS BIGINT) AS u_cnt FROM uni GROUP BY term
+), bi AS (
+    SELECT prev, next, CAST(count(*) AS BIGINT) AS b_cnt
+    FROM bg GROUP BY 1, 2
+), w AS (
+    SELECT bg.doc_id, (uc.u_cnt * {C.SURPRISAL_SCALE}) // bi.b_cnt AS w
+    FROM bg
+    JOIN bi ON bi.prev = bg.prev AND bi.next = bg.next
+    JOIN uc ON uc.term = bg.prev
+), agg AS (
+    SELECT doc_id, count(*) AS n_bigrams,
+           CAST(sum(w) AS BIGINT) AS surprisal_q
+    FROM w GROUP BY doc_id
+)
+SELECT d.doc_id,
+       coalesce(agg.n_bigrams, 0) AS n_bigrams,
+       coalesce(agg.surprisal_q, 0) AS surprisal_q,
+       CASE WHEN agg.n_bigrams IS NOT NULL
+            THEN CAST(agg.surprisal_q AS DOUBLE) / agg.n_bigrams END
+           AS mean_surprisal
+FROM documents d LEFT JOIN agg ON d.doc_id = agg.doc_id
+ORDER BY d.doc_id
+"""

@@ -2105,3 +2105,121 @@ ORDER BY q_id, sel_rank
 
 
 ORACLE_knn_mmr = _mmr_oracle()
+
+
+# -------------------------------- G7: shared-nearest-neighbor strength ----
+def knn_snn_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G7: shared-nearest-neighbor edge strength over the G1 kNN graph —
+    for every undirected edge (a,b), how many OTHER nodes are neighbors
+    of both, plus the neighborhood Jaccard in exact ppm.  The SNN
+    re-weighting (Jarvis-Patrick / SNN-DBSCAN) that turns a raw
+    distance graph into a density-robust one: edges inside a tight
+    cluster share most of their neighborhoods, hub spokes share none —
+    the EDGE-level lens completing G6's node-level coefficient.
+
+    Plan: two int-keyed hash joins count wedges through each edge
+    (edge ⋈ adjacency on a's side, ⋈ again on b's side, equi-keyed on
+    the common neighbor) then degrees attach broadcast — wedge-bounded
+    like G2, never corpus-quadratic; every relation after the kNN pass
+    is ≤ k·|V| rows."""
+    emb = load(spark, sf_dir, "embeddings").filter(F.col("vec_id") < _GRAPH_VECS)
+    edges = S.knn_edges(emb, k=_GRAPH_K)
+    return S.snn_strength(edges).orderBy("a", "b")
+
+
+def _snn_oracle() -> str:
+    edges_ctes = ORACLE_knn_graph_degree.partition("), degrees AS")[0] + ")"
+    return f"""{edges_ctes},
+adj AS (
+    SELECT a AS src, b AS dst FROM edges
+    UNION ALL
+    SELECT b AS src, a AS dst FROM edges
+), deg AS (
+    SELECT src AS node, CAST(count(*) AS BIGINT) AS degree
+    FROM adj GROUP BY 1
+), wedges AS (
+    SELECT e.a, e.b, CAST(count(*) AS BIGINT) AS n_shared
+    FROM edges e
+    JOIN adj x ON x.src = e.a
+    JOIN adj y ON y.src = e.b AND y.dst = x.dst
+    GROUP BY e.a, e.b
+)
+SELECT e.a, e.b,
+       coalesce(w.n_shared, 0) AS n_shared,
+       da.degree AS deg_a,
+       db.degree AS deg_b,
+       coalesce(w.n_shared, 0) * 1000000
+           // (da.degree + db.degree - coalesce(w.n_shared, 0))
+           AS snn_jaccard_ppm
+FROM edges e
+LEFT JOIN wedges w ON w.a = e.a AND w.b = e.b
+JOIN deg da ON da.node = e.a
+JOIN deg db ON db.node = e.b
+ORDER BY e.a, e.b
+"""
+
+
+ORACLE_knn_snn_strength = _snn_oracle()
+
+
+# ----------------------------- N15: per-dimension embedding distribution --
+def embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N15: per-dimension distribution profile of the embedding table —
+    count / mean / min / max per coordinate in exact micro-units.  The
+    embedding-drift data-quality check run before trusting ANN indexes
+    or cosine thresholds: a dimension whose range collapses (dead unit)
+    or explodes (scale drift after a model swap) silently corrupts
+    every downstream distance; this is the profiling pass that catches
+    it, the N-family sibling of `orders_profile`.
+
+    Determinism: float sums across rows are order-dependent, so each
+    coordinate is quantized to int64 micro-units FIRST (float→double is
+    exact, ×10⁶ then floor are single IEEE ops per value) and every
+    aggregate is an exact integer; the mean is integer-div micro-units.
+    Plan: one posexplode (map-side, 64 rows/vector) into a 64-group
+    hash aggregate — partial-combined, one exchange of 64×cores rows."""
+    emb = load(spark, sf_dir, "embeddings")
+    ex = emb.select(
+        F.posexplode("embedding").alias("dim", "v")
+    ).select(
+        "dim",
+        F.floor(F.col("v").cast("double") * F.lit(1_000_000.0)).cast("long").alias("q"),
+    )
+    return (
+        ex.groupBy("dim")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("q").alias("sum_micro"),
+            F.min("q").alias("min_micro"),
+            F.max("q").alias("max_micro"),
+        )
+        .select(
+            "dim",
+            "n",
+            "sum_micro",
+            F.expr("sum_micro div n").alias("mean_micro"),
+            "min_micro",
+            "max_micro",
+        )
+        .orderBy("dim")
+    )
+
+
+ORACLE_embedding_dim_stats = """
+WITH ex AS (
+    -- no WITH ORDINALITY in DuckDB 1.0.0: index via generate_series
+    SELECT g.i - 1 AS dim,
+           CAST(floor(CAST(embedding[g.i] AS DOUBLE) * 1000000) AS BIGINT) AS q
+    FROM embeddings,
+         unnest(generate_series(1, len(embedding))) AS g(i)
+)
+SELECT dim,
+       count(*) AS n,
+       CAST(sum(q) AS BIGINT) AS sum_micro,
+       CAST(sum(q) AS BIGINT) // count(*) AS mean_micro,
+       min(q) AS min_micro,
+       max(q) AS max_micro
+FROM ex
+GROUP BY dim
+ORDER BY dim
+"""

@@ -1106,3 +1106,282 @@ SELECT metric_name,
 FROM arr
 ORDER BY metric_name
 """
+
+
+# ---------------------------------------------- A51: Theil-Sen robust slope
+def metric_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A51: Theil-Sen robust trend per series — the MEDIAN of all
+    pairwise slopes over the hour-bucket grid, the estimator that
+    shrugs off the outlier spikes that drag A36's least-squares slope
+    (up to ~29% contamination tolerance).  The robust twin every
+    capacity-planning alert wants next to `metric_trend_slope`.
+
+    Hour granularity is the semantic AND the scale bound: pairs are
+    O(H²) per series where H = the retention window in hours (267 h at
+    sf0.1 → 36k pairs; a 30-day window at 100 TB → 260k pairs/series —
+    bounded by the window, NOT the corpus).  The whole pair set is
+    built INSIDE the per-series row by higher-order functions on the
+    sorted (x, y) arrays — pure codegen, no self-join, no extra
+    exchange beyond the grid aggregate.  Each slope is ONE double
+    division of exact int64 deltas (deterministic IEEE); the median is
+    the lower order statistic at rank ceil(p/2) of the sorted slope
+    array, so both engines pick the identical element.
+    """
+    m = synthesize_metrics(spark, sf_dir).select(
+        "metric_name",
+        F.expr("unix_micros(time) div 3600000000").alias("x"),
+        F.col("metric_value").alias("v"),
+    )
+    grid = m.groupBy("metric_name", "x").agg(F.sum("v").alias("y"))
+    arr = grid.groupBy("metric_name").agg(
+        F.expr("sort_array(collect_list(struct(x, y)))").alias("pts")
+    ).filter(F.size("pts") >= 2)
+    slopes = (
+        "flatten(transform(sequence(0, size(pts) - 2), i ->"
+        " transform(sequence(i + 1, size(pts) - 1), j ->"
+        "   cast(element_at(pts, j + 1).y - element_at(pts, i + 1).y as double)"
+        "   / cast(element_at(pts, j + 1).x - element_at(pts, i + 1).x as double)"
+        " )))"
+    )
+    return (
+        arr.select(
+            "metric_name",
+            F.size("pts").alias("n_buckets"),
+            F.expr(f"sort_array({slopes})").alias("sl"),
+        )
+        .select(
+            "metric_name",
+            "n_buckets",
+            F.size("sl").alias("n_pairs"),
+            F.expr(
+                "element_at(sl, cast(ceil(size(sl) / 2.0) as int))"
+            ).alias("median_slope_cents_per_hour"),
+        )
+        .orderBy("metric_name")
+    )
+
+
+ORACLE_metric_theil_sen = f"""
+WITH m AS ({_SYN_SQL}),
+pb AS (
+    SELECT metric_name, epoch_us(time) // 3600000000 AS x,
+           CAST(sum(metric_value) AS BIGINT) AS y
+    FROM m GROUP BY 1, 2
+), g AS (
+    SELECT metric_name, x, y,
+           count(*) OVER (PARTITION BY metric_name) AS nb
+    FROM pb
+), pairs AS (
+    SELECT a.metric_name, a.nb,
+           CAST(b.y - a.y AS DOUBLE) / CAST(b.x - a.x AS DOUBLE) AS slope
+    FROM g a JOIN g b ON a.metric_name = b.metric_name AND b.x > a.x
+), ranked AS (
+    SELECT metric_name, nb, slope,
+           row_number() OVER (PARTITION BY metric_name ORDER BY slope) AS rk,
+           count(*) OVER (PARTITION BY metric_name) AS np
+    FROM pairs
+)
+SELECT metric_name,
+       CAST(nb AS INT) AS n_buckets,
+       CAST(np AS INT) AS n_pairs,
+       slope AS median_slope_cents_per_hour
+FROM ranked
+WHERE rk = CAST(ceil(np / 2.0) AS BIGINT)
+ORDER BY metric_name
+"""
+
+
+# ------------------------------------- A52: two-segment change-point split
+def metric_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A52: single change-point detection per series — the hour-grid
+    split maximizing the between-segment variance gain
+    gain(s) = (S₁·n₂ − S₂·n₁)² / (n₁·n₂·n), the closed form of the
+    one-split SSE minimization (binary segmentation's first step, the
+    "when did this metric change regime" primitive behind deploy-impact
+    and incident-onset screens).
+
+    All moments are exact int64 prefix sums riding ONE ordered window
+    over the already-reduced hour grid (≤ H rows/series — the
+    aggregate-then-window rule from A39); the gain's numerator is
+    composed from products ≤ 3·10¹² which are EXACTLY representable as
+    doubles (< 2⁵³), so the cross-engine argmax compares identical IEEE
+    values; ties break to the earliest split.  The output keeps the
+    integer segment moments so the gain is recomputable/auditable.
+    """
+    from pyspark.sql import Window
+
+    m = synthesize_metrics(spark, sf_dir).select(
+        "metric_name",
+        F.expr("unix_micros(time) div 3600000000").alias("x"),
+        F.col("metric_value").alias("v"),
+    )
+    grid = m.groupBy("metric_name", "x").agg(F.sum("v").alias("y"))
+    wser = Window.partitionBy("metric_name")
+    word = wser.orderBy("x")
+    c = grid.select(
+        "metric_name",
+        "x",
+        F.row_number().over(word).alias("s"),
+        F.sum("y").over(word.rowsBetween(Window.unboundedPreceding, 0)).alias("s1"),
+        F.sum("y").over(wser).alias("tot"),
+        F.count(F.lit(1)).over(wser).alias("n"),
+    ).filter(F.col("s") < F.col("n"))
+    d = (
+        F.col("s1").cast("double") * (F.col("n") - F.col("s"))
+        - (F.col("tot") - F.col("s1")).cast("double") * F.col("s")
+    )
+    gain = d * d / (F.col("s") * (F.col("n") - F.col("s")) * F.col("n")).cast(
+        "double"
+    )
+    scored = c.select(
+        "metric_name",
+        "x",
+        "s",
+        "n",
+        "s1",
+        (F.col("tot") - F.col("s1")).alias("s2"),
+        gain.alias("gain"),
+    )
+    wbest = Window.partitionBy("metric_name").orderBy(
+        F.desc("gain"), F.asc("s")
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(wbest))
+        .filter(F.col("rk") == 1)
+        .select(
+            "metric_name",
+            F.col("n").cast("int").alias("n_buckets"),
+            F.col("s").cast("int").alias("split_idx"),
+            F.col("x").alias("last_hour_of_seg1"),
+            "s1",
+            "s2",
+            "gain",
+        )
+        .orderBy("metric_name")
+    )
+
+
+ORACLE_metric_changepoint = f"""
+WITH m AS ({_SYN_SQL}),
+pb AS (
+    SELECT metric_name, epoch_us(time) // 3600000000 AS x,
+           CAST(sum(metric_value) AS BIGINT) AS y
+    FROM m GROUP BY 1, 2
+), c AS (
+    SELECT metric_name, x,
+           row_number() OVER w AS s,
+           CAST(sum(y) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND CURRENT ROW) AS BIGINT) AS s1,
+           CAST(sum(y) OVER (PARTITION BY metric_name) AS BIGINT) AS tot,
+           count(*) OVER (PARTITION BY metric_name) AS n
+    FROM pb
+    WINDOW w AS (PARTITION BY metric_name ORDER BY x)
+), scored AS (
+    SELECT metric_name, x, s, n, s1, tot - s1 AS s2,
+           (CAST(s1 AS DOUBLE) * (n - s) - CAST(tot - s1 AS DOUBLE) * s)
+           * (CAST(s1 AS DOUBLE) * (n - s) - CAST(tot - s1 AS DOUBLE) * s)
+           / CAST(s * (n - s) * n AS DOUBLE) AS gain
+    FROM c WHERE s < n
+)
+SELECT metric_name,
+       CAST(n AS INT) AS n_buckets,
+       CAST(s AS INT) AS split_idx,
+       x AS last_hour_of_seg1,
+       s1, s2, gain
+FROM (
+    SELECT *, row_number() OVER (PARTITION BY metric_name
+                                 ORDER BY gain DESC, s ASC) AS rk
+    FROM scored
+) WHERE rk = 1
+ORDER BY metric_name
+"""
+
+
+# ---------------------------------------------- A53: Holt linear smoothing
+#: Holt level/trend gains — semantics constants shared by both engines
+HOLT_ALPHA = 0.3
+HOLT_BETA = 0.1
+
+
+def metric_holt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A53: Holt double-exponential (level+trend) smoothing per series —
+    the one-step-ahead forecaster that follows a drifting mean where
+    W3's flat EWMA lags, the standard next rung on the smoothing ladder
+    (level l ← α·x + (1−α)(l+b); trend b ← β(l'−l) + (1−β)b; init
+    l₁ = y₁, b₁ = y₂ − y₁; recursion applied for t ≥ 3).
+
+    Gates the COUPLED two-state float recursion cross-engine, extending
+    the `metric_ewma` proof (single-state fold): Spark folds a
+    named_struct accumulator over the sorted hour series; DuckDB walks
+    the identical recurrence in a recursive CTE — both compute the SAME
+    expression tree in the SAME order, so the doubles match bit-exactly.
+    The hour grid bounds the recursion depth (and the array length) by
+    the retention window; the live path holds the same two doubles per
+    key in governor-style state.
+    """
+    m = synthesize_metrics(spark, sf_dir).select(
+        "metric_name",
+        F.expr("unix_micros(time) div 3600000000").alias("x"),
+        F.col("metric_value").alias("v"),
+    )
+    grid = m.groupBy("metric_name", "x").agg(F.sum("v").alias("y"))
+    arr = grid.groupBy("metric_name").agg(
+        F.expr(
+            "transform(sort_array(collect_list(struct(x, y))),"
+            " s -> cast(s.y as double))"
+        ).alias("ys")
+    ).filter(F.size("ys") >= 2)
+    a, b = HOLT_ALPHA, HOLT_BETA
+    fold = (
+        f"aggregate(slice(ys, 3, greatest(size(ys) - 2, 0)),"
+        f" named_struct('l', element_at(ys, 1),"
+        f"              'b', element_at(ys, 2) - element_at(ys, 1)),"
+        f" (acc, x) -> named_struct("
+        f"   'l', {a} * x + {1 - a:.1f} * (acc.l + acc.b),"
+        f"   'b', {b} * (({a} * x + {1 - a:.1f} * (acc.l + acc.b)) - acc.l)"
+        f"        + {1 - b:.1f} * acc.b))"
+    )
+    return (
+        arr.select(
+            "metric_name",
+            F.size("ys").alias("n_buckets"),
+            F.expr(fold).alias("st"),
+        )
+        .select(
+            "metric_name",
+            "n_buckets",
+            F.col("st.l").alias("level"),
+            F.col("st.b").alias("trend"),
+            (F.col("st.l") + F.col("st.b")).alias("forecast_next"),
+        )
+        .orderBy("metric_name")
+    )
+
+
+ORACLE_metric_holt = f"""
+WITH RECURSIVE m AS ({_SYN_SQL}),
+pb AS (
+    SELECT metric_name, epoch_us(time) // 3600000000 AS x,
+           CAST(sum(metric_value) AS BIGINT) AS y
+    FROM m GROUP BY 1, 2
+), arr AS (
+    SELECT metric_name, list(CAST(y AS DOUBLE) ORDER BY x) AS ys
+    FROM pb GROUP BY 1
+), h AS (
+    SELECT metric_name, ys, 2 AS i,
+           ys[1] AS l, ys[2] - ys[1] AS b
+    FROM arr WHERE len(ys) >= 2
+    UNION ALL
+    SELECT metric_name, ys, i + 1,
+           {HOLT_ALPHA} * ys[i + 1] + {1 - HOLT_ALPHA:.1f} * (l + b),
+           {HOLT_BETA} * (({HOLT_ALPHA} * ys[i + 1]
+                           + {1 - HOLT_ALPHA:.1f} * (l + b)) - l)
+               + {1 - HOLT_BETA:.1f} * b
+    FROM h WHERE i < len(ys)
+)
+SELECT metric_name,
+       CAST(len(ys) AS INT) AS n_buckets,
+       l AS level, b AS trend, l + b AS forecast_next
+FROM h WHERE i = len(ys)
+ORDER BY metric_name
+"""

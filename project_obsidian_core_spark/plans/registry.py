@@ -628,6 +628,31 @@ _ENTRIES: list[tuple[str, QueryFn, str | None]] = [
     # G5 gated: 2-core peel over the verified near-dup pair graph,
     # unrolled fixed-round DuckDB oracle (idempotent past fixpoint)
     ("dedup_kcore", d.dedup_kcore, d.ORACLE_dedup_kcore),
+    # Q2/Q20-shaped: the last two classic TPC-H join shapes (partsupp
+    # reshaped onto lineitem — exact-int unit price / majority share)
+    ("min_cost_supplier", r.min_cost_supplier, r.ORACLE_min_cost_supplier),
+    ("dominant_suppliers", r.dominant_suppliers, r.ORACLE_dominant_suppliers),
+    # A51-A53: robust/regime/forecast trend ladder over the hour grid
+    ("metric_theil_sen", m.metric_theil_sen, m.ORACLE_metric_theil_sen),
+    ("metric_changepoint", m.metric_changepoint, m.ORACLE_metric_changepoint),
+    # A53 gates the COUPLED two-state float recursion (Holt level+trend)
+    ("metric_holt", m.metric_holt, m.ORACLE_metric_holt),
+    # G7: shared-nearest-neighbor edge strength (wedge-bounded)
+    ("knn_snn_strength", d.knn_snn_strength, d.ORACLE_knn_snn_strength),
+    # N15: per-dimension embedding distribution profile (exact micro-units)
+    ("embedding_dim_stats", d.embedding_dim_stats, d.ORACLE_embedding_dim_stats),
+    # X21: conditional bigram surprisal (word-order fluency)
+    (
+        "text_bigram_surprisal",
+        cu.text_bigram_surprisal,
+        cu.ORACLE_text_bigram_surprisal,
+    ),
+    # A54: acquisition-cohort revenue/LTV matrix
+    (
+        "customer_cohort_revenue",
+        ax.customer_cohort_revenue,
+        ax.ORACLE_customer_cohort_revenue,
+    ),
 ]
 
 # ----------------------------------------------------------------------

@@ -1368,3 +1368,173 @@ FROM scored
 GROUP BY l_returnflag
 ORDER BY l_returnflag
 """
+
+
+# ------------------------------------------------------------- Q2-shaped
+def min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2-shaped correlated-min sourcing query: within one part
+    slice (STANDARD type, size <= 15) and one supplier market (EUROPE),
+    the supplier(s) offering each part at the minimum observed unit
+    price.  The testdata has no partsupp table, so the "offer" relation
+    is derived from lineitem: unit price = extendedprice/quantity,
+    held EXACT as micro-dollars via integer division (price_cents *
+    10^4 div qty — both engines truncate identically, so the argmin
+    set is deterministic without float compares).
+
+    Plan shape: the part slice and the supplier⋈nation⋈region market
+    are broadcast dims around ONE fact scan; the per-part min is a
+    groupBy over the already-reduced (part, supplier) offer relation
+    joined back by equality — the decorrelated form of Q2's
+    `WHERE ps_supplycost = (SELECT min(...) WHERE ... correlated)`.
+    """
+    part = load(spark, sf_dir, "part").filter(
+        (F.col("p_type") == "STANDARD") & (F.col("p_size") <= 15)
+    ).select("p_partkey", "p_name", "p_size")
+    nat = load(spark, sf_dir, "nation").select("n_nationkey", "n_name", "n_regionkey")
+    reg = load(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE").select(
+        "r_regionkey"
+    )
+    supp = (
+        load(spark, sf_dir, "supplier")
+        .join(F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(reg), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("s_suppkey", "s_name", "n_name")
+    )
+    li = load(spark, sf_dir, "lineitem")
+    offers = (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select(
+            "p_partkey",
+            "p_name",
+            "s_suppkey",
+            "s_name",
+            "n_name",
+            (cents("l_extendedprice") * F.lit(10_000)).alias("_num_e6"),
+            F.col("l_quantity").cast("long").alias("_qty"),
+        )
+        .select(
+            "p_partkey",
+            "p_name",
+            "s_suppkey",
+            "s_name",
+            "n_name",
+            F.expr("_num_e6 div _qty").alias("unit_e6"),
+        )
+        .groupBy("p_partkey", "p_name", "s_suppkey", "s_name", "n_name")
+        .agg(F.min("unit_e6").alias("best_unit_e6"))
+    )
+    mins = offers.groupBy(F.col("p_partkey").alias("mk")).agg(
+        F.min("best_unit_e6").alias("min_unit_e6")
+    )
+    return (
+        offers.join(
+            F.broadcast(mins),
+            (F.col("p_partkey") == F.col("mk"))
+            & (F.col("best_unit_e6") == F.col("min_unit_e6")),
+        )
+        .select("p_partkey", "p_name", "s_suppkey", "s_name", "n_name", "min_unit_e6")
+        .orderBy("p_partkey", "s_suppkey")
+    )
+
+
+ORACLE_min_cost_supplier = """
+WITH market AS (
+    SELECT s_suppkey, s_name, n_name
+    FROM supplier
+    JOIN nation ON s_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    WHERE r_name = 'EUROPE'
+), offers AS (
+    SELECT p_partkey, p_name, s_suppkey, s_name, n_name,
+           CAST(min(CAST(round(l_extendedprice * 100, 0) AS BIGINT) * 10000
+                    // CAST(round(l_quantity, 0) AS BIGINT)) AS BIGINT)
+               AS best_unit_e6
+    FROM lineitem
+    JOIN part ON l_partkey = p_partkey
+    JOIN market ON l_suppkey = s_suppkey
+    WHERE p_type = 'STANDARD' AND p_size <= 15
+    GROUP BY 1, 2, 3, 4, 5
+)
+SELECT p_partkey, p_name, s_suppkey, s_name, n_name,
+       best_unit_e6 AS min_unit_e6
+FROM offers o
+WHERE best_unit_e6 = (SELECT min(best_unit_e6) FROM offers i
+                      WHERE i.p_partkey = o.p_partkey)
+ORDER BY p_partkey, s_suppkey
+"""
+
+
+# ------------------------------------------------------------- Q20-shaped
+def dominant_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20-shaped "who really holds the stock" semi-join: suppliers
+    that shipped MORE THAN HALF of some red part's total 1997 volume.
+    Q20's partsupp-availqty predicate (`ps_availqty > 0.5 * sum(l_qty)`)
+    is reshaped onto lineitem as a share-of-part threshold — same
+    correlated-aggregate-vs-total structure, exact integers throughout
+    (2·supplier_qty > part_total compares ints, no division).
+
+    Plan shape: ONE fact scan feeds the (part, supplier) partials; the
+    per-part totals ride a second aggregate over that already-reduced
+    relation joined back broadcast (never a second corpus pass); the
+    supplier dim attaches broadcast; output is per-supplier with the
+    count of parts they dominate.
+    """
+    li = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    part = load(spark, sf_dir, "part").filter(
+        F.col("p_name").startswith("red ")
+    ).select("p_partkey")
+    ps = (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .select("p_partkey", "l_suppkey", F.col("l_quantity").cast("long").alias("qty"))
+        .groupBy("p_partkey", "l_suppkey")
+        .agg(F.sum("qty").alias("supp_qty"))
+    )
+    totals = ps.groupBy(F.col("p_partkey").alias("tk")).agg(
+        F.sum("supp_qty").alias("part_qty")
+    )
+    dom = ps.join(
+        F.broadcast(totals),
+        (F.col("p_partkey") == F.col("tk"))
+        & (F.col("supp_qty") * 2 > F.col("part_qty")),
+    )
+    supp = load(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        dom.groupBy("l_suppkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_dominant_parts"),
+            F.sum("supp_qty").alias("dominated_qty"),
+        )
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", "n_dominant_parts", "dominated_qty")
+        .orderBy("s_suppkey")
+    )
+
+
+ORACLE_dominant_suppliers = """
+WITH ps AS (
+    SELECT p_partkey, l_suppkey,
+           CAST(sum(CAST(round(l_quantity, 0) AS BIGINT)) AS BIGINT) AS supp_qty
+    FROM lineitem
+    JOIN part ON l_partkey = p_partkey
+    WHERE p_name LIKE 'red %'
+      AND l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY 1, 2
+), dom AS (
+    SELECT ps.l_suppkey, ps.supp_qty
+    FROM ps
+    JOIN (SELECT p_partkey AS tk, CAST(sum(supp_qty) AS BIGINT) AS part_qty
+          FROM ps GROUP BY 1) t
+      ON ps.p_partkey = t.tk AND ps.supp_qty * 2 > t.part_qty
+)
+SELECT s_suppkey, s_name,
+       count(*) AS n_dominant_parts,
+       CAST(sum(supp_qty) AS BIGINT) AS dominated_qty
+FROM dom JOIN supplier ON l_suppkey = s_suppkey
+GROUP BY 1, 2
+ORDER BY s_suppkey
+"""

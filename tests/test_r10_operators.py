@@ -1,0 +1,380 @@
+"""Round-10 operator units: python/numpy reference checks for the
+Theil-Sen / change-point / Holt trend ladder, the Q2/Q20 relational
+reshapes, SNN edge strength, the embedding dimension profile, bigram
+surprisal and the cohort revenue matrix (oracle gates prove cross-engine
+exactness; these pin SEMANTICS against independent references)."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+SF = "/root/testdata/sf0.001"
+
+
+# ----------------------------------------------------- hour-grid helper --
+def _hour_grid(spark, sf_dir):
+    """The (metric_name -> sorted [(hour, cents_sum)]) grid the three new
+    metric operators share, rebuilt independently in python."""
+    from project_obsidian_core_spark.plans.metrics_queries import (
+        synthesize_metrics,
+    )
+
+    rows = (
+        synthesize_metrics(spark, sf_dir)
+        .select(
+            "metric_name",
+            F.expr("unix_micros(time) div 3600000000").alias("x"),
+            "metric_value",
+        )
+        .collect()
+    )
+    grid: dict[str, dict[int, int]] = {}
+    for r in rows:
+        grid.setdefault(r["metric_name"], {})
+        grid[r["metric_name"]][r["x"]] = (
+            grid[r["metric_name"]].get(r["x"], 0) + r["metric_value"]
+        )
+    return {m: sorted(d.items()) for m, d in grid.items()}
+
+
+def test_theil_sen_matches_python_reference(spark):
+    from project_obsidian_core_spark.plans.metrics_queries import (
+        metric_theil_sen,
+    )
+
+    grid = _hour_grid(spark, SF)
+    got = {r["metric_name"]: r for r in metric_theil_sen(spark, SF).collect()}
+    assert set(got) == set(grid)
+    for m, pts in grid.items():
+        slopes = sorted(
+            float(y2 - y1) / float(x2 - x1)
+            for i, (x1, y1) in enumerate(pts)
+            for (x2, y2) in pts[i + 1 :]
+        )
+        r = got[m]
+        assert r["n_buckets"] == len(pts)
+        assert r["n_pairs"] == len(slopes)
+        assert r["median_slope_cents_per_hour"] == slopes[
+            math.ceil(len(slopes) / 2) - 1
+        ]
+
+
+def test_theil_sen_is_robust_where_ols_is_not():
+    """The estimator property itself: one wild outlier moves the OLS
+    slope arbitrarily but leaves the pairwise-median unmoved."""
+    pts = [(x, 10 * x) for x in range(9)] + [(9, 100000)]
+    slopes = sorted(
+        (y2 - y1) / (x2 - x1)
+        for i, (x1, y1) in enumerate(pts)
+        for (x2, y2) in pts[i + 1 :]
+    )
+    med = slopes[math.ceil(len(slopes) / 2) - 1]
+    assert med == 10.0
+    n = len(pts)
+    sx = sum(p[0] for p in pts)
+    sy = sum(p[1] for p in pts)
+    sxy = sum(p[0] * p[1] for p in pts)
+    sxx = sum(p[0] * p[0] for p in pts)
+    ols = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    assert ols > 1000  # dragged 100x by the single outlier
+
+
+def test_changepoint_matches_python_reference(spark):
+    from project_obsidian_core_spark.plans.metrics_queries import (
+        metric_changepoint,
+    )
+
+    grid = _hour_grid(spark, SF)
+    got = {r["metric_name"]: r for r in metric_changepoint(spark, SF).collect()}
+    for m, pts in grid.items():
+        ys = [y for _, y in pts]
+        n, tot = len(ys), sum(ys)
+        best = None
+        s1 = 0
+        for s in range(1, n):
+            s1 += ys[s - 1]
+            d = float(s1) * (n - s) - float(tot - s1) * s
+            gain = d * d / float(s * (n - s) * n)
+            if best is None or gain > best[0]:
+                best = (gain, s)
+        r = got[m]
+        assert r["split_idx"] == best[1]
+        assert r["gain"] == best[0]
+        assert r["last_hour_of_seg1"] == pts[best[1] - 1][0]
+        assert r["s1"] + r["s2"] == tot
+
+
+def test_changepoint_finds_a_planted_step():
+    """Closed-form sanity: on a clean step series the argmax gain sits
+    exactly at the step boundary."""
+    ys = [100] * 6 + [900] * 4
+    n, tot = len(ys), sum(ys)
+    gains = []
+    s1 = 0
+    for s in range(1, n):
+        s1 += ys[s - 1]
+        d = float(s1) * (n - s) - float(tot - s1) * s
+        gains.append(d * d / float(s * (n - s) * n))
+    assert gains.index(max(gains)) + 1 == 6
+
+
+def test_holt_matches_python_recursion(spark):
+    from project_obsidian_core_spark.plans.metrics_queries import (
+        HOLT_ALPHA,
+        HOLT_BETA,
+        metric_holt,
+    )
+
+    grid = _hour_grid(spark, SF)
+    got = {r["metric_name"]: r for r in metric_holt(spark, SF).collect()}
+    for m, pts in grid.items():
+        ys = [float(y) for _, y in pts]
+        lvl, tr = ys[0], ys[1] - ys[0]
+        for x in ys[2:]:
+            nl = HOLT_ALPHA * x + (1 - HOLT_ALPHA) * (lvl + tr)
+            tr = HOLT_BETA * (nl - lvl) + (1 - HOLT_BETA) * tr
+            lvl = nl
+        r = got[m]
+        assert r["n_buckets"] == len(ys)
+        assert r["level"] == lvl
+        assert r["trend"] == tr
+        assert r["forecast_next"] == lvl + tr
+
+
+def test_holt_tracks_a_linear_ramp():
+    """On y = 5t the recursion converges to trend ~5 — the property the
+    flat EWMA cannot have (its lag never closes on a ramp)."""
+    from project_obsidian_core_spark.plans.metrics_queries import (
+        HOLT_ALPHA,
+        HOLT_BETA,
+    )
+
+    ys = [5.0 * t for t in range(1, 101)]
+    lvl, tr = ys[0], ys[1] - ys[0]
+    for x in ys[2:]:
+        nl = HOLT_ALPHA * x + (1 - HOLT_ALPHA) * (lvl + tr)
+        tr = HOLT_BETA * (nl - lvl) + (1 - HOLT_BETA) * tr
+        lvl = nl
+    assert abs(tr - 5.0) < 1e-6
+    assert abs(lvl - ys[-1]) < 1e-6
+
+
+# --------------------------------------------------------- SNN strength --
+def test_snn_strength_on_known_graph(spark):
+    """Two triangles sharing edge (1,2): the shared edge sees both apex
+    nodes; spoke edges see exactly the opposite apex... hand-counted."""
+    from project_obsidian_core_spark.datapipe.similarity import snn_strength
+
+    edges = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 3), (1, 4), (2, 4)], "a long, b long"
+    )
+    got = {
+        (r["a"], r["b"]): (r["n_shared"], r["deg_a"], r["deg_b"], r["snn_jaccard_ppm"])
+        for r in snn_strength(edges).collect()
+    }
+    # degrees: 1->3, 2->3, 3->2, 4->2
+    assert got[(1, 2)] == (2, 3, 3, 500_000)  # shares {3,4}; 2/(3+3-2)
+    assert got[(1, 3)] == (1, 3, 2, 250_000)  # shares {2}
+    assert got[(2, 3)] == (1, 3, 2, 250_000)
+    assert got[(1, 4)] == (1, 3, 2, 250_000)
+    assert got[(2, 4)] == (1, 3, 2, 250_000)
+
+
+def test_snn_strength_pendant_edge_shares_nothing(spark):
+    from project_obsidian_core_spark.datapipe.similarity import snn_strength
+
+    edges = spark.createDataFrame([(1, 2), (2, 3)], "a long, b long")
+    got = {(r["a"], r["b"]): r["n_shared"] for r in snn_strength(edges).collect()}
+    assert got == {(1, 2): 0, (2, 3): 0}
+
+
+# ---------------------------------------------------- relational reshapes --
+def test_min_cost_supplier_matches_pandas(spark):
+    import pandas as pd
+
+    from project_obsidian_core_spark.plans.relational_queries import (
+        min_cost_supplier,
+    )
+
+    li = pd.read_parquet(f"{SF}/lineitem.parquet")
+    part = pd.read_parquet(f"{SF}/part.parquet")
+    supp = pd.read_parquet(f"{SF}/supplier.parquet")
+    nat = pd.read_parquet(f"{SF}/nation.parquet")
+    reg = pd.read_parquet(f"{SF}/region.parquet")
+    part = part[(part.p_type == "STANDARD") & (part.p_size <= 15)]
+    market = supp.merge(
+        nat, left_on="s_nationkey", right_on="n_nationkey"
+    ).merge(reg[reg.r_name == "EUROPE"], left_on="n_regionkey", right_on="r_regionkey")
+    off = li.merge(part, left_on="l_partkey", right_on="p_partkey").merge(
+        market, left_on="l_suppkey", right_on="s_suppkey"
+    )
+    off["unit_e6"] = (
+        off.l_extendedprice.mul(100).round().astype("int64") * 10_000
+    ) // off.l_quantity.round().astype("int64")
+    best = (
+        off.groupby(["p_partkey", "s_suppkey"])["unit_e6"].min().reset_index()
+    )
+    mins = best.groupby("p_partkey")["unit_e6"].min().rename("min_u")
+    best = best.join(mins, on="p_partkey")
+    expected = {
+        (int(r.p_partkey), int(r.s_suppkey)): int(r.unit_e6)
+        for r in best[best.unit_e6 == best.min_u].itertuples()
+    }
+    got = {
+        (r["p_partkey"], r["s_suppkey"]): r["min_unit_e6"]
+        for r in min_cost_supplier(spark, SF).collect()
+    }
+    assert got == expected
+
+
+def test_dominant_suppliers_matches_pandas(spark):
+    import pandas as pd
+
+    from project_obsidian_core_spark.plans.relational_queries import (
+        dominant_suppliers,
+    )
+
+    li = pd.read_parquet(f"{SF}/lineitem.parquet")
+    part = pd.read_parquet(f"{SF}/part.parquet")
+    li = li[
+        (li.l_shipdate >= "1997-01-01") & (li.l_shipdate < "1998-01-01")
+    ].merge(
+        part[part.p_name.str.startswith("red ")],
+        left_on="l_partkey",
+        right_on="p_partkey",
+    )
+    li["qty"] = li.l_quantity.astype("int64")
+    ps = li.groupby(["p_partkey", "l_suppkey"])["qty"].sum().reset_index()
+    tot = ps.groupby("p_partkey")["qty"].sum().rename("part_qty")
+    ps = ps.join(tot, on="p_partkey")
+    dom = ps[ps.qty * 2 > ps.part_qty]
+    exp = (
+        dom.groupby("l_suppkey")
+        .agg(n=("qty", "size"), q=("qty", "sum"))
+        .reset_index()
+    )
+    expected = {
+        int(r.l_suppkey): (int(r.n), int(r.q)) for r in exp.itertuples()
+    }
+    got = {
+        r["s_suppkey"]: (r["n_dominant_parts"], r["dominated_qty"])
+        for r in dominant_suppliers(spark, SF).collect()
+    }
+    assert got == expected
+
+
+# ----------------------------------------------------- embedding profile --
+def test_embedding_dim_stats_matches_numpy(spark):
+    import numpy as np
+    import pandas as pd
+
+    from project_obsidian_core_spark.plans.datapipe_queries import (
+        embedding_dim_stats,
+    )
+
+    emb = pd.read_parquet(f"{SF}/embeddings.parquet")
+    mat = np.stack(emb.embedding.to_numpy())  # (n, 64) float32
+    q = np.floor(mat.astype("float64") * 1_000_000).astype("int64")
+    got = embedding_dim_stats(spark, SF).collect()
+    assert len(got) == q.shape[1]
+    for r in got:
+        col = q[:, r["dim"]]
+        assert r["n"] == len(col)
+        assert r["sum_micro"] == int(col.sum())
+        assert r["min_micro"] == int(col.min())
+        assert r["max_micro"] == int(col.max())
+        s = int(col.sum())
+        # Spark `div` (and DuckDB //) TRUNCATE toward zero on ints;
+        # python // floors — mirror truncation here
+        assert r["mean_micro"] == abs(s) // len(col) * (1 if s >= 0 else -1)
+
+
+# ------------------------------------------------------ bigram surprisal --
+def test_bigram_surprisal_hand_computed(spark):
+    from project_obsidian_core_spark.datapipe.curation import (
+        SURPRISAL_SCALE,
+        bigram_surprisal_score,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b a b"),
+            (2, "a b c"),
+            (3, "z"),  # single token: zero bigrams, null mean
+        ],
+        "doc_id long, text string",
+    )
+    # unigrams: a=3, b=3, c=1, z=1; bigrams: (a,b)=3, (b,a)=1, (b,c)=1
+    S = SURPRISAL_SCALE
+    w_ab = (3 * S) // 3  # 1000
+    w_ba = (3 * S) // 1  # 3000
+    w_bc = (3 * S) // 1  # 3000
+    got = {r["doc_id"]: r for r in bigram_surprisal_score(docs).collect()}
+    assert got[1]["n_bigrams"] == 3
+    assert got[1]["surprisal_q"] == w_ab + w_ba + w_ab
+    assert got[2]["n_bigrams"] == 2
+    assert got[2]["surprisal_q"] == w_ab + w_bc
+    assert got[3]["n_bigrams"] == 0
+    assert got[3]["surprisal_q"] == 0
+    assert got[3]["mean_surprisal"] is None
+    assert got[1]["mean_surprisal"] == (w_ab + w_ba + w_ab) / 3
+
+
+def test_bigram_surprisal_flags_shuffled_text(spark):
+    """The operator's reason to exist: same unigrams, unusual order →
+    higher conditional surprisal than the fluent original."""
+    from project_obsidian_core_spark.datapipe.curation import (
+        bigram_surprisal_score,
+    )
+
+    fluent = "the cat sat on the mat " * 10
+    shuffled = "cat the on sat mat the " * 10
+    docs = spark.createDataFrame(
+        [(1, fluent.strip()), (2, fluent.strip()), (3, shuffled.strip())],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r["mean_surprisal"] for r in bigram_surprisal_score(docs).collect()}
+    assert got[3] > got[1]
+
+
+# -------------------------------------------------------- cohort revenue --
+def test_cohort_revenue_matches_pandas(spark):
+    import pandas as pd
+
+    from project_obsidian_core_spark.plans.analytics_ext_queries import (
+        customer_cohort_revenue,
+    )
+
+    o = pd.read_parquet(f"{SF}/orders.parquet")
+    o["m"] = o.o_orderdate.dt.year * 12 + o.o_orderdate.dt.month - 1
+    o["pc"] = o.o_totalprice.mul(100).round().astype("int64")
+    o = o.join(o.groupby("o_custkey")["m"].min().rename("cohort"), on="o_custkey")
+    mat = (
+        o.groupby(["cohort", "m"])
+        .agg(
+            n_cust=("o_custkey", "nunique"),
+            n_orders=("o_orderkey", "size"),
+            rev=("pc", "sum"),
+        )
+        .reset_index()
+        .sort_values(["cohort", "m"])
+    )
+    mat["cum"] = mat.groupby("cohort")["rev"].cumsum()
+    expected = {
+        (int(r.cohort), int(r.m)): (int(r.n_cust), int(r.n_orders), int(r.rev), int(r.cum))
+        for r in mat.itertuples()
+    }
+    got = {
+        (r["cohort_m"], r["m"]): (
+            r["n_customers"],
+            r["n_orders"],
+            r["revenue_cents"],
+            r["cum_revenue_cents"],
+        )
+        for r in customer_cohort_revenue(spark, SF).collect()
+    }
+    assert got == expected
+    for (c, m), _ in got.items():
+        assert m >= c
