@@ -653,6 +653,14 @@ _ENTRIES: list[tuple[str, QueryFn, str | None]] = [
         ax.customer_cohort_revenue,
         ax.ORACLE_customer_cohort_revenue,
     ),
+    # T20: ordered-sequence state — the first ORDER-DEPENDENT streaming
+    # fold, gated on the batch A40 oracle (merge-sorted state makes the
+    # drain arrival-order independent)
+    (
+        "stream_markov_transitions",
+        st.stream_markov_transitions,
+        bh.ORACLE_events_markov_transitions,
+    ),
 ]
 
 # ----------------------------------------------------------------------

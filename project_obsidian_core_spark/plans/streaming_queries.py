@@ -1235,3 +1235,73 @@ def stream_priority_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("weight").alias("n_chars"),
         "prio",
     ).orderBy("source", "prio", "doc_id")
+
+
+# --------------------- T20: ordered-sequence state (Markov transitions) ----
+def stream_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T20: the A40 transition matrix served LIVE through
+    ORDER-RECONSTRUCTING state (streaming/sequence_state.py) — per user
+    the (ts, event_id)-sorted event sequence itself is the state, so
+    arbitrary micro-batch arrival order rebuilds the identical
+    adjacency and the drained matrix gates on the BATCH
+    `events_markov_transitions` oracle bit-exactly: the
+    streaming↔batch proof for the repo's first ORDER-DEPENDENT fold
+    (every prior stateful twin folded order-free state).
+
+    Drain: max-version rows per user are that user's final transition
+    counts; summing across users and attaching the per-prev totals
+    (broadcast-sized window over ≤|types|² rows) reproduces the batch
+    shape exactly.
+    """
+    from pyspark.sql import Window
+
+    from project_obsidian_core_spark.streaming.sequence_state import (
+        streaming_transitions,
+    )
+
+    run = next(_RUN_IDS)
+    src = _events_src(spark, sf_dir, run)
+    schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "4")
+        .parquet(src)
+    )
+    out = streaming_transitions(stream)
+    name = f"stream_markov_{run}"
+    tmp = tempfile.mkdtemp(prefix=f"obsidian_mkv_{run}_")
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            out.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .option("checkpointLocation", f"{tmp}/ckpt")
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+
+    emitted = spark.table(name)
+    wmax = Window.partitionBy("user_id")
+    latest = emitted.withColumn(
+        "_vmax", F.max("version").over(wmax)
+    ).filter(F.col("version") == F.col("_vmax"))
+    mat = latest.groupBy("prev_type", "next_type").agg(
+        F.sum("n").alias("n_transitions")
+    )
+    wrow = Window.partitionBy("prev_type")
+    return mat.select(
+        "prev_type",
+        "next_type",
+        "n_transitions",
+        F.sum("n_transitions").over(wrow).alias("row_total"),
+        F.expr(
+            "n_transitions * 1000000 div sum(n_transitions) over "
+            "(partition by prev_type)"
+        ).alias("prob_ppm"),
+    ).orderBy("prev_type", "next_type")

@@ -1,0 +1,141 @@
+"""T20: ordered-sequence state — the streaming answer for ORDER-DEPENDENT
+per-entity analytics (Markov transitions, funnels, sessionization) when
+micro-batches arrive in ARBITRARY order.
+
+Every prior stateful operator here folds order-free state (counts,
+sketches, k-min samples, interval covers). Transition counting is
+different: it needs each user's events ADJACENT IN TIME, and a file
+replay delivers batches in file order, not time order. The general
+solution is order-RECONSTRUCTING state: per key, keep the (ts, id, type)
+sequence itself, merge-insert each batch (a sorted merge — associative
+and commutative over disjoint row sets, so ANY batch arrival order
+rebuilds the identical sequence), and re-derive the transition counts
+from the full sequence on every emit.
+
+Emission follows the superseding contract (islands/top-k rule): each
+batch re-emits the key's CURRENT per-(prev, next) counts with
+``version`` = rows absorbed so far; readers take the max-version rows
+per key. The drained state therefore equals the batch operator exactly
+— `stream_markov_transitions` gates on the BATCH
+`events_markov_transitions` oracle, the strongest streaming↔batch
+equivalence available for an order-dependent fold.
+
+Scale: state per user is that user's event sequence — O(activity), not
+O(corpus); at 100 TB you bound it with the same retention window the
+batch operator scans (evict rows older than the watermark horizon — the
+transitions across the eviction boundary are the documented loss, same
+as any windowed sequence model). Ties: the sequence sorts by
+(ts, event_id), the A38 total-order rule the batch window uses.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("ts_us", T.ArrayType(T.LongType())),
+        T.StructField("eid", T.ArrayType(T.LongType())),
+        T.StructField("types", T.ArrayType(T.StringType())),
+        T.StructField("version", T.LongType()),
+    ]
+)
+
+OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("prev_type", T.StringType()),
+        T.StructField("next_type", T.StringType()),
+        T.StructField("n", T.LongType()),
+        T.StructField("version", T.LongType()),
+    ]
+)
+
+
+def merge_sequence(
+    ts: list[int], eid: list[int], types: list[str], batch_rows
+) -> tuple[list[int], list[int], list[str]]:
+    """Merge-insert batch rows into the (ts, event_id)-sorted sequence.
+    Pure function; unit-tested directly. Commutative over disjoint
+    batches: the result is the sort of the union, however it arrives."""
+    merged = sorted(
+        list(zip(ts, eid, types)) + [(int(t), int(e), y) for t, e, y in batch_rows]
+    )
+    return (
+        [t for t, _, _ in merged],
+        [e for _, e, _ in merged],
+        [y for _, _, y in merged],
+    )
+
+
+def transition_counts(types: list[str]) -> dict[tuple[str, str], int]:
+    """Adjacent-pair counts of a type sequence (the per-user slice of the
+    A40 matrix)."""
+    out: dict[tuple[str, str], int] = {}
+    for prev, nxt in zip(types, types[1:]):
+        out[(prev, nxt)] = out.get((prev, nxt), 0) + 1
+    return out
+
+
+def make_sequence_fn():
+    def fn(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        user = int(key[0])
+        if state.exists:
+            ts, eid, types, version = state.get
+            ts, eid, types = list(ts), list(eid), list(types)
+        else:
+            ts, eid, types, version = [], [], [], 0
+        absorbed = 0
+        for pdf in pdfs:
+            if not len(pdf):
+                continue
+            absorbed += len(pdf)
+            ts, eid, types = merge_sequence(
+                ts, eid, types,
+                zip(pdf["ts_us"], pdf["event_id"], pdf["event_type"]),
+            )
+        if not absorbed:
+            return
+        version += absorbed
+        state.update((ts, eid, types, version))
+        counts = transition_counts(types)
+        if not counts:
+            return
+        items = sorted(counts.items())
+        yield pd.DataFrame(
+            {
+                "user_id": [user] * len(items),
+                "prev_type": [p for (p, _), _ in items],
+                "next_type": [q for (_, q), _ in items],
+                "n": [c for _, c in items],
+                "version": [version] * len(items),
+            }
+        )
+
+    return fn
+
+
+def streaming_transitions(stream: DataFrame) -> DataFrame:
+    """Wire the ordered-sequence state over an event stream; expects
+    columns (user_id, event_id, ts, event_type)."""
+    keyed = stream.select(
+        F.col("user_id").cast("long").alias("user_id"),
+        F.col("event_id").cast("long").alias("event_id"),
+        F.unix_micros("ts").alias("ts_us"),
+        F.col("event_type").cast("string").alias("event_type"),
+    )
+    return keyed.groupBy("user_id").applyInPandasWithState(
+        make_sequence_fn(),
+        outputStructType=OUTPUT_SCHEMA,
+        stateStructType=STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

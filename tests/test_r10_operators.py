@@ -378,3 +378,98 @@ def test_cohort_revenue_matches_pandas(spark):
     assert got == expected
     for (c, m), _ in got.items():
         assert m >= c
+
+
+# ------------------------------------------------- ordered-sequence state --
+def test_merge_sequence_is_arrival_order_independent():
+    """T20's core claim: merging disjoint batches in ANY order rebuilds
+    the identical (ts, event_id)-sorted sequence."""
+    import itertools
+    import random
+
+    from project_obsidian_core_spark.streaming.sequence_state import (
+        merge_sequence,
+    )
+
+    rng = random.Random(3)
+    rows = [(rng.randrange(100), i, rng.choice("abc")) for i in range(30)]
+    batches = [rows[0:7], rows[7:19], rows[19:30]]
+    results = []
+    for perm in itertools.permutations(range(3)):
+        ts, eid, ty = [], [], []
+        for b in perm:
+            ts, eid, ty = merge_sequence(ts, eid, ty, batches[b])
+        results.append((ts, eid, ty))
+    assert all(r == results[0] for r in results)
+    assert results[0][0] == sorted(results[0][0])  # ts sorted
+    # and equals the one-shot sort of everything
+    ts1, eid1, ty1 = merge_sequence([], [], [], rows)
+    assert results[0] == (ts1, eid1, ty1)
+
+
+def test_transition_counts_hand_checked():
+    from project_obsidian_core_spark.streaming.sequence_state import (
+        transition_counts,
+    )
+
+    assert transition_counts(["a", "b", "b", "a"]) == {
+        ("a", "b"): 1,
+        ("b", "b"): 1,
+        ("b", "a"): 1,
+    }
+    assert transition_counts(["x"]) == {}
+    assert transition_counts([]) == {}
+
+
+def test_streaming_transitions_drained_state(spark):
+    """Three users, events delivered in one batch via a tiny memory
+    replay — drained max-version counts equal the direct batch lag."""
+    import tempfile
+
+    from pyspark.sql import functions as F  # noqa: F811
+
+    from project_obsidian_core_spark.streaming.sequence_state import (
+        streaming_transitions,
+    )
+
+    rows = [
+        (1, 10, "2024-01-01 00:00:00", "a"),
+        (2, 10, "2024-01-01 00:01:00", "b"),
+        (3, 10, "2024-01-01 00:02:00", "a"),
+        (4, 20, "2024-01-01 00:00:30", "b"),
+        (5, 20, "2024-01-01 00:03:00", "b"),
+    ]
+    tmp = tempfile.mkdtemp(prefix="seqstate_")
+    spark.createDataFrame(
+        rows, "event_id long, user_id long, ts_s string, event_type string"
+    ).select(
+        "event_id", "user_id", F.col("ts_s").cast("timestamp").alias("ts"),
+        "event_type",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{tmp}/src")
+    schema = spark.read.parquet(f"{tmp}/src").schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(f"{tmp}/src")
+    )
+    out = streaming_transitions(stream)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("seqstate_unit")
+        .outputMode("append")
+        .option("checkpointLocation", f"{tmp}/ckpt")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    q.awaitTermination()
+    em = spark.table("seqstate_unit")
+    got = {
+        (r["user_id"], r["prev_type"], r["next_type"]): r["n"]
+        for r in em.collect()
+    }
+    assert got == {
+        (10, "a", "b"): 1,
+        (10, "b", "a"): 1,
+        (20, "b", "b"): 1,
+    }
