@@ -283,6 +283,7 @@ BENCH_QUERIES = [
     "text_bigram_surprisal",  # X21 conditional bigram surprisal (r10)
     "customer_cohort_revenue",  # A54 cohort LTV matrix (r10)
     "stream_markov_transitions",  # T20 order-reconstructing state (r10)
+    "stream_sequence_funnel",  # T21 anchored funnel on sequence state (r10)
     "events_discovery_timeline",  # exact running-distinct breakpoints
     "dedup_prefix_clusters",  # provably complete near-dup clusters
     # stream_cdc_merge is timed via _time_cdc_merge below (merge work

@@ -661,6 +661,13 @@ _ENTRIES: list[tuple[str, QueryFn, str | None]] = [
         st.stream_markov_transitions,
         bh.ORACLE_events_markov_transitions,
     ),
+    # T21: second consumer of the ordered-sequence state — the A44
+    # anchored funnel live, gated on the batch funnel oracle
+    (
+        "stream_sequence_funnel",
+        st.stream_sequence_funnel,
+        bh.ORACLE_events_sequence_funnel,
+    ),
 ]
 
 # ----------------------------------------------------------------------

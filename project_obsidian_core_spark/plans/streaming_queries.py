@@ -1305,3 +1305,72 @@ def stream_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
             "(partition by prev_type)"
         ).alias("prob_ppm"),
     ).orderBy("prev_type", "next_type")
+
+
+# -------------------- T21: streaming anchored-window funnel (A44 live) ----
+def stream_sequence_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T21: the A44 anchored-window funnel served LIVE through the SAME
+    ordered-sequence state as T20 — the second consumer proving the
+    state shape generalizes: out-of-order delivery (a user's purchase
+    arriving before their anchor view) still converges, because stage
+    progress is re-derived from the reconstructed sequence on every
+    emit.  Gates on the batch `events_sequence_funnel` oracle: the
+    drained max-version per-user progress, folded to per-stage user
+    counts, must equal the batch greedy exactly."""
+    from pyspark.sql import Window
+
+    from project_obsidian_core_spark.plans.behavior_queries import (
+        _SEQ_WINDOW_US,
+        _STAGES,
+    )
+    from project_obsidian_core_spark.streaming.sequence_state import (
+        streaming_sequence_funnel,
+    )
+
+    run = next(_RUN_IDS)
+    src = _events_src(spark, sf_dir, run)
+    schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "4")
+        .parquet(src)
+    )
+    out = streaming_sequence_funnel(stream, _STAGES, _SEQ_WINDOW_US)
+    name = f"stream_funnel_{run}"
+    tmp = tempfile.mkdtemp(prefix=f"obsidian_fnl_{run}_")
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            out.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .option("checkpointLocation", f"{tmp}/ckpt")
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+
+    emitted = spark.table(name)
+    wmax = Window.partitionBy("user_id")
+    latest = emitted.withColumn(
+        "_vmax", F.max("version").over(wmax)
+    ).filter(F.col("version") == F.col("_vmax"))
+    agg = latest.agg(
+        *[
+            F.sum((F.col("max_stage") >= i).cast("long")).alias(f"s{i}")
+            for i in range(1, len(_STAGES) + 1)
+        ]
+    )
+    rows = None
+    for i, stage in enumerate(_STAGES, start=1):
+        row = agg.select(
+            F.lit(i).alias("stage_idx"),
+            F.lit(stage).alias("stage"),
+            F.coalesce(F.col(f"s{i}"), F.lit(0)).cast("long").alias("n_users"),
+        )
+        rows = row if rows is None else rows.unionByName(row)
+    return rows.orderBy("stage_idx")

@@ -139,3 +139,101 @@ def streaming_transitions(stream: DataFrame) -> DataFrame:
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# --------------------- T21: anchored-window funnel over the same state ----
+FUNNEL_OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("max_stage", T.IntegerType()),
+        T.StructField("version", T.LongType()),
+    ]
+)
+
+
+def funnel_progress(
+    ts: list[int], types: list[str], stages: tuple[str, ...], within_us: int
+) -> int:
+    """Greedy-earliest anchored-window funnel progress over one user's
+    sorted sequence — the EXACT batch semantics (`analytics.behavior.
+    sequence_funnel`): anchor = earliest stage-1 event, every later
+    stage strictly after the previous pick and at or before
+    anchor + within_us; greedy-earliest is optimal under the fixed
+    global deadline. Pure function; unit-tested directly."""
+    anchor = None
+    for t, y in zip(ts, types):
+        if y == stages[0]:
+            anchor = t
+            break
+    if anchor is None:
+        return 0
+    deadline = anchor + within_us
+    cur, reached = anchor, 1
+    for stage in stages[1:]:
+        nxt = None
+        for t, y in zip(ts, types):
+            if y == stage and cur < t <= deadline:
+                nxt = t
+                break
+        if nxt is None:
+            break
+        cur = nxt
+        reached += 1
+    return reached
+
+
+def make_funnel_fn(stages: tuple[str, ...], within_us: int):
+    def fn(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        user = int(key[0])
+        if state.exists:
+            ts, eid, types, version = state.get
+            ts, eid, types = list(ts), list(eid), list(types)
+        else:
+            ts, eid, types, version = [], [], [], 0
+        absorbed = 0
+        for pdf in pdfs:
+            if not len(pdf):
+                continue
+            absorbed += len(pdf)
+            ts, eid, types = merge_sequence(
+                ts, eid, types,
+                zip(pdf["ts_us"], pdf["event_id"], pdf["event_type"]),
+            )
+        if not absorbed:
+            return
+        version += absorbed
+        state.update((ts, eid, types, version))
+        yield pd.DataFrame(
+            {
+                "user_id": [user],
+                "max_stage": [funnel_progress(ts, types, stages, within_us)],
+                "version": [version],
+            }
+        )
+
+    return fn
+
+
+def streaming_sequence_funnel(
+    stream: DataFrame, stages: tuple[str, ...], within_us: int
+) -> DataFrame:
+    """T21: the A44 anchored-window funnel served live — SECOND consumer
+    of the ordered-sequence state, proving the state shape generalizes
+    (T20 derives adjacency, this derives stage progress; both re-emit
+    from the reconstructed sequence, so out-of-order delivery of the
+    anchor AFTER later stages still converges to the batch answer)."""
+    keyed = stream.select(
+        F.col("user_id").cast("long").alias("user_id"),
+        F.col("event_id").cast("long").alias("event_id"),
+        F.unix_micros("ts").alias("ts_us"),
+        F.col("event_type").cast("string").alias("event_type"),
+    )
+    return keyed.groupBy("user_id").applyInPandasWithState(
+        make_funnel_fn(stages, within_us),
+        outputStructType=FUNNEL_OUTPUT_SCHEMA,
+        stateStructType=STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -473,3 +473,31 @@ def test_streaming_transitions_drained_state(spark):
         (10, "b", "a"): 1,
         (20, "b", "b"): 1,
     }
+
+
+def test_funnel_progress_greedy_and_out_of_order():
+    """T21 core: greedy-earliest anchored progress, and merge-insert of a
+    LATE-ARRIVING anchor converges to the same answer."""
+    from project_obsidian_core_spark.streaming.sequence_state import (
+        funnel_progress,
+        merge_sequence,
+    )
+
+    stages = ("view", "click", "purchase")
+    W = 100
+    # full completion inside the window
+    ts = [10, 20, 30]
+    ty = ["view", "click", "purchase"]
+    assert funnel_progress(ts, ty, stages, W) == 3
+    # purchase lands past the ANCHOR deadline -> stage 2 only
+    assert funnel_progress([10, 20, 111], ty, stages, W) == 2
+    # click AT the anchor instant does not count (strictly after), and
+    # without a qualifying click the purchase can never be reached
+    assert funnel_progress([10, 10, 30], ty, stages, W) == 1
+    # no anchor at all
+    assert funnel_progress([5], ["click"], stages, W) == 0
+    # out-of-order arrival: later stages first, anchor in a later batch
+    ts1, eid1, ty1 = merge_sequence([], [], [], [(20, 2, "click"), (30, 3, "purchase")])
+    assert funnel_progress(ts1, ty1, stages, W) == 0
+    ts2, eid2, ty2 = merge_sequence(ts1, eid1, ty1, [(10, 1, "view")])
+    assert funnel_progress(ts2, ty2, stages, W) == 3
