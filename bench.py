@@ -284,6 +284,9 @@ BENCH_QUERIES = [
     "customer_cohort_revenue",  # A54 cohort LTV matrix (r10)
     "stream_markov_transitions",  # T20 order-reconstructing state (r10)
     "stream_sequence_funnel",  # T21 anchored funnel on sequence state (r10)
+    "metric_runs_test",       # A55 Wald-Wolfowitz runs test (r10)
+    "events_type_affinity",   # A56 type co-occurrence lift (r10)
+    "knn_rrf_fusion",         # N16 integer RRF hybrid fusion (r10)
     "events_discovery_timeline",  # exact running-distinct breakpoints
     "dedup_prefix_clusters",  # provably complete near-dup clusters
     # stream_cdc_merge is timed via _time_cdc_merge below (merge work

@@ -400,3 +400,84 @@ SELECT stats.transition_idx,
 FROM stats
 ORDER BY stats.transition_idx
 """
+
+
+# ------------------------------------ A56: event-type affinity (lift) -----
+def events_type_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A56: which event types CO-OCCUR in the same user's history beyond
+    chance — per unordered type pair (t1 < t2), exact integer lift:
+    lift_ppm = n_both · N_users · 10⁶ div (n_t1 · n_t2), the
+    market-basket measure (X20's collocation lift applied to user
+    baskets instead of token adjacency).  Above 10⁶ = attract (users
+    who do one do the other), below = repel — the screen behind
+    "purchase implies click" sanity checks and feature-cross pruning.
+
+    Plan: ONE corpus scan reduces to the distinct (user, type) relation
+    (≤ |users|·|types| rows); the pair join is per-user with t1 < t2
+    (fan-out ≤ C(|types|,2) per user); everything after is ≤ |types|²
+    rows with the per-type counts and the 1-row user total broadcast
+    onto it.  All integers exact.
+    """
+    ev = load(spark, sf_dir, "events")
+    ut = ev.select("user_id", "event_type").distinct()
+    n_users = ev.select("user_id").distinct().agg(
+        F.count(F.lit(1)).alias("n_users")
+    )
+    per_type = ut.groupBy(F.col("event_type").alias("t")).agg(
+        F.count(F.lit(1)).alias("n_t")
+    )
+    pairs = (
+        ut.select("user_id", F.col("event_type").alias("t1"))
+        .join(ut.select("user_id", F.col("event_type").alias("t2")), "user_id")
+        .filter(F.col("t1") < F.col("t2"))
+        .groupBy("t1", "t2")
+        .agg(F.count(F.lit(1)).alias("n_both"))
+    )
+    return (
+        pairs.join(
+            F.broadcast(per_type.select(F.col("t").alias("t1"),
+                                        F.col("n_t").alias("n_t1"))), "t1"
+        )
+        .join(
+            F.broadcast(per_type.select(F.col("t").alias("t2"),
+                                        F.col("n_t").alias("n_t2"))), "t2"
+        )
+        .crossJoin(F.broadcast(n_users))
+        .select(
+            "t1",
+            "t2",
+            "n_both",
+            "n_t1",
+            "n_t2",
+            F.expr("n_both * n_users * 1000000 div (n_t1 * n_t2)").alias(
+                "lift_ppm"
+            ),
+        )
+        .orderBy("t1", "t2")
+    )
+
+
+ORACLE_events_type_affinity = """
+WITH ut AS (
+    SELECT DISTINCT user_id, event_type FROM events
+), nu AS (
+    SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS n_users FROM events
+), pt AS (
+    SELECT event_type AS t, CAST(count(*) AS BIGINT) AS n_t
+    FROM ut GROUP BY 1
+), pairs AS (
+    SELECT a.event_type AS t1, b.event_type AS t2,
+           CAST(count(*) AS BIGINT) AS n_both
+    FROM ut a JOIN ut b ON a.user_id = b.user_id
+                       AND a.event_type < b.event_type
+    GROUP BY 1, 2
+)
+SELECT p.t1, p.t2, p.n_both,
+       x.n_t AS n_t1, y.n_t AS n_t2,
+       p.n_both * nu.n_users * 1000000 // (x.n_t * y.n_t) AS lift_ppm
+FROM pairs p
+JOIN pt x ON x.t = p.t1
+JOIN pt y ON y.t = p.t2
+CROSS JOIN nu
+ORDER BY p.t1, p.t2
+"""

@@ -2223,3 +2223,83 @@ FROM ex
 GROUP BY dim
 ORDER BY dim
 """
+
+
+# ------------------------------ N16: reciprocal-rank fusion (hybrid ANN) --
+#: RRF smoothing constant (Cormack et al.'s k=60, the standard default)
+RRF_K = 60
+
+
+def knn_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N16: reciprocal-rank fusion of the two production ANN indexes —
+    LSH multi-probe and IVF candidates merged by
+    score = Σ 10⁶ div (60 + rank), the standard hybrid-retrieval
+    combiner (Cormack-Clarke-Buettcher RRF).  Two indexes with
+    UNCORRELATED failure modes (hash-plane geometry vs quantizer cells)
+    fused rank-wise recover neighbors either one misses alone — the
+    retrieval-side answer to the N12 recall audits.
+
+    Exactness: RRF is usually Σ 1/(k+rank) floats; integer-scaled
+    reciprocals (10⁶ div (k+rank)) keep the fused ORDER identical (the
+    map is strictly monotone in rank over the relevant range) and make
+    the score hashable cross-engine — the same no-float-fold rule as
+    every ppm operator.  Ties break by cand_id.  Plan: both ranker
+    outputs are |q|·k relations; the fuse is one full outer join +
+    one window over |q|·2k rows — free next to the index probes.
+    """
+    emb, q = _query_vecs(spark, sf_dir)
+    a = S.lsh_topk(emb, q, k=_TOPK).select(
+        "q_id", "cand_id", F.col("rank").alias("rank_lsh")
+    )
+    b = S.ivf_topk(emb, q, k=_TOPK).select(
+        "q_id", "cand_id", F.col("rank").alias("rank_ivf")
+    )
+    from pyspark.sql import Window
+
+    merged = a.join(b, ["q_id", "cand_id"], "full").select(
+        "q_id",
+        "cand_id",
+        "rank_lsh",
+        "rank_ivf",
+        F.expr(
+            f"cast(coalesce(1000000 div ({RRF_K} + rank_lsh), 0)"
+            f" + coalesce(1000000 div ({RRF_K} + rank_ivf), 0) as bigint)"
+        ).alias("rrf_score"),
+    )
+    w = Window.partitionBy("q_id").orderBy(
+        F.desc("rrf_score"), F.asc("cand_id")
+    )
+    return (
+        merged.withColumn("fused_rank", F.row_number().over(w))
+        .filter(F.col("fused_rank") <= _TOPK)
+        .orderBy("q_id", "fused_rank")
+    )
+
+
+def _rrf_oracle() -> str:
+    lsh = ORACLE_knn_lsh.replace("ORDER BY q_id, rank", "")
+    ivf = ORACLE_knn_ivf.replace("ORDER BY q_id, rank", "")
+    return f"""
+WITH lsh AS ({lsh}), ivf AS ({ivf}),
+merged AS (
+    SELECT coalesce(l.q_id, i.q_id) AS q_id,
+           coalesce(l.cand_id, i.cand_id) AS cand_id,
+           l.rank AS rank_lsh, i.rank AS rank_ivf,
+           CAST(coalesce(1000000 // ({RRF_K} + l.rank), 0)
+                + coalesce(1000000 // ({RRF_K} + i.rank), 0) AS BIGINT)
+               AS rrf_score
+    FROM lsh l
+    FULL JOIN ivf i ON l.q_id = i.q_id AND l.cand_id = i.cand_id
+)
+SELECT q_id, cand_id, rank_lsh, rank_ivf, rrf_score, fused_rank
+FROM (
+    SELECT *, row_number() OVER (PARTITION BY q_id
+                 ORDER BY rrf_score DESC, cand_id ASC) AS fused_rank
+    FROM merged
+)
+WHERE fused_rank <= {_TOPK}
+ORDER BY q_id, fused_rank
+"""
+
+
+ORACLE_knn_rrf_fusion = _rrf_oracle()

@@ -1385,3 +1385,121 @@ SELECT metric_name,
 FROM h WHERE i = len(ys)
 ORDER BY metric_name
 """
+
+
+# ------------------------------------- A55: Wald-Wolfowitz runs test ------
+def metric_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A55: runs test for randomness — per series, are the hour-grid
+    residuals (sign vs the series' lower median, ties dropped — the
+    classic Wald-Wolfowitz convention) RANDOMLY ordered, or do they
+    clump (trend / regime persistence) or alternate (overdispersion)?
+    The nonparametric "is this series just noise" screen that needs no
+    distributional assumption — the hypothesis-test sibling of A51/A52.
+
+    Exactness: median = lower order statistic (rank ceil(n/2), repo
+    rule); run/sign counts are exact ints computed INSIDE the per-series
+    row by higher-order functions (signs array in time order, runs = 1 +
+    sign changes); n₁, n₂ ≤ H ≤ a retention window of hours, so every
+    product in μ = 1 + 2n₁n₂/n and σ² = 2n₁n₂(2n₁n₂−n)/(n²(n−1)) is
+    exactly representable as a double — both engines compose the SAME
+    expression text, z = (R−μ)/√σ² is deterministic IEEE per output row.
+    """
+    m = synthesize_metrics(spark, sf_dir).select(
+        "metric_name",
+        F.expr("unix_micros(time) div 3600000000").alias("x"),
+        F.col("metric_value").alias("v"),
+    )
+    grid = m.groupBy("metric_name", "x").agg(F.sum("v").alias("y"))
+    arr = grid.groupBy("metric_name").agg(
+        F.expr(
+            "transform(sort_array(collect_list(struct(x, y))), s -> s.y)"
+        ).alias("ys")
+    )
+    sgn = arr.select(
+        "metric_name",
+        F.size("ys").alias("n_buckets"),
+        F.expr(
+            "filter(transform(ys, y -> CASE"
+            " WHEN y > element_at(sort_array(ys),"
+            "                     cast(ceil(size(ys) / 2.0) as int)) THEN 1"
+            " WHEN y < element_at(sort_array(ys),"
+            "                     cast(ceil(size(ys) / 2.0) as int)) THEN -1"
+            " ELSE 0 END), s -> s != 0)"
+        ).alias("signs"),
+    )
+    counted = sgn.select(
+        "metric_name",
+        "n_buckets",
+        F.expr("size(filter(signs, s -> s = 1))").cast("long").alias("n_plus"),
+        F.expr("size(filter(signs, s -> s = -1))").cast("long").alias("n_minus"),
+        F.expr(
+            "CASE WHEN size(signs) = 0 THEN 0L ELSE 1L +"
+            " size(filter(zip_with(slice(signs, 1, size(signs) - 1),"
+            "                      slice(signs, 2, size(signs) - 1),"
+            "                      (a, b) -> a != b), c -> c)) END"
+        ).alias("n_runs"),
+    )
+    mu = F.expr("1.0d + (2.0d * n_plus * n_minus) / (n_plus + n_minus)")
+    s2 = F.expr(
+        "(2.0d * n_plus * n_minus *"
+        " (2.0d * n_plus * n_minus - n_plus - n_minus)) /"
+        " ((n_plus + n_minus) * (n_plus + n_minus) * (n_plus + n_minus - 1.0d))"
+    )
+    return counted.select(
+        "metric_name",
+        "n_buckets",
+        "n_plus",
+        "n_minus",
+        "n_runs",
+        F.when(
+            (F.col("n_plus") > 0) & (F.col("n_minus") > 0)
+            & (F.col("n_plus") + F.col("n_minus") > 1),
+            (F.col("n_runs") - mu) / F.sqrt(s2),
+        ).alias("z"),
+    ).orderBy("metric_name")
+
+
+ORACLE_metric_runs_test = f"""
+WITH m AS ({_SYN_SQL}),
+pb AS (
+    SELECT metric_name, epoch_us(time) // 3600000000 AS x,
+           CAST(sum(metric_value) AS BIGINT) AS y
+    FROM m GROUP BY 1, 2
+), arr AS (
+    SELECT metric_name,
+           list(y ORDER BY x) AS ys_time,
+           list(y ORDER BY y) AS ys_sorted
+    FROM pb GROUP BY 1
+), sgn AS (
+    SELECT metric_name,
+           CAST(len(ys_time) AS INT) AS n_buckets,
+           list_filter(
+               list_transform(ys_time, y -> CASE
+                   WHEN y > ys_sorted[CAST(ceil(len(ys_sorted) / 2.0) AS BIGINT)]
+                       THEN 1
+                   WHEN y < ys_sorted[CAST(ceil(len(ys_sorted) / 2.0) AS BIGINT)]
+                       THEN -1
+                   ELSE 0 END),
+               s -> s <> 0) AS signs
+    FROM arr
+), counted AS (
+    SELECT metric_name, n_buckets,
+           CAST(len(list_filter(signs, s -> s = 1)) AS BIGINT) AS n_plus,
+           CAST(len(list_filter(signs, s -> s = -1)) AS BIGINT) AS n_minus,
+           CAST(CASE WHEN len(signs) = 0 THEN 0 ELSE 1 +
+               list_sum(list_transform(generate_series(1, len(signs) - 1),
+                   i -> CASE WHEN signs[i] <> signs[i + 1]
+                        THEN 1 ELSE 0 END)) END AS BIGINT) AS n_runs
+    FROM sgn
+)
+SELECT metric_name, n_buckets, n_plus, n_minus, n_runs,
+       CASE WHEN n_plus > 0 AND n_minus > 0 AND n_plus + n_minus > 1 THEN
+           (n_runs - (1.0 + (2.0 * n_plus * n_minus) / (n_plus + n_minus)))
+           / sqrt((2.0 * n_plus * n_minus *
+                   (2.0 * n_plus * n_minus - n_plus - n_minus)) /
+                  ((n_plus + n_minus) * (n_plus + n_minus)
+                   * (n_plus + n_minus - 1.0)))
+       END AS z
+FROM counted
+ORDER BY metric_name
+"""

@@ -668,6 +668,16 @@ _ENTRIES: list[tuple[str, QueryFn, str | None]] = [
         st.stream_sequence_funnel,
         bh.ORACLE_events_sequence_funnel,
     ),
+    # A55: Wald-Wolfowitz runs test (nonparametric randomness screen)
+    ("metric_runs_test", m.metric_runs_test, m.ORACLE_metric_runs_test),
+    # A56: event-type co-occurrence lift over user baskets
+    (
+        "events_type_affinity",
+        bh.events_type_affinity,
+        bh.ORACLE_events_type_affinity,
+    ),
+    # N16: integer reciprocal-rank fusion of the LSH + IVF indexes
+    ("knn_rrf_fusion", d.knn_rrf_fusion, d.ORACLE_knn_rrf_fusion),
 ]
 
 # ----------------------------------------------------------------------

@@ -501,3 +501,113 @@ def test_funnel_progress_greedy_and_out_of_order():
     assert funnel_progress(ts1, ty1, stages, W) == 0
     ts2, eid2, ty2 = merge_sequence(ts1, eid1, ty1, [(10, 1, "view")])
     assert funnel_progress(ts2, ty2, stages, W) == 3
+
+
+# ------------------------------------------------------------ runs test --
+def test_runs_test_matches_python_reference(spark):
+    from project_obsidian_core_spark.plans.metrics_queries import (
+        metric_runs_test,
+    )
+
+    grid = _hour_grid(spark, SF)
+    got = {r["metric_name"]: r for r in metric_runs_test(spark, SF).collect()}
+    for m, pts in grid.items():
+        ys = [y for _, y in pts]
+        med = sorted(ys)[math.ceil(len(ys) / 2) - 1]
+        signs = [1 if y > med else -1 for y in ys if y != med]
+        n1 = signs.count(1)
+        n2 = signs.count(-1)
+        runs = 0 if not signs else 1 + sum(
+            1 for a, b in zip(signs, signs[1:]) if a != b
+        )
+        r = got[m]
+        assert (r["n_plus"], r["n_minus"], r["n_runs"]) == (n1, n2, runs)
+        if n1 > 0 and n2 > 0 and n1 + n2 > 1:
+            n = n1 + n2
+            mu = 1.0 + (2.0 * n1 * n2) / n
+            s2 = (2.0 * n1 * n2 * (2.0 * n1 * n2 - n1 - n2)) / (
+                n * n * (n - 1.0)
+            )
+            assert abs(r["z"] - (runs - mu) / math.sqrt(s2)) < 1e-9
+
+
+def test_runs_test_detects_clumping():
+    """All plus then all minus = 2 runs, far below the random mean."""
+    signs = [1] * 10 + [-1] * 10
+    runs = 1 + sum(1 for a, b in zip(signs, signs[1:]) if a != b)
+    assert runs == 2
+    n1 = n2 = 10
+    mu = 1.0 + (2.0 * n1 * n2) / 20
+    assert runs < mu - 5  # strongly non-random
+
+
+# ---------------------------------------------------------- type affinity --
+def test_type_affinity_matches_pandas(spark):
+    import pandas as pd
+
+    from project_obsidian_core_spark.plans.behavior_queries import (
+        events_type_affinity,
+    )
+
+    ev = pd.read_parquet(f"{SF}/events.parquet")
+    ut = ev[["user_id", "event_type"]].drop_duplicates()
+    n_users = ev.user_id.nunique()
+    per_t = ut.groupby("event_type").size()
+    from itertools import combinations
+
+    expected = {}
+    sets = ut.groupby("user_id")["event_type"].agg(set)
+    for t1, t2 in combinations(sorted(per_t.index), 2):
+        n_both = int(sum(1 for s in sets if t1 in s and t2 in s))
+        if n_both:
+            expected[(t1, t2)] = (
+                n_both,
+                n_both * n_users * 1_000_000 // (int(per_t[t1]) * int(per_t[t2])),
+            )
+    got = {
+        (r["t1"], r["t2"]): (r["n_both"], r["lift_ppm"])
+        for r in events_type_affinity(spark, SF).collect()
+    }
+    assert got == expected
+
+
+# --------------------------------------------------------------- RRF fuse --
+def test_rrf_fusion_recovers_either_indexs_hits(spark):
+    """Fusion containment: every fused top-k candidate came from one of
+    the two rankers, scores are the exact integer RRF of their ranks,
+    and a candidate found by BOTH outranks an equal-rank single-index
+    candidate."""
+    from project_obsidian_core_spark.plans.datapipe_queries import (
+        RRF_K,
+        _TOPK,
+        knn_rrf_fusion,
+        knn_ivf,
+        knn_lsh,
+    )
+
+    lsh = {
+        (r["q_id"], r["cand_id"]): r["rank"]
+        for r in knn_lsh(spark, SF).collect()
+    }
+    ivf = {
+        (r["q_id"], r["cand_id"]): r["rank"]
+        for r in knn_ivf(spark, SF).collect()
+    }
+    fused = knn_rrf_fusion(spark, SF).collect()
+    assert fused
+    for r in fused:
+        key = (r["q_id"], r["cand_id"])
+        assert key in lsh or key in ivf
+        exp = 0
+        if key in lsh:
+            assert r["rank_lsh"] == lsh[key]
+            exp += 1_000_000 // (RRF_K + lsh[key])
+        else:
+            assert r["rank_lsh"] is None
+        if key in ivf:
+            assert r["rank_ivf"] == ivf[key]
+            exp += 1_000_000 // (RRF_K + ivf[key])
+        else:
+            assert r["rank_ivf"] is None
+        assert r["rrf_score"] == exp
+        assert r["fused_rank"] <= _TOPK
