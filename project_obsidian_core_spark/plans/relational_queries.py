@@ -1382,10 +1382,13 @@ def min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     set is deterministic without float compares).
 
     Plan shape: the part slice and the supplier⋈nation⋈region market
-    are broadcast dims around ONE fact scan; the per-part min is a
-    groupBy over the already-reduced (part, supplier) offer relation
-    joined back by equality — the decorrelated form of Q2's
+    are broadcast dims around ONE fact scan; the per-part min rides a
+    WINDOW over the already-reduced (part, supplier) offer relation
+    (aggregate-then-window) — the decorrelated form of Q2's
     `WHERE ps_supplycost = (SELECT min(...) WHERE ... correlated)`.
+    The first draft joined a re-aggregated mins relation back by
+    equality, which RECOMPUTED the offers subplan — a second full fact
+    scan at 100 TB (caught in the r10 plan audit, now pinned).
     """
     part = load(spark, sf_dir, "part").filter(
         (F.col("p_type") == "STANDARD") & (F.col("p_size") <= 15)
@@ -1424,15 +1427,10 @@ def min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("p_partkey", "p_name", "s_suppkey", "s_name", "n_name")
         .agg(F.min("unit_e6").alias("best_unit_e6"))
     )
-    mins = offers.groupBy(F.col("p_partkey").alias("mk")).agg(
-        F.min("best_unit_e6").alias("min_unit_e6")
-    )
+    wmin = Window.partitionBy("p_partkey")
     return (
-        offers.join(
-            F.broadcast(mins),
-            (F.col("p_partkey") == F.col("mk"))
-            & (F.col("best_unit_e6") == F.col("min_unit_e6")),
-        )
+        offers.withColumn("min_unit_e6", F.min("best_unit_e6").over(wmin))
+        .filter(F.col("best_unit_e6") == F.col("min_unit_e6"))
         .select("p_partkey", "p_name", "s_suppkey", "s_name", "n_name", "min_unit_e6")
         .orderBy("p_partkey", "s_suppkey")
     )
@@ -1475,10 +1473,12 @@ def dominant_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     (2·supplier_qty > part_total compares ints, no division).
 
     Plan shape: ONE fact scan feeds the (part, supplier) partials; the
-    per-part totals ride a second aggregate over that already-reduced
-    relation joined back broadcast (never a second corpus pass); the
-    supplier dim attaches broadcast; output is per-supplier with the
-    count of parts they dominate.
+    per-part totals ride a WINDOW over that already-reduced relation
+    (aggregate-then-window — the first draft's re-aggregated totals
+    join recomputed the partials subplan, i.e. a second full fact scan
+    at 100 TB; caught in the r10 plan audit, now pinned); the supplier
+    dim attaches broadcast; output is per-supplier with the count of
+    parts they dominate.
     """
     li = load(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
@@ -1493,13 +1493,9 @@ def dominant_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("p_partkey", "l_suppkey")
         .agg(F.sum("qty").alias("supp_qty"))
     )
-    totals = ps.groupBy(F.col("p_partkey").alias("tk")).agg(
-        F.sum("supp_qty").alias("part_qty")
-    )
-    dom = ps.join(
-        F.broadcast(totals),
-        (F.col("p_partkey") == F.col("tk"))
-        & (F.col("supp_qty") * 2 > F.col("part_qty")),
+    wtot = Window.partitionBy("p_partkey")
+    dom = ps.withColumn("part_qty", F.sum("supp_qty").over(wtot)).filter(
+        F.col("supp_qty") * 2 > F.col("part_qty")
     )
     supp = load(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
     return (

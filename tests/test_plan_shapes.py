@@ -586,3 +586,137 @@ def test_priority_sample_global_is_take_ordered(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "TakeOrderedAndProject" in p  # never a global Sort
+
+
+# ------------------------------------------------ round-10 plan pins -----
+def _metric_df(spark):
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        (i % 3, "view" if i % 2 else "click", t0 + dt.timedelta(minutes=7 * i),
+         float(i % 13))
+        for i in range(400)
+    ]
+    return spark.createDataFrame(rows, ["user_id", "event_type", "ts", "value"])
+
+
+def _with_fake_load(mod, df, build):
+    real = mod.load
+    mod.load = lambda s, d, t: df
+    try:
+        return _plan(build())
+    finally:
+        mod.load = real
+
+
+def test_theil_sen_builds_pairs_in_row_no_self_join(spark):
+    """A51: the O(H²) pair set must come from higher-order functions on
+    the per-series array — a per-pair self-join would shuffle H² rows
+    per series and regress to the ACF band-join failure mode."""
+    from project_obsidian_core_spark.plans import metrics_queries as mq
+
+    plan = _with_fake_load(
+        mq, _metric_df(spark), lambda: mq.metric_theil_sen(spark, "unused")
+    )
+    assert "Join" not in plan, plan
+    # grid aggregate + series collect: two exchanges, nothing more
+    assert plan.count("Exchange hashpartitioning") == 2, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_changepoint_prefix_sums_ride_reduced_window(spark):
+    """A52: prefix sums and the argmax window run on the ≤H-row grid —
+    two exchanges (grid agg + series window), no join, no python."""
+    from project_obsidian_core_spark.plans import metrics_queries as mq
+
+    plan = _with_fake_load(
+        mq, _metric_df(spark), lambda: mq.metric_changepoint(spark, "unused")
+    )
+    assert "Join" not in plan, plan
+    assert plan.count("Exchange hashpartitioning") == 2, plan
+    assert "partial_sum" in plan, plan
+
+
+def test_holt_folds_in_codegen_no_python(spark):
+    """A53: the coupled recursion is a struct-accumulator `aggregate`
+    expression — JVM-side, no Arrow/python eval, two exchanges."""
+    from project_obsidian_core_spark.plans import metrics_queries as mq
+
+    plan = _with_fake_load(
+        mq, _metric_df(spark), lambda: mq.metric_holt(spark, "unused")
+    )
+    assert "Join" not in plan, plan
+    assert plan.count("Exchange hashpartitioning") == 2, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_runs_test_signs_and_runs_in_row(spark):
+    """A55: signs/runs/counts all ride higher-order functions inside the
+    per-series row — no join, no python, two exchanges."""
+    from project_obsidian_core_spark.plans import metrics_queries as mq
+
+    plan = _with_fake_load(
+        mq, _metric_df(spark), lambda: mq.metric_runs_test(spark, "unused")
+    )
+    assert "Join" not in plan, plan
+    assert plan.count("Exchange hashpartitioning") == 2, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_embedding_dim_stats_single_partial_combined_exchange(spark):
+    """N15: one posexplode into a partial-combined hash aggregate — the
+    exchange carries 64×cores partial rows, never the exploded corpus."""
+    from project_obsidian_core_spark.plans import datapipe_queries as dq
+
+    emb = spark.createDataFrame(
+        [(i, [float(i % 7) / 10 - 0.3] * 8) for i in range(50)],
+        "vec_id long, embedding array<float>",
+    )
+    plan = _with_fake_load(
+        dq, emb, lambda: dq.embedding_dim_stats(spark, "unused")
+    )
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "partial_sum" in plan, plan
+    assert "Generate" in plan, plan
+
+
+def test_q2_q20_reshapes_scan_fact_once(spark):
+    """R23/R24: the per-part min/total must ride a window over the
+    reduced relation — the re-aggregated join draft recomputed the
+    offers subplan, i.e. a SECOND full lineitem scan at 100 TB."""
+    from project_obsidian_core_spark.plans import relational_queries as rq
+
+    for fn in (rq.min_cost_supplier, rq.dominant_suppliers):
+        df = fn(spark, "/root/testdata/sf0.001")
+        plan = _plan(df)
+        assert plan.count("lineitem.parquet") == 1, (fn.__name__, plan)
+        assert "CartesianProduct" not in plan
+        assert "SortMergeJoin" not in plan, (fn.__name__, plan)  # dims broadcast
+
+
+def test_type_affinity_reduces_before_pairing(spark):
+    """A56: the pair join runs on the distinct (user, type) relation and
+    the count relations broadcast — no cartesian, no raw-corpus join."""
+    from project_obsidian_core_spark.plans import behavior_queries as bq
+
+    ev = _metric_df(spark).withColumnRenamed("value", "v").selectExpr(
+        "user_id", "event_type", "ts", "monotonically_increasing_id() as event_id",
+        "v as value", "'{}' as props"
+    )
+    plan = _with_fake_load(
+        bq, ev, lambda: bq.events_type_affinity(spark, "unused")
+    )
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastHashJoin") >= 2, plan
+
+
+def test_rrf_fusion_is_one_outer_join_one_window(spark):
+    """N16: after the two index probes the fuse itself adds exactly one
+    join and one ranking window over |q|·2k rows."""
+    from project_obsidian_core_spark.plans import datapipe_queries as dq
+
+    df = dq.knn_rrf_fusion(spark, "/root/testdata/sf0.001")
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan
+    assert "FullOuter" in plan or "full_outer" in plan.lower(), plan
