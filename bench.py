@@ -287,6 +287,9 @@ BENCH_QUERIES = [
     "metric_runs_test",       # A55 Wald-Wolfowitz runs test (r10)
     "events_type_affinity",   # A56 type co-occurrence lift (r10)
     "knn_rrf_fusion",         # N16 integer RRF hybrid fusion (r10)
+    "stream_sessionize",      # T22 gap sessions on sequence state (r10)
+    "embedding_crossmoments",  # N17 exact Gram matrix (r10)
+    "text_readability",       # X22 Flesch-ish readability (r10)
     "events_discovery_timeline",  # exact running-distinct breakpoints
     "dedup_prefix_clusters",  # provably complete near-dup clusters
     # stream_cdc_merge is timed via _time_cdc_merge below (merge work

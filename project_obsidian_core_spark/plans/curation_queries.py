@@ -772,3 +772,72 @@ SELECT d.doc_id,
 FROM documents d LEFT JOIN agg ON d.doc_id = agg.doc_id
 ORDER BY d.doc_id
 """
+
+
+# ------------------------------------------ X22: readability (Flesch-ish)
+def text_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X22: Flesch-reading-ease-shaped readability per document from
+    three exact integer counts — words (space tokens), sentences
+    (terminal . ! ? characters, floor 1), and syllable proxy = maximal
+    vowel runs (split on /[aeiou]+/, fence-post count) — the
+    quality-filter signal complexity-targeted curation mixes with the
+    C4/Gopher gates (too-easy = boilerplate lists, too-hard = OCR
+    garbage).  Counts are exact ints with IDENTICAL split semantics in
+    both engines (trailing-empty behavior verified by the gate); the
+    Flesch composition 206.835 − 1.015·(W/S) − 84.6·(V/W) is one
+    deterministic IEEE chain per OUTPUT row (the A36 rule)."""
+    docs = load(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            "doc_id",
+            F.expr("size(split(text, ' '))").cast("long").alias("n_words"),
+            F.greatest(
+                F.lit(1),
+                (
+                    F.length("text")
+                    - F.length(F.expr("replace(replace(replace(text, '.', ''),"
+                                      " '!', ''), '?', '')"))
+                ),
+            ).cast("long").alias("n_sentences"),
+            (
+                F.expr("size(split(lower(text), '[aeiou]+'))") - F.lit(1)
+            ).cast("long").alias("n_vowel_runs"),
+        )
+        .select(
+            "doc_id",
+            "n_words",
+            "n_sentences",
+            "n_vowel_runs",
+            F.when(
+                F.col("n_words") > 0,
+                F.lit(206.835)
+                - F.lit(1.015)
+                * (F.col("n_words").cast("double") / F.col("n_sentences"))
+                - F.lit(84.6)
+                * (F.col("n_vowel_runs").cast("double") / F.col("n_words")),
+            ).alias("flesch_score"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+ORACLE_text_readability = """
+WITH c AS (
+    SELECT doc_id,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+           CAST(greatest(1, length(text)
+                - length(replace(replace(replace(text, '.', ''),
+                                 '!', ''), '?', ''))) AS BIGINT)
+               AS n_sentences,
+           CAST(len(string_split_regex(lower(text), '[aeiou]+')) - 1 AS BIGINT)
+               AS n_vowel_runs
+    FROM documents
+)
+SELECT doc_id, n_words, n_sentences, n_vowel_runs,
+       CASE WHEN n_words > 0 THEN
+           206.835 - 1.015 * (CAST(n_words AS DOUBLE) / n_sentences)
+                   - 84.6 * (CAST(n_vowel_runs AS DOUBLE) / n_words)
+       END AS flesch_score
+FROM c
+ORDER BY doc_id
+"""

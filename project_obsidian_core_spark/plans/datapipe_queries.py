@@ -2303,3 +2303,68 @@ ORDER BY q_id, fused_rank
 
 
 ORACLE_knn_rrf_fusion = _rrf_oracle()
+
+
+# ----------------------- N17: exact embedding cross-moment (Gram) matrix --
+def embedding_crossmoments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N17: the exact integer cross-moment matrix of the embedding table
+    — Σ qᵢ·qⱼ over all vectors for every dimension pair i ≤ j, in
+    micro²-units.  This IS the covariance/whitening/PCA input (subtract
+    the N15 means, divide by n): computing it EXACTLY in one pass is
+    what lets a 64×64 eigen-solve run driver-side as bounded
+    control-plane math while the 100 TB scan stays distributed — and
+    the drift-detection twin of N15 (a rotating covariance eigenbasis
+    flags representation drift per-dimension stats cannot see).
+
+    Determinism/overflow: values quantize to int64 micro-units first
+    (N15 rule); |q| ≤ ~10⁶ ⇒ |qᵢqⱼ| ≤ 10¹², safe to ~9·10⁶ rows per
+    partial and Σ over the corpus bounded by n·10¹² — document the
+    rescale (coarser quantization) past 9M rows (the A42 lesson:
+    quantization is part of the operator's semantics).  Plan: the 2080
+    pair terms are generated IN-ROW by higher-order functions feeding a
+    partial-combined hash aggregate — the exchange carries 2080 rows
+    per partition, the exploded relation never shuffles.
+    """
+    emb = load(spark, sf_dir, "embeddings")
+    d = _EMB_DIM
+    q = (
+        "transform(embedding,"
+        " v -> cast(floor(cast(v as double) * 1000000.0) as bigint))"
+    )
+    pairs = (
+        f"flatten(transform(sequence(0, {d - 1}), i ->"
+        f" transform(sequence(i, {d - 1}), j -> named_struct("
+        f"   'i', i, 'j', j,"
+        f"   'p', element_at(q, i + 1) * element_at(q, j + 1)))))"
+    )
+    return (
+        emb.select(F.expr(q).alias("q"))
+        .select(F.explode(F.expr(pairs)).alias("t"))
+        .select(F.col("t.i").alias("dim_i"), F.col("t.j").alias("dim_j"),
+                F.col("t.p").alias("p"))
+        .groupBy("dim_i", "dim_j")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("p").alias("sum_cross_micro2"),
+        )
+        .orderBy("dim_i", "dim_j")
+    )
+
+
+ORACLE_embedding_crossmoments = f"""
+WITH ex AS (
+    SELECT g1.i - 1 AS dim_i, g2.j - 1 AS dim_j,
+           CAST(floor(CAST(embedding[g1.i] AS DOUBLE) * 1000000) AS BIGINT)
+           * CAST(floor(CAST(embedding[g2.j] AS DOUBLE) * 1000000) AS BIGINT)
+               AS p
+    FROM embeddings,
+         unnest(generate_series(1, {_EMB_DIM})) AS g1(i),
+         unnest(generate_series(1, {_EMB_DIM})) AS g2(j)
+    WHERE g2.j >= g1.i
+)
+SELECT dim_i, dim_j, count(*) AS n,
+       CAST(sum(p) AS BIGINT) AS sum_cross_micro2
+FROM ex
+GROUP BY 1, 2
+ORDER BY dim_i, dim_j
+"""

@@ -678,6 +678,18 @@ _ENTRIES: list[tuple[str, QueryFn, str | None]] = [
     ),
     # N16: integer reciprocal-rank fusion of the LSH + IVF indexes
     ("knn_rrf_fusion", d.knn_rrf_fusion, d.ORACLE_knn_rrf_fusion),
+    # T22: third consumer of the ordered-sequence state — gap sessions
+    # live with revision semantics, gated on the batch A25 oracle
+    ("stream_sessionize", st.stream_sessionize, pl.ORACLE_sessionize_events),
+    # N17: exact integer cross-moment (Gram) matrix — the PCA/whitening
+    # input computed distributed, eigen-solve stays control-plane
+    (
+        "embedding_crossmoments",
+        d.embedding_crossmoments,
+        d.ORACLE_embedding_crossmoments,
+    ),
+    # X22: Flesch-shaped readability from exact integer counts
+    ("text_readability", cu.text_readability, cu.ORACLE_text_readability),
 ]
 
 # ----------------------------------------------------------------------

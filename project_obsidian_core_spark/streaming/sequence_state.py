@@ -237,3 +237,122 @@ def streaming_sequence_funnel(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# ------------------- T22: gap sessionization over the same state shape ----
+SESSION_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("ts_us", T.ArrayType(T.LongType())),
+        T.StructField("eid", T.ArrayType(T.LongType())),
+        T.StructField("vals", T.ArrayType(T.LongType())),
+        T.StructField("version", T.LongType()),
+    ]
+)
+
+SESSION_OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("session_idx", T.LongType()),
+        T.StructField("session_start_us", T.LongType()),
+        T.StructField("session_end_us", T.LongType()),
+        T.StructField("n_events", T.LongType()),
+        T.StructField("value_sum", T.LongType()),
+        T.StructField("version", T.LongType()),
+    ]
+)
+
+
+def gap_sessions(
+    ts: list[int], vals: list[int], gap_us: int
+) -> list[tuple[int, int, int, int, int]]:
+    """Split a sorted sequence at gaps > gap_us — returns (session_idx,
+    start_us, end_us, n_events, value_sum) rows, 1-based idx.  The exact
+    batch lag-window semantics (`datapipe.pipeline.sessionize`): a new
+    session starts when t − prev > gap (strict).  Pure; unit-tested.
+    Session assignment depends only on ts order, so equal-ts ties can't
+    move an event across a session boundary (gap 0 never exceeds the
+    threshold) — the same reason the batch oracle needs no tiebreak."""
+    out: list[tuple[int, int, int, int, int]] = []
+    if not ts:
+        return out
+    idx, start, n, vsum, prev = 1, ts[0], 0, 0, None
+    for t, v in zip(ts, vals):
+        if prev is not None and t - prev > gap_us:
+            out.append((idx, start, prev, n, vsum))
+            idx, start, n, vsum = idx + 1, t, 0, 0
+        n += 1
+        vsum += int(v)
+        prev = t
+    out.append((idx, start, prev, n, vsum))
+    return out
+
+
+def make_session_fn(gap_us: int):
+    def fn(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        user = int(key[0])
+        if state.exists:
+            ts, eid, vals, version = state.get
+            ts, eid, vals = list(ts), list(eid), list(vals)
+        else:
+            ts, eid, vals, version = [], [], [], 0
+        absorbed = 0
+        for pdf in pdfs:
+            if not len(pdf):
+                continue
+            absorbed += len(pdf)
+            merged = sorted(
+                list(zip(ts, eid, vals))
+                + [
+                    (int(t), int(e), int(v))
+                    for t, e, v in zip(
+                        pdf["ts_us"], pdf["event_id"], pdf["cents"]
+                    )
+                ]
+            )
+            ts = [t for t, _, _ in merged]
+            eid = [e for _, e, _ in merged]
+            vals = [v for _, _, v in merged]
+        if not absorbed:
+            return
+        version += absorbed
+        state.update((ts, eid, vals, version))
+        rows = gap_sessions(ts, vals, gap_us)
+        yield pd.DataFrame(
+            {
+                "user_id": [user] * len(rows),
+                "session_idx": [r[0] for r in rows],
+                "session_start_us": [r[1] for r in rows],
+                "session_end_us": [r[2] for r in rows],
+                "n_events": [r[3] for r in rows],
+                "value_sum": [r[4] for r in rows],
+                "version": [version] * len(rows),
+            }
+        )
+
+    return fn
+
+
+def streaming_gap_sessions(stream: DataFrame, gap_us: int) -> DataFrame:
+    """T22: gap sessionization live — THIRD consumer of the
+    order-reconstructing state (adjacency → T20, stage progress → T21,
+    gap partitioning → T22): a session that a late-arriving middle
+    event MERGES (two apparent sessions bridged by the straggler)
+    re-splits correctly because sessions are re-derived from the merged
+    sequence on every emit — the failure mode watermark-based
+    session_window handles by dropping, this handles by revision.
+    Expects (user_id, event_id, ts, cents)."""
+    keyed = stream.select(
+        F.col("user_id").cast("long").alias("user_id"),
+        F.col("event_id").cast("long").alias("event_id"),
+        F.unix_micros("ts").alias("ts_us"),
+        F.col("cents").cast("long").alias("cents"),
+    )
+    return keyed.groupBy("user_id").applyInPandasWithState(
+        make_session_fn(gap_us),
+        outputStructType=SESSION_OUTPUT_SCHEMA,
+        stateStructType=SESSION_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

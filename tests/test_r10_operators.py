@@ -611,3 +611,111 @@ def test_rrf_fusion_recovers_either_indexs_hits(spark):
             assert r["rank_ivf"] is None
         assert r["rrf_score"] == exp
         assert r["fused_rank"] <= _TOPK
+
+
+# ---------------------------------------------------------- gap sessions --
+def test_gap_sessions_hand_checked_and_bridge_merge():
+    """T22 core: session splitting, and the late-straggler BRIDGE case —
+    an event arriving between two finalized-looking sessions merges
+    them on re-derivation."""
+    from project_obsidian_core_spark.streaming.sequence_state import (
+        gap_sessions,
+        merge_sequence,
+    )
+
+    G = 100
+    # two sessions: gap of 150 between t=20 and t=170
+    rows = gap_sessions([10, 20, 170, 200], [1, 2, 3, 4], G)
+    assert rows == [(1, 10, 20, 2, 3), (2, 170, 200, 2, 7)]
+    # exactly-gap spacing does NOT split (strict >)
+    assert gap_sessions([0, 100, 200], [1, 1, 1], G) == [(1, 0, 200, 3, 3)]
+    assert gap_sessions([], [], G) == []
+    # bridge: event at t=95 arrives late; 170-95=75 <= G and 95-20=75 <= G
+    ts, eid, vals = merge_sequence([], [], [], [
+        (10, 1, 1), (20, 2, 2), (170, 3, 3), (200, 4, 4)
+    ])
+    assert len(gap_sessions(ts, vals, G)) == 2
+    ts, eid, vals = merge_sequence(ts, eid, vals, [(95, 5, 10)])
+    assert gap_sessions(ts, vals, G) == [(1, 10, 200, 5, 20)]
+
+
+# ------------------------------------------------------- cross-moments --
+def test_embedding_crossmoments_matches_numpy(spark):
+    import numpy as np
+    import pandas as pd
+
+    from project_obsidian_core_spark.plans.datapipe_queries import (
+        embedding_crossmoments,
+    )
+
+    emb = pd.read_parquet(f"{SF}/embeddings.parquet")
+    mat = np.stack(emb.embedding.to_numpy())
+    q = np.floor(mat.astype("float64") * 1_000_000).astype("int64")
+    gram = q.T @ q  # (64, 64) exact in int64 at this scale
+    got = embedding_crossmoments(spark, SF).collect()
+    assert len(got) == 64 * 65 // 2
+    for r in got:
+        assert r["n"] == q.shape[0]
+        assert r["sum_cross_micro2"] == int(gram[r["dim_i"], r["dim_j"]])
+
+
+def test_crossmoments_feed_covariance_pca(spark):
+    """The operator's purpose: means (N15) + cross-moments (N17) alone
+    reconstruct the exact covariance numpy computes from raw data —
+    the driver-side eigen-solve needs nothing else from the corpus."""
+    import numpy as np
+    import pandas as pd
+
+    from project_obsidian_core_spark.plans.datapipe_queries import (
+        embedding_crossmoments,
+        embedding_dim_stats,
+    )
+
+    emb = pd.read_parquet(f"{SF}/embeddings.parquet")
+    mat = np.stack(emb.embedding.to_numpy())
+    q = np.floor(mat.astype("float64") * 1_000_000).astype("int64")
+    n = q.shape[0]
+    sums = {r["dim"]: r["sum_micro"] for r in embedding_dim_stats(spark, SF).collect()}
+    cross = {
+        (r["dim_i"], r["dim_j"]): r["sum_cross_micro2"]
+        for r in embedding_crossmoments(spark, SF).collect()
+    }
+    ref_cov = np.cov(q.T.astype("float64"), bias=True)
+    for (i, j), s_ij in list(cross.items())[:200]:
+        cov = s_ij / n - (sums[i] / n) * (sums[j] / n)
+        assert abs(cov - ref_cov[i, j]) < 1e-3 * max(1.0, abs(ref_cov[i, j]))
+
+
+# ------------------------------------------------------------ readability --
+def test_readability_hand_computed(spark):
+    from project_obsidian_core_spark.plans.curation_queries import (
+        text_readability,
+    )
+
+    docs_txt = {
+        1: "the cat sat. it was flat!",   # 6 words, 2 terminals, runs: e,a,a,i,a,a
+        2: "xyz",                          # no vowels, no terminal -> floor 1
+    }
+    import project_obsidian_core_spark.plans.curation_queries as cq
+
+    spark_df = None
+    real_load = cq.load
+    try:
+        spark2 = spark
+        spark_df = spark2.createDataFrame(
+            list(docs_txt.items()), "doc_id long, text string"
+        )
+        cq.load = lambda s, d, t: spark_df
+        got = {r["doc_id"]: r for r in text_readability(spark2, "unused").collect()}
+    finally:
+        cq.load = real_load
+    r1 = got[1]
+    assert r1["n_words"] == 6
+    assert r1["n_sentences"] == 2
+    # vowel runs in "the cat sat. it was flat!": e,a,a,i,a,a = 6
+    assert r1["n_vowel_runs"] == 6
+    assert abs(
+        r1["flesch_score"] - (206.835 - 1.015 * (6 / 2) - 84.6 * (6 / 6))
+    ) < 1e-9
+    r2 = got[2]
+    assert (r2["n_words"], r2["n_sentences"], r2["n_vowel_runs"]) == (1, 1, 0)
