@@ -2368,3 +2368,99 @@ FROM ex
 GROUP BY 1, 2
 ORDER BY dim_i, dim_j
 """
+
+
+# --------------------------- G8: degree assortativity of the kNN graph ---
+def knn_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G8: degree assortativity — the Pearson correlation of endpoint
+    degrees over the symmetrized edge list (both directions, the
+    Newman convention), the one-number graph-health summary that
+    separates hub-and-spoke corpora (disassortative, r < 0: near-dup
+    templates pulling everything toward a few centers) from uniformly
+    mixed ones (r ≈ 0).  Completes the graph-stats family at the GRAPH
+    level (node G1/G6, edge G7, component D6/G5, now whole-graph G8).
+
+    A36's exact-moment idiom over the directed edge relation: degrees
+    are ≤ 2k, so every moment fits int64 at ANY corpus size with no
+    centering needed (the one operator where the raw moments are
+    born-bounded); one broadcast degree attach + one global aggregate;
+    the only float is the final correlation composition per output row.
+    """
+    emb = load(spark, sf_dir, "embeddings").filter(F.col("vec_id") < _GRAPH_VECS)
+    edges = S.knn_edges(emb, k=_GRAPH_K)
+    dedges = edges.select(
+        F.col("a").alias("src"), F.col("b").alias("dst")
+    ).unionByName(edges.select(F.col("b").alias("src"), F.col("a").alias("dst")))
+    deg = dedges.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).alias("d")
+    )
+    pairs = (
+        dedges.join(
+            F.broadcast(deg.select(F.col("node").alias("src"),
+                                   F.col("d").alias("dx"))), "src"
+        )
+        .join(
+            F.broadcast(deg.select(F.col("node").alias("dst"),
+                                   F.col("d").alias("dy"))), "dst"
+        )
+    )
+    agg = pairs.agg(
+        F.count(F.lit(1)).alias("m"),
+        F.sum("dx").alias("sx"),
+        F.sum("dy").alias("sy"),
+        F.sum(F.col("dx") * F.col("dy")).alias("sxy"),
+        F.sum(F.col("dx") * F.col("dx")).alias("sxx"),
+        F.sum(F.col("dy") * F.col("dy")).alias("syy"),
+    )
+    num = F.col("m") * F.col("sxy") - F.col("sx") * F.col("sy")
+    denx = F.col("m") * F.col("sxx") - F.col("sx") * F.col("sx")
+    deny = F.col("m") * F.col("syy") - F.col("sy") * F.col("sy")
+    return agg.select(
+        "m",
+        "sx",
+        "sy",
+        "sxy",
+        "sxx",
+        "syy",
+        F.when(
+            (denx > 0) & (deny > 0),
+            num.cast("double") / (F.sqrt(denx.cast("double"))
+                                  * F.sqrt(deny.cast("double"))),
+        ).alias("assortativity"),
+    )
+
+
+def _assortativity_oracle() -> str:
+    edges_ctes = ORACLE_knn_graph_degree.partition("), degrees AS")[0] + ")"
+    return f"""{edges_ctes},
+dedges AS (
+    SELECT a AS src, b AS dst FROM edges
+    UNION ALL
+    SELECT b AS src, a AS dst FROM edges
+), deg AS (
+    SELECT src AS node, CAST(count(*) AS BIGINT) AS d
+    FROM dedges GROUP BY 1
+), pairs AS (
+    SELECT dx.d AS dx, dy.d AS dy
+    FROM dedges e
+    JOIN deg dx ON dx.node = e.src
+    JOIN deg dy ON dy.node = e.dst
+), a AS (
+    SELECT count(*) AS m,
+           CAST(sum(dx) AS BIGINT) AS sx, CAST(sum(dy) AS BIGINT) AS sy,
+           CAST(sum(dx * dy) AS BIGINT) AS sxy,
+           CAST(sum(dx * dx) AS BIGINT) AS sxx,
+           CAST(sum(dy * dy) AS BIGINT) AS syy
+    FROM pairs
+)
+SELECT m, sx, sy, sxy, sxx, syy,
+       CASE WHEN m * sxx - sx * sx > 0 AND m * syy - sy * sy > 0 THEN
+           CAST(m * sxy - sx * sy AS DOUBLE)
+           / (sqrt(CAST(m * sxx - sx * sx AS DOUBLE))
+              * sqrt(CAST(m * syy - sy * sy AS DOUBLE)))
+       END AS assortativity
+FROM a
+"""
+
+
+ORACLE_knn_assortativity = _assortativity_oracle()

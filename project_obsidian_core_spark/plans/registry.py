@@ -690,6 +690,14 @@ _ENTRIES: list[tuple[str, QueryFn, str | None]] = [
     ),
     # X22: Flesch-shaped readability from exact integer counts
     ("text_readability", cu.text_readability, cu.ORACLE_text_readability),
+    # A57: per-brand demand slope (exact-moment OLS on pricing)
+    (
+        "brand_price_elasticity",
+        r.brand_price_elasticity,
+        r.ORACLE_brand_price_elasticity,
+    ),
+    # G8: whole-graph degree assortativity (born-bounded moments)
+    ("knn_assortativity", d.knn_assortativity, d.ORACLE_knn_assortativity),
 ]
 
 # ----------------------------------------------------------------------

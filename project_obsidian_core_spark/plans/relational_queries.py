@@ -1534,3 +1534,91 @@ FROM dom JOIN supplier ON l_suppkey = s_suppkey
 GROUP BY 1, 2
 ORDER BY s_suppkey
 """
+
+
+# ------------------------------------ A57: brand price elasticity (OLS) --
+def brand_price_elasticity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A57: per-brand demand slope — exact-int OLS of quantity against
+    unit price (cents) across a brand's lineitems, the "does a lower
+    unit price move volume" screen (a negative slope is economically
+    sane demand; positive flags premium/luxury mix or data problems).
+    A36's centered-moment idiom on a pricing substrate: both variables
+    min-center per brand (shift changes intercept, never slope), five
+    int64 moments in ONE aggregate over the already-keyed relation, the
+    only float is the final num/den division per output row.
+
+    Overflow bound: unit price ≤ ~10⁷ cents and qty ≤ 50, so Σx·y ≤
+    rows·5·10⁸ and n·Σx² ≤ rows²·10¹⁴ — document the cents→dollar
+    rescale past ~10⁴ rows/brand... which the gate corpus exceeds, so
+    the operator quantizes x to DOLLARS (price_cents div 100) by
+    definition, the A42 lesson (quantization is semantics, chosen so
+    n·Σx² stays exact at 10⁶ rows/brand).
+    """
+    li = load(spark, sf_dir, "lineitem")
+    part = load(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    base = (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .select(
+            "p_brand",
+            F.expr(
+                "(cast(round(l_extendedprice * 100, 0) as bigint)"
+                " div cast(l_quantity as bigint)) div 100"
+            ).alias("px"),
+            F.col("l_quantity").cast("long").alias("qy"),
+        )
+    )
+    w = Window.partitionBy("p_brand")
+    c = base.select(
+        "p_brand",
+        (F.col("px") - F.min("px").over(w)).alias("x"),
+        (F.col("qy") - F.min("qy").over(w)).alias("y"),
+    )
+    agg = c.groupBy("p_brand").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    return agg.select(
+        "p_brand",
+        "n",
+        num.alias("slope_num"),
+        den.alias("slope_den"),
+        F.when(den != 0, num.cast("double") / den.cast("double")).alias(
+            "qty_per_dollar"
+        ),
+    ).orderBy("p_brand")
+
+
+ORACLE_brand_price_elasticity = """
+WITH base AS (
+    SELECT p_brand,
+           (CAST(round(l_extendedprice * 100, 0) AS BIGINT)
+            // CAST(l_quantity AS BIGINT)) // 100 AS px,
+           CAST(l_quantity AS BIGINT) AS qy
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+), c AS (
+    SELECT p_brand,
+           px - min(px) OVER (PARTITION BY p_brand) AS x,
+           qy - min(qy) OVER (PARTITION BY p_brand) AS y
+    FROM base
+), a AS (
+    SELECT p_brand, count(*) AS n,
+           CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+           CAST(sum(x * y) AS BIGINT) AS sxy,
+           CAST(sum(x * x) AS BIGINT) AS sxx
+    FROM c GROUP BY 1
+)
+SELECT p_brand, n,
+       CAST(n * sxy - sx * sy AS BIGINT) AS slope_num,
+       CAST(n * sxx - sx * sx AS BIGINT) AS slope_den,
+       CASE WHEN n * sxx - sx * sx <> 0 THEN
+           CAST(n * sxy - sx * sy AS DOUBLE)
+           / CAST(n * sxx - sx * sx AS DOUBLE)
+       END AS qty_per_dollar
+FROM a
+ORDER BY p_brand
+"""

@@ -719,3 +719,67 @@ def test_readability_hand_computed(spark):
     ) < 1e-9
     r2 = got[2]
     assert (r2["n_words"], r2["n_sentences"], r2["n_vowel_runs"]) == (1, 1, 0)
+
+
+# ------------------------------------------------------------ elasticity --
+def test_brand_elasticity_matches_pandas(spark):
+    import pandas as pd
+
+    from project_obsidian_core_spark.plans.relational_queries import (
+        brand_price_elasticity,
+    )
+
+    li = pd.read_parquet(f"{SF}/lineitem.parquet")
+    part = pd.read_parquet(f"{SF}/part.parquet")
+    df = li.merge(part[["p_partkey", "p_brand"]], left_on="l_partkey",
+                  right_on="p_partkey")
+    df["px"] = (
+        df.l_extendedprice.mul(100).round().astype("int64")
+        // df.l_quantity.astype("int64")
+    ) // 100
+    df["qy"] = df.l_quantity.astype("int64")
+    got = {r["p_brand"]: r for r in brand_price_elasticity(spark, SF).collect()}
+    for brand, g in df.groupby("p_brand"):
+        x = (g.px - g.px.min()).to_numpy()
+        y = (g.qy - g.qy.min()).to_numpy()
+        n = len(g)
+        num = n * int((x * y).sum()) - int(x.sum()) * int(y.sum())
+        den = n * int((x * x).sum()) - int(x.sum()) ** 2
+        r = got[brand]
+        assert (r["n"], r["slope_num"], r["slope_den"]) == (n, num, den)
+        if den:
+            assert r["qty_per_dollar"] == num / den
+
+
+# --------------------------------------------------------- assortativity --
+def test_assortativity_known_graphs(spark):
+    """A star is maximally disassortative (r = -1); an edge-regular
+    graph (cycle) has zero variance -> NULL by the guard."""
+    import math as _m
+
+    def assort(edges):
+        dedges = [(a, b) for a, b in edges] + [(b, a) for a, b in edges]
+        deg = {}
+        for s, _ in dedges:
+            deg[s] = deg.get(s, 0) + 1
+        dx = [deg[s] for s, _ in dedges]
+        dy = [deg[t] for _, t in dedges]
+        m = len(dedges)
+        sx, sy = sum(dx), sum(dy)
+        sxy = sum(a * b for a, b in zip(dx, dy))
+        sxx = sum(a * a for a in dx)
+        syy = sum(b * b for b in dy)
+        num = m * sxy - sx * sy
+        denx, deny = m * sxx - sx * sx, m * syy - sy * sy
+        if denx <= 0 or deny <= 0:
+            return None
+        return num / (_m.sqrt(denx) * _m.sqrt(deny))
+
+    star = [(0, i) for i in range(1, 6)]
+    assert abs(assort(star) - (-1.0)) < 1e-12
+    cycle = [(i, (i + 1) % 6) for i in range(6)]
+    assert assort(cycle) is None  # all degrees equal -> zero variance
+    # mixed graph: value in (-1, 1)
+    mixed = star + [(1, 2), (3, 4)]
+    r = assort(mixed)
+    assert -1 < r < 1
