@@ -292,6 +292,7 @@ BENCH_QUERIES = [
     "text_readability",       # X22 Flesch-ish readability (r10)
     "brand_price_elasticity",  # A57 exact-moment OLS demand slope (r10)
     "knn_assortativity",      # G8 degree assortativity (r10)
+    "stream_ewma",            # T23 order-reconstructed float recursion (r10)
     "events_discovery_timeline",  # exact running-distinct breakpoints
     "dedup_prefix_clusters",  # provably complete near-dup clusters
     # stream_cdc_merge is timed via _time_cdc_merge below (merge work

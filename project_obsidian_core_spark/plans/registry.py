@@ -698,6 +698,9 @@ _ENTRIES: list[tuple[str, QueryFn, str | None]] = [
     ),
     # G8: whole-graph degree assortativity (born-bounded moments)
     ("knn_assortativity", d.knn_assortativity, d.ORACLE_knn_assortativity),
+    # T23: the order-reconstruction idea extended to FLOAT recursions —
+    # streaming dual-EWMA gated on the batch W3 oracle
+    ("stream_ewma", st.stream_ewma, m.ORACLE_metric_ewma),
 ]
 
 # ----------------------------------------------------------------------

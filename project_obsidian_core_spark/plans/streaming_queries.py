@@ -1436,3 +1436,66 @@ def stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_events",
         "value_sum",
     ).orderBy("user_id", "session_idx")
+
+
+# -------------------- T23: streaming dual-EWMA (W3 live, bit-exact) ------
+def stream_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T23: the W3 governor EWMA recursion served LIVE and gated on the
+    batch `metric_ewma` oracle — the order-reconstruction idea extended
+    to FLOAT RECURSIONS: state = exact-int per-bucket sums (commutative
+    fold, arrival-order free), the order-dependent float fold replays
+    over the reconstructed series on every emit. Out-of-order bucket
+    delivery that would silently corrupt a scalar-state EWMA converges
+    here to the batch value bit-exactly."""
+    from pyspark.sql import Window
+
+    from project_obsidian_core_spark.plans.metrics_queries import HIT, READ
+    from project_obsidian_core_spark.streaming.sequence_state import (
+        streaming_ewma,
+    )
+
+    run = next(_RUN_IDS)
+    src = _events_src(spark, sf_dir, run)
+    schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "4")
+        .parquet(src)
+    )
+    name_col = (
+        F.when(F.col("event_type") == "view", F.lit(HIT))
+        .when(F.col("event_type") == "click", F.lit(READ))
+        .otherwise(F.concat(F.lit("postgresql."), F.col("event_type")))
+    )
+    keyed = stream.select(
+        name_col.alias("metric_name"),
+        F.expr("unix_micros(ts) div 60000000").alias("bucket"),
+        F.col("cents").alias("v"),
+    )
+    out = streaming_ewma(keyed)
+    name = f"stream_ewma_{run}"
+    tmp = tempfile.mkdtemp(prefix=f"obsidian_ewma_{run}_")
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            out.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .option("checkpointLocation", f"{tmp}/ckpt")
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+
+    emitted = spark.table(name)
+    wmax = Window.partitionBy("metric_name")
+    latest = emitted.withColumn(
+        "_vmax", F.max("version").over(wmax)
+    ).filter(F.col("version") == F.col("_vmax"))
+    return latest.select(
+        "metric_name", "n_buckets", "ewma_fast", "ewma_slow"
+    ).orderBy("metric_name")

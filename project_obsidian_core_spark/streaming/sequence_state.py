@@ -364,3 +364,116 @@ def streaming_gap_sessions(stream: DataFrame, gap_us: int) -> DataFrame:
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# ------------- T23: ordered float recursion (EWMA) over the same state ----
+EWMA_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("buckets", T.ArrayType(T.LongType())),
+        T.StructField("sums", T.ArrayType(T.LongType())),
+        T.StructField("version", T.LongType()),
+    ]
+)
+
+EWMA_OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("metric_name", T.StringType()),
+        T.StructField("n_buckets", T.IntegerType()),
+        T.StructField("ewma_fast", T.DoubleType()),
+        T.StructField("ewma_slow", T.DoubleType()),
+        T.StructField("version", T.LongType()),
+    ]
+)
+
+
+def fold_bucket_sums(
+    buckets: list[int], sums: list[int], batch_rows
+) -> tuple[list[int], list[int]]:
+    """Fold (bucket, value) rows into the per-bucket exact-int sums —
+    COMMUTATIVE (integer addition), so unlike the raw sequences this
+    state is arrival-order free by construction; kept sorted by bucket
+    so the drain fold needs no re-sort. Pure; unit-tested."""
+    acc = dict(zip(buckets, sums))
+    for b, v in batch_rows:
+        b = int(b)
+        acc[b] = acc.get(b, 0) + int(v)
+    items = sorted(acc.items())
+    return [b for b, _ in items], [s for _, s in items]
+
+
+def ewma_pair(sums: list[int], alpha_fast: float, alpha_slow: float):
+    """The governor's dual-EWMA left fold over the bucket-ordered series
+    — float ops in the SAME order as the batch `aggregate` expression
+    and the DuckDB `list_reduce`, so all three agree bit-exactly
+    (python floats ARE IEEE doubles). Pure; unit-tested."""
+    if not sums:
+        return None, None
+    fast = slow = float(sums[0])
+    for v in sums[1:]:
+        x = float(v)
+        fast = fast + alpha_fast * (x - fast)
+        slow = slow + alpha_slow * (x - slow)
+    return fast, slow
+
+
+def make_ewma_fn(alpha_fast: float, alpha_slow: float):
+    def fn(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        metric = str(key[0])
+        if state.exists:
+            buckets, sums, version = state.get
+            buckets, sums = list(buckets), list(sums)
+        else:
+            buckets, sums, version = [], [], 0
+        absorbed = 0
+        for pdf in pdfs:
+            if not len(pdf):
+                continue
+            absorbed += len(pdf)
+            buckets, sums = fold_bucket_sums(
+                buckets, sums, zip(pdf["bucket"], pdf["v"])
+            )
+        if not absorbed:
+            return
+        version += absorbed
+        state.update((buckets, sums, version))
+        fast, slow = ewma_pair(sums, alpha_fast, alpha_slow)
+        yield pd.DataFrame(
+            {
+                "metric_name": [metric],
+                "n_buckets": [len(buckets)],
+                "ewma_fast": [fast],
+                "ewma_slow": [slow],
+                "version": [version],
+            }
+        )
+
+    return fn
+
+
+def streaming_ewma(
+    stream: DataFrame, alpha_fast: float = 0.3, alpha_slow: float = 0.05
+) -> DataFrame:
+    """T23: the W3 dual-EWMA recursion served LIVE — FOURTH consumer of
+    the order-reconstruction idea, extended to FLOAT RECURSIONS: the
+    state holds the exact-int per-bucket sums (commutative, arrival-
+    order free), and the order-dependent float fold replays over the
+    reconstructed series on every emit — so the drained value is the
+    batch `metric_ewma` bit-exactly regardless of delivery order. The
+    live-path contrast: the governor keeps ONE scalar per key and
+    accepts arrival-order sensitivity; this operator buys exactness
+    with window-bounded state (one long per bucket in retention).
+    Expects (metric_name, bucket, v)."""
+    keyed = stream.select(
+        F.col("metric_name").cast("string").alias("metric_name"),
+        F.col("bucket").cast("long").alias("bucket"),
+        F.col("v").cast("long").alias("v"),
+    )
+    return keyed.groupBy("metric_name").applyInPandasWithState(
+        make_ewma_fn(alpha_fast, alpha_slow),
+        outputStructType=EWMA_OUTPUT_SCHEMA,
+        stateStructType=EWMA_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -783,3 +783,38 @@ def test_assortativity_known_graphs(spark):
     mixed = star + [(1, 2), (3, 4)]
     r = assort(mixed)
     assert -1 < r < 1
+
+
+# --------------------------------------------------------- streaming EWMA --
+def test_fold_bucket_sums_commutative_and_sorted():
+    import itertools
+
+    from project_obsidian_core_spark.streaming.sequence_state import (
+        fold_bucket_sums,
+    )
+
+    batches = [[(5, 10), (3, 1)], [(5, 7), (1, 2)], [(3, 4)]]
+    results = []
+    for perm in itertools.permutations(range(3)):
+        b, s = [], []
+        for i in perm:
+            b, s = fold_bucket_sums(b, s, batches[i])
+        results.append((b, s))
+    assert all(r == results[0] for r in results)
+    assert results[0] == ([1, 3, 5], [2, 5, 17])
+
+
+def test_ewma_pair_matches_batch_fold_semantics():
+    """Bit-equality with the Spark aggregate expression's algebra:
+    seeded with the first element, acc + a*(x - acc) per later element."""
+    from project_obsidian_core_spark.streaming.sequence_state import ewma_pair
+
+    sums = [100, 250, 90, 400]
+    fast, slow = ewma_pair(sums, 0.3, 0.05)
+    f = s = 100.0
+    for x in (250.0, 90.0, 400.0):
+        f = f + 0.3 * (x - f)
+        s = s + 0.05 * (x - s)
+    assert (fast, slow) == (f, s)
+    assert ewma_pair([], 0.3, 0.05) == (None, None)
+    assert ewma_pair([7], 0.3, 0.05) == (7.0, 7.0)
