@@ -293,6 +293,8 @@ BENCH_QUERIES = [
     "brand_price_elasticity",  # A57 exact-moment OLS demand slope (r10)
     "knn_assortativity",      # G8 degree assortativity (r10)
     "stream_ewma",            # T23 order-reconstructed float recursion (r10)
+    "corpus_pack_efficiency",  # C25 packing utilization dashboard (r10)
+    "orders_basket_affinity",  # R25 market-basket lift, support floor (r10)
     "events_discovery_timeline",  # exact running-distinct breakpoints
     "dedup_prefix_clusters",  # provably complete near-dup clusters
     # stream_cdc_merge is timed via _time_cdc_merge below (merge work

@@ -390,3 +390,97 @@ SELECT doc_id,
 FROM c
 ORDER BY doc_id, chunk_idx
 """
+
+
+# --------------------------------------- C25: packing efficiency report --
+def corpus_pack_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C25: the packing-quality dashboard over the C4 sequential packer —
+    per source: contexts produced, exact token utilization in ppm
+    (tokens ÷ (contexts·CTX)), tail waste, and how many documents
+    STRADDLE a context boundary (the cross-document-attention
+    contamination count the packing strategy trades against padding).
+    The report a 100 TB pretraining run reads before committing a
+    packing config — padding waste is compute waste at cluster scale.
+
+    Composability gate: the packed relation is the already-gated C4
+    operator reused verbatim; the report is one aggregate over it, so
+    drift in EITHER the packer or the report fails this row.  Straddle
+    test is pure integer arithmetic: a doc straddles iff its tokens
+    cross a context boundary (pack_offset + n_tokens > CTX), counting
+    multi-boundary docs once (they still break exactly one attention
+    contract per crossing; the COUNT here is "docs needing masking").
+    """
+    docs = load(spark, sf_dir, "documents")
+    with_tokens = docs.select(
+        "doc_id",
+        "source",
+        F.size(F.split(F.col("text"), " ")).cast("long").alias("n_tokens"),
+    )
+    packed = P.pack_sequential(with_tokens, _CTX_LEN)
+    return (
+        packed.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+            (F.max(
+                F.col("pack_id") * F.lit(_CTX_LEN) + F.col("pack_offset")
+                + F.col("n_tokens")
+            ) + F.lit(_CTX_LEN) - 1).alias("_end"),
+            F.sum(
+                F.when(
+                    F.col("pack_offset") + F.col("n_tokens") > _CTX_LEN, 1
+                ).otherwise(0)
+            ).alias("n_straddlers"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "total_tokens",
+            F.expr(f"_end div {_CTX_LEN}").alias("n_contexts"),
+            F.expr(
+                f"total_tokens * 1000000 div ((_end div {_CTX_LEN}) * {_CTX_LEN})"
+            ).alias("utilization_ppm"),
+            F.expr(
+                f"(_end div {_CTX_LEN}) * {_CTX_LEN} - total_tokens"
+            ).alias("waste_tokens"),
+            "n_straddlers",
+        )
+        .orderBy("source")
+    )
+
+
+ORACLE_corpus_pack_efficiency = f"""
+WITH t AS (
+    SELECT doc_id, source,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+    FROM documents
+), p AS (
+    SELECT *,
+           CAST(COALESCE(SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                    0) AS BIGINT) AS prefix
+    FROM t
+), packed AS (
+    SELECT doc_id, source, n_tokens,
+           prefix // {_CTX_LEN} AS pack_id,
+           prefix % {_CTX_LEN} AS pack_offset
+    FROM p
+), agg AS (
+    SELECT source,
+           count(*) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+           CAST(max(pack_id * {_CTX_LEN} + pack_offset + n_tokens)
+                + {_CTX_LEN} - 1 AS BIGINT) AS _end,
+           CAST(sum(CASE WHEN pack_offset + n_tokens > {_CTX_LEN}
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_straddlers
+    FROM packed GROUP BY source
+)
+SELECT source, n_docs, total_tokens,
+       _end // {_CTX_LEN} AS n_contexts,
+       total_tokens * 1000000 // ((_end // {_CTX_LEN}) * {_CTX_LEN})
+           AS utilization_ppm,
+       (_end // {_CTX_LEN}) * {_CTX_LEN} - total_tokens AS waste_tokens,
+       n_straddlers
+FROM agg
+ORDER BY source
+"""

@@ -701,6 +701,18 @@ _ENTRIES: list[tuple[str, QueryFn, str | None]] = [
     # T23: the order-reconstruction idea extended to FLOAT recursions —
     # streaming dual-EWMA gated on the batch W3 oracle
     ("stream_ewma", st.stream_ewma, m.ORACLE_metric_ewma),
+    # C25: packing-efficiency dashboard over the gated C4 packer
+    (
+        "corpus_pack_efficiency",
+        pl.corpus_pack_efficiency,
+        pl.ORACLE_corpus_pack_efficiency,
+    ),
+    # R25: market-basket part affinity with a support floor
+    (
+        "orders_basket_affinity",
+        r.orders_basket_affinity,
+        r.ORACLE_orders_basket_affinity,
+    ),
 ]
 
 # ----------------------------------------------------------------------

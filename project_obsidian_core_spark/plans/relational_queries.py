@@ -1622,3 +1622,82 @@ SELECT p_brand, n,
 FROM a
 ORDER BY p_brand
 """
+
+
+# ----------------------------- R25: market-basket affinity over orders ---
+def orders_basket_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R25: which parts are BOUGHT TOGETHER beyond chance — per unordered
+    part pair co-occurring in ≥ 2 orders, exact integer lift
+    n_both · N_orders · 10⁶ div (n_p1 · n_p2) plus support counts: the
+    classic market-basket screen (A56's affinity on order baskets
+    instead of user histories — the same algebra at a 100×-larger pair
+    space, which is why the ≥ 2 support floor exists: it prunes the
+    hapax pair tail BEFORE the count relations attach, the X20
+    min_count move).
+
+    Plan: one scan reduces to distinct (order, part); the pair join is
+    per-order equi-keyed (fan-out C(basket,2), baskets are small by
+    data shape); per-part order counts broadcast onto the ≤ surviving-
+    pairs relation. All integers exact.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    op = li.select(
+        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
+    ).distinct()
+    n_orders = op.select("o").distinct().agg(
+        F.count(F.lit(1)).alias("n_orders")
+    )
+    per_part = op.groupBy(F.col("p")).agg(F.count(F.lit(1)).alias("n_p"))
+    pairs = (
+        op.select("o", F.col("p").alias("p1"))
+        .join(op.select("o", F.col("p").alias("p2")), "o")
+        .filter(F.col("p1") < F.col("p2"))
+        .groupBy("p1", "p2")
+        .agg(F.count(F.lit(1)).alias("n_both"))
+        .filter(F.col("n_both") >= 2)
+    )
+    return (
+        pairs.join(
+            F.broadcast(per_part.select(F.col("p").alias("p1"),
+                                        F.col("n_p").alias("n_p1"))), "p1"
+        )
+        .join(
+            F.broadcast(per_part.select(F.col("p").alias("p2"),
+                                        F.col("n_p").alias("n_p2"))), "p2"
+        )
+        .crossJoin(F.broadcast(n_orders))
+        .select(
+            "p1",
+            "p2",
+            "n_both",
+            "n_p1",
+            "n_p2",
+            F.expr("n_both * n_orders * 1000000 div (n_p1 * n_p2)").alias(
+                "lift_ppm"
+            ),
+        )
+        .orderBy("p1", "p2")
+    )
+
+
+ORACLE_orders_basket_affinity = """
+WITH op AS (
+    SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+), no AS (
+    SELECT CAST(count(DISTINCT o) AS BIGINT) AS n_orders FROM op
+), pp AS (
+    SELECT p, CAST(count(*) AS BIGINT) AS n_p FROM op GROUP BY 1
+), pairs AS (
+    SELECT a.p AS p1, b.p AS p2, CAST(count(*) AS BIGINT) AS n_both
+    FROM op a JOIN op b ON a.o = b.o AND a.p < b.p
+    GROUP BY 1, 2
+    HAVING count(*) >= 2
+)
+SELECT pr.p1, pr.p2, pr.n_both, x.n_p AS n_p1, y.n_p AS n_p2,
+       pr.n_both * no.n_orders * 1000000 // (x.n_p * y.n_p) AS lift_ppm
+FROM pairs pr
+JOIN pp x ON x.p = pr.p1
+JOIN pp y ON y.p = pr.p2
+CROSS JOIN no
+ORDER BY pr.p1, pr.p2
+"""

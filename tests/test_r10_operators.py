@@ -818,3 +818,67 @@ def test_ewma_pair_matches_batch_fold_semantics():
     assert (fast, slow) == (f, s)
     assert ewma_pair([], 0.3, 0.05) == (None, None)
     assert ewma_pair([7], 0.3, 0.05) == (7.0, 7.0)
+
+
+# ------------------------------------------------------ pack efficiency --
+def test_pack_efficiency_matches_python(spark):
+    import pandas as pd
+
+    from project_obsidian_core_spark.plans.pipeline_queries import (
+        _CTX_LEN,
+        corpus_pack_efficiency,
+    )
+
+    docs = pd.read_parquet(f"{SF}/documents.parquet")
+    docs["n_tokens"] = docs.text.str.split(" ").str.len()
+    got = {r["source"]: r for r in corpus_pack_efficiency(spark, SF).collect()}
+    for src, g in docs.groupby("source"):
+        g = g.sort_values("doc_id")
+        toks = g.n_tokens.to_list()
+        total = sum(toks)
+        n_ctx = -(-total // _CTX_LEN)  # ceil
+        prefix = 0
+        straddlers = 0
+        for t in toks:
+            if (prefix % _CTX_LEN) + t > _CTX_LEN:
+                straddlers += 1
+            prefix += t
+        r = got[src]
+        assert r["n_docs"] == len(g)
+        assert r["total_tokens"] == total
+        assert r["n_contexts"] == n_ctx
+        assert r["utilization_ppm"] == total * 1_000_000 // (n_ctx * _CTX_LEN)
+        assert r["waste_tokens"] == n_ctx * _CTX_LEN - total
+        assert r["n_straddlers"] == straddlers
+
+
+# ------------------------------------------------------- basket affinity --
+def test_basket_affinity_matches_pandas(spark):
+    import pandas as pd
+    from itertools import combinations
+
+    from project_obsidian_core_spark.plans.relational_queries import (
+        orders_basket_affinity,
+    )
+
+    li = pd.read_parquet(f"{SF}/lineitem.parquet")
+    op = li[["l_orderkey", "l_partkey"]].drop_duplicates()
+    n_orders = op.l_orderkey.nunique()
+    per_p = op.groupby("l_partkey").size()
+    counts = {}
+    for _, basket in op.groupby("l_orderkey")["l_partkey"]:
+        for p1, p2 in combinations(sorted(basket), 2):
+            counts[(p1, p2)] = counts.get((p1, p2), 0) + 1
+    expected = {
+        k: (
+            v,
+            v * n_orders * 1_000_000 // (int(per_p[k[0]]) * int(per_p[k[1]])),
+        )
+        for k, v in counts.items()
+        if v >= 2
+    }
+    got = {
+        (r["p1"], r["p2"]): (r["n_both"], r["lift_ppm"])
+        for r in orders_basket_affinity(spark, SF).collect()
+    }
+    assert got == expected
