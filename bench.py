@@ -295,6 +295,8 @@ BENCH_QUERIES = [
     "stream_ewma",            # T23 order-reconstructed float recursion (r10)
     "corpus_pack_efficiency",  # C25 packing utilization dashboard (r10)
     "orders_basket_affinity",  # R25 market-basket lift, support floor (r10)
+    "vocab_growth",           # X23 Heaps-law vocabulary curve (r10)
+    "events_stickiness",      # A58 DAU/MAU exact sliding distinct (r10)
     "events_discovery_timeline",  # exact running-distinct breakpoints
     "dedup_prefix_clusters",  # provably complete near-dup clusters
     # stream_cdc_merge is timed via _time_cdc_merge below (merge work

@@ -481,3 +481,70 @@ JOIN pt y ON y.t = p.t2
 CROSS JOIN nu
 ORDER BY p.t1, p.t2
 """
+
+
+# --------------------------------------- A58: DAU/MAU stickiness ratio ---
+_STICKY_WINDOW_DAYS = 30
+
+
+def events_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A58: per-day stickiness — DAU ÷ trailing-30-day MAU in exact ppm,
+    the engagement ratio product analytics watches daily (40%+ = daily
+    habit, <10% = monthly utility).  EXACT overlapping-window distinct
+    via the A23 move: each distinct (user, day) row fans out to the ≤30
+    target days whose trailing window contains it, then one distinct
+    aggregate per target day — never an approximate sketch, never a
+    per-day rescan.  Only days with events surface (the data's own
+    calendar); DAU rides the same reduced relation.
+    """
+    ev = load(spark, sf_dir, "events")
+    ud = ev.select(
+        "user_id",
+        F.expr("unix_micros(ts) div 86400000000").alias("day"),
+    ).distinct()
+    days = ud.select("day").distinct()
+    dau = ud.groupBy("day").agg(F.countDistinct("user_id").alias("dau"))
+    fan = (
+        ud.select(
+            "user_id",
+            F.explode(
+                F.expr(
+                    f"sequence(day, day + {_STICKY_WINDOW_DAYS - 1})"
+                )
+            ).alias("target_day"),
+        )
+        .join(days.withColumnRenamed("day", "target_day"), "target_day")
+        .groupBy("target_day")
+        .agg(F.countDistinct("user_id").alias("mau"))
+    )
+    return (
+        dau.join(fan, F.col("day") == F.col("target_day"))
+        .select(
+            "day",
+            "dau",
+            "mau",
+            F.expr("dau * 1000000 div mau").alias("stickiness_ppm"),
+        )
+        .orderBy("day")
+    )
+
+
+ORACLE_events_stickiness = f"""
+WITH ud AS (
+    SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day FROM events
+), days AS (
+    SELECT DISTINCT day FROM ud
+), dau AS (
+    SELECT day, CAST(count(DISTINCT user_id) AS BIGINT) AS dau
+    FROM ud GROUP BY 1
+), mau AS (
+    SELECT d.day, CAST(count(DISTINCT u.user_id) AS BIGINT) AS mau
+    FROM days d JOIN ud u
+      ON u.day <= d.day AND u.day > d.day - {_STICKY_WINDOW_DAYS}
+    GROUP BY 1
+)
+SELECT dau.day, dau.dau, mau.mau,
+       dau.dau * 1000000 // mau.mau AS stickiness_ppm
+FROM dau JOIN mau ON dau.day = mau.day
+ORDER BY dau.day
+"""

@@ -841,3 +841,99 @@ SELECT doc_id, n_words, n_sentences, n_vowel_runs,
 FROM c
 ORDER BY doc_id
 """
+
+
+# ----------------------------------------- X23: vocabulary growth curve --
+#: growth-curve checkpoints as /16 fractions of the corpus (doc_id order)
+_VOCAB_GROWTH_FRACS = (1, 2, 4, 8, 16)
+
+
+def vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X23: the vocabulary growth (Heaps' law) curve — distinct terms
+    discovered after the first n/16, n/8, n/4, n/2 and all docs in
+    doc_id order.  The corpus-health diagnostic behind "is more data
+    still buying new language": a curve that flattens early means
+    near-dup/template mass, one that stays steep means the tokenizer
+    will keep meeting OOV text; the Heaps exponent read off this curve
+    sizes vocabulary budgets.
+
+    Semantics: checkpoints are LOWER-ORDER-STATISTIC doc_id thresholds
+    (rank ceil(n·k/16), the repo quantile rule), so both engines pick
+    identical boundary docs; a term counts at checkpoint k iff its
+    FIRST containing doc (min doc_id) is ≤ the threshold.  Plan: one
+    explode → per-term min(doc_id) (map-side combined), thresholds from
+    the doc-id order statistics, then one broadcast-threshold
+    conditional aggregate over the ≤|vocab| relation.  The gate
+    computes thresholds via a collected doc-id array (bounded here); at
+    100 TB ranks come from a distributed sort — the curve's semantics
+    do not change."""
+    docs = load(spark, sf_dir, "documents")
+    ids = docs.agg(
+        F.expr("sort_array(collect_list(doc_id))").alias("ids"),
+        F.count(F.lit(1)).alias("n_docs"),
+    )
+    thr = ids.select(
+        "n_docs",
+        *[
+            F.expr(
+                f"element_at(ids, cast(ceil(n_docs * {k} / 16.0) as int))"
+            ).alias(f"t{k}")
+            for k in _VOCAB_GROWTH_FRACS
+        ],
+    )
+    first = (
+        docs.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+        .groupBy("term")
+        .agg(F.min("doc_id").alias("first_doc"))
+    )
+    counts = first.crossJoin(F.broadcast(thr)).agg(
+        F.max("n_docs").alias("n_docs"),
+        *[
+            F.sum(
+                F.when(F.col("first_doc") <= F.col(f"t{k}"), 1).otherwise(0)
+            ).alias(f"v{k}")
+            for k in _VOCAB_GROWTH_FRACS
+        ],
+        *[F.max(f"t{k}").alias(f"m{k}") for k in _VOCAB_GROWTH_FRACS],
+    )
+    rows = None
+    for k in _VOCAB_GROWTH_FRACS:
+        row = counts.select(
+            F.lit(k).alias("sixteenth"),
+            F.expr(f"cast(ceil(n_docs * {k} / 16.0) as bigint)").alias(
+                "checkpoint_docs"
+            ),
+            F.col(f"m{k}").alias("threshold_doc_id"),
+            F.col(f"v{k}").alias("vocab_size"),
+        )
+        rows = row if rows is None else rows.unionByName(row)
+    return rows.orderBy("sixteenth")
+
+
+def _vocab_growth_oracle() -> str:
+    ks = ", ".join(str(k) for k in _VOCAB_GROWTH_FRACS)
+    return f"""
+WITH ids AS (
+    SELECT list(doc_id ORDER BY doc_id) AS ids, count(*) AS n_docs
+    FROM documents
+), first AS (
+    SELECT term, min(doc_id) AS first_doc FROM (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+    ) GROUP BY term
+), ck AS (
+    SELECT k.k AS sixteenth,
+           CAST(ceil(ids.n_docs * k.k / 16.0) AS BIGINT) AS checkpoint_docs,
+           ids.ids[CAST(ceil(ids.n_docs * k.k / 16.0) AS BIGINT)]
+               AS threshold_doc_id
+    FROM ids, (SELECT unnest([{ks}]) AS k) k
+)
+SELECT ck.sixteenth, ck.checkpoint_docs, ck.threshold_doc_id,
+       CAST((SELECT count(*) FROM first
+             WHERE first.first_doc <= ck.threshold_doc_id) AS BIGINT)
+           AS vocab_size
+FROM ck
+ORDER BY ck.sixteenth
+"""
+
+
+ORACLE_vocab_growth = _vocab_growth_oracle()

@@ -713,6 +713,14 @@ _ENTRIES: list[tuple[str, QueryFn, str | None]] = [
         r.orders_basket_affinity,
         r.ORACLE_orders_basket_affinity,
     ),
+    # X23: Heaps-law vocabulary growth curve at /16 checkpoints
+    ("vocab_growth", cu.vocab_growth, cu.ORACLE_vocab_growth),
+    # A58: DAU / trailing-30d MAU stickiness (exact overlapping distinct)
+    (
+        "events_stickiness",
+        bh.events_stickiness,
+        bh.ORACLE_events_stickiness,
+    ),
 ]
 
 # ----------------------------------------------------------------------

@@ -882,3 +882,60 @@ def test_basket_affinity_matches_pandas(spark):
         for r in orders_basket_affinity(spark, SF).collect()
     }
     assert got == expected
+
+
+# -------------------------------------------------------- vocab growth --
+def test_vocab_growth_matches_python(spark):
+    import pandas as pd
+
+    from project_obsidian_core_spark.plans.curation_queries import (
+        _VOCAB_GROWTH_FRACS,
+        vocab_growth,
+    )
+
+    docs = pd.read_parquet(f"{SF}/documents.parquet").sort_values("doc_id")
+    n = len(docs)
+    ids = docs.doc_id.to_list()
+    first = {}
+    for did, text in zip(docs.doc_id, docs.text):
+        for t in text.split(" "):
+            if t not in first or did < first[t]:
+                first[t] = did
+    got = {r["sixteenth"]: r for r in vocab_growth(spark, SF).collect()}
+    prev_v = 0
+    for k in _VOCAB_GROWTH_FRACS:
+        c = math.ceil(n * k / 16.0)
+        thr = ids[c - 1]
+        v = sum(1 for d in first.values() if d <= thr)
+        r = got[k]
+        assert r["checkpoint_docs"] == c
+        assert r["threshold_doc_id"] == thr
+        assert r["vocab_size"] == v
+        assert v >= prev_v  # monotone growth
+        prev_v = v
+
+
+# ---------------------------------------------------------- stickiness --
+def test_stickiness_matches_pandas(spark):
+    import pandas as pd
+
+    from project_obsidian_core_spark.plans.behavior_queries import (
+        _STICKY_WINDOW_DAYS,
+        events_stickiness,
+    )
+
+    ev = pd.read_parquet(f"{SF}/events.parquet")
+    # parquet timestamps land as datetime64[us] in pandas — go through a
+    # Timedelta division rather than a unit-dependent int cast
+    ev["day"] = (ev.ts - pd.Timestamp(0)) // pd.Timedelta(days=1)
+    ud = ev[["user_id", "day"]].drop_duplicates()
+    got = {r["day"]: r for r in events_stickiness(spark, SF).collect()}
+    for d in sorted(ud.day.unique()):
+        dau = ud[ud.day == d].user_id.nunique()
+        mau = ud[
+            (ud.day <= d) & (ud.day > d - _STICKY_WINDOW_DAYS)
+        ].user_id.nunique()
+        r = got[d]
+        assert (r["dau"], r["mau"]) == (dau, mau)
+        assert r["stickiness_ppm"] == dau * 1_000_000 // mau
+        assert r["stickiness_ppm"] <= 1_000_000
