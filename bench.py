@@ -297,6 +297,10 @@ BENCH_QUERIES = [
     "orders_basket_affinity",  # R25 market-basket lift, support floor (r10)
     "vocab_growth",           # X23 Heaps-law vocabulary curve (r10)
     "events_stickiness",      # A58 DAU/MAU exact sliding distinct (r10)
+    "dedup_threshold_sweep",  # D22 Jaccard operating curve (r10)
+    "events_trigram_paths",   # A59 second-order path top-k (r10)
+    "embedding_outliers",     # N18 centroid-distance outliers (r10)
+    "dedup_family_histogram",  # D23 family-size distribution (r10)
     "events_discovery_timeline",  # exact running-distinct breakpoints
     "dedup_prefix_clusters",  # provably complete near-dup clusters
     # stream_cdc_merge is timed via _time_cdc_merge below (merge work

@@ -548,3 +548,47 @@ SELECT dau.day, dau.dau, mau.mau,
 FROM dau JOIN mau ON dau.day = mau.day
 ORDER BY dau.day
 """
+
+
+# ---------------------------------- A59: top length-3 behavior paths -----
+_TRIGRAM_TOPK = 20
+
+
+def events_trigram_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A59: the most common length-3 action paths — second-order
+    sequence structure the A40 first-order matrix marginalizes away
+    (a→b→a loops vs a→b→c progressions read identically to a Markov
+    matrix, completely differently to a product flow).  Two lag windows
+    over the same (user → ts, event_id) total order the A40 plan
+    already pays, a ≤|types|³ aggregate, TakeOrdered top-k with
+    count-desc/path-asc determinism.
+    """
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    tri = ev.select(
+        F.lag("event_type", 2).over(w).alias("s1"),
+        F.lag("event_type", 1).over(w).alias("s2"),
+        F.col("event_type").alias("s3"),
+    ).filter(F.col("s1").isNotNull())
+    return (
+        tri.groupBy("s1", "s2", "s3")
+        .agg(F.count(F.lit(1)).alias("n_paths"))
+        .orderBy(F.desc("n_paths"), "s1", "s2", "s3")
+        .limit(_TRIGRAM_TOPK)
+    )
+
+
+ORACLE_events_trigram_paths = f"""
+WITH tri AS (
+    SELECT lag(event_type, 2) OVER w AS s1,
+           lag(event_type, 1) OVER w AS s2,
+           event_type AS s3
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT s1, s2, s3, CAST(count(*) AS BIGINT) AS n_paths
+FROM tri WHERE s1 IS NOT NULL
+GROUP BY 1, 2, 3
+ORDER BY n_paths DESC, s1, s2, s3
+LIMIT {_TRIGRAM_TOPK}
+"""

@@ -2464,3 +2464,204 @@ FROM a
 
 
 ORACLE_knn_assortativity = _assortativity_oracle()
+
+
+# ---------------------- D22: near-dup threshold sweep (operating curve) --
+_SWEEP_PERMILLE = (100, 200, 300, 400, 500, 600, 700, 800, 900)
+
+
+def dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D22: the near-dup OPERATING CURVE — how many verified candidate
+    pairs survive each Jaccard threshold from 0.1 to 0.9, computed from
+    ONE LSH candidate pass.  The report a curation run reads before
+    committing a dedup threshold: the knee of this curve separates the
+    true near-dup mass from the long similarity tail, and sweeping it
+    from the already-verified pairs costs one conditional aggregate —
+    not nine dedup runs.
+
+    Exactness: thresholds compare CROSS-MULTIPLIED integers
+    (|A∩B|·1000 ≥ t·|A∪B|), never a float-vs-literal compare, so the
+    curve is bit-stable at every t.  One candidate join (the D2
+    machinery), one 9-way conditional aggregate over the pair relation.
+    """
+    docs = load(spark, sf_dir, "documents")
+    sh = docs.select(
+        "doc_id", D.shingle_set("text").alias("sh")
+    )
+    pairs = (
+        D.minhash_candidates(docs)
+        .select("doc_a", "doc_b")
+        .join(sh.select(F.col("doc_id").alias("doc_a"),
+                        F.col("sh").alias("sh_a")), "doc_a")
+        .join(sh.select(F.col("doc_id").alias("doc_b"),
+                        F.col("sh").alias("sh_b")), "doc_b")
+        .select(
+            F.size(F.array_intersect("sh_a", "sh_b")).cast("long").alias("i"),
+            F.size(F.array_union("sh_a", "sh_b")).cast("long").alias("u"),
+        )
+    )
+    agg = pairs.agg(
+        F.count(F.lit(1)).alias("n_candidates"),
+        *[
+            F.sum(
+                F.when(F.col("i") * 1000 >= F.lit(t) * F.col("u"), 1).otherwise(0)
+            ).alias(f"n{t}")
+            for t in _SWEEP_PERMILLE
+        ],
+    )
+    rows = None
+    for t in _SWEEP_PERMILLE:
+        row = agg.select(
+            F.lit(t).alias("threshold_permille"),
+            F.col("n_candidates"),
+            F.col(f"n{t}").alias("n_pairs_at_or_above"),
+        )
+        rows = row if rows is None else rows.unionByName(row)
+    return rows.orderBy("threshold_permille")
+
+
+def _threshold_sweep_oracle() -> str:
+    # reuse the minhash candidate CTE chain, then sweep on exact ints
+    body = _minhash_oracle()
+    prefix, _, _ = body.partition("\nSELECT c.doc_a")
+    ts = ", ".join(str(t) for t in _SWEEP_PERMILLE)
+    return f"""{prefix},
+ps AS (
+    SELECT CAST(len(list_intersect(sa.sh, sb.sh)) AS BIGINT) AS i,
+           CAST(len(list_distinct(sa.sh || sb.sh)) AS BIGINT) AS u
+    FROM cand c
+    JOIN t sa ON sa.doc_id = c.doc_a
+    JOIN t sb ON sb.doc_id = c.doc_b
+), agg AS (
+    SELECT count(*) AS n_candidates FROM ps
+)
+SELECT k.t AS threshold_permille,
+       agg.n_candidates,
+       CAST((SELECT count(*) FROM ps WHERE ps.i * 1000 >= k.t * ps.u)
+            AS BIGINT) AS n_pairs_at_or_above
+FROM (SELECT unnest([{ts}]) AS t) k, agg
+ORDER BY threshold_permille
+"""
+
+
+ORACLE_dedup_threshold_sweep = _threshold_sweep_oracle()
+
+
+# ------------------------- N18: centroid-distance embedding outliers -----
+_OUTLIER_TOPK = 20
+
+
+def embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N18: the corpus's farthest-from-centroid vectors — top-20 by
+    EXACT integer squared distance to the quantized mean vector, the
+    outlier screen run before trusting kNN/cluster structure (a handful
+    of far-out vectors distort IVF cells and poison diversity samples;
+    these are the rows a curation pass eyeballs).  Composes N15: the
+    centroid is the per-dimension integer mean the dim-stats operator
+    already proves, broadcast as one 64-long array; distance² =
+    Σ(qᵢ−μᵢ)² stays int64 (|q−μ| ≤ ~2·10⁶ ⇒ per-dim ≤ 4·10¹², ×64
+    ≤ 3·10¹⁴); TakeOrdered top-k, ties to vec_id.
+    """
+    emb = load(spark, sf_dir, "embeddings")
+    q = (
+        "transform(embedding,"
+        " v -> cast(floor(cast(v as double) * 1000000.0) as bigint))"
+    )
+    ex = emb.select("vec_id", F.expr(q).alias("q")).select(
+        "vec_id", F.posexplode("q").alias("dim", "qv")
+    )
+    mean = ex.groupBy("dim").agg(
+        F.expr("sum(qv) div count(1)").alias("mu")
+    )
+    return (
+        ex.join(F.broadcast(mean), "dim")
+        .groupBy("vec_id")
+        .agg(
+            F.sum(
+                (F.col("qv") - F.col("mu")) * (F.col("qv") - F.col("mu"))
+            ).alias("dist2_micro2")
+        )
+        .orderBy(F.desc("dist2_micro2"), "vec_id")
+        .limit(_OUTLIER_TOPK)
+    )
+
+
+ORACLE_embedding_outliers = f"""
+WITH ex AS (
+    SELECT vec_id, g.i - 1 AS dim,
+           CAST(floor(CAST(embedding[g.i] AS DOUBLE) * 1000000) AS BIGINT) AS qv
+    FROM embeddings,
+         unnest(generate_series(1, {_EMB_DIM})) AS g(i)
+), mu AS (
+    SELECT dim, CAST(sum(qv) AS BIGINT) // count(*) AS mu
+    FROM ex GROUP BY 1
+)
+SELECT ex.vec_id,
+       CAST(sum((ex.qv - mu.mu) * (ex.qv - mu.mu)) AS BIGINT) AS dist2_micro2
+FROM ex JOIN mu ON ex.dim = mu.dim
+GROUP BY ex.vec_id
+ORDER BY dist2_micro2 DESC, ex.vec_id
+LIMIT {_OUTLIER_TOPK}
+"""
+
+
+# ------------------------ D23: near-dup family-size distribution ---------
+def dedup_family_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D23: how the near-dup mass is SHAPED — the family-size
+    distribution of the D6 transitive clusters (pairs = 2, small
+    families 3-10, boilerplate 11+), with per-band family counts, doc
+    counts, and removable-doc counts (family size − 1 keeper each).
+    Pair counts alone hide shape: 1000 pairs can be 1000 independent
+    twins (benign) or one 1001-doc template family (a systemic source
+    problem); this is the report that tells them apart, and the
+    removable column IS the dedup savings estimate.
+
+    Composability gate: the cluster relation is the gated D6 operator
+    verbatim; the histogram is two aggregates on top (sizes per
+    cluster, then per band) — ≤|clusters| rows after the first.
+    """
+    pairs = D.minhash_candidates(load(spark, sf_dir, "documents")).filter(
+        F.col("jaccard") >= 0.1
+    )
+    cc = D.connected_components(pairs)
+    sizes = cc.groupBy("cluster").agg(F.count(F.lit(1)).alias("sz"))
+    band = (
+        F.when(F.col("sz") <= 2, F.lit("2"))
+        .when(F.col("sz") <= 10, F.lit("3-10"))
+        .otherwise(F.lit("11+"))
+    )
+    return (
+        sizes.select(band.alias("family_size_band"), "sz")
+        .groupBy("family_size_band")
+        .agg(
+            F.count(F.lit(1)).alias("n_families"),
+            F.sum("sz").alias("n_docs"),
+            F.sum(F.col("sz") - 1).alias("n_removable"),
+        )
+        .orderBy("family_size_band")
+    )
+
+
+def _family_histogram_oracle() -> str:
+    body = ORACLE_dedup_clusters.rsplit("ORDER BY doc_id", 1)[0]
+    prefix, _, tail = body.rpartition("\nSELECT node AS doc_id")
+    return f"""{prefix},
+cc_final AS (
+    SELECT node AS doc_id{tail}
+), sizes AS (
+    SELECT cluster, CAST(count(*) AS BIGINT) AS sz
+    FROM cc_final GROUP BY cluster
+)
+SELECT CASE WHEN sz <= 2 THEN '2'
+            WHEN sz <= 10 THEN '3-10'
+            ELSE '11+' END AS family_size_band,
+       count(*) AS n_families,
+       CAST(sum(sz) AS BIGINT) AS n_docs,
+       CAST(sum(sz - 1) AS BIGINT) AS n_removable
+FROM sizes
+GROUP BY 1
+ORDER BY family_size_band
+"""
+
+
+ORACLE_dedup_family_histogram = _family_histogram_oracle()

@@ -721,6 +721,26 @@ _ENTRIES: list[tuple[str, QueryFn, str | None]] = [
         bh.events_stickiness,
         bh.ORACLE_events_stickiness,
     ),
+    # D22: Jaccard operating curve from one verified candidate pass
+    (
+        "dedup_threshold_sweep",
+        d.dedup_threshold_sweep,
+        d.ORACLE_dedup_threshold_sweep,
+    ),
+    # A59: second-order path structure the first-order matrix hides
+    (
+        "events_trigram_paths",
+        bh.events_trigram_paths,
+        bh.ORACLE_events_trigram_paths,
+    ),
+    # N18: farthest-from-centroid vectors (exact int distance², N15 composed)
+    ("embedding_outliers", d.embedding_outliers, d.ORACLE_embedding_outliers),
+    # D23: family-size histogram over the gated D6 clusters
+    (
+        "dedup_family_histogram",
+        d.dedup_family_histogram,
+        d.ORACLE_dedup_family_histogram,
+    ),
 ]
 
 # ----------------------------------------------------------------------

@@ -939,3 +939,102 @@ def test_stickiness_matches_pandas(spark):
         assert (r["dau"], r["mau"]) == (dau, mau)
         assert r["stickiness_ppm"] == dau * 1_000_000 // mau
         assert r["stickiness_ppm"] <= 1_000_000
+
+
+# ----------------------------------------------------- threshold sweep --
+def test_threshold_sweep_monotone_and_bounded(spark):
+    from project_obsidian_core_spark.plans.datapipe_queries import (
+        dedup_threshold_sweep,
+    )
+
+    rows = dedup_threshold_sweep(spark, SF).collect()
+    assert [r["threshold_permille"] for r in rows] == list(range(100, 1000, 100))
+    counts = [r["n_pairs_at_or_above"] for r in rows]
+    assert all(a >= b for a, b in zip(counts, counts[1:]))  # monotone down
+    assert all(c <= rows[0]["n_candidates"] for c in counts)
+
+
+# -------------------------------------------------------- trigram paths --
+def test_trigram_paths_hand_checked(spark):
+    import project_obsidian_core_spark.plans.behavior_queries as bq
+
+    rows = [
+        (1, 10, "2024-01-01 00:00:00", "a", 0.0, "{}"),
+        (2, 10, "2024-01-01 00:01:00", "b", 0.0, "{}"),
+        (3, 10, "2024-01-01 00:02:00", "a", 0.0, "{}"),
+        (4, 10, "2024-01-01 00:03:00", "b", 0.0, "{}"),
+        (5, 20, "2024-01-01 00:00:00", "a", 0.0, "{}"),
+        (6, 20, "2024-01-01 00:01:00", "b", 0.0, "{}"),
+        (7, 20, "2024-01-01 00:02:00", "a", 0.0, "{}"),
+    ]
+    df = (
+        spark.createDataFrame(
+            rows,
+            "event_id long, user_id long, ts_s string, event_type string,"
+            " value double, props string",
+        )
+        .selectExpr("event_id", "user_id", "cast(ts_s as timestamp) as ts",
+                    "event_type", "value", "props")
+    )
+    real = bq.load
+    bq.load = lambda s, d, t: df
+    try:
+        got = {
+            (r["s1"], r["s2"], r["s3"]): r["n_paths"]
+            for r in bq.events_trigram_paths(spark, "unused").collect()
+        }
+    finally:
+        bq.load = real
+    # user10: aba, bab; user20: aba  -> aba x2, bab x1
+    assert got == {("a", "b", "a"): 2, ("b", "a", "b"): 1}
+
+
+# --------------------------------------------------------- outliers ----
+def test_embedding_outliers_matches_numpy(spark):
+    import numpy as np
+    import pandas as pd
+
+    from project_obsidian_core_spark.plans.datapipe_queries import (
+        _OUTLIER_TOPK,
+        embedding_outliers,
+    )
+
+    emb = pd.read_parquet(f"{SF}/embeddings.parquet")
+    mat = np.stack(emb.embedding.to_numpy())
+    q = np.floor(mat.astype("float64") * 1_000_000).astype("int64")
+    s = q.sum(axis=0)
+    n = q.shape[0]
+    mu = np.abs(s) // n * np.sign(s)  # truncating div, matching engines
+    d2 = ((q - mu) ** 2).sum(axis=1)
+    order = sorted(range(n), key=lambda i: (-d2[i], emb.vec_id.iloc[i]))
+    expected = [
+        (int(emb.vec_id.iloc[i]), int(d2[i])) for i in order[:_OUTLIER_TOPK]
+    ]
+    got = [
+        (r["vec_id"], r["dist2_micro2"])
+        for r in embedding_outliers(spark, SF).collect()
+    ]
+    assert got == expected
+
+
+# ----------------------------------------------------- family histogram --
+def test_family_histogram_consistent_with_clusters(spark):
+    from project_obsidian_core_spark.plans.datapipe_queries import (
+        dedup_clusters,
+        dedup_family_histogram,
+    )
+
+    cl = dedup_clusters(spark, SF).collect()
+    sizes = {}
+    for r in cl:
+        sizes[r["cluster"]] = sizes.get(r["cluster"], 0) + 1
+    bands = {}
+    for sz in sizes.values():
+        b = "2" if sz <= 2 else ("3-10" if sz <= 10 else "11+")
+        fam, docs, rem = bands.get(b, (0, 0, 0))
+        bands[b] = (fam + 1, docs + sz, rem + sz - 1)
+    got = {
+        r["family_size_band"]: (r["n_families"], r["n_docs"], r["n_removable"])
+        for r in dedup_family_histogram(spark, SF).collect()
+    }
+    assert got == bands
