@@ -720,3 +720,61 @@ def test_rrf_fusion_is_one_outer_join_one_window(spark):
     plan = _plan(df)
     assert "CartesianProduct" not in plan
     assert "FullOuter" in plan or "full_outer" in plan.lower(), plan
+
+
+def test_trigram_paths_single_window_take_ordered(spark):
+    """A59: both lags share ONE user-keyed window sort; the top-k is
+    TakeOrdered, never a global sort of the full path relation."""
+    from project_obsidian_core_spark.plans import behavior_queries as bq
+
+    ev = _metric_df(spark).selectExpr(
+        "user_id", "event_type", "ts",
+        "monotonically_increasing_id() as event_id", "value", "'{}' as props"
+    )
+    real = bq.load
+    bq.load = lambda s, d, t: ev
+    try:
+        plan = _plan(bq.events_trigram_paths(spark, "unused"))
+    finally:
+        bq.load = real
+    assert plan.count("Window") == 1, plan
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_embedding_outliers_mean_broadcasts(spark):
+    """N18: the 64-row centroid relation must broadcast onto the explode
+    — a shuffled join here would re-key the full exploded corpus."""
+    from project_obsidian_core_spark.plans import datapipe_queries as dq
+
+    emb = spark.createDataFrame(
+        [(i, [float(i % 7) / 10 - 0.3] * 8) for i in range(50)],
+        "vec_id long, embedding array<float>",
+    )
+    plan = _with_fake_load(
+        dq, emb, lambda: dq.embedding_outliers(spark, "unused")
+    )
+    assert "BroadcastHashJoin" in plan, plan
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_stickiness_fans_out_reduced_relation_only(spark):
+    """A58: the 30x fan-out explodes the DISTINCT (user, day) relation,
+    never the raw event corpus — the Generate must sit above a
+    distinct aggregate, and the plan stays python-free."""
+    from project_obsidian_core_spark.plans import behavior_queries as bq
+
+    ev = _metric_df(spark).selectExpr(
+        "user_id", "event_type", "ts",
+        "monotonically_increasing_id() as event_id", "value", "'{}' as props"
+    )
+    real = bq.load
+    bq.load = lambda s, d, t: ev
+    try:
+        plan = _plan(bq.events_stickiness(spark, "unused"))
+    finally:
+        bq.load = real
+    assert "Generate explode" in plan or "Generate" in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    # the explode's child chain must include the distinct aggregate
+    gen_pos = plan.find("Generate")
+    assert "HashAggregate" in plan[gen_pos:], plan
