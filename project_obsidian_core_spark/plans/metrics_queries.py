@@ -1415,15 +1415,23 @@ def metric_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             "transform(sort_array(collect_list(struct(x, y))), s -> s.y)"
         ).alias("ys")
     )
-    sgn = arr.select(
+    med = arr.select(
+        "metric_name",
+        "ys",
+        # hoist the median OUT of the per-element lambda: inlined, the
+        # sort_array re-evaluates per element (O(H² log H)/series — fine
+        # at gate hours, wasteful at a long retention window)
+        F.expr(
+            "element_at(sort_array(ys), cast(ceil(size(ys) / 2.0) as int))"
+        ).alias("med"),
+    )
+    sgn = med.select(
         "metric_name",
         F.size("ys").alias("n_buckets"),
         F.expr(
             "filter(transform(ys, y -> CASE"
-            " WHEN y > element_at(sort_array(ys),"
-            "                     cast(ceil(size(ys) / 2.0) as int)) THEN 1"
-            " WHEN y < element_at(sort_array(ys),"
-            "                     cast(ceil(size(ys) / 2.0) as int)) THEN -1"
+            " WHEN y > med THEN 1"
+            " WHEN y < med THEN -1"
             " ELSE 0 END), s -> s != 0)"
         ).alias("signs"),
     )
