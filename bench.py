@@ -301,6 +301,12 @@ BENCH_QUERIES = [
     "events_trigram_paths",   # A59 second-order path top-k (r10)
     "embedding_outliers",     # N18 centroid-distance outliers (r10)
     "dedup_family_histogram",  # D23 family-size distribution (r10)
+    "lineitem_disjunctive_revenue",  # R26 Q19-shaped OR brackets (r10b)
+    "customer_order_gaps",    # R27 purchase-cadence histogram (r10b)
+    "events_burstiness",      # A60 Fano index of dispersion (r10b)
+    "events_user_diversity",  # A61 Simpson behavioral diversity (r10b)
+    "metric_xcorr",           # A62 signed-lag lead/lag xcorr (r10b)
+    "metric_days_to_threshold",  # A63 capacity-exhaustion ETA (r10b)
     "events_discovery_timeline",  # exact running-distinct breakpoints
     "dedup_prefix_clusters",  # provably complete near-dup clusters
     # stream_cdc_merge is timed via _time_cdc_merge below (merge work

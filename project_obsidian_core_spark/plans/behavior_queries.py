@@ -592,3 +592,134 @@ GROUP BY 1, 2, 3
 ORDER BY n_paths DESC, s1, s2, s3
 LIMIT {_TRIGRAM_TOPK}
 """
+
+
+# ----------------------------------------------- A60: arrival burstiness
+def events_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A60: index of dispersion (Fano factor) of per-minute arrival
+    counts, per event type — the bursty-vs-Poisson screen behind alert
+    throttling and capacity head-room sizing (Fano ≈ 1 = memoryless
+    arrivals; ≫ 1 = batched/bursty traffic that needs peak, not mean,
+    provisioning).
+
+    Empty minutes COUNT: the statistic is defined over every minute of
+    the type's own [first, last] span.  They are never materialized —
+    with span = max−min+1 buckets, N events and Σc² over the non-zero
+    buckets only (zeros contribute nothing), var·span² = span·Σc² − N²,
+    so fano = var/mean = (span·Σc² − N²) / (span·N): two group-bys on
+    the SAME key (minute rollup, then type fold), one corpus shuffle,
+    |types| output rows, all moments exact int64 (Σc² ≤ N² ≤ 10¹⁰ at
+    sf0.1; span ≤ 10⁶ minutes keeps span·Σc² well inside int64 — the
+    bound is span·N², ~10¹⁶ at sf0.1-scale corpora).  The only float is
+    the final ratio chain per OUTPUT row.
+    """
+    ev = load(spark, sf_dir, "events").select(
+        "event_type", F.expr("unix_micros(ts) div 60000000").alias("minute")
+    )
+    per_min = ev.groupBy("event_type", "minute").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    agg = per_min.groupBy("event_type").agg(
+        F.sum("c").alias("n_events"),
+        F.sum(F.col("c") * F.col("c")).alias("sum_c2"),
+        (F.max("minute") - F.min("minute") + 1).alias("span_min"),
+        F.count(F.lit(1)).alias("n_active_min"),
+    )
+    var_num = F.col("span_min") * F.col("sum_c2") - F.col(
+        "n_events"
+    ) * F.col("n_events")
+    return agg.select(
+        "event_type",
+        "n_events",
+        "span_min",
+        "n_active_min",
+        "sum_c2",
+        var_num.alias("var_num"),
+        (
+            var_num.cast("double")
+            / (F.col("span_min") * F.col("n_events")).cast("double")
+        ).alias("fano"),
+    ).orderBy("event_type")
+
+
+ORACLE_events_burstiness = """
+WITH pm AS (
+    SELECT event_type, epoch_us(ts) // 60000000 AS minute,
+           CAST(count(*) AS BIGINT) AS c
+    FROM events GROUP BY 1, 2
+), a AS (
+    SELECT event_type,
+           CAST(sum(c) AS BIGINT) AS n_events,
+           CAST(sum(c * c) AS BIGINT) AS sum_c2,
+           max(minute) - min(minute) + 1 AS span_min,
+           count(*) AS n_active_min
+    FROM pm GROUP BY 1
+)
+SELECT event_type, n_events, span_min, n_active_min, sum_c2,
+       CAST(span_min * sum_c2 - n_events * n_events AS BIGINT) AS var_num,
+       CAST(span_min * sum_c2 - n_events * n_events AS DOUBLE)
+           / CAST(span_min * n_events AS DOUBLE) AS fano
+FROM a
+ORDER BY event_type
+"""
+
+
+# -------------------------------------- A61: behavioral diversity (Simpson)
+def events_user_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A61: per-user behavioral diversity via the Simpson concentration
+    Σp² — the engagement-breadth profile (single-habit vs explorer
+    users) that segmentation and recommendation-cold-start rules key
+    on.  Simpson is the RATIONAL diversity index: unlike Shannon
+    entropy it needs no ln() (whose last ulp differs between the JVM
+    and DuckDB libm — the PSI lesson), so concentration hashes as an
+    exact ppm integer: simpson_ppm = 10⁶·Σc² div N².  The effective
+    type count (inverse Simpson, 'how many event types does this user
+    effectively use') is one float division per OUTPUT row.
+
+    Plan: two group-bys on the same leading key (user,type → user), one
+    corpus shuffle, ≤|users| output rows.  Σc²·10⁶ ≤ 10⁶·N_u² — safe
+    while any single user stays under ~3·10⁶ events; guard documented.
+    """
+    ev = load(spark, sf_dir, "events").select("user_id", "event_type")
+    per_type = ev.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    agg = per_type.groupBy("user_id").agg(
+        F.sum("c").alias("n_events"),
+        F.sum(F.col("c") * F.col("c")).alias("sum_c2"),
+        F.count(F.lit(1)).alias("n_types"),
+    )
+    return agg.select(
+        "user_id",
+        "n_events",
+        "n_types",
+        "sum_c2",
+        F.expr("sum_c2 * 1000000 div (n_events * n_events)").alias(
+            "simpson_ppm"
+        ),
+        (
+            (F.col("n_events") * F.col("n_events")).cast("double")
+            / F.col("sum_c2").cast("double")
+        ).alias("effective_types"),
+    ).orderBy("user_id")
+
+
+ORACLE_events_user_diversity = """
+WITH pt AS (
+    SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS c
+    FROM events GROUP BY 1, 2
+), a AS (
+    SELECT user_id,
+           CAST(sum(c) AS BIGINT) AS n_events,
+           CAST(sum(c * c) AS BIGINT) AS sum_c2,
+           count(*) AS n_types
+    FROM pt GROUP BY 1
+)
+SELECT user_id, n_events, n_types, sum_c2,
+       CAST(sum_c2 * 1000000 // (n_events * n_events) AS BIGINT)
+           AS simpson_ppm,
+       CAST(n_events * n_events AS DOUBLE) / CAST(sum_c2 AS DOUBLE)
+           AS effective_types
+FROM a
+ORDER BY user_id
+"""

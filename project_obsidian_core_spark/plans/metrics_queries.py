@@ -1511,3 +1511,263 @@ SELECT metric_name, n_buckets, n_plus, n_minus, n_runs,
 FROM counted
 ORDER BY metric_name
 """
+
+
+# ------------------------------------- A62: lead/lag cross-correlation --
+#: signed-lag band for the cross-correlation scan (minutes)
+_XCORR_MAX_LAG = 3
+
+
+def metric_xcorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A62: SIGNED-lag cross-correlation between every metric-series
+    pair on the minute grid — the lead/lag detector ("disk latency
+    moves 2 minutes AFTER buffer misses") that turns the A37 co-movement
+    matrix into a causal-direction screen: the lag with the peak |xcorr|
+    says which series LEADS.  Lag 0 reproduces A37's Pearson exactly —
+    a built-in cross-operator consistency check.
+
+    Same exact-int idiom as A37/A48 (min-centered dollar-quantized
+    values, five int64 moment sums per (pair, lag), one float sqrt per
+    OUTPUT row).  The lag rides INSIDE the equi-join key (the A48
+    lesson, plan-pinned there): each left row explodes to the 2L+1
+    signed lags and joins on the SHIFTED bucket — fan-out exactly
+    (2L+1)·|metrics|/bucket, never a band-predicate B² degeneration.
+    Output is |pairs|·(2L+1) rows regardless of corpus size.
+    """
+    from pyspark.sql import Window
+
+    m = synthesize_metrics(spark, sf_dir).select(
+        "metric_name",
+        F.expr("unix_micros(time) div 60000000").alias("bucket"),
+        F.col("metric_value").alias("v"),
+    )
+    per_bucket = m.groupBy("metric_name", "bucket").agg(F.sum("v").alias("y"))
+    w = Window.partitionBy("metric_name")
+    c = per_bucket.select(
+        "metric_name", "bucket", (F.col("y") - F.min("y").over(w)).alias("yc0")
+    ).select("metric_name", "bucket", F.expr("yc0 div 100").alias("yc"))
+    a = c.select(
+        F.col("metric_name").alias("metric_a"),
+        F.col("yc").alias("ya"),
+        F.explode(
+            F.expr(f"sequence(-{_XCORR_MAX_LAG}, {_XCORR_MAX_LAG})")
+        ).alias("lag"),
+        "bucket",
+    ).select(
+        "metric_a", "ya", "lag", (F.col("bucket") + F.col("lag")).alias("bucket")
+    )
+    pairs = (
+        a.join(
+            c.select(
+                F.col("metric_name").alias("metric_b"),
+                "bucket",
+                F.col("yc").alias("yb"),
+            ),
+            "bucket",
+        )
+        .filter(F.col("metric_a") < F.col("metric_b"))
+        .select("metric_a", "metric_b", "lag", "ya", "yb")
+    )
+    agg = pairs.groupBy("metric_a", "metric_b", "lag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("ya").alias("sa"),
+        F.sum("yb").alias("sb"),
+        F.sum(F.col("ya") * F.col("yb")).alias("sab"),
+        F.sum(F.col("ya") * F.col("ya")).alias("saa"),
+        F.sum(F.col("yb") * F.col("yb")).alias("sbb"),
+    )
+    num = F.col("n") * F.col("sab") - F.col("sa") * F.col("sb")
+    dx = F.col("n") * F.col("saa") - F.col("sa") * F.col("sa")
+    dy = F.col("n") * F.col("sbb") - F.col("sb") * F.col("sb")
+    return agg.select(
+        "metric_a",
+        "metric_b",
+        "lag",
+        "n",
+        num.alias("xcorr_num"),
+        dx.alias("var_a_num"),
+        dy.alias("var_b_num"),
+        F.when(
+            (dx > 0) & (dy > 0),
+            num.cast("double") / F.sqrt(dx.cast("double") * dy.cast("double")),
+        ).alias("xcorr"),
+    ).orderBy("metric_a", "metric_b", "lag")
+
+
+ORACLE_metric_xcorr = f"""
+WITH m AS ({_SYN_SQL}),
+pb AS (
+    SELECT metric_name, epoch_us(time) // 60000000 AS bucket,
+           CAST(sum(metric_value) AS BIGINT) AS y
+    FROM m GROUP BY 1, 2
+), c AS (
+    SELECT metric_name, bucket,
+           (y - min(y) OVER (PARTITION BY metric_name)) // 100 AS yc
+    FROM pb
+), a AS (
+    SELECT metric_name AS metric_a, yc AS ya, g.l AS lag, bucket + g.l AS bucket
+    FROM c, unnest(generate_series(-{_XCORR_MAX_LAG}, {_XCORR_MAX_LAG})) AS g(l)
+), pairs AS (
+    SELECT a.metric_a, b.metric_name AS metric_b, a.lag, a.ya, b.yc AS yb
+    FROM a JOIN c b ON a.bucket = b.bucket AND a.metric_a < b.metric_name
+), agg AS (
+    SELECT metric_a, metric_b, lag, count(*) AS n,
+           CAST(sum(ya) AS BIGINT) AS sa, CAST(sum(yb) AS BIGINT) AS sb,
+           CAST(sum(ya * yb) AS BIGINT) AS sab,
+           CAST(sum(ya * ya) AS BIGINT) AS saa,
+           CAST(sum(yb * yb) AS BIGINT) AS sbb
+    FROM pairs GROUP BY 1, 2, 3
+)
+SELECT metric_a, metric_b, lag, n,
+       CAST(n * sab - sa * sb AS BIGINT) AS xcorr_num,
+       CAST(n * saa - sa * sa AS BIGINT) AS var_a_num,
+       CAST(n * sbb - sb * sb AS BIGINT) AS var_b_num,
+       CASE WHEN n * saa - sa * sa > 0 AND n * sbb - sb * sb > 0
+            THEN CAST(n * sab - sa * sb AS DOUBLE)
+                 / sqrt(CAST(n * saa - sa * sa AS DOUBLE)
+                        * CAST(n * sbb - sb * sb AS DOUBLE))
+            END AS xcorr
+FROM agg
+ORDER BY metric_a, metric_b, lag
+"""
+
+
+# ------------------------------ A63: linear days-to-threshold forecast --
+def metric_days_to_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A63: capacity-exhaustion ETA — for each rising metric series,
+    the days until its A36 least-squares trend line crosses one
+    observed-range ABOVE the observed peak (threshold = ymax + span,
+    i.e. 2·span in min-centered space) — the "disk full in N days"
+    forecast every capacity dashboard leads with, composed entirely
+    from the already-proven trend-ladder moments.
+
+    All moments are the A36 exact int64 set (minute-indexed x, cents y,
+    both min-centered); the forecast itself is a fixed per-OUTPUT-row
+    IEEE chain — slope = num/den, ŷ(x_last) = (Σy + slope·(n·x_last −
+    Σx))/n, days = (2·span − ŷ)·(1/slope)/1440 — identical operand
+    order both engines, so even the float columns hash bit-exact.
+    NULL when the trend is flat/declining (den=0 or num≤0): a
+    non-rising series never crosses.  One corpus shuffle (the shared
+    min-window + aggregate partitioning), |metrics| output rows.
+    """
+    from pyspark.sql import Window
+
+    m = synthesize_metrics(spark, sf_dir).select(
+        "metric_name",
+        F.expr("unix_micros(time) div 60000000").alias("xs"),
+        F.col("metric_value").alias("y"),
+    )
+    w = Window.partitionBy("metric_name")
+    c = m.select(
+        "metric_name",
+        (F.col("xs") - F.min("xs").over(w)).alias("x"),
+        (F.col("y") - F.min("y").over(w)).alias("yc"),
+    )
+    agg = c.groupBy("metric_name").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("yc").alias("sy"),
+        F.sum(F.col("x") * F.col("yc")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.max("x").alias("x_last"),
+        F.max("yc").alias("span_cents"),
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    staged = agg.select(
+        "metric_name",
+        "n",
+        "sx",
+        "sy",
+        "x_last",
+        "span_cents",
+        num.alias("slope_num"),
+        den.alias("slope_den"),
+        F.when(
+            den != 0, num.cast("double") / den.cast("double")
+        ).alias("slope_cents_per_min"),
+    ).select(
+        "metric_name",
+        "n",
+        "x_last",
+        "span_cents",
+        "slope_num",
+        "slope_den",
+        "slope_cents_per_min",
+        F.when(
+            F.col("slope_den") != 0,
+            (
+                F.col("sy").cast("double")
+                + F.col("slope_cents_per_min")
+                * (F.col("n") * F.col("x_last") - F.col("sx")).cast("double")
+            )
+            / F.col("n").cast("double"),
+        ).alias("yhat_last_cents"),
+    )
+    return staged.select(
+        "metric_name",
+        "n",
+        "x_last",
+        "span_cents",
+        "slope_num",
+        "slope_den",
+        "slope_cents_per_min",
+        "yhat_last_cents",
+        F.when(
+            (F.col("slope_den") != 0) & (F.col("slope_num") > 0),
+            (
+                (F.lit(2.0) * F.col("span_cents").cast("double"))
+                - F.col("yhat_last_cents")
+            )
+            / F.col("slope_cents_per_min")
+            / F.lit(1440.0),
+        ).alias("days_to_threshold"),
+    ).orderBy("metric_name")
+
+
+ORACLE_metric_days_to_threshold = f"""
+WITH m AS ({_SYN_SQL}),
+c AS (
+    SELECT metric_name,
+           epoch_us(time) // 60000000
+               - min(epoch_us(time) // 60000000) OVER (PARTITION BY metric_name)
+               AS x,
+           metric_value
+               - min(metric_value) OVER (PARTITION BY metric_name) AS yc
+    FROM m
+), a AS (
+    SELECT metric_name, count(*) AS n,
+           CAST(sum(x) AS BIGINT) AS sx, CAST(sum(yc) AS BIGINT) AS sy,
+           CAST(sum(x * yc) AS BIGINT) AS sxy,
+           CAST(sum(x * x) AS BIGINT) AS sxx,
+           max(x) AS x_last, max(yc) AS span_cents
+    FROM c GROUP BY metric_name
+), s AS (
+    SELECT metric_name, n, sx, sy, x_last, span_cents,
+           CAST(n * sxy - sx * sy AS BIGINT) AS slope_num,
+           CAST(n * sxx - sx * sx AS BIGINT) AS slope_den,
+           CASE WHEN n * sxx - sx * sx <> 0
+                THEN CAST(n * sxy - sx * sy AS DOUBLE)
+                     / CAST(n * sxx - sx * sx AS DOUBLE)
+           END AS slope_cents_per_min
+    FROM a
+), y AS (
+    SELECT metric_name, n, x_last, span_cents, slope_num, slope_den,
+           slope_cents_per_min,
+           CASE WHEN slope_den <> 0
+                THEN (CAST(sy AS DOUBLE)
+                      + slope_cents_per_min
+                        * CAST(n * x_last - sx AS DOUBLE))
+                     / CAST(n AS DOUBLE)
+           END AS yhat_last_cents
+    FROM s
+)
+SELECT metric_name, n, x_last, span_cents, slope_num, slope_den,
+       slope_cents_per_min, yhat_last_cents,
+       CASE WHEN slope_den <> 0 AND slope_num > 0
+            THEN ((2.0 * CAST(span_cents AS DOUBLE)) - yhat_last_cents)
+                 / slope_cents_per_min / 1440.0
+       END AS days_to_threshold
+FROM y
+ORDER BY metric_name
+"""

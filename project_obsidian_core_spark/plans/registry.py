@@ -741,6 +741,28 @@ _ENTRIES: list[tuple[str, QueryFn, str | None]] = [
         d.dedup_family_histogram,
         d.ORACLE_dedup_family_histogram,
     ),
+    # ------------------------------------------------------------------
+    # Block R10b — late round-10 additions (no official row yet).
+    # TPC-H Q19-shaped disjunctive brackets + purchase-cadence histogram
+    (
+        "lineitem_disjunctive_revenue",
+        r.lineitem_disjunctive_revenue,
+        r.ORACLE_lineitem_disjunctive_revenue,
+    ),
+    ("customer_order_gaps", r.customer_order_gaps, r.ORACLE_customer_order_gaps),
+    # Arrival burstiness (Fano) + Simpson behavioral diversity
+    ("events_burstiness", bh.events_burstiness, bh.ORACLE_events_burstiness),
+    (
+        "events_user_diversity",
+        bh.events_user_diversity,
+        bh.ORACLE_events_user_diversity,
+    ),    # Signed-lag cross-correlation (lead/lag) + days-to-threshold forecast
+    ("metric_xcorr", m.metric_xcorr, m.ORACLE_metric_xcorr),
+    (
+        "metric_days_to_threshold",
+        m.metric_days_to_threshold,
+        m.ORACLE_metric_days_to_threshold,
+    ),
 ]
 
 # ----------------------------------------------------------------------

@@ -1701,3 +1701,162 @@ JOIN pp y ON y.p = pr.p2
 CROSS JOIN no
 ORDER BY pr.p1, pr.p2
 """
+
+
+# ------------------------------------------------------------- Q19-shaped
+def lineitem_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19-shaped disjunctive-bracket revenue (R26): three
+    brand/size/quantity brackets OR-ed together, revenue per bracket in
+    the exact ``rev_e4`` integer recipe.
+
+    The classic Q19 optimization is expressed declaratively and left to
+    Catalyst: the OR-of-ANDs predicate references both sides, but its
+    HULL factors into per-side conjuncts — ``p_brand IN (…) AND p_size
+    BETWEEN 1 AND 35`` prunes the part scan and ``l_quantity BETWEEN 1
+    AND 30`` prunes the fact scan BEFORE the join (both reach
+    PushedFilters), so the broadcast hash join sees only candidate rows
+    and the residual disjunction runs on the joined slice.  At 100 TB
+    the fact-side quantity hull is the one that matters: it is a plain
+    min/max predicate parquet row-group stats can skip on.  Brackets are
+    brand-disjoint, so the CASE label is unambiguous.
+    """
+    part = load(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        "l_quantity",
+        (cents("l_extendedprice") * (100 - cents("l_discount"))).alias("rev_e4"),
+    )
+    j = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    b1 = (
+        (F.col("p_brand") == "Brand#5")
+        & F.col("p_size").between(1, 10)
+        & F.col("l_quantity").between(1, 11)
+    )
+    b2 = (
+        (F.col("p_brand") == "Brand#13")
+        & F.col("p_size").between(1, 20)
+        & F.col("l_quantity").between(10, 20)
+    )
+    b3 = (
+        (F.col("p_brand") == "Brand#19")
+        & F.col("p_size").between(1, 35)
+        & F.col("l_quantity").between(20, 30)
+    )
+    return (
+        j.filter(b1 | b2 | b3)
+        .select(
+            F.when(b1, F.lit("B1")).when(b2, F.lit("B2")).otherwise(
+                F.lit("B3")
+            ).alias("bracket"),
+            "rev_e4",
+        )
+        .groupBy("bracket")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum("rev_e4").alias("revenue_e4"),
+        )
+        .select(
+            "bracket",
+            "n_lines",
+            "revenue_e4",
+            (F.col("revenue_e4").cast("double") / 10000.0).alias("revenue"),
+        )
+        .orderBy("bracket")
+    )
+
+
+ORACLE_lineitem_disjunctive_revenue = """
+WITH j AS (
+    SELECT p_brand, p_size, l_quantity,
+           CAST(round(l_extendedprice * 100, 0) AS BIGINT)
+             * (100 - CAST(round(l_discount * 100, 0) AS BIGINT)) AS rev_e4
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+), lab AS (
+    SELECT CASE
+             WHEN p_brand = 'Brand#5'  AND p_size BETWEEN 1 AND 10
+                  AND l_quantity BETWEEN 1 AND 11 THEN 'B1'
+             WHEN p_brand = 'Brand#13' AND p_size BETWEEN 1 AND 20
+                  AND l_quantity BETWEEN 10 AND 20 THEN 'B2'
+             WHEN p_brand = 'Brand#19' AND p_size BETWEEN 1 AND 35
+                  AND l_quantity BETWEEN 20 AND 30 THEN 'B3'
+           END AS bracket, rev_e4
+    FROM j
+)
+SELECT bracket, count(*) AS n_lines,
+       CAST(sum(rev_e4) AS BIGINT) AS revenue_e4,
+       CAST(sum(rev_e4) AS DOUBLE) / 10000.0 AS revenue
+FROM lab WHERE bracket IS NOT NULL
+GROUP BY bracket
+ORDER BY bracket
+"""
+
+
+# -------------------------------------------------- R27: inter-order gaps
+def customer_order_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R27: purchase-cadence distribution — the gap in days between each
+    customer's consecutive orders, folded to a bounded week-binned
+    histogram (replenishment-cycle analytics; the batch shape behind
+    churn-risk "customer is N× past their usual gap" alerts).
+
+    Gaps come from one LAG window over (customer, order-date) — the
+    window partitioning IS the aggregation partitioning, so the corpus
+    shuffles once on o_custkey and the histogram fold is a ≤|bins|
+    relation.  Days index as exact ``epoch_us div 86400e6`` ints; ties
+    on the same date break by o_orderkey (the A38 total-order rule) and
+    contribute a 0-day gap.  Output is |bins| rows regardless of corpus
+    size.
+    """
+    from pyspark.sql import Window
+
+    o = load(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderkey",
+        F.expr("unix_micros(o_orderdate) div 86400000000").alias("day"),
+    )
+    w = Window.partitionBy("o_custkey").orderBy("day", "o_orderkey")
+    gaps = o.select(
+        "o_custkey", (F.col("day") - F.lag("day").over(w)).alias("gap_days")
+    ).filter(F.col("gap_days").isNotNull())
+    return (
+        gaps.groupBy(F.expr("gap_days div 7").alias("gap_weeks"))
+        .agg(
+            F.count(F.lit(1)).alias("n_gaps"),
+            F.countDistinct("o_custkey").alias("n_customers"),
+            F.sum("gap_days").alias("sum_gap_days"),
+        )
+        .select(
+            "gap_weeks",
+            "n_gaps",
+            "n_customers",
+            "sum_gap_days",
+            (
+                F.col("sum_gap_days").cast("double")
+                / F.col("n_gaps").cast("double")
+            ).alias("mean_gap_days"),
+        )
+        .orderBy("gap_weeks")
+    )
+
+
+ORACLE_customer_order_gaps = """
+WITH o AS (
+    SELECT o_custkey, o_orderkey,
+           epoch_us(o_orderdate) // 86400000000 AS day
+    FROM orders
+), g AS (
+    SELECT o_custkey,
+           day - lag(day) OVER (
+               PARTITION BY o_custkey ORDER BY day, o_orderkey
+           ) AS gap_days
+    FROM o
+)
+SELECT gap_days // 7 AS gap_weeks,
+       count(*) AS n_gaps,
+       count(DISTINCT o_custkey) AS n_customers,
+       CAST(sum(gap_days) AS BIGINT) AS sum_gap_days,
+       CAST(sum(gap_days) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+           AS mean_gap_days
+FROM g WHERE gap_days IS NOT NULL
+GROUP BY 1
+ORDER BY gap_weeks
+"""
