@@ -307,6 +307,11 @@ BENCH_QUERIES = [
     "events_user_diversity",  # A61 Simpson behavioral diversity (r10b)
     "metric_xcorr",           # A62 signed-lag lead/lag xcorr (r10b)
     "metric_days_to_threshold",  # A63 capacity-exhaustion ETA (r10b)
+    "events_mannwhitney",     # A64 rank-sum drift test (r10c)
+    "metric_kendall_tau",     # A65 tau-b monotone association (r10c)
+    "metric_pettitt",         # A66 rank-based change point (r10c)
+    "metric_quantile_normalize",  # A67 cross-instance QN (r10c)
+    "stream_asof_join",       # T24 as-of join served live (r10c)
     "events_discovery_timeline",  # exact running-distinct breakpoints
     "dedup_prefix_clusters",  # provably complete near-dup clusters
     # stream_cdc_merge is timed via _time_cdc_merge below (merge work

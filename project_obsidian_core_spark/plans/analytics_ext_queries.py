@@ -1767,3 +1767,129 @@ SELECT cohort_m, m,
 FROM mat
 ORDER BY cohort_m, m
 """
+
+
+# ------------------- A64: Mann-Whitney U rank-sum two-sample test ---------
+def events_mannwhitney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A64: exact Mann-Whitney U (Wilcoxon rank-sum) per event type
+    between the deterministic A/B cohorts (user_id % 2) — the RANK
+    member of the drift family: A32 PSI = fixed bins, A31 chi-square =
+    categorical cells, A35 KS = sup-gap of the CDFs, this = the
+    location-shift test ("did the B cohort's values move up or down"),
+    the screen with the most power against a median shift that KS's
+    sup-norm dilutes.
+
+    Exactness: ranks never materialize per row — values group to
+    per-(type, value) cohort counts (the A35 shape), one value-ordered
+    window gives the count BELOW each tie group, and midranks stay
+    integer by carrying 2·R_A = Σ da·(2·below + t + 1).  The U
+    statistic, its null mean, and the tie-corrected variance are all
+    composed from five exact int64 columns; z is ONE identical IEEE
+    chain over their double casts (sqrt is correctly rounded, so both
+    engines emit the same bits).  Overflow bound: 2·R_A ≤ 2·n_a·n —
+    exact to ~2·10⁹ rows/type (the A35 bound class); tie cubes need
+    max tie-group ≤ 2·10⁶.  Beyond either, pre-grid values first (the
+    A32 fallback).
+
+    Scale: ONE corpus shuffle (map-side combined group to distinct
+    values), the cumulative window rides per-type partitions of the
+    already-reduced relation, output |types| rows.  No joins.
+    """
+    from pyspark.sql import Window
+
+    ev = load(spark, sf_dir, "events").select(
+        "event_type",
+        "value",
+        F.when(F.col("user_id") % 2 == 0, F.lit(1)).otherwise(F.lit(0)).alias("ca"),
+        F.when(F.col("user_id") % 2 == 1, F.lit(1)).otherwise(F.lit(0)).alias("cb"),
+    )
+    per_val = ev.groupBy("event_type", "value").agg(
+        F.sum("ca").cast("long").alias("da"),
+        F.sum("cb").cast("long").alias("db"),
+    )
+    wprev = (
+        Window.partitionBy("event_type")
+        .orderBy("value")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    stepped = per_val.select(
+        "event_type",
+        "da",
+        "db",
+        (F.col("da") + F.col("db")).alias("t"),
+        F.coalesce(
+            F.sum(F.col("da") + F.col("db")).over(wprev), F.lit(0)
+        ).alias("below"),
+    )
+    agg = stepped.groupBy("event_type").agg(
+        F.sum("da").alias("n_a"),
+        F.sum("db").alias("n_b"),
+        F.sum(
+            F.col("da") * (2 * F.col("below") + F.col("t") + 1)
+        ).alias("r_a_x2"),
+        F.sum(
+            F.col("t") * F.col("t") * F.col("t") - F.col("t")
+        ).alias("tie_term"),
+    )
+    return agg.select(
+        "event_type",
+        "n_a",
+        "n_b",
+        "r_a_x2",
+        F.expr("r_a_x2 - n_a * (n_a + 1)").alias("u_a_x2"),
+        "tie_term",
+        F.expr(
+            "case when n_a > 0 and n_b > 0 and n_a + n_b > 1"
+            "      and tie_term < (n_a + n_b) * (n_a + n_b - 1) * (n_a + n_b + 1)"
+            " then (cast(r_a_x2 - n_a * (n_a + 1) as double)"
+            "       - cast(n_a as double) * cast(n_b as double))"
+            "  / (2.0 * sqrt(cast(n_a as double) * cast(n_b as double)"
+            "     * ((cast(n_a + n_b as double) + 1.0)"
+            "        - cast(tie_term as double)"
+            "          / (cast(n_a + n_b as double)"
+            "             * (cast(n_a + n_b as double) - 1.0))) / 12.0))"
+            " end"
+        ).alias("z"),
+    ).orderBy("event_type")
+
+
+ORACLE_events_mannwhitney = """
+WITH e AS (
+    SELECT event_type, value,
+           CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END AS ca,
+           CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END AS cb
+    FROM events
+), per_val AS (
+    SELECT event_type, value,
+           CAST(sum(ca) AS BIGINT) AS da, CAST(sum(cb) AS BIGINT) AS db
+    FROM e GROUP BY 1, 2
+), stepped AS (
+    SELECT event_type, da, db, da + db AS t,
+           coalesce(sum(da + db) OVER (PARTITION BY event_type ORDER BY value
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                    0) AS below
+    FROM per_val
+), agg AS (
+    SELECT event_type,
+           CAST(sum(da) AS BIGINT) AS n_a,
+           CAST(sum(db) AS BIGINT) AS n_b,
+           CAST(sum(da * (2 * below + t + 1)) AS BIGINT) AS r_a_x2,
+           CAST(sum(t * t * t - t) AS BIGINT) AS tie_term
+    FROM stepped GROUP BY event_type
+)
+SELECT event_type, n_a, n_b, r_a_x2,
+       r_a_x2 - n_a * (n_a + 1) AS u_a_x2,
+       tie_term,
+       case when n_a > 0 and n_b > 0 and n_a + n_b > 1
+             and tie_term < (n_a + n_b) * (n_a + n_b - 1) * (n_a + n_b + 1)
+        then (cast(r_a_x2 - n_a * (n_a + 1) as double)
+              - cast(n_a as double) * cast(n_b as double))
+         / (2.0 * sqrt(cast(n_a as double) * cast(n_b as double)
+            * ((cast(n_a + n_b as double) + 1.0)
+               - cast(tie_term as double)
+                 / (cast(n_a + n_b as double)
+                    * (cast(n_a + n_b as double) - 1.0))) / 12.0))
+        end AS z
+FROM agg
+ORDER BY event_type
+"""

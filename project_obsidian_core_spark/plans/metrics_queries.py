@@ -1771,3 +1771,365 @@ SELECT metric_name, n, x_last, span_cents, slope_num, slope_den,
 FROM y
 ORDER BY metric_name
 """
+
+
+# ------------------------- A65: Kendall tau-b concordance between series --
+def metric_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A65: Kendall tau-b between every metric-series pair on the hour
+    grid — the RANK member of the co-movement family: A37/A62 measure
+    linear co-movement (Pearson moments), this measures MONOTONE
+    association (pair concordance), the screen that still fires when
+    the coupling is nonlinear ("latency rises whenever queue depth
+    rises, on any curve") and stays calm under single-spike outliers
+    that inflate a Pearson r.
+
+    Exactness: every count is int64 — one pass over the C(n,2) index
+    pairs accumulates sum(sgn·sgn) = C−D plus the three tie counters in
+    ONE `aggregate` with a struct accumulator; C and D are recovered by
+    exact parity algebra (C+D = n0 − ta − tb + tboth).  The only float
+    is the final tau_b = (C−D)/√((n0−ta)(n0−tb)) — a correctly-rounded
+    sqrt of an exact ≤2⁵³ integer product, so both engines emit the
+    identical double.
+
+    Scale shape (the A51 idiom): pairs are built INSIDE the per-pair
+    row over the hour-aligned arrays — O(H²) per SERIES PAIR, bounded
+    by the retention window (720 h grid → 259k index pairs), never by
+    the corpus; the soaked trend-ladder codegen does ~200M of these
+    per second.  Alignment is one equi-join on the already-reduced
+    hour grid (≤ |metrics|·H rows); no corpus-sized shuffle.
+    """
+    m = synthesize_metrics(spark, sf_dir).select(
+        "metric_name",
+        F.expr("unix_micros(time) div 3600000000").alias("x"),
+        F.col("metric_value").alias("v"),
+    )
+    grid = m.groupBy("metric_name", "x").agg(F.sum("v").alias("y"))
+    al = (
+        grid.select(
+            F.col("metric_name").alias("metric_a"),
+            "x",
+            F.col("y").alias("ya"),
+        )
+        .join(
+            grid.select(
+                F.col("metric_name").alias("metric_b"),
+                "x",
+                F.col("y").alias("yb"),
+            ),
+            "x",
+        )
+        .filter(F.col("metric_a") < F.col("metric_b"))
+    )
+    arr = (
+        al.groupBy("metric_a", "metric_b")
+        .agg(F.expr("sort_array(collect_list(struct(x, ya, yb)))").alias("pts"))
+        .filter(F.size("pts") >= 2)
+    )
+    folded = arr.select(
+        "metric_a",
+        "metric_b",
+        F.size("pts").cast("int").alias("n"),
+        F.expr(
+            "aggregate("
+            " flatten(transform(sequence(0, size(pts) - 2), i ->"
+            "  transform(sequence(i + 1, size(pts) - 1), j ->"
+            "   struct("
+            "    (case when element_at(pts, j + 1).ya > element_at(pts, i + 1).ya then 1"
+            "          when element_at(pts, j + 1).ya < element_at(pts, i + 1).ya then -1"
+            "          else 0 end) as sa,"
+            "    (case when element_at(pts, j + 1).yb > element_at(pts, i + 1).yb then 1"
+            "          when element_at(pts, j + 1).yb < element_at(pts, i + 1).yb then -1"
+            "          else 0 end) as sb)))),"
+            " struct(cast(0 as bigint) as cd, cast(0 as bigint) as ta,"
+            "        cast(0 as bigint) as tb, cast(0 as bigint) as tboth),"
+            " (acc, p) -> struct("
+            "   acc.cd + p.sa * p.sb,"
+            "   acc.ta + if(p.sa = 0, 1, 0),"
+            "   acc.tb + if(p.sb = 0, 1, 0),"
+            "   acc.tboth + if(p.sa = 0 and p.sb = 0, 1, 0)))"
+        ).alias("k"),
+    ).select(
+        "metric_a",
+        "metric_b",
+        "n",
+        F.expr("cast(n as bigint) * (n - 1) div 2").alias("n0"),
+        F.col("k.cd").alias("cd"),
+        F.col("k.ta").alias("ties_a"),
+        F.col("k.tb").alias("ties_b"),
+        F.col("k.tboth").alias("ties_both"),
+    )
+    return folded.select(
+        "metric_a",
+        "metric_b",
+        "n",
+        "n0",
+        F.expr(
+            "(cd + n0 - ties_a - ties_b + ties_both) div 2"
+        ).alias("concordant"),
+        F.expr(
+            "(cd + n0 - ties_a - ties_b + ties_both) div 2 - cd"
+        ).alias("discordant"),
+        "ties_a",
+        "ties_b",
+        "ties_both",
+        F.expr(
+            "case when n0 > ties_a and n0 > ties_b"
+            " then cast(cd as double)"
+            "  / sqrt(cast(n0 - ties_a as double) * cast(n0 - ties_b as double))"
+            " end"
+        ).alias("tau_b"),
+    ).orderBy("metric_a", "metric_b")
+
+
+ORACLE_metric_kendall_tau = f"""
+WITH m AS ({_SYN_SQL}),
+g AS (
+    SELECT metric_name, epoch_us(time) // 3600000000 AS x,
+           CAST(sum(metric_value) AS BIGINT) AS y
+    FROM m GROUP BY 1, 2
+), al AS (
+    SELECT a.metric_name AS metric_a, b.metric_name AS metric_b,
+           a.x, a.y AS ya, b.y AS yb
+    FROM g a JOIN g b ON a.x = b.x AND a.metric_name < b.metric_name
+), cnt AS (
+    SELECT metric_a, metric_b, CAST(count(*) AS INT) AS n
+    FROM al GROUP BY 1, 2
+), pr AS (
+    SELECT p.metric_a, p.metric_b,
+           CASE WHEN q.ya > p.ya THEN 1 WHEN q.ya < p.ya THEN -1 ELSE 0 END AS sa,
+           CASE WHEN q.yb > p.yb THEN 1 WHEN q.yb < p.yb THEN -1 ELSE 0 END AS sb
+    FROM al p JOIN al q
+      ON p.metric_a = q.metric_a AND p.metric_b = q.metric_b AND q.x > p.x
+), agg AS (
+    SELECT metric_a, metric_b,
+           CAST(count(*) AS BIGINT) AS n0,
+           CAST(sum(sa * sb) AS BIGINT) AS cd,
+           CAST(sum(CASE WHEN sa = 0 THEN 1 ELSE 0 END) AS BIGINT) AS ties_a,
+           CAST(sum(CASE WHEN sb = 0 THEN 1 ELSE 0 END) AS BIGINT) AS ties_b,
+           CAST(sum(CASE WHEN sa = 0 AND sb = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS ties_both
+    FROM pr GROUP BY 1, 2
+)
+SELECT a.metric_a, a.metric_b, c.n, a.n0,
+       (a.cd + a.n0 - a.ties_a - a.ties_b + a.ties_both) // 2 AS concordant,
+       (a.cd + a.n0 - a.ties_a - a.ties_b + a.ties_both) // 2 - a.cd
+           AS discordant,
+       a.ties_a, a.ties_b, a.ties_both,
+       CASE WHEN a.n0 > a.ties_a AND a.n0 > a.ties_b
+            THEN CAST(a.cd AS DOUBLE)
+                 / sqrt(CAST(a.n0 - a.ties_a AS DOUBLE)
+                        * CAST(a.n0 - a.ties_b AS DOUBLE))
+       END AS tau_b
+FROM agg a JOIN cnt c
+  ON a.metric_a = c.metric_a AND a.metric_b = c.metric_b
+ORDER BY a.metric_a, a.metric_b
+"""
+
+
+# --------------------------- A66: Pettitt rank-based change-point test ----
+def metric_pettitt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A66: Pettitt change-point test per series — the RANK-based twin
+    of A52's variance-gain split: K_t = ΣΣ_{{i≤t<j}} sgn(y_j − y_i), the
+    split where the Mann-Whitney shift statistic peaks.  Robust to the
+    spike outliers that drag A52's mean-based gain, exactly as Theil-Sen
+    (A51) robustifies the A36 slope — completing the robust ladder for
+    level shifts.
+
+    NO pair loop: K_t collapses by rank algebra.  The per-element
+    increment Δ_t = Σ_{{j≠t}} sgn(y_j − y_t) = n − 2·(rank_t − 1) − eq_t
+    (rank over VALUE order, eq = tie-group size), so K_t is the prefix
+    sum of Δ over TIME order — two windows on the already-reduced hour
+    grid (the A39 aggregate-then-window rule), all int64, zero floats
+    in the gate projection.  The argmax of |K_t| over the interior
+    splits (earliest on ties) is the change point; the exp() p-value
+    approximation lives in :func:`pettitt_pvalue` OUTSIDE the hashed
+    projection (the A32 ln-ulp rule — transcendentals differ in the
+    last bit between the JVM and libm).
+
+    Scale: one corpus shuffle to the (metric, hour) grid, then windows
+    ride the ≤H rows/series partitions; output |metrics| rows.
+    """
+    from pyspark.sql import Window
+
+    m = synthesize_metrics(spark, sf_dir).select(
+        "metric_name",
+        F.expr("unix_micros(time) div 3600000000").alias("x"),
+        F.col("metric_value").alias("v"),
+    )
+    grid = m.groupBy("metric_name", "x").agg(F.sum("v").alias("y"))
+    wser = Window.partitionBy("metric_name")
+    wval = wser.orderBy("y")
+    wtie = Window.partitionBy("metric_name", "y")
+    wx = wser.orderBy("x").rowsBetween(Window.unboundedPreceding, 0)
+    c = grid.select(
+        "metric_name",
+        "x",
+        F.count(F.lit(1)).over(wser).alias("n"),
+        (
+            F.count(F.lit(1)).over(wser)
+            - 2 * (F.rank().over(wval) - 1)
+            - F.count(F.lit(1)).over(wtie)
+        ).cast("long").alias("delta"),
+    )
+    walked = c.select(
+        "metric_name",
+        "x",
+        "n",
+        F.sum("delta").over(wx).alias("k_signed"),
+        F.row_number().over(wser.orderBy("x")).alias("s"),
+    ).filter(F.col("s") < F.col("n"))
+    wbest = Window.partitionBy("metric_name").orderBy(
+        F.abs(F.col("k_signed")).desc(), F.asc("x")
+    )
+    return (
+        walked.withColumn("rk", F.row_number().over(wbest))
+        .filter(F.col("rk") == 1)
+        .select(
+            "metric_name",
+            F.col("n").cast("int").alias("n_buckets"),
+            F.col("x").alias("last_hour_of_seg1"),
+            "k_signed",
+            F.abs(F.col("k_signed")).alias("k_stat"),
+        )
+        .orderBy("metric_name")
+    )
+
+
+ORACLE_metric_pettitt = f"""
+WITH m AS ({_SYN_SQL}),
+g AS (
+    SELECT metric_name, epoch_us(time) // 3600000000 AS x,
+           CAST(sum(metric_value) AS BIGINT) AS y
+    FROM m GROUP BY 1, 2
+), c AS (
+    SELECT metric_name, x,
+           count(*) OVER (PARTITION BY metric_name) AS n,
+           CAST(count(*) OVER (PARTITION BY metric_name)
+                - 2 * (rank() OVER (PARTITION BY metric_name ORDER BY y) - 1)
+                - count(*) OVER (PARTITION BY metric_name, y)
+               AS BIGINT) AS delta
+    FROM g
+), walked AS (
+    SELECT metric_name, x, n,
+           sum(delta) OVER (PARTITION BY metric_name ORDER BY x
+                            ROWS UNBOUNDED PRECEDING) AS k_signed,
+           row_number() OVER (PARTITION BY metric_name ORDER BY x) AS s
+    FROM c
+), interior AS (
+    SELECT metric_name, x, n, k_signed,
+           row_number() OVER (PARTITION BY metric_name
+                              ORDER BY abs(k_signed) DESC, x) AS rk
+    FROM walked WHERE s < n
+)
+SELECT metric_name, CAST(n AS INT) AS n_buckets,
+       x AS last_hour_of_seg1,
+       CAST(k_signed AS BIGINT) AS k_signed,
+       CAST(abs(k_signed) AS BIGINT) AS k_stat
+FROM interior WHERE rk = 1
+ORDER BY metric_name
+"""
+
+
+def pettitt_pvalue(df: DataFrame) -> DataFrame:
+    """Attach the Pettitt significance approximation
+    p ≈ 2·exp(−6K²/(n³+n²)) to an A66 report.  OUTSIDE the hashed gate
+    (the A32/psi_from_shares rule): exp() is a transcendental whose
+    last ulp differs between the JVM and DuckDB's libm, while K and n
+    carry all the information exactly.  Unit-pinned against math.exp."""
+    return df.withColumn(
+        "p_approx",
+        F.least(
+            F.lit(1.0),
+            2.0
+            * F.exp(
+                -6.0
+                * F.col("k_stat").cast("double")
+                * F.col("k_stat").cast("double")
+                / (
+                    F.col("n_buckets").cast("double")
+                    * F.col("n_buckets").cast("double")
+                    * (F.col("n_buckets").cast("double") + 1.0)
+                )
+            ),
+        ),
+    )
+
+
+# ----------------- A67: cross-instance quantile normalization (QN) -------
+def metric_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A67: quantile normalization of each instance's hour-grid series
+    against the cross-instance reference distribution — the classic
+    batch-effect correction (Bolstad et al. 2003, microarray QN) an ML
+    feature pipeline applies so per-shard/per-tenant measurement bias
+    doesn't leak into training features: every instance's rank-r value
+    is replaced by the MEAN of all instances' rank-r values.
+
+    Exactness: ranks are a row_number over the (y, x) TOTAL order (the
+    A38 tie rule — deterministic, no average-rank rationals), the
+    reference is the exact int64 (ref_sum, ref_n) pair per rank, and
+    the normalized value is their single guarded division — the only
+    float, identical IEEE both engines.  Variable-length semantics
+    (instances with fewer buckets than rank r simply don't vote at r)
+    are documented rather than padded — classic QN's equal-length
+    requirement doesn't survive sparse per-tenant grids.
+
+    Scale: one corpus shuffle to the (instance, hour) grid; the rank
+    window rides per-instance partitions; the reference relation is
+    ≤ max-series-length rows → BROADCAST back onto the grid.  Output
+    = grid size, linear in input.
+    """
+    m = synthesize_metrics(spark, sf_dir).filter(
+        F.col("metric_name") == HIT
+    ).select(
+        "instance_id",
+        F.expr("unix_micros(time) div 3600000000").alias("hour"),
+        F.col("metric_value").alias("v"),
+    )
+    from pyspark.sql import Window
+
+    grid = m.groupBy("instance_id", "hour").agg(F.sum("v").alias("y"))
+    wr = Window.partitionBy("instance_id").orderBy("y", "hour")
+    ranked = grid.select(
+        "instance_id", "hour", "y", F.row_number().over(wr).alias("rk")
+    )
+    ref = ranked.groupBy("rk").agg(
+        F.count(F.lit(1)).alias("ref_n"), F.sum("y").alias("ref_sum")
+    )
+    return (
+        ranked.join(F.broadcast(ref), "rk")
+        .select(
+            "instance_id",
+            "hour",
+            "y",
+            "rk",
+            "ref_n",
+            "ref_sum",
+            (
+                F.col("ref_sum").cast("double") / F.col("ref_n").cast("double")
+            ).alias("qn_value"),
+        )
+        .orderBy("instance_id", "hour")
+    )
+
+
+ORACLE_metric_quantile_normalize = f"""
+WITH m AS ({_SYN_SQL}),
+g AS (
+    SELECT instance_id, epoch_us(time) // 3600000000 AS hour,
+           CAST(sum(metric_value) AS BIGINT) AS y
+    FROM m WHERE metric_name = '{HIT}'
+    GROUP BY 1, 2
+), ranked AS (
+    SELECT instance_id, hour, y,
+           row_number() OVER (PARTITION BY instance_id ORDER BY y, hour) AS rk
+    FROM g
+), ref AS (
+    SELECT rk, CAST(count(*) AS BIGINT) AS ref_n,
+           CAST(sum(y) AS BIGINT) AS ref_sum
+    FROM ranked GROUP BY rk
+)
+SELECT r.instance_id, r.hour, r.y, r.rk, f.ref_n, f.ref_sum,
+       CAST(f.ref_sum AS DOUBLE) / CAST(f.ref_n AS DOUBLE) AS qn_value
+FROM ranked r JOIN ref f ON r.rk = f.rk
+ORDER BY instance_id, hour
+"""

@@ -763,6 +763,24 @@ _ENTRIES: list[tuple[str, QueryFn, str | None]] = [
         m.metric_days_to_threshold,
         m.ORACLE_metric_days_to_threshold,
     ),
+    # ------------------------------------------------------------------
+    # Block R10c — final round-10 additions (no official row yet).
+    # A64: Mann-Whitney rank-sum drift test (the rank member of the
+    # PSI/chi-square/KS drift family)
+    ("events_mannwhitney", ax.events_mannwhitney, ax.ORACLE_events_mannwhitney),
+    # A65: Kendall tau-b monotone-association matrix (rank twin of A37)
+    ("metric_kendall_tau", m.metric_kendall_tau, m.ORACLE_metric_kendall_tau),
+    # A66: Pettitt rank-based change point (robust twin of A52)
+    ("metric_pettitt", m.metric_pettitt, m.ORACLE_metric_pettitt),
+    # A67: cross-instance quantile normalization (batch-effect correction)
+    (
+        "metric_quantile_normalize",
+        m.metric_quantile_normalize,
+        m.ORACLE_metric_quantile_normalize,
+    ),
+    # T24: streaming as-of join over two-sided order-reconstructing state,
+    # gated on the BATCH DuckDB-native-ASOF oracle
+    ("stream_asof_join", st.stream_asof_join, tj.ORACLE_events_asof_join),
 ]
 
 # ----------------------------------------------------------------------

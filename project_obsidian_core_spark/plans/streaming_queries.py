@@ -1499,3 +1499,76 @@ def stream_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     return latest.select(
         "metric_name", "n_buckets", "ewma_fast", "ewma_slow"
     ).orderBy("metric_name")
+
+
+# ----------------------- T24: streaming as-of join (J-family live) --------
+def stream_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T24: the as-of join served LIVE through two-sided order-
+    reconstructing state (streaming/sequence_state.py) — per user the
+    click sequence AND the (ts → max cents) purchase map are the state,
+    and every emit re-matches all clicks, so a purchase delivered AFTER
+    the clicks it anchors revises them instead of being dropped (the
+    watermark-interval stream-stream join's documented loss mode).
+    Gates on the IDENTICAL DuckDB native ``ASOF LEFT JOIN`` oracle as
+    the batch `events_asof_join` — the strongest streaming↔batch
+    equivalence available for a temporal join.
+
+    Drain: max-version rows per user are that user's final matches;
+    the batch oracle's row set is exactly the final click inventory.
+    """
+    from pyspark.sql import Window
+
+    from project_obsidian_core_spark.streaming.sequence_state import (
+        streaming_asof_join,
+    )
+
+    run = next(_RUN_IDS)
+    src = _events_src(spark, sf_dir, run)
+    schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "4")
+        .parquet(src)
+        .filter(F.col("event_type").isin("click", "purchase"))
+        .select(
+            "user_id",
+            "event_id",
+            "ts",
+            "cents",
+            F.when(F.col("event_type") == "click", F.lit("L"))
+            .otherwise(F.lit("R"))
+            .alias("side"),
+        )
+    )
+    out = streaming_asof_join(stream)
+    name = f"stream_asof_{run}"
+    tmp = tempfile.mkdtemp(prefix=f"obsidian_asof_{run}_")
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            out.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .option("checkpointLocation", f"{tmp}/ckpt")
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+
+    emitted = spark.table(name)
+    wmax = Window.partitionBy("user_id")
+    latest = emitted.withColumn(
+        "_vmax", F.max("version").over(wmax)
+    ).filter(F.col("version") == F.col("_vmax"))
+    return latest.select(
+        "event_id",
+        "user_id",
+        "ts_us",
+        "cents",
+        "last_purchase_us",
+        "last_purchase_cents",
+    ).orderBy("event_id")

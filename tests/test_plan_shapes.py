@@ -778,3 +778,63 @@ def test_stickiness_fans_out_reduced_relation_only(spark):
     # the explode's child chain must include the distinct aggregate
     gen_pos = plan.find("Generate")
     assert "HashAggregate" in plan[gen_pos:], plan
+
+
+def test_kendall_pairs_in_row_single_grid_join(spark):
+    """A65: the C(n,2) pair space must be built by higher-order functions
+    INSIDE the per-pair row — the only join is the hour-grid alignment
+    (≤|metrics|·H rows per side); a per-pair self-join would shuffle H²
+    rows per series pair (the ACF band-join failure mode)."""
+    from project_obsidian_core_spark.plans import metrics_queries as mq
+
+    plan = _with_fake_load(
+        mq, _metric_df(spark), lambda: mq.metric_kendall_tau(spark, "unused")
+    )
+    assert plan.count("SortMergeJoin") + plan.count("BroadcastHashJoin") == 1, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_pettitt_rank_algebra_no_pair_loop(spark):
+    """A66: the ΣΣ sgn pair sum must collapse to windows over the reduced
+    grid — no join, no python, two exchanges (grid agg + series windows);
+    the naive formulation is an O(H²)-per-split triple loop."""
+    from project_obsidian_core_spark.plans import metrics_queries as mq
+
+    plan = _with_fake_load(
+        mq, _metric_df(spark), lambda: mq.metric_pettitt(spark, "unused")
+    )
+    assert "Join" not in plan, plan
+    assert plan.count("Exchange hashpartitioning") == 2, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_quantile_normalize_reference_broadcasts(spark):
+    """A67: the per-rank reference (≤ max-series-length rows) must come
+    back as a BROADCAST join — a sort-merge join would shuffle the full
+    grid a second time keyed on rank."""
+    from project_obsidian_core_spark.plans import metrics_queries as mq
+
+    plan = _with_fake_load(
+        mq,
+        _metric_df(spark),
+        lambda: mq.metric_quantile_normalize(spark, "unused"),
+    )
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_mannwhitney_ranks_never_materialize(spark):
+    """A64: ranks ride the per-(type, value) REDUCED relation — one
+    corpus-wide aggregate exchange plus the per-type window exchange, no
+    join, no python, no per-row rank materialization."""
+    from project_obsidian_core_spark.plans import analytics_ext_queries as axq
+
+    plan = _with_fake_load(
+        axq,
+        _metric_df(spark),
+        lambda: axq.events_mannwhitney(spark, "unused"),
+    )
+    assert "Join" not in plan, plan
+    assert plan.count("Exchange hashpartitioning") == 2, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
