@@ -1783,20 +1783,29 @@ def metric_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
     rises, on any curve") and stays calm under single-spike outliers
     that inflate a Pearson r.
 
-    Exactness: every count is int64 — one pass over the C(n,2) index
-    pairs accumulates sum(sgn·sgn) = C−D plus the three tie counters in
-    ONE `aggregate` with a struct accumulator; C and D are recovered by
+    Exactness: every count is int64 — C−D and the three tie counters
+    are conditional sums over the pair relation, and C and D follow by
     exact parity algebra (C+D = n0 − ta − tb + tboth).  The only float
     is the final tau_b = (C−D)/√((n0−ta)(n0−tb)) — a correctly-rounded
     sqrt of an exact ≤2⁵³ integer product, so both engines emit the
     identical double.
 
-    Scale shape (the A51 idiom): pairs are built INSIDE the per-pair
-    row over the hour-aligned arrays — O(H²) per SERIES PAIR, bounded
-    by the retention window (720 h grid → 259k index pairs), never by
-    the corpus; the soaked trend-ladder codegen does ~200M of these
-    per second.  Alignment is one equi-join on the already-reduced
-    hour grid (≤ |metrics|·H rows); no corpus-sized shuffle.
+    Scale shape: the pair space is generated by a self-join of the
+    hour-aligned grid ON THE PAIR KEY with x as the range predicate —
+    the O(H²) blowup happens INSIDE each join group (bounded by the
+    retention window: 720 h grid → 259k index pairs per series pair),
+    entirely in whole-stage codegen, and is immediately consumed by a
+    map-side-combined hash aggregate, so no exchange ever carries the
+    pair space (only the ≤|metrics|²·H/2 aligned rows shuffle).  This
+    is the BOUNDED-group case of the A48 band-join rule: the band is
+    the whole (window-capped) group, so keying the join on the pair —
+    not the lag — is the right trade.  Two interpreted alternatives
+    measured and rejected at sf0.1 (SCALE.md r10 session 4): in-row HOF
+    pair arrays with a struct-accumulator `aggregate` (8.3 s) and
+    primitive sign-code explode (14 s) — higher-order-function lambdas
+    evaluate interpreted, while this join formulation runs the same
+    2.6M sign pairs in ~2.3 s warm and mirrors the oracle SQL
+    one-to-one.
     """
     m = synthesize_metrics(spark, sf_dir).select(
         "metric_name",
@@ -1820,43 +1829,37 @@ def metric_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("metric_a") < F.col("metric_b"))
     )
-    arr = (
-        al.groupBy("metric_a", "metric_b")
-        .agg(F.expr("sort_array(collect_list(struct(x, ya, yb)))").alias("pts"))
-        .filter(F.size("pts") >= 2)
+    cnt = al.groupBy("metric_a", "metric_b").agg(
+        F.count(F.lit(1)).cast("int").alias("n")
     )
-    folded = arr.select(
-        "metric_a",
-        "metric_b",
-        F.size("pts").cast("int").alias("n"),
+    pr = al.alias("p").join(
+        al.alias("q"),
+        (F.col("p.metric_a") == F.col("q.metric_a"))
+        & (F.col("p.metric_b") == F.col("q.metric_b"))
+        & (F.col("q.x") > F.col("p.x")),
+    )
+    signs = pr.select(
+        F.col("p.metric_a").alias("metric_a"),
+        F.col("p.metric_b").alias("metric_b"),
         F.expr(
-            "aggregate("
-            " flatten(transform(sequence(0, size(pts) - 2), i ->"
-            "  transform(sequence(i + 1, size(pts) - 1), j ->"
-            "   struct("
-            "    (case when element_at(pts, j + 1).ya > element_at(pts, i + 1).ya then 1"
-            "          when element_at(pts, j + 1).ya < element_at(pts, i + 1).ya then -1"
-            "          else 0 end) as sa,"
-            "    (case when element_at(pts, j + 1).yb > element_at(pts, i + 1).yb then 1"
-            "          when element_at(pts, j + 1).yb < element_at(pts, i + 1).yb then -1"
-            "          else 0 end) as sb)))),"
-            " struct(cast(0 as bigint) as cd, cast(0 as bigint) as ta,"
-            "        cast(0 as bigint) as tb, cast(0 as bigint) as tboth),"
-            " (acc, p) -> struct("
-            "   acc.cd + p.sa * p.sb,"
-            "   acc.ta + if(p.sa = 0, 1, 0),"
-            "   acc.tb + if(p.sb = 0, 1, 0),"
-            "   acc.tboth + if(p.sa = 0 and p.sb = 0, 1, 0)))"
-        ).alias("k"),
-    ).select(
-        "metric_a",
-        "metric_b",
-        "n",
-        F.expr("cast(n as bigint) * (n - 1) div 2").alias("n0"),
-        F.col("k.cd").alias("cd"),
-        F.col("k.ta").alias("ties_a"),
-        F.col("k.tb").alias("ties_b"),
-        F.col("k.tboth").alias("ties_both"),
+            "case when q.ya > p.ya then 1 when q.ya < p.ya then -1 else 0 end"
+        ).alias("sa"),
+        F.expr(
+            "case when q.yb > p.yb then 1 when q.yb < p.yb then -1 else 0 end"
+        ).alias("sb"),
+    )
+    folded = (
+        signs.groupBy("metric_a", "metric_b")
+        .agg(
+            F.count(F.lit(1)).alias("n0"),
+            F.sum(F.col("sa") * F.col("sb")).alias("cd"),
+            F.sum(F.when(F.col("sa") == 0, 1).otherwise(0)).alias("ties_a"),
+            F.sum(F.when(F.col("sb") == 0, 1).otherwise(0)).alias("ties_b"),
+            F.sum(
+                F.when((F.col("sa") == 0) & (F.col("sb") == 0), 1).otherwise(0)
+            ).alias("ties_both"),
+        )
+        .join(F.broadcast(cnt), ["metric_a", "metric_b"])
     )
     return folded.select(
         "metric_a",

@@ -780,18 +780,36 @@ def test_stickiness_fans_out_reduced_relation_only(spark):
     assert "HashAggregate" in plan[gen_pos:], plan
 
 
-def test_kendall_pairs_in_row_single_grid_join(spark):
-    """A65: the C(n,2) pair space must be built by higher-order functions
-    INSIDE the per-pair row — the only join is the hour-grid alignment
-    (≤|metrics|·H rows per side); a per-pair self-join would shuffle H²
-    rows per series pair (the ACF band-join failure mode)."""
+def test_kendall_pair_space_stays_inside_join_groups(spark):
+    """A65: exactly three joins — hour-grid alignment, the pair-keyed
+    self-join whose within-group range predicate generates the C(n,2)
+    pair space INSIDE codegen (window-bounded groups, the A48 rule's
+    bounded case), and the broadcast n-per-pair attach.  The pair space
+    must be consumed by a map-side-combined aggregate, never python
+    (the interpreted HOF formulations measured 4-7x slower)."""
     from project_obsidian_core_spark.plans import metrics_queries as mq
 
-    plan = _with_fake_load(
-        mq, _metric_df(spark), lambda: mq.metric_kendall_tau(spark, "unused")
-    )
-    assert plan.count("SortMergeJoin") + plan.count("BroadcastHashJoin") == 1, plan
-    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    real = mq.load
+    mq.load = lambda s, d, t: _metric_df(spark)
+    try:
+        df = mq.metric_kendall_tau(spark, "unused")
+        plan = _plan(df)
+        # the aligned grid `al` is consumed three times (pair left, pair
+        # right, n-per-pair), so its alignment join plans three times →
+        # 5 join nodes total
+        assert (
+            plan.count("SortMergeJoin") + plan.count("BroadcastHashJoin") == 5
+        ), plan
+        assert "partial_count" in plan or "partial_sum" in plan, plan
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+        # the CORPUS work below the joins must execute ONCE: AQE dedupes
+        # the identical grid-aggregate stages at runtime (visible only in
+        # the final adaptive plan, hence collect first)
+        df.collect()
+        final = _plan(df)
+        assert "ReusedExchange" in final or "ReusedQueryStage" in final, final
+    finally:
+        mq.load = real
 
 
 def test_pettitt_rank_algebra_no_pair_loop(spark):
