@@ -389,7 +389,29 @@ def _host_fingerprint() -> dict:
         load1 = round(os.getloadavg()[0], 2)
     except OSError:
         load1 = None
-    return {"cpu": model, "n_cpus": os.cpu_count(), "load1": load1}
+    # fixed-work CPU canary: ~100 ms of pure-python integer arithmetic.
+    # Round-over-round bench ratios on this box have swung 1.0-1.5x with
+    # NO code change (r10 session 4 measured untouched scan-bound queries
+    # at 1.8x their r1 times in a fresh session while tiny queries held
+    # 1.0x — shared-host regime drift). The canary makes the regime
+    # measurable: compare spin_ms across BENCH_*.json before reading
+    # anything into a suite-total movement.
+    spins = []
+    for _ in range(3):
+        t0 = time.time()
+        acc = 0
+        for i in range(2_000_000):
+            acc += i * i
+        spins.append((time.time() - t0) * 1000)
+    return {
+        "cpu": model,
+        "n_cpus": os.cpu_count(),
+        "load1": load1,
+        # min = host capability, max-min = steal/scaling jitter (observed
+        # live: 130 vs 203 ms back-to-back while otherwise idle)
+        "spin_ms_min": round(min(spins), 1),
+        "spin_ms_max": round(max(spins), 1),
+    }
 
 
 def _r1_ratio(warm: dict[str, float], sf: float | None) -> float | None:
