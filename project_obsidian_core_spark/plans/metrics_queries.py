@@ -2136,3 +2136,135 @@ SELECT r.instance_id, r.hour, r.y, r.rk, f.ref_n, f.ref_sum,
 FROM ranked r JOIN ref f ON r.rk = f.rk
 ORDER BY instance_id, hour
 """
+
+
+# ---------------- A68: Spearman rho with exact integer midranks ----------
+# Registration note: implemented + oracle-twinned + unit-pinned in round
+# 10 session 4; REGISTRATION deferred to round 11 so the round-10 gate
+# window keeps all ten r05-stale rows (the 50-slot window was exactly
+# full at 40 new + 10 refresh). The r11 registry block should add:
+#   ("metric_spearman", m.metric_spearman, m.ORACLE_metric_spearman)
+def metric_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A68: Spearman rho between every metric-series pair on the hour
+    grid — the third member of the association triad: A37 Pearson
+    (linear), A65 Kendall tau-b (pair concordance), this = Pearson ON
+    RANKS (monotone association with the classic magnitude-free
+    robustness, cheaper than Kendall's pair space: rank windows are
+    O(H log H) per series, not O(H²) per pair).
+
+    Exactness via DOUBLED MIDRANKS (the A64 trick): midrank = (2·below
+    + t + 1)/2 stays integer when carried as 2·midrank (below = count
+    of strictly smaller grid values within the series, t = tie-group
+    size), and Pearson is scale-invariant, so rho over (2r_a, 2r_b)
+    equals rho over midranks while every moment (n·Σxy − ΣxΣy etc.)
+    stays exact int64.  The only float is the final num/√(dx·dy) —
+    correctly-rounded sqrt over exact ≤2⁵³ products (720-hour grid:
+    moments ≤ n·(2n)² ≈ 1.5·10⁹, products ≤ 2.2·10¹⁸ < 2⁶³; document
+    the H ≲ 10⁵ bound before the dx·dy product needs splitting).
+
+    Scale shape: rank windows ride the per-series partitions of the
+    reduced grid (the A39 rule), the pair alignment is the A65 equi-join
+    on the ≤|metrics|·H relation, and the five moments come from ONE
+    map-side-combined aggregate — no pair space exists at all.
+    """
+    from pyspark.sql import Window
+
+    m = synthesize_metrics(spark, sf_dir).select(
+        "metric_name",
+        F.expr("unix_micros(time) div 3600000000").alias("x"),
+        F.col("metric_value").alias("v"),
+    )
+    grid = m.groupBy("metric_name", "x").agg(F.sum("v").alias("y"))
+    # below = rank() − 1 (count of STRICTLY smaller values) — tie-stable
+    # by definition; a ROWS-frame count would hand each tied row a
+    # position-dependent below and the two engines order ties differently
+    # (caught by the queued-gate check on first run)
+    wval = Window.partitionBy("metric_name").orderBy("y")
+    wtie = Window.partitionBy("metric_name", "y")
+    ranked = grid.select(
+        "metric_name",
+        "x",
+        (
+            2 * (F.rank().over(wval) - 1)
+            + F.count(F.lit(1)).over(wtie)
+            + 1
+        ).cast("long").alias("r2"),
+    )
+    al = (
+        ranked.select(
+            F.col("metric_name").alias("metric_a"),
+            "x",
+            F.col("r2").alias("ra"),
+        )
+        .join(
+            ranked.select(
+                F.col("metric_name").alias("metric_b"),
+                "x",
+                F.col("r2").alias("rb"),
+            ),
+            "x",
+        )
+        .filter(F.col("metric_a") < F.col("metric_b"))
+    )
+    agg = al.groupBy("metric_a", "metric_b").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("ra").alias("sa"),
+        F.sum("rb").alias("sb"),
+        F.sum(F.col("ra") * F.col("rb")).alias("sab"),
+        F.sum(F.col("ra") * F.col("ra")).alias("saa"),
+        F.sum(F.col("rb") * F.col("rb")).alias("sbb"),
+    )
+    num = F.col("n") * F.col("sab") - F.col("sa") * F.col("sb")
+    dx = F.col("n") * F.col("saa") - F.col("sa") * F.col("sa")
+    dy = F.col("n") * F.col("sbb") - F.col("sb") * F.col("sb")
+    return agg.select(
+        "metric_a",
+        "metric_b",
+        F.col("n").cast("int").alias("n"),
+        num.alias("rho_num"),
+        dx.alias("var_a_num"),
+        dy.alias("var_b_num"),
+        F.when(
+            (dx > 0) & (dy > 0),
+            num.cast("double") / F.sqrt(dx.cast("double") * dy.cast("double")),
+        ).alias("rho"),
+    ).orderBy("metric_a", "metric_b")
+
+
+ORACLE_metric_spearman = f"""
+WITH m AS ({_SYN_SQL}),
+g AS (
+    SELECT metric_name, epoch_us(time) // 3600000000 AS x,
+           CAST(sum(metric_value) AS BIGINT) AS y
+    FROM m GROUP BY 1, 2
+), ranked AS (
+    SELECT metric_name, x,
+           CAST(2 * (rank() OVER (PARTITION BY metric_name ORDER BY y) - 1)
+                + count(*) OVER (PARTITION BY metric_name, y)
+                + 1 AS BIGINT) AS r2
+    FROM g
+), al AS (
+    SELECT a.metric_name AS metric_a, b.metric_name AS metric_b,
+           a.r2 AS ra, b.r2 AS rb
+    FROM ranked a JOIN ranked b
+      ON a.x = b.x AND a.metric_name < b.metric_name
+), agg AS (
+    SELECT metric_a, metric_b, count(*) AS n,
+           CAST(sum(ra) AS BIGINT) AS sa, CAST(sum(rb) AS BIGINT) AS sb,
+           CAST(sum(ra * rb) AS BIGINT) AS sab,
+           CAST(sum(ra * ra) AS BIGINT) AS saa,
+           CAST(sum(rb * rb) AS BIGINT) AS sbb
+    FROM al GROUP BY 1, 2
+)
+SELECT metric_a, metric_b, CAST(n AS INT) AS n,
+       CAST(n * sab - sa * sb AS BIGINT) AS rho_num,
+       CAST(n * saa - sa * sa AS BIGINT) AS var_a_num,
+       CAST(n * sbb - sb * sb AS BIGINT) AS var_b_num,
+       CASE WHEN n * saa - sa * sa > 0 AND n * sbb - sb * sb > 0
+            THEN CAST(n * sab - sa * sb AS DOUBLE)
+                 / sqrt(CAST(n * saa - sa * sa AS DOUBLE)
+                        * CAST(n * sbb - sb * sb AS DOUBLE))
+       END AS rho
+FROM agg
+ORDER BY metric_a, metric_b
+"""

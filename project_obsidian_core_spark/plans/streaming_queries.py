@@ -1572,3 +1572,72 @@ def stream_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "last_purchase_us",
         "last_purchase_cents",
     ).orderBy("event_id")
+
+
+# ---------------- T25: streaming Pettitt change point (A66 live) ----------
+# Registration note: implemented + unit-pinned (drained == batch) in round
+# 10 session 4; REGISTRATION deferred to round 11 (the round-10 gate
+# window was exactly full at 40 new + the 10-row r05 refresh). The r11
+# registry block should add:
+#   ("stream_pettitt", st.stream_pettitt, m.ORACLE_metric_pettitt)
+def stream_pettitt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T25: the A66 rank-based change point served LIVE — SIXTH consumer
+    of the sequence-state family and its first RANK recursion: state is
+    the exact-int per-HOUR sums (T23's commutative fold), and every emit
+    re-derives the full rank structure (strictly-less counts, tie sizes,
+    the K_t prefix walk) from the reconstructed series, because one late
+    bucket can re-rank every other point — no incremental scalar state
+    survives that. Drained max-version rows gate on the batch
+    `metric_pettitt` DuckDB oracle."""
+    from pyspark.sql import Window
+
+    from project_obsidian_core_spark.plans.metrics_queries import HIT, READ
+    from project_obsidian_core_spark.streaming.sequence_state import (
+        streaming_pettitt,
+    )
+
+    run = next(_RUN_IDS)
+    src = _events_src(spark, sf_dir, run)
+    schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "4")
+        .parquet(src)
+    )
+    name_col = (
+        F.when(F.col("event_type") == "view", F.lit(HIT))
+        .when(F.col("event_type") == "click", F.lit(READ))
+        .otherwise(F.concat(F.lit("postgresql."), F.col("event_type")))
+    )
+    keyed = stream.select(
+        name_col.alias("metric_name"),
+        F.expr("unix_micros(ts) div 3600000000").alias("bucket"),
+        F.col("cents").alias("v"),
+    )
+    out = streaming_pettitt(keyed)
+    name = f"stream_pettitt_{run}"
+    tmp = tempfile.mkdtemp(prefix=f"obsidian_ptt_{run}_")
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            out.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .option("checkpointLocation", f"{tmp}/ckpt")
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+
+    emitted = spark.table(name)
+    wmax = Window.partitionBy("metric_name")
+    latest = emitted.withColumn(
+        "_vmax", F.max("version").over(wmax)
+    ).filter(F.col("version") == F.col("_vmax"))
+    return latest.select(
+        "metric_name", "n_buckets", "last_hour_of_seg1", "k_signed", "k_stat"
+    ).orderBy("metric_name")

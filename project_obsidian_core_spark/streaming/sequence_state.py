@@ -632,3 +632,110 @@ def streaming_asof_join(stream: DataFrame) -> DataFrame:
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# -------------- T25: streaming Pettitt over the bucket-sum state ----------
+PETTITT_OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("metric_name", T.StringType()),
+        T.StructField("n_buckets", T.IntegerType()),
+        T.StructField("last_hour_of_seg1", T.LongType()),
+        T.StructField("k_signed", T.LongType()),
+        T.StructField("k_stat", T.LongType()),
+        T.StructField("version", T.LongType()),
+    ]
+)
+
+
+def pettitt_from_series(
+    buckets: list[int], sums: list[int]
+) -> tuple[int, int, int, int] | None:
+    """The A66 rank-algebra Pettitt over a bucket-ordered int series:
+    Δ_t = n − 2·(#strictly-less) − tie-size, K_t = prefix sum over time,
+    argmax |K_t| over interior splits (earliest on ties).  Returns
+    (n, last_bucket_of_seg1, k_signed, k_stat); None below 2 points.
+    Pure; unit-tested against the batch operator's brute-force unit."""
+    n = len(sums)
+    if n < 2:
+        return None
+    from collections import Counter
+
+    cnt = Counter(sums)
+    less: dict[int, int] = {}
+    acc = 0
+    for v in sorted(cnt):
+        less[v] = acc
+        acc += cnt[v]
+    k = 0
+    best: tuple[int, int, int] | None = None
+    for t in range(n - 1):
+        v = sums[t]
+        k += n - 2 * less[v] - cnt[v]
+        cand = (-abs(k), buckets[t], k)
+        if best is None or cand < best:
+            best = cand
+    return n, best[1], best[2], -best[0]
+
+
+def make_pettitt_fn():
+    def fn(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        metric = str(key[0])
+        if state.exists:
+            buckets, sums, version = state.get
+            buckets, sums = list(buckets), list(sums)
+        else:
+            buckets, sums, version = [], [], 0
+        absorbed = 0
+        for pdf in pdfs:
+            if not len(pdf):
+                continue
+            absorbed += len(pdf)
+            buckets, sums = fold_bucket_sums(
+                buckets, sums, zip(pdf["bucket"], pdf["v"])
+            )
+        if not absorbed:
+            return
+        version += absorbed
+        state.update((buckets, sums, version))
+        res = pettitt_from_series(buckets, sums)
+        if res is None:
+            return
+        n, split, k_signed, k_stat = res
+        yield pd.DataFrame(
+            {
+                "metric_name": [metric],
+                "n_buckets": [n],
+                "last_hour_of_seg1": [split],
+                "k_signed": [k_signed],
+                "k_stat": [k_stat],
+                "version": [version],
+            }
+        )
+
+    return fn
+
+
+def streaming_pettitt(stream: DataFrame) -> DataFrame:
+    """T25: the A66 rank-based change point served LIVE — SIXTH consumer
+    of the state family, and the first RANK recursion: the state is the
+    same exact-int per-bucket sums as T23 (commutative, arrival-order
+    free), and every emit re-derives the FULL rank structure (strictly-
+    less counts, tie sizes, the K_t walk) from the reconstructed series,
+    because a single late bucket can re-rank every other point — the
+    failure mode no incremental scalar state survives.  The drained
+    max-version rows equal the batch `metric_pettitt` exactly.
+    Expects (metric_name, bucket, v)."""
+    keyed = stream.select(
+        F.col("metric_name").cast("string").alias("metric_name"),
+        F.col("bucket").cast("long").alias("bucket"),
+        F.col("v").cast("long").alias("v"),
+    )
+    return keyed.groupBy("metric_name").applyInPandasWithState(
+        make_pettitt_fn(),
+        outputStructType=PETTITT_OUTPUT_SCHEMA,
+        stateStructType=EWMA_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

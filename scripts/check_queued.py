@@ -1,0 +1,102 @@
+"""Oracle-gate the ROUND-QUEUED (implemented, not yet registered)
+operators — the same compare as scripts/oracle_check.py, against an
+explicit (fn, oracle) list instead of the registry.
+
+Operators land here when the driver's 50-slot gate window is full for
+the current round (registration would displace the stale-row refresh);
+the r11 session promotes them into plans/registry.py and this list
+shrinks back to empty.
+
+Usage: python scripts/check_queued.py [sf_dir]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+import duckdb  # noqa: E402
+
+from oracle_check import TABLES, approx_equal, sorted_rows  # noqa: E402
+
+sys.path.insert(0, os.path.join(REPO, "scripts"))
+
+
+def queued():
+    """name -> (query_fn, oracle_sql) for every implemented-but-unregistered
+    operator (kept in lockstep with the 'Registration note' docstrings)."""
+    from project_obsidian_core_spark.plans import metrics_queries as m
+    from project_obsidian_core_spark.plans import streaming_queries as st
+
+    return {
+        "metric_spearman": (m.metric_spearman, m.ORACLE_metric_spearman),
+        "stream_pettitt": (st.stream_pettitt, m.ORACLE_metric_pettitt),
+    }
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+
+    from project_obsidian_core_spark.session import build_session
+
+    spark = build_session(app_name="queued-check", shuffle_partitions=8)
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+
+    failures = []
+    for name, (fn, sql) in queued().items():
+        t0 = time.time()
+        sdf = fn(spark, sf_dir)
+        s_cols = sdf.columns
+        s_rows = [tuple(r) for r in sdf.collect()]
+        spark_s = time.time() - t0
+        rel = con.sql(sql)
+        d_cols = rel.columns
+        d_rows = rel.fetchall()
+        status = []
+        odd = [
+            f"{c}:{t}"
+            for c, t in zip(d_cols, rel.types)
+            if str(t) in ("HUGEINT", "UHUGEINT") or str(t).startswith("DECIMAL")
+        ]
+        if odd:
+            status.append(f"ORACLE-TYPE {odd}")
+        if len(s_rows) != len(d_rows):
+            status.append(f"ROWCOUNT {len(s_rows)} vs {len(d_rows)}")
+        if sorted(s_cols) != sorted(d_cols):
+            status.append(f"COLUMNS {sorted(s_cols)} vs {sorted(d_cols)}")
+        if not status:
+            a, b = sorted_rows(s_cols, s_rows), sorted_rows(d_cols, d_rows)
+            if a == b:
+                status.append("EXACT")
+            elif approx_equal(a, b):
+                status.append("APPROX(float-jitter!)")
+            else:
+                status.append("VALUE-MISMATCH")
+                for i, (ra, rb) in enumerate(zip(a, b)):
+                    if ra != rb:
+                        status.append(f"first diff row {i}: spark={ra} duck={rb}")
+                        break
+        ok = status[0] == "EXACT"
+        print(
+            f"  {name:28s} rows={len(s_rows):7d} {'OK ' if ok else 'FAIL'} "
+            f"{status[0]} spark={spark_s:.1f}s"
+        )
+        if not ok:
+            failures.append((name, "; ".join(status)))
+    if failures:
+        print("\nFAILURES:")
+        for name, why in failures:
+            print(f"  {name}: {why}")
+        return 1
+    print("\nALL QUEUED QUERIES MATCH")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
