@@ -937,3 +937,147 @@ ORDER BY ck.sixteenth
 
 
 ORACLE_vocab_growth = _vocab_growth_oracle()
+
+
+# --------------- X21: Zipf octave profile of the token distribution -------
+# Registration note: queued for round 11 (r10 gate window full); the r11
+# registry block should add:
+#   ("text_zipf_octaves", cu.text_zipf_octaves, cu.ORACLE_text_zipf_octaves)
+_ZIPF_MAX_OCTAVE = 40
+
+
+def text_zipf_octaves(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X21: rank-octave profile of the corpus token-frequency
+    distribution — the exact relation behind a Zipf-law fit (is this
+    corpus natural text, template spam, or dedup residue?): for each
+    rank octave o (ranks 2^o..2^(o+1)−1 by descending frequency), the
+    term count and total frequency.  Natural-language corpora show
+    near-constant total frequency per octave (Zipf α≈1); template-heavy
+    corpora bulge in the head octaves, boilerplate-stripped ones in the
+    tail.
+
+    NO global per-token rank window (the A49/Gini lesson): tokens
+    collapse to the per-COUNT relation (count → n_tokens, ≤|distinct
+    counts| rows — tiny under any Zipfian distribution), a cumulative
+    window over descending count assigns each count-group its rank
+    RANGE, and octave membership is the range intersection against a
+    41-row broadcast boundary table.  Well-defined without any
+    term tiebreak: tokens inside one count group are interchangeable
+    for octave AGGREGATES, so the straddle split is deterministic
+    whichever tokens land on either side.  All int64; no floats at all.
+    The ln-based α fit lives in :func:`zipf_alpha` OUTSIDE the hashed
+    gate (the A32 transcendental rule).
+
+    Scale: one corpus-wide token shuffle (map-side combined), then
+    everything rides relations bounded by |distinct counts| and 41.
+    """
+    from pyspark.sql import Window
+
+    docs = load(spark, sf_dir, "documents")
+    counts = (
+        docs.select(F.explode(F.split("text", " ")).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    per_count = counts.groupBy("cnt").agg(
+        F.count(F.lit(1)).cast("long").alias("n_tok")
+    )
+    wdesc = (
+        Window.orderBy(F.desc("cnt"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    ranged = per_count.select(
+        "cnt",
+        "n_tok",
+        (F.coalesce(F.sum("n_tok").over(wdesc), F.lit(0)) + 1).alias("r_first"),
+        (
+            F.coalesce(F.sum("n_tok").over(wdesc), F.lit(0)) + F.col("n_tok")
+        ).alias("r_last"),
+    )
+    octaves = spark.range(0, _ZIPF_MAX_OCTAVE + 1).select(
+        F.col("id").cast("int").alias("octave"),
+        F.expr("shiftleft(1L, cast(id as int))").alias("lo"),
+        F.expr("shiftleft(1L, cast(id as int) + 1) - 1").alias("hi"),
+    )
+    j = ranged.join(
+        F.broadcast(octaves),
+        (F.col("r_first") <= F.col("hi")) & (F.col("r_last") >= F.col("lo")),
+    )
+    overlap = (
+        F.least("r_last", "hi") - F.greatest("r_first", "lo") + 1
+    ).alias("width")
+    return (
+        j.select("octave", "lo", "cnt", overlap)
+        .groupBy("octave", "lo")
+        .agg(
+            F.sum("width").alias("n_terms"),
+            F.sum(F.col("cnt") * F.col("width")).alias("total_freq"),
+            F.max("cnt").alias("max_count"),
+            F.min("cnt").alias("min_count"),
+        )
+        .orderBy("octave")
+    )
+
+
+ORACLE_text_zipf_octaves = f"""
+WITH p AS (
+    SELECT unnest(string_split(text, ' ')) AS term FROM documents
+), counts AS (
+    SELECT term, CAST(count(*) AS BIGINT) AS cnt FROM p GROUP BY term
+), per_count AS (
+    SELECT cnt, CAST(count(*) AS BIGINT) AS n_tok FROM counts GROUP BY cnt
+), ranged AS (
+    SELECT cnt, n_tok,
+           coalesce(sum(n_tok) OVER (ORDER BY cnt DESC
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                    0) + 1 AS r_first,
+           coalesce(sum(n_tok) OVER (ORDER BY cnt DESC
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                    0) + n_tok AS r_last
+    FROM per_count
+), octaves AS (
+    SELECT CAST(o AS INT) AS octave,
+           CAST(1 AS BIGINT) << o AS lo,
+           (CAST(1 AS BIGINT) << (o + 1)) - 1 AS hi
+    FROM unnest(generate_series(0, {_ZIPF_MAX_OCTAVE})) AS g(o)
+)
+SELECT octave, lo,
+       CAST(sum(least(r_last, hi) - greatest(r_first, lo) + 1) AS BIGINT)
+           AS n_terms,
+       CAST(sum(cnt * (least(r_last, hi) - greatest(r_first, lo) + 1))
+           AS BIGINT) AS total_freq,
+       CAST(max(cnt) AS BIGINT) AS max_count,
+       CAST(min(cnt) AS BIGINT) AS min_count
+FROM ranged JOIN octaves
+  ON r_first <= hi AND r_last >= lo
+GROUP BY octave, lo
+ORDER BY octave
+"""
+
+
+def zipf_alpha(df: DataFrame) -> DataFrame:
+    """OLS Zipf exponent over the octave profile: regress
+    ln(mean freq per term in octave) on ln(geometric rank midpoint) —
+    slope ≈ −α.  OUTSIDE the hashed gate (ln ulp differs between JVM
+    and libm, the A32 rule); the octave relation carries all the exact
+    information.  Unit-pinned against python's math.log."""
+    pts = df.select(
+        (F.log(F.lit(2.0)) * (F.col("octave") + 0.5)).alias("lx"),
+        F.log(
+            F.col("total_freq").cast("double") / F.col("n_terms").cast("double")
+        ).alias("ly"),
+    )
+    agg = pts.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("lx").alias("sx"),
+        F.sum("ly").alias("sy"),
+        F.sum(F.col("lx") * F.col("ly")).alias("sxy"),
+        F.sum(F.col("lx") * F.col("lx")).alias("sxx"),
+    )
+    return agg.select(
+        "n",
+        (
+            -(F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+            / (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+        ).alias("alpha"),
+    )

@@ -2268,3 +2268,108 @@ SELECT metric_a, metric_b, CAST(n AS INT) AS n,
 FROM agg
 ORDER BY metric_a, metric_b
 """
+
+
+# ---------------- A69: Mann-Kendall trend test (Theil-Sen's twin) --------
+# Registration note: queued for round 11 (r10 gate window full); the r11
+# registry block should add:
+#   ("metric_mann_kendall", m.metric_mann_kendall, m.ORACLE_metric_mann_kendall)
+def metric_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A69: Mann-Kendall trend test per series — the SIGNIFICANCE half of
+    the standard robust-trend pairing (A51 Theil-Sen gives the slope,
+    this says whether a monotone trend exists at all):
+    S = ΣΣ_{i<j} sgn(y_j − y_i) over the time order, i.e. Kendall
+    concordance of the series AGAINST TIME, with the tie-corrected
+    normal approximation var(S) = [n(n−1)(2n+5) − Σ t(t−1)(2t+5)]/18.
+
+    Exactness: S and the tie triple Σt(t−1)(2t+5) are exact int64 — S
+    from the same within-group pair join as A65 (the time axis is
+    strictly increasing, so only the y-signs matter), the tie sum from
+    one (series, value) group-by.  z uses the continuity correction
+    ((S−1)/σ for S>0, (S+1)/σ for S<0, 0 at S=0) as ONE identical IEEE
+    chain over the exact ints (×18 cleared inside the sqrt: z =
+    (S∓1)·√18/√var18), so even the float hashes bit-exact.
+
+    Scale shape: identical to A65 — pair space inside window-bounded
+    join groups, consumed map-side; tie sum rides the grid aggregate.
+    """
+    m = synthesize_metrics(spark, sf_dir).select(
+        "metric_name",
+        F.expr("unix_micros(time) div 3600000000").alias("x"),
+        F.col("metric_value").alias("v"),
+    )
+    grid = m.groupBy("metric_name", "x").agg(F.sum("v").alias("y"))
+    pr = grid.alias("p").join(
+        grid.alias("q"),
+        (F.col("p.metric_name") == F.col("q.metric_name"))
+        & (F.col("q.x") > F.col("p.x")),
+    )
+    s_agg = pr.groupBy(F.col("p.metric_name").alias("metric_name")).agg(
+        F.sum(
+            F.expr(
+                "case when q.y > p.y then 1 when q.y < p.y then -1 else 0 end"
+            )
+        ).alias("s_stat")
+    )
+    ties = (
+        grid.groupBy("metric_name", "y")
+        .agg(F.count(F.lit(1)).alias("t"))
+        .groupBy("metric_name")
+        .agg(
+            F.sum("t").cast("long").alias("n"),
+            F.sum(
+                F.col("t") * (F.col("t") - 1) * (2 * F.col("t") + 5)
+            ).alias("tie_triple"),
+        )
+    )
+    j = s_agg.join(F.broadcast(ties), "metric_name").filter(F.col("n") >= 2)
+    return j.select(
+        "metric_name",
+        F.col("n").cast("int").alias("n_buckets"),
+        "s_stat",
+        F.expr("n * (n - 1) * (2 * n + 5) - tie_triple").alias("var18"),
+        F.expr(
+            "case when n * (n - 1) * (2 * n + 5) - tie_triple > 0 and s_stat <> 0"
+            " then (cast(s_stat as double)"
+            "       - (case when s_stat > 0 then 1.0 else -1.0 end))"
+            "  * sqrt(18.0)"
+            "  / sqrt(cast(n * (n - 1) * (2 * n + 5) - tie_triple as double))"
+            " when n * (n - 1) * (2 * n + 5) - tie_triple > 0 then 0.0"
+            " end"
+        ).alias("z"),
+    ).orderBy("metric_name")
+
+
+ORACLE_metric_mann_kendall = f"""
+WITH m AS ({_SYN_SQL}),
+g AS (
+    SELECT metric_name, epoch_us(time) // 3600000000 AS x,
+           CAST(sum(metric_value) AS BIGINT) AS y
+    FROM m GROUP BY 1, 2
+), s_agg AS (
+    SELECT p.metric_name,
+           CAST(sum(CASE WHEN q.y > p.y THEN 1 WHEN q.y < p.y THEN -1
+                         ELSE 0 END) AS BIGINT) AS s_stat
+    FROM g p JOIN g q ON p.metric_name = q.metric_name AND q.x > p.x
+    GROUP BY p.metric_name
+), ties AS (
+    SELECT metric_name, CAST(sum(t) AS BIGINT) AS n,
+           CAST(sum(t * (t - 1) * (2 * t + 5)) AS BIGINT) AS tie_triple
+    FROM (
+        SELECT metric_name, y, CAST(count(*) AS BIGINT) AS t
+        FROM g GROUP BY 1, 2
+    ) GROUP BY metric_name
+)
+SELECT s.metric_name, CAST(t.n AS INT) AS n_buckets, s.s_stat,
+       CAST(t.n * (t.n - 1) * (2 * t.n + 5) - t.tie_triple AS BIGINT) AS var18,
+       case when t.n * (t.n - 1) * (2 * t.n + 5) - t.tie_triple > 0 and s.s_stat <> 0
+        then (cast(s.s_stat as double)
+              - (case when s.s_stat > 0 then 1.0 else -1.0 end))
+         * sqrt(18.0)
+         / sqrt(cast(t.n * (t.n - 1) * (2 * t.n + 5) - t.tie_triple as double))
+        when t.n * (t.n - 1) * (2 * t.n + 5) - t.tie_triple > 0 then 0.0
+        end AS z
+FROM s_agg s JOIN ties t ON s.metric_name = t.metric_name
+WHERE t.n >= 2
+ORDER BY s.metric_name
+"""

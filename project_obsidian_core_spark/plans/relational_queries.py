@@ -1860,3 +1860,175 @@ FROM g WHERE gap_days IS NOT NULL
 GROUP BY 1
 ORDER BY gap_weeks
 """
+
+
+# ------------- A70: Kaplan-Meier repurchase survival (queued for r11) -----
+# Registration note: queued for round 11 (r10 gate window full); the r11
+# registry block should add:
+#   ("orders_kaplan_meier", r.orders_kaplan_meier, r.ORACLE_orders_kaplan_meier)
+def orders_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A70: Kaplan-Meier repurchase-survival timeline — "what fraction
+    of customers go t days without reordering", the censoring-correct
+    answer the naive gap ECDF (A60's histogram) gets wrong: a customer
+    whose LAST order is d days before the corpus end has survived d
+    days without the event, and dropping them (or counting them as
+    events) biases the curve — so they enter as right-CENSORED
+    observations at d.
+
+    The gate pins the exact timeline: per distinct duration t (days),
+    n_events (reorder gaps = t), n_censored (last-order tails = t), the
+    risk set n_risk = Σ_{s≥t}(events+censored), and the per-step factor
+    (n_risk−d)/n_risk — one exact int division.  The cumulative product
+    S(t) = Π factor lives in :func:`km_survival` OUTSIDE the hashed
+    gate: an ordered float product has no shuffle-safe SQL form (window
+    exp(Σln) hits the A32 transcendental trap), and the timeline
+    carries all the information exactly.
+
+    Scale: gaps ride one per-customer window on the orders projection;
+    the timeline is ≤|distinct durations| rows (day-granular: ≤ corpus
+    span), so the risk-set window is one tiny ordered pass; the corpus
+    max date attaches via the PSI broadcast-totals idiom.
+    """
+    o = load(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.expr("unix_micros(o_orderdate) div 86400000000").alias("day"),
+    )
+    omax = o.groupBy().agg(F.max("day").alias("corpus_last_day"))
+    w = Window.partitionBy("o_custkey").orderBy("day")
+    seq = o.select(
+        "o_custkey",
+        "day",
+        F.lag("day").over(w).alias("prev_day"),
+        F.row_number().over(
+            Window.partitionBy("o_custkey").orderBy(F.desc("day"))
+        ).alias("rn_desc"),
+    )
+    events = seq.filter(F.col("prev_day").isNotNull()).select(
+        (F.col("day") - F.col("prev_day")).alias("dur"),
+        F.lit(1).alias("ev"),
+        F.lit(0).alias("cz"),
+    )
+    censored = (
+        seq.filter(F.col("rn_desc") == 1)
+        .crossJoin(F.broadcast(omax))
+        .select(
+            (F.col("corpus_last_day") - F.col("day")).alias("dur"),
+            F.lit(0).alias("ev"),
+            F.lit(1).alias("cz"),
+        )
+    )
+    timeline = (
+        events.unionByName(censored)
+        .groupBy("dur")
+        .agg(
+            F.sum("ev").cast("long").alias("n_events"),
+            F.sum("cz").cast("long").alias("n_censored"),
+        )
+    )
+    wcum = (
+        Window.orderBy("dur").rowsBetween(Window.unboundedPreceding, -1)
+    )
+    wtot = Window.partitionBy()
+    return (
+        timeline.select(
+            F.col("dur").alias("t_days"),
+            "n_events",
+            "n_censored",
+            (
+                F.sum(F.col("n_events") + F.col("n_censored")).over(wtot)
+                - F.coalesce(
+                    F.sum(F.col("n_events") + F.col("n_censored")).over(wcum),
+                    F.lit(0),
+                )
+            ).alias("n_risk"),
+        )
+        .select(
+            "t_days",
+            "n_events",
+            "n_censored",
+            "n_risk",
+            F.when(
+                F.col("n_events") > 0,
+                (F.col("n_risk") - F.col("n_events")).cast("double")
+                / F.col("n_risk").cast("double"),
+            )
+            .otherwise(F.lit(1.0))
+            .alias("factor"),
+        )
+        .orderBy("t_days")
+    )
+
+
+ORACLE_orders_kaplan_meier = """
+WITH o AS (
+    SELECT o_custkey, epoch_us(o_orderdate) // 86400000000 AS day
+    FROM orders
+), omax AS (
+    SELECT max(day) AS corpus_last_day FROM o
+), seq AS (
+    SELECT o_custkey, day,
+           lag(day) OVER (PARTITION BY o_custkey ORDER BY day) AS prev_day,
+           row_number() OVER (PARTITION BY o_custkey ORDER BY day DESC)
+               AS rn_desc
+    FROM o
+), obs AS (
+    SELECT day - prev_day AS dur, 1 AS ev, 0 AS cz
+    FROM seq WHERE prev_day IS NOT NULL
+    UNION ALL
+    SELECT corpus_last_day - day AS dur, 0 AS ev, 1 AS cz
+    FROM seq CROSS JOIN omax WHERE rn_desc = 1
+), timeline AS (
+    SELECT dur, CAST(sum(ev) AS BIGINT) AS n_events,
+           CAST(sum(cz) AS BIGINT) AS n_censored
+    FROM obs GROUP BY dur
+)
+SELECT dur AS t_days, n_events, n_censored,
+       CAST(sum(n_events + n_censored) OVER ()
+            - coalesce(sum(n_events + n_censored) OVER (ORDER BY dur
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS BIGINT) AS n_risk,
+       CASE WHEN n_events > 0
+            THEN CAST(
+                (sum(n_events + n_censored) OVER ()
+                 - coalesce(sum(n_events + n_censored) OVER (ORDER BY dur
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0))
+                - n_events AS DOUBLE)
+                / CAST(sum(n_events + n_censored) OVER ()
+                   - coalesce(sum(n_events + n_censored) OVER (ORDER BY dur
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                  AS DOUBLE)
+            ELSE 1.0
+       END AS factor
+FROM timeline
+ORDER BY t_days
+"""
+
+
+def km_survival(df: DataFrame) -> DataFrame:
+    """Attach the cumulative Kaplan-Meier survival S(t) = Π_{s≤t} factor
+    to an A70 timeline.  OUTSIDE the hashed gate (the A32 rule's product
+    variant: an ordered float product in SQL means exp(Σ ln) — two
+    transcendentals whose last ulp differs between engines), while the
+    timeline's exact ints + per-step factors carry all the information.
+    The fold multiplies ascending-t in a single ordered pass (the
+    timeline is ≤|distinct durations| rows — driver-size by
+    construction), matching python's left-to-right product; unit-pinned
+    against that reference."""
+    from pyspark.sql import Window
+
+    arr = df.select(
+        F.expr("sort_array(collect_list(struct(t_days, factor)))").alias("tl")
+    )
+    walked = arr.select(
+        F.expr(
+            "transform(sequence(1, size(tl)), i -> struct("
+            " element_at(tl, i).t_days as t_days,"
+            " aggregate(slice(tl, 1, i), cast(1.0 as double),"
+            "           (acc, s) -> acc * s.factor) as survival))"
+        ).alias("pts")
+    )
+    out = walked.select(F.explode("pts").alias("p")).select(
+        F.col("p.t_days").alias("t_days"),
+        F.col("p.survival").alias("survival"),
+    )
+    return df.join(out, "t_days").orderBy("t_days")

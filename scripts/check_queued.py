@@ -30,11 +30,25 @@ def queued():
     """name -> (query_fn, oracle_sql) for every implemented-but-unregistered
     operator (kept in lockstep with the 'Registration note' docstrings)."""
     from project_obsidian_core_spark.plans import metrics_queries as m
+    from project_obsidian_core_spark.plans import curation_queries as cu
+    from project_obsidian_core_spark.plans import relational_queries as r
     from project_obsidian_core_spark.plans import streaming_queries as st
 
     return {
         "metric_spearman": (m.metric_spearman, m.ORACLE_metric_spearman),
         "stream_pettitt": (st.stream_pettitt, m.ORACLE_metric_pettitt),
+        "metric_mann_kendall": (
+            m.metric_mann_kendall,
+            m.ORACLE_metric_mann_kendall,
+        ),
+        "text_zipf_octaves": (
+            cu.text_zipf_octaves,
+            cu.ORACLE_text_zipf_octaves,
+        ),
+        "orders_kaplan_meier": (
+            r.orders_kaplan_meier,
+            r.ORACLE_orders_kaplan_meier,
+        ),
     }
 
 

@@ -137,3 +137,150 @@ def test_stream_pettitt_drained_equals_batch(spark):
     got = [tuple(r) for r in stream_pettitt(spark, SF).collect()]
     ref = [tuple(r) for r in metric_pettitt(spark, SF).collect()]
     assert got == ref
+
+
+def test_mann_kendall_matches_python(spark):
+    from project_obsidian_core_spark.plans.metrics_queries import (
+        metric_mann_kendall,
+        synthesize_metrics,
+    )
+
+    rows = (
+        synthesize_metrics(spark, SF)
+        .select(
+            "metric_name",
+            F.expr("unix_micros(time) div 3600000000").alias("x"),
+            F.col("metric_value").alias("v"),
+        )
+        .groupBy("metric_name", "x")
+        .agg(F.sum("v").alias("y"))
+        .collect()
+    )
+    grids: dict[str, list[tuple[int, int]]] = {}
+    for r in rows:
+        grids.setdefault(r["metric_name"], []).append((r["x"], r["y"]))
+    got = {r["metric_name"]: r for r in metric_mann_kendall(spark, SF).collect()}
+    for m, g in grids.items():
+        if len(g) < 2:
+            continue
+        g.sort()
+        ys = [y for _, y in g]
+        n = len(ys)
+        s = sum(
+            (ys[j] > ys[i]) - (ys[j] < ys[i])
+            for i in range(n)
+            for j in range(i + 1, n)
+        )
+        from collections import Counter
+
+        tie3 = sum(
+            t * (t - 1) * (2 * t + 5) for t in Counter(ys).values()
+        )
+        var18 = n * (n - 1) * (2 * n + 5) - tie3
+        row = got[m]
+        assert row["n_buckets"] == n
+        assert row["s_stat"] == s
+        assert row["var18"] == var18
+        if s != 0 and var18 > 0:
+            z_ref = (s - (1 if s > 0 else -1)) * math.sqrt(18.0) / math.sqrt(
+                var18
+            )
+            assert math.isclose(row["z"], z_ref, rel_tol=1e-12)
+
+
+def test_zipf_octaves_matches_python(spark):
+    from project_obsidian_core_spark.plans.common import load
+    from project_obsidian_core_spark.plans.curation_queries import (
+        text_zipf_octaves,
+        zipf_alpha,
+    )
+
+    from collections import Counter
+
+    cnt: Counter = Counter()
+    for r in load(spark, SF, "documents").select("text").collect():
+        cnt.update(r["text"].split(" "))
+    # sort by count desc; term order within a count group is irrelevant
+    # for octave aggregates (tokens in one group are interchangeable)
+    freqs = sorted(cnt.values(), reverse=True)
+    ref: dict[int, list[int]] = {}
+    for rank0, c in enumerate(freqs):
+        o = (rank0 + 1).bit_length() - 1
+        agg = ref.setdefault(o, [0, 0, 0, 10**18])
+        agg[0] += 1
+        agg[1] += c
+        agg[2] = max(agg[2], c)
+        agg[3] = min(agg[3], c)
+    got = {r["octave"]: r for r in text_zipf_octaves(spark, SF).collect()}
+    assert set(got) == set(ref)
+    for o, (n_terms, tot, mx, mn) in ref.items():
+        row = got[o]
+        assert row["lo"] == 1 << o
+        assert row["n_terms"] == n_terms
+        assert row["total_freq"] == tot
+        assert row["max_count"] == mx and row["min_count"] == mn
+    # octave widths tile the vocab exactly
+    assert sum(r["n_terms"] for r in got.values()) == len(freqs)
+    # the helper's alpha on the SYNTHETIC corpus: the driver's documents
+    # draw from a small near-uniform vocab, so the fitted exponent is
+    # near 0 (flat rank-frequency) — exactly the "not natural text"
+    # signal the profile exists to surface. Natural corpora fit α≈1.
+    alpha = zipf_alpha(text_zipf_octaves(spark, SF)).collect()[0]["alpha"]
+    assert -0.5 < alpha < 0.5
+    # and a hand-built profile recovers a planted exponent: mean-per-term
+    # = 4096/4^o over rank midpoint ~2^o gives slope −2 in log-log → α=2
+    zipf_like = spark.createDataFrame(
+        [(o, 1 << o, 1 << o, (1 << o) * (4096 // 4**o)) for o in range(5)],
+        ["octave", "lo", "n_terms", "total_freq"],
+    )
+    a2 = zipf_alpha(zipf_like).collect()[0]["alpha"]
+    assert math.isclose(a2, 2.0, rel_tol=1e-9)
+
+
+def test_kaplan_meier_matches_python(spark):
+    from project_obsidian_core_spark.plans.common import load
+    from project_obsidian_core_spark.plans.relational_queries import (
+        km_survival,
+        orders_kaplan_meier,
+    )
+
+    rows = load(spark, SF, "orders").select(
+        "o_custkey",
+        F.expr("unix_micros(o_orderdate) div 86400000000").alias("day"),
+    ).collect()
+    by_cust: dict[int, list[int]] = {}
+    for r in rows:
+        by_cust.setdefault(r["o_custkey"], []).append(r["day"])
+    corpus_last = max(d for ds in by_cust.values() for d in ds)
+    timeline: dict[int, list[int]] = {}
+    for ds in by_cust.values():
+        ds.sort()
+        for a, b in zip(ds, ds[1:]):
+            timeline.setdefault(b - a, [0, 0])[0] += 1
+        timeline.setdefault(corpus_last - ds[-1], [0, 0])[1] += 1
+    total = sum(e + c for e, c in timeline.values())
+    got = {r["t_days"]: r for r in orders_kaplan_meier(spark, SF).collect()}
+    assert set(got) == set(timeline)
+    below = 0
+    surv_ref = {}
+    s = 1.0
+    for t in sorted(timeline):
+        e, c = timeline[t]
+        n_risk = total - below
+        below += e + c
+        row = got[t]
+        assert (row["n_events"], row["n_censored"]) == (e, c)
+        assert row["n_risk"] == n_risk
+        factor = (n_risk - e) / n_risk if e > 0 else 1.0
+        assert math.isclose(row["factor"], factor, rel_tol=0, abs_tol=0)
+        s = s * factor
+        surv_ref[t] = s
+    # the helper's cumulative product matches the left-to-right python fold
+    # bit-for-bit (same IEEE multiply order), and is monotone in [0, 1]
+    curve = {r["t_days"]: r["survival"] for r in km_survival(
+        orders_kaplan_meier(spark, SF)).collect()}
+    prev = 1.0
+    for t in sorted(surv_ref):
+        assert curve[t] == surv_ref[t]
+        assert 0.0 <= curve[t] <= prev
+        prev = curve[t]
