@@ -856,3 +856,86 @@ def test_mannwhitney_ranks_never_materialize(spark):
     assert "Join" not in plan, plan
     assert plan.count("Exchange hashpartitioning") == 2, plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_spearman_no_pair_space_one_alignment_join(spark):
+    """A68 (queued): Spearman needs NO pair space at all — rank windows
+    per series, ONE alignment join on the reduced grid, moments in one
+    map-side-combined aggregate, no python."""
+    from project_obsidian_core_spark.plans import metrics_queries as mq
+
+    plan = _with_fake_load(
+        mq, _metric_df(spark), lambda: mq.metric_spearman(spark, "unused")
+    )
+    assert plan.count("SortMergeJoin") + plan.count("BroadcastHashJoin") == 1, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_mann_kendall_pair_join_plus_broadcast_ties(spark):
+    """A69 (queued): one pair-keyed self-join (window-bounded groups, the
+    A65 shape) + one broadcast attach of the per-series tie sums."""
+    from project_obsidian_core_spark.plans import metrics_queries as mq
+
+    plan = _with_fake_load(
+        mq, _metric_df(spark), lambda: mq.metric_mann_kendall(spark, "unused")
+    )
+    assert plan.count("SortMergeJoin") == 1, plan
+    assert plan.count("BroadcastHashJoin") == 1, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_zipf_octaves_no_global_token_window(spark):
+    """X21 (queued): the token relation must ONLY feed hash aggregates —
+    the sole single-partition exchange carries the per-COUNT relation
+    (≤|distinct counts| rows), and octave membership is a broadcast
+    range join (plans as BroadcastNestedLoopJoin against the 41-row
+    boundary table — correct for a non-equi predicate on a tiny side)."""
+    import datetime as dt  # noqa: F401
+
+    from project_obsidian_core_spark.plans import curation_queries as cuq
+
+    docs = spark.createDataFrame(
+        [
+            (i, " ".join(f"w{j % 17}" for j in range(i % 30 + 3)), "en", "s", 9)
+            for i in range(50)
+        ],
+        ["doc_id", "text", "lang", "source", "n_chars"],
+    )
+    real = cuq.load
+    cuq.load = lambda s, d, t: docs
+    try:
+        plan = _plan(cuq.text_zipf_octaves(spark, "unused"))
+    finally:
+        cuq.load = real
+    assert plan.count("BroadcastNestedLoopJoin") == 1, plan
+    assert plan.count("Exchange SinglePartition") == 1, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_kaplan_meier_timeline_windows_are_tiny(spark):
+    """A70 (queued): the per-customer gap window rides the orders
+    projection; the two single-partition exchanges carry only the
+    ≤|distinct durations| timeline; omax attaches as a broadcast."""
+    import datetime as dt
+
+    from project_obsidian_core_spark.plans import relational_queries as rqq
+
+    t0 = dt.datetime(2024, 1, 1)
+    orders = spark.createDataFrame(
+        [
+            (i, i % 7, "O", 10.0, t0 + dt.timedelta(days=i % 200))
+            for i in range(300)
+        ],
+        ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderdate"],
+    )
+    real = rqq.load
+    rqq.load = lambda s, d, t: orders
+    try:
+        plan = _plan(rqq.orders_kaplan_meier(spark, "unused"))
+    finally:
+        rqq.load = real
+    assert plan.count("BroadcastNestedLoopJoin") == 1, plan
+    assert plan.count("Exchange SinglePartition") == 2, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
