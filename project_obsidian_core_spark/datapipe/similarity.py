@@ -1040,3 +1040,48 @@ def mmr_topk(
         .applyInPandas(_greedy, out_schema)
     )
     return release_after(out, pool_df)
+
+
+def knn_reciprocity(emb: DataFrame, k: int = 5) -> DataFrame:
+    """G7: mutual-neighbor histogram of the DIRECTED k-NN graph — for
+    each node, how many of its k out-neighbors point back.  The standard
+    hubness screen on embedding spaces: low reciprocity means hub vectors
+    that everyone selects but that select few back (bad for graph-based
+    diversity sampling and SNN clustering, which both assume mutual
+    support), and the histogram localizes it node-by-node where a single
+    global ratio hides the tail.
+
+    Exact: the directed top-k relation self-joins on the REVERSED pair
+    (one |V|·k-row equi-join — never the |V|² similarity space), mutual
+    counts fold per node, nodes histogram per count.  Returns
+    (n_mutual_neighbors, n_nodes) with every node present (0-mutual
+    nodes kept via the left anti-fill).
+
+    Scale: |V|·k directed edges shuffle on the pair key once; everything
+    downstream is ≤|V| rows.  Built on :func:`brute_force_topk` here
+    (the oracle-checkable exact path); the LSH/IVF candidate paths plug
+    into the identical join/histogram stages.
+    """
+    nn = brute_force_topk(emb, emb, k=k).select("q_id", "cand_id")
+    rev = nn.select(
+        F.col("q_id").alias("cand_id"), F.col("cand_id").alias("q_id")
+    )
+    mutual = nn.join(rev, ["q_id", "cand_id"], "left_semi")
+    per_node = (
+        nn.groupBy("q_id")
+        .agg(F.count(F.lit(1)).alias("out_deg"))
+        .join(
+            mutual.groupBy("q_id").agg(
+                F.count(F.lit(1)).alias("n_mutual")
+            ),
+            "q_id",
+            "left",
+        )
+        .select(
+            "q_id",
+            F.coalesce("n_mutual", F.lit(0)).cast("long").alias("n_mutual"),
+        )
+    )
+    return per_node.groupBy(
+        F.col("n_mutual").alias("n_mutual_neighbors")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_nodes"))

@@ -2665,3 +2665,47 @@ ORDER BY family_size_band
 
 
 ORACLE_dedup_family_histogram = _family_histogram_oracle()
+
+
+# --------------- G7: directed kNN reciprocity (queued for r11) ------------
+# Registration note: queued for round 11 (r10 gate window full); the r11
+# registry block should add:
+#   ("knn_reciprocity", d.knn_reciprocity, d.ORACLE_knn_reciprocity)
+def knn_reciprocity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G7: mutual-neighbor histogram of the directed exact 5-NN graph —
+    the hubness screen (how many of each node's k out-neighbors point
+    back); see :func:`datapipe.similarity.knn_reciprocity`."""
+    emb = load(spark, sf_dir, "embeddings").filter(F.col("vec_id") < _GRAPH_VECS)
+    return S.knn_reciprocity(emb, k=_GRAPH_K).orderBy("n_mutual_neighbors")
+
+
+ORACLE_knn_reciprocity = f"""
+WITH t AS (
+    SELECT vec_id, embedding AS v, {V.sql_norm('embedding', _EMB_DIM)} AS nrm
+    FROM embeddings WHERE vec_id < {_GRAPH_VECS}
+), scored AS (
+    SELECT q.vec_id AS q_id, c.vec_id AS cand_id,
+           {V.sql_dot('q.v', 'c.v', _EMB_DIM)} / (q.nrm * c.nrm) AS cos_sim
+    FROM t q, t c
+    WHERE q.vec_id != c.vec_id
+), ranked AS (
+    SELECT q_id, cand_id,
+           row_number() OVER (PARTITION BY q_id
+                              ORDER BY cos_sim DESC, cand_id ASC) AS rank
+    FROM scored
+), directed AS (
+    SELECT q_id, cand_id FROM ranked WHERE rank <= {_GRAPH_K}
+), per_node AS (
+    SELECT d.q_id,
+           CAST(sum(CASE WHEN r.q_id IS NOT NULL THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_mutual
+    FROM directed d
+    LEFT JOIN directed r ON d.q_id = r.cand_id AND d.cand_id = r.q_id
+    GROUP BY d.q_id
+)
+SELECT n_mutual AS n_mutual_neighbors,
+       CAST(count(*) AS BIGINT) AS n_nodes
+FROM per_node
+GROUP BY n_mutual
+ORDER BY n_mutual_neighbors
+"""

@@ -2373,3 +2373,108 @@ FROM s_agg s JOIN ties t ON s.metric_name = t.metric_name
 WHERE t.n >= 2
 ORDER BY s.metric_name
 """
+
+
+# --------- A72: Bollinger-band breakouts by exact integer algebra --------
+# Registration note: queued for round 11 (r10 gate window full); the r11
+# registry block should add:
+#   ("metric_bollinger", m.metric_bollinger, m.ORACLE_metric_bollinger)
+_BOLL_W = 24  # trailing window, hours
+_BOLL_K = 3  # band half-width in trailing sigmas
+
+
+def metric_bollinger(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A72: rolling mean±kσ band breakouts per series — the classic
+    volatility-aware alert ("this hour is 3 trailing-day sigmas off its
+    own recent level") that complements A33's calendar baseline (same
+    hour-of-day across the corpus) with a TEMPORALLY LOCAL baseline (the
+    immediately preceding 24 h), and A43's CUSUM (cumulative small
+    drift) with a single-point blowout detector.
+
+    ZERO floats, not even at the edge: the breakout predicate
+    |y−μ| > kσ over the trailing-window mean/variance clears every
+    denominator — (y·n − S)² > k²·(n·Q − S²) with S=Σy, Q=Σy² over the
+    window — so the gate compares exact int64 cross-products and emits
+    the exact dev/var numerators for audit.  Overflow bound documented:
+    |y|≲2·10⁶ window-cents keeps (yn−S)² and k²(nQ−S²) under 2⁶³ at
+    W=24; quantize y (the A62 ``div 100`` step) past that.  The window
+    EXCLUDES the current point (scored against its past, so a breakout
+    can't suppress itself), and only full windows score.
+
+    Scale: the trailing window rides the (metric, hour) grid's
+    per-series partitions (the A39 aggregate-then-window rule); output
+    = breakout rows only.
+    """
+    from pyspark.sql import Window
+
+    m = synthesize_metrics(spark, sf_dir).select(
+        "metric_name",
+        F.expr("unix_micros(time) div 3600000000").alias("x"),
+        F.col("metric_value").alias("v"),
+    )
+    grid = m.groupBy("metric_name", "x").agg(F.sum("v").alias("y"))
+    wt = (
+        Window.partitionBy("metric_name")
+        .orderBy("x")
+        .rowsBetween(-_BOLL_W, -1)
+    )
+    rolled = grid.select(
+        "metric_name",
+        "x",
+        "y",
+        F.count(F.lit(1)).over(wt).alias("n"),
+        F.sum("y").over(wt).alias("s"),
+        F.sum(F.col("y") * F.col("y")).over(wt).alias("q"),
+    ).filter(F.col("n") == _BOLL_W)
+    dev = F.col("y") * F.col("n") - F.col("s")
+    var = F.col("n") * F.col("q") - F.col("s") * F.col("s")
+    return (
+        rolled.select(
+            "metric_name",
+            "x",
+            "y",
+            dev.alias("dev_num"),
+            var.alias("var_num"),
+        )
+        .filter(
+            F.col("dev_num") * F.col("dev_num")
+            > F.lit(_BOLL_K * _BOLL_K) * F.col("var_num")
+        )
+        .select(
+            "metric_name",
+            F.col("x").alias("hour"),
+            F.col("y").alias("value_cents"),
+            "dev_num",
+            "var_num",
+            (F.col("dev_num") > 0).alias("is_upper"),
+        )
+        .orderBy("metric_name", "hour")
+    )
+
+
+ORACLE_metric_bollinger = f"""
+WITH m AS ({_SYN_SQL}),
+g AS (
+    SELECT metric_name, epoch_us(time) // 3600000000 AS x,
+           CAST(sum(metric_value) AS BIGINT) AS y
+    FROM m GROUP BY 1, 2
+), rolled AS (
+    SELECT metric_name, x, y,
+           count(*) OVER w AS n,
+           sum(y) OVER w AS s,
+           sum(y * y) OVER w AS q
+    FROM g
+    WINDOW w AS (PARTITION BY metric_name ORDER BY x
+                 ROWS BETWEEN {_BOLL_W} PRECEDING AND 1 PRECEDING)
+), scored AS (
+    SELECT metric_name, x, y,
+           CAST(y * n - s AS BIGINT) AS dev_num,
+           CAST(n * q - s * s AS BIGINT) AS var_num
+    FROM rolled WHERE n = {_BOLL_W}
+)
+SELECT metric_name, x AS hour, y AS value_cents, dev_num, var_num,
+       dev_num > 0 AS is_upper
+FROM scored
+WHERE dev_num * dev_num > {_BOLL_K * _BOLL_K} * var_num
+ORDER BY metric_name, hour
+"""

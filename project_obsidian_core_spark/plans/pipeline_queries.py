@@ -484,3 +484,102 @@ SELECT source, n_docs, total_tokens,
 FROM agg
 ORDER BY source
 """
+
+
+# -------- A71: session entry/exit profile (queued for r11) ----------------
+# Registration note: queued for round 11 (r10 gate window full); the r11
+# registry block should add:
+#   ("events_session_entry_exit", pl.events_session_entry_exit,
+#    pl.ORACLE_events_session_entry_exit)
+def events_session_entry_exit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A71: entry/exit-page analysis over the gap sessions — which event
+    type OPENS sessions, which CLOSES them, and the bounce count
+    (single-event sessions) per (entry, exit) cell: the landing/exit
+    product report every funnel review starts from, here over the same
+    session definition the rest of the repo gates (lag-gap > 30 min,
+    the `sessionize_events` rule).
+
+    Exactness: entry/exit are the rn=1 rows of the (ts, event_id)
+    total order inside each session (the A38 tie rule — never a bare
+    min(ts) that goes nondeterministic on equal timestamps); counts are
+    plain int64.  Scale: sessionization + the two row_numbers ride ONE
+    per-user exchange; the profile re-aggregates ≤|sessions| rows to
+    ≤|types|² cells.
+    """
+    from pyspark.sql import Window
+
+    ev = load(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    sess = P.sessionize(ev, entity_col="user_id", ts_col="ts", gap=_SESSION_GAP)
+    wkey = Window.partitionBy("user_id", "session_idx")
+    rn_a = F.row_number().over(wkey.orderBy("ts", "event_id"))
+    rn_d = F.row_number().over(
+        wkey.orderBy(F.desc("ts"), F.desc("event_id"))
+    )
+    marked = sess.select(
+        "user_id",
+        "session_idx",
+        "event_type",
+        rn_a.alias("rn_a"),
+        rn_d.alias("rn_d"),
+    )
+    per_sess = marked.groupBy("user_id", "session_idx").agg(
+        F.max(F.when(F.col("rn_a") == 1, F.col("event_type"))).alias(
+            "entry_type"
+        ),
+        F.max(F.when(F.col("rn_d") == 1, F.col("event_type"))).alias(
+            "exit_type"
+        ),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    return (
+        per_sess.groupBy("entry_type", "exit_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_sessions"),
+            F.sum(
+                F.when(F.col("n_events") == 1, 1).otherwise(0)
+            ).cast("long").alias("n_bounces"),
+            F.sum("n_events").cast("long").alias("total_events"),
+        )
+        .orderBy("entry_type", "exit_type")
+    )
+
+
+ORACLE_events_session_entry_exit = f"""
+WITH flagged AS (
+    SELECT user_id, ts, event_id, event_type,
+           CASE WHEN lag(ts) OVER w IS NULL
+                  OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > {_SESSION_GAP_US}
+                THEN 1 ELSE 0 END AS is_start
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+), sess AS (
+    SELECT *,
+           CAST(sum(is_start) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS UNBOUNDED PRECEDING) AS BIGINT)
+               AS session_idx
+    FROM flagged
+), marked AS (
+    SELECT user_id, session_idx, event_type,
+           row_number() OVER (PARTITION BY user_id, session_idx
+                              ORDER BY ts, event_id) AS rn_a,
+           row_number() OVER (PARTITION BY user_id, session_idx
+                              ORDER BY ts DESC, event_id DESC) AS rn_d
+    FROM sess
+), per_sess AS (
+    SELECT user_id, session_idx,
+           max(CASE WHEN rn_a = 1 THEN event_type END) AS entry_type,
+           max(CASE WHEN rn_d = 1 THEN event_type END) AS exit_type,
+           count(*) AS n_events
+    FROM marked GROUP BY 1, 2
+)
+SELECT entry_type, exit_type,
+       CAST(count(*) AS BIGINT) AS n_sessions,
+       CAST(sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_bounces,
+       CAST(sum(n_events) AS BIGINT) AS total_events
+FROM per_sess
+GROUP BY 1, 2
+ORDER BY entry_type, exit_type
+"""

@@ -31,6 +31,8 @@ def queued():
     operator (kept in lockstep with the 'Registration note' docstrings)."""
     from project_obsidian_core_spark.plans import metrics_queries as m
     from project_obsidian_core_spark.plans import curation_queries as cu
+    from project_obsidian_core_spark.plans import datapipe_queries as d
+    from project_obsidian_core_spark.plans import pipeline_queries as pl
     from project_obsidian_core_spark.plans import relational_queries as r
     from project_obsidian_core_spark.plans import streaming_queries as st
 
@@ -49,6 +51,12 @@ def queued():
             r.orders_kaplan_meier,
             r.ORACLE_orders_kaplan_meier,
         ),
+        "knn_reciprocity": (d.knn_reciprocity, d.ORACLE_knn_reciprocity),
+        "events_session_entry_exit": (
+            pl.events_session_entry_exit,
+            pl.ORACLE_events_session_entry_exit,
+        ),
+        "metric_bollinger": (m.metric_bollinger, m.ORACLE_metric_bollinger),
     }
 
 

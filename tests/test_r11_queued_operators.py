@@ -284,3 +284,132 @@ def test_kaplan_meier_matches_python(spark):
         assert curve[t] == surv_ref[t]
         assert 0.0 <= curve[t] <= prev
         prev = curve[t]
+
+
+def test_knn_reciprocity_matches_python(spark):
+    from project_obsidian_core_spark.plans.common import load
+    from project_obsidian_core_spark.plans.datapipe_queries import (
+        _GRAPH_K,
+        _GRAPH_VECS,
+        knn_reciprocity,
+    )
+
+    emb = {
+        r["vec_id"]: r["embedding"]
+        for r in load(spark, SF, "embeddings")
+        .filter(F.col("vec_id") < _GRAPH_VECS)
+        .collect()
+    }
+
+    def cos(a, b):
+        num = sum(x * y for x, y in zip(a, b))
+        import math as _m
+
+        return num / (_m.sqrt(sum(x * x for x in a)) * _m.sqrt(sum(y * y for y in b)))
+
+    out_edges: dict[int, set[int]] = {}
+    for q, v in emb.items():
+        scored = sorted(
+            ((-cos(v, w), c) for c, w in emb.items() if c != q)
+        )[:_GRAPH_K]
+        out_edges[q] = {c for _, c in scored}
+    ref: dict[int, int] = {}
+    for q, outs in out_edges.items():
+        m = sum(1 for c in outs if q in out_edges[c])
+        ref[m] = ref.get(m, 0) + 1
+    got = {
+        r["n_mutual_neighbors"]: r["n_nodes"]
+        for r in knn_reciprocity(spark, SF).collect()
+    }
+    assert got == ref
+    assert sum(got.values()) == len(emb)
+
+
+def test_session_entry_exit_matches_python(spark):
+    from project_obsidian_core_spark.plans.common import load
+    from project_obsidian_core_spark.plans.pipeline_queries import (
+        _SESSION_GAP_US,
+        events_session_entry_exit,
+    )
+
+    rows = load(spark, SF, "events").select(
+        "user_id",
+        F.unix_micros("ts").alias("ts_us"),
+        "event_id",
+        "event_type",
+    ).collect()
+    by_user: dict[int, list[tuple[int, int, str]]] = {}
+    for r in rows:
+        by_user.setdefault(r["user_id"], []).append(
+            (r["ts_us"], r["event_id"], r["event_type"])
+        )
+    ref: dict[tuple[str, str], list[int]] = {}
+    for seq in by_user.values():
+        # session split on ts order (gap rule is tie-safe); entry/exit on
+        # the (ts, event_id) total order within each session
+        seq.sort()
+        sessions: list[list[tuple[int, int, str]]] = []
+        prev = None
+        for ev in seq:
+            if prev is None or ev[0] - prev > _SESSION_GAP_US:
+                sessions.append([])
+            sessions[-1].append(ev)
+            prev = ev[0]
+        for s in sessions:
+            cell = ref.setdefault((s[0][2], s[-1][2]), [0, 0, 0])
+            cell[0] += 1
+            cell[1] += len(s) == 1
+            cell[2] += len(s)
+    got = {
+        (r["entry_type"], r["exit_type"]): r
+        for r in events_session_entry_exit(spark, SF).collect()
+    }
+    assert set(got) == set(ref)
+    for k, (n_s, n_b, tot) in ref.items():
+        row = got[k]
+        assert row["n_sessions"] == n_s
+        assert row["n_bounces"] == n_b
+        assert row["total_events"] == tot
+
+
+def test_bollinger_matches_python(spark):
+    from project_obsidian_core_spark.plans.metrics_queries import (
+        _BOLL_K,
+        _BOLL_W,
+        metric_bollinger,
+        synthesize_metrics,
+    )
+
+    rows = (
+        synthesize_metrics(spark, SF)
+        .select(
+            "metric_name",
+            F.expr("unix_micros(time) div 3600000000").alias("x"),
+            F.col("metric_value").alias("v"),
+        )
+        .groupBy("metric_name", "x")
+        .agg(F.sum("v").alias("y"))
+        .collect()
+    )
+    grids: dict[str, list[tuple[int, int]]] = {}
+    for r in rows:
+        grids.setdefault(r["metric_name"], []).append((r["x"], r["y"]))
+    ref = []
+    for m, g in grids.items():
+        g.sort()
+        ys = [y for _, y in g]
+        for i in range(len(ys)):
+            win = ys[max(0, i - _BOLL_W):i]
+            if len(win) != _BOLL_W:
+                continue
+            n, s, q = len(win), sum(win), sum(v * v for v in win)
+            dev = ys[i] * n - s
+            var = n * q - s * s
+            if dev * dev > _BOLL_K * _BOLL_K * var:
+                ref.append((m, g[i][0], ys[i], dev, var, dev > 0))
+    got = [tuple(r) for r in metric_bollinger(spark, SF).collect()]
+    assert got == sorted(ref)
+    # a breakout is a strict band exit: its |dev| exceeds k·sigma by
+    # construction — re-verify the float form agrees with the int form
+    for _, _, y, dev, var, _ in ref:
+        assert abs(dev) > _BOLL_K * math.sqrt(var) - 1e-6
