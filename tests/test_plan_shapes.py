@@ -939,3 +939,70 @@ def test_kaplan_meier_timeline_windows_are_tiny(spark):
     assert plan.count("Exchange SinglePartition") == 2, plan
     assert "SortMergeJoin" not in plan, plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_bollinger_rides_grid_windows_no_join(spark):
+    """A72 (queued): the trailing band is two exchanges — grid aggregate
+    + per-series window — no join, no python, breakout predicate in
+    codegen integer algebra."""
+    from project_obsidian_core_spark.plans import metrics_queries as mq
+
+    plan = _with_fake_load(
+        mq, _metric_df(spark), lambda: mq.metric_bollinger(spark, "unused")
+    )
+    assert "Join" not in plan, plan
+    assert plan.count("Exchange hashpartitioning") == 2, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_session_entry_exit_one_user_exchange(spark):
+    """A71 (queued): sessionization + the two row_numbers + the session
+    fold all ride ONE per-user exchange; the profile re-aggregation is
+    the only other one. No join, no python."""
+    import datetime as dt
+
+    from project_obsidian_core_spark.plans import pipeline_queries as pqq
+
+    t0 = dt.datetime(2024, 1, 1)
+    ev = spark.createDataFrame(
+        [
+            (i, i % 9, t0 + dt.timedelta(minutes=11 * i),
+             "view" if i % 2 else "click", float(i % 13), "{}")
+            for i in range(300)
+        ],
+        ["event_id", "user_id", "ts", "event_type", "value", "props"],
+    )
+    real = pqq.load
+    pqq.load = lambda s, d, t: ev
+    try:
+        plan = _plan(pqq.events_session_entry_exit(spark, "unused"))
+    finally:
+        pqq.load = real
+    assert "Join" not in plan, plan
+    assert plan.count("Exchange hashpartitioning") == 2, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_reciprocity_mutual_check_is_hash_join(spark):
+    """G7 (queued): the reverse-pair mutual probe and the per-node attach
+    must be HASH joins on the |V|·k directed relation; the only
+    nested-loop joins are brute_force_topk's deliberate broadcast cross
+    scoring (the knn_brute gate-slice pattern), never a shuffle
+    cartesian, never python."""
+    from project_obsidian_core_spark.plans import datapipe_queries as dqq
+
+    emb = spark.createDataFrame(
+        [(i, [float((i * j) % 7 - 3) for j in range(8)]) for i in range(30)],
+        ["vec_id", "embedding"],
+    )
+    real = dqq.load
+    dqq.load = lambda s, d, t: emb
+    try:
+        plan = _plan(dqq.knn_reciprocity(spark, "unused"))
+    finally:
+        dqq.load = real
+    assert plan.count("SortMergeJoin") + plan.count("BroadcastHashJoin") == 2, plan
+    assert "CartesianProduct" not in plan, plan
+    for frag in plan.split("BroadcastNestedLoopJoin")[1:]:
+        assert "Cross" in frag[:40] or "Inner" in frag[:40]
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
