@@ -781,6 +781,25 @@ _ENTRIES: list[tuple[str, QueryFn, str | None]] = [
     # T24: streaming as-of join over two-sided order-reconstructing state,
     # gated on the BATCH DuckDB-native-ASOF oracle
     ("stream_asof_join", st.stream_asof_join, tj.ORACLE_events_asof_join),
+    # ------------------------------------------------------------------
+    # ROUND-11 PROMOTION BLOCK — uncomment to register the eight queued
+    # operators (all EXACT at sf0.01+sf0.1 via scripts/check_queued.py,
+    # unit- and plan-pinned in r10 session 4; deferred only because the
+    # r10 gate window was full). After uncommenting: add the eight names
+    # to bench.py BENCH_QUERIES, empty check_queued.py::queued(), and
+    # drop the asterisks from their SURVEY §2.11 rows.
+    # ("metric_spearman", m.metric_spearman, m.ORACLE_metric_spearman),
+    # ("metric_mann_kendall", m.metric_mann_kendall, m.ORACLE_metric_mann_kendall),
+    # ("metric_bollinger", m.metric_bollinger, m.ORACLE_metric_bollinger),
+    # ("orders_kaplan_meier", r.orders_kaplan_meier, r.ORACLE_orders_kaplan_meier),
+    # ("text_zipf_octaves", cu.text_zipf_octaves, cu.ORACLE_text_zipf_octaves),
+    # ("knn_reciprocity", d.knn_reciprocity, d.ORACLE_knn_reciprocity),
+    # (
+    #     "events_session_entry_exit",
+    #     pl.events_session_entry_exit,
+    #     pl.ORACLE_events_session_entry_exit,
+    # ),
+    # ("stream_pettitt", st.stream_pettitt, m.ORACLE_metric_pettitt),
 ]
 
 # ----------------------------------------------------------------------
