@@ -312,6 +312,11 @@ BENCH_QUERIES = [
     "metric_pettitt",         # A66 rank-based change point (r10c)
     "metric_quantile_normalize",  # A67 cross-instance QN (r10c)
     "stream_asof_join",       # T24 as-of join served live (r10c)
+    "metric_spearman",        # A68 Spearman rank association (r11)
+    "metric_mann_kendall",    # A69 Mann-Kendall monotone trend (r11)
+    "metric_bollinger",       # A71 Bollinger %B / bandwidth (r11)
+    "orders_kaplan_meier",    # A70 KM repurchase survival (r11)
+    "stream_pettitt",         # T25 Pettitt served live (r11)
     "events_discovery_timeline",  # exact running-distinct breakpoints
     "dedup_prefix_clusters",  # provably complete near-dup clusters
     # stream_cdc_merge is timed via _time_cdc_merge below (merge work

@@ -782,24 +782,30 @@ _ENTRIES: list[tuple[str, QueryFn, str | None]] = [
     # gated on the BATCH DuckDB-native-ASOF oracle
     ("stream_asof_join", st.stream_asof_join, tj.ORACLE_events_asof_join),
     # ------------------------------------------------------------------
-    # ROUND-11 PROMOTION BLOCK — uncomment to register the eight queued
-    # operators (all EXACT at sf0.01+sf0.1 via scripts/check_queued.py,
-    # unit- and plan-pinned in r10 session 4; deferred only because the
-    # r10 gate window was full). After uncommenting: add the eight names
-    # to bench.py BENCH_QUERIES, empty check_queued.py::queued(), and
-    # drop the asterisks from their SURVEY §2.11 rows.
-    # ("metric_spearman", m.metric_spearman, m.ORACLE_metric_spearman),
-    # ("metric_mann_kendall", m.metric_mann_kendall, m.ORACLE_metric_mann_kendall),
-    # ("metric_bollinger", m.metric_bollinger, m.ORACLE_metric_bollinger),
-    # ("orders_kaplan_meier", r.orders_kaplan_meier, r.ORACLE_orders_kaplan_meier),
-    # ("text_zipf_octaves", cu.text_zipf_octaves, cu.ORACLE_text_zipf_octaves),
-    # ("knn_reciprocity", d.knn_reciprocity, d.ORACLE_knn_reciprocity),
-    # (
-    #     "events_session_entry_exit",
-    #     pl.events_session_entry_exit,
-    #     pl.ORACLE_events_session_entry_exit,
-    # ),
-    # ("stream_pettitt", st.stream_pettitt, m.ORACLE_metric_pettitt),
+    # Block R11 — round-11 registrations, STAGED per the r10 verdict's
+    # gate-window arithmetic (Next #2 option b): the r10 queue held eight
+    # operators but 50 registry rows' newest green is r06, so registering
+    # all eight would displace eight stale-row refreshes to r12.  Five
+    # register now (the two the verdict names as highest-information —
+    # stream_pettitt, the first LIVE rank-recursion gate, and
+    # metric_spearman, completing the association triad — plus the other
+    # three metrics/relational family extensions); the remaining three
+    # (text_zipf_octaves, knn_reciprocity, events_session_entry_exit)
+    # stay in scripts/check_queued.py for r12, leaving 45 slots for the
+    # r06 cohort this round.  All five were EXACT at sf0.01+sf0.1 via
+    # check_queued.py on registration day (r10 session 4 + re-proven by
+    # the r10 judge's independent rerun).
+    # A68: Spearman rank correlation matrix (rank twin of A37 Pearson)
+    ("metric_spearman", m.metric_spearman, m.ORACLE_metric_spearman),
+    # A69: Mann-Kendall monotone trend test (rank twin of A51 Theil-Sen)
+    ("metric_mann_kendall", m.metric_mann_kendall, m.ORACLE_metric_mann_kendall),
+    # A72: Bollinger exact-int band-breakout detector
+    ("metric_bollinger", m.metric_bollinger, m.ORACLE_metric_bollinger),
+    # A70: Kaplan-Meier repurchase survival with right-censoring
+    ("orders_kaplan_meier", r.orders_kaplan_meier, r.ORACLE_orders_kaplan_meier),
+    # T25: streaming Pettitt over order-reconstructing state, gated on
+    # the BATCH A66 oracle (rank statistics live)
+    ("stream_pettitt", st.stream_pettitt, m.ORACLE_metric_pettitt),
 ]
 
 # ----------------------------------------------------------------------

@@ -3,9 +3,11 @@ operators — the same compare as scripts/oracle_check.py, against an
 explicit (fn, oracle) list instead of the registry.
 
 Operators land here when the driver's 50-slot gate window is full for
-the current round (registration would displace the stale-row refresh);
-the r11 session promotes them into plans/registry.py and this list
-shrinks back to empty.
+the current round (registration would displace the stale-row refresh).
+Round 11 promoted five of the eight r10-queued operators; the remaining
+three below are held for r12 so 45 of the 50 r06-stale registry rows
+refresh through the r11 window (see the Block R11 comment in
+plans/registry.py and SCALE.md).
 
 Usage: python scripts/check_queued.py [sf_dir]
 """
@@ -18,45 +20,30 @@ import time
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
+sys.path.insert(0, os.path.join(REPO, "scripts"))
 
 import duckdb  # noqa: E402
 
 from oracle_check import TABLES, approx_equal, sorted_rows  # noqa: E402
 
-sys.path.insert(0, os.path.join(REPO, "scripts"))
-
 
 def queued():
     """name -> (query_fn, oracle_sql) for every implemented-but-unregistered
     operator (kept in lockstep with the 'Registration note' docstrings)."""
-    from project_obsidian_core_spark.plans import metrics_queries as m
     from project_obsidian_core_spark.plans import curation_queries as cu
     from project_obsidian_core_spark.plans import datapipe_queries as d
     from project_obsidian_core_spark.plans import pipeline_queries as pl
-    from project_obsidian_core_spark.plans import relational_queries as r
-    from project_obsidian_core_spark.plans import streaming_queries as st
 
     return {
-        "metric_spearman": (m.metric_spearman, m.ORACLE_metric_spearman),
-        "stream_pettitt": (st.stream_pettitt, m.ORACLE_metric_pettitt),
-        "metric_mann_kendall": (
-            m.metric_mann_kendall,
-            m.ORACLE_metric_mann_kendall,
-        ),
         "text_zipf_octaves": (
             cu.text_zipf_octaves,
             cu.ORACLE_text_zipf_octaves,
-        ),
-        "orders_kaplan_meier": (
-            r.orders_kaplan_meier,
-            r.ORACLE_orders_kaplan_meier,
         ),
         "knn_reciprocity": (d.knn_reciprocity, d.ORACLE_knn_reciprocity),
         "events_session_entry_exit": (
             pl.events_session_entry_exit,
             pl.ORACLE_events_session_entry_exit,
         ),
-        "metric_bollinger": (m.metric_bollinger, m.ORACLE_metric_bollinger),
     }
 
 
