@@ -1006,3 +1006,44 @@ def test_reciprocity_mutual_check_is_hash_join(spark):
     for frag in plan.split("BroadcastNestedLoopJoin")[1:]:
         assert "Cross" in frag[:40] or "Inner" in frag[:40]
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_vocab_growth_no_collected_id_buffer(spark):
+    """X23 (rewritten round 11, the r10 verdict's #1): the checkpoint
+    thresholds are distributed order statistics — the plan must contain
+    NO collect_list/sort_array (the corpus-sized single-buffer shape the
+    rewrite removes).  The only single-partition work is the per-bucket
+    count fold (|id-range|/4096 rows) and the final 5-row pivot; the
+    threshold read is a (bucket, checkpoint)-partitioned row_number over
+    ≤5 buckets' rows, and the vocab aggregate takes thresholds as a
+    broadcast."""
+    from project_obsidian_core_spark.plans import curation_queries as cuq
+
+    docs = spark.createDataFrame(
+        [
+            (i, " ".join(f"w{(i * 7 + j) % 41}" for j in range(5)), "en", "s", 9)
+            for i in range(200)
+        ],
+        ["doc_id", "text", "lang", "source", "n_chars"],
+    )
+    real = cuq.load
+    cuq.load = lambda s, d, t: docs
+    try:
+        df = cuq.vocab_growth(spark, "unused")
+        plan = _plan(df)
+    finally:
+        cuq.load = real
+    assert "collect_list" not in plan, plan
+    assert "sort_array" not in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    # and the rewrite preserves the semantics on an in-memory corpus:
+    # n=200 → thresholds at ranks 13, 25, 50, 100, 200 → doc ids 12, 24,
+    # 49, 99, 199; vocab is 41 wrapping terms, all seen by doc 12's window
+    rows = {r["sixteenth"]: r for r in df.collect()}
+    assert [rows[k]["checkpoint_docs"] for k in (1, 2, 4, 8, 16)] == [
+        13, 25, 50, 100, 200,
+    ]
+    assert [rows[k]["threshold_doc_id"] for k in (1, 2, 4, 8, 16)] == [
+        12, 24, 49, 99, 199,
+    ]
+    assert rows[16]["vocab_size"] == 41
