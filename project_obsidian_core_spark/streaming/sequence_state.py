@@ -21,11 +21,18 @@ per key. The drained state therefore equals the batch operator exactly
 equivalence available for an order-dependent fold.
 
 Scale: state per user is that user's event sequence — O(activity), not
-O(corpus); at 100 TB you bound it with the same retention window the
-batch operator scans (evict rows older than the watermark horizon — the
-transitions across the eviction boundary are the documented loss, same
-as any windowed sequence model). Ties: the sequence sorts by
-(ts, event_id), the A38 total-order rule the batch window uses.
+O(corpus); on an unbounded stream ``evict=True`` (round 11, the
+interval_state contract) bounds it to the WATERMARK HORIZON with NO
+semantic loss: a row below the watermark can never gain a new
+predecessor (Spark drops late rows), so every adjacent pair whose
+second element is below the horizon is frozen — it is emitted once
+with ``is_final=True`` and its rows leave state, except the LAST
+frozen row, which stays as the boundary anchor (its outgoing pair can
+still change when the next in-horizon row arrives).  finals ∪
+max-version live rows ≡ the batch operator exactly, test-pinned; the
+per-batch O(state) re-sort shrinks to O(horizon activity).  Ties: the
+sequence sorts by (ts, event_id), the A38 total-order rule the batch
+window uses.
 """
 
 from __future__ import annotations
@@ -57,13 +64,25 @@ OUTPUT_SCHEMA = T.StructType(
     ]
 )
 
+#: evict-mode output — the superseding contract grows an ``is_final``
+#: marker: readers take ALL final rows (each pair finalizes exactly once,
+#: so they sum) plus the max-version live rows, mirroring interval_state
+EVICT_OUTPUT_SCHEMA = T.StructType(
+    [*OUTPUT_SCHEMA.fields, T.StructField("is_final", T.BooleanType())]
+)
+
 
 def merge_sequence(
     ts: list[int], eid: list[int], types: list[str], batch_rows
 ) -> tuple[list[int], list[int], list[str]]:
-    """Merge-insert batch rows into the (ts, event_id)-sorted sequence.
-    Pure function; unit-tested directly. Commutative over disjoint
-    batches: the result is the sort of the union, however it arrives.
+    """Merge-insert batch rows into the (ts, event_id)-sorted sequence,
+    DEDUPLICATING on (ts, event_id): a re-delivered row (an
+    at-least-once upstream replaying across restarts) is dropped, so the
+    state is idempotent under replay rather than relying on the source's
+    exactly-once contract (round-11 hardening; ties on the full key keep
+    the first row in full-tuple sort order, deterministically).  Pure
+    function; unit-tested directly.  Commutative over batches: the
+    result is the sort of the DISTINCT union, however it arrives.
 
     Cost note (r10 soak, 10⁶ events/key in 10³ batches): ``sorted``
     over state+batch IS effectively a linear two-run merge — timsort
@@ -71,16 +90,24 @@ def merge_sequence(
     (177 s) than an explicit ``heapq.merge`` (230 s, per-item generator
     overhead). The per-batch O(state) array rewrite is inherent to
     materialized sorted state; the production bound is the retention
-    window (evict below the watermark horizon), not a cleverer merge."""
+    window (``evict=True`` below the watermark horizon, implemented in
+    the consumers), not a cleverer merge."""
     merged = sorted(
         list(zip(ts, eid, types))
         + [(int(t), int(e), y) for t, e, y in batch_rows]
     )
-    return (
-        [t for t, _, _ in merged],
-        [e for _, e, _ in merged],
-        [y for _, _, y in merged],
-    )
+    out_t: list[int] = []
+    out_e: list[int] = []
+    out_y: list[str] = []
+    last: tuple[int, int] | None = None
+    for t, e, y in merged:
+        if (t, e) == last:
+            continue
+        last = (t, e)
+        out_t.append(t)
+        out_e.append(e)
+        out_y.append(y)
+    return out_t, out_e, out_y
 
 
 def transition_counts(types: list[str]) -> dict[tuple[str, str], int]:
@@ -92,7 +119,19 @@ def transition_counts(types: list[str]) -> dict[tuple[str, str], int]:
     return out
 
 
-def make_sequence_fn():
+def make_sequence_fn(evict: bool = False):
+    """``evict=True`` enables watermark eviction (the interval_state
+    contract): the sequence prefix with ts below the group-state
+    watermark is FROZEN — Spark drops later-arriving rows below the
+    watermark, so no future row can be inserted before or between
+    frozen rows.  Every adjacent pair whose SECOND element is frozen is
+    therefore final: its counts are emitted once with
+    ``is_final=True``, and the frozen rows leave state except the LAST
+    one, kept as the boundary anchor (a future in-horizon row can still
+    insert directly after it, so the anchor's outgoing pair stays
+    live).  finals ∪ max-version live ≡ the batch counts, test-pinned.
+    Requires ``withWatermark`` upstream."""
+
     def fn(
         key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
@@ -114,36 +153,55 @@ def make_sequence_fn():
         if not absorbed:
             return
         version += absorbed
-        state.update((ts, eid, types, version))
-        counts = transition_counts(types)
-        if not counts:
-            return
-        items = sorted(counts.items())
-        yield pd.DataFrame(
-            {
+
+        def frame(items, final):
+            cols = {
                 "user_id": [user] * len(items),
                 "prev_type": [p for (p, _), _ in items],
                 "next_type": [q for (_, q), _ in items],
                 "n": [c for _, c in items],
                 "version": [version] * len(items),
             }
-        )
+            if evict:
+                cols["is_final"] = [final] * len(items)
+            return pd.DataFrame(cols)
+
+        if evict:
+            import bisect
+
+            wm_us = state.getCurrentWatermarkMs() * 1000
+            cut = bisect.bisect_left(ts, wm_us)
+            if cut > 1:
+                finalized = transition_counts(types[:cut])
+                ts, eid, types = ts[cut - 1 :], eid[cut - 1 :], types[cut - 1 :]
+                if finalized:
+                    yield frame(sorted(finalized.items()), True)
+        state.update((ts, eid, types, version))
+        counts = transition_counts(types)
+        if counts:
+            yield frame(sorted(counts.items()), False)
 
     return fn
 
 
-def streaming_transitions(stream: DataFrame) -> DataFrame:
+def streaming_transitions(stream: DataFrame, evict: bool = False) -> DataFrame:
     """Wire the ordered-sequence state over an event stream; expects
-    columns (user_id, event_id, ts, event_type)."""
+    columns (user_id, event_id, ts, event_type).  ``evict=True`` (needs
+    a watermarked source) bounds state to the watermark horizon and
+    adds the ``is_final`` column — the unbounded-stream mode."""
     keyed = stream.select(
         F.col("user_id").cast("long").alias("user_id"),
         F.col("event_id").cast("long").alias("event_id"),
         F.unix_micros("ts").alias("ts_us"),
         F.col("event_type").cast("string").alias("event_type"),
+        # evict mode must RETAIN the watermark-tagged event-time column:
+        # projecting it away severs the watermark and
+        # getCurrentWatermarkMs() raises inside the state fn
+        *([F.col("ts")] if evict else []),
     )
     return keyed.groupBy("user_id").applyInPandasWithState(
-        make_sequence_fn(),
-        outputStructType=OUTPUT_SCHEMA,
+        make_sequence_fn(evict=evict),
+        outputStructType=EVICT_OUTPUT_SCHEMA if evict else OUTPUT_SCHEMA,
         stateStructType=STATE_SCHEMA,
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
@@ -270,6 +328,16 @@ SESSION_OUTPUT_SCHEMA = T.StructType(
     ]
 )
 
+SESSION_EVICT_OUTPUT_SCHEMA = T.StructType(
+    [*SESSION_OUTPUT_SCHEMA.fields, T.StructField("is_final", T.BooleanType())]
+)
+
+#: evict-mode state adds the count of sessions already finalized, so the
+#: global 1-based session_idx survives their rows leaving state
+SESSION_EVICT_STATE_SCHEMA = T.StructType(
+    [*SESSION_STATE_SCHEMA.fields, T.StructField("closed_n", T.LongType())]
+)
+
 
 def gap_sessions(
     ts: list[int], vals: list[int], gap_us: int
@@ -296,13 +364,26 @@ def gap_sessions(
     return out
 
 
-def make_session_fn(gap_us: int):
+def make_session_fn(gap_us: int, evict: bool = False):
+    """``evict=True``: a session whose end satisfies ``end + gap <
+    watermark`` is CLOSED — every future row has ts ≥ watermark, so its
+    distance to any row of that session strictly exceeds the gap: it
+    can neither extend, join, nor split it.  Closed sessions form a
+    prefix of the ordered session list; they are emitted once with
+    ``is_final=True`` and their rows leave state; ``closed_n`` in state
+    keeps the global 1-based session numbering exact.  finals ∪
+    max-version live ≡ the batch sessionization, test-pinned."""
+
     def fn(
         key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
         user = int(key[0])
+        closed_n = 0
         if state.exists:
-            ts, eid, vals, version = state.get
+            if evict:
+                ts, eid, vals, version, closed_n = state.get
+            else:
+                ts, eid, vals, version = state.get
             ts, eid, vals = list(ts), list(eid), list(vals)
         else:
             ts, eid, vals, version = [], [], [], 0
@@ -325,24 +406,51 @@ def make_session_fn(gap_us: int):
         if not absorbed:
             return
         version += absorbed
-        state.update((ts, eid, vals, version))
         rows = gap_sessions(ts, vals, gap_us)
-        yield pd.DataFrame(
-            {
-                "user_id": [user] * len(rows),
-                "session_idx": [r[0] for r in rows],
-                "session_start_us": [r[1] for r in rows],
-                "session_end_us": [r[2] for r in rows],
-                "n_events": [r[3] for r in rows],
-                "value_sum": [r[4] for r in rows],
-                "version": [version] * len(rows),
+
+        def frame(srows, final):
+            cols = {
+                "user_id": [user] * len(srows),
+                "session_idx": [closed_n + r[0] for r in srows],
+                "session_start_us": [r[1] for r in srows],
+                "session_end_us": [r[2] for r in srows],
+                "n_events": [r[3] for r in srows],
+                "value_sum": [r[4] for r in srows],
+                "version": [version] * len(srows),
             }
-        )
+            if evict:
+                cols["is_final"] = [final] * len(srows)
+            return pd.DataFrame(cols)
+
+        if evict:
+            wm_us = state.getCurrentWatermarkMs() * 1000
+            n_closed = 0
+            while (
+                n_closed < len(rows)
+                and rows[n_closed][2] + gap_us < wm_us
+            ):
+                n_closed += 1
+            if n_closed:
+                yield frame(rows[:n_closed], True)
+                n_drop = sum(r[3] for r in rows[:n_closed])
+                ts, eid, vals = ts[n_drop:], eid[n_drop:], vals[n_drop:]
+                rows = [
+                    (r[0] - n_closed, r[1], r[2], r[3], r[4])
+                    for r in rows[n_closed:]
+                ]
+                closed_n += n_closed
+            state.update((ts, eid, vals, version, closed_n))
+        else:
+            state.update((ts, eid, vals, version))
+        if rows:
+            yield frame(rows, False)
 
     return fn
 
 
-def streaming_gap_sessions(stream: DataFrame, gap_us: int) -> DataFrame:
+def streaming_gap_sessions(
+    stream: DataFrame, gap_us: int, evict: bool = False
+) -> DataFrame:
     """T22: gap sessionization live — THIRD consumer of the
     order-reconstructing state (adjacency → T20, stage progress → T21,
     gap partitioning → T22): a session that a late-arriving middle
@@ -350,17 +458,26 @@ def streaming_gap_sessions(stream: DataFrame, gap_us: int) -> DataFrame:
     re-splits correctly because sessions are re-derived from the merged
     sequence on every emit — the failure mode watermark-based
     session_window handles by dropping, this handles by revision.
+    ``evict=True`` (needs a watermarked source) finalizes closed
+    sessions out of state — the unbounded-stream mode.
     Expects (user_id, event_id, ts, cents)."""
     keyed = stream.select(
         F.col("user_id").cast("long").alias("user_id"),
         F.col("event_id").cast("long").alias("event_id"),
         F.unix_micros("ts").alias("ts_us"),
         F.col("cents").cast("long").alias("cents"),
+        # keep the watermark-tagged column alive in evict mode (see
+        # streaming_transitions)
+        *([F.col("ts")] if evict else []),
     )
     return keyed.groupBy("user_id").applyInPandasWithState(
-        make_session_fn(gap_us),
-        outputStructType=SESSION_OUTPUT_SCHEMA,
-        stateStructType=SESSION_STATE_SCHEMA,
+        make_session_fn(gap_us, evict=evict),
+        outputStructType=(
+            SESSION_EVICT_OUTPUT_SCHEMA if evict else SESSION_OUTPUT_SCHEMA
+        ),
+        stateStructType=(
+            SESSION_EVICT_STATE_SCHEMA if evict else SESSION_STATE_SCHEMA
+        ),
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )

