@@ -890,12 +890,15 @@ def kcore(edges: DataFrame, k: int, max_rounds: int = 50) -> DataFrame:
         pruned = pruned.localCheckpoint(eager=True)
         n_after = pruned.count()
         live = pruned
-        # a fully-peeled graph (n_after == 0) also lands here on the NEXT
-        # pass (0 == 0 fixpoint): the empty groupBy preserves the input
-        # node type, so string/int node ids keep ONE schema on both the
-        # populated and the empty path (r9 ADVICE — a hardcoded
-        # 'node long' empty branch diverged from edge-typed returns)
-        if n_after == n_before:
+        # both fixpoint shapes return through the SAME schema-preserving
+        # expression: the empty groupBy keeps the input node type, so
+        # string/int node ids get ONE schema on the populated and empty
+        # paths (r9 ADVICE — a hardcoded 'node long' empty branch
+        # diverged from edge-typed returns); n_after == 0 returns
+        # immediately (r10 ADVICE — waiting for the next 0 == 0 round
+        # cost an extra count/checkpoint pass, and a graph emptying
+        # exactly on round max_rounds wrongly raised)
+        if n_after == n_before or n_after == 0:
             return live.groupBy("src").agg(
                 F.count(F.lit(1)).alias("core_degree")
             ).select(F.col("src").alias("node"), "core_degree")
