@@ -55,6 +55,64 @@ def synthesize_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _guard_series_pairs(
+    rel: DataFrame,
+    series_col: str,
+    max_series: int | None,
+    pair_block: str | None,
+    op: str,
+) -> DataFrame:
+    """Pre-flight + blocking guard for the all-pairs SERIES axis shared by
+    the association matrices (A37 Pearson, A62 xcorr, A65 Kendall).
+
+    Within-series pair work in those operators is window-bounded (the
+    retention grid), but the SERIES-pair axis is S²/2: SCALE.md's r10 soak
+    measured 202M sign pairs at just 40 series, so at 10⁴+ series the
+    matrix itself is the scale killer.  This is the same failure shape the
+    dedup family guards with ``max_bucket``/``max_eval``
+    (:func:`datapipe.dedup.minhash_candidates`,
+    :func:`datapipe.similarity.lsh_recall`) — mirror those:
+
+    - ``max_series`` — raising pre-flight: count distinct series (a 1-row
+      bounded control-plane read, the LSH-capacity idiom) and refuse to
+      build an S²/2 plan above the cap unless the caller raised the cap
+      explicitly or supplied a block.
+    - ``pair_block`` — a SQL expression over ``series_col`` assigning each
+      series to a block; pairing is then SAME-BLOCK ONLY, reducing S²/2 to
+      Σ bᵢ²/2 (the caller's domain knowledge — host group, metric family,
+      dashboard — picks the blocks).  The guard re-checks the LARGEST
+      block against ``max_series`` so an oversized block cannot smuggle
+      the quadratic back in.
+
+    Returns ``rel`` unchanged when ``pair_block`` is None (gate plans
+    byte-identical), else with a ``__blk`` column the caller must fold
+    into its pair-join key.
+    """
+    if pair_block is not None:
+        rel = rel.withColumn("__blk", F.expr(pair_block))
+    if max_series is not None:
+        key = ["__blk"] if pair_block is not None else []
+        sizes = (
+            rel.select(series_col, *key)
+            .distinct()
+            .groupBy(*key)
+            .count()
+            .agg(F.max("count").alias("n"))
+            .collect()
+        )
+        n = sizes[0]["n"] or 0
+        if n > max_series:
+            what = "block" if pair_block is not None else "series set"
+            raise RuntimeError(
+                f"{op}: {what} of {n} series exceeds max_series={max_series};"
+                f" the pair matrix is quadratic in this count"
+                f" ({n * (n - 1) // 2} series pairs). Supply pair_block= to"
+                f" restrict pairing to same-block series, or raise"
+                f" max_series explicitly if the quadratic is intended."
+            )
+    return rel
+
+
 def metric_series(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A9: 5-minute AVG series per metric through
     :func:`analytics.metrics.metric_series`."""
@@ -508,11 +566,22 @@ ORDER BY metric_name
 
 
 # ------------------------------------------ A37: metric correlation --
-def metric_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+def metric_corr_matrix(
+    spark: SparkSession,
+    sf_dir: str,
+    *,
+    max_series: int | None = 64,
+    pair_block: str | None = None,
+) -> DataFrame:
     """A37: Pearson correlation between every metric-series pair after
     minute-bucket alignment — the redundancy/co-movement screen behind
     "these two dashboards show the same signal" and feature-selection
     pruning before model training.
+
+    The series-pair axis is S²/2 — guarded by
+    :func:`_guard_series_pairs` (``max_series`` raising pre-flight +
+    same-block-only ``pair_block`` pairing), mirroring the dedup family's
+    ``max_bucket``/``max_eval``.
 
     Series align by an exact minute rollup (sum of cents per bucket),
     pairs come from a self-join on the bucket key (metric_a < metric_b),
@@ -542,13 +611,17 @@ def metric_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = per_bucket.select(
         "metric_name", "bucket", (F.col("y") - F.min("y").over(w)).alias("yc0")
     ).select("metric_name", "bucket", F.expr("yc0 div 100").alias("yc"))
+    c = _guard_series_pairs(
+        c, "metric_name", max_series, pair_block, "metric_corr_matrix"
+    )
+    cond = (F.col("a.bucket") == F.col("b.bucket")) & (
+        F.col("a.metric_name") < F.col("b.metric_name")
+    )
+    if pair_block is not None:
+        cond = cond & (F.col("a.__blk") == F.col("b.__blk"))
     pairs = (
         c.alias("a")
-        .join(
-            c.alias("b"),
-            (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a.metric_name") < F.col("b.metric_name")),
-        )
+        .join(c.alias("b"), cond)
         .select(
             F.col("a.metric_name").alias("metric_a"),
             F.col("b.metric_name").alias("metric_b"),
@@ -1518,7 +1591,13 @@ ORDER BY metric_name
 _XCORR_MAX_LAG = 3
 
 
-def metric_xcorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+def metric_xcorr(
+    spark: SparkSession,
+    sf_dir: str,
+    *,
+    max_series: int | None = 64,
+    pair_block: str | None = None,
+) -> DataFrame:
     """A62: SIGNED-lag cross-correlation between every metric-series
     pair on the minute grid — the lead/lag detector ("disk latency
     moves 2 minutes AFTER buffer misses") that turns the A37 co-movement
@@ -1533,6 +1612,9 @@ def metric_xcorr(spark: SparkSession, sf_dir: str) -> DataFrame:
     signed lags and joins on the SHIFTED bucket — fan-out exactly
     (2L+1)·|metrics|/bucket, never a band-predicate B² degeneration.
     Output is |pairs|·(2L+1) rows regardless of corpus size.
+
+    The series-pair axis is S²/2·(2L+1) — guarded by
+    :func:`_guard_series_pairs` (``max_series`` / ``pair_block``).
     """
     from pyspark.sql import Window
 
@@ -1546,6 +1628,10 @@ def metric_xcorr(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = per_bucket.select(
         "metric_name", "bucket", (F.col("y") - F.min("y").over(w)).alias("yc0")
     ).select("metric_name", "bucket", F.expr("yc0 div 100").alias("yc"))
+    c = _guard_series_pairs(
+        c, "metric_name", max_series, pair_block, "metric_xcorr"
+    )
+    blk = ["__blk"] if pair_block is not None else []
     a = c.select(
         F.col("metric_name").alias("metric_a"),
         F.col("yc").alias("ya"),
@@ -1553,8 +1639,13 @@ def metric_xcorr(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr(f"sequence(-{_XCORR_MAX_LAG}, {_XCORR_MAX_LAG})")
         ).alias("lag"),
         "bucket",
+        *blk,
     ).select(
-        "metric_a", "ya", "lag", (F.col("bucket") + F.col("lag")).alias("bucket")
+        "metric_a",
+        "ya",
+        "lag",
+        (F.col("bucket") + F.col("lag")).alias("bucket"),
+        *blk,
     )
     pairs = (
         a.join(
@@ -1562,8 +1653,9 @@ def metric_xcorr(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("metric_name").alias("metric_b"),
                 "bucket",
                 F.col("yc").alias("yb"),
+                *blk,
             ),
-            "bucket",
+            ["bucket", *blk],
         )
         .filter(F.col("metric_a") < F.col("metric_b"))
         .select("metric_a", "metric_b", "lag", "ya", "yb")
@@ -1774,7 +1866,13 @@ ORDER BY metric_name
 
 
 # ------------------------- A65: Kendall tau-b concordance between series --
-def metric_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
+def metric_kendall_tau(
+    spark: SparkSession,
+    sf_dir: str,
+    *,
+    max_series: int | None = 64,
+    pair_block: str | None = None,
+) -> DataFrame:
     """A65: Kendall tau-b between every metric-series pair on the hour
     grid — the RANK member of the co-movement family: A37/A62 measure
     linear co-movement (Pearson moments), this measures MONOTONE
@@ -1813,21 +1911,28 @@ def metric_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("metric_value").alias("v"),
     )
     grid = m.groupBy("metric_name", "x").agg(F.sum("v").alias("y"))
+    grid = _guard_series_pairs(
+        grid, "metric_name", max_series, pair_block, "metric_kendall_tau"
+    )
+    blk = ["__blk"] if pair_block is not None else []
     al = (
         grid.select(
             F.col("metric_name").alias("metric_a"),
             "x",
             F.col("y").alias("ya"),
+            *blk,
         )
         .join(
             grid.select(
                 F.col("metric_name").alias("metric_b"),
                 "x",
                 F.col("y").alias("yb"),
+                *blk,
             ),
-            "x",
+            ["x", *blk],
         )
         .filter(F.col("metric_a") < F.col("metric_b"))
+        .select("metric_a", "metric_b", "x", "ya", "yb")
     )
     cnt = al.groupBy("metric_a", "metric_b").agg(
         F.count(F.lit(1)).cast("int").alias("n")
