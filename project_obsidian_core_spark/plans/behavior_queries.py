@@ -723,3 +723,172 @@ SELECT user_id, n_events, n_types, sum_c2,
 FROM a
 ORDER BY user_id
 """
+
+
+# ------------------------------------------------ A73: RFM segmentation --
+# Registration note: QUEUED for a later round (gate window full — see
+# scripts/check_queued.py). Planned row:
+#   ("customer_rfm", b.customer_rfm, b.ORACLE_customer_rfm)
+def customer_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A73: RFM (recency / frequency / monetary) quartile segmentation
+    over the orders fact — the canonical customer-scoring shape behind
+    "which users get the retention campaign" and, in a training-data
+    pipeline, stratified sampling of user populations by engagement
+    tier.
+
+    Quartiles are VALUE-based via distributed order statistics (the
+    vocab_growth/Gini idiom — NO global per-customer NTILE window, which
+    is a one-task sort at 10⁹ customers): each measure collapses to its
+    per-DISTINCT-VALUE count relation (≤|distinct values| rows), a
+    cumulative window ordered by value assigns rank ranges, and the
+    k-th boundary is the least value whose cumulative count reaches
+    ceil(k·n/4). Scores are then 1 + (#boundaries strictly exceeded) —
+    deterministic under ties (tied values share a score, which is the
+    semantics segmentation wants), all int64, no floats anywhere.
+
+    r_q counts from the STALE end (1 = longest ago) so the composite
+    code reads best-customer-high: rfm_code = (5−r_q)·100 + f_q·10
+    + m_q, 444 = recent + frequent + big spender.
+
+    Scale: one corpus exchange (per-customer aggregate keyed on
+    custkey); everything after rides the three per-distinct-value
+    relations and a 1-row broadcast of the nine boundaries.
+    """
+    orders = load(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderkey",
+        F.col("o_orderdate").cast("date").alias("od"),
+        cents("o_totalprice").alias("price_cents"),
+    )
+    anchor = orders.agg(F.max("od").alias("anchor"))
+    pc = (
+        orders.groupBy("o_custkey")
+        .agg(
+            F.max("od").alias("last_od"),
+            F.count("o_orderkey").alias("frequency"),
+            F.sum("price_cents").alias("monetary_cents"),
+        )
+        .crossJoin(F.broadcast(anchor))
+        .select(
+            F.col("o_custkey").alias("c_custkey"),
+            F.datediff("anchor", "last_od").cast("long").alias("recency_days"),
+            F.col("frequency").cast("long").alias("frequency"),
+            "monetary_cents",
+        )
+    )
+    long = pc.selectExpr(
+        "stack(3, 'r', recency_days, 'f', frequency, 'm', monetary_cents)"
+        " as (measure, v)"
+    )
+    vc = long.groupBy("measure", "v").agg(F.count(F.lit(1)).alias("cnt"))
+    w_cum = (
+        Window.partitionBy("measure")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.partitionBy("measure")
+    ranked = vc.select(
+        "measure",
+        "v",
+        F.sum("cnt").over(w_cum).alias("cum"),
+        F.sum("cnt").over(w_all).alias("n"),
+    )
+    thr = ranked.groupBy("measure").agg(
+        F.min(
+            F.when(F.col("cum") >= F.expr("(n + 3) div 4"), F.col("v"))
+        ).cast("long").alias("t1"),
+        F.min(
+            F.when(F.col("cum") >= F.expr("(2 * n + 3) div 4"), F.col("v"))
+        ).cast("long").alias("t2"),
+        F.min(
+            F.when(F.col("cum") >= F.expr("(3 * n + 3) div 4"), F.col("v"))
+        ).cast("long").alias("t3"),
+    )
+    one = thr.groupBy().pivot("measure", ["r", "f", "m"]).agg(
+        F.min("t1").alias("t1"), F.min("t2").alias("t2"), F.min("t3").alias("t3")
+    )
+    scored = pc.crossJoin(F.broadcast(one))
+    q = lambda v, p: (  # noqa: E731
+        F.lit(1)
+        + (F.col(v) > F.col(f"{p}_t1")).cast("int")
+        + (F.col(v) > F.col(f"{p}_t2")).cast("int")
+        + (F.col(v) > F.col(f"{p}_t3")).cast("int")
+    )
+    return scored.select(
+        "c_custkey",
+        "recency_days",
+        "frequency",
+        "monetary_cents",
+        q("recency_days", "r").alias("r_q"),
+        q("frequency", "f").alias("f_q"),
+        q("monetary_cents", "m").alias("m_q"),
+        (
+            (F.lit(5) - q("recency_days", "r")) * 100
+            + q("frequency", "f") * 10
+            + q("monetary_cents", "m")
+        ).alias("rfm_code"),
+    ).orderBy("c_custkey")
+
+
+ORACLE_customer_rfm = """
+WITH o AS (
+    SELECT o_custkey, o_orderkey, CAST(o_orderdate AS DATE) AS od,
+           CAST(round(o_totalprice * 100, 0) AS BIGINT) AS price_cents
+    FROM orders
+), anchor AS (
+    SELECT max(od) AS anchor FROM o
+), pc AS (
+    SELECT o_custkey AS c_custkey,
+           CAST(date_diff('day', max(od), (SELECT anchor FROM anchor))
+                AS BIGINT) AS recency_days,
+           CAST(count(o_orderkey) AS BIGINT) AS frequency,
+           CAST(sum(price_cents) AS BIGINT) AS monetary_cents
+    FROM o GROUP BY o_custkey
+), long AS (
+    SELECT 'r' AS measure, recency_days AS v FROM pc
+    UNION ALL SELECT 'f', frequency FROM pc
+    UNION ALL SELECT 'm', monetary_cents FROM pc
+), vc AS (
+    SELECT measure, v, count(*) AS cnt FROM long GROUP BY 1, 2
+), ranked AS (
+    SELECT measure, v,
+           sum(cnt) OVER (PARTITION BY measure ORDER BY v
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS cum,
+           sum(cnt) OVER (PARTITION BY measure) AS n
+    FROM vc
+), thr AS (
+    SELECT measure,
+           min(CASE WHEN cum >= (n + 3) // 4 THEN v END) AS t1,
+           min(CASE WHEN cum >= (2 * n + 3) // 4 THEN v END) AS t2,
+           min(CASE WHEN cum >= (3 * n + 3) // 4 THEN v END) AS t3
+    FROM ranked GROUP BY measure
+), one AS (
+    SELECT
+      min(CASE WHEN measure = 'r' THEN t1 END) AS r_t1,
+      min(CASE WHEN measure = 'r' THEN t2 END) AS r_t2,
+      min(CASE WHEN measure = 'r' THEN t3 END) AS r_t3,
+      min(CASE WHEN measure = 'f' THEN t1 END) AS f_t1,
+      min(CASE WHEN measure = 'f' THEN t2 END) AS f_t2,
+      min(CASE WHEN measure = 'f' THEN t3 END) AS f_t3,
+      min(CASE WHEN measure = 'm' THEN t1 END) AS m_t1,
+      min(CASE WHEN measure = 'm' THEN t2 END) AS m_t2,
+      min(CASE WHEN measure = 'm' THEN t3 END) AS m_t3
+    FROM thr
+)
+SELECT c_custkey, recency_days, frequency, monetary_cents,
+       CAST(1 + (recency_days > r_t1)::INT + (recency_days > r_t2)::INT
+              + (recency_days > r_t3)::INT AS INT) AS r_q,
+       CAST(1 + (frequency > f_t1)::INT + (frequency > f_t2)::INT
+              + (frequency > f_t3)::INT AS INT) AS f_q,
+       CAST(1 + (monetary_cents > m_t1)::INT + (monetary_cents > m_t2)::INT
+              + (monetary_cents > m_t3)::INT AS INT) AS m_q,
+       CAST((5 - (1 + (recency_days > r_t1)::INT + (recency_days > r_t2)::INT
+                    + (recency_days > r_t3)::INT)) * 100
+            + (1 + (frequency > f_t1)::INT + (frequency > f_t2)::INT
+                 + (frequency > f_t3)::INT) * 10
+            + (1 + (monetary_cents > m_t1)::INT + (monetary_cents > m_t2)::INT
+                 + (monetary_cents > m_t3)::INT) AS INT) AS rfm_code
+FROM pc CROSS JOIN one
+ORDER BY c_custkey
+"""

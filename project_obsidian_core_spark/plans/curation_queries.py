@@ -1145,3 +1145,99 @@ def zipf_alpha(df: DataFrame) -> DataFrame:
             / (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
         ).alias("alpha"),
     )
+
+
+# ---------------------------------- X24: first-occurrence gram novelty --
+from project_obsidian_core_spark.datapipe.text import shared_hash60  # noqa: E402
+
+
+# Registration note: QUEUED for a later round (gate window full — see
+# scripts/check_queued.py). Planned row:
+#   ("text_gram_novelty", cu.text_gram_novelty,
+#    cu.ORACLE_text_gram_novelty)
+def text_gram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X24: per-document n-gram NOVELTY — what fraction of a document's
+    distinct word trigrams appear here FIRST (min doc_id over the
+    corpus)?  The curation signal between exact dedup and quality
+    scoring: boilerplate-heavy or templated documents score near zero
+    (their grams all debuted earlier), genuinely new content scores
+    near one; ordering the corpus by ingest id makes this "how much new
+    text does each increment actually add" — the marginal-value curve a
+    data-buying pipeline ranks sources by.
+
+    Grams travel as 60-bit shared hashes (the corpus-wide idiom:
+    :func:`datapipe.text.shared_hash60`), so the gram exchange carries
+    int64 keys, never strings. Per-doc distinct grams first (bounded by
+    doc length), then min(doc_id) per gram (≤|distinct grams| groups,
+    map-side combined), then one count-style re-aggregation per doc.
+    The novelty ratio is the single guarded IEEE division of two exact
+    ints. Docs too short for a trigram keep a row (0 grams, NULL
+    novelty) via the left join from the documents spine.
+
+    Scale: two corpus exchanges (gram → min doc, doc → counts), both on
+    int64 keys; no windows, no pair space, no collect.
+    """
+    docs = load(spark, sf_dir, "documents")
+    g = docs.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(C.word_ngrams(F.split("text", " "), 3))
+        ).alias("gram"),
+    ).select("doc_id", shared_hash60(F.col("gram")).alias("h"))
+    first = g.groupBy("h").agg(F.min("doc_id").alias("first_doc"))
+    per_doc = (
+        g.join(first, "h")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(
+                F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
+            ).alias("n_novel"),
+        )
+    )
+    return (
+        docs.select("doc_id")
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_grams", F.lit(0)).alias("n_grams"),
+            F.coalesce("n_novel", F.lit(0)).alias("n_novel"),
+            F.when(
+                F.coalesce("n_grams", F.lit(0)) > 0,
+                F.col("n_novel").cast("double") / F.col("n_grams").cast("double"),
+            ).alias("novelty"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+ORACLE_text_gram_novelty = f"""
+WITH t AS (
+    SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+), g0 AS (
+    SELECT doc_id,
+           CASE WHEN len(toks) >= 3 THEN {_ngrams('toks', 3)}
+                ELSE [] END AS grams
+    FROM t
+), g AS (
+    SELECT doc_id, {_h60('gram')} AS h
+    FROM (SELECT doc_id, unnest(list_distinct(grams)) AS gram FROM g0)
+), first AS (
+    SELECT h, min(doc_id) AS first_doc FROM g GROUP BY h
+), per_doc AS (
+    SELECT g.doc_id,
+           CAST(count(*) AS BIGINT) AS n_grams,
+           CAST(sum(CASE WHEN first.first_doc = g.doc_id THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_novel
+    FROM g JOIN first USING (h)
+    GROUP BY g.doc_id
+)
+SELECT d.doc_id,
+       coalesce(n_grams, 0) AS n_grams,
+       coalesce(n_novel, 0) AS n_novel,
+       CASE WHEN coalesce(n_grams, 0) > 0
+            THEN CAST(n_novel AS DOUBLE) / CAST(n_grams AS DOUBLE)
+       END AS novelty
+FROM documents d LEFT JOIN per_doc ON d.doc_id = per_doc.doc_id
+ORDER BY d.doc_id
+"""

@@ -2583,3 +2583,79 @@ FROM scored
 WHERE dev_num * dev_num > {_BOLL_K * _BOLL_K} * var_num
 ORDER BY metric_name, hour
 """
+
+
+# ------------------------------------- A74: hour-of-day seasonal profile --
+# Registration note: QUEUED for a later round (gate window full — see
+# scripts/check_queued.py). Planned row:
+#   ("metric_seasonal_hod", m.metric_seasonal_hod,
+#    m.ORACLE_metric_seasonal_hod)
+def metric_seasonal_hod(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A74: hour-of-day seasonal profile per metric series — the
+    decomposition step every anomaly detector needs before thresholding
+    ("is 3 AM load LOW, or NORMAL FOR 3 AM?"): for each (metric, hour
+    0..23) slot, the sample count, exact cent sum, slot mean, and the
+    seasonal index (slot mean / series mean) that rescales a raw reading
+    into its deseasonalized residual.
+
+    Exactness: both aggregation levels are int64 cent sums; the two
+    float columns are each ONE IEEE division of exact-int products
+    (mean = sum/n; index = (sum_h·n_tot)/(n_h·sum_tot) — cross-
+    multiplied so it is a single division, not a ratio of two divisions
+    whose intermediate rounding could differ cross-engine). hour() is
+    evaluated in the session's pinned UTC zone on both engines.
+
+    Scale: one corpus exchange keyed (metric, hod) — 24·|metrics|
+    groups, map-side combined — plus a |metrics|-row broadcast for the
+    series totals. Output fixed at 24·|metrics| rows regardless of
+    corpus size.
+    """
+    m = synthesize_metrics(spark, sf_dir).select(
+        "metric_name",
+        F.hour("time").alias("hod"),
+        F.col("metric_value").alias("v"),
+    )
+    per = m.groupBy("metric_name", "hod").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("v").alias("sum_cents")
+    )
+    tot = m.groupBy("metric_name").agg(
+        F.count(F.lit(1)).alias("n_tot"), F.sum("v").alias("sum_tot")
+    )
+    return (
+        per.join(F.broadcast(tot), "metric_name")
+        .select(
+            "metric_name",
+            "hod",
+            "n",
+            "sum_cents",
+            (F.col("sum_cents").cast("double") / F.col("n").cast("double")).alias(
+                "mean_cents"
+            ),
+            (
+                (F.col("sum_cents") * F.col("n_tot")).cast("double")
+                / (F.col("n") * F.col("sum_tot")).cast("double")
+            ).alias("seasonal_index"),
+        )
+        .orderBy("metric_name", "hod")
+    )
+
+
+ORACLE_metric_seasonal_hod = f"""
+WITH m AS ({_SYN_SQL}),
+per AS (
+    SELECT metric_name, CAST(hour(time) AS INT) AS hod,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(metric_value) AS BIGINT) AS sum_cents
+    FROM m GROUP BY 1, 2
+), tot AS (
+    SELECT metric_name, CAST(count(*) AS BIGINT) AS n_tot,
+           CAST(sum(metric_value) AS BIGINT) AS sum_tot
+    FROM m GROUP BY 1
+)
+SELECT per.metric_name, hod, n, sum_cents,
+       CAST(sum_cents AS DOUBLE) / CAST(n AS DOUBLE) AS mean_cents,
+       CAST(sum_cents * n_tot AS DOUBLE) / CAST(n * sum_tot AS DOUBLE)
+           AS seasonal_index
+FROM per JOIN tot ON per.metric_name = tot.metric_name
+ORDER BY per.metric_name, hod
+"""

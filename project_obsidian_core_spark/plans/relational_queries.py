@@ -2032,3 +2032,129 @@ def km_survival(df: DataFrame) -> DataFrame:
         F.col("p.survival").alias("survival"),
     )
     return df.join(out, "t_days").orderBy("t_days")
+
+
+# -------------------------------------------------- R28: Q16 reshape --
+# Registration note: QUEUED for a later round (gate window full — see
+# scripts/check_queued.py). Planned row:
+#   ("part_supplier_counts", r.part_supplier_counts,
+#    r.ORACLE_part_supplier_counts)
+def part_supplier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R28: supplier-breadth census per part bucket — the TPC-H Q16
+    shape (parts/supplier relationship, druid-specs' notebook carries
+    the same "how many distinct suppliers can ship this" question) over
+    the columns the testdata carries: for each (brand, type, size)
+    bucket surviving the catalog exclusions, how many DISTINCT
+    suppliers have actually shipped that part, excluding suppliers on
+    the deny list (negative account balance — the testdata's analogue
+    of Q16's complaints subquery).
+
+    Shapes under test: a NOT-IN decorrelated into a broadcast LEFT ANTI
+    join (the deny list is ≤|suppliers| and tiny after its filter), the
+    part↔supplier bridge reduced to DISTINCT (partkey, suppkey) pairs
+    BEFORE the dimension join (lineitem touches each pair many times —
+    dedup first so the expensive join carries ≤|pairs| rows), and a
+    COUNT(DISTINCT) per group. At 100 TB: lineitem-side combine-style
+    distinct prunes the fact scan to the pair relation, the part dim
+    and deny list broadcast, and the final exchange carries only
+    |buckets| groups.
+    """
+    part = load(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#13")
+        & (~F.col("p_type").startswith("MEDIUM"))
+        & (F.col("p_size").isin(1, 4, 9, 14, 19, 23, 36, 45))
+    )
+    deny = load(spark, sf_dir, "supplier").filter(F.col("s_acctbal") < 0)
+    pairs = (
+        load(spark, sf_dir, "lineitem")
+        .select("l_partkey", "l_suppkey")
+        .distinct()
+        .join(
+            F.broadcast(deny.select(F.col("s_suppkey").alias("l_suppkey"))),
+            "l_suppkey",
+            "left_anti",
+        )
+    )
+    return (
+        pairs.join(F.broadcast(part), pairs.l_partkey == part.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(
+            F.desc("supplier_cnt"),
+            F.asc("p_brand"),
+            F.asc("p_type"),
+            F.asc("p_size"),
+        )
+    )
+
+
+ORACLE_part_supplier_counts = """
+WITH deny AS (
+    SELECT s_suppkey FROM supplier WHERE s_acctbal < 0
+), pairs AS (
+    SELECT DISTINCT l_partkey, l_suppkey FROM lineitem
+    WHERE l_suppkey NOT IN (SELECT s_suppkey FROM deny)
+)
+SELECT p_brand, p_type, p_size,
+       CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+FROM pairs JOIN part ON l_partkey = p_partkey
+WHERE p_brand <> 'Brand#13'
+  AND p_type NOT LIKE 'MEDIUM%'
+  AND p_size IN (1, 4, 9, 14, 19, 23, 36, 45)
+GROUP BY p_brand, p_type, p_size
+ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+"""
+
+
+# -------------------------------------------------- R29: Q13 reshape --
+# Registration note: QUEUED for a later round (gate window full — see
+# scripts/check_queued.py). Planned row:
+#   ("customer_order_histogram", r.customer_order_histogram,
+#    r.ORACLE_customer_order_histogram)
+def customer_order_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R29: customer-distribution histogram — the TPC-H Q13 shape: how
+    many customers placed exactly k qualifying orders, INCLUDING the
+    zero-order customers (the classic left-join-with-FILTERED-JOIN-
+    PREDICATE decorrelation: the filter belongs in the JOIN CONDITION,
+    not a WHERE after it, or the zero bucket silently vanishes). The
+    qualifying predicate here is "not urgent" over the priority column
+    the testdata carries (Q13's comment NOT LIKE).
+
+    Two cascaded aggregations: per-customer count (keyed on custkey —
+    the corpus-sized exchange), then the histogram (≤|distinct counts|
+    groups). Both map-side combine; the customer dim never broadcasts
+    (it is the PROBE side and the left join must preserve it).
+    """
+    cust = load(spark, sf_dir, "customer").select("c_custkey")
+    orders = load(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey", "o_orderpriority"
+    )
+    per_cust = (
+        cust.join(
+            orders,
+            (cust.c_custkey == orders.o_custkey)
+            & (orders.o_orderpriority != "1-URGENT"),
+            "left",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+ORACLE_customer_order_histogram = """
+WITH per_cust AS (
+    SELECT c_custkey, CAST(count(o_orderkey) AS BIGINT) AS c_count
+    FROM customer LEFT JOIN orders
+      ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+    GROUP BY c_custkey
+)
+SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+FROM per_cust
+GROUP BY c_count
+ORDER BY custdist DESC, c_count DESC
+"""

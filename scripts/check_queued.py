@@ -30,11 +30,15 @@ from oracle_check import TABLES, approx_equal, sorted_rows  # noqa: E402
 def queued():
     """name -> (query_fn, oracle_sql) for every implemented-but-unregistered
     operator (kept in lockstep with the 'Registration note' docstrings)."""
+    from project_obsidian_core_spark.plans import behavior_queries as b
     from project_obsidian_core_spark.plans import curation_queries as cu
     from project_obsidian_core_spark.plans import datapipe_queries as d
+    from project_obsidian_core_spark.plans import metrics_queries as m
     from project_obsidian_core_spark.plans import pipeline_queries as pl
+    from project_obsidian_core_spark.plans import relational_queries as r
 
     return {
+        # held from r10 for the r12 window (see Block R11, registry.py)
         "text_zipf_octaves": (
             cu.text_zipf_octaves,
             cu.ORACLE_text_zipf_octaves,
@@ -43,6 +47,24 @@ def queued():
         "events_session_entry_exit": (
             pl.events_session_entry_exit,
             pl.ORACLE_events_session_entry_exit,
+        ),
+        # implemented in r11, queued for r12+ registration
+        "customer_rfm": (b.customer_rfm, b.ORACLE_customer_rfm),
+        "part_supplier_counts": (
+            r.part_supplier_counts,
+            r.ORACLE_part_supplier_counts,
+        ),
+        "customer_order_histogram": (
+            r.customer_order_histogram,
+            r.ORACLE_customer_order_histogram,
+        ),
+        "metric_seasonal_hod": (
+            m.metric_seasonal_hod,
+            m.ORACLE_metric_seasonal_hod,
+        ),
+        "text_gram_novelty": (
+            cu.text_gram_novelty,
+            cu.ORACLE_text_gram_novelty,
         ),
     }
 
