@@ -1641,3 +1641,74 @@ def stream_pettitt(spark: SparkSession, sf_dir: str) -> DataFrame:
     return latest.select(
         "metric_name", "n_buckets", "last_hour_of_seg1", "k_signed", "k_stat"
     ).orderBy("metric_name")
+
+
+# ---------------- T26: streaming Bollinger breakouts (A72 live) -----------
+# Registration note: QUEUED for a later round (gate window full — see
+# scripts/check_queued.py). Planned row:
+#   ("stream_bollinger", st.stream_bollinger, m.ORACLE_metric_bollinger)
+def stream_bollinger(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T26: the A72 exact-int volatility-band breakout served LIVE —
+    SEVENTH consumer of the bucket-sum state family and its first
+    POSITIONAL-WINDOW recursion: the trailing ROWS frame means one late
+    hour shifts every subsequent window's membership, so each emit
+    re-scans the reconstructed series (O(series) rolling S/Q scan) and
+    can create, move, or RETRACT breakouts.  Retraction is why
+    zero-breakout versions emit a NULL-hour sentinel (an empty emission
+    could never supersede under the max-version drain — the sentinel
+    carries the version, the drain drops it).  Drained rows gate on the
+    batch `metric_bollinger` DuckDB oracle bit-exactly."""
+    from pyspark.sql import Window
+
+    from project_obsidian_core_spark.plans.metrics_queries import HIT, READ
+    from project_obsidian_core_spark.streaming.sequence_state import (
+        streaming_bollinger,
+    )
+
+    run = next(_RUN_IDS)
+    src = _events_src(spark, sf_dir, run)
+    schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "4")
+        .parquet(src)
+    )
+    name_col = (
+        F.when(F.col("event_type") == "view", F.lit(HIT))
+        .when(F.col("event_type") == "click", F.lit(READ))
+        .otherwise(F.concat(F.lit("postgresql."), F.col("event_type")))
+    )
+    keyed = stream.select(
+        name_col.alias("metric_name"),
+        F.expr("unix_micros(ts) div 3600000000").alias("bucket"),
+        F.col("cents").alias("v"),
+    )
+    out = streaming_bollinger(keyed)
+    name = f"stream_boll_{run}"
+    tmp = tempfile.mkdtemp(prefix=f"obsidian_boll_{run}_")
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            out.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .option("checkpointLocation", f"{tmp}/ckpt")
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+
+    emitted = spark.table(name)
+    wmax = Window.partitionBy("metric_name")
+    latest = emitted.withColumn(
+        "_vmax", F.max("version").over(wmax)
+    ).filter(
+        (F.col("version") == F.col("_vmax")) & F.col("hour").isNotNull()
+    )
+    return latest.select(
+        "metric_name", "hour", "value_cents", "dev_num", "var_num", "is_upper"
+    ).orderBy("metric_name", "hour")

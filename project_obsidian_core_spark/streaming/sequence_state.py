@@ -856,3 +856,126 @@ def streaming_pettitt(stream: DataFrame) -> DataFrame:
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# ------------- T26: streaming Bollinger over the bucket-sum state ---------
+BOLLINGER_OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("metric_name", T.StringType()),
+        T.StructField("hour", T.LongType()),
+        T.StructField("value_cents", T.LongType()),
+        T.StructField("dev_num", T.LongType()),
+        T.StructField("var_num", T.LongType()),
+        T.StructField("is_upper", T.BooleanType()),
+        T.StructField("version", T.LongType()),
+    ]
+)
+
+#: window/width defaults mirror the batch A72 operator
+#: (plans/metrics_queries.py _BOLL_W/_BOLL_K) — the gate proves the twin
+#: against that operator's oracle, so the constants must match.
+BOLL_W = 24
+BOLL_K = 3
+
+
+def bollinger_from_series(
+    buckets: list[int], sums: list[int], w: int = BOLL_W, k: int = BOLL_K
+) -> list[tuple[int, int, int, int, bool]]:
+    """The A72 exact-int Bollinger breakout scan over a bucket-ordered
+    series: each point scores against the trailing-w window EXCLUDING
+    itself (ROWS frame, positional like the batch window), breakout iff
+    (y·n − S)² > k²·(n·Q − S²) — all int, no division, no sqrt.  Rolling
+    S/Q maintained incrementally (one add + one subtract per step), so
+    the scan is O(series), not O(series·w).  Returns breakout rows
+    (bucket, y, dev_num, var_num, is_upper).  Pure; unit-tested against
+    the batch operator."""
+    n = len(sums)
+    out: list[tuple[int, int, int, int, bool]] = []
+    if n <= w:
+        return out
+    s = sum(sums[:w])
+    q = sum(v * v for v in sums[:w])
+    for i in range(w, n):
+        y = sums[i]
+        dev = y * w - s
+        var = w * q - s * s
+        if dev * dev > k * k * var:
+            out.append((buckets[i], y, dev, var, dev > 0))
+        s += y - sums[i - w]
+        q += y * y - sums[i - w] * sums[i - w]
+    return out
+
+
+def make_bollinger_fn():
+    def fn(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        metric = str(key[0])
+        if state.exists:
+            buckets, sums, version = state.get
+            buckets, sums = list(buckets), list(sums)
+        else:
+            buckets, sums, version = [], [], 0
+        absorbed = 0
+        for pdf in pdfs:
+            if not len(pdf):
+                continue
+            absorbed += len(pdf)
+            buckets, sums = fold_bucket_sums(
+                buckets, sums, zip(pdf["bucket"], pdf["v"])
+            )
+        if not absorbed:
+            return
+        version += absorbed
+        state.update((buckets, sums, version))
+        hits = bollinger_from_series(buckets, sums)
+        # zero-breakout versions still emit ONE sentinel row (NULL hour):
+        # a late bucket can RETRACT every breakout, and an empty emission
+        # could never supersede an earlier version under the max-version
+        # drain — the sentinel carries the version, the drain drops it.
+        yield pd.DataFrame(
+            {
+                "metric_name": [metric] * max(len(hits), 1),
+                "hour": pd.array([h[0] for h in hits] or [None], dtype="Int64"),
+                "value_cents": pd.array(
+                    [h[1] for h in hits] or [None], dtype="Int64"
+                ),
+                "dev_num": pd.array(
+                    [h[2] for h in hits] or [None], dtype="Int64"
+                ),
+                "var_num": pd.array(
+                    [h[3] for h in hits] or [None], dtype="Int64"
+                ),
+                "is_upper": pd.array(
+                    [h[4] for h in hits] or [None], dtype="boolean"
+                ),
+                "version": [version] * max(len(hits), 1),
+            }
+        )
+
+    return fn
+
+
+def streaming_bollinger(stream: DataFrame) -> DataFrame:
+    """T26: the A72 volatility-band breakout served LIVE — SEVENTH
+    consumer of the bucket-sum state family: the state is the same
+    exact-int per-hour sums (commutative fold, arrival-order free), and
+    every emit re-scans the reconstructed series, because the trailing
+    ROWS window is POSITIONAL — one late hour shifts every subsequent
+    window's membership, so no incremental band state survives
+    out-of-order delivery.  A late bucket can create, move, or RETRACT
+    a breakout; the versioned-emission drain (max version per metric)
+    resolves every revision, and the drained rows equal the batch
+    `metric_bollinger` exactly.  Expects (metric_name, bucket, v)."""
+    keyed = stream.select(
+        F.col("metric_name").cast("string").alias("metric_name"),
+        F.col("bucket").cast("long").alias("bucket"),
+        F.col("v").cast("long").alias("v"),
+    )
+    return keyed.groupBy("metric_name").applyInPandasWithState(
+        make_bollinger_fn(),
+        outputStructType=BOLLINGER_OUTPUT_SCHEMA,
+        stateStructType=EWMA_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

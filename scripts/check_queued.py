@@ -36,6 +36,7 @@ def queued():
     from project_obsidian_core_spark.plans import metrics_queries as m
     from project_obsidian_core_spark.plans import pipeline_queries as pl
     from project_obsidian_core_spark.plans import relational_queries as r
+    from project_obsidian_core_spark.plans import streaming_queries as st
 
     return {
         # held from r10 for the r12 window (see Block R11, registry.py)
@@ -66,6 +67,7 @@ def queued():
             cu.text_gram_novelty,
             cu.ORACLE_text_gram_novelty,
         ),
+        "stream_bollinger": (st.stream_bollinger, m.ORACLE_metric_bollinger),
     }
 
 
@@ -79,8 +81,11 @@ def main() -> int:
     for t in TABLES:
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
 
+    only = set(sys.argv[2:])
     failures = []
     for name, (fn, sql) in queued().items():
+        if only and name not in only:
+            continue
         t0 = time.time()
         sdf = fn(spark, sf_dir)
         s_cols = sdf.columns
