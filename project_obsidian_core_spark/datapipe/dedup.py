@@ -1063,3 +1063,101 @@ def prefix_filter_pairs(
         )
         .filter(F.col("j_ppm") >= threshold_ppm)
     )
+
+
+# ------------------------------------------------ sorted neighborhood -----
+SN_WINDOW = 5  # candidate pairs per row in sort order
+SN_KEY_PREFIX = 24  # chars of the sorted-token key that drive the sort
+SN_BLOCK_CHARS = 2  # leading key chars that partition the sort space
+
+
+def sorted_neighborhood_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    window: int = SN_WINDOW,
+    key_prefix: int = SN_KEY_PREFIX,
+    block_chars: int = SN_BLOCK_CHARS,
+) -> DataFrame:
+    """Sorted-neighborhood (SNM) near-dup candidates with exact verify —
+    the THIRD blocking family next to LSH banding (minhash/simhash) and
+    key blocking (ngram_jaccard's block col): sort the corpus by a
+    similarity-preserving key (the SORTED-distinct-token prefix — token
+    multiset near-equality ⇒ key near-equality, robust to word order)
+    and pair each row with its next ``window`` neighbors in sort order.
+    Candidate count is |docs|·w BY CONSTRUCTION — the only blocking
+    scheme here whose fan-out is exactly linear no matter how skewed the
+    key distribution (an LSH bucket can still blow up; a sort window
+    cannot), which is why merge/purge systems ship it.
+
+    The sort space is partitioned by the key's leading ``block_chars``
+    (a distributed per-block row_number, never a one-task global
+    window); pairs straddling a block boundary are the documented loss,
+    the same boundary trade every blocking method here prices via its
+    recall audit. Verification is the exact char-{4}-gram Jaccard in
+    integer ppm — (|A∩B|·10⁶) div |A∪B|, no float in the gate.
+    """
+    from pyspark.sql import Window as W
+
+    grams = F.expr(
+        f"array_distinct(transform("
+        f"  sequence(1, greatest(length({text_col}) - {NGRAM_W - 1}, 1)),"
+        f"  i -> substring({text_col}, i, {NGRAM_W})))"
+    )
+    key = F.substring(
+        F.array_join(
+            F.array_sort(F.array_distinct(F.split(F.col(text_col), " "))), " "
+        ),
+        1,
+        key_prefix,
+    )
+    t = df.select(
+        "doc_id",
+        key.alias("sn_key"),
+        grams.alias("gr"),
+    ).select(
+        "doc_id",
+        "sn_key",
+        F.substring("sn_key", 1, block_chars).alias("block"),
+        "gr",
+    )
+    # the w neighbors come from LEAD over the sort order, NOT a rank-band
+    # self-join: a band join keyed on the block degenerates to O(n²/block)
+    # probe work when the key space is coarse (measured 34 s at sf0.1 on
+    # the join form vs the lead form below), while lead is one window
+    # pass — the physical plan that actually delivers the |docs|·w bound
+    # the operator's contract claims.  The oracle keeps the equivalent
+    # row_number band-join formulation (declarative truth, engine picks
+    # its own plan).
+    wspec = W.partitionBy("block").orderBy("sn_key", "doc_id")
+    sel = t.select(
+        "block",
+        "doc_id",
+        "gr",
+        F.array(
+            *[
+                F.struct(
+                    F.lit(i).alias("rank_dist"),
+                    F.lead("doc_id", i).over(wspec).alias("doc_b"),
+                    F.lead("gr", i).over(wspec).alias("gr_b"),
+                )
+                for i in range(1, window + 1)
+            ]
+        ).alias("cands"),
+    )
+    e = (
+        sel.select("block", "doc_id", "gr", F.explode("cands").alias("c"))
+        .filter(F.col("c.doc_b").isNotNull())
+    )
+    inter = F.size(F.array_intersect("gr", "c.gr_b"))
+    union = F.size("gr") + F.size("c.gr_b") - inter
+    return (
+        e.select(
+            "block",
+            F.col("doc_id").alias("doc_a"),
+            F.col("c.doc_b").alias("doc_b"),
+            F.col("c.rank_dist").cast("int").alias("rank_dist"),
+            inter.cast("long").alias("n_inter"),
+            union.cast("long").alias("n_union"),
+        )
+        .withColumn("jaccard_ppm", F.expr("n_inter * 1000000 div n_union"))
+    )

@@ -2709,3 +2709,136 @@ FROM per_node
 GROUP BY n_mutual
 ORDER BY n_mutual_neighbors
 """
+
+
+# ------------------------------------ X25: lang-ID confusion audit --------
+# Registration note: QUEUED for a later round (gate window full — see
+# scripts/check_queued.py). Planned row:
+#   ("lang_id_confusion", d.lang_id_confusion, d.ORACLE_lang_id_confusion)
+def lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X25: label-vs-prediction cross-tab for the gated profile lang-ID
+    — the model-QA shape every classifier in a curation pipeline needs
+    before its output keys a routing decision: per (labeled lang,
+    predicted profile) cell, the document count and the cell's share of
+    its label row (exact-int ppm).  On the synthetic corpus the
+    heuristic CANNOT separate the labels (all langs draw one
+    vocabulary) and the matrix shows it — which is precisely the audit:
+    a confusion matrix this flat says "do not route on this signal",
+    the same way the dedup recall audits price their candidate
+    generators.
+
+    Scale: the per-doc score/argmax is one projection (no exchange),
+    the cross-tab is a ≤|langs|·|profiles| group-by with map-side
+    combine, and the row totals ride a |langs|-row broadcast. share_ppm
+    is integer (n·10⁶ div row_n) — no float hashing.
+    """
+    labeled = load(spark, sf_dir, "documents").select("doc_id", "lang")
+    pred = T.with_lang_id(load(spark, sf_dir, "documents")).select(
+        "doc_id", "lang_pred"
+    )
+    cells = (
+        labeled.join(pred, "doc_id")
+        .groupBy("lang", "lang_pred")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    rows = cells.groupBy("lang").agg(F.sum("n").alias("row_n"))
+    return (
+        cells.join(F.broadcast(rows), "lang")
+        .select(
+            "lang",
+            "lang_pred",
+            "n",
+            "row_n",
+            F.expr("n * 1000000 div row_n").alias("share_ppm"),
+        )
+        .orderBy("lang", "lang_pred")
+    )
+
+
+def _lang_confusion_oracle() -> str:
+    names = list(T.LANG_PROFILES)
+    score_cols = ",\n           ".join(
+        f"CASE WHEN len(toks) > 0 THEN CAST(len(list_filter(toks, x -> x IN "
+        f"({_sql_list(T.LANG_PROFILES[n])}))) AS DOUBLE) / len(toks) "
+        f"ELSE 0.0 END AS score_{n}"
+        for n in names
+    )
+    branches = []
+    for i, n in enumerate(names):
+        conds = [f"score_{n} > score_{o}" for o in names[:i]] + [
+            f"score_{n} >= score_{o}" for o in names[i + 1 :]
+        ]
+        branches.append(f"WHEN {' AND '.join(conds)} THEN '{n}'")
+    case = "CASE " + " ".join(branches) + f" ELSE '{names[0]}' END"
+    return f"""
+WITH b AS (
+    SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents
+), s AS (
+    SELECT doc_id, lang,
+           {score_cols}
+    FROM b
+), p AS (
+    SELECT doc_id, lang, {case} AS lang_pred FROM s
+), cells AS (
+    SELECT lang, lang_pred, CAST(count(*) AS BIGINT) AS n
+    FROM p GROUP BY 1, 2
+), rows_ AS (
+    SELECT lang, CAST(sum(n) AS BIGINT) AS row_n FROM cells GROUP BY lang
+)
+SELECT cells.lang, lang_pred, n, row_n,
+       CAST(n * 1000000 // row_n AS BIGINT) AS share_ppm
+FROM cells JOIN rows_ ON cells.lang = rows_.lang
+ORDER BY cells.lang, lang_pred
+"""
+
+
+ORACLE_lang_id_confusion = _lang_confusion_oracle()
+
+
+# --------------------------------- D24: sorted-neighborhood candidates ----
+# Registration note: QUEUED for a later round (gate window full — see
+# scripts/check_queued.py). Planned row:
+#   ("dedup_sorted_neighborhood", d.dedup_sorted_neighborhood,
+#    d.ORACLE_dedup_sorted_neighborhood)
+def dedup_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D24: sorted-neighborhood near-dup candidates over documents —
+    the THIRD blocking family (after LSH banding and key blocking),
+    distinguished by a HARD-LINEAR candidate bound: |docs|·w pairs no
+    matter how skewed the keys (the guarantee `max_bucket` only
+    enforces by dropping). Verified with exact char-4-gram Jaccard in
+    integer ppm. See :func:`datapipe.dedup.sorted_neighborhood_pairs`
+    for the key/window/boundary design."""
+    return (
+        D.sorted_neighborhood_pairs(load(spark, sf_dir, "documents"))
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+ORACLE_dedup_sorted_neighborhood = f"""
+WITH t AS (
+    SELECT doc_id,
+           substr(array_to_string(list_sort(list_distinct(
+               string_split(text, ' '))), ' '), 1, {D.SN_KEY_PREFIX})
+               AS sn_key,
+           list_distinct([substring(text, i, {D.NGRAM_W})
+               for i in generate_series(1,
+                   greatest(length(text) - {D.NGRAM_W - 1}, 1))]) AS gr
+    FROM documents
+), r AS (
+    SELECT doc_id, sn_key, substr(sn_key, 1, {D.SN_BLOCK_CHARS}) AS block, gr,
+           row_number() OVER (PARTITION BY substr(sn_key, 1, {D.SN_BLOCK_CHARS})
+                              ORDER BY sn_key, doc_id) AS rn
+    FROM t
+)
+SELECT a.block AS block, a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(b.rn - a.rn AS INT) AS rank_dist,
+       CAST(len(list_intersect(a.gr, b.gr)) AS BIGINT) AS n_inter,
+       CAST(len(a.gr) + len(b.gr) - len(list_intersect(a.gr, b.gr))
+            AS BIGINT) AS n_union,
+       CAST(len(list_intersect(a.gr, b.gr)) * 1000000
+            // (len(a.gr) + len(b.gr) - len(list_intersect(a.gr, b.gr)))
+            AS BIGINT) AS jaccard_ppm
+FROM r a JOIN r b
+  ON a.block = b.block AND b.rn > a.rn AND b.rn <= a.rn + {D.SN_WINDOW}
+ORDER BY doc_a, doc_b
+"""

@@ -2659,3 +2659,96 @@ SELECT per.metric_name, hod, n, sum_cents,
 FROM per JOIN tot ON per.metric_name = tot.metric_name
 ORDER BY per.metric_name, hod
 """
+
+
+# ------------------------------------------- A75: maximum drawdown --------
+# Registration note: QUEUED for a later round (gate window full — see
+# scripts/check_queued.py). Planned row:
+#   ("metric_drawdown", m.metric_drawdown, m.ORACLE_metric_drawdown)
+def metric_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A75: maximum drawdown per metric series on the hour grid — the
+    "worst peak-to-trough slide" statistic (capacity headroom loss,
+    cache-hit collapse depth) that the point detectors (A72 Bollinger
+    blowouts) and drift detectors (A43 CUSUM) both miss: a slow bleed
+    never breaks a band and may never shift the mean enough to trip a
+    CUSUM, but its running-peak gap grows monotonically.
+
+    Exact ints end-to-end: running peak = cumulative MAX window over the
+    per-series hour grid, drawdown = peak − y, and the winning row is
+    row_number 1 over (drawdown DESC, hour ASC) — the earliest deepest
+    trough, deterministic under ties. No floats anywhere.
+
+    Scale: both windows ride the per-series partitions of the (metric,
+    hour) grid (the A39 aggregate-then-window rule — the grid is
+    retention-bounded per series, never corpus-sized); output =
+    |metrics| rows.
+    """
+    from pyspark.sql import Window
+
+    m = synthesize_metrics(spark, sf_dir).select(
+        "metric_name",
+        F.expr("unix_micros(time) div 3600000000").alias("x"),
+        F.col("metric_value").alias("v"),
+    )
+    grid = m.groupBy("metric_name", "x").agg(F.sum("v").alias("y"))
+    w_run = (
+        Window.partitionBy("metric_name")
+        .orderBy("x")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    dd = grid.select(
+        "metric_name",
+        "x",
+        "y",
+        F.max("y").over(w_run).alias("peak"),
+        (F.max("y").over(w_run) - F.col("y")).alias("drawdown"),
+        F.count(F.lit(1)).over(
+            Window.partitionBy("metric_name").rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ).alias("n_hours"),
+    )
+    w_pick = Window.partitionBy("metric_name").orderBy(
+        F.desc("drawdown"), F.asc("x")
+    )
+    return (
+        dd.withColumn("_rn", F.row_number().over(w_pick))
+        .filter(F.col("_rn") == 1)
+        .select(
+            "metric_name",
+            "n_hours",
+            F.col("x").alias("trough_hour"),
+            F.col("peak").alias("peak_cents"),
+            F.col("y").alias("trough_cents"),
+            F.col("drawdown").alias("drawdown_cents"),
+        )
+        .orderBy("metric_name")
+    )
+
+
+ORACLE_metric_drawdown = f"""
+WITH m AS ({_SYN_SQL}),
+g AS (
+    SELECT metric_name, epoch_us(time) // 3600000000 AS x,
+           CAST(sum(metric_value) AS BIGINT) AS y
+    FROM m GROUP BY 1, 2
+), dd AS (
+    SELECT metric_name, x, y,
+           max(y) OVER (PARTITION BY metric_name ORDER BY x
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS peak,
+           max(y) OVER (PARTITION BY metric_name ORDER BY x
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - y
+               AS drawdown,
+           CAST(count(*) OVER (PARTITION BY metric_name) AS BIGINT) AS n_hours
+    FROM g
+), picked AS (
+    SELECT *, row_number() OVER (PARTITION BY metric_name
+                                 ORDER BY drawdown DESC, x ASC) AS rn
+    FROM dd
+)
+SELECT metric_name, n_hours, x AS trough_hour, peak AS peak_cents,
+       y AS trough_cents, CAST(drawdown AS BIGINT) AS drawdown_cents
+FROM picked WHERE rn = 1
+ORDER BY metric_name
+"""

@@ -2158,3 +2158,73 @@ FROM per_cust
 GROUP BY c_count
 ORDER BY custdist DESC, c_count DESC
 """
+
+
+# --------------------------------------------- R30: Q11-shape threshold --
+# Registration note: QUEUED for a later round (gate window full — see
+# scripts/check_queued.py). Planned row:
+#   ("part_value_concentration", r.part_value_concentration,
+#    r.ORACLE_part_value_concentration)
+def part_value_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R30: value-concentration screen — the TPC-H Q11 shape (groups
+    whose aggregate clears a GLOBAL-SCALAR-subquery threshold): which
+    parts carry more than 1.5× the AVERAGE per-part shipped value? The
+    correlated HAVING decorrelates into one scalar aggregate broadcast
+    against the per-part relation; the threshold compare is the
+    exact-int cross-multiply 2·value·n_parts > 3·total (no division in
+    the predicate — Q11's fixed global fraction would be SF-dependent
+    and empty on uniform catalogs, a mean-relative threshold is the
+    shape that stays populated at every scale), and the reported share
+    is integer ppm (value·10⁶ div total).
+
+    Scale: one corpus exchange (per-part aggregate), a 1-row broadcast
+    scalar, a broadcast part-dim join for the name — output is the
+    above-threshold tail only.
+    """
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_partkey", cents("l_extendedprice").alias("pc")
+    )
+    per_part = li.groupBy("l_partkey").agg(F.sum("pc").alias("value_cents"))
+    total = per_part.agg(
+        F.sum("value_cents").alias("total_cents"),
+        F.count(F.lit(1)).alias("n_parts"),
+    )
+    part = load(spark, sf_dir, "part").select("p_partkey", "p_name", "p_brand")
+    return (
+        per_part.crossJoin(F.broadcast(total))
+        .filter(
+            F.col("value_cents") * F.col("n_parts") * 2
+            > F.col("total_cents") * 3
+        )
+        .join(F.broadcast(part), per_part.l_partkey == part.p_partkey)
+        .select(
+            "p_partkey",
+            "p_name",
+            "p_brand",
+            "value_cents",
+            F.expr("value_cents * 1000000 div total_cents").alias("share_ppm"),
+        )
+        .orderBy(F.desc("value_cents"), F.asc("p_partkey"))
+    )
+
+
+ORACLE_part_value_concentration = """
+WITH li AS (
+    SELECT l_partkey,
+           CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS pc
+    FROM lineitem
+), per_part AS (
+    SELECT l_partkey, CAST(sum(pc) AS BIGINT) AS value_cents
+    FROM li GROUP BY l_partkey
+), total AS (
+    SELECT CAST(sum(value_cents) AS BIGINT) AS total_cents,
+           CAST(count(*) AS BIGINT) AS n_parts
+    FROM per_part
+)
+SELECT p_partkey, p_name, p_brand, value_cents,
+       CAST(value_cents * 1000000 // total_cents AS BIGINT) AS share_ppm
+FROM per_part, total
+JOIN part ON l_partkey = p_partkey
+WHERE value_cents * n_parts * 2 > total_cents * 3
+ORDER BY value_cents DESC, p_partkey
+"""

@@ -68,6 +68,16 @@ def queued():
             cu.ORACLE_text_gram_novelty,
         ),
         "stream_bollinger": (st.stream_bollinger, m.ORACLE_metric_bollinger),
+        "metric_drawdown": (m.metric_drawdown, m.ORACLE_metric_drawdown),
+        "part_value_concentration": (
+            r.part_value_concentration,
+            r.ORACLE_part_value_concentration,
+        ),
+        "lang_id_confusion": (d.lang_id_confusion, d.ORACLE_lang_id_confusion),
+        "dedup_sorted_neighborhood": (
+            d.dedup_sorted_neighborhood,
+            d.ORACLE_dedup_sorted_neighborhood,
+        ),
     }
 
 

@@ -303,3 +303,169 @@ def test_stream_bollinger_drained_equals_batch(spark):
     got = [tuple(r) for r in stream_bollinger(spark, SF).collect()]
     ref = [tuple(r) for r in metric_bollinger(spark, SF).collect()]
     assert got == ref
+
+
+# ------------------------------------------- A75: maximum drawdown --------
+def test_metric_drawdown_matches_python(spark):
+    from project_obsidian_core_spark.plans.metrics_queries import (
+        metric_drawdown,
+        synthesize_metrics,
+    )
+
+    rows = (
+        synthesize_metrics(spark, SF)
+        .select(
+            "metric_name",
+            F.expr("unix_micros(time) div 3600000000").alias("x"),
+            F.col("metric_value").alias("v"),
+        )
+        .groupBy("metric_name", "x")
+        .agg(F.sum("v").alias("y"))
+        .collect()
+    )
+    grids: dict[str, list[tuple[int, int]]] = {}
+    for r in rows:
+        grids.setdefault(r["metric_name"], []).append((r["x"], r["y"]))
+    got = {r["metric_name"]: r for r in metric_drawdown(spark, SF).collect()}
+    assert set(got) == set(grids)
+    for m, g in grids.items():
+        g.sort()
+        peak = None
+        best = None  # (-dd, x, peak, y)
+        for x, y in g:
+            peak = y if peak is None or y > peak else peak
+            cand = (-(peak - y), x, peak, y)
+            if best is None or cand < best:
+                best = cand
+        row = got[m]
+        assert row["n_hours"] == len(g)
+        assert row["drawdown_cents"] == -best[0]
+        assert row["trough_hour"] == best[1]
+        assert row["peak_cents"] == best[2]
+        assert row["trough_cents"] == best[3]
+        # invariants: drawdown = peak - trough >= 0
+        assert row["peak_cents"] - row["trough_cents"] == row["drawdown_cents"]
+        assert row["drawdown_cents"] >= 0
+
+
+# ------------------------------------- R30: value concentration -----------
+def test_part_value_concentration_matches_python(spark):
+    from project_obsidian_core_spark.plans.common import load
+    from project_obsidian_core_spark.plans.relational_queries import (
+        part_value_concentration,
+    )
+
+    per: dict[int, int] = {}
+    for r in load(spark, SF, "lineitem").select(
+        "l_partkey", F.expr("cast(round(l_extendedprice*100,0) as bigint)").alias("pc")
+    ).collect():
+        per[r["l_partkey"]] = per.get(r["l_partkey"], 0) + r["pc"]
+    total, n = sum(per.values()), len(per)
+    ref = {
+        k: v * 1_000_000 // total
+        for k, v in per.items()
+        if v * n * 2 > total * 3
+    }
+    got = {
+        r["p_partkey"]: r for r in part_value_concentration(spark, SF).collect()
+    }
+    assert {k: r["share_ppm"] for k, r in got.items()} == ref
+    for k, r in got.items():
+        assert r["value_cents"] == per[k]
+
+
+# --------------------------------------- X25: lang-ID confusion -----------
+def test_lang_id_confusion_matches_python(spark):
+    from project_obsidian_core_spark.datapipe.text import LANG_PROFILES
+    from project_obsidian_core_spark.plans.common import load
+    from project_obsidian_core_spark.plans.datapipe_queries import (
+        lang_id_confusion,
+    )
+
+    names = list(LANG_PROFILES)
+    cells: Counter = Counter()
+    for r in load(spark, SF, "documents").select("lang", "text").collect():
+        toks = r["text"].split(" ")
+        n = len(toks)
+        scores = [
+            (sum(1 for t in toks if t in LANG_PROFILES[nm]) / n if n else 0.0)
+            for nm in names
+        ]
+        pred = names[0]
+        for i, nm in enumerate(names):
+            ok = all(scores[i] > scores[j] for j in range(i)) and all(
+                scores[i] >= scores[j] for j in range(i + 1, len(names))
+            )
+            if ok:
+                pred = nm
+                break
+        cells[(r["lang"], pred)] += 1
+    rows_n = Counter()
+    for (lang, _), c in cells.items():
+        rows_n[lang] += c
+    got = {
+        (r["lang"], r["lang_pred"]): r
+        for r in lang_id_confusion(spark, SF).collect()
+    }
+    assert set(got) == set(cells)
+    for k, c in cells.items():
+        row = got[k]
+        assert row["n"] == c and row["row_n"] == rows_n[k[0]]
+        assert row["share_ppm"] == c * 1_000_000 // rows_n[k[0]]
+    # every label row's shares sum to ~1e6 (floor rounding loses < |cells|)
+    for lang in rows_n:
+        s = sum(r["share_ppm"] for k, r in got.items() if k[0] == lang)
+        assert 1_000_000 - len(names) <= s <= 1_000_000
+
+
+# ------------------------------- D24: sorted-neighborhood candidates ------
+def test_sorted_neighborhood_matches_python(spark):
+    from project_obsidian_core_spark.datapipe.dedup import (
+        NGRAM_W,
+        SN_BLOCK_CHARS,
+        SN_KEY_PREFIX,
+        SN_WINDOW,
+    )
+    from project_obsidian_core_spark.plans.common import load
+    from project_obsidian_core_spark.plans.datapipe_queries import (
+        dedup_sorted_neighborhood,
+    )
+
+    docs = {
+        r["doc_id"]: r["text"]
+        for r in load(spark, SF, "documents").collect()
+    }
+    keyed = []
+    grams = {}
+    for d, text in docs.items():
+        key = " ".join(sorted(set(text.split(" "))))[:SN_KEY_PREFIX]
+        keyed.append((key[:SN_BLOCK_CHARS], key, d))
+        grams[d] = {
+            text[i : i + NGRAM_W] for i in range(max(len(text) - NGRAM_W + 1, 1))
+        }
+    ref = {}
+    from itertools import groupby
+
+    keyed.sort()
+    for _, grp in groupby(keyed, key=lambda t: t[0]):
+        grp = list(grp)
+        for i, (_, _, a) in enumerate(grp):
+            for dist in range(1, SN_WINDOW + 1):
+                if i + dist >= len(grp):
+                    break
+                b = grp[i + dist][2]
+                inter = len(grams[a] & grams[b])
+                union = len(grams[a] | grams[b])
+                ref[(a, b)] = (dist, inter, union, inter * 1_000_000 // union)
+    got = {
+        (r["doc_a"], r["doc_b"]): (
+            r["rank_dist"],
+            r["n_inter"],
+            r["n_union"],
+            r["jaccard_ppm"],
+        )
+        for r in dedup_sorted_neighborhood(spark, SF).collect()
+    }
+    assert got == ref
+    # the hard-linear candidate bound the operator exists for
+    assert len(got) <= len(docs) * SN_WINDOW
