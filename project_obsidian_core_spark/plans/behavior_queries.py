@@ -780,29 +780,68 @@ def customer_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
         "stack(3, 'r', recency_days, 'f', frequency, 'm', monetary_cents)"
         " as (measure, v)"
     )
+    # distributed order statistics, the vocab_growth bucket-refinement
+    # idiom: monetary_cents has ~|customers| DISTINCT values, so a
+    # per-measure cumulative window over the distinct-value relation is a
+    # one-task sort at 10⁹ customers.  Instead: (1) per-distinct-value
+    # counts (one map-side-combined exchange), (2) values range-bucket by
+    # v div 4096 (order-preserving; ≤ value-range/4096 buckets), the only
+    # per-measure global window runs over the BUCKET fold, (3) each of
+    # the nine target ranks broadcast-joins to its containing bucket, and
+    # the within-bucket fold is partitioned (measure, bkt, k) with ≤4096
+    # distinct values per partition BY CONSTRUCTION.
     vc = long.groupBy("measure", "v").agg(F.count(F.lit(1)).alias("cnt"))
-    w_cum = (
-        Window.partitionBy("measure")
+    vb = vc.withColumn("bkt", F.expr("v div 4096"))
+    bcnt = vb.groupBy("measure", "bkt").agg(F.sum("cnt").alias("bn"))
+    cum = bcnt.withColumn(
+        "cum_before",
+        F.coalesce(
+            F.sum("bn").over(
+                Window.partitionBy("measure")
+                .orderBy("bkt")
+                .rowsBetween(Window.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        ),
+    )
+    # targets' measure column is RENAMED before the join: cum and targets
+    # share bcnt's lineage, so an equality on the common attribute
+    # resolves trivially true (Spark's self-join ambiguity) and every
+    # bucket would match every measure's targets — masked on this data
+    # only because all three measures share n (identical rank triplets),
+    # wrong the moment they don't.
+    targets = (
+        bcnt.groupBy("measure")
+        .agg(F.sum("bn").alias("n"))
+        .select(
+            F.col("measure").alias("t_measure"),
+            F.explode(F.array(F.lit(1), F.lit(2), F.lit(3))).alias("k"),
+            "n",
+        )
+        .withColumn("rnk", F.expr("(k * n + 3) div 4"))
+    )
+    hit = cum.join(
+        F.broadcast(targets),
+        (F.col("measure") == F.col("t_measure"))
+        & (F.col("cum_before") < F.col("rnk"))
+        & (F.col("rnk") <= F.col("cum_before") + F.col("bn")),
+    ).select("measure", "bkt", "k", "rnk", "cum_before")
+    w_in = (
+        Window.partitionBy("measure", "bkt", "k")
         .orderBy("v")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    w_all = Window.partitionBy("measure")
-    ranked = vc.select(
-        "measure",
-        "v",
-        F.sum("cnt").over(w_cum).alias("cum"),
-        F.sum("cnt").over(w_all).alias("n"),
+    thr_rows = (
+        vb.join(F.broadcast(hit), ["measure", "bkt"])
+        .withColumn("wcum", F.sum("cnt").over(w_in))
+        .filter(F.col("cum_before") + F.col("wcum") >= F.col("rnk"))
+        .groupBy("measure", "k")
+        .agg(F.min("v").alias("thr"))
     )
-    thr = ranked.groupBy("measure").agg(
-        F.min(
-            F.when(F.col("cum") >= F.expr("(n + 3) div 4"), F.col("v"))
-        ).cast("long").alias("t1"),
-        F.min(
-            F.when(F.col("cum") >= F.expr("(2 * n + 3) div 4"), F.col("v"))
-        ).cast("long").alias("t2"),
-        F.min(
-            F.when(F.col("cum") >= F.expr("(3 * n + 3) div 4"), F.col("v"))
-        ).cast("long").alias("t3"),
+    thr = thr_rows.groupBy("measure").agg(
+        F.min(F.when(F.col("k") == 1, F.col("thr"))).cast("long").alias("t1"),
+        F.min(F.when(F.col("k") == 2, F.col("thr"))).cast("long").alias("t2"),
+        F.min(F.when(F.col("k") == 3, F.col("thr"))).cast("long").alias("t3"),
     )
     one = thr.groupBy().pivot("measure", ["r", "f", "m"]).agg(
         F.min("t1").alias("t1"), F.min("t2").alias("t2"), F.min("t3").alias("t3")

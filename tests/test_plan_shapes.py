@@ -1047,3 +1047,30 @@ def test_vocab_growth_no_collected_id_buffer(spark):
         12, 24, 49, 99, 199,
     ]
     assert rows[16]["vocab_size"] == 41
+
+
+def test_customer_rfm_windows_are_bucket_partitioned(spark):
+    """A73 (hardened round 11): the quartile thresholds are distributed
+    order statistics — monetary_cents has ~|customers| distinct values,
+    so the plan must contain NO cumulative window partitioned on the
+    measure alone over the per-distinct-VALUE relation.  The only
+    per-measure global window runs over the BUCKET fold (v div 4096 —
+    value-range/4096 rows); the within-bucket fold is (measure, bkt, k)
+    partitioned with ≤4096 distinct values per partition by
+    construction; no collected buffers, no python evals."""
+    from project_obsidian_core_spark.plans import behavior_queries as bq
+
+    df = bq.customer_rfm(spark, "/root/testdata/sf0.001")
+    plan = _plan(df)
+    assert "collect_list" not in plan and "sort_array" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    # every window spec either includes the bucket key (the bounded
+    # within-bucket fold) or runs on the bucket-fold relation whose sort
+    # key is bkt — no windowspecdefinition sorting raw v without bkt
+    # partitioning
+    import re
+
+    for m in re.finditer(r"Window \[[^\]]*windowspecdefinition\(([^)]*)\)", plan):
+        spec = m.group(1)
+        if "v#" in spec.split("],")[0]:
+            assert "bkt" in spec, spec
