@@ -61,6 +61,7 @@ def _guard_series_pairs(
     max_series: int | None,
     pair_block: str | None,
     op: str,
+    count_rel: DataFrame | None = None,
 ) -> DataFrame:
     """Pre-flight + blocking guard for the all-pairs SERIES axis shared by
     the association matrices (A37 Pearson, A62 xcorr, A65 Kendall).
@@ -87,14 +88,25 @@ def _guard_series_pairs(
     Returns ``rel`` unchanged when ``pair_block`` is None (gate plans
     byte-identical), else with a ``__blk`` column the caller must fold
     into its pair-join key.
+
+    ``count_rel``, when given, is a CHEAPER upstream relation carrying
+    the same ``series_col`` population (the raw pruned projection): the
+    pre-flight only needs the distinct series set, so its job skips the
+    rollup/window stages entirely.  Measured cost at sf0.1 is ~0.3-0.5 s
+    per query either way (the pruned scan dominates, not the windows) —
+    noted in SCALE.md so the three gated queries' bench drift is
+    pre-explained.
     """
     if pair_block is not None:
         rel = rel.withColumn("__blk", F.expr(pair_block))
     if max_series is not None:
-        key = ["__blk"] if pair_block is not None else []
+        check = (count_rel if count_rel is not None else rel).select(series_col)
+        key = []
+        if pair_block is not None:
+            check = check.withColumn("__blk", F.expr(pair_block))
+            key = ["__blk"]
         sizes = (
-            rel.select(series_col, *key)
-            .distinct()
+            check.distinct()
             .groupBy(*key)
             .count()
             .agg(F.max("count").alias("n"))
@@ -612,7 +624,8 @@ def metric_corr_matrix(
         "metric_name", "bucket", (F.col("y") - F.min("y").over(w)).alias("yc0")
     ).select("metric_name", "bucket", F.expr("yc0 div 100").alias("yc"))
     c = _guard_series_pairs(
-        c, "metric_name", max_series, pair_block, "metric_corr_matrix"
+        c, "metric_name", max_series, pair_block, "metric_corr_matrix",
+        count_rel=m,
     )
     cond = (F.col("a.bucket") == F.col("b.bucket")) & (
         F.col("a.metric_name") < F.col("b.metric_name")
@@ -1629,7 +1642,8 @@ def metric_xcorr(
         "metric_name", "bucket", (F.col("y") - F.min("y").over(w)).alias("yc0")
     ).select("metric_name", "bucket", F.expr("yc0 div 100").alias("yc"))
     c = _guard_series_pairs(
-        c, "metric_name", max_series, pair_block, "metric_xcorr"
+        c, "metric_name", max_series, pair_block, "metric_xcorr",
+        count_rel=m,
     )
     blk = ["__blk"] if pair_block is not None else []
     a = c.select(
@@ -1912,7 +1926,8 @@ def metric_kendall_tau(
     )
     grid = m.groupBy("metric_name", "x").agg(F.sum("v").alias("y"))
     grid = _guard_series_pairs(
-        grid, "metric_name", max_series, pair_block, "metric_kendall_tau"
+        grid, "metric_name", max_series, pair_block, "metric_kendall_tau",
+        count_rel=m,
     )
     blk = ["__blk"] if pair_block is not None else []
     al = (
