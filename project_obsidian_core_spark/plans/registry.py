@@ -806,6 +806,21 @@ _ENTRIES: list[tuple[str, QueryFn, str | None]] = [
     # T25: streaming Pettitt over order-reconstructing state, gated on
     # the BATCH A66 oracle (rank statistics live)
     ("stream_pettitt", st.stream_pettitt, m.ORACLE_metric_pettitt),
+    # ------------------------------------------------------------------
+    # Block R12 — PRE-DRAFT (do NOT uncomment during round 11: adding
+    # unrecorded rows mid-round displaces this round's stale-row
+    # refreshes; the round-12 session activates these five).  The queue
+    # holds 13 check_queued.py-proven operators; per the staging plan in
+    # SCALE.md, r12 registers the three held r10 promotions plus the two
+    # family-extending r11 additions, r13/r14 take the rest:
+    #   ("text_zipf_octaves", cu.text_zipf_octaves,
+    #    cu.ORACLE_text_zipf_octaves),
+    #   ("knn_reciprocity", d.knn_reciprocity, d.ORACLE_knn_reciprocity),
+    #   ("events_session_entry_exit", pl.events_session_entry_exit,
+    #    pl.ORACLE_events_session_entry_exit),
+    #   ("stream_bollinger", st.stream_bollinger,
+    #    m.ORACLE_metric_bollinger),
+    #   ("customer_rfm", bh.customer_rfm, bh.ORACLE_customer_rfm),
 ]
 
 # ----------------------------------------------------------------------

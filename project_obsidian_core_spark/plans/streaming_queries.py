@@ -1712,3 +1712,73 @@ def stream_bollinger(spark: SparkSession, sf_dir: str) -> DataFrame:
     return latest.select(
         "metric_name", "hour", "value_cents", "dev_num", "var_num", "is_upper"
     ).orderBy("metric_name", "hour")
+
+
+# ---------------- T27: streaming max drawdown (A75 live) ------------------
+# Registration note: QUEUED for a later round (gate window full — see
+# scripts/check_queued.py). Planned row:
+#   ("stream_drawdown", st.stream_drawdown, m.ORACLE_metric_drawdown)
+def stream_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T27: the A75 running-peak drawdown served LIVE — EIGHTH consumer
+    of the bucket-sum state family, its first PATH statistic: drawdown
+    is a function of the whole ordered series (a late early bucket can
+    raise every later peak or fill the trough), so each emit re-walks
+    the reconstructed series and the drained max-version rows gate on
+    the batch `metric_drawdown` DuckDB oracle bit-exactly."""
+    from pyspark.sql import Window
+
+    from project_obsidian_core_spark.plans.metrics_queries import HIT, READ
+    from project_obsidian_core_spark.streaming.sequence_state import (
+        streaming_drawdown,
+    )
+
+    run = next(_RUN_IDS)
+    src = _events_src(spark, sf_dir, run)
+    schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "4")
+        .parquet(src)
+    )
+    name_col = (
+        F.when(F.col("event_type") == "view", F.lit(HIT))
+        .when(F.col("event_type") == "click", F.lit(READ))
+        .otherwise(F.concat(F.lit("postgresql."), F.col("event_type")))
+    )
+    keyed = stream.select(
+        name_col.alias("metric_name"),
+        F.expr("unix_micros(ts) div 3600000000").alias("bucket"),
+        F.col("cents").alias("v"),
+    )
+    out = streaming_drawdown(keyed)
+    name = f"stream_dd_{run}"
+    tmp = tempfile.mkdtemp(prefix=f"obsidian_dd_{run}_")
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            out.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .option("checkpointLocation", f"{tmp}/ckpt")
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+
+    emitted = spark.table(name)
+    wmax = Window.partitionBy("metric_name")
+    latest = emitted.withColumn(
+        "_vmax", F.max("version").over(wmax)
+    ).filter(F.col("version") == F.col("_vmax"))
+    return latest.select(
+        "metric_name",
+        "n_hours",
+        "trough_hour",
+        "peak_cents",
+        "trough_cents",
+        "drawdown_cents",
+    ).orderBy("metric_name")

@@ -979,3 +979,103 @@ def streaming_bollinger(stream: DataFrame) -> DataFrame:
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# --------------- T27: streaming max drawdown over bucket-sum state --------
+DRAWDOWN_OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("metric_name", T.StringType()),
+        T.StructField("n_hours", T.LongType()),
+        T.StructField("trough_hour", T.LongType()),
+        T.StructField("peak_cents", T.LongType()),
+        T.StructField("trough_cents", T.LongType()),
+        T.StructField("drawdown_cents", T.LongType()),
+        T.StructField("version", T.LongType()),
+    ]
+)
+
+
+def drawdown_from_series(
+    buckets: list[int], sums: list[int]
+) -> tuple[int, int, int, int, int] | None:
+    """The A75 running-peak scan over a bucket-ordered int series:
+    peak = cumulative max, drawdown = peak − y, winner = earliest
+    deepest (the batch operator's row_number(drawdown DESC, x ASC) = 1).
+    Returns (n, trough_bucket, peak, trough, drawdown); None on empty.
+    Pure; unit-tested against the batch operator."""
+    if not sums:
+        return None
+    peak = None
+    best: tuple[int, int, int, int] | None = None  # (-dd, x, peak, y)
+    for x, y in zip(buckets, sums):
+        peak = y if peak is None or y > peak else peak
+        cand = (-(peak - y), x, peak, y)
+        if best is None or cand < best:
+            best = cand
+    return len(sums), best[1], best[2], best[3], -best[0]
+
+
+def make_drawdown_fn():
+    def fn(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        metric = str(key[0])
+        if state.exists:
+            buckets, sums, version = state.get
+            buckets, sums = list(buckets), list(sums)
+        else:
+            buckets, sums, version = [], [], 0
+        absorbed = 0
+        for pdf in pdfs:
+            if not len(pdf):
+                continue
+            absorbed += len(pdf)
+            buckets, sums = fold_bucket_sums(
+                buckets, sums, zip(pdf["bucket"], pdf["v"])
+            )
+        if not absorbed:
+            return
+        version += absorbed
+        state.update((buckets, sums, version))
+        res = drawdown_from_series(buckets, sums)
+        if res is None:
+            return
+        n, trough_x, peak, trough, dd = res
+        yield pd.DataFrame(
+            {
+                "metric_name": [metric],
+                "n_hours": [n],
+                "trough_hour": [trough_x],
+                "peak_cents": [peak],
+                "trough_cents": [trough],
+                "drawdown_cents": [dd],
+                "version": [version],
+            }
+        )
+
+    return fn
+
+
+def streaming_drawdown(stream: DataFrame) -> DataFrame:
+    """T27: the A75 maximum drawdown served LIVE — EIGHTH consumer of
+    the bucket-sum state family: the state is the commutative exact-int
+    per-hour sums, and every emit re-walks the running-peak scan,
+    because the statistic is a PATH function of the whole ordered
+    series — a late bucket BEFORE the current peak can raise every
+    subsequent peak (deepening later drawdowns) or fill the trough
+    itself, so no (peak, best) scalar pair survives out-of-order
+    delivery. One row per (metric, version); drained max-version rows
+    equal the batch `metric_drawdown` exactly.
+    Expects (metric_name, bucket, v)."""
+    keyed = stream.select(
+        F.col("metric_name").cast("string").alias("metric_name"),
+        F.col("bucket").cast("long").alias("bucket"),
+        F.col("v").cast("long").alias("v"),
+    )
+    return keyed.groupBy("metric_name").applyInPandasWithState(
+        make_drawdown_fn(),
+        outputStructType=DRAWDOWN_OUTPUT_SCHEMA,
+        stateStructType=EWMA_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -78,6 +78,7 @@ def queued():
             d.dedup_sorted_neighborhood,
             d.ORACLE_dedup_sorted_neighborhood,
         ),
+        "stream_drawdown": (st.stream_drawdown, m.ORACLE_metric_drawdown),
     }
 
 

@@ -469,3 +469,70 @@ def test_sorted_neighborhood_matches_python(spark):
     assert got == ref
     # the hard-linear candidate bound the operator exists for
     assert len(got) <= len(docs) * SN_WINDOW
+
+
+# ------------------------------- T27: streaming max drawdown --------------
+def test_drawdown_from_series_matches_bruteforce():
+    from project_obsidian_core_spark.streaming.sequence_state import (
+        drawdown_from_series,
+    )
+
+    cases = [
+        [10, 20, 5, 30, 1, 50],
+        [5, 5, 5],
+        [9, 8, 7, 6],
+        [1, 2, 3, 4],
+        [7],
+    ]
+    for ys in cases:
+        buckets = [100 + i for i in range(len(ys))]
+        peak = None
+        best = None
+        for x, y in zip(buckets, ys):
+            peak = y if peak is None or y > peak else peak
+            cand = (-(peak - y), x, peak, y)
+            if best is None or cand < best:
+                best = cand
+        assert drawdown_from_series(buckets, ys) == (
+            len(ys),
+            best[1],
+            best[2],
+            best[3],
+            -best[0],
+        )
+    assert drawdown_from_series([], []) is None
+
+
+def test_drawdown_fold_is_arrival_order_free():
+    """A late EARLY bucket can raise every later peak: the re-walked scan
+    must converge to the same answer whatever the delivery order — the
+    property no incremental (peak, best) scalar pair survives."""
+    import itertools
+
+    from project_obsidian_core_spark.streaming.sequence_state import (
+        drawdown_from_series,
+        fold_bucket_sums,
+    )
+
+    rows = [(100, 10), (101, 50), (102, 5), (103, 40), (104, 2)]
+    want = None
+    for perm in itertools.permutations(rows):
+        buckets, sums = [], []
+        for chunk in (perm[:2], perm[2:4], perm[4:]):
+            buckets, sums = fold_bucket_sums(buckets, sums, chunk)
+        got = drawdown_from_series(buckets, sums)
+        want = got if want is None else want
+        assert got == want
+
+
+def test_stream_drawdown_drained_equals_batch(spark):
+    from project_obsidian_core_spark.plans.metrics_queries import (
+        metric_drawdown,
+    )
+    from project_obsidian_core_spark.plans.streaming_queries import (
+        stream_drawdown,
+    )
+
+    got = [tuple(r) for r in stream_drawdown(spark, SF).collect()]
+    ref = [tuple(r) for r in metric_drawdown(spark, SF).collect()]
+    assert got == ref
