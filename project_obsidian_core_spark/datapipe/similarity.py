@@ -1088,3 +1088,60 @@ def knn_reciprocity(emb: DataFrame, k: int = 5) -> DataFrame:
     return per_node.groupBy(
         F.col("n_mutual").alias("n_mutual_neighbors")
     ).agg(F.count(F.lit(1)).cast("long").alias("n_nodes"))
+
+
+def knn_link_prediction(emb: DataFrame, k: int = 5, top: int = 20) -> DataFrame:
+    """G10: common-neighbor link prediction over the undirected k-NN
+    graph — score NON-edges by shared neighborhood: n_common (the
+    common-neighbors index) and an integer resource-allocation index
+    ra_ppm = Σ_b (10⁶ div deg(b)) over shared neighbors b (Zhou/Lü/
+    Zhang's RA, kept in exact integer parts-per-million so the sum is
+    commutative — a float Σ 1/deg would be order-dependent across
+    engines).  The curation read: a high-scoring non-edge is a near-dup
+    or same-cluster pair the k-NN cutoff just missed — the candidates a
+    second verification pass should try first.
+
+    Exact + bounded: undirected adjacency U (≤2·|V|·k rows after
+    symmetrize+distinct) wedge-joins itself through the shared endpoint
+    (≤|V|·(2k)² wedge rows — k bounds the join fan-out, never |V|²),
+    existing edges leave via one anti-join on the pair key, ties order
+    by the pair.  Top-N via TakeOrderedAndProject.
+    """
+    u = knn_edges(emb, k=k)
+    adj = u.select("a", "b").union(
+        u.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    )
+    deg = adj.groupBy("a").agg(F.count(F.lit(1)).alias("deg"))
+    wedges = (
+        adj.select(F.col("a").alias("x"), F.col("b").alias("mid"))
+        .join(
+            adj.select(F.col("a").alias("mid"), F.col("b").alias("y")),
+            "mid",
+        )
+        .filter(F.col("x") < F.col("y"))
+    )
+    scored = (
+        wedges.join(
+            deg.select(F.col("a").alias("mid"), "deg"), "mid"
+        )
+        .groupBy("x", "y")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_common"),
+            F.sum(F.expr("1000000 div deg")).cast("long").alias("ra_ppm"),
+        )
+    )
+    non_edges = scored.join(
+        u.select(F.col("a").alias("x"), F.col("b").alias("y")),
+        ["x", "y"],
+        "left_anti",
+    )
+    return (
+        non_edges.select(
+            F.col("x").alias("vec_a"),
+            F.col("y").alias("vec_b"),
+            "n_common",
+            "ra_ppm",
+        )
+        .orderBy(F.desc("n_common"), F.desc("ra_ppm"), "vec_a", "vec_b")
+        .limit(top)
+    )

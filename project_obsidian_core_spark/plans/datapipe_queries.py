@@ -2842,3 +2842,141 @@ FROM r a JOIN r b
   ON a.block = b.block AND b.rn > a.rn AND b.rn <= a.rn + {D.SN_WINDOW}
 ORDER BY doc_a, doc_b
 """
+
+
+# ------------------------------------ G10: link prediction ----------------
+# Registration note: QUEUED for a later round (gate window full — see
+# scripts/check_queued.py). Planned row:
+#   ("knn_link_prediction", d.knn_link_prediction,
+#    d.ORACLE_knn_link_prediction)
+def knn_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G10: common-neighbor + integer-RA link prediction over the exact
+    5-NN graph — the missed-near-dup candidate ranker; see
+    :func:`datapipe.similarity.knn_link_prediction`."""
+    emb = load(spark, sf_dir, "embeddings").filter(F.col("vec_id") < _GRAPH_VECS)
+    return S.knn_link_prediction(emb, k=_GRAPH_K)
+
+
+ORACLE_knn_link_prediction = f"""
+WITH t AS (
+    SELECT vec_id, embedding AS v, {V.sql_norm('embedding', _EMB_DIM)} AS nrm
+    FROM embeddings WHERE vec_id < {_GRAPH_VECS}
+), scored0 AS (
+    SELECT q.vec_id AS q_id, c.vec_id AS cand_id,
+           {V.sql_dot('q.v', 'c.v', _EMB_DIM)} / (q.nrm * c.nrm) AS cos_sim
+    FROM t q, t c
+    WHERE q.vec_id != c.vec_id
+), ranked AS (
+    SELECT q_id, cand_id,
+           row_number() OVER (PARTITION BY q_id
+                              ORDER BY cos_sim DESC, cand_id ASC) AS rank
+    FROM scored0
+), u AS (
+    SELECT DISTINCT least(q_id, cand_id) AS a, greatest(q_id, cand_id) AS b
+    FROM ranked WHERE rank <= {_GRAPH_K}
+), adj AS (
+    SELECT a, b FROM u UNION ALL SELECT b AS a, a AS b FROM u
+), deg AS (
+    SELECT a AS mid, CAST(count(*) AS BIGINT) AS deg FROM adj GROUP BY a
+), wedges AS (
+    SELECT l.a AS x, l.b AS mid, r.b AS y
+    FROM adj l JOIN adj r ON l.b = r.a
+    WHERE l.a < r.b
+), sc AS (
+    SELECT x, y, CAST(count(*) AS BIGINT) AS n_common,
+           CAST(sum(1000000 // deg) AS BIGINT) AS ra_ppm
+    FROM wedges JOIN deg USING (mid)
+    GROUP BY x, y
+)
+SELECT x AS vec_a, y AS vec_b, n_common, ra_ppm
+FROM sc
+WHERE NOT EXISTS (SELECT 1 FROM u WHERE u.a = sc.x AND u.b = sc.y)
+ORDER BY n_common DESC, ra_ppm DESC, vec_a, vec_b
+LIMIT 20
+"""
+
+
+# -------------------------------- D25: edit-distance verify over SNM ------
+# Registration note: QUEUED for a later round (gate window full — see
+# scripts/check_queued.py). Planned row:
+#   ("dedup_edit_distance", d.dedup_edit_distance,
+#    d.ORACLE_dedup_edit_distance)
+_EDIT_PREFIX = 256  # chars of text the DP runs over (documented bound)
+_EDIT_MAX = 64  # near-dup band: keep pairs within this edit distance
+
+
+def dedup_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D25: Levenshtein verification over the sorted-neighborhood
+    candidates — the EDIT-model near-dup scorer next to the set models
+    (Jaccard/containment/SimHash): token-set models are blind to
+    ORDER-ONLY edits and char-level corruption inside tokens, edit
+    distance prices both, and merge/purge pipelines pair exactly these
+    two (SNM blocking + edit-distance verify).
+
+    The DP runs over the first {256} chars of each side (the documented
+    bound — O(prefix²) per pair is the operator's whole cost, and a
+    256-char prefix decides near-duphood for document-scale text; the
+    bound is part of the semantics, mirrored in the oracle).  Both
+    engines implement classic unit-cost Levenshtein, so the distance is
+    exact int; edit_ppm normalizes by the longer prefix in integer ppm.
+    Candidate count is the SNM hard-linear |docs|·w; pairs within the
+    {64}-edit band survive.
+    """
+    docs = load(spark, sf_dir, "documents")
+    pref = docs.select(
+        "doc_id", F.substring("text", 1, _EDIT_PREFIX).alias("p")
+    )
+    cand = D.sorted_neighborhood_pairs(docs).select(
+        "doc_a", "doc_b", "rank_dist"
+    )
+    j = (
+        cand.join(
+            pref.select(F.col("doc_id").alias("doc_a"), F.col("p").alias("pa")),
+            "doc_a",
+        )
+        .join(
+            pref.select(F.col("doc_id").alias("doc_b"), F.col("p").alias("pb")),
+            "doc_b",
+        )
+        .withColumn("edit_dist", F.levenshtein("pa", "pb").cast("long"))
+        .filter(F.col("edit_dist") <= _EDIT_MAX)
+    )
+    return j.select(
+        "doc_a",
+        "doc_b",
+        "rank_dist",
+        "edit_dist",
+        F.expr(
+            "edit_dist * 1000000 div greatest(length(pa), length(pb))"
+        ).alias("edit_ppm"),
+    ).orderBy("doc_a", "doc_b")
+
+
+ORACLE_dedup_edit_distance = f"""
+WITH t AS (
+    SELECT doc_id,
+           substr(array_to_string(list_sort(list_distinct(
+               string_split(text, ' '))), ' '), 1, {D.SN_KEY_PREFIX})
+               AS sn_key,
+           substr(text, 1, {_EDIT_PREFIX}) AS p
+    FROM documents
+), r AS (
+    SELECT doc_id, p, substr(sn_key, 1, {D.SN_BLOCK_CHARS}) AS block,
+           row_number() OVER (PARTITION BY substr(sn_key, 1, {D.SN_BLOCK_CHARS})
+                              ORDER BY sn_key, doc_id) AS rn
+    FROM t
+), cand AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(b.rn - a.rn AS INT) AS rank_dist,
+           a.p AS pa, b.p AS pb
+    FROM r a JOIN r b
+      ON a.block = b.block AND b.rn > a.rn AND b.rn <= a.rn + {D.SN_WINDOW}
+)
+SELECT doc_a, doc_b, rank_dist,
+       CAST(levenshtein(pa, pb) AS BIGINT) AS edit_dist,
+       CAST(levenshtein(pa, pb) * 1000000
+            // greatest(length(pa), length(pb)) AS BIGINT) AS edit_ppm
+FROM cand
+WHERE levenshtein(pa, pb) <= {_EDIT_MAX}
+ORDER BY doc_a, doc_b
+"""

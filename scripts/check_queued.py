@@ -79,6 +79,14 @@ def queued():
             d.ORACLE_dedup_sorted_neighborhood,
         ),
         "stream_drawdown": (st.stream_drawdown, m.ORACLE_metric_drawdown),
+        "knn_link_prediction": (
+            d.knn_link_prediction,
+            d.ORACLE_knn_link_prediction,
+        ),
+        "dedup_edit_distance": (
+            d.dedup_edit_distance,
+            d.ORACLE_dedup_edit_distance,
+        ),
     }
 
 

@@ -536,3 +536,117 @@ def test_stream_drawdown_drained_equals_batch(spark):
     got = [tuple(r) for r in stream_drawdown(spark, SF).collect()]
     ref = [tuple(r) for r in metric_drawdown(spark, SF).collect()]
     assert got == ref
+
+
+# ----------------------------------- G10: link prediction ----------------
+def test_knn_link_prediction_matches_python(spark):
+    from project_obsidian_core_spark.plans.common import load
+    from project_obsidian_core_spark.plans.datapipe_queries import (
+        _GRAPH_K,
+        _GRAPH_VECS,
+        knn_link_prediction,
+    )
+
+    emb = {
+        r["vec_id"]: r["embedding"]
+        for r in load(spark, SF, "embeddings")
+        .filter(F.col("vec_id") < _GRAPH_VECS)
+        .collect()
+    }
+
+    def cos(a, b):
+        num = sum(x * y for x, y in zip(a, b))
+        return num / (
+            math.sqrt(sum(x * x for x in a)) * math.sqrt(sum(y * y for y in b))
+        )
+
+    edges = set()
+    for q, v in emb.items():
+        scored = sorted(((-cos(v, w), c) for c, w in emb.items() if c != q))[
+            :_GRAPH_K
+        ]
+        for _, c in scored:
+            edges.add((min(q, c), max(q, c)))
+    adj: dict[int, set] = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    ref = []
+    nodes = sorted(adj)
+    for i, x in enumerate(nodes):
+        for y in nodes[i + 1 :]:
+            if (x, y) in edges:
+                continue
+            common = adj[x] & adj[y]
+            if not common:
+                continue
+            ra = sum(1_000_000 // len(adj[m]) for m in common)
+            ref.append((-len(common), -ra, x, y, len(common), ra))
+    ref.sort()
+    want = [(x, y, n, ra) for _, _, x, y, n, ra in ref[:20]]
+    got = [
+        (r["vec_a"], r["vec_b"], r["n_common"], r["ra_ppm"])
+        for r in knn_link_prediction(spark, SF).collect()
+    ]
+    assert got == want and len(got) > 0
+    # every reported pair is a genuine non-edge
+    for x, y, _, _ in got:
+        assert (x, y) not in edges
+
+
+# ------------------------------ D25: edit-distance verify -----------------
+def test_dedup_edit_distance_matches_python(spark):
+    from project_obsidian_core_spark.plans.common import load
+    from project_obsidian_core_spark.plans.datapipe_queries import (
+        _EDIT_MAX,
+        _EDIT_PREFIX,
+        dedup_edit_distance,
+    )
+    from project_obsidian_core_spark.datapipe.dedup import (
+        SN_BLOCK_CHARS,
+        SN_KEY_PREFIX,
+        SN_WINDOW,
+    )
+
+    def lev(a, b):
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(
+                    min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb))
+                )
+            prev = cur
+        return prev[-1]
+
+    docs = {
+        r["doc_id"]: r["text"] for r in load(spark, SF, "documents").collect()
+    }
+    keyed = []
+    for d, t in docs.items():
+        key = " ".join(sorted(set(t.split(" "))))[:SN_KEY_PREFIX]
+        keyed.append((key[:SN_BLOCK_CHARS], key, d))
+    keyed.sort()
+    from itertools import groupby
+
+    ref = {}
+    for _, grp in groupby(keyed, key=lambda t: t[0]):
+        grp = list(grp)
+        for i, (_, _, a) in enumerate(grp):
+            for dist in range(1, SN_WINDOW + 1):
+                if i + dist >= len(grp):
+                    break
+                b = grp[i + dist][2]
+                pa, pb = docs[a][:_EDIT_PREFIX], docs[b][:_EDIT_PREFIX]
+                e = lev(pa, pb)
+                if e <= _EDIT_MAX:
+                    ref[(a, b)] = (
+                        dist,
+                        e,
+                        e * 1_000_000 // max(len(pa), len(pb)),
+                    )
+    got = {
+        (r["doc_a"], r["doc_b"]): (r["rank_dist"], r["edit_dist"], r["edit_ppm"])
+        for r in dedup_edit_distance(spark, SF).collect()
+    }
+    assert got == ref
