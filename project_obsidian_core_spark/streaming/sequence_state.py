@@ -620,6 +620,11 @@ ASOF_OUTPUT_SCHEMA = T.StructType(
     ]
 )
 
+#: evict-mode as-of output — finals ∪ max-version live ≡ batch (lossless)
+ASOF_EVICT_OUTPUT_SCHEMA = T.StructType(
+    [*ASOF_OUTPUT_SCHEMA.fields, T.StructField("is_final", T.BooleanType())]
+)
+
 
 def fold_purchases(
     p_ts: list[int], p_cents: list[int], batch_rows
@@ -655,7 +660,24 @@ def asof_lookup(
     return out
 
 
-def make_asof_fn():
+def make_asof_fn(evict: bool = False):
+    """``evict=True`` enables watermark eviction for the TWO-SIDED state
+    (round 11, extending the interval_state contract to the as-of join):
+
+    - a CLICK below the watermark is FINAL — any not-yet-seen purchase
+      is either ≥ wm (strictly after the click, never as-of eligible)
+      or < wm (dropped by Spark as late), so its match can never change
+      again; it is emitted once with ``is_final=True`` and leaves state.
+    - among PURCHASES below the watermark only the LATEST survives: for
+      every live/future click (ts ≥ wm) the as-of winner among frozen
+      purchases is their max-ts one — the rest are dominated forever.
+
+    finals ∪ max-version live ≡ the batch ASOF join exactly (no
+    semantic loss — unlike the windowed twins, this eviction is
+    lossless), test-pinned; state shrinks to the horizon's clicks plus
+    the in-horizon purchases + one anchor purchase.  Requires
+    ``withWatermark`` upstream."""
+
     def fn(
         key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
@@ -690,6 +712,41 @@ def make_asof_fn():
         if not absorbed:
             return
         version += absorbed
+
+        def frame(cts, ceid, ccents, hits, final):
+            cols = {
+                "user_id": [user] * len(cts),
+                "event_id": ceid,
+                "ts_us": cts,
+                "cents": ccents,
+                "last_purchase_us": pd.array(
+                    [h[0] for h in hits], dtype="Int64"
+                ),
+                "last_purchase_cents": pd.array(
+                    [h[1] for h in hits], dtype="Int64"
+                ),
+                "version": [version] * len(cts),
+            }
+            if evict:
+                cols["is_final"] = [final] * len(cts)
+            return pd.DataFrame(cols)
+
+        if evict:
+            import bisect
+
+            wm_us = state.getCurrentWatermarkMs() * 1000
+            cut = bisect.bisect_left(c_ts, wm_us)
+            if cut > 0:
+                # frozen clicks: matched against the FULL purchase map,
+                # emitted exactly once, then evicted
+                fh = asof_lookup(c_ts[:cut], p_ts, p_cents)
+                yield frame(c_ts[:cut], c_eid[:cut], c_cents[:cut], fh, True)
+                c_ts, c_eid, c_cents = c_ts[cut:], c_eid[cut:], c_cents[cut:]
+            # purchase purge: in-horizon ones plus the latest frozen one
+            # (the only frozen purchase any future click can match)
+            pcut = bisect.bisect_left(p_ts, wm_us)
+            if pcut > 1:
+                p_ts, p_cents = p_ts[pcut - 1 :], p_cents[pcut - 1 :]
         state.update((c_ts, c_eid, c_cents, p_ts, p_cents, version))
         if not c_ts:
             return
@@ -697,26 +754,12 @@ def make_asof_fn():
         # no-match columns are all-None for purchase-less users: pandas
         # nullable Int64 keeps them typed (an object column of Nones trips
         # the serializer's concat FutureWarning and loses the long dtype)
-        yield pd.DataFrame(
-            {
-                "user_id": [user] * len(c_ts),
-                "event_id": c_eid,
-                "ts_us": c_ts,
-                "cents": c_cents,
-                "last_purchase_us": pd.array(
-                    [h[0] for h in hits], dtype="Int64"
-                ),
-                "last_purchase_cents": pd.array(
-                    [h[1] for h in hits], dtype="Int64"
-                ),
-                "version": [version] * len(c_ts),
-            }
-        )
+        yield frame(c_ts, c_eid, c_cents, hits, False)
 
     return fn
 
 
-def streaming_asof_join(stream: DataFrame) -> DataFrame:
+def streaming_asof_join(stream: DataFrame, evict: bool = False) -> DataFrame:
     """T24: the J-family as-of join served LIVE — FIFTH consumer of the
     order-reconstructing state, extended to TWO-SIDED state: per user
     the click sequence (order-reconstructed merge, T20's fold) AND the
@@ -741,10 +784,14 @@ def streaming_asof_join(stream: DataFrame) -> DataFrame:
         F.unix_micros("ts").alias("ts_us"),
         F.col("cents").cast("long").alias("cents"),
         F.col("side").cast("string").alias("side"),
+        # evict mode must RETAIN the watermark-tagged event-time column:
+        # projecting it away severs the watermark and
+        # getCurrentWatermarkMs() raises inside the state fn
+        *([F.col("ts")] if evict else []),
     )
     return keyed.groupBy("user_id").applyInPandasWithState(
-        make_asof_fn(),
-        outputStructType=ASOF_OUTPUT_SCHEMA,
+        make_asof_fn(evict=evict),
+        outputStructType=ASOF_EVICT_OUTPUT_SCHEMA if evict else ASOF_OUTPUT_SCHEMA,
         stateStructType=ASOF_STATE_SCHEMA,
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,

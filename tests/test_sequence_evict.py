@@ -249,3 +249,129 @@ def test_funnel_and_ewma_states_unchanged_by_default(spark):
     assert ss.SESSION_OUTPUT_SCHEMA.fieldNames()[-1] == "version"
     assert ss.EVICT_OUTPUT_SCHEMA.fieldNames()[-1] == "is_final"
     assert ss.SESSION_EVICT_STATE_SCHEMA.fieldNames()[-1] == "closed_n"
+
+
+def _asof_bursts():
+    """Two users, six hourly bursts; each burst interleaves clicks and
+    purchases with 5 s spacing (purchases land between clicks, so every
+    burst exercises the lookup), delivered one burst per micro-batch."""
+    bursts = []
+    eid = 0
+    for b in range(6):
+        rows = []
+        t0 = BASE_US + b * 3_600_000_000
+        for j in range(8):
+            for user in (1, 2):
+                side = "R" if j % 3 == 2 else "L"
+                rows.append(
+                    (
+                        user,
+                        eid,
+                        t0 + j * 5_000_000,
+                        100 * (b + 1) + j,
+                        side,
+                    )
+                )
+                eid += 1
+        bursts.append(rows)
+    return bursts
+
+
+def _expected_asof(bursts):
+    """Python ASOF LEFT JOIN over the full row set (the batch truth)."""
+    clicks: dict[int, list] = {}
+    purchases: dict[int, list] = {}
+    for burst in bursts:
+        for u, e, t, c, side in burst:
+            (clicks if side == "L" else purchases).setdefault(u, []).append(
+                (t, e, c)
+            )
+    truth = {}
+    for u, cl in clicks.items():
+        # per-ts max cents purchase map (the operator's right-side fold)
+        pmap: dict[int, int] = {}
+        for t, _, c in purchases.get(u, []):
+            pmap[t] = max(pmap.get(t, c), c)
+        pts = sorted(pmap)
+        import bisect
+
+        for t, e, c in cl:
+            i = bisect.bisect_right(pts, t)
+            if i == 0:
+                truth[e] = (u, t, c, None, None)
+            else:
+                truth[e] = (u, t, c, pts[i - 1], pmap[pts[i - 1]])
+    return truth
+
+
+def test_asof_evict_finals_plus_live_equal_batch(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from project_obsidian_core_spark.streaming.sequence_state import (
+        streaming_asof_join,
+    )
+
+    bursts = _asof_bursts()
+    src = str(tmp_path / "asrc")
+    for burst in bursts:
+        spark.createDataFrame(
+            burst, "user_id long, event_id long, ts_us long, cents long, side string"
+        ).coalesce(1).write.mode("append").parquet(src)
+    stream = (
+        spark.readStream.schema(
+            "user_id long, event_id long, ts_us long, cents long, side string"
+        )
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+        .withColumn("ts", F.timestamp_micros(F.col("ts_us")))
+        .withWatermark("ts", "1 minute")
+        .select("user_id", "event_id", "ts", "cents", "side")
+    )
+    out = streaming_asof_join(stream, evict=True)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("asof_evict")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_asof"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    q.awaitTermination()
+    em = spark.table("asof_evict").collect()
+    finals = [r for r in em if r["is_final"]]
+    live = [r for r in em if not r["is_final"]]
+    assert finals, "watermark eviction never fired"
+    # each click finalizes exactly once
+    fin_ids = [r["event_id"] for r in finals]
+    assert len(fin_ids) == len(set(fin_ids))
+    got = {
+        r["event_id"]: (
+            r["user_id"],
+            r["ts_us"],
+            r["cents"],
+            r["last_purchase_us"],
+            r["last_purchase_cents"],
+        )
+        for r in finals
+    }
+    vmax: dict[int, int] = {}
+    for r in live:
+        vmax[r["user_id"]] = max(vmax.get(r["user_id"], 0), r["version"])
+    n_live_last = 0
+    for r in live:
+        if r["version"] == vmax[r["user_id"]]:
+            assert r["event_id"] not in got  # finals and live are disjoint
+            got[r["event_id"]] = (
+                r["user_id"],
+                r["ts_us"],
+                r["cents"],
+                r["last_purchase_us"],
+                r["last_purchase_cents"],
+            )
+            n_live_last += 1
+    assert got == _expected_asof(bursts)
+    # the state bound: the watermark reflects the PREVIOUS batch's max
+    # event time, so at drain each user's live clicks cover at most the
+    # last TWO bursts (12 clicks), not the 36-click history
+    assert n_live_last <= 2 * 12, n_live_last
