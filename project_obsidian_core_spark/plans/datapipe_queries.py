@@ -2913,14 +2913,14 @@ def dedup_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     distance prices both, and merge/purge pipelines pair exactly these
     two (SNM blocking + edit-distance verify).
 
-    The DP runs over the first {256} chars of each side (the documented
+    The DP runs over the first 256 chars of each side (the documented
     bound — O(prefix²) per pair is the operator's whole cost, and a
     256-char prefix decides near-duphood for document-scale text; the
     bound is part of the semantics, mirrored in the oracle).  Both
     engines implement classic unit-cost Levenshtein, so the distance is
     exact int; edit_ppm normalizes by the longer prefix in integer ppm.
     Candidate count is the SNM hard-linear |docs|·w; pairs within the
-    {64}-edit band survive.
+    64-edit band survive.
     """
     docs = load(spark, sf_dir, "documents")
     pref = docs.select(

@@ -4,12 +4,12 @@ explicit (fn, oracle) list instead of the registry.
 
 Operators land here when the driver's 50-slot gate window is full for
 the current round (registration would displace the stale-row refresh).
-Round 11 promoted five of the eight r10-queued operators; the remaining
-three below are held for r12 so 45 of the 50 r06-stale registry rows
-refresh through the r11 window (see the Block R11 comment in
-plans/registry.py and SCALE.md).
+Round 11 promoted five of the eight r10-queued operators and
+implemented thirteen more; the sixteen below are staged r12/r13/r15 at
+≤5 registrations per round (see the Block R11/R12 comments in
+plans/registry.py and the staging plan in SCALE.md).
 
-Usage: python scripts/check_queued.py [sf_dir]
+Usage: python scripts/check_queued.py [sf_dir] [query ...]
 """
 
 from __future__ import annotations
