@@ -931,3 +931,145 @@ SELECT c_custkey, recency_days, frequency, monetary_cents,
 FROM pc CROSS JOIN one
 ORDER BY c_custkey
 """
+
+
+# --------------------------------------------- A76: ABC classification --
+# Registration note: QUEUED for a later round (gate window full — see
+# scripts/check_queued.py). Planned row:
+#   ("customer_abc", b.customer_abc, b.ORACLE_customer_abc)
+def customer_abc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A76: ABC / Pareto classification of customers by revenue — the
+    inventory-analytics classic (A = the heavy heads covering the first
+    70% of revenue, B = the next 20%, C = the tail) that drives tiered
+    treatment everywhere from stock policy to crawl budgets.  The
+    VALUE-WEIGHTED twin of A73's count-quantiles: boundaries sit where
+    the CUMULATIVE REVENUE (descending value order) crosses 70% / 90%
+    of total, and a customer's class compares its value against the two
+    boundary values (ties share a class — deterministic, exchange-free).
+
+    Class rule: walking distinct values DESCENDING, a value v is A if
+    the revenue strictly above v is < 70% of total (so the top value is
+    always A), B if < 90%, else C — all compares are exact-int
+    cross-multiplies (cum_above·10 < total·7), no division anywhere but
+    the reported integer ppm.
+
+    Scale: the same bucket-refinement order statistics as A73 — one
+    per-customer exchange, a v div 4096 bucket fold carrying per-bucket
+    REVENUE sums (the only per-corpus window, value-range/4096 rows),
+    two broadcast boundary targets refined inside their single buckets,
+    then one broadcast compare.  Output: 3 class rows.
+    """
+    orders = load(spark, sf_dir, "orders").select(
+        "o_custkey", cents("o_totalprice").alias("pc")
+    )
+    pc = orders.groupBy("o_custkey").agg(F.sum("pc").alias("v"))
+    vc = pc.groupBy("v").agg(
+        F.count(F.lit(1)).alias("cnt"), F.sum("v").alias("val")
+    )
+    vb = vc.withColumn("bkt", F.expr("v div 4096"))
+    bcnt = vb.groupBy("bkt").agg(F.sum("val").alias("bval"))
+    # descending-value cumulative: revenue strictly ABOVE the bucket
+    cum = bcnt.withColumn(
+        "above_before",
+        F.coalesce(
+            F.sum("bval").over(
+                Window.orderBy(F.desc("bkt")).rowsBetween(
+                    Window.unboundedPreceding, -1
+                )
+            ),
+            F.lit(0),
+        ),
+    )
+    total = bcnt.agg(F.sum("bval").alias("total"))
+    # boundary k/10 (k = 7, 9): the LEAST value v whose strictly-above
+    # revenue already covers >= k/10 of total — every value above the
+    # boundary classifies tighter than k
+    targets = total.select(
+        "total",
+        F.explode(F.array(F.lit(7), F.lit(9))).alias("k"),
+    )
+    hit = cum.join(
+        F.broadcast(targets),
+        (F.col("above_before") * 10 < F.col("total") * F.col("k"))
+        & (
+            (F.col("above_before") + F.col("bval")) * 10
+            >= F.col("total") * F.col("k")
+        ),
+    ).select("bkt", "k", "total", "above_before")
+    w_in = (
+        Window.partitionBy("bkt", "k")
+        .orderBy(F.desc("v"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    thr_rows = (
+        vb.join(F.broadcast(hit), "bkt")
+        .withColumn("wabove", F.coalesce(F.sum("val").over(w_in), F.lit(0)))
+        .filter(
+            (F.col("above_before") + F.col("wabove") + F.col("val")) * 10
+            >= F.col("total") * F.col("k")
+        )
+        .groupBy("k")
+        .agg(F.max("v").alias("thr"))
+    )
+    one = thr_rows.groupBy().agg(
+        F.min(F.when(F.col("k") == 7, F.col("thr"))).alias("t_a"),
+        F.min(F.when(F.col("k") == 9, F.col("thr"))).alias("t_b"),
+    )
+    classed = pc.crossJoin(F.broadcast(one)).select(
+        "v",
+        F.when(F.col("v") >= F.col("t_a"), F.lit("A"))
+        .when(F.col("v") >= F.col("t_b"), F.lit("B"))
+        .otherwise(F.lit("C"))
+        .alias("abc_class"),
+    )
+    tot2 = F.broadcast(total)
+    return (
+        classed.groupBy("abc_class")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.sum("v").alias("value_cents"),
+        )
+        .crossJoin(tot2)
+        .select(
+            "abc_class",
+            "n_customers",
+            "value_cents",
+            F.expr("value_cents * 1000000 div total").alias("share_ppm"),
+        )
+        .orderBy("abc_class")
+    )
+
+
+ORACLE_customer_abc = """
+WITH pc AS (
+    SELECT o_custkey,
+           CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT)
+               AS v
+    FROM orders GROUP BY o_custkey
+), vc AS (
+    SELECT v, CAST(count(*) AS BIGINT) AS cnt, CAST(sum(v) AS BIGINT) AS val
+    FROM pc GROUP BY v
+), cum AS (
+    SELECT v, val,
+           coalesce(sum(val) OVER (ORDER BY v DESC
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                    0) AS above,
+           (SELECT CAST(sum(val) AS BIGINT) FROM vc) AS total
+    FROM vc
+), thr AS (
+    SELECT
+      max(CASE WHEN (above + val) * 10 >= total * 7 THEN v END) AS t_a,
+      max(CASE WHEN (above + val) * 10 >= total * 9 THEN v END) AS t_b
+    FROM cum
+)
+SELECT CASE WHEN pc.v >= t_a THEN 'A'
+            WHEN pc.v >= t_b THEN 'B'
+            ELSE 'C' END AS abc_class,
+       CAST(count(*) AS BIGINT) AS n_customers,
+       CAST(sum(pc.v) AS BIGINT) AS value_cents,
+       CAST(sum(pc.v) * 1000000 // (SELECT sum(val) FROM vc) AS BIGINT)
+           AS share_ppm
+FROM pc, thr
+GROUP BY 1
+ORDER BY 1
+"""

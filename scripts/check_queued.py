@@ -87,6 +87,7 @@ def queued():
             d.dedup_edit_distance,
             d.ORACLE_dedup_edit_distance,
         ),
+        "customer_abc": (b.customer_abc, b.ORACLE_customer_abc),
     }
 
 

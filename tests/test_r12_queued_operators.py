@@ -650,3 +650,49 @@ def test_dedup_edit_distance_matches_python(spark):
         for r in dedup_edit_distance(spark, SF).collect()
     }
     assert got == ref
+
+
+# ----------------------------------------- A76: ABC classification --------
+def test_customer_abc_matches_python(spark):
+    """Independent recompute of the value-weighted Pareto boundaries and
+    every class population."""
+    from project_obsidian_core_spark.plans.behavior_queries import customer_abc
+    from project_obsidian_core_spark.plans.common import load
+
+    per: dict[int, int] = {}
+    for r in load(spark, SF, "orders").select(
+        "o_custkey",
+        F.expr("cast(round(o_totalprice * 100, 0) as bigint)").alias("pc"),
+    ).collect():
+        per[r["o_custkey"]] = per.get(r["o_custkey"], 0) + r["pc"]
+    total = sum(per.values())
+    vals = sorted(per.values(), reverse=True)
+    # distinct-value cumulative-through walk (descending)
+    from collections import Counter
+
+    vc = Counter(per.values())
+    thr = {}
+    through = 0
+    for v in sorted(vc, reverse=True):
+        through += v * vc[v]
+        for k in (7, 9):
+            if k not in thr and through * 10 >= total * k:
+                thr[k] = v
+    cls = lambda v: "A" if v >= thr[7] else ("B" if v >= thr[9] else "C")  # noqa: E731
+    ref: dict[str, list[int]] = {}
+    for v in per.values():
+        c = ref.setdefault(cls(v), [0, 0])
+        c[0] += 1
+        c[1] += v
+    got = {r["abc_class"]: r for r in customer_abc(spark, SF).collect()}
+    assert set(got) == set(ref)
+    for k, (n, val) in ref.items():
+        row = got[k]
+        assert (row["n_customers"], row["value_cents"]) == (n, val)
+        assert row["share_ppm"] == val * 1_000_000 // total
+    # Pareto sanity: A covers >= 70% of revenue with < 70% of customers
+    assert got["A"]["share_ppm"] >= 700_000
+    if "C" in got:
+        assert got["A"]["n_customers"] < 7 * len(per) // 10
+    assert sum(r["n_customers"] for r in got.values()) == len(per)
+    assert vals[0] >= thr[7]  # the top value is always class A
