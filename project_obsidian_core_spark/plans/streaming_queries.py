@@ -1782,3 +1782,64 @@ def stream_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
         "trough_cents",
         "drawdown_cents",
     ).orderBy("metric_name")
+
+
+# ---------------- T28: streaming Mann-Whitney U (A64 live) ----------------
+# Registration note: QUEUED for a later round (gate window full — see
+# scripts/check_queued.py). Planned row:
+#   ("stream_mannwhitney", st.stream_mannwhitney,
+#    ax.ORACLE_events_mannwhitney)
+def stream_mannwhitney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T28: the A64 exact rank-sum drift test served LIVE — the first
+    TWO-SAMPLE rank statistic in the state family: per event type the
+    state is the pair of per-value cohort counters (commutative folds,
+    arrival-order free) and every emit re-derives the full rank algebra
+    (one late value re-ranks everything above it). Drained max-version
+    rows gate on the batch `events_mannwhitney` DuckDB oracle
+    bit-exactly, z included."""
+    from pyspark.sql import Window
+
+    from project_obsidian_core_spark.streaming.sequence_state import (
+        streaming_mannwhitney,
+    )
+
+    run = next(_RUN_IDS)
+    src = _events_src(spark, sf_dir, run)
+    schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "4")
+        .parquet(src)
+        .select(
+            "event_type",
+            "value",
+            (F.col("user_id") % 2 == 0).alias("is_a"),
+        )
+    )
+    out = streaming_mannwhitney(stream)
+    name = f"stream_mw_{run}"
+    tmp = tempfile.mkdtemp(prefix=f"obsidian_mw_{run}_")
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            out.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .option("checkpointLocation", f"{tmp}/ckpt")
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+
+    emitted = spark.table(name)
+    wmax = Window.partitionBy("event_type")
+    latest = emitted.withColumn(
+        "_vmax", F.max("version").over(wmax)
+    ).filter(F.col("version") == F.col("_vmax"))
+    return latest.select(
+        "event_type", "n_a", "n_b", "r_a_x2", "u_a_x2", "tie_term", "z"
+    ).orderBy("event_type")

@@ -1126,3 +1126,148 @@ def streaming_drawdown(stream: DataFrame) -> DataFrame:
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# ---------- T28: streaming Mann-Whitney U over two-cohort count maps ------
+MANNWHITNEY_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("vals", T.ArrayType(T.DoubleType())),
+        T.StructField("da", T.ArrayType(T.LongType())),
+        T.StructField("db", T.ArrayType(T.LongType())),
+        T.StructField("version", T.LongType()),
+    ]
+)
+
+MANNWHITNEY_OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("event_type", T.StringType()),
+        T.StructField("n_a", T.LongType()),
+        T.StructField("n_b", T.LongType()),
+        T.StructField("r_a_x2", T.LongType()),
+        T.StructField("u_a_x2", T.LongType()),
+        T.StructField("tie_term", T.LongType()),
+        T.StructField("z", T.DoubleType()),
+        T.StructField("version", T.LongType()),
+    ]
+)
+
+
+def fold_value_counts(
+    vals: list[float], da: list[int], db: list[int], batch_rows
+) -> tuple[list[float], list[int], list[int]]:
+    """Fold (value, is_a) rows into the two per-value cohort counters —
+    COMMUTATIVE integer addition keyed on the exact double value (the
+    batch A64 groups on the same raw column, so float equality is the
+    shared key semantics); kept sorted by value so the drain walk needs
+    no re-sort. Pure; unit-tested."""
+    acc: dict[float, list[int]] = {v: [x, y] for v, x, y in zip(vals, da, db)}
+    for v, is_a in batch_rows:
+        v = float(v)
+        cell = acc.setdefault(v, [0, 0])
+        cell[0 if is_a else 1] += 1
+    items = sorted(acc.items())
+    return (
+        [v for v, _ in items],
+        [c[0] for _, c in items],
+        [c[1] for _, c in items],
+    )
+
+
+def mannwhitney_from_counts(
+    vals: list[float], da: list[int], db: list[int]
+) -> tuple[int, int, int, int, int, float | None]:
+    """The A64 exact rank algebra over the sorted per-value cohort
+    counts: 2·R_A = Σ da·(2·below + t + 1), U·2 = 2·R_A − n_a(n_a+1),
+    tie-corrected z as the identical IEEE chain the batch operator and
+    its oracle evaluate (python floats are the same doubles; matching
+    the operation order makes the drained z bit-exact).  Pure;
+    unit-tested against the batch operator."""
+    import math
+
+    n_a = sum(da)
+    n_b = sum(db)
+    below = 0
+    r_a_x2 = 0
+    tie_term = 0
+    for a, b in zip(da, db):
+        t = a + b
+        r_a_x2 += a * (2 * below + t + 1)
+        tie_term += t * t * t - t
+        below += t
+    u_a_x2 = r_a_x2 - n_a * (n_a + 1)
+    n = n_a + n_b
+    z: float | None = None
+    if n_a > 0 and n_b > 0 and n > 1 and tie_term < n * (n - 1) * (n + 1):
+        z = (float(u_a_x2) - float(n_a) * float(n_b)) / (
+            2.0
+            * math.sqrt(
+                float(n_a)
+                * float(n_b)
+                * ((float(n) + 1.0) - float(tie_term) / (float(n) * (float(n) - 1.0)))
+                / 12.0
+            )
+        )
+    return n_a, n_b, r_a_x2, u_a_x2, tie_term, z
+
+
+def make_mannwhitney_fn():
+    def fn(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        etype = str(key[0])
+        if state.exists:
+            vals, da, db, version = state.get
+            vals, da, db = list(vals), list(da), list(db)
+        else:
+            vals, da, db, version = [], [], [], 0
+        absorbed = 0
+        for pdf in pdfs:
+            if not len(pdf):
+                continue
+            absorbed += len(pdf)
+            vals, da, db = fold_value_counts(
+                vals, da, db, zip(pdf["value"], pdf["is_a"])
+            )
+        if not absorbed:
+            return
+        version += absorbed
+        state.update((vals, da, db, version))
+        n_a, n_b, r2, u2, tie, z = mannwhitney_from_counts(vals, da, db)
+        yield pd.DataFrame(
+            {
+                "event_type": [etype],
+                "n_a": [n_a],
+                "n_b": [n_b],
+                "r_a_x2": [r2],
+                "u_a_x2": [u2],
+                "tie_term": [tie],
+                "z": pd.array([z], dtype="float64"),
+                "version": [version],
+            }
+        )
+
+    return fn
+
+
+def streaming_mannwhitney(stream: DataFrame) -> DataFrame:
+    """T28: the A64 Mann-Whitney U served LIVE — the first TWO-SAMPLE
+    rank test in the state family: the state is the pair of per-value
+    cohort counters (commutative integer folds keyed on the exact
+    value, arrival-order free), and every emit re-derives the full rank
+    structure — one late value re-ranks every value above it, the same
+    no-incremental-scalar argument as T25's one-sample Pettitt.  The
+    drained max-version rows equal the batch `events_mannwhitney`
+    bit-exactly, including the z chain (python doubles, identical
+    operation order).  Expects (event_type, value, is_a)."""
+    keyed = stream.select(
+        F.col("event_type").cast("string").alias("event_type"),
+        F.col("value").cast("double").alias("value"),
+        F.col("is_a").cast("boolean").alias("is_a"),
+    )
+    return keyed.groupBy("event_type").applyInPandasWithState(
+        make_mannwhitney_fn(),
+        outputStructType=MANNWHITNEY_OUTPUT_SCHEMA,
+        stateStructType=MANNWHITNEY_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

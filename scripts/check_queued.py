@@ -30,6 +30,7 @@ from oracle_check import TABLES, approx_equal, sorted_rows  # noqa: E402
 def queued():
     """name -> (query_fn, oracle_sql) for every implemented-but-unregistered
     operator (kept in lockstep with the 'Registration note' docstrings)."""
+    from project_obsidian_core_spark.plans import analytics_ext_queries as ax
     from project_obsidian_core_spark.plans import behavior_queries as b
     from project_obsidian_core_spark.plans import curation_queries as cu
     from project_obsidian_core_spark.plans import datapipe_queries as d
@@ -88,6 +89,10 @@ def queued():
             d.ORACLE_dedup_edit_distance,
         ),
         "customer_abc": (b.customer_abc, b.ORACLE_customer_abc),
+        "stream_mannwhitney": (
+            st.stream_mannwhitney,
+            ax.ORACLE_events_mannwhitney,
+        ),
     }
 
 

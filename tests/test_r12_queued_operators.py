@@ -696,3 +696,74 @@ def test_customer_abc_matches_python(spark):
         assert got["A"]["n_customers"] < 7 * len(per) // 10
     assert sum(r["n_customers"] for r in got.values()) == len(per)
     assert vals[0] >= thr[7]  # the top value is always class A
+
+
+# ------------------------------- T28: streaming Mann-Whitney --------------
+def test_mannwhitney_from_counts_matches_scipy_style_bruteforce():
+    """The count-map rank algebra must equal the literal rank-sum over
+    the expanded sample, ties included."""
+    from project_obsidian_core_spark.streaming.sequence_state import (
+        fold_value_counts,
+        mannwhitney_from_counts,
+    )
+
+    cases = [
+        ([1.0, 2.0, 2.0, 3.0], [5.0, 2.0, 2.0]),
+        ([1.5], [1.5, 1.5]),
+        ([10.0, 20.0], []),
+        ([0.5, 0.5, 0.5], [0.5, 0.5]),
+    ]
+    for xs_a, xs_b in cases:
+        vals, da, db = [], [], []
+        rows = [(v, True) for v in xs_a] + [(v, False) for v in xs_b]
+        vals, da, db = fold_value_counts(vals, da, db, rows)
+        n_a, n_b, r2, u2, tie, z = mannwhitney_from_counts(vals, da, db)
+        # literal midranks over the pooled sample
+        pooled = sorted(xs_a + xs_b)
+        rank2 = {}
+        i = 0
+        while i < len(pooled):
+            j = i
+            while j < len(pooled) and pooled[j] == pooled[i]:
+                j += 1
+            for _ in range(i, j):
+                rank2[pooled[i]] = (i + 1) + j  # 2x midrank = first + last
+            i = j
+        assert n_a == len(xs_a) and n_b == len(xs_b)
+        assert r2 == sum(rank2[v] for v in xs_a)
+        assert u2 == r2 - n_a * (n_a + 1)
+        from collections import Counter
+
+        assert tie == sum(t**3 - t for t in Counter(pooled).values())
+
+
+def test_mannwhitney_fold_is_arrival_order_free():
+    import itertools
+
+    from project_obsidian_core_spark.streaming.sequence_state import (
+        fold_value_counts,
+        mannwhitney_from_counts,
+    )
+
+    rows = [(1.0, True), (2.0, False), (2.0, True), (3.0, False), (1.0, False)]
+    want = None
+    for perm in itertools.permutations(rows):
+        vals, da, db = [], [], []
+        for chunk in (perm[:2], perm[2:4], perm[4:]):
+            vals, da, db = fold_value_counts(vals, da, db, chunk)
+        got = mannwhitney_from_counts(vals, da, db)
+        want = got if want is None else want
+        assert got == want
+
+
+def test_stream_mannwhitney_drained_equals_batch(spark):
+    from project_obsidian_core_spark.plans.analytics_ext_queries import (
+        events_mannwhitney,
+    )
+    from project_obsidian_core_spark.plans.streaming_queries import (
+        stream_mannwhitney,
+    )
+
+    got = [tuple(r) for r in stream_mannwhitney(spark, SF).collect()]
+    ref = [tuple(r) for r in events_mannwhitney(spark, SF).collect()]
+    assert got == ref
