@@ -1074,3 +1074,44 @@ def test_customer_rfm_windows_are_bucket_partitioned(spark):
         spec = m.group(1)
         if "v#" in spec.split("],")[0]:
             assert "bkt" in spec, spec
+
+
+def test_part_supplier_counts_broadcasts_deny_and_dim(spark):
+    """R28: the NOT-IN deny list must decorrelate to a broadcast LEFT
+    ANTI join and the part dim must broadcast — the fact side never
+    shuffles for either."""
+    from project_obsidian_core_spark.plans import relational_queries as rq
+
+    plan = _plan(rq.part_supplier_counts(spark, "/root/testdata/sf0.001"))
+    assert "BroadcastHashJoin" in plan
+    assert "LeftAnti" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_sorted_neighborhood_candidates_have_no_join(spark):
+    """D24: the |docs|·w candidate stage must be LEAD windows, not a
+    rank-band self-join (the join form degenerated to O(n²/block) probe
+    work on coarse blocks — 34 s vs 13.8 s at sf0.1, SCALE.md)."""
+    from project_obsidian_core_spark.plans import datapipe_queries as dq
+
+    plan = _plan(dq.dedup_sorted_neighborhood(spark, "/root/testdata/sf0.001"))
+    assert "Join" not in plan, plan
+    assert "Window" in plan
+
+
+def test_customer_abc_windows_are_bucket_partitioned(spark):
+    """A76: same contract as A73 — no window sorts raw per-customer
+    values without the bucket key in its partitioning; the only
+    unpartitioned window runs over the bucket fold."""
+    import re
+
+    from project_obsidian_core_spark.plans import behavior_queries as bq
+
+    plan = _plan(bq.customer_abc(spark, "/root/testdata/sf0.001"))
+    assert "collect_list" not in plan and "sort_array" not in plan
+    for m in re.finditer(r"windowspecdefinition\(([^)]*)\)", plan):
+        spec = m.group(1)
+        first = spec.split(",")[0]
+        # a window ordered/partitioned on raw v must carry bkt
+        if re.match(r"\s*v#\d+", first):
+            assert "bkt" in spec, spec
