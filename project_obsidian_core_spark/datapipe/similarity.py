@@ -1145,3 +1145,48 @@ def knn_link_prediction(emb: DataFrame, k: int = 5, top: int = 20) -> DataFrame:
         .orderBy(F.desc("n_common"), F.desc("ra_ppm"), "vec_a", "vec_b")
         .limit(top)
     )
+
+
+def knn_khop_reachability(
+    emb: DataFrame, k: int = 5, hops: int = 3
+) -> DataFrame:
+    """G11: h-hop reachability histogram over the undirected k-NN graph
+    — how many distinct nodes can each node reach within ``hops`` edges?
+    The neighborhood-growth curve: dedup families and LPA communities
+    read LOCAL structure, PageRank reads the global stationary mass;
+    this reads the middle scale (is the graph one tight ball after 3
+    hops — template mass — or still expanding — diverse content?).
+
+    The shape under test is BOUNDED FRONTIER EXPANSION — the core of
+    every distributed graph traversal: reach_i = distinct(reach_{i-1}
+    ⋈ adj), hops−1 equi-joins with a distinct between rounds (the
+    distinct is the frontier dedup that keeps the relation ≤|V|² and in
+    practice ≤|V|·(2k)^h; without it the join output multiplies by the
+    path count and explodes combinatorially).  Three rounds at k=5 ⇒
+    ≤1000 candidate targets per node before dedup — bounded by
+    construction, no iteration-to-fixpoint (k-core owns that shape).
+    """
+    u = knn_edges(emb, k=k)
+    adj = u.union(
+        u.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).distinct()
+    reach = adj
+    frontier = adj
+    for _ in range(hops - 1):
+        nxt = (
+            frontier.select(F.col("a").alias("src"), F.col("b").alias("mid"))
+            .join(adj.select(F.col("a").alias("mid"), F.col("b")), "mid")
+            .select(F.col("src").alias("a"), "b")
+            .filter(F.col("a") != F.col("b"))
+            .distinct()
+        )
+        reach = reach.union(nxt).distinct()
+        frontier = nxt
+    per_node = reach.groupBy("a").agg(
+        F.count(F.lit(1)).cast("long").alias("n_reached")
+    )
+    return (
+        per_node.groupBy("n_reached")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_nodes"))
+        .orderBy("n_reached")
+    )

@@ -2991,3 +2991,56 @@ FROM cand
 WHERE levenshtein(pa, pb) <= {_EDIT_MAX}
 ORDER BY doc_a, doc_b
 """
+
+
+# ------------------------------------ G11: h-hop reachability -------------
+# Registration note: QUEUED for a later round (gate window full — see
+# scripts/check_queued.py). Planned row:
+#   ("knn_khop_reachability", d.knn_khop_reachability,
+#    d.ORACLE_knn_khop_reachability)
+def knn_khop_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G11: 3-hop reachability histogram over the exact 5-NN graph —
+    the bounded frontier-expansion shape; see
+    :func:`datapipe.similarity.knn_khop_reachability`."""
+    emb = load(spark, sf_dir, "embeddings").filter(F.col("vec_id") < _GRAPH_VECS)
+    return S.knn_khop_reachability(emb, k=_GRAPH_K, hops=3)
+
+
+ORACLE_knn_khop_reachability = f"""
+WITH t AS (
+    SELECT vec_id, embedding AS v, {V.sql_norm('embedding', _EMB_DIM)} AS nrm
+    FROM embeddings WHERE vec_id < {_GRAPH_VECS}
+), scored0 AS (
+    SELECT q.vec_id AS q_id, c.vec_id AS cand_id,
+           {V.sql_dot('q.v', 'c.v', _EMB_DIM)} / (q.nrm * c.nrm) AS cos_sim
+    FROM t q, t c
+    WHERE q.vec_id != c.vec_id
+), ranked AS (
+    SELECT q_id, cand_id,
+           row_number() OVER (PARTITION BY q_id
+                              ORDER BY cos_sim DESC, cand_id ASC) AS rank
+    FROM scored0
+), u AS (
+    SELECT DISTINCT least(q_id, cand_id) AS a, greatest(q_id, cand_id) AS b
+    FROM ranked WHERE rank <= {_GRAPH_K}
+), adj AS (
+    SELECT DISTINCT a, b FROM
+    (SELECT a, b FROM u UNION ALL SELECT b, a FROM u)
+), h2 AS (
+    SELECT DISTINCT l.a, r.b
+    FROM adj l JOIN adj r ON l.b = r.a
+    WHERE l.a <> r.b
+), h3 AS (
+    SELECT DISTINCT l.a, r.b
+    FROM h2 l JOIN adj r ON l.b = r.a
+    WHERE l.a <> r.b
+), reach AS (
+    SELECT DISTINCT a, b FROM
+    (SELECT a, b FROM adj UNION ALL SELECT a, b FROM h2
+     UNION ALL SELECT a, b FROM h3)
+), per_node AS (
+    SELECT a, CAST(count(*) AS BIGINT) AS n_reached FROM reach GROUP BY a
+)
+SELECT n_reached, CAST(count(*) AS BIGINT) AS n_nodes
+FROM per_node GROUP BY n_reached ORDER BY n_reached
+"""

@@ -93,6 +93,10 @@ def queued():
             st.stream_mannwhitney,
             ax.ORACLE_events_mannwhitney,
         ),
+        "knn_khop_reachability": (
+            d.knn_khop_reachability,
+            d.ORACLE_knn_khop_reachability,
+        ),
     }
 
 

@@ -767,3 +767,53 @@ def test_stream_mannwhitney_drained_equals_batch(spark):
     got = [tuple(r) for r in stream_mannwhitney(spark, SF).collect()]
     ref = [tuple(r) for r in events_mannwhitney(spark, SF).collect()]
     assert got == ref
+
+
+# ----------------------------------- G11: h-hop reachability --------------
+def test_knn_khop_reachability_matches_python(spark):
+    from project_obsidian_core_spark.plans.common import load
+    from project_obsidian_core_spark.plans.datapipe_queries import (
+        _GRAPH_K,
+        _GRAPH_VECS,
+        knn_khop_reachability,
+    )
+
+    emb = {
+        r["vec_id"]: r["embedding"]
+        for r in load(spark, SF, "embeddings")
+        .filter(F.col("vec_id") < _GRAPH_VECS)
+        .collect()
+    }
+
+    def cos(a, b):
+        num = sum(x * y for x, y in zip(a, b))
+        return num / (
+            math.sqrt(sum(x * x for x in a)) * math.sqrt(sum(y * y for y in b))
+        )
+
+    adj: dict[int, set] = {q: set() for q in emb}
+    for q, v in emb.items():
+        scored = sorted(((-cos(v, w), c) for c, w in emb.items() if c != q))[
+            :_GRAPH_K
+        ]
+        for _, c in scored:
+            adj[q].add(c)
+            adj[c].add(q)
+    ref = Counter()
+    for src in adj:
+        seen = set(adj[src])
+        frontier = set(adj[src])
+        for _ in range(2):
+            nxt = set()
+            for m in frontier:
+                nxt |= adj[m]
+            nxt -= {src}
+            frontier = nxt - seen
+            seen |= nxt
+        ref[len(seen)] += 1
+    got = {
+        r["n_reached"]: r["n_nodes"]
+        for r in knn_khop_reachability(spark, SF).collect()
+    }
+    assert got == dict(ref)
+    assert sum(got.values()) == len(emb)
