@@ -583,3 +583,93 @@ FROM per_sess
 GROUP BY 1, 2
 ORDER BY entry_type, exit_type
 """
+
+
+# ------------------------------------ P10: mixture-balancing sampler ------
+# Registration note: QUEUED for a later round (gate window full — see
+# scripts/check_queued.py). Planned row:
+#   ("corpus_mixture_sample", pl.corpus_mixture_sample,
+#    pl.ORACLE_corpus_mixture_sample)
+_MIX_SALT = "mixsample"
+
+
+def corpus_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P10: the EXECUTOR between `corpus_mixture_plan` (which computes
+    target proportions) and `corpus_sample` (uniform rate): balance the
+    corpus across sources by deterministic per-SOURCE-rate Bernoulli —
+    every source downsampled to the smallest source's mass
+    (rate_ppm(s) = min_count·10⁶ div count_s), keep iff
+    hash60(salt:doc_id) mod 10⁶ < rate_ppm(source).  The per-doc hash
+    makes the sample REPRODUCIBLE and INCREMENTAL (a re-run over a
+    grown corpus keeps exactly the previously-kept docs whose source
+    rate did not change) — the property random() sampling loses and
+    training-data pipelines need for cache reuse.
+
+    All integer: counts, rates in exact ppm, the keep predicate a
+    modular compare.  Output = per-source audit (n_total, rate_ppm,
+    n_kept, plus the realized kept-fraction in ppm) — |sources| rows.
+
+    Scale: one per-source count aggregate (broadcast back, |sources|
+    rows), one stateless filter projection over the corpus, one final
+    |sources| aggregate.  No windows, no joins beyond the broadcast.
+    """
+    docs = load(spark, sf_dir, "documents").select("doc_id", "source")
+    per_src = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_total"))
+    min_cnt = per_src.agg(F.min("n_total").alias("min_cnt"))
+    rates = per_src.crossJoin(F.broadcast(min_cnt)).select(
+        "source",
+        "n_total",
+        F.expr("min_cnt * 1000000 div n_total").alias("rate_ppm"),
+    )
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(f"{_MIX_SALT}:"), F.col("doc_id").cast("string"))),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("long")
+    kept = (
+        docs.join(F.broadcast(rates), "source")
+        .withColumn("_keep", (h % 1000000) < F.col("rate_ppm"))
+        .groupBy("source")
+        .agg(
+            F.sum(F.when(F.col("_keep"), 1).otherwise(0)).alias("n_kept"),
+        )
+    )
+    return (
+        rates.join(kept, "source")
+        .select(
+            "source",
+            "n_total",
+            "rate_ppm",
+            "n_kept",
+            F.expr("n_kept * 1000000 div n_total").alias("realized_ppm"),
+        )
+        .orderBy("source")
+    )
+
+
+ORACLE_corpus_mixture_sample = f"""
+WITH per_src AS (
+    SELECT source, CAST(count(*) AS BIGINT) AS n_total
+    FROM documents GROUP BY source
+), rates AS (
+    SELECT source, n_total,
+           CAST((SELECT min(n_total) FROM per_src) * 1000000 // n_total
+                AS BIGINT) AS rate_ppm
+    FROM per_src
+), kept AS (
+    SELECT d.source,
+           CAST(sum(CASE WHEN
+               {_sql_hash60(f"'{_MIX_SALT}:' || CAST(doc_id AS VARCHAR)")}
+               % 1000000 < r.rate_ppm THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+    FROM documents d JOIN rates r ON d.source = r.source
+    GROUP BY d.source
+)
+SELECT rates.source, n_total, rate_ppm, n_kept,
+       CAST(n_kept * 1000000 // n_total AS BIGINT) AS realized_ppm
+FROM rates JOIN kept ON rates.source = kept.source
+ORDER BY rates.source
+"""

@@ -97,6 +97,10 @@ def queued():
             d.knn_khop_reachability,
             d.ORACLE_knn_khop_reachability,
         ),
+        "corpus_mixture_sample": (
+            pl.corpus_mixture_sample,
+            pl.ORACLE_corpus_mixture_sample,
+        ),
     }
 
 

@@ -817,3 +817,62 @@ def test_knn_khop_reachability_matches_python(spark):
     }
     assert got == dict(ref)
     assert sum(got.values()) == len(emb)
+
+
+# ------------------------------ P10: mixture-balancing sampler -------------
+def test_corpus_mixture_sample_matches_python(spark):
+    import hashlib
+
+    from project_obsidian_core_spark.plans.common import load
+    from project_obsidian_core_spark.plans.pipeline_queries import (
+        _MIX_SALT,
+        corpus_mixture_sample,
+    )
+
+    docs = [
+        (r["doc_id"], r["source"])
+        for r in load(spark, SF, "documents").collect()
+    ]
+    per_src = Counter(s for _, s in docs)
+    min_cnt = min(per_src.values())
+    rate = {s: min_cnt * 1_000_000 // n for s, n in per_src.items()}
+
+    def h60(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    kept = Counter()
+    for d, s in docs:
+        if h60(f"{_MIX_SALT}:{d}") % 1_000_000 < rate[s]:
+            kept[s] += 1
+    got = {r["source"]: r for r in corpus_mixture_sample(spark, SF).collect()}
+    assert set(got) == set(per_src)
+    for s in per_src:
+        row = got[s]
+        assert row["n_total"] == per_src[s]
+        assert row["rate_ppm"] == rate[s]
+        assert row["n_kept"] == kept.get(s, 0)
+        assert row["realized_ppm"] == kept.get(s, 0) * 1_000_000 // per_src[s]
+    # the smallest source keeps (statistically) everything: rate is 1e6
+    smallest = min(per_src, key=lambda s: (per_src[s], s))
+    assert rate[smallest] == 1_000_000
+    assert got[smallest]["n_kept"] == per_src[smallest]
+
+
+def test_mixture_sample_is_incremental(spark):
+    """The reproducibility contract: re-running over a GROWN corpus
+    keeps exactly the previously-kept docs whose source rate is
+    unchanged (the hash decides per doc, not per run)."""
+    import hashlib
+
+    from project_obsidian_core_spark.plans.pipeline_queries import _MIX_SALT
+
+    def keep(doc_id, rate_ppm):
+        h = int(
+            hashlib.md5(f"{_MIX_SALT}:{doc_id}".encode()).hexdigest()[:15], 16
+        )
+        return h % 1_000_000 < rate_ppm
+
+    rate = 350_000
+    first = {d for d in range(1000) if keep(d, rate)}
+    second = {d for d in range(2000) if keep(d, rate)}
+    assert first == {d for d in second if d < 1000}
