@@ -1073,3 +1073,136 @@ FROM pc, thr
 GROUP BY 1
 ORDER BY 1
 """
+
+
+# ------------------------------------------- A77: funnel window sweep --
+# Registration note: QUEUED for a later round (gate window full — see
+# scripts/check_queued.py). Planned row:
+#   ("events_funnel_sweep", b.events_funnel_sweep,
+#    b.ORACLE_events_funnel_sweep)
+_FUNNEL_WINDOWS_H = (1, 6, 24, 168)
+
+
+def events_funnel_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A77: funnel conversion vs DEADLINE-WINDOW operating curve — the
+    `dedup_threshold_sweep` idiom applied to the funnel: how many users
+    complete view→click→purchase within 1 h / 6 h / 24 h / 7 d of their
+    anchor view?  The un-deadlined closed funnel (`events_funnel`) is
+    this curve's W→∞ limit; product teams read the curve, not one
+    point ("conversion happens in the first six hours or never").
+
+    Semantics: anchor = earliest view; stage i+1 time = earliest
+    stage-(i+1) event AT OR AFTER the stage-i time and AT OR BEFORE
+    anchor + W (the global-deadline greedy-earliest rule the streaming
+    funnel T21 uses, so the W→∞ column of this curve is also T21's
+    batch oracle shape).  ONE pass computes all four windows: the
+    anchor relation cross-joins the 4-row window literal (the sweep
+    trick — never four funnel runs), each later stage is one
+    user-keyed equi-join + min per (user, W).  All counts int64.
+
+    Scale: per-stage relations bounded by |users|·|windows|; each stage
+    scans events once with the type filter pushed down; joins are
+    user-keyed equi-joins (the deadline is a residual predicate inside
+    the join, never a band key).
+    """
+    ev = load(spark, sf_dir, "events").select("user_id", "ts", "event_type")
+    anchors = (
+        ev.filter(F.col("event_type") == _STAGES[0])
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    wins = spark.createDataFrame(
+        [(h, h * 3_600_000_000) for h in _FUNNEL_WINDOWS_H],
+        "window_hours int, w_us long",
+    )
+    s1 = anchors.crossJoin(F.broadcast(wins)).select(
+        "user_id",
+        "window_hours",
+        "w_us",
+        F.unix_micros("t1").alias("t1_us"),
+    )
+    clicks = ev.filter(F.col("event_type") == _STAGES[1]).select(
+        "user_id", F.unix_micros("ts").alias("c_us")
+    )
+    s2 = (
+        clicks.join(s1, "user_id")
+        .filter(
+            (F.col("c_us") >= F.col("t1_us"))
+            & (F.col("c_us") <= F.col("t1_us") + F.col("w_us"))
+        )
+        .groupBy("user_id", "window_hours")
+        .agg(
+            F.min("c_us").alias("t2_us"),
+            F.min(F.col("t1_us") + F.col("w_us")).alias("deadline_us"),
+        )
+    )
+    purchases = ev.filter(F.col("event_type") == _STAGES[2]).select(
+        "user_id", F.unix_micros("ts").alias("p_us")
+    )
+    s3 = (
+        purchases.join(s2, "user_id")
+        .filter(
+            (F.col("p_us") >= F.col("t2_us"))
+            & (F.col("p_us") <= F.col("deadline_us"))
+        )
+        .groupBy("user_id", "window_hours")
+        .agg(F.count(F.lit(1)).alias("_n"))
+    )
+    c1 = s1.groupBy("window_hours").agg(F.count(F.lit(1)).alias("n_users"))
+    c2 = s2.groupBy("window_hours").agg(F.count(F.lit(1)).alias("n_users"))
+    c3 = s3.groupBy("window_hours").agg(F.count(F.lit(1)).alias("n_users"))
+    out = (
+        c1.select("window_hours", F.lit(1).alias("stage_idx"),
+                  F.lit(_STAGES[0]).alias("stage"), "n_users")
+        .unionByName(
+            c2.select("window_hours", F.lit(2).alias("stage_idx"),
+                      F.lit(_STAGES[1]).alias("stage"), "n_users")
+        )
+        .unionByName(
+            c3.select("window_hours", F.lit(3).alias("stage_idx"),
+                      F.lit(_STAGES[2]).alias("stage"), "n_users")
+        )
+    )
+    return out.orderBy("window_hours", "stage_idx")
+
+
+ORACLE_events_funnel_sweep = f"""
+WITH wins AS (
+    SELECT CAST(h AS INT) AS window_hours,
+           CAST(h AS BIGINT) * 3600000000 AS w_us
+    FROM unnest([{', '.join(str(h) for h in _FUNNEL_WINDOWS_H)}]) AS g(h)
+), anchors AS (
+    SELECT user_id, epoch_us(min(ts)) AS t1_us FROM events
+    WHERE event_type = '{_STAGES[0]}' GROUP BY user_id
+), s1 AS (
+    SELECT user_id, window_hours, w_us, t1_us FROM anchors CROSS JOIN wins
+), s2 AS (
+    SELECT e.user_id, s1.window_hours,
+           min(epoch_us(e.ts)) AS t2_us,
+           min(s1.t1_us + s1.w_us) AS deadline_us
+    FROM events e JOIN s1 ON e.user_id = s1.user_id
+    WHERE e.event_type = '{_STAGES[1]}'
+      AND epoch_us(e.ts) >= s1.t1_us
+      AND epoch_us(e.ts) <= s1.t1_us + s1.w_us
+    GROUP BY e.user_id, s1.window_hours
+), s3 AS (
+    SELECT e.user_id, s2.window_hours
+    FROM events e JOIN s2 ON e.user_id = s2.user_id
+    WHERE e.event_type = '{_STAGES[2]}'
+      AND epoch_us(e.ts) >= s2.t2_us
+      AND epoch_us(e.ts) <= s2.deadline_us
+    GROUP BY e.user_id, s2.window_hours
+)
+SELECT window_hours, stage_idx, stage, n_users FROM (
+    SELECT window_hours, 1 AS stage_idx, '{_STAGES[0]}' AS stage,
+           CAST(count(*) AS BIGINT) AS n_users
+    FROM s1 GROUP BY window_hours
+    UNION ALL
+    SELECT window_hours, 2, '{_STAGES[1]}', CAST(count(*) AS BIGINT)
+    FROM s2 GROUP BY window_hours
+    UNION ALL
+    SELECT window_hours, 3, '{_STAGES[2]}', CAST(count(*) AS BIGINT)
+    FROM s3 GROUP BY window_hours
+)
+ORDER BY window_hours, stage_idx
+"""

@@ -101,6 +101,10 @@ def queued():
             pl.corpus_mixture_sample,
             pl.ORACLE_corpus_mixture_sample,
         ),
+        "events_funnel_sweep": (
+            b.events_funnel_sweep,
+            b.ORACLE_events_funnel_sweep,
+        ),
     }
 
 

@@ -876,3 +876,52 @@ def test_mixture_sample_is_incremental(spark):
     first = {d for d in range(1000) if keep(d, rate)}
     second = {d for d in range(2000) if keep(d, rate)}
     assert first == {d for d in second if d < 1000}
+
+
+# ------------------------------ A77: funnel deadline-window sweep ---------
+def test_events_funnel_sweep_matches_python(spark):
+    from project_obsidian_core_spark.plans.behavior_queries import (
+        _FUNNEL_WINDOWS_H,
+        _STAGES,
+        events_funnel_sweep,
+    )
+    from project_obsidian_core_spark.plans.common import load
+
+    rows = load(spark, SF, "events").select(
+        "user_id", F.unix_micros("ts").alias("us"), "event_type"
+    ).collect()
+    by_user: dict[int, list] = {}
+    for r in rows:
+        by_user.setdefault(r["user_id"], []).append((r["us"], r["event_type"]))
+    ref = Counter()
+    for h in _FUNNEL_WINDOWS_H:
+        w_us = h * 3_600_000_000
+        for seq in by_user.values():
+            t1 = min((t for t, y in seq if y == _STAGES[0]), default=None)
+            if t1 is None:
+                continue
+            ref[(h, 1)] += 1
+            dl = t1 + w_us
+            t2 = min(
+                (t for t, y in seq if y == _STAGES[1] and t1 <= t <= dl),
+                default=None,
+            )
+            if t2 is None:
+                continue
+            ref[(h, 2)] += 1
+            t3 = min(
+                (t for t, y in seq if y == _STAGES[2] and t2 <= t <= dl),
+                default=None,
+            )
+            if t3 is not None:
+                ref[(h, 3)] += 1
+    got = {
+        (r["window_hours"], r["stage_idx"]): r["n_users"]
+        for r in events_funnel_sweep(spark, SF).collect()
+    }
+    assert got == dict(ref)
+    # the operating curve is monotone: a longer deadline never loses users
+    hs = sorted(_FUNNEL_WINDOWS_H)
+    for s in (2, 3):
+        for a, b in zip(hs, hs[1:]):
+            assert got.get((a, s), 0) <= got.get((b, s), 0)
