@@ -736,6 +736,19 @@ def customer_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
     pipeline, stratified sampling of user populations by engagement
     tier.
 
+    Relationship to A41 (`customer_rfm_scores`, registered r9): A41 is
+    the POSITIONAL formulation — ntile(5) windows over the reduced
+    per-customer relation, exactly equal-population tiles, ties split
+    by custkey — and its three global sort windows are one-task at 10⁹
+    customers even though the relation is reduced.  This operator is
+    the SCALE formulation of the same screen: VALUE-based quartiles
+    (ties share a score — what segmentation semantics actually want;
+    no customer's tier depends on a tiebreak) whose boundaries come
+    from distributed order statistics, so no stage sorts the
+    per-customer relation in one task.  Both stay registered: A41 is
+    the positional-semantics reference, this is the plan a 100 TB
+    pipeline runs.
+
     Quartiles are VALUE-based via distributed order statistics (the
     vocab_growth/Gini idiom — NO global per-customer NTILE window, which
     is a one-task sort at 10⁹ customers): each measure collapses to its
@@ -941,8 +954,18 @@ def customer_abc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A76: ABC / Pareto classification of customers by revenue — the
     inventory-analytics classic (A = the heavy heads covering the first
     70% of revenue, B = the next 20%, C = the tail) that drives tiered
-    treatment everywhere from stock policy to crawl budgets.  The
-    VALUE-WEIGHTED twin of A73's count-quantiles: boundaries sit where
+    treatment everywhere from stock policy to crawl budgets.
+
+    Relationship to `lineitem_abc_class` (registered r9): that operator
+    classifies PARTS with a global descending cumulative window over
+    the ≤|parts| revenue relation — fine for a bounded catalog, one-task
+    at an unbounded subject.  This operator classifies CUSTOMERS (an
+    unbounded subject at 10⁹ users) and therefore replaces the global
+    cumulative window with the bucket-refinement order statistics —
+    the pair documents the boundary where the reduced-relation
+    mitigation stops being enough and the distributed formulation is
+    mandatory.  The VALUE-WEIGHTED twin of A73's count-quantiles:
+    boundaries sit where
     the CUMULATIVE REVENUE (descending value order) crosses 70% / 90%
     of total, and a customer's class compares its value against the two
     boundary values (ties share a class — deterministic, exchange-free).
