@@ -2613,6 +2613,14 @@ def metric_seasonal_hod(spark: SparkSession, sf_dir: str) -> DataFrame:
     seasonal index (slot mean / series mean) that rescales a raw reading
     into its deseasonalized residual.
 
+    Relationship to A33 (`metric_seasonal_outliers`, registered):
+    A33 builds this same (metric, hod) profile INTERNALLY and emits the
+    top-20 residual rows it scores with it; this operator emits the
+    PROFILE itself plus the normalized seasonal index — the baseline
+    table a dashboard renders and any downstream deseasonalizer joins,
+    which A33's top-K output cannot provide.  Same intermediate, the
+    two products of it (the rollup / rollup-cascade precedent).
+
     Exactness: both aggregation levels are int64 cent sums; the two
     float columns are each ONE IEEE division of exact-int products
     (mean = sum/n; index = (sum_h·n_tot)/(n_h·sum_tot) — cross-
