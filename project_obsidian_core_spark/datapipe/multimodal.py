@@ -422,3 +422,66 @@ def resample_audio(media: DataFrame, target: int = RESAMPLE_TARGET) -> DataFrame
     return media.filter(F.col("media_type") == "audio").mapInPandas(
         batches, schema=RESAMPLED_SCHEMA
     )
+
+
+# ------------------------------------------- windowed audio energy --------
+ENERGY_WINDOW = 16  # samples per analysis window (64-byte payload → 4)
+
+ENERGY_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("window_idx", IntegerType()),
+        StructField("n", IntegerType()),
+        StructField("sample_sum", LongType()),
+        StructField("sample_sq_sum", LongType()),
+        StructField("mean_square", DoubleType()),
+    ]
+)
+
+
+def audio_energy(media: DataFrame, window: int = ENERGY_WINDOW) -> DataFrame:
+    """M5: windowed energy profile of the audio waveform — the feature
+    every VAD / silence-trim / loudness-normalize stage starts from: per
+    non-overlapping window of ``window`` samples, the exact integer
+    sample sum and sum of squares, plus mean-square (one IEEE division)
+    — RMS² without the sqrt (the A32 transcendental rule keeps sqrt out
+    of the hashed gate; callers take it).
+
+    The fake waveform is the payload's uint8 samples (the resample_audio
+    contract); real deployments decode PCM behind `_decode_real` and the
+    Spark-side shape is unchanged: Arrow batch in, (doc, window) rows
+    out, no shuffle — the per-batch numpy reshape is the whole cost, the
+    plan is a stateless projection at any corpus size.
+    """
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in it:
+            ids, widx, sums, sqs = [], [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["content"]):
+                b = np.frombuffer(bytes(payload), dtype=np.uint8)
+                n_win = b.size // window
+                w = b[: n_win * window].reshape(n_win, window).astype(np.int64)
+                s = w.sum(axis=1)
+                q = (w * w).sum(axis=1)
+                ids.extend([int(doc_id)] * n_win)
+                widx.extend(range(n_win))
+                sums.extend(int(x) for x in s)
+                sqs.extend(int(x) for x in q)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "window_idx": pd.Series(widx, dtype="int32"),
+                    "n": pd.Series([window] * len(ids), dtype="int32"),
+                    "sample_sum": pd.Series(sums, dtype="int64"),
+                    "sample_sq_sum": pd.Series(sqs, dtype="int64"),
+                    "mean_square": pd.Series(
+                        [q / window for q in sqs], dtype="float64"
+                    ),
+                }
+            )
+
+    return media.filter(F.col("media_type") == "audio").mapInPandas(
+        batches, schema=ENERGY_SCHEMA
+    )

@@ -3044,3 +3044,39 @@ WITH t AS (
 SELECT n_reached, CAST(count(*) AS BIGINT) AS n_nodes
 FROM per_node GROUP BY n_reached ORDER BY n_reached
 """
+
+
+# --------------------------------- M5: windowed audio energy profile ------
+# Registration note: QUEUED for a later round (gate window full — see
+# scripts/check_queued.py). Planned row:
+#   ("media_audio_energy", d.media_audio_energy,
+#    d.ORACLE_media_audio_energy)
+def media_audio_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M5: per-window exact energy profile of the audio payloads — the
+    VAD/loudness front-end; see :func:`datapipe.multimodal.audio_energy`
+    (Arrow-batched, stateless, no shuffle)."""
+    media = M.attach_media(load(spark, sf_dir, "documents"))
+    return M.audio_energy(media).orderBy("doc_id", "window_idx")
+
+
+_EW = M.ENERGY_WINDOW
+ORACLE_media_audio_energy = f"""
+WITH p AS (
+    SELECT doc_id, {_FULL_HEX} AS fh
+    FROM documents WHERE doc_id % 3 = 1
+), w AS (
+    SELECT doc_id, CAST(g.w AS INT) AS window_idx,
+           [CAST('0x' || substr(fh, 2 * (g.w * {_EW} + i) - 1, 2) AS BIGINT)
+            for i in generate_series(1, {_EW})] AS samples
+    FROM p, unnest(generate_series(0, {_N_PAYLOAD // _EW} - 1)) AS g(w)
+)
+SELECT doc_id, window_idx,
+       CAST({_EW} AS INT) AS n,
+       CAST(list_aggregate(samples, 'sum') AS BIGINT) AS sample_sum,
+       CAST(list_aggregate(list_transform(samples, s -> s * s), 'sum')
+            AS BIGINT) AS sample_sq_sum,
+       CAST(list_aggregate(list_transform(samples, s -> s * s), 'sum')
+            AS DOUBLE) / {_EW} AS mean_square
+FROM w
+ORDER BY doc_id, window_idx
+"""

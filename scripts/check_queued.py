@@ -105,6 +105,10 @@ def queued():
             b.events_funnel_sweep,
             b.ORACLE_events_funnel_sweep,
         ),
+        "media_audio_energy": (
+            d.media_audio_energy,
+            d.ORACLE_media_audio_energy,
+        ),
     }
 
 

@@ -925,3 +925,48 @@ def test_events_funnel_sweep_matches_python(spark):
     for s in (2, 3):
         for a, b in zip(hs, hs[1:]):
             assert got.get((a, s), 0) <= got.get((b, s), 0)
+
+
+# ------------------------------------ M5: windowed audio energy -----------
+def test_media_audio_energy_matches_python(spark):
+    import hashlib
+
+    from project_obsidian_core_spark.datapipe.multimodal import (
+        BLOCK_BYTES,
+        ENERGY_WINDOW,
+        PAYLOAD_BLOCKS,
+    )
+    from project_obsidian_core_spark.plans.common import load
+    from project_obsidian_core_spark.plans.datapipe_queries import (
+        media_audio_energy,
+    )
+
+    docs = {
+        r["doc_id"]: r["text"]
+        for r in load(spark, SF, "documents").collect()
+        if r["doc_id"] % 3 == 1  # the audio assignment
+    }
+    ref = {}
+    for d, text in docs.items():
+        payload = b"".join(
+            hashlib.md5(f"{text}:{i}".encode()).digest()
+            for i in range(1, PAYLOAD_BLOCKS + 1)
+        )
+        n_win = len(payload) // ENERGY_WINDOW
+        for w in range(n_win):
+            win = payload[w * ENERGY_WINDOW : (w + 1) * ENERGY_WINDOW]
+            s = sum(win)
+            q = sum(x * x for x in win)
+            ref[(d, w)] = (ENERGY_WINDOW, s, q, q / ENERGY_WINDOW)
+    got = {
+        (r["doc_id"], r["window_idx"]): (
+            r["n"],
+            r["sample_sum"],
+            r["sample_sq_sum"],
+            r["mean_square"],
+        )
+        for r in media_audio_energy(spark, SF).collect()
+    }
+    assert got == ref and len(got) == len(docs) * (
+        PAYLOAD_BLOCKS * BLOCK_BYTES // ENERGY_WINDOW
+    )
