@@ -37,6 +37,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     BinaryType,
+    BooleanType,
     DoubleType,
     IntegerType,
     LongType,
@@ -484,4 +485,105 @@ def audio_energy(media: DataFrame, window: int = ENERGY_WINDOW) -> DataFrame:
 
     return media.filter(F.col("media_type") == "audio").mapInPandas(
         batches, schema=ENERGY_SCHEMA
+    )
+
+
+# ----------------------------------------- video scene-cut detection ------
+SCENE_CUT_THRESHOLD = 1300  # sum-abs-diff over a 16-byte frame pair
+
+SCENE_CUT_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("frame_idx", IntegerType()),
+        StructField("sad", LongType()),
+        StructField("is_cut", BooleanType()),
+    ]
+)
+
+
+def scene_cuts(
+    media: DataFrame, threshold: int = SCENE_CUT_THRESHOLD
+) -> DataFrame:
+    """M6: frame-difference scene-cut detection over the video payloads
+    — per adjacent frame pair the exact SAD (sum of absolute byte
+    differences, the metric real cut detectors threshold before any
+    codec-aware refinement) and the cut flag.  Emits one row per
+    TRANSITION (frame_idx = the later frame).  Arrow-batched, stateless,
+    no shuffle — the 100 TB plan is a projection; real decoders swap in
+    behind `_decode_real` with the identical row contract."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in it:
+            ids, idxs, sads = [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["content"]):
+                b = np.frombuffer(bytes(payload), dtype=np.uint8)
+                n_f = b.size // FRAME_BYTES
+                fr = b[: n_f * FRAME_BYTES].reshape(n_f, FRAME_BYTES).astype(
+                    np.int64
+                )
+                d = np.abs(fr[1:] - fr[:-1]).sum(axis=1)
+                ids.extend([int(doc_id)] * (n_f - 1))
+                idxs.extend(range(1, n_f))
+                sads.extend(int(x) for x in d)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "frame_idx": pd.Series(idxs, dtype="int32"),
+                    "sad": pd.Series(sads, dtype="int64"),
+                    "is_cut": pd.Series(
+                        [s > threshold for s in sads], dtype="bool"
+                    ),
+                }
+            )
+
+    return media.filter(F.col("media_type") == "video").mapInPandas(
+        batches, schema=SCENE_CUT_SCHEMA
+    )
+
+
+# --------------------------------------------- image byte histogram -------
+IMAGE_HIST_BINS = 4
+
+IMAGE_HIST_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("bin_idx", IntegerType()),
+        StructField("n_bytes", LongType()),
+    ]
+)
+
+
+def image_histogram(media: DataFrame, bins: int = IMAGE_HIST_BINS) -> DataFrame:
+    """M7: intensity histogram of the image payloads — ``bins``
+    equal-width byte bins (the exposure/contrast screen: a histogram
+    slammed into one bin is a blank or saturated capture, the first
+    image-quality gate a multimodal pipeline runs).  Exact integer
+    counts, every (doc, bin) present including zeros (fixed output
+    shape — downstream pivots rely on it).  Arrow-batched, stateless,
+    no shuffle."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        width = 256 // bins
+        for pdf in it:
+            ids, bidx, cnts = [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["content"]):
+                b = np.frombuffer(bytes(payload), dtype=np.uint8)
+                h = np.bincount(b // width, minlength=bins)
+                ids.extend([int(doc_id)] * bins)
+                bidx.extend(range(bins))
+                cnts.extend(int(x) for x in h[:bins])
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "bin_idx": pd.Series(bidx, dtype="int32"),
+                    "n_bytes": pd.Series(cnts, dtype="int64"),
+                }
+            )
+
+    return media.filter(F.col("media_type") == "image").mapInPandas(
+        batches, schema=IMAGE_HIST_SCHEMA
     )

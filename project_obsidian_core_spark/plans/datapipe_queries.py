@@ -3080,3 +3080,71 @@ SELECT doc_id, window_idx,
 FROM w
 ORDER BY doc_id, window_idx
 """
+
+
+# --------------------------------- M6: video scene-cut detection ----------
+# Registration note: QUEUED for a later round (gate window full — see
+# scripts/check_queued.py). Planned row:
+#   ("media_scene_cuts", d.media_scene_cuts, d.ORACLE_media_scene_cuts)
+def media_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M6: exact frame-difference (SAD) scene-cut detection over the
+    video payloads; see :func:`datapipe.multimodal.scene_cuts`."""
+    media = M.attach_media(load(spark, sf_dir, "documents"))
+    return M.scene_cuts(media).orderBy("doc_id", "frame_idx")
+
+
+_FB = M.FRAME_BYTES
+ORACLE_media_scene_cuts = f"""
+WITH p AS (
+    SELECT doc_id, {_FULL_HEX} AS fh
+    FROM documents WHERE doc_id % 3 = 2
+), fr AS (
+    SELECT doc_id, CAST(g.j AS INT) AS frame_idx,
+           [CAST('0x' || substr(fh, 2 * (g.j * {_FB} + i) - 1, 2) AS BIGINT)
+            for i in generate_series(1, {_FB})] AS bytes_
+    FROM p, unnest(generate_series(0, {M.PAYLOAD_BLOCKS - 1})) AS g(j)
+), sad AS (
+    SELECT a.doc_id, b.frame_idx,
+           CAST(list_aggregate(
+               list_transform(generate_series(1, {_FB}),
+                              i -> abs(a.bytes_[i] - b.bytes_[i])),
+               'sum') AS BIGINT) AS sad
+    FROM fr a JOIN fr b
+      ON a.doc_id = b.doc_id AND b.frame_idx = a.frame_idx + 1
+)
+SELECT doc_id, frame_idx, sad, sad > {M.SCENE_CUT_THRESHOLD} AS is_cut
+FROM sad
+ORDER BY doc_id, frame_idx
+"""
+
+
+# --------------------------------- M7: image intensity histogram ----------
+# Registration note: QUEUED for a later round (gate window full — see
+# scripts/check_queued.py). Planned row:
+#   ("media_image_histogram", d.media_image_histogram,
+#    d.ORACLE_media_image_histogram)
+def media_image_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M7: equal-width intensity histogram of the image payloads — the
+    blank/saturated-capture gate; see
+    :func:`datapipe.multimodal.image_histogram`."""
+    media = M.attach_media(load(spark, sf_dir, "documents"))
+    return M.image_histogram(media).orderBy("doc_id", "bin_idx")
+
+
+_HB = M.IMAGE_HIST_BINS
+ORACLE_media_image_histogram = f"""
+WITH p AS (
+    SELECT doc_id, {_FULL_HEX} AS fh
+    FROM documents WHERE doc_id % 3 = 0
+), by_ AS (
+    SELECT doc_id,
+           [CAST('0x' || substr(fh, 2 * i - 1, 2) AS BIGINT)
+            for i in generate_series(1, {_N_PAYLOAD})] AS bytes_
+    FROM p
+)
+SELECT doc_id, CAST(g.b AS INT) AS bin_idx,
+       CAST(len(list_filter(bytes_, x -> x // {256 // _HB} = g.b))
+            AS BIGINT) AS n_bytes
+FROM by_, unnest(generate_series(0, {_HB - 1})) AS g(b)
+ORDER BY doc_id, bin_idx
+"""

@@ -109,6 +109,11 @@ def queued():
             d.media_audio_energy,
             d.ORACLE_media_audio_energy,
         ),
+        "media_scene_cuts": (d.media_scene_cuts, d.ORACLE_media_scene_cuts),
+        "media_image_histogram": (
+            d.media_image_histogram,
+            d.ORACLE_media_image_histogram,
+        ),
     }
 
 

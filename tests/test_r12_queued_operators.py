@@ -970,3 +970,85 @@ def test_media_audio_energy_matches_python(spark):
     assert got == ref and len(got) == len(docs) * (
         PAYLOAD_BLOCKS * BLOCK_BYTES // ENERGY_WINDOW
     )
+
+
+# ------------------------------------ M6/M7: video cuts, image histogram --
+def test_media_scene_cuts_matches_python(spark):
+    import hashlib
+
+    from project_obsidian_core_spark.datapipe.multimodal import (
+        FRAME_BYTES,
+        PAYLOAD_BLOCKS,
+        SCENE_CUT_THRESHOLD,
+    )
+    from project_obsidian_core_spark.plans.common import load
+    from project_obsidian_core_spark.plans.datapipe_queries import (
+        media_scene_cuts,
+    )
+
+    docs = {
+        r["doc_id"]: r["text"]
+        for r in load(spark, SF, "documents").collect()
+        if r["doc_id"] % 3 == 2  # the video assignment
+    }
+    ref = {}
+    for d, text in docs.items():
+        payload = b"".join(
+            hashlib.md5(f"{text}:{i}".encode()).digest()
+            for i in range(1, PAYLOAD_BLOCKS + 1)
+        )
+        frames = [
+            payload[j * FRAME_BYTES : (j + 1) * FRAME_BYTES]
+            for j in range(len(payload) // FRAME_BYTES)
+        ]
+        for j in range(1, len(frames)):
+            sad = sum(abs(a - b) for a, b in zip(frames[j], frames[j - 1]))
+            ref[(d, j)] = (sad, sad > SCENE_CUT_THRESHOLD)
+    got = {
+        (r["doc_id"], r["frame_idx"]): (r["sad"], r["is_cut"])
+        for r in media_scene_cuts(spark, SF).collect()
+    }
+    assert got == ref
+    # the synthetic frames are md5 noise: SAD concentrates around its
+    # random-bytes mean (~85*16), so both cut and non-cut rows exist
+    assert any(c for _, c in got.values()) and not all(
+        c for _, c in got.values()
+    )
+
+
+def test_media_image_histogram_matches_python(spark):
+    import hashlib
+
+    from project_obsidian_core_spark.datapipe.multimodal import (
+        IMAGE_HIST_BINS,
+        PAYLOAD_BLOCKS,
+    )
+    from project_obsidian_core_spark.plans.common import load
+    from project_obsidian_core_spark.plans.datapipe_queries import (
+        media_image_histogram,
+    )
+
+    docs = {
+        r["doc_id"]: r["text"]
+        for r in load(spark, SF, "documents").collect()
+        if r["doc_id"] % 3 == 0  # the image assignment
+    }
+    width = 256 // IMAGE_HIST_BINS
+    ref = {}
+    for d, text in docs.items():
+        payload = b"".join(
+            hashlib.md5(f"{text}:{i}".encode()).digest()
+            for i in range(1, PAYLOAD_BLOCKS + 1)
+        )
+        for b in range(IMAGE_HIST_BINS):
+            ref[(d, b)] = sum(1 for x in payload if x // width == b)
+    got = {
+        (r["doc_id"], r["bin_idx"]): r["n_bytes"]
+        for r in media_image_histogram(spark, SF).collect()
+    }
+    assert got == ref
+    # fixed output shape: every (doc, bin) present, rows sum to payload
+    for d in docs:
+        assert sum(got[(d, b)] for b in range(IMAGE_HIST_BINS)) == len(
+            payload
+        )
