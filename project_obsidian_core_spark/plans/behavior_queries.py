@@ -1229,3 +1229,104 @@ SELECT window_hours, stage_idx, stage, n_users FROM (
 )
 ORDER BY window_hours, stage_idx
 """
+
+
+# ------------------------------------------- A78: growth accounting -------
+# Registration note: QUEUED for a later round (gate window full — see
+# scripts/check_queued.py). Planned row:
+#   ("events_growth_accounting", b.events_growth_accounting,
+#    b.ORACLE_events_growth_accounting)
+def events_growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A78: weekly growth accounting — every analytics stack's
+    user-momentum ledger: per ISO-ish week (epoch-day div 7, zone-free
+    and engine-identical), how many active users are NEW (first week
+    ever), RETAINED (also active the immediately previous week),
+    RESURRECTED (active after a gap ≥ 2 weeks), and how many of the
+    previous week's actives CHURNED (not active this week).  The
+    identity new + retained + resurrected = active and
+    churned(w) = active(w−1) − retained(w) are the cross-checks the
+    unit pins.
+
+    Shape: the corpus reduces to DISTINCT (user, week) (one map-side-
+    combined exchange), lag over the per-user week sequence classifies
+    each active week in one pass (never a self-join on adjacent weeks),
+    and the ledger is a ≤|weeks| aggregate.  Churn joins the active
+    counts against themselves shifted by one week — a |weeks|-row
+    broadcast.  All int64.
+    """
+    ev = load(spark, sf_dir, "events").select(
+        "user_id", F.expr("unix_micros(ts) div 604800000000").alias("week")
+    )
+    uw = ev.distinct()
+    w_user = Window.partitionBy("user_id").orderBy("week")
+    classed = uw.select(
+        "user_id",
+        "week",
+        F.lag("week").over(w_user).alias("prev_week"),
+    ).select(
+        "week",
+        F.when(F.col("prev_week").isNull(), F.lit("new"))
+        .when(F.col("prev_week") == F.col("week") - 1, F.lit("retained"))
+        .otherwise(F.lit("resurrected"))
+        .alias("cls"),
+    )
+    ledger = (
+        classed.groupBy("week")
+        .agg(
+            F.count(F.lit(1)).alias("n_active"),
+            F.sum(F.when(F.col("cls") == "new", 1).otherwise(0)).alias("n_new"),
+            F.sum(F.when(F.col("cls") == "retained", 1).otherwise(0)).alias(
+                "n_retained"
+            ),
+            F.sum(F.when(F.col("cls") == "resurrected", 1).otherwise(0)).alias(
+                "n_resurrected"
+            ),
+        )
+    )
+    prev = ledger.select(
+        (F.col("week") + 1).alias("week"), F.col("n_active").alias("prev_active")
+    )
+    return (
+        ledger.join(F.broadcast(prev), "week", "left")
+        .select(
+            "week",
+            "n_active",
+            "n_new",
+            "n_retained",
+            "n_resurrected",
+            (
+                F.coalesce("prev_active", F.lit(0)) - F.col("n_retained")
+            ).alias("n_churned"),
+        )
+        .orderBy("week")
+    )
+
+
+ORACLE_events_growth_accounting = """
+WITH uw AS (
+    SELECT DISTINCT user_id, epoch_us(ts) // 604800000000 AS week
+    FROM events
+), classed AS (
+    SELECT week,
+           CASE WHEN lag(week) OVER (PARTITION BY user_id ORDER BY week)
+                     IS NULL THEN 'new'
+                WHEN lag(week) OVER (PARTITION BY user_id ORDER BY week)
+                     = week - 1 THEN 'retained'
+                ELSE 'resurrected' END AS cls
+    FROM uw
+), ledger AS (
+    SELECT week,
+           CAST(count(*) AS BIGINT) AS n_active,
+           CAST(sum(CASE WHEN cls = 'new' THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_new,
+           CAST(sum(CASE WHEN cls = 'retained' THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_retained,
+           CAST(sum(CASE WHEN cls = 'resurrected' THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_resurrected
+    FROM classed GROUP BY week
+)
+SELECT l.week, l.n_active, l.n_new, l.n_retained, l.n_resurrected,
+       CAST(coalesce(p.n_active, 0) - l.n_retained AS BIGINT) AS n_churned
+FROM ledger l LEFT JOIN ledger p ON p.week = l.week - 1
+ORDER BY l.week
+"""

@@ -110,6 +110,10 @@ def queued():
             d.ORACLE_media_audio_energy,
         ),
         "media_scene_cuts": (d.media_scene_cuts, d.ORACLE_media_scene_cuts),
+        "events_growth_accounting": (
+            b.events_growth_accounting,
+            b.ORACLE_events_growth_accounting,
+        ),
         "media_image_histogram": (
             d.media_image_histogram,
             d.ORACLE_media_image_histogram,

@@ -1052,3 +1052,44 @@ def test_media_image_histogram_matches_python(spark):
         assert sum(got[(d, b)] for b in range(IMAGE_HIST_BINS)) == len(
             payload
         )
+
+
+# ------------------------------------ A78: growth accounting --------------
+def test_events_growth_accounting_matches_python(spark):
+    from project_obsidian_core_spark.plans.behavior_queries import (
+        events_growth_accounting,
+    )
+    from project_obsidian_core_spark.plans.common import load
+
+    rows = load(spark, SF, "events").select(
+        "user_id", F.expr("unix_micros(ts) div 604800000000").alias("w")
+    ).collect()
+    weeks_by_user: dict[int, set] = {}
+    for r in rows:
+        weeks_by_user.setdefault(r["user_id"], set()).add(r["w"])
+    ledger: dict[int, Counter] = {}
+    for ws in weeks_by_user.values():
+        sw = sorted(ws)
+        for i, w in enumerate(sw):
+            c = ledger.setdefault(w, Counter())
+            c["active"] += 1
+            if i == 0:
+                c["new"] += 1
+            elif sw[i - 1] == w - 1:
+                c["retained"] += 1
+            else:
+                c["resurrected"] += 1
+    got = {r["week"]: r for r in events_growth_accounting(spark, SF).collect()}
+    assert set(got) == set(ledger)
+    for w, c in ledger.items():
+        row = got[w]
+        assert row["n_active"] == c["active"]
+        assert row["n_new"] == c["new"]
+        assert row["n_retained"] == c["retained"]
+        assert row["n_resurrected"] == c["resurrected"]
+        # the growth-accounting identities
+        assert row["n_new"] + row["n_retained"] + row["n_resurrected"] == row[
+            "n_active"
+        ]
+        prev_active = ledger.get(w - 1, Counter())["active"]
+        assert row["n_churned"] == prev_active - c["retained"]
