@@ -2775,3 +2775,91 @@ SELECT metric_name, n_hours, x AS trough_hour, peak AS peak_cents,
 FROM picked WHERE rn = 1
 ORDER BY metric_name
 """
+
+
+# --------------------------------- A79: series completeness report --------
+# Registration note: QUEUED for a later round (gate window full — see
+# scripts/check_queued.py). Planned row:
+#   ("metric_completeness_report", m.metric_completeness_report,
+#    m.ORACLE_metric_completeness_report)
+def metric_completeness_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A79: per-series grid-completeness audit — the report every
+    metrics pipeline runs before trusting a dashboard: over each
+    series' observed [first, last] hour span, how many grid points
+    exist, how many are missing, the coverage in integer ppm, and the
+    LONGEST gap (consecutive missing hours).  `metric_gap_fill` (A42)
+    REPAIRS gaps; this MEASURES them — repair without measurement hides
+    collector outages, which is exactly what the report exists to
+    surface.
+
+    All int64: expected = last − first + 1, missing = expected −
+    observed, longest gap = max(lag diff) − 1 over the per-series hour
+    sequence (one window on per-series partitions of the already-
+    reduced grid).  Output |metrics| rows, one corpus exchange.
+    """
+    from pyspark.sql import Window
+
+    m = synthesize_metrics(spark, sf_dir).select(
+        "metric_name",
+        F.expr("unix_micros(time) div 3600000000").alias("x"),
+    )
+    grid = m.distinct()
+    w = Window.partitionBy("metric_name").orderBy("x")
+    stepped = grid.select(
+        "metric_name",
+        "x",
+        (F.col("x") - F.lag("x").over(w)).alias("step"),
+    )
+    return (
+        stepped.groupBy("metric_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_observed"),
+            F.min("x").alias("first_hour"),
+            F.max("x").alias("last_hour"),
+            F.max("step").alias("max_step"),
+        )
+        .select(
+            "metric_name",
+            "n_observed",
+            "first_hour",
+            "last_hour",
+            (F.col("last_hour") - F.col("first_hour") + 1).alias("n_expected"),
+            (
+                F.col("last_hour") - F.col("first_hour") + 1 - F.col("n_observed")
+            ).alias("n_missing"),
+            F.expr(
+                "n_observed * 1000000 div (last_hour - first_hour + 1)"
+            ).alias("coverage_ppm"),
+            F.coalesce(F.col("max_step") - 1, F.lit(0)).alias(
+                "longest_gap_hours"
+            ),
+        )
+        .orderBy("metric_name")
+    )
+
+
+ORACLE_metric_completeness_report = f"""
+WITH m AS ({_SYN_SQL}),
+grid AS (
+    SELECT DISTINCT metric_name, epoch_us(time) // 3600000000 AS x FROM m
+), stepped AS (
+    SELECT metric_name, x,
+           x - lag(x) OVER (PARTITION BY metric_name ORDER BY x) AS step
+    FROM grid
+), agg AS (
+    SELECT metric_name,
+           CAST(count(*) AS BIGINT) AS n_observed,
+           CAST(min(x) AS BIGINT) AS first_hour,
+           CAST(max(x) AS BIGINT) AS last_hour,
+           max(step) AS max_step
+    FROM stepped GROUP BY metric_name
+)
+SELECT metric_name, n_observed, first_hour, last_hour,
+       CAST(last_hour - first_hour + 1 AS BIGINT) AS n_expected,
+       CAST(last_hour - first_hour + 1 - n_observed AS BIGINT) AS n_missing,
+       CAST(n_observed * 1000000 // (last_hour - first_hour + 1) AS BIGINT)
+           AS coverage_ppm,
+       CAST(coalesce(max_step - 1, 0) AS BIGINT) AS longest_gap_hours
+FROM agg
+ORDER BY metric_name
+"""

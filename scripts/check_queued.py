@@ -5,8 +5,8 @@ explicit (fn, oracle) list instead of the registry.
 Operators land here when the driver's 50-slot gate window is full for
 the current round (registration would displace the stale-row refresh).
 Round 11 promoted five of the eight r10-queued operators and
-implemented thirteen more; the sixteen below are staged r12/r13/r15 at
-≤5 registrations per round (see the Block R11/R12 comments in
+implemented twenty-three more; the twenty-six below are staged
+r12-r17 at ≤5 registrations per round (see the Block R11/R12 comments in
 plans/registry.py and the staging plan in SCALE.md).
 
 Usage: python scripts/check_queued.py [sf_dir] [query ...]
@@ -110,6 +110,10 @@ def queued():
             d.ORACLE_media_audio_energy,
         ),
         "media_scene_cuts": (d.media_scene_cuts, d.ORACLE_media_scene_cuts),
+        "metric_completeness_report": (
+            m.metric_completeness_report,
+            m.ORACLE_metric_completeness_report,
+        ),
         "events_growth_accounting": (
             b.events_growth_accounting,
             b.ORACLE_events_growth_accounting,

@@ -1093,3 +1093,36 @@ def test_events_growth_accounting_matches_python(spark):
         ]
         prev_active = ledger.get(w - 1, Counter())["active"]
         assert row["n_churned"] == prev_active - c["retained"]
+
+
+# ------------------------------ A79: series completeness report -----------
+def test_metric_completeness_report_matches_python(spark):
+    from project_obsidian_core_spark.plans.metrics_queries import (
+        metric_completeness_report,
+        synthesize_metrics,
+    )
+
+    rows = synthesize_metrics(spark, SF).select(
+        "metric_name", F.expr("unix_micros(time) div 3600000000").alias("x")
+    ).collect()
+    grids: dict[str, set] = {}
+    for r in rows:
+        grids.setdefault(r["metric_name"], set()).add(r["x"])
+    got = {
+        r["metric_name"]: r
+        for r in metric_completeness_report(spark, SF).collect()
+    }
+    assert set(got) == set(grids)
+    for m, xs in grids.items():
+        sx = sorted(xs)
+        row = got[m]
+        expected = sx[-1] - sx[0] + 1
+        gap = max((b - a - 1 for a, b in zip(sx, sx[1:])), default=0)
+        assert row["n_observed"] == len(sx)
+        assert (row["first_hour"], row["last_hour"]) == (sx[0], sx[-1])
+        assert row["n_expected"] == expected
+        assert row["n_missing"] == expected - len(sx)
+        assert row["coverage_ppm"] == len(sx) * 1_000_000 // expected
+        assert row["longest_gap_hours"] == gap
+        # identity: observed + missing == expected
+        assert row["n_observed"] + row["n_missing"] == row["n_expected"]
