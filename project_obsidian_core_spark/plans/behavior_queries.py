@@ -1330,3 +1330,89 @@ SELECT l.week, l.n_active, l.n_new, l.n_retained, l.n_resurrected,
 FROM ledger l LEFT JOIN ledger p ON p.week = l.week - 1
 ORDER BY l.week
 """
+
+
+# ------------------------------------------ A80: mix-drift timeline -------
+# Registration note: QUEUED for a later round (gate window full — see
+# scripts/check_queued.py). Planned row:
+#   ("events_mix_drift", b.events_mix_drift, b.ORACLE_events_mix_drift)
+def events_mix_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A80: week-over-week composition drift of the event-type mix —
+    the TIMELINE member of the drift family: A31 chi-square and A32 PSI
+    score ONE baseline-vs-detection split, this walks the whole history
+    and emits the L1 distance (total variation ×2) between consecutive
+    weekly mixes, the series an alerting rule thresholds ("the traffic
+    mix moved 8% this week").
+
+    Exactness: shares are integer ppm (cnt·10⁶ div week_total); the L1
+    fold is Σ |share − prev_share| over the FULL OUTER join of
+    consecutive weeks' mixes on type (outer, because a type appearing
+    or vanishing IS drift — an inner join would silently drop exactly
+    the strongest signal).  All int64.
+
+    Scale: the corpus reduces to the (week, type) count relation (one
+    map-side-combined exchange, ≤|weeks|·|types| rows); the shifted
+    self-join and the final fold ride that tiny relation.
+    """
+    ev = load(spark, sf_dir, "events").select(
+        F.expr("unix_micros(ts) div 604800000000").alias("week"), "event_type"
+    )
+    wk = ev.groupBy("week", "event_type").agg(F.count(F.lit(1)).alias("cnt"))
+    tot = wk.groupBy("week").agg(F.sum("cnt").alias("wt"))
+    mix = wk.join(tot, "week").select(
+        "week",
+        "event_type",
+        F.expr("cnt * 1000000 div wt").alias("share_ppm"),
+    )
+    prev = mix.select(
+        (F.col("week") + 1).alias("week"),
+        "event_type",
+        F.col("share_ppm").alias("prev_ppm"),
+    )
+    joined = mix.join(prev, ["week", "event_type"], "full_outer").select(
+        "week",
+        "event_type",
+        F.coalesce("share_ppm", F.lit(0)).alias("s"),
+        F.coalesce("prev_ppm", F.lit(0)).alias("p"),
+    )
+    # weeks present only via the shift (week = max_week + 1) carry no
+    # current mix: drop rows where the CURRENT week has no events at all
+    cur_weeks = tot.select("week")
+    return (
+        joined.join(cur_weeks, "week", "left_semi")
+        .groupBy("week")
+        .agg(
+            F.count(F.lit(1)).alias("n_types"),
+            F.sum(F.abs(F.col("s") - F.col("p"))).alias("l1_drift_ppm"),
+        )
+        .orderBy("week")
+    )
+
+
+ORACLE_events_mix_drift = """
+WITH wk AS (
+    SELECT epoch_us(ts) // 604800000000 AS week, event_type,
+           CAST(count(*) AS BIGINT) AS cnt
+    FROM events GROUP BY 1, 2
+), tot AS (
+    SELECT week, CAST(sum(cnt) AS BIGINT) AS wt FROM wk GROUP BY week
+), mix AS (
+    SELECT wk.week, event_type,
+           CAST(cnt * 1000000 // wt AS BIGINT) AS share_ppm
+    FROM wk JOIN tot ON wk.week = tot.week
+), joined AS (
+    SELECT coalesce(m.week, p.week + 1) AS week,
+           coalesce(m.event_type, p.event_type) AS event_type,
+           coalesce(m.share_ppm, 0) AS s,
+           coalesce(p.share_ppm, 0) AS p
+    FROM mix m FULL OUTER JOIN mix p
+      ON m.week = p.week + 1 AND m.event_type = p.event_type
+)
+SELECT week,
+       CAST(count(*) AS BIGINT) AS n_types,
+       CAST(sum(abs(s - p)) AS BIGINT) AS l1_drift_ppm
+FROM joined
+WHERE week IN (SELECT week FROM tot)
+GROUP BY week
+ORDER BY week
+"""

@@ -118,6 +118,7 @@ def queued():
             b.events_growth_accounting,
             b.ORACLE_events_growth_accounting,
         ),
+        "events_mix_drift": (b.events_mix_drift, b.ORACLE_events_mix_drift),
         "media_image_histogram": (
             d.media_image_histogram,
             d.ORACLE_media_image_histogram,

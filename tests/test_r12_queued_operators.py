@@ -1126,3 +1126,38 @@ def test_metric_completeness_report_matches_python(spark):
         assert row["longest_gap_hours"] == gap
         # identity: observed + missing == expected
         assert row["n_observed"] + row["n_missing"] == row["n_expected"]
+
+
+# ------------------------------------ A80: mix-drift timeline -------------
+def test_events_mix_drift_matches_python(spark):
+    from project_obsidian_core_spark.plans.behavior_queries import (
+        events_mix_drift,
+    )
+    from project_obsidian_core_spark.plans.common import load
+
+    rows = load(spark, SF, "events").select(
+        F.expr("unix_micros(ts) div 604800000000").alias("w"), "event_type"
+    ).collect()
+    wk: dict[int, Counter] = {}
+    for r in rows:
+        wk.setdefault(r["w"], Counter())[r["event_type"]] += 1
+    mix = {
+        w: {t: c * 1_000_000 // sum(cnts.values()) for t, c in cnts.items()}
+        for w, cnts in wk.items()
+    }
+    ref = {}
+    for w, m in mix.items():
+        p = mix.get(w - 1, {})
+        types = set(m) | set(p)
+        ref[w] = (
+            len(types),
+            sum(abs(m.get(t, 0) - p.get(t, 0)) for t in types),
+        )
+    got = {
+        r["week"]: (r["n_types"], r["l1_drift_ppm"])
+        for r in events_mix_drift(spark, SF).collect()
+    }
+    assert got == ref
+    # the first week's drift is its full mass (~1e6, minus div-floor loss)
+    w0 = min(ref)
+    assert got[w0][1] >= 1_000_000 - got[w0][0]
