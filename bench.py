@@ -319,6 +319,34 @@ BENCH_QUERIES = [
     "stream_pettitt",         # T25 Pettitt served live (r11)
     "events_discovery_timeline",  # exact running-distinct breakpoints
     "dedup_prefix_clusters",  # provably complete near-dup clusters
+    # round-12 queue drain: the 27 r10/r11-staged operators (Block R12)
+    "text_zipf_octaves",      # X26 Zipf rank-octave profile (r12)
+    "knn_reciprocity",        # G9 kNN-graph mutual-edge fraction (r12)
+    "events_session_entry_exit",  # A71 session entry/exit pages (r12)
+    "customer_rfm",           # A73 RFM quartiles, bucket-refinement (r12)
+    "part_supplier_counts",   # R28 Q16 reshape (r12)
+    "customer_order_histogram",  # R29 Q13 reshape (r12)
+    "metric_seasonal_hod",    # A74 hour-of-day seasonal profile (r12)
+    "text_gram_novelty",      # X27 first-occurrence gram novelty (r12)
+    "stream_bollinger",       # T26 Bollinger served live (r12)
+    "metric_drawdown",        # A75 maximum drawdown (r12)
+    "part_value_concentration",  # R30 Q11 reshape (r12)
+    "lang_id_confusion",      # X25 lang-ID confusion audit (r12)
+    "dedup_sorted_neighborhood",  # D24 SNM blocking candidates (r12)
+    "stream_drawdown",        # T27 drawdown served live (r12)
+    "knn_link_prediction",    # G10 common-neighbor link prediction (r12)
+    "dedup_edit_distance",    # D25 edit-distance verify over SNM (r12)
+    "customer_abc",           # A76 ABC/Pareto classes (r12)
+    "stream_mannwhitney",     # T28 Mann-Whitney served live (r12)
+    "knn_khop_reachability",  # G11 bounded h-hop reachability (r12)
+    "corpus_mixture_sample",  # P10 mixture-balancing sampler (r12)
+    "events_funnel_sweep",    # A77 funnel deadline sweep (r12)
+    "media_audio_energy",     # M8 windowed audio energy (r12)
+    "media_scene_cuts",       # M9 scene-cut SAD detector (r12)
+    "metric_completeness_report",  # A79 completeness report (r12)
+    "events_growth_accounting",  # A78 weekly growth accounting (r12)
+    "events_mix_drift",       # A80 week-over-week mix drift (r12)
+    "media_image_histogram",  # M10 image intensity histogram (r12)
     # stream_cdc_merge is timed via _time_cdc_merge below (merge work
     # only): its checkpointed replay rewrites a bucketed parquet snapshot
     # per micro-batch (~12 s/run at sf0.1, >90% filesystem publish/rename

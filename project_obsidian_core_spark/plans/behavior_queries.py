@@ -726,8 +726,8 @@ ORDER BY user_id
 
 
 # ------------------------------------------------ A73: RFM segmentation --
-# Registration note: QUEUED for a later round (gate window full — see
-# scripts/check_queued.py). Planned row:
+# Registration note: REGISTERED r12 (Block R12 queue drain; was queued via
+# scripts/check_queued.py). Registry row:
 #   ("customer_rfm", b.customer_rfm, b.ORACLE_customer_rfm)
 def customer_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A73: RFM (recency / frequency / monetary) quartile segmentation
@@ -947,8 +947,8 @@ ORDER BY c_custkey
 
 
 # --------------------------------------------- A76: ABC classification --
-# Registration note: QUEUED for a later round (gate window full — see
-# scripts/check_queued.py). Planned row:
+# Registration note: REGISTERED r12 (Block R12 queue drain; was queued via
+# scripts/check_queued.py). Registry row:
 #   ("customer_abc", b.customer_abc, b.ORACLE_customer_abc)
 def customer_abc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A76: ABC / Pareto classification of customers by revenue — the
@@ -1099,8 +1099,8 @@ ORDER BY 1
 
 
 # ------------------------------------------- A77: funnel window sweep --
-# Registration note: QUEUED for a later round (gate window full — see
-# scripts/check_queued.py). Planned row:
+# Registration note: REGISTERED r12 (Block R12 queue drain; was queued via
+# scripts/check_queued.py). Registry row:
 #   ("events_funnel_sweep", b.events_funnel_sweep,
 #    b.ORACLE_events_funnel_sweep)
 _FUNNEL_WINDOWS_H = (1, 6, 24, 168)
@@ -1232,8 +1232,8 @@ ORDER BY window_hours, stage_idx
 
 
 # ------------------------------------------- A78: growth accounting -------
-# Registration note: QUEUED for a later round (gate window full — see
-# scripts/check_queued.py). Planned row:
+# Registration note: REGISTERED r12 (Block R12 queue drain; was queued via
+# scripts/check_queued.py). Registry row:
 #   ("events_growth_accounting", b.events_growth_accounting,
 #    b.ORACLE_events_growth_accounting)
 def events_growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1333,8 +1333,8 @@ ORDER BY l.week
 
 
 # ------------------------------------------ A80: mix-drift timeline -------
-# Registration note: QUEUED for a later round (gate window full — see
-# scripts/check_queued.py). Planned row:
+# Registration note: REGISTERED r12 (Block R12 queue drain; was queued via
+# scripts/check_queued.py). Registry row:
 #   ("events_mix_drift", b.events_mix_drift, b.ORACLE_events_mix_drift)
 def events_mix_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A80: week-over-week composition drift of the event-type mix —

@@ -1151,8 +1151,8 @@ def zipf_alpha(df: DataFrame) -> DataFrame:
 from project_obsidian_core_spark.datapipe.text import shared_hash60  # noqa: E402
 
 
-# Registration note: QUEUED for a later round (gate window full — see
-# scripts/check_queued.py). Planned row:
+# Registration note: REGISTERED r12 (Block R12 queue drain; was queued via
+# scripts/check_queued.py). Registry row:
 #   ("text_gram_novelty", cu.text_gram_novelty,
 #    cu.ORACLE_text_gram_novelty)
 def text_gram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:

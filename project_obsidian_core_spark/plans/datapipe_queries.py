@@ -2712,8 +2712,8 @@ ORDER BY n_mutual_neighbors
 
 
 # ------------------------------------ X25: lang-ID confusion audit --------
-# Registration note: QUEUED for a later round (gate window full — see
-# scripts/check_queued.py). Planned row:
+# Registration note: REGISTERED r12 (Block R12 queue drain; was queued via
+# scripts/check_queued.py). Registry row:
 #   ("lang_id_confusion", d.lang_id_confusion, d.ORACLE_lang_id_confusion)
 def lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X25: label-vs-prediction cross-tab for the gated profile lang-ID
@@ -2796,8 +2796,8 @@ ORACLE_lang_id_confusion = _lang_confusion_oracle()
 
 
 # --------------------------------- D24: sorted-neighborhood candidates ----
-# Registration note: QUEUED for a later round (gate window full — see
-# scripts/check_queued.py). Planned row:
+# Registration note: REGISTERED r12 (Block R12 queue drain; was queued via
+# scripts/check_queued.py). Registry row:
 #   ("dedup_sorted_neighborhood", d.dedup_sorted_neighborhood,
 #    d.ORACLE_dedup_sorted_neighborhood)
 def dedup_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2845,8 +2845,8 @@ ORDER BY doc_a, doc_b
 
 
 # ------------------------------------ G10: link prediction ----------------
-# Registration note: QUEUED for a later round (gate window full — see
-# scripts/check_queued.py). Planned row:
+# Registration note: REGISTERED r12 (Block R12 queue drain; was queued via
+# scripts/check_queued.py). Registry row:
 #   ("knn_link_prediction", d.knn_link_prediction,
 #    d.ORACLE_knn_link_prediction)
 def knn_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2897,8 +2897,8 @@ LIMIT 20
 
 
 # -------------------------------- D25: edit-distance verify over SNM ------
-# Registration note: QUEUED for a later round (gate window full — see
-# scripts/check_queued.py). Planned row:
+# Registration note: REGISTERED r12 (Block R12 queue drain; was queued via
+# scripts/check_queued.py). Registry row:
 #   ("dedup_edit_distance", d.dedup_edit_distance,
 #    d.ORACLE_dedup_edit_distance)
 _EDIT_PREFIX = 256  # chars of text the DP runs over (documented bound)
@@ -2994,8 +2994,8 @@ ORDER BY doc_a, doc_b
 
 
 # ------------------------------------ G11: h-hop reachability -------------
-# Registration note: QUEUED for a later round (gate window full — see
-# scripts/check_queued.py). Planned row:
+# Registration note: REGISTERED r12 (Block R12 queue drain; was queued via
+# scripts/check_queued.py). Registry row:
 #   ("knn_khop_reachability", d.knn_khop_reachability,
 #    d.ORACLE_knn_khop_reachability)
 def knn_khop_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3047,8 +3047,8 @@ FROM per_node GROUP BY n_reached ORDER BY n_reached
 
 
 # --------------------------------- M5: windowed audio energy profile ------
-# Registration note: QUEUED for a later round (gate window full — see
-# scripts/check_queued.py). Planned row:
+# Registration note: REGISTERED r12 (Block R12 queue drain; was queued via
+# scripts/check_queued.py). Registry row:
 #   ("media_audio_energy", d.media_audio_energy,
 #    d.ORACLE_media_audio_energy)
 def media_audio_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3083,8 +3083,8 @@ ORDER BY doc_id, window_idx
 
 
 # --------------------------------- M6: video scene-cut detection ----------
-# Registration note: QUEUED for a later round (gate window full — see
-# scripts/check_queued.py). Planned row:
+# Registration note: REGISTERED r12 (Block R12 queue drain; was queued via
+# scripts/check_queued.py). Registry row:
 #   ("media_scene_cuts", d.media_scene_cuts, d.ORACLE_media_scene_cuts)
 def media_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """M6: exact frame-difference (SAD) scene-cut detection over the
@@ -3119,8 +3119,8 @@ ORDER BY doc_id, frame_idx
 
 
 # --------------------------------- M7: image intensity histogram ----------
-# Registration note: QUEUED for a later round (gate window full — see
-# scripts/check_queued.py). Planned row:
+# Registration note: REGISTERED r12 (Block R12 queue drain; was queued via
+# scripts/check_queued.py). Registry row:
 #   ("media_image_histogram", d.media_image_histogram,
 #    d.ORACLE_media_image_histogram)
 def media_image_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:

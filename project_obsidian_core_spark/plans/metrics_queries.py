@@ -2601,8 +2601,8 @@ ORDER BY metric_name, hour
 
 
 # ------------------------------------- A74: hour-of-day seasonal profile --
-# Registration note: QUEUED for a later round (gate window full — see
-# scripts/check_queued.py). Planned row:
+# Registration note: REGISTERED r12 (Block R12 queue drain; was queued via
+# scripts/check_queued.py). Registry row:
 #   ("metric_seasonal_hod", m.metric_seasonal_hod,
 #    m.ORACLE_metric_seasonal_hod)
 def metric_seasonal_hod(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2685,8 +2685,8 @@ ORDER BY per.metric_name, hod
 
 
 # ------------------------------------------- A75: maximum drawdown --------
-# Registration note: QUEUED for a later round (gate window full — see
-# scripts/check_queued.py). Planned row:
+# Registration note: REGISTERED r12 (Block R12 queue drain; was queued via
+# scripts/check_queued.py). Registry row:
 #   ("metric_drawdown", m.metric_drawdown, m.ORACLE_metric_drawdown)
 def metric_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A75: maximum drawdown per metric series on the hour grid — the
@@ -2778,8 +2778,8 @@ ORDER BY metric_name
 
 
 # --------------------------------- A79: series completeness report --------
-# Registration note: QUEUED for a later round (gate window full — see
-# scripts/check_queued.py). Planned row:
+# Registration note: REGISTERED r12 (Block R12 queue drain; was queued via
+# scripts/check_queued.py). Registry row:
 #   ("metric_completeness_report", m.metric_completeness_report,
 #    m.ORACLE_metric_completeness_report)
 def metric_completeness_report(spark: SparkSession, sf_dir: str) -> DataFrame:

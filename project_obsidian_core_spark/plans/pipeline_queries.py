@@ -586,8 +586,8 @@ ORDER BY entry_type, exit_type
 
 
 # ------------------------------------ P10: mixture-balancing sampler ------
-# Registration note: QUEUED for a later round (gate window full — see
-# scripts/check_queued.py). Planned row:
+# Registration note: REGISTERED r12 (Block R12 queue drain; was queued via
+# scripts/check_queued.py). Registry row:
 #   ("corpus_mixture_sample", pl.corpus_mixture_sample,
 #    pl.ORACLE_corpus_mixture_sample)
 _MIX_SALT = "mixsample"

@@ -807,20 +807,97 @@ _ENTRIES: list[tuple[str, QueryFn, str | None]] = [
     # the BATCH A66 oracle (rank statistics live)
     ("stream_pettitt", st.stream_pettitt, m.ORACLE_metric_pettitt),
     # ------------------------------------------------------------------
-    # Block R12 — PRE-DRAFT (do NOT uncomment during round 11: adding
-    # unrecorded rows mid-round displaces this round's stale-row
-    # refreshes; the round-12 session activates these five).  The queue
-    # holds 13 check_queued.py-proven operators; per the staging plan in
-    # SCALE.md, r12 registers the three held r10 promotions plus the two
-    # family-extending r11 additions, r13/r14 take the rest:
-    #   ("text_zipf_octaves", cu.text_zipf_octaves,
-    #    cu.ORACLE_text_zipf_octaves),
-    #   ("knn_reciprocity", d.knn_reciprocity, d.ORACLE_knn_reciprocity),
-    #   ("events_session_entry_exit", pl.events_session_entry_exit,
-    #    pl.ORACLE_events_session_entry_exit),
-    #   ("stream_bollinger", st.stream_bollinger,
-    #    m.ORACLE_metric_bollinger),
-    #   ("customer_rfm", bh.customer_rfm, bh.ORACLE_customer_rfm),
+    # Block R12 — round-12 registrations: the FULL queue drain.  The r11
+    # verdict (Next #1) prescribed registering all 27 check_queued-proven
+    # operators at once — the rotation's unrecorded-first rule gives every
+    # one an official green row in CORRECTNESS_r12 itself, and the
+    # one-round displacement of stale-row refreshes is cheap because the
+    # closing harness re-proves all registered rows bit-exact every round
+    # anyway.  All 27 were EXACT at sf0.01 AND sf0.1 via check_queued.py
+    # on registration day (r12 session 1, recorded in SCALE.md), incl.
+    # events_mix_drift whose both-SF proof the r11 ADVICE asked for.
+    # X26 (renumbered from the colliding X24*): Zipf rank-octave profile
+    ("text_zipf_octaves", cu.text_zipf_octaves, cu.ORACLE_text_zipf_octaves),
+    # G9: kNN-graph reciprocity (directed->mutual edge fraction)
+    ("knn_reciprocity", d.knn_reciprocity, d.ORACLE_knn_reciprocity),
+    # A71: session entry/exit page profile (rn=1 two-sided reads)
+    (
+        "events_session_entry_exit",
+        pl.events_session_entry_exit,
+        pl.ORACLE_events_session_entry_exit,
+    ),
+    # A73: customer RFM via bucket-refinement order statistics
+    ("customer_rfm", bh.customer_rfm, bh.ORACLE_customer_rfm),
+    # R28: TPC-H Q16 reshape (supplier counts w/ broadcast anti deny-list)
+    ("part_supplier_counts", r.part_supplier_counts, r.ORACLE_part_supplier_counts),
+    # R29: TPC-H Q13 reshape (zero-bucket-preserving order histogram)
+    (
+        "customer_order_histogram",
+        r.customer_order_histogram,
+        r.ORACLE_customer_order_histogram,
+    ),
+    # A74: seasonal hour-of-day metric profile
+    ("metric_seasonal_hod", m.metric_seasonal_hod, m.ORACLE_metric_seasonal_hod),
+    # X27: first-occurrence gram novelty (60-bit hashed grams)
+    ("text_gram_novelty", cu.text_gram_novelty, cu.ORACLE_text_gram_novelty),
+    # T26: streaming Bollinger bands vs the batch A72 oracle
+    ("stream_bollinger", st.stream_bollinger, m.ORACLE_metric_bollinger),
+    # A75: maximum drawdown (running-peak window, retention-bounded)
+    ("metric_drawdown", m.metric_drawdown, m.ORACLE_metric_drawdown),
+    # R30: TPC-H Q11 reshape (mean-relative value concentration)
+    (
+        "part_value_concentration",
+        r.part_value_concentration,
+        r.ORACLE_part_value_concentration,
+    ),
+    # X25: lang-ID confusion matrix audit (≤|langs|² groups)
+    ("lang_id_confusion", d.lang_id_confusion, d.ORACLE_lang_id_confusion),
+    # D24: sorted-neighborhood dedup candidates (|docs|·w hard-linear)
+    (
+        "dedup_sorted_neighborhood",
+        d.dedup_sorted_neighborhood,
+        d.ORACLE_dedup_sorted_neighborhood,
+    ),
+    # T27: streaming max-drawdown vs the batch A75 oracle
+    ("stream_drawdown", st.stream_drawdown, m.ORACLE_metric_drawdown),
+    # G10: common-neighbor link prediction (integer resource allocation)
+    ("knn_link_prediction", d.knn_link_prediction, d.ORACLE_knn_link_prediction),
+    # D25: edit-distance verify over SNM candidates (JVM levenshtein)
+    ("dedup_edit_distance", d.dedup_edit_distance, d.ORACLE_dedup_edit_distance),
+    # A76: customer ABC/Pareto classes (bucket-refinement, no global sort)
+    ("customer_abc", bh.customer_abc, bh.ORACLE_customer_abc),
+    # T28: streaming Mann-Whitney drift vs the batch A64 oracle
+    ("stream_mannwhitney", st.stream_mannwhitney, ax.ORACLE_events_mannwhitney),
+    # G11: bounded h-hop reachability (frontier DISTINCT between rounds)
+    (
+        "knn_khop_reachability",
+        d.knn_khop_reachability,
+        d.ORACLE_knn_khop_reachability,
+    ),
+    # P10: mixture-balancing sampler (deterministic per-doc Bernoulli)
+    ("corpus_mixture_sample", pl.corpus_mixture_sample, pl.ORACLE_corpus_mixture_sample),
+    # A77: funnel deadline sweep (4-row window literal × anchor relation)
+    ("events_funnel_sweep", bh.events_funnel_sweep, bh.ORACLE_events_funnel_sweep),
+    # M8: windowed audio energy (stateless Arrow projection)
+    ("media_audio_energy", d.media_audio_energy, d.ORACLE_media_audio_energy),
+    # M9: scene-cut SAD detector (stateless Arrow projection)
+    ("media_scene_cuts", d.media_scene_cuts, d.ORACLE_media_scene_cuts),
+    # A79: per-metric completeness/coverage report
+    (
+        "metric_completeness_report",
+        m.metric_completeness_report,
+        m.ORACLE_metric_completeness_report,
+    ),
+    # A78: weekly growth accounting (new/retained/resurrected/churned)
+    (
+        "events_growth_accounting",
+        bh.events_growth_accounting,
+        bh.ORACLE_events_growth_accounting,
+    ),
+    # A80: week-over-week L1 composition-drift timeline
+    ("events_mix_drift", bh.events_mix_drift, bh.ORACLE_events_mix_drift),
+    # M10: image intensity histogram (stateless Arrow projection)
+    ("media_image_histogram", d.media_image_histogram, d.ORACLE_media_image_histogram),
 ]
 
 # ----------------------------------------------------------------------

@@ -2035,8 +2035,8 @@ def km_survival(df: DataFrame) -> DataFrame:
 
 
 # -------------------------------------------------- R28: Q16 reshape --
-# Registration note: QUEUED for a later round (gate window full — see
-# scripts/check_queued.py). Planned row:
+# Registration note: REGISTERED r12 (Block R12 queue drain; was queued via
+# scripts/check_queued.py). Registry row:
 #   ("part_supplier_counts", r.part_supplier_counts,
 #    r.ORACLE_part_supplier_counts)
 def part_supplier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2107,8 +2107,8 @@ ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
 
 
 # -------------------------------------------------- R29: Q13 reshape --
-# Registration note: QUEUED for a later round (gate window full — see
-# scripts/check_queued.py). Planned row:
+# Registration note: REGISTERED r12 (Block R12 queue drain; was queued via
+# scripts/check_queued.py). Registry row:
 #   ("customer_order_histogram", r.customer_order_histogram,
 #    r.ORACLE_customer_order_histogram)
 def customer_order_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2161,8 +2161,8 @@ ORDER BY custdist DESC, c_count DESC
 
 
 # --------------------------------------------- R30: Q11-shape threshold --
-# Registration note: QUEUED for a later round (gate window full — see
-# scripts/check_queued.py). Planned row:
+# Registration note: REGISTERED r12 (Block R12 queue drain; was queued via
+# scripts/check_queued.py). Registry row:
 #   ("part_value_concentration", r.part_value_concentration,
 #    r.ORACLE_part_value_concentration)
 def part_value_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:

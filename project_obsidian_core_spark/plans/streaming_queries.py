@@ -1644,8 +1644,8 @@ def stream_pettitt(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------- T26: streaming Bollinger breakouts (A72 live) -----------
-# Registration note: QUEUED for a later round (gate window full — see
-# scripts/check_queued.py). Planned row:
+# Registration note: REGISTERED r12 (Block R12 queue drain; was queued via
+# scripts/check_queued.py). Registry row:
 #   ("stream_bollinger", st.stream_bollinger, m.ORACLE_metric_bollinger)
 def stream_bollinger(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T26: the A72 exact-int volatility-band breakout served LIVE —
@@ -1715,8 +1715,8 @@ def stream_bollinger(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------- T27: streaming max drawdown (A75 live) ------------------
-# Registration note: QUEUED for a later round (gate window full — see
-# scripts/check_queued.py). Planned row:
+# Registration note: REGISTERED r12 (Block R12 queue drain; was queued via
+# scripts/check_queued.py). Registry row:
 #   ("stream_drawdown", st.stream_drawdown, m.ORACLE_metric_drawdown)
 def stream_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T27: the A75 running-peak drawdown served LIVE — EIGHTH consumer
@@ -1785,8 +1785,8 @@ def stream_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------- T28: streaming Mann-Whitney U (A64 live) ----------------
-# Registration note: QUEUED for a later round (gate window full — see
-# scripts/check_queued.py). Planned row:
+# Registration note: REGISTERED r12 (Block R12 queue drain; was queued via
+# scripts/check_queued.py). Registry row:
 #   ("stream_mannwhitney", st.stream_mannwhitney,
 #    ax.ORACLE_events_mannwhitney)
 def stream_mannwhitney(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -4,10 +4,12 @@ explicit (fn, oracle) list instead of the registry.
 
 Operators land here when the driver's 50-slot gate window is full for
 the current round (registration would displace the stale-row refresh).
-Round 11 promoted five of the eight r10-queued operators and
-implemented twenty-three more; the twenty-six below are staged
-r12-r17 at ≤5 registrations per round (see the Block R11/R12 comments in
-plans/registry.py and the staging plan in SCALE.md).
+Round 12 DRAINED the queue: all 27 r10/r11-queued operators were
+registered at once (Block R12, plans/registry.py) per the r11 verdict's
+Next #1 — the rotation's unrecorded-first rule gives each an official
+green row immediately.  The queue is now EMPTY; new operators should be
+registered directly while the unrecorded count stays under the 50-slot
+window, and only staged here when it would overflow.
 
 Usage: python scripts/check_queued.py [sf_dir] [query ...]
 """
@@ -29,101 +31,14 @@ from oracle_check import TABLES, approx_equal, sorted_rows  # noqa: E402
 
 def queued():
     """name -> (query_fn, oracle_sql) for every implemented-but-unregistered
-    operator (kept in lockstep with the 'Registration note' docstrings)."""
-    from project_obsidian_core_spark.plans import analytics_ext_queries as ax
-    from project_obsidian_core_spark.plans import behavior_queries as b
-    from project_obsidian_core_spark.plans import curation_queries as cu
-    from project_obsidian_core_spark.plans import datapipe_queries as d
-    from project_obsidian_core_spark.plans import metrics_queries as m
-    from project_obsidian_core_spark.plans import pipeline_queries as pl
-    from project_obsidian_core_spark.plans import relational_queries as r
-    from project_obsidian_core_spark.plans import streaming_queries as st
+    operator (kept in lockstep with the 'Registration note' docstrings).
 
-    return {
-        # held from r10 for the r12 window (see Block R11, registry.py)
-        "text_zipf_octaves": (
-            cu.text_zipf_octaves,
-            cu.ORACLE_text_zipf_octaves,
-        ),
-        "knn_reciprocity": (d.knn_reciprocity, d.ORACLE_knn_reciprocity),
-        "events_session_entry_exit": (
-            pl.events_session_entry_exit,
-            pl.ORACLE_events_session_entry_exit,
-        ),
-        # implemented in r11, queued for r12+ registration
-        "customer_rfm": (b.customer_rfm, b.ORACLE_customer_rfm),
-        "part_supplier_counts": (
-            r.part_supplier_counts,
-            r.ORACLE_part_supplier_counts,
-        ),
-        "customer_order_histogram": (
-            r.customer_order_histogram,
-            r.ORACLE_customer_order_histogram,
-        ),
-        "metric_seasonal_hod": (
-            m.metric_seasonal_hod,
-            m.ORACLE_metric_seasonal_hod,
-        ),
-        "text_gram_novelty": (
-            cu.text_gram_novelty,
-            cu.ORACLE_text_gram_novelty,
-        ),
-        "stream_bollinger": (st.stream_bollinger, m.ORACLE_metric_bollinger),
-        "metric_drawdown": (m.metric_drawdown, m.ORACLE_metric_drawdown),
-        "part_value_concentration": (
-            r.part_value_concentration,
-            r.ORACLE_part_value_concentration,
-        ),
-        "lang_id_confusion": (d.lang_id_confusion, d.ORACLE_lang_id_confusion),
-        "dedup_sorted_neighborhood": (
-            d.dedup_sorted_neighborhood,
-            d.ORACLE_dedup_sorted_neighborhood,
-        ),
-        "stream_drawdown": (st.stream_drawdown, m.ORACLE_metric_drawdown),
-        "knn_link_prediction": (
-            d.knn_link_prediction,
-            d.ORACLE_knn_link_prediction,
-        ),
-        "dedup_edit_distance": (
-            d.dedup_edit_distance,
-            d.ORACLE_dedup_edit_distance,
-        ),
-        "customer_abc": (b.customer_abc, b.ORACLE_customer_abc),
-        "stream_mannwhitney": (
-            st.stream_mannwhitney,
-            ax.ORACLE_events_mannwhitney,
-        ),
-        "knn_khop_reachability": (
-            d.knn_khop_reachability,
-            d.ORACLE_knn_khop_reachability,
-        ),
-        "corpus_mixture_sample": (
-            pl.corpus_mixture_sample,
-            pl.ORACLE_corpus_mixture_sample,
-        ),
-        "events_funnel_sweep": (
-            b.events_funnel_sweep,
-            b.ORACLE_events_funnel_sweep,
-        ),
-        "media_audio_energy": (
-            d.media_audio_energy,
-            d.ORACLE_media_audio_energy,
-        ),
-        "media_scene_cuts": (d.media_scene_cuts, d.ORACLE_media_scene_cuts),
-        "metric_completeness_report": (
-            m.metric_completeness_report,
-            m.ORACLE_metric_completeness_report,
-        ),
-        "events_growth_accounting": (
-            b.events_growth_accounting,
-            b.ORACLE_events_growth_accounting,
-        ),
-        "events_mix_drift": (b.events_mix_drift, b.ORACLE_events_mix_drift),
-        "media_image_histogram": (
-            d.media_image_histogram,
-            d.ORACLE_media_image_histogram,
-        ),
-    }
+    EMPTY since round 12's full drain: all 27 staged operators moved to
+    plans/registry.py Block R12.  Entries return here only if the count
+    of unrecorded registrations would overflow the driver's 50-slot gate
+    window.
+    """
+    return {}
 
 
 def main() -> int:
