@@ -1077,6 +1077,8 @@ def sorted_neighborhood_pairs(
     window: int = SN_WINDOW,
     key_prefix: int = SN_KEY_PREFIX,
     block_chars: int = SN_BLOCK_CHARS,
+    hashed_grams: bool = True,
+    verify: bool = True,
 ) -> DataFrame:
     """Sorted-neighborhood (SNM) near-dup candidates with exact verify —
     the THIRD blocking family next to LSH banding (minhash/simhash) and
@@ -1095,13 +1097,31 @@ def sorted_neighborhood_pairs(
     the same boundary trade every blocking method here prices via its
     recall audit. Verification is the exact char-{4}-gram Jaccard in
     integer ppm — (|A∩B|·10⁶) div |A∪B|, no float in the gate.
+
+    ``hashed_grams`` (default True — the r11 verdict's Next #3): the w
+    ``lead(gr, i)`` copies fan the gram payload through the window
+    exchange w times, so with string 4-grams the exchange carries ~w×
+    the corpus's gram TEXT.  Hashing each gram to an int64 with
+    ``xxhash64`` BEFORE the window (the D4b idiom that cut the ngram
+    intersection wall 4×) makes the fan-out carry 8-byte elements
+    instead — scores identical unless two distinct grams collide in 64
+    bits (~2⁻⁶⁴ per pair-union, negligible; the string-gram band-join
+    stays the oracle formulation, exactly how ``dedup_ngram_pairs_hashed``
+    is gated).  ``verify=False`` skips the gram columns entirely —
+    downstream verifiers that re-score candidates their own way (the D25
+    edit-distance DP) pay zero gram payload through the window.
     """
     from pyspark.sql import Window as W
 
+    gram_of = (
+        f"xxhash64(substring({text_col}, i, {NGRAM_W}))"
+        if hashed_grams
+        else f"substring({text_col}, i, {NGRAM_W})"
+    )
     grams = F.expr(
         f"array_distinct(transform("
         f"  sequence(1, greatest(length({text_col}) - {NGRAM_W - 1}, 1)),"
-        f"  i -> substring({text_col}, i, {NGRAM_W})))"
+        f"  i -> {gram_of}))"
     )
     key = F.substring(
         F.array_join(
@@ -1110,15 +1130,16 @@ def sorted_neighborhood_pairs(
         1,
         key_prefix,
     )
+    gram_cols = [grams.alias("gr")] if verify else []
     t = df.select(
         "doc_id",
         key.alias("sn_key"),
-        grams.alias("gr"),
+        *gram_cols,
     ).select(
         "doc_id",
         "sn_key",
         F.substring("sn_key", 1, block_chars).alias("block"),
-        "gr",
+        *(["gr"] if verify else []),
     )
     # the w neighbors come from LEAD over the sort order, NOT a rank-band
     # self-join: a band join keyed on the block degenerates to O(n²/block)
@@ -1132,22 +1153,38 @@ def sorted_neighborhood_pairs(
     sel = t.select(
         "block",
         "doc_id",
-        "gr",
+        *(["gr"] if verify else []),
         F.array(
             *[
                 F.struct(
                     F.lit(i).alias("rank_dist"),
                     F.lead("doc_id", i).over(wspec).alias("doc_b"),
-                    F.lead("gr", i).over(wspec).alias("gr_b"),
+                    *(
+                        [F.lead("gr", i).over(wspec).alias("gr_b")]
+                        if verify
+                        else []
+                    ),
                 )
                 for i in range(1, window + 1)
             ]
         ).alias("cands"),
     )
     e = (
-        sel.select("block", "doc_id", "gr", F.explode("cands").alias("c"))
+        sel.select(
+            "block",
+            "doc_id",
+            *(["gr"] if verify else []),
+            F.explode("cands").alias("c"),
+        )
         .filter(F.col("c.doc_b").isNotNull())
     )
+    if not verify:
+        return e.select(
+            "block",
+            F.col("doc_id").alias("doc_a"),
+            F.col("c.doc_b").alias("doc_b"),
+            F.col("c.rank_dist").cast("int").alias("rank_dist"),
+        )
     inter = F.size(F.array_intersect("gr", "c.gr_b"))
     union = F.size("gr") + F.size("c.gr_b") - inter
     return (

@@ -2806,8 +2806,11 @@ def dedup_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
     distinguished by a HARD-LINEAR candidate bound: |docs|·w pairs no
     matter how skewed the keys (the guarantee `max_bucket` only
     enforces by dropping). Verified with exact char-4-gram Jaccard in
-    integer ppm. See :func:`datapipe.dedup.sorted_neighborhood_pairs`
-    for the key/window/boundary design."""
+    integer ppm over xxhash64-hashed grams (default since r12 — the
+    window fan-out carries 8-byte elements instead of gram text; the
+    string-gram band-join below stays the oracle formulation). See
+    :func:`datapipe.dedup.sorted_neighborhood_pairs` for the
+    key/window/boundary design."""
     return (
         D.sorted_neighborhood_pairs(load(spark, sf_dir, "documents"))
         .orderBy("doc_a", "doc_b")
@@ -2926,7 +2929,11 @@ def dedup_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     pref = docs.select(
         "doc_id", F.substring("text", 1, _EDIT_PREFIX).alias("p")
     )
-    cand = D.sorted_neighborhood_pairs(docs).select(
+    # verify=False: candidates are purely sort-order-derived, so the
+    # edit-distance verifier pays ZERO gram payload through the SNM
+    # window (the jaccard gram columns existed only to be dropped here —
+    # 19.5 s → the window carries (block, key, doc_id) alone).
+    cand = D.sorted_neighborhood_pairs(docs, verify=False).select(
         "doc_a", "doc_b", "rank_dist"
     )
     j = (
