@@ -898,6 +898,17 @@ _ENTRIES: list[tuple[str, QueryFn, str | None]] = [
     ("events_mix_drift", bh.events_mix_drift, bh.ORACLE_events_mix_drift),
     # M10: image intensity histogram (stateless Arrow projection)
     ("media_image_histogram", d.media_image_histogram, d.ORACLE_media_image_histogram),
+    # ------------------------------------------------------------------
+    # Block R12b — new round-12 work (no official row yet).
+    # T22e: the first driver-GATED eviction path — evict-mode gap
+    # sessionization over event-time-ordered chunk replay; drain =
+    # finals ∪ per-user max-version live, same batch oracle as the
+    # non-evicting T22 twin (r11 verdict Next #4)
+    (
+        "stream_sessionize_evict",
+        st.stream_sessionize_evict,
+        pl.ORACLE_sessionize_events,
+    ),
 ]
 
 # ----------------------------------------------------------------------

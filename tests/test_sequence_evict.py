@@ -375,3 +375,39 @@ def test_asof_evict_finals_plus_live_equal_batch(spark, tmp_path):
     # event time, so at drain each user's live clicks cover at most the
     # last TWO bursts (12 clicks), not the 36-click history
     assert n_live_last <= 2 * 12, n_live_last
+
+
+def test_registered_sessionize_evict_plan_actually_evicts(spark):
+    """The r12-registered `stream_sessionize_evict` gate row proves
+    drain ≡ batch, but would also pass if eviction never fired (finals
+    empty, everything served live).  Pin that the registered plan's own
+    ordered-chunk replay at sf0.001 finalizes sessions out of state AND
+    that each session finalizes exactly once."""
+    from project_obsidian_core_spark.plans.streaming_queries import (
+        _sessionize_evict_emitted,
+    )
+
+    em = _sessionize_evict_emitted(spark, "/root/testdata/sf0.001").collect()
+    finals = [r for r in em if r["is_final"]]
+    assert finals, "registered evict plan never finalized a session"
+    # exactly-once finalization: no (user, session_idx) final dup
+    keys = [(r["user_id"], r["session_idx"]) for r in finals]
+    assert len(keys) == len(set(keys))
+    # eviction actually shrinks the served state: the last live frame of
+    # a user with finalized sessions must not re-carry them
+    by_user = {}
+    for r in em:
+        if not r["is_final"]:
+            by_user.setdefault(r["user_id"], []).append(r)
+    finals_by_user = {}
+    for u, i in keys:
+        finals_by_user.setdefault(u, set()).add(i)
+    checked = 0
+    for u, rows in by_user.items():
+        if u not in finals_by_user:
+            continue
+        vmax = max(r["version"] for r in rows)
+        live_idx = {r["session_idx"] for r in rows if r["version"] == vmax}
+        assert not (live_idx & finals_by_user[u]), u
+        checked += 1
+    assert checked, "no user had both finals and live rows"
