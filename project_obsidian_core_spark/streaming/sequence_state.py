@@ -217,6 +217,21 @@ FUNNEL_OUTPUT_SCHEMA = T.StructType(
     ]
 )
 
+#: evict-mode funnel output — per user ONE final row ever; drain = finals
+#: ∪ max-version live rows of users WITHOUT a final (unlike sessions,
+#: finals and live rows describe the same per-user scalar, so a user with
+#: a final row supersedes all their live history)
+FUNNEL_EVICT_OUTPUT_SCHEMA = T.StructType(
+    [*FUNNEL_OUTPUT_SCHEMA.fields, T.StructField("is_final", T.BooleanType())]
+)
+
+#: evict-mode funnel state — ``done`` is the tombstone: once a user's
+#: funnel is finalized their event rows leave state and only the flag
+#: remains (O(1) per finalized user; the event arrays are empty)
+FUNNEL_EVICT_STATE_SCHEMA = T.StructType(
+    [*STATE_SCHEMA.fields, T.StructField("done", T.BooleanType())]
+)
+
 
 def funnel_progress(
     ts: list[int], types: list[str], stages: tuple[str, ...], within_us: int
@@ -249,13 +264,40 @@ def funnel_progress(
     return reached
 
 
-def make_funnel_fn(stages: tuple[str, ...], within_us: int):
+def make_funnel_fn(stages: tuple[str, ...], within_us: int, evict: bool = False):
+    """``evict=True`` (r11 verdict Next #5): unlike the fold-family path
+    statistics, the anchored funnel HAS a semantic horizon — once the
+    anchor is below the watermark it is FROZEN (the final anchor is the
+    earliest stage-1, and every future row has ts ≥ watermark > anchor),
+    and once ``anchor + within < watermark`` no future row can land in
+    the deadline window either, so ``max_stage`` can never change: emit
+    it once with ``is_final=True``, drop the event rows, keep a 1-flag
+    tombstone.  Until then state is PRUNED to the provably-live slice:
+
+    * anchor frozen (anchor < wm), not expired → only ``[anchor,
+      anchor+within]`` rows can still matter (rows before the anchor are
+      non-stage-1 with t ≤ anchor, dead for progression; rows past the
+      deadline can neither anchor earlier nor progress);
+    * no anchor, or anchor ≥ wm (a future stage-1 could still precede
+      it) → rows with ts < wm are dead: any final anchor a satisfies
+      a ≥ wm or a = current anchor ≥ wm, and progression needs
+      t > a ≥ wm > t — impossible.
+
+    Both prunes are lossless for the final answer (re-inserted replayed
+    rows land outside the live slice and change nothing), so finals ∪
+    max-version live of unfinalized users ≡ the batch A44 greedy,
+    unit-pinned in tests/test_sequence_evict.py."""
+
     def fn(
         key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
         user = int(key[0])
+        done = False
         if state.exists:
-            ts, eid, types, version = state.get
+            if evict:
+                ts, eid, types, version, done = state.get
+            else:
+                ts, eid, types, version = state.get
             ts, eid, types = list(ts), list(eid), list(types)
         else:
             ts, eid, types, version = [], [], [], 0
@@ -264,43 +306,89 @@ def make_funnel_fn(stages: tuple[str, ...], within_us: int):
             if not len(pdf):
                 continue
             absorbed += len(pdf)
+            if done:
+                continue  # tombstoned: the outcome is immutable
             ts, eid, types = merge_sequence(
                 ts, eid, types,
                 zip(pdf["ts_us"], pdf["event_id"], pdf["event_type"]),
             )
-        if not absorbed:
+        if not absorbed or done:
             return
         version += absorbed
-        state.update((ts, eid, types, version))
-        yield pd.DataFrame(
-            {
+
+        def frame(stage, final):
+            cols = {
                 "user_id": [user],
-                "max_stage": [funnel_progress(ts, types, stages, within_us)],
+                "max_stage": [stage],
                 "version": [version],
             }
-        )
+            if evict:
+                cols["is_final"] = [final]
+            return pd.DataFrame(cols)
+
+        if evict:
+            wm_us = state.getCurrentWatermarkMs() * 1000
+            anchor = None
+            for t, y in zip(ts, types):
+                if y == stages[0]:
+                    anchor = t
+                    break
+            if anchor is not None and anchor + within_us < wm_us:
+                yield frame(
+                    funnel_progress(ts, types, stages, within_us), True
+                )
+                state.update(([], [], [], version, True))
+                return
+            if anchor is not None and anchor < wm_us:
+                lo, hi = anchor, anchor + within_us
+            else:
+                lo, hi = wm_us, None
+            keep = [
+                i
+                for i, t in enumerate(ts)
+                if t >= lo and (hi is None or t <= hi)
+            ]
+            stage_now = funnel_progress(ts, types, stages, within_us)
+            ts = [ts[i] for i in keep]
+            eid = [eid[i] for i in keep]
+            types = [types[i] for i in keep]
+            state.update((ts, eid, types, version, False))
+            yield frame(stage_now, False)
+            return
+        state.update((ts, eid, types, version))
+        yield frame(funnel_progress(ts, types, stages, within_us), False)
 
     return fn
 
 
 def streaming_sequence_funnel(
-    stream: DataFrame, stages: tuple[str, ...], within_us: int
+    stream: DataFrame, stages: tuple[str, ...], within_us: int,
+    evict: bool = False,
 ) -> DataFrame:
     """T21: the A44 anchored-window funnel served live — SECOND consumer
     of the ordered-sequence state, proving the state shape generalizes
     (T20 derives adjacency, this derives stage progress; both re-emit
     from the reconstructed sequence, so out-of-order delivery of the
-    anchor AFTER later stages still converges to the batch answer)."""
+    anchor AFTER later stages still converges to the batch answer).
+    ``evict=True`` (needs a watermarked source) finalizes users whose
+    anchor + within < watermark and prunes dead rows from the rest —
+    see :func:`make_funnel_fn` for the horizon proof."""
     keyed = stream.select(
         F.col("user_id").cast("long").alias("user_id"),
         F.col("event_id").cast("long").alias("event_id"),
         F.unix_micros("ts").alias("ts_us"),
         F.col("event_type").cast("string").alias("event_type"),
+        # keep the watermark-tagged column alive in evict mode
+        *([F.col("ts")] if evict else []),
     )
     return keyed.groupBy("user_id").applyInPandasWithState(
-        make_funnel_fn(stages, within_us),
-        outputStructType=FUNNEL_OUTPUT_SCHEMA,
-        stateStructType=STATE_SCHEMA,
+        make_funnel_fn(stages, within_us, evict=evict),
+        outputStructType=(
+            FUNNEL_EVICT_OUTPUT_SCHEMA if evict else FUNNEL_OUTPUT_SCHEMA
+        ),
+        stateStructType=(
+            FUNNEL_EVICT_STATE_SCHEMA if evict else STATE_SCHEMA
+        ),
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )

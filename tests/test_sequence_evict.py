@@ -411,3 +411,187 @@ def test_registered_sessionize_evict_plan_actually_evicts(spark):
         assert not (live_idx & finals_by_user[u]), u
         checked += 1
     assert checked, "no user had both finals and live rows"
+
+
+# ---------------- T21e: anchored-funnel eviction (r12, verdict #5) -------
+_F_STAGES = ("view", "click", "purchase")
+_F_WITHIN_US = 10 * 60 * 1_000_000  # 10-minute deadline
+
+
+def _funnel_bursts():
+    """Four users, six hourly bursts (deadline 10 min << burst spacing,
+    so anchors expire).  Every user gets a `noise` row per burst so the
+    state fn runs for their key (NoTimeout: only keys with input rows
+    are invoked) and finalization can fire.
+
+    * user 1: full view→click→purchase inside the window (burst 0) —
+      finalizes at max_stage 3
+    * user 2: view + click in-window, purchase AFTER the deadline —
+      finalizes at max_stage 2
+    * user 3: click/noise only, never a view — anchorless, never
+      finalizes, served live at max_stage 0
+    * user 4: view in the LAST burst — anchor not yet expired at drain,
+      served live at max_stage 1
+    """
+    bursts = []
+    eid = 0
+
+    def row(u, t, y):
+        nonlocal eid
+        r = (u, eid, t, 0, y)
+        eid += 1
+        return r
+
+    for b in range(6):
+        t0 = BASE_US + b * 3_600_000_000
+        rows = []
+        if b == 0:
+            rows += [
+                row(1, t0, "view"),
+                row(1, t0 + 60_000_000, "click"),
+                row(1, t0 + 120_000_000, "purchase"),
+                row(2, t0, "view"),
+                row(2, t0 + 120_000_000, "click"),
+                row(2, t0 + 20 * 60_000_000, "purchase"),  # past deadline
+                row(3, t0 + 30_000_000, "click"),
+            ]
+        if b == 5:
+            rows.append(row(4, t0 + 10_000_000, "view"))
+        for u in (1, 2, 3, 4):
+            rows.append(row(u, t0 + 200_000_000 + u * 1_000_000, "noise"))
+        bursts.append(rows)
+    return bursts
+
+
+def test_funnel_evict_finals_plus_live_equal_batch(spark, tmp_path):
+    from project_obsidian_core_spark.streaming.sequence_state import (
+        funnel_progress,
+        streaming_sequence_funnel,
+    )
+
+    bursts = _funnel_bursts()
+    stream = _write_bursts(spark, tmp_path, bursts, "fsrc").select(
+        "user_id", "event_id", "ts", "event_type"
+    )
+    _run(
+        streaming_sequence_funnel(
+            stream, _F_STAGES, _F_WITHIN_US, evict=True
+        ),
+        tmp_path,
+        "funnel_evict",
+    )
+    em = spark.table("funnel_evict").collect()
+    finals = [r for r in em if r["is_final"]]
+    assert finals, "funnel eviction never fired"
+    # exactly-once finalization per user
+    fusers = [r["user_id"] for r in finals]
+    assert len(fusers) == len(set(fusers))
+    # tombstone holds: no emission of any kind after a user's final row
+    for f in finals:
+        later = [
+            r for r in em
+            if r["user_id"] == f["user_id"] and r["version"] > f["version"]
+        ]
+        assert not later, f["user_id"]
+    # drain = finals ∪ live@vmax of unfinalized users ≡ batch greedy
+    got = {r["user_id"]: r["max_stage"] for r in finals}
+    live = [r for r in em if not r["is_final"]]
+    vmax = {}
+    for r in live:
+        vmax[r["user_id"]] = max(vmax.get(r["user_id"], 0), r["version"])
+    for r in live:
+        if r["user_id"] not in got and r["version"] == vmax[r["user_id"]]:
+            got[r["user_id"]] = r["max_stage"]
+    per_user = {}
+    for burst in bursts:
+        for u, e, t, _, y in burst:
+            per_user.setdefault(u, []).append((t, e, y))
+    truth = {}
+    for u, seq in per_user.items():
+        seq.sort()
+        truth[u] = funnel_progress(
+            [t for t, _, _ in seq], [y for _, _, y in seq],
+            _F_STAGES, _F_WITHIN_US,
+        )
+    assert got == truth
+    assert {truth[1], truth[2], truth[3], truth[4]} == {3, 2, 0, 1}
+    assert set(fusers) == {1, 2}  # expired anchors finalize, others live
+
+
+def test_funnel_evict_state_bound_direct():
+    """State-bound pin via a fake GroupState: finalized users keep only
+    the tombstone (empty arrays); anchorless users' below-watermark rows
+    are pruned; a frozen unexpired anchor keeps only its window slice."""
+    import pandas as pd
+
+    from project_obsidian_core_spark.streaming.sequence_state import (
+        make_funnel_fn,
+    )
+
+    class FakeState:
+        def __init__(self, wm_ms=0):
+            self.exists = False
+            self._v = None
+            self.wm_ms = wm_ms
+
+        @property
+        def get(self):
+            return self._v
+
+        def update(self, v):
+            self._v = v
+            self.exists = True
+
+        def getCurrentWatermarkMs(self):
+            return self.wm_ms
+
+    fn = make_funnel_fn(_F_STAGES, _F_WITHIN_US, evict=True)
+
+    # anchorless user: 100 noise rows below the watermark all prune away
+    st = FakeState(wm_ms=(BASE_US + 3_600_000_000) // 1000)
+    b = pd.DataFrame(
+        {
+            "ts_us": [BASE_US + i * 1_000 for i in range(100)],
+            "event_id": list(range(100)),
+            "event_type": ["noise"] * 100,
+        }
+    )
+    out = list(fn((3,), iter([b]), st))
+    assert len(out) == 1 and not bool(out[0]["is_final"][0])
+    ts, eid, types, version, done = st.get
+    assert ts == [] and not done
+
+    # frozen unexpired anchor: only the [anchor, anchor+within] slice stays
+    st2 = FakeState(wm_ms=(BASE_US + 120_000_000) // 1000)
+    b2 = pd.DataFrame(
+        {
+            "ts_us": [
+                BASE_US - 50_000_000,          # pre-anchor, dead
+                BASE_US,                        # anchor (view)
+                BASE_US + 60_000_000,           # in-window click
+                BASE_US + _F_WITHIN_US + 1,     # past deadline, dead
+            ],
+            "event_id": [0, 1, 2, 3],
+            "event_type": ["noise", "view", "click", "purchase"],
+        }
+    )
+    out2 = list(fn((5,), iter([b2]), st2))
+    assert int(out2[0]["max_stage"][0]) == 2
+    ts2, _, types2, _, done2 = st2.get
+    assert ts2 == [BASE_US, BASE_US + 60_000_000] and not done2
+
+    # expired anchor: final emit + tombstone; later rows emit NOTHING
+    st3 = FakeState(wm_ms=(BASE_US + _F_WITHIN_US + 120_000_000) // 1000)
+    out3 = list(fn((6,), iter([b2]), st3))
+    assert bool(out3[0]["is_final"][0]) and int(out3[0]["max_stage"][0]) == 2
+    ts3, _, _, _, done3 = st3.get
+    assert ts3 == [] and done3
+    b3 = pd.DataFrame(
+        {
+            "ts_us": [BASE_US + 7_200_000_000],
+            "event_id": [9],
+            "event_type": ["view"],
+        }
+    )
+    assert list(fn((6,), iter([b3]), st3)) == []
+    assert st3.get[4] is True  # tombstone survives
