@@ -62,6 +62,7 @@ def _guard_series_pairs(
     pair_block: str | None,
     op: str,
     count_rel: DataFrame | None = None,
+    defer: bool = False,
 ) -> DataFrame:
     """Pre-flight + blocking guard for the all-pairs SERIES axis shared by
     the association matrices (A37 Pearson, A62 xcorr, A65 Kendall).
@@ -96,6 +97,15 @@ def _guard_series_pairs(
     per query either way (the pruned scan dominates, not the windows) —
     noted in SCALE.md so the three gated queries' bench drift is
     pre-explained.
+
+    ``defer=True`` (the r11 ADVICE flag): plan construction stays LAZY —
+    instead of the eager 1-row ``collect()``, the cap check is embedded
+    in the plan itself as a broadcast 1-row cross join + an
+    ``assert_true`` FILTER on the pair input, so the builder never runs
+    a Spark job and an over-cap corpus fails at EXECUTION time, before
+    the quadratic pair join consumes its input.  A filter (not a bare
+    projected column) so column pruning can never fold the check away.
+    The gate queries keep the eager default — plans byte-identical.
     """
     if pair_block is not None:
         rel = rel.withColumn("__blk", F.expr(pair_block))
@@ -105,14 +115,29 @@ def _guard_series_pairs(
         if pair_block is not None:
             check = check.withColumn("__blk", F.expr(pair_block))
             key = ["__blk"]
-        sizes = (
-            check.distinct()
-            .groupBy(*key)
-            .count()
-            .agg(F.max("count").alias("n"))
-            .collect()
+        sizes_rel = check.distinct().groupBy(*key).count().agg(
+            F.max("count").alias("__guard_n")
         )
-        n = sizes[0]["n"] or 0
+        if defer:
+            what = "block" if pair_block is not None else "series set"
+            msg = (
+                f"{op}: {what} exceeds max_series={max_series}; the pair"
+                f" matrix is quadratic in this count. Supply pair_block="
+                f" to restrict pairing to same-block series, or raise"
+                f" max_series explicitly if the quadratic is intended."
+            )
+            return (
+                rel.crossJoin(F.broadcast(sizes_rel))
+                .filter(
+                    F.assert_true(
+                        F.coalesce(F.col("__guard_n"), F.lit(0))
+                        <= F.lit(max_series),
+                        F.lit(msg),
+                    ).isNull()
+                )
+                .drop("__guard_n")
+            )
+        n = sizes_rel.collect()[0]["__guard_n"] or 0
         if n > max_series:
             what = "block" if pair_block is not None else "series set"
             raise RuntimeError(
@@ -584,6 +609,7 @@ def metric_corr_matrix(
     *,
     max_series: int | None = 64,
     pair_block: str | None = None,
+    defer_guard: bool = False,
 ) -> DataFrame:
     """A37: Pearson correlation between every metric-series pair after
     minute-bucket alignment — the redundancy/co-movement screen behind
@@ -626,6 +652,7 @@ def metric_corr_matrix(
     c = _guard_series_pairs(
         c, "metric_name", max_series, pair_block, "metric_corr_matrix",
         count_rel=m,
+        defer=defer_guard,
     )
     cond = (F.col("a.bucket") == F.col("b.bucket")) & (
         F.col("a.metric_name") < F.col("b.metric_name")
@@ -1610,6 +1637,7 @@ def metric_xcorr(
     *,
     max_series: int | None = 64,
     pair_block: str | None = None,
+    defer_guard: bool = False,
 ) -> DataFrame:
     """A62: SIGNED-lag cross-correlation between every metric-series
     pair on the minute grid — the lead/lag detector ("disk latency
@@ -1644,6 +1672,7 @@ def metric_xcorr(
     c = _guard_series_pairs(
         c, "metric_name", max_series, pair_block, "metric_xcorr",
         count_rel=m,
+        defer=defer_guard,
     )
     blk = ["__blk"] if pair_block is not None else []
     a = c.select(
@@ -1886,6 +1915,7 @@ def metric_kendall_tau(
     *,
     max_series: int | None = 64,
     pair_block: str | None = None,
+    defer_guard: bool = False,
 ) -> DataFrame:
     """A65: Kendall tau-b between every metric-series pair on the hour
     grid — the RANK member of the co-movement family: A37/A62 measure
@@ -1928,6 +1958,7 @@ def metric_kendall_tau(
     grid = _guard_series_pairs(
         grid, "metric_name", max_series, pair_block, "metric_kendall_tau",
         count_rel=m,
+        defer=defer_guard,
     )
     blk = ["__blk"] if pair_block is not None else []
     al = (

@@ -760,16 +760,25 @@ def make_asof_fn(evict: bool = False):
       every live/future click (ts ≥ wm) the as-of winner among frozen
       purchases is their max-ts one — the rest are dominated forever.
 
-    finals ∪ max-version live ≡ the batch ASOF join exactly (no
-    semantic loss — unlike the windowed twins, this eviction is
-    lossless), test-pinned; state shrinks to the horizon's clicks plus
-    the in-horizon purchases + one anchor purchase.  Requires
-    ``withWatermark`` upstream."""
+    finals ∪ max-version live (finals taking precedence by event_id —
+    a timeout flush finalizes clicks whose last live frame may remain
+    the max-version one) ≡ the batch ASOF join exactly (no semantic
+    loss — unlike the windowed twins, this eviction is lossless),
+    test-pinned; state shrinks to the horizon's clicks plus the
+    in-horizon purchases + one anchor purchase.  QUIESCENT keys flush
+    too (the r11 ADVICE gap — ``if not absorbed: return`` alone never
+    re-evaluated eviction for idle keys): evict mode registers an
+    EVENT-TIME TIMEOUT one watermark-delay past the current watermark,
+    so when the watermark advances past it on other keys' traffic the
+    state fn fires with ``hasTimedOut`` and runs the same eviction
+    sweep with no input rows, re-arming while anything evictable
+    remains.  Requires ``withWatermark`` upstream."""
 
     def fn(
         key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
         user = int(key[0])
+        timed_out = evict and state.hasTimedOut
         if state.exists:
             c_ts, c_eid, c_cents, p_ts, p_cents, version = state.get
             c_ts, c_eid, c_cents = list(c_ts), list(c_eid), list(c_cents)
@@ -777,27 +786,28 @@ def make_asof_fn(evict: bool = False):
         else:
             c_ts, c_eid, c_cents, p_ts, p_cents, version = [], [], [], [], [], 0
         absorbed = 0
-        for pdf in pdfs:
-            if not len(pdf):
-                continue
-            absorbed += len(pdf)
-            clicks = pdf[pdf["side"] == "L"]
-            if len(clicks):
-                c_ts, c_eid, c_cents = merge_sequence(
-                    c_ts, c_eid, c_cents,
-                    [
-                        (int(t), int(e), int(v))
-                        for t, e, v in zip(
-                            clicks["ts_us"], clicks["event_id"], clicks["cents"]
-                        )
-                    ],
-                )
-            rights = pdf[pdf["side"] == "R"]
-            if len(rights):
-                p_ts, p_cents = fold_purchases(
-                    p_ts, p_cents, zip(rights["ts_us"], rights["cents"])
-                )
-        if not absorbed:
+        if not timed_out:
+            for pdf in pdfs:
+                if not len(pdf):
+                    continue
+                absorbed += len(pdf)
+                clicks = pdf[pdf["side"] == "L"]
+                if len(clicks):
+                    c_ts, c_eid, c_cents = merge_sequence(
+                        c_ts, c_eid, c_cents,
+                        [
+                            (int(t), int(e), int(v))
+                            for t, e, v in zip(
+                                clicks["ts_us"], clicks["event_id"], clicks["cents"]
+                            )
+                        ],
+                    )
+                rights = pdf[pdf["side"] == "R"]
+                if len(rights):
+                    p_ts, p_cents = fold_purchases(
+                        p_ts, p_cents, zip(rights["ts_us"], rights["cents"])
+                    )
+        if not absorbed and not timed_out:
             return
         version += absorbed
 
@@ -822,8 +832,22 @@ def make_asof_fn(evict: bool = False):
         if evict:
             import bisect
 
-            wm_us = state.getCurrentWatermarkMs() * 1000
+            wm_ms = state.getCurrentWatermarkMs()
+            wm_us = wm_ms * 1000
             cut = bisect.bisect_left(c_ts, wm_us)
+            pcut = bisect.bisect_left(p_ts, wm_us)
+            if timed_out and cut == 0 and pcut <= 1:
+                # idle key, nothing evictable yet: re-arm and go quiet
+                if c_ts or len(p_ts) > 1:
+                    state.setTimeoutTimestamp(wm_ms + 60_000)
+                state.update(
+                    (c_ts, c_eid, c_cents, p_ts, p_cents, version)
+                )
+                return
+            if timed_out:
+                # a flush emission needs its own version so the drain's
+                # max-version live view supersedes the pre-flush frame
+                version += 1
             if cut > 0:
                 # frozen clicks: matched against the FULL purchase map,
                 # emitted exactly once, then evicted
@@ -832,9 +856,12 @@ def make_asof_fn(evict: bool = False):
                 c_ts, c_eid, c_cents = c_ts[cut:], c_eid[cut:], c_cents[cut:]
             # purchase purge: in-horizon ones plus the latest frozen one
             # (the only frozen purchase any future click can match)
-            pcut = bisect.bisect_left(p_ts, wm_us)
             if pcut > 1:
                 p_ts, p_cents = p_ts[pcut - 1 :], p_cents[pcut - 1 :]
+            # re-arm while anything can still freeze (live clicks, or
+            # in-horizon purchases that a later watermark dominates)
+            if c_ts or len(p_ts) > 1:
+                state.setTimeoutTimestamp(wm_ms + 60_000)
         state.update((c_ts, c_eid, c_cents, p_ts, p_cents, version))
         if not c_ts:
             return
@@ -882,7 +909,13 @@ def streaming_asof_join(stream: DataFrame, evict: bool = False) -> DataFrame:
         outputStructType=ASOF_EVICT_OUTPUT_SCHEMA if evict else ASOF_OUTPUT_SCHEMA,
         stateStructType=ASOF_STATE_SCHEMA,
         outputMode="append",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+        # evict mode times out quiescent keys on watermark advance so
+        # their frozen clicks flush and leave state (r11 ADVICE)
+        timeoutConf=(
+            GroupStateTimeout.EventTimeTimeout
+            if evict
+            else GroupStateTimeout.NoTimeout
+        ),
     )
 
 
@@ -1247,10 +1280,25 @@ def fold_value_counts(
     COMMUTATIVE integer addition keyed on the exact double value (the
     batch A64 groups on the same raw column, so float equality is the
     shared key semantics); kept sorted by value so the drain walk needs
-    no re-sort. Pure; unit-tested."""
+    no re-sort. Pure; unit-tested.
+
+    NaN is REJECTED at the fold boundary (r11 ADVICE): Python dict keys
+    use ``NaN != NaN`` so each NaN row would become its own counter and
+    ``sorted()`` over NaN keys is order-unstable — silently diverging
+    from the batch groupBy, which treats NaNs as equal.  A rank test
+    over NaN observations has no defined semantics anyway; callers must
+    filter or impute first (the gated plans project a non-null cents
+    column, so the assert is unreachable there)."""
+    import math
+
     acc: dict[float, list[int]] = {v: [x, y] for v, x, y in zip(vals, da, db)}
     for v, is_a in batch_rows:
         v = float(v)
+        if math.isnan(v):
+            raise ValueError(
+                "fold_value_counts: NaN observation — rank statistics are"
+                " undefined over NaN; filter or impute upstream"
+            )
         cell = acc.setdefault(v, [0, 0])
         cell[0 if is_a else 1] += 1
     items = sorted(acc.items())

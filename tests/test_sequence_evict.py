@@ -595,3 +595,88 @@ def test_funnel_evict_state_bound_direct():
     )
     assert list(fn((6,), iter([b3]), st3)) == []
     assert st3.get[4] is True  # tombstone survives
+
+
+def test_asof_evict_flushes_quiescent_keys(spark, tmp_path):
+    """The r11 ADVICE gap: a key that goes quiet must still finalize its
+    below-watermark clicks and purge dominated purchases — evict mode
+    registers an event-time timeout, so other keys' traffic advancing
+    the watermark flushes idle keys too.  User 9 clicks only in burst 0;
+    user 2 keeps trafficking for six hourly bursts.  All of user 9's
+    clicks must arrive as finals (their last live frame may stay the
+    max-version one, so the drain prefers finals by event_id)."""
+    from pyspark.sql import functions as F
+
+    from project_obsidian_core_spark.streaming.sequence_state import (
+        streaming_asof_join,
+    )
+
+    bursts = []
+    eid = 0
+    for b in range(6):
+        t0 = BASE_US + b * 3_600_000_000
+        rows = []
+        if b == 0:
+            rows += [
+                (9, 900, t0, 11, "L"),
+                (9, 901, t0 + 5_000_000, 22, "R"),
+                (9, 902, t0 + 10_000_000, 33, "L"),
+            ]
+            eid = 910
+        for j in range(4):
+            side = "R" if j == 2 else "L"
+            rows.append((2, eid, t0 + j * 5_000_000, 100 * (b + 1) + j, side))
+            eid += 1
+        bursts.append(rows)
+    src = str(tmp_path / "idle_src")
+    for burst in bursts:
+        spark.createDataFrame(
+            burst,
+            "user_id long, event_id long, ts_us long, cents long, side string",
+        ).coalesce(1).write.mode("append").parquet(src)
+    stream = (
+        spark.readStream.schema(
+            "user_id long, event_id long, ts_us long, cents long, side string"
+        )
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+        .withColumn("ts", F.timestamp_micros(F.col("ts_us")))
+        .withWatermark("ts", "1 minute")
+        .select("user_id", "event_id", "ts", "cents", "side")
+    )
+    out = streaming_asof_join(stream, evict=True)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("asof_idle_evict")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_idle"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    q.awaitTermination()
+    em = spark.table("asof_idle_evict").collect()
+    finals = [r for r in em if r["is_final"]]
+    fin_ids = [r["event_id"] for r in finals]
+    assert len(fin_ids) == len(set(fin_ids))  # exactly-once
+    # the quiescent user's clicks flushed WITHOUT any further user-9 rows
+    assert {900, 902} <= set(fin_ids), sorted(fin_ids)
+    # drain: finals take precedence; live@vmax fills the unfinalized rest
+    got = {
+        r["event_id"]: (
+            r["user_id"], r["ts_us"], r["cents"],
+            r["last_purchase_us"], r["last_purchase_cents"],
+        )
+        for r in finals
+    }
+    live = [r for r in em if not r["is_final"]]
+    vmax: dict[int, int] = {}
+    for r in live:
+        vmax[r["user_id"]] = max(vmax.get(r["user_id"], 0), r["version"])
+    for r in live:
+        if r["version"] == vmax[r["user_id"]] and r["event_id"] not in got:
+            got[r["event_id"]] = (
+                r["user_id"], r["ts_us"], r["cents"],
+                r["last_purchase_us"], r["last_purchase_cents"],
+            )
+    assert got == _expected_asof(bursts)

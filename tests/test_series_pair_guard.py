@@ -142,3 +142,42 @@ def test_default_path_unblocked_all_pairs(spark):
         lambda: mq.metric_kendall_tau(spark, "unused").collect(),
     )
     assert len(out) == 10  # C(5,2)
+
+
+def test_defer_guard_is_lazy_and_raises_at_execution(spark):
+    """The r11 ADVICE flag: with defer_guard=True, building the plan for
+    an over-cap corpus runs NO Spark job and raises nothing; the cap
+    fires at execution time (in-plan assert_true filter), before the
+    quadratic pair join consumes its input."""
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors import PySparkException
+
+    series = _mk_series(6)
+    # construction must not raise (and must not run the pre-flight job)
+    df = _with_events(
+        spark,
+        series,
+        lambda: mq.metric_corr_matrix(
+            spark, "unused", max_series=4, defer_guard=True
+        ),
+    )
+    with pytest.raises((Py4JJavaError, PySparkException)) as ei:
+        df.collect()
+    assert "exceeds max_series=4" in str(ei.value)
+
+
+def test_defer_guard_under_cap_matches_eager(spark):
+    series = _mk_series(4)
+    eager = _with_events(
+        spark,
+        series,
+        lambda: mq.metric_corr_matrix(spark, "unused").collect(),
+    )
+    deferred = _with_events(
+        spark,
+        series,
+        lambda: mq.metric_corr_matrix(
+            spark, "unused", defer_guard=True
+        ).collect(),
+    )
+    assert sorted(map(tuple, deferred)) == sorted(map(tuple, eager))
