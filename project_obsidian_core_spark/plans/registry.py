@@ -909,6 +909,13 @@ _ENTRIES: list[tuple[str, QueryFn, str | None]] = [
         st.stream_sessionize_evict,
         pl.ORACLE_sessionize_events,
     ),
+    # T21e: evict-mode anchored funnel (tombstoned finals + pruned live
+    # slices), same batch funnel oracle as the non-evicting T21
+    (
+        "stream_funnel_evict",
+        st.stream_funnel_evict,
+        bh.ORACLE_events_sequence_funnel,
+    ),
 ]
 
 # ----------------------------------------------------------------------

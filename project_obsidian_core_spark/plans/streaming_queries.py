@@ -1580,6 +1580,102 @@ def _sessionize_evict_emitted(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name)
 
 
+# ---------- T21e: anchored funnel with WATERMARK EVICTION, gated ----------
+def stream_funnel_evict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T21e gated: the evict-mode anchored funnel served live — SECOND
+    driver-gated eviction path (after T22e's sessions).  A user whose
+    anchor + deadline < watermark can never change stage (the anchor is
+    frozen once below the watermark, and no future row can land in the
+    deadline window), so their ``max_stage`` is emitted once with
+    ``is_final=True``, the event rows leave state, and a 1-flag
+    tombstone absorbs later traffic; unfinalized users carry only the
+    provably-live state slice (see ``make_funnel_fn``).  Replay is
+    event-time-ordered range chunks (:func:`_events_src_ordered`).
+    Drain = finals ∪ max-version live rows of users WITHOUT a final
+    (per-user scalar: a final supersedes the user's live history),
+    folded to per-stage user counts and gated bit-exact on the SAME
+    batch `events_sequence_funnel` oracle as the non-evicting T21."""
+    from project_obsidian_core_spark.plans.behavior_queries import _STAGES
+
+    emitted = _funnel_evict_emitted(spark, sf_dir)
+    # one window pass instead of a finals/live self-join (conflicting
+    # refs on the memory view): a user's final row supersedes their
+    # whole live history; otherwise take their max-version live row
+    wmax = Window.partitionBy("user_id")
+    latest = (
+        emitted.withColumn(
+            "_has_final", F.max(F.col("is_final").cast("int")).over(wmax)
+        )
+        .withColumn("_vmax", F.max("version").over(wmax))
+        .filter(
+            (F.col("_has_final") == 1) & F.col("is_final")
+            | (F.col("_has_final") == 0)
+            & (F.col("version") == F.col("_vmax"))
+        )
+        .select("user_id", "max_stage")
+    )
+    agg = latest.agg(
+        *[
+            F.sum((F.col("max_stage") >= i).cast("long")).alias(f"s{i}")
+            for i in range(1, len(_STAGES) + 1)
+        ]
+    )
+    rows = None
+    for i, stage in enumerate(_STAGES, start=1):
+        row = agg.select(
+            F.lit(i).alias("stage_idx"),
+            F.lit(stage).alias("stage"),
+            F.coalesce(F.col(f"s{i}"), F.lit(0)).cast("long").alias("n_users"),
+        )
+        rows = row if rows is None else rows.unionByName(row)
+    return rows.orderBy("stage_idx")
+
+
+def _funnel_evict_emitted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The raw evict-mode funnel emission — split out so the
+    eviction-fires unit can assert finals exist in the registered
+    plan's own replay (the sessionize-evict precedent)."""
+    from project_obsidian_core_spark.plans.behavior_queries import (
+        _SEQ_WINDOW_US,
+        _STAGES,
+    )
+    from project_obsidian_core_spark.streaming.sequence_state import (
+        streaming_sequence_funnel,
+    )
+
+    run = next(_RUN_IDS)
+    src = _events_src_ordered(spark, sf_dir, run)
+    schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+        .withWatermark("ts", "1 minute")
+    )
+    out = streaming_sequence_funnel(
+        stream, _STAGES, _SEQ_WINDOW_US, evict=True
+    )
+    name = f"stream_funnel_evict_{run}"
+    tmp = tempfile.mkdtemp(prefix=f"obsidian_fnlev_{run}_")
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            out.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .option("checkpointLocation", f"{tmp}/ckpt")
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+
+    return spark.table(name)
+
+
 # -------------------- T23: streaming dual-EWMA (W3 live, bit-exact) ------
 def stream_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T23: the W3 governor EWMA recursion served LIVE and gated on the

@@ -680,3 +680,24 @@ def test_asof_evict_flushes_quiescent_keys(spark, tmp_path):
                 r["last_purchase_us"], r["last_purchase_cents"],
             )
     assert got == _expected_asof(bursts)
+
+
+def test_registered_funnel_evict_plan_actually_evicts(spark):
+    """The r12-registered `stream_funnel_evict` gate would pass even if
+    no user ever finalized (all served live).  Pin that the registered
+    plan's own ordered-chunk replay at sf0.001 finalizes users (anchor +
+    deadline below the advancing watermark), exactly once each, and
+    emits nothing for them afterwards (tombstone)."""
+    from project_obsidian_core_spark.plans.streaming_queries import (
+        _funnel_evict_emitted,
+    )
+
+    em = _funnel_evict_emitted(spark, "/root/testdata/sf0.001").collect()
+    finals = [r for r in em if r["is_final"]]
+    assert finals, "registered funnel evict plan never finalized a user"
+    fusers = [r["user_id"] for r in finals]
+    assert len(fusers) == len(set(fusers))
+    by_user_final = {r["user_id"]: r["version"] for r in finals}
+    for r in em:
+        if r["user_id"] in by_user_final:
+            assert r["version"] <= by_user_final[r["user_id"]], r["user_id"]
