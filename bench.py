@@ -349,6 +349,7 @@ BENCH_QUERIES = [
     "media_image_histogram",  # M10 image intensity histogram (r12)
     "stream_sessionize_evict",  # T22e evict-mode sessions, gated (r12b)
     "stream_funnel_evict",    # T21e evict-mode funnel, gated (r12b)
+    "media_ahash",            # M11 perceptual aHash + dedup bands (r12b)
     # stream_cdc_merge is timed via _time_cdc_merge below (merge work
     # only): its checkpointed replay rewrites a bucketed parquet snapshot
     # per micro-batch (~12 s/run at sf0.1, >90% filesystem publish/rename

@@ -587,3 +587,66 @@ def image_histogram(media: DataFrame, bins: int = IMAGE_HIST_BINS) -> DataFrame:
     return media.filter(F.col("media_type") == "image").mapInPandas(
         batches, schema=IMAGE_HIST_SCHEMA
     )
+
+
+# --------------------------------------------- perceptual average hash ----
+AHASH_CELLS = 64
+
+AHASH_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("ahash_hex", StringType()),
+    ]
+)
+
+
+def image_ahash(media: DataFrame, cells: int = AHASH_CELLS) -> DataFrame:
+    """M11: average hash (aHash) of the image payloads — the classic
+    perceptual fingerprint (downsample to ``cells`` regions, threshold
+    each region's mean against the global mean, pack to a bit string):
+    near-identical captures land on equal or near-equal hashes, which is
+    how production image-dedup pre-filters pairs before expensive
+    comparison.  Exact integer arithmetic end-to-end: with equal-size
+    regions, ``region_mean > global_mean`` ⇔ ``region_sum · cells >
+    total_sum`` — no float division anywhere, so the hash is engine- and
+    platform-independent.  Emitted as a 16-hex-char string (no int64
+    signedness pitfalls across engines).  Arrow-batched ``mapInPandas``,
+    stateless, no shuffle; real decoders swap in behind the probe with
+    the identical contract.  Payload length must divide evenly into
+    ``cells`` regions (the synthetic 64-byte payloads give 1-byte
+    regions)."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in it:
+            ids, hexes = [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["content"]):
+                b = np.frombuffer(bytes(payload), dtype=np.uint8)
+                if len(b) % cells:
+                    raise ValueError(
+                        f"payload of {len(b)} bytes does not divide into"
+                        f" {cells} aHash regions"
+                    )
+                csums = b.reshape(cells, -1).sum(axis=1, dtype=np.int64)
+                tot = int(b.sum(dtype=np.int64))
+                bits = [int(int(cs) * cells > tot) for cs in csums]
+                hx = "".join(
+                    "0123456789abcdef"[
+                        8 * bits[4 * k] + 4 * bits[4 * k + 1]
+                        + 2 * bits[4 * k + 2] + bits[4 * k + 3]
+                    ]
+                    for k in range(cells // 4)
+                )
+                ids.append(int(doc_id))
+                hexes.append(hx)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "ahash_hex": pd.Series(hexes, dtype="object"),
+                }
+            )
+
+    return media.filter(F.col("media_type") == "image").mapInPandas(
+        batches, schema=AHASH_SCHEMA
+    )

@@ -3155,3 +3155,64 @@ SELECT doc_id, CAST(g.b AS INT) AS bin_idx,
 FROM by_, unnest(generate_series(0, {_HB - 1})) AS g(b)
 ORDER BY doc_id, bin_idx
 """
+
+
+# ------------------------------- M11: perceptual average hash + bands -----
+def media_ahash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M11: perceptual average hash of every image payload plus the
+    16-bit band bucket a dedup pre-filter indexes on — the bridge
+    between the multimodal and dedup pillars: production image dedup
+    hashes every capture (aHash/pHash), buckets on a hash prefix, and
+    only compares within-bucket pairs (the LSH-banding idiom applied to
+    pixels).  ``band_n`` is the bucket population — the candidate
+    fan-out a downstream Hamming verify would pay, and the blank-corpus
+    signal (uniform payloads → everything in one band).  Exact int
+    arithmetic, engine-independent hex; see
+    :func:`datapipe.multimodal.image_ahash`."""
+    from pyspark.sql import Window
+
+    media = M.attach_media(load(spark, sf_dir, "documents"))
+    h = M.image_ahash(media).withColumn(
+        "band", F.substring("ahash_hex", 1, 4)
+    )
+    wb = Window.partitionBy("band")
+    return (
+        h.withColumn("band_n", F.count(F.lit(1)).over(wb).cast("long"))
+        .select("doc_id", "ahash_hex", "band", "band_n")
+        .orderBy("doc_id")
+    )
+
+
+_AC = M.AHASH_CELLS
+ORACLE_media_ahash = f"""
+WITH p AS (
+    SELECT doc_id, {_FULL_HEX} AS fh
+    FROM documents WHERE doc_id % 3 = 0
+), by_ AS (
+    SELECT doc_id,
+           [CAST('0x' || substr(fh, 2 * i - 1, 2) AS BIGINT)
+            for i in generate_series(1, {_N_PAYLOAD})] AS bytes_
+    FROM p
+), bits AS (
+    -- equal 1-byte regions ({_N_PAYLOAD} bytes / {_AC} cells):
+    -- bit i = region_sum·cells > total_sum (exact-int mean compare)
+    SELECT doc_id,
+           [CASE WHEN bytes_[i] * {_AC} > list_aggregate(bytes_, 'sum')
+                 THEN 1 ELSE 0 END
+            for i in generate_series(1, {_AC})] AS b
+    FROM by_
+), hx AS (
+    SELECT doc_id,
+           array_to_string(
+               [substr('0123456789abcdef',
+                       1 + 8 * b[4 * k - 3] + 4 * b[4 * k - 2]
+                         + 2 * b[4 * k - 1] + b[4 * k], 1)
+                for k in generate_series(1, {_AC // 4})], '') AS ahash_hex
+    FROM bits
+)
+SELECT doc_id, ahash_hex, substr(ahash_hex, 1, 4) AS band,
+       CAST(count(*) OVER (PARTITION BY substr(ahash_hex, 1, 4))
+            AS BIGINT) AS band_n
+FROM hx
+ORDER BY doc_id
+"""

@@ -916,6 +916,8 @@ _ENTRIES: list[tuple[str, QueryFn, str | None]] = [
         st.stream_funnel_evict,
         bh.ORACLE_events_sequence_funnel,
     ),
+    # M11: perceptual average hash + 16-bit dedup bands (exact-int aHash)
+    ("media_ahash", d.media_ahash, d.ORACLE_media_ahash),
 ]
 
 # ----------------------------------------------------------------------

@@ -305,3 +305,53 @@ def test_real_decode_mp4_dispatches_to_pyav(monkeypatch):
     # MP3 magic (ID3 and bare frame-sync) routes through the same probe
     assert M._decode_real("audio", b"ID3" + b"\x00" * 16).shape == (48,)
     assert M._decode_real("audio", b"\xff\xfb" + b"\x00" * 16).shape == (48,)
+
+
+def test_image_ahash_matches_python(media):
+    """M11: the exact-int aHash matches a direct python recompute, only
+    images are hashed, and the hex packing is bit-faithful."""
+    import hashlib
+
+    out = {r["doc_id"]: r["ahash_hex"] for r in M.image_ahash(media).collect()}
+    assert set(out) == {0, 3, 6, 9}  # doc_id % 3 == 0 -> image
+    for doc_id in out:
+        text = f"document number {doc_id} with some content"
+        payload = b"".join(
+            bytes.fromhex(hashlib.md5(f"{text}:{i}".encode()).hexdigest())
+            for i in range(1, M.PAYLOAD_BLOCKS + 1)
+        )
+        b = list(payload)
+        tot = sum(b)
+        bits = [1 if v * M.AHASH_CELLS > tot else 0 for v in b]
+        want = "".join(
+            "0123456789abcdef"[
+                8 * bits[4 * k] + 4 * bits[4 * k + 1]
+                + 2 * bits[4 * k + 2] + bits[4 * k + 3]
+            ]
+            for k in range(M.AHASH_CELLS // 4)
+        )
+        assert out[doc_id] == want, doc_id
+        assert len(out[doc_id]) == 16
+
+
+def test_image_ahash_identical_payloads_collide(spark):
+    """Equal content -> equal hash (the dedup contract), different
+    content -> (here) different hash."""
+    docs = spark.createDataFrame(
+        [(0, "same text"), (3, "same text"), (6, "other text")],
+        ["doc_id", "text"],
+    )
+    rows = {r["doc_id"]: r["ahash_hex"]
+            for r in M.image_ahash(M.attach_media(docs)).collect()}
+    assert rows[0] == rows[3] != rows[6]
+
+
+def test_image_ahash_rejects_indivisible_payload(spark):
+    import pandas as pd
+
+    docs = spark.createDataFrame([(0, "x")], ["doc_id", "text"])
+    media = M.attach_media(docs).withColumn(
+        "content", F.expr("substring(content, 1, 63)")
+    )
+    with pytest.raises(Exception, match="does not divide"):
+        M.image_ahash(media).collect()
