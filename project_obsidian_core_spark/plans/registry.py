@@ -918,6 +918,8 @@ _ENTRIES: list[tuple[str, QueryFn, str | None]] = [
     ),
     # M11: perceptual average hash + 16-bit dedup bands (exact-int aHash)
     ("media_ahash", d.media_ahash, d.ORACLE_media_ahash),
+    # T29: streaming two-sided CUSUM curve vs the batch A43 oracle
+    ("stream_cusum", st.stream_cusum, m.ORACLE_metric_cusum),
 ]
 
 # ----------------------------------------------------------------------

@@ -2022,6 +2022,80 @@ def stream_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("metric_name")
 
 
+# ---------------- T29: streaming two-sided CUSUM (A43 live) ---------------
+def stream_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T29: the A43 two-sided CUSUM drift curve served LIVE — NINTH
+    bucket-sum-state consumer, second PATH statistic after T27: every
+    deviation is against the global series mean, so each arrival shifts
+    the whole curve; the emit re-derives all rows (stale-mean scalar
+    state is exactly the silent corruption this family exists to
+    avoid).  Drained max-version rows gate on the batch `metric_cusum`
+    DuckDB oracle bit-exactly."""
+    from pyspark.sql import Window
+
+    from project_obsidian_core_spark.plans.metrics_queries import (
+        _OHLC_BUCKET_S,
+        HIT,
+        READ,
+    )
+    from project_obsidian_core_spark.streaming.sequence_state import (
+        streaming_cusum,
+    )
+
+    run = next(_RUN_IDS)
+    src = _events_src(spark, sf_dir, run)
+    schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "4")
+        .parquet(src)
+    )
+    name_col = (
+        F.when(F.col("event_type") == "view", F.lit(HIT))
+        .when(F.col("event_type") == "click", F.lit(READ))
+        .otherwise(F.concat(F.lit("postgresql."), F.col("event_type")))
+    )
+    keyed = stream.select(
+        name_col.alias("metric_name"),
+        (
+            F.expr(f"unix_micros(ts) div {_OHLC_BUCKET_S * 1_000_000}")
+            * _OHLC_BUCKET_S
+        ).alias("bucket"),
+        F.col("cents").alias("v"),
+    )
+    out = streaming_cusum(keyed)
+    name = f"stream_cusum_{run}"
+    tmp = tempfile.mkdtemp(prefix=f"obsidian_cusum_{run}_")
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            out.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .option("checkpointLocation", f"{tmp}/ckpt")
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+
+    emitted = spark.table(name)
+    wmax = Window.partitionBy("metric_name")
+    latest = emitted.withColumn(
+        "_vmax", F.max("version").over(wmax)
+    ).filter(F.col("version") == F.col("_vmax"))
+    return latest.select(
+        "metric_name",
+        "bucket_epoch_s",
+        "v_cents",
+        "cusum_pos",
+        "cusum_neg",
+    ).orderBy("metric_name", "bucket_epoch_s")
+
+
 # ---------------- T28: streaming Mann-Whitney U (A64 live) ----------------
 # Registration note: REGISTERED r12 (Block R12 queue drain; was queued via
 # scripts/check_queued.py). Registry row:

@@ -1249,6 +1249,105 @@ def streaming_drawdown(stream: DataFrame) -> DataFrame:
     )
 
 
+# --------------- T29: streaming two-sided CUSUM over bucket-sum state -----
+CUSUM_OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("metric_name", T.StringType()),
+        T.StructField("bucket_epoch_s", T.LongType()),
+        T.StructField("v_cents", T.LongType()),
+        T.StructField("cusum_pos", T.LongType()),
+        T.StructField("cusum_neg", T.LongType()),
+        T.StructField("version", T.LongType()),
+    ]
+)
+
+
+def cusum_from_series(
+    buckets: list[int], sums: list[int]
+) -> list[tuple[int, int, int, int]]:
+    """The A43 closed-form two-sided CUSUM walk over a bucket-ordered
+    int series: dev_n = v·n − Σv (n-scaled so the mean never divides),
+    P = prefix sum of dev_n, S⁺ = P − min(0, running-min P),
+    S⁻ = max(0, running-max P) − P.  Equal to the textbook
+    ``S = max(0, S + dev)`` recursion (the batch operator's property
+    unit); returns (bucket, v, cusum_pos, cusum_neg) rows.  Pure;
+    unit-tested against the recursion and the batch operator."""
+    n = len(sums)
+    tot = sum(sums)
+    out: list[tuple[int, int, int, int]] = []
+    pfx = 0
+    pmin = None
+    pmax = None
+    for x, y in zip(buckets, sums):
+        pfx += y * n - tot
+        pmin = pfx if pmin is None else min(pmin, pfx)
+        pmax = pfx if pmax is None else max(pmax, pfx)
+        out.append((x, y, pfx - min(0, pmin), max(0, pmax) - pfx))
+    return out
+
+
+def make_cusum_fn():
+    def fn(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        metric = str(key[0])
+        if state.exists:
+            buckets, sums, version = state.get
+            buckets, sums = list(buckets), list(sums)
+        else:
+            buckets, sums, version = [], [], 0
+        absorbed = 0
+        for pdf in pdfs:
+            if not len(pdf):
+                continue
+            absorbed += len(pdf)
+            buckets, sums = fold_bucket_sums(
+                buckets, sums, zip(pdf["bucket"], pdf["v"])
+            )
+        if not absorbed:
+            return
+        version += absorbed
+        state.update((buckets, sums, version))
+        rows = cusum_from_series(buckets, sums)
+        yield pd.DataFrame(
+            {
+                "metric_name": [metric] * len(rows),
+                "bucket_epoch_s": [r[0] for r in rows],
+                "v_cents": [r[1] for r in rows],
+                "cusum_pos": [r[2] for r in rows],
+                "cusum_neg": [r[3] for r in rows],
+                "version": [version] * len(rows),
+            }
+        )
+
+    return fn
+
+
+def streaming_cusum(stream: DataFrame) -> DataFrame:
+    """T29: the A43 two-sided CUSUM served LIVE — NINTH consumer of the
+    bucket-sum state family and its second PATH statistic: every bucket's
+    deviation is measured against the GLOBAL mean of the series so far,
+    so one new (or late) bucket shifts every row's deviation — the whole
+    curve is re-derived per emit, which is the semantics, not overhead
+    (a scalar textbook-recursion state would silently keep stale means).
+    Emits the full per-bucket curve per (metric, version); drained
+    max-version rows equal the batch `metric_cusum` bit-exactly.
+    Expects (metric_name, bucket, v) with bucket already in the batch
+    operator's epoch-seconds grid."""
+    keyed = stream.select(
+        F.col("metric_name").cast("string").alias("metric_name"),
+        F.col("bucket").cast("long").alias("bucket"),
+        F.col("v").cast("long").alias("v"),
+    )
+    return keyed.groupBy("metric_name").applyInPandasWithState(
+        make_cusum_fn(),
+        outputStructType=CUSUM_OUTPUT_SCHEMA,
+        stateStructType=EWMA_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 # ---------- T28: streaming Mann-Whitney U over two-cohort count maps ------
 MANNWHITNEY_STATE_SCHEMA = T.StructType(
     [

@@ -1161,3 +1161,59 @@ def test_events_mix_drift_matches_python(spark):
     # the first week's drift is its full mass (~1e6, minus div-floor loss)
     w0 = min(ref)
     assert got[w0][1] >= 1_000_000 - got[w0][0]
+
+
+# --------------------------- T29: streaming CUSUM (r12) -------------------
+def test_cusum_from_series_equals_textbook_recursion():
+    """The closed-form prefix-extrema walk equals the non-associative
+    S = max(0, S + dev) recursion (both sides, n-scaled devs)."""
+    from project_obsidian_core_spark.streaming.sequence_state import (
+        cusum_from_series,
+    )
+
+    sums = [10, 50, 5, 40, 2, 2, 90]
+    buckets = list(range(100, 100 + len(sums)))
+    n, tot = len(sums), sum(sums)
+    s_pos = s_neg = 0
+    want = []
+    for x, y in zip(buckets, sums):
+        dev = y * n - tot
+        s_pos = max(0, s_pos + dev)
+        s_neg = max(0, s_neg - dev)
+        want.append((x, y, s_pos, s_neg))
+    assert cusum_from_series(buckets, sums) == want
+
+
+def test_cusum_fold_is_arrival_order_free():
+    """Every bucket's deviation is against the GLOBAL mean, so one late
+    bucket shifts the whole curve — the re-walk must converge to the
+    same rows whatever the delivery order."""
+    import itertools
+
+    from project_obsidian_core_spark.streaming.sequence_state import (
+        cusum_from_series,
+        fold_bucket_sums,
+    )
+
+    rows = [(100, 10), (101, 50), (102, 5), (103, 40), (104, 2)]
+    want = None
+    for perm in itertools.permutations(rows):
+        buckets, sums = [], []
+        for chunk in (perm[:2], perm[2:4], perm[4:]):
+            buckets, sums = fold_bucket_sums(buckets, sums, chunk)
+        got = cusum_from_series(buckets, sums)
+        want = got if want is None else want
+        assert got == want
+
+
+def test_stream_cusum_drained_equals_batch(spark):
+    from project_obsidian_core_spark.plans.metrics_queries import (
+        metric_cusum,
+    )
+    from project_obsidian_core_spark.plans.streaming_queries import (
+        stream_cusum,
+    )
+
+    got = [tuple(r) for r in stream_cusum(spark, SF).collect()]
+    ref = [tuple(r) for r in metric_cusum(spark, SF).collect()]
+    assert got == ref
