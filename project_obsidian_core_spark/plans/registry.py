@@ -920,6 +920,9 @@ _ENTRIES: list[tuple[str, QueryFn, str | None]] = [
     ("media_ahash", d.media_ahash, d.ORACLE_media_ahash),
     # T29: streaming two-sided CUSUM curve vs the batch A43 oracle
     ("stream_cusum", st.stream_cusum, m.ORACLE_metric_cusum),
+    # T30: streaming Holt level+trend vs the batch A53 oracle (first
+    # COUPLED float recursion served live)
+    ("stream_holt", st.stream_holt, m.ORACLE_metric_holt),
 ]
 
 # ----------------------------------------------------------------------

@@ -2096,6 +2096,79 @@ def stream_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("metric_name", "bucket_epoch_s")
 
 
+# ---------------- T30: streaming Holt level+trend (A53 live) --------------
+def stream_holt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T30: the A53 Holt double-exponential smoother served LIVE — the
+    first COUPLED float recursion in the streaming family (T23's EWMA
+    is single-state; here level and trend feed each other, and a late
+    bucket re-seeds the trend init and shifts every later step).  State
+    is the commutative exact-int hour sums; each emit replays the
+    identical IEEE chain the batch fold evaluates.  Drained max-version
+    rows gate on the batch `metric_holt` recursive-CTE oracle
+    bit-exactly."""
+    from pyspark.sql import Window
+
+    from project_obsidian_core_spark.plans.metrics_queries import (
+        HIT,
+        HOLT_ALPHA,
+        HOLT_BETA,
+        READ,
+    )
+    from project_obsidian_core_spark.streaming.sequence_state import (
+        streaming_holt,
+    )
+
+    run = next(_RUN_IDS)
+    src = _events_src(spark, sf_dir, run)
+    schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "4")
+        .parquet(src)
+    )
+    name_col = (
+        F.when(F.col("event_type") == "view", F.lit(HIT))
+        .when(F.col("event_type") == "click", F.lit(READ))
+        .otherwise(F.concat(F.lit("postgresql."), F.col("event_type")))
+    )
+    keyed = stream.select(
+        name_col.alias("metric_name"),
+        F.expr("unix_micros(ts) div 3600000000").alias("bucket"),
+        F.col("cents").alias("v"),
+    )
+    out = streaming_holt(keyed, HOLT_ALPHA, HOLT_BETA)
+    name = f"stream_holt_{run}"
+    tmp = tempfile.mkdtemp(prefix=f"obsidian_holt_{run}_")
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            out.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .option("checkpointLocation", f"{tmp}/ckpt")
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+
+    emitted = spark.table(name)
+    wmax = Window.partitionBy("metric_name")
+    latest = emitted.withColumn(
+        "_vmax", F.max("version").over(wmax)
+    ).filter(F.col("version") == F.col("_vmax"))
+    return latest.select(
+        "metric_name",
+        "n_buckets",
+        "level",
+        "trend",
+        "forecast_next",
+    ).orderBy("metric_name")
+
+
 # ---------------- T28: streaming Mann-Whitney U (A64 live) ----------------
 # Registration note: REGISTERED r12 (Block R12 queue drain; was queued via
 # scripts/check_queued.py). Registry row:

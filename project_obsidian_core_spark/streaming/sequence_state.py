@@ -1348,6 +1348,105 @@ def streaming_cusum(stream: DataFrame) -> DataFrame:
     )
 
 
+# ------------- T30: streaming Holt level+trend over bucket-sum state ------
+HOLT_OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("metric_name", T.StringType()),
+        T.StructField("n_buckets", T.IntegerType()),
+        T.StructField("level", T.DoubleType()),
+        T.StructField("trend", T.DoubleType()),
+        T.StructField("forecast_next", T.DoubleType()),
+        T.StructField("version", T.LongType()),
+    ]
+)
+
+
+def holt_from_series(
+    sums: list[int], alpha: float, beta: float
+) -> tuple[float, float] | None:
+    """The A53 coupled level+trend recursion over a bucket-ordered int
+    series — the identical IEEE chain the batch `aggregate` fold and the
+    DuckDB recursive CTE evaluate (python floats are the same doubles;
+    matching constants and operation order makes the drained values
+    bit-exact).  Returns (level, trend); None below 2 points."""
+    ys = [float(y) for y in sums]
+    if len(ys) < 2:
+        return None
+    ca, cb = 1.0 - alpha, 1.0 - beta
+    l, b = ys[0], ys[1] - ys[0]
+    for x in ys[2:]:
+        lnew = alpha * x + ca * (l + b)
+        b = beta * (lnew - l) + cb * b
+        l = lnew
+    return l, b
+
+
+def make_holt_fn(alpha: float, beta: float):
+    def fn(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        metric = str(key[0])
+        if state.exists:
+            buckets, sums, version = state.get
+            buckets, sums = list(buckets), list(sums)
+        else:
+            buckets, sums, version = [], [], 0
+        absorbed = 0
+        for pdf in pdfs:
+            if not len(pdf):
+                continue
+            absorbed += len(pdf)
+            buckets, sums = fold_bucket_sums(
+                buckets, sums, zip(pdf["bucket"], pdf["v"])
+            )
+        if not absorbed:
+            return
+        version += absorbed
+        state.update((buckets, sums, version))
+        res = holt_from_series(sums, alpha, beta)
+        if res is None:
+            return
+        l, b = res
+        yield pd.DataFrame(
+            {
+                "metric_name": [metric],
+                "n_buckets": pd.Series([len(sums)], dtype="int32"),
+                "level": [l],
+                "trend": [b],
+                "forecast_next": [l + b],
+                "version": [version],
+            }
+        )
+
+    return fn
+
+
+def streaming_holt(
+    stream: DataFrame, alpha: float, beta: float
+) -> DataFrame:
+    """T30: the A53 Holt double-exponential smoother served LIVE — the
+    COUPLED two-state float recursion over the bucket-sum state family
+    (T23 proved the single-state EWMA; this proves the level+trend pair
+    whose two components feed each other): a late bucket re-seeds
+    ``b₁ = y₂ − y₁`` and shifts every subsequent (l, b) step, so no
+    scalar (l, b) state survives out-of-order delivery — each emit
+    replays the recursion over the reconstructed series.  Drained
+    max-version rows equal the batch `metric_holt` bit-exactly.
+    Expects (metric_name, bucket, v)."""
+    keyed = stream.select(
+        F.col("metric_name").cast("string").alias("metric_name"),
+        F.col("bucket").cast("long").alias("bucket"),
+        F.col("v").cast("long").alias("v"),
+    )
+    return keyed.groupBy("metric_name").applyInPandasWithState(
+        make_holt_fn(alpha, beta),
+        outputStructType=HOLT_OUTPUT_SCHEMA,
+        stateStructType=EWMA_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 # ---------- T28: streaming Mann-Whitney U over two-cohort count maps ------
 MANNWHITNEY_STATE_SCHEMA = T.StructType(
     [

@@ -1217,3 +1217,58 @@ def test_stream_cusum_drained_equals_batch(spark):
     got = [tuple(r) for r in stream_cusum(spark, SF).collect()]
     ref = [tuple(r) for r in metric_cusum(spark, SF).collect()]
     assert got == ref
+
+
+# ------------------------ T30: streaming Holt (r12) -----------------------
+def test_holt_from_series_matches_batch_fold_chain():
+    """The python replay is the identical IEEE chain the batch aggregate
+    fold evaluates: same constants, same operation order."""
+    from project_obsidian_core_spark.plans.metrics_queries import (
+        HOLT_ALPHA,
+        HOLT_BETA,
+    )
+    from project_obsidian_core_spark.streaming.sequence_state import (
+        holt_from_series,
+    )
+
+    ys = [1000, 1500, 900, 2200, 2100, 3000, 2800]
+    l, b = ys[0], float(ys[1] - ys[0])
+    for x in ys[2:]:
+        lnew = HOLT_ALPHA * x + (1.0 - HOLT_ALPHA) * (l + b)
+        b = HOLT_BETA * (lnew - l) + (1.0 - HOLT_BETA) * b
+        l = lnew
+    assert holt_from_series(ys, HOLT_ALPHA, HOLT_BETA) == (l, b)
+    assert holt_from_series([5], HOLT_ALPHA, HOLT_BETA) is None
+
+
+def test_holt_fold_is_arrival_order_free():
+    """A late FIRST bucket re-seeds b1 = y2 - y1 and shifts every later
+    step: the replayed recursion must converge whatever the delivery
+    order — the property no scalar (l, b) state survives."""
+    import itertools
+
+    from project_obsidian_core_spark.streaming.sequence_state import (
+        fold_bucket_sums,
+        holt_from_series,
+    )
+
+    rows = [(100, 10), (101, 50), (102, 5), (103, 40), (104, 2)]
+    want = None
+    for perm in itertools.permutations(rows):
+        buckets, sums = [], []
+        for chunk in (perm[:2], perm[2:4], perm[4:]):
+            buckets, sums = fold_bucket_sums(buckets, sums, chunk)
+        got = holt_from_series(sums, 0.3, 0.1)
+        want = got if want is None else want
+        assert got == want
+
+
+def test_stream_holt_drained_equals_batch(spark):
+    from project_obsidian_core_spark.plans.metrics_queries import metric_holt
+    from project_obsidian_core_spark.plans.streaming_queries import (
+        stream_holt,
+    )
+
+    got = [tuple(r) for r in stream_holt(spark, SF).collect()]
+    ref = [tuple(r) for r in metric_holt(spark, SF).collect()]
+    assert got == ref
