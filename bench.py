@@ -352,6 +352,7 @@ BENCH_QUERIES = [
     "media_ahash",            # M11 perceptual aHash + dedup bands (r12b)
     "stream_cusum",           # T29 CUSUM curve served live (r12b)
     "stream_holt",            # T30 coupled level+trend live (r12b)
+    "knn_closeness",          # G12 harmonic closeness, layered BFS (r12b)
     # stream_cdc_merge is timed via _time_cdc_merge below (merge work
     # only): its checkpointed replay rewrites a bucketed parquet snapshot
     # per micro-batch (~12 s/run at sf0.1, >90% filesystem publish/rename

@@ -1190,3 +1190,51 @@ def knn_khop_reachability(
         .agg(F.count(F.lit(1)).cast("long").alias("n_nodes"))
         .orderBy("n_reached")
     )
+
+
+def knn_closeness(emb: DataFrame, k: int = 5, hops: int = 3) -> DataFrame:
+    """G12: bounded-horizon HARMONIC closeness centrality over the
+    undirected k-NN graph — per node Σ_reachable 1/dist within ``hops``
+    edges, the centrality that ranks which documents sit in the middle
+    of a content neighborhood (cluster-representative picking, crawl
+    prioritization) where degree reads one hop and PageRank pays the
+    global fixpoint.  Harmonic (not classic 1/Σdist) so disconnected
+    remainders cost nothing and the sum decomposes per reached node.
+
+    Same bounded frontier expansion as G11's reachability, EXTENDED with
+    shortest-dist layering: layer i = frontier-join minus every pair
+    already reached (the left-anti is what makes the layer the MINIMUM
+    distance — a pair reappearing via a longer path is dropped, and the
+    relation stays ≤|V|·(2k)^h like G11).  The per-pair contribution is
+    integer ``10⁶ div dist`` (the G10 resource-allocation idiom: an
+    int sum is commutative, a float Σ1/d is order-dependent
+    cross-engine), so ``harmonic_ppm`` is exact.
+    """
+    u = knn_edges(emb, k=k)
+    adj = u.union(
+        u.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).distinct()
+    dist = adj.select("a", "b", F.lit(1).alias("d"))
+    frontier = adj
+    for i in range(2, hops + 1):
+        nxt = (
+            frontier.select(F.col("a").alias("src"), F.col("b").alias("mid"))
+            .join(adj.select(F.col("a").alias("mid"), F.col("b")), "mid")
+            .select(F.col("src").alias("a"), "b")
+            .filter(F.col("a") != F.col("b"))
+            .distinct()
+            # minus already-reached pairs: the anti join IS the
+            # shortest-distance semantics (first layer wins)
+            .join(dist.select("a", "b"), ["a", "b"], "left_anti")
+        )
+        dist = dist.union(nxt.select("a", "b", F.lit(i).alias("d")))
+        frontier = nxt
+    return (
+        dist.groupBy("a")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_reached"),
+            F.expr("sum(1000000 div d)").cast("long").alias("harmonic_ppm"),
+        )
+        .select(F.col("a").alias("vec_id"), "n_reached", "harmonic_ppm")
+        .orderBy("vec_id")
+    )

@@ -3053,6 +3053,62 @@ FROM per_node GROUP BY n_reached ORDER BY n_reached
 """
 
 
+# --------------------------- G12: harmonic closeness ----------------------
+def knn_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G12: 3-hop harmonic closeness centrality over the exact 5-NN
+    graph — shortest-dist layered frontier expansion with an exact
+    integer Σ 10⁶ div dist score; see
+    :func:`datapipe.similarity.knn_closeness`."""
+    emb = load(spark, sf_dir, "embeddings").filter(F.col("vec_id") < _GRAPH_VECS)
+    return S.knn_closeness(emb, k=_GRAPH_K, hops=3)
+
+
+ORACLE_knn_closeness = f"""
+WITH t AS (
+    SELECT vec_id, embedding AS v, {V.sql_norm('embedding', _EMB_DIM)} AS nrm
+    FROM embeddings WHERE vec_id < {_GRAPH_VECS}
+), scored0 AS (
+    SELECT q.vec_id AS q_id, c.vec_id AS cand_id,
+           {V.sql_dot('q.v', 'c.v', _EMB_DIM)} / (q.nrm * c.nrm) AS cos_sim
+    FROM t q, t c
+    WHERE q.vec_id != c.vec_id
+), ranked AS (
+    SELECT q_id, cand_id,
+           row_number() OVER (PARTITION BY q_id
+                              ORDER BY cos_sim DESC, cand_id ASC) AS rank
+    FROM scored0
+), u AS (
+    SELECT DISTINCT least(q_id, cand_id) AS a, greatest(q_id, cand_id) AS b
+    FROM ranked WHERE rank <= {_GRAPH_K}
+), adj AS (
+    SELECT DISTINCT a, b FROM
+    (SELECT a, b FROM u UNION ALL SELECT b, a FROM u)
+), h2 AS (
+    SELECT DISTINCT l.a, r.b
+    FROM adj l JOIN adj r ON l.b = r.a
+    WHERE l.a <> r.b
+), h3 AS (
+    SELECT DISTINCT l.a, r.b
+    FROM h2 l JOIN adj r ON l.b = r.a
+    WHERE l.a <> r.b
+), dist AS (
+    -- layer membership = shortest distance (each layer minus earlier)
+    SELECT a, b, 1 AS d FROM adj
+    UNION ALL
+    SELECT a, b, 2 AS d FROM h2
+    WHERE NOT EXISTS (SELECT 1 FROM adj WHERE adj.a = h2.a AND adj.b = h2.b)
+    UNION ALL
+    SELECT h3.a, h3.b, 3 AS d FROM h3
+    WHERE NOT EXISTS (SELECT 1 FROM adj WHERE adj.a = h3.a AND adj.b = h3.b)
+      AND NOT EXISTS (SELECT 1 FROM h2 WHERE h2.a = h3.a AND h2.b = h3.b)
+)
+SELECT a AS vec_id, CAST(count(*) AS BIGINT) AS n_reached,
+       CAST(sum(1000000 // d) AS BIGINT) AS harmonic_ppm
+FROM dist GROUP BY a
+ORDER BY vec_id
+"""
+
+
 # --------------------------------- M5: windowed audio energy profile ------
 # Registration note: REGISTERED r12 (Block R12 queue drain; was queued via
 # scripts/check_queued.py). Registry row:

@@ -923,6 +923,9 @@ _ENTRIES: list[tuple[str, QueryFn, str | None]] = [
     # T30: streaming Holt level+trend vs the batch A53 oracle (first
     # COUPLED float recursion served live)
     ("stream_holt", st.stream_holt, m.ORACLE_metric_holt),
+    # G12: bounded-horizon harmonic closeness (shortest-dist layered
+    # frontier expansion, exact-int Σ 10⁶ div dist)
+    ("knn_closeness", d.knn_closeness, d.ORACLE_knn_closeness),
 ]
 
 # ----------------------------------------------------------------------

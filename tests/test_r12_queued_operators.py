@@ -1272,3 +1272,53 @@ def test_stream_holt_drained_equals_batch(spark):
     got = [tuple(r) for r in stream_holt(spark, SF).collect()]
     ref = [tuple(r) for r in metric_holt(spark, SF).collect()]
     assert got == ref
+
+
+# ----------------------------------- G12: harmonic closeness --------------
+def test_knn_closeness_matches_python_bfs(spark):
+    from project_obsidian_core_spark.plans.common import load
+    from project_obsidian_core_spark.plans.datapipe_queries import (
+        _GRAPH_K,
+        _GRAPH_VECS,
+        knn_closeness,
+    )
+
+    emb = {
+        r["vec_id"]: r["embedding"]
+        for r in load(spark, SF, "embeddings")
+        .filter(F.col("vec_id") < _GRAPH_VECS)
+        .collect()
+    }
+
+    def cos(a, b):
+        num = sum(x * y for x, y in zip(a, b))
+        return num / (
+            math.sqrt(sum(x * x for x in a)) * math.sqrt(sum(y * y for y in b))
+        )
+
+    adj: dict[int, set] = {q: set() for q in emb}
+    for q, v in emb.items():
+        scored = sorted(((-cos(v, w), c) for c, w in emb.items() if c != q))[
+            :_GRAPH_K
+        ]
+        for _, c in scored:
+            adj[q].add(c)
+            adj[c].add(q)
+    ref = {}
+    for src in adj:
+        dist = {n: 1 for n in adj[src]}
+        frontier = set(adj[src])
+        for d in (2, 3):
+            nxt = set()
+            for m in frontier:
+                nxt |= adj[m]
+            nxt.discard(src)
+            frontier = {n for n in nxt if n not in dist}
+            for n in frontier:
+                dist[n] = d
+        ref[src] = (len(dist), sum(1_000_000 // d for d in dist.values()))
+    got = {
+        r["vec_id"]: (r["n_reached"], r["harmonic_ppm"])
+        for r in knn_closeness(spark, SF).collect()
+    }
+    assert got == ref
