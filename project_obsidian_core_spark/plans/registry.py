@@ -926,6 +926,9 @@ _ENTRIES: list[tuple[str, QueryFn, str | None]] = [
     # G12: bounded-horizon harmonic closeness (shortest-dist layered
     # frontier expansion, exact-int Σ 10⁶ div dist)
     ("knn_closeness", d.knn_closeness, d.ORACLE_knn_closeness),
+    # A82: Nelson-Aalen cumulative hazard — the KM sibling whose
+    # cumulative estimator (a SUM, not a product) is gate-exact
+    ("orders_nelson_aalen", r.orders_nelson_aalen, r.ORACLE_orders_nelson_aalen),
 ]
 
 # ----------------------------------------------------------------------

@@ -1866,29 +1866,14 @@ ORDER BY gap_weeks
 # Registration note: queued for round 11 (r10 gate window full); the r11
 # registry block should add:
 #   ("orders_kaplan_meier", r.orders_kaplan_meier, r.ORACLE_orders_kaplan_meier)
-def orders_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A70: Kaplan-Meier repurchase-survival timeline — "what fraction
-    of customers go t days without reordering", the censoring-correct
-    answer the naive gap ECDF (A60's histogram) gets wrong: a customer
-    whose LAST order is d days before the corpus end has survived d
-    days without the event, and dropping them (or counting them as
-    events) biases the curve — so they enter as right-CENSORED
-    observations at d.
-
-    The gate pins the exact timeline: per distinct duration t (days),
-    n_events (reorder gaps = t), n_censored (last-order tails = t), the
-    risk set n_risk = Σ_{s≥t}(events+censored), and the per-step factor
-    (n_risk−d)/n_risk — one exact int division.  The cumulative product
-    S(t) = Π factor lives in :func:`km_survival` OUTSIDE the hashed
-    gate: an ordered float product has no shuffle-safe SQL form (window
-    exp(Σln) hits the A32 transcendental trap), and the timeline
-    carries all the information exactly.
-
-    Scale: gaps ride one per-customer window on the orders projection;
-    the timeline is ≤|distinct durations| rows (day-granular: ≤ corpus
-    span), so the risk-set window is one tiny ordered pass; the corpus
-    max date attaches via the PSI broadcast-totals idiom.
-    """
+def _repurchase_risk_timeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared survival-analysis timeline for A70 (Kaplan-Meier) and A82
+    (Nelson-Aalen): per distinct repurchase duration t (days) the event
+    count (reorder gaps = t), censor count (last-order tails = t, exact
+    right-censoring at the corpus max date), and the risk set
+    n_risk = Σ_{s≥t}(events+censored).  One per-customer window over the
+    orders projection + one tiny ordered pass over the ≤|span|-row
+    timeline; corpus max attaches via the PSI broadcast-totals idiom."""
     o = load(spark, sf_dir, "orders").select(
         "o_custkey",
         F.expr("unix_micros(o_orderdate) div 86400000000").alias("day"),
@@ -1929,19 +1914,45 @@ def orders_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
         Window.orderBy("dur").rowsBetween(Window.unboundedPreceding, -1)
     )
     wtot = Window.partitionBy()
+    return timeline.select(
+        F.col("dur").alias("t_days"),
+        "n_events",
+        "n_censored",
+        (
+            F.sum(F.col("n_events") + F.col("n_censored")).over(wtot)
+            - F.coalesce(
+                F.sum(F.col("n_events") + F.col("n_censored")).over(wcum),
+                F.lit(0),
+            )
+        ).alias("n_risk"),
+    )
+
+
+def orders_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A70: Kaplan-Meier repurchase-survival timeline — "what fraction
+    of customers go t days without reordering", the censoring-correct
+    answer the naive gap ECDF (A60's histogram) gets wrong: a customer
+    whose LAST order is d days before the corpus end has survived d
+    days without the event, and dropping them (or counting them as
+    events) biases the curve — so they enter as right-CENSORED
+    observations at d.
+
+    The gate pins the exact timeline: per distinct duration t (days),
+    n_events (reorder gaps = t), n_censored (last-order tails = t), the
+    risk set n_risk = Σ_{s≥t}(events+censored), and the per-step factor
+    (n_risk−d)/n_risk — one exact int division.  The cumulative product
+    S(t) = Π factor lives in :func:`km_survival` OUTSIDE the hashed
+    gate: an ordered float product has no shuffle-safe SQL form (window
+    exp(Σln) hits the A32 transcendental trap), and the timeline
+    carries all the information exactly.
+
+    Scale: gaps ride one per-customer window on the orders projection;
+    the timeline is ≤|distinct durations| rows (day-granular: ≤ corpus
+    span), so the risk-set window is one tiny ordered pass; the corpus
+    max date attaches via the PSI broadcast-totals idiom.
+    """
     return (
-        timeline.select(
-            F.col("dur").alias("t_days"),
-            "n_events",
-            "n_censored",
-            (
-                F.sum(F.col("n_events") + F.col("n_censored")).over(wtot)
-                - F.coalesce(
-                    F.sum(F.col("n_events") + F.col("n_censored")).over(wcum),
-                    F.lit(0),
-                )
-            ).alias("n_risk"),
-        )
+        _repurchase_risk_timeline(spark, sf_dir)
         .select(
             "t_days",
             "n_events",
@@ -2032,6 +2043,83 @@ def km_survival(df: DataFrame) -> DataFrame:
         F.col("p.survival").alias("survival"),
     )
     return df.join(out, "t_days").orderBy("t_days")
+
+
+# ----------------------- A82: Nelson-Aalen cumulative hazard --------------
+def orders_nelson_aalen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A82: Nelson-Aalen cumulative-hazard timeline over the SAME
+    censoring-correct repurchase data as A70 — the KM sibling whose
+    CUMULATIVE estimator is gate-exact: H(t) = Σ_{tᵢ≤t} dᵢ/nᵢ is a SUM,
+    not a product, so the whole curve hashes bit-exact in integer ppm
+    (``Σ 10⁶·dᵢ div nᵢ``), where KM's S(t) = Π(1−dᵢ/nᵢ) had to leave
+    the cumulative product outside the gate (ordered float products
+    have no shuffle-safe SQL form).  This is why NA is the estimator of
+    choice when the HAZARD, not the survival fraction, is the quantity
+    consumed (churn-intensity monitoring, e.g.): the plateauing of
+    H(t)'s increments IS the stabilized repurchase rate.
+
+    Shares :func:`_repurchase_risk_timeline` with A70 (one per-customer
+    window + one tiny timeline pass; refactor-pinned by both gates
+    staying EXACT)."""
+    tl = _repurchase_risk_timeline(spark, sf_dir)
+    step = F.expr("1000000 * n_events div n_risk")
+    wcum = Window.orderBy("t_days").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        tl.select(
+            "t_days",
+            "n_events",
+            "n_censored",
+            "n_risk",
+            step.cast("long").alias("hazard_step_ppm"),
+        )
+        .withColumn(
+            "hazard_cum_ppm",
+            F.sum("hazard_step_ppm").over(wcum).cast("long"),
+        )
+        .orderBy("t_days")
+    )
+
+
+ORACLE_orders_nelson_aalen = """
+WITH o AS (
+    SELECT o_custkey, epoch_us(o_orderdate) // 86400000000 AS day
+    FROM orders
+), omax AS (
+    SELECT max(day) AS corpus_last_day FROM o
+), seq AS (
+    SELECT o_custkey, day,
+           lag(day) OVER (PARTITION BY o_custkey ORDER BY day) AS prev_day,
+           row_number() OVER (PARTITION BY o_custkey ORDER BY day DESC)
+               AS rn_desc
+    FROM o
+), obs AS (
+    SELECT day - prev_day AS dur, 1 AS ev, 0 AS cz
+    FROM seq WHERE prev_day IS NOT NULL
+    UNION ALL
+    SELECT corpus_last_day - day AS dur, 0 AS ev, 1 AS cz
+    FROM seq CROSS JOIN omax WHERE rn_desc = 1
+), timeline AS (
+    SELECT dur, CAST(sum(ev) AS BIGINT) AS n_events,
+           CAST(sum(cz) AS BIGINT) AS n_censored
+    FROM obs GROUP BY dur
+), risk AS (
+    SELECT dur AS t_days, n_events, n_censored,
+           CAST(sum(n_events + n_censored) OVER ()
+                - coalesce(sum(n_events + n_censored) OVER (ORDER BY dur
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) AS n_risk
+    FROM timeline
+)
+SELECT t_days, n_events, n_censored, n_risk,
+       CAST(1000000 * n_events // n_risk AS BIGINT) AS hazard_step_ppm,
+       CAST(sum(1000000 * n_events // n_risk) OVER (ORDER BY t_days
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS BIGINT) AS hazard_cum_ppm
+FROM risk
+ORDER BY t_days
+"""
 
 
 # -------------------------------------------------- R28: Q16 reshape --

@@ -1322,3 +1322,52 @@ def test_knn_closeness_matches_python_bfs(spark):
         for r in knn_closeness(spark, SF).collect()
     }
     assert got == ref
+
+
+# ------------------------ A82: Nelson-Aalen hazard (r12) ------------------
+def test_nelson_aalen_matches_python(spark):
+    """H(t) increments recomputed directly from the per-customer order
+    days: events = reorder gaps, censored = last-order tails at the
+    corpus max, risk set = survivors at t, hazard in integer ppm."""
+    from collections import Counter
+
+    from project_obsidian_core_spark.plans.common import load
+    from project_obsidian_core_spark.plans.relational_queries import (
+        orders_nelson_aalen,
+    )
+
+    days = {}
+    for r in (
+        load(spark, SF, "orders")
+        .selectExpr("o_custkey", "unix_micros(o_orderdate) div 86400000000 d")
+        .collect()
+    ):
+        days.setdefault(r["o_custkey"], []).append(r["d"])
+    last = max(max(v) for v in days.values())
+    ev, cz = Counter(), Counter()
+    for seq in days.values():
+        seq.sort()
+        for a, b in zip(seq, seq[1:]):
+            ev[b - a] += 1
+        cz[last - seq[-1]] += 1
+    durs = sorted(set(ev) | set(cz))
+    total = sum(ev.values()) + sum(cz.values())
+    want, seen, cum = {}, 0, 0
+    for t in durs:
+        n_risk = total - seen
+        step = 1_000_000 * ev[t] // n_risk
+        cum += step
+        want[t] = (ev[t], cz[t], n_risk, step, cum)
+        seen += ev[t] + cz[t]
+    got = {
+        r["t_days"]: (
+            r["n_events"], r["n_censored"], r["n_risk"],
+            r["hazard_step_ppm"], r["hazard_cum_ppm"],
+        )
+        for r in orders_nelson_aalen(spark, SF).collect()
+    }
+    assert got == want
+    # the cumulative curve is monotone non-decreasing (a hazard never
+    # un-happens) — the property the per-step gate alone wouldn't pin
+    cums = [want[t][4] for t in durs]
+    assert cums == sorted(cums)
