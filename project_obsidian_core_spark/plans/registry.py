@@ -929,6 +929,8 @@ _ENTRIES: list[tuple[str, QueryFn, str | None]] = [
     # A82: Nelson-Aalen cumulative hazard — the KM sibling whose
     # cumulative estimator (a SUM, not a product) is gate-exact
     ("orders_nelson_aalen", r.orders_nelson_aalen, r.ORACLE_orders_nelson_aalen),
+    # T31: streaming lag-1..5 autocorrelation vs the batch A48 oracle
+    ("stream_acf", st.stream_acf, m.ORACLE_metric_acf),
 ]
 
 # ----------------------------------------------------------------------

@@ -2169,6 +2169,78 @@ def stream_holt(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("metric_name")
 
 
+# ---------------- T31: streaming autocorrelation (A48 live) ---------------
+def stream_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T31: the A48 lag-1..5 ACF table served LIVE — one new/late bucket
+    moves the global min (the exact-int centering anchor) and
+    creates/destroys bucket-index pairs at every lag, so the emit
+    re-derives the whole lag table; drained max-version rows gate on
+    the batch `metric_acf` DuckDB oracle bit-exactly (including the one
+    float division/sqrt per row — identical IEEE chain)."""
+    from pyspark.sql import Window
+
+    from project_obsidian_core_spark.plans.metrics_queries import (
+        _ACF_MAX_LAG,
+        HIT,
+        READ,
+    )
+    from project_obsidian_core_spark.streaming.sequence_state import (
+        streaming_acf,
+    )
+
+    run = next(_RUN_IDS)
+    src = _events_src(spark, sf_dir, run)
+    schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "4")
+        .parquet(src)
+    )
+    name_col = (
+        F.when(F.col("event_type") == "view", F.lit(HIT))
+        .when(F.col("event_type") == "click", F.lit(READ))
+        .otherwise(F.concat(F.lit("postgresql."), F.col("event_type")))
+    )
+    keyed = stream.select(
+        name_col.alias("metric_name"),
+        F.expr("unix_micros(ts) div 60000000").alias("bucket"),
+        F.col("cents").alias("v"),
+    )
+    out = streaming_acf(keyed, _ACF_MAX_LAG)
+    name = f"stream_acf_{run}"
+    tmp = tempfile.mkdtemp(prefix=f"obsidian_acf_{run}_")
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            out.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .option("checkpointLocation", f"{tmp}/ckpt")
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+
+    emitted = spark.table(name)
+    wmax = Window.partitionBy("metric_name")
+    latest = emitted.withColumn(
+        "_vmax", F.max("version").over(wmax)
+    ).filter(F.col("version") == F.col("_vmax"))
+    return latest.select(
+        "metric_name",
+        "lag",
+        "n",
+        "acf_num",
+        "var_a_num",
+        "var_b_num",
+        "acf",
+    ).orderBy("metric_name", "lag")
+
+
 # ---------------- T28: streaming Mann-Whitney U (A64 live) ----------------
 # Registration note: REGISTERED r12 (Block R12 queue drain; was queued via
 # scripts/check_queued.py). Registry row:

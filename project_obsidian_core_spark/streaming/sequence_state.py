@@ -1447,6 +1447,126 @@ def streaming_holt(
     )
 
 
+# --------------- T31: streaming autocorrelation over bucket-sum state -----
+ACF_OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("metric_name", T.StringType()),
+        T.StructField("lag", T.IntegerType()),
+        T.StructField("n", T.LongType()),
+        T.StructField("acf_num", T.LongType()),
+        T.StructField("var_a_num", T.LongType()),
+        T.StructField("var_b_num", T.LongType()),
+        T.StructField("acf", T.DoubleType()),
+        T.StructField("version", T.LongType()),
+    ]
+)
+
+
+def acf_from_series(
+    buckets: list[int], sums: list[int], max_lag: int
+) -> list[tuple[int, int, int, int, int, float | None]]:
+    """The A48 bucket-index-paired ACF over the reconstructed series:
+    min-centered dollar-quantized values, exact-int moment sums per lag,
+    one float division/sqrt per output row evaluating the identical
+    IEEE chain as the batch operator (num → double, ÷ sqrt(dx·dy)).
+    Returns (lag, n, acf_num, var_a_num, var_b_num, acf) rows for lags
+    with at least one pair.  Pure; unit-tested."""
+    import math
+
+    if not sums:
+        return []
+    mn = min(sums)
+    yc = {b: (y - mn) // 100 for b, y in zip(buckets, sums)}
+    out = []
+    for lag in range(1, max_lag + 1):
+        n = sa = sb = sab = saa = sbb = 0
+        for b, ya in yc.items():
+            yb = yc.get(b + lag)
+            if yb is None:
+                continue
+            n += 1
+            sa += ya
+            sb += yb
+            sab += ya * yb
+            saa += ya * ya
+            sbb += yb * yb
+        if not n:
+            continue
+        num = n * sab - sa * sb
+        dx = n * saa - sa * sa
+        dy = n * sbb - sb * sb
+        acf = (
+            float(num) / math.sqrt(float(dx) * float(dy))
+            if dx > 0 and dy > 0
+            else None
+        )
+        out.append((lag, n, num, dx, dy, acf))
+    return out
+
+
+def make_acf_fn(max_lag: int):
+    def fn(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        metric = str(key[0])
+        if state.exists:
+            buckets, sums, version = state.get
+            buckets, sums = list(buckets), list(sums)
+        else:
+            buckets, sums, version = [], [], 0
+        absorbed = 0
+        for pdf in pdfs:
+            if not len(pdf):
+                continue
+            absorbed += len(pdf)
+            buckets, sums = fold_bucket_sums(
+                buckets, sums, zip(pdf["bucket"], pdf["v"])
+            )
+        if not absorbed:
+            return
+        version += absorbed
+        state.update((buckets, sums, version))
+        rows = acf_from_series(buckets, sums, max_lag)
+        if not rows:
+            return
+        yield pd.DataFrame(
+            {
+                "metric_name": [metric] * len(rows),
+                "lag": pd.Series([r[0] for r in rows], dtype="int32"),
+                "n": [r[1] for r in rows],
+                "acf_num": [r[2] for r in rows],
+                "var_a_num": [r[3] for r in rows],
+                "var_b_num": [r[4] for r in rows],
+                "acf": pd.array([r[5] for r in rows], dtype="float64"),
+                "version": [version] * len(rows),
+            }
+        )
+
+    return fn
+
+
+def streaming_acf(stream: DataFrame, max_lag: int) -> DataFrame:
+    """T31: the A48 lag-1..L autocorrelation served LIVE — bucket-sum
+    state consumer where a single new/late bucket moves the global MIN
+    (the centering anchor) and creates/destroys pairs at every lag, so
+    the whole lag table is re-derived per emit from the commutative
+    exact-int bucket sums.  Drained max-version rows equal the batch
+    `metric_acf` bit-exactly (the float column evaluates the identical
+    IEEE chain).  Expects (metric_name, bucket, v)."""
+    keyed = stream.select(
+        F.col("metric_name").cast("string").alias("metric_name"),
+        F.col("bucket").cast("long").alias("bucket"),
+        F.col("v").cast("long").alias("v"),
+    )
+    return keyed.groupBy("metric_name").applyInPandasWithState(
+        make_acf_fn(max_lag),
+        outputStructType=ACF_OUTPUT_SCHEMA,
+        stateStructType=EWMA_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 # ---------- T28: streaming Mann-Whitney U over two-cohort count maps ------
 MANNWHITNEY_STATE_SCHEMA = T.StructType(
     [

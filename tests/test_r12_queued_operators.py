@@ -1371,3 +1371,63 @@ def test_nelson_aalen_matches_python(spark):
     # un-happens) — the property the per-step gate alone wouldn't pin
     cums = [want[t][4] for t in durs]
     assert cums == sorted(cums)
+
+
+# ------------------------ T31: streaming ACF (r12) ------------------------
+def test_acf_from_series_matches_python():
+    """Direct recompute: min-centered dollar-quantized pairs at each
+    bucket-index lag, exact-int moments, the batch IEEE float chain."""
+    import math
+
+    from project_obsidian_core_spark.streaming.sequence_state import (
+        acf_from_series,
+    )
+
+    buckets = [100, 101, 102, 104, 105]  # gap at 103 pairs nothing
+    sums = [1000, 1500, 900, 2200, 2100]
+    mn = min(sums)
+    yc = {b: (y - mn) // 100 for b, y in zip(buckets, sums)}
+    want = []
+    for lag in (1, 2, 3):
+        ps = [(yc[b], yc[b + lag]) for b in buckets if b + lag in yc]
+        if not ps:
+            continue
+        n = len(ps)
+        sa = sum(a for a, _ in ps); sb = sum(b for _, b in ps)
+        sab = sum(a * b for a, b in ps)
+        saa = sum(a * a for a, _ in ps); sbb = sum(b * b for _, b in ps)
+        num, dx, dy = n * sab - sa * sb, n * saa - sa * sa, n * sbb - sb * sb
+        acf = (float(num) / math.sqrt(float(dx) * float(dy))
+               if dx > 0 and dy > 0 else None)
+        want.append((lag, n, num, dx, dy, acf))
+    assert acf_from_series(buckets, sums, 3) == want
+    # the 103 gap: lag-1 pairs are (100,101),(101,102),(104,105) only
+    assert acf_from_series(buckets, sums, 3)[0][1] == 3
+
+
+def test_acf_fold_is_arrival_order_free():
+    import itertools
+
+    from project_obsidian_core_spark.streaming.sequence_state import (
+        acf_from_series,
+        fold_bucket_sums,
+    )
+
+    rows = [(100, 10), (101, 50), (102, 5), (103, 40), (104, 2)]
+    want = None
+    for perm in itertools.permutations(rows):
+        buckets, sums = [], []
+        for chunk in (perm[:2], perm[2:4], perm[4:]):
+            buckets, sums = fold_bucket_sums(buckets, sums, chunk)
+        got = acf_from_series(buckets, sums, 3)
+        want = got if want is None else want
+        assert got == want
+
+
+def test_stream_acf_drained_equals_batch(spark):
+    from project_obsidian_core_spark.plans.metrics_queries import metric_acf
+    from project_obsidian_core_spark.plans.streaming_queries import stream_acf
+
+    got = [tuple(r) for r in stream_acf(spark, SF).collect()]
+    ref = [tuple(r) for r in metric_acf(spark, SF).collect()]
+    assert got == ref
