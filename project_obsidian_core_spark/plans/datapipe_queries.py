@@ -3272,3 +3272,99 @@ SELECT doc_id, ahash_hex, substr(ahash_hex, 1, 4) AS band,
 FROM hx
 ORDER BY doc_id
 """
+
+
+# ------------------- M12: Hamming verify over aHash bands -----------------
+_AHASH_NIBBLES = _AC // 4
+_HAMMING_NEAR = 8  # near-dup flag threshold (bits out of 64)
+
+
+def media_dedup_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M12: the verify stage M11's bands exist for — candidate pairs =
+    images sharing an 8-bit hash prefix (coarser than M11's report band:
+    banding trades candidate volume for recall exactly like text LSH,
+    and the verify is what makes a coarse band safe), scored with the
+    EXACT Hamming distance between the full 64-bit hashes (per-nibble
+    ``bit_count(xor)`` over the hex — all JVM-side integer ops) plus the
+    ``is_near`` flag at {_HAMMING_NEAR} bits.  Candidate volume is
+    Σ bᵢ²/2 over 256 buckets of a uniform 8-bit key — the bounded-block
+    quadratic every banding scheme here prices; the full-corpus pair
+    space is never touched."""
+    from pyspark.sql import Window
+
+    media = M.attach_media(load(spark, sf_dir, "documents"))
+    h = M.image_ahash(media).withColumn(
+        "band8", F.substring("ahash_hex", 1, 2)
+    )
+    ham = F.expr(
+        f"aggregate(sequence(1, {_AHASH_NIBBLES}), 0L, (acc, k) -> acc"
+        f" + bit_count(cast(conv(substring(a.ahash_hex, k, 1), 16, 10)"
+        f"                  as long)"
+        f"             ^ cast(conv(substring(b.ahash_hex, k, 1), 16, 10)"
+        f"                    as long)))"
+    )
+    return (
+        h.alias("a")
+        .join(
+            h.alias("b"),
+            (F.col("a.band8") == F.col("b.band8"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.band8").alias("band8"),
+            ham.cast("long").alias("hamming"),
+        )
+        .withColumn("is_near", F.col("hamming") <= _HAMMING_NEAR)
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+ORACLE_media_dedup_hamming = f"""
+WITH p AS (
+    SELECT doc_id, {_FULL_HEX} AS fh
+    FROM documents WHERE doc_id % 3 = 0
+), by_ AS (
+    SELECT doc_id,
+           [CAST('0x' || substr(fh, 2 * i - 1, 2) AS BIGINT)
+            for i in generate_series(1, {_N_PAYLOAD})] AS bytes_
+    FROM p
+), bits AS (
+    SELECT doc_id,
+           [CASE WHEN bytes_[i] * {_AC} > list_aggregate(bytes_, 'sum')
+                 THEN 1 ELSE 0 END
+            for i in generate_series(1, {_AC})] AS b
+    FROM by_
+), hx AS (
+    SELECT doc_id,
+           array_to_string(
+               [substr('0123456789abcdef',
+                       1 + 8 * b[4 * k - 3] + 4 * b[4 * k - 2]
+                         + 2 * b[4 * k - 1] + b[4 * k], 1)
+                for k in generate_series(1, {_AC // 4})], '') AS ahash_hex
+    FROM bits
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       substr(a.ahash_hex, 1, 2) AS band8,
+       CAST(list_aggregate(
+           [bit_count(xor(
+                CAST(position(substr(a.ahash_hex, k, 1)
+                              IN '0123456789abcdef') - 1 AS BIGINT),
+                CAST(position(substr(b.ahash_hex, k, 1)
+                              IN '0123456789abcdef') - 1 AS BIGINT)))
+            for k in generate_series(1, {_AHASH_NIBBLES})], 'sum')
+           AS BIGINT) AS hamming,
+       CAST(list_aggregate(
+           [bit_count(xor(
+                CAST(position(substr(a.ahash_hex, k, 1)
+                              IN '0123456789abcdef') - 1 AS BIGINT),
+                CAST(position(substr(b.ahash_hex, k, 1)
+                              IN '0123456789abcdef') - 1 AS BIGINT)))
+            for k in generate_series(1, {_AHASH_NIBBLES})], 'sum')
+           <= {_HAMMING_NEAR} AS BOOLEAN) AS is_near
+FROM hx a JOIN hx b
+  ON substr(a.ahash_hex, 1, 2) = substr(b.ahash_hex, 1, 2)
+ AND a.doc_id < b.doc_id
+ORDER BY doc_a, doc_b
+"""

@@ -931,6 +931,8 @@ _ENTRIES: list[tuple[str, QueryFn, str | None]] = [
     ("orders_nelson_aalen", r.orders_nelson_aalen, r.ORACLE_orders_nelson_aalen),
     # T31: streaming lag-1..5 autocorrelation vs the batch A48 oracle
     ("stream_acf", st.stream_acf, m.ORACLE_metric_acf),
+    # M12: exact Hamming verify over the M11 aHash bands
+    ("media_dedup_hamming", d.media_dedup_hamming, d.ORACLE_media_dedup_hamming),
 ]
 
 # ----------------------------------------------------------------------

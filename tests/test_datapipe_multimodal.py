@@ -355,3 +355,37 @@ def test_image_ahash_rejects_indivisible_payload(spark):
     )
     with pytest.raises(Exception, match="does not divide"):
         M.image_ahash(media).collect()
+
+
+def test_media_dedup_hamming_identical_and_different(spark):
+    """M12: identical payloads pair at Hamming 0 (is_near), and the
+    per-nibble popcount equals a direct python XOR recompute."""
+    from project_obsidian_core_spark.plans import datapipe_queries as dq
+
+    docs = spark.createDataFrame(
+        [(0, "same text"), (3, "same text"), (6, "other text")],
+        ["doc_id", "text"],
+    ).selectExpr("doc_id", "text", "'en' lang", "'s' source",
+                 "length(text) n_chars")
+    orig = dq.load
+    dq.load = lambda s, d, t: docs
+    try:
+        rows = dq.media_dedup_hamming(spark, "unused").collect()
+    finally:
+        dq.load = orig
+    hashes = {
+        r["doc_id"]: r["ahash_hex"]
+        for r in M.image_ahash(M.attach_media(docs)).collect()
+    }
+    want = {}
+    ids = sorted(hashes)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            if hashes[a][:2] == hashes[b][:2]:
+                d = bin(int(hashes[a], 16) ^ int(hashes[b], 16)).count("1")
+                want[(a, b)] = d
+    got = {(r["doc_a"], r["doc_b"]): r["hamming"] for r in rows}
+    assert got == want
+    assert got[(0, 3)] == 0  # identical content -> 0 distance
+    for r in rows:
+        assert r["is_near"] == (r["hamming"] <= 8)
