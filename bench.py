@@ -356,6 +356,7 @@ BENCH_QUERIES = [
     "orders_nelson_aalen",    # A82 cumulative hazard, exact-int (r12b)
     "stream_acf",             # T31 ACF lag table served live (r12b)
     "media_dedup_hamming",    # M12 Hamming verify over aHash bands (r12b)
+    "stream_theil_sen",       # T32 robust trend served live (r12b)
     # stream_cdc_merge is timed via _time_cdc_merge below (merge work
     # only): its checkpointed replay rewrites a bucketed parquet snapshot
     # per micro-batch (~12 s/run at sf0.1, >90% filesystem publish/rename

@@ -933,6 +933,8 @@ _ENTRIES: list[tuple[str, QueryFn, str | None]] = [
     ("stream_acf", st.stream_acf, m.ORACLE_metric_acf),
     # M12: exact Hamming verify over the M11 aHash bands
     ("media_dedup_hamming", d.media_dedup_hamming, d.ORACLE_media_dedup_hamming),
+    # T32: streaming Theil-Sen robust trend vs the batch A51 oracle
+    ("stream_theil_sen", st.stream_theil_sen, m.ORACLE_metric_theil_sen),
 ]
 
 # ----------------------------------------------------------------------

@@ -2241,6 +2241,70 @@ def stream_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("metric_name", "lag")
 
 
+# ---------------- T32: streaming Theil-Sen robust trend (A51 live) --------
+def stream_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T32: the A51 median-of-pairwise-slopes robust trend served LIVE —
+    a late bucket adds n−1 pairs and moves the median rank, so the
+    estimator re-derives per emit (numpy-vectorized over the
+    retention-bounded hour grid).  Drained max-version rows gate on the
+    batch `metric_theil_sen` DuckDB oracle bit-exactly."""
+    from pyspark.sql import Window
+
+    from project_obsidian_core_spark.plans.metrics_queries import HIT, READ
+    from project_obsidian_core_spark.streaming.sequence_state import (
+        streaming_theil_sen,
+    )
+
+    run = next(_RUN_IDS)
+    src = _events_src(spark, sf_dir, run)
+    schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "4")
+        .parquet(src)
+    )
+    name_col = (
+        F.when(F.col("event_type") == "view", F.lit(HIT))
+        .when(F.col("event_type") == "click", F.lit(READ))
+        .otherwise(F.concat(F.lit("postgresql."), F.col("event_type")))
+    )
+    keyed = stream.select(
+        name_col.alias("metric_name"),
+        F.expr("unix_micros(ts) div 3600000000").alias("bucket"),
+        F.col("cents").alias("v"),
+    )
+    out = streaming_theil_sen(keyed)
+    name = f"stream_ts_{run}"
+    tmp = tempfile.mkdtemp(prefix=f"obsidian_ts_{run}_")
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            out.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .option("checkpointLocation", f"{tmp}/ckpt")
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+
+    emitted = spark.table(name)
+    wmax = Window.partitionBy("metric_name")
+    latest = emitted.withColumn(
+        "_vmax", F.max("version").over(wmax)
+    ).filter(F.col("version") == F.col("_vmax"))
+    return latest.select(
+        "metric_name",
+        "n_buckets",
+        "n_pairs",
+        "median_slope_cents_per_hour",
+    ).orderBy("metric_name")
+
+
 # ---------------- T28: streaming Mann-Whitney U (A64 live) ----------------
 # Registration note: REGISTERED r12 (Block R12 queue drain; was queued via
 # scripts/check_queued.py). Registry row:

@@ -1567,6 +1567,102 @@ def streaming_acf(stream: DataFrame, max_lag: int) -> DataFrame:
     )
 
 
+# ------------- T32: streaming Theil-Sen slope over bucket-sum state -------
+THEILSEN_OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("metric_name", T.StringType()),
+        T.StructField("n_buckets", T.IntegerType()),
+        T.StructField("n_pairs", T.IntegerType()),
+        T.StructField("median_slope_cents_per_hour", T.DoubleType()),
+        T.StructField("version", T.LongType()),
+    ]
+)
+
+
+def theil_sen_from_series(
+    buckets: list[int], sums: list[int]
+) -> tuple[int, float] | None:
+    """The A51 median-of-pairwise-slopes estimator over the reconstructed
+    hour series: every (i < j) slope as one IEEE double division of
+    exact int64 deltas, lower order statistic at rank ceil(p/2) of the
+    ascending sort — the identical element both batch engines pick.
+    Vectorized in numpy (float64 division and sort are the same IEEE
+    doubles).  Returns (n_pairs, median_slope); None below 2 points."""
+    import numpy as np
+
+    n = len(sums)
+    if n < 2:
+        return None
+    x = np.asarray(buckets, dtype=np.float64)
+    y = np.asarray(sums, dtype=np.float64)
+    i, j = np.triu_indices(n, k=1)
+    slopes = (y[j] - y[i]) / (x[j] - x[i])
+    slopes.sort()
+    p = len(slopes)
+    return p, float(slopes[-(-p // 2) - 1])
+
+
+def make_theilsen_fn():
+    def fn(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        metric = str(key[0])
+        if state.exists:
+            buckets, sums, version = state.get
+            buckets, sums = list(buckets), list(sums)
+        else:
+            buckets, sums, version = [], [], 0
+        absorbed = 0
+        for pdf in pdfs:
+            if not len(pdf):
+                continue
+            absorbed += len(pdf)
+            buckets, sums = fold_bucket_sums(
+                buckets, sums, zip(pdf["bucket"], pdf["v"])
+            )
+        if not absorbed:
+            return
+        version += absorbed
+        state.update((buckets, sums, version))
+        res = theil_sen_from_series(buckets, sums)
+        if res is None:
+            return
+        n_pairs, med = res
+        yield pd.DataFrame(
+            {
+                "metric_name": [metric],
+                "n_buckets": pd.Series([len(sums)], dtype="int32"),
+                "n_pairs": pd.Series([n_pairs], dtype="int32"),
+                "median_slope_cents_per_hour": [med],
+                "version": [version],
+            }
+        )
+
+    return fn
+
+
+def streaming_theil_sen(stream: DataFrame) -> DataFrame:
+    """T32: the A51 Theil-Sen robust trend served LIVE — a late bucket
+    adds n−1 new pairwise slopes AND moves the median's rank, so the
+    estimator is re-derived per emit from the commutative exact-int
+    hour sums (the pair set is O(H²) in the RETENTION window, never the
+    corpus — the same bound the batch operator documents).  Drained
+    max-version rows equal the batch `metric_theil_sen` bit-exactly.
+    Expects (metric_name, bucket, v)."""
+    keyed = stream.select(
+        F.col("metric_name").cast("string").alias("metric_name"),
+        F.col("bucket").cast("long").alias("bucket"),
+        F.col("v").cast("long").alias("v"),
+    )
+    return keyed.groupBy("metric_name").applyInPandasWithState(
+        make_theilsen_fn(),
+        outputStructType=THEILSEN_OUTPUT_SCHEMA,
+        stateStructType=EWMA_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 # ---------- T28: streaming Mann-Whitney U over two-cohort count maps ------
 MANNWHITNEY_STATE_SCHEMA = T.StructType(
     [

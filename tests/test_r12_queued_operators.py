@@ -1431,3 +1431,56 @@ def test_stream_acf_drained_equals_batch(spark):
     got = [tuple(r) for r in stream_acf(spark, SF).collect()]
     ref = [tuple(r) for r in metric_acf(spark, SF).collect()]
     assert got == ref
+
+
+# ------------------------ T32: streaming Theil-Sen (r12) ------------------
+def test_theil_sen_from_series_matches_python():
+    """Lower-median of pairwise slopes, rank ceil(p/2) of the ascending
+    sort — identical element both engines pick."""
+    from project_obsidian_core_spark.streaming.sequence_state import (
+        theil_sen_from_series,
+    )
+
+    buckets = [100, 101, 103, 106, 107]
+    sums = [1000, 1500, 900, 2200, 2100]
+    slopes = sorted(
+        (sums[j] - sums[i]) / (buckets[j] - buckets[i])
+        for i in range(5)
+        for j in range(i + 1, 5)
+    )
+    p = len(slopes)
+    want = (p, slopes[-(-p // 2) - 1])
+    assert theil_sen_from_series(buckets, sums) == want
+    assert theil_sen_from_series([1], [5]) is None
+
+
+def test_theil_sen_fold_is_arrival_order_free():
+    import itertools
+
+    from project_obsidian_core_spark.streaming.sequence_state import (
+        fold_bucket_sums,
+        theil_sen_from_series,
+    )
+
+    rows = [(100, 10), (101, 50), (102, 5), (103, 40), (104, 2)]
+    want = None
+    for perm in itertools.permutations(rows):
+        buckets, sums = [], []
+        for chunk in (perm[:2], perm[2:4], perm[4:]):
+            buckets, sums = fold_bucket_sums(buckets, sums, chunk)
+        got = theil_sen_from_series(buckets, sums)
+        want = got if want is None else want
+        assert got == want
+
+
+def test_stream_theil_sen_drained_equals_batch(spark):
+    from project_obsidian_core_spark.plans.metrics_queries import (
+        metric_theil_sen,
+    )
+    from project_obsidian_core_spark.plans.streaming_queries import (
+        stream_theil_sen,
+    )
+
+    got = [tuple(r) for r in stream_theil_sen(spark, SF).collect()]
+    ref = [tuple(r) for r in metric_theil_sen(spark, SF).collect()]
+    assert got == ref
