@@ -935,6 +935,8 @@ _ENTRIES: list[tuple[str, QueryFn, str | None]] = [
     ("media_dedup_hamming", d.media_dedup_hamming, d.ORACLE_media_dedup_hamming),
     # T32: streaming Theil-Sen robust trend vs the batch A51 oracle
     ("stream_theil_sen", st.stream_theil_sen, m.ORACLE_metric_theil_sen),
+    # A83: log-rank two-cohort survival comparison timeline
+    ("orders_logrank", r.orders_logrank, r.ORACLE_orders_logrank),
 ]
 
 # ----------------------------------------------------------------------

@@ -2122,6 +2122,195 @@ ORDER BY t_days
 """
 
 
+# -------------------------- A83: log-rank two-cohort survival test --------
+def orders_logrank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A83: log-rank test timeline comparing repurchase survival between
+    two customer cohorts (BUILDING market segment vs the rest) — the
+    hypothesis-test member of the survival family: A70 (KM) and A82
+    (Nelson-Aalen) each DESCRIBE one curve; this asks whether two
+    cohorts' curves differ beyond chance, censoring-correct on both
+    sides (the question "do segment-X customers reorder faster" that a
+    naive mean-gap comparison answers wrongly under censoring).
+
+    Per distinct duration t: per-cohort event/censor counts, per-cohort
+    risk sets (the A70 total-minus-prefix window, once per cohort via
+    conditional sums — ONE ordered pass over the ≤|span|-row timeline),
+    the n-scaled observed-minus-expected numerator
+    ``oe_num = d_a·n − d·n_a`` EXACT int64, and the hypergeometric
+    variance term as ONE deterministic float chain per row
+    (``d·n_a·n_b·(n−d) / (n²·(n−1))`` evaluated in the identical
+    operation order by both engines — kept float because the int
+    numerator alone brushes int64 at sf1; documented).  The scalar z
+    lives in :func:`logrank_z` OUTSIDE the gate (a float reduction over
+    the timeline), mirroring A70's survival product.
+
+    Cohort attaches via ONE broadcast join against the customer dim —
+    the dimension is |customers| rows but only (key, 1-bit) wide here;
+    at 100 TB the same join is a broadcast of the reduced projection.
+    """
+    c = load(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"),
+        (F.col("c_mktsegment") == "BUILDING").cast("int").alias("ga"),
+    )
+    o = load(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.expr("unix_micros(o_orderdate) div 86400000000").alias("day"),
+    )
+    omax = o.groupBy().agg(F.max("day").alias("corpus_last_day"))
+    w = Window.partitionBy("o_custkey").orderBy("day")
+    seq = o.select(
+        "o_custkey",
+        "day",
+        F.lag("day").over(w).alias("prev_day"),
+        F.row_number().over(
+            Window.partitionBy("o_custkey").orderBy(F.desc("day"))
+        ).alias("rn_desc"),
+    )
+    events = seq.filter(F.col("prev_day").isNotNull()).select(
+        "o_custkey",
+        (F.col("day") - F.col("prev_day")).alias("dur"),
+        F.lit(1).alias("ev"),
+        F.lit(0).alias("cz"),
+    )
+    censored = (
+        seq.filter(F.col("rn_desc") == 1)
+        .crossJoin(F.broadcast(omax))
+        .select(
+            "o_custkey",
+            (F.col("corpus_last_day") - F.col("day")).alias("dur"),
+            F.lit(0).alias("ev"),
+            F.lit(1).alias("cz"),
+        )
+    )
+    obs = events.unionByName(censored).join(F.broadcast(c), "o_custkey")
+    tl = obs.groupBy("dur").agg(
+        F.sum(F.col("ev") * F.col("ga")).cast("long").alias("d_a"),
+        F.sum(F.col("ev") * (1 - F.col("ga"))).cast("long").alias("d_b"),
+        F.sum(F.col("cz") * F.col("ga")).cast("long").alias("c_a"),
+        F.sum(F.col("cz") * (1 - F.col("ga"))).cast("long").alias("c_b"),
+    )
+    wprev = Window.orderBy("dur").rowsBetween(Window.unboundedPreceding, -1)
+    wtot = Window.partitionBy()
+    risk = tl.select(
+        F.col("dur").alias("t_days"),
+        "d_a",
+        "d_b",
+        "c_a",
+        "c_b",
+        (
+            F.sum(F.col("d_a") + F.col("c_a")).over(wtot)
+            - F.coalesce(F.sum(F.col("d_a") + F.col("c_a")).over(wprev), F.lit(0))
+        ).alias("n_a"),
+        (
+            F.sum(F.col("d_b") + F.col("c_b")).over(wtot)
+            - F.coalesce(F.sum(F.col("d_b") + F.col("c_b")).over(wprev), F.lit(0))
+        ).alias("n_b"),
+    )
+    d = F.col("d_a") + F.col("d_b")
+    n = F.col("n_a") + F.col("n_b")
+    return risk.select(
+        "t_days",
+        "d_a",
+        "d_b",
+        "c_a",
+        "c_b",
+        "n_a",
+        "n_b",
+        (F.col("d_a") * n - d * F.col("n_a")).cast("long").alias("oe_num"),
+        F.when(
+            n > 1,
+            (
+                d.cast("double")
+                * F.col("n_a").cast("double")
+                * F.col("n_b").cast("double")
+                * (n - d).cast("double")
+            )
+            / (
+                n.cast("double")
+                * n.cast("double")
+                * (n - F.lit(1)).cast("double")
+            ),
+        ).alias("var_t"),
+    ).orderBy("t_days")
+
+
+def logrank_z(df: DataFrame) -> DataFrame:
+    """Scalar log-rank statistic from the A83 timeline — OUTSIDE the
+    hashed gate (a float reduction, like A70's survival product):
+    z = Σ(oe_num/n) / sqrt(Σ var_t)."""
+    oe = (
+        F.col("oe_num").cast("double")
+        / (F.col("n_a") + F.col("n_b")).cast("double")
+    )
+    agg = df.agg(
+        F.sum(oe).alias("oe_sum"),
+        F.sum("var_t").alias("var_sum"),
+    )
+    return agg.select(
+        "oe_sum",
+        "var_sum",
+        F.when(
+            F.col("var_sum") > 0,
+            F.col("oe_sum") / F.sqrt(F.col("var_sum")),
+        ).alias("z"),
+    )
+
+
+ORACLE_orders_logrank = """
+WITH c AS (
+    SELECT c_custkey AS o_custkey,
+           CASE WHEN c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END AS ga
+    FROM customer
+), o AS (
+    SELECT o_custkey, epoch_us(o_orderdate) // 86400000000 AS day
+    FROM orders
+), omax AS (
+    SELECT max(day) AS corpus_last_day FROM o
+), seq AS (
+    SELECT o_custkey, day,
+           lag(day) OVER (PARTITION BY o_custkey ORDER BY day) AS prev_day,
+           row_number() OVER (PARTITION BY o_custkey ORDER BY day DESC)
+               AS rn_desc
+    FROM o
+), obs AS (
+    SELECT o_custkey, day - prev_day AS dur, 1 AS ev, 0 AS cz
+    FROM seq WHERE prev_day IS NOT NULL
+    UNION ALL
+    SELECT o_custkey, corpus_last_day - day AS dur, 0 AS ev, 1 AS cz
+    FROM seq CROSS JOIN omax WHERE rn_desc = 1
+), tl AS (
+    SELECT dur,
+           CAST(sum(ev * ga) AS BIGINT) AS d_a,
+           CAST(sum(ev * (1 - ga)) AS BIGINT) AS d_b,
+           CAST(sum(cz * ga) AS BIGINT) AS c_a,
+           CAST(sum(cz * (1 - ga)) AS BIGINT) AS c_b
+    FROM obs JOIN c USING (o_custkey)
+    GROUP BY dur
+), risk AS (
+    SELECT dur AS t_days, d_a, d_b, c_a, c_b,
+           CAST(sum(d_a + c_a) OVER ()
+                - coalesce(sum(d_a + c_a) OVER (ORDER BY dur
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) AS n_a,
+           CAST(sum(d_b + c_b) OVER ()
+                - coalesce(sum(d_b + c_b) OVER (ORDER BY dur
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) AS n_b
+    FROM tl
+)
+SELECT t_days, d_a, d_b, c_a, c_b, n_a, n_b,
+       CAST(d_a * (n_a + n_b) - (d_a + d_b) * n_a AS BIGINT) AS oe_num,
+       CASE WHEN n_a + n_b > 1 THEN
+           (CAST(d_a + d_b AS DOUBLE) * CAST(n_a AS DOUBLE)
+            * CAST(n_b AS DOUBLE) * CAST((n_a + n_b) - (d_a + d_b) AS DOUBLE))
+           / (CAST(n_a + n_b AS DOUBLE) * CAST(n_a + n_b AS DOUBLE)
+              * CAST((n_a + n_b) - 1 AS DOUBLE))
+       END AS var_t
+FROM risk
+ORDER BY t_days
+"""
+
+
 # -------------------------------------------------- R28: Q16 reshape --
 # Registration note: REGISTERED r12 (Block R12 queue drain; was queued via
 # scripts/check_queued.py). Registry row:

@@ -1484,3 +1484,78 @@ def test_stream_theil_sen_drained_equals_batch(spark):
     got = [tuple(r) for r in stream_theil_sen(spark, SF).collect()]
     ref = [tuple(r) for r in metric_theil_sen(spark, SF).collect()]
     assert got == ref
+
+
+# ------------------------ A83: log-rank test (r12) ------------------------
+def test_logrank_matches_python(spark):
+    """Per-duration cohort counts, risk sets, the exact-int O-E
+    numerator, the variance chain, and the out-of-gate z against a
+    direct python recompute."""
+    import math
+
+    from project_obsidian_core_spark.plans.common import load
+    from project_obsidian_core_spark.plans.relational_queries import (
+        logrank_z,
+        orders_logrank,
+    )
+
+    seg = {
+        r["c_custkey"]: 1 if r["c_mktsegment"] == "BUILDING" else 0
+        for r in load(spark, SF, "customer").collect()
+    }
+    days = {}
+    for r in (
+        load(spark, SF, "orders")
+        .selectExpr("o_custkey", "unix_micros(o_orderdate) div 86400000000 d")
+        .collect()
+    ):
+        days.setdefault(r["o_custkey"], []).append(r["d"])
+    last = max(max(v) for v in days.values())
+    obs = []  # (dur, ga, ev)
+    for cust, seq in days.items():
+        seq.sort()
+        ga = seg[cust]
+        for a, b in zip(seq, seq[1:]):
+            obs.append((b - a, ga, 1))
+        obs.append((last - seq[-1], ga, 0))
+    durs = sorted({d for d, _, _ in obs})
+    want = {}
+    oe_sum = var_sum = 0.0
+    rem_a = sum(1 for _, g, _ in obs if g)
+    rem_b = len(obs) - rem_a
+    from collections import Counter
+
+    by_dur = {}
+    for d, g, e in obs:
+        by_dur.setdefault(d, Counter())[(g, e)] += 1
+    for t in durs:
+        c = by_dur[t]
+        d_a, d_b = c[(1, 1)], c[(0, 1)]
+        c_a, c_b = c[(1, 0)], c[(0, 0)]
+        n_a, n_b = rem_a, rem_b
+        n, d = n_a + n_b, d_a + d_b
+        oe_num = d_a * n - d * n_a
+        var_t = (
+            (float(d) * float(n_a) * float(n_b) * float(n - d))
+            / (float(n) * float(n) * float(n - 1))
+            if n > 1
+            else None
+        )
+        want[t] = (d_a, d_b, c_a, c_b, n_a, n_b, oe_num, var_t)
+        oe_sum += float(oe_num) / float(n)
+        if var_t is not None:
+            var_sum += var_t
+        rem_a -= d_a + c_a
+        rem_b -= d_b + c_b
+    df = orders_logrank(spark, SF)
+    got = {
+        r["t_days"]: (
+            r["d_a"], r["d_b"], r["c_a"], r["c_b"],
+            r["n_a"], r["n_b"], r["oe_num"], r["var_t"],
+        )
+        for r in df.collect()
+    }
+    assert got == want
+    z = logrank_z(df).collect()[0]
+    assert z["var_sum"] == __import__("pytest").approx(var_sum)
+    assert z["z"] == __import__("pytest").approx(oe_sum / math.sqrt(var_sum))
