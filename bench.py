@@ -358,6 +358,7 @@ BENCH_QUERIES = [
     "media_dedup_hamming",    # M12 Hamming verify over aHash bands (r12b)
     "stream_theil_sen",       # T32 robust trend served live (r12b)
     "orders_logrank",         # A83 two-cohort survival test (r12b)
+    "corpus_pack_bfd",        # P11 best-fit-decreasing packing (r12b)
     # stream_cdc_merge is timed via _time_cdc_merge below (merge work
     # only): its checkpointed replay rewrites a bucketed parquet snapshot
     # per micro-batch (~12 s/run at sf0.1, >90% filesystem publish/rename

@@ -421,6 +421,90 @@ def pack_greedy(
     return slim.groupBy("__shard", "__sub").applyInPandas(_pack, schema=out_schema)
 
 
+def pack_best_fit(
+    df: DataFrame,
+    ctx_len: int,
+    tokens_col: str = "n_tokens",
+    shard_col: str = "source",
+    order_col: str = "doc_id",
+    max_shard_rows: int | None = None,
+) -> DataFrame:
+    """Best-fit-decreasing (BFD) packing without document splitting — the
+    classic bin-packing heuristic (≤ 11/9·OPT + 2/3 bins) next to
+    :func:`pack_greedy`'s first-fit-in-corpus-order: documents sort by
+    token count DESCENDING (``order_col`` as the tie-break), and each one
+    lands in the FULLEST already-open context it still fits (ties → the
+    lowest-numbered pack, the deterministic rule the oracle mirrors via
+    first-occurrence ``list_position``); no fit opens a new context.
+    First-fit preserves corpus order (cheap, streaming-friendly); BFD
+    trades a sort + open-bin state for measurably fewer
+    partially-filled contexts — the policy choice every packing pipeline
+    prices.
+
+    Same execution shape and ``max_shard_rows`` hot-shard guard as
+    ``pack_greedy`` (salted sub-shards, namespaced pack ids); state per
+    task is the open-bin fill list — O(packs in the sub-shard), bounded
+    by the cap.
+    """
+    out_schema = T.StructType(
+        [
+            T.StructField("doc_key", T.StringType()),
+            T.StructField("shard", T.StringType()),
+            T.StructField("n_tokens", T.LongType()),
+        ]
+        + _PACK_SCHEMA_SUFFIX
+    )
+
+    def _pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(
+            ["__tokens", "__order"], ascending=[False, True]
+        ).reset_index(drop=True)
+        base = int(pdf["__sub"].iloc[0]) * (max_shard_rows or 0)
+        fills: list[int] = []
+        ids, before = [], []
+        for n in pdf["__tokens"].astype("int64"):
+            n = int(n)
+            best_idx, best_fill = -1, -1
+            for k, f in enumerate(fills):
+                if f + n <= ctx_len and f > best_fill:
+                    best_idx, best_fill = k, f
+            if best_idx < 0:
+                fills.append(n)
+                ids.append(base + len(fills))
+                before.append(0)
+            else:
+                ids.append(base + best_idx + 1)
+                before.append(fills[best_idx])
+                fills[best_idx] += n
+        return pd.DataFrame(
+            {
+                "doc_key": pdf["__order"].astype(str),
+                "shard": pdf["__shard"].astype(str),
+                "n_tokens": pdf["__tokens"].astype("int64"),
+                "pack_id": ids,
+                "pack_fill": before,
+            }
+        )
+
+    slim = df.select(
+        F.col(order_col).alias("__order"),
+        F.col(shard_col).alias("__shard"),
+        F.col(tokens_col).cast("long").alias("__tokens"),
+    )
+    if max_shard_rows is None:
+        slim = slim.withColumn("__sub", F.lit(0))
+    else:
+        n = F.count(F.lit(1)).over(Window.partitionBy("__shard"))
+        n_subs = F.greatest(
+            F.ceil(n / F.lit(max_shard_rows)).cast("long"), F.lit(1)
+        )
+        slim = slim.withColumn(
+            "__sub",
+            F.pmod(shared_hash60(F.col("__order").cast("string")), n_subs),
+        )
+    return slim.groupBy("__shard", "__sub").applyInPandas(_pack, schema=out_schema)
+
+
 # --------------------------------------------------------- corpus sink ----
 
 

@@ -354,6 +354,55 @@ ORDER BY shard, doc_key
 """
 
 
+def corpus_pack_bfd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Best-fit-decreasing packing of whitespace-token counts, sharded by
+    source — the packing policy next to first-fit `corpus_pack_greedy`
+    and prefix-sum `corpus_pack`, with the classic 11/9·OPT+2/3 bin
+    bound; the multi-bin fold is checked against a DuckDB RECURSIVE CTE
+    carrying the open-bin fill LIST through the identical recurrence
+    (best fit = fullest eligible bin, first-occurrence tie-break)."""
+    docs = load(spark, sf_dir, "documents")
+    with_tokens = docs.select(
+        "doc_id",
+        "source",
+        F.size(F.split(F.col("text"), " ")).cast("long").alias("n_tokens"),
+    )
+    out = P.pack_best_fit(with_tokens, _CTX_LEN)
+    return out.orderBy("shard", "doc_key")
+
+
+ORACLE_corpus_pack_bfd = f"""
+WITH RECURSIVE t AS (
+    SELECT CAST(doc_id AS VARCHAR) AS doc_key, source AS shard,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+           row_number() OVER (PARTITION BY source
+                              ORDER BY len(string_split(text, ' ')) DESC,
+                                       doc_id) AS rn
+    FROM documents
+), rec AS (
+    SELECT shard, rn, doc_key, n_tokens,
+           CAST(1 AS BIGINT) AS pack_id, CAST(0 AS BIGINT) AS pack_fill,
+           [n_tokens] AS fills
+    FROM t WHERE rn = 1
+    UNION ALL
+    SELECT o.shard, o.rn, o.doc_key, o.n_tokens,
+           coalesce(CAST(list_position(r.fills,
+               list_max(list_filter(r.fills, f -> f + o.n_tokens <= {_CTX_LEN}))) AS BIGINT), len(r.fills) + 1) AS pack_id,
+           coalesce(list_max(list_filter(r.fills, f -> f + o.n_tokens <= {_CTX_LEN})), 0) AS pack_fill,
+           CASE WHEN list_max(list_filter(r.fills, f -> f + o.n_tokens <= {_CTX_LEN})) IS NULL
+                THEN list_append(r.fills, o.n_tokens)
+                ELSE [CASE WHEN k = list_position(r.fills, list_max(list_filter(r.fills, f -> f + o.n_tokens <= {_CTX_LEN})))
+                           THEN r.fills[k] + o.n_tokens
+                           ELSE r.fills[k] END
+                      for k in generate_series(1, len(r.fills))] END AS fills
+    FROM rec r JOIN t o ON o.shard = r.shard AND o.rn = r.rn + 1
+)
+SELECT doc_key, shard, n_tokens, pack_id, pack_fill
+FROM rec
+ORDER BY shard, doc_key
+"""
+
+
 # ---------------------------------------------------------------- chunk ---
 _CHUNK_SIZE = 480
 _CHUNK_OVERLAP = 120

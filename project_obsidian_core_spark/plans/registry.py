@@ -937,6 +937,9 @@ _ENTRIES: list[tuple[str, QueryFn, str | None]] = [
     ("stream_theil_sen", st.stream_theil_sen, m.ORACLE_metric_theil_sen),
     # A83: log-rank two-cohort survival comparison timeline
     ("orders_logrank", r.orders_logrank, r.ORACLE_orders_logrank),
+    # P11: best-fit-decreasing packing (multi-bin fold vs a list-state
+    # recursive-CTE oracle)
+    ("corpus_pack_bfd", pl.corpus_pack_bfd, pl.ORACLE_corpus_pack_bfd),
 ]
 
 # ----------------------------------------------------------------------

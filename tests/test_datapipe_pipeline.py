@@ -307,3 +307,65 @@ def test_chunk_documents_rejects_bad_overlap(spark):
         P.chunk_documents(docs, size=4, overlap=4)
     with pytest.raises(ValueError):
         P.chunk_documents(docs, size=4, overlap=-1)
+
+
+# -------------------------- P11: best-fit-decreasing ----------------------
+def test_pack_best_fit_matches_python_and_beats_first_fit(spark):
+    """BFD against a direct python recompute, plus the policy claim: on
+    this adversarial shard BFD uses strictly fewer bins than first-fit
+    in corpus order (the reason the policy exists)."""
+    from project_obsidian_core_spark.datapipe.pipeline import (
+        pack_best_fit,
+        pack_greedy,
+    )
+
+    # corpus order interleaves big/small so first-fit fragments
+    toks = [60, 50, 45, 55, 30, 40, 10, 20, 35, 5]
+    rows = [(i, "s", t) for i, t in enumerate(toks)]
+    df = spark.createDataFrame(rows, ["doc_id", "source", "n_tokens"])
+    ctx = 100
+    got = {
+        r["doc_key"]: (r["pack_id"], r["pack_fill"])
+        for r in pack_best_fit(df, ctx).collect()
+    }
+    # python BFD with the same tie rules
+    order = sorted(range(len(toks)), key=lambda i: (-toks[i], i))
+    fills, want = [], {}
+    for i in order:
+        n = toks[i]
+        best_idx, best_fill = -1, -1
+        for k, f in enumerate(fills):
+            if f + n <= ctx and f > best_fill:
+                best_idx, best_fill = k, f
+        if best_idx < 0:
+            fills.append(n)
+            want[str(i)] = (len(fills), 0)
+        else:
+            want[str(i)] = (best_idx + 1, fills[best_idx])
+            fills[best_idx] += n
+    assert got == want
+    n_bfd = len({p for p, _ in got.values()})
+    ff = pack_greedy(df, ctx).collect()
+    n_ff = len({r["pack_id"] for r in ff})
+    assert n_bfd < n_ff  # the policy pays for itself here
+    # capacity respected
+    per_bin = {}
+    for i, (p, _) in got.items():
+        per_bin[p] = per_bin.get(p, 0) + toks[int(i)]
+    assert all(v <= ctx for v in per_bin.values())
+
+
+def test_pack_best_fit_hot_shard_guard(spark):
+    """max_shard_rows splits a hot shard into salted sub-shards with
+    namespaced pack ids; every document still lands exactly once and no
+    context overflows."""
+    from project_obsidian_core_spark.datapipe.pipeline import pack_best_fit
+
+    rows = [(i, "hot", 10 + (i % 7)) for i in range(40)]
+    df = spark.createDataFrame(rows, ["doc_id", "source", "n_tokens"])
+    out = pack_best_fit(df, 50, max_shard_rows=16).collect()
+    assert len(out) == 40 and len({r["doc_key"] for r in out}) == 40
+    per_bin = {}
+    for r in out:
+        per_bin[r["pack_id"]] = per_bin.get(r["pack_id"], 0) + r["n_tokens"]
+    assert all(v <= 50 for v in per_bin.values())
