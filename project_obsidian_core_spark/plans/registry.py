@@ -940,6 +940,17 @@ _ENTRIES: list[tuple[str, QueryFn, str | None]] = [
     # P11: best-fit-decreasing packing (multi-bin fold vs a list-state
     # recursive-CTE oracle)
     ("corpus_pack_bfd", pl.corpus_pack_bfd, pl.ORACLE_corpus_pack_bfd),
+    # ------------------------------------------------------------------
+    # Block R13 — round-13 registrations.
+    # T24e: evict-mode as-of join drained vs the SAME DuckDB native ASOF
+    # oracle as the batch events_asof_join — the last evict=True contract
+    # gains a driver gate (r12 verdict Next #1); all three eviction paths
+    # are now driver-verified
+    (
+        "stream_asof_join_evict",
+        st.stream_asof_join_evict,
+        tj.ORACLE_events_asof_join,
+    ),
 ]
 
 # ----------------------------------------------------------------------

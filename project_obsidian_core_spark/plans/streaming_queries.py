@@ -1516,7 +1516,10 @@ def stream_sessionize_evict(spark: SparkSession, sf_dir: str) -> DataFrame:
     max-version live rows, which the eviction contract proves ≡ the
     batch lag-window sessionization (`tests/test_sequence_evict.py`);
     gated bit-exact on the SAME batch `sessionize_events` oracle as the
-    non-evicting twin."""
+    non-evicting twin.  Finals take PRECEDENCE by (user_id,
+    session_idx): a timeout flush (r13 — quiescent keys close via
+    EventTimeTimeout) finalizes sessions whose last live frame may
+    remain the max-version one, so live rows anti-join the finals."""
     emitted = _sessionize_evict_emitted(spark, sf_dir)
     cols = [
         "user_id",
@@ -1526,15 +1529,30 @@ def stream_sessionize_evict(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_events",
         "value_sum",
     ]
-    finals = emitted.filter(F.col("is_final")).select(*cols)
-    wmax = Window.partitionBy("user_id")
-    live = (
-        emitted.filter(~F.col("is_final"))
-        .withColumn("_vmax", F.max("version").over(wmax))
-        .filter(F.col("version") == F.col("_vmax"))
+    # one window pass instead of a finals/live self-join (conflicting
+    # refs on the memory view — the funnel-drain precedent): per
+    # (user, session_idx) a final row wins; otherwise the user's
+    # max-LIVE-version row
+    wuser = Window.partitionBy("user_id")
+    wkey = Window.partitionBy("user_id", "session_idx")
+    return (
+        emitted.withColumn(
+            "_lvmax",
+            F.max(
+                F.when(~F.col("is_final"), F.col("version"))
+            ).over(wuser),
+        )
+        .withColumn(
+            "_hasf", F.max(F.col("is_final").cast("int")).over(wkey)
+        )
+        .filter(
+            F.col("is_final")
+            | (F.col("_hasf") == 0)
+            & (F.col("version") == F.col("_lvmax"))
+        )
         .select(*cols)
+        .orderBy("user_id", "session_idx")
     )
-    return finals.unionByName(live).orderBy("user_id", "session_idx")
 
 
 def _sessionize_evict_emitted(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1657,6 +1675,107 @@ def _funnel_evict_emitted(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     name = f"stream_funnel_evict_{run}"
     tmp = tempfile.mkdtemp(prefix=f"obsidian_fnlev_{run}_")
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            out.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .option("checkpointLocation", f"{tmp}/ckpt")
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+
+    return spark.table(name)
+
+
+# ---------- T24e: as-of join with WATERMARK EVICTION, gated (r13) --------
+def stream_asof_join_evict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T24e: the evict-mode as-of join served live — THIRD and last
+    driver-gated eviction path (sessions and funnel landed in r12; the
+    r12 verdict's Next #1).  A click below the watermark is FINAL (any
+    unseen purchase is either ≥ wm — strictly after it, never as-of
+    eligible — or dropped as late), so it is matched against the full
+    purchase map, emitted once with ``is_final=True``, and leaves
+    state; among frozen purchases only the latest survives as the
+    anchor for live/future clicks.  Unlike the windowed twins this
+    eviction is LOSSLESS — finals ∪ max-version live ≡ the batch ASOF
+    join exactly (``make_asof_fn`` docstring has the proof; unit-pinned
+    incl. the idle-key EventTimeTimeout flush in
+    tests/test_sequence_evict.py).  Replay is event-time-ordered range
+    chunks (:func:`_events_src_ordered` — the transport-order
+    precondition).  Drain: finals take PRECEDENCE by event_id (a
+    timeout flush finalizes clicks whose last live frame may remain the
+    max-version one); gated bit-exact on the SAME DuckDB native ``ASOF
+    LEFT JOIN`` oracle as the batch `events_asof_join`."""
+    emitted = _asof_evict_emitted(spark, sf_dir)
+    cols = [
+        "event_id",
+        "user_id",
+        "ts_us",
+        "cents",
+        "last_purchase_us",
+        "last_purchase_cents",
+    ]
+    # single window pass, finals-precedence by event_id (see the
+    # sessionize-evict drain note on memory-view self-joins)
+    wuser = Window.partitionBy("user_id")
+    weid = Window.partitionBy("event_id")
+    return (
+        emitted.withColumn(
+            "_lvmax",
+            F.max(
+                F.when(~F.col("is_final"), F.col("version"))
+            ).over(wuser),
+        )
+        .withColumn(
+            "_hasf", F.max(F.col("is_final").cast("int")).over(weid)
+        )
+        .filter(
+            F.col("is_final")
+            | (F.col("_hasf") == 0)
+            & (F.col("version") == F.col("_lvmax"))
+        )
+        .select(*cols)
+        .orderBy("event_id")
+    )
+
+
+def _asof_evict_emitted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The raw evict-mode as-of emission — split out so the
+    eviction-fires unit can assert finals exist in the registered
+    plan's own replay (the sessionize/funnel-evict precedent)."""
+    from project_obsidian_core_spark.streaming.sequence_state import (
+        streaming_asof_join,
+    )
+
+    run = next(_RUN_IDS)
+    src = _events_src_ordered(spark, sf_dir, run)
+    schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+        .withWatermark("ts", "1 minute")
+        .filter(F.col("event_type").isin("click", "purchase"))
+        .select(
+            "user_id",
+            "event_id",
+            "ts",
+            "cents",
+            F.when(F.col("event_type") == "click", F.lit("L"))
+            .otherwise(F.lit("R"))
+            .alias("side"),
+        )
+    )
+    out = streaming_asof_join(stream, evict=True)
+    name = f"stream_asof_evict_{run}"
+    tmp = tempfile.mkdtemp(prefix=f"obsidian_asofev_{run}_")
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "8")
     try:

@@ -286,13 +286,24 @@ def make_funnel_fn(stages: tuple[str, ...], within_us: int, evict: bool = False)
     Both prunes are lossless for the final answer (re-inserted replayed
     rows land outside the live slice and change nothing), so finals ∪
     max-version live of unfinalized users ≡ the batch A44 greedy,
-    unit-pinned in tests/test_sequence_evict.py."""
+    unit-pinned in tests/test_sequence_evict.py.
+
+    QUIESCENT keys finalize too (r12 ADVICE — the exact gap fixed for
+    the as-of join in r12 but left NoTimeout here): whenever a live
+    anchor exists the key arms an EVENT-TIME TIMEOUT at the one instant
+    it can finalize without new data — the anchor's deadline falling
+    below the watermark — so other keys' traffic advancing the watermark
+    flushes it.  The timeout flush bumps ``version`` by 1 and emits ONLY
+    the final row (nothing changed for the live view), so drains keep
+    their finals-take-precedence contract.  Anchorless keys never arm
+    (they cannot finalize without a new stage-1 row — no idle wakes)."""
 
     def fn(
         key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
         user = int(key[0])
         done = False
+        timed_out = evict and state.hasTimedOut
         if state.exists:
             if evict:
                 ts, eid, types, version, done = state.get
@@ -302,17 +313,18 @@ def make_funnel_fn(stages: tuple[str, ...], within_us: int, evict: bool = False)
         else:
             ts, eid, types, version = [], [], [], 0
         absorbed = 0
-        for pdf in pdfs:
-            if not len(pdf):
-                continue
-            absorbed += len(pdf)
-            if done:
-                continue  # tombstoned: the outcome is immutable
-            ts, eid, types = merge_sequence(
-                ts, eid, types,
-                zip(pdf["ts_us"], pdf["event_id"], pdf["event_type"]),
-            )
-        if not absorbed or done:
+        if not timed_out:
+            for pdf in pdfs:
+                if not len(pdf):
+                    continue
+                absorbed += len(pdf)
+                if done:
+                    continue  # tombstoned: the outcome is immutable
+                ts, eid, types = merge_sequence(
+                    ts, eid, types,
+                    zip(pdf["ts_us"], pdf["event_id"], pdf["event_type"]),
+                )
+        if (not absorbed and not timed_out) or done:
             return
         version += absorbed
 
@@ -327,13 +339,18 @@ def make_funnel_fn(stages: tuple[str, ...], within_us: int, evict: bool = False)
             return pd.DataFrame(cols)
 
         if evict:
-            wm_us = state.getCurrentWatermarkMs() * 1000
+            wm_ms = state.getCurrentWatermarkMs()
+            wm_us = wm_ms * 1000
             anchor = None
             for t, y in zip(ts, types):
                 if y == stages[0]:
                     anchor = t
                     break
             if anchor is not None and anchor + within_us < wm_us:
+                if timed_out:
+                    # the flush emission gets its own version so drains
+                    # see it as the newest frame for this user
+                    version += 1
                 yield frame(
                     funnel_progress(ts, types, stages, within_us), True
                 )
@@ -352,8 +369,16 @@ def make_funnel_fn(stages: tuple[str, ...], within_us: int, evict: bool = False)
             ts = [ts[i] for i in keep]
             eid = [eid[i] for i in keep]
             types = [types[i] for i in keep]
+            if anchor is not None:
+                # wake at the exact event-time the anchor's deadline
+                # falls below the watermark — the only instant this key
+                # can finalize without new data (no periodic idle wakes)
+                state.setTimeoutTimestamp(
+                    max((anchor + within_us) // 1000 + 1, wm_ms + 1)
+                )
             state.update((ts, eid, types, version, False))
-            yield frame(stage_now, False)
+            if not timed_out:
+                yield frame(stage_now, False)
             return
         state.update((ts, eid, types, version))
         yield frame(funnel_progress(ts, types, stages, within_us), False)
@@ -390,7 +415,13 @@ def streaming_sequence_funnel(
             FUNNEL_EVICT_STATE_SCHEMA if evict else STATE_SCHEMA
         ),
         outputMode="append",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+        # evict mode wakes keys when their anchor's deadline crosses the
+        # watermark so quiescent users still finalize (r12 ADVICE)
+        timeoutConf=(
+            GroupStateTimeout.EventTimeTimeout
+            if evict
+            else GroupStateTimeout.NoTimeout
+        ),
     )
 
 
@@ -459,14 +490,26 @@ def make_session_fn(gap_us: int, evict: bool = False):
     can neither extend, join, nor split it.  Closed sessions form a
     prefix of the ordered session list; they are emitted once with
     ``is_final=True`` and their rows leave state; ``closed_n`` in state
-    keeps the global 1-based session numbering exact.  finals ∪
-    max-version live ≡ the batch sessionization, test-pinned."""
+    keeps the global 1-based session numbering exact.  Drain = finals ∪
+    max-version live with FINALS TAKING PRECEDENCE by (user_id,
+    session_idx) ≡ the batch sessionization, test-pinned: a timeout
+    flush (below) finalizes sessions whose last live frame may remain
+    the max-version one.
+
+    QUIESCENT keys finalize too (r12 ADVICE): whenever open rows remain
+    the key arms an EVENT-TIME TIMEOUT at the instant its tail session's
+    gap expires — ``last_ts + gap`` crossing the watermark — so other
+    keys' traffic flushes idle keys.  The timeout flush bumps
+    ``version`` and emits only the finals (the open remainder, if any,
+    is re-emitted live at the bumped version so the live view never
+    re-carries a flushed session)."""
 
     def fn(
         key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
         user = int(key[0])
         closed_n = 0
+        timed_out = evict and state.hasTimedOut
         if state.exists:
             if evict:
                 ts, eid, vals, version, closed_n = state.get
@@ -476,22 +519,23 @@ def make_session_fn(gap_us: int, evict: bool = False):
         else:
             ts, eid, vals, version = [], [], [], 0
         absorbed = 0
-        for pdf in pdfs:
-            if not len(pdf):
-                continue
-            absorbed += len(pdf)
-            # same linear two-run merge as the type-sequence state (the
-            # payload column is the cents value instead of the type)
-            ts, eid, vals = merge_sequence(
-                ts, eid, vals,
-                [
-                    (int(t), int(e), int(v))
-                    for t, e, v in zip(
-                        pdf["ts_us"], pdf["event_id"], pdf["cents"]
-                    )
-                ],
-            )
-        if not absorbed:
+        if not timed_out:
+            for pdf in pdfs:
+                if not len(pdf):
+                    continue
+                absorbed += len(pdf)
+                # same linear two-run merge as the type-sequence state (the
+                # payload column is the cents value instead of the type)
+                ts, eid, vals = merge_sequence(
+                    ts, eid, vals,
+                    [
+                        (int(t), int(e), int(v))
+                        for t, e, v in zip(
+                            pdf["ts_us"], pdf["event_id"], pdf["cents"]
+                        )
+                    ],
+                )
+        if not absorbed and not timed_out:
             return
         version += absorbed
         rows = gap_sessions(ts, vals, gap_us)
@@ -511,13 +555,27 @@ def make_session_fn(gap_us: int, evict: bool = False):
             return pd.DataFrame(cols)
 
         if evict:
-            wm_us = state.getCurrentWatermarkMs() * 1000
+            wm_ms = state.getCurrentWatermarkMs()
+            wm_us = wm_ms * 1000
             n_closed = 0
             while (
                 n_closed < len(rows)
                 and rows[n_closed][2] + gap_us < wm_us
             ):
                 n_closed += 1
+            if timed_out and not n_closed:
+                # spurious wake (clock skew between the armed target and
+                # the strict < close test): re-arm and go quiet
+                if ts:
+                    state.setTimeoutTimestamp(
+                        max((ts[-1] + gap_us) // 1000 + 1, wm_ms + 1)
+                    )
+                state.update((ts, eid, vals, version, closed_n))
+                return
+            if timed_out:
+                # flush emissions get their own version so the drain's
+                # max-version live view supersedes the pre-flush frame
+                version += 1
             if n_closed:
                 yield frame(rows[:n_closed], True)
                 n_drop = sum(r[3] for r in rows[:n_closed])
@@ -527,6 +585,13 @@ def make_session_fn(gap_us: int, evict: bool = False):
                     for r in rows[n_closed:]
                 ]
                 closed_n += n_closed
+            if ts:
+                # wake at the exact event-time the open tail's gap
+                # expires under the watermark (no periodic idle wakes);
+                # an emptied key never re-arms — new data wakes it
+                state.setTimeoutTimestamp(
+                    max((ts[-1] + gap_us) // 1000 + 1, wm_ms + 1)
+                )
             state.update((ts, eid, vals, version, closed_n))
         else:
             state.update((ts, eid, vals, version))
@@ -567,7 +632,13 @@ def streaming_gap_sessions(
             SESSION_EVICT_STATE_SCHEMA if evict else SESSION_STATE_SCHEMA
         ),
         outputMode="append",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+        # evict mode wakes keys when their tail session's gap expires
+        # under the watermark so quiescent users still close (r12 ADVICE)
+        timeoutConf=(
+            GroupStateTimeout.EventTimeTimeout
+            if evict
+            else GroupStateTimeout.NoTimeout
+        ),
     )
 
 
@@ -768,11 +839,14 @@ def make_asof_fn(evict: bool = False):
     in-horizon purchases + one anchor purchase.  QUIESCENT keys flush
     too (the r11 ADVICE gap — ``if not absorbed: return`` alone never
     re-evaluated eviction for idle keys): evict mode registers an
-    EVENT-TIME TIMEOUT one watermark-delay past the current watermark,
-    so when the watermark advances past it on other keys' traffic the
-    state fn fires with ``hasTimedOut`` and runs the same eviction
-    sweep with no input rows, re-arming while anything evictable
-    remains.  Requires ``withWatermark`` upstream."""
+    EVENT-TIME TIMEOUT at the precise next-evictable event time (the
+    first live click, or the second-oldest purchase — r12 ADVICE
+    replaced the wm+60s literal, which woke every idle key each
+    micro-batch under larger watermark delays), so when the watermark
+    advances past it on other keys' traffic the state fn fires with
+    ``hasTimedOut`` and runs the same eviction sweep with no input
+    rows, re-arming while anything evictable remains.  Requires
+    ``withWatermark`` upstream."""
 
     def fn(
         key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
@@ -836,10 +910,26 @@ def make_asof_fn(evict: bool = False):
             wm_us = wm_ms * 1000
             cut = bisect.bisect_left(c_ts, wm_us)
             pcut = bisect.bisect_left(p_ts, wm_us)
+
+            def next_evict_ms() -> int:
+                # the exact event-time at which something NEW becomes
+                # evictable — the first live click freezing (c_ts[0] <
+                # wm) or the second purchase being dominated (p_ts[1] <
+                # wm) — clamped above the current watermark.  Precise
+                # re-arm instead of the r12 wm+60s literal (ADVICE):
+                # under any watermark delay an idle key wakes exactly
+                # once per state transition, never per micro-batch.
+                cands = []
+                if c_ts:
+                    cands.append(c_ts[0])
+                if len(p_ts) > 1:
+                    cands.append(p_ts[1])
+                return max(min(cands) // 1000 + 1, wm_ms + 1)
+
             if timed_out and cut == 0 and pcut <= 1:
                 # idle key, nothing evictable yet: re-arm and go quiet
                 if c_ts or len(p_ts) > 1:
-                    state.setTimeoutTimestamp(wm_ms + 60_000)
+                    state.setTimeoutTimestamp(next_evict_ms())
                 state.update(
                     (c_ts, c_eid, c_cents, p_ts, p_cents, version)
                 )
@@ -859,9 +949,10 @@ def make_asof_fn(evict: bool = False):
             if pcut > 1:
                 p_ts, p_cents = p_ts[pcut - 1 :], p_cents[pcut - 1 :]
             # re-arm while anything can still freeze (live clicks, or
-            # in-horizon purchases that a later watermark dominates)
+            # in-horizon purchases that a later watermark dominates) —
+            # at the precise next-evictable event time, not a literal
             if c_ts or len(p_ts) > 1:
-                state.setTimeoutTimestamp(wm_ms + 60_000)
+                state.setTimeoutTimestamp(next_evict_ms())
         state.update((c_ts, c_eid, c_cents, p_ts, p_cents, version))
         if not c_ts:
             return

@@ -195,17 +195,24 @@ def test_sessions_evict_finals_plus_live_equal_batch(spark, tmp_path):
     assert finals, "session eviction never fired"
     live = [r for r in em if not r["is_final"]]
     vmax = max(r["version"] for r in live)
-    current = finals + [r for r in live if r["version"] == vmax]
-    got = sorted(
-        (
+
+    # drain contract (r13): finals take precedence by session_idx — a
+    # timeout flush may finalize a session whose last live frame stays
+    # the max-version one
+    def tup(r):
+        return (
             r["session_idx"],
             r["session_start_us"],
             r["session_end_us"],
             r["n_events"],
             r["value_sum"],
         )
-        for r in current
-    )
+
+    cur = {r["session_idx"]: tup(r) for r in finals}
+    for r in live:
+        if r["version"] == vmax and r["session_idx"] not in cur:
+            cur[r["session_idx"]] = tup(r)
+    got = sorted(cur.values())
     seq = sorted((t, e, v) for burst in bursts for (_, e, t, v, _) in burst)
     truth = gap_sessions(
         [t for t, _, _ in seq], [v for _, _, v in seq], gap_us
@@ -402,13 +409,28 @@ def test_registered_sessionize_evict_plan_actually_evicts(spark):
     finals_by_user = {}
     for u, i in keys:
         finals_by_user.setdefault(u, set()).add(i)
+    # state shrink: sessions finalized at or before the user's last live
+    # emission must have LEFT the live view (a timeout flush that lands
+    # AFTER the last live frame — version > vmax — may legitimately
+    # linger in the stale frame; the drain's finals-precedence handles
+    # it, so only earlier finals are state-shrink evidence)
+    fin_version = {
+        (r["user_id"], r["session_idx"]): r["version"]
+        for r in em
+        if r["is_final"]
+    }
     checked = 0
     for u, rows in by_user.items():
         if u not in finals_by_user:
             continue
         vmax = max(r["version"] for r in rows)
         live_idx = {r["session_idx"] for r in rows if r["version"] == vmax}
-        assert not (live_idx & finals_by_user[u]), u
+        early_finals = {
+            i
+            for i in finals_by_user[u]
+            if fin_version[(u, i)] <= vmax
+        }
+        assert not (live_idx & early_finals), u
         checked += 1
     assert checked, "no user had both finals and live rows"
 
@@ -533,6 +555,8 @@ def test_funnel_evict_state_bound_direct():
             self.exists = False
             self._v = None
             self.wm_ms = wm_ms
+            self.hasTimedOut = False
+            self.timeout_ms = None
 
         @property
         def get(self):
@@ -544,6 +568,10 @@ def test_funnel_evict_state_bound_direct():
 
         def getCurrentWatermarkMs(self):
             return self.wm_ms
+
+        def setTimeoutTimestamp(self, ms):
+            assert ms > self.wm_ms  # Spark's contract
+            self.timeout_ms = ms
 
     fn = make_funnel_fn(_F_STAGES, _F_WITHIN_US, evict=True)
 
@@ -701,3 +729,127 @@ def test_registered_funnel_evict_plan_actually_evicts(spark):
     for r in em:
         if r["user_id"] in by_user_final:
             assert r["version"] <= by_user_final[r["user_id"]], r["user_id"]
+
+# ------------- r13: quiescent-key flushes for funnel + sessions ----------
+def test_funnel_evict_flushes_quiescent_keys(spark, tmp_path):
+    """The r12 ADVICE gap, funnel edition: a user whose anchor expires
+    while they send NO further traffic must still finalize — evict mode
+    arms an event-time timeout at the anchor's deadline, so other keys'
+    traffic advancing the watermark flushes them.  User 9 completes
+    view->click in burst 0 then goes silent; user 2 sends noise for six
+    hourly bursts (never a view — stays live at stage 0)."""
+    bursts = []
+    eid = 0
+    for b in range(6):
+        t0 = BASE_US + b * 3_600_000_000
+        rows = []
+        if b == 0:
+            rows += [
+                (9, 900, t0, 0, "view"),
+                (9, 901, t0 + 60_000_000, 0, "click"),
+            ]
+        for j in range(3):
+            rows.append((2, eid, t0 + 200_000_000 + j * 5_000_000, 0, "noise"))
+            eid += 1
+        bursts.append(rows)
+    from project_obsidian_core_spark.streaming.sequence_state import (
+        streaming_sequence_funnel,
+    )
+
+    stream = _write_bursts(spark, tmp_path, bursts, "fqsrc").select(
+        "user_id", "event_id", "ts", "event_type"
+    )
+    _run(
+        streaming_sequence_funnel(
+            stream, _F_STAGES, _F_WITHIN_US, evict=True
+        ),
+        tmp_path,
+        "funnel_idle_evict",
+    )
+    em = spark.table("funnel_idle_evict").collect()
+    finals = [r for r in em if r["is_final"]]
+    # the quiescent user finalized at stage 2 WITHOUT any further rows
+    assert [(r["user_id"], r["max_stage"]) for r in finals] == [(9, 2)]
+    # exactly once, and nothing emitted for them afterwards
+    fver = finals[0]["version"]
+    assert all(
+        r["version"] <= fver for r in em if r["user_id"] == 9
+    )
+    # the trafficking user stays live at stage 0
+    live2 = [r for r in em if r["user_id"] == 2 and not r["is_final"]]
+    assert live2 and all(r["max_stage"] == 0 for r in live2)
+
+
+def test_sessions_evict_flushes_quiescent_keys(spark, tmp_path):
+    """Gap-session twin of the idle-key flush: user 9's only session
+    ends in burst 0; with no further user-9 traffic the tail's gap
+    expires under the watermark advanced by user 2's bursts, and the
+    session closes via the event-time timeout (state empties)."""
+    bursts = []
+    eid = 0
+    for b in range(6):
+        t0 = BASE_US + b * 3_600_000_000
+        rows = []
+        if b == 0:
+            rows += [
+                (9, 900, t0, 11, "x"),
+                (9, 901, t0 + 10_000_000, 22, "x"),
+            ]
+        for j in range(3):
+            rows.append((2, eid, t0 + 200_000_000 + j * 10_000_000, 5, "x"))
+            eid += 1
+        bursts.append(rows)
+    from project_obsidian_core_spark.streaming.sequence_state import (
+        streaming_gap_sessions,
+    )
+
+    stream = _write_bursts(spark, tmp_path, bursts, "sqsrc").selectExpr(
+        "user_id", "event_id", "ts", "payload AS cents"
+    )
+    gap_us = 60_000_000
+    _run(
+        streaming_gap_sessions(stream, gap_us, evict=True),
+        tmp_path,
+        "sess_idle_evict",
+    )
+    em = spark.table("sess_idle_evict").collect()
+    finals9 = [r for r in em if r["user_id"] == 9 and r["is_final"]]
+    # the quiescent user's session closed WITHOUT any further user-9 rows
+    assert [
+        (
+            r["session_idx"],
+            r["session_start_us"],
+            r["session_end_us"],
+            r["n_events"],
+            r["value_sum"],
+        )
+        for r in finals9
+    ] == [(1, BASE_US, BASE_US + 10_000_000, 2, 33)]
+    # exactly once
+    assert len(finals9) == 1
+
+
+def test_registered_asof_evict_plan_actually_evicts(spark):
+    """The r13-registered `stream_asof_join_evict` gate proves drain ≡
+    batch, but would also pass if eviction never fired.  Pin that the
+    registered plan's own ordered-chunk replay at sf0.001 finalizes
+    clicks out of state, exactly once each."""
+    from project_obsidian_core_spark.plans.streaming_queries import (
+        _asof_evict_emitted,
+    )
+
+    em = _asof_evict_emitted(spark, "/root/testdata/sf0.001").collect()
+    finals = [r for r in em if r["is_final"]]
+    assert finals, "registered asof evict plan never finalized a click"
+    fin_ids = [r["event_id"] for r in finals]
+    assert len(fin_ids) == len(set(fin_ids))
+    # eviction moved most clicks into finals (the live tail is only the
+    # last un-frozen horizon)
+    live = [r for r in em if not r["is_final"]]
+    vmax: dict[int, int] = {}
+    for r in live:
+        vmax[r["user_id"]] = max(vmax.get(r["user_id"], 0), r["version"])
+    n_live_last = sum(
+        1 for r in live if r["version"] == vmax[r["user_id"]]
+    )
+    assert len(fin_ids) > n_live_last
