@@ -403,6 +403,47 @@ ORDER BY shard, doc_key
 """
 
 
+# -------------------------------------------------------------- shuffle ---
+_SHUFFLE_SEED = 13
+_SHUFFLE_SHARDS = 8
+_SHUFFLE_WIDTH = ((1 << 60) + _SHUFFLE_SHARDS - 1) // _SHUFFLE_SHARDS
+
+
+def corpus_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P12: seeded deterministic global corpus shuffle
+    (:func:`datapipe.pipeline.corpus_shuffle`) — the reproducible
+    training-order permutation between packing and the sink.  Shards are
+    hash-range buckets so shard ∘ within-shard order IS the global key
+    order and the whole permutation costs one exchange; ``global_pos``
+    composes per-shard ranks with broadcast shard offsets (never a
+    one-task global sort).  Oracle: DuckDB over the identical
+    engine-portable md5-60 key."""
+    docs = load(spark, sf_dir, "documents")
+    return (
+        P.corpus_shuffle(
+            docs, seed=_SHUFFLE_SEED, n_shards=_SHUFFLE_SHARDS
+        )
+        .select("doc_id", "source", "shard", "pos", "global_pos")
+        .orderBy("doc_id")
+    )
+
+
+ORACLE_corpus_shuffle = f"""
+WITH keyed AS (
+    SELECT doc_id, source,
+           {_sql_hash60(f"'shuffle:{_SHUFFLE_SEED}:' || CAST(doc_id AS VARCHAR)")} AS k
+    FROM documents
+)
+SELECT doc_id, source,
+       k // {_SHUFFLE_WIDTH} AS shard,
+       CAST(row_number() OVER (PARTITION BY k // {_SHUFFLE_WIDTH}
+                               ORDER BY k, doc_id) AS BIGINT) AS pos,
+       CAST(row_number() OVER (ORDER BY k, doc_id) AS BIGINT) AS global_pos
+FROM keyed
+ORDER BY doc_id
+"""
+
+
 # ---------------------------------------------------------------- chunk ---
 _CHUNK_SIZE = 480
 _CHUNK_OVERLAP = 120

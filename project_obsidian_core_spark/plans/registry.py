@@ -951,6 +951,9 @@ _ENTRIES: list[tuple[str, QueryFn, str | None]] = [
         st.stream_asof_join_evict,
         tj.ORACLE_events_asof_join,
     ),
+    # P12: seeded deterministic corpus shuffle — reproducible training
+    # order as ONE hash-range exchange (r12 verdict Next #5)
+    ("corpus_shuffle", pl.corpus_shuffle, pl.ORACLE_corpus_shuffle),
 ]
 
 # ----------------------------------------------------------------------

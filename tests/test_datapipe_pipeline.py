@@ -369,3 +369,120 @@ def test_pack_best_fit_hot_shard_guard(spark):
     for r in out:
         per_bin[r["pack_id"]] = per_bin.get(r["pack_id"], 0) + r["n_tokens"]
     assert all(v <= 50 for v in per_bin.values())
+
+
+def test_pack_best_fit_bisect_matches_linear_reference(spark):
+    """The r13 bisect rewrite of the open-bin lookup must reproduce the
+    r12 linear scan exactly (fullest eligible bin, lowest pack id on
+    ties) on a larger pseudo-random shard."""
+    from project_obsidian_core_spark.datapipe.pipeline import pack_best_fit
+
+    toks = [((i * 2654435761) >> 7) % 97 + 1 for i in range(300)]
+    rows = [(i, "s", t) for i, t in enumerate(toks)]
+    df = spark.createDataFrame(rows, ["doc_id", "source", "n_tokens"])
+    ctx = 128
+    got = {
+        r["doc_key"]: (r["pack_id"], r["pack_fill"])
+        for r in pack_best_fit(df, ctx).collect()
+    }
+    # the pre-r13 linear-scan reference
+    order = sorted(range(len(toks)), key=lambda i: (-toks[i], i))
+    fills, want = [], {}
+    for i in order:
+        n = toks[i]
+        best_idx, best_fill = -1, -1
+        for k, f in enumerate(fills):
+            if f + n <= ctx and f > best_fill:
+                best_idx, best_fill = k, f
+        if best_idx < 0:
+            fills.append(n)
+            want[str(i)] = (len(fills), 0)
+        else:
+            want[str(i)] = (best_idx + 1, fills[best_idx])
+            fills[best_idx] += n
+    assert got == want
+
+
+def test_pack_namespace_guard_raises_on_oversized_subshard(spark):
+    """r12 ADVICE: the sub-shard namespace is 2× the cap and an overshoot
+    must fail loudly instead of colliding pack ids silently."""
+    import pytest
+
+    from project_obsidian_core_spark.datapipe.pipeline import pack_greedy
+
+    # cap 2 -> namespace width 4; 40 docs over ceil(40/2)=20 sub-shards
+    # leaves ~2 per sub-shard (fine), but cap 1 with a constant hash key
+    # cannot happen via pmod -- force the overshoot with n_subs=1 by
+    # making every doc hash to the same sub: single doc_id repeated is
+    # impossible (keys unique), so instead drive the guard directly with
+    # a tiny cap where some salted sub-shard must exceed 2*cap.
+    rows = [(i, "hot", 3) for i in range(64)]
+    df = spark.createDataFrame(rows, ["doc_id", "source", "n_tokens"])
+    with pytest.raises(Exception, match="namespace width|PythonException"):
+        pack_greedy(df, 10, max_shard_rows=1).collect()
+
+
+def test_corpus_shuffle_deterministic_permutation(spark):
+    """P12 invariants: same seed ⇒ identical (shard, pos, global_pos)
+    regardless of input partitioning; different seed ⇒ a different
+    permutation; global_pos is a 1..n permutation consistent with
+    (shard, pos) lexicographic order."""
+    from project_obsidian_core_spark.datapipe.pipeline import corpus_shuffle
+
+    n = 500
+    docs = spark.createDataFrame(
+        [(i, "s", "t") for i in range(n)], ["doc_id", "source", "text"]
+    )
+    cols = ["doc_id", "shard", "pos", "global_pos"]
+
+    def run(df, seed):
+        return {
+            r["doc_id"]: (r["shard"], r["pos"], r["global_pos"])
+            for r in corpus_shuffle(df, seed=seed, n_shards=8)
+            .select(*cols)
+            .collect()
+        }
+
+    a = run(docs, 1)
+    b = run(docs.repartition(13), 1)  # partitioning must not matter
+    assert a == b
+    c = run(docs, 2)
+    assert a != c  # a different seed reshuffles
+    # permutation + consistency
+    gp = sorted(v[2] for v in a.values())
+    assert gp == list(range(1, n + 1))
+    assert all(0 <= v[0] < 8 for v in a.values())
+    by_sp = sorted(a.values())  # (shard, pos, global_pos)
+    assert [v[2] for v in by_sp] == list(range(1, n + 1))
+
+
+def test_corpus_shuffle_shard_files_reproducible(spark, tmp_path):
+    """Same seed ⇒ the sharded sink holds identical per-shard ordered
+    content across independent writes (the training-order pin)."""
+    from project_obsidian_core_spark.datapipe.pipeline import corpus_shuffle
+
+    docs = spark.createDataFrame(
+        [(i, "s", f"d{i}") for i in range(200)], ["doc_id", "source", "text"]
+    )
+
+    def write_and_read(tag):
+        out = corpus_shuffle(docs, seed=7, n_shards=4)
+        path = str(tmp_path / tag)
+        (
+            out.repartition("shard")
+            .sortWithinPartitions("shard", "pos")
+            .write.partitionBy("shard")
+            .parquet(path)
+        )
+        back = spark.read.parquet(path)
+        return {
+            s: [
+                (r["doc_id"], r["text"])
+                for r in back.filter(back["shard"] == s)
+                .orderBy("pos")
+                .collect()
+            ]
+            for s in range(4)
+        }
+
+    assert write_and_read("w1") == write_and_read("w2")
