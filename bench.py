@@ -359,6 +359,9 @@ BENCH_QUERIES = [
     "stream_theil_sen",       # T32 robust trend served live (r12b)
     "orders_logrank",         # A83 two-cohort survival test (r12b)
     "corpus_pack_bfd",        # P11 best-fit-decreasing packing (r12b)
+    "stream_asof_join_evict",  # T24e evict-mode as-of join, gated (r13)
+    "corpus_shuffle",         # P12 seeded deterministic shuffle (r13)
+    "dedup_snm_hashed",       # D24b hashed-gram SNM scale twin (r13)
     # stream_cdc_merge is timed via _time_cdc_merge below (merge work
     # only): its checkpointed replay rewrites a bucketed parquet snapshot
     # per micro-batch (~12 s/run at sf0.1, >90% filesystem publish/rename
@@ -377,6 +380,21 @@ R1_SUBSET = [
     "top_revenue_orders", "regional_revenue", "text_quality",
     "text_fingerprint", "dedup_minhash_lsh", "knn_brute", "knn_lsh",
     "media_features",
+]
+
+#: the dedup exactness tail (r12 verdict #3): these three read up to 2x
+#: slower inside the shared 293-query session than in a dedicated one
+#: (dedup_edit_distance 20.3 s in-suite vs 9.1 s dedicated, SCALE.md
+#: r12) — session-age regime, not plan cost.  The suite numbers stay the
+#: canonical `queries` entries (round-over-round comparable); a FRESH
+#: SESSION re-measurement of just these runs after the suite (subprocess,
+#: parent session stopped) and lands in BENCH_LOCAL.json as
+#: `queries_dedicated`, making the regime gap a recorded number instead
+#: of a SCALE.md anecdote.  SPARK_GRAFT_BENCH_DEDICATED=0 skips it.
+DEDICATED_TAIL = [
+    "dedup_edit_distance",
+    "dedup_prefix_pairs",
+    "dedup_recall_report",
 ]
 
 
@@ -562,6 +580,12 @@ def main() -> None:
             ).save()
             warm_runs.append(time.time() - t0)
             spread[name] = [round(r, 4) for r in warm_runs]
+        elif name in R1_SUBSET:
+            # r12 verdict #4: the contract queries' driver runs swung
+            # +22-75% round-over-round with zero code diff; record EVERY
+            # warm run (≥3) so environment attribution is mechanical,
+            # not inferred from a [min, max] pair.
+            spread[name] = [round(r, 4) for r in warm_runs]
         else:
             spread[name] = [round(min(warm_runs), 4), round(max(warm_runs), 4)]
         warm[name] = round(statistics.median(warm_runs), 4)
@@ -599,6 +623,31 @@ def main() -> None:
         round(max(cdc_runs[1:]), 4),
     ]
 
+    # dedicated-session pass for the dedup exactness tail (see
+    # DEDICATED_TAIL): parent session stops first so the subprocess
+    # measures a fresh-JVM regime, the same one SCALE.md's dedicated
+    # numbers came from.
+    dedicated: dict = {}
+    if os.environ.get("SPARK_GRAFT_BENCH_DEDICATED", "1") != "0":
+        spark.stop()
+        import subprocess
+
+        try:
+            proc = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--dedicated"],
+                capture_output=True,
+                text=True,
+                timeout=1200,
+            )
+            for ln in reversed(proc.stdout.strip().splitlines()):
+                try:
+                    dedicated = json.loads(ln)
+                    break
+                except ValueError:
+                    continue
+        except (OSError, subprocess.SubprocessError):
+            dedicated = {}
+
     r1_ratio = _r1_ratio(warm, sf)
     full = json.dumps(
         {
@@ -609,6 +658,9 @@ def main() -> None:
             "value_cold": round(sum(cold.values()), 4),
             "queries_cold": cold,
             "queries_spread": spread,
+            # fresh-session regime for the dedup exactness tail (r12
+            # verdict #3): {name: {cold, warm, runs}} from --dedicated
+            "queries_dedicated": dedicated,
             # machine-readable (r9 ADVICE: an English expression string
             # here broke numeric round-over-round comparison)
             "warm_repeats": {"r1_subset": max(1, repeat - 1), "tail": 3},
@@ -629,7 +681,7 @@ def main() -> None:
     # aggregate spread stats (full per-query spread lives in BENCH_LOCAL
     # only — ~2 KB that would push this line past the driver's tail capture)
     rels = sorted(
-        (sp[1] - sp[0]) / w if w > 0 else 0.0
+        (max(sp) - min(sp)) / w if w > 0 else 0.0
         for w, sp in ((warm[k], spread[k]) for k in warm)
     )
     # The driver records only the LAST 2000 chars of stdout and json-parses
@@ -660,5 +712,43 @@ def main() -> None:
     print(line, flush=True)
 
 
+def dedicated_main() -> None:
+    """Fresh-session measurement of DEDICATED_TAIL (r12 verdict #3):
+    one new JVM, the standard 32-shuffle-partition session, cold + 3
+    warm runs per query.  Prints ONE JSON line
+    {name: {cold, warm, runs}} for the parent to embed in
+    BENCH_LOCAL.json as `queries_dedicated`."""
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    spark = build_session(app_name="obsidian-spark-bench-dedicated")
+    # brief quiesce: the parent suite's JVM just exited
+    waited = 0
+    while os.getloadavg()[0] > 1.0 and waited < 90:
+        time.sleep(5)
+        waited += 5
+    QUERIES["qan_distinct_metrics"](spark, sf_dir).write.format("noop").mode(
+        "overwrite"
+    ).save()
+    out: dict[str, dict] = {}
+    for name in DEDICATED_TAIL:
+        runs = []
+        for _ in range(4):
+            t0 = time.time()
+            QUERIES[name](spark, sf_dir).write.format("noop").mode(
+                "overwrite"
+            ).save()
+            runs.append(time.time() - t0)
+        out[name] = {
+            "cold": round(runs[0], 4),
+            "warm": round(statistics.median(runs[1:]), 4),
+            "runs": [round(r, 4) for r in runs],
+        }
+        spark.catalog.clearCache()
+        gc.collect()
+    print(json.dumps(out), flush=True)
+
+
 if __name__ == "__main__":
-    main()
+    if "--dedicated" in sys.argv[1:]:
+        dedicated_main()
+    else:
+        main()

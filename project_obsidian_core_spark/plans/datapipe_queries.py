@@ -2806,13 +2806,33 @@ def dedup_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
     distinguished by a HARD-LINEAR candidate bound: |docs|·w pairs no
     matter how skewed the keys (the guarantee `max_bucket` only
     enforces by dropping). Verified with exact char-4-gram Jaccard in
-    integer ppm over xxhash64-hashed grams (default since r12 — the
-    window fan-out carries 8-byte elements instead of gram text; the
-    string-gram band-join below stays the oracle formulation). See
-    :func:`datapipe.dedup.sorted_neighborhood_pairs` for the
+    integer ppm.  The GATED plan pins ``hashed_grams=False`` so the
+    bit-exact gate stays DETERMINISTIC against the string-gram oracle
+    (r12 ADVICE: hashing in the gate made it probabilistically sound
+    only — a 2⁻⁶⁴ gram collision could flip jaccard_ppm); production
+    callers keep the hashed default, and the hashed path has its own
+    gate (`dedup_snm_hashed`, the `dedup_ngram_pairs_hashed` pattern).
+    See :func:`datapipe.dedup.sorted_neighborhood_pairs` for the
     key/window/boundary design."""
     return (
-        D.sorted_neighborhood_pairs(load(spark, sf_dir, "documents"))
+        D.sorted_neighborhood_pairs(
+            load(spark, sf_dir, "documents"), hashed_grams=False
+        )
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+def dedup_snm_hashed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D24b: scale twin of :func:`dedup_sorted_neighborhood` — identical
+    output checked against the SAME string-gram oracle, but the window
+    fan-out carries xxhash64-hashed int64 gram sets (the r11 Next #3
+    measurement: 4.5 → 2.2 s dedicated at sf0.1; collision odds ~2⁻⁶⁴
+    per pair-union — the gate match IS the no-collision proof on this
+    corpus, exactly how `dedup_ngram_pairs_hashed` is gated)."""
+    return (
+        D.sorted_neighborhood_pairs(
+            load(spark, sf_dir, "documents"), hashed_grams=True
+        )
         .orderBy("doc_a", "doc_b")
     )
 

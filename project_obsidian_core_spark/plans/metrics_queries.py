@@ -120,19 +120,26 @@ def _guard_series_pairs(
         )
         if defer:
             what = "block" if pair_block is not None else "series set"
-            msg = (
-                f"{op}: {what} exceeds max_series={max_series}; the pair"
-                f" matrix is quadratic in this count. Supply pair_block="
-                f" to restrict pairing to same-block series, or raise"
-                f" max_series explicitly if the quadratic is intended."
+            # the measured count rides INTO the error message as a concat
+            # of the __guard_n column (r12 ADVICE: the deferred raise was
+            # less actionable than the eager one, which interpolates n)
+            guard_n = F.coalesce(F.col("__guard_n"), F.lit(0))
+            msg = F.concat(
+                F.lit(f"{op}: {what} of "),
+                guard_n.cast("string"),
+                F.lit(
+                    f" series exceeds max_series={max_series}; the pair"
+                    f" matrix is quadratic in this count. Supply"
+                    f" pair_block= to restrict pairing to same-block"
+                    f" series, or raise max_series explicitly if the"
+                    f" quadratic is intended."
+                ),
             )
             return (
                 rel.crossJoin(F.broadcast(sizes_rel))
                 .filter(
                     F.assert_true(
-                        F.coalesce(F.col("__guard_n"), F.lit(0))
-                        <= F.lit(max_series),
-                        F.lit(msg),
+                        guard_n <= F.lit(max_series), msg
                     ).isNull()
                 )
                 .drop("__guard_n")

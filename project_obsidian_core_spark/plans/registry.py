@@ -954,6 +954,14 @@ _ENTRIES: list[tuple[str, QueryFn, str | None]] = [
     # P12: seeded deterministic corpus shuffle — reproducible training
     # order as ONE hash-range exchange (r12 verdict Next #5)
     ("corpus_shuffle", pl.corpus_shuffle, pl.ORACLE_corpus_shuffle),
+    # D24b: hashed-gram SNM scale twin vs the SAME string-gram oracle
+    # (r12 ADVICE: the gated D24 pins strings so the gate is
+    # deterministic; this row keeps the production hashed path covered)
+    (
+        "dedup_snm_hashed",
+        d.dedup_snm_hashed,
+        d.ORACLE_dedup_sorted_neighborhood,
+    ),
 ]
 
 # ----------------------------------------------------------------------

@@ -163,7 +163,9 @@ def test_defer_guard_is_lazy_and_raises_at_execution(spark):
     )
     with pytest.raises((Py4JJavaError, PySparkException)) as ei:
         df.collect()
-    assert "exceeds max_series=4" in str(ei.value)
+    # r12 ADVICE: the deferred raise carries the MEASURED count, like the
+    # eager RuntimeError does (6 series against the cap of 4)
+    assert "series set of 6 series exceeds max_series=4" in str(ei.value)
 
 
 def test_defer_guard_under_cap_matches_eager(spark):
