@@ -90,6 +90,36 @@ def hash_sample(
     return df.filter(bucket < rate_permille)
 
 
+def hash_sample_exact(
+    df: DataFrame, k: int, key_col: str = "doc_id", salt: str = "sample"
+) -> DataFrame:
+    """Deterministic EXACT-k sample: the k rows with the smallest
+    ``hash60(salt || key)`` — the "give me exactly 100k docs for eval"
+    primitive :func:`hash_sample` (Bernoulli, size only in expectation)
+    cannot provide, and the reproducible alternative to reservoir
+    sampling (whose result depends on encounter order).  Membership
+    depends only on (salt, key, k), and the k'-smallest set is a PREFIX
+    of the k-smallest for k' < k — nested samples for free (eval
+    subsets of a larger eval set).
+
+    Executes as ``ORDER BY key LIMIT k`` = TakeOrderedAndProject: each
+    partition keeps its local top-k heap, the driver merges P·k
+    candidates — no global sort, no shuffle of the data rows; at 100 TB
+    the cost is one scan plus a P·k driver merge (keep k ≤ ~10⁶).
+    Ties are broken by ``key_col`` (total order even under a 60-bit
+    hash collision).
+    """
+    key = shared_hash60(
+        F.concat(F.lit(salt + ":"), F.col(key_col).cast("string"))
+    )
+    return (
+        df.withColumn("_sk", key)
+        .orderBy("_sk", key_col)
+        .limit(k)
+        .drop("_sk")
+    )
+
+
 # ------------------------------------------------------- sessionize -------
 def sessionize(
     df: DataFrame,

@@ -74,6 +74,38 @@ ORDER BY doc_id
 """
 
 
+# ------------------------------------------------------ exact-k sample ----
+_SAMPLE_K = 100
+
+
+def corpus_sample_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P13: deterministic EXACT-k sample — the k smallest md5-60 hash
+    values (:func:`datapipe.pipeline.hash_sample_exact`).  Executes as
+    TakeOrderedAndProject (per-partition top-k heaps + a P·k driver
+    merge — no global sort, no data shuffle); nested: the k'-smallest
+    set is a prefix of the k-smallest.  Oracle: the identical hash,
+    ORDER BY ... LIMIT k."""
+    docs = load(spark, sf_dir, "documents")
+    return (
+        P.hash_sample_exact(docs, _SAMPLE_K, salt=_SAMPLE_SALT)
+        .select("doc_id", "source")
+        .orderBy("doc_id")
+    )
+
+
+ORACLE_corpus_sample_topk = f"""
+SELECT doc_id, source
+FROM (
+    SELECT doc_id, source
+    FROM documents
+    ORDER BY {_sql_hash60(f"'{_SAMPLE_SALT}:' || CAST(doc_id AS VARCHAR)")},
+             doc_id
+    LIMIT {_SAMPLE_K}
+)
+ORDER BY doc_id
+"""
+
+
 # ---------------------------------------------------------- sessionize ----
 def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based sessions over events with per-session aggregates."""

@@ -962,6 +962,13 @@ _ENTRIES: list[tuple[str, QueryFn, str | None]] = [
         d.dedup_snm_hashed,
         d.ORACLE_dedup_sorted_neighborhood,
     ),
+    # P13: deterministic exact-k sample (hash-order top-k — the
+    # reproducible reservoir-sampling replacement)
+    (
+        "corpus_sample_topk",
+        pl.corpus_sample_topk,
+        pl.ORACLE_corpus_sample_topk,
+    ),
 ]
 
 # ----------------------------------------------------------------------

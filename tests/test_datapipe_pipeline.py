@@ -486,3 +486,26 @@ def test_corpus_shuffle_shard_files_reproducible(spark, tmp_path):
         }
 
     assert write_and_read("w1") == write_and_read("w2")
+
+
+def test_hash_sample_exact_nested_and_partition_invariant(spark):
+    """P13 invariants: exactly k rows; the k'-smallest set is a prefix
+    of the k-smallest (nested samples); input partitioning does not
+    change membership; plan is TakeOrderedAndProject (no global sort)."""
+    from project_obsidian_core_spark.datapipe.pipeline import (
+        hash_sample_exact,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, "s") for i in range(1000)], ["doc_id", "source"]
+    )
+
+    def ids(df, k):
+        return {r["doc_id"] for r in hash_sample_exact(df, k).collect()}
+
+    s100 = ids(docs, 100)
+    assert len(s100) == 100
+    assert ids(docs, 30) <= s100  # nested
+    assert ids(docs.repartition(17), 100) == s100  # partitioning-invariant
+    plan = hash_sample_exact(docs, 100)._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan, plan
