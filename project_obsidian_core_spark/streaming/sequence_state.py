@@ -130,27 +130,42 @@ def make_sequence_fn(evict: bool = False):
     one, kept as the boundary anchor (a future in-horizon row can still
     insert directly after it, so the anchor's outgoing pair stays
     live).  finals ∪ max-version live ≡ the batch counts, test-pinned.
-    Requires ``withWatermark`` upstream."""
+    Requires ``withWatermark`` upstream.
+
+    QUIESCENT keys flush too (round 13, closing the same idle-key gap
+    the r12 ADVICE called out for funnel/sessions): whenever more than
+    the anchor remains, the key arms an EVENT-TIME TIMEOUT at the
+    second element's timestamp — the exact instant the next pair can
+    freeze — and the timeout runs the same eviction sweep with no input
+    rows.  A timeout flush bumps ``version`` and re-emits the remaining
+    live counts; when the remainder is the bare anchor (no live pairs),
+    it emits ONE ``n=0`` version-marker row instead, because this
+    family's drain is ADDITIVE (finals + max-version live counts) and
+    the pre-flush live frame — which still carries the just-finalized
+    pairs — must lose the max-version race or the drain double-counts.
+    """
 
     def fn(
         key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
         user = int(key[0])
+        timed_out = evict and state.hasTimedOut
         if state.exists:
             ts, eid, types, version = state.get
             ts, eid, types = list(ts), list(eid), list(types)
         else:
             ts, eid, types, version = [], [], [], 0
         absorbed = 0
-        for pdf in pdfs:
-            if not len(pdf):
-                continue
-            absorbed += len(pdf)
-            ts, eid, types = merge_sequence(
-                ts, eid, types,
-                zip(pdf["ts_us"], pdf["event_id"], pdf["event_type"]),
-            )
-        if not absorbed:
+        if not timed_out:
+            for pdf in pdfs:
+                if not len(pdf):
+                    continue
+                absorbed += len(pdf)
+                ts, eid, types = merge_sequence(
+                    ts, eid, types,
+                    zip(pdf["ts_us"], pdf["event_id"], pdf["event_type"]),
+                )
+        if not absorbed and not timed_out:
             return
         version += absorbed
 
@@ -169,17 +184,40 @@ def make_sequence_fn(evict: bool = False):
         if evict:
             import bisect
 
-            wm_us = state.getCurrentWatermarkMs() * 1000
+            wm_ms = state.getCurrentWatermarkMs()
+            wm_us = wm_ms * 1000
             cut = bisect.bisect_left(ts, wm_us)
+
+            def rearm():
+                # the next pair freezes when the watermark passes the
+                # SECOND element (cut > 1 needs ts[1] < wm); an
+                # anchor-only key can't freeze anything without new data
+                if len(ts) > 1:
+                    state.setTimeoutTimestamp(
+                        max(ts[1] // 1000 + 1, wm_ms + 1)
+                    )
+
+            if timed_out and cut <= 1:
+                # spurious wake: nothing freezable yet
+                rearm()
+                state.update((ts, eid, types, version))
+                return
+            if timed_out:
+                version += 1
             if cut > 1:
                 finalized = transition_counts(types[:cut])
                 ts, eid, types = ts[cut - 1 :], eid[cut - 1 :], types[cut - 1 :]
                 if finalized:
                     yield frame(sorted(finalized.items()), True)
+            rearm()
         state.update((ts, eid, types, version))
         counts = transition_counts(types)
         if counts:
             yield frame(sorted(counts.items()), False)
+        elif evict and timed_out and ts:
+            # n=0 version marker (see docstring): supersedes the stale
+            # pre-flush live frame in the additive drain
+            yield frame([((types[0], types[0]), 0)], False)
 
     return fn
 
@@ -204,7 +242,13 @@ def streaming_transitions(stream: DataFrame, evict: bool = False) -> DataFrame:
         outputStructType=EVICT_OUTPUT_SCHEMA if evict else OUTPUT_SCHEMA,
         stateStructType=STATE_SCHEMA,
         outputMode="append",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+        # evict mode wakes keys when their next pair can freeze so
+        # quiescent users still flush (r13, the funnel/session pattern)
+        timeoutConf=(
+            GroupStateTimeout.EventTimeTimeout
+            if evict
+            else GroupStateTimeout.NoTimeout
+        ),
     )
 
 

@@ -853,3 +853,61 @@ def test_registered_asof_evict_plan_actually_evicts(spark):
         1 for r in live if r["version"] == vmax[r["user_id"]]
     )
     assert len(fin_ids) > n_live_last
+
+
+def test_transitions_evict_flushes_quiescent_keys(spark, tmp_path):
+    """Transitions twin of the idle-key flush (r13): user 9 emits an
+    a->b->a sequence in burst 0 then goes silent; user 2's six hourly
+    bursts advance the watermark.  User 9's both pairs must arrive as
+    FINALS, and the additive drain (finals + live@vmax counts) must
+    equal the batch — the timeout flush's n=0 version marker is what
+    keeps the stale pre-flush live frame out of the sum."""
+    from project_obsidian_core_spark.streaming.sequence_state import (
+        streaming_transitions,
+    )
+
+    bursts = []
+    eid = 0
+    for b in range(6):
+        t0 = BASE_US + b * 3_600_000_000
+        rows = []
+        if b == 0:
+            rows += [
+                (9, 900, t0, 0, "a"),
+                (9, 901, t0 + 5_000_000, 0, "b"),
+                (9, 902, t0 + 10_000_000, 0, "a"),
+            ]
+        for j in range(3):
+            rows.append((2, eid, t0 + 200_000_000 + j * 5_000_000, 0, "x"))
+            eid += 1
+        bursts.append(rows)
+    stream = _write_bursts(spark, tmp_path, bursts, "tqsrc").select(
+        "user_id", "event_id", "ts", "event_type"
+    )
+    _run(streaming_transitions(stream, evict=True), tmp_path, "trans_idle")
+    em = spark.table("trans_idle").collect()
+    finals9 = {
+        (r["prev_type"], r["next_type"]): r["n"]
+        for r in em
+        if r["user_id"] == 9 and r["is_final"]
+    }
+    # both pairs flushed WITHOUT any further user-9 rows
+    assert finals9 == {("a", "b"): 1, ("b", "a"): 1}
+    # additive drain == batch for both users
+    got: dict[tuple, int] = {}
+    for r in em:
+        if r["is_final"]:
+            k = (r["user_id"], r["prev_type"], r["next_type"])
+            got[k] = got.get(k, 0) + r["n"]
+    live = [r for r in em if not r["is_final"]]
+    vmax: dict[int, int] = {}
+    for r in live:
+        vmax[r["user_id"]] = max(vmax.get(r["user_id"], 0), r["version"])
+    for r in live:
+        if r["version"] == vmax[r["user_id"]] and r["n"]:
+            k = (r["user_id"], r["prev_type"], r["next_type"])
+            got[k] = got.get(k, 0) + r["n"]
+    assert got == _expected_transitions(bursts)
+    # the version marker exists and carries n=0 (the drain-supersede pin)
+    mk = [r for r in live if r["user_id"] == 9 and r["version"] == vmax[9]]
+    assert mk and all(r["n"] == 0 for r in mk)
