@@ -625,6 +625,61 @@ def corpus_shuffle(
     )
 
 
+#: slot-key scale for :func:`interleave_order` — integer stride
+#: resolution; (2·rank)·SCALE must fit int64, so ranks up to ~4.6e9
+_INTERLEAVE_SCALE = 1_000_000_000
+
+
+def interleave_order(
+    df: DataFrame,
+    weight_ppm_col: str = "weight_ppm",
+    source_col: str = "source",
+    key_col: str = "doc_id",
+    salt: str = "shuffle",
+) -> DataFrame:
+    """Deterministic mixture INTERLEAVING — the step between the mixture
+    plan (which decides per-source shares) and the sink: produce one
+    global training order where source ``s`` occupies a share of any
+    prefix proportional to its weight, instead of the
+    source-concatenated order a partitioned write gives (which trains
+    epochs of one source before the next — the curriculum bug mixture
+    weights exist to avoid).
+
+    Classic STRIDE SCHEDULING in exact integers: within each source,
+    documents rank by the seeded shuffle hash (``hash60(salt||key)``,
+    the corpus_shuffle key — reproducible, partitioning-independent);
+    document ``r`` of a source with weight ``w`` ppm lands at
+    ``slot_key = (2r−1)·SCALE div (2w)`` — the r-th multiple of the
+    source's stride, centered.  Sorting by ``(slot_key, source,
+    src_rank)`` interleaves every source at its weight: any prefix of K
+    slots holds ≈ K·wₛ/Σw documents of source s (off by at most one
+    stride).  All integer arithmetic — bit-identical across engines.
+
+    Cost: ONE shuffle (the per-source rank window; hot-source skew has
+    the same presplit escape as sessionize), then slot_key is a
+    map-side expression; writing the order is a ``repartitionByRange``
+    on slot_key (Spark's range sampler handles the data-dependent
+    domain).  Expects ``weight_ppm_col`` already attached (ratios are
+    what matter; weights need not sum to 10⁶).
+    """
+    key = shared_hash60(
+        F.concat(F.lit(salt + ":"), F.col(key_col).cast("string"))
+    )
+    ranked = df.withColumn("_ik", key).withColumn(
+        "src_rank",
+        F.row_number()
+        .over(Window.partitionBy(source_col).orderBy("_ik", key_col))
+        .cast("long"),
+    )
+    return ranked.withColumn(
+        "slot_key",
+        F.expr(
+            f"(2 * src_rank - 1) * {_INTERLEAVE_SCALE}"
+            f" div (2 * {weight_ppm_col})"
+        ),
+    ).drop("_ik")
+
+
 # --------------------------------------------------------- corpus sink ----
 
 

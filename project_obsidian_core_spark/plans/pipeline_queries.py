@@ -476,6 +476,56 @@ ORDER BY doc_id
 """
 
 
+# ----------------------------------------------------------- interleave ---
+_ILV_SCALE = P._INTERLEAVE_SCALE
+
+
+def corpus_interleave(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P14: deterministic stride-scheduled mixture interleaving
+    (:func:`datapipe.pipeline.interleave_order`) — the training order
+    where every prefix carries each source at its mixture weight,
+    in exact integer arithmetic.  Weights here derive formulaically
+    from the source id (50k + 10k·(id mod 5) ppm — five weight tiers)
+    so the plan is SF-independent; production callers attach whatever
+    weight column the mixture plan produced.  Oracle: identical
+    windows + integer stride in DuckDB."""
+    docs = load(spark, sf_dir, "documents")
+    weighted = docs.withColumn(
+        "weight_ppm",
+        (
+            F.lit(50_000)
+            + F.lit(10_000)
+            * (F.regexp_extract("source", r"src(\d+)", 1).cast("long") % 5)
+        ).cast("long"),
+    )
+    return (
+        P.interleave_order(weighted)
+        .select("doc_id", "source", "weight_ppm", "src_rank", "slot_key")
+        .orderBy("doc_id")
+    )
+
+
+ORACLE_corpus_interleave = f"""
+WITH k AS (
+    SELECT doc_id, source,
+           CAST(50000 + 10000 *
+                (CAST(regexp_extract(source, 'src(\\d+)', 1) AS BIGINT) % 5)
+                AS BIGINT) AS weight_ppm,
+           {_sql_hash60("'shuffle:' || CAST(doc_id AS VARCHAR)")} AS ik
+    FROM documents
+), r AS (
+    SELECT doc_id, source, weight_ppm,
+           CAST(row_number() OVER (PARTITION BY source ORDER BY ik, doc_id)
+                AS BIGINT) AS src_rank
+    FROM k
+)
+SELECT doc_id, source, weight_ppm, src_rank,
+       (2 * src_rank - 1) * {_ILV_SCALE} // (2 * weight_ppm) AS slot_key
+FROM r
+ORDER BY doc_id
+"""
+
+
 # ---------------------------------------------------------------- chunk ---
 _CHUNK_SIZE = 480
 _CHUNK_OVERLAP = 120

@@ -969,6 +969,13 @@ _ENTRIES: list[tuple[str, QueryFn, str | None]] = [
         pl.corpus_sample_topk,
         pl.ORACLE_corpus_sample_topk,
     ),
+    # P14: stride-scheduled mixture interleaving — the training order
+    # where every prefix carries each source at its weight (exact ints)
+    (
+        "corpus_interleave",
+        pl.corpus_interleave,
+        pl.ORACLE_corpus_interleave,
+    ),
 ]
 
 # ----------------------------------------------------------------------

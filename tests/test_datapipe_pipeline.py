@@ -509,3 +509,40 @@ def test_hash_sample_exact_nested_and_partition_invariant(spark):
     assert ids(docs.repartition(17), 100) == s100  # partitioning-invariant
     plan = hash_sample_exact(docs, 100)._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_interleave_order_stride_shares_and_determinism(spark):
+    """P14 invariants: any prefix of the slot-ordered stream carries
+    each source at ~its weight share (off by at most one stride);
+    deterministic under repartitioning; slot keys strictly increase
+    within a source."""
+    from project_obsidian_core_spark.datapipe.pipeline import (
+        interleave_order,
+    )
+
+    rows = [(i, "a" if i % 3 else "b") for i in range(900)]
+    docs = spark.createDataFrame(rows, ["doc_id", "source"]).withColumn(
+        "weight_ppm",
+        F.when(F.col("source") == "a", F.lit(600_000)).otherwise(
+            F.lit(300_000)
+        ),
+    )
+    out = interleave_order(docs).collect()
+    ordered = sorted(out, key=lambda r: (r["slot_key"], r["source"], r["src_rank"]))
+    # prefix shares: a has 2x b's weight -> in any K-prefix,
+    # count_a ~= 2*count_b (within one stride of each)
+    for k in (30, 90, 300, 600):
+        pa = sum(1 for r in ordered[:k] if r["source"] == "a")
+        pb = k - pa
+        assert abs(pa - 2 * pb) <= 3, (k, pa, pb)
+    # per-source slot keys strictly increase with rank
+    by_src = {}
+    for r in out:
+        by_src.setdefault(r["source"], []).append((r["src_rank"], r["slot_key"]))
+    for s, pairs in by_src.items():
+        pairs.sort()
+        ks = [sk for _, sk in pairs]
+        assert all(x < y for x, y in zip(ks, ks[1:])), s
+    # partitioning invariance
+    out2 = interleave_order(docs.repartition(13)).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, out2))
