@@ -364,6 +364,7 @@ BENCH_QUERIES = [
     "dedup_snm_hashed",       # D24b hashed-gram SNM scale twin (r13)
     "corpus_sample_topk",     # P13 exact-k hash-order sample (r13)
     "corpus_interleave",      # P14 stride mixture interleaving (r13)
+    "corpus_interleave_presplit",  # P14b hot-source-safe twin (r13)
     # stream_cdc_merge is timed via _time_cdc_merge below (merge work
     # only): its checkpointed replay rewrites a bucketed parquet snapshot
     # per micro-batch (~12 s/run at sf0.1, >90% filesystem publish/rename

@@ -680,6 +680,68 @@ def interleave_order(
     ).drop("_ik")
 
 
+def interleave_order_presplit(
+    df: DataFrame,
+    weight_ppm_col: str = "weight_ppm",
+    source_col: str = "source",
+    key_col: str = "doc_id",
+    salt: str = "shuffle",
+    n_subs: int = 64,
+) -> DataFrame:
+    """Hot-source-safe twin of :func:`interleave_order` — IDENTICAL
+    output, but the per-source rank never runs as one task: at 100 TB a
+    dominant source (a web crawl is often >80% of the corpus) would
+    serialize the plain version's ``Window.partitionBy(source)`` into a
+    single sorter.
+
+    The fix is the corpus_shuffle idiom applied inside each source: the
+    rank key is the seeded hash, and hash-RANGE sub-buckets
+    (``key // (2^60/n_subs)``) preserve its order, so
+    ``rank = local rank within (source, sub) + Σ counts of lower
+    subs`` — an (n_sources · n_subs)-row offset aggregate broadcast
+    back, exactly the sessionize_presplit / shuffle-offsets trade:
+    tasks bounded by ~|source|/n_subs rows, one extra tiny broadcast.
+    """
+    width = (_HASH60_SPAN + n_subs - 1) // n_subs
+    key = shared_hash60(
+        F.concat(F.lit(salt + ":"), F.col(key_col).cast("string"))
+    )
+    keyed = df.withColumn("_ik", key).withColumn(
+        "_sub", F.expr(f"_ik div {width}")
+    )
+    local = F.row_number().over(
+        Window.partitionBy(source_col, "_sub").orderBy("_ik", key_col)
+    )
+    ranked = keyed.withColumn("_lr", local.cast("long"))
+    counts = keyed.groupBy(source_col, "_sub").agg(
+        F.count(F.lit(1)).alias("_n")
+    )
+    offsets = counts.select(
+        source_col,
+        "_sub",
+        F.coalesce(
+            F.sum("_n").over(
+                Window.partitionBy(source_col)
+                .orderBy("_sub")
+                .rowsBetween(Window.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        ).alias("_off"),
+    )
+    return (
+        ranked.join(F.broadcast(offsets), [source_col, "_sub"])
+        .withColumn("src_rank", (F.col("_off") + F.col("_lr")).cast("long"))
+        .withColumn(
+            "slot_key",
+            F.expr(
+                f"(2 * src_rank - 1) * {_INTERLEAVE_SCALE}"
+                f" div (2 * {weight_ppm_col})"
+            ),
+        )
+        .drop("_ik", "_sub", "_lr", "_off")
+    )
+
+
 # --------------------------------------------------------- corpus sink ----
 
 

@@ -526,6 +526,27 @@ ORDER BY doc_id
 """
 
 
+def corpus_interleave_presplit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P14b: the hot-source-safe presplit interleave, checked against
+    the IDENTICAL DuckDB oracle as `corpus_interleave` — the mitigation
+    cannot drift from the plain operator's semantics (the
+    events_asof_join_presplit pattern)."""
+    docs = load(spark, sf_dir, "documents")
+    weighted = docs.withColumn(
+        "weight_ppm",
+        (
+            F.lit(50_000)
+            + F.lit(10_000)
+            * (F.regexp_extract("source", r"src(\d+)", 1).cast("long") % 5)
+        ).cast("long"),
+    )
+    return (
+        P.interleave_order_presplit(weighted, n_subs=16)
+        .select("doc_id", "source", "weight_ppm", "src_rank", "slot_key")
+        .orderBy("doc_id")
+    )
+
+
 # ---------------------------------------------------------------- chunk ---
 _CHUNK_SIZE = 480
 _CHUNK_OVERLAP = 120

@@ -976,6 +976,13 @@ _ENTRIES: list[tuple[str, QueryFn, str | None]] = [
         pl.corpus_interleave,
         pl.ORACLE_corpus_interleave,
     ),
+    # P14b: hot-source-safe presplit interleave vs the IDENTICAL oracle
+    # (the presplit-twin pattern: the mitigation cannot drift)
+    (
+        "corpus_interleave_presplit",
+        pl.corpus_interleave_presplit,
+        pl.ORACLE_corpus_interleave,
+    ),
 ]
 
 # ----------------------------------------------------------------------

@@ -546,3 +546,29 @@ def test_interleave_order_stride_shares_and_determinism(spark):
     # partitioning invariance
     out2 = interleave_order(docs.repartition(13)).collect()
     assert sorted(map(tuple, out)) == sorted(map(tuple, out2))
+
+
+def test_interleave_presplit_matches_plain_on_skewed_corpus(spark):
+    """P14b: the hot-source mitigation reproduces the plain operator
+    exactly on a skewed corpus (one source 20x the other)."""
+    from project_obsidian_core_spark.datapipe.pipeline import (
+        interleave_order,
+        interleave_order_presplit,
+    )
+
+    rows = [(i, "big" if i % 21 else "small") for i in range(2100)]
+    docs = spark.createDataFrame(rows, ["doc_id", "source"]).withColumn(
+        "weight_ppm",
+        F.when(F.col("source") == "big", F.lit(800_000)).otherwise(
+            F.lit(200_000)
+        ),
+    )
+    cols = ["doc_id", "source", "src_rank", "slot_key"]
+    plain = sorted(map(tuple, interleave_order(docs).select(*cols).collect()))
+    pre = sorted(
+        map(
+            tuple,
+            interleave_order_presplit(docs, n_subs=8).select(*cols).collect(),
+        )
+    )
+    assert plain == pre
