@@ -2901,3 +2901,114 @@ SELECT metric_name, n_observed, first_hour, last_hour,
 FROM agg
 ORDER BY metric_name
 """
+
+
+# --------------------- A84: additive seasonal decomposition (staged r13) ---
+# Registration note: implemented + EXACT-verified round 13; REGISTRATION
+# staged to round 14 (the r13 gate window is exactly full at 6 new + the
+# 44-row r07 refresh).  The r14 registry block should add:
+#   ("metric_seasonal_decompose", m.metric_seasonal_decompose,
+#    m.ORACLE_metric_seasonal_decompose)
+def metric_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A84: classic additive trend/seasonal decomposition of each hourly
+    metric series — the missing middle between A74 (the hour-of-day
+    PROFILE, which assumes no trend) and the change detectors (A43/A66,
+    which assume no seasonality): trend = 25-hour centered moving sum
+    over the present-bucket sequence, detrended value in EXACT scaled
+    ints (``detr25 = 25·v − trend_sum25``, defined only where the
+    window is full — no division, no float), seasonal = per
+    (metric, hour-of-day) mean of the detrended values as ONE IEEE
+    division of exact-int aggregates (the A74 cross-multiply rule; a
+    scaled integer div would floor/truncate differently across engines
+    on the negative detrended sums).
+
+    Scale: one exchange to the hourly grid (map-side combined), one
+    window per metric (bounded by the retention grid — the same
+    partitioning every A4x operator rides), a 24·|metrics|-row seasonal
+    aggregate broadcast back.  Output = one row per present bucket.
+    """
+    from pyspark.sql import Window
+
+    m = synthesize_metrics(spark, sf_dir)
+    hb = m.groupBy(
+        "metric_name",
+        F.expr("unix_micros(time) div 3600000000").alias("bucket"),
+    ).agg(F.sum("metric_value").alias("v"))
+    w = (
+        Window.partitionBy("metric_name")
+        .orderBy("bucket")
+        .rowsBetween(-12, 12)
+    )
+    t = (
+        hb.withColumn("trend_sum25", F.sum("v").over(w))
+        .withColumn("n_win", F.count("v").over(w))
+        .withColumn(
+            "detr25",
+            F.when(
+                F.col("n_win") == 25,
+                F.col("v") * 25 - F.col("trend_sum25"),
+            ),
+        )
+        .withColumn("hod", (F.col("bucket") % 24).cast("long"))
+    )
+    seas = (
+        t.filter(F.col("detr25").isNotNull())
+        .groupBy("metric_name", "hod")
+        .agg(
+            F.sum("detr25").alias("_num"),
+            F.count(F.lit(1)).alias("_n"),
+        )
+        .select(
+            "metric_name",
+            "hod",
+            # one IEEE division of exact ints — bit-identical cross-engine
+            (
+                F.col("_num").cast("double")
+                / (F.lit(25.0) * F.col("_n").cast("double"))
+            ).alias("seasonal"),
+        )
+    )
+    return (
+        t.join(F.broadcast(seas), ["metric_name", "hod"], "left")
+        .select(
+            "metric_name",
+            "bucket",
+            "v",
+            "trend_sum25",
+            "n_win",
+            "detr25",
+            "hod",
+            "seasonal",
+        )
+        .orderBy("metric_name", "bucket")
+    )
+
+
+ORACLE_metric_seasonal_decompose = f"""
+WITH m AS ({_SYN_SQL}),
+hb AS (
+    SELECT metric_name, epoch_us(time) // 3600000000 AS bucket,
+           CAST(sum(metric_value) AS BIGINT) AS v
+    FROM m GROUP BY 1, 2
+), t AS (
+    SELECT metric_name, bucket, v,
+           CAST(sum(v) OVER w AS BIGINT) AS trend_sum25,
+           CAST(count(v) OVER w AS BIGINT) AS n_win
+    FROM hb
+    WINDOW w AS (PARTITION BY metric_name ORDER BY bucket
+                 ROWS BETWEEN 12 PRECEDING AND 12 FOLLOWING)
+), d AS (
+    SELECT *,
+           CASE WHEN n_win = 25 THEN 25 * v - trend_sum25 END AS detr25,
+           CAST(bucket % 24 AS BIGINT) AS hod
+    FROM t
+), s AS (
+    SELECT metric_name, hod,
+           CAST(sum(detr25) AS DOUBLE) / (25.0 * count(detr25)) AS seasonal
+    FROM d WHERE detr25 IS NOT NULL GROUP BY 1, 2
+)
+SELECT d.metric_name, d.bucket, d.v, d.trend_sum25, d.n_win, d.detr25,
+       d.hod, s.seasonal
+FROM d LEFT JOIN s USING (metric_name, hod)
+ORDER BY metric_name, bucket
+"""

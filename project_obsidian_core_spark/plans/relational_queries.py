@@ -2505,3 +2505,104 @@ JOIN part ON l_partkey = p_partkey
 WHERE value_cents * n_parts * 2 > total_cents * 3
 ORDER BY value_cents DESC, p_partkey
 """
+
+
+# ----------------------- A85: cohort LTV curve (staged r13 for r14) -------
+# Registration note: implemented + EXACT-verified round 13; REGISTRATION
+# staged to round 14 (the r13 gate window is exactly full at 6 new + the
+# 44-row r07 refresh).  The r14 registry block should add:
+#   ("customer_cohort_ltv", r.customer_cohort_ltv,
+#    r.ORACLE_customer_cohort_ltv)
+def customer_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A85: the cohort lifetime-value curve — the revenue counterpart of
+    `events_retention`'s activity matrix, the other table every growth
+    dashboard ships: customers cohorted by FIRST-order month, and per
+    (cohort, months-since-first-order) the active-customer count,
+    period revenue, CUMULATIVE revenue, and cumulative revenue per
+    cohort member.
+
+    Exactness: month arithmetic as ``year·12 + month`` ints (no
+    cross-engine interval semantics), money as exact cent sums, the
+    running total a window SUM over the (cohorts × ages) REDUCED
+    relation, per-member LTV as integer division of positive ints
+    (``div`` and ``//`` agree above zero).
+
+    Scale: one exchange per aggregation level — the per-customer
+    first-order min rides the same (custkey) shuffle as the order agg,
+    the (cohort, age) grid is tiny (months²), and the cohort-size join
+    broadcasts.
+    """
+    o = load(spark, sf_dir, "orders").select(
+        "o_custkey",
+        (
+            F.year("o_orderdate") * 12 + F.month("o_orderdate")
+        ).alias("ym"),
+        cents("o_totalprice").alias("pc"),
+    )
+    first = o.groupBy("o_custkey").agg(F.min("ym").alias("cohort_ym"))
+    aged = o.join(first, "o_custkey").withColumn(
+        "age_months", (F.col("ym") - F.col("cohort_ym")).cast("long")
+    )
+    grid = aged.groupBy("cohort_ym", "age_months").agg(
+        F.countDistinct("o_custkey").alias("n_active"),
+        F.sum("pc").alias("cents_sum"),
+    )
+    size = first.groupBy("cohort_ym").agg(
+        F.count(F.lit(1)).alias("cohort_size")
+    )
+    wcum = (
+        Window.partitionBy("cohort_ym")
+        .orderBy("age_months")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        grid.withColumn("cum_cents", F.sum("cents_sum").over(wcum))
+        .join(F.broadcast(size), "cohort_ym")
+        .select(
+            F.col("cohort_ym").cast("long").alias("cohort_ym"),
+            "age_months",
+            "n_active",
+            "cents_sum",
+            "cum_cents",
+            "cohort_size",
+            F.expr("cum_cents div cohort_size").alias("ltv_cents_per_cust"),
+        )
+        .orderBy("cohort_ym", "age_months")
+    )
+
+
+ORACLE_customer_cohort_ltv = """
+WITH o AS (
+    SELECT o_custkey,
+           year(o_orderdate) * 12 + month(o_orderdate) AS ym,
+           CAST(round(o_totalprice * 100, 0) AS BIGINT) AS pc
+    FROM orders
+), first AS (
+    SELECT o_custkey, min(ym) AS cohort_ym FROM o GROUP BY o_custkey
+), aged AS (
+    SELECT o.o_custkey, f.cohort_ym,
+           CAST(o.ym - f.cohort_ym AS BIGINT) AS age_months, o.pc
+    FROM o JOIN first f USING (o_custkey)
+), grid AS (
+    SELECT cohort_ym, age_months,
+           CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_active,
+           CAST(sum(pc) AS BIGINT) AS cents_sum
+    FROM aged GROUP BY 1, 2
+), size_ AS (
+    SELECT cohort_ym, CAST(count(*) AS BIGINT) AS cohort_size
+    FROM first GROUP BY 1
+)
+SELECT CAST(g.cohort_ym AS BIGINT) AS cohort_ym, g.age_months, g.n_active,
+       g.cents_sum,
+       CAST(sum(g.cents_sum) OVER (PARTITION BY g.cohort_ym
+                                   ORDER BY g.age_months
+                                   ROWS UNBOUNDED PRECEDING) AS BIGINT)
+           AS cum_cents,
+       s.cohort_size,
+       CAST(CAST(sum(g.cents_sum) OVER (PARTITION BY g.cohort_ym
+                                        ORDER BY g.age_months
+                                        ROWS UNBOUNDED PRECEDING) AS BIGINT)
+            // s.cohort_size AS BIGINT) AS ltv_cents_per_cust
+FROM grid g JOIN size_ s USING (cohort_ym)
+ORDER BY cohort_ym, age_months
+"""

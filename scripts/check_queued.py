@@ -33,12 +33,29 @@ def queued():
     """name -> (query_fn, oracle_sql) for every implemented-but-unregistered
     operator (kept in lockstep with the 'Registration note' docstrings).
 
-    EMPTY since round 12's full drain: all 27 staged operators moved to
-    plans/registry.py Block R12.  Entries return here only if the count
-    of unrecorded registrations would overflow the driver's 50-slot gate
-    window.
+    Round 13 re-seeds it with TWO operators: the r13 gate window closed
+    exactly full (6 new registrations + the 44-row r07-stale refresh),
+    so these stage here and the r14 registry block registers them
+    (the rotation's unrecorded-first rule gives each an official green
+    row immediately).
     """
-    return {}
+    from project_obsidian_core_spark.plans import metrics_queries as m
+    from project_obsidian_core_spark.plans import relational_queries as r
+
+    return {
+        # A84: additive trend/seasonal decomposition (exact-int detrend,
+        # one-IEEE-division seasonal means)
+        "metric_seasonal_decompose": (
+            m.metric_seasonal_decompose,
+            m.ORACLE_metric_seasonal_decompose,
+        ),
+        # A85: cohort LTV curve (first-order-month cohorts, cumulative
+        # cents, per-member integer LTV)
+        "customer_cohort_ltv": (
+            r.customer_cohort_ltv,
+            r.ORACLE_customer_cohort_ltv,
+        ),
+    }
 
 
 def main() -> int:
