@@ -1893,3 +1893,127 @@ SELECT event_type, n_a, n_b, r_a_x2,
 FROM agg
 ORDER BY event_type
 """
+
+
+# ------------------ A87: KMV distinct-count sketch (staged r13) ------------
+# Registration note: implemented + EXACT-verified round 13; REGISTRATION
+# staged to round 14 (the r13 gate window is exactly full at 6 new + the
+# 44-row r07 refresh).  The r14 registry block should add:
+#   ("events_kmv_distinct", x.events_kmv_distinct,
+#    x.ORACLE_events_kmv_distinct)
+_KMV_K = 64
+_KMV_RANGE = 1 << 60  # shared_hash60 is uniform on [0, 2^60)
+
+
+def events_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A87: K-minimum-values cardinality sketch per event type, audited
+    against the exact count — the DETERMINISTIC member of the
+    distinct-count family (A14's HLL row is Spark's approx sketch and
+    gets only a rows-only gate; KMV over the engine-portable md5-60
+    hash is bit-reproducible in ANSI SQL, so the estimate itself sits
+    behind the exactness gate).  Estimator: with h₍ₖ₎ the k-th smallest
+    distinct hash, D̂ = (k−1)·2⁶⁰ / h₍ₖ₎ (Bar-Yossef et al.'s unbiased
+    KMV form); groups holding fewer than k distinct hashes are exact by
+    definition.  (k−1)·2⁶⁰ overflows int64, so the one division is IEEE
+    double of exactly-representable ints (63·2⁶⁰ is 6 mantissa bits;
+    float(h₍ₖ₎) rounds identically on both engines), floored back to a
+    BIGINT estimate; the error report is integer ppm.
+
+    Scale: the distinct-(type, hash) reduce is the only corpus-sized
+    exchange (map-side combined); the rank window rides the reduced
+    relation, and in production the same sketch keeps only k rows per
+    group via per-partition top-k — the audit keeps the full distinct
+    so the exact truth is in the same plan."""
+    from project_obsidian_core_spark.datapipe.text import shared_hash60
+
+    ev = load(spark, sf_dir, "events")
+    hashed = ev.select(
+        "event_type",
+        "user_id",
+        shared_hash60(
+            F.concat(F.lit("kmv:"), F.col("user_id").cast("string"))
+        ).alias("h"),
+    )
+    dh = hashed.select("event_type", "h").distinct()
+    w = Window.partitionBy("event_type").orderBy("h")
+    wn = Window.partitionBy("event_type")
+    ranked = dh.withColumn("rn", F.row_number().over(w)).withColumn(
+        "n_hashes", F.count(F.lit(1)).over(wn)
+    )
+    sk = ranked.groupBy("event_type").agg(
+        F.max("n_hashes").alias("n_hashes"),
+        F.max(F.when(F.col("rn") == _KMV_K, F.col("h"))).alias("kth_hash"),
+    )
+    truth = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_exact")
+    )
+    est = (
+        F.when(
+            F.col("kth_hash").isNotNull(),
+            F.floor(
+                F.lit(float(_KMV_K - 1) * float(_KMV_RANGE))
+                / F.col("kth_hash").cast("double")
+            ),
+        )
+        .otherwise(F.col("n_hashes"))
+        .cast("long")
+    )
+    return (
+        sk.join(truth, "event_type")
+        .select(
+            "event_type",
+            "n_exact",
+            "n_hashes",
+            "kth_hash",
+            est.alias("est_distinct"),
+            (
+                F.abs(est - F.col("n_exact")) * F.lit(1_000_000)
+            )
+            .cast("long")
+            .alias("_e"),
+        )
+        .select(
+            "event_type",
+            "n_exact",
+            "n_hashes",
+            "kth_hash",
+            "est_distinct",
+            F.expr("_e div n_exact").alias("abs_err_ppm"),
+        )
+        .orderBy("event_type")
+    )
+
+
+ORACLE_events_kmv_distinct = f"""
+WITH hashed AS (
+    SELECT DISTINCT event_type,
+           CAST('0x' || substr(md5('kmv:' || CAST(user_id AS VARCHAR)),
+                               1, 15) AS BIGINT) AS h
+    FROM events
+), ranked AS (
+    SELECT event_type, h,
+           row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn,
+           count(*) OVER (PARTITION BY event_type) AS n_hashes
+    FROM hashed
+), sk AS (
+    SELECT event_type,
+           CAST(max(n_hashes) AS BIGINT) AS n_hashes,
+           max(CASE WHEN rn = {_KMV_K} THEN h END) AS kth_hash
+    FROM ranked GROUP BY event_type
+), truth AS (
+    SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_exact
+    FROM events GROUP BY event_type
+), est AS (
+    SELECT s.event_type, t.n_exact, s.n_hashes, s.kth_hash,
+           CAST(CASE WHEN s.kth_hash IS NOT NULL
+                     THEN floor({float(_KMV_K - 1) * float(_KMV_RANGE)!r}
+                                / CAST(s.kth_hash AS DOUBLE))
+                     ELSE s.n_hashes END AS BIGINT) AS est_distinct
+    FROM sk s JOIN truth t USING (event_type)
+)
+SELECT event_type, n_exact, n_hashes, kth_hash, est_distinct,
+       CAST(abs(est_distinct - n_exact) * 1000000 // n_exact AS BIGINT)
+           AS abs_err_ppm
+FROM est
+ORDER BY event_type
+"""

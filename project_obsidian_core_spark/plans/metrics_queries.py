@@ -3012,3 +3012,122 @@ SELECT d.metric_name, d.bucket, d.v, d.trend_sum25, d.n_win, d.detr25,
 FROM d LEFT JOIN s USING (metric_name, hod)
 ORDER BY metric_name, bucket
 """
+
+
+# ----------------------- A86: winsorized robust stats (staged r13) --------
+# Registration note: implemented + EXACT-verified round 13; REGISTRATION
+# staged to round 14 (the r13 gate window is exactly full at 6 new + the
+# 44-row r07 refresh).  The r14 registry block should add:
+#   ("metric_winsorize", m.metric_winsorize,
+#    m.ORACLE_metric_winsorize)
+_WINS_LO_PCT = 5
+_WINS_HI_PCT = 95
+
+
+def metric_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A86: winsorized robust statistics of each hourly metric series —
+    the trimming counterpart of A22's MAD detector: where MAD *flags*
+    outliers, winsorization *prices a summary that survives them*
+    (clip at the positional p05/p95, then mean).  Percentile bounds are
+    EXACT nearest-rank order statistics (rank ``ceil(p·n/100)`` via
+    integer ``(p·n + 99) div 100`` — no interpolation, no float
+    percentile semantics to disagree on), the tie order is total
+    (value, bucket), clipped sums are exact ints, and the winsorized
+    mean is ONE IEEE division of exact-int aggregates (the A74 rule).
+
+    Scale: rides the same per-metric hourly-grid window every A4x
+    operator uses (bounded by the retention grid); the rank pass and
+    the clip pass share ONE exchange (rank cols extend the sort the
+    window already did), and the report is a |metrics|-row aggregate.
+    """
+    from pyspark.sql import Window
+
+    m = synthesize_metrics(spark, sf_dir)
+    hb = m.groupBy(
+        "metric_name",
+        F.expr("unix_micros(time) div 3600000000").alias("bucket"),
+    ).agg(F.sum("metric_value").alias("v"))
+    w = Window.partitionBy("metric_name").orderBy("v", "bucket")
+    wn = Window.partitionBy("metric_name")
+    ranked = (
+        hb.withColumn("rn", F.row_number().over(w))
+        .withColumn("n", F.count(F.lit(1)).over(wn))
+        .withColumn("i_lo", F.expr(f"({_WINS_LO_PCT} * n + 99) div 100"))
+        .withColumn("i_hi", F.expr(f"({_WINS_HI_PCT} * n + 99) div 100"))
+    )
+    bounds = ranked.groupBy("metric_name").agg(
+        F.max(F.when(F.col("rn") == F.col("i_lo"), F.col("v"))).alias("p05"),
+        F.max(F.when(F.col("rn") == F.col("i_hi"), F.col("v"))).alias("p95"),
+    )
+    clipped = ranked.join(F.broadcast(bounds), "metric_name").select(
+        "metric_name",
+        "v",
+        "p05",
+        "p95",
+        F.greatest(F.col("p05"), F.least(F.col("p95"), F.col("v"))).alias("vc"),
+    )
+    return (
+        clipped.groupBy("metric_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_buckets"),
+            F.first("p05").alias("p05"),
+            F.first("p95").alias("p95"),
+            F.sum(F.when(F.col("v") < F.col("p05"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_clip_low"),
+            F.sum(F.when(F.col("v") > F.col("p95"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_clip_high"),
+            F.sum("v").alias("sum_raw"),
+            F.sum("vc").alias("sum_winsor"),
+        )
+        .withColumn(
+            "winsor_mean",
+            # one IEEE division of exact ints — bit-identical cross-engine
+            F.col("sum_winsor").cast("double")
+            / F.col("n_buckets").cast("double"),
+        )
+        .orderBy("metric_name")
+    )
+
+
+ORACLE_metric_winsorize = f"""
+WITH m AS ({_SYN_SQL}),
+hb AS (
+    SELECT metric_name, epoch_us(time) // 3600000000 AS bucket,
+           CAST(sum(metric_value) AS BIGINT) AS v
+    FROM m GROUP BY 1, 2
+), ranked AS (
+    SELECT metric_name, bucket, v,
+           CAST(row_number() OVER (PARTITION BY metric_name
+                                   ORDER BY v, bucket) AS BIGINT) AS rn,
+           CAST(count(*) OVER (PARTITION BY metric_name) AS BIGINT) AS n
+    FROM hb
+), idx AS (
+    SELECT *,
+           ({_WINS_LO_PCT} * n + 99) // 100 AS i_lo,
+           ({_WINS_HI_PCT} * n + 99) // 100 AS i_hi
+    FROM ranked
+), bounds AS (
+    SELECT metric_name,
+           max(CASE WHEN rn = i_lo THEN v END) AS p05,
+           max(CASE WHEN rn = i_hi THEN v END) AS p95
+    FROM idx GROUP BY metric_name
+), clipped AS (
+    SELECT i.metric_name, i.v, b.p05, b.p95,
+           greatest(b.p05, least(b.p95, i.v)) AS vc
+    FROM idx i JOIN bounds b USING (metric_name)
+)
+SELECT metric_name,
+       count(*) AS n_buckets,
+       any_value(p05) AS p05,
+       any_value(p95) AS p95,
+       CAST(sum(CASE WHEN v < p05 THEN 1 ELSE 0 END) AS BIGINT) AS n_clip_low,
+       CAST(sum(CASE WHEN v > p95 THEN 1 ELSE 0 END) AS BIGINT) AS n_clip_high,
+       CAST(sum(v) AS BIGINT) AS sum_raw,
+       CAST(sum(vc) AS BIGINT) AS sum_winsor,
+       CAST(sum(vc) AS DOUBLE) / count(*) AS winsor_mean
+FROM clipped
+GROUP BY metric_name
+ORDER BY metric_name
+"""

@@ -866,3 +866,104 @@ SELECT rates.source, n_total, rate_ppm, n_kept,
 FROM rates JOIN kept ON rates.source = kept.source
 ORDER BY rates.source
 """
+
+
+# ---------------- P15: largest-remainder quota apportionment (staged r13) --
+# Registration note: implemented + EXACT-verified round 13; REGISTRATION
+# staged to round 14 (the r13 gate window is exactly full at 6 new + the
+# 44-row r07 refresh).  The r14 registry block should add:
+#   ("corpus_quota_apportion", pl.corpus_quota_apportion,
+#    pl.ORACLE_corpus_quota_apportion)
+_QUOTA_TOTAL = 10_000
+
+
+def corpus_quota_apportion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P15: Hamilton largest-remainder apportionment of a fixed sample
+    budget across (source, lang) strata — the missing step between the
+    mixture plan (rates in ppm, realized counts only in expectation) and
+    P13's exact-k selector: a proportional INTEGER quota per stratum
+    that sums to the budget EXACTLY (floor share + one extra to the
+    largest remainders), so `hash_sample_exact(k=quota_i)` per stratum
+    yields a reproducible stratified sample of exactly the budgeted
+    size.  Hamilton is the unique remainder method that never violates
+    quota; ties break by stratum key so the apportionment is total.
+
+    All integer arithmetic (`K·nᵢ div N`, remainders ranked by window)
+    over the strata relation — a REDUCED table (|sources|·|langs| rows,
+    here ≤100) that one count-aggregate exchange produces; the global
+    remainder-rank window rides that reduced relation, the A73-style
+    positional-semantics call every apportionment method requires
+    (ranking remainders IS a global order statement)."""
+    from pyspark.sql import Window
+
+    docs = load(spark, sf_dir, "documents")
+    strata = docs.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    tot = strata.agg(F.sum("n_docs").alias("n_total"))
+    based = strata.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "lang",
+        "n_docs",
+        "n_total",
+        F.expr(f"{_QUOTA_TOTAL} * n_docs div n_total").alias("base_quota"),
+        F.expr(f"({_QUOTA_TOTAL} * n_docs) % n_total").alias("remainder"),
+    )
+    w_rem = Window.orderBy(F.col("remainder").desc(), "source", "lang")
+    w_all = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    return (
+        based.withColumn("rem_rank", F.row_number().over(w_rem))
+        .withColumn("n_extras", F.lit(_QUOTA_TOTAL) - F.sum("base_quota").over(w_all))
+        .select(
+            "source",
+            "lang",
+            "n_docs",
+            "base_quota",
+            "remainder",
+            F.col("rem_rank").cast("long").alias("rem_rank"),
+            F.when(F.col("rem_rank") <= F.col("n_extras"), F.lit(1))
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("extra"),
+            (
+                F.col("base_quota")
+                + F.when(F.col("rem_rank") <= F.col("n_extras"), F.lit(1)).otherwise(
+                    F.lit(0)
+                )
+            ).alias("quota"),
+        )
+        .orderBy("source", "lang")
+    )
+
+
+ORACLE_corpus_quota_apportion = f"""
+WITH strata AS (
+    SELECT source, lang, CAST(count(*) AS BIGINT) AS n_docs
+    FROM documents GROUP BY source, lang
+), based AS (
+    SELECT source, lang, n_docs,
+           {_QUOTA_TOTAL} * n_docs // (SELECT sum(n_docs) FROM strata)
+               AS base_quota,
+           ({_QUOTA_TOTAL} * n_docs) % (SELECT sum(n_docs) FROM strata)
+               AS remainder
+    FROM strata
+), ranked AS (
+    SELECT *,
+           CAST(row_number() OVER (ORDER BY remainder DESC, source, lang)
+                AS BIGINT) AS rem_rank,
+           {_QUOTA_TOTAL} - sum(base_quota) OVER () AS n_extras
+    FROM based
+)
+SELECT source, lang, n_docs,
+       CAST(base_quota AS BIGINT) AS base_quota,
+       CAST(remainder AS BIGINT) AS remainder,
+       rem_rank,
+       CAST(CASE WHEN rem_rank <= n_extras THEN 1 ELSE 0 END AS BIGINT)
+           AS extra,
+       CAST(base_quota + CASE WHEN rem_rank <= n_extras THEN 1 ELSE 0 END
+            AS BIGINT) AS quota
+FROM ranked
+ORDER BY source, lang
+"""

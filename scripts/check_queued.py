@@ -33,13 +33,15 @@ def queued():
     """name -> (query_fn, oracle_sql) for every implemented-but-unregistered
     operator (kept in lockstep with the 'Registration note' docstrings).
 
-    Round 13 re-seeds it with TWO operators: the r13 gate window closed
-    exactly full (6 new registrations + the 44-row r07-stale refresh),
-    so these stage here and the r14 registry block registers them
-    (the rotation's unrecorded-first rule gives each an official green
-    row immediately).
+    Round 13 re-seeds it: the r13 gate window closed exactly full
+    (6 new registrations + the 44-row r07-stale refresh), so every
+    operator built after the close stages here and the r14 registry
+    block registers the batch (the rotation's unrecorded-first rule
+    gives each an official green row immediately).
     """
+    from project_obsidian_core_spark.plans import analytics_ext_queries as x
     from project_obsidian_core_spark.plans import metrics_queries as m
+    from project_obsidian_core_spark.plans import pipeline_queries as pl
     from project_obsidian_core_spark.plans import relational_queries as r
 
     return {
@@ -54,6 +56,24 @@ def queued():
         "customer_cohort_ltv": (
             r.customer_cohort_ltv,
             r.ORACLE_customer_cohort_ltv,
+        ),
+        # A86: winsorized robust stats (exact nearest-rank p05/p95 clip,
+        # one-IEEE-division mean)
+        "metric_winsorize": (
+            m.metric_winsorize,
+            m.ORACLE_metric_winsorize,
+        ),
+        # P15: Hamilton largest-remainder quota apportionment (exact
+        # integer quotas summing to the budget)
+        "corpus_quota_apportion": (
+            pl.corpus_quota_apportion,
+            pl.ORACLE_corpus_quota_apportion,
+        ),
+        # A87: KMV distinct-count sketch (portable md5-60 hash, one IEEE
+        # division of exactly-representable ints)
+        "events_kmv_distinct": (
+            x.events_kmv_distinct,
+            x.ORACLE_events_kmv_distinct,
         ),
     }
 

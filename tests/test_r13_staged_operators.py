@@ -65,3 +65,111 @@ def test_cohort_ltv_invariants(spark):
             assert q * r["cohort_size"] <= cum < (q + 1) * r["cohort_size"]
         # every cohort member is active at age 0
         assert rs[0]["n_active"] == rs[0]["cohort_size"]
+
+
+def test_winsorize_invariants(spark):
+    from pyspark.sql import functions as F
+
+    from project_obsidian_core_spark.plans.metrics_queries import (
+        metric_winsorize,
+        synthesize_metrics,
+    )
+
+    rows = metric_winsorize(spark, SF).collect()
+    assert rows
+    # independent python recompute from the same synthesized relation
+    hb = (
+        synthesize_metrics(spark, SF)
+        .groupBy(
+            "metric_name",
+            F.expr("unix_micros(time) div 3600000000").alias("bucket"),
+        )
+        .agg(F.sum("metric_value").alias("v"))
+        .collect()
+    )
+    series = {}
+    for r in hb:
+        series.setdefault(r["metric_name"], []).append(r["v"])
+    for r in rows:
+        vs = sorted(series[r["metric_name"]])
+        n = len(vs)
+        assert r["n_buckets"] == n
+        p05 = vs[(5 * n + 99) // 100 - 1]
+        p95 = vs[(95 * n + 99) // 100 - 1]
+        assert (r["p05"], r["p95"]) == (p05, p95)
+        clipped = [min(p95, max(p05, v)) for v in vs]
+        assert r["sum_winsor"] == sum(clipped)
+        assert r["sum_raw"] == sum(vs)
+        assert r["n_clip_low"] == sum(1 for v in vs if v < p05)
+        assert r["n_clip_high"] == sum(1 for v in vs if v > p95)
+        assert r["winsor_mean"] == float(sum(clipped)) / float(n)
+        # winsorized mean is bracketed by the clip bounds
+        assert p05 <= r["winsor_mean"] <= p95
+
+
+def test_quota_apportion_invariants(spark):
+    from project_obsidian_core_spark.plans.pipeline_queries import (
+        _QUOTA_TOTAL,
+        corpus_quota_apportion,
+    )
+
+    rows = corpus_quota_apportion(spark, SF).collect()
+    assert rows
+    n_total = sum(r["n_docs"] for r in rows)
+    # the apportionment property: integer quotas sum EXACTLY to the budget
+    assert sum(r["quota"] for r in rows) == _QUOTA_TOTAL
+    extras = _QUOTA_TOTAL - sum(r["base_quota"] for r in rows)
+    assert sum(r["extra"] for r in rows) == extras
+    order = sorted(rows, key=lambda r: (-r["remainder"], r["source"], r["lang"]))
+    for i, r in enumerate(order, start=1):
+        assert r["base_quota"] == _QUOTA_TOTAL * r["n_docs"] // n_total
+        assert r["remainder"] == (_QUOTA_TOTAL * r["n_docs"]) % n_total
+        assert r["rem_rank"] == i
+        assert r["extra"] == (1 if i <= extras else 0)
+        assert r["quota"] == r["base_quota"] + r["extra"]
+        # Hamilton never violates quota: floor ≤ quota ≤ ceil of exact share
+        assert r["base_quota"] <= r["quota"] <= r["base_quota"] + 1
+
+
+def test_kmv_distinct_invariants(spark):
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    from project_obsidian_core_spark.plans.analytics_ext_queries import (
+        _KMV_K,
+        _KMV_RANGE,
+        events_kmv_distinct,
+    )
+    from project_obsidian_core_spark.plans.common import load
+
+    rows = events_kmv_distinct(spark, SF).collect()
+    assert rows
+    ev = load(spark, SF, "events").select("event_type", "user_id").collect()
+    users = {}
+    for r in ev:
+        users.setdefault(r["event_type"], set()).add(r["user_id"])
+    for r in rows:
+        us = users[r["event_type"]]
+        assert r["n_exact"] == len(us)
+        hs = {
+            int(hashlib.md5(f"kmv:{u}".encode()).hexdigest()[:15], 16)
+            for u in us
+        }
+        assert r["n_hashes"] == len(hs)
+        if len(hs) >= _KMV_K:
+            kth = sorted(hs)[_KMV_K - 1]
+            assert r["kth_hash"] == kth
+            import math
+
+            assert r["est_distinct"] == math.floor(
+                float((_KMV_K - 1) * _KMV_RANGE) / float(kth)
+            )
+        else:
+            # small groups are exact by definition
+            assert r["kth_hash"] is None
+            assert r["est_distinct"] == r["n_hashes"]
+        assert (
+            r["abs_err_ppm"]
+            == abs(r["est_distinct"] - r["n_exact"]) * 1_000_000 // r["n_exact"]
+        )
