@@ -650,3 +650,66 @@ def image_ahash(media: DataFrame, cells: int = AHASH_CELLS) -> DataFrame:
     return media.filter(F.col("media_type") == "image").mapInPandas(
         batches, schema=AHASH_SCHEMA
     )
+
+
+# ------------------------------------------------ difference hash (dHash) --
+DHASH_ROWS = 8
+DHASH_COLS = 8
+
+DHASH_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("dhash_hex", StringType()),
+    ]
+)
+
+
+def image_dhash(media: DataFrame) -> DataFrame:
+    """M13: difference hash (dHash) of the image payloads — the
+    GRADIENT member of the perceptual-hash family next to
+    :func:`image_ahash`'s luminance thresholding: each bit records
+    whether a pixel is brighter than its right neighbour, so the hash
+    keys on local structure and is invariant to global
+    brightness/contrast shifts that flip aHash bits wholesale (the
+    standard reason production image dedup runs BOTH).  Classic dHash
+    samples a (cols+1)×rows grid for cols comparisons per row; the
+    synthetic 64-byte payloads give an exact rows×cols grid instead, so
+    the last column compares ROW-CYCLICALLY against the row's first
+    pixel — same bit count, same gradient semantics, no resampling
+    step to disagree on.  Pure integer comparisons (no sums, no
+    division), hex-packed exactly like aHash; Arrow-batched
+    ``mapInPandas``, stateless, no shuffle."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in it:
+            ids, hexes = [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["content"]):
+                b = np.frombuffer(bytes(payload), dtype=np.uint8)
+                if len(b) != DHASH_ROWS * DHASH_COLS:
+                    raise ValueError(
+                        f"payload of {len(b)} bytes is not the"
+                        f" {DHASH_ROWS}x{DHASH_COLS} dHash grid"
+                    )
+                g = b.reshape(DHASH_ROWS, DHASH_COLS).astype(np.int64)
+                bits = (g > np.roll(g, -1, axis=1)).astype(int).ravel()
+                hx = "".join(
+                    "0123456789abcdef"[
+                        8 * bits[4 * k] + 4 * bits[4 * k + 1]
+                        + 2 * bits[4 * k + 2] + bits[4 * k + 3]
+                    ]
+                    for k in range(DHASH_ROWS * DHASH_COLS // 4)
+                )
+                ids.append(int(doc_id))
+                hexes.append(hx)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "dhash_hex": pd.Series(hexes, dtype="object"),
+                }
+            )
+
+    return media.filter(F.col("media_type") == "image").mapInPandas(
+        batches, schema=DHASH_SCHEMA
+    )

@@ -2017,3 +2017,279 @@ SELECT event_type, n_exact, n_hashes, kth_hash, est_distinct,
 FROM est
 ORDER BY event_type
 """
+
+
+# --------------- A88: count-min sketch heavy hitters (staged r13) ----------
+# Registration note: implemented + EXACT-verified round 13; REGISTRATION
+# staged to round 14 (the r13 gate window is exactly full at 6 new + the
+# 44-row r07 refresh).  The r14 registry block should add:
+#   ("events_cms_heavy", x.events_cms_heavy,
+#    x.ORACLE_events_cms_heavy)
+_CMS_D = 4  # hash rows
+_CMS_W = 1024  # counters per row
+
+
+def events_cms_heavy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A88: count-min sketch over the same skew-shaped key as A27's
+    exact heavy hitters — the FIXED-MEMORY member of the frequency
+    family: where A27 recounts candidates exactly (two corpus passes),
+    the CMS answers from d·w = 4096 integers however many distinct keys
+    flow through, at the price of one-sided overcount (est ≥ truth,
+    collisions only ADD).  The sketch is deterministic by construction
+    (row-r bucket = portable md5-60 of ``cms{r}:key`` mod w), so the
+    ESTIMATES sit behind the bit-exact gate, not just the report shape;
+    the emitted rows are the CMS-flagged φ-heavy keys (est·100 > N)
+    with the true count joined alongside — ``overcount`` and the
+    ``is_true_hh`` flag measure exactly what the sketch's ε = e/w
+    error bound promises.
+
+    Scale: counters build as one explode(d)+hash aggregate — map-side
+    combined to ≤ d·w rows per partition, the exchange carries ~4096
+    rows regardless of corpus size; the probe side broadcast-joins the
+    counter table (4096 rows) to the candidate keys, so the only
+    corpus-sized shuffle is the truth recount the AUDIT needs (a
+    production reader probes the broadcast sketch alone)."""
+    from project_obsidian_core_spark.datapipe.text import shared_hash60
+
+    ev = load(spark, sf_dir, "events")
+    keyed = ev.select(
+        F.when(
+            F.col("event_id") % 3 != 0,
+            F.concat(F.lit("hot_"), (F.col("user_id") % 5).cast("string")),
+        )
+        .otherwise(F.concat(F.lit("cold_"), F.col("event_id").cast("string")))
+        .alias("key")
+    )
+
+    def bucket(r: int) -> F.Column:
+        return shared_hash60(
+            F.concat(F.lit(f"cms{r}:"), F.col("key"))
+        ) % F.lit(_CMS_W)
+
+    probes = F.array(
+        *[
+            F.struct(F.lit(r).alias("r"), bucket(r).alias("bucket"))
+            for r in range(_CMS_D)
+        ]
+    )
+    counters = (
+        keyed.select(F.explode(probes).alias("p"))
+        .groupBy(F.col("p.r").alias("r"), F.col("p.bucket").alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    truth = keyed.groupBy("key").agg(F.count(F.lit(1)).alias("true_cnt"))
+    tot = keyed.agg(F.count(F.lit(1)).alias("n_rows"))
+    est = (
+        truth.select("key", F.explode(probes).alias("p"))
+        .join(
+            F.broadcast(counters),
+            (F.col("p.r") == F.col("r")) & (F.col("p.bucket") == F.col("bucket")),
+        )
+        .groupBy("key")
+        .agg(F.min("c").alias("cms_est"))
+    )
+    return (
+        truth.join(est, "key")
+        .crossJoin(F.broadcast(tot))
+        .filter(F.col("cms_est") * 100 > F.col("n_rows"))
+        .select(
+            "key",
+            "true_cnt",
+            "cms_est",
+            (F.col("cms_est") - F.col("true_cnt")).alias("overcount"),
+            "n_rows",
+            F.expr("cms_est * 1000000 div n_rows").alias("est_share_ppm"),
+            (F.col("true_cnt") * 100 > F.col("n_rows")).alias("is_true_hh"),
+        )
+        .orderBy(F.col("cms_est").desc(), "key")
+    )
+
+
+def _cms_bucket_sql(r: int) -> str:
+    return (
+        f"CAST('0x' || substr(md5('cms{r}:' || key), 1, 15) AS BIGINT)"
+        f" % {_CMS_W}"
+    )
+
+
+ORACLE_events_cms_heavy = f"""
+WITH keyed AS (
+    SELECT CASE WHEN event_id % 3 != 0
+                THEN 'hot_' || CAST(user_id % 5 AS VARCHAR)
+                ELSE 'cold_' || CAST(event_id AS VARCHAR) END AS key
+    FROM events
+), probes AS (
+    SELECT key, g.r,
+           CASE g.r {' '.join(f"WHEN {r} THEN {_cms_bucket_sql(r)}" for r in range(_CMS_D))}
+           END AS bucket
+    FROM keyed, generate_series(0, {_CMS_D - 1}) AS g(r)
+), counters AS (
+    SELECT r, bucket, CAST(count(*) AS BIGINT) AS c
+    FROM probes GROUP BY r, bucket
+), truth AS (
+    SELECT key, CAST(count(*) AS BIGINT) AS true_cnt
+    FROM keyed GROUP BY key
+), tot AS (
+    SELECT CAST(count(*) AS BIGINT) AS n_rows FROM keyed
+), est AS (
+    SELECT t.key, min(c.c) AS cms_est
+    FROM truth t,
+         generate_series(0, {_CMS_D - 1}) AS g(r)
+         JOIN counters c
+           ON c.r = g.r
+          AND c.bucket = CASE g.r
+              {' '.join(f"WHEN {r} THEN {_cms_bucket_sql(r).replace('key', 't.key')}" for r in range(_CMS_D))}
+              END
+    GROUP BY t.key
+)
+SELECT t.key, t.true_cnt, e.cms_est,
+       e.cms_est - t.true_cnt AS overcount,
+       tot.n_rows,
+       CAST(e.cms_est * 1000000 // tot.n_rows AS BIGINT) AS est_share_ppm,
+       t.true_cnt * 100 > tot.n_rows AS is_true_hh
+FROM truth t JOIN est e USING (key) CROSS JOIN tot
+WHERE e.cms_est * 100 > tot.n_rows
+ORDER BY e.cms_est DESC, t.key
+"""
+
+
+# ---------------- A89: CUPED variance-reduced A/B means (staged r13) -------
+# Registration note: implemented + EXACT-verified round 13; REGISTRATION
+# staged to round 14 (the r13 gate window is exactly full at 6 new + the
+# 44-row r07 refresh).  The r14 registry block should add:
+#   ("events_cuped", x.events_cuped,
+#    x.ORACLE_events_cuped)
+#: pre-period / experiment-period boundary (2024-01-16 00:00 UTC)
+_CUPED_SPLIT_US = 1705363200000000
+
+
+def events_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A89: CUPED-adjusted experiment means (Deng et al., WSDM'13) —
+    the variance-reduction step the A/B family (A31 chi-square, A35 KS,
+    A61 Mann-Whitney) tests AFTER but never adjusts FOR: each user's
+    experiment-period metric Y is shifted by θ·(X − X̄) where X is the
+    SAME user's pre-period value, θ = cov(X,Y)/var(X) pooled across
+    variants; assignment-independent covariates leave the treatment
+    effect unbiased while absorbing between-user variance.
+
+    Exactness: per-user X/Y are exact integer units (round(value), the
+    cents rule at unit scale so the x·y cross moments stay far from
+    int64 edge at any gate SF), all moment sums are exact ints, θ is
+    ONE IEEE division of two exact-int Σs (n·Sxy−Sx·Sy over
+    n·Sxx−Sx²), and each variant's adjusted mean is the FIXED
+    expression tree `Sy_g/n_g − θ·(Sx_g/n_g − Sx/n)` of IEEE doubles —
+    identical parse both engines, bit-identical result (the A74 rule
+    extended from one division to one fixed tree).
+
+    Scale: one user-keyed exchange builds (x, y) per user (map-side
+    combined conditional sums); the pooled moments are a 1-row
+    broadcast; the variant report is a 2-row aggregate.  Variant
+    assignment is the portable md5-60 hash — reproducible, not
+    row-order dependent."""
+    from project_obsidian_core_spark.datapipe.text import shared_hash60
+
+    ev = load(spark, sf_dir, "events")
+    per_user = (
+        ev.select(
+            "user_id",
+            F.round("value", 0).cast("long").alias("u"),
+            (F.expr("unix_micros(ts)") < _CUPED_SPLIT_US).alias("pre"),
+        )
+        .groupBy("user_id")
+        .agg(
+            F.coalesce(
+                F.sum(F.when(F.col("pre"), F.col("u"))), F.lit(0)
+            ).alias("x"),
+            F.coalesce(
+                F.sum(F.when(~F.col("pre"), F.col("u"))), F.lit(0)
+            ).alias("y"),
+        )
+        .withColumn(
+            "variant",
+            (
+                shared_hash60(
+                    F.concat(F.lit("cuped:"), F.col("user_id").cast("string"))
+                )
+                % 2
+            ).cast("long"),
+        )
+    )
+    pooled = per_user.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    g = per_user.groupBy("variant").agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum("x").alias("sum_x"),
+        F.sum("y").alias("sum_y"),
+    )
+    theta = (
+        (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+        / (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    )
+    return (
+        g.crossJoin(F.broadcast(pooled))
+        .select(
+            "variant",
+            "n_users",
+            "sum_x",
+            "sum_y",
+            (
+                F.col("sum_y").cast("double") / F.col("n_users").cast("double")
+            ).alias("mean_y"),
+            theta.alias("theta"),
+            (
+                F.col("sum_y").cast("double") / F.col("n_users").cast("double")
+                - theta
+                * (
+                    F.col("sum_x").cast("double")
+                    / F.col("n_users").cast("double")
+                    - F.col("sx").cast("double") / F.col("n").cast("double")
+                )
+            ).alias("cuped_mean"),
+        )
+        .orderBy("variant")
+    )
+
+
+ORACLE_events_cuped = f"""
+WITH per_user AS (
+    SELECT user_id,
+           CAST(coalesce(sum(CASE WHEN epoch_us(ts) < {_CUPED_SPLIT_US}
+                                  THEN CAST(round(value, 0) AS BIGINT) END),
+                         0) AS BIGINT) AS x,
+           CAST(coalesce(sum(CASE WHEN epoch_us(ts) >= {_CUPED_SPLIT_US}
+                                  THEN CAST(round(value, 0) AS BIGINT) END),
+                         0) AS BIGINT) AS y,
+           CAST('0x' || substr(md5('cuped:' || CAST(user_id AS VARCHAR)),
+                               1, 15) AS BIGINT) % 2 AS variant
+    FROM events GROUP BY user_id
+), pooled AS (
+    SELECT CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(x) AS BIGINT) AS sx,
+           CAST(sum(y) AS BIGINT) AS sy,
+           CAST(sum(x * y) AS BIGINT) AS sxy,
+           CAST(sum(x * x) AS BIGINT) AS sxx
+    FROM per_user
+), g AS (
+    SELECT variant,
+           CAST(count(*) AS BIGINT) AS n_users,
+           CAST(sum(x) AS BIGINT) AS sum_x,
+           CAST(sum(y) AS BIGINT) AS sum_y
+    FROM per_user GROUP BY variant
+)
+SELECT g.variant, g.n_users, g.sum_x, g.sum_y,
+       CAST(g.sum_y AS DOUBLE) / CAST(g.n_users AS DOUBLE) AS mean_y,
+       CAST(p.n * p.sxy - p.sx * p.sy AS DOUBLE)
+           / CAST(p.n * p.sxx - p.sx * p.sx AS DOUBLE) AS theta,
+       CAST(g.sum_y AS DOUBLE) / CAST(g.n_users AS DOUBLE)
+       - (CAST(p.n * p.sxy - p.sx * p.sy AS DOUBLE)
+          / CAST(p.n * p.sxx - p.sx * p.sx AS DOUBLE))
+         * (CAST(g.sum_x AS DOUBLE) / CAST(g.n_users AS DOUBLE)
+            - CAST(p.sx AS DOUBLE) / CAST(p.n AS DOUBLE)) AS cuped_mean
+FROM g CROSS JOIN pooled p
+ORDER BY g.variant
+"""

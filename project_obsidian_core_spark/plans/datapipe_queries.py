@@ -3388,3 +3388,198 @@ FROM hx a JOIN hx b
  AND a.doc_id < b.doc_id
 ORDER BY doc_a, doc_b
 """
+
+
+# ------------------- N19: int8 scalar quantization audit (staged r13) ------
+# Registration note: implemented + EXACT-verified round 13; REGISTRATION
+# staged to round 14 (the r13 gate window is exactly full at 6 new + the
+# 44-row r07 refresh).  The r14 registry block should add:
+#   ("embedding_sq8", d.embedding_sq8,
+#    d.ORACLE_embedding_sq8)
+_SQ_LEVELS = 256
+
+
+def embedding_sq8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N19: per-dimension int8 scalar quantization (SQ8) audit — the
+    fourth standard ANN compression next to the gated sign-LSH, IVF and
+    PQ-ADC rows: each coordinate maps to ⌊(v−minᵈ)·256/(maxᵈ−minᵈ)⌋
+    (clamped to 255), reconstruction = midpoint dequant, and the report
+    prices what 4×-smaller vectors cost in reconstruction error —
+    per-dimension, so a heavy-tailed dimension (where SQ8's uniform
+    grid wastes levels) shows up as the outlier row before anyone
+    trusts distances on the quantized index.
+
+    Exactness: min/max are exact selections; the quantize and dequant
+    expressions are FIXED IEEE trees over float→double-exact inputs
+    (floor/round of a double is deterministic), and every aggregate is
+    an exact int — codes sum, |err| quantized to ppm per element BEFORE
+    summation (a float sum across rows would be partition-order
+    dependent; the N15 micro-unit rule).
+
+    Scale: one posexplode (map-side, 64 rows/vector) + a 64-group
+    min/max aggregate broadcast back onto the exploded stream — two
+    reduce exchanges of |dims|·cores rows each, nothing pair-wise."""
+    emb = load(spark, sf_dir, "embeddings")
+    ex = emb.select(F.posexplode("embedding").alias("dim", "vf")).select(
+        "dim", F.col("vf").cast("double").alias("v")
+    )
+    rng = ex.groupBy("dim").agg(
+        F.min("v").alias("vmin"), F.max("v").alias("vmax")
+    )
+    code = F.when(
+        F.col("vmax") > F.col("vmin"),
+        F.least(
+            F.lit(_SQ_LEVELS - 1),
+            F.floor(
+                (F.col("v") - F.col("vmin"))
+                * F.lit(float(_SQ_LEVELS))
+                / (F.col("vmax") - F.col("vmin"))
+            ),
+        ),
+    ).otherwise(F.lit(0))
+    q = (
+        ex.join(F.broadcast(rng), "dim")
+        .withColumn("code", code.cast("long"))
+        .withColumn(
+            "dequant",
+            F.col("vmin")
+            + (F.col("code").cast("double") + F.lit(0.5))
+            * (F.col("vmax") - F.col("vmin"))
+            / F.lit(float(_SQ_LEVELS)),
+        )
+        .withColumn(
+            "abs_err_ppm",
+            F.abs(F.round((F.col("v") - F.col("dequant")) * F.lit(1_000_000.0), 0))
+            .cast("long"),
+        )
+    )
+    return (
+        q.groupBy("dim")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.first("vmin").alias("vmin"),
+            F.first("vmax").alias("vmax"),
+            F.sum("code").alias("sum_code"),
+            F.sum("abs_err_ppm").alias("sum_abs_err_ppm"),
+            F.max("abs_err_ppm").alias("max_abs_err_ppm"),
+        )
+        .select(
+            "dim",
+            "n",
+            "vmin",
+            "vmax",
+            "sum_code",
+            "sum_abs_err_ppm",
+            F.expr("sum_abs_err_ppm div n").alias("mean_abs_err_ppm"),
+            "max_abs_err_ppm",
+        )
+        .orderBy("dim")
+    )
+
+
+ORACLE_embedding_sq8 = f"""
+WITH ex AS (
+    SELECT g.i - 1 AS dim, CAST(embedding[g.i] AS DOUBLE) AS v
+    FROM embeddings,
+         unnest(generate_series(1, len(embedding))) AS g(i)
+), rng AS (
+    SELECT dim, min(v) AS vmin, max(v) AS vmax FROM ex GROUP BY dim
+), q AS (
+    SELECT ex.dim, ex.v, rng.vmin, rng.vmax,
+           CAST(CASE WHEN rng.vmax > rng.vmin
+                     THEN least({_SQ_LEVELS - 1},
+                                floor((ex.v - rng.vmin) * {float(_SQ_LEVELS)!r}
+                                      / (rng.vmax - rng.vmin)))
+                     ELSE 0 END AS BIGINT) AS code
+    FROM ex JOIN rng USING (dim)
+), e AS (
+    SELECT dim, v, vmin, vmax, code,
+           vmin + (CAST(code AS DOUBLE) + 0.5) * (vmax - vmin)
+               / {float(_SQ_LEVELS)!r} AS dequant
+    FROM q
+), p AS (
+    SELECT dim, v, vmin, vmax, code,
+           CAST(abs(round((v - dequant) * 1000000.0, 0)) AS BIGINT)
+               AS abs_err_ppm
+    FROM e
+)
+SELECT dim,
+       count(*) AS n,
+       any_value(vmin) AS vmin,
+       any_value(vmax) AS vmax,
+       CAST(sum(code) AS BIGINT) AS sum_code,
+       CAST(sum(abs_err_ppm) AS BIGINT) AS sum_abs_err_ppm,
+       CAST(sum(abs_err_ppm) AS BIGINT) // count(*) AS mean_abs_err_ppm,
+       max(abs_err_ppm) AS max_abs_err_ppm
+FROM p
+GROUP BY dim
+ORDER BY dim
+"""
+
+
+# ---------------------- M13: difference-hash report (staged r13) -----------
+# Registration note: implemented + EXACT-verified round 13; REGISTRATION
+# staged to round 14 (the r13 gate window is exactly full at 6 new + the
+# 44-row r07 refresh).  The r14 registry block should add:
+#   ("media_dhash", d.media_dhash,
+#    d.ORACLE_media_dhash)
+def media_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M13: difference hash of every image payload plus its 16-bit band
+    bucket — the gradient sibling of M11's aHash (bits key on local
+    pixel structure, invariant to the global brightness/contrast shifts
+    that flip aHash bits wholesale; production image dedup runs BOTH
+    and unions the candidate pairs).  Same band/`band_n` report shape
+    as M11 so the two hash families price their bucket fan-out
+    side-by-side; see :func:`datapipe.multimodal.image_dhash` for the
+    row-cyclic grid detail.  Pure integer comparisons, no division —
+    exact on any engine."""
+    from pyspark.sql import Window
+
+    media = M.attach_media(load(spark, sf_dir, "documents"))
+    h = M.image_dhash(media).withColumn(
+        "band", F.substring("dhash_hex", 1, 4)
+    )
+    wb = Window.partitionBy("band")
+    return (
+        h.withColumn("band_n", F.count(F.lit(1)).over(wb).cast("long"))
+        .select("doc_id", "dhash_hex", "band", "band_n")
+        .orderBy("doc_id")
+    )
+
+
+_DH_R = M.DHASH_ROWS
+_DH_C = M.DHASH_COLS
+ORACLE_media_dhash = f"""
+WITH p AS (
+    SELECT doc_id, {_FULL_HEX} AS fh
+    FROM documents WHERE doc_id % 3 = 0
+), by_ AS (
+    SELECT doc_id,
+           [CAST('0x' || substr(fh, 2 * i - 1, 2) AS BIGINT)
+            for i in generate_series(1, {_N_PAYLOAD})] AS bytes_
+    FROM p
+), bits AS (
+    -- bit k (row-major over the {_DH_R}x{_DH_C} grid): pixel brighter
+    -- than its right neighbour, row-cyclic at the last column
+    SELECT doc_id,
+           [CASE WHEN bytes_[k] >
+                      bytes_[{_DH_C} * ((k - 1) // {_DH_C})
+                             + ((k - 1) % {_DH_C} + 1) % {_DH_C} + 1]
+                 THEN 1 ELSE 0 END
+            for k in generate_series(1, {_DH_R * _DH_C})] AS b
+    FROM by_
+), hx AS (
+    SELECT doc_id,
+           array_to_string(
+               [substr('0123456789abcdef',
+                       1 + 8 * b[4 * k - 3] + 4 * b[4 * k - 2]
+                         + 2 * b[4 * k - 1] + b[4 * k], 1)
+                for k in generate_series(1, {_DH_R * _DH_C // 4})], '') AS dhash_hex
+    FROM bits
+)
+SELECT doc_id, dhash_hex, substr(dhash_hex, 1, 4) AS band,
+       CAST(count(*) OVER (PARTITION BY substr(dhash_hex, 1, 4))
+            AS BIGINT) AS band_n
+FROM hx
+ORDER BY doc_id
+"""

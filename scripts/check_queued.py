@@ -40,6 +40,7 @@ def queued():
     gives each an official green row immediately).
     """
     from project_obsidian_core_spark.plans import analytics_ext_queries as x
+    from project_obsidian_core_spark.plans import datapipe_queries as d
     from project_obsidian_core_spark.plans import metrics_queries as m
     from project_obsidian_core_spark.plans import pipeline_queries as pl
     from project_obsidian_core_spark.plans import relational_queries as r
@@ -74,6 +75,30 @@ def queued():
         "events_kmv_distinct": (
             x.events_kmv_distinct,
             x.ORACLE_events_kmv_distinct,
+        ),
+        # A88: count-min sketch heavy hitters (fixed d·w memory,
+        # deterministic portable buckets, one-sided overcount audited)
+        "events_cms_heavy": (
+            x.events_cms_heavy,
+            x.ORACLE_events_cms_heavy,
+        ),
+        # A89: CUPED variance-reduced A/B means (exact-int moments, one
+        # fixed IEEE expression tree)
+        "events_cuped": (
+            x.events_cuped,
+            x.ORACLE_events_cuped,
+        ),
+        # N19: int8 scalar quantization audit (exact-int code sums,
+        # per-element ppm error quantization before summation)
+        "embedding_sq8": (
+            d.embedding_sq8,
+            d.ORACLE_embedding_sq8,
+        ),
+        # M13: difference hash + band report (gradient sibling of M11,
+        # pure integer comparisons)
+        "media_dhash": (
+            d.media_dhash,
+            d.ORACLE_media_dhash,
         ),
     }
 

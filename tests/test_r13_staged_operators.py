@@ -173,3 +173,179 @@ def test_kmv_distinct_invariants(spark):
             r["abs_err_ppm"]
             == abs(r["est_distinct"] - r["n_exact"]) * 1_000_000 // r["n_exact"]
         )
+
+
+def test_cms_heavy_invariants(spark):
+    from project_obsidian_core_spark.plans.analytics_ext_queries import (
+        events_cms_heavy,
+    )
+
+    rows = events_cms_heavy(spark, SF).collect()
+    assert rows
+    n = rows[0]["n_rows"]
+    for r in rows:
+        # the CMS error bound is one-sided: collisions only ADD
+        assert r["cms_est"] >= r["true_cnt"]
+        assert r["overcount"] == r["cms_est"] - r["true_cnt"]
+        # every emitted key was CMS-flagged
+        assert r["cms_est"] * 100 > n
+        assert r["is_true_hh"] == (r["true_cnt"] * 100 > n)
+        assert r["est_share_ppm"] == r["cms_est"] * 1_000_000 // n
+    # the 5 synthetic hot keys are all flagged (no false negatives:
+    # est >= truth and each hot key holds >1% by construction)
+    hot = {r["key"] for r in rows if r["key"].startswith("hot_")}
+    assert hot == {f"hot_{i}" for i in range(5)}
+
+
+def test_cuped_invariants(spark):
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    from project_obsidian_core_spark.plans.analytics_ext_queries import (
+        _CUPED_SPLIT_US,
+        events_cuped,
+    )
+    from project_obsidian_core_spark.plans.common import load
+
+    rows = events_cuped(spark, SF).collect()
+    assert {r["variant"] for r in rows} == {0, 1}
+    # independent python recompute of the whole estimator
+    ev = (
+        load(spark, SF, "events")
+        .select(
+            "user_id",
+            F.round("value", 0).cast("long").alias("u"),
+            (F.expr("unix_micros(ts)") < _CUPED_SPLIT_US).alias("pre"),
+        )
+        .collect()
+    )
+    acc = {}
+    for r in ev:
+        x, y = acc.setdefault(r["user_id"], [0, 0])
+        if r["pre"]:
+            acc[r["user_id"]][0] += r["u"]
+        else:
+            acc[r["user_id"]][1] += r["u"]
+    n = len(acc)
+    sx = sum(v[0] for v in acc.values())
+    sy = sum(v[1] for v in acc.values())
+    sxy = sum(v[0] * v[1] for v in acc.values())
+    sxx = sum(v[0] * v[0] for v in acc.values())
+    theta = float(n * sxy - sx * sy) / float(n * sxx - sx * sx)
+    for r in rows:
+        members = {
+            u: v
+            for u, v in acc.items()
+            if int(hashlib.md5(f"cuped:{u}".encode()).hexdigest()[:15], 16) % 2
+            == r["variant"]
+        }
+        assert r["n_users"] == len(members)
+        assert r["sum_x"] == sum(v[0] for v in members.values())
+        assert r["sum_y"] == sum(v[1] for v in members.values())
+        assert r["theta"] == theta
+        assert r["mean_y"] == float(r["sum_y"]) / float(r["n_users"])
+        assert r["cuped_mean"] == float(r["sum_y"]) / float(r["n_users"]) - theta * (
+            float(r["sum_x"]) / float(r["n_users"]) - float(sx) / float(n)
+        )
+    # CUPED preserves the pooled mean up to the weighted combination:
+    # the adjustment terms cancel across variants by construction
+    adj = sum(
+        (r["cuped_mean"] - r["mean_y"]) * r["n_users"] for r in rows
+    )
+    assert abs(adj) < 1e-6 * max(abs(r["sum_y"]) for r in rows)
+
+
+def test_sq8_invariants(spark):
+    import math
+
+    from pyspark.sql import functions as F
+
+    from project_obsidian_core_spark.plans.common import load
+    from project_obsidian_core_spark.plans.datapipe_queries import (
+        _SQ_LEVELS,
+        embedding_sq8,
+    )
+
+    rows = embedding_sq8(spark, SF).collect()
+    assert rows
+    vecs = [
+        [float(v) for v in r["embedding"]]
+        for r in load(spark, SF, "embeddings").collect()
+    ]
+    n_vec, dims = len(vecs), len(vecs[0])
+    assert len(rows) == dims
+    for r in rows:
+        d = r["dim"]
+        col = [v[d] for v in vecs]
+        assert r["n"] == n_vec
+        assert r["vmin"] == min(col) and r["vmax"] == max(col)
+        codes, errs = [], []
+        for v in col:
+            if r["vmax"] > r["vmin"]:
+                c = min(
+                    _SQ_LEVELS - 1,
+                    math.floor((v - r["vmin"]) * float(_SQ_LEVELS) / (r["vmax"] - r["vmin"])),
+                )
+            else:
+                c = 0
+            deq = r["vmin"] + (float(c) + 0.5) * (r["vmax"] - r["vmin"]) / float(_SQ_LEVELS)
+            codes.append(c)
+            # Spark HALF_UP == python round-half-away for positives; use
+            # the same floor(x+0.5) form on the abs value
+            errs.append(math.floor(abs(v - deq) * 1_000_000.0 + 0.5))
+        assert r["sum_code"] == sum(codes)
+        assert 0 <= min(codes) and max(codes) <= _SQ_LEVELS - 1
+        assert r["sum_abs_err_ppm"] == sum(errs)
+        assert r["max_abs_err_ppm"] == max(errs)
+        # midpoint dequant bounds the per-element error by half a level
+        if r["vmax"] > r["vmin"]:
+            half_level_ppm = (r["vmax"] - r["vmin"]) / float(_SQ_LEVELS) * 500_000.0
+            assert r["max_abs_err_ppm"] <= math.ceil(half_level_ppm) + 1
+
+
+def test_dhash_invariants(spark):
+    import hashlib
+
+    from project_obsidian_core_spark.datapipe.multimodal import (
+        DHASH_COLS,
+        DHASH_ROWS,
+        PAYLOAD_BLOCKS,
+        attach_media,
+    )
+    from project_obsidian_core_spark.plans.common import load
+    from project_obsidian_core_spark.plans.datapipe_queries import media_dhash
+
+    rows = media_dhash(spark, SF).collect()
+    assert rows
+    # python recompute from the documents the payloads derive from
+    docs = {
+        r["doc_id"]: r["text"]
+        for r in load(spark, SF, "documents").collect()
+        if r["doc_id"] % 3 == 0
+    }
+    assert set(docs) == {r["doc_id"] for r in rows}
+    band_pop = {}
+    for r in rows:
+        payload = b"".join(
+            hashlib.md5(f"{docs[r['doc_id']]}:{i}".encode()).digest()
+            for i in range(1, PAYLOAD_BLOCKS + 1)
+        )
+        g = [list(payload[c * DHASH_COLS:(c + 1) * DHASH_COLS]) for c in range(DHASH_ROWS)]
+        bits = [
+            1 if g[rr][cc] > g[rr][(cc + 1) % DHASH_COLS] else 0
+            for rr in range(DHASH_ROWS)
+            for cc in range(DHASH_COLS)
+        ]
+        hx = "".join(
+            "0123456789abcdef"[
+                8 * bits[4 * k] + 4 * bits[4 * k + 1]
+                + 2 * bits[4 * k + 2] + bits[4 * k + 3]
+            ]
+            for k in range(DHASH_ROWS * DHASH_COLS // 4)
+        )
+        assert r["dhash_hex"] == hx
+        assert r["band"] == hx[:4]
+        band_pop[r["band"]] = band_pop.get(r["band"], 0) + 1
+    for r in rows:
+        assert r["band_n"] == band_pop[r["band"]]
