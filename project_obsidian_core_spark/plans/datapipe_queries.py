@@ -3583,3 +3583,139 @@ SELECT doc_id, dhash_hex, substr(dhash_hex, 1, 4) AS band,
 FROM hx
 ORDER BY doc_id
 """
+
+
+# ---------------------- X-family: RAKE keywords (staged r13) ---------------
+# Registration note: implemented + EXACT-verified round 13; REGISTRATION
+# staged to round 14 (the r13 gate window is exactly full at 6 new + the
+# 44-row r07 refresh).  The r14 registry block should add:
+#   ("text_rake_keywords", d.text_rake_keywords,
+#    d.ORACLE_text_rake_keywords)
+_RAKE_TOPK = 25
+
+
+def text_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X28: RAKE keyword extraction (Rose et al. 2010) over the corpus —
+    the keyword layer between token stats (counts) and tf-idf (salience
+    vs other docs): candidate phrases are the maximal stopword-free
+    token runs, each scored by Σ over member words of deg(w)/freq(w)
+    where deg counts co-membership (phrase length) — long multi-word
+    phrases outrank their member unigrams, which is exactly what makes
+    RAKE the standard cheap keyphrase baseline.  Corpus-level word
+    statistics (the multi-document RAKE variant), so equal phrase
+    texts score equally and the report is the distinct-phrase top-25.
+
+    Exactness: word scores are integer ppm (`deg·10⁶ div freq`), the
+    phrase score an exact int sum of member ppms, phrase text rebuilt
+    in token order via sorted collect (a total order — no
+    nondeterministic aggregation order); ties in the report break by
+    (occurrences, phrase).  Scale: one corpus-sized posexplode (the
+    tf-idf shape) feeding three key-partitioned aggregates — phrase
+    membership (doc, phrase), word stats (token), phrase score (doc,
+    phrase) — each map-side combined; the report window rides the
+    distinct-phrase relation."""
+    from pyspark.sql import Window
+
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.posexplode(F.split("text", " ")).alias("pos", "token"),
+    ).withColumn(
+        "is_stop", F.col("token").isin(*T.STOPWORDS)
+    )
+    wd = Window.partitionBy("doc_id").orderBy("pos")
+    phr = (
+        toks.withColumn(
+            "phrase_id",
+            F.sum(F.when(F.col("is_stop"), 1).otherwise(0)).over(wd),
+        )
+        .filter(~F.col("is_stop"))
+    )
+    plen = phr.groupBy("doc_id", "phrase_id").agg(
+        F.count(F.lit(1)).alias("phrase_len")
+    )
+    words = (
+        phr.join(plen, ["doc_id", "phrase_id"])
+        .groupBy("token")
+        .agg(
+            F.count(F.lit(1)).alias("freq"),
+            F.sum("phrase_len").alias("deg"),
+        )
+        .select(
+            "token", F.expr("deg * 1000000 div freq").alias("word_score_ppm")
+        )
+    )
+    phrases = (
+        phr.join(words, "token")
+        .groupBy("doc_id", "phrase_id")
+        .agg(
+            F.concat_ws(
+                " ",
+                F.expr("transform(array_sort(collect_list(struct(pos, token))), s -> s.token)"),
+            ).alias("phrase"),
+            F.sum("word_score_ppm").alias("score_ppm"),
+        )
+    )
+    wr = Window.orderBy(
+        F.col("score_ppm").desc(), F.col("n_occurrences").desc(), "phrase"
+    )
+    return (
+        phrases.groupBy("phrase")
+        .agg(
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.max("score_ppm").alias("score_ppm"),
+        )
+        .withColumn("kw_rank", F.row_number().over(wr).cast("long"))
+        .filter(F.col("kw_rank") <= _RAKE_TOPK)
+        .select("kw_rank", "phrase", "n_occurrences", "score_ppm")
+        .orderBy("kw_rank")
+    )
+
+
+ORACLE_text_rake_keywords = f"""
+WITH toks AS (
+    SELECT doc_id, g.i AS pos,
+           string_split(text, ' ')[g.i] AS token
+    FROM documents,
+         unnest(generate_series(1, len(string_split(text, ' ')))) AS g(i)
+), marked AS (
+    SELECT doc_id, pos, token,
+           token IN ({_sql_list(T.STOPWORDS)}) AS is_stop
+    FROM toks
+), phr AS (
+    SELECT doc_id, pos, token,
+           sum(CASE WHEN is_stop THEN 1 ELSE 0 END)
+               OVER (PARTITION BY doc_id ORDER BY pos) AS phrase_id
+    FROM marked
+    QUALIFY NOT is_stop
+), plen AS (
+    SELECT doc_id, phrase_id, count(*) AS phrase_len
+    FROM phr GROUP BY doc_id, phrase_id
+), words AS (
+    SELECT p.token,
+           count(*) AS freq,
+           sum(l.phrase_len) AS deg
+    FROM phr p JOIN plen l USING (doc_id, phrase_id)
+    GROUP BY p.token
+), wscore AS (
+    SELECT token, CAST(deg * 1000000 // freq AS BIGINT) AS word_score_ppm
+    FROM words
+), phrases AS (
+    SELECT p.doc_id, p.phrase_id,
+           string_agg(p.token, ' ' ORDER BY p.pos) AS phrase,
+           CAST(sum(w.word_score_ppm) AS BIGINT) AS score_ppm
+    FROM phr p JOIN wscore w USING (token)
+    GROUP BY p.doc_id, p.phrase_id
+), dedup AS (
+    SELECT phrase,
+           CAST(count(*) AS BIGINT) AS n_occurrences,
+           CAST(max(score_ppm) AS BIGINT) AS score_ppm
+    FROM phrases GROUP BY phrase
+)
+SELECT CAST(row_number() OVER (ORDER BY score_ppm DESC, n_occurrences DESC,
+                               phrase) AS BIGINT) AS kw_rank,
+       phrase, n_occurrences, score_ppm
+FROM dedup
+QUALIFY kw_rank <= {_RAKE_TOPK}
+ORDER BY kw_rank
+"""

@@ -3131,3 +3131,127 @@ FROM clipped
 GROUP BY metric_name
 ORDER BY metric_name
 """
+
+
+# ------------- A90: symbolic series + motif discovery (staged r13) --------
+# Registration note: implemented + EXACT-verified round 13; REGISTRATION
+# staged to round 14 (the r13 gate window is exactly full at 6 new + the
+# 44-row r07 refresh).  The r14 registry block should add:
+#   ("metric_sax_motifs", m.metric_sax_motifs,
+#    m.ORACLE_metric_sax_motifs)
+_SAX_ALPHA = 4  # alphabet size (equi-depth quartile symbols)
+_SAX_GRAM = 3  # motif width
+_SAX_TOPK = 5  # motifs reported per metric
+
+
+def metric_sax_motifs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A90: SAX-style symbolic motif discovery over each hourly metric
+    series — the classic symbolization (Lin et al.'s SAX) with one
+    exactness-driven substitution: canonical SAX z-normalizes and cuts
+    at Gaussian breakpoints (a mean/σ float chain no two engines fold
+    identically); EQUI-DEPTH breakpoints are the same idea expressed as
+    positional order statistics — symbol = ⌊(rank−1)·α / n⌋ over the
+    (value, bucket) total order — and are *adaptive* to the actual
+    distribution, which is why the data-mining literature offers them
+    as the standard SAX variant for non-Gaussian series.  Motifs are
+    the α-ary 3-grams of the TIME-ordered symbol string; the report is
+    each metric's top-{_SAX_TOPK} motifs with exact counts and ppm
+    support — the repeated-shape summary that turns a million-point
+    series into a screenful.
+
+    Scale: both windows (value rank, time order) partition by metric —
+    ONE exchange, two sorts of the retention-grid-bounded series; the
+    motif count is a (metric, motif) hash aggregate (≤ α³ groups per
+    metric) and the top-k a window over that reduced relation."""
+    from pyspark.sql import Window
+
+    m = synthesize_metrics(spark, sf_dir)
+    hb = m.groupBy(
+        "metric_name",
+        F.expr("unix_micros(time) div 3600000000").alias("bucket"),
+    ).agg(F.sum("metric_value").alias("v"))
+    wv = Window.partitionBy("metric_name").orderBy("v", "bucket")
+    wn = Window.partitionBy("metric_name")
+    sym = (
+        hb.withColumn("rn", F.row_number().over(wv))
+        .withColumn("n", F.count(F.lit(1)).over(wn))
+        .withColumn("symbol", F.expr(f"(rn - 1) * {_SAX_ALPHA} div n"))
+    )
+    wt = Window.partitionBy("metric_name").orderBy("bucket")
+    tri = (
+        sym.withColumn("s1", F.col("symbol"))
+        .withColumn("s2", F.lead("symbol", 1).over(wt))
+        .withColumn("s3", F.lead("symbol", 2).over(wt))
+        .filter(F.col("s3").isNotNull())
+        .select(
+            "metric_name",
+            F.concat_ws(
+                "",
+                F.col("s1").cast("string"),
+                F.col("s2").cast("string"),
+                F.col("s3").cast("string"),
+            ).alias("motif"),
+        )
+    )
+    counts = tri.groupBy("metric_name", "motif").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    tot = tri.groupBy("metric_name").agg(F.count(F.lit(1)).alias("n_grams"))
+    wr = Window.partitionBy("metric_name").orderBy(
+        F.col("cnt").desc(), "motif"
+    )
+    return (
+        counts.join(tot, "metric_name")
+        .withColumn("motif_rank", F.row_number().over(wr).cast("long"))
+        .filter(F.col("motif_rank") <= _SAX_TOPK)
+        .select(
+            "metric_name",
+            "motif",
+            "motif_rank",
+            "cnt",
+            "n_grams",
+            F.expr("cnt * 1000000 div n_grams").alias("support_ppm"),
+        )
+        .orderBy("metric_name", "motif_rank")
+    )
+
+
+ORACLE_metric_sax_motifs = f"""
+WITH m AS ({_SYN_SQL}),
+hb AS (
+    SELECT metric_name, epoch_us(time) // 3600000000 AS bucket,
+           CAST(sum(metric_value) AS BIGINT) AS v
+    FROM m GROUP BY 1, 2
+), sym AS (
+    SELECT metric_name, bucket,
+           (row_number() OVER (PARTITION BY metric_name ORDER BY v, bucket)
+            - 1) * {_SAX_ALPHA}
+           // count(*) OVER (PARTITION BY metric_name) AS symbol
+    FROM hb
+), tri AS (
+    SELECT metric_name,
+           CAST(symbol AS VARCHAR)
+           || CAST(lead(symbol, 1) OVER w AS VARCHAR)
+           || CAST(lead(symbol, 2) OVER w AS VARCHAR) AS motif
+    FROM sym
+    WINDOW w AS (PARTITION BY metric_name ORDER BY bucket)
+    QUALIFY lead(symbol, 2) OVER w IS NOT NULL
+), counts AS (
+    SELECT metric_name, motif, CAST(count(*) AS BIGINT) AS cnt
+    FROM tri GROUP BY 1, 2
+), tot AS (
+    SELECT metric_name, CAST(count(*) AS BIGINT) AS n_grams
+    FROM tri GROUP BY 1
+), ranked AS (
+    SELECT c.metric_name, c.motif, c.cnt, t.n_grams,
+           CAST(row_number() OVER (PARTITION BY c.metric_name
+                                   ORDER BY c.cnt DESC, c.motif)
+                AS BIGINT) AS motif_rank
+    FROM counts c JOIN tot t USING (metric_name)
+)
+SELECT metric_name, motif, motif_rank, cnt, n_grams,
+       CAST(cnt * 1000000 // n_grams AS BIGINT) AS support_ppm
+FROM ranked
+WHERE motif_rank <= {_SAX_TOPK}
+ORDER BY metric_name, motif_rank
+"""

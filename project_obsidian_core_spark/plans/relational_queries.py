@@ -2606,3 +2606,133 @@ SELECT CAST(g.cohort_ym AS BIGINT) AS cohort_ym, g.age_months, g.n_active,
 FROM grid g JOIN size_ s USING (cohort_ym)
 ORDER BY cohort_ym, age_months
 """
+
+
+# ----------------- A91: decile gains / lift table (staged r13) ------------
+# Registration note: implemented + EXACT-verified round 13; REGISTRATION
+# staged to round 14 (the r13 gate window is exactly full at 6 new + the
+# 44-row r07 refresh).  The r14 registry block should add:
+#   ("customer_decile_lift", r.customer_decile_lift,
+#    r.ORACLE_customer_decile_lift)
+#: score-period / holdout-period boundary (1999-01-01)
+_LIFT_CUTOFF = "1999-01-01"
+_LIFT_BINS = 10
+
+
+def customer_decile_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A91: the decile gains/lift table — the standard readout for "does
+    ranking customers by history concentrate future value?": customers
+    are scored by pre-cutoff revenue, cut into POSITIONAL deciles
+    (equi-count, ties broken by custkey — the A90 equi-depth rule, so
+    no interpolated percentile semantics), and each decile reports how
+    much HOLDOUT-period revenue it captures, cumulatively, against the
+    uniform baseline (`lift_ppm` = capture share ÷ population share).
+    Decile 0 (the top) capturing ≫ 10% is the whole justification for
+    targeting models; a flat table says history doesn't predict.
+
+    Exactness: cents sums, positional decile `(rank−1)·10 div n`,
+    running integer sums over the 10-row decile grid, integer-ppm
+    divisions only in the report.  Scale: one custkey-keyed exchange
+    builds (score, holdout) per customer (conditional sums, map-side
+    combined); the GLOBAL rank window is the A41-style positional
+    statement (one sorter over the already-reduced customer relation)
+    — at 10⁸+ customers swap in A73's bucket-refinement order
+    statistics exactly as `customer_rfm` does, the decile boundary
+    being the same order-statistic query."""
+    ords = load(spark, sf_dir, "orders")
+    per_cust = ords.groupBy("o_custkey").agg(
+        F.coalesce(
+            F.sum(
+                F.when(
+                    F.col("o_orderdate") < F.lit(_LIFT_CUTOFF).cast("timestamp"),
+                    cents("o_totalprice"),
+                )
+            ),
+            F.lit(0),
+        ).alias("score_cents"),
+        F.coalesce(
+            F.sum(
+                F.when(
+                    F.col("o_orderdate") >= F.lit(_LIFT_CUTOFF).cast("timestamp"),
+                    cents("o_totalprice"),
+                )
+            ),
+            F.lit(0),
+        ).alias("holdout_cents"),
+    )
+    w = Window.orderBy(F.col("score_cents").desc(), "o_custkey")
+    wn = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    binned = (
+        per_cust.withColumn("rn", F.row_number().over(w))
+        .withColumn("n", F.count(F.lit(1)).over(wn))
+        .withColumn("decile", F.expr(f"(rn - 1) * {_LIFT_BINS} div n"))
+    )
+    grid = binned.groupBy("decile").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.sum("score_cents").alias("score_cents"),
+        F.sum("holdout_cents").alias("holdout_cents"),
+    )
+    wg = Window.orderBy("decile")
+    wtot = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return (
+        grid.withColumn("cum_holdout_cents", F.sum("holdout_cents").over(wg))
+        .withColumn("total_holdout", F.sum("holdout_cents").over(wtot))
+        .withColumn("cum_customers", F.sum("n_customers").over(wg))
+        .withColumn("total_customers", F.sum("n_customers").over(wtot))
+        .select(
+            "decile",
+            "n_customers",
+            "score_cents",
+            "holdout_cents",
+            "cum_holdout_cents",
+            F.expr(
+                "cum_holdout_cents * 1000000 div total_holdout"
+            ).alias("cum_capture_ppm"),
+            F.expr(
+                "(cum_holdout_cents * 1000000 div total_holdout)"
+                " * total_customers div cum_customers"
+            ).alias("lift_ppm"),
+        )
+        .orderBy("decile")
+    )
+
+
+ORACLE_customer_decile_lift = f"""
+WITH per_cust AS (
+    SELECT o_custkey,
+           CAST(coalesce(sum(CASE WHEN o_orderdate < TIMESTAMP '{_LIFT_CUTOFF}'
+                   THEN CAST(round(o_totalprice * 100, 0) AS BIGINT) END),
+                0) AS BIGINT) AS score_cents,
+           CAST(coalesce(sum(CASE WHEN o_orderdate >= TIMESTAMP '{_LIFT_CUTOFF}'
+                   THEN CAST(round(o_totalprice * 100, 0) AS BIGINT) END),
+                0) AS BIGINT) AS holdout_cents
+    FROM orders GROUP BY o_custkey
+), binned AS (
+    SELECT *,
+           (row_number() OVER (ORDER BY score_cents DESC, o_custkey) - 1)
+               * {_LIFT_BINS} // count(*) OVER () AS decile
+    FROM per_cust
+), grid AS (
+    SELECT decile,
+           CAST(count(*) AS BIGINT) AS n_customers,
+           CAST(sum(score_cents) AS BIGINT) AS score_cents,
+           CAST(sum(holdout_cents) AS BIGINT) AS holdout_cents
+    FROM binned GROUP BY decile
+), cum AS (
+    SELECT decile, n_customers, score_cents, holdout_cents,
+           CAST(sum(holdout_cents) OVER (ORDER BY decile) AS BIGINT)
+               AS cum_holdout_cents,
+           CAST(sum(holdout_cents) OVER () AS BIGINT) AS total_holdout,
+           CAST(sum(n_customers) OVER (ORDER BY decile) AS BIGINT)
+               AS cum_customers,
+           CAST(sum(n_customers) OVER () AS BIGINT) AS total_customers
+    FROM grid
+)
+SELECT decile, n_customers, score_cents, holdout_cents, cum_holdout_cents,
+       CAST(cum_holdout_cents * 1000000 // total_holdout AS BIGINT)
+           AS cum_capture_ppm,
+       CAST((cum_holdout_cents * 1000000 // total_holdout)
+                * total_customers // cum_customers AS BIGINT) AS lift_ppm
+FROM cum
+ORDER BY decile
+"""

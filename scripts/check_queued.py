@@ -100,6 +100,24 @@ def queued():
             d.media_dhash,
             d.ORACLE_media_dhash,
         ),
+        # A90: SAX-style symbolic motifs (equi-depth positional symbols,
+        # exact 3-gram counts)
+        "metric_sax_motifs": (
+            m.metric_sax_motifs,
+            m.ORACLE_metric_sax_motifs,
+        ),
+        # A91: decile gains/lift table (positional deciles, integer-ppm
+        # capture and lift)
+        "customer_decile_lift": (
+            r.customer_decile_lift,
+            r.ORACLE_customer_decile_lift,
+        ),
+        # X28: RAKE keyword extraction (integer-ppm word scores, exact
+        # phrase-score sums)
+        "text_rake_keywords": (
+            d.text_rake_keywords,
+            d.ORACLE_text_rake_keywords,
+        ),
     }
 
 

@@ -349,3 +349,133 @@ def test_dhash_invariants(spark):
         band_pop[r["band"]] = band_pop.get(r["band"], 0) + 1
     for r in rows:
         assert r["band_n"] == band_pop[r["band"]]
+
+
+def test_sax_motifs_invariants(spark):
+    from pyspark.sql import functions as F
+
+    from project_obsidian_core_spark.plans.metrics_queries import (
+        _SAX_ALPHA,
+        _SAX_TOPK,
+        metric_sax_motifs,
+        synthesize_metrics,
+    )
+
+    rows = metric_sax_motifs(spark, SF).collect()
+    assert rows
+    # python recompute of the full symbolization + motif count
+    hb = (
+        synthesize_metrics(spark, SF)
+        .groupBy(
+            "metric_name",
+            F.expr("unix_micros(time) div 3600000000").alias("bucket"),
+        )
+        .agg(F.sum("metric_value").alias("v"))
+        .collect()
+    )
+    series = {}
+    for r in hb:
+        series.setdefault(r["metric_name"], []).append((r["bucket"], r["v"]))
+    motifs = {}
+    for mname, pts in series.items():
+        order = sorted(pts, key=lambda p: (p[1], p[0]))
+        n = len(order)
+        sym_of = {
+            bucket: (i * _SAX_ALPHA) // n for i, (bucket, _) in enumerate(order)
+        }
+        t = [sym_of[b] for b, _ in sorted(pts)]
+        grams = ["".join(map(str, t[i:i + 3])) for i in range(len(t) - 2)]
+        cnt = {}
+        for g in grams:
+            cnt[g] = cnt.get(g, 0) + 1
+        motifs[mname] = (cnt, len(grams))
+    by_metric = {}
+    for r in rows:
+        by_metric.setdefault(r["metric_name"], []).append(r)
+    for mname, rs in by_metric.items():
+        cnt, n_grams = motifs[mname]
+        expect = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[:_SAX_TOPK]
+        rs.sort(key=lambda r: r["motif_rank"])
+        assert [(r["motif"], r["cnt"]) for r in rs] == expect
+        for r in rs:
+            assert r["n_grams"] == n_grams
+            assert r["support_ppm"] == r["cnt"] * 1_000_000 // n_grams
+            assert all(c in "0123" for c in r["motif"])
+
+
+def test_decile_lift_invariants(spark):
+    from project_obsidian_core_spark.plans.relational_queries import (
+        customer_decile_lift,
+    )
+
+    rows = customer_decile_lift(spark, SF).collect()
+    assert [r["decile"] for r in rows] == list(range(10))
+    total_cust = sum(r["n_customers"] for r in rows)
+    total_holdout = sum(r["holdout_cents"] for r in rows)
+    # equi-count deciles: sizes differ by at most 1
+    sizes = [r["n_customers"] for r in rows]
+    assert max(sizes) - min(sizes) <= 1
+    cum_h = cum_c = 0
+    prev_capture = 0
+    for r in rows:
+        cum_h += r["holdout_cents"]
+        cum_c += r["n_customers"]
+        assert r["cum_holdout_cents"] == cum_h
+        assert r["cum_capture_ppm"] == cum_h * 1_000_000 // total_holdout
+        assert r["lift_ppm"] == (
+            (cum_h * 1_000_000 // total_holdout) * total_cust // cum_c
+        )
+        # cumulative capture is monotone, ends at 100%
+        assert r["cum_capture_ppm"] >= prev_capture
+        prev_capture = r["cum_capture_ppm"]
+    assert rows[-1]["cum_capture_ppm"] == 1_000_000
+    assert rows[-1]["lift_ppm"] == 1_000_000
+    # top decile scores concentrate: its score sum is the max
+    assert rows[0]["score_cents"] == max(r["score_cents"] for r in rows)
+
+
+def test_rake_invariants(spark):
+    from project_obsidian_core_spark.datapipe.text import STOPWORDS
+    from project_obsidian_core_spark.plans.common import load
+    from project_obsidian_core_spark.plans.datapipe_queries import (
+        _RAKE_TOPK,
+        text_rake_keywords,
+    )
+
+    rows = text_rake_keywords(spark, SF).collect()
+    assert rows and len(rows) <= _RAKE_TOPK
+    assert [r["kw_rank"] for r in rows] == list(range(1, len(rows) + 1))
+    # python recompute of the whole RAKE pipeline
+    docs = load(spark, SF, "documents").collect()
+    stop = set(STOPWORDS)
+    phrases = []
+    for d in docs:
+        cur = []
+        for tok in d["text"].split(" ") + ["the"]:
+            if tok in stop:
+                if cur:
+                    phrases.append(tuple(cur))
+                cur = []
+            else:
+                cur.append(tok)
+    freq, deg = {}, {}
+    for p in phrases:
+        for w in p:
+            freq[w] = freq.get(w, 0) + 1
+            deg[w] = deg.get(w, 0) + len(p)
+    score = {w: deg[w] * 1_000_000 // freq[w] for w in freq}
+    agg = {}
+    for p in phrases:
+        txt = " ".join(p)
+        s = sum(score[w] for w in p)
+        n, _ = agg.get(txt, (0, s))
+        agg[txt] = (n + 1, s)
+    expect = sorted(
+        ((s, n, t) for t, (n, s) in agg.items()),
+        key=lambda x: (-x[0], -x[1], x[2]),
+    )[: len(rows)]
+    got = [(r["score_ppm"], r["n_occurrences"], r["phrase"]) for r in rows]
+    assert got == expect
+    # no stopword ever appears inside a reported phrase
+    for r in rows:
+        assert not (set(r["phrase"].split(" ")) & stop)
