@@ -2029,30 +2029,10 @@ _CMS_D = 4  # hash rows
 _CMS_W = 1024  # counters per row
 
 
-def events_cms_heavy(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A88: count-min sketch over the same skew-shaped key as A27's
-    exact heavy hitters — the FIXED-MEMORY member of the frequency
-    family: where A27 recounts candidates exactly (two corpus passes),
-    the CMS answers from d·w = 4096 integers however many distinct keys
-    flow through, at the price of one-sided overcount (est ≥ truth,
-    collisions only ADD).  The sketch is deterministic by construction
-    (row-r bucket = portable md5-60 of ``cms{r}:key`` mod w), so the
-    ESTIMATES sit behind the bit-exact gate, not just the report shape;
-    the emitted rows are the CMS-flagged φ-heavy keys (est·100 > N)
-    with the true count joined alongside — ``overcount`` and the
-    ``is_true_hh`` flag measure exactly what the sketch's ε = e/w
-    error bound promises.
-
-    Scale: counters build as one explode(d)+hash aggregate — map-side
-    combined to ≤ d·w rows per partition, the exchange carries ~4096
-    rows regardless of corpus size; the probe side broadcast-joins the
-    counter table (4096 rows) to the candidate keys, so the only
-    corpus-sized shuffle is the truth recount the AUDIT needs (a
-    production reader probes the broadcast sketch alone)."""
-    from project_obsidian_core_spark.datapipe.text import shared_hash60
-
-    ev = load(spark, sf_dir, "events")
-    keyed = ev.select(
+def cms_keyed(ev: DataFrame) -> DataFrame:
+    """The skew-shaped key stream A27/A88 share (5 hot keys carry 2/3 of
+    rows, the rest are unique cold keys)."""
+    return ev.select(
         F.when(
             F.col("event_id") % 3 != 0,
             F.concat(F.lit("hot_"), (F.col("user_id") % 5).cast("string")),
@@ -2061,22 +2041,33 @@ def events_cms_heavy(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("key")
     )
 
-    def bucket(r: int) -> F.Column:
+
+def cms_probes():
+    """The d probe structs (r, bucket) for a `key` column — portable
+    md5-60 buckets, shared by the batch plan and the streaming twin."""
+    from project_obsidian_core_spark.datapipe.text import shared_hash60
+
+    def bucket(r: int):
         return shared_hash60(
             F.concat(F.lit(f"cms{r}:"), F.col("key"))
         ) % F.lit(_CMS_W)
 
-    probes = F.array(
+    return F.array(
         *[
             F.struct(F.lit(r).alias("r"), bucket(r).alias("bucket"))
             for r in range(_CMS_D)
         ]
     )
-    counters = (
-        keyed.select(F.explode(probes).alias("p"))
-        .groupBy(F.col("p.r").alias("r"), F.col("p.bucket").alias("bucket"))
-        .agg(F.count(F.lit(1)).alias("c"))
-    )
+
+
+def cms_report(
+    keyed: DataFrame, counters: DataFrame
+) -> DataFrame:
+    """Join CMS counters (however built — one batch pass or a drained
+    streaming fold) to the exact recount audit and emit the flagged
+    heavy hitters; shared by A88 and its streaming twin so the report
+    contract cannot drift."""
+    probes = cms_probes()
     truth = keyed.groupBy("key").agg(F.count(F.lit(1)).alias("true_cnt"))
     tot = keyed.agg(F.count(F.lit(1)).alias("n_rows"))
     est = (
@@ -2103,6 +2094,36 @@ def events_cms_heavy(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.col("cms_est").desc(), "key")
     )
+
+
+def events_cms_heavy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A88: count-min sketch over the same skew-shaped key as A27's
+    exact heavy hitters — the FIXED-MEMORY member of the frequency
+    family: where A27 recounts candidates exactly (two corpus passes),
+    the CMS answers from d·w = 4096 integers however many distinct keys
+    flow through, at the price of one-sided overcount (est ≥ truth,
+    collisions only ADD).  The sketch is deterministic by construction
+    (row-r bucket = portable md5-60 of ``cms{r}:key`` mod w), so the
+    ESTIMATES sit behind the bit-exact gate, not just the report shape;
+    the emitted rows are the CMS-flagged φ-heavy keys (est·100 > N)
+    with the true count joined alongside — ``overcount`` and the
+    ``is_true_hh`` flag measure exactly what the sketch's ε = e/w
+    error bound promises.
+
+    Scale: counters build as one explode(d)+hash aggregate — map-side
+    combined to ≤ d·w rows per partition, the exchange carries ~4096
+    rows regardless of corpus size; the probe side broadcast-joins the
+    counter table (4096 rows) to the candidate keys, so the only
+    corpus-sized shuffle is the truth recount the AUDIT needs (a
+    production reader probes the broadcast sketch alone)."""
+    ev = load(spark, sf_dir, "events")
+    keyed = cms_keyed(ev)
+    counters = (
+        keyed.select(F.explode(cms_probes()).alias("p"))
+        .groupBy(F.col("p.r").alias("r"), F.col("p.bucket").alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    return cms_report(keyed, counters)
 
 
 def _cms_bucket_sql(r: int) -> str:

@@ -2483,3 +2483,55 @@ def stream_mannwhitney(spark: SparkSession, sf_dir: str) -> DataFrame:
     return latest.select(
         "event_type", "n_a", "n_b", "r_a_x2", "u_a_x2", "tie_term", "z"
     ).orderBy("event_type")
+
+
+# ---------------- T25: streaming count-min sketch (staged r13) ------------
+# Registration note: implemented + EXACT-verified round 13; REGISTRATION
+# staged to round 14 (the r13 gate window is exactly full at 6 new + the
+# 44-row r07 refresh).  The r14 registry block should add:
+#   ("stream_cms_heavy", st.stream_cms_heavy,
+#    x.ORACLE_events_cms_heavy)   # the A88 batch oracle, verbatim
+def stream_cms_heavy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T25: the A88 count-min sketch SERVED LIVE — counters build as a
+    complete-mode streaming aggregation over the exploded (r, bucket)
+    probes, so partial per-batch counter states MERGE across
+    micro-batches; the drained 4096-row counter table then feeds the
+    identical `cms_report` audit, gated on the identical batch oracle.
+    A green row is the mergeability proof CMS's production deployment
+    rests on (per-executor sketches later `+`-merged are exactly
+    micro-batch states merged here): counters are commutative integer
+    sums, so stream-built ≡ batch-built BIT-EXACTLY, never approximately.
+
+    State is d·w = 4096 rows REGARDLESS of key cardinality or replay
+    length — the whole point of the sketch as a streaming operator
+    (A27's exact top-k state grows with distinct keys; T14's
+    Space-Saving bounds keys but not error; the CMS bounds MEMORY and
+    error and stays mergeable).  The exact recount audit runs batch on
+    the replayed table, as in A88 — a production reader probes the
+    drained sketch alone."""
+    from project_obsidian_core_spark.plans.analytics_ext_queries import (
+        cms_keyed,
+        cms_probes,
+        cms_report,
+    )
+
+    run = next(_RUN_IDS)
+    src = _events_src(spark, sf_dir, run)
+    schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "4")
+        .parquet(src)
+    )
+    counters_s = (
+        cms_keyed(stream)
+        .select(F.explode(cms_probes()).alias("p"))
+        .groupBy(F.col("p.r").alias("r"), F.col("p.bucket").alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    name = f"stream_cms_{run}"
+    tmp = tempfile.mkdtemp(prefix=f"obsidian_cms_{run}_")
+    _run_complete(counters_s, name, f"{tmp}/ckpt", spark)
+    counters = spark.table(name)
+    keyed = cms_keyed(load(spark, sf_dir, "events"))
+    return cms_report(keyed, counters)

@@ -44,6 +44,7 @@ def queued():
     from project_obsidian_core_spark.plans import metrics_queries as m
     from project_obsidian_core_spark.plans import pipeline_queries as pl
     from project_obsidian_core_spark.plans import relational_queries as r
+    from project_obsidian_core_spark.plans import streaming_queries as st
 
     return {
         # A84: additive trend/seasonal decomposition (exact-int detrend,
@@ -117,6 +118,12 @@ def queued():
         "text_rake_keywords": (
             d.text_rake_keywords,
             d.ORACLE_text_rake_keywords,
+        ),
+        # T25: streaming CMS twin — gated on the A88 batch oracle
+        # verbatim (mergeability proof)
+        "stream_cms_heavy": (
+            st.stream_cms_heavy,
+            x.ORACLE_events_cms_heavy,
         ),
     }
 

@@ -479,3 +479,18 @@ def test_rake_invariants(spark):
     # no stopword ever appears inside a reported phrase
     for r in rows:
         assert not (set(r["phrase"].split(" ")) & stop)
+
+
+def test_stream_cms_equals_batch(spark):
+    """The mergeability contract in one line: the micro-batch-merged
+    counter state must reproduce the batch report BIT-exactly."""
+    from project_obsidian_core_spark.plans.analytics_ext_queries import (
+        events_cms_heavy,
+    )
+    from project_obsidian_core_spark.plans.streaming_queries import (
+        stream_cms_heavy,
+    )
+
+    got = [tuple(r) for r in stream_cms_heavy(spark, SF).collect()]
+    want = [tuple(r) for r in events_cms_heavy(spark, SF).collect()]
+    assert got == want and got
