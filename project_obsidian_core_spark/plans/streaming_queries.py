@@ -2485,14 +2485,14 @@ def stream_mannwhitney(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("event_type")
 
 
-# ---------------- T25: streaming count-min sketch (staged r13) ------------
+# ---------------- T33: streaming count-min sketch (staged r13) ------------
 # Registration note: implemented + EXACT-verified round 13; REGISTRATION
 # staged to round 14 (the r13 gate window is exactly full at 6 new + the
 # 44-row r07 refresh).  The r14 registry block should add:
 #   ("stream_cms_heavy", st.stream_cms_heavy,
 #    x.ORACLE_events_cms_heavy)   # the A88 batch oracle, verbatim
 def stream_cms_heavy(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """T25: the A88 count-min sketch SERVED LIVE — counters build as a
+    """T33: the A88 count-min sketch SERVED LIVE — counters build as a
     complete-mode streaming aggregation over the exploded (r, bucket)
     probes, so partial per-batch counter states MERGE across
     micro-batches; the drained 4096-row counter table then feeds the
