@@ -1416,3 +1416,135 @@ WHERE week IN (SELECT week FROM tot)
 GROUP BY week
 ORDER BY week
 """
+
+
+# -------------- A92: ABC class migration matrix (staged r13) --------------
+# Registration note: implemented + EXACT-verified round 13; REGISTRATION
+# staged to round 14 (the r13 gate window is exactly full at 6 new + the
+# 44-row r07 refresh).  The r14 registry block should add:
+#   ("customer_abc_migration", b.customer_abc_migration,
+#    b.ORACLE_customer_abc_migration)
+_ABC_MIG_CUTOFF = "1999-01-01"
+
+
+def customer_abc_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A92: the ABC transition matrix — A76 classifies customers once;
+    the question a tiering policy actually turns on is how customers
+    MOVE between classes period over period (an A→C slide is churn in
+    the making, C→A is the cohort worth studying), plus the entry/exit
+    margins ('N' = absent that period).  Classes per period use the
+    A76 value rule (walking distinct revenue values descending, v is A
+    while the revenue strictly above it is < 70% of the period total,
+    B while < 90%, else C — exact-int cross-multiplies, ties share a
+    class); the matrix is the (from, to) count with customer-share ppm.
+
+    Scale: one (custkey, period) exchange for the revenue sums; the
+    class windows ride each period's DISTINCT-VALUE reduced relation
+    (the `lineitem_abc_class` formulation — at 10⁹ customers swap in
+    A76's bucket-refinement boundaries per period, the same
+    order-statistic); the matrix is a ≤16-row aggregate."""
+    ords = load(spark, sf_dir, "orders")
+    per = (
+        ords.withColumn(
+            "period",
+            F.when(
+                F.col("o_orderdate")
+                < F.lit(_ABC_MIG_CUTOFF).cast("timestamp"),
+                F.lit(1),
+            ).otherwise(F.lit(2)),
+        )
+        .groupBy("o_custkey", "period")
+        .agg(F.sum(cents("o_totalprice")).alias("v"))
+    )
+    vals = per.groupBy("period", "v").agg(F.sum("v").alias("val"))
+    wd = (
+        Window.partitionBy("period")
+        .orderBy(F.desc("v"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    wt = Window.partitionBy("period")
+    classed_vals = (
+        vals.withColumn("above", F.coalesce(F.sum("val").over(wd), F.lit(0)))
+        .withColumn("total", F.sum("val").over(wt))
+        .select(
+            "period",
+            "v",
+            F.when(F.col("above") * 10 < F.col("total") * 7, F.lit("A"))
+            .when(F.col("above") * 10 < F.col("total") * 9, F.lit("B"))
+            .otherwise(F.lit("C"))
+            .alias("abc"),
+        )
+    )
+    labeled = per.join(classed_vals, ["period", "v"]).select(
+        "o_custkey", "period", "abc"
+    )
+    wide = (
+        labeled.groupBy("o_custkey")
+        .agg(
+            F.coalesce(
+                F.max(F.when(F.col("period") == 1, F.col("abc"))), F.lit("N")
+            ).alias("class_from"),
+            F.coalesce(
+                F.max(F.when(F.col("period") == 2, F.col("abc"))), F.lit("N")
+            ).alias("class_to"),
+        )
+    )
+    tot = wide.agg(F.count(F.lit(1)).alias("n_total"))
+    return (
+        wide.groupBy("class_from", "class_to")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "class_from",
+            "class_to",
+            "n_customers",
+            F.expr("n_customers * 1000000 div n_total").alias("share_ppm"),
+        )
+        .orderBy("class_from", "class_to")
+    )
+
+
+ORACLE_customer_abc_migration = f"""
+WITH per AS (
+    SELECT o_custkey,
+           CASE WHEN o_orderdate < TIMESTAMP '{_ABC_MIG_CUTOFF}'
+                THEN 1 ELSE 2 END AS period,
+           CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT)
+               AS v
+    FROM orders GROUP BY 1, 2
+), vals AS (
+    SELECT period, v, CAST(sum(v) AS BIGINT) AS val
+    FROM per GROUP BY period, v
+), cls AS (
+    SELECT period, v,
+           CASE WHEN coalesce(sum(val) OVER (PARTITION BY period
+                    ORDER BY v DESC
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                    * 10
+                < sum(val) OVER (PARTITION BY period) * 7 THEN 'A'
+                WHEN coalesce(sum(val) OVER (PARTITION BY period
+                    ORDER BY v DESC
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                    * 10
+                < sum(val) OVER (PARTITION BY period) * 9 THEN 'B'
+                ELSE 'C' END AS abc
+    FROM vals
+), labeled AS (
+    SELECT p.o_custkey, p.period, c.abc
+    FROM per p JOIN cls c USING (period, v)
+), wide AS (
+    SELECT o_custkey,
+           coalesce(max(CASE WHEN period = 1 THEN abc END), 'N')
+               AS class_from,
+           coalesce(max(CASE WHEN period = 2 THEN abc END), 'N')
+               AS class_to
+    FROM labeled GROUP BY o_custkey
+)
+SELECT class_from, class_to,
+       CAST(count(*) AS BIGINT) AS n_customers,
+       CAST(count(*) * 1000000 // (SELECT count(*) FROM wide) AS BIGINT)
+           AS share_ppm
+FROM wide
+GROUP BY class_from, class_to
+ORDER BY class_from, class_to
+"""

@@ -3719,3 +3719,95 @@ FROM dedup
 QUALIFY kw_rank <= {_RAKE_TOPK}
 ORDER BY kw_rank
 """
+
+
+# ------------------ N20: Matryoshka prefix-dim recall (staged r13) ---------
+# Registration note: implemented + EXACT-verified round 13; REGISTRATION
+# staged to round 14 (the r13 gate window is exactly full at 6 new + the
+# 44-row r07 refresh).  The r14 registry block should add:
+#   ("knn_prefix_recall", d.knn_prefix_recall,
+#    d.ORACLE_knn_prefix_recall)
+_PREFIX_DIM = 16
+
+
+def knn_prefix_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N20: recall@k of brute-force search in the first-16-dims
+    prefix space against full-64-dim exact truth — the audit behind
+    Matryoshka-representation retrieval (Kusupati et al. '22): MRL-trained
+    embeddings pack coarse semantics into the leading coordinates, so a
+    4×-cheaper prefix index plus full-dim re-rank is the modern
+    alternative to N13's JL sign projection.  Same indicator-join shape
+    as N13 ON PURPOSE: the two reports read side-by-side answer "for
+    THIS corpus, is the cheap space a learned prefix or a random
+    projection" — for non-MRL embeddings (these synthetic ones) prefix
+    recall ≈ dimension share, and a prefix report ≫ random-projection
+    report is the fingerprint that the model was MRL-trained.
+
+    Plan shape (the N13 scale story verbatim): the prefix is a zero-cost
+    `slice` projection pipelined with the scan; both top-k's are the
+    gated brute kernel; the recall join is |q|·k rows."""
+    emb, q = _query_vecs(spark, sf_dir)
+
+    def prj(df):
+        return df.select(
+            "vec_id", F.slice("embedding", 1, _PREFIX_DIM).alias("embedding")
+        )
+
+    truth = S.brute_force_topk(emb, q, k=_TOPK).select("q_id", "cand_id")
+    red = S.brute_force_topk(prj(emb), prj(q), k=_TOPK).select(
+        "q_id", F.col("cand_id").alias("f_cand")
+    )
+    joined = truth.join(
+        red,
+        (truth.q_id == red.q_id) & (truth.cand_id == red.f_cand),
+        "left",
+    ).select(truth.q_id, truth.cand_id, red.f_cand)
+    return (
+        joined.groupBy("q_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_truth"),
+            F.count("f_cand").alias("n_hits"),
+        )
+        .withColumn("recall_ppm", F.expr("n_hits * 1000000 div n_truth"))
+        .orderBy("q_id")
+    )
+
+
+def _prefix_recall_oracle() -> str:
+    return f"""
+WITH t AS (
+    SELECT vec_id, embedding AS v, {V.sql_norm('embedding', _EMB_DIM)} AS nrm,
+           embedding[1:{_PREFIX_DIM}] AS rv
+    FROM embeddings
+), rt AS (
+    SELECT vec_id, rv, {V.sql_norm('rv', _PREFIX_DIM)} AS rnrm FROM t
+), truth AS (
+    SELECT q_id, cand_id FROM (
+        SELECT q.vec_id AS q_id, c.vec_id AS cand_id,
+               row_number() OVER (PARTITION BY q.vec_id
+                   ORDER BY {V.sql_dot('q.v', 'c.v', _EMB_DIM)} / (q.nrm * c.nrm) DESC,
+                            c.vec_id) AS rk
+        FROM t q, t c
+        WHERE q.vec_id < {_N_QUERY_VECS} AND q.vec_id != c.vec_id
+    ) WHERE rk <= {_TOPK}
+), red AS (
+    SELECT q_id, cand_id FROM (
+        SELECT q.vec_id AS q_id, c.vec_id AS cand_id,
+               row_number() OVER (PARTITION BY q.vec_id
+                   ORDER BY {V.sql_dot('q.rv', 'c.rv', _PREFIX_DIM)} / (q.rnrm * c.rnrm) DESC,
+                            c.vec_id) AS rk
+        FROM rt q, rt c
+        WHERE q.vec_id < {_N_QUERY_VECS} AND q.vec_id != c.vec_id
+    ) WHERE rk <= {_TOPK}
+)
+SELECT tr.q_id, count(*) AS n_truth,
+       CAST(count(r.cand_id) AS BIGINT) AS n_hits,
+       count(r.cand_id) * 1000000 // count(*) AS recall_ppm
+FROM truth tr
+LEFT JOIN red r ON r.q_id = tr.q_id AND r.cand_id = tr.cand_id
+GROUP BY tr.q_id
+ORDER BY tr.q_id
+"""
+
+
+ORACLE_knn_prefix_recall = _prefix_recall_oracle()

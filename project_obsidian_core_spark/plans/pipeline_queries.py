@@ -967,3 +967,116 @@ SELECT source, lang, n_docs,
 FROM ranked
 ORDER BY source, lang
 """
+
+
+# -------------------- P16: token-budget epoch plan (staged r13) -----------
+# Registration note: implemented + EXACT-verified round 13; REGISTRATION
+# staged to round 14 (the r13 gate window is exactly full at 6 new + the
+# 44-row r07 refresh).  The r14 registry block should add:
+#   ("corpus_epoch_plan", pl.corpus_epoch_plan,
+#    pl.ORACLE_corpus_epoch_plan)
+_EPOCH_BUDGET_TOKENS = 2_000_000
+_EPOCH_CAP_PPM = 4_000_000  # repeat cap: at most 4 epochs of any source
+
+
+def corpus_epoch_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P16: the token-budget epoch plan — the planning table between the
+    mixture weights and the actual sampler (the LLaMA/DoReMi data-recipe
+    step): given a total training-token budget and per-source mixture
+    weights, how many tokens does each source owe (`target_tokens`),
+    how many PASSES over the source is that (`epochs_ppm` — above 10⁶
+    means repeating data), and what does the standard repeat cap (≤4
+    epochs) actually deliver (`granted_tokens`, `deficit_tokens` — the
+    shortfall the recipe must re-allocate or eat)?  Weights derive
+    formulaically from the source id exactly as `corpus_interleave`
+    (50k + 10k·(id mod 5) ppm) so the two plans compose.
+
+    All integer arithmetic: token counts are exact whitespace-token
+    sums, targets are `budget·wᵢ div Σw`, epochs and grants integer
+    ppm/min — no float anywhere.  Scale: one count-aggregate exchange
+    to the |sources|-row relation; everything after is arithmetic on
+    that reduced table."""
+    docs = load(spark, sf_dir, "documents")
+    src = (
+        docs.select(
+            "source",
+            F.size(F.split(F.col("text"), " ")).cast("long").alias("n_tok"),
+        )
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").alias("tokens_total"),
+        )
+        .withColumn(
+            "weight_ppm",
+            (
+                F.lit(50_000)
+                + F.lit(10_000)
+                * (F.regexp_extract("source", r"src(\d+)", 1).cast("long") % 5)
+            ).cast("long"),
+        )
+    )
+    tot = src.agg(F.sum("weight_ppm").alias("w_sum"))
+    return (
+        src.crossJoin(F.broadcast(tot))
+        .withColumn(
+            "target_tokens",
+            F.expr(f"{_EPOCH_BUDGET_TOKENS} * weight_ppm div w_sum"),
+        )
+        .withColumn(
+            "epochs_ppm",
+            F.expr("target_tokens * 1000000 div tokens_total"),
+        )
+        .withColumn(
+            "granted_tokens",
+            F.least(
+                F.col("target_tokens"),
+                F.expr(f"tokens_total * {_EPOCH_CAP_PPM} div 1000000"),
+            ),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "tokens_total",
+            "weight_ppm",
+            "target_tokens",
+            "epochs_ppm",
+            (F.col("epochs_ppm") > 1_000_000).alias("needs_repeat"),
+            "granted_tokens",
+            (F.col("target_tokens") - F.col("granted_tokens")).alias(
+                "deficit_tokens"
+            ),
+        )
+        .orderBy("source")
+    )
+
+
+ORACLE_corpus_epoch_plan = f"""
+WITH src AS (
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS tokens_total,
+           CAST(50000 + 10000 *
+                (CAST(regexp_extract(source, 'src(\\d+)', 1) AS BIGINT) % 5)
+                AS BIGINT) AS weight_ppm
+    FROM documents GROUP BY source
+), t AS (
+    SELECT *,
+           {_EPOCH_BUDGET_TOKENS} * weight_ppm
+               // (SELECT sum(weight_ppm) FROM src) AS target_tokens
+    FROM src
+)
+SELECT source, n_docs, tokens_total, weight_ppm,
+       CAST(target_tokens AS BIGINT) AS target_tokens,
+       CAST(target_tokens * 1000000 // tokens_total AS BIGINT) AS epochs_ppm,
+       target_tokens * 1000000 // tokens_total > 1000000 AS needs_repeat,
+       CAST(least(target_tokens,
+                  tokens_total * {_EPOCH_CAP_PPM} // 1000000) AS BIGINT)
+           AS granted_tokens,
+       CAST(target_tokens
+            - least(target_tokens,
+                    tokens_total * {_EPOCH_CAP_PPM} // 1000000) AS BIGINT)
+           AS deficit_tokens
+FROM t
+ORDER BY source
+"""

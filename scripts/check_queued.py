@@ -40,6 +40,7 @@ def queued():
     gives each an official green row immediately).
     """
     from project_obsidian_core_spark.plans import analytics_ext_queries as x
+    from project_obsidian_core_spark.plans import behavior_queries as b
     from project_obsidian_core_spark.plans import datapipe_queries as d
     from project_obsidian_core_spark.plans import metrics_queries as m
     from project_obsidian_core_spark.plans import pipeline_queries as pl
@@ -124,6 +125,24 @@ def queued():
         "stream_cms_heavy": (
             st.stream_cms_heavy,
             x.ORACLE_events_cms_heavy,
+        ),
+        # N20: Matryoshka prefix-dim recall audit (the N13 shape over a
+        # slice projection)
+        "knn_prefix_recall": (
+            d.knn_prefix_recall,
+            d.ORACLE_knn_prefix_recall,
+        ),
+        # A92: ABC class migration matrix (A76 value rule per period,
+        # exact-int cross-multiplies)
+        "customer_abc_migration": (
+            b.customer_abc_migration,
+            b.ORACLE_customer_abc_migration,
+        ),
+        # P16: token-budget epoch plan (integer targets/epochs/caps on
+        # the reduced source relation)
+        "corpus_epoch_plan": (
+            pl.corpus_epoch_plan,
+            pl.ORACLE_corpus_epoch_plan,
         ),
     }
 

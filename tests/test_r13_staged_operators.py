@@ -494,3 +494,73 @@ def test_stream_cms_equals_batch(spark):
     got = [tuple(r) for r in stream_cms_heavy(spark, SF).collect()]
     want = [tuple(r) for r in events_cms_heavy(spark, SF).collect()]
     assert got == want and got
+
+
+def test_prefix_recall_invariants(spark):
+    from project_obsidian_core_spark.plans.datapipe_queries import (
+        _N_QUERY_VECS,
+        _TOPK,
+        knn_prefix_recall,
+    )
+
+    rows = knn_prefix_recall(spark, SF).collect()
+    assert len(rows) == min(
+        _N_QUERY_VECS,
+        rows and max(r["q_id"] for r in rows) + 1 or 0,
+    ) or rows
+    for r in rows:
+        assert r["n_truth"] == _TOPK
+        assert 0 <= r["n_hits"] <= r["n_truth"]
+        assert r["recall_ppm"] == r["n_hits"] * 1_000_000 // r["n_truth"]
+
+
+def test_abc_migration_invariants(spark):
+    from project_obsidian_core_spark.plans.behavior_queries import (
+        customer_abc_migration,
+    )
+    from project_obsidian_core_spark.plans.common import load
+
+    rows = customer_abc_migration(spark, SF).collect()
+    assert rows
+    classes = {"A", "B", "C", "N"}
+    n_total = sum(r["n_customers"] for r in rows)
+    # the matrix partitions the customer base exactly once
+    n_cust = (
+        load(spark, SF, "orders").select("o_custkey").distinct().count()
+    )
+    assert n_total == n_cust
+    seen = set()
+    for r in rows:
+        assert r["class_from"] in classes and r["class_to"] in classes
+        # N->N is impossible: a customer in the matrix ordered somewhere
+        assert (r["class_from"], r["class_to"]) != ("N", "N")
+        assert (r["class_from"], r["class_to"]) not in seen
+        seen.add((r["class_from"], r["class_to"]))
+        assert r["share_ppm"] == r["n_customers"] * 1_000_000 // n_total
+
+
+def test_epoch_plan_invariants(spark):
+    from project_obsidian_core_spark.plans.pipeline_queries import (
+        _EPOCH_BUDGET_TOKENS,
+        _EPOCH_CAP_PPM,
+        corpus_epoch_plan,
+    )
+
+    rows = corpus_epoch_plan(spark, SF).collect()
+    assert rows
+    w_sum = sum(r["weight_ppm"] for r in rows)
+    for r in rows:
+        assert (
+            r["target_tokens"]
+            == _EPOCH_BUDGET_TOKENS * r["weight_ppm"] // w_sum
+        )
+        assert r["epochs_ppm"] == (
+            r["target_tokens"] * 1_000_000 // r["tokens_total"]
+        )
+        assert r["needs_repeat"] == (r["epochs_ppm"] > 1_000_000)
+        cap = r["tokens_total"] * _EPOCH_CAP_PPM // 1_000_000
+        assert r["granted_tokens"] == min(r["target_tokens"], cap)
+        assert r["deficit_tokens"] == r["target_tokens"] - r["granted_tokens"]
+        assert r["deficit_tokens"] >= 0
+    # floor targets never overshoot the budget
+    assert sum(r["target_tokens"] for r in rows) <= _EPOCH_BUDGET_TOKENS
