@@ -3811,3 +3811,91 @@ ORDER BY tr.q_id
 
 
 ORACLE_knn_prefix_recall = _prefix_recall_oracle()
+
+
+# ---------------- N21: per-label centroid drift audit (staged r13) ---------
+# Registration note: implemented + EXACT-verified round 13; REGISTRATION
+# staged to round 14 (the r13 gate window is exactly full at 6 new + the
+# 44-row r07 refresh).  The r14 registry block should add:
+#   ("embedding_centroid_drift", d.embedding_centroid_drift,
+#    d.ORACLE_embedding_centroid_drift)
+def embedding_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N21: per-label centroid drift between the two vec_id-parity
+    halves of the corpus — the index-maintenance signal the ANN family
+    needs but none of the gated rows emits: IVF/PQ cells are trained on
+    yesterday's distribution, and when per-group centroids move, recall
+    silently decays until the quantizer is re-trained (the N10/N11
+    re-train trigger).  Halving by vec_id parity is the deterministic
+    stand-in for the before/after split a production pipeline takes
+    from ingest time.
+
+    Exactness: coordinates quantize to int64 micro-units FIRST (the N15
+    rule — float sums across rows are partition-order dependent),
+    per-(label, half, dim) sums are exact ints, centroids integer-div
+    micro, drift = Σ|Δ| and max|Δ| over dims in exact micro-units.
+    Scale: one posexplode into a (label, half, dim)-keyed aggregate
+    (map-side combined, ≤ labels·2·64 groups), then a 64-fold smaller
+    pivot join — nothing pairwise, nothing driver-side."""
+    emb = load(spark, sf_dir, "embeddings")
+    ex = emb.select(
+        "label",
+        (F.col("vec_id") % 2).alias("half"),
+        F.posexplode("embedding").alias("dim", "vf"),
+    ).select(
+        "label",
+        "half",
+        "dim",
+        F.floor(F.col("vf").cast("double") * F.lit(1_000_000.0))
+        .cast("long")
+        .alias("q"),
+    )
+    cent = (
+        ex.groupBy("label", "half", "dim")
+        .agg(F.sum("q").alias("s"), F.count(F.lit(1)).alias("n"))
+        .select(
+            "label", "half", "dim", F.expr("s div n").alias("c_micro"), "n"
+        )
+    )
+    a = cent.filter(F.col("half") == 0).select(
+        "label", "dim", F.col("c_micro").alias("c0"), F.col("n").alias("n0")
+    )
+    b = cent.filter(F.col("half") == 1).select(
+        "label", "dim", F.col("c_micro").alias("c1"), F.col("n").alias("n1")
+    )
+    return (
+        a.join(b, ["label", "dim"])
+        .groupBy("label")
+        .agg(
+            F.max("n0").alias("n_half0"),
+            F.max("n1").alias("n_half1"),
+            F.sum(F.abs(F.col("c0") - F.col("c1"))).alias("l1_drift_micro"),
+            F.max(F.abs(F.col("c0") - F.col("c1"))).alias("max_dim_drift_micro"),
+        )
+        .orderBy("label")
+    )
+
+
+ORACLE_embedding_centroid_drift = """
+WITH ex AS (
+    SELECT label, vec_id % 2 AS half, g.i - 1 AS dim,
+           CAST(floor(CAST(embedding[g.i] AS DOUBLE) * 1000000) AS BIGINT)
+               AS q
+    FROM embeddings,
+         unnest(generate_series(1, len(embedding))) AS g(i)
+), cent AS (
+    SELECT label, half, dim,
+           CAST(sum(q) AS BIGINT) // count(*) AS c_micro,
+           CAST(count(*) AS BIGINT) AS n
+    FROM ex GROUP BY label, half, dim
+)
+SELECT a.label,
+       CAST(max(a.n) AS BIGINT) AS n_half0,
+       CAST(max(b.n) AS BIGINT) AS n_half1,
+       CAST(sum(abs(a.c_micro - b.c_micro)) AS BIGINT) AS l1_drift_micro,
+       CAST(max(abs(a.c_micro - b.c_micro)) AS BIGINT)
+           AS max_dim_drift_micro
+FROM cent a JOIN cent b
+  ON a.label = b.label AND a.dim = b.dim AND a.half = 0 AND b.half = 1
+GROUP BY a.label
+ORDER BY a.label
+"""

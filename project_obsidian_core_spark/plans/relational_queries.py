@@ -2736,3 +2736,86 @@ SELECT decile, n_customers, score_cents, holdout_cents, cum_holdout_cents,
 FROM cum
 ORDER BY decile
 """
+
+
+# ------------------- A93: open-order aging buckets (staged r13) -----------
+# Registration note: implemented + EXACT-verified round 13; REGISTRATION
+# staged to round 14 (the r13 gate window is exactly full at 6 new + the
+# 44-row r07 refresh).  The r14 registry block should add:
+#   ("orders_aging_buckets", r.orders_aging_buckets,
+#    r.ORACLE_orders_aging_buckets)
+_AGING_ASOF = "2001-09-01"
+
+
+def orders_aging_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A93: the aging report — open orders (status ≠ 'F') bucketed by
+    days outstanding at a snapshot date (0-30 / 31-60 / 61-90 / 90+,
+    the accounts-receivable classic), value-weighted per priority so
+    the table answers both "how stale is the open book" and "is the
+    stale tail skewed toward urgent orders" (the operational smell).
+
+    Exactness: day arithmetic on midnight timestamps (integer
+    `datediff`), cents sums, share ppm over the open total — no floats.
+    Scale: one scan with the status filter pushed to parquet, one
+    (bucket, priority) hash aggregate — map-side combined, ≤ 4·5 output
+    rows; the share join broadcasts a 1-row total."""
+    ords = load(spark, sf_dir, "orders").filter(F.col("o_orderstatus") != "F")
+    aged = ords.select(
+        "o_orderpriority",
+        cents("o_totalprice").alias("c"),
+        F.datediff(
+            F.lit(_AGING_ASOF).cast("date"), F.col("o_orderdate").cast("date")
+        ).alias("age_days"),
+    ).withColumn(
+        "age_bucket",
+        F.when(F.col("age_days") <= 30, F.lit("000-030"))
+        .when(F.col("age_days") <= 60, F.lit("031-060"))
+        .when(F.col("age_days") <= 90, F.lit("061-090"))
+        .otherwise(F.lit("090+")),
+    )
+    tot = aged.agg(F.sum("c").alias("open_cents"))
+    return (
+        aged.groupBy("age_bucket", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum("c").alias("total_cents"),
+            F.max("age_days").cast("long").alias("oldest_days"),
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "age_bucket",
+            "o_orderpriority",
+            "n_orders",
+            "total_cents",
+            "oldest_days",
+            F.expr("total_cents * 1000000 div open_cents").alias("share_ppm"),
+        )
+        .orderBy("age_bucket", "o_orderpriority")
+    )
+
+
+ORACLE_orders_aging_buckets = f"""
+WITH aged AS (
+    SELECT o_orderpriority,
+           CAST(round(o_totalprice * 100, 0) AS BIGINT) AS c,
+           date_diff('day', CAST(o_orderdate AS DATE),
+                     DATE '{_AGING_ASOF}') AS age_days
+    FROM orders WHERE o_orderstatus != 'F'
+), b AS (
+    SELECT o_orderpriority, c, age_days,
+           CASE WHEN age_days <= 30 THEN '000-030'
+                WHEN age_days <= 60 THEN '031-060'
+                WHEN age_days <= 90 THEN '061-090'
+                ELSE '090+' END AS age_bucket
+    FROM aged
+)
+SELECT age_bucket, o_orderpriority,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(sum(c) AS BIGINT) AS total_cents,
+       CAST(max(age_days) AS BIGINT) AS oldest_days,
+       CAST(sum(c) * 1000000 // (SELECT sum(c) FROM b) AS BIGINT)
+           AS share_ppm
+FROM b
+GROUP BY age_bucket, o_orderpriority
+ORDER BY age_bucket, o_orderpriority
+"""

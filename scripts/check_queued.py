@@ -144,6 +144,16 @@ def queued():
             pl.corpus_epoch_plan,
             pl.ORACLE_corpus_epoch_plan,
         ),
+        # A93: open-order aging buckets (integer day arithmetic, cents)
+        "orders_aging_buckets": (
+            r.orders_aging_buckets,
+            r.ORACLE_orders_aging_buckets,
+        ),
+        # N21: per-label centroid drift (micro-unit exact-int centroids)
+        "embedding_centroid_drift": (
+            d.embedding_centroid_drift,
+            d.ORACLE_embedding_centroid_drift,
+        ),
     }
 
 

@@ -564,3 +564,64 @@ def test_epoch_plan_invariants(spark):
         assert r["deficit_tokens"] >= 0
     # floor targets never overshoot the budget
     assert sum(r["target_tokens"] for r in rows) <= _EPOCH_BUDGET_TOKENS
+
+
+def test_aging_buckets_invariants(spark):
+    from pyspark.sql import functions as F
+
+    from project_obsidian_core_spark.plans.common import load
+    from project_obsidian_core_spark.plans.relational_queries import (
+        orders_aging_buckets,
+    )
+
+    rows = orders_aging_buckets(spark, SF).collect()
+    assert rows
+    open_orders = (
+        load(spark, SF, "orders")
+        .filter(F.col("o_orderstatus") != "F")
+        .count()
+    )
+    # the buckets partition the open book exactly
+    assert sum(r["n_orders"] for r in rows) == open_orders
+    bounds = {"000-030": 30, "031-060": 60, "061-090": 90, "090+": 10**9}
+    lower = {"000-030": -(10**9), "031-060": 31, "061-090": 61, "090+": 91}
+    for r in rows:
+        assert r["age_bucket"] in bounds
+        assert lower[r["age_bucket"]] <= r["oldest_days"] <= bounds[r["age_bucket"]]
+        assert r["n_orders"] > 0 and r["total_cents"] > 0
+    # ppm shares telescope to ~1e6 (floor rounding loses < n_rows ppm)
+    total_ppm = sum(r["share_ppm"] for r in rows)
+    assert 1_000_000 - len(rows) <= total_ppm <= 1_000_000
+
+
+def test_centroid_drift_invariants(spark):
+    import math
+
+    from project_obsidian_core_spark.plans.common import load
+    from project_obsidian_core_spark.plans.datapipe_queries import (
+        embedding_centroid_drift,
+    )
+
+    rows = embedding_centroid_drift(spark, SF).collect()
+    assert rows
+    vecs = load(spark, SF, "embeddings").collect()
+    by_lh = {}
+    for v in vecs:
+        key = (v["label"], v["vec_id"] % 2)
+        by_lh.setdefault(key, []).append([float(x) for x in v["embedding"]])
+    for r in rows:
+        g0 = by_lh[(r["label"], 0)]
+        g1 = by_lh[(r["label"], 1)]
+        assert (r["n_half0"], r["n_half1"]) == (len(g0), len(g1))
+        dims = len(g0[0])
+        l1 = mx = 0
+        for d in range(dims):
+            def cmicro(g):
+                # Spark `div` / DuckDB `//` truncate toward zero on ints
+                s = sum(math.floor(v[d] * 1_000_000.0) for v in g)
+                return s // len(g) if s >= 0 else -((-s) // len(g))
+            delta = abs(cmicro(g0) - cmicro(g1))
+            l1 += delta
+            mx = max(mx, delta)
+        assert r["l1_drift_micro"] == l1
+        assert r["max_dim_drift_micro"] == mx
