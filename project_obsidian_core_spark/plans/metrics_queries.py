@@ -3255,3 +3255,157 @@ FROM ranked
 WHERE motif_rank <= {_SAX_TOPK}
 ORDER BY metric_name, motif_rank
 """
+
+
+# -------------- A94: Holt forecast backtest (staged r13) ------------------
+# Registration note: implemented + EXACT-verified round 13; REGISTRATION
+# staged to round 14 (the r13 gate window is exactly full at 6 new + the
+# 44-row r07 refresh).  The r14 registry block should add:
+#   ("metric_forecast_backtest", m.metric_forecast_backtest,
+#    m.ORACLE_metric_forecast_backtest)
+_BT_TEST_FRAC_NUM, _BT_TEST_FRAC_DEN = 1, 5  # last 20% of buckets held out
+
+
+def metric_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A94: the holdout backtest A53's forecaster was missing — "is the
+    Holt forecast any GOOD on this series" answered the only honest
+    way: freeze the (level, trend) state at the 80% mark, project
+    l + h·b across the held-out 20%, and score MAE against the naive
+    last-value carry-forward (the baseline every forecasting paper must
+    beat; improvement ≤ 0 means the trend term is hurting and the
+    governor should fall back to EWMA).
+
+    Exactness: the train fold is A53's gated recursion verbatim (same
+    constants, same expression tree); each holdout error is rounded to
+    int64 micro-units BEFORE summation (deterministic fold order is not
+    even needed once the sum is integer — the N15 rule applied to
+    forecast errors), MAE is integer division, improvement integer ppm.
+
+    Scale: identical to A53 — one grid exchange, one per-metric sorted
+    array fold bounded by the retention grid; the backtest adds one
+    `transform` over the holdout indices, map-side."""
+    m = synthesize_metrics(spark, sf_dir).select(
+        "metric_name",
+        F.expr("unix_micros(time) div 3600000000").alias("x"),
+        F.col("metric_value").alias("v"),
+    )
+    grid = m.groupBy("metric_name", "x").agg(F.sum("v").alias("y"))
+    arr = (
+        grid.groupBy("metric_name")
+        .agg(
+            F.expr(
+                "transform(sort_array(collect_list(struct(x, y))),"
+                " s -> cast(s.y as double))"
+            ).alias("ys")
+        )
+        .filter(F.size("ys") >= 5)
+        .withColumn(
+            "n_train",
+            F.expr(
+                f"size(ys) - size(ys) * {_BT_TEST_FRAC_NUM}"
+                f" div {_BT_TEST_FRAC_DEN}"
+            ),
+        )
+        .withColumn("n_test", F.expr("size(ys) - n_train"))
+    )
+    a, b = HOLT_ALPHA, HOLT_BETA
+    fold = (
+        f"aggregate(slice(ys, 3, greatest(n_train - 2, 0)),"
+        f" named_struct('l', element_at(ys, 1),"
+        f"              'b', element_at(ys, 2) - element_at(ys, 1)),"
+        f" (acc, x) -> named_struct("
+        f"   'l', {a} * x + {1 - a:.1f} * (acc.l + acc.b),"
+        f"   'b', {b} * (({a} * x + {1 - a:.1f} * (acc.l + acc.b)) - acc.l)"
+        f"        + {1 - b:.1f} * acc.b))"
+    )
+    st = arr.withColumn("st", F.expr(fold))
+    errs = st.select(
+        "metric_name",
+        "n_train",
+        "n_test",
+        F.col("st.l").alias("level"),
+        F.col("st.b").alias("trend"),
+        F.expr(
+            "aggregate(transform(sequence(n_train + 1, size(ys)),"
+            " i -> cast(round(abs(element_at(ys, cast(i as int))"
+            "      - (st.l + (i - n_train) * st.b)), 0) as long)),"
+            " 0L, (acc, e) -> acc + e)"
+        ).alias("abs_err_holt_cents"),
+        F.expr(
+            "aggregate(transform(sequence(n_train + 1, size(ys)),"
+            " i -> cast(round(abs(element_at(ys, cast(i as int))"
+            "      - element_at(ys, cast(n_train as int))), 0) as long)),"
+            " 0L, (acc, e) -> acc + e)"
+        ).alias("abs_err_naive_cents"),
+    )
+    return (
+        errs.select(
+            "metric_name",
+            "n_train",
+            "n_test",
+            "level",
+            "trend",
+            F.expr("abs_err_holt_cents div n_test").alias("mae_holt_cents"),
+            F.expr("abs_err_naive_cents div n_test").alias("mae_naive_cents"),
+            F.expr(
+                "case when abs_err_naive_cents > 0 then"
+                " (abs_err_naive_cents - abs_err_holt_cents) * 1000000"
+                " div abs_err_naive_cents else 0 end"
+            ).alias("improvement_ppm"),
+        )
+        .orderBy("metric_name")
+    )
+
+
+ORACLE_metric_forecast_backtest = f"""
+WITH RECURSIVE m AS ({_SYN_SQL}),
+pb AS (
+    SELECT metric_name, epoch_us(time) // 3600000000 AS x,
+           CAST(sum(metric_value) AS BIGINT) AS y
+    FROM m GROUP BY 1, 2
+), arr AS (
+    SELECT metric_name, list(CAST(y AS DOUBLE) ORDER BY x) AS ys
+    FROM pb GROUP BY 1
+), sized AS (
+    SELECT metric_name, ys,
+           len(ys) - len(ys) * {_BT_TEST_FRAC_NUM} // {_BT_TEST_FRAC_DEN}
+               AS n_train,
+           len(ys) * {_BT_TEST_FRAC_NUM} // {_BT_TEST_FRAC_DEN} AS n_test
+    FROM arr WHERE len(ys) >= 5
+), h AS (
+    SELECT metric_name, ys, n_train, n_test, 2 AS i,
+           ys[1] AS l, ys[2] - ys[1] AS b
+    FROM sized
+    UNION ALL
+    SELECT metric_name, ys, n_train, n_test, i + 1,
+           {HOLT_ALPHA} * ys[i + 1] + {1 - HOLT_ALPHA:.1f} * (l + b),
+           {HOLT_BETA} * (({HOLT_ALPHA} * ys[i + 1]
+                           + {1 - HOLT_ALPHA:.1f} * (l + b)) - l)
+               + {1 - HOLT_BETA:.1f} * b
+    FROM h WHERE i < n_train
+), st AS (
+    SELECT metric_name, ys, n_train, n_test, l, b
+    FROM h WHERE i = n_train
+), errs AS (
+    SELECT metric_name, n_train, n_test, l AS level, b AS trend,
+           list_aggregate(
+               [CAST(round(abs(ys[i] - (l + (i - n_train) * b)), 0) AS BIGINT)
+                for i in generate_series(n_train + 1, len(ys))],
+               'sum') AS abs_err_holt_cents,
+           list_aggregate(
+               [CAST(round(abs(ys[i] - ys[n_train]), 0) AS BIGINT)
+                for i in generate_series(n_train + 1, len(ys))],
+               'sum') AS abs_err_naive_cents
+    FROM st
+)
+SELECT metric_name, CAST(n_train AS BIGINT) AS n_train,
+       CAST(n_test AS BIGINT) AS n_test, level, trend,
+       CAST(abs_err_holt_cents // n_test AS BIGINT) AS mae_holt_cents,
+       CAST(abs_err_naive_cents // n_test AS BIGINT) AS mae_naive_cents,
+       CAST(CASE WHEN abs_err_naive_cents > 0 THEN
+                (abs_err_naive_cents - abs_err_holt_cents) * 1000000
+                // abs_err_naive_cents ELSE 0 END AS BIGINT)
+           AS improvement_ppm
+FROM errs
+ORDER BY metric_name
+"""

@@ -154,6 +154,12 @@ def queued():
             d.embedding_centroid_drift,
             d.ORACLE_embedding_centroid_drift,
         ),
+        # A94: Holt forecast backtest (A53 fold verbatim on the train
+        # prefix, per-point cent-quantized holdout errors)
+        "metric_forecast_backtest": (
+            m.metric_forecast_backtest,
+            m.ORACLE_metric_forecast_backtest,
+        ),
     }
 
 

@@ -625,3 +625,51 @@ def test_centroid_drift_invariants(spark):
             mx = max(mx, delta)
         assert r["l1_drift_micro"] == l1
         assert r["max_dim_drift_micro"] == mx
+
+
+def test_forecast_backtest_invariants(spark):
+    from pyspark.sql import functions as F
+
+    from project_obsidian_core_spark.plans.metrics_queries import (
+        HOLT_ALPHA,
+        HOLT_BETA,
+        metric_forecast_backtest,
+        synthesize_metrics,
+    )
+
+    rows = metric_forecast_backtest(spark, SF).collect()
+    assert rows
+    hb = (
+        synthesize_metrics(spark, SF)
+        .groupBy(
+            "metric_name",
+            F.expr("unix_micros(time) div 3600000000").alias("x"),
+        )
+        .agg(F.sum("metric_value").alias("y"))
+        .collect()
+    )
+    series = {}
+    for r in hb:
+        series.setdefault(r["metric_name"], []).append((r["x"], r["y"]))
+    for r in rows:
+        ys = [float(y) for _, y in sorted(series[r["metric_name"]])]
+        n = len(ys)
+        n_train = n - n * 1 // 5
+        assert (r["n_train"], r["n_test"]) == (n_train, n - n_train)
+        l, b = ys[0], ys[1] - ys[0]
+        for x in ys[2:n_train]:
+            l2 = HOLT_ALPHA * x + (1 - HOLT_ALPHA) * (l + b)
+            b = HOLT_BETA * (l2 - l) + (1 - HOLT_BETA) * b
+            l = l2
+        assert (r["level"], r["trend"]) == (l, b)
+        eh = sum(
+            round(abs(ys[i] - (l + (i - n_train + 1) * b)))
+            for i in range(n_train, n)
+        )
+        en = sum(round(abs(ys[i] - ys[n_train - 1])) for i in range(n_train, n))
+        assert r["mae_holt_cents"] == eh // r["n_test"]
+        assert r["mae_naive_cents"] == en // r["n_test"]
+        # engines truncate toward zero on negative integer division
+        q = (en - eh) * 1_000_000
+        trunc = q // en if q >= 0 else -((-q) // en)
+        assert r["improvement_ppm"] == (trunc if en > 0 else 0)
