@@ -1241,3 +1241,94 @@ SELECT d.doc_id,
 FROM documents d LEFT JOIN per_doc ON d.doc_id = per_doc.doc_id
 ORDER BY d.doc_id
 """
+
+
+# ---------------- V3: vocabulary coverage curve (staged r13) --------------
+# Registration note: implemented + EXACT-verified round 13; REGISTRATION
+# staged to round 14 (the r13 gate window is exactly full at 6 new + the
+# 44-row r07 refresh).  The r14 registry block should add:
+#   ("vocab_coverage_curve", c.vocab_coverage_curve,
+#    c.ORACLE_vocab_coverage_curve)
+_COV_CHECKPOINTS = (8, 16, 32, 64, 128, 256, 512, 1024)
+
+
+def vocab_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """V3: the vocabulary-size planning curve — at each candidate vocab
+    size k, what fraction of ALL corpus token occurrences do the top-k
+    terms cover (the rest become <unk> / get split by BPE)?  This is
+    the table that sizes a tokenizer before training one: coverage
+    flattening at small k says a compact vocab suffices; a long slow
+    tail says byte-fallback will be hot.  Complements V1 (the capped
+    vocab itself) and X-family Zipf octaves (the same mass viewed as a
+    distribution law).
+
+    Exactness: term counts are exact ints over the V1 unigram+bigram
+    stream, ranks use the V1 total order (count desc, term),
+    cumulative sums ride the rank order, coverage is integer ppm.
+    Scale: one corpus-sized term count (map-side combined — the V1
+    exchange), then the rank window on the distinct-term relation with
+    a ≤|checkpoints|-row report."""
+    from pyspark.sql import Window
+
+    from project_obsidian_core_spark.datapipe.curation import (
+        _toks,
+        word_ngrams,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    toks = _toks("text")
+    terms = docs.select(
+        F.explode(F.concat(toks, word_ngrams(toks, 2))).alias("term")
+    )
+    counts = terms.groupBy("term").agg(F.count(F.lit(1)).alias("cnt"))
+    w = Window.orderBy(F.col("cnt").desc(), "term")
+    wc = Window.orderBy(F.col("cnt").desc(), "term").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    wt = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    ranked = (
+        counts.withColumn("rk", F.row_number().over(w).cast("long"))
+        .withColumn("cum_cnt", F.sum("cnt").over(wc))
+        .withColumn("total_cnt", F.sum("cnt").over(wt))
+        .withColumn("n_terms", F.count(F.lit(1)).over(wt))
+    )
+    cps = F.array(*[F.lit(k) for k in _COV_CHECKPOINTS])
+    return (
+        ranked.filter(F.array_contains(cps, F.col("rk")))
+        .select(
+            F.col("rk").alias("vocab_k"),
+            F.col("term").alias("boundary_term"),
+            F.col("cnt").alias("boundary_count"),
+            "cum_cnt",
+            "total_cnt",
+            "n_terms",
+            F.expr("cum_cnt * 1000000 div total_cnt").alias("coverage_ppm"),
+        )
+        .orderBy("vocab_k")
+    )
+
+
+ORACLE_vocab_coverage_curve = f"""
+WITH t AS (
+    SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+), terms AS (
+    SELECT unnest(list_concat(toks, {_ngrams('toks', 2)})) AS term FROM t
+), counts AS (
+    SELECT term, CAST(count(*) AS BIGINT) AS cnt FROM terms GROUP BY term
+), ranked AS (
+    SELECT term, cnt,
+           CAST(row_number() OVER (ORDER BY cnt DESC, term) AS BIGINT) AS rk,
+           CAST(sum(cnt) OVER (ORDER BY cnt DESC, term
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS cum_cnt,
+           CAST(sum(cnt) OVER () AS BIGINT) AS total_cnt,
+           CAST(count(*) OVER () AS BIGINT) AS n_terms
+    FROM counts
+)
+SELECT rk AS vocab_k, term AS boundary_term, cnt AS boundary_count,
+       cum_cnt, total_cnt, n_terms,
+       CAST(cum_cnt * 1000000 // total_cnt AS BIGINT) AS coverage_ppm
+FROM ranked
+WHERE rk IN ({", ".join(str(k) for k in _COV_CHECKPOINTS)})
+ORDER BY vocab_k
+"""

@@ -41,6 +41,7 @@ def queued():
     """
     from project_obsidian_core_spark.plans import analytics_ext_queries as x
     from project_obsidian_core_spark.plans import behavior_queries as b
+    from project_obsidian_core_spark.plans import curation_queries as c
     from project_obsidian_core_spark.plans import datapipe_queries as d
     from project_obsidian_core_spark.plans import metrics_queries as m
     from project_obsidian_core_spark.plans import pipeline_queries as pl
@@ -159,6 +160,12 @@ def queued():
         "metric_forecast_backtest": (
             m.metric_forecast_backtest,
             m.ORACLE_metric_forecast_backtest,
+        ),
+        # V3: vocabulary coverage curve (exact cumulative token shares
+        # at checkpoint ranks)
+        "vocab_coverage_curve": (
+            c.vocab_coverage_curve,
+            c.ORACLE_vocab_coverage_curve,
         ),
     }
 

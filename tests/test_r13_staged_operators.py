@@ -673,3 +673,38 @@ def test_forecast_backtest_invariants(spark):
         q = (en - eh) * 1_000_000
         trunc = q // en if q >= 0 else -((-q) // en)
         assert r["improvement_ppm"] == (trunc if en > 0 else 0)
+
+
+def test_vocab_coverage_invariants(spark):
+    from project_obsidian_core_spark.plans.curation_queries import (
+        _COV_CHECKPOINTS,
+        vocab_coverage_curve,
+    )
+    from project_obsidian_core_spark.plans.common import load
+
+    rows = vocab_coverage_curve(spark, SF).collect()
+    assert rows
+    # python recompute over the same unigram+bigram stream
+    freq = {}
+    for d in load(spark, SF, "documents").collect():
+        toks = d["text"].split(" ")
+        terms = toks + [f"{a} {b}" for a, b in zip(toks, toks[1:])]
+        for t in terms:
+            freq[t] = freq.get(t, 0) + 1
+    order = sorted(freq.items(), key=lambda kv: (-kv[1], kv[0]))
+    total = sum(freq.values())
+    expect_ks = [k for k in _COV_CHECKPOINTS if k <= len(order)]
+    assert [r["vocab_k"] for r in rows] == expect_ks
+    prev = 0
+    for r in rows:
+        k = r["vocab_k"]
+        cum = sum(c for _, c in order[:k])
+        assert r["boundary_term"] == order[k - 1][0]
+        assert r["boundary_count"] == order[k - 1][1]
+        assert r["cum_cnt"] == cum
+        assert r["total_cnt"] == total
+        assert r["n_terms"] == len(order)
+        assert r["coverage_ppm"] == cum * 1_000_000 // total
+        # coverage is strictly monotone in k
+        assert r["coverage_ppm"] > prev
+        prev = r["coverage_ppm"]
