@@ -2535,3 +2535,124 @@ def stream_cms_heavy(spark: SparkSession, sf_dir: str) -> DataFrame:
     counters = spark.table(name)
     keyed = cms_keyed(load(spark, sf_dir, "events"))
     return cms_report(keyed, counters)
+
+
+# ---------------- T34: streaming KMV distinct sketch (staged r13) ----------
+# Registration note: implemented + EXACT-verified round 13; REGISTRATION
+# staged to round 14 (the r13 gate window is exactly full at 6 new + the
+# 44-row r07 refresh).  The r14 registry block should add:
+#   ("stream_kmv_distinct", st.stream_kmv_distinct,
+#    x.ORACLE_events_kmv_distinct)   # the A87 batch oracle, verbatim
+def stream_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T34: the A87 KMV sketch SERVED LIVE — T33's bounded-state
+    companion on the other classic sketch axis (CMS bounds frequency
+    state; KMV bounds DISTINCT-count state at ≤ k int64s per group
+    forever).  The k-minima fold merges associatively/commutatively
+    across micro-batches (`trunc_k(minima ∪ minima)`), so the drained
+    kth-hash is bit-equal to the batch scan's — proven by gating on the
+    IDENTICAL A87 oracle; the exact-count audit columns join batch-side
+    exactly as T33's recount does (a production reader drains the ≤ k
+    hashes alone).  A green row is the mergeability proof per-executor
+    KMV union rests on."""
+    from project_obsidian_core_spark.datapipe.text import shared_hash60
+    from project_obsidian_core_spark.plans.analytics_ext_queries import (
+        _KMV_K,
+        _KMV_RANGE,
+    )
+    from project_obsidian_core_spark.streaming.sequence_state import (
+        streaming_kmv,
+    )
+
+    run = next(_RUN_IDS)
+    src = _events_src(spark, sf_dir, run)
+    schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "4")
+        .parquet(src)
+    )
+    hashed_s = stream.select(
+        "event_type",
+        shared_hash60(
+            F.concat(F.lit("kmv:"), F.col("user_id").cast("string"))
+        ).alias("h"),
+    )
+    out = streaming_kmv(hashed_s, k=_KMV_K)
+    name = f"stream_kmv_{run}"
+    tmp = tempfile.mkdtemp(prefix=f"obsidian_kmv_{run}_")
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            out.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .option("checkpointLocation", f"{tmp}/ckpt")
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+
+    emitted = spark.table(name)
+    wmax = Window.partitionBy("event_type")
+    sk = (
+        emitted.withColumn("_vmax", F.max("version").over(wmax))
+        .filter(F.col("version") == F.col("_vmax"))
+        .select("event_type", "n_state", "kth_hash")
+    )
+    # batch audit (exactly the A87 report): exact count + full distinct
+    # hash count alongside the stream-drained sketch
+    ev = load(spark, sf_dir, "events")
+    hashed = ev.select(
+        "event_type",
+        "user_id",
+        shared_hash60(
+            F.concat(F.lit("kmv:"), F.col("user_id").cast("string"))
+        ).alias("h"),
+    )
+    nh = (
+        hashed.select("event_type", "h")
+        .distinct()
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_hashes"))
+    )
+    truth = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_exact")
+    )
+    est = (
+        F.when(
+            F.col("kth_hash").isNotNull(),
+            F.floor(
+                F.lit(float(_KMV_K - 1) * float(_KMV_RANGE))
+                / F.col("kth_hash").cast("double")
+            ),
+        )
+        .otherwise(F.col("n_state"))
+        .cast("long")
+    )
+    return (
+        sk.join(nh, "event_type")
+        .join(truth, "event_type")
+        .select(
+            "event_type",
+            "n_exact",
+            "n_hashes",
+            "kth_hash",
+            est.alias("est_distinct"),
+            (F.abs(est - F.col("n_exact")) * F.lit(1_000_000))
+            .cast("long")
+            .alias("_e"),
+        )
+        .select(
+            "event_type",
+            "n_exact",
+            "n_hashes",
+            "kth_hash",
+            "est_distinct",
+            F.expr("_e div n_exact").alias("abs_err_ppm"),
+        )
+        .orderBy("event_type")
+    )

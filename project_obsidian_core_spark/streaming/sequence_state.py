@@ -1956,3 +1956,93 @@ def streaming_mannwhitney(stream: DataFrame) -> DataFrame:
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# ----------------- T34: streaming KMV distinct sketch ---------------------
+KMV_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("minima", T.ArrayType(T.LongType())),
+        T.StructField("version", T.LongType()),
+    ]
+)
+
+KMV_OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("event_type", T.StringType()),
+        T.StructField("n_state", T.LongType()),
+        T.StructField("kth_hash", T.LongType()),
+        T.StructField("version", T.LongType()),
+    ]
+)
+
+#: must match the batch A87 constant (plans/analytics_ext_queries._KMV_K)
+#: — the gate proves the twin against that operator's oracle.
+KMV_K = 64
+
+
+def make_kmv_fn(k: int = KMV_K):
+    """Per-key fold keeping the k smallest DISTINCT hashes — the KMV
+    merge is a sorted-unique union truncated at k, which is exactly why
+    the sketch is mergeable: minima(A ∪ B) = trunc_k(minima(A) ∪
+    minima(B)), associative and commutative, so micro-batch order and
+    shard boundaries cannot change the drained state.  State is ≤ k
+    int64s per key FOREVER (the bounded-state contract the exact
+    distinct count cannot offer); when the state holds fewer than k
+    entries it IS the full distinct-hash set and the estimate downstream
+    is exact by definition."""
+
+    def fn(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        etype = str(key[0])
+        if state.exists:
+            minima, version = state.get
+            cur = list(minima)
+        else:
+            cur, version = [], 0
+        absorbed = 0
+        incoming: set[int] = set()
+        for pdf in pdfs:
+            if not len(pdf):
+                continue
+            absorbed += len(pdf)
+            incoming.update(int(h) for h in pdf["h"])
+        if not absorbed:
+            return
+        merged = sorted(set(cur) | incoming)[:k]
+        version += absorbed
+        state.update((merged, version))
+        yield pd.DataFrame(
+            {
+                "event_type": [etype],
+                "n_state": [len(merged)],
+                "kth_hash": pd.array(
+                    [merged[k - 1] if len(merged) >= k else None],
+                    dtype="Int64",
+                ),
+                "version": [version],
+            }
+        )
+
+    return fn
+
+
+def streaming_kmv(stream: DataFrame, k: int = KMV_K) -> DataFrame:
+    """T34: the A87 KMV cardinality sketch served LIVE — the bounded
+    companion of T33's CMS (frequency) fold: counting DISTINCT keys
+    exactly needs state that grows with the key space; the KMV state is
+    ≤ k hashes per group whatever flows through, and the k-minima merge
+    is associative/commutative so the drained kth-hash equals the batch
+    scan's bit-exactly.  Expects (event_type, h) with h the portable
+    md5-60 hash; versioned emission, max-version drain."""
+    keyed = stream.select(
+        F.col("event_type").cast("string").alias("event_type"),
+        F.col("h").cast("long").alias("h"),
+    )
+    return keyed.groupBy("event_type").applyInPandasWithState(
+        make_kmv_fn(k),
+        outputStructType=KMV_OUTPUT_SCHEMA,
+        stateStructType=KMV_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

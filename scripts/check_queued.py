@@ -167,6 +167,12 @@ def queued():
             c.vocab_coverage_curve,
             c.ORACLE_vocab_coverage_curve,
         ),
+        # T34: streaming KMV twin — gated on the A87 batch oracle
+        # verbatim (k-minima mergeability proof)
+        "stream_kmv_distinct": (
+            st.stream_kmv_distinct,
+            x.ORACLE_events_kmv_distinct,
+        ),
     }
 
 

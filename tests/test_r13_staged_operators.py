@@ -708,3 +708,57 @@ def test_vocab_coverage_invariants(spark):
         # coverage is strictly monotone in k
         assert r["coverage_ppm"] > prev
         prev = r["coverage_ppm"]
+
+
+def test_kmv_fold_merges_across_batches():
+    """The T34 mergeability contract without a cluster: k-minima folded
+    over arbitrary micro-batch splits must equal the one-shot fold, and
+    state never exceeds k entries."""
+    import hashlib
+
+    import pandas as pd
+
+    from project_obsidian_core_spark.streaming.sequence_state import (
+        make_kmv_fn,
+    )
+
+    class FakeState:
+        def __init__(self):
+            self.exists = False
+            self._v = None
+
+        @property
+        def get(self):
+            return self._v
+
+        def update(self, v):
+            self._v = v
+            self.exists = True
+
+    k = 8
+    hashes = [
+        int(hashlib.md5(f"kmv:{u}".encode()).hexdigest()[:15], 16)
+        for u in range(100)
+    ]
+    want = sorted(set(hashes))[:k]
+
+    # one-shot
+    fn = make_kmv_fn(k)
+    s1 = FakeState()
+    out = list(fn(("t",), iter([pd.DataFrame({"h": hashes})]), s1))
+    assert list(s1.get[0]) == want
+    assert out[-1]["kth_hash"][0] == want[k - 1]
+
+    # three uneven batches, duplicates across batches
+    s2 = FakeState()
+    chunks = [hashes[:10], hashes[5:60], hashes[50:]]
+    for ch in chunks:
+        list(fn(("t",), iter([pd.DataFrame({"h": ch})]), s2))
+        assert len(s2.get[0]) <= k
+    assert list(s2.get[0]) == want
+
+    # sub-k group: state IS the full distinct set, kth is NULL
+    s3 = FakeState()
+    out3 = list(fn(("t",), iter([pd.DataFrame({"h": hashes[:5]})]), s3))
+    assert out3[0]["n_state"][0] == len(set(hashes[:5]))
+    assert pd.isna(out3[0]["kth_hash"][0])
