@@ -2314,3 +2314,111 @@ SELECT g.variant, g.n_users, g.sum_x, g.sum_y,
 FROM g CROSS JOIN pooled p
 ORDER BY g.variant
 """
+
+
+# ------------------ A95: price index (Laspeyres/Paasche/Fisher) -----------
+# Registration note: implemented + EXACT-verified round 13; REGISTRATION
+# staged to round 14 (the r13 gate window is exactly full at 6 new + the
+# 44-row r07 refresh).  The r14 registry block should add:
+#   ("part_price_index", x.part_price_index,
+#    x.ORACLE_part_price_index)
+_IDX_CUTOFF = "1998-01-01"
+
+
+def part_price_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A95: the bilateral price-index triple — Laspeyres (base-period
+    basket), Paasche (current basket) and their geometric-mean Fisher
+    ideal — over parts traded in BOTH periods, the standard "how much
+    of the revenue change is PRICE vs volume" decomposition (Laspeyres
+    > Paasche is the classic substitution-bias fingerprint).
+
+    Exactness: per-part unit values enter as SCALED-INTEGER terms
+    (`p₂·q₁ ≈ s₂·q₁ div q₂` in cents — the documented integer-scaled
+    estimator, deterministic on any engine, never an order-dependent
+    float fold), index ratios are integer ppm, and Fisher is
+    ⌊√(L·P)⌋ — IEEE sqrt is CORRECTLY ROUNDED (unlike ln/exp), and
+    L·P ≤ ~10¹⁴ sits exactly in a double, so even the one irrational
+    step is bit-stable cross-engine.
+
+    Scale: one partkey-keyed exchange building (q, s) per (part,
+    period) — conditional sums, map-side combined; the common-parts
+    join is part-dimension-sized; the report is a 1-row reduction."""
+    li = load(spark, sf_dir, "lineitem")
+    per = (
+        li.withColumn(
+            "period",
+            F.when(
+                F.col("l_shipdate") < F.lit(_IDX_CUTOFF).cast("timestamp"),
+                F.lit(1),
+            ).otherwise(F.lit(2)),
+        )
+        .groupBy("l_partkey", "period")
+        .agg(
+            F.sum(F.round("l_quantity", 0).cast("long")).alias("q"),
+            F.sum(cents("l_extendedprice")).alias("s"),
+        )
+        .filter(F.col("q") > 0)
+    )
+    p1 = per.filter(F.col("period") == 1).select(
+        "l_partkey", F.col("q").alias("q1"), F.col("s").alias("s1")
+    )
+    p2 = per.filter(F.col("period") == 2).select(
+        "l_partkey", F.col("q").alias("q2"), F.col("s").alias("s2")
+    )
+    both = p1.join(p2, "l_partkey")
+    agg = both.agg(
+        F.count(F.lit(1)).alias("n_common_parts"),
+        F.sum("s1").alias("sum_s1"),
+        F.sum("s2").alias("sum_s2"),
+        F.sum(F.expr("s2 * q1 div q2")).alias("lasp_num"),
+        F.sum(F.expr("s1 * q2 div q1")).alias("paas_den"),
+    )
+    return agg.select(
+        "n_common_parts",
+        "sum_s1",
+        "sum_s2",
+        F.expr("lasp_num * 1000000 div sum_s1").alias("laspeyres_ppm"),
+        F.expr("sum_s2 * 1000000 div paas_den").alias("paasche_ppm"),
+        F.floor(
+            F.sqrt(
+                (
+                    F.expr("lasp_num * 1000000 div sum_s1")
+                    * F.expr("sum_s2 * 1000000 div paas_den")
+                ).cast("double")
+            )
+        )
+        .cast("long")
+        .alias("fisher_ppm"),
+    )
+
+
+ORACLE_part_price_index = f"""
+WITH per AS (
+    SELECT l_partkey,
+           CASE WHEN l_shipdate < TIMESTAMP '{_IDX_CUTOFF}' THEN 1 ELSE 2 END
+               AS period,
+           CAST(sum(CAST(round(l_quantity, 0) AS BIGINT)) AS BIGINT) AS q,
+           CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)) AS BIGINT)
+               AS s
+    FROM lineitem GROUP BY 1, 2
+    HAVING sum(CAST(round(l_quantity, 0) AS BIGINT)) > 0
+), both_ AS (
+    SELECT a.l_partkey, a.q AS q1, a.s AS s1, b.q AS q2, b.s AS s2
+    FROM per a JOIN per b
+      ON a.l_partkey = b.l_partkey AND a.period = 1 AND b.period = 2
+), agg AS (
+    SELECT CAST(count(*) AS BIGINT) AS n_common_parts,
+           CAST(sum(s1) AS BIGINT) AS sum_s1,
+           CAST(sum(s2) AS BIGINT) AS sum_s2,
+           CAST(sum(s2 * q1 // q2) AS BIGINT) AS lasp_num,
+           CAST(sum(s1 * q2 // q1) AS BIGINT) AS paas_den
+    FROM both_
+)
+SELECT n_common_parts, sum_s1, sum_s2,
+       CAST(lasp_num * 1000000 // sum_s1 AS BIGINT) AS laspeyres_ppm,
+       CAST(sum_s2 * 1000000 // paas_den AS BIGINT) AS paasche_ppm,
+       CAST(floor(sqrt(CAST((lasp_num * 1000000 // sum_s1)
+                            * (sum_s2 * 1000000 // paas_den) AS DOUBLE)))
+            AS BIGINT) AS fisher_ppm
+FROM agg
+"""

@@ -173,6 +173,12 @@ def queued():
             st.stream_kmv_distinct,
             x.ORACLE_events_kmv_distinct,
         ),
+        # A95: Laspeyres/Paasche/Fisher price index (scaled-int terms,
+        # correctly-rounded IEEE sqrt for Fisher)
+        "part_price_index": (
+            x.part_price_index,
+            x.ORACLE_part_price_index,
+        ),
     }
 
 

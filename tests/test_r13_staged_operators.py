@@ -762,3 +762,56 @@ def test_kmv_fold_merges_across_batches():
     out3 = list(fn(("t",), iter([pd.DataFrame({"h": hashes[:5]})]), s3))
     assert out3[0]["n_state"][0] == len(set(hashes[:5]))
     assert pd.isna(out3[0]["kth_hash"][0])
+
+
+def test_price_index_invariants(spark):
+    import math
+
+    from pyspark.sql import functions as F
+
+    from project_obsidian_core_spark.plans.analytics_ext_queries import (
+        _IDX_CUTOFF,
+        part_price_index,
+    )
+    from project_obsidian_core_spark.plans.common import load
+
+    row = part_price_index(spark, SF).collect()[0]
+    # python recompute
+    li = (
+        load(spark, SF, "lineitem")
+        .select(
+            "l_partkey",
+            (F.col("l_shipdate") < F.lit(_IDX_CUTOFF).cast("timestamp")).alias(
+                "pre"
+            ),
+            F.round("l_quantity", 0).cast("long").alias("q"),
+            F.round(F.col("l_extendedprice") * 100, 0).cast("long").alias("s"),
+        )
+        .collect()
+    )
+    acc = {}
+    for r in li:
+        key = (r["l_partkey"], 1 if r["pre"] else 2)
+        q, s = acc.get(key, (0, 0))
+        acc[key] = (q + r["q"], s + r["s"])
+    parts = {k[0] for k in acc}
+    n = sum_s1 = sum_s2 = lasp = paas = 0
+    for p in parts:
+        if (p, 1) in acc and (p, 2) in acc:
+            q1, s1 = acc[(p, 1)]
+            q2, s2 = acc[(p, 2)]
+            if q1 <= 0 or q2 <= 0:
+                continue
+            n += 1
+            sum_s1 += s1
+            sum_s2 += s2
+            lasp += s2 * q1 // q2
+            paas += s1 * q2 // q1
+    assert row["n_common_parts"] == n
+    assert (row["sum_s1"], row["sum_s2"]) == (sum_s1, sum_s2)
+    L = lasp * 1_000_000 // sum_s1
+    P = sum_s2 * 1_000_000 // paas
+    assert (row["laspeyres_ppm"], row["paasche_ppm"]) == (L, P)
+    assert row["fisher_ppm"] == math.floor(math.sqrt(float(L * P)))
+    # Fisher is the geometric mean: always between L and P
+    assert min(L, P) - 1 <= row["fisher_ppm"] <= max(L, P)
