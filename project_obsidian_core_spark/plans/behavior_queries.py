@@ -1548,3 +1548,151 @@ FROM wide
 GROUP BY class_from, class_to
 ORDER BY class_from, class_to
 """
+
+
+# ----------- A96: U-shaped multi-touch attribution (staged r13) -----------
+# Registration note: implemented + EXACT-verified round 13; REGISTRATION
+# staged to round 14 (the r13 gate window is exactly full at 6 new + the
+# 44-row r07 refresh).  The r14 registry block should add:
+#   ("events_attribution_ushape", b.events_attribution_ushape,
+#    b.ORACLE_events_attribution_ushape)
+def events_attribution_ushape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A96: position-based (U-shaped) multi-touch attribution — the
+    standard 40/40/20 complement to A28's last-touch: credit for each
+    purchase splits 40% to the FIRST touch in the lookback, 40% to the
+    LAST, 20% evenly across the middle (k=1 → 100%, k=2 → 50/50, no
+    touch → 'direct'), which is the question last-touch cannot answer:
+    which channels OPEN journeys vs which channels CLOSE them.
+
+    Exactness: the split is pure integer arithmetic on cents with a
+    deterministic remainder rule (`pool div m` each, remainder to the
+    final middle touch), so credits CONSERVE revenue exactly — the
+    conservation identity Σcredit ≡ Σpurchase_cents is unit-pinned and
+    implicitly gated (any rounding drift breaks the value hash).  Touch
+    qualification is the lexicographic (ts, event_id) order A28 uses.
+
+    Scale: the purchase×touch pairing is a user-keyed equi-join with a
+    time-range predicate — per-user work bounded by touches·purchases
+    within the 7-day horizon (the events_range_join bin idiom is the
+    documented hot-user fallback); the credit windows partition by
+    purchase id; the report is a |channels|-row aggregate."""
+    ev = load(spark, sf_dir, "events")
+    is_touch = F.col("event_type").isin("click", "view")
+    campaign = F.get_json_object(F.col("props"), "$.k").cast("long") % 4
+    touches = ev.filter(is_touch).select(
+        F.col("user_id").alias("t_user"),
+        F.col("ts").alias("t_ts"),
+        F.col("event_id").alias("t_id"),
+        F.concat(
+            F.col("event_type"), F.lit("_c"), campaign.cast("string")
+        ).alias("channel"),
+    )
+    purch = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("ts").alias("p_ts"),
+        F.col("event_id").alias("p_id"),
+        cents("value").alias("cents"),
+    )
+    before = (F.col("t_ts") < F.col("p_ts")) | (
+        (F.col("t_ts") == F.col("p_ts")) & (F.col("t_id") < F.col("p_id"))
+    )
+    in_window = (
+        F.unix_micros(F.col("p_ts")) - F.unix_micros(F.col("t_ts"))
+        <= _ATTR_LOOKBACK_S * 1_000_000
+    )
+    pairs = purch.join(
+        touches, (F.col("user_id") == F.col("t_user")) & before & in_window
+    )
+    wp = Window.partitionBy("p_id").orderBy("t_ts", "t_id")
+    wk = Window.partitionBy("p_id")
+    credit = F.expr(
+        "CASE WHEN k = 1 THEN cents"
+        "     WHEN k = 2 THEN CASE WHEN rn = 1 THEN cents div 2"
+        "                          ELSE cents - cents div 2 END"
+        "     ELSE CASE WHEN rn = 1 THEN cents * 4 div 10"
+        "               WHEN rn = k THEN cents * 4 div 10"
+        "               ELSE (cents - 2 * (cents * 4 div 10)) div (k - 2)"
+        "                    + CASE WHEN rn = k - 1"
+        "                      THEN (cents - 2 * (cents * 4 div 10)) % (k - 2)"
+        "                      ELSE 0 END END "
+        "END"
+    )
+    credited = (
+        pairs.withColumn("rn", F.row_number().over(wp).cast("long"))
+        .withColumn("k", F.count(F.lit(1)).over(wk).cast("long"))
+        .select("channel", credit.alias("credit_cents"))
+    )
+    direct = purch.join(
+        pairs.select("p_id").distinct(), "p_id", "left_anti"
+    ).select(F.lit("direct").alias("channel"), F.col("cents").alias("credit_cents"))
+    all_credits = credited.unionByName(direct)
+    tot = purch.agg(F.sum("cents").alias("total_cents"))
+    return (
+        all_credits.groupBy("channel")
+        .agg(
+            F.count(F.lit(1)).alias("n_credits"),
+            F.sum("credit_cents").alias("credit_cents"),
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "channel",
+            "n_credits",
+            "credit_cents",
+            F.expr("credit_cents * 1000000 div total_cents").alias("share_ppm"),
+        )
+        .orderBy("channel")
+    )
+
+
+ORACLE_events_attribution_ushape = f"""
+WITH touches AS (
+    SELECT user_id AS t_user, ts AS t_ts, event_id AS t_id,
+           event_type || '_c' ||
+               CAST(CAST(json_extract_string(props, '$.k') AS BIGINT) % 4
+                    AS VARCHAR) AS channel
+    FROM events WHERE event_type IN ('click', 'view')
+), purch AS (
+    SELECT user_id, ts AS p_ts, event_id AS p_id,
+           CAST(round(value * 100, 0) AS BIGINT) AS cents
+    FROM events WHERE event_type = 'purchase'
+), pairs AS (
+    SELECT p.p_id, p.cents, t.channel, t.t_ts, t.t_id
+    FROM purch p JOIN touches t
+      ON p.user_id = t.t_user
+     AND (t.t_ts < p.p_ts OR (t.t_ts = p.p_ts AND t.t_id < p.p_id))
+     AND epoch_us(p.p_ts) - epoch_us(t.t_ts)
+         <= {60 * 60 * 24 * 7 * 1_000_000}
+), ranked AS (
+    SELECT p_id, cents, channel,
+           CAST(row_number() OVER (PARTITION BY p_id ORDER BY t_ts, t_id)
+                AS BIGINT) AS rn,
+           CAST(count(*) OVER (PARTITION BY p_id) AS BIGINT) AS k
+    FROM pairs
+), credited AS (
+    SELECT channel,
+           CASE WHEN k = 1 THEN cents
+                WHEN k = 2 THEN CASE WHEN rn = 1 THEN cents // 2
+                                     ELSE cents - cents // 2 END
+                ELSE CASE WHEN rn = 1 THEN cents * 4 // 10
+                          WHEN rn = k THEN cents * 4 // 10
+                          ELSE (cents - 2 * (cents * 4 // 10)) // (k - 2)
+                               + CASE WHEN rn = k - 1
+                                 THEN (cents - 2 * (cents * 4 // 10)) % (k - 2)
+                                 ELSE 0 END END
+           END AS credit_cents
+    FROM ranked
+), direct AS (
+    SELECT 'direct' AS channel, cents AS credit_cents
+    FROM purch WHERE p_id NOT IN (SELECT p_id FROM pairs)
+), all_credits AS (
+    SELECT * FROM credited UNION ALL SELECT * FROM direct
+)
+SELECT channel,
+       CAST(count(*) AS BIGINT) AS n_credits,
+       CAST(sum(credit_cents) AS BIGINT) AS credit_cents,
+       CAST(sum(credit_cents) * 1000000
+            // (SELECT sum(cents) FROM purch) AS BIGINT) AS share_ppm
+FROM all_credits
+GROUP BY channel
+ORDER BY channel
+"""

@@ -179,6 +179,12 @@ def queued():
             x.part_price_index,
             x.ORACLE_part_price_index,
         ),
+        # A96: U-shaped multi-touch attribution (integer 40/40/20 with
+        # deterministic remainder; revenue-conserving)
+        "events_attribution_ushape": (
+            b.events_attribution_ushape,
+            b.ORACLE_events_attribution_ushape,
+        ),
     }
 
 

@@ -815,3 +815,31 @@ def test_price_index_invariants(spark):
     assert row["fisher_ppm"] == math.floor(math.sqrt(float(L * P)))
     # Fisher is the geometric mean: always between L and P
     assert min(L, P) - 1 <= row["fisher_ppm"] <= max(L, P)
+
+
+def test_ushape_attribution_conserves_revenue(spark):
+    from pyspark.sql import functions as F
+
+    from project_obsidian_core_spark.plans.behavior_queries import (
+        events_attribution_ushape,
+    )
+    from project_obsidian_core_spark.plans.common import cents, load
+
+    rows = events_attribution_ushape(spark, SF).collect()
+    assert rows
+    total = (
+        load(spark, SF, "events")
+        .filter(F.col("event_type") == "purchase")
+        .agg(F.sum(cents("value")))
+        .first()[0]
+    )
+    # the conservation identity: every purchase cent is credited once
+    assert sum(r["credit_cents"] for r in rows) == total
+    channels = {r["channel"] for r in rows}
+    assert "direct" in channels
+    # U-shape reaches more channels than pure last-touch collapses to
+    assert all(
+        c == "direct" or c.startswith(("click_c", "view_c")) for c in channels
+    )
+    for r in rows:
+        assert r["share_ppm"] == r["credit_cents"] * 1_000_000 // total
