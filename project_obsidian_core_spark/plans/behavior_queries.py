@@ -1556,6 +1556,10 @@ ORDER BY class_from, class_to
 # 44-row r07 refresh).  The r14 registry block should add:
 #   ("events_attribution_ushape", b.events_attribution_ushape,
 #    b.ORACLE_events_attribution_ushape)
+#: raising pre-flight cap on the hottest user's touch x purchase product
+_USHAPE_MAX_USER_PAIRS = 2_000_000
+
+
 def events_attribution_ushape(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A96: position-based (U-shaped) multi-touch attribution — the
     standard 40/40/20 complement to A28's last-touch: credit for each
@@ -1600,6 +1604,29 @@ def events_attribution_ushape(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.unix_micros(F.col("p_ts")) - F.unix_micros(F.col("t_ts"))
         <= _ATTR_LOOKBACK_S * 1_000_000
     )
+    # pair-space guard (the _guard_series_pairs / max_bucket idiom): the
+    # purchase x touch pairing is quadratic per user, so a hot user with
+    # T touches and P purchases owes T*P join work before the window
+    # predicate prunes.  Pre-flight the worst per-user product (a 1-row
+    # bounded control-plane read) and refuse to build the plan above the
+    # cap — the caller's fallback is the events_range_join day-binned
+    # pairing, which bounds work by the 7-day horizon instead.
+    worst = (
+        ev.filter(is_touch | (F.col("event_type") == "purchase"))
+        .groupBy("user_id")
+        .agg(
+            F.sum(F.when(is_touch, 1).otherwise(0)).alias("t"),
+            F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias("p"),
+        )
+        .agg(F.max(F.col("t") * F.col("p")).alias("m"))
+        .first()["m"]
+    )
+    if worst is not None and worst > _USHAPE_MAX_USER_PAIRS:
+        raise RuntimeError(
+            f"hottest user owes {worst} touch x purchase pairs"
+            f" > max_user_pairs={_USHAPE_MAX_USER_PAIRS}; use the day-binned"
+            " range-join pairing (events_range_join idiom) for this corpus"
+        )
     pairs = purch.join(
         touches, (F.col("user_id") == F.col("t_user")) & before & in_window
     )

@@ -843,3 +843,13 @@ def test_ushape_attribution_conserves_revenue(spark):
     )
     for r in rows:
         assert r["share_ppm"] == r["credit_cents"] * 1_000_000 // total
+
+
+def test_ushape_pair_guard_raises(spark, monkeypatch):
+    import pytest
+
+    from project_obsidian_core_spark.plans import behavior_queries as b
+
+    monkeypatch.setattr(b, "_USHAPE_MAX_USER_PAIRS", 1)
+    with pytest.raises(RuntimeError, match="max_user_pairs"):
+        b.events_attribution_ushape(spark, SF)
