@@ -2819,3 +2819,135 @@ FROM b
 GROUP BY age_bucket, o_orderpriority
 ORDER BY age_bucket, o_orderpriority
 """
+
+
+# ------------- A97: nation trade-profile similarity (staged r13) ----------
+# Registration note: implemented + EXACT-verified round 13; REGISTRATION
+# staged to round 14 (the r13 gate window is exactly full at 6 new + the
+# 44-row r07 refresh).  The r14 registry block should add:
+#   ("nation_trade_similarity", r.nation_trade_similarity,
+#    r.ORACLE_nation_trade_similarity)
+_TRADE_UNIT = 100_000  # cents -> ~k$ cells: keeps dot products int64-safe
+_TRADE_TOPK = 3
+
+
+def nation_trade_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A97: cosine similarity between nations' supply-mix profiles —
+    each nation's vector is its suppliers' revenue by part TYPE, and the
+    report is every nation's top-3 most similar trade partners: the
+    economic-complexity shape ("who exports like whom") that also reads
+    as assortment-overlap between retailers or workload-overlap between
+    database fleets.  The novel surface vs the N-family: similarity
+    between AGGREGATED dimension profiles built by joins, not between
+    stored embedding rows.
+
+    Exactness: cells are scaled ints (cents div unit — documented
+    deterministic truncation), dot/norms exact int64 sums over the
+    6-type axis (the scale cap keeps every product double-exact too),
+    cosine is the fixed tree dot/(√n_a·√n_b) with CORRECTLY-ROUNDED
+    IEEE sqrt.  Scale: fact-side one (nation, type) aggregate behind
+    broadcast dim joins; the pair space is |nations|²/2 over the
+    REDUCED profile relation (25 nations here; a 10⁴-entity profile
+    matrix would ride the A37 series-pair guard)."""
+    li = load(spark, sf_dir, "lineitem")
+    sup = load(spark, sf_dir, "supplier")
+    part = load(spark, sf_dir, "part")
+    nat = load(spark, sf_dir, "nation")
+    cells = (
+        li.join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+        .join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(nat), sup.s_nationkey == nat.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"), F.col("p_type").alias("ptype"))
+        .agg(
+            F.expr(
+                f"sum(cast(round(l_extendedprice * 100, 0) as bigint))"
+                f" div {_TRADE_UNIT}"
+            ).alias("v")
+        )
+    )
+    norms = cells.groupBy("nation").agg(
+        F.sum(F.col("v") * F.col("v")).alias("norm2")
+    )
+    a = cells.select(
+        F.col("nation").alias("nation_a"), "ptype", F.col("v").alias("va")
+    )
+    b = cells.select(
+        F.col("nation").alias("nation_b"), "ptype", F.col("v").alias("vb")
+    )
+    dots = (
+        a.join(b, "ptype")
+        .filter(F.col("nation_a") < F.col("nation_b"))
+        .groupBy("nation_a", "nation_b")
+        .agg(F.sum(F.col("va") * F.col("vb")).alias("dot"))
+    )
+    na = norms.select(F.col("nation").alias("nation_a"), F.col("norm2").alias("na2"))
+    nb = norms.select(F.col("nation").alias("nation_b"), F.col("norm2").alias("nb2"))
+    sym = (
+        dots.join(F.broadcast(na), "nation_a")
+        .join(F.broadcast(nb), "nation_b")
+        .withColumn(
+            "cos_sim",
+            F.col("dot").cast("double")
+            / (F.sqrt(F.col("na2").cast("double")) * F.sqrt(F.col("nb2").cast("double"))),
+        )
+    )
+    # both directions so every nation ranks its partners
+    both = sym.select("nation_a", "nation_b", "dot", "cos_sim").unionByName(
+        sym.select(
+            F.col("nation_b").alias("nation_a"),
+            F.col("nation_a").alias("nation_b"),
+            "dot",
+            "cos_sim",
+        )
+    )
+    wr = Window.partitionBy("nation_a").orderBy(
+        F.col("cos_sim").desc(), "nation_b"
+    )
+    return (
+        both.withColumn("partner_rank", F.row_number().over(wr).cast("long"))
+        .filter(F.col("partner_rank") <= _TRADE_TOPK)
+        .select("nation_a", "partner_rank", "nation_b", "dot", "cos_sim")
+        .orderBy("nation_a", "partner_rank")
+    )
+
+
+ORACLE_nation_trade_similarity = f"""
+WITH cells AS (
+    SELECT n.n_name AS nation, p.p_type AS ptype,
+           CAST(sum(CAST(round(l.l_extendedprice * 100, 0) AS BIGINT))
+                // {_TRADE_UNIT} AS BIGINT) AS v
+    FROM lineitem l
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN part p ON l.l_partkey = p.p_partkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    GROUP BY 1, 2
+), norms AS (
+    SELECT nation, CAST(sum(v * v) AS BIGINT) AS norm2
+    FROM cells GROUP BY nation
+), dots AS (
+    SELECT a.nation AS nation_a, b.nation AS nation_b,
+           CAST(sum(a.v * b.v) AS BIGINT) AS dot
+    FROM cells a JOIN cells b ON a.ptype = b.ptype AND a.nation < b.nation
+    GROUP BY 1, 2
+), sym AS (
+    SELECT d.nation_a, d.nation_b, d.dot,
+           CAST(d.dot AS DOUBLE)
+               / (sqrt(CAST(na.norm2 AS DOUBLE))
+                  * sqrt(CAST(nb.norm2 AS DOUBLE))) AS cos_sim
+    FROM dots d
+    JOIN norms na ON na.nation = d.nation_a
+    JOIN norms nb ON nb.nation = d.nation_b
+), both_ AS (
+    SELECT nation_a, nation_b, dot, cos_sim FROM sym
+    UNION ALL
+    SELECT nation_b, nation_a, dot, cos_sim FROM sym
+)
+SELECT nation_a,
+       CAST(row_number() OVER (PARTITION BY nation_a
+                               ORDER BY cos_sim DESC, nation_b) AS BIGINT)
+           AS partner_rank,
+       nation_b, dot, cos_sim
+FROM both_
+QUALIFY partner_rank <= {_TRADE_TOPK}
+ORDER BY nation_a, partner_rank
+"""

@@ -185,6 +185,12 @@ def queued():
             b.events_attribution_ushape,
             b.ORACLE_events_attribution_ushape,
         ),
+        # A97: nation trade-profile cosine similarity (scaled-int cells,
+        # exact dots, correctly-rounded sqrt)
+        "nation_trade_similarity": (
+            r.nation_trade_similarity,
+            r.ORACLE_nation_trade_similarity,
+        ),
     }
 
 

@@ -853,3 +853,37 @@ def test_ushape_pair_guard_raises(spark, monkeypatch):
     monkeypatch.setattr(b, "_USHAPE_MAX_USER_PAIRS", 1)
     with pytest.raises(RuntimeError, match="max_user_pairs"):
         b.events_attribution_ushape(spark, SF)
+
+
+def test_trade_similarity_invariants(spark):
+    from project_obsidian_core_spark.plans.relational_queries import (
+        _TRADE_TOPK,
+        nation_trade_similarity,
+    )
+
+    rows = nation_trade_similarity(spark, SF).collect()
+    assert rows
+    by_nation = {}
+    for r in rows:
+        by_nation.setdefault(r["nation_a"], []).append(r)
+        # cosine over non-negative vectors stays in [0, 1]
+        assert 0.0 <= r["cos_sim"] <= 1.0 + 1e-12
+        assert r["nation_a"] != r["nation_b"]
+        assert r["dot"] >= 0
+    for nat, rs in by_nation.items():
+        rs.sort(key=lambda r: r["partner_rank"])
+        assert [r["partner_rank"] for r in rs] == list(
+            range(1, min(_TRADE_TOPK, len(rs)) + 1)
+        )
+        # ranks follow (cos desc, name) totally
+        sims = [(-(r["cos_sim"]), r["nation_b"]) for r in rs]
+        assert sims == sorted(sims)
+    # symmetry of the underlying metric: if B is A's #1 with cos c,
+    # the pair (A,B) appears in B's list with the same cos whenever it
+    # makes B's top-k cut
+    sim = {}
+    for r in rows:
+        sim[(r["nation_a"], r["nation_b"])] = r["cos_sim"]
+    for (a, b), c in sim.items():
+        if (b, a) in sim:
+            assert sim[(b, a)] == c
