@@ -2656,3 +2656,92 @@ def stream_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# -------------- T35: streaming last-touch attribution (staged r13) ---------
+# Registration note: implemented + EXACT-verified round 13; REGISTRATION
+# staged to round 14 (the r13 gate window is exactly full at 6 new + the
+# 44-row r07 refresh).  The r14 registry block should add:
+#   ("stream_attribution", st.stream_attribution,
+#    b.ORACLE_events_attribution)   # the A28 batch oracle, verbatim
+def stream_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T35: A28's last-touch revenue attribution served LIVE over the
+    ordered-chunk replay — the minimal-state end of the T2x spectrum:
+    where sessions hold an open horizon and the as-of join a purchase
+    map, last-touch needs THREE scalars per user forever, which is why
+    real-time attribution dashboards are cheap at any scale.  Each
+    purchase emits its channel exactly once (append mode); the channel
+    report aggregates the drained emissions and must equal the batch
+    A28 oracle bit-exactly — the proof that the window formulation and
+    the fold formulation are the same operator."""
+    from project_obsidian_core_spark.plans.behavior_queries import (
+        _ATTR_LOOKBACK_S,
+    )
+    from project_obsidian_core_spark.streaming.sequence_state import (
+        streaming_last_touch,
+    )
+
+    run = next(_RUN_IDS)
+    src = _events_src_ordered(spark, sf_dir, run)
+    schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    # the ordered src drops `props`; rebuild the channel from the raw
+    # table keyed by event_id (a broadcast-size static dim at gate SFs,
+    # a plain join at scale) so the channel definition stays A28's
+    chan = (
+        load(spark, sf_dir, "events")
+        .filter(F.col("event_type").isin("click", "view"))
+        .select(
+            F.col("event_id").alias("ch_id"),
+            F.concat(
+                F.col("event_type"),
+                F.lit("_c"),
+                (F.get_json_object(F.col("props"), "$.k").cast("long") % 4).cast(
+                    "string"
+                ),
+            ).alias("touch_ch"),
+        )
+    )
+    shaped = (
+        stream.join(F.broadcast(chan), stream.event_id == chan.ch_id, "left")
+        .select(
+            "user_id",
+            F.unix_micros(F.col("ts")).alias("ts_us"),
+            "event_id",
+            "event_type",
+            "touch_ch",
+            "cents",
+        )
+    )
+    out = streaming_last_touch(shaped, _ATTR_LOOKBACK_S * 1_000_000)
+    name = f"stream_attr_{run}"
+    tmp = tempfile.mkdtemp(prefix=f"obsidian_attr_{run}_")
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            out.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .option("checkpointLocation", f"{tmp}/ckpt")
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+
+    return (
+        spark.table(name)
+        .groupBy("channel")
+        .agg(
+            F.count(F.lit(1)).alias("n_purchases"),
+            F.sum("cents").alias("revenue_cents"),
+        )
+        .orderBy("channel")
+    )

@@ -2046,3 +2046,98 @@ def streaming_kmv(stream: DataFrame, k: int = KMV_K) -> DataFrame:
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# ----------------- T35: streaming last-touch attribution ------------------
+ATTR_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("last_ts_us", T.LongType()),
+        T.StructField("last_id", T.LongType()),
+        T.StructField("last_ch", T.StringType()),
+    ]
+)
+
+ATTR_OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("channel", T.StringType()),
+        T.StructField("cents", T.LongType()),
+    ]
+)
+
+
+def make_lasttouch_fn(lookback_us: int):
+    """Per-user fold carrying ONLY the most recent touch — the A28
+    carry-forward window expressed as 3 fields of state per user,
+    forever: each batch's rows apply in (ts, event_id) order (the same
+    total order the batch window sorts by; the ordered-chunk transport
+    guarantees cross-batch order), touches overwrite the state,
+    purchases emit their attribution against it exactly once.  This is
+    the degenerate-but-load-bearing end of the state-size spectrum the
+    T2x family walks: sessions hold an open horizon, the as-of join a
+    purchase map — last-touch needs three scalars, which is why
+    real-time attribution is cheap at any scale."""
+
+    def fn(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            last_ts_us, last_id, last_ch = state.get
+        else:
+            last_ts_us, last_id, last_ch = None, None, None
+        out_ch: list[str] = []
+        out_cents: list[int] = []
+        rows = []
+        for pdf in pdfs:
+            if len(pdf):
+                rows.append(pdf)
+        if not rows:
+            return
+        batch = pd.concat(rows).sort_values(["ts_us", "event_id"])
+        for ts_us, eid, etype, ch, cents_ in zip(
+            batch["ts_us"], batch["event_id"], batch["event_type"],
+            batch["touch_ch"], batch["cents"],
+        ):
+            if isinstance(ch, str) and ch:
+                last_ts_us, last_id, last_ch = int(ts_us), int(eid), ch
+            elif etype == "purchase":
+                if (
+                    last_ts_us is not None
+                    and int(ts_us) - last_ts_us <= lookback_us
+                ):
+                    out_ch.append(last_ch)
+                else:
+                    out_ch.append("direct")
+                out_cents.append(int(cents_))
+        state.update((last_ts_us, last_id, last_ch))
+        if out_ch:
+            yield pd.DataFrame(
+                {
+                    "channel": out_ch,
+                    "cents": pd.array(out_cents, dtype="Int64"),
+                }
+            )
+
+    return fn
+
+
+def streaming_last_touch(stream: DataFrame, lookback_us: int) -> DataFrame:
+    """T35: A28's last-touch attribution served LIVE.  Expects
+    (user_id, ts_us, event_id, event_type, touch_ch, cents) with
+    touch_ch NULL on non-touch rows; emits one (channel, cents) row per
+    purchase, exactly once, in append mode — the channel report is a
+    plain aggregation over the drained emissions."""
+    keyed = stream.select(
+        F.col("user_id").cast("long").alias("user_id"),
+        F.col("ts_us").cast("long").alias("ts_us"),
+        F.col("event_id").cast("long").alias("event_id"),
+        F.col("event_type").cast("string").alias("event_type"),
+        F.col("touch_ch").cast("string").alias("touch_ch"),
+        F.col("cents").cast("long").alias("cents"),
+    )
+    return keyed.groupBy("user_id").applyInPandasWithState(
+        make_lasttouch_fn(lookback_us),
+        outputStructType=ATTR_OUTPUT_SCHEMA,
+        stateStructType=ATTR_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -191,6 +191,12 @@ def queued():
             r.nation_trade_similarity,
             r.ORACLE_nation_trade_similarity,
         ),
+        # T35: streaming last-touch attribution — gated on the A28 batch
+        # oracle verbatim (3-scalar state per user)
+        "stream_attribution": (
+            st.stream_attribution,
+            b.ORACLE_events_attribution,
+        ),
     }
 
 

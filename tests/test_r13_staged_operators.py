@@ -887,3 +887,58 @@ def test_trade_similarity_invariants(spark):
     for (a, b), c in sim.items():
         if (b, a) in sim:
             assert sim[(b, a)] == c
+
+
+def test_lasttouch_fold_semantics():
+    """FakeState drive of the T35 fold: ordered batches, tie-break by
+    event_id at equal ts, lookback expiry, direct fallback, exactly-once
+    purchase emission across batches."""
+    import pandas as pd
+
+    from project_obsidian_core_spark.streaming.sequence_state import (
+        make_lasttouch_fn,
+    )
+
+    class FakeState:
+        def __init__(self):
+            self.exists = False
+            self._v = None
+
+        @property
+        def get(self):
+            return self._v
+
+        def update(self, v):
+            self._v = v
+            self.exists = True
+
+    fn = make_lasttouch_fn(lookback_us=100)
+    state = FakeState()
+
+    def drive(rows):
+        pdf = pd.DataFrame(
+            rows,
+            columns=["ts_us", "event_id", "event_type", "touch_ch", "cents"],
+        )
+        out = list(fn((1,), iter([pdf]), state))
+        return (
+            list(zip(out[0]["channel"], out[0]["cents"])) if out else []
+        )
+
+    # batch 1: touch then same-instant purchase (touch id lower -> counts)
+    got = drive([
+        (10, 1, "view", "view_c0", 0),
+        (10, 2, "purchase", None, 500),
+    ])
+    assert got == [("view_c0", 500)]
+    # batch 2: purchase beyond lookback -> direct; new touch carries over
+    got = drive([
+        (200, 3, "purchase", None, 300),
+        (210, 4, "click", "click_c1", 0),
+    ])
+    assert got == [("direct", 300)]
+    # batch 3: purchase within lookback of the carried touch
+    got = drive([(250, 5, "purchase", None, 700)])
+    assert got == [("click_c1", 700)]
+    # state is exactly three scalars
+    assert state.get == (210, 4, "click_c1")
