@@ -2422,3 +2422,123 @@ SELECT n_common_parts, sum_s1, sum_s2,
             AS BIGINT) AS fisher_ppm
 FROM agg
 """
+
+
+# ---------- A98: Syntetos-Boylan demand classification (staged r13) --------
+# Registration note: implemented + EXACT-verified round 13; REGISTRATION
+# staged to round 14 (the r13 gate window is exactly full at 6 new + the
+# 44-row r07 refresh).  The r14 registry block should add:
+#   ("part_demand_classes", x.part_demand_classes,
+#    x.ORACLE_part_demand_classes)
+#: Syntetos-Boylan cutoffs as exact rationals: ADI 1.32, CV² 0.49
+_SB_ADI_NUM, _SB_ADI_DEN = 132, 100
+_SB_CV2_NUM, _SB_CV2_DEN = 49, 100
+
+
+def part_demand_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A98: the Syntetos-Boylan demand-pattern quadrant per part —
+    ADI (average inter-demand interval, in monthly buckets) × CV² (the
+    squared coefficient of variation of nonzero demand sizes) cut at
+    (1.32, 0.49) into smooth / intermittent / erratic / lumpy, the
+    forecasting-method router every inventory system runs before
+    choosing Croston vs exponential smoothing (A53/A94 assume smooth;
+    this table says for which parts that assumption is a lie).
+
+    Exactness: demand grid = exact monthly quantity sums; ADI and CV²
+    are REPORTED as integer ppm but CLASSIFIED by exact-int
+    cross-multiplies (`n_months·den > n_demand·num`;
+    `(n·Σx²−(Σx)²)·den > (Σx)²·num`), so the quadrant never depends on
+    a rounded value.  Scale: one (part, month) exchange (map-side
+    combined), one part-keyed reduce; the observation span is the
+    GLOBAL month count (broadcast 1-row) so absence IS data — a part
+    never selling in a month counts toward its interval."""
+    li = load(spark, sf_dir, "lineitem")
+    monthly = (
+        li.withColumn(
+            "ym",
+            F.year("l_shipdate") * 12 + F.month("l_shipdate"),
+        )
+        .groupBy("l_partkey", "ym")
+        .agg(F.sum(F.round("l_quantity", 0).cast("long")).alias("q"))
+        .filter(F.col("q") > 0)
+    )
+    span = monthly.agg(
+        (F.max("ym") - F.min("ym") + 1).alias("n_months")
+    )
+    per_part = monthly.groupBy("l_partkey").agg(
+        F.count(F.lit(1)).alias("n_demand_months"),
+        F.sum("q").alias("sq"),
+        F.sum(F.col("q") * F.col("q")).alias("sqq"),
+    )
+    j = per_part.crossJoin(F.broadcast(span))
+    cv2_num = F.expr(
+        "n_demand_months * sqq - sq * sq"
+    )  # CV² numerator (≥0); denominator sq²
+    adi_inter = F.expr(
+        f"n_months * {_SB_ADI_DEN} > n_demand_months * {_SB_ADI_NUM}"
+    )
+    cv2_err = (
+        cv2_num * F.lit(_SB_CV2_DEN)
+        > F.col("sq") * F.col("sq") * F.lit(_SB_CV2_NUM)
+    )
+    return (
+        j.select(
+            "l_partkey",
+            "n_months",
+            "n_demand_months",
+            "sq",
+            F.expr("n_months * 1000000 div n_demand_months").alias("adi_ppm"),
+            (cv2_num * F.lit(1_000_000)).cast("long").alias("_cn"),
+            (F.col("sq") * F.col("sq")).alias("_cd"),
+            F.when(adi_inter & cv2_err, F.lit("lumpy"))
+            .when(adi_inter, F.lit("intermittent"))
+            .when(cv2_err, F.lit("erratic"))
+            .otherwise(F.lit("smooth"))
+            .alias("demand_class"),
+        )
+        .select(
+            "l_partkey",
+            "n_months",
+            "n_demand_months",
+            "sq",
+            "adi_ppm",
+            F.expr("_cn div _cd").alias("cv2_ppm"),
+            "demand_class",
+        )
+        .orderBy("l_partkey")
+    )
+
+
+ORACLE_part_demand_classes = f"""
+WITH monthly AS (
+    SELECT l_partkey,
+           year(l_shipdate) * 12 + month(l_shipdate) AS ym,
+           CAST(sum(CAST(round(l_quantity, 0) AS BIGINT)) AS BIGINT) AS q
+    FROM lineitem GROUP BY 1, 2
+    HAVING sum(CAST(round(l_quantity, 0) AS BIGINT)) > 0
+), span AS (
+    SELECT CAST(max(ym) - min(ym) + 1 AS BIGINT) AS n_months FROM monthly
+), per_part AS (
+    SELECT l_partkey,
+           CAST(count(*) AS BIGINT) AS n_demand_months,
+           CAST(sum(q) AS BIGINT) AS sq,
+           CAST(sum(q * q) AS BIGINT) AS sqq
+    FROM monthly GROUP BY l_partkey
+)
+SELECT l_partkey, n_months, n_demand_months, sq,
+       CAST(n_months * 1000000 // n_demand_months AS BIGINT) AS adi_ppm,
+       CAST((n_demand_months * sqq - sq * sq) * 1000000 // (sq * sq)
+            AS BIGINT) AS cv2_ppm,
+       CASE WHEN n_months * {_SB_ADI_DEN} > n_demand_months * {_SB_ADI_NUM}
+             AND (n_demand_months * sqq - sq * sq) * {_SB_CV2_DEN}
+                 > sq * sq * {_SB_CV2_NUM}
+            THEN 'lumpy'
+            WHEN n_months * {_SB_ADI_DEN} > n_demand_months * {_SB_ADI_NUM}
+            THEN 'intermittent'
+            WHEN (n_demand_months * sqq - sq * sq) * {_SB_CV2_DEN}
+                 > sq * sq * {_SB_CV2_NUM}
+            THEN 'erratic'
+            ELSE 'smooth' END AS demand_class
+FROM per_part CROSS JOIN span
+ORDER BY l_partkey
+"""

@@ -197,6 +197,12 @@ def queued():
             st.stream_attribution,
             b.ORACLE_events_attribution,
         ),
+        # A98: Syntetos-Boylan demand quadrant (exact cross-multiplied
+        # ADI/CV2 classification)
+        "part_demand_classes": (
+            x.part_demand_classes,
+            x.ORACLE_part_demand_classes,
+        ),
     }
 
 

