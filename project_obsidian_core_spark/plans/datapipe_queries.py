@@ -3899,3 +3899,87 @@ FROM cent a JOIN cent b
 GROUP BY a.label
 ORDER BY a.label
 """
+
+
+# ------------- D25: cross-source near-dup matrix (staged r13) --------------
+# Registration note: implemented + EXACT-verified round 13; REGISTRATION
+# staged to round 14 (the r13 gate window is exactly full at 6 new + the
+# 44-row r07 refresh).  The r14 registry block should add:
+#   ("dedup_source_matrix", d.dedup_source_matrix,
+#    d.ORACLE_dedup_source_matrix)
+def dedup_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D25: the near-duplication matrix BETWEEN sources — the question
+    the pairwise dedup rows answer one pair at a time, aggregated to
+    the level corpus curation actually acts on: two crawl dumps with a
+    hot off-diagonal cell are re-crawls of each other (drop one,
+    reweight the mixture), a hot diagonal is within-source boilerplate
+    (send to the span/tile dedup).  Pairs are the PRODUCTION minhash
+    path (banded candidates, exact-jaccard verify ≥ 0.1 — the gated D*
+    row), so this report costs one extra aggregate over an existing
+    output, not a new pair space.
+
+    Exactness: each verified pair's jaccard quantizes to integer ppm
+    (one IEEE floor per pair — never an order-dependent float fold),
+    sums/means exact ints.  Scale: inherits the banded candidate bound;
+    the source join is a doc-keyed equi-join; the matrix ≤ |sources|²/2
+    rows."""
+    docs = load(spark, sf_dir, "documents")
+    pairs = D.minhash_candidates(docs).filter(F.col("jaccard") >= 0.1)
+    src = docs.select("doc_id", "source")
+    a = src.select(F.col("doc_id").alias("doc_a"), F.col("source").alias("sa"))
+    b = src.select(F.col("doc_id").alias("doc_b"), F.col("source").alias("sb"))
+    labeled = (
+        pairs.join(a, "doc_a")
+        .join(b, "doc_b")
+        .select(
+            F.least("sa", "sb").alias("source_lo"),
+            F.greatest("sa", "sb").alias("source_hi"),
+            F.floor(F.col("jaccard") * F.lit(1_000_000.0))
+            .cast("long")
+            .alias("jac_ppm"),
+        )
+    )
+    return (
+        labeled.groupBy("source_lo", "source_hi")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.sum("jac_ppm").alias("sum_jac_ppm"),
+            F.max("jac_ppm").alias("max_jac_ppm"),
+        )
+        .select(
+            "source_lo",
+            "source_hi",
+            (F.col("source_lo") == F.col("source_hi")).alias("within_source"),
+            "n_pairs",
+            F.expr("sum_jac_ppm div n_pairs").alias("mean_jac_ppm"),
+            "max_jac_ppm",
+        )
+        .orderBy("source_lo", "source_hi")
+    )
+
+
+def _source_matrix_oracle() -> str:
+    base = _minhash_oracle().rsplit("ORDER BY doc_a, doc_b", 1)[0]
+    return f"""
+WITH pairs AS (
+{base}
+), labeled AS (
+    SELECT least(da.source, db.source) AS source_lo,
+           greatest(da.source, db.source) AS source_hi,
+           CAST(floor(p.jaccard * 1000000.0) AS BIGINT) AS jac_ppm
+    FROM pairs p
+    JOIN documents da ON da.doc_id = p.doc_a
+    JOIN documents db ON db.doc_id = p.doc_b
+)
+SELECT source_lo, source_hi,
+       source_lo = source_hi AS within_source,
+       CAST(count(*) AS BIGINT) AS n_pairs,
+       CAST(sum(jac_ppm) // count(*) AS BIGINT) AS mean_jac_ppm,
+       max(jac_ppm) AS max_jac_ppm
+FROM labeled
+GROUP BY source_lo, source_hi
+ORDER BY source_lo, source_hi
+"""
+
+
+ORACLE_dedup_source_matrix = _source_matrix_oracle()

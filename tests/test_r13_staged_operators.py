@@ -981,3 +981,38 @@ def test_demand_classes_invariants(spark):
     assert {r["demand_class"] for r in rows} == classes or len(
         {r["demand_class"] for r in rows}
     ) >= 2
+
+
+def test_source_matrix_invariants(spark):
+    import math
+
+    from pyspark.sql import functions as F
+
+    from project_obsidian_core_spark.datapipe import dedup as D
+    from project_obsidian_core_spark.plans.common import load
+    from project_obsidian_core_spark.plans.datapipe_queries import (
+        dedup_source_matrix,
+    )
+
+    rows = dedup_source_matrix(spark, SF).collect()
+    assert rows
+    # recompute from the gated pair relation itself
+    docs = load(spark, SF, "documents")
+    src = {r["doc_id"]: r["source"] for r in docs.select("doc_id", "source").collect()}
+    pairs = (
+        D.minhash_candidates(docs).filter(F.col("jaccard") >= 0.1).collect()
+    )
+    agg = {}
+    for p in pairs:
+        lo, hi = sorted((src[p["doc_a"]], src[p["doc_b"]]))
+        j = math.floor(p["jaccard"] * 1_000_000.0)
+        n, s, m = agg.get((lo, hi), (0, 0, 0))
+        agg[(lo, hi)] = (n + 1, s + j, max(m, j))
+    assert len(rows) == len(agg)
+    for r in rows:
+        n, s, m = agg[(r["source_lo"], r["source_hi"])]
+        assert r["n_pairs"] == n
+        assert r["mean_jac_ppm"] == s // n
+        assert r["max_jac_ppm"] == m
+        assert r["within_source"] == (r["source_lo"] == r["source_hi"])
+        assert r["source_lo"] <= r["source_hi"]
