@@ -3901,14 +3901,14 @@ ORDER BY a.label
 """
 
 
-# ------------- D25: cross-source near-dup matrix (staged r13) --------------
+# ------------- D26: cross-source near-dup matrix (staged r13) --------------
 # Registration note: implemented + EXACT-verified round 13; REGISTRATION
 # staged to round 14 (the r13 gate window is exactly full at 6 new + the
 # 44-row r07 refresh).  The r14 registry block should add:
 #   ("dedup_source_matrix", d.dedup_source_matrix,
 #    d.ORACLE_dedup_source_matrix)
 def dedup_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """D25: the near-duplication matrix BETWEEN sources — the question
+    """D26: the near-duplication matrix BETWEEN sources — the question
     the pairwise dedup rows answer one pair at a time, aggregated to
     the level corpus curation actually acts on: two crawl dumps with a
     hot off-diagonal cell are re-crawls of each other (drop one,

@@ -203,7 +203,7 @@ def queued():
             x.part_demand_classes,
             x.ORACLE_part_demand_classes,
         ),
-        # D25: cross-source near-dup matrix (production minhash pairs,
+        # D26: cross-source near-dup matrix (production minhash pairs,
         # per-pair ppm quantization before aggregation)
         "dedup_source_matrix": (
             d.dedup_source_matrix,
