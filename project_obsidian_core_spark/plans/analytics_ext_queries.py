@@ -2542,3 +2542,201 @@ SELECT l_partkey, n_months, n_demand_months, sq,
 FROM per_part CROSS JOIN span
 ORDER BY l_partkey
 """
+
+
+# ----------- A99: KMV set-operation estimates (staged r13) -----------------
+# Registration note: implemented + EXACT-verified round 13; REGISTRATION
+# staged to round 14 (the r13 gate window is exactly full at 6 new + the
+# 44-row r07 refresh).  The r14 registry block should add:
+#   ("events_kmv_setops", x.events_kmv_setops,
+#    x.ORACLE_events_kmv_setops)
+def events_kmv_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A99: the reason KMV beats HLL when audiences must COMPOSE — the
+    k-minima of a union are computable from the two sketches alone
+    (`trunc_k(M_a ∪ M_b)`), so union cardinality, Jaccard and
+    intersection estimate all come from 2k stored hashes per pair of
+    audiences, no re-scan (Beyer et al. '07's KMV set algebra; HLL
+    gives union but its inclusion-exclusion intersections go negative
+    on small overlaps).  For every unordered pair of event types:
+    D̂(A∪B) from the merged sketch's k-th minimum, Ĵ = |K ∩ M_a ∩
+    M_b| / k, D̂(A∩B) = Ĵ·D̂(A∪B) — all audited against the exact
+    distinct counts in the same plan, all behind the bit-exact gate
+    because every input is the portable md5-60 hash.
+
+    Exactness: ranks/memberships exact ints, the one estimator
+    division the A87 IEEE form, Ĵ and the intersection integer ppm.
+    Scale: sketches are ≤ k rows per type (the same reduce as A87);
+    pair work is |types|²/2 over ≤ 2k-row merges — audience-overlap
+    matrices at 10⁶ audiences ride the A37-style block guard, never
+    the raw user sets."""
+    from project_obsidian_core_spark.datapipe.text import shared_hash60
+
+    ev = load(spark, sf_dir, "events")
+    hashed = ev.select(
+        "event_type",
+        "user_id",
+        shared_hash60(
+            F.concat(F.lit("kmv:"), F.col("user_id").cast("string"))
+        ).alias("h"),
+    )
+    dh = hashed.select("event_type", "h").distinct()
+    wt = Window.partitionBy("event_type").orderBy("h")
+    minima = dh.withColumn("rn", F.row_number().over(wt)).filter(
+        F.col("rn") <= _KMV_K
+    )
+    types = dh.select("event_type").distinct()
+    pairs = (
+        types.select(F.col("event_type").alias("type_a"))
+        .crossJoin(types.select(F.col("event_type").alias("type_b")))
+        .filter(F.col("type_a") < F.col("type_b"))
+    )
+    ma = minima.select(
+        F.col("event_type").alias("type_a"), F.col("h").alias("h"),
+        F.lit(1).alias("in_a"),
+    )
+    mb = minima.select(
+        F.col("event_type").alias("type_b"), F.col("h").alias("h"),
+        F.lit(1).alias("in_b"),
+    )
+    ua = pairs.join(ma, "type_a").select("type_a", "type_b", "h")
+    ub = pairs.join(mb, "type_b").select("type_a", "type_b", "h")
+    u = ua.unionByName(ub).distinct()
+    wp = Window.partitionBy("type_a", "type_b").orderBy("h")
+    ranked = u.withColumn("rn", F.row_number().over(wp)).filter(
+        F.col("rn") <= _KMV_K
+    )
+    flagged = (
+        ranked.join(ma.select("type_a", "h", "in_a"), ["type_a", "h"], "left")
+        .join(mb.select("type_b", "h", "in_b"), ["type_b", "h"], "left")
+    )
+    sk = flagged.groupBy("type_a", "type_b").agg(
+        F.count(F.lit(1)).alias("k_used"),
+        F.max(F.when(F.col("rn") == _KMV_K, F.col("h"))).alias("kth_hash"),
+        F.sum(
+            F.when(F.col("in_a").isNotNull() & F.col("in_b").isNotNull(), 1)
+            .otherwise(0)
+        ).cast("long").alias("rho_num"),
+    )
+    du = ev.select("event_type", "user_id").distinct()
+    a_users = du.select(F.col("event_type").alias("type_a"), "user_id")
+    b_users = du.select(F.col("event_type").alias("type_b"), "user_id")
+    inter = (
+        a_users.join(b_users, "user_id")
+        .filter(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(F.count(F.lit(1)).alias("n_exact_inter"))
+    )
+    sizes = du.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_users"))
+    sa = sizes.select(F.col("event_type").alias("type_a"), F.col("n_users").alias("na"))
+    sb = sizes.select(F.col("event_type").alias("type_b"), F.col("n_users").alias("nb"))
+    est_union = (
+        F.when(
+            F.col("kth_hash").isNotNull(),
+            F.floor(
+                F.lit(float(_KMV_K - 1) * float(_KMV_RANGE))
+                / F.col("kth_hash").cast("double")
+            ),
+        )
+        .otherwise(F.col("k_used"))
+        .cast("long")
+    )
+    return (
+        sk.join(inter, ["type_a", "type_b"])
+        .join(sa, "type_a")
+        .join(sb, "type_b")
+        .select(
+            "type_a",
+            "type_b",
+            (F.col("na") + F.col("nb") - F.col("n_exact_inter")).alias(
+                "n_exact_union"
+            ),
+            "n_exact_inter",
+            "k_used",
+            "rho_num",
+            est_union.alias("est_union"),
+            F.expr(f"rho_num * 1000000 div k_used").alias("j_est_ppm"),
+        )
+        .withColumn(
+            "est_inter",
+            F.expr("j_est_ppm * est_union div 1000000"),
+        )
+        .withColumn(
+            "union_err_ppm",
+            F.expr(
+                "abs(est_union - n_exact_union) * 1000000 div n_exact_union"
+            ),
+        )
+        .orderBy("type_a", "type_b")
+    )
+
+
+ORACLE_events_kmv_setops = f"""
+WITH dh AS (
+    SELECT DISTINCT event_type,
+           CAST('0x' || substr(md5('kmv:' || CAST(user_id AS VARCHAR)),
+                               1, 15) AS BIGINT) AS h
+    FROM events
+), minima AS (
+    SELECT event_type, h
+    FROM (SELECT event_type, h,
+                 row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
+          FROM dh)
+    WHERE rn <= {_KMV_K}
+), pairs AS (
+    SELECT a.event_type AS type_a, b.event_type AS type_b
+    FROM (SELECT DISTINCT event_type FROM dh) a,
+         (SELECT DISTINCT event_type FROM dh) b
+    WHERE a.event_type < b.event_type
+), u AS (
+    SELECT DISTINCT p.type_a, p.type_b, m.h
+    FROM pairs p JOIN minima m
+      ON m.event_type = p.type_a OR m.event_type = p.type_b
+), ranked AS (
+    SELECT type_a, type_b, h,
+           row_number() OVER (PARTITION BY type_a, type_b ORDER BY h) AS rn
+    FROM u
+    QUALIFY rn <= {_KMV_K}
+), sk AS (
+    SELECT r.type_a, r.type_b,
+           CAST(count(*) AS BIGINT) AS k_used,
+           max(CASE WHEN r.rn = {_KMV_K} THEN r.h END) AS kth_hash,
+           CAST(sum(CASE WHEN ma.h IS NOT NULL AND mb.h IS NOT NULL
+                         THEN 1 ELSE 0 END) AS BIGINT) AS rho_num
+    FROM ranked r
+    LEFT JOIN minima ma ON ma.event_type = r.type_a AND ma.h = r.h
+    LEFT JOIN minima mb ON mb.event_type = r.type_b AND mb.h = r.h
+    GROUP BY r.type_a, r.type_b
+), du AS (
+    SELECT DISTINCT event_type, user_id FROM events
+), inter AS (
+    SELECT a.event_type AS type_a, b.event_type AS type_b,
+           CAST(count(*) AS BIGINT) AS n_exact_inter
+    FROM du a JOIN du b
+      ON a.user_id = b.user_id AND a.event_type < b.event_type
+    GROUP BY 1, 2
+), sizes AS (
+    SELECT event_type, CAST(count(*) AS BIGINT) AS n_users
+    FROM du GROUP BY event_type
+), est AS (
+    SELECT s.type_a, s.type_b,
+           sa.n_users + sb.n_users - i.n_exact_inter AS n_exact_union,
+           i.n_exact_inter, s.k_used, s.rho_num,
+           CAST(CASE WHEN s.kth_hash IS NOT NULL
+                     THEN floor({float(_KMV_K - 1) * float(_KMV_RANGE)!r}
+                                / CAST(s.kth_hash AS DOUBLE))
+                     ELSE s.k_used END AS BIGINT) AS est_union,
+           CAST(s.rho_num * 1000000 // s.k_used AS BIGINT) AS j_est_ppm
+    FROM sk s
+    JOIN inter i ON i.type_a = s.type_a AND i.type_b = s.type_b
+    JOIN sizes sa ON sa.event_type = s.type_a
+    JOIN sizes sb ON sb.event_type = s.type_b
+)
+SELECT type_a, type_b,
+       CAST(n_exact_union AS BIGINT) AS n_exact_union,
+       n_exact_inter, k_used, rho_num, est_union, j_est_ppm,
+       CAST(j_est_ppm * est_union // 1000000 AS BIGINT) AS est_inter,
+       CAST(abs(est_union - n_exact_union) * 1000000 // n_exact_union
+            AS BIGINT) AS union_err_ppm
+FROM est
+ORDER BY type_a, type_b
+"""

@@ -209,6 +209,12 @@ def queued():
             d.dedup_source_matrix,
             d.ORACLE_dedup_source_matrix,
         ),
+        # A99: KMV set algebra (union/Jaccard/intersection from merged
+        # k-minima, audited vs exact)
+        "events_kmv_setops": (
+            x.events_kmv_setops,
+            x.ORACLE_events_kmv_setops,
+        ),
     }
 
 

@@ -1016,3 +1016,55 @@ def test_source_matrix_invariants(spark):
         assert r["max_jac_ppm"] == m
         assert r["within_source"] == (r["source_lo"] == r["source_hi"])
         assert r["source_lo"] <= r["source_hi"]
+
+
+def test_kmv_setops_invariants(spark):
+    import hashlib
+    import math
+
+    from project_obsidian_core_spark.plans.analytics_ext_queries import (
+        _KMV_K,
+        _KMV_RANGE,
+        events_kmv_setops,
+    )
+    from project_obsidian_core_spark.plans.common import load
+
+    rows = events_kmv_setops(spark, SF).collect()
+    assert rows
+    ev = load(spark, SF, "events").select("event_type", "user_id").collect()
+    users = {}
+    for r in ev:
+        users.setdefault(r["event_type"], set()).add(r["user_id"])
+
+    def mins(t):
+        hs = sorted(
+            {
+                int(hashlib.md5(f"kmv:{u}".encode()).hexdigest()[:15], 16)
+                for u in users[t]
+            }
+        )
+        return hs[:_KMV_K]
+
+    for r in rows:
+        a, b = r["type_a"], r["type_b"]
+        assert a < b
+        ua, ub = users[a], users[b]
+        assert r["n_exact_inter"] == len(ua & ub)
+        assert r["n_exact_union"] == len(ua | ub)
+        ma, mb = set(mins(a)), set(mins(b))
+        K = sorted(ma | mb)[:_KMV_K]
+        assert r["k_used"] == len(K)
+        rho = sum(1 for h in K if h in ma and h in mb)
+        assert r["rho_num"] == rho
+        if len(K) >= _KMV_K:
+            est_u = math.floor(
+                float((_KMV_K - 1) * _KMV_RANGE) / float(K[_KMV_K - 1])
+            )
+        else:
+            est_u = len(K)
+        assert r["est_union"] == est_u
+        assert r["j_est_ppm"] == rho * 1_000_000 // len(K)
+        assert r["est_inter"] == r["j_est_ppm"] * est_u // 1_000_000
+        # the estimates are sane: intersection estimate can never exceed
+        # the union estimate
+        assert 0 <= r["est_inter"] <= r["est_union"]
