@@ -3409,3 +3409,113 @@ SELECT metric_name, CAST(n_train AS BIGINT) AS n_train,
 FROM errs
 ORDER BY metric_name
 """
+
+
+# ----------- A100: SPC control-chart rules (staged r13) -------------------
+# Registration note: implemented + EXACT-verified round 13; REGISTRATION
+# staged to round 14 (the r13 gate window is exactly full at 6 new + the
+# 44-row r07 refresh).  The r14 registry block should add:
+#   ("metric_spc_rules", m.metric_spc_rules,
+#    m.ORACLE_metric_spc_rules)
+_SPC_RUN = 9  # Western Electric / Nelson rule-4 run length
+
+
+def metric_spc_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A100: Western-Electric control-chart violations per hourly metric
+    series — rule 1 (a point beyond 3σ of the center line) and rule 4
+    (9 consecutive points on the same side of center), the two rules a
+    mean-shift passes through FIRST: A72's Bollinger flags local
+    volatility breakouts against a trailing window; the SPC chart holds
+    the center/σ FIXED over the control period, so slow drifts that
+    never breach a rolling band still trip the run rule.
+
+    Exactness: all comparisons are exact-int cross-multiplies against
+    the center-line rationals — `x > μ + 3σ ⇔ (x·n − S)² > 9·(n·Q −
+    S²)` with side = sign(x·n − S) — over DOLLAR-scaled values (cents
+    div 100, documented truncation: the cent-scale squares would cross
+    int64 at the gate SFs, the dollar-scale keeps every term < 10¹⁶);
+    no division, no sqrt, no float anywhere.  Rule 4 is a 9-row window
+    sum of sides == ±9.  Scale: one grid exchange; both windows (stats,
+    run) partition by metric over the retention-bounded series."""
+    from pyspark.sql import Window
+
+    m = synthesize_metrics(spark, sf_dir)
+    hb = m.groupBy(
+        "metric_name",
+        F.expr("unix_micros(time) div 3600000000").alias("bucket"),
+    ).agg(F.expr("sum(metric_value) div 100").alias("x"))
+    wn = Window.partitionBy("metric_name")
+    stats = (
+        hb.withColumn("n", F.count(F.lit(1)).over(wn))
+        .withColumn("s", F.sum("x").over(wn))
+        .withColumn("q", F.sum(F.col("x") * F.col("x")).over(wn))
+        .withColumn("dev", F.col("x") * F.col("n") - F.col("s"))
+        .withColumn("var9", F.lit(9) * (F.col("n") * F.col("q") - F.col("s") * F.col("s")))
+        .withColumn("side", F.signum(F.col("dev").cast("double")).cast("long"))
+    )
+    wrun = (
+        Window.partitionBy("metric_name")
+        .orderBy("bucket")
+        .rowsBetween(-(_SPC_RUN - 1), 0)
+    )
+    flagged = (
+        stats.withColumn("run_sum", F.sum("side").over(wrun))
+        .withColumn("run_n", F.count("side").over(wrun))
+        .withColumn(
+            "rule1",
+            F.col("dev") * F.col("dev") > F.col("var9"),
+        )
+        .withColumn(
+            "rule4",
+            (F.col("run_n") == _SPC_RUN)
+            & (F.abs(F.col("run_sum")) == _SPC_RUN),
+        )
+    )
+    return (
+        flagged.filter(F.col("rule1") | F.col("rule4"))
+        .select(
+            "metric_name",
+            "bucket",
+            F.col("x").alias("value_dollars"),
+            "side",
+            "rule1",
+            "rule4",
+        )
+        .orderBy("metric_name", "bucket")
+    )
+
+
+ORACLE_metric_spc_rules = f"""
+WITH m AS ({_SYN_SQL}),
+hb AS (
+    SELECT metric_name, epoch_us(time) // 3600000000 AS bucket,
+           CAST(sum(metric_value) // 100 AS BIGINT) AS x
+    FROM m GROUP BY 1, 2
+), stats AS (
+    SELECT metric_name, bucket, x,
+           CAST(count(*) OVER w AS BIGINT) AS n,
+           CAST(sum(x) OVER w AS BIGINT) AS s,
+           CAST(sum(x * x) OVER w AS BIGINT) AS q
+    FROM hb
+    WINDOW w AS (PARTITION BY metric_name)
+), dev AS (
+    SELECT *,
+           x * n - s AS dev_,
+           9 * (n * q - s * s) AS var9,
+           CAST(sign(x * n - s) AS BIGINT) AS side
+    FROM stats
+), runs AS (
+    SELECT *,
+           CAST(sum(side) OVER wr AS BIGINT) AS run_sum,
+           CAST(count(side) OVER wr AS BIGINT) AS run_n
+    FROM dev
+    WINDOW wr AS (PARTITION BY metric_name ORDER BY bucket
+                  ROWS BETWEEN {_SPC_RUN - 1} PRECEDING AND CURRENT ROW)
+)
+SELECT metric_name, bucket, x AS value_dollars, side,
+       dev_ * dev_ > var9 AS rule1,
+       run_n = {_SPC_RUN} AND abs(run_sum) = {_SPC_RUN} AS rule4
+FROM runs
+WHERE dev_ * dev_ > var9 OR (run_n = {_SPC_RUN} AND abs(run_sum) = {_SPC_RUN})
+ORDER BY metric_name, bucket
+"""

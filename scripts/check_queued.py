@@ -215,6 +215,12 @@ def queued():
             x.events_kmv_setops,
             x.ORACLE_events_kmv_setops,
         ),
+        # A100: Western-Electric SPC rules 1+4 (exact cross-multiplied
+        # 3-sigma and 9-run tests, dollar-scaled)
+        "metric_spc_rules": (
+            m.metric_spc_rules,
+            m.ORACLE_metric_spc_rules,
+        ),
     }
 
 

@@ -1068,3 +1068,51 @@ def test_kmv_setops_invariants(spark):
         # the estimates are sane: intersection estimate can never exceed
         # the union estimate
         assert 0 <= r["est_inter"] <= r["est_union"]
+
+
+def test_spc_rules_invariants(spark):
+    from pyspark.sql import functions as F
+
+    from project_obsidian_core_spark.plans.metrics_queries import (
+        _SPC_RUN,
+        metric_spc_rules,
+        synthesize_metrics,
+    )
+
+    rows = metric_spc_rules(spark, SF).collect()
+    assert rows
+    hb = (
+        synthesize_metrics(spark, SF)
+        .groupBy(
+            "metric_name",
+            F.expr("unix_micros(time) div 3600000000").alias("bucket"),
+        )
+        .agg(F.expr("sum(metric_value) div 100").alias("x"))
+        .collect()
+    )
+    series = {}
+    for r in hb:
+        series.setdefault(r["metric_name"], []).append((r["bucket"], r["x"]))
+    flagged = {(r["metric_name"], r["bucket"]): r for r in rows}
+    for mname, pts in series.items():
+        pts.sort()
+        xs = [x for _, x in pts]
+        n, s, q = len(xs), sum(xs), sum(x * x for x in xs)
+        sides = [
+            (1 if x * n - s > 0 else -1 if x * n - s < 0 else 0) for x in xs
+        ]
+        for i, (bucket, x) in enumerate(pts):
+            dev = x * n - s
+            r1 = dev * dev > 9 * (n * q - s * s)
+            window = sides[max(0, i - _SPC_RUN + 1): i + 1]
+            r4 = len(window) == _SPC_RUN and abs(sum(window)) == _SPC_RUN
+            key = (mname, bucket)
+            if r1 or r4:
+                assert key in flagged, key
+                r = flagged.pop(key)
+                assert (r["rule1"], r["rule4"]) == (r1, r4)
+                assert r["value_dollars"] == x
+                assert r["side"] == sides[i]
+            else:
+                assert key not in flagged
+    assert not flagged  # nothing extra was emitted
