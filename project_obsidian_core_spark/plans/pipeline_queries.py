@@ -877,7 +877,9 @@ ORDER BY rates.source
 _QUOTA_TOTAL = 10_000
 
 
-def corpus_quota_apportion(spark: SparkSession, sf_dir: str) -> DataFrame:
+def corpus_quota_apportion(
+    spark: SparkSession, sf_dir: str, budget: int = _QUOTA_TOTAL
+) -> DataFrame:
     """P15: Hamilton largest-remainder apportionment of a fixed sample
     budget across (source, lang) strata — the missing step between the
     mixture plan (rates in ppm, realized counts only in expectation) and
@@ -906,8 +908,8 @@ def corpus_quota_apportion(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lang",
         "n_docs",
         "n_total",
-        F.expr(f"{_QUOTA_TOTAL} * n_docs div n_total").alias("base_quota"),
-        F.expr(f"({_QUOTA_TOTAL} * n_docs) % n_total").alias("remainder"),
+        F.expr(f"{budget} * n_docs div n_total").alias("base_quota"),
+        F.expr(f"({budget} * n_docs) % n_total").alias("remainder"),
     )
     w_rem = Window.orderBy(F.col("remainder").desc(), "source", "lang")
     w_all = Window.rowsBetween(
@@ -915,7 +917,7 @@ def corpus_quota_apportion(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         based.withColumn("rem_rank", F.row_number().over(w_rem))
-        .withColumn("n_extras", F.lit(_QUOTA_TOTAL) - F.sum("base_quota").over(w_all))
+        .withColumn("n_extras", F.lit(budget) - F.sum("base_quota").over(w_all))
         .select(
             "source",
             "lang",
@@ -1079,4 +1081,99 @@ SELECT source, n_docs, tokens_total, weight_ppm,
            AS deficit_tokens
 FROM t
 ORDER BY source
+"""
+
+
+# ------------- P17: exact-count stratified sample (staged r13) ------------
+# Registration note: implemented + EXACT-verified round 13; REGISTRATION
+# staged to round 14 (the r13 gate window is exactly full at 6 new + the
+# 44-row r07 refresh).  The r14 registry block should add:
+#   ("corpus_stratified_exact", pl.corpus_stratified_exact,
+#    pl.ORACLE_corpus_stratified_exact)
+_STRAT_SALT = "stratx"
+#: must stay <= the smallest gate corpus (sf0.01: 500 docs) so Hamilton
+#: quotas are fillable (budget <= N implies quota_i <= n_i) and the
+#: selection is a real subset, not the identity
+_STRAT_BUDGET = 300
+
+
+def corpus_stratified_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P17: the exact-count stratified sample P15's quotas exist FOR —
+    Hamilton apportionment fixes how many documents each (source, lang)
+    stratum owes (summing EXACTLY to the budget), then each stratum
+    takes its quota as the hash-order smallest (the P13 exact-k
+    primitive applied per stratum): the output is a reproducible sample
+    of exactly the budgeted size with exact proportional allocation —
+    what the rate-based `corpus_stratified_sample` (size only in
+    expectation) and the min-count-balanced mixture sampler cannot
+    promise.  Composition is the point: three gated operators (P15
+    quota, P13 selector, this join) sharing one arithmetic.
+
+    Exactness: quota table is P15's (same constants), selection ranks
+    the portable md5-60 hash with doc_id tie-break — a total order.
+    Scale: the quota table is a ≤|strata|-row broadcast; selection is
+    one rank window per stratum (the P13 per-partition top-k shape,
+    parallel across strata); output exactly `budget` rows whenever budget <= corpus size
+    (budget <= N guarantees every Hamilton quota is fillable)."""
+    from project_obsidian_core_spark.datapipe.text import shared_hash60
+    from pyspark.sql import Window
+
+    quotas = corpus_quota_apportion(
+        spark, sf_dir, budget=_STRAT_BUDGET
+    ).select("source", "lang", "quota")
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        "lang",
+        shared_hash60(
+            F.concat(F.lit(f"{_STRAT_SALT}:"), F.col("doc_id").cast("string"))
+        ).alias("h"),
+    )
+    w = Window.partitionBy("source", "lang").orderBy("h", "doc_id")
+    return (
+        docs.join(F.broadcast(quotas), ["source", "lang"])
+        .withColumn("strat_rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("strat_rank") <= F.col("quota"))
+        .select("doc_id", "source", "lang", "strat_rank", "quota")
+        .orderBy("doc_id")
+    )
+
+
+ORACLE_corpus_stratified_exact = f"""
+WITH strata AS (
+    SELECT source, lang, CAST(count(*) AS BIGINT) AS n_docs
+    FROM documents GROUP BY source, lang
+), based AS (
+    SELECT source, lang, n_docs,
+           {_STRAT_BUDGET} * n_docs // (SELECT sum(n_docs) FROM strata)
+               AS base_quota,
+           ({_STRAT_BUDGET} * n_docs) % (SELECT sum(n_docs) FROM strata)
+               AS remainder
+    FROM strata
+), ranked_q AS (
+    SELECT *,
+           CAST(row_number() OVER (ORDER BY remainder DESC, source, lang)
+                AS BIGINT) AS rem_rank,
+           {_STRAT_BUDGET} - sum(base_quota) OVER () AS n_extras
+    FROM based
+), quotas AS (
+    SELECT source, lang,
+           CAST(base_quota + CASE WHEN rem_rank <= n_extras THEN 1 ELSE 0 END
+                AS BIGINT) AS quota
+    FROM ranked_q
+), hashed AS (
+    SELECT d.doc_id, d.source, d.lang, q.quota,
+           {_sql_hash60(f"'{_STRAT_SALT}:' || CAST(doc_id AS VARCHAR)")} AS h
+    FROM documents d JOIN quotas q USING (source, lang)
+), sel AS (
+    SELECT doc_id, source, lang, quota,
+           CAST(row_number() OVER (PARTITION BY source, lang
+                                   ORDER BY h, doc_id) AS BIGINT)
+               AS strat_rank
+    FROM hashed
+)
+SELECT doc_id, source, lang, strat_rank, quota
+FROM sel
+WHERE strat_rank <= quota
+ORDER BY doc_id
 """

@@ -221,6 +221,12 @@ def queued():
             m.metric_spc_rules,
             m.ORACLE_metric_spc_rules,
         ),
+        # P17: exact-count stratified sample (P15 quotas x P13 hash-order
+        # selection; exactly `budget` rows)
+        "corpus_stratified_exact": (
+            pl.corpus_stratified_exact,
+            pl.ORACLE_corpus_stratified_exact,
+        ),
     }
 
 

@@ -1116,3 +1116,36 @@ def test_spc_rules_invariants(spark):
             else:
                 assert key not in flagged
     assert not flagged  # nothing extra was emitted
+
+
+def test_stratified_exact_invariants(spark):
+    from project_obsidian_core_spark.plans.pipeline_queries import (
+        _STRAT_BUDGET,
+        corpus_quota_apportion,
+        corpus_stratified_exact,
+    )
+    from project_obsidian_core_spark.plans.common import load
+
+    rows = corpus_stratified_exact(spark, SF).collect()
+    assert rows
+    n_docs = load(spark, SF, "documents").count()
+    quotas = {
+        (r["source"], r["lang"]): r["quota"]
+        for r in corpus_quota_apportion(
+            spark, SF, budget=_STRAT_BUDGET
+        ).collect()
+    }
+    # exact size: budget rows when fillable, else the whole corpus
+    # (sf0.001 holds fewer docs than the budget — the documented bound)
+    assert len(rows) == min(_STRAT_BUDGET, n_docs)
+    per_stratum = {}
+    for r in rows:
+        key = (r["source"], r["lang"])
+        per_stratum[key] = per_stratum.get(key, 0) + 1
+        assert r["quota"] == quotas[key]
+        assert 1 <= r["strat_rank"] <= r["quota"]
+    for key, n in per_stratum.items():
+        assert n <= quotas[key]
+    # same seed -> identical selection across a recompute
+    again = {r["doc_id"] for r in corpus_stratified_exact(spark, SF).collect()}
+    assert again == {r["doc_id"] for r in rows}
