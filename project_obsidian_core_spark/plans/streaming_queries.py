@@ -2745,3 +2745,72 @@ def stream_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("channel")
     )
+
+
+# ---------------- T36: streaming SPC rules (staged r13) --------------------
+# Registration note: implemented + EXACT-verified round 13; REGISTRATION
+# staged to round 14 (the r13 gate window is exactly full at 6 new + the
+# 44-row r07 refresh).  The r14 registry block should add:
+#   ("stream_spc_rules", st.stream_spc_rules,
+#    m.ORACLE_metric_spc_rules)   # the A100 batch oracle, verbatim
+def stream_spc_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T36: the A100 control chart served LIVE — the bucket-sum state
+    family's GLOBAL-statistic member: Bollinger's trailing frame made
+    one late hour shift SUBSEQUENT windows; the SPC center line is a
+    whole-series rational, so one late bucket re-tests EVERY point
+    (create/move/RETRACT — the sentinel + max-version drain resolves
+    all revisions).  Gated on the batch `metric_spc_rules` oracle
+    verbatim: the fold re-derivation and the window formulation are the
+    same operator."""
+    from project_obsidian_core_spark.plans.metrics_queries import HIT, READ
+    from project_obsidian_core_spark.streaming.sequence_state import (
+        streaming_spc,
+    )
+
+    run = next(_RUN_IDS)
+    src = _events_src(spark, sf_dir, run)
+    schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "4")
+        .parquet(src)
+    )
+    name_col = (
+        F.when(F.col("event_type") == "view", F.lit(HIT))
+        .when(F.col("event_type") == "click", F.lit(READ))
+        .otherwise(F.concat(F.lit("postgresql."), F.col("event_type")))
+    )
+    keyed = stream.select(
+        name_col.alias("metric_name"),
+        F.expr("unix_micros(ts) div 3600000000").alias("bucket"),
+        F.col("cents").alias("v"),
+    )
+    out = streaming_spc(keyed)
+    name = f"stream_spc_{run}"
+    tmp = tempfile.mkdtemp(prefix=f"obsidian_spc_{run}_")
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            out.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .option("checkpointLocation", f"{tmp}/ckpt")
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+
+    emitted = spark.table(name)
+    wmax = Window.partitionBy("metric_name")
+    latest = emitted.withColumn(
+        "_vmax", F.max("version").over(wmax)
+    ).filter(
+        (F.col("version") == F.col("_vmax")) & F.col("bucket").isNotNull()
+    )
+    return latest.select(
+        "metric_name", "bucket", "value_dollars", "side", "rule1", "rule4"
+    ).orderBy("metric_name", "bucket")

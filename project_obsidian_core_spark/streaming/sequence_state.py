@@ -2141,3 +2141,126 @@ def streaming_last_touch(stream: DataFrame, lookback_us: int) -> DataFrame:
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# -------------- T36: streaming SPC rules over bucket-sum state ------------
+SPC_OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("metric_name", T.StringType()),
+        T.StructField("bucket", T.LongType()),
+        T.StructField("value_dollars", T.LongType()),
+        T.StructField("side", T.LongType()),
+        T.StructField("rule1", T.BooleanType()),
+        T.StructField("rule4", T.BooleanType()),
+        T.StructField("version", T.LongType()),
+    ]
+)
+
+#: must match the batch A100 constant (plans/metrics_queries._SPC_RUN)
+SPC_RUN = 9
+
+
+def spc_from_series(
+    buckets: list[int], cents_sums: list[int], run: int = SPC_RUN
+) -> list[tuple[int, int, int, bool, bool]]:
+    """The A100 exact-int SPC scan over a bucket-ordered cents series:
+    dollar-rescale each bucket (`sum div 100`, the batch truncation),
+    center-line rationals from the WHOLE series (n, S, Q), rule 1 =
+    `(x·n−S)² > 9·(n·Q−S²)`, rule 4 = `run` consecutive strictly
+    same-side points.  Returns violation rows
+    (bucket, x, side, rule1, rule4).  Pure; unit-tested against the
+    batch operator."""
+    xs = [s // 100 for s in cents_sums]
+    n = len(xs)
+    if n == 0:
+        return []
+    s_tot = sum(xs)
+    q_tot = sum(x * x for x in xs)
+    var9 = 9 * (n * q_tot - s_tot * s_tot)
+    sides = [
+        (1 if x * n - s_tot > 0 else -1 if x * n - s_tot < 0 else 0)
+        for x in xs
+    ]
+    out = []
+    for i, x in enumerate(xs):
+        dev = x * n - s_tot
+        r1 = dev * dev > var9
+        window = sides[max(0, i - run + 1): i + 1]
+        r4 = len(window) == run and abs(sum(window)) == run
+        if r1 or r4:
+            out.append((buckets[i], x, sides[i], r1, r4))
+    return out
+
+
+def make_spc_fn():
+    def fn(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        metric = str(key[0])
+        if state.exists:
+            buckets, sums, version = state.get
+            buckets, sums = list(buckets), list(sums)
+        else:
+            buckets, sums, version = [], [], 0
+        absorbed = 0
+        for pdf in pdfs:
+            if not len(pdf):
+                continue
+            absorbed += len(pdf)
+            buckets, sums = fold_bucket_sums(
+                buckets, sums, zip(pdf["bucket"], pdf["v"])
+            )
+        if not absorbed:
+            return
+        version += absorbed
+        state.update((buckets, sums, version))
+        hits = spc_from_series(buckets, sums)
+        # NULL-bucket sentinel on zero-violation versions: a late bucket
+        # shifts the GLOBAL center line, so earlier violations can
+        # RETRACT — the sentinel carries the superseding version
+        yield pd.DataFrame(
+            {
+                "metric_name": [metric] * max(len(hits), 1),
+                "bucket": pd.array(
+                    [h[0] for h in hits] or [None], dtype="Int64"
+                ),
+                "value_dollars": pd.array(
+                    [h[1] for h in hits] or [None], dtype="Int64"
+                ),
+                "side": pd.array(
+                    [h[2] for h in hits] or [None], dtype="Int64"
+                ),
+                "rule1": pd.array(
+                    [h[3] for h in hits] or [None], dtype="boolean"
+                ),
+                "rule4": pd.array(
+                    [h[4] for h in hits] or [None], dtype="boolean"
+                ),
+                "version": [version] * max(len(hits), 1),
+            }
+        )
+
+    return fn
+
+
+def streaming_spc(stream: DataFrame) -> DataFrame:
+    """T36: the A100 Western-Electric rules served LIVE — consumer of
+    the bucket-sum state family with a GLOBAL-statistic recursion: the
+    center line and σ come from the whole control period, so one late
+    bucket moves every point's test (create/move/RETRACT — hence the
+    versioned-emission sentinel and max-version drain).  State is the
+    same commutative exact-int cents sums as every family member;
+    drained rows gate on the batch `metric_spc_rules` oracle verbatim.
+    Expects (metric_name, bucket, v=cents)."""
+    keyed = stream.select(
+        F.col("metric_name").cast("string").alias("metric_name"),
+        F.col("bucket").cast("long").alias("bucket"),
+        F.col("v").cast("long").alias("v"),
+    )
+    return keyed.groupBy("metric_name").applyInPandasWithState(
+        make_spc_fn(),
+        outputStructType=SPC_OUTPUT_SCHEMA,
+        stateStructType=EWMA_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

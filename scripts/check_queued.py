@@ -227,6 +227,12 @@ def queued():
             pl.corpus_stratified_exact,
             pl.ORACLE_corpus_stratified_exact,
         ),
+        # T36: streaming SPC rules — gated on the A100 batch oracle
+        # verbatim (global-statistic re-derivation per emit)
+        "stream_spc_rules": (
+            st.stream_spc_rules,
+            m.ORACLE_metric_spc_rules,
+        ),
     }
 
 

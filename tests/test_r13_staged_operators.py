@@ -1149,3 +1149,58 @@ def test_stratified_exact_invariants(spark):
     # same seed -> identical selection across a recompute
     again = {r["doc_id"] for r in corpus_stratified_exact(spark, SF).collect()}
     assert again == {r["doc_id"] for r in rows}
+
+
+def test_spc_fold_retracts_on_late_bucket():
+    """The T36 revision contract: a late bucket that moves the center
+    line retracts a previously-emitted violation, and the sentinel
+    carries the superseding version."""
+    import pandas as pd
+
+    from project_obsidian_core_spark.streaming.sequence_state import (
+        make_spc_fn,
+        spc_from_series,
+    )
+
+    class FakeState:
+        def __init__(self):
+            self.exists = False
+            self._v = None
+
+        @property
+        def get(self):
+            return self._v
+
+        def update(self, v):
+            self._v = v
+            self.exists = True
+
+    fn = make_spc_fn()
+    state = FakeState()
+    # batch 1: 30 flat hours + one blowout -> rule-1 violation
+    b1 = pd.DataFrame(
+        {
+            "bucket": list(range(100, 131)),
+            "v": [1000] * 30 + [2_000_000],
+        }
+    )
+    out1 = list(fn(("m",), iter([b1]), state))[0]
+    assert 130 in list(out1["bucket"])
+    v1 = out1["version"][0]
+    # batch 2: late buckets as extreme as the blowout -> variance
+    # explodes, the old violation no longer clears 3 sigma
+    b2 = pd.DataFrame(
+        {
+            "bucket": list(range(131, 151)),
+            "v": [2_000_000] * 20,
+        }
+    )
+    out2 = list(fn(("m",), iter([b2]), state))[0]
+    assert out2["version"][0] > v1
+    # recompute directly: the blowout bucket must no longer be rule-1
+    buckets, sums, _ = state.get
+    hits = {h[0]: h for h in spc_from_series(list(buckets), list(sums))}
+    assert 130 not in hits or not hits[130][3]
+    # and the emission either shrank to a sentinel or lists other rows
+    emitted_buckets = [b for b in out2["bucket"] if pd.notna(b)]
+    assert 130 not in [b for b in emitted_buckets if hits.get(b, (0,0,0,False))[3]]
