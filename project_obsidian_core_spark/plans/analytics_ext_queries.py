@@ -2740,3 +2740,142 @@ SELECT type_a, type_b,
 FROM est
 ORDER BY type_a, type_b
 """
+
+
+# ------- A101: Markov stationary distribution (staged r13) -----------------
+# Registration note: implemented + EXACT-verified round 13; REGISTRATION
+# staged to round 14 (the r13 gate window is exactly full at 6 new + the
+# 44-row r07 refresh).  The r14 registry block should add:
+#   ("events_markov_stationary", x.events_markov_stationary,
+#    x.ORACLE_events_markov_stationary)
+_MK_ROUNDS = 12
+
+
+def events_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A101: the stationary distribution of the A30 behavior chain —
+    A30 reports WHERE users go next; the stationary π says where the
+    process SPENDS ITS TIME in the long run (the PageRank of the
+    behavior graph, and the honest denominator for "is event type X
+    over-represented today vs its equilibrium share").
+
+    Exactness: the N17-unrolled-PageRank move applied to the behavior
+    chain — 12 power-iteration rounds in SCALED-INTEGER ppm
+    (`π'_b = Σ_a (π_a·C_ab) div R_a`, every term an exact int64 with
+    identical truncation on both engines; mass drift from truncation is
+    part of the DEFINED algorithm, not error), uniform ppm start with
+    the largest-remainder deterministic split (the P15 rule).  The
+    report carries the last two rounds so the gate also pins the
+    convergence delta.
+
+    Scale: the transition matrix is a ≤|types|²-row reduced relation
+    (one user-keyed lead-window exchange builds it — the A30 plan);
+    each unrolled round is a ≤|types|²-row broadcast join — the
+    iteration never touches the corpus again."""
+    from pyspark.sql import Window
+
+    ev = load(spark, sf_dir, "events")
+    wd = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        ev.select(
+            "user_id",
+            "ts",
+            "event_id",
+            F.col("event_type").alias("from_type"),
+            F.lead("event_type", 1).over(wd).alias("to_type"),
+        )
+        .filter(F.col("to_type").isNotNull())
+        .groupBy("from_type", "to_type")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    totals = pairs.groupBy("from_type").agg(F.sum("c").alias("r"))
+    matrix = pairs.join(totals, "from_type")
+    types = totals.select(F.col("from_type").alias("event_type"))
+    n_types_w = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    rank_w = Window.orderBy("event_type")
+    pi = types.withColumn("n_t", F.count(F.lit(1)).over(n_types_w)).select(
+        "event_type",
+        (
+            F.expr("1000000 div n_t")
+            + F.when(
+                F.row_number().over(rank_w) <= F.expr("1000000 % n_t"), 1
+            ).otherwise(0)
+        ).cast("long").alias("pi_ppm"),
+    )
+    prev = None
+    for _ in range(_MK_ROUNDS):
+        prev = pi
+        pi = (
+            matrix.join(
+                F.broadcast(pi.withColumnRenamed("event_type", "from_type")),
+                "from_type",
+            )
+            .groupBy(F.col("to_type").alias("event_type"))
+            .agg(F.sum(F.expr("pi_ppm * c div r")).alias("pi_ppm"))
+        )
+    return (
+        totals.withColumnRenamed("from_type", "event_type")
+        .join(pi, "event_type")
+        .join(
+            prev.withColumnRenamed("pi_ppm", "pi_prev_ppm"), "event_type"
+        )
+        .select(
+            "event_type",
+            F.col("r").alias("row_total"),
+            "pi_ppm",
+            "pi_prev_ppm",
+            F.abs(F.col("pi_ppm") - F.col("pi_prev_ppm")).alias("delta_ppm"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def _markov_stationary_oracle() -> str:
+    rounds = []
+    for i in range(_MK_ROUNDS):
+        src = f"r{i}"
+        rounds.append(
+            f"""r{i + 1} AS (
+    SELECT m.to_type AS event_type,
+           CAST(sum(p.pi_ppm * m.c // m.r) AS BIGINT) AS pi_ppm
+    FROM matrix m JOIN {src} p ON p.event_type = m.from_type
+    GROUP BY m.to_type
+)"""
+        )
+    return f"""
+WITH pairs AS (
+    SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS c
+    FROM (
+        SELECT event_type AS from_type,
+               lead(event_type, 1) OVER (PARTITION BY user_id
+                                         ORDER BY ts, event_id) AS to_type
+        FROM events
+    )
+    WHERE to_type IS NOT NULL
+    GROUP BY from_type, to_type
+), totals AS (
+    SELECT from_type, CAST(sum(c) AS BIGINT) AS r
+    FROM pairs GROUP BY from_type
+), matrix AS (
+    SELECT p.from_type, p.to_type, p.c, t.r
+    FROM pairs p JOIN totals t USING (from_type)
+), r0 AS (
+    SELECT from_type AS event_type,
+           CAST(1000000 // (SELECT count(*) FROM totals)
+                + CASE WHEN row_number() OVER (ORDER BY from_type)
+                            <= 1000000 % (SELECT count(*) FROM totals)
+                       THEN 1 ELSE 0 END AS BIGINT) AS pi_ppm
+    FROM totals
+), {", ".join(rounds)}
+SELECT t.from_type AS event_type, t.r AS row_total,
+       f.pi_ppm, p.pi_ppm AS pi_prev_ppm,
+       abs(f.pi_ppm - p.pi_ppm) AS delta_ppm
+FROM totals t
+JOIN r{_MK_ROUNDS} f ON f.event_type = t.from_type
+JOIN r{_MK_ROUNDS - 1} p ON p.event_type = t.from_type
+ORDER BY event_type
+"""
+
+
+ORACLE_events_markov_stationary = _markov_stationary_oracle()

@@ -233,6 +233,12 @@ def queued():
             st.stream_spc_rules,
             m.ORACLE_metric_spc_rules,
         ),
+        # A101: Markov stationary distribution (unrolled scaled-integer
+        # power iteration, the N17 move on the behavior chain)
+        "events_markov_stationary": (
+            x.events_markov_stationary,
+            x.ORACLE_events_markov_stationary,
+        ),
     }
 
 

@@ -1204,3 +1204,55 @@ def test_spc_fold_retracts_on_late_bucket():
     # and the emission either shrank to a sentinel or lists other rows
     emitted_buckets = [b for b in out2["bucket"] if pd.notna(b)]
     assert 130 not in [b for b in emitted_buckets if hits.get(b, (0,0,0,False))[3]]
+
+
+def test_markov_stationary_invariants(spark):
+    from pyspark.sql import functions as F
+    from pyspark.sql import Window
+
+    from project_obsidian_core_spark.plans.analytics_ext_queries import (
+        _MK_ROUNDS,
+        events_markov_stationary,
+    )
+    from project_obsidian_core_spark.plans.common import load
+
+    rows = events_markov_stationary(spark, SF).collect()
+    assert rows
+    # python recompute of the whole scaled-integer iteration
+    ev = load(spark, SF, "events")
+    wd = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        ev.select(
+            F.col("event_type").alias("a"),
+            F.lead("event_type", 1).over(wd).alias("b"),
+        )
+        .filter(F.col("b").isNotNull())
+        .collect()
+    )
+    C, R = {}, {}
+    for p in pairs:
+        C[(p["a"], p["b"])] = C.get((p["a"], p["b"]), 0) + 1
+        R[p["a"]] = R.get(p["a"], 0) + 1
+    types = sorted(R)
+    n = len(types)
+    pi = {
+        t: 1_000_000 // n + (1 if i < 1_000_000 % n else 0)
+        for i, t in enumerate(types)
+    }
+    hist = [dict(pi)]
+    for _ in range(_MK_ROUNDS):
+        nxt = {t: 0 for t in types}
+        for (a, b), c in C.items():
+            nxt[b] = nxt.get(b, 0) + pi[a] * c // R[a]
+        pi = nxt
+        hist.append(dict(pi))
+    for r in rows:
+        t = r["event_type"]
+        assert r["row_total"] == R[t]
+        assert r["pi_ppm"] == hist[-1][t]
+        assert r["pi_prev_ppm"] == hist[-2][t]
+        assert r["delta_ppm"] == abs(hist[-1][t] - hist[-2][t])
+    # the iteration has essentially converged at 12 rounds
+    assert max(r["delta_ppm"] for r in rows) < 1000
+    # truncation drift stays tiny: total mass within 0.1% of 1e6
+    assert abs(sum(r["pi_ppm"] for r in rows) - 1_000_000) < 1000
