@@ -3983,3 +3983,91 @@ ORDER BY source_lo, source_hi
 
 
 ORACLE_dedup_source_matrix = _source_matrix_oracle()
+
+
+# ------------- X29: word burstiness / Fano factors (staged r13) ------------
+# Registration note: implemented + EXACT-verified round 13; REGISTRATION
+# staged to round 14 (the r13 gate window is exactly full at 6 new + the
+# 44-row r07 refresh).  The r14 registry block should add:
+#   ("text_word_burstiness", d.text_word_burstiness,
+#    d.ORACLE_text_word_burstiness)
+_BURST_TOPK = 30
+
+
+def text_word_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X29: per-word burstiness (the Fano factor of per-document counts,
+    Church & Gale '95) — the signal tf-idf approximates and Zipf hides:
+    a FUNCTION word's occurrences spread evenly across documents
+    (Fano ≈ 1, Poisson), a TOPICAL word clumps (Fano ≫ 1: absent almost
+    everywhere, dense where its topic lives).  Burstiness is the
+    principled stopword/keyword split for corpora where a fixed
+    stopword list is wrong (code, non-English), and a burstiness
+    COLLAPSE corpus-wide is the fingerprint of template spam.
+
+    Exactness: Fano = var/mean over per-doc counts INCLUDING zeros —
+    with N docs, Σc, Σc²: `fano_ppm = (N·Σc² − (Σc)²)·10⁶ div (N·Σc)`,
+    all exact int64 (zero-docs enter via N, never materialized).
+    Report = top-30 by (fano desc, word) among words in ≥ 5 docs.
+    Scale: one corpus explode → (word, doc) count → word reduce (both
+    map-side combined, the tf-idf shape); N is a 1-row broadcast; the
+    top-k a TakeOrderedAndProject on the vocab relation."""
+    docs = load(spark, sf_dir, "documents")
+    wd = (
+        docs.select(
+            "doc_id", F.explode(F.split("text", " ")).alias("word")
+        )
+        .groupBy("word", "doc_id")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    per_word = (
+        wd.groupBy("word")
+        .agg(
+            F.count(F.lit(1)).alias("df"),
+            F.sum("c").alias("sc"),
+            F.sum(F.col("c") * F.col("c")).alias("scc"),
+        )
+        .filter(F.col("df") >= 5)
+    )
+    return (
+        per_word.crossJoin(F.broadcast(n_docs))
+        .select(
+            "word",
+            "df",
+            "sc",
+            F.expr(
+                "(n_docs * scc - sc * sc) * 1000000 div (n_docs * sc)"
+            ).alias("fano_ppm"),
+            F.expr("sc * 1000000 div n_docs").alias("mean_count_ppm"),
+        )
+        .orderBy(F.col("fano_ppm").desc(), "word")
+        .limit(_BURST_TOPK)
+    )
+
+
+ORACLE_text_word_burstiness = f"""
+WITH wd AS (
+    SELECT word, doc_id, CAST(count(*) AS BIGINT) AS c
+    FROM (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS word
+        FROM documents
+    )
+    GROUP BY word, doc_id
+), n AS (
+    SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents
+), per_word AS (
+    SELECT word,
+           CAST(count(*) AS BIGINT) AS df,
+           CAST(sum(c) AS BIGINT) AS sc,
+           CAST(sum(c * c) AS BIGINT) AS scc
+    FROM wd GROUP BY word
+    HAVING count(*) >= 5
+)
+SELECT word, df, sc,
+       CAST((n.n_docs * scc - sc * sc) * 1000000 // (n.n_docs * sc)
+            AS BIGINT) AS fano_ppm,
+       CAST(sc * 1000000 // n.n_docs AS BIGINT) AS mean_count_ppm
+FROM per_word CROSS JOIN n
+ORDER BY fano_ppm DESC, word
+LIMIT {_BURST_TOPK}
+"""

@@ -239,6 +239,12 @@ def queued():
             x.events_markov_stationary,
             x.ORACLE_events_markov_stationary,
         ),
+        # X29: word burstiness / Fano factors (zeros via N, exact-int
+        # variance ratio)
+        "text_word_burstiness": (
+            d.text_word_burstiness,
+            d.ORACLE_text_word_burstiness,
+        ),
     }
 
 

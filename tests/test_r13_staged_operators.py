@@ -1256,3 +1256,44 @@ def test_markov_stationary_invariants(spark):
     assert max(r["delta_ppm"] for r in rows) < 1000
     # truncation drift stays tiny: total mass within 0.1% of 1e6
     assert abs(sum(r["pi_ppm"] for r in rows) - 1_000_000) < 1000
+
+
+def test_word_burstiness_invariants(spark):
+    from project_obsidian_core_spark.plans.common import load
+    from project_obsidian_core_spark.plans.datapipe_queries import (
+        _BURST_TOPK,
+        text_word_burstiness,
+    )
+
+    rows = text_word_burstiness(spark, SF).collect()
+    assert rows and len(rows) <= _BURST_TOPK
+    docs = load(spark, SF, "documents").collect()
+    n_docs = len(docs)
+    counts = {}
+    for d in docs:
+        per = {}
+        for w in d["text"].split(" "):
+            per[w] = per.get(w, 0) + 1
+        for w, c in per.items():
+            df, sc, scc = counts.get(w, (0, 0, 0))
+            counts[w] = (df + 1, sc + c, scc + c * c)
+    prev = None
+    for r in rows:
+        df, sc, scc = counts[r["word"]]
+        assert df >= 5
+        assert (r["df"], r["sc"]) == (df, sc)
+        fano = (n_docs * scc - sc * sc) * 1_000_000 // (n_docs * sc)
+        assert r["fano_ppm"] == fano
+        assert r["mean_count_ppm"] == sc * 1_000_000 // n_docs
+        # report is ordered by (fano desc, word)
+        if prev is not None:
+            assert (-(r["fano_ppm"]), r["word"]) >= prev
+        prev = (-(r["fano_ppm"]), r["word"])
+    # the top-k really is the global top-k among df>=5 words
+    eligible = [
+        (n_docs * scc - sc * sc) * 1_000_000 // (n_docs * sc)
+        for (df, sc, scc) in counts.values()
+        if df >= 5
+    ]
+    kth = sorted(eligible, reverse=True)[: len(rows)][-1]
+    assert min(r["fano_ppm"] for r in rows) >= kth
