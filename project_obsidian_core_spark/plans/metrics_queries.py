@@ -3519,3 +3519,115 @@ FROM runs
 WHERE dev_ * dev_ > var9 OR (run_n = {_SPC_RUN} AND abs(run_sum) = {_SPC_RUN})
 ORDER BY metric_name, bucket
 """
+
+
+# ---------------- A102: dominant-period detection (staged r13) -------------
+# Registration note: implemented + EXACT-verified round 13; REGISTRATION
+# staged to round 14 (the r13 gate window is exactly full at 6 new + the
+# 44-row r07 refresh).  The r14 registry block should add:
+#   ("metric_autoperiod", m.metric_autoperiod,
+#    m.ORACLE_metric_autoperiod)
+_AP_MAX_LAG = 36
+_AP_MIN_LAG = 2
+
+
+def metric_autoperiod(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A102: dominant-period detection per metric — the ACF argmax over
+    hourly lags 2..36 that A84's decomposition ASSUMES (its period-24
+    grid is an input; this operator is where that input comes from, and
+    a dominant lag far from 24 is the "don't run the daily model"
+    guard).  `is_daily` flags a winner in the 23-25 band.
+
+    Exactness: the A48 exact-int moment machinery verbatim
+    (`acf_over_grid`, hourly grid, min-centered dollar quantization);
+    the per-lag correlation is the A48 one-sqrt expression and the
+    ARGMAX ranks those doubles with lag tie-break — the float totally
+    orders identically cross-engine because every value is the same
+    fixed expression tree (the knn-cosine precedent).  Scale: one
+    lag-expanded equi-join (fan-out ≤ 36, never a band self-join — the
+    A48 measurement), one two-key reduce, rank window on the
+    |metrics|·35-row reduced relation."""
+    from pyspark.sql import Window
+
+    m = synthesize_metrics(spark, sf_dir).select(
+        "metric_name",
+        F.expr("unix_micros(time) div 3600000000").alias("bucket"),
+        F.col("metric_value").alias("v"),
+    )
+    per_bucket = m.groupBy("metric_name", "bucket").agg(F.sum("v").alias("y"))
+    w = Window.partitionBy("metric_name")
+    c = per_bucket.select(
+        "metric_name", "bucket", (F.col("y") - F.min("y").over(w)).alias("yc0")
+    ).select("metric_name", "bucket", F.expr("yc0 div 100").alias("yc"))
+    acf = acf_over_grid(c, _AP_MAX_LAG).filter(F.col("lag") >= _AP_MIN_LAG)
+    wr = Window.partitionBy("metric_name").orderBy(
+        F.desc_nulls_last("acf"), "lag"
+    )
+    ranked = acf.withColumn("rk", F.row_number().over(wr)).filter(
+        F.col("rk") <= 2
+    )
+    return (
+        ranked.groupBy("metric_name")
+        .agg(
+            F.max(F.when(F.col("rk") == 1, F.col("lag"))).alias("dominant_lag"),
+            F.max(F.when(F.col("rk") == 1, F.col("acf"))).alias("dominant_acf"),
+            F.max(F.when(F.col("rk") == 2, F.col("lag"))).alias("second_lag"),
+            F.max(F.when(F.col("rk") == 2, F.col("acf"))).alias("second_acf"),
+        )
+        .withColumn(
+            "is_daily",
+            (F.col("dominant_lag") >= 23) & (F.col("dominant_lag") <= 25),
+        )
+        .orderBy("metric_name")
+    )
+
+
+ORACLE_metric_autoperiod = f"""
+WITH m AS ({_SYN_SQL}),
+pb AS (
+    SELECT metric_name, epoch_us(time) // 3600000000 AS bucket,
+           CAST(sum(metric_value) AS BIGINT) AS y
+    FROM m GROUP BY 1, 2
+), c AS (
+    SELECT metric_name, bucket,
+           (y - min(y) OVER (PARTITION BY metric_name)) // 100 AS yc
+    FROM pb
+), pairs AS (
+    SELECT a.metric_name, b.bucket - a.bucket AS lag,
+           a.yc AS ya, b.yc AS yb
+    FROM c a JOIN c b
+      ON a.metric_name = b.metric_name
+     AND b.bucket > a.bucket AND b.bucket <= a.bucket + {_AP_MAX_LAG}
+), agg AS (
+    SELECT metric_name, lag, count(*) AS n,
+           CAST(sum(ya) AS BIGINT) AS sa, CAST(sum(yb) AS BIGINT) AS sb,
+           CAST(sum(ya * yb) AS BIGINT) AS sab,
+           CAST(sum(ya * ya) AS BIGINT) AS saa,
+           CAST(sum(yb * yb) AS BIGINT) AS sbb
+    FROM pairs GROUP BY 1, 2
+), r AS (
+    SELECT metric_name, lag,
+           CASE WHEN n * saa - sa * sa > 0 AND n * sbb - sb * sb > 0
+                THEN CAST(n * sab - sa * sb AS DOUBLE)
+                     / sqrt(CAST(n * saa - sa * sa AS DOUBLE)
+                            * CAST(n * sbb - sb * sb AS DOUBLE))
+                END AS acf
+    FROM agg
+    WHERE lag >= {_AP_MIN_LAG}
+), ranked AS (
+    SELECT metric_name, lag, acf,
+           row_number() OVER (PARTITION BY metric_name
+                              ORDER BY acf DESC NULLS LAST, lag) AS rk
+    FROM r
+    QUALIFY rk <= 2
+)
+SELECT metric_name,
+       CAST(max(CASE WHEN rk = 1 THEN lag END) AS BIGINT) AS dominant_lag,
+       max(CASE WHEN rk = 1 THEN acf END) AS dominant_acf,
+       CAST(max(CASE WHEN rk = 2 THEN lag END) AS BIGINT) AS second_lag,
+       max(CASE WHEN rk = 2 THEN acf END) AS second_acf,
+       max(CASE WHEN rk = 1 THEN lag END) BETWEEN 23 AND 25 AS is_daily
+FROM ranked
+GROUP BY metric_name
+ORDER BY metric_name
+"""

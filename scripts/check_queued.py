@@ -245,6 +245,11 @@ def queued():
             d.text_word_burstiness,
             d.ORACLE_text_word_burstiness,
         ),
+        # A102: ACF-argmax dominant period (the input A84 assumes)
+        "metric_autoperiod": (
+            m.metric_autoperiod,
+            m.ORACLE_metric_autoperiod,
+        ),
     }
 
 

@@ -1297,3 +1297,26 @@ def test_word_burstiness_invariants(spark):
     ]
     kth = sorted(eligible, reverse=True)[: len(rows)][-1]
     assert min(r["fano_ppm"] for r in rows) >= kth
+
+
+def test_autoperiod_invariants(spark):
+    from project_obsidian_core_spark.plans.metrics_queries import (
+        _AP_MAX_LAG,
+        _AP_MIN_LAG,
+        metric_autoperiod,
+    )
+
+    rows = metric_autoperiod(spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert _AP_MIN_LAG <= r["dominant_lag"] <= _AP_MAX_LAG
+        if r["second_lag"] is not None:
+            assert _AP_MIN_LAG <= r["second_lag"] <= _AP_MAX_LAG
+            assert r["second_lag"] != r["dominant_lag"]
+            # the ranking really is by acf with lag tie-break
+            assert (r["dominant_acf"], -r["dominant_lag"]) >= (
+                r["second_acf"], -r["second_lag"]
+            ) or r["dominant_acf"] > r["second_acf"]
+        assert r["is_daily"] == (23 <= r["dominant_lag"] <= 25)
+        if r["dominant_acf"] is not None:
+            assert -1.0 - 1e-9 <= r["dominant_acf"] <= 1.0 + 1e-9
