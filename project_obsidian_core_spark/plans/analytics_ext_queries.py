@@ -2751,7 +2751,9 @@ ORDER BY type_a, type_b
 _MK_ROUNDS = 12
 
 
-def events_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
+def events_markov_stationary(
+    spark: SparkSession, sf_dir: str, scale: int = 1_000_000
+) -> DataFrame:
     """A101: the stationary distribution of the A30 behavior chain —
     A30 reports WHERE users go next; the stationary π says where the
     process SPENDS ITS TIME in the long run (the PageRank of the
@@ -2770,7 +2772,13 @@ def events_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: the transition matrix is a ≤|types|²-row reduced relation
     (one user-keyed lead-window exchange builds it — the A30 plan);
     each unrolled round is a ≤|types|²-row broadcast join — the
-    iteration never touches the corpus again."""
+    iteration never touches the corpus again.  The FIXED-POINT SCALE
+    must grow with the state count: at ppm a 1000-state chain
+    truncates every `π_a·c div r` term to ~0 and the mass collapses
+    (soak-measured: total loss at ppm vs 3 ppm drift at 10¹² over 12
+    rounds on a 10⁶-row matrix — `scripts/soak_r13x.py`); pass
+    `scale=10**12` beyond a few hundred states.  The gated plan keeps
+    ppm (5 states)."""
     from pyspark.sql import Window
 
     ev = load(spark, sf_dir, "events")
@@ -2797,9 +2805,9 @@ def events_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
     pi = types.withColumn("n_t", F.count(F.lit(1)).over(n_types_w)).select(
         "event_type",
         (
-            F.expr("1000000 div n_t")
+            F.expr(f"{scale} div n_t")
             + F.when(
-                F.row_number().over(rank_w) <= F.expr("1000000 % n_t"), 1
+                F.row_number().over(rank_w) <= F.expr(f"{scale} % n_t"), 1
             ).otherwise(0)
         ).cast("long").alias("pi_ppm"),
     )
