@@ -2887,3 +2887,83 @@ ORDER BY event_type
 
 
 ORACLE_events_markov_stationary = _markov_stationary_oracle()
+
+
+# ---------- Q19: HDR-style log2 latency histogram (staged r13) -------------
+# Registration note: implemented + EXACT-verified round 13; REGISTRATION
+# staged to round 14 (the r13 gate window is exactly full at 6 new + the
+# 44-row r07 refresh).  The r14 registry block should add:
+#   ("qan_latency_log2_histogram", x.qan_latency_log2_histogram,
+#    x.ORACLE_qan_latency_log2_histogram)
+def qan_latency_log2_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q19: the HDR-histogram bucketing of per-digest latencies — bucket
+    = ⌊log₂(cents)⌋, the industry-standard latency shape (p50 and p999
+    live decades apart; linear bins like Q-family's value histogram
+    either blur the head or truncate the tail, log2 bins give constant
+    RELATIVE error and, crucially, MERGE by bucket-wise addition —
+    the rollup-friendly property Druid/HdrHistogram deployments rely
+    on).  Zero values land in a dedicated bucket −1.
+
+    Exactness: ⌊log₂⌋ is computed as `length(bin(c)) − 1` — a bit trick
+    on the exact integer, NO float log anywhere (log2's rounding is not
+    IEEE-guaranteed; binary-string length is); bounds are powers of two
+    (`shiftleft`), shares integer ppm.  Scale: one (digest, bucket)
+    map-side-combined aggregate — the same single exchange as any
+    rollup; ≤ 64 buckets per digest regardless of value range."""
+    ev = load(spark, sf_dir, "events")
+    b = ev.select(
+        F.col("event_type").alias("digest"),
+        cents("value").alias("c"),
+    ).withColumn(
+        "bucket",
+        F.when(F.col("c") <= 0, F.lit(-1)).otherwise(
+            F.length(F.expr("bin(c)")) - 1
+        ).cast("long"),
+    )
+    per_digest = b.groupBy("digest").agg(F.count(F.lit(1)).alias("n_digest"))
+    return (
+        b.groupBy("digest", "bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("c").alias("min_cents"),
+            F.max("c").alias("max_cents"),
+        )
+        .join(per_digest, "digest")
+        .select(
+            "digest",
+            "bucket",
+            F.when(F.col("bucket") < 0, F.lit(0))
+            .otherwise(F.expr("shiftleft(1L, cast(bucket as int))"))
+            .alias("lower_cents"),
+            "n",
+            "min_cents",
+            "max_cents",
+            F.expr("n * 1000000 div n_digest").alias("share_ppm"),
+        )
+        .orderBy("digest", "bucket")
+    )
+
+
+ORACLE_qan_latency_log2_histogram = """
+WITH b AS (
+    SELECT event_type AS digest,
+           CAST(round(value * 100, 0) AS BIGINT) AS c,
+           CASE WHEN CAST(round(value * 100, 0) AS BIGINT) <= 0 THEN -1
+                ELSE length(bin(CAST(round(value * 100, 0) AS BIGINT))) - 1
+           END AS bucket
+    FROM events
+), pd AS (
+    SELECT digest, CAST(count(*) AS BIGINT) AS n_digest
+    FROM b GROUP BY digest
+)
+SELECT b.digest, CAST(b.bucket AS BIGINT) AS bucket,
+       CAST(CASE WHEN b.bucket < 0 THEN 0
+                 ELSE 1 << b.bucket END AS BIGINT) AS lower_cents,
+       CAST(count(*) AS BIGINT) AS n,
+       min(b.c) AS min_cents,
+       max(b.c) AS max_cents,
+       CAST(count(*) * 1000000 // max(pd.n_digest) AS BIGINT) AS share_ppm
+FROM b JOIN pd USING (digest)
+GROUP BY b.digest, b.bucket
+ORDER BY digest, bucket
+"""

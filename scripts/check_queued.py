@@ -250,6 +250,12 @@ def queued():
             m.metric_autoperiod,
             m.ORACLE_metric_autoperiod,
         ),
+        # Q19: HDR-style log2 latency histogram (bit-trick floor-log2,
+        # no float log)
+        "qan_latency_log2_histogram": (
+            x.qan_latency_log2_histogram,
+            x.ORACLE_qan_latency_log2_histogram,
+        ),
     }
 
 

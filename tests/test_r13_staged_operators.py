@@ -1320,3 +1320,39 @@ def test_autoperiod_invariants(spark):
         assert r["is_daily"] == (23 <= r["dominant_lag"] <= 25)
         if r["dominant_acf"] is not None:
             assert -1.0 - 1e-9 <= r["dominant_acf"] <= 1.0 + 1e-9
+
+
+def test_log2_histogram_invariants(spark):
+    from pyspark.sql import functions as F
+
+    from project_obsidian_core_spark.plans.analytics_ext_queries import (
+        qan_latency_log2_histogram,
+    )
+    from project_obsidian_core_spark.plans.common import cents, load
+
+    rows = qan_latency_log2_histogram(spark, SF).collect()
+    assert rows
+    vals = (
+        load(spark, SF, "events")
+        .select(F.col("event_type").alias("d"), cents("value").alias("c"))
+        .collect()
+    )
+    per_digest = {}
+    for v in vals:
+        per_digest[v["d"]] = per_digest.get(v["d"], 0) + 1
+    seen = {}
+    for r in rows:
+        b = r["bucket"]
+        if b < 0:
+            assert r["lower_cents"] == 0
+            assert r["max_cents"] <= 0
+        else:
+            lo = 1 << b
+            assert r["lower_cents"] == lo
+            # every member sits inside [2^b, 2^(b+1))
+            assert lo <= r["min_cents"] <= r["max_cents"] < lo * 2
+        assert r["share_ppm"] == r["n"] * 1_000_000 // per_digest[r["digest"]]
+        seen[r["digest"]] = seen.get(r["digest"], 0) + r["n"]
+    # buckets partition each digest's values exactly (mergeable by
+    # bucket-wise addition = no row lost or double-counted)
+    assert seen == per_digest
