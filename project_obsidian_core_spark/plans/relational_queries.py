@@ -2951,3 +2951,105 @@ FROM both_
 QUALIFY partner_rank <= {_TRADE_TOPK}
 ORDER BY nation_a, partner_rank
 """
+
+
+# ------------------ A103: win-back cohorts (staged r13) --------------------
+# Registration note: implemented + EXACT-verified round 13; REGISTRATION
+# staged to round 14 (the r13 gate window is exactly full at 6 new + the
+# 44-row r07 refresh).  The r14 registry block should add:
+#   ("customer_winback", r.customer_winback,
+#    r.ORACLE_customer_winback)
+_WB_MIN_GAP_MONTHS = 3
+
+
+def customer_winback(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A103: the win-back report — every order that ends a dormancy of
+    ≥ 3 months, bucketed by how long the customer was gone (3-5 / 6-11
+    / 12+ months): the re-activation counterpart of `dormant_customers`
+    (who IS gone) and A85's cohort LTV (what actives are worth) — this
+    is what re-engagement campaigns are measured against, and the
+    recovered-revenue column prices whether chasing 12+-month dormants
+    is worth the discount that wakes them.
+
+    Exactness: month arithmetic as `year·12 + month` ints (the A85
+    rule, no interval semantics), gap via one lag window per customer,
+    cents sums, ppm only in the report.  Scale: one custkey-keyed
+    exchange (the window), a ≤3-row aggregate, 1-row broadcast total."""
+    ords = load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    gapped = (
+        ords.select(
+            "o_custkey",
+            "o_orderkey",
+            "o_orderdate",
+            cents("o_totalprice").alias("c"),
+            (
+                F.year("o_orderdate") * 12 + F.month("o_orderdate")
+            ).alias("ym"),
+        )
+        .withColumn("prev_ym", F.lag("ym", 1).over(w))
+        .filter(
+            F.col("prev_ym").isNotNull()
+            & (F.col("ym") - F.col("prev_ym") >= _WB_MIN_GAP_MONTHS)
+        )
+        .withColumn(
+            "dormancy_bucket",
+            F.when(F.col("ym") - F.col("prev_ym") <= 5, F.lit("03-05"))
+            .when(F.col("ym") - F.col("prev_ym") <= 11, F.lit("06-11"))
+            .otherwise(F.lit("12+")),
+        )
+    )
+    tot = gapped.agg(F.sum("c").alias("total_recovered"))
+    return (
+        gapped.groupBy("dormancy_bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_winbacks"),
+            F.countDistinct("o_custkey").alias("n_customers"),
+            F.sum("c").alias("recovered_cents"),
+            F.max(F.col("ym") - F.col("prev_ym")).cast("long").alias(
+                "longest_gap_months"
+            ),
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "dormancy_bucket",
+            "n_winbacks",
+            "n_customers",
+            "recovered_cents",
+            "longest_gap_months",
+            F.expr(
+                "recovered_cents * 1000000 div total_recovered"
+            ).alias("share_ppm"),
+        )
+        .orderBy("dormancy_bucket")
+    )
+
+
+ORACLE_customer_winback = f"""
+WITH gapped AS (
+    SELECT o_custkey, o_orderkey,
+           CAST(round(o_totalprice * 100, 0) AS BIGINT) AS c,
+           year(o_orderdate) * 12 + month(o_orderdate) AS ym,
+           lag(year(o_orderdate) * 12 + month(o_orderdate), 1)
+               OVER (PARTITION BY o_custkey
+                     ORDER BY o_orderdate, o_orderkey) AS prev_ym
+    FROM orders
+), wb AS (
+    SELECT *,
+           CASE WHEN ym - prev_ym <= 5 THEN '03-05'
+                WHEN ym - prev_ym <= 11 THEN '06-11'
+                ELSE '12+' END AS dormancy_bucket
+    FROM gapped
+    WHERE prev_ym IS NOT NULL AND ym - prev_ym >= {_WB_MIN_GAP_MONTHS}
+)
+SELECT dormancy_bucket,
+       CAST(count(*) AS BIGINT) AS n_winbacks,
+       CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_customers,
+       CAST(sum(c) AS BIGINT) AS recovered_cents,
+       CAST(max(ym - prev_ym) AS BIGINT) AS longest_gap_months,
+       CAST(sum(c) * 1000000 // (SELECT sum(c) FROM wb) AS BIGINT)
+           AS share_ppm
+FROM wb
+GROUP BY dormancy_bucket
+ORDER BY dormancy_bucket
+"""

@@ -256,6 +256,12 @@ def queued():
             x.qan_latency_log2_histogram,
             x.ORACLE_qan_latency_log2_histogram,
         ),
+        # A103: win-back cohorts by dormancy length (A85 month ints,
+        # one lag window)
+        "customer_winback": (
+            r.customer_winback,
+            r.ORACLE_customer_winback,
+        ),
     }
 
 

@@ -1356,3 +1356,43 @@ def test_log2_histogram_invariants(spark):
     # buckets partition each digest's values exactly (mergeable by
     # bucket-wise addition = no row lost or double-counted)
     assert seen == per_digest
+
+
+def test_winback_invariants(spark):
+    from project_obsidian_core_spark.plans.common import load
+    from project_obsidian_core_spark.plans.relational_queries import (
+        _WB_MIN_GAP_MONTHS,
+        customer_winback,
+    )
+
+    rows = customer_winback(spark, SF).collect()
+    assert rows
+    # python recompute
+    ords = sorted(
+        load(spark, SF, "orders").collect(),
+        key=lambda r: (r["o_custkey"], r["o_orderdate"], r["o_orderkey"]),
+    )
+    agg = {}
+    prev = {}
+    for o in ords:
+        ym = o["o_orderdate"].year * 12 + o["o_orderdate"].month
+        c = round(o["o_totalprice"] * 100)
+        p = prev.get(o["o_custkey"])
+        prev[o["o_custkey"]] = ym
+        if p is None or ym - p < _WB_MIN_GAP_MONTHS:
+            continue
+        gap = ym - p
+        b = "03-05" if gap <= 5 else "06-11" if gap <= 11 else "12+"
+        n, cust, cents_, mx = agg.get(b, (0, set(), 0, 0))
+        cust = set(cust)
+        cust.add(o["o_custkey"])
+        agg[b] = (n + 1, cust, cents_ + c, max(mx, gap))
+    total = sum(v[2] for v in agg.values())
+    assert len(rows) == len(agg)
+    for r in rows:
+        n, cust, cents_, mx = agg[r["dormancy_bucket"]]
+        assert r["n_winbacks"] == n
+        assert r["n_customers"] == len(cust)
+        assert r["recovered_cents"] == cents_
+        assert r["longest_gap_months"] == mx
+        assert r["share_ppm"] == cents_ * 1_000_000 // total
