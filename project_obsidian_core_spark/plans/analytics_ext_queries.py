@@ -1896,9 +1896,8 @@ ORDER BY event_type
 
 
 # ------------------ A87: KMV distinct-count sketch (staged r13) ------------
-# Registration note: implemented + EXACT-verified round 13; REGISTRATION
-# staged to round 14 (the r13 gate window is exactly full at 6 new + the
-# 44-row r07 refresh).  The r14 registry block should add:
+# Registration note: REGISTERED r14 (Block R14 queue drain; was staged
+# round 13 when that gate window closed full).  Registry row:
 #   ("events_kmv_distinct", x.events_kmv_distinct,
 #    x.ORACLE_events_kmv_distinct)
 _KMV_K = 64
@@ -2020,9 +2019,8 @@ ORDER BY event_type
 
 
 # --------------- A88: count-min sketch heavy hitters (staged r13) ----------
-# Registration note: implemented + EXACT-verified round 13; REGISTRATION
-# staged to round 14 (the r13 gate window is exactly full at 6 new + the
-# 44-row r07 refresh).  The r14 registry block should add:
+# Registration note: REGISTERED r14 (Block R14 queue drain; was staged
+# round 13 when that gate window closed full).  Registry row:
 #   ("events_cms_heavy", x.events_cms_heavy,
 #    x.ORACLE_events_cms_heavy)
 _CMS_D = 4  # hash rows
@@ -2175,9 +2173,8 @@ ORDER BY e.cms_est DESC, t.key
 
 
 # ---------------- A89: CUPED variance-reduced A/B means (staged r13) -------
-# Registration note: implemented + EXACT-verified round 13; REGISTRATION
-# staged to round 14 (the r13 gate window is exactly full at 6 new + the
-# 44-row r07 refresh).  The r14 registry block should add:
+# Registration note: REGISTERED r14 (Block R14 queue drain; was staged
+# round 13 when that gate window closed full).  Registry row:
 #   ("events_cuped", x.events_cuped,
 #    x.ORACLE_events_cuped)
 #: pre-period / experiment-period boundary (2024-01-16 00:00 UTC)
@@ -2317,9 +2314,8 @@ ORDER BY g.variant
 
 
 # ------------------ A95: price index (Laspeyres/Paasche/Fisher) -----------
-# Registration note: implemented + EXACT-verified round 13; REGISTRATION
-# staged to round 14 (the r13 gate window is exactly full at 6 new + the
-# 44-row r07 refresh).  The r14 registry block should add:
+# Registration note: REGISTERED r14 (Block R14 queue drain; was staged
+# round 13 when that gate window closed full).  Registry row:
 #   ("part_price_index", x.part_price_index,
 #    x.ORACLE_part_price_index)
 _IDX_CUTOFF = "1998-01-01"
@@ -2425,9 +2421,8 @@ FROM agg
 
 
 # ---------- A98: Syntetos-Boylan demand classification (staged r13) --------
-# Registration note: implemented + EXACT-verified round 13; REGISTRATION
-# staged to round 14 (the r13 gate window is exactly full at 6 new + the
-# 44-row r07 refresh).  The r14 registry block should add:
+# Registration note: REGISTERED r14 (Block R14 queue drain; was staged
+# round 13 when that gate window closed full).  Registry row:
 #   ("part_demand_classes", x.part_demand_classes,
 #    x.ORACLE_part_demand_classes)
 #: Syntetos-Boylan cutoffs as exact rationals: ADI 1.32, CV² 0.49
@@ -2545,9 +2540,8 @@ ORDER BY l_partkey
 
 
 # ----------- A99: KMV set-operation estimates (staged r13) -----------------
-# Registration note: implemented + EXACT-verified round 13; REGISTRATION
-# staged to round 14 (the r13 gate window is exactly full at 6 new + the
-# 44-row r07 refresh).  The r14 registry block should add:
+# Registration note: REGISTERED r14 (Block R14 queue drain; was staged
+# round 13 when that gate window closed full).  Registry row:
 #   ("events_kmv_setops", x.events_kmv_setops,
 #    x.ORACLE_events_kmv_setops)
 def events_kmv_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2743,9 +2737,8 @@ ORDER BY type_a, type_b
 
 
 # ------- A101: Markov stationary distribution (staged r13) -----------------
-# Registration note: implemented + EXACT-verified round 13; REGISTRATION
-# staged to round 14 (the r13 gate window is exactly full at 6 new + the
-# 44-row r07 refresh).  The r14 registry block should add:
+# Registration note: REGISTERED r14 (Block R14 queue drain; was staged
+# round 13 when that gate window closed full).  Registry row:
 #   ("events_markov_stationary", x.events_markov_stationary,
 #    x.ORACLE_events_markov_stationary)
 _MK_ROUNDS = 12
@@ -2890,9 +2883,8 @@ ORACLE_events_markov_stationary = _markov_stationary_oracle()
 
 
 # ---------- Q19: HDR-style log2 latency histogram (staged r13) -------------
-# Registration note: implemented + EXACT-verified round 13; REGISTRATION
-# staged to round 14 (the r13 gate window is exactly full at 6 new + the
-# 44-row r07 refresh).  The r14 registry block should add:
+# Registration note: REGISTERED r14 (Block R14 queue drain; was staged
+# round 13 when that gate window closed full).  Registry row:
 #   ("qan_latency_log2_histogram", x.qan_latency_log2_histogram,
 #    x.ORACLE_qan_latency_log2_histogram)
 def qan_latency_log2_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -1419,9 +1419,8 @@ ORDER BY week
 
 
 # -------------- A92: ABC class migration matrix (staged r13) --------------
-# Registration note: implemented + EXACT-verified round 13; REGISTRATION
-# staged to round 14 (the r13 gate window is exactly full at 6 new + the
-# 44-row r07 refresh).  The r14 registry block should add:
+# Registration note: REGISTERED r14 (Block R14 queue drain; was staged
+# round 13 when that gate window closed full).  Registry row:
 #   ("customer_abc_migration", b.customer_abc_migration,
 #    b.ORACLE_customer_abc_migration)
 _ABC_MIG_CUTOFF = "1999-01-01"
@@ -1551,9 +1550,8 @@ ORDER BY class_from, class_to
 
 
 # ----------- A96: U-shaped multi-touch attribution (staged r13) -----------
-# Registration note: implemented + EXACT-verified round 13; REGISTRATION
-# staged to round 14 (the r13 gate window is exactly full at 6 new + the
-# 44-row r07 refresh).  The r14 registry block should add:
+# Registration note: REGISTERED r14 (Block R14 queue drain; was staged
+# round 13 when that gate window closed full).  Registry row:
 #   ("events_attribution_ushape", b.events_attribution_ushape,
 #    b.ORACLE_events_attribution_ushape)
 #: raising pre-flight cap on the hottest user's touch x purchase product

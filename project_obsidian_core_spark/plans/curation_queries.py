@@ -1244,9 +1244,8 @@ ORDER BY d.doc_id
 
 
 # ---------------- V3: vocabulary coverage curve (staged r13) --------------
-# Registration note: implemented + EXACT-verified round 13; REGISTRATION
-# staged to round 14 (the r13 gate window is exactly full at 6 new + the
-# 44-row r07 refresh).  The r14 registry block should add:
+# Registration note: REGISTERED r14 (Block R14 queue drain; was staged
+# round 13 when that gate window closed full).  Registry row:
 #   ("vocab_coverage_curve", c.vocab_coverage_curve,
 #    c.ORACLE_vocab_coverage_curve)
 _COV_CHECKPOINTS = (8, 16, 32, 64, 128, 256, 512, 1024)

@@ -3391,9 +3391,8 @@ ORDER BY doc_a, doc_b
 
 
 # ------------------- N19: int8 scalar quantization audit (staged r13) ------
-# Registration note: implemented + EXACT-verified round 13; REGISTRATION
-# staged to round 14 (the r13 gate window is exactly full at 6 new + the
-# 44-row r07 refresh).  The r14 registry block should add:
+# Registration note: REGISTERED r14 (Block R14 queue drain; was staged
+# round 13 when that gate window closed full).  Registry row:
 #   ("embedding_sq8", d.embedding_sq8,
 #    d.ORACLE_embedding_sq8)
 _SQ_LEVELS = 256
@@ -3518,9 +3517,8 @@ ORDER BY dim
 
 
 # ---------------------- M13: difference-hash report (staged r13) -----------
-# Registration note: implemented + EXACT-verified round 13; REGISTRATION
-# staged to round 14 (the r13 gate window is exactly full at 6 new + the
-# 44-row r07 refresh).  The r14 registry block should add:
+# Registration note: REGISTERED r14 (Block R14 queue drain; was staged
+# round 13 when that gate window closed full).  Registry row:
 #   ("media_dhash", d.media_dhash,
 #    d.ORACLE_media_dhash)
 def media_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3586,9 +3584,8 @@ ORDER BY doc_id
 
 
 # ---------------------- X-family: RAKE keywords (staged r13) ---------------
-# Registration note: implemented + EXACT-verified round 13; REGISTRATION
-# staged to round 14 (the r13 gate window is exactly full at 6 new + the
-# 44-row r07 refresh).  The r14 registry block should add:
+# Registration note: REGISTERED r14 (Block R14 queue drain; was staged
+# round 13 when that gate window closed full).  Registry row:
 #   ("text_rake_keywords", d.text_rake_keywords,
 #    d.ORACLE_text_rake_keywords)
 _RAKE_TOPK = 25
@@ -3722,9 +3719,8 @@ ORDER BY kw_rank
 
 
 # ------------------ N20: Matryoshka prefix-dim recall (staged r13) ---------
-# Registration note: implemented + EXACT-verified round 13; REGISTRATION
-# staged to round 14 (the r13 gate window is exactly full at 6 new + the
-# 44-row r07 refresh).  The r14 registry block should add:
+# Registration note: REGISTERED r14 (Block R14 queue drain; was staged
+# round 13 when that gate window closed full).  Registry row:
 #   ("knn_prefix_recall", d.knn_prefix_recall,
 #    d.ORACLE_knn_prefix_recall)
 _PREFIX_DIM = 16
@@ -3814,9 +3810,8 @@ ORACLE_knn_prefix_recall = _prefix_recall_oracle()
 
 
 # ---------------- N21: per-label centroid drift audit (staged r13) ---------
-# Registration note: implemented + EXACT-verified round 13; REGISTRATION
-# staged to round 14 (the r13 gate window is exactly full at 6 new + the
-# 44-row r07 refresh).  The r14 registry block should add:
+# Registration note: REGISTERED r14 (Block R14 queue drain; was staged
+# round 13 when that gate window closed full).  Registry row:
 #   ("embedding_centroid_drift", d.embedding_centroid_drift,
 #    d.ORACLE_embedding_centroid_drift)
 def embedding_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3902,9 +3897,8 @@ ORDER BY a.label
 
 
 # ------------- D26: cross-source near-dup matrix (staged r13) --------------
-# Registration note: implemented + EXACT-verified round 13; REGISTRATION
-# staged to round 14 (the r13 gate window is exactly full at 6 new + the
-# 44-row r07 refresh).  The r14 registry block should add:
+# Registration note: REGISTERED r14 (Block R14 queue drain; was staged
+# round 13 when that gate window closed full).  Registry row:
 #   ("dedup_source_matrix", d.dedup_source_matrix,
 #    d.ORACLE_dedup_source_matrix)
 def dedup_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3986,9 +3980,8 @@ ORACLE_dedup_source_matrix = _source_matrix_oracle()
 
 
 # ------------- X29: word burstiness / Fano factors (staged r13) ------------
-# Registration note: implemented + EXACT-verified round 13; REGISTRATION
-# staged to round 14 (the r13 gate window is exactly full at 6 new + the
-# 44-row r07 refresh).  The r14 registry block should add:
+# Registration note: REGISTERED r14 (Block R14 queue drain; was staged
+# round 13 when that gate window closed full).  Registry row:
 #   ("text_word_burstiness", d.text_word_burstiness,
 #    d.ORACLE_text_word_burstiness)
 _BURST_TOPK = 30

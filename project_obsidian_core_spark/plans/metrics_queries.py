@@ -2904,9 +2904,8 @@ ORDER BY metric_name
 
 
 # --------------------- A84: additive seasonal decomposition (staged r13) ---
-# Registration note: implemented + EXACT-verified round 13; REGISTRATION
-# staged to round 14 (the r13 gate window is exactly full at 6 new + the
-# 44-row r07 refresh).  The r14 registry block should add:
+# Registration note: REGISTERED r14 (Block R14 queue drain; was staged
+# round 13 when that gate window closed full).  Registry row:
 #   ("metric_seasonal_decompose", m.metric_seasonal_decompose,
 #    m.ORACLE_metric_seasonal_decompose)
 def metric_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3015,9 +3014,8 @@ ORDER BY metric_name, bucket
 
 
 # ----------------------- A86: winsorized robust stats (staged r13) --------
-# Registration note: implemented + EXACT-verified round 13; REGISTRATION
-# staged to round 14 (the r13 gate window is exactly full at 6 new + the
-# 44-row r07 refresh).  The r14 registry block should add:
+# Registration note: REGISTERED r14 (Block R14 queue drain; was staged
+# round 13 when that gate window closed full).  Registry row:
 #   ("metric_winsorize", m.metric_winsorize,
 #    m.ORACLE_metric_winsorize)
 _WINS_LO_PCT = 5
@@ -3134,9 +3132,8 @@ ORDER BY metric_name
 
 
 # ------------- A90: symbolic series + motif discovery (staged r13) --------
-# Registration note: implemented + EXACT-verified round 13; REGISTRATION
-# staged to round 14 (the r13 gate window is exactly full at 6 new + the
-# 44-row r07 refresh).  The r14 registry block should add:
+# Registration note: REGISTERED r14 (Block R14 queue drain; was staged
+# round 13 when that gate window closed full).  Registry row:
 #   ("metric_sax_motifs", m.metric_sax_motifs,
 #    m.ORACLE_metric_sax_motifs)
 _SAX_ALPHA = 4  # alphabet size (equi-depth quartile symbols)
@@ -3258,9 +3255,8 @@ ORDER BY metric_name, motif_rank
 
 
 # -------------- A94: Holt forecast backtest (staged r13) ------------------
-# Registration note: implemented + EXACT-verified round 13; REGISTRATION
-# staged to round 14 (the r13 gate window is exactly full at 6 new + the
-# 44-row r07 refresh).  The r14 registry block should add:
+# Registration note: REGISTERED r14 (Block R14 queue drain; was staged
+# round 13 when that gate window closed full).  Registry row:
 #   ("metric_forecast_backtest", m.metric_forecast_backtest,
 #    m.ORACLE_metric_forecast_backtest)
 _BT_TEST_FRAC_NUM, _BT_TEST_FRAC_DEN = 1, 5  # last 20% of buckets held out
@@ -3412,9 +3408,8 @@ ORDER BY metric_name
 
 
 # ----------- A100: SPC control-chart rules (staged r13) -------------------
-# Registration note: implemented + EXACT-verified round 13; REGISTRATION
-# staged to round 14 (the r13 gate window is exactly full at 6 new + the
-# 44-row r07 refresh).  The r14 registry block should add:
+# Registration note: REGISTERED r14 (Block R14 queue drain; was staged
+# round 13 when that gate window closed full).  Registry row:
 #   ("metric_spc_rules", m.metric_spc_rules,
 #    m.ORACLE_metric_spc_rules)
 _SPC_RUN = 9  # Western Electric / Nelson rule-4 run length
@@ -3522,9 +3517,8 @@ ORDER BY metric_name, bucket
 
 
 # ---------------- A102: dominant-period detection (staged r13) -------------
-# Registration note: implemented + EXACT-verified round 13; REGISTRATION
-# staged to round 14 (the r13 gate window is exactly full at 6 new + the
-# 44-row r07 refresh).  The r14 registry block should add:
+# Registration note: REGISTERED r14 (Block R14 queue drain; was staged
+# round 13 when that gate window closed full).  Registry row:
 #   ("metric_autoperiod", m.metric_autoperiod,
 #    m.ORACLE_metric_autoperiod)
 _AP_MAX_LAG = 36

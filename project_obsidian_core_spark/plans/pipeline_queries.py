@@ -869,9 +869,8 @@ ORDER BY rates.source
 
 
 # ---------------- P15: largest-remainder quota apportionment (staged r13) --
-# Registration note: implemented + EXACT-verified round 13; REGISTRATION
-# staged to round 14 (the r13 gate window is exactly full at 6 new + the
-# 44-row r07 refresh).  The r14 registry block should add:
+# Registration note: REGISTERED r14 (Block R14 queue drain; was staged
+# round 13 when that gate window closed full).  Registry row:
 #   ("corpus_quota_apportion", pl.corpus_quota_apportion,
 #    pl.ORACLE_corpus_quota_apportion)
 _QUOTA_TOTAL = 10_000
@@ -972,9 +971,8 @@ ORDER BY source, lang
 
 
 # -------------------- P16: token-budget epoch plan (staged r13) -----------
-# Registration note: implemented + EXACT-verified round 13; REGISTRATION
-# staged to round 14 (the r13 gate window is exactly full at 6 new + the
-# 44-row r07 refresh).  The r14 registry block should add:
+# Registration note: REGISTERED r14 (Block R14 queue drain; was staged
+# round 13 when that gate window closed full).  Registry row:
 #   ("corpus_epoch_plan", pl.corpus_epoch_plan,
 #    pl.ORACLE_corpus_epoch_plan)
 _EPOCH_BUDGET_TOKENS = 2_000_000
@@ -1085,9 +1083,8 @@ ORDER BY source
 
 
 # ------------- P17: exact-count stratified sample (staged r13) ------------
-# Registration note: implemented + EXACT-verified round 13; REGISTRATION
-# staged to round 14 (the r13 gate window is exactly full at 6 new + the
-# 44-row r07 refresh).  The r14 registry block should add:
+# Registration note: REGISTERED r14 (Block R14 queue drain; was staged
+# round 13 when that gate window closed full).  Registry row:
 #   ("corpus_stratified_exact", pl.corpus_stratified_exact,
 #    pl.ORACLE_corpus_stratified_exact)
 _STRAT_SALT = "stratx"

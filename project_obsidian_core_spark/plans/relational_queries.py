@@ -2508,9 +2508,8 @@ ORDER BY value_cents DESC, p_partkey
 
 
 # ----------------------- A85: cohort LTV curve (staged r13 for r14) -------
-# Registration note: implemented + EXACT-verified round 13; REGISTRATION
-# staged to round 14 (the r13 gate window is exactly full at 6 new + the
-# 44-row r07 refresh).  The r14 registry block should add:
+# Registration note: REGISTERED r14 (Block R14 queue drain; was staged
+# round 13 when that gate window closed full).  Registry row:
 #   ("customer_cohort_ltv", r.customer_cohort_ltv,
 #    r.ORACLE_customer_cohort_ltv)
 def customer_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2609,9 +2608,8 @@ ORDER BY cohort_ym, age_months
 
 
 # ----------------- A91: decile gains / lift table (staged r13) ------------
-# Registration note: implemented + EXACT-verified round 13; REGISTRATION
-# staged to round 14 (the r13 gate window is exactly full at 6 new + the
-# 44-row r07 refresh).  The r14 registry block should add:
+# Registration note: REGISTERED r14 (Block R14 queue drain; was staged
+# round 13 when that gate window closed full).  Registry row:
 #   ("customer_decile_lift", r.customer_decile_lift,
 #    r.ORACLE_customer_decile_lift)
 #: score-period / holdout-period boundary (1999-01-01)
@@ -2739,9 +2737,8 @@ ORDER BY decile
 
 
 # ------------------- A93: open-order aging buckets (staged r13) -----------
-# Registration note: implemented + EXACT-verified round 13; REGISTRATION
-# staged to round 14 (the r13 gate window is exactly full at 6 new + the
-# 44-row r07 refresh).  The r14 registry block should add:
+# Registration note: REGISTERED r14 (Block R14 queue drain; was staged
+# round 13 when that gate window closed full).  Registry row:
 #   ("orders_aging_buckets", r.orders_aging_buckets,
 #    r.ORACLE_orders_aging_buckets)
 _AGING_ASOF = "2001-09-01"
@@ -2822,9 +2819,8 @@ ORDER BY age_bucket, o_orderpriority
 
 
 # ------------- A97: nation trade-profile similarity (staged r13) ----------
-# Registration note: implemented + EXACT-verified round 13; REGISTRATION
-# staged to round 14 (the r13 gate window is exactly full at 6 new + the
-# 44-row r07 refresh).  The r14 registry block should add:
+# Registration note: REGISTERED r14 (Block R14 queue drain; was staged
+# round 13 when that gate window closed full).  Registry row:
 #   ("nation_trade_similarity", r.nation_trade_similarity,
 #    r.ORACLE_nation_trade_similarity)
 _TRADE_UNIT = 100_000  # cents -> ~k$ cells: keeps dot products int64-safe
@@ -2954,9 +2950,8 @@ ORDER BY nation_a, partner_rank
 
 
 # ------------------ A103: win-back cohorts (staged r13) --------------------
-# Registration note: implemented + EXACT-verified round 13; REGISTRATION
-# staged to round 14 (the r13 gate window is exactly full at 6 new + the
-# 44-row r07 refresh).  The r14 registry block should add:
+# Registration note: REGISTERED r14 (Block R14 queue drain; was staged
+# round 13 when that gate window closed full).  Registry row:
 #   ("customer_winback", r.customer_winback,
 #    r.ORACLE_customer_winback)
 _WB_MIN_GAP_MONTHS = 3

@@ -2486,9 +2486,8 @@ def stream_mannwhitney(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------- T33: streaming count-min sketch (staged r13) ------------
-# Registration note: implemented + EXACT-verified round 13; REGISTRATION
-# staged to round 14 (the r13 gate window is exactly full at 6 new + the
-# 44-row r07 refresh).  The r14 registry block should add:
+# Registration note: REGISTERED r14 (Block R14 queue drain; was staged
+# round 13 when that gate window closed full).  Registry row:
 #   ("stream_cms_heavy", st.stream_cms_heavy,
 #    x.ORACLE_events_cms_heavy)   # the A88 batch oracle, verbatim
 def stream_cms_heavy(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2538,9 +2537,8 @@ def stream_cms_heavy(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------- T34: streaming KMV distinct sketch (staged r13) ----------
-# Registration note: implemented + EXACT-verified round 13; REGISTRATION
-# staged to round 14 (the r13 gate window is exactly full at 6 new + the
-# 44-row r07 refresh).  The r14 registry block should add:
+# Registration note: REGISTERED r14 (Block R14 queue drain; was staged
+# round 13 when that gate window closed full).  Registry row:
 #   ("stream_kmv_distinct", st.stream_kmv_distinct,
 #    x.ORACLE_events_kmv_distinct)   # the A87 batch oracle, verbatim
 def stream_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2659,9 +2657,8 @@ def stream_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # -------------- T35: streaming last-touch attribution (staged r13) ---------
-# Registration note: implemented + EXACT-verified round 13; REGISTRATION
-# staged to round 14 (the r13 gate window is exactly full at 6 new + the
-# 44-row r07 refresh).  The r14 registry block should add:
+# Registration note: REGISTERED r14 (Block R14 queue drain; was staged
+# round 13 when that gate window closed full).  Registry row:
 #   ("stream_attribution", st.stream_attribution,
 #    b.ORACLE_events_attribution)   # the A28 batch oracle, verbatim
 def stream_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2748,9 +2745,8 @@ def stream_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------- T36: streaming SPC rules (staged r13) --------------------
-# Registration note: implemented + EXACT-verified round 13; REGISTRATION
-# staged to round 14 (the r13 gate window is exactly full at 6 new + the
-# 44-row r07 refresh).  The r14 registry block should add:
+# Registration note: REGISTERED r14 (Block R14 queue drain; was staged
+# round 13 when that gate window closed full).  Registry row:
 #   ("stream_spc_rules", st.stream_spc_rules,
 #    m.ORACLE_metric_spc_rules)   # the A100 batch oracle, verbatim
 def stream_spc_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
