@@ -63,7 +63,28 @@ def build_session(
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    _silence_bounded_window_warning(spark)
     return spark
+
+
+def _silence_bounded_window_warning(spark: SparkSession) -> None:
+    """Pin the WindowExec logger to ERROR.
+
+    Every unpartitioned window in this package runs on a proven-bounded
+    reduction (aggregate / distinct grid / ≤n_shards table) — the
+    whitelist with per-site rationale is tests/test_global_window_whitelist.py,
+    which fails on any NEW global-window site.  With boundedness enforced
+    there, the per-query "No Partition Defined" WARN is pure noise
+    (hundreds of lines per bench run) that buries real warnings.
+    """
+    try:
+        jvm = spark.sparkContext._jvm
+        jvm.org.apache.logging.log4j.core.config.Configurator.setLevel(
+            "org.apache.spark.sql.execution.window.WindowExec",
+            jvm.org.apache.logging.log4j.Level.ERROR,
+        )
+    except Exception:  # pragma: no cover - non-log4j2 runtime; warning stays
+        pass
 
 
 def pin_session_defaults(spark: SparkSession) -> SparkSession:
