@@ -254,6 +254,25 @@ def lsh_topk(
     return _topk(_scored(qb, eb, join_on="bucket"), k)
 
 
+def lsh_topk_selfquery(
+    emb: DataFrame,
+    query_pred: Column,
+    k: int = 10,
+    bits: int = LSH_BITS,
+    dim: int = DIM,
+) -> DataFrame:
+    """:func:`lsh_topk` when the queries ARE rows of ``emb`` (the common
+    kNN-of-the-corpus shape): the bucket expression is computed ONCE on the
+    single scan and the query side is a filter of it, instead of two scans
+    each paying the 2^bits-term hash expression.  Same output, same oracle
+    — one fewer source scan in the plan (r13 verdict Next #3)."""
+    eb = emb.withColumn("bucket", lsh_bucket("embedding", bits, dim))
+    qb = eb.filter(query_pred).withColumn(
+        "bucket", F.explode(probe_buckets("bucket", bits))
+    )
+    return _topk(_scored(qb, eb, join_on="bucket"), k)
+
+
 def ivf_seeds(emb: DataFrame, label_col: str = "label") -> DataFrame:
     """Deterministic coarse quantizer: the min-vec_id vector of each label."""
     w = Window.partitionBy(label_col).orderBy("vec_id")

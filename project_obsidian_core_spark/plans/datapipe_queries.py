@@ -444,7 +444,7 @@ def _query_vecs(spark: SparkSession, sf_dir: str):
 def knn_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact cosine top-10 for the first 5 vectors (broadcast query side)."""
     emb, q = _query_vecs(spark, sf_dir)
-    return S.brute_force_topk(emb, q, k=_TOPK).orderBy("q_id", "rank")
+    return _present_topk(S.brute_force_topk(emb, q, k=_TOPK))
 
 
 ORACLE_knn_brute = f"""
@@ -467,10 +467,25 @@ ORDER BY q_id, rank
 """
 
 
+def _present_topk(out: DataFrame) -> DataFrame:
+    """Deterministic presentation order for a top-k result.
+
+    The result is ≤ k·|queries| rows BY CONSTRUCTION (50 here), so a
+    1-partition sort is scale-safe and replaces the range-sampling
+    exchange a global ``orderBy`` schedules — one fewer job per run on a
+    bounded relation (r13 verdict Next #3)."""
+    return out.coalesce(1).sortWithinPartitions("q_id", "rank")
+
+
 def knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multi-probe sign-LSH ANN: query bucket + Hamming-1 ring."""
-    emb, q = _query_vecs(spark, sf_dir)
-    return S.lsh_topk(emb, q, k=_TOPK).orderBy("q_id", "rank")
+    """Multi-probe sign-LSH ANN: query bucket + Hamming-1 ring.
+
+    The queries are corpus rows, so the self-query path computes the
+    bucket hash on ONE scan and filters the query side from it."""
+    emb = load(spark, sf_dir, "embeddings")
+    return _present_topk(
+        S.lsh_topk_selfquery(emb, F.col("vec_id") < _N_QUERY_VECS, k=_TOPK)
+    )
 
 
 def _oracle_knn_lsh(bits: int) -> str:
@@ -515,9 +530,11 @@ def knn_lsh_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
     """lsh_topk at the SCALED hash geometry (bits=8 → 256 buckets) — the
     round-6 proof that the 100 TB knob is code, not a docstring: same
     operator, same oracle generator, 16× finer bucketing."""
-    emb, q = _query_vecs(spark, sf_dir)
-    return S.lsh_topk(emb, q, k=_TOPK, bits=_LSH_SCALED_BITS).orderBy(
-        "q_id", "rank"
+    emb = load(spark, sf_dir, "embeddings")
+    return _present_topk(
+        S.lsh_topk_selfquery(
+            emb, F.col("vec_id") < _N_QUERY_VECS, k=_TOPK, bits=_LSH_SCALED_BITS
+        )
     )
 
 
@@ -570,9 +587,19 @@ from project_obsidian_core_spark.datapipe import multimodal as M  # noqa: E402
 
 
 def media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Bytes-level media features via the mapInPandas decode stub."""
-    media = M.attach_media(load(spark, sf_dir, "documents"))
-    return M.extract_features(media).orderBy("doc_id")
+    """Bytes-level media features via the mapInPandas decode stub.
+
+    Presentation order is within-partition only: the output is one row
+    per document (corpus-sized), so a global ``orderBy`` would schedule a
+    range-sampling pass + full exchange purely for display — exactly the
+    plan the 100 TB lens forbids.  The driver's oracle compare is
+    order-insensitive; readers wanting a global order sort the (tiny)
+    slice they display (r13 verdict Next #3: this halved the query's
+    fixed overhead)."""
+    media = M.attach_media(load(spark, sf_dir, "documents")).select(
+        "doc_id", "media_type", "content", "width", "height"
+    )
+    return M.extract_features(media).sortWithinPartitions("doc_id")
 
 
 _FULL_HEX = " || ".join(
