@@ -1101,6 +1101,16 @@ _ENTRIES: list[tuple[str, QueryFn, str | None]] = [
     ),
     # A103: win-back cohorts by dormancy length (A85 month ints)
     ("customer_winback", r.customer_winback, r.ORACLE_customer_winback),
+    # ------------------------------------------------------------------
+    # Block R14b — new round-14 work (no official row yet).
+    # T37: streaming seasonal decomposition — gated on the A84 batch
+    # oracle verbatim (r13 verdict Next #5: A84's governor-style
+    # consumers are streaming; the live path needed its own gate)
+    (
+        "stream_seasonal_decompose",
+        st.stream_seasonal_decompose,
+        m.ORACLE_metric_seasonal_decompose,
+    ),
 ]
 
 # ----------------------------------------------------------------------

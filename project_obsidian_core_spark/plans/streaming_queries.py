@@ -2810,3 +2810,71 @@ def stream_spc_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     return latest.select(
         "metric_name", "bucket", "value_dollars", "side", "rule1", "rule4"
     ).orderBy("metric_name", "bucket")
+
+
+# Registration note: REGISTERED r14 (Block R14b — built and gated this
+# round; the r13 verdict's Next #5).  Registry row:
+#   ("stream_seasonal_decompose", st.stream_seasonal_decompose,
+#    m.ORACLE_metric_seasonal_decompose)
+def stream_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T37: the A84 additive trend/seasonal decomposition served LIVE —
+    the bucket-sum state family's second GLOBAL-statistic member after
+    SPC (T36): a late bucket shifts the positional 25-row trend window
+    of its neighbors and the per-hour-of-day seasonal means, so every
+    version re-emits the metric's full decomposition and the drain
+    keeps the max version.  Gated on the batch
+    `metric_seasonal_decompose` oracle verbatim: the emit-time
+    re-derivation and the window formulation are the same operator
+    (r13 verdict Next #5 — its governor-style consumers are streaming,
+    the batch twin alone left the live path unproven)."""
+    from project_obsidian_core_spark.plans.metrics_queries import HIT, READ
+    from project_obsidian_core_spark.streaming.sequence_state import (
+        streaming_seasonal,
+    )
+
+    run = next(_RUN_IDS)
+    src = _events_src(spark, sf_dir, run)
+    schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "4")
+        .parquet(src)
+    )
+    name_col = (
+        F.when(F.col("event_type") == "view", F.lit(HIT))
+        .when(F.col("event_type") == "click", F.lit(READ))
+        .otherwise(F.concat(F.lit("postgresql."), F.col("event_type")))
+    )
+    keyed = stream.select(
+        name_col.alias("metric_name"),
+        F.expr("unix_micros(ts) div 3600000000").alias("bucket"),
+        F.col("cents").alias("v"),
+    )
+    out = streaming_seasonal(keyed)
+    name = f"stream_seasonal_{run}"
+    tmp = tempfile.mkdtemp(prefix=f"obsidian_seasonal_{run}_")
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            out.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .option("checkpointLocation", f"{tmp}/ckpt")
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+
+    emitted = spark.table(name)
+    wmax = Window.partitionBy("metric_name")
+    latest = emitted.withColumn(
+        "_vmax", F.max("version").over(wmax)
+    ).filter(F.col("version") == F.col("_vmax"))
+    return latest.select(
+        "metric_name", "bucket", "v", "trend_sum25", "n_win", "detr25",
+        "hod", "seasonal",
+    ).orderBy("metric_name", "bucket")

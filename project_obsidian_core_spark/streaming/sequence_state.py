@@ -2264,3 +2264,131 @@ def streaming_spc(stream: DataFrame) -> DataFrame:
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# ------------------------------------------------------------ T37 ---------
+SEASONAL_OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("metric_name", T.StringType()),
+        T.StructField("bucket", T.LongType()),
+        T.StructField("v", T.LongType()),
+        T.StructField("trend_sum25", T.LongType()),
+        T.StructField("n_win", T.LongType()),
+        T.StructField("detr25", T.LongType()),
+        T.StructField("hod", T.LongType()),
+        T.StructField("seasonal", T.DoubleType()),
+        T.StructField("version", T.LongType()),
+    ]
+)
+
+#: must match the batch A84 window half-width (rowsBetween(-12, 12))
+SEASONAL_HALF = 12
+
+
+def seasonal_from_series(buckets: list[int], sums: list[int]):
+    """A84's additive decomposition re-derived from the bucket-sum state
+    — the same formulas as the batch plan, verbatim: trend = 25-row
+    POSITIONAL centered sum over the present-bucket sequence, detrended
+    value in exact ints (25·v − trend_sum25, only where the window is
+    full), seasonal = per-hour-of-day mean of the detrended values as
+    ONE IEEE division of exact-int aggregates.  Emits one row per
+    present bucket: (bucket, v, trend_sum25, n_win, detr25, hod,
+    seasonal)."""
+    n = len(buckets)
+    h = SEASONAL_HALF
+    trend = []
+    for i in range(n):
+        lo, hi = max(0, i - h), min(n, i + h + 1)
+        trend.append((sum(sums[lo:hi]), hi - lo))
+    detr = [
+        25 * sums[i] - trend[i][0] if trend[i][1] == 25 else None
+        for i in range(n)
+    ]
+    hods = [b % 24 for b in buckets]
+    num: dict[int, int] = {}
+    cnt: dict[int, int] = {}
+    for d, hod in zip(detr, hods):
+        if d is not None:
+            num[hod] = num.get(hod, 0) + d
+            cnt[hod] = cnt.get(hod, 0) + 1
+    seas = {hod: float(num[hod]) / (25.0 * float(cnt[hod])) for hod in num}
+    return [
+        (
+            buckets[i],
+            sums[i],
+            trend[i][0],
+            trend[i][1],
+            detr[i],
+            hods[i],
+            seas.get(hods[i]),
+        )
+        for i in range(n)
+    ]
+
+
+def make_seasonal_fn():
+    def fn(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        metric = str(key[0])
+        if state.exists:
+            buckets, sums, version = state.get
+            buckets, sums = list(buckets), list(sums)
+        else:
+            buckets, sums, version = [], [], 0
+        absorbed = 0
+        for pdf in pdfs:
+            if not len(pdf):
+                continue
+            absorbed += len(pdf)
+            buckets, sums = fold_bucket_sums(
+                buckets, sums, zip(pdf["bucket"], pdf["v"])
+            )
+        if not absorbed:
+            return
+        version += absorbed
+        state.update((buckets, sums, version))
+        rows = seasonal_from_series(buckets, sums)
+        # every version emits the FULL per-bucket decomposition (a late
+        # bucket shifts the trend window of its 24 neighbors and the
+        # global seasonal means), so the max-version drain needs no
+        # retraction sentinel: versions are always non-empty supersets
+        yield pd.DataFrame(
+            {
+                "metric_name": [metric] * len(rows),
+                "bucket": pd.array([r[0] for r in rows], dtype="Int64"),
+                "v": pd.array([r[1] for r in rows], dtype="Int64"),
+                "trend_sum25": pd.array([r[2] for r in rows], dtype="Int64"),
+                "n_win": pd.array([r[3] for r in rows], dtype="Int64"),
+                "detr25": pd.array([r[4] for r in rows], dtype="Int64"),
+                "hod": pd.array([r[5] for r in rows], dtype="Int64"),
+                "seasonal": pd.array([r[6] for r in rows], dtype="Float64"),
+                "version": [version] * len(rows),
+            }
+        )
+
+    return fn
+
+
+def streaming_seasonal(stream: DataFrame) -> DataFrame:
+    """T37: the A84 trend/seasonal decomposition served LIVE — another
+    GLOBAL-statistic member of the bucket-sum state family (the r13
+    verdict's Next #5): one late bucket moves the 25-row trend window of
+    its positional neighbors AND the per-hour-of-day seasonal means, so
+    each version re-emits the full decomposition and the drain keeps the
+    max version per metric.  State is the same commutative exact-int
+    bucket sums as every family member; drained rows gate on the batch
+    `metric_seasonal_decompose` oracle verbatim.
+    Expects (metric_name, bucket, v)."""
+    keyed = stream.select(
+        F.col("metric_name").cast("string").alias("metric_name"),
+        F.col("bucket").cast("long").alias("bucket"),
+        F.col("v").cast("long").alias("v"),
+    )
+    return keyed.groupBy("metric_name").applyInPandasWithState(
+        make_seasonal_fn(),
+        outputStructType=SEASONAL_OUTPUT_SCHEMA,
+        stateStructType=EWMA_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

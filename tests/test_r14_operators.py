@@ -1,0 +1,122 @@
+"""Units for the round-14 operators (T37 streaming seasonal
+decomposition — registered in Block R14b; the driver gate runs the A84
+batch oracle verbatim against the drained stream, these pin the fold's
+revision semantics and the pure re-derivation)."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+
+
+class FakeState:
+    def __init__(self):
+        self.exists = False
+        self._v = None
+
+    @property
+    def get(self):
+        return self._v
+
+    def update(self, v):
+        self._v = v
+        self.exists = True
+
+
+def _decompose_reference(buckets, sums):
+    """Independent recompute of the A84 formulas (no shared code)."""
+    n = len(buckets)
+    trend = []
+    for i in range(n):
+        lo, hi = max(0, i - 12), min(n, i + 12 + 1)
+        trend.append((sum(sums[lo:hi]), hi - lo))
+    detr = [
+        25 * sums[i] - trend[i][0] if trend[i][1] == 25 else None
+        for i in range(n)
+    ]
+    num, cnt = {}, {}
+    for d, b in zip(detr, buckets):
+        if d is not None:
+            num[b % 24] = num.get(b % 24, 0) + d
+            cnt[b % 24] = cnt.get(b % 24, 0) + 1
+    seas = {h: num[h] / (25.0 * cnt[h]) for h in num}
+    return trend, detr, seas
+
+
+def test_seasonal_from_series_matches_reference_formulas():
+    from project_obsidian_core_spark.streaming.sequence_state import (
+        seasonal_from_series,
+    )
+
+    buckets = list(range(1000, 1060))  # 60 hours, full windows inside
+    sums = [1000 + 37 * (i % 24) + (-1) ** i * 5 * i for i in range(60)]
+    rows = seasonal_from_series(buckets, sums)
+    trend, detr, seas = _decompose_reference(buckets, sums)
+    assert len(rows) == 60
+    for i, (b, v, t25, nw, d25, hod, s) in enumerate(rows):
+        assert (b, v) == (buckets[i], sums[i])
+        assert (t25, nw) == trend[i]
+        assert d25 == detr[i]
+        assert hod == b % 24
+        assert s == seas.get(hod)
+    # edge windows (< 25 rows) must carry NULL detrended values
+    assert rows[0][4] is None and rows[-1][4] is None
+    assert rows[12][4] is not None and rows[47][4] is not None
+
+
+def test_seasonal_fold_late_bucket_revises_neighbors_and_means():
+    """The T37 revision contract: a late bucket shifts the positional
+    trend window of its 24 neighbors AND the global per-hod seasonal
+    means — the new version re-emits the FULL decomposition and every
+    re-emitted row reflects the shifted statistics."""
+    from project_obsidian_core_spark.streaming.sequence_state import (
+        make_seasonal_fn,
+        seasonal_from_series,
+    )
+
+    fn = make_seasonal_fn()
+    state = FakeState()
+    # batch 1: hours 100..139 except 120 (one hole mid-series)
+    hrs = [h for h in range(100, 140) if h != 120]
+    b1 = pd.DataFrame({"bucket": hrs, "v": [100 + h for h in hrs]})
+    out1 = list(fn(("m",), iter([b1]), state))[0]
+    assert len(out1) == len(hrs)
+    v1 = out1["version"][0]
+    row_119_v1 = out1[out1["bucket"] == 119].iloc[0]
+    # batch 2: the late hole arrives — positional windows shift
+    b2 = pd.DataFrame({"bucket": [120], "v": [999_999]})
+    out2 = list(fn(("m",), iter([b2]), state))[0]
+    assert out2["version"][0] > v1
+    assert len(out2) == len(hrs) + 1  # full re-emission, superset
+    row_119_v2 = out2[out2["bucket"] == 119].iloc[0]
+    # hour 119's 25-row window now contains the late blowout bucket
+    assert row_119_v2["trend_sum25"] != row_119_v1["trend_sum25"]
+    # and the emission equals the pure re-derivation of the held state
+    buckets, sums, _ = state.get
+    expect = seasonal_from_series(list(buckets), list(sums))
+    got = list(
+        zip(
+            out2["bucket"],
+            out2["v"],
+            out2["trend_sum25"],
+            out2["n_win"],
+            [None if pd.isna(x) else int(x) for x in out2["detr25"]],
+            out2["hod"],
+            [None if pd.isna(x) else float(x) for x in out2["seasonal"]],
+        )
+    )
+    assert [tuple(int(x) if isinstance(x, (int,)) else x for x in r) for r in expect] == [
+        (int(b), int(v), int(t), int(n), d, int(h), s) for b, v, t, n, d, h, s in got
+    ]
+
+
+def test_seasonal_fold_empty_batch_emits_nothing():
+    from project_obsidian_core_spark.streaming.sequence_state import (
+        make_seasonal_fn,
+    )
+
+    fn = make_seasonal_fn()
+    state = FakeState()
+    out = list(fn(("m",), iter([pd.DataFrame({"bucket": [], "v": []})]), state))
+    assert out == []
+    assert not state.exists
