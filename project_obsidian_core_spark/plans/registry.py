@@ -1111,6 +1111,13 @@ _ENTRIES: list[tuple[str, QueryFn, str | None]] = [
         st.stream_seasonal_decompose,
         m.ORACLE_metric_seasonal_decompose,
     ),
+    # T38: streaming autoperiod — gated on the A102 batch oracle verbatim
+    # (the second live twin the r13 verdict named)
+    (
+        "stream_autoperiod",
+        st.stream_autoperiod,
+        m.ORACLE_metric_autoperiod,
+    ),
 ]
 
 # ----------------------------------------------------------------------

@@ -2878,3 +2878,69 @@ def stream_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
         "metric_name", "bucket", "v", "trend_sum25", "n_win", "detr25",
         "hod", "seasonal",
     ).orderBy("metric_name", "bucket")
+
+
+# Registration note: REGISTERED r14 (Block R14b — built and gated this
+# round; the r13 verdict's Next #5).  Registry row:
+#   ("stream_autoperiod", st.stream_autoperiod,
+#    m.ORACLE_metric_autoperiod)
+def stream_autoperiod(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T38: the A102 ACF-argmax dominant-period detector served LIVE —
+    the bucket-sum state family's third global-statistic member: any
+    bucket can move every lag's exact moment sums and re-order the
+    argmax, so each version re-emits the metric's single report row and
+    the drain keeps the max version.  Gated on the batch
+    `metric_autoperiod` oracle verbatim — the emit-time re-derivation
+    (A48 moment machinery, one-sqrt IEEE correlation) and the
+    lag-expanded equi-join formulation are the same operator."""
+    from project_obsidian_core_spark.plans.metrics_queries import HIT, READ
+    from project_obsidian_core_spark.streaming.sequence_state import (
+        streaming_autoperiod,
+    )
+
+    run = next(_RUN_IDS)
+    src = _events_src(spark, sf_dir, run)
+    schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "4")
+        .parquet(src)
+    )
+    name_col = (
+        F.when(F.col("event_type") == "view", F.lit(HIT))
+        .when(F.col("event_type") == "click", F.lit(READ))
+        .otherwise(F.concat(F.lit("postgresql."), F.col("event_type")))
+    )
+    keyed = stream.select(
+        name_col.alias("metric_name"),
+        F.expr("unix_micros(ts) div 3600000000").alias("bucket"),
+        F.col("cents").alias("v"),
+    )
+    out = streaming_autoperiod(keyed)
+    name = f"stream_autoperiod_{run}"
+    tmp = tempfile.mkdtemp(prefix=f"obsidian_autoperiod_{run}_")
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            out.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .option("checkpointLocation", f"{tmp}/ckpt")
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+
+    emitted = spark.table(name)
+    wmax = Window.partitionBy("metric_name")
+    latest = emitted.withColumn(
+        "_vmax", F.max("version").over(wmax)
+    ).filter(F.col("version") == F.col("_vmax"))
+    return latest.select(
+        "metric_name", "dominant_lag", "dominant_acf", "second_lag",
+        "second_acf", "is_daily",
+    ).orderBy("metric_name")

@@ -2392,3 +2392,132 @@ def streaming_seasonal(stream: DataFrame) -> DataFrame:
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# ------------------------------------------------------------ T38 ---------
+AUTOPERIOD_OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("metric_name", T.StringType()),
+        T.StructField("dominant_lag", T.LongType()),
+        T.StructField("dominant_acf", T.DoubleType()),
+        T.StructField("second_lag", T.LongType()),
+        T.StructField("second_acf", T.DoubleType()),
+        T.StructField("is_daily", T.BooleanType()),
+        T.StructField("version", T.LongType()),
+    ]
+)
+
+#: must match the batch A102 constants (plans/metrics_queries._AP_*)
+AUTOPERIOD_MIN_LAG = 2
+AUTOPERIOD_MAX_LAG = 36
+
+
+def autoperiod_from_series(buckets: list[int], sums: list[int]):
+    """A102's ACF-argmax re-derived from the bucket-sum state — the A48
+    exact-int moment machinery verbatim: min-centered dollar-quantized
+    series, per-lag exact moment sums, the one-sqrt IEEE correlation
+    expression (float(num) / sqrt(float(dx) * float(dy)) — the same
+    fixed expression tree as the batch plan, so the doubles are
+    bit-identical), argmax with lag tie-break and NULLS LAST.  Returns
+    (dominant_lag, dominant_acf, second_lag, second_acf, is_daily) or
+    None when no lag in [MIN, MAX] has a pair yet."""
+    import math
+
+    if not buckets:
+        return None
+    mn = min(sums)
+    pos = {b: (y - mn) // 100 for b, y in zip(buckets, sums)}
+    rows = []
+    for lag in range(AUTOPERIOD_MIN_LAG, AUTOPERIOD_MAX_LAG + 1):
+        n = sa = sb = sab = saa = sbb = 0
+        for b, ya in pos.items():
+            yb = pos.get(b + lag)
+            if yb is None:
+                continue
+            n += 1
+            sa += ya
+            sb += yb
+            sab += ya * yb
+            saa += ya * ya
+            sbb += yb * yb
+        if n == 0:
+            continue
+        dx = n * saa - sa * sa
+        dy = n * sbb - sb * sb
+        acf = None
+        if dx > 0 and dy > 0:
+            acf = float(n * sab - sa * sb) / math.sqrt(float(dx) * float(dy))
+        rows.append((lag, acf))
+    if not rows:
+        return None
+    # row_number ORDER BY acf DESC NULLS LAST, lag ASC
+    rows.sort(key=lambda r: (r[1] is None, -(r[1] or 0.0), r[0]))
+    d_lag, d_acf = rows[0]
+    s_lag, s_acf = rows[1] if len(rows) > 1 else (None, None)
+    is_daily = None if d_lag is None else (23 <= d_lag <= 25)
+    return (d_lag, d_acf, s_lag, s_acf, is_daily)
+
+
+def make_autoperiod_fn():
+    def fn(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        metric = str(key[0])
+        if state.exists:
+            buckets, sums, version = state.get
+            buckets, sums = list(buckets), list(sums)
+        else:
+            buckets, sums, version = [], [], 0
+        absorbed = 0
+        for pdf in pdfs:
+            if not len(pdf):
+                continue
+            absorbed += len(pdf)
+            buckets, sums = fold_bucket_sums(
+                buckets, sums, zip(pdf["bucket"], pdf["v"])
+            )
+        if not absorbed:
+            return
+        version += absorbed
+        state.update((buckets, sums, version))
+        row = autoperiod_from_series(buckets, sums)
+        if row is None:
+            # no qualifying lag yet; the series only grows, so once a
+            # version emits, every later version emits too — the
+            # max-version drain never resurrects a stale row
+            return
+        yield pd.DataFrame(
+            {
+                "metric_name": [metric],
+                "dominant_lag": pd.array([row[0]], dtype="Int64"),
+                "dominant_acf": pd.array([row[1]], dtype="Float64"),
+                "second_lag": pd.array([row[2]], dtype="Int64"),
+                "second_acf": pd.array([row[3]], dtype="Float64"),
+                "is_daily": pd.array([row[4]], dtype="boolean"),
+                "version": [version],
+            }
+        )
+
+    return fn
+
+
+def streaming_autoperiod(stream: DataFrame) -> DataFrame:
+    """T38: the A102 dominant-period detector served LIVE — the
+    bucket-sum state family's third global-statistic member (r13
+    verdict Next #5): every late or new bucket can move the per-lag
+    moment sums and re-order the ACF argmax, so each version re-emits
+    the metric's one report row and the drain keeps the max version.
+    Gated on the batch `metric_autoperiod` oracle verbatim.
+    Expects (metric_name, bucket, v)."""
+    keyed = stream.select(
+        F.col("metric_name").cast("string").alias("metric_name"),
+        F.col("bucket").cast("long").alias("bucket"),
+        F.col("v").cast("long").alias("v"),
+    )
+    return keyed.groupBy("metric_name").applyInPandasWithState(
+        make_autoperiod_fn(),
+        outputStructType=AUTOPERIOD_OUTPUT_SCHEMA,
+        stateStructType=EWMA_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

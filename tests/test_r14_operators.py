@@ -120,3 +120,52 @@ def test_seasonal_fold_empty_batch_emits_nothing():
     out = list(fn(("m",), iter([pd.DataFrame({"bucket": [], "v": []})]), state))
     assert out == []
     assert not state.exists
+
+
+def test_autoperiod_from_series_matches_reference():
+    """Independent recompute of the A102 argmax over a synthetic series
+    with a known period-24 component."""
+    import math
+
+    from project_obsidian_core_spark.streaming.sequence_state import (
+        autoperiod_from_series,
+    )
+
+    buckets = list(range(500, 620))  # 120 hours = 5 days
+    sums = [100_000 + 40_000 * (1 if (b % 24) < 12 else -1) + 77 * (b % 7)
+            for b in buckets]
+    row = autoperiod_from_series(buckets, sums)
+    assert row is not None
+    d_lag, d_acf, s_lag, s_acf, is_daily = row
+    assert d_lag == 24 and is_daily is True
+    assert d_acf is not None and d_acf > 0.9
+    # reference recompute of the winning lag's correlation
+    mn = min(sums)
+    yc = {b: (y - mn) // 100 for b, y in zip(buckets, sums)}
+    n = sa = sb = sab = saa = sbb = 0
+    for b, ya in yc.items():
+        yb = yc.get(b + 24)
+        if yb is None:
+            continue
+        n += 1; sa += ya; sb += yb; sab += ya * yb; saa += ya * ya; sbb += yb * yb
+    dx, dy = n * saa - sa * sa, n * sbb - sb * sb
+    assert d_acf == float(n * sab - sa * sb) / math.sqrt(float(dx) * float(dy))
+
+
+def test_autoperiod_fold_short_series_emits_nothing_then_reports():
+    """No qualifying lag -> no emission; once lags exist every version
+    emits (the series only grows, so the max-version drain is safe)."""
+    import pandas as pd
+
+    from project_obsidian_core_spark.streaming.sequence_state import (
+        make_autoperiod_fn,
+    )
+
+    fn = make_autoperiod_fn()
+    state = FakeState()
+    out1 = list(fn(("m",), iter([pd.DataFrame({"bucket": [10], "v": [5]})]), state))
+    assert out1 == []  # single bucket: no lag-2..36 pair
+    b2 = pd.DataFrame({"bucket": list(range(11, 60)), "v": [100 * i for i in range(49)]})
+    out2 = list(fn(("m",), iter([b2]), state))
+    assert len(out2) == 1 and len(out2[0]) == 1
+    assert out2[0]["dominant_lag"][0] is not None
