@@ -1118,6 +1118,9 @@ _ENTRIES: list[tuple[str, QueryFn, str | None]] = [
         st.stream_autoperiod,
         m.ORACLE_metric_autoperiod,
     ),
+    # T39: streaming winsorized stats — gated on the A86 batch oracle
+    # verbatim (nearest-rank bounds are global statistics)
+    ("stream_winsorize", st.stream_winsorize, m.ORACLE_metric_winsorize),
 ]
 
 # ----------------------------------------------------------------------

@@ -2944,3 +2944,67 @@ def stream_autoperiod(spark: SparkSession, sf_dir: str) -> DataFrame:
         "metric_name", "dominant_lag", "dominant_acf", "second_lag",
         "second_acf", "is_daily",
     ).orderBy("metric_name")
+
+
+# Registration note: REGISTERED r14 (Block R14b).  Registry row:
+#   ("stream_winsorize", st.stream_winsorize, m.ORACLE_metric_winsorize)
+def stream_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T39: the A86 winsorized robust statistics served LIVE — the
+    bucket-sum state family's fourth global-statistic member: a new or
+    late bucket moves the EXACT nearest-rank p05/p95 bounds (positional
+    over the total (value, bucket) order), so every version re-emits the
+    metric's single report row and the drain keeps the max version.
+    Gated on the batch `metric_winsorize` oracle verbatim — the
+    emit-time re-derivation (nearest-rank clip + one IEEE division) and
+    the rank-window formulation are the same operator."""
+    from project_obsidian_core_spark.plans.metrics_queries import HIT, READ
+    from project_obsidian_core_spark.streaming.sequence_state import (
+        streaming_winsorize,
+    )
+
+    run = next(_RUN_IDS)
+    src = _events_src(spark, sf_dir, run)
+    schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "4")
+        .parquet(src)
+    )
+    name_col = (
+        F.when(F.col("event_type") == "view", F.lit(HIT))
+        .when(F.col("event_type") == "click", F.lit(READ))
+        .otherwise(F.concat(F.lit("postgresql."), F.col("event_type")))
+    )
+    keyed = stream.select(
+        name_col.alias("metric_name"),
+        F.expr("unix_micros(ts) div 3600000000").alias("bucket"),
+        F.col("cents").alias("v"),
+    )
+    out = streaming_winsorize(keyed)
+    name = f"stream_winsorize_{run}"
+    tmp = tempfile.mkdtemp(prefix=f"obsidian_winsor_{run}_")
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            out.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .option("checkpointLocation", f"{tmp}/ckpt")
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+
+    emitted = spark.table(name)
+    wmax = Window.partitionBy("metric_name")
+    latest = emitted.withColumn(
+        "_vmax", F.max("version").over(wmax)
+    ).filter(F.col("version") == F.col("_vmax"))
+    return latest.select(
+        "metric_name", "n_buckets", "p05", "p95", "n_clip_low",
+        "n_clip_high", "sum_raw", "sum_winsor", "winsor_mean",
+    ).orderBy("metric_name")

@@ -2521,3 +2521,116 @@ def streaming_autoperiod(stream: DataFrame) -> DataFrame:
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# ------------------------------------------------------------ T39 ---------
+WINSOR_OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("metric_name", T.StringType()),
+        T.StructField("n_buckets", T.LongType()),
+        T.StructField("p05", T.LongType()),
+        T.StructField("p95", T.LongType()),
+        T.StructField("n_clip_low", T.LongType()),
+        T.StructField("n_clip_high", T.LongType()),
+        T.StructField("sum_raw", T.LongType()),
+        T.StructField("sum_winsor", T.LongType()),
+        T.StructField("winsor_mean", T.DoubleType()),
+        T.StructField("version", T.LongType()),
+    ]
+)
+
+#: must match the batch A86 constants (plans/metrics_queries._WINS_*)
+WINSOR_LO_PCT = 5
+WINSOR_HI_PCT = 95
+
+
+def winsorize_from_series(buckets: list[int], sums: list[int]):
+    """A86's winsorized robust statistics re-derived from the bucket-sum
+    state — the batch formulas verbatim: EXACT nearest-rank p05/p95
+    (rank ``(p·n + 99) div 100`` over the total (value, bucket) order),
+    exact-int clipped sums, winsorized mean as ONE IEEE division.
+    Returns the report tuple, or None for an empty series."""
+    n = len(buckets)
+    if n == 0:
+        return None
+    order = sorted(zip(sums, buckets))
+    i_lo = (WINSOR_LO_PCT * n + 99) // 100
+    i_hi = (WINSOR_HI_PCT * n + 99) // 100
+    p05 = order[i_lo - 1][0]
+    p95 = order[i_hi - 1][0]
+    n_lo = sum(1 for v in sums if v < p05)
+    n_hi = sum(1 for v in sums if v > p95)
+    sum_raw = sum(sums)
+    sum_w = sum(max(p05, min(p95, v)) for v in sums)
+    return (
+        n,
+        p05,
+        p95,
+        n_lo,
+        n_hi,
+        sum_raw,
+        sum_w,
+        float(sum_w) / float(n),
+    )
+
+
+def make_winsorize_fn():
+    def fn(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        metric = str(key[0])
+        if state.exists:
+            buckets, sums, version = state.get
+            buckets, sums = list(buckets), list(sums)
+        else:
+            buckets, sums, version = [], [], 0
+        absorbed = 0
+        for pdf in pdfs:
+            if not len(pdf):
+                continue
+            absorbed += len(pdf)
+            buckets, sums = fold_bucket_sums(
+                buckets, sums, zip(pdf["bucket"], pdf["v"])
+            )
+        if not absorbed:
+            return
+        version += absorbed
+        state.update((buckets, sums, version))
+        r = winsorize_from_series(buckets, sums)
+        yield pd.DataFrame(
+            {
+                "metric_name": [metric],
+                "n_buckets": pd.array([r[0]], dtype="Int64"),
+                "p05": pd.array([r[1]], dtype="Int64"),
+                "p95": pd.array([r[2]], dtype="Int64"),
+                "n_clip_low": pd.array([r[3]], dtype="Int64"),
+                "n_clip_high": pd.array([r[4]], dtype="Int64"),
+                "sum_raw": pd.array([r[5]], dtype="Int64"),
+                "sum_winsor": pd.array([r[6]], dtype="Int64"),
+                "winsor_mean": pd.array([r[7]], dtype="Float64"),
+                "version": [version],
+            }
+        )
+
+    return fn
+
+
+def streaming_winsorize(stream: DataFrame) -> DataFrame:
+    """T39: the A86 winsorized robust statistics served LIVE — a fourth
+    global-statistic member of the bucket-sum state family: every bucket
+    moves the nearest-rank positional bounds, so each version re-emits
+    the metric's one report row and the drain keeps the max version.
+    Gated on the batch `metric_winsorize` oracle verbatim.
+    Expects (metric_name, bucket, v)."""
+    keyed = stream.select(
+        F.col("metric_name").cast("string").alias("metric_name"),
+        F.col("bucket").cast("long").alias("bucket"),
+        F.col("v").cast("long").alias("v"),
+    )
+    return keyed.groupBy("metric_name").applyInPandasWithState(
+        make_winsorize_fn(),
+        outputStructType=WINSOR_OUTPUT_SCHEMA,
+        stateStructType=EWMA_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -169,3 +169,26 @@ def test_autoperiod_fold_short_series_emits_nothing_then_reports():
     out2 = list(fn(("m",), iter([b2]), state))
     assert len(out2) == 1 and len(out2[0]) == 1
     assert out2[0]["dominant_lag"][0] is not None
+
+
+def test_winsorize_from_series_matches_reference():
+    """Independent nearest-rank recompute (A86 formulas)."""
+    from project_obsidian_core_spark.streaming.sequence_state import (
+        winsorize_from_series,
+    )
+
+    buckets = list(range(40))
+    sums = [(7 * i * i - 300 * i + 5000) for i in range(40)]  # non-monotone
+    n, p05, p95, n_lo, n_hi, s_raw, s_w, mean = winsorize_from_series(
+        buckets, sums
+    )
+    order = sorted(zip(sums, buckets))
+    i_lo, i_hi = (5 * 40 + 99) // 100, (95 * 40 + 99) // 100
+    assert (p05, p95) == (order[i_lo - 1][0], order[i_hi - 1][0])
+    assert n == 40 and s_raw == sum(sums)
+    clipped = [max(p05, min(p95, v)) for v in sums]
+    assert s_w == sum(clipped)
+    assert n_lo == sum(1 for v in sums if v < p05)
+    assert n_hi == sum(1 for v in sums if v > p95)
+    assert mean == float(sum(clipped)) / 40.0
+    assert winsorize_from_series([], []) is None
