@@ -3625,3 +3625,140 @@ FROM ranked
 GROUP BY metric_name
 ORDER BY metric_name
 """
+
+
+# ---------------- A104: PromQL-style range rate (round 14) ----------------
+# Registration note: REGISTERED r14 (Block R14b).  Registry row:
+#   ("metric_range_rate", m.metric_range_rate, m.ORACLE_metric_range_rate)
+_RATE_WRAP = 2_000_000  # counter wrap sized so resets fire at the gate SFs
+_RATE_WIN = 6  # range window = 6 aligned hours
+
+
+def metric_range_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A104: PromQL-style ``increase``/``rate`` over aligned range
+    windows of a CUMULATIVE counter with reset correction — the missing
+    windowed member of the delta family: T2-T5's snapshot delta is
+    per-sample, this is the per-range aggregate dashboards actually
+    plot (`rate(counter[6h])`).  The counter series is synthesized
+    deterministically from the hourly grid (running cumulative cents,
+    wrapped at 2·10⁶ — each wrap IS a reset, exercising the T3 rule at
+    range scope).
+
+    Semantics (per (metric, 6h-aligned window)): increase = Σ of
+    reset-aware deltas between consecutive samples INSIDE the window
+    (``c_i − c_{i−1}`` when monotone, ``c_i`` after a reset — the T3
+    rule verbatim); the window-opening sample contributes no delta
+    (PromQL's behavior: increases before the first in-range sample are
+    outside the range).  ``rate_per_hour`` = increase / observed span
+    as ONE IEEE division of exact ints; single-sample windows carry
+    NULL rate.  ``n_resets`` makes the wrap events auditable.
+
+    Scale: one exchange to the hourly grid, one per-metric window for
+    the cumulative counter + lag (retention-bounded, the A4x pattern),
+    then a (metric, window) hash aggregate.  All arithmetic exact ints
+    except the final division.
+    """
+    from pyspark.sql import Window
+
+    m = synthesize_metrics(spark, sf_dir)
+    hb = m.groupBy(
+        "metric_name",
+        F.expr("unix_micros(time) div 3600000000").alias("bucket"),
+    ).agg(F.sum("metric_value").alias("v"))
+    wcum = (
+        Window.partitionBy("metric_name")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wlag = Window.partitionBy("metric_name").orderBy("bucket")
+    c = (
+        hb.withColumn("counter", F.sum("v").over(wcum) % F.lit(_RATE_WRAP))
+        .withColumn("prev_counter", F.lag("counter", 1).over(wlag))
+        .withColumn("prev_bucket", F.lag("bucket", 1).over(wlag))
+        .withColumn("win", F.expr(f"bucket div {_RATE_WIN}"))
+    )
+    in_win = F.col("prev_bucket").isNotNull() & (
+        F.expr(f"prev_bucket div {_RATE_WIN}") == F.col("win")
+    )
+    delta = F.when(
+        F.col("counter") >= F.col("prev_counter"), F.col("counter") - F.col("prev_counter")
+    ).otherwise(F.col("counter"))
+    agg = (
+        c.groupBy("metric_name", "win")
+        .agg(
+            F.count(F.lit(1)).alias("n_samples"),
+            F.min("bucket").alias("first_bucket"),
+            F.max("bucket").alias("last_bucket"),
+            F.min_by("counter", "bucket").alias("counter_first"),
+            F.max_by("counter", "bucket").alias("counter_last"),
+            F.sum(F.when(in_win, delta).otherwise(F.lit(0))).alias("increase"),
+            F.sum(
+                F.when(
+                    in_win & (F.col("counter") < F.col("prev_counter")), 1
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_resets"),
+        )
+        .withColumn(
+            "rate_per_hour",
+            F.when(
+                F.col("last_bucket") > F.col("first_bucket"),
+                F.col("increase").cast("double")
+                / (F.col("last_bucket") - F.col("first_bucket")).cast("double"),
+            ),
+        )
+    )
+    return agg.select(
+        "metric_name", "win", "n_samples", "first_bucket", "last_bucket",
+        "counter_first", "counter_last", "n_resets", "increase",
+        "rate_per_hour",
+    ).orderBy("metric_name", "win")
+
+
+ORACLE_metric_range_rate = f"""
+WITH m AS ({_SYN_SQL}),
+hb AS (
+    SELECT metric_name, epoch_us(time) // 3600000000 AS bucket,
+           CAST(sum(metric_value) AS BIGINT) AS v
+    FROM m GROUP BY 1, 2
+), c AS (
+    SELECT metric_name, bucket,
+           CAST(sum(v) OVER (PARTITION BY metric_name ORDER BY bucket
+                             ROWS UNBOUNDED PRECEDING) % {_RATE_WRAP}
+                AS BIGINT) AS counter
+    FROM hb
+), l AS (
+    SELECT metric_name, bucket, counter,
+           lag(counter) OVER (PARTITION BY metric_name ORDER BY bucket)
+               AS prev_counter,
+           lag(bucket) OVER (PARTITION BY metric_name ORDER BY bucket)
+               AS prev_bucket,
+           bucket // {_RATE_WIN} AS win
+    FROM c
+), d AS (
+    SELECT *,
+           prev_bucket IS NOT NULL
+               AND prev_bucket // {_RATE_WIN} = win AS in_win,
+           CASE WHEN counter >= prev_counter THEN counter - prev_counter
+                ELSE counter END AS delta
+    FROM l
+)
+SELECT metric_name, win,
+       count(*) AS n_samples,
+       min(bucket) AS first_bucket,
+       max(bucket) AS last_bucket,
+       min_by(counter, bucket) AS counter_first,
+       max_by(counter, bucket) AS counter_last,
+       CAST(sum(CASE WHEN in_win AND counter < prev_counter
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_resets,
+       CAST(sum(CASE WHEN in_win THEN delta ELSE 0 END) AS BIGINT)
+           AS increase,
+       CASE WHEN max(bucket) > min(bucket)
+            THEN CAST(sum(CASE WHEN in_win THEN delta ELSE 0 END) AS DOUBLE)
+                 / CAST(max(bucket) - min(bucket) AS DOUBLE)
+            END AS rate_per_hour
+FROM d
+GROUP BY metric_name, win
+ORDER BY metric_name, win
+"""

@@ -1121,6 +1121,10 @@ _ENTRIES: list[tuple[str, QueryFn, str | None]] = [
     # T39: streaming winsorized stats — gated on the A86 batch oracle
     # verbatim (nearest-rank bounds are global statistics)
     ("stream_winsorize", st.stream_winsorize, m.ORACLE_metric_winsorize),
+    # A104: PromQL-style range rate (reset-aware increase over aligned
+    # windows of a cumulative counter — the windowed member of the T2-T5
+    # delta family)
+    ("metric_range_rate", m.metric_range_rate, m.ORACLE_metric_range_rate),
 ]
 
 # ----------------------------------------------------------------------

@@ -192,3 +192,58 @@ def test_winsorize_from_series_matches_reference():
     assert n_hi == sum(1 for v in sums if v > p95)
     assert mean == float(sum(clipped)) / 40.0
     assert winsorize_from_series([], []) is None
+
+
+def test_range_rate_reset_semantics(spark):
+    """Python recompute of the A104 windows for one metric, proving the
+    reset branch (counter wrap) contributes `c_i` not a negative delta,
+    and the window-opening sample contributes nothing."""
+    from project_obsidian_core_spark.plans.metrics_queries import (
+        _RATE_WIN,
+        _RATE_WRAP,
+        metric_range_rate,
+        synthesize_metrics,
+    )
+    from pyspark.sql import functions as F
+
+    SF = "/root/testdata/sf0.001"
+    rows = metric_range_rate(spark, SF).collect()
+    assert rows
+    # rebuild one metric's series driver-side
+    name = rows[0]["metric_name"]
+    hb = (
+        synthesize_metrics(spark, SF)
+        .filter(F.col("metric_name") == name)
+        .groupBy(F.expr("unix_micros(time) div 3600000000").alias("bucket"))
+        .agg(F.sum("metric_value").alias("v"))
+        .orderBy("bucket")
+        .collect()
+    )
+    cum = 0
+    series = []
+    for r in hb:
+        cum += r["v"]
+        series.append((r["bucket"], cum % _RATE_WRAP))
+    wins = {}
+    for i, (b, c) in enumerate(series):
+        w = b // _RATE_WIN
+        st = wins.setdefault(w, {"inc": 0, "resets": 0, "first": b, "last": b})
+        st["first"], st["last"] = min(st["first"], b), max(st["last"], b)
+        if i > 0 and series[i - 1][0] // _RATE_WIN == w:
+            prev = series[i - 1][1]
+            if c >= prev:
+                st["inc"] += c - prev
+            else:
+                st["inc"] += c
+                st["resets"] += 1
+    got = {r["win"]: r for r in rows if r["metric_name"] == name}
+    assert set(got) == set(wins)
+    for w, st in wins.items():
+        r = got[w]
+        assert r["increase"] == st["inc"], (w, r, st)
+        assert r["n_resets"] == st["resets"]
+        span = st["last"] - st["first"]
+        if span == 0:
+            assert r["rate_per_hour"] is None
+        else:
+            assert r["rate_per_hour"] == float(st["inc"]) / float(span)
