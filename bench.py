@@ -406,6 +406,7 @@ BENCH_QUERIES = [
     "stream_autoperiod",      # T38 dominant-period detector live (r14b)
     "stream_winsorize",       # T39 winsorized robust stats live (r14b)
     "metric_range_rate",      # A104 PromQL-style reset-aware rate (r14b)
+    "knn_hard_negatives",     # N22 contrastive hard-negative mining (r14b)
     # stream_cdc_merge is timed via _time_cdc_merge below (merge work
     # only): its checkpointed replay rewrites a bucketed parquet snapshot
     # per micro-batch (~12 s/run at sf0.1, >90% filesystem publish/rename

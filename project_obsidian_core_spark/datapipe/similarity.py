@@ -1257,3 +1257,51 @@ def knn_closeness(emb: DataFrame, k: int = 5, hops: int = 3) -> DataFrame:
         .select(F.col("a").alias("vec_id"), "n_reached", "harmonic_ppm")
         .orderBy("vec_id")
     )
+
+
+def hard_negatives_topk(
+    emb: DataFrame, queries: DataFrame, k: int = 10
+) -> DataFrame:
+    """Hard-negative mining for contrastive training: per query vector,
+    the top-k most-cosine-similar candidates whose LABEL DIFFERS — the
+    negatives that sit closest to the decision boundary, which is what
+    contrastive / triplet objectives want batched against each anchor
+    (random negatives are trivially easy and contribute ~zero gradient).
+
+    Same broadcast-queries / one-corpus-scan shape as
+    :func:`brute_force_topk`; at fleet scale the candidate side swaps to
+    the LSH/IVF bucket rings exactly as the kNN ladder does — the label
+    filter composes with any candidate generator."""
+    q = queries.select(
+        F.col("vec_id").alias("q_id"),
+        F.col("label").alias("q_label"),
+        F.col("embedding").alias("qv"),
+        V.norm(F.col("embedding")).alias("q_nrm"),
+    )
+    c = emb.select(
+        F.col("vec_id").alias("cand_id"),
+        F.col("label").alias("cand_label"),
+        F.col("embedding").alias("cv"),
+        V.norm(F.col("embedding")).alias("c_nrm"),
+    )
+    scored = c.join(
+        F.broadcast(q),
+        (F.col("q_id") != F.col("cand_id"))
+        & (F.col("q_label") != F.col("cand_label")),
+    ).select(
+        "q_id",
+        "q_label",
+        "cand_id",
+        "cand_label",
+        V.cosine_prenormed(
+            V.dot(F.col("qv"), F.col("cv")), F.col("q_nrm"), F.col("c_nrm")
+        ).alias("cos_sim"),
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos_sim"), F.asc("cand_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "q_id", "q_label", "cand_id", "cand_label", "cos_sim", "rank"
+        )
+    )

@@ -4091,3 +4091,43 @@ FROM per_word CROSS JOIN n
 ORDER BY fano_ppm DESC, word
 LIMIT {_BURST_TOPK}
 """
+
+
+# ---------------- N22: hard-negative mining (round 14) --------------------
+# Registration note: REGISTERED r14 (Block R14b).  Registry row:
+#   ("knn_hard_negatives", d.knn_hard_negatives,
+#    d.ORACLE_knn_hard_negatives)
+def knn_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N22: per anchor vector, the top-k most-similar DIFFERENT-label
+    candidates — the hard negatives contrastive/triplet training mines
+    per batch (near-boundary negatives carry the gradient; random ones
+    are too easy).  The brute exact form is the recall baseline; the
+    label predicate composes with the LSH/IVF candidate rings for the
+    100 TB path (the same ladder every kNN row climbs).  The cosine is
+    the N1 fixed expression tree — bit-identical doubles cross-engine."""
+    emb, q = _query_vecs(spark, sf_dir)
+    return _present_topk(S.hard_negatives_topk(emb, q, k=_TOPK))
+
+
+ORACLE_knn_hard_negatives = f"""
+WITH t AS (
+    SELECT vec_id, label, embedding AS v,
+           {V.sql_norm('embedding', _EMB_DIM)} AS nrm
+    FROM embeddings
+), scored AS (
+    SELECT q.vec_id AS q_id, q.label AS q_label,
+           c.vec_id AS cand_id, c.label AS cand_label,
+           {V.sql_dot('q.v', 'c.v', _EMB_DIM)} / (q.nrm * c.nrm) AS cos_sim
+    FROM t q, t c
+    WHERE q.vec_id < {_N_QUERY_VECS}
+      AND q.vec_id != c.vec_id AND q.label != c.label
+), ranked AS (
+    SELECT *,
+           row_number() OVER (PARTITION BY q_id
+                              ORDER BY cos_sim DESC, cand_id ASC) AS rank
+    FROM scored
+)
+SELECT q_id, q_label, cand_id, cand_label, cos_sim, CAST(rank AS BIGINT) AS rank
+FROM ranked WHERE rank <= {_TOPK}
+ORDER BY q_id, rank
+"""

@@ -1125,6 +1125,13 @@ _ENTRIES: list[tuple[str, QueryFn, str | None]] = [
     # windows of a cumulative counter — the windowed member of the T2-T5
     # delta family)
     ("metric_range_rate", m.metric_range_rate, m.ORACLE_metric_range_rate),
+    # N22: hard-negative mining (top-k nearest different-label candidates
+    # — the contrastive-training companion of the kNN ladder)
+    (
+        "knn_hard_negatives",
+        d.knn_hard_negatives,
+        d.ORACLE_knn_hard_negatives,
+    ),
 ]
 
 # ----------------------------------------------------------------------

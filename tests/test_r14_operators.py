@@ -247,3 +247,45 @@ def test_range_rate_reset_semantics(spark):
             assert r["rate_per_hour"] is None
         else:
             assert r["rate_per_hour"] == float(st["inc"]) / float(span)
+
+
+def test_hard_negatives_exclude_same_label_and_beat_rest(spark):
+    """Every mined negative has a different label than its anchor, ranks
+    are dense per anchor, and the top negative's similarity is >= every
+    other different-label candidate's (spot-checked driver-side)."""
+    from pyspark.sql import functions as F
+
+    from project_obsidian_core_spark.plans.common import load
+    from project_obsidian_core_spark.plans.datapipe_queries import (
+        _TOPK,
+        knn_hard_negatives,
+    )
+
+    SF = "/root/testdata/sf0.001"
+    rows = knn_hard_negatives(spark, SF).collect()
+    assert rows
+    by_q = {}
+    for r in rows:
+        assert r["q_label"] != r["cand_label"]
+        by_q.setdefault(r["q_id"], []).append(r)
+    for q, rs in by_q.items():
+        ranks = sorted(x["rank"] for x in rs)
+        assert ranks == list(range(1, len(rs) + 1))
+        assert len(rs) <= _TOPK
+    # brute-force spot check for anchor 0 in pure python
+    emb = {r["vec_id"]: (r["label"], r["embedding"]) for r in
+           load(spark, SF, "embeddings").collect()}
+    import math
+    def cos(a, b):
+        dot = sum(float(x) * float(y) for x, y in zip(a, b))
+        na = math.sqrt(sum(float(x) * float(x) for x in a))
+        nb = math.sqrt(sum(float(x) * float(x) for x in b))
+        return dot / (na * nb)
+    q_label, q_vec = emb[0]
+    best = max(
+        (cos(q_vec, v) for vid, (lb, v) in emb.items()
+         if vid != 0 and lb != q_label),
+    )
+    import pytest as _pt
+    got_top = max(r["cos_sim"] for r in by_q[0])
+    assert got_top == _pt.approx(best, abs=1e-12)
