@@ -713,3 +713,72 @@ def image_dhash(media: DataFrame) -> DataFrame:
     return media.filter(F.col("media_type") == "image").mapInPandas(
         batches, schema=DHASH_SCHEMA
     )
+
+
+# ----------------------------------------- audio clipping / silence -------
+CLIP_LO = 5
+CLIP_HI = 250
+QUIET_LO = 120
+QUIET_HI = 135
+
+CLIPPING_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("n_samples", LongType()),
+        StructField("n_clipped", LongType()),
+        StructField("clip_ppm", LongType()),
+        StructField("n_quiet", LongType()),
+        StructField("longest_quiet_run", LongType()),
+    ]
+)
+
+
+def audio_clipping(media: DataFrame) -> DataFrame:
+    """M14: clipping and silence screen of the audio payloads — the two
+    capture-quality gates audio curation runs first: samples pinned at
+    the rails (≤ CLIP_LO or ≥ CLIP_HI for the uint8 waveform — analog
+    clipping / digital saturation) and the LONGEST consecutive run
+    inside the quiet band (dead air; a run-length, not a count, because
+    scattered quiet samples are normal speech pauses while one long run
+    is a broken capture).  Exact integers only: counts, ppm via integer
+    division, and a run length — hash-stable with no float anywhere.
+
+    Same Arrow-batched stateless shape as the rest of the M family;
+    real deployments decode PCM behind ``_decode_real`` first, with the
+    Spark-side plan unchanged (projection, no shuffle)."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in it:
+            ids, ns, ncl, ppm, nq, runs = [], [], [], [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["content"]):
+                b = np.frombuffer(bytes(payload), dtype=np.uint8)
+                n = int(b.size)
+                clipped = int(((b <= CLIP_LO) | (b >= CLIP_HI)).sum())
+                quiet = (b >= QUIET_LO) & (b <= QUIET_HI)
+                best = cur = 0
+                for flag in quiet:
+                    cur = cur + 1 if flag else 0
+                    if cur > best:
+                        best = cur
+                ids.append(int(doc_id))
+                ns.append(n)
+                ncl.append(clipped)
+                ppm.append(clipped * 1_000_000 // n)
+                nq.append(int(quiet.sum()))
+                runs.append(best)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "n_samples": pd.Series(ns, dtype="int64"),
+                    "n_clipped": pd.Series(ncl, dtype="int64"),
+                    "clip_ppm": pd.Series(ppm, dtype="int64"),
+                    "n_quiet": pd.Series(nq, dtype="int64"),
+                    "longest_quiet_run": pd.Series(runs, dtype="int64"),
+                }
+            )
+
+    return media.filter(F.col("media_type") == "audio").mapInPandas(
+        batches, schema=CLIPPING_SCHEMA
+    )

@@ -4131,3 +4131,55 @@ SELECT q_id, q_label, cand_id, cand_label, cos_sim, CAST(rank AS BIGINT) AS rank
 FROM ranked WHERE rank <= {_TOPK}
 ORDER BY q_id, rank
 """
+
+
+# ---------------- M14: audio clipping / silence screen (round 14) ---------
+# Registration note: REGISTERED r14 (Block R14b).  Registry row:
+#   ("media_audio_clipping", d.media_audio_clipping,
+#    d.ORACLE_media_audio_clipping)
+def media_audio_clipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M14: rail-pinned sample counts (clipping/saturation) and the
+    longest quiet-band RUN (dead air) per audio payload — the two
+    capture-quality gates audio curation runs before any model sees a
+    clip; see :func:`datapipe.multimodal.audio_clipping`.  All exact
+    integers (counts, integer-div ppm, a run length)."""
+    media = M.attach_media(load(spark, sf_dir, "documents"))
+    return M.audio_clipping(media).orderBy("doc_id")
+
+
+ORACLE_media_audio_clipping = f"""
+WITH p AS (
+    SELECT doc_id, {_FULL_HEX} AS fh
+    FROM documents WHERE doc_id % 3 = 1
+), b AS (
+    SELECT doc_id, CAST(g.i AS BIGINT) AS i,
+           CAST('0x' || substr(fh, 2 * g.i - 1, 2) AS BIGINT) AS byte
+    FROM p, unnest(generate_series(1, {_N_PAYLOAD})) AS g(i)
+), q AS (
+    SELECT doc_id, i, byte,
+           byte BETWEEN {M.QUIET_LO} AND {M.QUIET_HI} AS quiet,
+           byte <= {M.CLIP_LO} OR byte >= {M.CLIP_HI} AS clipped
+    FROM b
+), isl AS (
+    SELECT doc_id, quiet,
+           i - row_number() OVER (PARTITION BY doc_id, quiet ORDER BY i)
+               AS grp
+    FROM q
+), runs AS (
+    SELECT doc_id, count(*) AS run_len
+    FROM isl WHERE quiet GROUP BY doc_id, grp
+), longest AS (
+    SELECT doc_id, max(run_len) AS longest_quiet_run FROM runs GROUP BY doc_id
+)
+SELECT q.doc_id,
+       count(*) AS n_samples,
+       CAST(sum(CASE WHEN clipped THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped,
+       CAST(sum(CASE WHEN clipped THEN 1 ELSE 0 END) * 1000000 // count(*)
+            AS BIGINT) AS clip_ppm,
+       CAST(sum(CASE WHEN quiet THEN 1 ELSE 0 END) AS BIGINT) AS n_quiet,
+       CAST(coalesce(any_value(l.longest_quiet_run), 0) AS BIGINT)
+           AS longest_quiet_run
+FROM q LEFT JOIN longest l ON q.doc_id = l.doc_id
+GROUP BY q.doc_id
+ORDER BY q.doc_id
+"""

@@ -1132,6 +1132,13 @@ _ENTRIES: list[tuple[str, QueryFn, str | None]] = [
         d.knn_hard_negatives,
         d.ORACLE_knn_hard_negatives,
     ),
+    # M14: audio clipping / dead-air screen (exact-int capture-quality
+    # gates: rail-pinned counts + longest quiet-band run)
+    (
+        "media_audio_clipping",
+        d.media_audio_clipping,
+        d.ORACLE_media_audio_clipping,
+    ),
 ]
 
 # ----------------------------------------------------------------------

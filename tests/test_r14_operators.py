@@ -289,3 +289,34 @@ def test_hard_negatives_exclude_same_label_and_beat_rest(spark):
     import pytest as _pt
     got_top = max(r["cos_sim"] for r in by_q[0])
     assert got_top == _pt.approx(best, abs=1e-12)
+
+
+def test_audio_clipping_run_length_recompute(spark):
+    """Pure-python recompute of every audio doc's clipping counts and
+    longest quiet run at sf0.001."""
+    from project_obsidian_core_spark.datapipe import multimodal as M
+    from project_obsidian_core_spark.plans.common import load
+    from project_obsidian_core_spark.plans.datapipe_queries import (
+        media_audio_clipping,
+    )
+
+    SF = "/root/testdata/sf0.001"
+    got = {r["doc_id"]: r for r in media_audio_clipping(spark, SF).collect()}
+    media = M.attach_media(load(spark, SF, "documents")).filter(
+        "media_type = 'audio'"
+    )
+    n_checked = 0
+    for row in media.collect():
+        b = bytes(row["content"])
+        clipped = sum(1 for x in b if x <= M.CLIP_LO or x >= M.CLIP_HI)
+        best = cur = 0
+        for x in b:
+            cur = cur + 1 if M.QUIET_LO <= x <= M.QUIET_HI else 0
+            best = max(best, cur)
+        g = got[row["doc_id"]]
+        assert g["n_samples"] == len(b)
+        assert g["n_clipped"] == clipped
+        assert g["clip_ppm"] == clipped * 1_000_000 // len(b)
+        assert g["longest_quiet_run"] == best
+        n_checked += 1
+    assert n_checked == len(got) and n_checked > 0
