@@ -408,6 +408,7 @@ BENCH_QUERIES = [
     "metric_range_rate",      # A104 PromQL-style reset-aware rate (r14b)
     "knn_hard_negatives",     # N22 contrastive hard-negative mining (r14b)
     "media_audio_clipping",   # M14 clipping + dead-air screen (r14b)
+    "corpus_curriculum",      # P18 curriculum-learning schedule (r14b)
     # stream_cdc_merge is timed via _time_cdc_merge below (merge work
     # only): its checkpointed replay rewrites a bucketed parquet snapshot
     # per micro-batch (~12 s/run at sf0.1, >90% filesystem publish/rename

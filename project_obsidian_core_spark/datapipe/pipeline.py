@@ -819,3 +819,87 @@ def write_corpus(
     if target_file_rows is not None:
         writer = writer.option("maxRecordsPerFile", target_file_rows)
     writer.partitionBy(*partition_cols).parquet(path)
+
+
+def corpus_curriculum(
+    df: DataFrame,
+    n_stages: int = 4,
+    seed: int = 0,
+    n_shards: int = 64,
+    key_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Curriculum-learning scheduler: easiest→hardest stage ordering with
+    a reproducible shuffle INSIDE each stage — the training-order
+    counterpart of :func:`corpus_shuffle` when the run warms up on easy
+    text first (curriculum learning) instead of a flat permutation.
+
+    Difficulty is the exact-int milli-average token length
+    (``1000·(chars − n_tok + 1) div n_tok`` over the shared
+    space-split tokenization) — longer words ⇒ harder text, the classic
+    cheap proxy.  Stages are COUNT-QUANTILES with ties sharing a stage:
+    ``stage = 1 + (n_stages · |docs with difficulty < v|) div total`` —
+    deterministic, exchange-free for the docs themselves (the
+    boundary table is computed on the ≤|distinct difficulty values|
+    reduced relation, bounded by the milli-length range, and broadcast
+    back).
+
+    The schedule position composes three broadcast offsets exactly like
+    :func:`corpus_shuffle`: stage offset (≤n_stages-row aggregate) +
+    within-stage hash-range shard offset (≤n_stages·n_shards rows) +
+    per-(stage, shard) rank — so the whole curriculum is ONE exchange
+    and ``curriculum_pos`` equals ``row_number() OVER (ORDER BY stage,
+    hash, key)`` without a global sort.
+    """
+    width = (_HASH60_SPAN + n_shards - 1) // n_shards
+    difficulty = F.expr(
+        f"1000 * (length({text_col}) - size(split({text_col}, ' ')) + 1)"
+        f" div size(split({text_col}, ' '))"
+    )
+    base = df.select(
+        F.col(key_col),
+        difficulty.alias("difficulty_milli"),
+        shared_hash60(
+            F.concat(F.lit(f"curriculum:{seed}:"), F.col(key_col).cast("string"))
+        ).alias("_sk"),
+    )
+    # stage boundaries on the reduced distinct-difficulty relation
+    vc = base.groupBy("difficulty_milli").agg(F.count(F.lit(1)).alias("_n"))
+    wv = Window.orderBy("difficulty_milli").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    total = vc.agg(F.sum("_n").alias("_total"))
+    stages = (
+        vc.withColumn("_before", F.coalesce(F.sum("_n").over(wv), F.lit(0)))
+        .crossJoin(F.broadcast(total))
+        .select(
+            "difficulty_milli",
+            (
+                F.lit(1)
+                + F.expr(f"({n_stages} * _before) div _total")
+            ).cast("int").alias("stage"),
+        )
+    )
+    staged = base.join(F.broadcast(stages), "difficulty_milli").withColumn(
+        "shard", F.expr(f"_sk div {width}")
+    )
+    rank = F.row_number().over(
+        Window.partitionBy("stage", "shard").orderBy("_sk", key_col)
+    )
+    ranked = staged.withColumn("_rank", rank.cast("long"))
+    # (stage, shard) counts -> cumulative offsets in (stage, shard) order;
+    # a ≤ n_stages·n_shards reduced relation, broadcast back
+    counts = staged.groupBy("stage", "shard").agg(F.count(F.lit(1)).alias("_n"))
+    woff = Window.orderBy("stage", "shard").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = counts.select(
+        "stage",
+        "shard",
+        F.coalesce(F.sum("_n").over(woff), F.lit(0)).alias("_off"),
+    )
+    return (
+        ranked.join(F.broadcast(offsets), ["stage", "shard"])
+        .withColumn("curriculum_pos", (F.col("_off") + F.col("_rank")).cast("long"))
+        .select(key_col, "difficulty_milli", "stage", "curriculum_pos")
+    )

@@ -1174,3 +1174,55 @@ FROM sel
 WHERE strat_rank <= quota
 ORDER BY doc_id
 """
+
+
+# ---------------- P18: curriculum schedule (round 14) ---------------------
+# Registration note: REGISTERED r14 (Block R14b).  Registry row:
+#   ("corpus_curriculum", pl.corpus_curriculum,
+#    pl.ORACLE_corpus_curriculum)
+_CURR_SEED = 7
+_CURR_STAGES = 4
+_CURR_SHARDS = 64
+
+
+def corpus_curriculum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P18: curriculum-learning training order — easiest→hardest stages
+    (count-quantiles of the exact milli-average token length, ties
+    sharing a stage) with a seeded deterministic shuffle inside each
+    stage; see :func:`datapipe.pipeline.corpus_curriculum`.  The whole
+    schedule is one exchange: stage + shard offsets compose broadcast
+    reduced relations exactly like P12's shuffle, and
+    ``curriculum_pos`` equals the (stage, hash, key) global row number
+    without a global sort."""
+    return (
+        P.corpus_curriculum(
+            load(spark, sf_dir, "documents"),
+            n_stages=_CURR_STAGES,
+            seed=_CURR_SEED,
+            n_shards=_CURR_SHARDS,
+        )
+        .orderBy("curriculum_pos")
+    )
+
+
+ORACLE_corpus_curriculum = f"""
+WITH k AS (
+    SELECT doc_id,
+           1000 * (length(text) - len(string_split(text, ' ')) + 1)
+               // len(string_split(text, ' ')) AS difficulty_milli,
+           {_sql_hash60(f"'curriculum:{_CURR_SEED}:' || CAST(doc_id AS VARCHAR)")} AS k
+    FROM documents
+), st AS (
+    SELECT *,
+           1 + ({_CURR_STAGES} * count(*) OVER (
+                   ORDER BY difficulty_milli
+                   RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
+               // count(*) OVER () AS stage
+    FROM k
+)
+SELECT doc_id, difficulty_milli, CAST(stage AS INT) AS stage,
+       CAST(row_number() OVER (ORDER BY stage, k, doc_id) AS BIGINT)
+           AS curriculum_pos
+FROM st
+ORDER BY curriculum_pos
+"""

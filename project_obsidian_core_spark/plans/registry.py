@@ -1139,6 +1139,9 @@ _ENTRIES: list[tuple[str, QueryFn, str | None]] = [
         d.media_audio_clipping,
         d.ORACLE_media_audio_clipping,
     ),
+    # P18: curriculum-learning schedule (stage count-quantiles + seeded
+    # within-stage shuffle, one exchange end-to-end)
+    ("corpus_curriculum", pl.corpus_curriculum, pl.ORACLE_corpus_curriculum),
 ]
 
 # ----------------------------------------------------------------------

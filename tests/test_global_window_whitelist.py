@@ -34,6 +34,12 @@ WHITELIST: dict[tuple[str, str], str] = {
         "per-shard count offsets: ≤ n_shards rows (broadcast back; the "
         "corpus itself is never globally sorted)"
     ),
+    ("datapipe/pipeline.py", "corpus_curriculum"): (
+        "stage boundaries over the ≤|distinct difficulty values| grid "
+        "(bounded by the milli-length range) and (stage, shard) offsets "
+        "over ≤ n_stages·n_shards rows — both broadcast back; the "
+        "corpus itself pays one exchange, never a global sort"
+    ),
     ("plans/analytics_ext_queries.py", "qan_percent_rank"): (
         "per-digest aggregate: ≤ |digests| ≤ 10^4 rows"
     ),

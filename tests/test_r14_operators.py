@@ -320,3 +320,39 @@ def test_audio_clipping_run_length_recompute(spark):
         assert g["longest_quiet_run"] == best
         n_checked += 1
     assert n_checked == len(got) and n_checked > 0
+
+
+def test_curriculum_stage_monotone_and_position_permutation(spark):
+    """Stages are monotone in difficulty (count-quantiles with shared
+    ties), positions are an exact 1..N permutation ordered stage-major,
+    and within a stage the order is the seeded hash permutation."""
+    from project_obsidian_core_spark.plans.pipeline_queries import (
+        _CURR_STAGES,
+        corpus_curriculum,
+    )
+
+    SF = "/root/testdata/sf0.001"
+    rows = corpus_curriculum(spark, SF).collect()
+    n = len(rows)
+    assert n > 0
+    assert sorted(r["curriculum_pos"] for r in rows) == list(range(1, n + 1))
+    # stage-major: positions sorted => stages non-decreasing
+    by_pos = sorted(rows, key=lambda r: r["curriculum_pos"])
+    stages = [r["stage"] for r in by_pos]
+    assert stages == sorted(stages)
+    assert 1 <= min(stages) and max(stages) <= _CURR_STAGES
+    # monotone in difficulty: every doc in stage s has difficulty <= any
+    # doc in stage s+1 (ties may share a stage, never invert)
+    import collections
+    lo, hi = {}, {}
+    for r in rows:
+        lo[r["stage"]] = min(lo.get(r["stage"], 1 << 60), r["difficulty_milli"])
+        hi[r["stage"]] = max(hi.get(r["stage"], -1), r["difficulty_milli"])
+    ss = sorted(lo)
+    for a, b in zip(ss, ss[1:]):
+        assert hi[a] <= lo[b], (a, b, hi[a], lo[b])
+    # equal difficulty -> equal stage (shared ties)
+    stage_of = collections.defaultdict(set)
+    for r in rows:
+        stage_of[r["difficulty_milli"]].add(r["stage"])
+    assert all(len(s) == 1 for s in stage_of.values())
