@@ -1721,3 +1721,115 @@ FROM all_credits
 GROUP BY channel
 ORDER BY channel
 """
+
+
+# ---------------- A105: market-basket pair lift (round 14) ----------------
+# Registration note: REGISTERED r14 (Block R14b).  Registry row:
+#   ("basket_pair_lift", bh.basket_pair_lift, bh.ORACLE_basket_pair_lift)
+_BASKET_MIN_PAIRS = 2
+_BASKET_TOPK = 100
+
+
+def basket_pair_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A105: association-rule mining over order baskets — support /
+    directed confidence / lift for part PAIRS co-occurring within an
+    order, the classic market-basket report (and, re-keyed on document
+    n-grams or session pages, the co-occurrence miner every
+    recommendation or query-expansion stage starts from).  The one
+    family the inventory lacked: A-rows compare series, D-rows compare
+    documents; this compares ITEMS ACROSS BASKETS.
+
+    Exactness: every measure is an integer-ppm division of exact
+    counts — support = n_ab·10⁶ div N, confidence(a→b) = n_ab·10⁶ div
+    n_a, lift = n_ab·N·10⁶ div (n_a·n_b) (int64-safe at the gate
+    scales; at 10⁹ baskets swap to the cross-multiplied comparison
+    form the ABC rows use).  Ties in the top-k break on (n_ab desc,
+    part_a, part_b) — total order.
+
+    Scale: the pair space is Σ_orders C(lines, 2) with TPC-H's ≤7
+    lines/order — HARD-LINEAR in the fact table, never item²; the
+    self-join keys on l_orderkey so it hash-partitions by basket, part
+    counts are one map-side-combined aggregate, and the report is
+    TakeOrdered top-k (no global sort)."""
+    lines = (
+        load(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    # 1-row basket total, broadcast-crossed in (no driver-side action)
+    n_orders = lines.agg(
+        F.countDistinct("l_orderkey").alias("_n_orders")
+    )
+    part_n = lines.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("n_part"))
+    a = lines.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("part_a")
+    )
+    b = lines.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("part_b")
+    )
+    pairs = (
+        a.join(b, "ok")
+        .filter(F.col("part_a") < F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+        .filter(F.col("n_ab") >= _BASKET_MIN_PAIRS)
+    )
+    na = part_n.select(
+        F.col("l_partkey").alias("part_a"), F.col("n_part").alias("n_a")
+    )
+    nb = part_n.select(
+        F.col("l_partkey").alias("part_b"), F.col("n_part").alias("n_b")
+    )
+    scored = (
+        pairs.join(F.broadcast(na), "part_a")
+        .join(F.broadcast(nb), "part_b")
+        .crossJoin(F.broadcast(n_orders))
+        .select(
+            "part_a",
+            "part_b",
+            "n_ab",
+            "n_a",
+            "n_b",
+            F.expr("n_ab * 1000000 div _n_orders").alias("support_ppm"),
+            F.expr("n_ab * 1000000 div n_a").alias("conf_a_to_b_ppm"),
+            F.expr("n_ab * 1000000 div n_b").alias("conf_b_to_a_ppm"),
+            F.expr("n_ab * _n_orders * 1000000 div (n_a * n_b)").alias(
+                "lift_ppm"
+            ),
+        )
+    )
+    return scored.orderBy(
+        F.desc("n_ab"), "part_a", "part_b"
+    ).limit(_BASKET_TOPK)
+
+
+ORACLE_basket_pair_lift = f"""
+WITH lines AS (
+    SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+), n AS (
+    SELECT count(DISTINCT l_orderkey) AS n_orders FROM lines
+), pn AS (
+    SELECT l_partkey, count(*) AS n_part FROM lines GROUP BY 1
+), pairs AS (
+    SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+           count(*) AS n_ab
+    FROM lines a JOIN lines b ON a.l_orderkey = b.l_orderkey
+    WHERE a.l_partkey < b.l_partkey
+    GROUP BY 1, 2
+    HAVING count(*) >= {_BASKET_MIN_PAIRS}
+)
+SELECT part_a, part_b, CAST(n_ab AS BIGINT) AS n_ab,
+       CAST(na.n_part AS BIGINT) AS n_a,
+       CAST(nb.n_part AS BIGINT) AS n_b,
+       CAST(n_ab * 1000000 // n.n_orders AS BIGINT) AS support_ppm,
+       CAST(n_ab * 1000000 // na.n_part AS BIGINT) AS conf_a_to_b_ppm,
+       CAST(n_ab * 1000000 // nb.n_part AS BIGINT) AS conf_b_to_a_ppm,
+       CAST(n_ab * n.n_orders * 1000000 // (na.n_part * nb.n_part) AS BIGINT)
+           AS lift_ppm
+FROM pairs
+JOIN pn na ON na.l_partkey = part_a
+JOIN pn nb ON nb.l_partkey = part_b
+CROSS JOIN n
+ORDER BY n_ab DESC, part_a, part_b
+LIMIT {_BASKET_TOPK}
+"""

@@ -1142,6 +1142,12 @@ _ENTRIES: list[tuple[str, QueryFn, str | None]] = [
     # P18: curriculum-learning schedule (stage count-quantiles + seeded
     # within-stage shuffle, one exchange end-to-end)
     ("corpus_curriculum", pl.corpus_curriculum, pl.ORACLE_corpus_curriculum),
+    # T40: streaming range rate — gated on the A104 batch oracle verbatim
+    # (the counter is the running cumsum of the bucket-sum state)
+    ("stream_range_rate", st.stream_range_rate, m.ORACLE_metric_range_rate),
+    # A105: market-basket pair lift (association mining over order
+    # baskets — support/confidence/lift in exact integer ppm)
+    ("basket_pair_lift", bh.basket_pair_lift, bh.ORACLE_basket_pair_lift),
 ]
 
 # ----------------------------------------------------------------------

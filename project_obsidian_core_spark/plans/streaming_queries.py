@@ -3008,3 +3008,67 @@ def stream_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
         "metric_name", "n_buckets", "p05", "p95", "n_clip_low",
         "n_clip_high", "sum_raw", "sum_winsor", "winsor_mean",
     ).orderBy("metric_name")
+
+
+# Registration note: REGISTERED r14 (Block R14b).  Registry row:
+#   ("stream_range_rate", st.stream_range_rate,
+#    m.ORACLE_metric_range_rate)
+def stream_range_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T40: the A104 reset-aware range rate served LIVE — rate() over a
+    live counter IS the canonical observability stream; the counter is
+    the running cumulative sum of the bucket-sum state, so a late
+    bucket shifts every later sample's counter and the whole window
+    table revises per emit.  Gated on the batch `metric_range_rate`
+    oracle verbatim."""
+    from project_obsidian_core_spark.plans.metrics_queries import HIT, READ
+    from project_obsidian_core_spark.streaming.sequence_state import (
+        streaming_range_rate,
+    )
+
+    run = next(_RUN_IDS)
+    src = _events_src(spark, sf_dir, run)
+    schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "4")
+        .parquet(src)
+    )
+    name_col = (
+        F.when(F.col("event_type") == "view", F.lit(HIT))
+        .when(F.col("event_type") == "click", F.lit(READ))
+        .otherwise(F.concat(F.lit("postgresql."), F.col("event_type")))
+    )
+    keyed = stream.select(
+        name_col.alias("metric_name"),
+        F.expr("unix_micros(ts) div 3600000000").alias("bucket"),
+        F.col("cents").alias("v"),
+    )
+    out = streaming_range_rate(keyed)
+    name = f"stream_range_rate_{run}"
+    tmp = tempfile.mkdtemp(prefix=f"obsidian_rangerate_{run}_")
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            out.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .option("checkpointLocation", f"{tmp}/ckpt")
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+
+    emitted = spark.table(name)
+    wmax = Window.partitionBy("metric_name")
+    latest = emitted.withColumn(
+        "_vmax", F.max("version").over(wmax)
+    ).filter(F.col("version") == F.col("_vmax"))
+    return latest.select(
+        "metric_name", "win", "n_samples", "first_bucket", "last_bucket",
+        "counter_first", "counter_last", "n_resets", "increase",
+        "rate_per_hour",
+    ).orderBy("metric_name", "win")

@@ -2634,3 +2634,148 @@ def streaming_winsorize(stream: DataFrame) -> DataFrame:
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# ------------------------------------------------------------ T40 ---------
+RANGE_RATE_OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("metric_name", T.StringType()),
+        T.StructField("win", T.LongType()),
+        T.StructField("n_samples", T.LongType()),
+        T.StructField("first_bucket", T.LongType()),
+        T.StructField("last_bucket", T.LongType()),
+        T.StructField("counter_first", T.LongType()),
+        T.StructField("counter_last", T.LongType()),
+        T.StructField("n_resets", T.LongType()),
+        T.StructField("increase", T.LongType()),
+        T.StructField("rate_per_hour", T.DoubleType()),
+        T.StructField("version", T.LongType()),
+    ]
+)
+
+#: must match the batch A104 constants (plans/metrics_queries._RATE_*)
+RANGE_RATE_WRAP = 2_000_000
+RANGE_RATE_WIN = 6
+
+
+def range_rate_from_series(buckets: list[int], sums: list[int]):
+    """A104's reset-aware range windows re-derived from the bucket-sum
+    state — the batch formulas verbatim: counter = running cumulative
+    sum wrapped at RANGE_RATE_WRAP; per 6h-aligned window, increase =
+    Σ reset-aware deltas between consecutive in-window samples (the T3
+    rule — a wrapped counter contributes its new value), the
+    window-opening sample contributes nothing, rate = ONE IEEE division
+    (NULL on single-sample windows).  A late bucket shifts the cumsum
+    of every later sample, so the whole window table revises per emit.
+    Returns rows of (win, n_samples, first_bucket, last_bucket,
+    counter_first, counter_last, n_resets, increase, rate_per_hour)."""
+    cum = 0
+    series = []
+    for b, v in zip(buckets, sums):
+        cum += v
+        series.append((b, cum % RANGE_RATE_WRAP))
+    wins: dict[int, dict] = {}
+    for i, (b, c) in enumerate(series):
+        w = b // RANGE_RATE_WIN
+        st = wins.setdefault(
+            w,
+            {"n": 0, "fb": b, "lb": b, "cf": c, "cl": c, "rs": 0, "inc": 0},
+        )
+        st["n"] += 1
+        if b < st["fb"]:
+            st["fb"], st["cf"] = b, c
+        if b > st["lb"]:
+            st["lb"], st["cl"] = b, c
+        if i > 0 and series[i - 1][0] // RANGE_RATE_WIN == w:
+            prev = series[i - 1][1]
+            if c >= prev:
+                st["inc"] += c - prev
+            else:
+                st["inc"] += c
+                st["rs"] += 1
+    out = []
+    for w in sorted(wins):
+        st = wins[w]
+        span = st["lb"] - st["fb"]
+        rate = float(st["inc"]) / float(span) if span > 0 else None
+        out.append(
+            (
+                w,
+                st["n"],
+                st["fb"],
+                st["lb"],
+                st["cf"],
+                st["cl"],
+                st["rs"],
+                st["inc"],
+                rate,
+            )
+        )
+    return out
+
+
+def make_range_rate_fn():
+    def fn(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        metric = str(key[0])
+        if state.exists:
+            buckets, sums, version = state.get
+            buckets, sums = list(buckets), list(sums)
+        else:
+            buckets, sums, version = [], [], 0
+        absorbed = 0
+        for pdf in pdfs:
+            if not len(pdf):
+                continue
+            absorbed += len(pdf)
+            buckets, sums = fold_bucket_sums(
+                buckets, sums, zip(pdf["bucket"], pdf["v"])
+            )
+        if not absorbed:
+            return
+        version += absorbed
+        state.update((buckets, sums, version))
+        rows = range_rate_from_series(buckets, sums)
+        yield pd.DataFrame(
+            {
+                "metric_name": [metric] * len(rows),
+                "win": pd.array([r[0] for r in rows], dtype="Int64"),
+                "n_samples": pd.array([r[1] for r in rows], dtype="Int64"),
+                "first_bucket": pd.array([r[2] for r in rows], dtype="Int64"),
+                "last_bucket": pd.array([r[3] for r in rows], dtype="Int64"),
+                "counter_first": pd.array([r[4] for r in rows], dtype="Int64"),
+                "counter_last": pd.array([r[5] for r in rows], dtype="Int64"),
+                "n_resets": pd.array([r[6] for r in rows], dtype="Int64"),
+                "increase": pd.array([r[7] for r in rows], dtype="Int64"),
+                "rate_per_hour": pd.array(
+                    [r[8] for r in rows], dtype="Float64"
+                ),
+                "version": [version] * len(rows),
+            }
+        )
+
+    return fn
+
+
+def streaming_range_rate(stream: DataFrame) -> DataFrame:
+    """T40: the A104 PromQL-style range rate served LIVE — the
+    bucket-sum state family member with the strongest revision
+    coupling: the counter is the RUNNING CUMULATIVE sum, so one late
+    bucket shifts every later sample's counter value and the whole
+    window table re-derives per emit (versions are always non-empty
+    supersets; the drain keeps the max version).  Gated on the batch
+    `metric_range_rate` oracle verbatim.
+    Expects (metric_name, bucket, v)."""
+    keyed = stream.select(
+        F.col("metric_name").cast("string").alias("metric_name"),
+        F.col("bucket").cast("long").alias("bucket"),
+        F.col("v").cast("long").alias("v"),
+    )
+    return keyed.groupBy("metric_name").applyInPandasWithState(
+        make_range_rate_fn(),
+        outputStructType=RANGE_RATE_OUTPUT_SCHEMA,
+        stateStructType=EWMA_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -356,3 +356,78 @@ def test_curriculum_stage_monotone_and_position_permutation(spark):
     for r in rows:
         stage_of[r["difficulty_milli"]].add(r["stage"])
     assert all(len(s) == 1 for s in stage_of.values())
+
+
+def test_range_rate_from_series_matches_batch_unit():
+    """The T40 re-derivation reproduces the same windows the A104 unit
+    recomputes, including a forced wrap (reset) mid-window."""
+    from project_obsidian_core_spark.streaming.sequence_state import (
+        RANGE_RATE_WIN,
+        RANGE_RATE_WRAP,
+        range_rate_from_series,
+    )
+
+    buckets = list(range(600, 630))
+    sums = [150_000] * 30  # cum crosses 2e6 every ~13 buckets -> resets
+    rows = range_rate_from_series(buckets, sums)
+    # reference: python cumsum + window fold
+    cum, series = 0, []
+    for b, v in zip(buckets, sums):
+        cum += v
+        series.append((b, cum % RANGE_RATE_WRAP))
+    assert sum(r[6] for r in rows) >= 2  # resets happened
+    for w, n, fb, lb, cf, cl, rs, inc, rate in rows:
+        ref_inc = ref_rs = 0
+        mem = [(b, c) for b, c in series if b // RANGE_RATE_WIN == w]
+        assert n == len(mem) and (fb, lb) == (mem[0][0], mem[-1][0])
+        assert (cf, cl) == (mem[0][1], mem[-1][1])
+        for i, (b, c) in enumerate(series):
+            if b // RANGE_RATE_WIN != w or i == 0:
+                continue
+            pb, pc = series[i - 1]
+            if pb // RANGE_RATE_WIN != w:
+                continue
+            if c >= pc:
+                ref_inc += c - pc
+            else:
+                ref_inc += c
+                ref_rs += 1
+        assert (inc, rs) == (ref_inc, ref_rs)
+        assert rate == (float(inc) / float(lb - fb) if lb > fb else None)
+
+
+def test_basket_pair_lift_identities(spark):
+    """Support/confidence/lift identities recomputed driver-side, and
+    the pair relation is symmetric-free (part_a < part_b)."""
+    from project_obsidian_core_spark.plans.behavior_queries import (
+        basket_pair_lift,
+    )
+    from project_obsidian_core_spark.plans.common import load
+
+    SF = "/root/testdata/sf0.001"
+    rows = basket_pair_lift(spark, SF).collect()
+    assert rows
+    lines = {
+        (r["l_orderkey"], r["l_partkey"])
+        for r in load(spark, SF, "lineitem").select(
+            "l_orderkey", "l_partkey"
+        ).distinct().collect()
+    }
+    baskets = {}
+    for ok, pk in lines:
+        baskets.setdefault(ok, set()).add(pk)
+    N = len(baskets)
+    from collections import Counter
+    part_n = Counter(pk for _, pk in lines)
+    for r in rows:
+        assert r["part_a"] < r["part_b"]
+        n_ab = sum(
+            1 for ps in baskets.values()
+            if r["part_a"] in ps and r["part_b"] in ps
+        )
+        assert r["n_ab"] == n_ab
+        assert r["n_a"] == part_n[r["part_a"]]
+        assert r["n_b"] == part_n[r["part_b"]]
+        assert r["support_ppm"] == n_ab * 1_000_000 // N
+        assert r["conf_a_to_b_ppm"] == n_ab * 1_000_000 // r["n_a"]
+        assert r["lift_ppm"] == n_ab * N * 1_000_000 // (r["n_a"] * r["n_b"])
