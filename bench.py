@@ -411,6 +411,8 @@ BENCH_QUERIES = [
     "corpus_curriculum",      # P18 curriculum-learning schedule (r14b)
     "stream_range_rate",      # T40 reset-aware rate served live (r14b)
     "basket_pair_lift",       # A105 market-basket association mining (r14b)
+    "vocab_fertility",        # V4 tokenizer fertility by language (r14b)
+    "embedding_pair_auc",     # N23 embedding-space ROC-AUC audit (r14b)
     # stream_cdc_merge is timed via _time_cdc_merge below (merge work
     # only): its checkpointed replay rewrites a bucketed parquet snapshot
     # per micro-batch (~12 s/run at sf0.1, >90% filesystem publish/rename

@@ -1331,3 +1331,93 @@ FROM ranked
 WHERE rk IN ({", ".join(str(k) for k in _COV_CHECKPOINTS)})
 ORDER BY vocab_k
 """
+
+
+# ---------------- V4: tokenizer fertility by language (round 14) ----------
+# Registration note: REGISTERED r14 (Block R14b).  Registry row:
+#   ("vocab_fertility", cu.vocab_fertility, cu.ORACLE_vocab_fertility)
+def vocab_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """V4: tokenizer fertility per language — BPE-ish tokens emitted per
+    whitespace word, the standard multilingual-tokenizer audit (a
+    language whose fertility is 2× the corpus mean pays twice the
+    sequence length for the same text, which skews both training cost
+    and effective mixture weights — the number that motivates
+    vocabulary rebalancing).  Languages come from the gated X2 lang-ID
+    (first-declared-wins argmax); fertility is an integer-ppm division
+    of exact token counts; the corpus-relative ratio uses the SAME
+    exact sums, so every value is engine-portable.
+
+    Scale: two per-row expression stacks (lang scores + token counts)
+    pipelined with one scan, then a ≤|langs| hash aggregate; the
+    corpus totals are a 1-row broadcast."""
+    from pyspark.sql import functions as F
+
+    from project_obsidian_core_spark.datapipe import text as T
+
+    docs = load(spark, sf_dir, "documents")
+    lang = T.with_lang_id(docs).select("doc_id", "lang_pred")
+    counts = T.with_token_stats(docs).select(
+        "doc_id", "n_ws_tokens", "n_bpe_tokens"
+    )
+    per_doc = lang.join(counts, "doc_id")
+    per_lang = per_doc.groupBy("lang_pred").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_ws_tokens").alias("sum_ws"),
+        F.sum("n_bpe_tokens").alias("sum_bpe"),
+    )
+    totals = per_doc.agg(
+        F.sum("n_ws_tokens").alias("_tws"),
+        F.sum("n_bpe_tokens").alias("_tbpe"),
+    )
+    return (
+        per_lang.crossJoin(F.broadcast(totals))
+        .select(
+            "lang_pred",
+            "n_docs",
+            "sum_ws",
+            "sum_bpe",
+            F.expr("sum_bpe * 1000000 div sum_ws").alias("fertility_ppm"),
+            # corpus-relative: (lang fertility) / (corpus fertility) in ppm
+            # = (sum_bpe · _tws · 10⁶) div (sum_ws · _tbpe) — exact ints
+            F.expr(
+                "sum_bpe * _tws * 1000000 div (sum_ws * _tbpe)"
+            ).alias("rel_fertility_ppm"),
+        )
+        .orderBy("lang_pred")
+    )
+
+
+def _fertility_oracle() -> str:
+    from project_obsidian_core_spark.datapipe import text as T
+    from project_obsidian_core_spark.plans.datapipe_queries import _lang_oracle
+
+    lang_body = _lang_oracle().strip().rstrip()
+    # reuse the lang oracle verbatim as a CTE (drop its ORDER BY tail)
+    lang_body = lang_body[: lang_body.rindex("ORDER BY doc_id")]
+    return f"""
+WITH lang AS ({lang_body}),
+cnt AS (
+    SELECT doc_id,
+           len(string_split(text, ' ')) AS n_ws,
+           len(regexp_extract_all(text, '{T.BPE_TOKEN_RE}')) AS n_bpe
+    FROM documents
+), per_doc AS (
+    SELECT l.lang_pred, c.n_ws, c.n_bpe
+    FROM lang l JOIN cnt c USING (doc_id)
+), tot AS (
+    SELECT sum(n_ws) AS tws, sum(n_bpe) AS tbpe FROM per_doc
+)
+SELECT lang_pred,
+       count(*) AS n_docs,
+       CAST(sum(n_ws) AS BIGINT) AS sum_ws,
+       CAST(sum(n_bpe) AS BIGINT) AS sum_bpe,
+       CAST(sum(n_bpe) * 1000000 // sum(n_ws) AS BIGINT) AS fertility_ppm,
+       CAST(sum(n_bpe) * tot.tws * 1000000
+            // (sum(n_ws) * tot.tbpe) AS BIGINT) AS rel_fertility_ppm
+FROM per_doc CROSS JOIN tot
+GROUP BY lang_pred, tot.tws, tot.tbpe
+ORDER BY lang_pred
+"""
+
+
+ORACLE_vocab_fertility = _fertility_oracle()

@@ -4183,3 +4183,124 @@ FROM q LEFT JOIN longest l ON q.doc_id = l.doc_id
 GROUP BY q.doc_id
 ORDER BY q.doc_id
 """
+
+
+# ---------------- N23: embedding-space ROC-AUC audit (round 14) -----------
+# Registration note: REGISTERED r14 (Block R14b).  Registry row:
+#   ("embedding_pair_auc", d.embedding_pair_auc, d.ORACLE_embedding_pair_auc)
+_AUC_SAMPLE = 80  # bounded eval sample: C(80,2) = 3160 pairs, fixed cost
+
+
+def embedding_pair_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N23: ROC-AUC of cosine similarity as a same-label classifier —
+    the standard "is this embedding space any good for retrieval"
+    audit: over a deterministic hash-order sample of vectors, every
+    pair is scored by the N1 cosine and labeled by label agreement;
+    AUC is the probability a same-label pair outranks a
+    different-label pair, computed EXACTLY from rank statistics with
+    average-rank tie handling in INTEGERS: ``2·avg_rank = 2·min_rank +
+    tie_n − 1``, so ``auc_ppm = (2·R⁺ − n⁺(n⁺+1)) · 10⁶ div
+    (2·n⁺·n⁻)`` divides exact ints (the Mann-Whitney U identity the
+    A64 row already gates, re-deployed as an embedding audit).
+
+    Scale: the sample is FIXED (C(80,2) = 3160 pairs — the
+    dedup_recall_report bounded-eval pattern), so the global rank
+    window rides a bounded-by-construction relation at any corpus
+    size; the sample selection is hash-order top-S (the P13 rule, no
+    RNG state)."""
+    from project_obsidian_core_spark.datapipe.text import shared_hash60
+
+    emb = load(spark, sf_dir, "embeddings")
+    sample = (
+        emb.withColumn(
+            "_sk",
+            shared_hash60(
+                F.concat(F.lit("aucsample:"), F.col("vec_id").cast("string"))
+            ),
+        )
+        .orderBy("_sk", "vec_id")
+        .limit(_AUC_SAMPLE)
+        .select("vec_id", "label", "embedding", V.norm(F.col("embedding")).alias("nrm"))
+    )
+    a = sample.select(
+        F.col("vec_id").alias("ia"),
+        F.col("label").alias("la"),
+        F.col("embedding").alias("va"),
+        F.col("nrm").alias("na"),
+    )
+    b = sample.select(
+        F.col("vec_id").alias("ib"),
+        F.col("label").alias("lb"),
+        F.col("embedding").alias("vb"),
+        F.col("nrm").alias("nb"),
+    )
+    pairs = a.join(F.broadcast(b), F.col("ia") < F.col("ib")).select(
+        (F.col("la") == F.col("lb")).alias("pos"),
+        V.cosine_prenormed(
+            V.dot(F.col("va"), F.col("vb")), F.col("na"), F.col("nb")
+        ).alias("cos_sim"),
+    )
+    from pyspark.sql import Window
+
+    wr = Window.orderBy("cos_sim")
+    wt = Window.partitionBy("cos_sim")
+    ranked = pairs.withColumn("r_lo", F.rank().over(wr)).withColumn(
+        "tie_n", F.count(F.lit(1)).over(wt)
+    )
+    return (
+        ranked.agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.sum(F.when(F.col("pos"), 1).otherwise(0)).cast("long").alias("n_pos"),
+            F.sum(F.when(~F.col("pos"), 1).otherwise(0)).cast("long").alias("n_neg"),
+            F.sum(
+                F.when(F.col("pos"), 2 * F.col("r_lo") + F.col("tie_n") - 1)
+            ).cast("long").alias("two_rank_sum_pos"),
+        )
+        .select(
+            "n_pairs",
+            "n_pos",
+            "n_neg",
+            "two_rank_sum_pos",
+            F.expr(
+                "(two_rank_sum_pos - n_pos * (n_pos + 1)) * 1000000"
+                " div (2 * n_pos * n_neg)"
+            ).alias("auc_ppm"),
+        )
+    )
+
+
+def _sql_hash60_local(expr: str) -> str:
+    """DuckDB twin of datapipe.text.shared_hash60 (inlined: importing
+    pipeline_queries here would be circular)."""
+    return f"CAST('0x' || substr(md5({expr}), 1, 15) AS BIGINT)"
+
+
+ORACLE_embedding_pair_auc = f"""
+WITH s AS (
+    SELECT vec_id, label, embedding AS v, {V.sql_norm('embedding', _EMB_DIM)} AS nrm
+    FROM embeddings
+    ORDER BY {_sql_hash60_local("'aucsample:' || CAST(vec_id AS VARCHAR)")}, vec_id
+    LIMIT {_AUC_SAMPLE}
+), pairs AS (
+    SELECT a.label = b.label AS pos,
+           {V.sql_dot('a.v', 'b.v', _EMB_DIM)} / (a.nrm * b.nrm) AS cos_sim
+    FROM s a JOIN s b ON a.vec_id < b.vec_id
+), ranked AS (
+    SELECT pos,
+           rank() OVER (ORDER BY cos_sim) AS r_lo,
+           count(*) OVER (PARTITION BY cos_sim) AS tie_n
+    FROM pairs
+)
+SELECT count(*) AS n_pairs,
+       CAST(sum(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+       CAST(sum(CASE WHEN NOT pos THEN 1 ELSE 0 END) AS BIGINT) AS n_neg,
+       CAST(sum(CASE WHEN pos THEN 2 * r_lo + tie_n - 1 END) AS BIGINT)
+           AS two_rank_sum_pos,
+       CAST((sum(CASE WHEN pos THEN 2 * r_lo + tie_n - 1 END)
+             - sum(CASE WHEN pos THEN 1 ELSE 0 END)
+               * (sum(CASE WHEN pos THEN 1 ELSE 0 END) + 1)) * 1000000
+            // (2 * sum(CASE WHEN pos THEN 1 ELSE 0 END)
+                  * sum(CASE WHEN NOT pos THEN 1 ELSE 0 END)) AS BIGINT)
+           AS auc_ppm
+FROM ranked
+"""

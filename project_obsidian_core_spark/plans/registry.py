@@ -1148,6 +1148,12 @@ _ENTRIES: list[tuple[str, QueryFn, str | None]] = [
     # A105: market-basket pair lift (association mining over order
     # baskets — support/confidence/lift in exact integer ppm)
     ("basket_pair_lift", bh.basket_pair_lift, bh.ORACLE_basket_pair_lift),
+    # V4: tokenizer fertility by language (BPE tokens per word, the
+    # multilingual-tokenizer audit; exact-ppm)
+    ("vocab_fertility", cu.vocab_fertility, cu.ORACLE_vocab_fertility),
+    # N23: embedding-space ROC-AUC audit (Mann-Whitney rank identity
+    # in exact ints over the bounded hash-order pair sample)
+    ("embedding_pair_auc", d.embedding_pair_auc, d.ORACLE_embedding_pair_auc),
 ]
 
 # ----------------------------------------------------------------------

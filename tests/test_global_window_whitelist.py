@@ -74,6 +74,10 @@ WHITELIST: dict[tuple[str, str], str] = {
         "per-term count aggregate: ≤ |vocab| rows (cumulative token "
         "shares over the ranked vocabulary)"
     ),
+    ("plans/datapipe_queries.py", "embedding_pair_auc"): (
+        "global rank over the C(80,2)=3160-pair bounded eval sample "
+        "(fixed cost at any corpus size — the bounded-eval pattern)"
+    ),
     ("plans/datapipe_queries.py", "text_rake_keywords"): (
         "per-keyword phrase scores: ≤ |distinct phrases| rows after the "
         "aggregate, top-k bounded"

@@ -431,3 +431,71 @@ def test_basket_pair_lift_identities(spark):
         assert r["support_ppm"] == n_ab * 1_000_000 // N
         assert r["conf_a_to_b_ppm"] == n_ab * 1_000_000 // r["n_a"]
         assert r["lift_ppm"] == n_ab * N * 1_000_000 // (r["n_a"] * r["n_b"])
+
+
+def test_embedding_pair_auc_matches_hand_auc(spark):
+    """Recompute the AUC by brute pos-vs-neg comparison (the definition)
+    and check the rank-identity path agrees exactly."""
+    from project_obsidian_core_spark.datapipe import vectors as V
+    from project_obsidian_core_spark.plans.datapipe_queries import (
+        _AUC_SAMPLE,
+        embedding_pair_auc,
+    )
+    from project_obsidian_core_spark.plans.common import load
+    import hashlib
+    import math
+
+    SF = "/root/testdata/sf0.001"
+    row = embedding_pair_auc(spark, SF).collect()[0]
+
+    def h60(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    vecs = load(spark, SF, "embeddings").collect()
+    vecs.sort(key=lambda r: (h60(f"aucsample:{r['vec_id']}"), r["vec_id"]))
+    sample = vecs[:_AUC_SAMPLE]
+    def cos(a, b):
+        dot = sum(float(x) * float(y) for x, y in zip(a, b))
+        return dot / (math.sqrt(sum(float(x)**2 for x in a)) * math.sqrt(sum(float(x)**2 for x in b)))
+    pos, neg = [], []
+    for i in range(len(sample)):
+        for j in range(i + 1, len(sample)):
+            a, b = sample[i], sample[j]
+            if a["vec_id"] > b["vec_id"]:
+                a, b = b, a
+            c = cos(a["embedding"], b["embedding"])
+            (pos if a["label"] == b["label"] else neg).append(c)
+    assert row["n_pos"] == len(pos) and row["n_neg"] == len(neg)
+    wins = sum(1 for p in pos for n in neg if p > n)
+    ties = sum(1 for p in pos for n in neg if p == n)
+    auc_ppm = (2 * wins + ties) * 1_000_000 // (2 * len(pos) * len(neg))
+    assert row["auc_ppm"] == auc_ppm
+
+
+def test_vocab_fertility_identities(spark):
+    """Fertility identities recomputed from the gated token stats and
+    lang predictions."""
+    from pyspark.sql import functions as F
+    from project_obsidian_core_spark.datapipe import text as T
+    from project_obsidian_core_spark.plans.common import load
+    from project_obsidian_core_spark.plans.curation_queries import vocab_fertility
+
+    SF = "/root/testdata/sf0.001"
+    rows = {r["lang_pred"]: r for r in vocab_fertility(spark, SF).collect()}
+    docs = load(spark, SF, "documents")
+    lang = {r["doc_id"]: r["lang_pred"] for r in T.with_lang_id(docs).collect()}
+    cnt = {r["doc_id"]: (r["n_ws_tokens"], r["n_bpe_tokens"])
+           for r in T.with_token_stats(docs).collect()}
+    agg = {}
+    for d, lg in lang.items():
+        ws, bpe = cnt[d]
+        a = agg.setdefault(lg, [0, 0, 0])
+        a[0] += 1; a[1] += ws; a[2] += bpe
+    tws = sum(a[1] for a in agg.values())
+    tbpe = sum(a[2] for a in agg.values())
+    assert set(rows) == set(agg)
+    for lg, (n, ws, bpe) in agg.items():
+        r = rows[lg]
+        assert (r["n_docs"], r["sum_ws"], r["sum_bpe"]) == (n, ws, bpe)
+        assert r["fertility_ppm"] == bpe * 1_000_000 // ws
+        assert r["rel_fertility_ppm"] == bpe * tws * 1_000_000 // (ws * tbpe)
