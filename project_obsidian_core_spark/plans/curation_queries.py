@@ -1345,7 +1345,11 @@ def vocab_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
     vocabulary rebalancing).  Languages come from the gated X2 lang-ID
     (first-declared-wins argmax); fertility is an integer-ppm division
     of exact token counts; the corpus-relative ratio uses the SAME
-    exact sums, so every value is engine-portable.
+    exact sums, so every value is engine-portable.  Int64 headroom:
+    ``sum_bpe·tot_ws·10⁶`` holds to ~10⁶ total tokens per side at the
+    gate SFs; at real corpus scale (10¹²+ tokens) compute the relative
+    ratio from the two ppm fertilities instead (the A105 cross-multiply
+    fallback rule).
 
     Scale: two per-row expression stacks (lang scores + token counts)
     pipelined with one scan, then a ≤|langs| hash aggregate; the
