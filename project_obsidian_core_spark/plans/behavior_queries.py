@@ -1833,3 +1833,139 @@ CROSS JOIN n
 ORDER BY n_ab DESC, part_a, part_b
 LIMIT {_BASKET_TOPK}
 """
+
+
+# ---------------- A106: funnel stage latency (staged r15) -----------------
+# Registration note: QUEUED for round 15 (the r14 gate window closed at
+# 47 unrecorded of 50).  Planned row:
+#   ("funnel_stage_latency", bh.funnel_stage_latency,
+#    bh.ORACLE_funnel_stage_latency)
+def funnel_stage_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A106: time-to-convert distribution per funnel transition — the
+    question after A21's conversion COUNTS is "how long does each hop
+    take": per (stage_k → stage_k+1), the converted-user count, the
+    mean latency, and EXACT nearest-rank p50/p90 latencies in seconds.
+
+    Exactness: first-touch stage times are the A21 anchored-min chain
+    verbatim; latencies are integer seconds (micros div 10⁶); the
+    quantiles are nearest-rank order statistics computed from
+    CUMULATIVE COUNTS OVER THE DISTINCT-LATENCY GRID (the
+    Kaplan-Meier/Nelson-Aalen grid pattern — never a per-user global
+    sort), rank = (p·n + 99) div 100; the mean is ONE IEEE division of
+    exact-int sums.
+
+    Scale: the stage chain is the gated funnel's join topology (per-
+    user min aggregates, broadcast-joined forward); the quantile pass
+    groups by (transition, latency) first — the grid is bounded by the
+    distinct latency values, and the window partitions by transition.
+    """
+    ev = load(spark, sf_dir, "events")
+
+    def first_touch(stage: str, after: DataFrame | None) -> DataFrame:
+        e = ev.filter(F.col("event_type") == stage)
+        if after is not None:
+            e = e.join(after, "user_id").filter(F.col("ts") >= F.col("t_prev"))
+        return e.groupBy("user_id").agg(F.min("ts").alias("t"))
+
+    s1 = first_touch(_STAGES[0], None)
+    s2 = first_touch(
+        _STAGES[1], s1.select("user_id", F.col("t").alias("t_prev"))
+    )
+    s3 = first_touch(
+        _STAGES[2], s2.select("user_id", F.col("t").alias("t_prev"))
+    )
+
+    def deltas(a: DataFrame, b: DataFrame, name: str) -> DataFrame:
+        return (
+            a.select("user_id", F.col("t").alias("ta"))
+            .join(b.select("user_id", F.col("t").alias("tb")), "user_id")
+            .select(
+                F.lit(name).alias("transition"),
+                F.expr(
+                    "(unix_micros(tb) - unix_micros(ta)) div 1000000"
+                ).alias("lat_s"),
+            )
+        )
+
+    lat = deltas(s1, s2, f"{_STAGES[0]}->{_STAGES[1]}").unionByName(
+        deltas(s2, s3, f"{_STAGES[1]}->{_STAGES[2]}")
+    )
+    grid = lat.groupBy("transition", "lat_s").agg(
+        F.count(F.lit(1)).alias("cnt"), F.sum("lat_s").alias("lat_sum")
+    )
+    wt = Window.partitionBy("transition")
+    wcum = (
+        Window.partitionBy("transition")
+        .orderBy("lat_s")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    g = (
+        grid.withColumn("n", F.sum("cnt").over(wt))
+        .withColumn("sum_all", F.sum("lat_sum").over(wt))
+        .withColumn("cum", F.sum("cnt").over(wcum))
+        .withColumn("i50", F.expr("(50 * n + 99) div 100"))
+        .withColumn("i90", F.expr("(90 * n + 99) div 100"))
+    )
+    return (
+        g.groupBy("transition")
+        .agg(
+            F.first("n").alias("n_converted"),
+            (
+                F.first("sum_all").cast("double")
+                / F.first("n").cast("double")
+            ).alias("mean_latency_s"),
+            F.min(F.when(F.col("cum") >= F.col("i50"), F.col("lat_s"))).alias(
+                "p50_s"
+            ),
+            F.min(F.when(F.col("cum") >= F.col("i90"), F.col("lat_s"))).alias(
+                "p90_s"
+            ),
+        )
+        .orderBy("transition")
+    )
+
+
+ORACLE_funnel_stage_latency = f"""
+WITH s1 AS (
+    SELECT user_id, min(ts) AS t FROM events
+    WHERE event_type = '{_STAGES[0]}' GROUP BY user_id
+), s2 AS (
+    SELECT e.user_id, min(e.ts) AS t
+    FROM events e JOIN s1 ON e.user_id = s1.user_id AND e.ts >= s1.t
+    WHERE e.event_type = '{_STAGES[1]}'
+    GROUP BY e.user_id
+), s3 AS (
+    SELECT e.user_id, min(e.ts) AS t
+    FROM events e JOIN s2 ON e.user_id = s2.user_id AND e.ts >= s2.t
+    WHERE e.event_type = '{_STAGES[2]}'
+    GROUP BY e.user_id
+), lat AS (
+    SELECT '{_STAGES[0]}->{_STAGES[1]}' AS transition,
+           (epoch_us(s2.t) - epoch_us(s1.t)) // 1000000 AS lat_s
+    FROM s1 JOIN s2 USING (user_id)
+    UNION ALL
+    SELECT '{_STAGES[1]}->{_STAGES[2]}',
+           (epoch_us(s3.t) - epoch_us(s2.t)) // 1000000
+    FROM s2 JOIN s3 USING (user_id)
+), grid AS (
+    SELECT transition, lat_s, count(*) AS cnt, sum(lat_s) AS lat_sum
+    FROM lat GROUP BY 1, 2
+), g AS (
+    SELECT *,
+           sum(cnt) OVER (PARTITION BY transition) AS n,
+           sum(lat_sum) OVER (PARTITION BY transition) AS sum_all,
+           sum(cnt) OVER (PARTITION BY transition ORDER BY lat_s
+                          ROWS UNBOUNDED PRECEDING) AS cum
+    FROM grid
+)
+SELECT transition,
+       CAST(any_value(n) AS BIGINT) AS n_converted,
+       CAST(any_value(sum_all) AS DOUBLE) / any_value(n) AS mean_latency_s,
+       CAST(min(CASE WHEN cum >= (50 * n + 99) // 100 THEN lat_s END)
+            AS BIGINT) AS p50_s,
+       CAST(min(CASE WHEN cum >= (90 * n + 99) // 100 THEN lat_s END)
+            AS BIGINT) AS p90_s
+FROM g
+GROUP BY transition
+ORDER BY transition
+"""

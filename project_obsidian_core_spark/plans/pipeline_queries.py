@@ -1226,3 +1226,127 @@ SELECT doc_id, difficulty_milli, CAST(stage AS INT) AS stage,
 FROM st
 ORDER BY curriculum_pos
 """
+
+
+# ---------------- P19: temperature-scaled mixture (staged r15) ------------
+# Registration note: QUEUED for round 15 (the r14 gate window closed at
+# 47 unrecorded of 50).  Planned row:
+#   ("corpus_mixture_temperature", pl.corpus_mixture_temperature,
+#    pl.ORACLE_corpus_mixture_temperature)
+_TEMP_TARGET = 1_000_000
+
+
+def corpus_mixture_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P19: temperature-scaled sampling mixture at τ = 1/2 — the
+    multilingual-pretraining classic (raw proportional sampling starves
+    low-resource sources; sampling ∝ n^τ with τ<1 flattens the mixture;
+    τ=1/2 is the square-root scaling mBERT/XLM popularized).  τ=1/2 is
+    the one temperature with an EXACT integer formulation: the weight
+    is the INTEGER SQRT of micro-scaled token counts — computed as
+    floor(sqrt(x)) with a ±1 integer-comparison adjustment, so the
+    correctly-rounded float sqrt can never leak an off-by-one across
+    engines (the A95 Fisher rule, hardened) — and the ppm shares are
+    the P15 Hamilton largest-remainder apportionment over those exact
+    weights (sums to 10⁶ exactly, ties by source).
+
+    Scale: one scan → ≤|sources| token-count aggregate; everything
+    after rides that reduced relation (the P15 boundedness argument).
+    """
+    from pyspark.sql import Window
+
+    docs = load(spark, sf_dir, "documents")
+    src_n = docs.groupBy("source").agg(
+        F.sum(F.expr("size(split(text, ' '))")).alias("n_tokens")
+    )
+
+    def isqrt(x: str) -> str:
+        w1 = f"CAST(floor(sqrt(CAST({x} AS DOUBLE))) AS BIGINT)"
+        return (
+            f"CASE WHEN ({w1} + 1) * ({w1} + 1) <= {x} THEN {w1} + 1 "
+            f"WHEN {w1} * {w1} <= {x} THEN {w1} ELSE {w1} - 1 END"
+        )
+
+    weighted = src_n.select(
+        "source",
+        "n_tokens",
+        F.expr(isqrt("n_tokens * 1000000")).alias("w"),
+    )
+    tot = weighted.agg(
+        F.sum("n_tokens").alias("n_total"), F.sum("w").alias("w_total")
+    )
+    based = weighted.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_tokens",
+        "w",
+        F.expr(f"1000000 * n_tokens div n_total").alias("raw_share_ppm"),
+        F.expr(f"{_TEMP_TARGET} * w div w_total").alias("base_share"),
+        F.expr(f"({_TEMP_TARGET} * w) % w_total").alias("remainder"),
+    )
+    w_rem = Window.orderBy(F.col("remainder").desc(), "source")
+    w_all = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    return (
+        based.withColumn("rem_rank", F.row_number().over(w_rem))
+        .withColumn(
+            "n_extras", F.lit(_TEMP_TARGET) - F.sum("base_share").over(w_all)
+        )
+        .select(
+            "source",
+            "n_tokens",
+            "w",
+            "raw_share_ppm",
+            (
+                F.col("base_share")
+                + F.when(
+                    F.col("rem_rank") <= F.col("n_extras"), F.lit(1)
+                ).otherwise(F.lit(0))
+            ).alias("temp_share_ppm"),
+        )
+        .withColumn(
+            "flatten_ppm", F.col("temp_share_ppm") - F.col("raw_share_ppm")
+        )
+        .orderBy("source")
+    )
+
+
+def _isqrt_sql(x: str) -> str:
+    w1 = f"CAST(floor(sqrt(CAST({x} AS DOUBLE))) AS BIGINT)"
+    return (
+        f"CASE WHEN ({w1} + 1) * ({w1} + 1) <= {x} THEN {w1} + 1 "
+        f"WHEN {w1} * {w1} <= {x} THEN {w1} ELSE {w1} - 1 END"
+    )
+
+
+ORACLE_corpus_mixture_temperature = f"""
+WITH src AS (
+    SELECT source, CAST(sum(len(string_split(text, ' '))) AS BIGINT)
+               AS n_tokens
+    FROM documents GROUP BY source
+), wtd AS (
+    SELECT source, n_tokens,
+           {_isqrt_sql("n_tokens * 1000000")} AS w
+    FROM src
+), tot AS (
+    SELECT sum(n_tokens) AS n_total, sum(w) AS w_total FROM wtd
+), based AS (
+    SELECT source, n_tokens, w,
+           1000000 * n_tokens // tot.n_total AS raw_share_ppm,
+           {_TEMP_TARGET} * w // tot.w_total AS base_share,
+           ({_TEMP_TARGET} * w) % tot.w_total AS remainder
+    FROM wtd CROSS JOIN tot
+), ranked AS (
+    SELECT *,
+           row_number() OVER (ORDER BY remainder DESC, source) AS rem_rank,
+           {_TEMP_TARGET} - sum(base_share) OVER () AS n_extras
+    FROM based
+)
+SELECT source, n_tokens, CAST(w AS BIGINT) AS w,
+       CAST(raw_share_ppm AS BIGINT) AS raw_share_ppm,
+       CAST(base_share + CASE WHEN rem_rank <= n_extras THEN 1 ELSE 0 END
+            AS BIGINT) AS temp_share_ppm,
+       CAST(base_share + CASE WHEN rem_rank <= n_extras THEN 1 ELSE 0 END
+            - raw_share_ppm AS BIGINT) AS flatten_ppm
+FROM ranked
+ORDER BY source
+"""

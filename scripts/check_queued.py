@@ -33,15 +33,30 @@ def queued():
     """name -> (query_fn, oracle_sql) for every implemented-but-unregistered
     operator (kept in lockstep with the 'Registration note' docstrings).
 
-    Round 14 DRAINED the queue again: all 36 r13-staged operators
-    (A84-A103, Q19, X29, V3, M13, N19-N21, P15-P17, D26, T33-T36) were
-    registered at once as Block R14 in plans/registry.py per the r13
-    verdict's Next #1 — the rotation's unrecorded-first rule gives each
-    an official green row in CORRECTNESS_r14.  The queue is EMPTY; new
-    operators register directly while the unrecorded count stays under
-    the 50-slot window, and stage here only when it would overflow.
+    Round 14 DRAINED the r13 queue (all 36 registered as Block R14) and
+    then registered 11 NEW operators directly (Block R14b: T37-T40,
+    T39, A104, A105, N22, N23, M14, P18, V4), closing the gate window
+    at 47 unrecorded of 50.  The two operators built after that close
+    stage here; the r15 registry block registers them (the rotation's
+    unrecorded-first rule gives each an official green row immediately).
     """
-    return {}
+    from project_obsidian_core_spark.plans import behavior_queries as b
+    from project_obsidian_core_spark.plans import pipeline_queries as pl
+
+    return {
+        # A106: funnel stage-latency distribution (nearest-rank p50/p90
+        # from the distinct-latency grid, KM-grid pattern)
+        "funnel_stage_latency": (
+            b.funnel_stage_latency,
+            b.ORACLE_funnel_stage_latency,
+        ),
+        # P19: temperature-scaled mixture at tau=1/2 (exact integer sqrt
+        # weights + P15 Hamilton shares summing to 1e6)
+        "corpus_mixture_temperature": (
+            pl.corpus_mixture_temperature,
+            pl.ORACLE_corpus_mixture_temperature,
+        ),
+    }
 
 
 def main() -> int:

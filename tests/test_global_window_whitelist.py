@@ -82,6 +82,10 @@ WHITELIST: dict[tuple[str, str], str] = {
         "per-keyword phrase scores: ≤ |distinct phrases| rows after the "
         "aggregate, top-k bounded"
     ),
+    ("plans/pipeline_queries.py", "corpus_mixture_temperature"): (
+        "remainder rank over the ≤|sources| weight table (the P15 "
+        "Hamilton boundedness argument)"
+    ),
     ("plans/pipeline_queries.py", "corpus_quota_apportion"): (
         "per-(source,lang) quota table: ≤ |sources|·|langs| rows "
         "(Hamilton largest-remainder ranking)"

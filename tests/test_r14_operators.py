@@ -499,3 +499,64 @@ def test_vocab_fertility_identities(spark):
         assert (r["n_docs"], r["sum_ws"], r["sum_bpe"]) == (n, ws, bpe)
         assert r["fertility_ppm"] == bpe * 1_000_000 // ws
         assert r["rel_fertility_ppm"] == bpe * tws * 1_000_000 // (ws * tbpe)
+
+
+def test_funnel_stage_latency_reference_recompute(spark):
+    """Pure-python recompute of the transition latencies and nearest-rank
+    quantiles at sf0.001."""
+    from project_obsidian_core_spark.plans.behavior_queries import (
+        _STAGES,
+        funnel_stage_latency,
+    )
+    from project_obsidian_core_spark.plans.common import load
+
+    SF = "/root/testdata/sf0.001"
+    got = {r["transition"]: r for r in funnel_stage_latency(spark, SF).collect()}
+    ev = [(r["user_id"], r["event_type"], r["ts"])
+          for r in load(spark, SF, "events").collect()]
+
+    def first_touch(stage, after):
+        best = {}
+        for u, et, ts in ev:
+            if et != stage:
+                continue
+            if after is not None and (u not in after or ts < after[u]):
+                continue
+            if u not in best or ts < best[u]:
+                best[u] = ts
+        return best
+
+    s1 = first_touch(_STAGES[0], None)
+    s2 = first_touch(_STAGES[1], s1)
+    s3 = first_touch(_STAGES[2], s2)
+    for name, a, b in ((f"{_STAGES[0]}->{_STAGES[1]}", s1, s2),
+                       (f"{_STAGES[1]}->{_STAGES[2]}", s2, s3)):
+        lats = sorted(
+            int((b[u] - a[u]).total_seconds()) for u in b if u in a
+        )
+        n = len(lats)
+        r = got[name]
+        assert r["n_converted"] == n
+        assert r["p50_s"] == lats[(50 * n + 99) // 100 - 1]
+        assert r["p90_s"] == lats[(90 * n + 99) // 100 - 1]
+        assert r["mean_latency_s"] == float(sum(lats)) / float(n)
+
+
+def test_mixture_temperature_invariants(spark):
+    """Shares sum to exactly 1e6, the integer sqrt is exact, and the
+    temperature flattens: every below-average source gains share."""
+    import math
+
+    from project_obsidian_core_spark.plans.pipeline_queries import (
+        corpus_mixture_temperature,
+    )
+
+    SF = "/root/testdata/sf0.001"
+    rows = corpus_mixture_temperature(spark, SF).collect()
+    assert sum(r["temp_share_ppm"] for r in rows) == 1_000_000
+    for r in rows:
+        assert r["w"] == math.isqrt(r["n_tokens"] * 1_000_000)
+        assert r["flatten_ppm"] == r["temp_share_ppm"] - r["raw_share_ppm"]
+    mean_n = sum(r["n_tokens"] for r in rows) / len(rows)
+    small = [r for r in rows if r["n_tokens"] < mean_n * 0.5]
+    assert all(r["flatten_ppm"] > 0 for r in small)
