@@ -761,9 +761,18 @@ def language_mixture(df: DataFrame) -> DataFrame:
     the aggregated (source, lang) relation — tiny, and NULL-safe the way
     a self-join would not be.
     """
+    counts = df.groupBy("source", "lang").agg(F.count(F.lit(1)).alias("n_docs"))
+    return language_mixture_shares(counts)
+
+
+def language_mixture_shares(counts: DataFrame) -> DataFrame:
+    """The share expression of :func:`language_mixture` over an
+    already-aggregated (source, lang, n_docs) relation — shared with the
+    T41 streaming twin, whose complete-mode count aggregation drains into
+    exactly this shape (one expression, so batch and live shares can
+    never drift)."""
     from pyspark.sql.window import Window
 
-    counts = df.groupBy("source", "lang").agg(F.count(F.lit(1)).alias("n_docs"))
     total = F.sum("n_docs").over(Window.partitionBy("source"))
     return counts.select(
         "source",

@@ -1969,3 +1969,86 @@ FROM g
 GROUP BY transition
 ORDER BY transition
 """
+
+
+# ---------------- A107: top conversion paths (staged r15) ------------------
+# Registration note: QUEUED for round 15 (the r14 gate window closed at
+# 47 unrecorded of 50).  Planned row:
+#   ("events_conversion_paths", bh.events_conversion_paths,
+#    bh.ORACLE_events_conversion_paths)
+_PATH_TOPK = 10
+
+
+def events_conversion_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A107: the top converting JOURNEYS — for each purchasing user, the
+    full ordered event-type path up to and including the FIRST purchase,
+    grouped and ranked by frequency: the path report marketing/UX teams
+    read next to the funnel (the funnel says WHERE users fall out; the
+    paths say WHICH journeys actually convert).
+
+    Exactness: the path is a total-order concatenation (ts, event_id
+    tie-break — the Markov/A101 pair order verbatim) truncated at the
+    first-purchase timestamp, so the string is deterministic; counts
+    are exact; top-k ties break on the path string.  Scale: events
+    group per user (one exchange); the per-user array is bounded by the
+    pre-conversion journey length (sessions-bounded in practice — the
+    same boundedness class as the gated sequence operators); the
+    report is TakeOrdered top-k over the ≤|paths| aggregate."""
+    ev = load(spark, sf_dir, "events")
+    first_purchase = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_conv"))
+    )
+    pre = ev.join(first_purchase, "user_id").filter(
+        F.col("ts") <= F.col("t_conv")
+    )
+    paths = (
+        pre.groupBy("user_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct("ts", "event_id", "event_type")
+                        )
+                    ),
+                    lambda s: s.event_type,
+                ),
+                ">",
+            ).alias("path")
+        )
+        .groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )
+    return (
+        paths.select(
+            "path",
+            F.length("path").alias("path_len"),
+            "n_users",
+        )
+        .orderBy(F.desc("n_users"), "path")
+        .limit(_PATH_TOPK)
+    )
+
+
+ORACLE_events_conversion_paths = f"""
+WITH fp AS (
+    SELECT user_id, min(ts) AS t_conv FROM events
+    WHERE event_type = 'purchase' GROUP BY user_id
+), pre AS (
+    SELECT e.user_id, e.ts, e.event_id, e.event_type
+    FROM events e JOIN fp USING (user_id)
+    WHERE e.ts <= fp.t_conv
+), paths AS (
+    SELECT user_id,
+           string_agg(event_type, '>' ORDER BY ts, event_id) AS path
+    FROM pre GROUP BY user_id
+)
+SELECT path, CAST(length(path) AS BIGINT) AS path_len,
+       CAST(count(*) AS BIGINT) AS n_users
+FROM paths
+GROUP BY path
+ORDER BY n_users DESC, path
+LIMIT {_PATH_TOPK}
+"""

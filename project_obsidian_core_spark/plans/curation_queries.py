@@ -1425,3 +1425,88 @@ ORDER BY lang_pred
 
 
 ORACLE_vocab_fertility = _fertility_oracle()
+
+
+# ---------------- X30: lexical diversity curve (staged r15) ----------------
+# Registration note: QUEUED for round 15 (the r14 gate window closed at
+# 47 unrecorded of 50).  Planned row:
+#   ("text_ttr_curve", cu.text_ttr_curve, cu.ORACLE_text_ttr_curve)
+_TTR_DECILES = 10
+
+
+def text_ttr_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X30: type-token ratio by document-length decile — the lexical-
+    diversity curve that normalizes TTR's notorious length dependence
+    (TTR falls with length, so a single corpus-wide TTR conflates
+    vocabulary richness with document size; the per-decile curve is the
+    comparable form).  Deciles are COUNT-QUANTILES of n_chars with ties
+    sharing a decile (the P18 stage rule: boundary table on the
+    ≤|distinct lengths| grid, broadcast back — no global sort of docs);
+    per decile the pooled TTR is an integer-ppm division of exact
+    distinct/total token sums.
+    """
+    from pyspark.sql import Window, functions as F
+
+    from project_obsidian_core_spark.datapipe import text as T
+
+    docs = load(spark, sf_dir, "documents")
+    stats = T.with_token_stats(docs).select(
+        "doc_id", "n_chars_measured", "n_ws_tokens", "n_distinct_tokens"
+    )
+    vc = stats.groupBy("n_chars_measured").agg(F.count(F.lit(1)).alias("_n"))
+    wv = Window.orderBy("n_chars_measured").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    total = vc.agg(F.sum("_n").alias("_total"))
+    deciles = (
+        vc.withColumn("_before", F.coalesce(F.sum("_n").over(wv), F.lit(0)))
+        .crossJoin(F.broadcast(total))
+        .select(
+            "n_chars_measured",
+            (
+                F.lit(1) + F.expr(f"({_TTR_DECILES} * _before) div _total")
+            ).cast("int").alias("decile"),
+        )
+    )
+    return (
+        stats.join(F.broadcast(deciles), "n_chars_measured")
+        .groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("n_chars_measured").alias("min_chars"),
+            F.max("n_chars_measured").alias("max_chars"),
+            F.sum("n_ws_tokens").alias("sum_tokens"),
+            F.sum("n_distinct_tokens").alias("sum_distinct"),
+        )
+        .withColumn(
+            "ttr_ppm", F.expr("sum_distinct * 1000000 div sum_tokens")
+        )
+        .orderBy("decile")
+    )
+
+
+ORACLE_text_ttr_curve = f"""
+WITH stats AS (
+    SELECT doc_id, length(text) AS n_chars,
+           len(string_split(text, ' ')) AS n_tok,
+           len(list_distinct(string_split(text, ' '))) AS n_dis
+    FROM documents
+), dec AS (
+    SELECT *,
+           1 + ({_TTR_DECILES} * count(*) OVER (
+                   ORDER BY n_chars
+                   RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
+               // count(*) OVER () AS decile
+    FROM stats
+)
+SELECT CAST(decile AS INT) AS decile,
+       count(*) AS n_docs,
+       CAST(min(n_chars) AS BIGINT) AS min_chars,
+       CAST(max(n_chars) AS BIGINT) AS max_chars,
+       CAST(sum(n_tok) AS BIGINT) AS sum_tokens,
+       CAST(sum(n_dis) AS BIGINT) AS sum_distinct,
+       CAST(sum(n_dis) * 1000000 // sum(n_tok) AS BIGINT) AS ttr_ppm
+FROM dec
+GROUP BY decile
+ORDER BY decile
+"""

@@ -3072,3 +3072,49 @@ def stream_range_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         "counter_first", "counter_last", "n_resets", "increase",
         "rate_per_hour",
     ).orderBy("metric_name", "win")
+
+
+# Registration note: QUEUED for round 15 (the r14 gate window closed at
+# 47 unrecorded of 50).  Planned row:
+#   ("stream_language_mixture", st.stream_language_mixture,
+#    cu.ORACLE_corpus_language_mixture)
+def stream_language_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T41: the corpus language mixture served LIVE — the ingestion
+    monitor a curation front-door actually watches (mixture drift
+    DURING a crawl is how a broken source surfaces); per-(source, lang)
+    doc counts build as a complete-mode streaming aggregation (counts
+    are commutative integer sums, so micro-batch state merging ≡ the
+    batch count — the T33 mergeability argument), and the exact-ppm
+    shares are derived on the drained ≤|sources|·|langs| relation with
+    the IDENTICAL integer expression as the batch plan.  Gated on the
+    batch `corpus_language_mixture` oracle verbatim."""
+    run = next(_RUN_IDS)
+    src = _SRC_CACHE.get(f"documents_mix:{sf_dir}")
+    if src is None:
+        tmp = tempfile.mkdtemp(prefix=f"obsidian_docmix_{run}_")
+        src = f"{tmp}/documents_mix_src"
+        load(spark, sf_dir, "documents").select(
+            "doc_id", "source", "lang"
+        ).write.mode("overwrite").parquet(src)
+        _SRC_CACHE[f"documents_mix:{sf_dir}"] = src
+
+    schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "4")
+        .parquet(src)
+    )
+    counts = stream.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    name = f"stream_langmix_{run}"
+    tmp = tempfile.mkdtemp(prefix=f"obsidian_langmix_{run}_")
+    _run_complete(counts, name, f"{tmp}/ckpt", spark)
+    emitted = spark.table(name)
+    # exact-ppm shares on the drained reduced relation — the IDENTICAL
+    # integer expression as datapipe.curation.language_mixture
+    from project_obsidian_core_spark.datapipe.curation import (
+        language_mixture_shares,
+    )
+
+    return language_mixture_shares(emitted).orderBy("source", "lang")

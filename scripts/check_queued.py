@@ -41,7 +41,9 @@ def queued():
     unrecorded-first rule gives each an official green row immediately).
     """
     from project_obsidian_core_spark.plans import behavior_queries as b
+    from project_obsidian_core_spark.plans import curation_queries as c
     from project_obsidian_core_spark.plans import pipeline_queries as pl
+    from project_obsidian_core_spark.plans import streaming_queries as st
 
     return {
         # A106: funnel stage-latency distribution (nearest-rank p50/p90
@@ -55,6 +57,24 @@ def queued():
         "corpus_mixture_temperature": (
             pl.corpus_mixture_temperature,
             pl.ORACLE_corpus_mixture_temperature,
+        ),
+        # T41: live language-mixture monitor gated on the batch oracle
+        # verbatim (complete-mode counts, shared share expression)
+        "stream_language_mixture": (
+            st.stream_language_mixture,
+            c.ORACLE_corpus_language_mixture,
+        ),
+        # X30: type-token ratio by length decile (P18 count-quantile
+        # stages on the distinct-length grid, exact-ppm pooled TTR)
+        "text_ttr_curve": (
+            c.text_ttr_curve,
+            c.ORACLE_text_ttr_curve,
+        ),
+        # A107: top converting journeys (total-order path strings
+        # truncated at first purchase, exact counts, top-k)
+        "events_conversion_paths": (
+            b.events_conversion_paths,
+            b.ORACLE_events_conversion_paths,
         ),
     }
 

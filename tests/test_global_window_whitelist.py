@@ -63,6 +63,11 @@ WHITELIST: dict[tuple[str, str], str] = {
         "value-bucket histogram: ≤ n_buckets rows (the bucket-refinement "
         "pattern itself — the window rides the bucket grid)"
     ),
+    ("plans/curation_queries.py", "text_ttr_curve"): (
+        "decile boundaries over the ≤|distinct doc lengths| grid "
+        "(bounded by the char-length range), broadcast back — the P18 "
+        "stage rule; docs themselves never globally sort"
+    ),
     ("plans/curation_queries.py", "vocab_growth"): (
         "per-bucket first-occurrence counts: ≤ n_buckets rows"
     ),

@@ -560,3 +560,36 @@ def test_mixture_temperature_invariants(spark):
     mean_n = sum(r["n_tokens"] for r in rows) / len(rows)
     small = [r for r in rows if r["n_tokens"] < mean_n * 0.5]
     assert all(r["flatten_ppm"] > 0 for r in small)
+
+
+def test_ttr_curve_decile_and_ppm_invariants(spark):
+    from project_obsidian_core_spark.plans.curation_queries import text_ttr_curve
+
+    SF = "/root/testdata/sf0.001"
+    rows = sorted(text_ttr_curve(spark, SF).collect(), key=lambda r: r["decile"])
+    assert rows and 1 <= rows[0]["decile"] and rows[-1]["decile"] <= 10
+    # deciles partition by length: ranges must not overlap
+    for a, b in zip(rows, rows[1:]):
+        assert a["max_chars"] <= b["min_chars"]
+    for r in rows:
+        assert r["ttr_ppm"] == r["sum_distinct"] * 1_000_000 // r["sum_tokens"]
+
+
+def test_conversion_paths_end_in_purchase_and_count(spark):
+    from project_obsidian_core_spark.plans.behavior_queries import (
+        events_conversion_paths,
+    )
+    from project_obsidian_core_spark.plans.common import load
+
+    SF = "/root/testdata/sf0.001"
+    rows = events_conversion_paths(spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert r["path"].endswith("purchase")
+        assert r["path_len"] == len(r["path"])
+    # total path users across ALL paths == number of purchasing users
+    ev = load(spark, SF, "events")
+    n_purchasers = (
+        ev.filter("event_type = 'purchase'").select("user_id").distinct().count()
+    )
+    assert sum(r["n_users"] for r in rows) <= n_purchasers
