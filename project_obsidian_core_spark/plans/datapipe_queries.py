@@ -4304,3 +4304,97 @@ SELECT count(*) AS n_pairs,
            AS auc_ppm
 FROM ranked
 """
+
+
+# ---------------- N24: nearest-centroid probe (staged r15) -----------------
+# Registration note: QUEUED for round 15 (the r14 gate window closed at
+# 47 unrecorded of 50).  Planned row:
+#   ("embedding_centroid_probe", d.embedding_centroid_probe,
+#    d.ORACLE_embedding_centroid_probe)
+def embedding_centroid_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N24: nearest-centroid classification probe — the second standard
+    embedding-quality audit next to N23's pair AUC: predict every
+    vector's label by its nearest per-label centroid (Rocchio) and
+    report the confusion matrix; a label whose row smears across the
+    matrix is a class the embedding space cannot separate, which is
+    what decides retrieval-filter and hard-negative policies.
+
+    Exactness: coordinates quantize to int64 micro-units FIRST and
+    centroids are the N21 exact integer-division idiom VERBATIM;
+    distance² = Σ(q − c)² is a non-negative exact int (≤ 64·(2·10⁶)² ≈
+    2.6·10¹⁴ — int64-safe); argmin ties break by label ascending via a
+    lexicographic struct-min, so the prediction is total.  No float
+    exists anywhere in the operator.
+
+    Scale: one posexplode → (label, dim) centroid aggregate (≤
+    |labels|·64 groups, broadcast back); the per-vector distance pass
+    is a dim-keyed broadcast join + two map-side-combined aggregates —
+    nothing pairwise, nothing driver-side."""
+    emb = load(spark, sf_dir, "embeddings")
+    ex = emb.select(
+        "vec_id",
+        "label",
+        F.posexplode("embedding").alias("dim", "vf"),
+    ).select(
+        "vec_id",
+        "label",
+        "dim",
+        F.floor(F.col("vf").cast("double") * F.lit(1_000_000.0))
+        .cast("long")
+        .alias("q"),
+    )
+    cent = (
+        ex.groupBy(F.col("label").alias("c_label"), F.col("dim"))
+        .agg(F.sum("q").alias("s"), F.count(F.lit(1)).alias("n"))
+        .select("c_label", "dim", F.expr("s div n").alias("c_micro"))
+    )
+    d2 = (
+        ex.join(F.broadcast(cent), "dim")
+        .groupBy("vec_id", "label", "c_label")
+        .agg(
+            F.sum(
+                (F.col("q") - F.col("c_micro")) * (F.col("q") - F.col("c_micro"))
+            ).alias("dist2")
+        )
+    )
+    pred = d2.groupBy("vec_id", F.col("label").alias("true_label")).agg(
+        F.min(F.struct("dist2", "c_label")).alias("_best")
+    )
+    return (
+        pred.groupBy("true_label", F.col("_best.c_label").alias("pred_label"))
+        .agg(F.count(F.lit(1)).alias("n_vecs"))
+        .orderBy("true_label", "pred_label")
+    )
+
+
+ORACLE_embedding_centroid_probe = """
+WITH ex AS (
+    SELECT vec_id, label, g.i - 1 AS dim,
+           CAST(floor(CAST(embedding[g.i] AS DOUBLE) * 1000000) AS BIGINT)
+               AS q
+    FROM embeddings,
+         unnest(generate_series(1, len(embedding))) AS g(i)
+), cent AS (
+    SELECT label AS c_label, dim,
+           CAST(sum(q) AS BIGINT) // count(*) AS c_micro
+    FROM ex GROUP BY label, dim
+), d2 AS (
+    SELECT e.vec_id, e.label, c.c_label,
+           sum((e.q - c.c_micro) * (e.q - c.c_micro)) AS dist2
+    FROM ex e JOIN cent c USING (dim)
+    GROUP BY e.vec_id, e.label, c.c_label
+), pred AS (
+    SELECT vec_id, label AS true_label, c_label AS pred_label
+    FROM (
+        SELECT *,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY dist2, c_label) AS rk
+        FROM d2
+    )
+    WHERE rk = 1
+)
+SELECT true_label, pred_label, CAST(count(*) AS BIGINT) AS n_vecs
+FROM pred
+GROUP BY true_label, pred_label
+ORDER BY true_label, pred_label
+"""

@@ -42,6 +42,7 @@ def queued():
     """
     from project_obsidian_core_spark.plans import behavior_queries as b
     from project_obsidian_core_spark.plans import curation_queries as c
+    from project_obsidian_core_spark.plans import datapipe_queries as d
     from project_obsidian_core_spark.plans import pipeline_queries as pl
     from project_obsidian_core_spark.plans import streaming_queries as st
 
@@ -75,6 +76,12 @@ def queued():
         "events_conversion_paths": (
             b.events_conversion_paths,
             b.ORACLE_events_conversion_paths,
+        ),
+        # N24: nearest-centroid classification probe (exact-int Rocchio
+        # confusion matrix, the N21 centroid idiom verbatim)
+        "embedding_centroid_probe": (
+            d.embedding_centroid_probe,
+            d.ORACLE_embedding_centroid_probe,
         ),
     }
 

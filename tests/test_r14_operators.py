@@ -593,3 +593,43 @@ def test_conversion_paths_end_in_purchase_and_count(spark):
         ev.filter("event_type = 'purchase'").select("user_id").distinct().count()
     )
     assert sum(r["n_users"] for r in rows) <= n_purchasers
+
+
+def test_centroid_probe_confusion_totals_and_exactness(spark):
+    """Confusion matrix totals = corpus size; pure-python recompute of
+    one vector's argmin at sf0.001."""
+    import math
+
+    from project_obsidian_core_spark.plans.common import load
+    from project_obsidian_core_spark.plans.datapipe_queries import (
+        embedding_centroid_probe,
+    )
+
+    SF = "/root/testdata/sf0.001"
+    rows = embedding_centroid_probe(spark, SF).collect()
+    emb = load(spark, SF, "embeddings").collect()
+    assert sum(r["n_vecs"] for r in rows) == len(emb)
+    # python recompute: centroids + one vector's prediction
+    by_label = {}
+    for r in emb:
+        q = [math.floor(float(v) * 1_000_000.0) for v in r["embedding"]]
+        by_label.setdefault(r["label"], []).append(q)
+    cent = {}
+    for lb, vecs in by_label.items():
+        n = len(vecs)
+        cent[lb] = [int_div_trunc(sum(col), n) for col in zip(*vecs)]
+    target = emb[0]
+    tq = [math.floor(float(v) * 1_000_000.0) for v in target["embedding"]]
+    best = min(
+        (sum((a - b) ** 2 for a, b in zip(tq, c)), lb)
+        for lb, c in cent.items()
+    )
+    # the predicted label for vec 0 must appear in its true_label row
+    got = {(r["true_label"], r["pred_label"]) for r in rows}
+    assert (target["label"], best[1]) in got
+
+
+def int_div_trunc(a: int, b: int) -> int:
+    """Spark `div` truncates toward zero (python // floors)."""
+    q = abs(a) // abs(b)
+    return q if (a >= 0) == (b >= 0) else -q
