@@ -3048,3 +3048,92 @@ FROM wb
 GROUP BY dormancy_bucket
 ORDER BY dormancy_bucket
 """
+
+
+# ---------------- A108: supplier HHI per nation (staged r15) ---------------
+# Registration note: QUEUED for round 15 (the r14 gate window closed at
+# 47 unrecorded of 50).  Planned row:
+#   ("nation_supplier_hhi", r.nation_supplier_hhi,
+#    r.ORACLE_nation_supplier_hhi)
+def nation_supplier_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A108: Herfindahl-Hirschman concentration of supplier revenue per
+    nation — the antitrust-standard market-concentration index
+    (HHI = Σ shareᵢ², shares in thousandths → index on 0..10⁶), plus
+    the classic DOJ bands scaled ×100 (<150,000 unconcentrated,
+    150,000–250,000 moderate, >250,000 high): the sourcing-risk KPI a
+    supply-chain dashboard puts next to A76's ABC classes (ABC says
+    which suppliers matter; HHI says whether a MARKET has a single
+    point of failure).
+
+    Exactness: revenue in exact cents; shares are milli-units by
+    integer division (revᵢ·10³ div rev_total — truncating both
+    engines), HHI an exact integer sum of their squares; band edges
+    are integer compares.  Scale: one fact aggregate on (nation,
+    supplier) — map-side combined, supplier dim broadcast — then a
+    ≤|nations| rollup; nothing pairwise."""
+    nation = load(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    supp = (
+        load(spark, sf_dir, "supplier")
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", F.col("n_name").alias("nation"))
+    )
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_suppkey", cents("l_extendedprice").alias("epc")
+    )
+    per_supp = (
+        li.join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("nation", "l_suppkey")
+        .agg(F.sum("epc").alias("rev"))
+    )
+    wn = Window.partitionBy("nation")
+    shares = per_supp.withColumn("tot", F.sum("rev").over(wn)).select(
+        "nation",
+        "rev",
+        "tot",
+        F.expr("(rev * 1000) div tot").alias("share_milli"),
+    )
+    return (
+        shares.groupBy("nation")
+        .agg(
+            F.count(F.lit(1)).alias("n_suppliers"),
+            F.first("tot").alias("revenue_cents"),
+            F.sum(F.col("share_milli") * F.col("share_milli")).alias("hhi"),
+        )
+        .withColumn(
+            "band",
+            F.when(F.col("hhi") < 150_000, F.lit("unconcentrated"))
+            .when(F.col("hhi") <= 250_000, F.lit("moderate"))
+            .otherwise(F.lit("high")),
+        )
+        .orderBy("nation")
+    )
+
+
+ORACLE_nation_supplier_hhi = """
+WITH per_supp AS (
+    SELECT n.n_name AS nation, l.l_suppkey,
+           CAST(sum(CAST(round(l.l_extendedprice * 100, 0) AS BIGINT))
+                AS BIGINT) AS rev
+    FROM lineitem l
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    GROUP BY 1, 2
+), shares AS (
+    SELECT nation, rev,
+           sum(rev) OVER (PARTITION BY nation) AS tot,
+           (rev * 1000) // sum(rev) OVER (PARTITION BY nation)
+               AS share_milli
+    FROM per_supp
+)
+SELECT nation,
+       count(*) AS n_suppliers,
+       CAST(any_value(tot) AS BIGINT) AS revenue_cents,
+       CAST(sum(share_milli * share_milli) AS BIGINT) AS hhi,
+       CASE WHEN sum(share_milli * share_milli) < 150000
+            THEN 'unconcentrated'
+            WHEN sum(share_milli * share_milli) <= 250000 THEN 'moderate'
+            ELSE 'high' END AS band
+FROM shares
+GROUP BY nation
+ORDER BY nation
+"""

@@ -44,6 +44,7 @@ def queued():
     from project_obsidian_core_spark.plans import curation_queries as c
     from project_obsidian_core_spark.plans import datapipe_queries as d
     from project_obsidian_core_spark.plans import pipeline_queries as pl
+    from project_obsidian_core_spark.plans import relational_queries as r
     from project_obsidian_core_spark.plans import streaming_queries as st
 
     return {
@@ -82,6 +83,12 @@ def queued():
         "embedding_centroid_probe": (
             d.embedding_centroid_probe,
             d.ORACLE_embedding_centroid_probe,
+        ),
+        # A108: supplier HHI per nation (exact milli-share squares,
+        # DOJ bands as integer compares)
+        "nation_supplier_hhi": (
+            r.nation_supplier_hhi,
+            r.ORACLE_nation_supplier_hhi,
         ),
     }
 

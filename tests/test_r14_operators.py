@@ -633,3 +633,41 @@ def int_div_trunc(a: int, b: int) -> int:
     """Spark `div` truncates toward zero (python // floors)."""
     q = abs(a) // abs(b)
     return q if (a >= 0) == (b >= 0) else -q
+
+
+def test_nation_hhi_identities(spark):
+    """HHI identities recomputed driver-side at sf0.001: shares from
+    exact cents, truncating division, sum of squares, band edges."""
+    from project_obsidian_core_spark.plans.common import load
+    from project_obsidian_core_spark.plans.relational_queries import (
+        nation_supplier_hhi,
+    )
+
+    SF = "/root/testdata/sf0.001"
+    rows = {r["nation"]: r for r in nation_supplier_hhi(spark, SF).collect()}
+    assert rows
+    li = load(spark, SF, "lineitem").select("l_suppkey", "l_extendedprice").collect()
+    supp = {r["s_suppkey"]: r["s_nationkey"]
+            for r in load(spark, SF, "supplier").collect()}
+    nat = {r["n_nationkey"]: r["n_name"]
+           for r in load(spark, SF, "nation").collect()}
+    rev = {}
+    for r in li:
+        nk = supp.get(r["l_suppkey"])
+        if nk is None:
+            continue
+        key = (nat[nk], r["l_suppkey"])
+        rev[key] = rev.get(key, 0) + round(r["l_extendedprice"] * 100)
+    by_nation = {}
+    for (n, s), v in rev.items():
+        by_nation.setdefault(n, {})[s] = v
+    for n, supps in by_nation.items():
+        tot = sum(supps.values())
+        hhi = sum(((v * 1000) // tot) ** 2 for v in supps.values())
+        r = rows[n]
+        assert r["n_suppliers"] == len(supps)
+        assert r["revenue_cents"] == tot
+        assert r["hhi"] == hhi
+        band = ("unconcentrated" if hhi < 150_000
+                else "moderate" if hhi <= 250_000 else "high")
+        assert r["band"] == band
