@@ -413,6 +413,14 @@ BENCH_QUERIES = [
     "basket_pair_lift",       # A105 market-basket association mining (r14b)
     "vocab_fertility",        # V4 tokenizer fertility by language (r14b)
     "embedding_pair_auc",     # N23 embedding-space ROC-AUC audit (r14b)
+    # round-15 queue drain: the 7 r14-staged operators (Block R15)
+    "funnel_stage_latency",   # A106 funnel stage-latency p50/p90 (r15)
+    "corpus_mixture_temperature",  # P19 temperature-scaled mixture (r15)
+    "stream_language_mixture",  # T41 live language-mixture monitor (r15)
+    "text_ttr_curve",         # X30 TTR by length decile (r15)
+    "events_conversion_paths",  # A107 top converting journeys (r15)
+    "embedding_centroid_probe",  # N24 nearest-centroid probe (r15)
+    "nation_supplier_hhi",    # A108 supplier HHI per nation (r15)
     # stream_cdc_merge is timed via _time_cdc_merge below (merge work
     # only): its checkpointed replay rewrites a bucketed parquet snapshot
     # per micro-batch (~12 s/run at sf0.1, >90% filesystem publish/rename

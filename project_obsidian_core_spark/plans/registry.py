@@ -1154,6 +1154,56 @@ _ENTRIES: list[tuple[str, QueryFn, str | None]] = [
     # N23: embedding-space ROC-AUC audit (Mann-Whitney rank identity
     # in exact ints over the bounded hash-order pair sample)
     ("embedding_pair_auc", d.embedding_pair_auc, d.ORACLE_embedding_pair_auc),
+    # ------------------------------------------------------------------
+    # Block R15 — the round-14 staged queue, registered wholesale (r14
+    # verdict Next #2: all 7 re-proven EXACT by the judge on the r14
+    # tree via scripts/check_queued.py; the rotation's unrecorded-first
+    # rule gives each an official green row immediately).
+    # A106: funnel stage-latency distribution (nearest-rank p50/p90 from
+    # the distinct-latency grid, KM-grid pattern)
+    (
+        "funnel_stage_latency",
+        bh.funnel_stage_latency,
+        bh.ORACLE_funnel_stage_latency,
+    ),
+    # P19: temperature-scaled mixture at tau=1/2 (exact integer sqrt
+    # weights + P15 Hamilton shares summing to 1e6)
+    (
+        "corpus_mixture_temperature",
+        pl.corpus_mixture_temperature,
+        pl.ORACLE_corpus_mixture_temperature,
+    ),
+    # T41: live language-mixture monitor gated on the batch oracle
+    # verbatim (complete-mode counts, shared share expression)
+    (
+        "stream_language_mixture",
+        st.stream_language_mixture,
+        cu.ORACLE_corpus_language_mixture,
+    ),
+    # X30: type-token ratio by length decile (P18 count-quantile stages
+    # on the distinct-length grid, exact-ppm pooled TTR)
+    ("text_ttr_curve", cu.text_ttr_curve, cu.ORACLE_text_ttr_curve),
+    # A107: top converting journeys (total-order path strings truncated
+    # at first purchase, exact counts, top-k)
+    (
+        "events_conversion_paths",
+        bh.events_conversion_paths,
+        bh.ORACLE_events_conversion_paths,
+    ),
+    # N24: nearest-centroid classification probe (exact-int Rocchio
+    # confusion matrix, the N21 centroid idiom verbatim)
+    (
+        "embedding_centroid_probe",
+        d.embedding_centroid_probe,
+        d.ORACLE_embedding_centroid_probe,
+    ),
+    # A108: supplier HHI per nation (exact milli-share squares, DOJ
+    # bands as integer compares)
+    (
+        "nation_supplier_hhi",
+        r.nation_supplier_hhi,
+        r.ORACLE_nation_supplier_hhi,
+    ),
 ]
 
 # ----------------------------------------------------------------------

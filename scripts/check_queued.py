@@ -33,64 +33,18 @@ def queued():
     """name -> (query_fn, oracle_sql) for every implemented-but-unregistered
     operator (kept in lockstep with the 'Registration note' docstrings).
 
-    Round 14 DRAINED the r13 queue (all 36 registered as Block R14) and
-    then registered 11 NEW operators directly (Block R14b: T37-T40,
-    T39, A104, A105, N22, N23, M14, P18, V4), closing the gate window
-    at 47 unrecorded of 50.  The two operators built after that close
-    stage here; the r15 registry block registers them (the rotation's
-    unrecorded-first rule gives each an official green row immediately).
+    Round 15 DRAINED the r14 queue: the 7 operators staged at the r14
+    close (A106 funnel_stage_latency, P19 corpus_mixture_temperature,
+    T41 stream_language_mixture, X30 text_ttr_curve, A107
+    events_conversion_paths, N24 embedding_centroid_probe, A108
+    nation_supplier_hhi) were registered wholesale as Block R15
+    (plans/registry.py) per the r14 verdict's Next #2 — the rotation's
+    unrecorded-first rule gives each an official green row immediately.
+    The queue is now EMPTY; new operators should be registered directly
+    while the unrecorded count stays under the 50-slot window, and only
+    staged here when it would overflow.
     """
-    from project_obsidian_core_spark.plans import behavior_queries as b
-    from project_obsidian_core_spark.plans import curation_queries as c
-    from project_obsidian_core_spark.plans import datapipe_queries as d
-    from project_obsidian_core_spark.plans import pipeline_queries as pl
-    from project_obsidian_core_spark.plans import relational_queries as r
-    from project_obsidian_core_spark.plans import streaming_queries as st
-
-    return {
-        # A106: funnel stage-latency distribution (nearest-rank p50/p90
-        # from the distinct-latency grid, KM-grid pattern)
-        "funnel_stage_latency": (
-            b.funnel_stage_latency,
-            b.ORACLE_funnel_stage_latency,
-        ),
-        # P19: temperature-scaled mixture at tau=1/2 (exact integer sqrt
-        # weights + P15 Hamilton shares summing to 1e6)
-        "corpus_mixture_temperature": (
-            pl.corpus_mixture_temperature,
-            pl.ORACLE_corpus_mixture_temperature,
-        ),
-        # T41: live language-mixture monitor gated on the batch oracle
-        # verbatim (complete-mode counts, shared share expression)
-        "stream_language_mixture": (
-            st.stream_language_mixture,
-            c.ORACLE_corpus_language_mixture,
-        ),
-        # X30: type-token ratio by length decile (P18 count-quantile
-        # stages on the distinct-length grid, exact-ppm pooled TTR)
-        "text_ttr_curve": (
-            c.text_ttr_curve,
-            c.ORACLE_text_ttr_curve,
-        ),
-        # A107: top converting journeys (total-order path strings
-        # truncated at first purchase, exact counts, top-k)
-        "events_conversion_paths": (
-            b.events_conversion_paths,
-            b.ORACLE_events_conversion_paths,
-        ),
-        # N24: nearest-centroid classification probe (exact-int Rocchio
-        # confusion matrix, the N21 centroid idiom verbatim)
-        "embedding_centroid_probe": (
-            d.embedding_centroid_probe,
-            d.ORACLE_embedding_centroid_probe,
-        ),
-        # A108: supplier HHI per nation (exact milli-share squares,
-        # DOJ bands as integer compares)
-        "nation_supplier_hhi": (
-            r.nation_supplier_hhi,
-            r.ORACLE_nation_supplier_hhi,
-        ),
-    }
+    return {}
 
 
 def main() -> int:
