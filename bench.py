@@ -429,10 +429,12 @@ BENCH_QUERIES = [
 
 
 #: the round-1 contract subset: the 14 queries BENCH_r01.json timed — the
-#: 2x-baseline ratio is computed over these, so they get the full repeat
-#: count; the long tail gets cold + 1 warm (the suite is 164 queries now,
-#: and 4 repeats across all of them would double the bench wall for
-#: variance data only the contract subset needs).
+#: 2x-baseline ratio is computed over these, so they run FIRST (fresh
+#: session, before the 340-query tail can age the JVM) at median-of-6
+#: warm repeats with per-query MIN recorded alongside (r14 verdict #4);
+#: the long tail gets cold + 2 warm (the suite is 354 queries now — 3
+#: warm repeats across all of them is what outgrew the driver's wall
+#: clock in r14 and produced the rc=124 artifact).
 R1_SUBSET = [
     "qan_top_digests", "qan_multi_metric_topn", "qan_trend_5m",
     "qan_rollup_minute", "qan_snapshot_delta", "pricing_summary",
@@ -558,6 +560,29 @@ def _r1_ratio(warm: dict[str, float], sf: float | None) -> float | None:
 
 
 def main() -> None:
+    """Budget-bounded bench (r14 verdict #1: BENCH_r14.json was rc=124
+    with parsed:null — the 346-query suite outgrew the driver's wall
+    clock and the ONE printed JSON line never happened).  Structure:
+
+    1. CONTRACT PHASE — the 14-query round-1 subset runs first, in the
+       fresh session, at median-of-6 warm repeats with per-query MIN
+       recorded alongside the median (r14 verdict #4).  The one-line
+       JSON (r1_ratio / r1_ratio_min / r1_ratio_norm / spin_ms_min) is
+       printed IMMEDIATELY after this phase, so the contract evidence
+       exists even if everything after is killed mid-flight.
+    2. TAIL PHASE — the remaining ~340 queries at cold + 2 warm, each
+       iteration gated on the wall-clock budget
+       ($SPARK_GRAFT_BENCH_BUDGET_S, default 3300 s — sized under the
+       observed driver cap: the r14 kill landed ~3100 s into a
+       cold+3-warm loop; r13's ~2600 s run survived).  When the budget
+       is reached the remaining queries are SKIPPED (recorded as
+       skipped_n in the line) instead of overrunning into an rc=124.
+    3. The cdc-merge timing, dedicated dedup pass and the FINAL line
+       re-print only run inside the remaining budget; the final line
+       supersedes the contract line when it prints.
+    """
+    t_start = time.time()
+    budget = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET_S", "3300"))
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else None
@@ -583,75 +608,24 @@ def main() -> None:
 
     host = _host_fingerprint()
     host["quiesce_s"] = quiesce_s
-    repeat = int(os.environ.get("SPARK_GRAFT_BENCH_REPEAT", "4"))
     warm: dict[str, float] = {}
+    warm_min: dict[str, float] = {}
     cold: dict[str, float] = {}
     spread: dict[str, list[float]] = {}
     partial_path = os.path.join(REPO, "BENCH_LOCAL.partial.json")
-    for name in BENCH_QUERIES:
-        runs = []
-        q_repeat = repeat if name in R1_SUBSET else min(repeat, 2)
-        for _ in range(q_repeat):
-            t0 = time.time()
-            QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
-            runs.append(time.time() - t0)
-        # every tail query gets median-of-3 warm repeats.  r7 covered the
-        # sub-second tier (spread_max_rel 0.38 from cold+warm-once noise);
-        # r8's host note showed the 2-7 s dedup/knn tier paying the same
-        # single-warm JIT/IO noise (dedup_containment_pairs 7.1 s recorded
-        # vs 2.7-4.5 s steady); r9 caught the ≥8 s tier too —
-        # dedup_recall_report recorded 44 s on a single warm run vs 22 s
-        # steady-state (JIT/GC), exactly the tier where a real regression
-        # would hide.  The ~5 queries over 8 s cost ~2 extra runs × ~20 s
-        # ≈ 3-4 min of suite wall; worth it for a trustworthy tail
-        # (r9 verdict next-#3).
-        if name not in R1_SUBSET and len(runs) == 2:
-            for _ in range(2):
-                t0 = time.time()
-                QUERIES[name](spark, sf_dir).write.format("noop").mode(
-                    "overwrite"
-                ).save()
-                runs.append(time.time() - t0)
-        # transient-hiccup guard: a warm run slower than 1.5x cold is
-        # physically suspect (cold includes IO + codegen) — re-time twice
-        # and let the median wash the stall out.  r8: events_chisq
-        # recorded 18 s for a 2 s query from one GC/host stall, reading
-        # as a fake 8x regression in the round diff.
-        if len(runs) > 1 and min(runs[1:]) > 1.5 * runs[0] + 0.2:
-            for _ in range(2):
-                t0 = time.time()
-                QUERIES[name](spark, sf_dir).write.format("noop").mode(
-                    "overwrite"
-                ).save()
-                runs.append(time.time() - t0)
-        cold[name] = round(runs[0], 4)
-        warm_runs = runs[1:] if len(runs) > 1 else runs
-        # observed-spread outlier rule (r10 verdict next-#6): a >2x gap
-        # between two warm times is exactly the signature a real
-        # regression would wear (dedup_threshold_sweep recorded
-        # 2.58 s / 8.49 s in r10 from host regime alone) — buy one more
-        # observation and record EVERY warm run for such queries, not
-        # just [min, max], so the round diff can see the distribution.
-        if len(warm_runs) > 1 and max(warm_runs) > 2 * min(warm_runs):
-            t0 = time.time()
-            QUERIES[name](spark, sf_dir).write.format("noop").mode(
-                "overwrite"
-            ).save()
-            warm_runs.append(time.time() - t0)
-            spread[name] = [round(r, 4) for r in warm_runs]
-        elif name in R1_SUBSET:
-            # r12 verdict #4: the contract queries' driver runs swung
-            # +22-75% round-over-round with zero code diff; record EVERY
-            # warm run (≥3) so environment attribution is mechanical,
-            # not inferred from a [min, max] pair.
-            spread[name] = [round(r, 4) for r in warm_runs]
-        else:
-            spread[name] = [round(min(warm_runs), 4), round(max(warm_runs), 4)]
-        warm[name] = round(statistics.median(warm_runs), 4)
+
+    def run_once(name: str) -> float:
+        t0 = time.time()
+        QUERIES[name](spark, sf_dir).write.format("noop").mode(
+            "overwrite"
+        ).save()
+        return time.time() - t0
+
+    def hygiene() -> None:
         # session hygiene between queries: memory-sink tables (one per
         # stream replay, holding every emitted row for the session's
         # life), cached/checkpointed blocks and dangling python refs
-        # accumulate over a 195-query suite — the r9 run measured the
+        # accumulate over a 350-query suite — the r9 run measured the
         # LAST ~35 suite positions at a median 2.35x their r8 times
         # while every earlier position sat at ~1.1x (position-
         # correlated, so session state, not host drift).  Isolate each
@@ -661,53 +635,48 @@ def main() -> None:
                 spark.catalog.dropTempView(t.name)
         spark.catalog.clearCache()
         gc.collect()
+
+    def checkpoint() -> None:
         # checkpoint after every query: a timeout/kill mid-suite still
         # leaves every completed measurement on disk
         with open(partial_path, "w") as fh:
             fh.write(
                 json.dumps(
-                    {"queries": warm, "queries_cold": cold, "host": host, "sf": sf}
+                    {
+                        "queries": warm,
+                        "queries_min": warm_min,
+                        "queries_cold": cold,
+                        "host": host,
+                        "sf": sf,
+                    }
                 )
                 + "\n"
             )
 
-    # stream_cdc_merge: merge work timed directly, replay harness excluded
-    # (see _time_cdc_merge). cold = first run (includes codegen), warm =
-    # median of two more.
-    cdc_runs = [_time_cdc_merge(spark, sf_dir) for _ in range(3)]
-    cold["stream_cdc_merge"] = round(cdc_runs[0], 4)
-    warm["stream_cdc_merge"] = round(statistics.median(cdc_runs[1:]), 4)
-    spread["stream_cdc_merge"] = [
-        round(min(cdc_runs[1:]), 4),
-        round(max(cdc_runs[1:]), 4),
-    ]
+    def remaining() -> float:
+        return budget - (time.time() - t_start)
 
-    # dedicated-session pass for the dedup exactness tail (see
-    # DEDICATED_TAIL): parent session stops first so the subprocess
-    # measures a fresh-JVM regime, the same one SCALE.md's dedicated
-    # numbers came from.
-    dedicated: dict = {}
-    if os.environ.get("SPARK_GRAFT_BENCH_DEDICATED", "1") != "0":
-        spark.stop()
-        import subprocess
-
-        try:
-            proc = subprocess.run(
-                [sys.executable, os.path.abspath(__file__), "--dedicated"],
-                capture_output=True,
-                text=True,
-                timeout=1200,
-            )
-            for ln in reversed(proc.stdout.strip().splitlines()):
-                try:
-                    dedicated = json.loads(ln)
-                    break
-                except ValueError:
-                    continue
-        except (OSError, subprocess.SubprocessError):
-            dedicated = {}
+    # ---- phase 1: the contract subset, median-of-6 warm + per-query MIN
+    contract_warm = int(os.environ.get("SPARK_GRAFT_BENCH_REPEAT", "7")) - 1
+    for name in R1_SUBSET:
+        runs = [run_once(name) for _ in range(1 + contract_warm)]
+        cold[name] = round(runs[0], 4)
+        warm_runs = runs[1:] or runs
+        # transient-hiccup guard: a warm run slower than 1.5x cold is
+        # physically suspect (cold includes IO + codegen) — re-time twice
+        # and let the median wash the stall out.
+        if min(warm_runs) > 1.5 * runs[0] + 0.2:
+            warm_runs.extend(run_once(name) for _ in range(2))
+        # r12 verdict #4: record EVERY warm run for the contract queries
+        # so environment attribution is mechanical, not inferred.
+        spread[name] = [round(r, 4) for r in warm_runs]
+        warm[name] = round(statistics.median(warm_runs), 4)
+        warm_min[name] = round(min(warm_runs), 4)
+        hygiene()
+        checkpoint()
 
     r1_ratio = _r1_ratio(warm, sf)
+    r1_ratio_min = _r1_ratio(warm_min, sf)
     # Regime-normalized ratio (r13 verdict #7): r13's bench ran on a host
     # regime ~1.4x slower than r12's (spin canary 130.6-162.4 ms vs 97.7)
     # and the raw r1_ratio inflated from 1.06 to 1.45 with zero code diff.
@@ -721,12 +690,131 @@ def main() -> None:
         if r1_ratio is not None and spin_ms
         else None
     )
+
+    def emit_line(extra: dict) -> None:
+        # The driver records only the LAST 2000 chars of stdout and
+        # json-parses the final line: r06's 80-query map (~2.3 KB)
+        # overflowed it and the official record came back parsed:null.
+        # The printed line therefore carries per-query times ONLY for the
+        # round-1 contract subset (the 14 queries the 2x-baseline ratio
+        # is computed over) plus the suite aggregates; every query's
+        # warm/cold/spread detail is in BENCH_LOCAL.json.
+        line = json.dumps(
+            {
+                "metric": "bench_suite_seconds",
+                "value": round(sum(warm.values()), 2),
+                "unit": "sec",
+                "queries": {
+                    q: round(warm[q], 2) for q in R1_SUBSET if q in warm
+                },
+                "queries_min": {
+                    q: round(warm_min[q], 2)
+                    for q in R1_SUBSET
+                    if q in warm_min
+                },
+                "n_queries": len(warm),
+                "value_cold": round(sum(cold.values()), 2),
+                "r1_ratio": r1_ratio,
+                "r1_ratio_min": r1_ratio_min,
+                "r1_ratio_norm": r1_ratio_norm,
+                "spin_ms_min": spin_ms,
+                "load1": host["load1"],
+                "detail": "BENCH_LOCAL.json",
+                "sf": sf,
+                **extra,
+            },
+            separators=(",", ":"),
+        )
+        assert len(line) < 1900, f"bench line too long: {len(line)}"
+        print(line, flush=True)
+
+    # the contract evidence, printed BEFORE the tail can be killed
+    # (r14 verdict #1); superseded by the final line when that prints
+    emit_line({"phase": "contract"})
+
+    # ---- phase 2: the tail, budget-gated per query
+    skipped: list[str] = []
+    tail = [q for q in BENCH_QUERIES if q not in R1_SUBSET]
+    for name in tail:
+        if remaining() < 120:
+            skipped.append(name)
+            continue
+        runs = [run_once(name), run_once(name)]
+        # one more warm run while the budget allows it: median-of-2 is
+        # just the mean, median-of-3 actually rejects a one-off stall
+        if remaining() > 180:
+            runs.append(run_once(name))
+        # transient-hiccup guard (r8: events_chisq recorded 18 s for a
+        # 2 s query from one GC/host stall — a fake 8x regression)
+        if min(runs[1:]) > 1.5 * runs[0] + 0.2 and remaining() > 180:
+            runs.extend(run_once(name) for _ in range(2))
+        cold[name] = round(runs[0], 4)
+        warm_runs = runs[1:]
+        # observed-spread outlier rule (r10 verdict next-#6): a >2x gap
+        # between two warm times is exactly the signature a real
+        # regression would wear — buy one more observation and record
+        # EVERY warm run for such queries so the round diff can see the
+        # distribution.
+        if max(warm_runs) > 2 * min(warm_runs) and remaining() > 180:
+            warm_runs.append(run_once(name))
+            spread[name] = [round(r, 4) for r in warm_runs]
+        else:
+            spread[name] = [round(min(warm_runs), 4), round(max(warm_runs), 4)]
+        warm[name] = round(statistics.median(warm_runs), 4)
+        warm_min[name] = round(min(warm_runs), 4)
+        hygiene()
+        checkpoint()
+
+    # stream_cdc_merge: merge work timed directly, replay harness excluded
+    # (see _time_cdc_merge). cold = first run (includes codegen), warm =
+    # median of two more.
+    if remaining() > 120:
+        cdc_runs = [_time_cdc_merge(spark, sf_dir) for _ in range(3)]
+        cold["stream_cdc_merge"] = round(cdc_runs[0], 4)
+        warm["stream_cdc_merge"] = round(statistics.median(cdc_runs[1:]), 4)
+        warm_min["stream_cdc_merge"] = round(min(cdc_runs[1:]), 4)
+        spread["stream_cdc_merge"] = [
+            round(min(cdc_runs[1:]), 4),
+            round(max(cdc_runs[1:]), 4),
+        ]
+    else:
+        skipped.append("stream_cdc_merge")
+
+    # dedicated-session pass for the dedup exactness tail (see
+    # DEDICATED_TAIL): parent session stops first so the subprocess
+    # measures a fresh-JVM regime, the same one SCALE.md's dedicated
+    # numbers came from.  Only inside the remaining budget.
+    dedicated: dict = {}
+    if (
+        os.environ.get("SPARK_GRAFT_BENCH_DEDICATED", "1") != "0"
+        and remaining() > 240
+    ):
+        spark.stop()
+        import subprocess
+
+        try:
+            proc = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--dedicated"],
+                capture_output=True,
+                text=True,
+                timeout=max(120, remaining() - 60),
+            )
+            for ln in reversed(proc.stdout.strip().splitlines()):
+                try:
+                    dedicated = json.loads(ln)
+                    break
+                except ValueError:
+                    continue
+        except (OSError, subprocess.SubprocessError):
+            dedicated = {}
+
     full = json.dumps(
         {
             "metric": "bench_suite_seconds",
             "value": round(sum(warm.values()), 4),
             "unit": "sec",
             "queries": warm,
+            "queries_min": warm_min,
             "value_cold": round(sum(cold.values()), 4),
             "queries_cold": cold,
             "queries_spread": spread,
@@ -735,19 +823,26 @@ def main() -> None:
             "queries_dedicated": dedicated,
             # machine-readable (r9 ADVICE: an English expression string
             # here broke numeric round-over-round comparison)
-            "warm_repeats": {"r1_subset": max(1, repeat - 1), "tail": 3},
+            "warm_repeats": {"r1_subset": contract_warm, "tail": 2},
+            "skipped": skipped,
+            "budget_s": budget,
+            "elapsed_s": round(time.time() - t_start, 1),
             "host": host,
             "r1_ratio": r1_ratio,
+            "r1_ratio_min": r1_ratio_min,
             "r1_ratio_norm": r1_ratio_norm,
             "sf": sf,
         }
     )
-    # Full detail (incl. per-query cold times) goes to a file the driver can
-    # pick up intact. The PRINTED line must survive the driver's fixed-size
-    # stdout tail capture (r03's 4 KB line was clipped mid-JSON and recorded
-    # as parsed:null), so it carries the contract fields only — warm
-    # per-query breakdown, 2-decimal precision, separators without spaces.
-    with open(os.path.join(REPO, "BENCH_LOCAL.json"), "w") as fh:
+    # Full detail (incl. per-query cold times) goes to a file the driver
+    # can pick up intact; the printed line stays under the driver's
+    # fixed-size stdout tail capture.  The previous round's file moves
+    # to BENCH_LOCAL.prev.json first — it is an untracked judge artifact
+    # and a plain overwrite destroyed the r14 copy (r15 build log).
+    local_path = os.path.join(REPO, "BENCH_LOCAL.json")
+    if os.path.exists(local_path):
+        os.replace(local_path, os.path.join(REPO, "BENCH_LOCAL.prev.json"))
+    with open(local_path, "w") as fh:
         fh.write(full + "\n")
     if os.path.exists(partial_path):
         os.remove(partial_path)
@@ -755,39 +850,16 @@ def main() -> None:
     # only — ~2 KB that would push this line past the driver's tail capture)
     rels = sorted(
         (max(sp) - min(sp)) / w if w > 0 else 0.0
-        for w, sp in ((warm[k], spread[k]) for k in warm)
+        for w, sp in ((warm[k], spread[k]) for k in warm if k in spread)
     )
-    # The driver records only the LAST 2000 chars of stdout and json-parses
-    # the final line: r06's 80-query map (~2.3 KB) overflowed it and the
-    # official record came back parsed:null. The printed line therefore
-    # carries per-query times ONLY for the round-1 contract subset (the 14
-    # queries the 2x-baseline ratio is computed over, ~450 bytes) plus the
-    # suite aggregates; every query's warm/cold/spread detail is in
-    # BENCH_LOCAL.json.
-    line = json.dumps(
+    emit_line(
         {
-            "metric": "bench_suite_seconds",
-            "value": round(sum(warm.values()), 2),
-            "unit": "sec",
-            "queries": {q: round(warm[q], 2) for q in R1_SUBSET if q in warm},
-            "n_queries": len(warm),
-            "value_cold": round(sum(cold.values()), 2),
-            "r1_ratio": r1_ratio,
-            # regime-normalized contract ratio + the canary it used
-            # (r13 verdict #7: make host-regime swings readable from the
-            # parsed artifact alone, not SCALE.md prose)
-            "r1_ratio_norm": r1_ratio_norm,
-            "spin_ms_min": spin_ms,
-            "load1": host["load1"],
             "spread_med_rel": round(rels[len(rels) // 2], 3) if rels else None,
             "spread_max_rel": round(rels[-1], 3) if rels else None,
-            "detail": "BENCH_LOCAL.json",
-            "sf": sf,
-        },
-        separators=(",", ":"),
+            "skipped_n": len(skipped),
+            "elapsed_s": round(time.time() - t_start, 1),
+        }
     )
-    assert len(line) < 1900, f"bench line too long for tail capture: {len(line)}"
-    print(line, flush=True)
 
 
 def dedicated_main() -> None:
