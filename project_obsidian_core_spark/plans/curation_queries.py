@@ -1395,9 +1395,9 @@ def _fertility_oracle() -> str:
     from project_obsidian_core_spark.datapipe import text as T
     from project_obsidian_core_spark.plans.datapipe_queries import _lang_oracle
 
-    lang_body = _lang_oracle().strip().rstrip()
-    # reuse the lang oracle verbatim as a CTE (drop its ORDER BY tail)
-    lang_body = lang_body[: lang_body.rindex("ORDER BY doc_id")]
+    # reuse the lang oracle verbatim as a CTE (body_only drops the ORDER
+    # BY tail at the source instead of rindex-slicing rendered SQL)
+    lang_body = _lang_oracle(body_only=True).strip()
     return f"""
 WITH lang AS ({lang_body}),
 cnt AS (

@@ -84,7 +84,7 @@ def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     return T.with_lang_id(load(spark, sf_dir, "documents")).orderBy("doc_id")
 
 
-def _lang_oracle() -> str:
+def _lang_oracle(body_only: bool = False) -> str:
     names = list(T.LANG_PROFILES)
     score_cols = ",\n           ".join(
         f"CASE WHEN len(toks) > 0 THEN CAST(len(list_filter(toks, x -> x IN "
@@ -98,7 +98,7 @@ def _lang_oracle() -> str:
         ]
         branches.append(f"WHEN {' AND '.join(conds)} THEN '{n}'")
     case = "CASE " + " ".join(branches) + f" ELSE '{names[0]}' END"
-    return f"""
+    body = f"""
 WITH b AS (
     SELECT doc_id, string_split(text, ' ') AS toks FROM documents
 ), s AS (
@@ -109,8 +109,14 @@ WITH b AS (
 SELECT doc_id, {', '.join('score_' + n for n in names)},
        {case} AS lang_pred
 FROM s
-ORDER BY doc_id
 """
+    # unordered body is reused as a CTE by consumers (vocab_fertility);
+    # exposing it directly beats string surgery on the rendered SQL
+    # (r14 advice: an rindex() slice broke the whole plans package import
+    # the moment the tail changed)
+    if body_only:
+        return body
+    return body + "ORDER BY doc_id\n"
 
 
 ORACLE_text_lang_id = _lang_oracle()

@@ -21,6 +21,7 @@ def build_session(
     master: str | None = None,
     shuffle_partitions: int | None = None,
     extra_conf: dict[str, str] | None = None,
+    silence_window_warning: bool = True,
 ) -> SparkSession:
     """Create (or fetch) a SparkSession with scale-aware defaults.
 
@@ -63,7 +64,11 @@ def build_session(
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    _silence_bounded_window_warning(spark)
+    # the suppression is JVM-global: library consumers running their OWN
+    # unwhitelisted plans in the same session can opt back into the
+    # "No Partition Defined" warning (r14 advice)
+    if silence_window_warning:
+        _silence_bounded_window_warning(spark)
     return spark
 
 

@@ -2672,6 +2672,16 @@ def range_rate_from_series(buckets: list[int], sums: list[int]):
     cum = 0
     series = []
     for b, v in zip(buckets, sums):
+        # Python % is always non-negative while the batch plan/oracle use
+        # Spark/DuckDB % (sign follows the dividend) — they agree ONLY
+        # while the cumulative sum stays >= 0.  Enforce the invariant the
+        # bit-exactness depends on instead of assuming it (r14 advice): a
+        # negative-sum metric source must fail loudly, not drift silently.
+        if v < 0:
+            raise ValueError(
+                f"range_rate_from_series requires non-negative bucket sums "
+                f"(counter semantics); got {v} at bucket {b}"
+            )
         cum += v
         series.append((b, cum % RANGE_RATE_WRAP))
     wins: dict[int, dict] = {}

@@ -7,6 +7,14 @@ compared bit-exact first; on mismatch a 1e-9-relative retry distinguishes
 "non-deterministic float" from "wrong values".
 
 Usage: python scripts/oracle_check.py [sf_dir] [query ...]
+       python scripts/oracle_check.py --changed [base] [sf_dir]
+
+--changed (r14 verdict #6: the full sweep is ~20 min at sf0.01 and
+growing) selects only the queries whose plan module — or any package
+module that plan module imports, one transitive closure — differs from
+git ``base`` (default HEAD, i.e. uncommitted work).  Intra-round
+iteration runs the changed subset; the round close still runs the full
+sweep.
 """
 
 from __future__ import annotations
@@ -62,9 +70,69 @@ def approx_equal(a, b):
     return True
 
 
+def _changed_queries(queries: dict, base: str) -> set[str]:
+    """Names of registered queries whose defining plan module (or any
+    package module in that module's import closure) changed vs ``base``."""
+    import ast
+    import subprocess
+
+    PKG = "project_obsidian_core_spark"
+    out = subprocess.run(
+        ["git", "diff", "--name-only", base, "--", f"{PKG}/", "__spark_entry__.py"],
+        cwd=REPO,
+        capture_output=True,
+        text=True,
+        check=True,
+    ).stdout.split()
+    changed_mods = {
+        p[:-3].replace("/", ".") for p in out if p.endswith(".py")
+    }
+    if not changed_mods:
+        return set()
+
+    # one-hop-per-edge transitive closure over package-internal imports
+    import glob as g
+
+    deps: dict[str, set[str]] = {}
+    for path in g.glob(os.path.join(REPO, PKG, "**", "*.py"), recursive=True):
+        mod = os.path.relpath(path, REPO)[:-3].replace(os.sep, ".")
+        deps[mod] = set()
+        for node in ast.walk(ast.parse(open(path).read())):
+            if isinstance(node, ast.ImportFrom) and (node.module or "").startswith(PKG):
+                deps[mod].add(node.module)
+                for a in node.names:
+                    deps[mod].add(f"{node.module}.{a.name}")
+            elif isinstance(node, ast.Import):
+                for a in node.names:
+                    if a.name.startswith(PKG):
+                        deps[mod].add(a.name)
+
+    dirty = set(changed_mods)
+    while True:
+        grew = {
+            mod
+            for mod, imports in deps.items()
+            if mod not in dirty and imports & dirty
+        }
+        if not grew:
+            break
+        dirty |= grew
+
+    return {
+        name for name, fn in queries.items() if fn.__module__ in dirty
+    }
+
+
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    argv = list(sys.argv[1:])
+    changed_base = None
+    if argv and argv[0] == "--changed":
+        argv.pop(0)
+        changed_base = "HEAD"
+        if argv and not argv[0].startswith("/") and not argv[0].startswith("sf"):
+            changed_base = argv.pop(0)
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
+    only = set(argv[1:])
 
     import __spark_entry__ as entry_mod
     from project_obsidian_core_spark.session import build_session
@@ -77,6 +145,13 @@ def main() -> int:
 
     queries = entry_mod.queries()
     oracles = entry_mod.oracle_sql()
+    if changed_base is not None:
+        sel = _changed_queries(queries, changed_base)
+        if not sel:
+            print(f"NO REGISTERED QUERIES CHANGED vs {changed_base}")
+            return 0
+        print(f"{len(sel)} queries changed vs {changed_base}: {sorted(sel)}")
+        only = sel | only
     unknown = only - set(queries)
     if unknown:
         # a typo'd or not-yet-registered name must be an ERROR: silently

@@ -117,12 +117,36 @@ WHITELIST: dict[tuple[str, str], str] = {
 }
 
 
+#: every way a GLOBAL window spec can be rooted on the Window class
+#: (r14 advice: ``Window.orderBy`` alone missed ``Window.rowsBetween`` /
+#: ``Window.rangeBetween`` roots and zero-arg ``Window.partitionBy()``)
+_GLOBAL_ROOT_ATTRS = {"orderBy", "rowsBetween", "rangeBetween"}
+
+
+def _window_aliases(tree: ast.Module) -> set[str]:
+    """Names the module binds to pyspark's Window class (incl. aliases)."""
+    names = set()
+    for node in ast.walk(tree):
+        if isinstance(node, ast.ImportFrom) and (node.module or "").startswith(
+            "pyspark.sql"
+        ):
+            for a in node.names:
+                if a.name == "Window":
+                    names.add(a.asname or a.name)
+    return names or {"Window"}
+
+
 def _observed_sites() -> dict[tuple[str, str], list[int]]:
     sites: dict[tuple[str, str], list[int]] = {}
     for path in sorted(glob.glob(os.path.join(PKG, "**", "*.py"), recursive=True)):
         rel = os.path.relpath(path, PKG)
         tree = ast.parse(open(path).read())
+        aliases = _window_aliases(tree)
         stack: list[str] = []
+
+        def record(node):
+            key = (rel, stack[-1] if stack else "<module>")
+            sites.setdefault(key, []).append(node.lineno)
 
         class V(ast.NodeVisitor):
             def visit_FunctionDef(self, node):
@@ -135,11 +159,24 @@ def _observed_sites() -> dict[tuple[str, str], list[int]]:
             def visit_Attribute(self, node):
                 if (
                     isinstance(node.value, ast.Name)
-                    and node.value.id == "Window"
-                    and node.attr == "orderBy"
+                    and node.value.id in aliases
+                    and node.attr in _GLOBAL_ROOT_ATTRS
                 ):
-                    key = (rel, stack[-1] if stack else "<module>")
-                    sites.setdefault(key, []).append(node.lineno)
+                    record(node)
+                self.generic_visit(node)
+
+            def visit_Call(self, node):
+                # Window.partitionBy() with NO args is a global window too
+                f = node.func
+                if (
+                    isinstance(f, ast.Attribute)
+                    and f.attr == "partitionBy"
+                    and isinstance(f.value, ast.Name)
+                    and f.value.id in aliases
+                    and not node.args
+                    and not node.keywords
+                ):
+                    record(node)
                 self.generic_visit(node)
 
         V().visit(tree)
