@@ -421,6 +421,7 @@ BENCH_QUERIES = [
     "events_conversion_paths",  # A107 top converting journeys (r15)
     "embedding_centroid_probe",  # N24 nearest-centroid probe (r15)
     "nation_supplier_hhi",    # A108 supplier HHI per nation (r15)
+    "stream_forecast_backtest",  # T42 Holt backtest served live (r15b)
     # stream_cdc_merge is timed via _time_cdc_merge below (merge work
     # only): its checkpointed replay rewrites a bucketed parquet snapshot
     # per micro-batch (~12 s/run at sf0.1, >90% filesystem publish/rename

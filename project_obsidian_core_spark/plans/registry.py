@@ -1204,6 +1204,16 @@ _ENTRIES: list[tuple[str, QueryFn, str | None]] = [
         r.nation_supplier_hhi,
         r.ORACLE_nation_supplier_hhi,
     ),
+    # ------------------------------------------------------------------
+    # Block R15b — new round-15 work (no official row yet).
+    # T42: streaming Holt forecast backtest — gated on the A94 batch
+    # oracle verbatim (r14 verdict Next #7: the governor's
+    # fall-back-to-EWMA decision is a streaming decision)
+    (
+        "stream_forecast_backtest",
+        st.stream_forecast_backtest,
+        m.ORACLE_metric_forecast_backtest,
+    ),
 ]
 
 # ----------------------------------------------------------------------

@@ -3118,3 +3118,77 @@ def stream_language_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     return language_mixture_shares(emitted).orderBy("source", "lang")
+
+
+# ------------ T42: streaming Holt forecast backtest (A94 live) ------------
+def stream_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T42: the A94 Holt holdout backtest served LIVE (r14 verdict Next
+    #7 — the governor's fall-back-to-EWMA decision consumes this audit
+    in flight).  State is the commutative exact-int hour sums; each emit
+    re-derives the train/test split, the A53 train fold, HALF_UP-rounded
+    holdout errors and the integer MAE/improvement.  Drained max-version
+    rows gate on the batch `metric_forecast_backtest` oracle verbatim."""
+    from pyspark.sql import Window
+
+    from project_obsidian_core_spark.plans.metrics_queries import (
+        HIT,
+        HOLT_ALPHA,
+        HOLT_BETA,
+        READ,
+    )
+    from project_obsidian_core_spark.streaming.sequence_state import (
+        streaming_forecast_backtest,
+    )
+
+    run = next(_RUN_IDS)
+    src = _events_src(spark, sf_dir, run)
+    schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "4")
+        .parquet(src)
+    )
+    name_col = (
+        F.when(F.col("event_type") == "view", F.lit(HIT))
+        .when(F.col("event_type") == "click", F.lit(READ))
+        .otherwise(F.concat(F.lit("postgresql."), F.col("event_type")))
+    )
+    keyed = stream.select(
+        name_col.alias("metric_name"),
+        F.expr("unix_micros(ts) div 3600000000").alias("bucket"),
+        F.col("cents").alias("v"),
+    )
+    out = streaming_forecast_backtest(keyed, HOLT_ALPHA, HOLT_BETA)
+    name = f"stream_fbt_{run}"
+    tmp = tempfile.mkdtemp(prefix=f"obsidian_fbt_{run}_")
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            out.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .option("checkpointLocation", f"{tmp}/ckpt")
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+
+    emitted = spark.table(name)
+    wmax = Window.partitionBy("metric_name")
+    latest = emitted.withColumn(
+        "_vmax", F.max("version").over(wmax)
+    ).filter(F.col("version") == F.col("_vmax"))
+    return latest.select(
+        "metric_name",
+        "n_train",
+        "n_test",
+        "level",
+        "trend",
+        "mae_holt_cents",
+        "mae_naive_cents",
+        "improvement_ppm",
+    ).orderBy("metric_name")

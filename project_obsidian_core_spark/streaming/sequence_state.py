@@ -2789,3 +2789,161 @@ def streaming_range_rate(stream: DataFrame) -> DataFrame:
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# --------- T42: streaming Holt forecast backtest (A94 served live) --------
+FORECAST_BT_OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("metric_name", T.StringType()),
+        T.StructField("n_train", T.IntegerType()),
+        T.StructField("n_test", T.IntegerType()),
+        T.StructField("level", T.DoubleType()),
+        T.StructField("trend", T.DoubleType()),
+        T.StructField("mae_holt_cents", T.LongType()),
+        T.StructField("mae_naive_cents", T.LongType()),
+        T.StructField("improvement_ppm", T.LongType()),
+        T.StructField("version", T.LongType()),
+    ]
+)
+
+#: must match the batch A94 constants (plans/metrics_queries._BT_TEST_FRAC_*)
+FORECAST_BT_FRAC_NUM = 1
+FORECAST_BT_FRAC_DEN = 5
+FORECAST_BT_MIN_POINTS = 5
+
+
+def _round_half_up(x: float) -> int:
+    """Spark's round(double, 0): BigDecimal(Double.toString(x)) with
+    HALF_UP.  Python's repr() is the same shortest round-trip decimal
+    rendering as Double.toString, so Decimal(repr(x)) sees the identical
+    digits; banker's-rounding round() would disagree on exact .5."""
+    import decimal
+
+    return int(
+        decimal.Decimal(repr(x)).quantize(
+            decimal.Decimal(1), rounding=decimal.ROUND_HALF_UP
+        )
+    )
+
+
+def _div_trunc(a: int, b: int) -> int:
+    """Spark/DuckDB integer ``div``: truncation toward zero (Python //
+    floors, which differs on a negative numerator — improvement_ppm can
+    be negative when the trend term is hurting)."""
+    q = abs(a) // abs(b)
+    return q if (a >= 0) == (b >= 0) else -q
+
+
+def forecast_backtest_from_series(
+    sums: list[int], alpha: float, beta: float
+) -> tuple | None:
+    """A94's holdout backtest re-derived from the bucket-sum state — the
+    batch formulas verbatim: train fold = the A53 Holt recursion over
+    the first n_train points (n_train = n − n·1 div 5), each holdout
+    error HALF_UP-rounded to int64 cents BEFORE summation, MAE and
+    improvement integer divisions.  A late bucket can shift the
+    train/test split point itself, so the whole backtest re-derives per
+    emit.  Returns (n_train, n_test, level, trend, mae_holt_cents,
+    mae_naive_cents, improvement_ppm); None below 5 points."""
+    ys = [float(y) for y in sums]
+    n = len(ys)
+    if n < FORECAST_BT_MIN_POINTS:
+        return None
+    n_train = n - _div_trunc(n * FORECAST_BT_FRAC_NUM, FORECAST_BT_FRAC_DEN)
+    n_test = n - n_train
+    ca, cb = 1.0 - alpha, 1.0 - beta
+    l, b = ys[0], ys[1] - ys[0]
+    for x in ys[2:n_train]:
+        lnew = alpha * x + ca * (l + b)
+        b = beta * (lnew - l) + cb * b
+        l = lnew
+    abs_holt = 0
+    abs_naive = 0
+    last_train = ys[n_train - 1]
+    for i in range(n_train + 1, n + 1):  # 1-based, the batch sequence()
+        abs_holt += _round_half_up(abs(ys[i - 1] - (l + (i - n_train) * b)))
+        abs_naive += _round_half_up(abs(ys[i - 1] - last_train))
+    improvement = (
+        _div_trunc((abs_naive - abs_holt) * 1_000_000, abs_naive)
+        if abs_naive > 0
+        else 0
+    )
+    return (
+        n_train,
+        n_test,
+        l,
+        b,
+        _div_trunc(abs_holt, n_test),
+        _div_trunc(abs_naive, n_test),
+        improvement,
+    )
+
+
+def make_forecast_backtest_fn(alpha: float, beta: float):
+    def fn(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        metric = str(key[0])
+        if state.exists:
+            buckets, sums, version = state.get
+            buckets, sums = list(buckets), list(sums)
+        else:
+            buckets, sums, version = [], [], 0
+        absorbed = 0
+        for pdf in pdfs:
+            if not len(pdf):
+                continue
+            absorbed += len(pdf)
+            buckets, sums = fold_bucket_sums(
+                buckets, sums, zip(pdf["bucket"], pdf["v"])
+            )
+        if not absorbed:
+            return
+        version += absorbed
+        state.update((buckets, sums, version))
+        res = forecast_backtest_from_series(sums, alpha, beta)
+        if res is None:
+            return
+        n_train, n_test, l, b, mae_h, mae_n, imp = res
+        yield pd.DataFrame(
+            {
+                "metric_name": [metric],
+                "n_train": pd.Series([n_train], dtype="int32"),
+                "n_test": pd.Series([n_test], dtype="int32"),
+                "level": [l],
+                "trend": [b],
+                "mae_holt_cents": pd.Series([mae_h], dtype="int64"),
+                "mae_naive_cents": pd.Series([mae_n], dtype="int64"),
+                "improvement_ppm": pd.Series([imp], dtype="int64"),
+                "version": [version],
+            }
+        )
+
+    return fn
+
+
+def streaming_forecast_backtest(
+    stream: DataFrame, alpha: float, beta: float
+) -> DataFrame:
+    """T42: the A94 Holt forecast backtest served LIVE — the governor's
+    fall-back-to-EWMA decision (improvement ≤ 0 means the trend term is
+    hurting) is a streaming decision, so the family's forecasting audit
+    needed a live twin (r14 verdict Next #7).  State is the commutative
+    exact-int bucket sums; each emit re-derives the train/test split,
+    the A53 train fold, the HALF_UP-rounded holdout errors and the
+    integer MAE/improvement — a late bucket can move the split point
+    itself, so no partial fold survives out-of-order delivery.  Drained
+    max-version rows gate on the batch `metric_forecast_backtest`
+    oracle verbatim.  Expects (metric_name, bucket, v)."""
+    keyed = stream.select(
+        F.col("metric_name").cast("string").alias("metric_name"),
+        F.col("bucket").cast("long").alias("bucket"),
+        F.col("v").cast("long").alias("v"),
+    )
+    return keyed.groupBy("metric_name").applyInPandasWithState(
+        make_forecast_backtest_fn(alpha, beta),
+        outputStructType=FORECAST_BT_OUTPUT_SCHEMA,
+        stateStructType=EWMA_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

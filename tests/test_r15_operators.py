@@ -1,0 +1,91 @@
+"""Round-15 operator units: T42 streaming forecast backtest.
+
+The registered oracle gate (stream_forecast_backtest vs the A94 batch
+oracle, EXACT at sf0.001 + sf0.01) is the integration proof; these units
+pin the pure re-derivation function's semantics — the batch formulas'
+edge behavior that the gate data may not exercise every round.
+"""
+
+from __future__ import annotations
+
+from project_obsidian_core_spark.streaming.sequence_state import (
+    FORECAST_BT_MIN_POINTS,
+    _div_trunc,
+    _round_half_up,
+    forecast_backtest_from_series,
+)
+
+A, B = 0.3, 0.1  # HOLT_ALPHA / HOLT_BETA
+
+
+def _batch_reference(sums, alpha=A, beta=B):
+    """Independent reimplementation of the A94 expression tree (the SQL
+    oracle's recursive shape, written differently from the production
+    fold) to catch transcription errors in either."""
+    ys = [float(y) for y in sums]
+    n = len(ys)
+    n_train = n - (n * 1) // 5
+    n_test = n - n_train
+    lvl, tr = ys[0], ys[1] - ys[0]
+    for x in ys[2:n_train]:
+        new_lvl = alpha * x + (1.0 - alpha) * (lvl + tr)
+        tr = beta * (new_lvl - lvl) + (1.0 - beta) * tr
+        lvl = new_lvl
+    e_h = sum(
+        _round_half_up(abs(ys[i] - (lvl + (i + 1 - n_train) * tr)))
+        for i in range(n_train, n)
+    )
+    e_n = sum(
+        _round_half_up(abs(ys[i] - ys[n_train - 1])) for i in range(n_train, n)
+    )
+    imp = _div_trunc((e_n - e_h) * 1_000_000, e_n) if e_n > 0 else 0
+    return (n_train, n_test, lvl, tr, e_h // n_test, e_n // n_test, imp)
+
+
+def test_matches_independent_reference_on_trend_series():
+    sums = [100, 210, 330, 420, 540, 660, 750, 880, 990, 1100]
+    assert forecast_backtest_from_series(sums, A, B) == _batch_reference(sums)
+
+
+def test_matches_reference_when_trend_hurts():
+    # a mean-reverting series: the naive carry-forward wins and
+    # improvement_ppm must go NEGATIVE via truncation-toward-zero
+    sums = [1000, 1, 999, 3, 1001, 2, 998, 5, 1002, 1]
+    got = forecast_backtest_from_series(sums, A, B)
+    assert got == _batch_reference(sums)
+    assert got[-1] < 0, "trend must hurt on a mean-reverting series"
+
+
+def test_below_min_points_returns_none():
+    assert forecast_backtest_from_series([1] * (FORECAST_BT_MIN_POINTS - 1), A, B) is None
+    assert forecast_backtest_from_series([1] * FORECAST_BT_MIN_POINTS, A, B) is not None
+
+
+def test_round_half_up_matches_spark_not_bankers():
+    # Spark round(0.5) = 1 (HALF_UP); Python's round(0.5) = 0 (banker's)
+    assert _round_half_up(0.5) == 1
+    assert _round_half_up(1.5) == 2
+    assert _round_half_up(2.5) == 3
+    assert round(0.5) == 0  # the trap the helper exists to avoid
+
+
+def test_div_trunc_matches_spark_div_on_negatives():
+    # Spark/DuckDB div truncate toward zero; Python // floors
+    assert _div_trunc(-7, 2) == -3
+    assert (-7) // 2 == -4  # the trap
+    assert _div_trunc(7, 2) == 3
+    assert _div_trunc(-6, 3) == -2
+
+
+def test_late_bucket_moves_the_split_point():
+    # 9 points: n_train = 9 - 1 = 8, n_test = 1.  A 10th (late, EARLIEST
+    # bucket) makes n_train = 8, n_test = 2 AND shifts every train value
+    # right by one — the "no partial fold survives" property.
+    base = [100, 210, 330, 420, 540, 660, 750, 880, 990]
+    with_late = [50] + base
+    r9 = forecast_backtest_from_series(base, A, B)
+    r10 = forecast_backtest_from_series(with_late, A, B)
+    assert (r9[0], r9[1]) == (8, 1)
+    assert (r10[0], r10[1]) == (8, 2)
+    assert r10 == _batch_reference(with_late)
+    assert r9[2] != r10[2], "level must re-derive over the shifted train fold"
