@@ -422,6 +422,13 @@ BENCH_QUERIES = [
     "embedding_centroid_probe",  # N24 nearest-centroid probe (r15)
     "nation_supplier_hhi",    # A108 supplier HHI per nation (r15)
     "stream_forecast_backtest",  # T42 Holt backtest served live (r15b)
+    "supplier_leadtime_quantiles",  # R31 lead-time nearest-rank grid (r15b)
+    "metric_shesd",           # A109 seasonal-hybrid MAD screen (r15b)
+    "dedup_token_sort",       # D27 sorted-token-multiset blocking (r15b)
+    "media_keyframes",        # M15 keyframe argmax + motion profile (r15b)
+    "text_token_anomalies",   # X31 tokenizer-bomb length screen (r15b)
+    "embedding_pca_power",    # N25 integer power-iteration PCA (r15b)
+    "stream_supplier_hhi",    # T43 supplier HHI served live (r15b)
     # stream_cdc_merge is timed via _time_cdc_merge below (merge work
     # only): its checkpointed replay rewrites a bucketed parquet snapshot
     # per micro-batch (~12 s/run at sf0.1, >90% filesystem publish/rename

@@ -1198,3 +1198,35 @@ def sorted_neighborhood_pairs(
         )
         .withColumn("jaccard_ppm", F.expr("n_inter * 1000000 div n_union"))
     )
+
+
+# ------------------------------------------- D27: token-sort blocking -----
+def token_sort_groups(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """D27: order-insensitive exact dedup — group documents by the md5 of
+    their SORTED token multiset (rapidfuzz's token_sort idea applied as
+    a blocking key): shuffled/reordered copies of the same content that
+    bitwise dedup (D1) misses collapse into one group, and
+    ``is_reorder_only`` marks groups where the members' raw hashes
+    differ (i.e., the catch is NEW relative to D1 — pure re-orderings),
+    versus groups D1 would already have merged.
+
+    One hash-shuffle on a 32-char key, the same cost shape as D1; the
+    per-row sort is bounded by the document's own token count — never
+    pairwise, never corpus-quadratic."""
+    key = F.md5(
+        F.array_join(F.array_sort(F.split(F.col(text_col), " ")), " ")
+    )
+    return (
+        df.select(
+            key.alias("sort_hash"),
+            F.md5(F.col(text_col)).alias("raw_hash"),
+            "doc_id",
+        )
+        .groupBy("sort_hash")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("raw_hash").alias("n_distinct_raw"),
+            F.min("doc_id").alias("keeper_doc_id"),
+        )
+        .withColumn("is_reorder_only", F.col("n_distinct_raw") > 1)
+    )

@@ -4404,3 +4404,356 @@ FROM pred
 GROUP BY true_label, pred_label
 ORDER BY true_label, pred_label
 """
+
+
+# ----------------- D27: token-sort order-insensitive dedup (round 15) -----
+def dedup_token_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D27: order-insensitive exact dedup groups (md5 of the SORTED
+    token multiset — the token_sort blocking key); see
+    :func:`datapipe.dedup.token_sort_groups`.  ``is_reorder_only``
+    marks the catches that are NEW relative to D1's bitwise pass."""
+    return D.token_sort_groups(load(spark, sf_dir, "documents")).orderBy(
+        "sort_hash"
+    )
+
+
+ORACLE_dedup_token_sort = """
+SELECT md5(list_aggregate(list_sort(string_split(text, ' ')), 'string_agg', ' '))
+           AS sort_hash,
+       count(*) AS n_docs,
+       count(DISTINCT md5(text)) AS n_distinct_raw,
+       min(doc_id) AS keeper_doc_id,
+       count(DISTINCT md5(text)) > 1 AS is_reorder_only
+FROM documents
+GROUP BY 1
+ORDER BY sort_hash
+"""
+
+
+# --------------------- M15: keyframe selection report (round 15) ----------
+def media_keyframes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M15: per-video keyframe selection — the frame AFTER the largest
+    inter-frame change (the "I-frame after the biggest cut" heuristic
+    real samplers use to pick one representative frame per clip),
+    plus the motion profile a curation gate reads (a near-zero
+    total_motion = a static/frozen capture; n_cuts from the gated M9
+    threshold).
+
+    Exactness: SADs are the gated M9 exact integers; the keyframe is a
+    lexicographic struct-max (sad DESC, frame_idx ASC) — total order,
+    ties to the earliest frame.  Scale: M9's stateless Arrow decode
+    (one pass, no shuffle) followed by ONE map-side-combined per-video
+    aggregate."""
+    media = M.attach_media(load(spark, sf_dir, "documents"))
+    cuts = M.scene_cuts(media)
+    return (
+        cuts.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_transitions"),
+            F.sum("sad").alias("total_motion"),
+            F.sum(F.when(F.col("is_cut"), 1).otherwise(0)).alias("n_cuts"),
+            F.max(
+                F.struct(
+                    F.col("sad").alias("sad"),
+                    (-F.col("frame_idx")).alias("nfi"),
+                )
+            ).alias("w"),
+        )
+        .select(
+            "doc_id",
+            "n_transitions",
+            "total_motion",
+            "n_cuts",
+            (-F.col("w.nfi")).cast("int").alias("keyframe_idx"),
+            F.col("w.sad").alias("max_sad"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+ORACLE_media_keyframes = f"""
+WITH p AS (
+    SELECT doc_id, {_FULL_HEX} AS fh
+    FROM documents WHERE doc_id % 3 = 2
+), fr AS (
+    SELECT doc_id, CAST(g.j AS INT) AS frame_idx,
+           [CAST('0x' || substr(fh, 2 * (g.j * {M.FRAME_BYTES} + i) - 1, 2) AS BIGINT)
+            for i in generate_series(1, {M.FRAME_BYTES})] AS bytes_
+    FROM p, unnest(generate_series(0, {M.PAYLOAD_BLOCKS - 1})) AS g(j)
+), sad AS (
+    SELECT a.doc_id, b.frame_idx,
+           CAST(list_aggregate(
+               list_transform(generate_series(1, {M.FRAME_BYTES}),
+                              i -> abs(a.bytes_[i] - b.bytes_[i])),
+               'sum') AS BIGINT) AS sad
+    FROM fr a JOIN fr b
+      ON a.doc_id = b.doc_id AND b.frame_idx = a.frame_idx + 1
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_transitions,
+       CAST(sum(sad) AS BIGINT) AS total_motion,
+       CAST(sum(CASE WHEN sad > {M.SCENE_CUT_THRESHOLD} THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_cuts,
+       CAST(min(CASE WHEN (sad, -frame_idx) =
+                     (SELECT max((s2.sad, -s2.frame_idx)) FROM sad s2
+                      WHERE s2.doc_id = sad.doc_id)
+                THEN frame_idx END) AS INT) AS keyframe_idx,
+       CAST(max(sad) AS BIGINT) AS max_sad
+FROM sad
+GROUP BY doc_id
+ORDER BY doc_id
+"""
+
+
+# ------------- X31: tokenizer-bomb / token-length anomaly screen ----------
+TOKEN_MAXLEN_FLAG = 8
+TOKEN_MEANLEN_MILLI_FLAG = 6000
+
+
+def text_token_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X31: token-length anomaly screen per source — the
+    "tokenizer bomb" gate (URLs, base64 blobs, DNA strings and
+    minified code explode BPE token counts and training step time;
+    their signature is extreme max/mean WORD length, visible long
+    before tokenization): per source, the doc count, docs whose
+    longest token ≥ {TOKEN_MAXLEN_FLAG} chars, docs whose mean token
+    length ≥ {TOKEN_MEANLEN_MILLI_FLAG} milli-chars, and the EXACT
+    nearest-rank p99 of per-doc max token length.
+
+    Exactness: lengths are ints; the mean is scaled integer division
+    (Σlen·1000 div n — truncating both engines); the p99 is the A106
+    cumulative-count grid over DISTINCT max-length values (bounded by
+    the longest word, not the corpus).  Scale: one narrow per-row
+    projection (no explode — higher-order functions fold in-row), one
+    map-side-combined (source, max_len) aggregate, windows on the
+    ≤|sources|·|len range| grid."""
+    from pyspark.sql import Window
+
+    docs = load(spark, sf_dir, "documents").select(
+        "source",
+        F.expr(
+            "aggregate(transform(split(text, ' '), t -> length(t)),"
+            " 0L, (a, x) -> greatest(a, cast(x as long)))"
+        ).alias("max_len"),
+        F.expr(
+            "aggregate(transform(split(text, ' '), t -> length(t)),"
+            " 0L, (a, x) -> a + x) * 1000"
+            " div size(split(text, ' '))"
+        ).alias("mean_milli"),
+    )
+    grid = docs.groupBy("source", "max_len").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum(
+            F.when(F.col("max_len") >= TOKEN_MAXLEN_FLAG, 1).otherwise(0)
+        ).alias("flag_max"),
+        F.sum(
+            F.when(F.col("mean_milli") >= TOKEN_MEANLEN_MILLI_FLAG, 1).otherwise(0)
+        ).alias("flag_mean"),
+    )
+    ws = Window.partitionBy("source")
+    wcum = ws.orderBy("max_len").rowsBetween(Window.unboundedPreceding, 0)
+    g = (
+        grid.withColumn("n", F.sum("cnt").over(ws))
+        .withColumn("cum", F.sum("cnt").over(wcum))
+        .withColumn("i99", F.expr("(99 * n + 99) div 100"))
+    )
+    return (
+        g.groupBy("source")
+        .agg(
+            F.first("n").alias("n_docs"),
+            F.sum("flag_max").alias("n_flag_maxlen"),
+            F.sum("flag_mean").alias("n_flag_meanlen"),
+            F.min(
+                F.when(F.col("cum") >= F.col("i99"), F.col("max_len"))
+            ).alias("p99_max_token_len"),
+        )
+        .orderBy("source")
+    )
+
+
+ORACLE_text_token_anomalies = f"""
+WITH d AS (
+    SELECT source,
+           CAST(list_aggregate(
+               list_transform(string_split(text, ' '), t -> len(t)),
+               'max') AS BIGINT) AS max_len,
+           CAST(list_aggregate(
+               list_transform(string_split(text, ' '), t -> len(t)),
+               'sum') AS BIGINT) * 1000
+           // len(string_split(text, ' ')) AS mean_milli
+    FROM documents
+), grid AS (
+    SELECT source, max_len, count(*) AS cnt,
+           sum(CASE WHEN max_len >= {TOKEN_MAXLEN_FLAG} THEN 1 ELSE 0 END)
+               AS flag_max,
+           sum(CASE WHEN mean_milli >= {TOKEN_MEANLEN_MILLI_FLAG}
+                    THEN 1 ELSE 0 END) AS flag_mean
+    FROM d GROUP BY source, max_len
+), g AS (
+    SELECT source, max_len, cnt, flag_max, flag_mean,
+           sum(cnt) OVER (PARTITION BY source) AS n,
+           sum(cnt) OVER (PARTITION BY source ORDER BY max_len
+                          ROWS UNBOUNDED PRECEDING) AS cum
+    FROM grid
+)
+SELECT source,
+       CAST(any_value(n) AS BIGINT) AS n_docs,
+       CAST(sum(flag_max) AS BIGINT) AS n_flag_maxlen,
+       CAST(sum(flag_mean) AS BIGINT) AS n_flag_meanlen,
+       CAST(min(CASE WHEN cum >= (99 * n + 99) // 100 THEN max_len END)
+            AS BIGINT) AS p99_max_token_len
+FROM g
+GROUP BY source
+ORDER BY source
+"""
+
+
+# -------- N25: PCA top component via integer power iteration (round 15) ---
+_PCA_ROUNDS = 3
+_PCA_S = 1_000_000
+
+
+def embedding_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N25: the top principal direction of the embedding cloud by POWER
+    ITERATION over the exact N17 Gram matrix — the audit that tells a
+    training pipeline whether its embedding space has collapsed onto
+    one axis (a dominant rayleigh share = anisotropy; the per-dim
+    loadings name the axis).  The corpus is touched ONCE (the Gram
+    aggregate); the 64×64 iteration is bounded control-plane math
+    expressed as ≤4096-row relational rounds.
+
+    Exactness: NO float anywhere — the Gram is the N17 exact int64
+    micro² sum (full matrix, generated in-row); it is rescaled to
+    ≤10⁶ by one truncating division by its max |entry| (Spark div ≡
+    DuckDB // — both truncate toward zero); each of the 3 unrolled
+    rounds is an exact integer mat-vec (|w| ≤ 64·10¹² — overflow-safe)
+    renormalized back to the ±10⁶ grid by w div (max|w| div 10⁶) —
+    dividing the DIVISOR first keeps every product inside int64; the
+    rayleigh quotient is the documented truncation chain
+    Σ(v div 10³)·(w div 10³) div Σ(v div 10³)² — identical in both
+    engines, so even the truncation drift is gate-pinned.
+
+    Scale: one corpus exchange (2·64² in-row pair terms feed a
+    map-side-combined hash aggregate); every later relation is ≤4096
+    rows with broadcast vectors — the iteration cost is independent of
+    corpus size."""
+    emb = load(spark, sf_dir, "embeddings")
+    d = _EMB_DIM
+    q = (
+        "transform(embedding,"
+        " v -> cast(floor(cast(v as double) * 1000000.0) as bigint))"
+    )
+    pairs = (
+        f"flatten(transform(sequence(0, {d - 1}), i ->"
+        f" transform(sequence(0, {d - 1}), j -> named_struct("
+        f"   'i', i, 'j', j,"
+        f"   'p', element_at(q, i + 1) * element_at(q, j + 1)))))"
+    )
+    gram = (
+        emb.select(F.expr(q).alias("q"))
+        .select(F.explode(F.expr(pairs)).alias("t"))
+        .select(F.col("t.i").alias("i"), F.col("t.j").alias("j"),
+                F.col("t.p").alias("p"))
+        .groupBy("i", "j")
+        .agg(F.sum("p").alias("g"))
+    )
+    gmax = gram.agg(F.max(F.abs(F.col("g"))).alias("gm"))
+    # rescale as g div (gm div S): dividing the DIVISOR first keeps the
+    # product out of int64 overflow (g·10^6 can exceed 2^63 at sf0.01);
+    # the slightly different truncation is identical in both engines
+    gs = gram.crossJoin(F.broadcast(gmax)).select(
+        "i",
+        "j",
+        F.expr(f"g div greatest(gm div {_PCA_S}, 1)").alias("gs"),
+    )
+
+    v = spark.range(d).select(
+        F.col("id").cast("int").alias("j"), F.lit(_PCA_S).cast("long").alias("v")
+    )
+    for _ in range(_PCA_ROUNDS):
+        w = (
+            gs.join(F.broadcast(v), "j")
+            .groupBy("i")
+            .agg(F.sum(F.col("gs") * F.col("v")).alias("w"))
+        )
+        wmax = w.agg(F.greatest(F.max(F.abs(F.col("w"))), F.lit(1)).alias("wm"))
+        v = w.crossJoin(F.broadcast(wmax)).select(
+            F.col("i").alias("j"),
+            F.expr(f"w div greatest(wm div {_PCA_S}, 1)").alias("v"),
+        )
+    w4 = (
+        gs.join(F.broadcast(v), "j")
+        .groupBy("i")
+        .agg(F.sum(F.col("gs") * F.col("v")).alias("w"))
+    )
+    vw = v.select(F.col("j").alias("i"), "v").join(w4, "i")
+    ray = vw.agg(
+        F.expr(
+            "sum((v div 1000) * (w div 1000)) div"
+            " greatest(sum((v div 1000) * (v div 1000)), 1)"
+        ).alias("rayleigh_scaled")
+    )
+    return (
+        vw.crossJoin(F.broadcast(ray))
+        .select(
+            F.col("i").alias("dim"),
+            F.col("v").alias("component_scaled"),
+            "rayleigh_scaled",
+        )
+        .orderBy("dim")
+    )
+
+
+def _pca_oracle() -> str:
+    d, S, q = _EMB_DIM, _PCA_S, "CAST(floor(CAST(%s AS DOUBLE) * 1000000) AS BIGINT)"
+    rounds = []
+    prev = "v0"
+    for k in range(1, _PCA_ROUNDS + 1):
+        rounds.append(f"""
+w{k} AS (
+    SELECT gs.i, CAST(sum(gs.gs * {prev}.v) AS BIGINT) AS w
+    FROM gs JOIN {prev} ON gs.j = {prev}.j GROUP BY gs.i
+), wm{k} AS (
+    SELECT greatest(max(abs(w)), 1) AS wm FROM w{k}
+), v{k} AS (
+    SELECT w{k}.i AS j, w{k}.w // greatest(wm{k}.wm // {S}, 1) AS v
+    FROM w{k}, wm{k}
+)""")
+        prev = f"v{k}"
+    return f"""
+WITH ex AS (
+    SELECT g1.i - 1 AS i, g2.j - 1 AS j,
+           {q % 'embedding[g1.i]'} * {q % 'embedding[g2.j]'} AS p
+    FROM embeddings,
+         unnest(generate_series(1, {d})) AS g1(i),
+         unnest(generate_series(1, {d})) AS g2(j)
+), gram AS (
+    SELECT i, j, CAST(sum(p) AS BIGINT) AS g FROM ex GROUP BY i, j
+), gmax AS (
+    SELECT max(abs(g)) AS gm FROM gram
+), gs AS (
+    SELECT i, j, g // greatest(gm // {S}, 1) AS gs FROM gram, gmax
+), v0 AS (
+    SELECT CAST(g.j AS INT) - 1 AS j, CAST({S} AS BIGINT) AS v
+    FROM unnest(generate_series(1, {d})) AS g(j)
+),{",".join(rounds)},
+w4 AS (
+    SELECT gs.i, CAST(sum(gs.gs * {prev}.v) AS BIGINT) AS w
+    FROM gs JOIN {prev} ON gs.j = {prev}.j GROUP BY gs.i
+), vw AS (
+    SELECT {prev}.j AS i, {prev}.v, w4.w FROM {prev} JOIN w4 ON {prev}.j = w4.i
+), ray AS (
+    SELECT CAST(sum((v // 1000) * (w // 1000)) //
+                greatest(sum((v // 1000) * (v // 1000)), 1) AS BIGINT)
+               AS rayleigh_scaled
+    FROM vw
+)
+SELECT CAST(vw.i AS INT) AS dim,
+       CAST(vw.v AS BIGINT) AS component_scaled,
+       ray.rayleigh_scaled
+FROM vw, ray
+ORDER BY dim
+"""
+
+
+ORACLE_embedding_pca_power = _pca_oracle()

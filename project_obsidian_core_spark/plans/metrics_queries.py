@@ -3762,3 +3762,161 @@ FROM d
 GROUP BY metric_name, win
 ORDER BY metric_name, win
 """
+
+
+# --------- A109: seasonal-hybrid MAD anomaly screen (round 15) -------------
+def metric_shesd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A109: seasonal-hybrid anomaly screen (the Twitter S-H-ESD shape
+    composed from gated pieces): deseasonalize each metric's hourly
+    series by its hour-of-day MEDIAN (A74 gives the mean profile; the
+    median survives the very outliers being hunted), then flag buckets
+    whose residual deviates from the residual median by more than
+    3×MAD — the robust rule A34 (`qan_anomaly_mad`) applies to raw
+    values, now applied where it belongs: AFTER seasonal adjustment
+    ("is 3 AM low, or normal for 3 AM?" answered before thresholding).
+
+    Exactness: the series is the A84 exact-int hour grid; hod medians,
+    the residual median and the MAD are nearest-rank order statistics
+    over DISTINCT-value grids ((n+1) div 2 — medians of ints stay
+    ints); deviations and the 3×MAD compare are pure int64.  The worst
+    bucket is a lexicographic struct-max (dev DESC, bucket ASC) — total
+    order, no float.
+
+    Scale: one corpus exchange to the (metric, hour-bucket) grid;
+    every window after that partitions by metric (or metric+hod) over
+    the retention-bounded grid — the corpus is touched once."""
+    from pyspark.sql import Window
+
+    m = synthesize_metrics(spark, sf_dir).select(
+        "metric_name",
+        F.expr("unix_micros(time) div 3600000000").alias("x"),
+        F.col("metric_value").alias("v"),
+    )
+    series = m.groupBy("metric_name", "x").agg(F.sum("v").alias("y"))
+    series = series.withColumn("hod", F.expr("x % 24"))
+
+    # hod median over the distinct-y grid per (metric, hod)
+    hg = series.groupBy("metric_name", "hod", "y").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    wh = Window.partitionBy("metric_name", "hod")
+    whc = wh.orderBy("y").rowsBetween(Window.unboundedPreceding, 0)
+    hod_med = (
+        hg.withColumn("n", F.sum("cnt").over(wh))
+        .withColumn("cum", F.sum("cnt").over(whc))
+        .filter(F.col("cum") >= F.expr("(n + 1) div 2"))
+        .groupBy("metric_name", "hod")
+        .agg(F.min("y").alias("hod_median"))
+    )
+    resid = series.join(hod_med, ["metric_name", "hod"]).select(
+        "metric_name", "x", (F.col("y") - F.col("hod_median")).alias("r")
+    )
+
+    # residual median per metric (same grid pattern)
+    def _grid_median(df, val, out):
+        g = df.groupBy("metric_name", val).agg(F.count(F.lit(1)).alias("cnt"))
+        wm = Window.partitionBy("metric_name")
+        wmc = wm.orderBy(val).rowsBetween(Window.unboundedPreceding, 0)
+        return (
+            g.withColumn("n", F.sum("cnt").over(wm))
+            .withColumn("cum", F.sum("cnt").over(wmc))
+            .filter(F.col("cum") >= F.expr("(n + 1) div 2"))
+            .groupBy("metric_name")
+            .agg(F.min(val).alias(out))
+        )
+
+    r_med = _grid_median(resid, "r", "r_median")
+    dev = resid.join(F.broadcast(r_med), "metric_name").select(
+        "metric_name",
+        "x",
+        "r",
+        F.abs(F.col("r") - F.col("r_median")).alias("ad"),
+    )
+    mad = _grid_median(dev.select("metric_name", F.col("ad")), "ad", "mad")
+    flagged = dev.join(F.broadcast(mad), "metric_name").withColumn(
+        "is_anom", F.col("ad") > 3 * F.col("mad")
+    )
+    return (
+        flagged.groupBy("metric_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_buckets"),
+            F.first("mad").alias("mad"),
+            F.sum(F.when(F.col("is_anom"), 1).otherwise(0)).alias("n_anomalies"),
+            F.max(
+                F.struct(
+                    F.col("ad").alias("ad"), (-F.col("x")).alias("nx")
+                )
+            ).alias("w"),
+        )
+        .select(
+            "metric_name",
+            "n_buckets",
+            "mad",
+            "n_anomalies",
+            (-F.col("w.nx")).alias("worst_bucket"),
+            F.col("w.ad").alias("worst_dev"),
+        )
+        .orderBy("metric_name")
+    )
+
+
+ORACLE_metric_shesd = f"""
+WITH m AS ({_SYN_SQL}),
+series AS (
+    SELECT metric_name, epoch_us(time) // 3600000000 AS x,
+           CAST(sum(metric_value) AS BIGINT) AS y
+    FROM m GROUP BY metric_name, epoch_us(time) // 3600000000
+), s2 AS (
+    SELECT *, x % 24 AS hod FROM series
+), hg AS (
+    SELECT metric_name, hod, y, count(*) AS cnt
+    FROM s2 GROUP BY metric_name, hod, y
+), hcum AS (
+    SELECT metric_name, hod, y,
+           sum(cnt) OVER (PARTITION BY metric_name, hod) AS n,
+           sum(cnt) OVER (PARTITION BY metric_name, hod ORDER BY y
+                          ROWS UNBOUNDED PRECEDING) AS cum
+    FROM hg
+), hod_med AS (
+    SELECT metric_name, hod, min(y) AS hod_median
+    FROM hcum WHERE cum >= (n + 1) // 2 GROUP BY metric_name, hod
+), resid AS (
+    SELECT s2.metric_name, s2.x, s2.y - hod_med.hod_median AS r
+    FROM s2 JOIN hod_med USING (metric_name, hod)
+), rg AS (
+    SELECT metric_name, r, count(*) AS cnt FROM resid GROUP BY metric_name, r
+), rcum AS (
+    SELECT metric_name, r,
+           sum(cnt) OVER (PARTITION BY metric_name) AS n,
+           sum(cnt) OVER (PARTITION BY metric_name ORDER BY r
+                          ROWS UNBOUNDED PRECEDING) AS cum
+    FROM rg
+), r_med AS (
+    SELECT metric_name, min(r) AS r_median
+    FROM rcum WHERE cum >= (n + 1) // 2 GROUP BY metric_name
+), dev AS (
+    SELECT resid.metric_name, resid.x, abs(resid.r - r_med.r_median) AS ad
+    FROM resid JOIN r_med USING (metric_name)
+), ag AS (
+    SELECT metric_name, ad, count(*) AS cnt FROM dev GROUP BY metric_name, ad
+), acum AS (
+    SELECT metric_name, ad,
+           sum(cnt) OVER (PARTITION BY metric_name) AS n,
+           sum(cnt) OVER (PARTITION BY metric_name ORDER BY ad
+                          ROWS UNBOUNDED PRECEDING) AS cum
+    FROM ag
+), mad AS (
+    SELECT metric_name, min(ad) AS mad
+    FROM acum WHERE cum >= (n + 1) // 2 GROUP BY metric_name
+)
+SELECT dev.metric_name,
+       CAST(count(*) AS BIGINT) AS n_buckets,
+       CAST(any_value(mad.mad) AS BIGINT) AS mad,
+       CAST(sum(CASE WHEN dev.ad > 3 * mad.mad THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_anomalies,
+       CAST(arg_min(dev.x, (-dev.ad, dev.x)) AS BIGINT) AS worst_bucket,
+       CAST(max(dev.ad) AS BIGINT) AS worst_dev
+FROM dev JOIN mad USING (metric_name)
+GROUP BY dev.metric_name
+ORDER BY dev.metric_name
+"""

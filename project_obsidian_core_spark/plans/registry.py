@@ -1214,6 +1214,43 @@ _ENTRIES: list[tuple[str, QueryFn, str | None]] = [
         st.stream_forecast_backtest,
         m.ORACLE_metric_forecast_backtest,
     ),
+    # R31: supplier fulfillment lead-time quantiles (nearest-rank grid
+    # on integer day arithmetic — the logistics KPI next to A108)
+    (
+        "supplier_leadtime_quantiles",
+        r.supplier_leadtime_quantiles,
+        r.ORACLE_supplier_leadtime_quantiles,
+    ),
+    # A109: seasonal-hybrid MAD anomaly screen (hod-median deseasonalize
+    # then the 3×MAD robust rule — the S-H-ESD shape, all exact-int)
+    ("metric_shesd", m.metric_shesd, m.ORACLE_metric_shesd),
+    # D27: token-sort order-insensitive dedup (sorted-token-multiset
+    # blocking key; is_reorder_only = new catches relative to D1)
+    ("dedup_token_sort", d.dedup_token_sort, d.ORACLE_dedup_token_sort),
+    # M15: per-video keyframe selection + motion profile (argmax over
+    # the gated M9 SADs, lexicographic struct-max tie-break)
+    ("media_keyframes", d.media_keyframes, d.ORACLE_media_keyframes),
+    # X31: tokenizer-bomb screen (extreme max/mean token length flags +
+    # nearest-rank p99 per source)
+    (
+        "text_token_anomalies",
+        d.text_token_anomalies,
+        d.ORACLE_text_token_anomalies,
+    ),
+    # N25: PCA top component by integer power iteration over the exact
+    # N17 Gram (3 unrolled rounds, divisor-first rescaling)
+    (
+        "embedding_pca_power",
+        d.embedding_pca_power,
+        d.ORACLE_embedding_pca_power,
+    ),
+    # T43: streaming supplier HHI — gated on the A108 batch oracle
+    # verbatim (per-supplier cent-sum state, full re-derive per emit)
+    (
+        "stream_supplier_hhi",
+        st.stream_supplier_hhi,
+        r.ORACLE_nation_supplier_hhi,
+    ),
 ]
 
 # ----------------------------------------------------------------------

@@ -3192,3 +3192,83 @@ def stream_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
         "mae_naive_cents",
         "improvement_ppm",
     ).orderBy("metric_name")
+
+
+# -------------- T43: streaming supplier HHI (A108 served live) ------------
+def stream_supplier_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T43: the A108 supplier-concentration index served LIVE — the
+    lineitem feed replays through a (nation → per-supplier cent sums)
+    bucket-sum state; every emit re-derives milli-shares, HHI and the
+    DOJ band with the batch expressions verbatim.  Drained max-version
+    rows gate on the batch `nation_supplier_hhi` oracle verbatim.
+
+    The stream carries (nation, l_suppkey, cents) — the supplier→nation
+    dimension is broadcast-attached at source materialization, the
+    same pre-projection the events twins apply to `cents`."""
+    from pyspark.sql import Window
+
+    from project_obsidian_core_spark.streaming.sequence_state import (
+        streaming_supplier_hhi,
+    )
+
+    run = next(_RUN_IDS)
+    src = _SRC_CACHE.get(f"li_hhi:{sf_dir}")
+    if src is None:
+        tmp = tempfile.mkdtemp(prefix=f"obsidian_lisrc_{run}_")
+        src = f"{tmp}/lineitem_src"
+        nation = load(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+        supp = (
+            load(spark, sf_dir, "supplier")
+            .join(
+                F.broadcast(nation),
+                F.col("s_nationkey") == F.col("n_nationkey"),
+            )
+            .select("s_suppkey", F.col("n_name").alias("nation"))
+        )
+        (
+            load(spark, sf_dir, "lineitem")
+            .select("l_suppkey", cents("l_extendedprice").alias("epc"))
+            .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+            .select("nation", "l_suppkey", "epc")
+            .write.mode("overwrite")
+            .parquet(src)
+        )
+        _SRC_CACHE[f"li_hhi:{sf_dir}"] = src
+    schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "8")
+        .parquet(src)
+    )
+    keyed = stream.select(
+        "nation",
+        F.col("l_suppkey").alias("bucket"),
+        F.col("epc").alias("v"),
+    )
+    out = streaming_supplier_hhi(keyed)
+    name = f"stream_hhi_{run}"
+    tmp = tempfile.mkdtemp(prefix=f"obsidian_hhi_{run}_")
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            out.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .option("checkpointLocation", f"{tmp}/ckpt")
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+
+    emitted = spark.table(name)
+    wmax = Window.partitionBy("nation")
+    latest = emitted.withColumn(
+        "_vmax", F.max("version").over(wmax)
+    ).filter(F.col("version") == F.col("_vmax"))
+    return latest.select(
+        "nation", "n_suppliers", "revenue_cents", "hhi", "band"
+    ).orderBy("nation")

@@ -2947,3 +2947,105 @@ def streaming_forecast_backtest(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# ------------- T43: streaming supplier HHI (A108 served live) -------------
+HHI_OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("nation", T.StringType()),
+        T.StructField("n_suppliers", T.LongType()),
+        T.StructField("revenue_cents", T.LongType()),
+        T.StructField("hhi", T.LongType()),
+        T.StructField("band", T.StringType()),
+        T.StructField("version", T.LongType()),
+    ]
+)
+
+
+def hhi_from_series(sums: list[int]) -> tuple | None:
+    """A108's concentration math re-derived from per-supplier revenue
+    state — the batch formulas verbatim: milli-shares by truncating
+    integer division of exact cent sums, HHI an exact integer sum of
+    their squares, DOJ bands integer compares.  A new lineitem for ANY
+    supplier moves the total and therefore EVERY share, so the whole
+    index re-derives per emit.  Returns (n_suppliers, revenue_cents,
+    hhi, band); None on empty/zero-revenue state."""
+    tot = sum(sums)
+    if not sums or tot <= 0:
+        return None
+    hhi = 0
+    for rev in sums:
+        share = (rev * 1000) // tot  # non-negative: // == truncation
+        hhi += share * share
+    band = (
+        "unconcentrated"
+        if hhi < 150_000
+        else ("moderate" if hhi <= 250_000 else "high")
+    )
+    return (len(sums), tot, hhi, band)
+
+
+def make_hhi_fn():
+    def fn(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        nation = str(key[0])
+        if state.exists:
+            buckets, sums, version = state.get
+            buckets, sums = list(buckets), list(sums)
+        else:
+            buckets, sums, version = [], [], 0
+        absorbed = 0
+        for pdf in pdfs:
+            if not len(pdf):
+                continue
+            absorbed += len(pdf)
+            buckets, sums = fold_bucket_sums(
+                buckets, sums, zip(pdf["bucket"], pdf["v"])
+            )
+        if not absorbed:
+            return
+        version += absorbed
+        state.update((buckets, sums, version))
+        res = hhi_from_series(sums)
+        if res is None:
+            return
+        n_supp, tot, hhi, band = res
+        yield pd.DataFrame(
+            {
+                "nation": [nation],
+                "n_suppliers": pd.Series([n_supp], dtype="int64"),
+                "revenue_cents": pd.Series([tot], dtype="int64"),
+                "hhi": pd.Series([hhi], dtype="int64"),
+                "band": [band],
+                "version": [version],
+            }
+        )
+
+    return fn
+
+
+def streaming_supplier_hhi(stream: DataFrame) -> DataFrame:
+    """T43: the A108 supplier-concentration index served LIVE — the
+    sourcing-risk KPI is exactly the kind of dashboard number a
+    procurement monitor watches DURING ingestion (a market drifting
+    into the 'high' band is an alert, not a quarterly report).  State
+    is the bucket-sum family keyed (nation → per-supplier cent sums):
+    commutative integer sums, so micro-batch merge order cannot change
+    the drained value; every emit re-derives shares/HHI/band with the
+    batch expressions verbatim (one new lineitem moves EVERY share —
+    no incremental HHI survives).  Drained max-version rows gate on
+    the batch `nation_supplier_hhi` oracle verbatim.
+    Expects (nation, bucket=suppkey, v=cents)."""
+    keyed = stream.select(
+        F.col("nation").cast("string").alias("nation"),
+        F.col("bucket").cast("long").alias("bucket"),
+        F.col("v").cast("long").alias("v"),
+    )
+    return keyed.groupBy("nation").applyInPandasWithState(
+        make_hhi_fn(),
+        outputStructType=HHI_OUTPUT_SCHEMA,
+        stateStructType=EWMA_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

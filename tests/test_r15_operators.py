@@ -89,3 +89,31 @@ def test_late_bucket_moves_the_split_point():
     assert (r10[0], r10[1]) == (8, 2)
     assert r10 == _batch_reference(with_late)
     assert r9[2] != r10[2], "level must re-derive over the shifted train fold"
+
+
+# ---------------------------- T43: streaming HHI --------------------------
+from project_obsidian_core_spark.streaming.sequence_state import (  # noqa: E402
+    hhi_from_series,
+)
+
+
+def test_hhi_monopoly_is_full_concentration():
+    # one supplier: share = 1000 milli, HHI = 10^6, band high
+    assert hhi_from_series([12345]) == (1, 12345, 1_000_000, "high")
+
+
+def test_hhi_equal_split_bands():
+    # 10 equal suppliers: share 100 each, HHI = 10*100^2 = 100,000 → unconcentrated
+    assert hhi_from_series([5] * 10) == (10, 50, 100_000, "unconcentrated")
+    # 5 equal suppliers: share 200 each, HHI = 200,000 → moderate
+    assert hhi_from_series([7] * 5) == (5, 35, 200_000, "moderate")
+
+
+def test_hhi_share_truncation_matches_batch_div():
+    # rev 1,1,1 of 3: share = 333 (truncating), HHI = 3*333² = 332,667
+    assert hhi_from_series([1, 1, 1]) == (3, 3, 332_667, "high")
+
+
+def test_hhi_empty_and_zero_state():
+    assert hhi_from_series([]) is None
+    assert hhi_from_series([0, 0]) is None
