@@ -3908,15 +3908,23 @@ series AS (
 ), mad AS (
     SELECT metric_name, min(ad) AS mad
     FROM acum WHERE cum >= (n + 1) // 2 GROUP BY metric_name
+), ranked AS (
+    SELECT metric_name, x, ad,
+           row_number() OVER (PARTITION BY metric_name
+                              ORDER BY ad DESC, x ASC) AS rn
+    FROM dev
+), agg AS (
+    SELECT dev.metric_name,
+           CAST(count(*) AS BIGINT) AS n_buckets,
+           CAST(any_value(mad.mad) AS BIGINT) AS mad,
+           CAST(sum(CASE WHEN dev.ad > 3 * mad.mad THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_anomalies
+    FROM dev JOIN mad USING (metric_name)
+    GROUP BY dev.metric_name
 )
-SELECT dev.metric_name,
-       CAST(count(*) AS BIGINT) AS n_buckets,
-       CAST(any_value(mad.mad) AS BIGINT) AS mad,
-       CAST(sum(CASE WHEN dev.ad > 3 * mad.mad THEN 1 ELSE 0 END) AS BIGINT)
-           AS n_anomalies,
-       CAST(arg_min(dev.x, (-dev.ad, dev.x)) AS BIGINT) AS worst_bucket,
-       CAST(max(dev.ad) AS BIGINT) AS worst_dev
-FROM dev JOIN mad USING (metric_name)
-GROUP BY dev.metric_name
-ORDER BY dev.metric_name
+SELECT agg.metric_name, agg.n_buckets, agg.mad, agg.n_anomalies,
+       CAST(ranked.x AS BIGINT) AS worst_bucket,
+       CAST(ranked.ad AS BIGINT) AS worst_dev
+FROM agg JOIN ranked ON agg.metric_name = ranked.metric_name AND ranked.rn = 1
+ORDER BY agg.metric_name
 """
