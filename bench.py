@@ -429,6 +429,10 @@ BENCH_QUERIES = [
     "text_token_anomalies",   # X31 tokenizer-bomb length screen (r15b)
     "embedding_pca_power",    # N25 integer power-iteration PCA (r15b)
     "stream_supplier_hhi",    # T43 supplier HHI served live (r15b)
+    "corpus_shard_skew",      # P20 shard-balance pre-flight audit (r15b)
+    "text_charclass_profile",  # X32 char-class corpus fingerprint (r15b)
+    "events_dwell_time",      # A110 post-event dwell quantiles (r15b)
+    "stream_token_anomalies",  # T44 tokenizer-bomb monitor live (r15b)
     # stream_cdc_merge is timed via _time_cdc_merge below (merge work
     # only): its checkpointed replay rewrites a bucketed parquet snapshot
     # per micro-batch (~12 s/run at sf0.1, >90% filesystem publish/rename

@@ -2052,3 +2052,98 @@ GROUP BY path
 ORDER BY n_users DESC, path
 LIMIT {_PATH_TOPK}
 """
+
+
+# ---------------- A110: post-event dwell-time quantiles (round 15) --------
+def events_dwell_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A110: how long users LINGER after each event type — the
+    engagement metric between A20's session stats and A106's funnel
+    latencies: per event type, the count of events with a successor in
+    the same user's stream, the mean dwell, and EXACT nearest-rank
+    p50/p90 dwell seconds (dwell = gap to the user's NEXT event,
+    attributed to the current event's type).
+
+    Exactness: the per-user order is the total (ts, event_id) rule
+    (A101); dwell is integer seconds of the epoch-micros difference;
+    quantiles are the A106 cumulative-count grid over DISTINCT dwell
+    values; the mean is ONE IEEE division of exact-int sums.
+
+    Scale: one lead window partitioned per user (the sessionize
+    topology), then a map-side-combined (type, dwell) grid aggregate;
+    the quantile windows ride the bounded grid."""
+    ev = load(spark, sf_dir, "events")
+    wu = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    dw = (
+        ev.select(
+            "user_id",
+            "event_type",
+            "ts",
+            "event_id",
+            F.lead(F.expr("unix_micros(ts)")).over(wu).alias("next_us"),
+        )
+        .filter(F.col("next_us").isNotNull())
+        .select(
+            "event_type",
+            F.expr("(next_us - unix_micros(ts)) div 1000000").alias("dwell_s"),
+        )
+    )
+    grid = dw.groupBy("event_type", "dwell_s").agg(
+        F.count(F.lit(1)).alias("cnt"), F.sum("dwell_s").alias("dsum")
+    )
+    wt = Window.partitionBy("event_type")
+    wcum = wt.orderBy("dwell_s").rowsBetween(Window.unboundedPreceding, 0)
+    g = (
+        grid.withColumn("n", F.sum("cnt").over(wt))
+        .withColumn("sum_all", F.sum("dsum").over(wt))
+        .withColumn("cum", F.sum("cnt").over(wcum))
+        .withColumn("i50", F.expr("(50 * n + 99) div 100"))
+        .withColumn("i90", F.expr("(90 * n + 99) div 100"))
+    )
+    return (
+        g.groupBy("event_type")
+        .agg(
+            F.first("n").alias("n_dwells"),
+            (
+                F.first("sum_all").cast("double")
+                / F.first("n").cast("double")
+            ).alias("mean_dwell_s"),
+            F.min(F.when(F.col("cum") >= F.col("i50"), F.col("dwell_s"))).alias("p50_s"),
+            F.min(F.when(F.col("cum") >= F.col("i90"), F.col("dwell_s"))).alias("p90_s"),
+        )
+        .orderBy("event_type")
+    )
+
+
+ORACLE_events_dwell_time = """
+WITH dw AS (
+    SELECT event_type,
+           (lead(epoch_us(ts)) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id)
+            - epoch_us(ts)) // 1000000 AS dwell_s
+    FROM events
+), d AS (
+    SELECT event_type, dwell_s FROM dw WHERE dwell_s IS NOT NULL
+), grid AS (
+    SELECT event_type, dwell_s, count(*) AS cnt,
+           CAST(sum(dwell_s) AS BIGINT) AS dsum
+    FROM d GROUP BY event_type, dwell_s
+), g AS (
+    SELECT event_type, dwell_s, cnt,
+           sum(cnt) OVER (PARTITION BY event_type) AS n,
+           sum(dsum) OVER (PARTITION BY event_type) AS sum_all,
+           sum(cnt) OVER (PARTITION BY event_type ORDER BY dwell_s
+                          ROWS UNBOUNDED PRECEDING) AS cum
+    FROM grid
+)
+SELECT event_type,
+       CAST(any_value(n) AS BIGINT) AS n_dwells,
+       CAST(any_value(sum_all) AS DOUBLE) / CAST(any_value(n) AS DOUBLE)
+           AS mean_dwell_s,
+       CAST(min(CASE WHEN cum >= (50 * n + 99) // 100 THEN dwell_s END)
+            AS BIGINT) AS p50_s,
+       CAST(min(CASE WHEN cum >= (90 * n + 99) // 100 THEN dwell_s END)
+            AS BIGINT) AS p90_s
+FROM g
+GROUP BY event_type
+ORDER BY event_type
+"""

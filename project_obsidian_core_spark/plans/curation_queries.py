@@ -1510,3 +1510,78 @@ FROM dec
 GROUP BY decile
 ORDER BY decile
 """
+
+
+# --------- X32: character-class composition profile (round 15) ------------
+def text_charclass_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X32: per-source character-class composition — the cheapest
+    corpus fingerprint there is (a source whose digit share doubles
+    week-over-week started emitting logs/IDs; a punctuation spike =
+    markup leakage; C4 gates threshold exactly these ratios): per
+    source, total chars and exact-ppm shares of alphabetic, digit,
+    space, and other characters.
+
+    Exactness: class counts are length-difference arithmetic on
+    regexp_replace (count = len − len(text with the class removed) —
+    engine-identical on anchored single-char classes); totals int64;
+    shares truncating integer ppm.  Scale: one narrow per-row
+    projection, ONE map-side-combined ≤|sources|-group aggregate."""
+    docs = load(spark, sf_dir, "documents")
+
+    def cnt(cls: str) -> F.Column:
+        return F.length("text") - F.length(
+            F.regexp_replace("text", cls, "")
+        )
+
+    per = docs.select(
+        "source",
+        F.length("text").cast("long").alias("n"),
+        cnt("[A-Za-z]").cast("long").alias("a"),
+        cnt("[0-9]").cast("long").alias("d"),
+        cnt("[ ]").cast("long").alias("s"),
+    )
+    return (
+        per.groupBy("source")
+        .agg(
+            F.sum("n").alias("n_chars"),
+            F.sum("a").alias("na"),
+            F.sum("d").alias("nd"),
+            F.sum("s").alias("ns"),
+        )
+        .select(
+            "source",
+            "n_chars",
+            F.expr("na * 1000000 div n_chars").alias("alpha_ppm"),
+            F.expr("nd * 1000000 div n_chars").alias("digit_ppm"),
+            F.expr("ns * 1000000 div n_chars").alias("space_ppm"),
+            F.expr(
+                "(n_chars - na - nd - ns) * 1000000 div n_chars"
+            ).alias("other_ppm"),
+        )
+        .orderBy("source")
+    )
+
+
+ORACLE_text_charclass_profile = """
+WITH per AS (
+    SELECT source,
+           CAST(len(text) AS BIGINT) AS n,
+           CAST(len(text) - len(regexp_replace(text, '[A-Za-z]', '', 'g'))
+                AS BIGINT) AS a,
+           CAST(len(text) - len(regexp_replace(text, '[0-9]', '', 'g'))
+                AS BIGINT) AS d,
+           CAST(len(text) - len(regexp_replace(text, '[ ]', '', 'g'))
+                AS BIGINT) AS s
+    FROM documents
+)
+SELECT source,
+       CAST(sum(n) AS BIGINT) AS n_chars,
+       CAST(sum(a) * 1000000 // sum(n) AS BIGINT) AS alpha_ppm,
+       CAST(sum(d) * 1000000 // sum(n) AS BIGINT) AS digit_ppm,
+       CAST(sum(s) * 1000000 // sum(n) AS BIGINT) AS space_ppm,
+       CAST((sum(n) - sum(a) - sum(d) - sum(s)) * 1000000 // sum(n) AS BIGINT)
+           AS other_ppm
+FROM per
+GROUP BY source
+ORDER BY source
+"""

@@ -4527,9 +4527,16 @@ def text_token_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
     projection (no explode — higher-order functions fold in-row), one
     map-side-combined (source, max_len) aggregate, windows on the
     ≤|sources|·|len range| grid."""
-    from pyspark.sql import Window
+    docs = load(spark, sf_dir, "documents")
+    grid = token_anomaly_grid(token_doc_stats(docs))
+    return token_anomaly_report(grid)
 
-    docs = load(spark, sf_dir, "documents").select(
+
+def token_doc_stats(docs: DataFrame) -> DataFrame:
+    """Per-doc (source, max_len, mean_milli) — stateless in-row folds,
+    shared verbatim by the batch plan and the T44 streaming monitor so
+    the two gates cannot drift (the T41 shared-expression rule)."""
+    return docs.select(
         "source",
         F.expr(
             "aggregate(transform(split(text, ' '), t -> length(t)),"
@@ -4541,7 +4548,13 @@ def text_token_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
             " div size(split(text, ' '))"
         ).alias("mean_milli"),
     )
-    grid = docs.groupBy("source", "max_len").agg(
+
+
+def token_anomaly_grid(stats: DataFrame) -> DataFrame:
+    """(source, max_len) grid with count + flag sums — commutative
+    integer aggregates, so a complete-mode streaming aggregation of the
+    same expressions merges to the identical relation."""
+    return stats.groupBy("source", "max_len").agg(
         F.count(F.lit(1)).alias("cnt"),
         F.sum(
             F.when(F.col("max_len") >= TOKEN_MAXLEN_FLAG, 1).otherwise(0)
@@ -4550,6 +4563,13 @@ def text_token_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("mean_milli") >= TOKEN_MEANLEN_MILLI_FLAG, 1).otherwise(0)
         ).alias("flag_mean"),
     )
+
+
+def token_anomaly_report(grid: DataFrame) -> DataFrame:
+    """The X31 report derivation over the reduced (source, max_len)
+    grid — windows ride ≤|sources|·|len range| rows."""
+    from pyspark.sql import Window
+
     ws = Window.partitionBy("source")
     wcum = ws.orderBy("max_len").rowsBetween(Window.unboundedPreceding, 0)
     g = (

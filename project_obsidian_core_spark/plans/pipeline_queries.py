@@ -1350,3 +1350,72 @@ SELECT source, n_tokens, CAST(w AS BIGINT) AS w,
 FROM ranked
 ORDER BY source
 """
+
+
+# ------------- P20: shard-balance audit of the P12 sharding (round 15) ----
+def corpus_shard_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P20: balance audit of the P12 hash-range sharding — the
+    pre-flight a 1000-writer job runs BEFORE committing to a shard
+    layout (one hot shard = one straggler task and one oversized
+    output file): per shard, the doc count, whitespace-token sum, and
+    exact-ppm shares of each, plus ``is_hot`` at 2× the fair share
+    (10⁶ div n_shards).
+
+    Exactness: shard = the P12 60-bit md5 hash-range bucket verbatim
+    (same seed, same width); counts/token sums int64; shares truncating
+    integer ppm.  Scale: one narrow projection (in-row token count, no
+    explode) + ONE map-side-combined ≤n_shards-group aggregate; the
+    share join is a broadcast of a 1-row total."""
+    docs = load(spark, sf_dir, "documents")
+    keyed = P.corpus_shuffle(
+        docs, seed=_SHUFFLE_SEED, n_shards=_SHUFFLE_SHARDS
+    ).select("shard", F.expr("size(split(text, ' '))").alias("n_tok"))
+    per = keyed.groupBy("shard").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tok").alias("token_sum"),
+    )
+    tot = per.agg(
+        F.sum("n_docs").alias("td"), F.sum("token_sum").alias("tt")
+    )
+    fair = 1_000_000 // _SHUFFLE_SHARDS
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .select(
+            "shard",
+            "n_docs",
+            "token_sum",
+            F.expr("n_docs * 1000000 div td").alias("doc_share_ppm"),
+            F.expr("token_sum * 1000000 div tt").alias("token_share_ppm"),
+            (
+                F.expr("token_sum * 1000000 div tt") > F.lit(2 * fair)
+            ).alias("is_hot"),
+        )
+        .orderBy("shard")
+    )
+
+
+ORACLE_corpus_shard_skew = f"""
+WITH keyed AS (
+    SELECT {_sql_hash60(f"'shuffle:{_SHUFFLE_SEED}:' || CAST(doc_id AS VARCHAR)")}
+               // {_SHUFFLE_WIDTH} AS shard,
+           len(string_split(text, ' ')) AS n_tok
+    FROM documents
+), per AS (
+    SELECT shard, count(*) AS n_docs,
+           CAST(sum(n_tok) AS BIGINT) AS token_sum
+    FROM keyed GROUP BY shard
+), tot AS (
+    SELECT CAST(sum(n_docs) AS BIGINT) AS td,
+           CAST(sum(token_sum) AS BIGINT) AS tt
+    FROM per
+)
+SELECT shard,
+       CAST(n_docs AS BIGINT) AS n_docs,
+       token_sum,
+       n_docs * 1000000 // td AS doc_share_ppm,
+       token_sum * 1000000 // tt AS token_share_ppm,
+       token_sum * 1000000 // tt > {2 * (1_000_000 // _SHUFFLE_SHARDS)}
+           AS is_hot
+FROM per, tot
+ORDER BY shard
+"""

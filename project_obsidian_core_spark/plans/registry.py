@@ -1251,6 +1251,31 @@ _ENTRIES: list[tuple[str, QueryFn, str | None]] = [
         st.stream_supplier_hhi,
         r.ORACLE_nation_supplier_hhi,
     ),
+    # P20: shard-balance audit of the P12 hash-range sharding (ppm
+    # shares + 2×-fair-share hot flag — the pre-flight before a
+    # 1000-writer commit)
+    (
+        "corpus_shard_skew",
+        pl.corpus_shard_skew,
+        pl.ORACLE_corpus_shard_skew,
+    ),
+    # X32: character-class composition per source (length-difference
+    # regexp counts, exact ppm — the cheapest corpus fingerprint)
+    (
+        "text_charclass_profile",
+        cu.text_charclass_profile,
+        cu.ORACLE_text_charclass_profile,
+    ),
+    # A110: post-event dwell-time quantiles (lead window per user +
+    # the A106 nearest-rank grid per event type)
+    ("events_dwell_time", bh.events_dwell_time, bh.ORACLE_events_dwell_time),
+    # T44: streaming tokenizer-bomb monitor — gated on the X31 batch
+    # oracle verbatim (shared stats/grid/report expressions, T41 rule)
+    (
+        "stream_token_anomalies",
+        st.stream_token_anomalies,
+        d.ORACLE_text_token_anomalies,
+    ),
 ]
 
 # ----------------------------------------------------------------------

@@ -3272,3 +3272,45 @@ def stream_supplier_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
     return latest.select(
         "nation", "n_suppliers", "revenue_cents", "hhi", "band"
     ).orderBy("nation")
+
+
+# --------- T44: streaming tokenizer-bomb monitor (X31 served live) --------
+def stream_token_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T44: the X31 token-length anomaly screen served LIVE — the
+    tokenizer-bomb gate belongs at the ingestion front door (one
+    base64-dumping source can poison a crawl batch long before the
+    nightly batch report): per-doc stats are the SHARED
+    `token_doc_stats` expressions (stateless), the (source, max_len)
+    grid is a complete-mode streaming aggregation of the SHARED
+    `token_anomaly_grid` sums (commutative ints — micro-batch merge ≡
+    the batch grid), and the drained relation feeds the SHARED
+    `token_anomaly_report` derivation — one expression set, both
+    engines, so the batch and live gates cannot drift (the T41 rule).
+    Gated on the batch `text_token_anomalies` oracle verbatim."""
+    from project_obsidian_core_spark.plans.datapipe_queries import (
+        token_anomaly_grid,
+        token_anomaly_report,
+        token_doc_stats,
+    )
+
+    run = next(_RUN_IDS)
+    src = _SRC_CACHE.get(f"docs_tok:{sf_dir}")
+    if src is None:
+        tmp = tempfile.mkdtemp(prefix=f"obsidian_doctok_{run}_")
+        src = f"{tmp}/documents_src"
+        load(spark, sf_dir, "documents").select(
+            "source", "text"
+        ).write.mode("overwrite").parquet(src)
+        _SRC_CACHE[f"docs_tok:{sf_dir}"] = src
+
+    schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "4")
+        .parquet(src)
+    )
+    grid = token_anomaly_grid(token_doc_stats(stream))
+    name = f"stream_toktom_{run}"
+    tmp2 = tempfile.mkdtemp(prefix=f"obsidian_toktom_{run}_")
+    _run_complete(grid, name, f"{tmp2}/ckpt", spark)
+    return token_anomaly_report(spark.table(name))
