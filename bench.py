@@ -433,6 +433,7 @@ BENCH_QUERIES = [
     "text_charclass_profile",  # X32 char-class corpus fingerprint (r15b)
     "events_dwell_time",      # A110 post-event dwell quantiles (r15b)
     "stream_token_anomalies",  # T44 tokenizer-bomb monitor live (r15b)
+    "source_vocab_overlap",   # X33 cross-source vocab Jaccard matrix (r15b)
     # stream_cdc_merge is timed via _time_cdc_merge below (merge work
     # only): its checkpointed replay rewrites a bucketed parquet snapshot
     # per micro-batch (~12 s/run at sf0.1, >90% filesystem publish/rename

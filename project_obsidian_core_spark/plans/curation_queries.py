@@ -1585,3 +1585,99 @@ FROM per
 GROUP BY source
 ORDER BY source
 """
+
+
+# ----------- X33: cross-source vocabulary overlap matrix (round 15) -------
+def source_vocab_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X33: pairwise vocabulary Jaccard between sources — the
+    source-similarity matrix a curation pipeline reads next to D26's
+    document-level near-dup matrix (documents can be distinct while the
+    VOCABULARY says two crawls cover the same domain; a mirror site
+    shows up here first): per source pair (a < b), both vocab sizes,
+    the shared-term count, and exact-ppm Jaccard.
+
+    Exactness: vocab = DISTINCT whitespace tokens per source (set
+    semantics, no weighting); intersection by a term-keyed equi-join of
+    the distinct relation with itself (a < b); Jaccard ppm by
+    truncating integer division of |∩| against |a|+|b|−|∩|.
+
+    Scale: NEVER source²-by-content — the vocab relation collapses to
+    ONE row per term carrying its sorted source set (a ≤|sources| array),
+    pairs are generated IN-ROW from that array (fan-out ≤ C(|sources|,2)
+    per term, a constant), and both the pair counts and the per-source
+    sizes are map-side-combined aggregates of the same term relation —
+    no vocab self-join, no second distinct pass over the corpus."""
+    docs = load(spark, sf_dir, "documents")
+    per_term = (
+        docs.select(
+            "source", F.explode(F.split(F.lower(F.col("text")), " ")).alias("t")
+        )
+        .filter(F.col("t") != "")
+        .groupBy("t")
+        .agg(F.sort_array(F.collect_set("source")).alias("ss"))
+    )
+    pair_expr = (
+        "flatten(transform(sequence(1, size(ss) - 1), i ->"
+        " transform(sequence(i + 1, size(ss)), j -> named_struct("
+        "   'a', element_at(ss, i), 'b', element_at(ss, j)))))"
+    )
+    inter = (
+        per_term.filter(F.size("ss") >= 2)
+        .select(F.explode(F.expr(pair_expr)).alias("p"))
+        .groupBy(
+            F.col("p.a").alias("source_a"), F.col("p.b").alias("source_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sizes = (
+        per_term.select(F.explode("ss").alias("source"))
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_terms"))
+    )
+    sa = sizes.select(
+        F.col("source").alias("source_a"), F.col("n_terms").alias("n_a")
+    )
+    sb = sizes.select(
+        F.col("source").alias("source_b"), F.col("n_terms").alias("n_b")
+    )
+    return (
+        inter.join(F.broadcast(sa), "source_a")
+        .join(F.broadcast(sb), "source_b")
+        .select(
+            "source_a",
+            "source_b",
+            "n_a",
+            "n_b",
+            "n_inter",
+            F.expr(
+                "n_inter * 1000000 div (n_a + n_b - n_inter)"
+            ).alias("jaccard_ppm"),
+        )
+        .orderBy("source_a", "source_b")
+    )
+
+
+ORACLE_source_vocab_overlap = """
+WITH terms AS (
+    SELECT DISTINCT source, t
+    FROM (SELECT source, unnest(string_split(lower(text), ' ')) AS t
+          FROM documents)
+    WHERE t <> ''
+), sizes AS (
+    SELECT source, count(*) AS n_terms FROM terms GROUP BY source
+), inter AS (
+    SELECT a.source AS source_a, b.source AS source_b, count(*) AS n_inter
+    FROM terms a JOIN terms b ON a.t = b.t AND a.source < b.source
+    GROUP BY a.source, b.source
+)
+SELECT source_a, source_b,
+       CAST(sa.n_terms AS BIGINT) AS n_a,
+       CAST(sb.n_terms AS BIGINT) AS n_b,
+       CAST(n_inter AS BIGINT) AS n_inter,
+       CAST(n_inter * 1000000 // (sa.n_terms + sb.n_terms - n_inter)
+            AS BIGINT) AS jaccard_ppm
+FROM inter
+JOIN sizes sa ON inter.source_a = sa.source
+JOIN sizes sb ON inter.source_b = sb.source
+ORDER BY source_a, source_b
+"""

@@ -1276,6 +1276,13 @@ _ENTRIES: list[tuple[str, QueryFn, str | None]] = [
         st.stream_token_anomalies,
         d.ORACLE_text_token_anomalies,
     ),
+    # X33: cross-source vocabulary overlap matrix (term-keyed join,
+    # per-term fan-out ≤ C(|sources|,2) — never source²-by-content)
+    (
+        "source_vocab_overlap",
+        cu.source_vocab_overlap,
+        cu.ORACLE_source_vocab_overlap,
+    ),
 ]
 
 # ----------------------------------------------------------------------
