@@ -585,22 +585,46 @@ def main() -> None:
        exists even if everything after is killed mid-flight.
     2. TAIL PHASE — the remaining ~340 queries at cold + 2 warm, each
        iteration gated on the wall-clock budget
-       ($SPARK_GRAFT_BENCH_BUDGET_S, default 3300 s — sized under the
-       observed driver cap: the r14 kill landed ~3100 s into a
-       cold+3-warm loop; r13's ~2600 s run survived).  When the budget
-       is reached the remaining queries are SKIPPED (recorded as
-       skipped_n in the line) instead of overrunning into an rc=124.
+       ($SPARK_GRAFT_BENCH_BUDGET_S, default 2550 s — the driver cap is
+       only bracketed by evidence: r13's ~2600 s run survived, r14's
+       ~3100 s+ loop was killed, so stay on the proven-safe side).
+       Per-query costs from the PREVIOUS round's committed
+       BENCH_LOCAL.json estimate the remaining work, so extra warm
+       runs only happen when there is slack for them AND every
+       remaining query — a query is skipped (recorded in skipped_n)
+       only when even its cold+warm pair no longer fits; queries whose
+       estimated warm exceeds 8 s get ONE warm run (work-dominated;
+       the dedicated fresh-session pass covers the dedup tail's
+       variance).
     3. The cdc-merge timing, dedicated dedup pass and the FINAL line
        re-print only run inside the remaining budget; the final line
        supersedes the contract line when it prints.
     """
     t_start = time.time()
-    budget = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET_S", "3300"))
+    budget = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET_S", "2550"))
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else None
 
     spark = build_session(app_name="obsidian-spark-bench")
+
+    # per-query cost estimates from the previous round's committed
+    # BENCH_LOCAL.json (read BEFORE this run overwrites it): used to
+    # decide whether an extra warm run would starve later queries.
+    est: dict[str, float] = {}
+    est_warm: dict[str, float] = {}
+    try:
+        with open(os.path.join(REPO, "BENCH_LOCAL.json")) as fh:
+            prior = json.load(fh)
+        if prior.get("sf") == sf:
+            pw, pc = prior.get("queries", {}), prior.get("queries_cold", {})
+            est_warm = {k: v for k, v in pw.items() if v}
+            est = {
+                k: pc.get(k, pw[k]) + 2 * pw[k] for k in est_warm
+            }
+    except (OSError, ValueError):
+        est = {}
+    est_default = statistics.median(est.values()) if est else 3.0
 
     # quiesce guard (round 11): a bench launched right after other Spark
     # sessions exit measured the FIRST queries (the r1 contract subset,
@@ -748,19 +772,37 @@ def main() -> None:
     # ---- phase 2: the tail, budget-gated per query
     skipped: list[str] = []
     tail = [q for q in BENCH_QUERIES if q not in R1_SUBSET]
-    for name in tail:
-        if remaining() < 120:
+    # RESERVE covers the cdc-merge timing + the final-line epilogue
+    RESERVE = 90.0
+    rest_work = [0.0] * (len(tail) + 1)
+    for i in range(len(tail) - 1, -1, -1):
+        rest_work[i] = rest_work[i + 1] + est.get(tail[i], est_default)
+
+    for i, name in enumerate(tail):
+        q_est = est.get(name, est_default)
+        if remaining() < RESERVE + 1.5 * q_est:
             skipped.append(name)
             continue
+
+        def slack() -> float:
+            # budget left beyond what every REMAINING query still needs
+            # at its base cost: extra runs spend only this, so quality
+            # never starves completeness (r14 verdict #1)
+            return remaining() - RESERVE - rest_work[i + 1]
+
         runs = [run_once(name), run_once(name)]
-        # one more warm run while the budget allows it: median-of-2 is
-        # just the mean, median-of-3 actually rejects a one-off stall
-        if remaining() > 180:
-            runs.append(run_once(name))
-        # transient-hiccup guard (r8: events_chisq recorded 18 s for a
-        # 2 s query from one GC/host stall — a fake 8x regression)
-        if min(runs[1:]) > 1.5 * runs[0] + 0.2 and remaining() > 180:
-            runs.extend(run_once(name) for _ in range(2))
+        # >=8 s (estimated) queries are work-dominated: single warm run,
+        # the dedicated pass covers their variance.  Everything else
+        # gets a second warm run, plus a third when the slack allows it
+        # (median-of-2 is just the mean; median-of-3 rejects a stall).
+        work_dominated = est_warm.get(name, 0) >= 8.0
+        if not work_dominated:
+            if slack() > 2 * q_est + 30:
+                runs.append(run_once(name))
+            # transient-hiccup guard (r8: events_chisq recorded 18 s for
+            # a 2 s query from one GC/host stall — a fake 8x regression)
+            if min(runs[1:]) > 1.5 * runs[0] + 0.2 and slack() > 2 * q_est + 30:
+                runs.extend(run_once(name) for _ in range(2))
         cold[name] = round(runs[0], 4)
         warm_runs = runs[1:]
         # observed-spread outlier rule (r10 verdict next-#6): a >2x gap
@@ -768,7 +810,11 @@ def main() -> None:
         # regression would wear — buy one more observation and record
         # EVERY warm run for such queries so the round diff can see the
         # distribution.
-        if max(warm_runs) > 2 * min(warm_runs) and remaining() > 180:
+        if (
+            len(warm_runs) > 1
+            and max(warm_runs) > 2 * min(warm_runs)
+            and slack() > q_est + 30
+        ):
             warm_runs.append(run_once(name))
             spread[name] = [round(r, 4) for r in warm_runs]
         else:
