@@ -1527,39 +1527,52 @@ def text_charclass_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     shares truncating integer ppm.  Scale: one narrow per-row
     projection, ONE map-side-combined ≤|sources|-group aggregate."""
     docs = load(spark, sf_dir, "documents")
+    return charclass_report(charclass_counts(docs))
+
+
+def charclass_counts(docs: DataFrame) -> DataFrame:
+    """Per-row (source, n, a, d, s) char-class counts — stateless
+    length-difference arithmetic shared verbatim by the batch plan and
+    the T45 streaming monitor (the T41/T44 shared-expression rule)."""
 
     def cnt(cls: str) -> F.Column:
         return F.length("text") - F.length(
             F.regexp_replace("text", cls, "")
         )
 
-    per = docs.select(
+    return docs.select(
         "source",
         F.length("text").cast("long").alias("n"),
         cnt("[A-Za-z]").cast("long").alias("a"),
         cnt("[0-9]").cast("long").alias("d"),
         cnt("[ ]").cast("long").alias("s"),
     )
-    return (
-        per.groupBy("source")
-        .agg(
-            F.sum("n").alias("n_chars"),
-            F.sum("a").alias("na"),
-            F.sum("d").alias("nd"),
-            F.sum("s").alias("ns"),
-        )
-        .select(
-            "source",
-            "n_chars",
-            F.expr("na * 1000000 div n_chars").alias("alpha_ppm"),
-            F.expr("nd * 1000000 div n_chars").alias("digit_ppm"),
-            F.expr("ns * 1000000 div n_chars").alias("space_ppm"),
-            F.expr(
-                "(n_chars - na - nd - ns) * 1000000 div n_chars"
-            ).alias("other_ppm"),
-        )
-        .orderBy("source")
+
+
+def charclass_sums(per: DataFrame) -> DataFrame:
+    """≤|sources|-group integer sums — commutative, so a complete-mode
+    streaming aggregation merges to the identical relation."""
+    return per.groupBy("source").agg(
+        F.sum("n").alias("n_chars"),
+        F.sum("a").alias("na"),
+        F.sum("d").alias("nd"),
+        F.sum("s").alias("ns"),
     )
+
+
+def charclass_report(per: DataFrame, summed: bool = False) -> DataFrame:
+    """The X32 ppm derivation over the reduced per-source sums."""
+    sums = per if summed else charclass_sums(per)
+    return sums.select(
+        "source",
+        "n_chars",
+        F.expr("na * 1000000 div n_chars").alias("alpha_ppm"),
+        F.expr("nd * 1000000 div n_chars").alias("digit_ppm"),
+        F.expr("ns * 1000000 div n_chars").alias("space_ppm"),
+        F.expr(
+            "(n_chars - na - nd - ns) * 1000000 div n_chars"
+        ).alias("other_ppm"),
+    ).orderBy("source")
 
 
 ORACLE_text_charclass_profile = """

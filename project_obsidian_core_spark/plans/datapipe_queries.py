@@ -4777,3 +4777,86 @@ ORDER BY dim
 
 
 ORACLE_embedding_pca_power = _pca_oracle()
+
+
+# ----------- N26: embedding squared-norm deciles (round 15) ---------------
+def embedding_norm_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N26: the norm-distribution audit next to N15's per-dim profile
+    and N25's anisotropy probe — norm COLLAPSE (all vectors shrinking
+    toward a point) and norm OUTLIERS (a few giants dominating every
+    dot product) are the two embedding-quality failures per-dim stats
+    average away; the decile curve of vector magnitudes shows both at
+    a glance.
+
+    Exactness: magnitudes are SQUARED norms in exact micro²-int64
+    (Σ qᵢ² over the micro-quantized vector — no sqrt, no float);
+    deciles are P18 count-quantile stages on the ≤|distinct values|
+    grid (cumulative counts, (d·n + 9) div 10 ranks), per-decile count
+    and mean one IEEE division of exact sums.
+
+    Scale: one in-row fold per vector (no explode), one map-side-
+    combined grid aggregate, windows on the bounded distinct-norm
+    grid."""
+    from pyspark.sql import Window
+
+    emb = load(spark, sf_dir, "embeddings")
+    q2 = (
+        "aggregate(transform(embedding,"
+        " v -> cast(floor(cast(v as double) * 1000000.0) as bigint)),"
+        " 0L, (a, x) -> a + x * x)"
+    )
+    norms = emb.select(F.expr(q2).alias("sq"))
+    grid = norms.groupBy("sq").agg(F.count(F.lit(1)).alias("cnt"))
+    w = Window.orderBy("sq").rowsBetween(Window.unboundedPreceding, 0)
+    wt = Window.partitionBy()
+    g = (
+        grid.withColumn("n", F.sum("cnt").over(wt))
+        .withColumn("cum", F.sum("cnt").over(w))
+        .withColumn(
+            "decile",
+            F.expr(
+                "least(9, ((cum - cnt) * 10) div n)"
+            ),
+        )
+    )
+    return (
+        g.groupBy("decile")
+        .agg(
+            F.sum("cnt").alias("n_vectors"),
+            F.min("sq").alias("min_sq_micro2"),
+            F.max("sq").alias("max_sq_micro2"),
+            (
+                F.sum(F.col("sq") * F.col("cnt")).cast("double")
+                / F.sum("cnt").cast("double")
+            ).alias("mean_sq_micro2"),
+        )
+        .orderBy("decile")
+    )
+
+
+ORACLE_embedding_norm_deciles = f"""
+WITH norms AS (
+    SELECT CAST(list_aggregate(
+               list_transform(embedding,
+                   v -> CAST(floor(CAST(v AS DOUBLE) * 1000000) AS BIGINT)
+                        * CAST(floor(CAST(v AS DOUBLE) * 1000000) AS BIGINT)),
+               'sum') AS BIGINT) AS sq
+    FROM embeddings
+), grid AS (
+    SELECT sq, count(*) AS cnt FROM norms GROUP BY sq
+), g AS (
+    SELECT sq, cnt,
+           sum(cnt) OVER () AS n,
+           sum(cnt) OVER (ORDER BY sq ROWS UNBOUNDED PRECEDING) AS cum
+    FROM grid
+)
+SELECT CAST(least(9, ((cum - cnt) * 10) // n) AS BIGINT) AS decile,
+       CAST(sum(cnt) AS BIGINT) AS n_vectors,
+       CAST(min(sq) AS BIGINT) AS min_sq_micro2,
+       CAST(max(sq) AS BIGINT) AS max_sq_micro2,
+       CAST(sum(sq * cnt) AS DOUBLE) / CAST(sum(cnt) AS DOUBLE)
+           AS mean_sq_micro2
+FROM g
+GROUP BY 1
+ORDER BY decile
+"""

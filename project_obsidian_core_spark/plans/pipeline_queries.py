@@ -1419,3 +1419,81 @@ SELECT shard,
 FROM per, tot
 ORDER BY shard
 """
+
+
+# ---------- P21: dedup yield curve over the scan order (round 15) ---------
+def corpus_dedup_yield(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P21: how fast dedup SATURATES — the planning curve for a
+    crawl-ingest budget ("the second half of this source is 80%
+    duplicates — stop paying for it"): scanning the corpus in the P12
+    deterministic hash order, the cumulative unique-content count and
+    duplicate rate at each scan decile.
+
+    Exactness: scan position is the P12 `global_pos` (shard-composed,
+    one exchange, never a global sort); content identity is the D1 md5
+    hash; a position is "new" iff it is its hash group's MINIMUM
+    global_pos; decile edges are ((pos−1)·10) div n with cumulative
+    counts over the ≤10-row decile relation — all exact ints.
+
+    Scale: corpus_shuffle's one exchange + one (hash → min pos)
+    map-side-combined aggregate; everything after rides ≤10 rows."""
+    from pyspark.sql import Window
+
+    docs = load(spark, sf_dir, "documents")
+    ordered = P.corpus_shuffle(
+        docs, seed=_SHUFFLE_SEED, n_shards=_SHUFFLE_SHARDS
+    ).select("global_pos", F.md5("text").alias("h"))
+    firsts = ordered.groupBy("h").agg(F.min("global_pos").alias("fp"))
+    tot = ordered.agg(F.count(F.lit(1)).alias("n"))
+    per_decile = (
+        firsts.crossJoin(F.broadcast(tot))
+        .select(F.expr("((fp - 1) * 10) div n").alias("decile"), "n")
+        .groupBy("decile")
+        .agg(F.count(F.lit(1)).alias("uniq_in"), F.first("n").alias("n"))
+    )
+    wc = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        per_decile.withColumn("n_unique_cum", F.sum("uniq_in").over(wc))
+        .select(
+            F.col("decile").cast("int").alias("decile"),
+            F.expr("((decile + 1) * n) div 10").alias("scan_pos"),
+            "n_unique_cum",
+            F.expr(
+                "(((decile + 1) * n) div 10 - n_unique_cum) * 1000000"
+                " div (((decile + 1) * n) div 10)"
+            ).alias("dup_rate_ppm"),
+        )
+        .orderBy("decile")
+    )
+
+
+ORACLE_corpus_dedup_yield = f"""
+WITH keyed AS (
+    SELECT doc_id, md5(text) AS h,
+           {_sql_hash60(f"'shuffle:{_SHUFFLE_SEED}:' || CAST(doc_id AS VARCHAR)")} AS k
+    FROM documents
+), ordered AS (
+    SELECT h, CAST(row_number() OVER (ORDER BY k, doc_id) AS BIGINT)
+                  AS global_pos
+    FROM keyed
+), firsts AS (
+    SELECT h, min(global_pos) AS fp FROM ordered GROUP BY h
+), tot AS (
+    SELECT count(*) AS n FROM ordered
+), per_decile AS (
+    SELECT ((fp - 1) * 10) // n AS decile, count(*) AS uniq_in,
+           any_value(n) AS n
+    FROM firsts, tot GROUP BY ((fp - 1) * 10) // n
+)
+SELECT CAST(decile AS INT) AS decile,
+       CAST(((decile + 1) * n) // 10 AS BIGINT) AS scan_pos,
+       CAST(sum(uniq_in) OVER (ORDER BY decile ROWS UNBOUNDED PRECEDING)
+            AS BIGINT) AS n_unique_cum,
+       CAST(
+           (((decile + 1) * n) // 10
+            - sum(uniq_in) OVER (ORDER BY decile ROWS UNBOUNDED PRECEDING))
+           * 1000000 // (((decile + 1) * n) // 10) AS BIGINT)
+           AS dup_rate_ppm
+FROM per_decile
+ORDER BY decile
+"""

@@ -1283,6 +1283,27 @@ _ENTRIES: list[tuple[str, QueryFn, str | None]] = [
         cu.source_vocab_overlap,
         cu.ORACLE_source_vocab_overlap,
     ),
+    # T45: streaming char-class fingerprint — gated on the X32 batch
+    # oracle verbatim (shared counts/sums/report expressions)
+    (
+        "stream_charclass_profile",
+        st.stream_charclass_profile,
+        cu.ORACLE_text_charclass_profile,
+    ),
+    # N26: embedding squared-norm decile curve (norm collapse/outlier
+    # audit — exact micro²-int magnitudes, P18 count-quantile stages)
+    (
+        "embedding_norm_deciles",
+        d.embedding_norm_deciles,
+        d.ORACLE_embedding_norm_deciles,
+    ),
+    # P21: dedup yield curve over the P12 scan order (cumulative unique
+    # content per scan decile — the crawl-budget saturation signal)
+    (
+        "corpus_dedup_yield",
+        pl.corpus_dedup_yield,
+        pl.ORACLE_corpus_dedup_yield,
+    ),
 ]
 
 # ----------------------------------------------------------------------

@@ -3314,3 +3314,44 @@ def stream_token_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
     tmp2 = tempfile.mkdtemp(prefix=f"obsidian_toktom_{run}_")
     _run_complete(grid, name, f"{tmp2}/ckpt", spark)
     return token_anomaly_report(spark.table(name))
+
+
+# -------- T45: streaming char-class fingerprint (X32 served live) ---------
+def stream_charclass_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T45: the X32 character-class fingerprint served LIVE — the
+    cheapest drift alarm a crawl front-door can run (a digit-share
+    spike mid-crawl = a source started emitting logs/IDs; catching it
+    live saves the batch that would have to be quarantined): per-row
+    counts are the SHARED `charclass_counts` expressions (stateless),
+    the per-source sums a complete-mode streaming aggregation of the
+    SHARED `charclass_sums` (commutative ints), the ppm derivation the
+    SHARED `charclass_report` — one expression set, so the batch and
+    live gates cannot drift (the T41/T44 rule).  Gated on the batch
+    `text_charclass_profile` oracle verbatim."""
+    from project_obsidian_core_spark.plans.curation_queries import (
+        charclass_counts,
+        charclass_report,
+        charclass_sums,
+    )
+
+    run = next(_RUN_IDS)
+    src = _SRC_CACHE.get(f"docs_tok:{sf_dir}")
+    if src is None:
+        tmp = tempfile.mkdtemp(prefix=f"obsidian_doctok_{run}_")
+        src = f"{tmp}/documents_src"
+        load(spark, sf_dir, "documents").select(
+            "source", "text"
+        ).write.mode("overwrite").parquet(src)
+        _SRC_CACHE[f"docs_tok:{sf_dir}"] = src
+
+    schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "4")
+        .parquet(src)
+    )
+    sums = charclass_sums(charclass_counts(stream))
+    name = f"stream_cclass_{run}"
+    tmp2 = tempfile.mkdtemp(prefix=f"obsidian_cclass_{run}_")
+    _run_complete(sums, name, f"{tmp2}/ckpt", spark)
+    return charclass_report(spark.table(name), summed=True)

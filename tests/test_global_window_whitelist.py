@@ -79,6 +79,11 @@ WHITELIST: dict[tuple[str, str], str] = {
         "per-term count aggregate: ≤ |vocab| rows (cumulative token "
         "shares over the ranked vocabulary)"
     ),
+    ("plans/datapipe_queries.py", "embedding_norm_deciles"): (
+        "cumulative counts over the ≤|distinct squared-norm values| grid "
+        "(micro²-quantized magnitudes), broadcast decile assignment — "
+        "the P18/X30 stage rule; vectors themselves never globally sort"
+    ),
     ("plans/datapipe_queries.py", "embedding_pair_auc"): (
         "global rank over the C(80,2)=3160-pair bounded eval sample "
         "(fixed cost at any corpus size — the bounded-eval pattern)"
@@ -86,6 +91,11 @@ WHITELIST: dict[tuple[str, str], str] = {
     ("plans/datapipe_queries.py", "text_rake_keywords"): (
         "per-keyword phrase scores: ≤ |distinct phrases| rows after the "
         "aggregate, top-k bounded"
+    ),
+    ("plans/pipeline_queries.py", "corpus_dedup_yield"): (
+        "cumulative uniques over the ≤10-row decile relation (scan "
+        "positions come from corpus_shuffle's shard-composed "
+        "global_pos, never a global sort)"
     ),
     ("plans/pipeline_queries.py", "corpus_mixture_temperature"): (
         "remainder rank over the ≤|sources| weight table (the P15 "
