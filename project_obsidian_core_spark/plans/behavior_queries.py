@@ -1836,8 +1836,8 @@ LIMIT {_BASKET_TOPK}
 
 
 # ---------------- A106: funnel stage latency (staged r15) -----------------
-# Registration note: QUEUED for round 15 (the r14 gate window closed at
-# 47 unrecorded of 50).  Planned row:
+# Registration note: REGISTERED r15 (Block R15 queue drain; was staged
+# via scripts/check_queued.py).  Registry row:
 #   ("funnel_stage_latency", bh.funnel_stage_latency,
 #    bh.ORACLE_funnel_stage_latency)
 def funnel_stage_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1972,8 +1972,8 @@ ORDER BY transition
 
 
 # ---------------- A107: top conversion paths (staged r15) ------------------
-# Registration note: QUEUED for round 15 (the r14 gate window closed at
-# 47 unrecorded of 50).  Planned row:
+# Registration note: REGISTERED r15 (Block R15 queue drain; was staged
+# via scripts/check_queued.py).  Registry row:
 #   ("events_conversion_paths", bh.events_conversion_paths,
 #    bh.ORACLE_events_conversion_paths)
 _PATH_TOPK = 10

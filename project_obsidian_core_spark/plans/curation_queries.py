@@ -1428,8 +1428,8 @@ ORACLE_vocab_fertility = _fertility_oracle()
 
 
 # ---------------- X30: lexical diversity curve (staged r15) ----------------
-# Registration note: QUEUED for round 15 (the r14 gate window closed at
-# 47 unrecorded of 50).  Planned row:
+# Registration note: REGISTERED r15 (Block R15 queue drain; was staged
+# via scripts/check_queued.py).  Registry row:
 #   ("text_ttr_curve", cu.text_ttr_curve, cu.ORACLE_text_ttr_curve)
 _TTR_DECILES = 10
 

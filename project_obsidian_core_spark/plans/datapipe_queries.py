@@ -4313,8 +4313,8 @@ FROM ranked
 
 
 # ---------------- N24: nearest-centroid probe (staged r15) -----------------
-# Registration note: QUEUED for round 15 (the r14 gate window closed at
-# 47 unrecorded of 50).  Planned row:
+# Registration note: REGISTERED r15 (Block R15 queue drain; was staged
+# via scripts/check_queued.py).  Registry row:
 #   ("embedding_centroid_probe", d.embedding_centroid_probe,
 #    d.ORACLE_embedding_centroid_probe)
 def embedding_centroid_probe(spark: SparkSession, sf_dir: str) -> DataFrame:

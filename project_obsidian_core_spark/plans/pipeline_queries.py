@@ -1229,8 +1229,8 @@ ORDER BY curriculum_pos
 
 
 # ---------------- P19: temperature-scaled mixture (staged r15) ------------
-# Registration note: QUEUED for round 15 (the r14 gate window closed at
-# 47 unrecorded of 50).  Planned row:
+# Registration note: REGISTERED r15 (Block R15 queue drain; was staged
+# via scripts/check_queued.py).  Registry row:
 #   ("corpus_mixture_temperature", pl.corpus_mixture_temperature,
 #    pl.ORACLE_corpus_mixture_temperature)
 _TEMP_TARGET = 1_000_000

@@ -3051,8 +3051,8 @@ ORDER BY dormancy_bucket
 
 
 # ---------------- A108: supplier HHI per nation (staged r15) ---------------
-# Registration note: QUEUED for round 15 (the r14 gate window closed at
-# 47 unrecorded of 50).  Planned row:
+# Registration note: REGISTERED r15 (Block R15 queue drain; was staged
+# via scripts/check_queued.py).  Registry row:
 #   ("nation_supplier_hhi", r.nation_supplier_hhi,
 #    r.ORACLE_nation_supplier_hhi)
 def nation_supplier_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -3074,8 +3074,8 @@ def stream_range_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("metric_name", "win")
 
 
-# Registration note: QUEUED for round 15 (the r14 gate window closed at
-# 47 unrecorded of 50).  Planned row:
+# Registration note: REGISTERED r15 (Block R15 queue drain; was staged
+# via scripts/check_queued.py).  Registry row:
 #   ("stream_language_mixture", st.stream_language_mixture,
 #    cu.ORACLE_corpus_language_mixture)
 def stream_language_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
