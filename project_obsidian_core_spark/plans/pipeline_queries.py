@@ -1447,9 +1447,20 @@ def corpus_dedup_yield(spark: SparkSession, sf_dir: str) -> DataFrame:
     tot = ordered.agg(F.count(F.lit(1)).alias("n"))
     per_decile = (
         firsts.crossJoin(F.broadcast(tot))
-        .select(F.expr("((fp - 1) * 10) div n").alias("decile"), "n")
+        .select(F.expr("((fp - 1) * 10) div n").alias("decile"))
         .groupBy("decile")
-        .agg(F.count(F.lit(1)).alias("uniq_in"), F.first("n").alias("n"))
+        .agg(F.count(F.lit(1)).alias("uniq_in"))
+    )
+    # full 10-row spine: on a dup-heavy corpus the late deciles contain
+    # ZERO first occurrences and a bare groupBy would drop their
+    # checkpoint rows (found in the r15 soak at 10x replication)
+    spine = (
+        spark.range(10)
+        .select(F.col("id").alias("decile"))
+        .crossJoin(F.broadcast(tot))
+    )
+    per_decile = spine.join(per_decile, "decile", "left").select(
+        "decile", "n", F.coalesce("uniq_in", F.lit(0)).alias("uniq_in")
     )
     wc = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)
     return (
@@ -1480,10 +1491,14 @@ WITH keyed AS (
     SELECT h, min(global_pos) AS fp FROM ordered GROUP BY h
 ), tot AS (
     SELECT count(*) AS n FROM ordered
-), per_decile AS (
-    SELECT ((fp - 1) * 10) // n AS decile, count(*) AS uniq_in,
-           any_value(n) AS n
+), per_decile0 AS (
+    SELECT ((fp - 1) * 10) // n AS decile, count(*) AS uniq_in
     FROM firsts, tot GROUP BY ((fp - 1) * 10) // n
+), per_decile AS (
+    SELECT g.d AS decile, tot.n, coalesce(p.uniq_in, 0) AS uniq_in
+    FROM (SELECT unnest(generate_series(0, 9)) AS d) g
+    CROSS JOIN tot
+    LEFT JOIN per_decile0 p ON p.decile = g.d
 )
 SELECT CAST(decile AS INT) AS decile,
        CAST(((decile + 1) * n) // 10 AS BIGINT) AS scan_pos,

@@ -4,20 +4,22 @@ Each soak scales ONE axis ~10x beyond the sf0.1 gate data and measures
 wall time plus the invariant that makes the operator 100 TB-safe:
 
   1. N25 embedding_pca_power on a 10x-replicated embedding table —
-     REPLICATION INVARIANCE: the Gram scales by exactly 10, the
-     max-|entry| rescale divides it back out, so every component and
-     the rayleigh quotient must be IDENTICAL to the base run (the
-     strongest possible "corpus touched once, iteration independent of
-     corpus size" proof), at ~linear scan cost.
+     REPLICATION STABILITY: the Gram scales by exactly 10 and the
+     max-|entry| rescale divides it back out, up to the divisor-first
+     truncation (d' = 10·gm div 10⁶ ≠ 10·(gm div 10⁶) by ≤9), so every
+     component must agree within a ≤0.1% drift of the ±10⁶ grid — the
+     "corpus touched once, iteration independent of corpus size" proof
+     — at ~linear scan cost.
   2. X33 source_vocab_overlap with the source axis widened 10x (200
      sources) — the pair relation grows with C(|sources|,2) per term,
      never with corpus size; measures exploded-pair row count against
      the bound and wall time.
   3. P21 corpus_dedup_yield on a 10x-replicated (dup-heavy) corpus —
-     the curve must show the duplicates (dup_rate_ppm >= 900000 for
-     every decile past the first at 10x replication) and the plan must
-     contain NO global Sort over the corpus (scan positions compose
-     from per-shard ranks).
+     the hash order spreads replicas uniformly, so the cumulative dup
+     rate must RISE monotonically and the LAST decile must equal the
+     corpus's exact global duplicate rate; the plan must contain NO
+     global Sort over the corpus (scan positions compose from
+     per-shard ranks).
   4. A109 metric_shesd on a dense synthetic series (50 metrics x 20k
      hourly buckets = 1M grid rows) — per-metric windows ride the
      retention grid; wall time and the <=|metrics|-row output shape.
@@ -66,17 +68,18 @@ def main() -> None:
     t0 = time.time()
     rep = embedding_pca_power(spark, rep_dir).collect()
     t_rep = time.time() - t0
-    same = [
-        (a["component_scaled"], a["rayleigh_scaled"])
-        == (b["component_scaled"], b["rayleigh_scaled"])
+    comp_drift = max(
+        abs(a["component_scaled"] - b["component_scaled"])
         for a, b in zip(base, rep)
-    ]
+    )
+    ray_drift = abs(base[0]["rayleigh_scaled"] - rep[0]["rayleigh_scaled"])
     print(
         f"N25 pca_power: base {t_base:.1f}s, 10x {t_rep:.1f}s "
-        f"({t_rep / t_base:.2f}x wall), replication-identical "
-        f"components: {sum(same)}/{len(same)}"
+        f"({t_rep / t_base:.2f}x wall), max component drift "
+        f"{comp_drift} micro (bound 1000), rayleigh drift {ray_drift}"
     )
-    assert all(same), "PCA must be replication-invariant (Gram rescale)"
+    assert comp_drift <= 1000, "PCA replication drift exceeds 0.1%"
+    assert ray_drift <= max(10, abs(base[0]["rayleigh_scaled"]) // 100)
 
     # ---- 2. X33: source-axis widening ----------------------------------
     from project_obsidian_core_spark.plans.curation_queries import (
@@ -126,12 +129,16 @@ def main() -> None:
     # per-shard sorts are fine; a global Sort over the corpus is not —
     # corpus_shuffle's contract is "no Exchange rangepartitioning"
     assert "rangepartitioning" not in plan_str.lower(), "global sort leaked"
+    rep_rows = rep10.count()
+    n_distinct = rep10.select(F.md5("text")).distinct().count()
+    want_last = (rep_rows - n_distinct) * 1_000_000 // rep_rows
     print(
         f"P21 dedup_yield: 10x corpus in {t_curve:.1f}s, "
-        f"tail dup rates {min(tail)}-{max(tail)} ppm (expect >=900000), "
-        f"no range-partitioned exchange in the plan"
+        f"dup-rate curve {tail[0]}..{tail[-1]} ppm (monotone; last must "
+        f"equal the global rate {want_last}), no range-partitioned exchange"
     )
-    assert min(tail) >= 900_000
+    assert tail == sorted(tail), "cumulative dup rate must be monotone"
+    assert tail[-1] == want_last, "final decile must equal the global dup rate"
 
     # ---- 4. A109: dense series -----------------------------------------
     from project_obsidian_core_spark.plans.metrics_queries import metric_shesd
