@@ -6,16 +6,15 @@ and prints ONE JSON line.
 
 Each query is materialized through the noop sink — full computation, no
 driver-side collect cost — after a warmup query that absorbs session/JIT
-startup. The 14-query round-1 contract subset (R1_SUBSET — the 2x ratio
-is computed over it) is timed SPARK_GRAFT_BENCH_REPEAT times (default 4,
-warm = MEDIAN of the later runs); the tail runs cold + warm, promoted
-to median-of-3 warm while the query is under 8 s (4 full repeats over
-the whole 180-query suite would double the wall for variance data only
-the contract subset needs; >=8 s queries are work-dominated and stay
-single-warm). Cold (first run: codegen,
-footer reads, index builds) and warm are reported SEPARATELY —
-`queries`/`value` are the warm path, `queries_cold`/`value_cold` the
-cold one.
+startup.  Since r15 the run is BUDGET-BOUNDED (see main()'s docstring):
+the 14-query round-1 contract subset runs FIRST at median-of-6 warm
+repeats (SPARK_GRAFT_BENCH_REPEAT − 1; per-query MIN recorded
+alongside) and prints its JSON line immediately; the tail runs cold +
+1-2 warm inside $SPARK_GRAFT_BENCH_BUDGET_S with per-query cost
+estimates from the previous round's BENCH_LOCAL.json deciding skips
+and slack-funded extra runs.  Cold (first run: codegen, footer reads,
+index builds) and warm are reported SEPARATELY — `queries`/`value` are
+the warm path, `queries_cold`/`value_cold` the cold one.
 
 Round-6 variance hardening (the r4→r5 uniform 1.48× could not be
 attributed to host vs plan): the JSON now carries `queries_spread`
