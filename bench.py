@@ -436,6 +436,7 @@ BENCH_QUERIES = [
     "stream_charclass_profile",  # T45 char-class fingerprint live (r15b)
     "embedding_norm_deciles",  # N26 squared-norm decile curve (r15b)
     "corpus_dedup_yield",     # P21 dedup saturation curve (r15b)
+    "stream_dwell_time",      # T46 dwell quantiles served live (r15b)
     # stream_cdc_merge is timed via _time_cdc_merge below (merge work
     # only): its checkpointed replay rewrites a bucketed parquet snapshot
     # per micro-batch (~12 s/run at sf0.1, >90% filesystem publish/rename

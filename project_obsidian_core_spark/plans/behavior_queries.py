@@ -2088,8 +2088,17 @@ def events_dwell_time(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     grid = dw.groupBy("event_type", "dwell_s").agg(
-        F.count(F.lit(1)).alias("cnt"), F.sum("dwell_s").alias("dsum")
+        F.count(F.lit(1)).alias("cnt")
     )
+    return dwell_report(grid)
+
+
+def dwell_report(grid: DataFrame) -> DataFrame:
+    """The A110 quantile derivation over the reduced (event_type,
+    dwell_s, cnt) grid — shared verbatim by the batch plan and the T46
+    streaming monitor (the T41/T44 shared-expression rule); windows
+    ride the bounded grid."""
+    grid = grid.withColumn("dsum", F.col("dwell_s") * F.col("cnt"))
     wt = Window.partitionBy("event_type")
     wcum = wt.orderBy("dwell_s").rowsBetween(Window.unboundedPreceding, 0)
     g = (

@@ -1304,6 +1304,10 @@ _ENTRIES: list[tuple[str, QueryFn, str | None]] = [
         pl.corpus_dedup_yield,
         pl.ORACLE_corpus_dedup_yield,
     ),
+    # T46: streaming dwell grid — gated on the A110 batch oracle
+    # verbatim (per-user sequence state, full grid re-derive per emit,
+    # shared dwell_report derivation)
+    ("stream_dwell_time", st.stream_dwell_time, bh.ORACLE_events_dwell_time),
 ]
 
 # ----------------------------------------------------------------------

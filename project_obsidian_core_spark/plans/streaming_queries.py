@@ -3355,3 +3355,64 @@ def stream_charclass_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     tmp2 = tempfile.mkdtemp(prefix=f"obsidian_cclass_{run}_")
     _run_complete(sums, name, f"{tmp2}/ckpt", spark)
     return charclass_report(spark.table(name), summed=True)
+
+
+# ---------- T46: streaming dwell-time quantiles (A110 served live) --------
+def stream_dwell_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T46: the A110 post-event dwell report served LIVE — per-user
+    (ts, event_id)-sorted sequence state re-derives each user's
+    complete (type, dwell) multiset per emit (a late event splits an
+    existing dwell); drained max-version user grids sum to the global
+    grid and the SHARED `dwell_report` derivation finishes — gated on
+    the batch `events_dwell_time` oracle verbatim."""
+    from pyspark.sql import Window
+
+    from project_obsidian_core_spark.plans.behavior_queries import (
+        dwell_report,
+    )
+    from project_obsidian_core_spark.streaming.sequence_state import (
+        streaming_dwell_grid,
+    )
+
+    run = next(_RUN_IDS)
+    src = _events_src(spark, sf_dir, run)
+    schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "4")
+        .parquet(src)
+    )
+    keyed = stream.select(
+        "user_id",
+        F.expr("unix_micros(ts)").alias("ts_us"),
+        F.col("event_id"),
+        "event_type",
+    )
+    out = streaming_dwell_grid(keyed)
+    name = f"stream_dwell_{run}"
+    tmp = tempfile.mkdtemp(prefix=f"obsidian_dwell_{run}_")
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            out.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .option("checkpointLocation", f"{tmp}/ckpt")
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+
+    emitted = spark.table(name)
+    wmax = Window.partitionBy("user_id")
+    latest = emitted.withColumn(
+        "_vmax", F.max("version").over(wmax)
+    ).filter(F.col("version") == F.col("_vmax"))
+    grid = latest.groupBy("event_type", "dwell_s").agg(
+        F.sum("cnt").alias("cnt")
+    )
+    return dwell_report(grid)

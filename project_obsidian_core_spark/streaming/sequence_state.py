@@ -3049,3 +3049,108 @@ def streaming_supplier_hhi(stream: DataFrame) -> DataFrame:
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# ---------- T46: streaming post-event dwell grid (A110 served live) -------
+DWELL_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("ts_us", T.ArrayType(T.LongType())),
+        T.StructField("eid", T.ArrayType(T.LongType())),
+        T.StructField("types", T.ArrayType(T.StringType())),
+        T.StructField("version", T.LongType()),
+    ]
+)
+
+DWELL_OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("dwell_s", T.LongType()),
+        T.StructField("cnt", T.LongType()),
+        T.StructField("version", T.LongType()),
+    ]
+)
+
+
+def dwells_from_series(
+    ts_us: list[int], types: list[str]
+) -> dict[tuple[str, int], int]:
+    """A110's dwell derivation over the (ts, event_id)-sorted sequence —
+    the batch lead-window semantics verbatim: the gap to the NEXT event
+    in integer seconds, attributed to the CURRENT event's type.  A late
+    event landing BETWEEN two existing ones SPLITS their dwell into two
+    shorter ones (the reason no per-pair increment survives out-of-order
+    delivery — the whole grid re-derives per emit).  Timestamps are
+    sorted ascending so the difference is non-negative and Python //
+    equals the batch's truncating div.  Pure; unit-tested."""
+    grid: dict[tuple[str, int], int] = {}
+    for i in range(len(ts_us) - 1):
+        key = (types[i], (ts_us[i + 1] - ts_us[i]) // 1_000_000)
+        grid[key] = grid.get(key, 0) + 1
+    return grid
+
+
+def make_dwell_fn():
+    def fn(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        user = int(key[0])
+        if state.exists:
+            ts, eid, types, version = state.get
+            ts, eid, types = list(ts), list(eid), list(types)
+        else:
+            ts, eid, types, version = [], [], [], 0
+        absorbed = 0
+        for pdf in pdfs:
+            if not len(pdf):
+                continue
+            absorbed += len(pdf)
+            ts, eid, types = merge_sequence(
+                ts, eid, types,
+                zip(pdf["ts_us"], pdf["event_id"], pdf["event_type"]),
+            )
+        if not absorbed:
+            return
+        version += absorbed
+        state.update((ts, eid, types, version))
+        grid = dwells_from_series(ts, types)
+        if not grid:
+            return
+        items = sorted(grid.items())
+        yield pd.DataFrame(
+            {
+                "user_id": [user] * len(items),
+                "event_type": [k[0] for k, _ in items],
+                "dwell_s": [k[1] for k, _ in items],
+                "cnt": [c for _, c in items],
+                "version": [version] * len(items),
+            }
+        )
+
+    return fn
+
+
+def streaming_dwell_grid(stream: DataFrame) -> DataFrame:
+    """T46: the A110 dwell grid served LIVE — engagement drift ("users
+    suddenly linger half as long after view") is a session-quality
+    alarm, not a nightly report.  State is the (ts, event_id)-sorted
+    per-user type sequence (the T20/T22 family); each emit re-derives
+    the user's complete (type, dwell) multiset because one late event
+    SPLITS an existing dwell — no incremental count survives
+    out-of-order delivery.  Drained max-version user grids sum to the
+    global grid; the report derivation is the batch's `dwell_report`
+    verbatim, so the twin gates on the A110 oracle.
+    Expects (user_id, ts_us, event_id, event_type)."""
+    keyed = stream.select(
+        F.col("user_id").cast("long").alias("user_id"),
+        F.col("ts_us").cast("long").alias("ts_us"),
+        F.col("event_id").cast("long").alias("event_id"),
+        F.col("event_type").cast("string").alias("event_type"),
+    )
+    return keyed.groupBy("user_id").applyInPandasWithState(
+        make_dwell_fn(),
+        outputStructType=DWELL_OUTPUT_SCHEMA,
+        stateStructType=DWELL_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

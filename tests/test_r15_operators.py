@@ -117,3 +117,42 @@ def test_hhi_share_truncation_matches_batch_div():
 def test_hhi_empty_and_zero_state():
     assert hhi_from_series([]) is None
     assert hhi_from_series([0, 0]) is None
+
+
+# ------------------------ T46: streaming dwell grid ------------------------
+from project_obsidian_core_spark.streaming.sequence_state import (  # noqa: E402
+    dwells_from_series,
+)
+
+
+def test_dwell_grid_basic():
+    # sorted (ts_us, type): dwell attributed to the EARLIER event's type
+    ts = [0, 2_000_000, 5_000_000]
+    types = ["view", "click", "purchase"]
+    assert dwells_from_series(ts, types) == {
+        ("view", 2): 1,
+        ("click", 3): 1,
+    }
+
+
+def test_dwell_late_event_splits_an_existing_dwell():
+    # base: view@0 -> purchase@10s gives ("view", 10)
+    base = dwells_from_series([0, 10_000_000], ["view", "purchase"])
+    assert base == {("view", 10): 1}
+    # a LATE click@4s splits it into ("view", 4) + ("click", 6) — the
+    # property that forces full re-derivation per emit
+    split = dwells_from_series(
+        [0, 4_000_000, 10_000_000], ["view", "click", "purchase"]
+    )
+    assert split == {("view", 4): 1, ("click", 6): 1}
+    assert ("view", 10) not in split
+
+
+def test_dwell_truncating_seconds_matches_batch_div():
+    # 1.9 s gap -> 1 s dwell (truncation, the batch div semantics)
+    assert dwells_from_series([0, 1_900_000], ["a", "b"]) == {("a", 1): 1}
+
+
+def test_dwell_empty_and_single():
+    assert dwells_from_series([], []) == {}
+    assert dwells_from_series([5], ["a"]) == {}
