@@ -462,17 +462,39 @@ R1_SUBSET = [
 #: the dedup exactness tail (r12 verdict #3): these three read up to 2x
 #: slower inside the shared 293-query session than in a dedicated one
 #: (dedup_edit_distance 20.3 s in-suite vs 9.1 s dedicated, SCALE.md
-#: r12) — session-age regime, not plan cost.  The suite numbers stay the
-#: canonical `queries` entries (round-over-round comparable); a FRESH
-#: SESSION re-measurement of just these runs after the suite (subprocess,
-#: parent session stopped) and lands in BENCH_LOCAL.json as
-#: `queries_dedicated`, making the regime gap a recorded number instead
-#: of a SCALE.md anecdote.  SPARK_GRAFT_BENCH_DEDICATED=0 skips it.
+#: r12) — session-age regime, not plan cost.  Since r16 (r15 verdict #1)
+#: the dedicated pass covers the whole COLD-ONLY tier (see below), with
+#: this list kept as the always-included seed.  The suite numbers stay
+#: the canonical `queries` entries; the FRESH SESSION re-measurement
+#: (subprocess, parent session stopped) lands in BENCH_LOCAL.json as
+#: `queries_dedicated`.  SPARK_GRAFT_BENCH_DEDICATED=0 skips it.
 DEDICATED_TAIL = [
     "dedup_edit_distance",
     "dedup_prefix_pairs",
     "dedup_recall_report",
 ]
+
+#: COLD-ONLY tier (r15 verdict #1): queries whose prior-round in-suite
+#: cost (max of warm, cold) meets this threshold run ONCE in the main
+#: loop (the cold number) and get their warm number from the dedicated
+#: fresh-session pass instead — the replay-harness gate queries
+#: (stream_funnel_evict 45.8 s warm in r15) and the dedup exactness
+#: tail were spending ~265 s/round of budget on in-suite warm repeats
+#: whose regime the dedicated pass measures better anyway (the r15 #3
+#: swing: 45.8 s in-suite vs 20.6 s fresh-session for the SAME query).
+#: When the dedicated pass doesn't fit the remaining budget, the warm
+#: slot falls back to the cold run with provenance recorded in
+#: `warm_source` — never a stale number reported as fresh.
+COLD_ONLY_EST_S = 8.0
+
+#: documented skip-priority tiers (r15 verdict #1): when the budget
+#: runs short, queries are sacrificed lowest-tier-first —
+#:   1. contract subset (never skipped: runs first, fresh session)
+#:   2. new registrations (no prior estimate — first official timing)
+#:   3. carried queries (stale-refresh of round-over-round numbers)
+#:   4. cold-only tier (harness twins + exactness audits; run LAST so
+#:      est-gated skips land here first, and their warm regime is the
+#:      dedicated pass's job anyway)
 
 
 def _time_cdc_merge(spark, sf_dir: str) -> float:
@@ -586,8 +608,16 @@ def main() -> None:
        JSON (r1_ratio / r1_ratio_min / r1_ratio_norm / spin_ms_min) is
        printed IMMEDIATELY after this phase, so the contract evidence
        exists even if everything after is killed mid-flight.
-    2. TAIL PHASE — the remaining ~340 queries at cold + 2 warm, each
-       iteration gated on the wall-clock budget
+    2. TAIL PHASE — the remaining ~360 queries at cold + 1-2 warm, each
+       iteration gated on the wall-clock budget.  The COLD-ONLY tier
+       (prior in-suite warm >= COLD_ONLY_EST_S; the replay-harness gate
+       queries + the dedup exactness tail) runs LAST and gets ONE run
+       each — its warm numbers come from the dedicated fresh-session
+       pass (provenance in `warm_source`; `value` sums whatever filled
+       the warm slot, dedicated or cold fallback), and any est-gated
+       skips land on this tier first (the documented skip priority:
+       contract > new registrations > carried > cold-only tier).
+       Each non-tier query is gated on
        ($SPARK_GRAFT_BENCH_BUDGET_S, default 2550 s — the driver cap is
        only bracketed by evidence: r13's ~2600 s run survived, r14's
        ~3100 s+ loop was killed, so stay on the proven-safe side).
@@ -616,18 +646,41 @@ def main() -> None:
     # decide whether an extra warm run would starve later queries.
     est: dict[str, float] = {}
     est_warm: dict[str, float] = {}
+    est_cold: dict[str, float] = {}
+    prior: dict = {}
     try:
         with open(os.path.join(REPO, "BENCH_LOCAL.json")) as fh:
             prior = json.load(fh)
         if prior.get("sf") == sf:
             pw, pc = prior.get("queries", {}), prior.get("queries_cold", {})
             est_warm = {k: v for k, v in pw.items() if v}
+            est_cold = {k: pc.get(k, pw[k]) for k in est_warm}
             est = {
-                k: pc.get(k, pw[k]) + 2 * pw[k] for k in est_warm
+                k: est_cold[k] + 2 * pw[k] for k in est_warm
             }
     except (OSError, ValueError):
         est = {}
     est_default = statistics.median(est.values()) if est else 3.0
+
+    # COLD-ONLY tier membership (r15 verdict #1): prior in-suite warm at
+    # or above the threshold, plus anything that was ALREADY cold-only
+    # last round and whose cold still clears the bar (so a cheap
+    # dedicated fresh-session warm can't oscillate a query out of the
+    # tier), plus the classic dedup exactness tail.  The contract subset
+    # and the separately-harnessed cdc timing never enter.
+    prior_src = prior.get("warm_source", {}) if isinstance(prior, dict) else {}
+    cold_only = {
+        k
+        for k in est_warm
+        if est_warm[k] >= COLD_ONLY_EST_S
+        or (k in prior_src and est_cold.get(k, 0.0) >= COLD_ONLY_EST_S)
+    } | (set(DEDICATED_TAIL) & set(QUERIES))
+    cold_only -= set(R1_SUBSET)
+    cold_only.discard("stream_cdc_merge")
+    for k in cold_only:
+        # a cold-only query costs ONE run in the main loop
+        if k in est:
+            est[k] = est_cold.get(k, est_warm.get(k, est_default))
 
     # quiesce guard (round 11): a bench launched right after other Spark
     # sessions exit measured the FIRST queries (the r1 contract subset,
@@ -650,6 +703,8 @@ def main() -> None:
     host["quiesce_s"] = quiesce_s
     warm: dict[str, float] = {}
     warm_min: dict[str, float] = {}
+    warm_n: dict[str, int] = {}  # ACTUAL warm-run count (r15 ADVICE)
+    warm_source: dict[str, str] = {}  # cold-only tier provenance
     cold: dict[str, float] = {}
     spread: dict[str, list[float]] = {}
     partial_path = os.path.join(REPO, "BENCH_LOCAL.partial.json")
@@ -712,6 +767,7 @@ def main() -> None:
         spread[name] = [round(r, 4) for r in warm_runs]
         warm[name] = round(statistics.median(warm_runs), 4)
         warm_min[name] = round(min(warm_runs), 4)
+        warm_n[name] = len(warm_runs)
         hygiene()
         checkpoint()
 
@@ -775,8 +831,20 @@ def main() -> None:
     # ---- phase 2: the tail, budget-gated per query
     skipped: list[str] = []
     tail = [q for q in BENCH_QUERIES if q not in R1_SUBSET]
+    # documented skip-priority ordering (r15 verdict #1): the cold-only
+    # tier runs LAST, so when the budget runs short the est-gated skips
+    # land on the harness twins / exactness audits first — never on new
+    # registrations or carried stale-refresh numbers.
+    tail = [q for q in tail if q not in cold_only] + [
+        q for q in tail if q in cold_only
+    ]
     # RESERVE covers the cdc-merge timing + the final-line epilogue
     RESERVE = 90.0
+    # headroom the routine slack-funded extra runs may never consume —
+    # the r15 verdict's >=300 s visible-slack target; the optional
+    # dedicated pass (quality work, partial-result safe) MAY spend it,
+    # which is why `slack_s` is measured BEFORE that pass starts.
+    SLACK_FLOOR = 300.0
     rest_work = [0.0] * (len(tail) + 1)
     for i in range(len(tail) - 1, -1, -1):
         rest_work[i] = rest_work[i + 1] + est.get(tail[i], est_default)
@@ -785,6 +853,15 @@ def main() -> None:
         q_est = est.get(name, est_default)
         if remaining() < RESERVE + 1.5 * q_est:
             skipped.append(name)
+            continue
+
+        if name in cold_only:
+            # ONE run — the in-suite cold number.  The warm slot is
+            # filled from the dedicated fresh-session pass after the
+            # loop (or falls back to this run; see warm_source).
+            cold[name] = round(run_once(name), 4)
+            hygiene()
+            checkpoint()
             continue
 
         def slack() -> float:
@@ -800,7 +877,13 @@ def main() -> None:
         # (median-of-2 is just the mean; median-of-3 rejects a stall).
         work_dominated = est_warm.get(name, 0) >= 8.0
         if not work_dominated:
-            if slack() > 2 * q_est + 30:
+            # routine slack-funded 3rd runs must leave SLACK_FLOOR
+            # untouched (r15 verdict #1: the round needs >=300 s of
+            # VISIBLE headroom, not headroom silently converted into
+            # extra repeats); the rarer hiccup/outlier guards below
+            # still spend from the floor — they protect correctness of
+            # the recorded number itself.
+            if slack() > 2 * q_est + 30 + SLACK_FLOOR:
                 runs.append(run_once(name))
             # transient-hiccup guard (r8: events_chisq recorded 18 s for
             # a 2 s query from one GC/host stall — a fake 8x regression)
@@ -824,6 +907,7 @@ def main() -> None:
             spread[name] = [round(min(warm_runs), 4), round(max(warm_runs), 4)]
         warm[name] = round(statistics.median(warm_runs), 4)
         warm_min[name] = round(min(warm_runs), 4)
+        warm_n[name] = len(warm_runs)
         hygiene()
         checkpoint()
 
@@ -839,36 +923,76 @@ def main() -> None:
             round(min(cdc_runs[1:]), 4),
             round(max(cdc_runs[1:]), 4),
         ]
+        warm_n["stream_cdc_merge"] = 2
     else:
         skipped.append("stream_cdc_merge")
 
-    # dedicated-session pass for the dedup exactness tail (see
-    # DEDICATED_TAIL): parent session stops first so the subprocess
-    # measures a fresh-JVM regime, the same one SCALE.md's dedicated
-    # numbers came from.  Only inside the remaining budget.
+    # dedicated-session pass for the COLD-ONLY tier (r15 verdict #1;
+    # grew out of the r12 dedup exactness tail): parent session stops
+    # first so the subprocess measures a fresh-JVM regime.  The queue is
+    # the cold-only tier with the streaming replay-harness queries first
+    # (their in-suite/fresh-session swing is the number the round diff
+    # needs), then by prior cost descending; the subprocess prints a
+    # CUMULATIVE JSON line after every query so a budget timeout still
+    # yields partial results.
     dedicated: dict = {}
+    # the headroom measurement point: mandatory work (contract + tail +
+    # cdc) is done, the optional dedicated pass hasn't spent anything yet
+    slack_pre_dedicated = round(remaining(), 1)
+    ded_queue = sorted(
+        (q for q in cold_only if q in QUERIES and q in cold),
+        key=lambda q: (not q.startswith("stream_"), -est_warm.get(q, 0.0)),
+    )
     if (
         os.environ.get("SPARK_GRAFT_BENCH_DEDICATED", "1") != "0"
-        and remaining() > 240
+        and ded_queue
+        and remaining() > 150
     ):
         spark.stop()
         import subprocess
 
+        out = ""
         try:
             proc = subprocess.run(
                 [sys.executable, os.path.abspath(__file__), "--dedicated"],
                 capture_output=True,
                 text=True,
                 timeout=max(120, remaining() - 60),
+                env={
+                    **os.environ,
+                    "SPARK_GRAFT_DEDICATED_QUERIES": ",".join(ded_queue),
+                },
             )
-            for ln in reversed(proc.stdout.strip().splitlines()):
-                try:
-                    dedicated = json.loads(ln)
-                    break
-                except ValueError:
-                    continue
+            out = proc.stdout or ""
+        except subprocess.TimeoutExpired as exc:
+            out = exc.stdout if isinstance(exc.stdout, str) else ""
         except (OSError, subprocess.SubprocessError):
-            dedicated = {}
+            out = ""
+        for ln in reversed(out.strip().splitlines()):
+            try:
+                dedicated = json.loads(ln)
+                break
+            except ValueError:
+                continue
+
+    # fill the cold-only tier's warm slots: dedicated fresh-session
+    # numbers when measured THIS round, else the cold run — provenance
+    # in warm_source, never a stale number reported as fresh.
+    for name in ded_queue:
+        ded = dedicated.get(name)
+        if ded and len(ded.get("runs", [])) > 1:
+            wruns = ded["runs"][1:]
+            warm[name] = round(statistics.median(wruns), 4)
+            warm_min[name] = round(min(wruns), 4)
+            spread[name] = [round(r, 4) for r in wruns]
+            warm_n[name] = len(wruns)
+            warm_source[name] = "dedicated"
+        else:
+            warm[name] = cold[name]
+            warm_min[name] = cold[name]
+            spread[name] = [cold[name]]
+            warm_n[name] = 0
+            warm_source[name] = "cold_fallback"
 
     full = json.dumps(
         {
@@ -883,11 +1007,19 @@ def main() -> None:
             # fresh-session regime for the dedup exactness tail (r12
             # verdict #3): {name: {cold, warm, runs}} from --dedicated
             "queries_dedicated": dedicated,
-            # machine-readable (r9 ADVICE: an English expression string
-            # here broke numeric round-over-round comparison)
-            "warm_repeats": {"r1_subset": contract_warm, "tail": 2},
+            # machine-readable (r9 ADVICE); per_query carries the ACTUAL
+            # warm-run count — the r15 constant "tail: 2" misstated the
+            # 1-run work-dominated and 3-5-run hiccup-guard cases
+            # (r15 ADVICE #3)
+            "warm_repeats": {
+                "r1_subset": contract_warm,
+                "per_query": warm_n,
+            },
+            "warm_source": warm_source,
+            "cold_only": sorted(cold_only),
             "skipped": skipped,
             "budget_s": budget,
+            "slack_s": slack_pre_dedicated,
             "elapsed_s": round(time.time() - t_start, 1),
             "host": host,
             "r1_ratio": r1_ratio,
@@ -920,17 +1052,36 @@ def main() -> None:
             "spread_max_rel": round(rels[-1], 3) if rels else None,
             "skipped_n": len(skipped),
             "elapsed_s": round(time.time() - t_start, 1),
+            # measured budget headroom (r15 verdict #1 asks for >=300 s):
+            # slack_s is taken BEFORE the optional dedicated pass, which
+            # exists to spend exactly this surplus on fresh-regime warm
+            # numbers; slack_final_s is what it left behind.
+            "slack_s": slack_pre_dedicated,
+            "slack_final_s": round(remaining(), 1),
+            "dedicated_n": len(dedicated),
         }
     )
 
 
 def dedicated_main() -> None:
-    """Fresh-session measurement of DEDICATED_TAIL (r12 verdict #3):
-    one new JVM, the standard 32-shuffle-partition session, cold + 3
-    warm runs per query.  Prints ONE JSON line
-    {name: {cold, warm, runs}} for the parent to embed in
-    BENCH_LOCAL.json as `queries_dedicated`."""
+    """Fresh-session measurement of the cold-only tier (r12 verdict #3,
+    widened by r15 verdict #1): one new JVM, the standard
+    32-shuffle-partition session.  Queue comes from
+    $SPARK_GRAFT_DEDICATED_QUERIES (comma-separated; falls back to
+    DEDICATED_TAIL).  The classic dedup exactness tail keeps cold + 3
+    warm runs; everything else gets cold + 1 warm — the parent only
+    needs one fresh-regime warm number per replay-harness query.
+    Prints a CUMULATIVE JSON line {name: {cold, warm, runs}} after
+    EVERY query so a parent-side budget timeout still collects the
+    completed prefix (the parent parses the LAST parseable line)."""
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    queue = [
+        q
+        for q in os.environ.get(
+            "SPARK_GRAFT_DEDICATED_QUERIES", ",".join(DEDICATED_TAIL)
+        ).split(",")
+        if q in QUERIES
+    ]
     spark = build_session(app_name="obsidian-spark-bench-dedicated")
     # brief quiesce: the parent suite's JVM just exited
     waited = 0
@@ -941,9 +1092,9 @@ def dedicated_main() -> None:
         "overwrite"
     ).save()
     out: dict[str, dict] = {}
-    for name in DEDICATED_TAIL:
+    for name in queue:
         runs = []
-        for _ in range(4):
+        for _ in range(4 if name in DEDICATED_TAIL else 2):
             t0 = time.time()
             QUERIES[name](spark, sf_dir).write.format("noop").mode(
                 "overwrite"
@@ -956,7 +1107,7 @@ def dedicated_main() -> None:
         }
         spark.catalog.clearCache()
         gc.collect()
-    print(json.dumps(out), flush=True)
+        print(json.dumps(out), flush=True)
 
 
 if __name__ == "__main__":
