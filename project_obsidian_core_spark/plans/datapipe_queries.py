@@ -4506,7 +4506,14 @@ ORDER BY doc_id
 
 
 # ------------- X31: tokenizer-bomb / token-length anomaly screen ----------
-TOKEN_MAXLEN_FLAG = 8
+#: the maxlen flag threshold is per-source DERIVED: greatest(FLOOR,
+#: 2·p99 of the source's own per-doc max token length).  The r15
+#: static threshold of 8 chars flagged ordinary English words —
+#: near-total on natural text, pure noise (r15 ADVICE #4); the floor
+#: now sits in the genuinely anomalous URL/base64/DNA regime and the
+#: 2·p99 term adapts it upward for legitimately long-token sources
+#: (minified code, agglutinative languages).
+TOKEN_MAXLEN_FLOOR = 40
 TOKEN_MEANLEN_MILLI_FLAG = 6000
 
 
@@ -4516,14 +4523,16 @@ def text_token_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
     minified code explode BPE token counts and training step time;
     their signature is extreme max/mean WORD length, visible long
     before tokenization): per source, the doc count, docs whose
-    longest token ≥ {TOKEN_MAXLEN_FLAG} chars, docs whose mean token
-    length ≥ {TOKEN_MEANLEN_MILLI_FLAG} milli-chars, and the EXACT
-    nearest-rank p99 of per-doc max token length.
+    longest token ≥ greatest({TOKEN_MAXLEN_FLOOR}, 2·p99) chars, docs
+    whose mean token length ≥ {TOKEN_MEANLEN_MILLI_FLAG} milli-chars,
+    and the EXACT nearest-rank p99 of per-doc max token length.
 
     Exactness: lengths are ints; the mean is scaled integer division
     (Σlen·1000 div n — truncating both engines); the p99 is the A106
     cumulative-count grid over DISTINCT max-length values (bounded by
-    the longest word, not the corpus).  Scale: one narrow per-row
+    the longest word, not the corpus); the maxlen flag is counted on
+    the SAME grid against the derived per-source threshold, so it
+    needs no second corpus pass.  Scale: one narrow per-row
     projection (no explode — higher-order functions fold in-row), one
     map-side-combined (source, max_len) aggregate, windows on the
     ≤|sources|·|len range| grid."""
@@ -4557,9 +4566,6 @@ def token_anomaly_grid(stats: DataFrame) -> DataFrame:
     return stats.groupBy("source", "max_len").agg(
         F.count(F.lit(1)).alias("cnt"),
         F.sum(
-            F.when(F.col("max_len") >= TOKEN_MAXLEN_FLAG, 1).otherwise(0)
-        ).alias("flag_max"),
-        F.sum(
             F.when(F.col("mean_milli") >= TOKEN_MEANLEN_MILLI_FLAG, 1).otherwise(0)
         ).alias("flag_mean"),
     )
@@ -4567,7 +4573,12 @@ def token_anomaly_grid(stats: DataFrame) -> DataFrame:
 
 def token_anomaly_report(grid: DataFrame) -> DataFrame:
     """The X31 report derivation over the reduced (source, max_len)
-    grid — windows ride ≤|sources|·|len range| rows."""
+    grid — windows ride ≤|sources|·|len range| rows.  The maxlen flag
+    is derived HERE (not in the grid): its threshold is
+    greatest(TOKEN_MAXLEN_FLOOR, 2·p99(source)), and the p99 only
+    exists once the grid is complete — which also keeps the flag
+    correct under the T44 complete-mode streaming merge (a per-row
+    flag against a moving threshold would not be commutative)."""
     from pyspark.sql import Window
 
     ws = Window.partitionBy("source")
@@ -4577,15 +4588,27 @@ def token_anomaly_report(grid: DataFrame) -> DataFrame:
         .withColumn("cum", F.sum("cnt").over(wcum))
         .withColumn("i99", F.expr("(99 * n + 99) div 100"))
     )
+    g = g.withColumn(
+        "p99",
+        F.min(
+            F.when(F.col("cum") >= F.col("i99"), F.col("max_len"))
+        ).over(ws),
+    )
     return (
         g.groupBy("source")
         .agg(
             F.first("n").alias("n_docs"),
-            F.sum("flag_max").alias("n_flag_maxlen"),
+            F.sum(
+                F.when(
+                    F.col("max_len")
+                    >= F.greatest(
+                        F.lit(TOKEN_MAXLEN_FLOOR), F.expr("2 * p99")
+                    ),
+                    F.col("cnt"),
+                ).otherwise(F.lit(0))
+            ).alias("n_flag_maxlen"),
             F.sum("flag_mean").alias("n_flag_meanlen"),
-            F.min(
-                F.when(F.col("cum") >= F.col("i99"), F.col("max_len"))
-            ).alias("p99_max_token_len"),
+            F.first("p99").alias("p99_max_token_len"),
         )
         .orderBy("source")
     )
@@ -4604,25 +4627,28 @@ WITH d AS (
     FROM documents
 ), grid AS (
     SELECT source, max_len, count(*) AS cnt,
-           sum(CASE WHEN max_len >= {TOKEN_MAXLEN_FLAG} THEN 1 ELSE 0 END)
-               AS flag_max,
            sum(CASE WHEN mean_milli >= {TOKEN_MEANLEN_MILLI_FLAG}
                     THEN 1 ELSE 0 END) AS flag_mean
     FROM d GROUP BY source, max_len
 ), g AS (
-    SELECT source, max_len, cnt, flag_max, flag_mean,
+    SELECT source, max_len, cnt, flag_mean,
            sum(cnt) OVER (PARTITION BY source) AS n,
            sum(cnt) OVER (PARTITION BY source ORDER BY max_len
                           ROWS UNBOUNDED PRECEDING) AS cum
     FROM grid
+), gp AS (
+    SELECT *,
+           min(CASE WHEN cum >= (99 * n + 99) // 100 THEN max_len END)
+               OVER (PARTITION BY source) AS p99
+    FROM g
 )
 SELECT source,
        CAST(any_value(n) AS BIGINT) AS n_docs,
-       CAST(sum(flag_max) AS BIGINT) AS n_flag_maxlen,
+       CAST(sum(CASE WHEN max_len >= greatest({TOKEN_MAXLEN_FLOOR}, 2 * p99)
+                     THEN cnt ELSE 0 END) AS BIGINT) AS n_flag_maxlen,
        CAST(sum(flag_mean) AS BIGINT) AS n_flag_meanlen,
-       CAST(min(CASE WHEN cum >= (99 * n + 99) // 100 THEN max_len END)
-            AS BIGINT) AS p99_max_token_len
-FROM g
+       CAST(any_value(p99) AS BIGINT) AS p99_max_token_len
+FROM gp
 GROUP BY source
 ORDER BY source
 """

@@ -1432,8 +1432,13 @@ def corpus_dedup_yield(spark: SparkSession, sf_dir: str) -> DataFrame:
     Exactness: scan position is the P12 `global_pos` (shard-composed,
     one exchange, never a global sort); content identity is the D1 md5
     hash; a position is "new" iff it is its hash group's MINIMUM
-    global_pos; decile edges are ((pos−1)·10) div n with cumulative
-    counts over the ≤10-row decile relation — all exact ints.
+    global_pos; a first occurrence belongs to the SMALLEST decile d
+    with fp <= scan_pos(d) = ((d+1)·n) div 10, i.e. decile =
+    (fp·10 − 1) div n — membership and the reported scan_pos use the
+    SAME edge rounding, so n_unique_cum ≤ scan_pos holds for every n
+    (r15 ADVICE: the old ((fp−1)·10) div n edge could count a first
+    occurrence at scan_pos+1 into decile d when 10 ∤ n, pushing
+    dup_rate_ppm slightly negative on a near-unique corpus).
 
     Scale: corpus_shuffle's one exchange + one (hash → min pos)
     map-side-combined aggregate; everything after rides ≤10 rows."""
@@ -1447,7 +1452,7 @@ def corpus_dedup_yield(spark: SparkSession, sf_dir: str) -> DataFrame:
     tot = ordered.agg(F.count(F.lit(1)).alias("n"))
     per_decile = (
         firsts.crossJoin(F.broadcast(tot))
-        .select(F.expr("((fp - 1) * 10) div n").alias("decile"))
+        .select(F.expr("(fp * 10 - 1) div n").alias("decile"))
         .groupBy("decile")
         .agg(F.count(F.lit(1)).alias("uniq_in"))
     )
@@ -1492,8 +1497,8 @@ WITH keyed AS (
 ), tot AS (
     SELECT count(*) AS n FROM ordered
 ), per_decile0 AS (
-    SELECT ((fp - 1) * 10) // n AS decile, count(*) AS uniq_in
-    FROM firsts, tot GROUP BY ((fp - 1) * 10) // n
+    SELECT (fp * 10 - 1) // n AS decile, count(*) AS uniq_in
+    FROM firsts, tot GROUP BY (fp * 10 - 1) // n
 ), per_decile AS (
     SELECT g.d AS decile, tot.n, coalesce(p.uniq_in, 0) AS uniq_in
     FROM (SELECT unnest(generate_series(0, 9)) AS d) g

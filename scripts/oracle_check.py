@@ -84,8 +84,27 @@ def _changed_queries(queries: dict, base: str) -> set[str]:
         text=True,
         check=True,
     ).stdout.split()
+    # brand-new plan files are untracked until their first commit —
+    # `git diff` never lists them, and their queries were silently
+    # skipped (r15 ADVICE #2)
+    out += subprocess.run(
+        ["git", "ls-files", "--others", "--exclude-standard", "--",
+         f"{PKG}/", "__spark_entry__.py"],
+        cwd=REPO,
+        capture_output=True,
+        text=True,
+        check=True,
+    ).stdout.split()
     changed_mods = {
         p[:-3].replace("/", ".") for p in out if p.endswith(".py")
+    }
+    # an edited pkg/__init__.py is imported as plain `pkg` — the
+    # import-edge graph below records the bare package name, so the
+    # ".__init__" suffix would never intersect it (r15 ADVICE #2)
+    changed_mods |= {
+        m[: -len(".__init__")]
+        for m in changed_mods
+        if m.endswith(".__init__")
     }
     if not changed_mods:
         return set()

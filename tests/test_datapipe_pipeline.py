@@ -572,3 +572,34 @@ def test_interleave_presplit_matches_plain_on_skewed_corpus(spark):
         )
     )
     assert plain == pre
+
+
+def test_dedup_yield_decile_edges_when_ten_does_not_divide_n(spark, tmp_path):
+    """P21 edge rounding (r15 ADVICE #1): decile membership and the
+    reported scan_pos must use the SAME edge rounding — with n=13 the
+    old ((fp-1)*10) div n membership counted a first occurrence at
+    scan_pos+1 into the earlier decile, pushing n_unique_cum above
+    scan_pos and dup_rate_ppm negative on a near-unique corpus."""
+    from project_obsidian_core_spark.plans.pipeline_queries import (
+        corpus_dedup_yield,
+    )
+
+    # 13 docs, 12 distinct texts (doc 12 repeats doc 0's text)
+    rows = [(i, f"unique text number {i}") for i in range(12)]
+    rows.append((12, "unique text number 0"))
+    spark.createDataFrame(rows, ["doc_id", "text"]).write.mode(
+        "overwrite"
+    ).parquet(str(tmp_path / "documents.parquet"))
+
+    out = [r.asDict() for r in corpus_dedup_yield(spark, str(tmp_path)).collect()]
+    assert [r["decile"] for r in out] == list(range(10))
+    prev_cum = 0
+    for r in out:
+        # the invariant the old rounding broke
+        assert r["n_unique_cum"] <= r["scan_pos"], r
+        assert r["dup_rate_ppm"] >= 0, r
+        assert r["n_unique_cum"] >= prev_cum
+        prev_cum = r["n_unique_cum"]
+    assert out[-1]["scan_pos"] == 13
+    assert out[-1]["n_unique_cum"] == 12
+    assert out[-1]["dup_rate_ppm"] == 1_000_000 // 13

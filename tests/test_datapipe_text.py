@@ -76,3 +76,34 @@ def test_approx_quantiles_track_exact(spark, sf_dir):
     ).collect()[0]
     for e, a in zip(row["exact"], row["approx"]):
         assert abs(a - e) / e < 0.05, (e, a)
+
+
+def test_token_anomaly_flag_fires_on_bomb_not_on_prose(spark, tmp_path):
+    """X31 threshold (r15 ADVICE #4): the maxlen flag is per-source
+    greatest(40, 2*p99) — ordinary prose (the old static 8 flagged it
+    near-totally) stays clean, a base64/URL-regime token fires."""
+    from project_obsidian_core_spark.plans.datapipe_queries import (
+        text_token_anomalies,
+    )
+
+    prose = "the quick brown fox jumped over the lazy dog again"
+    bomb = "see " + "A" * 60 + " for details"
+    rows = [(i, prose, "clean") for i in range(101)]
+    rows += [(1000 + i, prose, "bomby") for i in range(100)]
+    rows.append((2000, bomb, "bomby"))
+    spark.createDataFrame(rows, ["doc_id", "text", "source"]).write.mode(
+        "overwrite"
+    ).parquet(str(tmp_path / "documents.parquet"))
+
+    out = {
+        r["source"]: r.asDict()
+        for r in text_token_anomalies(spark, str(tmp_path)).collect()
+    }
+    # prose p99 is 6 ("jumped"): threshold max(40, 12) = 40 -> no flags
+    assert out["clean"]["n_flag_maxlen"] == 0
+    assert out["clean"]["p99_max_token_len"] == 6
+    # the bomb is rank 101 of 101 -> p99 stays the prose 6, and the
+    # 60-char token clears the 40 floor
+    assert out["bomby"]["n_flag_maxlen"] == 1
+    assert out["bomby"]["p99_max_token_len"] == 6
+    assert out["bomby"]["n_docs"] == 101
