@@ -437,6 +437,8 @@ BENCH_QUERIES = [
     "embedding_norm_deciles",  # N26 squared-norm decile curve (r15b)
     "corpus_dedup_yield",     # P21 dedup saturation curve (r15b)
     "stream_dwell_time",      # T46 dwell quantiles served live (r15b)
+    # round-16 registrations
+    "text_extract_content",   # X34 boilerplate strip / content extraction
     # stream_cdc_merge is timed via _time_cdc_merge below (merge work
     # only): its checkpointed replay rewrites a bucketed parquet snapshot
     # per micro-batch (~12 s/run at sf0.1, >90% filesystem publish/rename

@@ -412,3 +412,75 @@ def bigram_lift(
             ),
         )
     )
+
+
+# ----------------------------------------------------------------------
+# X34: main-content extraction (boilerplate strip)
+#
+# The trafilatura/jusText stage reduced to deterministic, engine-
+# portable string ops: tag strip by regexp, then a line-level
+# boilerplate rule — a line is DROPPED when its stripped content is
+# shorter than BOILER_MIN_CHARS (nav bars, footers, cookie banners) or
+# its link density (chars of anchor text over content chars) reaches
+# BOILER_LINK_PPM (link lists, "related articles" asides).  Reference
+# parity target: the markup-leakage X32 *detects*, this *strips*
+# (r15 verdict #4).
+
+#: a stripped line shorter than this is boilerplate (jusText's
+#: length-short rule)
+BOILER_MIN_CHARS = 25
+#: a line whose anchor-text share reaches this ppm is boilerplate
+#: (jusText's link-density rule)
+BOILER_LINK_PPM = 500_000
+#: any markup tag
+TAG_RE = "<[^>]*>"
+#: an anchor element INCLUDING its text (for the link-density diff)
+ANCHOR_RE = "<a[^>]*>[^<]*</a>"
+
+
+def extract_main_content(df: DataFrame, html_col: str = "html") -> DataFrame:
+    """Text-in/text-out main-content extraction: adds
+
+    - ``content``   — the kept lines, tag-stripped, newline-joined
+    - ``raw_chars`` — length of the raw markup document
+    - ``content_chars`` — Σ stripped length over KEPT lines
+    - ``n_lines`` / ``n_boiler`` — line accounting
+
+    All in-row higher-order functions over ``split(html, chr(10))`` —
+    no explode, no shuffle, scan-speed on a 1000-executor cluster.
+    Link density per line is length-difference arithmetic:
+    anchor_chars = len(strip_tags(l)) − len(strip_tags(l with anchor
+    elements removed)) — the same trick as the X32 class counts, so
+    the DuckDB twin is exact (both engines replace ALL matches;
+    DuckDB needs the 'g' flag)."""
+    stats = (
+        f"transform(split({html_col}, chr(10)), l -> named_struct("
+        f" 'txt', regexp_replace(l, '{TAG_RE}', ''),"
+        f" 'clen', length(regexp_replace(l, '{TAG_RE}', '')),"
+        f" 'alen', length(regexp_replace(l, '{TAG_RE}', ''))"
+        f"  - length(regexp_replace(regexp_replace(l, '{ANCHOR_RE}', ''),"
+        f"           '{TAG_RE}', ''))))"
+    )
+    keep = (
+        f"filter({stats}, s -> s.clen >= {BOILER_MIN_CHARS}"
+        f" and s.alen * 1000000 div greatest(s.clen, 1)"
+        f" < {BOILER_LINK_PPM})"
+    )
+    return df.select(
+        "*",
+        F.expr(
+            f"array_join(transform({keep}, s -> s.txt), chr(10))"
+        ).alias("content"),
+        F.expr(f"length({html_col})").cast("long").alias("raw_chars"),
+        F.expr(
+            f"aggregate({keep}, 0L, (a, s) -> a + s.clen)"
+        ).alias("content_chars"),
+        F.expr(f"size(split({html_col}, chr(10)))")
+        .cast("long")
+        .alias("n_lines"),
+        F.expr(
+            f"size(split({html_col}, chr(10))) - size({keep})"
+        )
+        .cast("long")
+        .alias("n_boiler"),
+    )

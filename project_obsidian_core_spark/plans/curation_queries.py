@@ -1694,3 +1694,146 @@ JOIN sizes sa ON inter.source_a = sa.source
 JOIN sizes sb ON inter.source_b = sb.source
 ORDER BY source_a, source_b
 """
+
+
+# -------- X34: main-content extraction / boilerplate strip (round 16) -----
+def _markup_fixture_spark() -> str:
+    """Deterministic pseudo-HTML synthesized from (doc_id, text): a nav
+    bar, the document's first half as a paragraph, a link-list aside,
+    the second half as a paragraph carrying ONE inline citation anchor,
+    and a footer.  Shared shape with the DuckDB twin below; the corpus
+    has no markup of its own, so the fixture IS the operator input —
+    the same pattern the media family uses for binary payloads."""
+    return (
+        "concat_ws(chr(10),"
+        " '<nav>Home | About | Contact</nav>',"
+        " concat('<p>', substr(text, 1, length(text) div 2), '</p>'),"
+        " concat('<aside>Related: <a>item', cast(doc_id % 7 as string),"
+        "        '</a> <a>item', cast(doc_id % 5 as string),"
+        "        '</a> <a>item', cast(doc_id % 3 as string),"
+        "        '</a></aside>'),"
+        " concat('<p>', substr(text, (length(text) div 2) + 1),"
+        "        ' see <a>ref', cast(doc_id % 5 as string), '</a></p>'),"
+        " '<footer>(c) corp 2026</footer>')"
+    )
+
+
+def text_extract_content(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X34: main-content extraction / boilerplate strip — the standard
+    pretraining stage X32 only *detects* (r15 verdict #4): the
+    trafilatura/jusText shape reduced to engine-portable string ops.
+    Each document is wrapped in a deterministic markup fixture (nav +
+    two content paragraphs + link-list aside + footer); the operator
+    strips tags and drops boilerplate lines by the length-short and
+    link-density rules (datapipe/text.py:extract_main_content), then
+    this report accounts removed bytes per source.
+
+    Exactness: per-line content/anchor lengths are length-difference
+    arithmetic on regexp_replace (both engines replace ALL matches —
+    DuckDB via the 'g' flag); the keep predicate and ppm shares are
+    truncating integer division; the nav/footer exercise the length
+    rule, the aside the link-density rule, the citation anchor in
+    paragraph 2 proves an inline link alone does NOT kill a content
+    line, and sub-50-char docs lose their first half to the length
+    rule (deterministically, both engines).
+
+    Scale: the fixture + extraction are ONE narrow in-row projection
+    (higher-order functions over the 5-line split — no explode); the
+    only exchange is the final ≤|sources|-group aggregate."""
+    from pyspark.sql import functions as F
+
+    from project_obsidian_core_spark.datapipe.text import (
+        extract_main_content,
+    )
+
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.expr(_markup_fixture_spark()).alias("html")
+    )
+    ex = extract_main_content(docs).withColumn(
+        "doc_removed_ppm",
+        F.expr(
+            "(raw_chars - content_chars) * 1000000 div raw_chars"
+        ),
+    )
+    return (
+        ex.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("raw_chars").alias("raw_chars"),
+            F.sum("content_chars").alias("content_chars"),
+            F.sum("n_boiler").alias("boiler_lines"),
+            F.sum(F.expr("n_lines - n_boiler")).alias("content_lines"),
+            F.expr(
+                "sum(raw_chars - content_chars) * 1000000"
+                " div sum(raw_chars)"
+            ).alias("removed_ppm"),
+            F.max("doc_removed_ppm").alias("max_doc_removed_ppm"),
+        )
+        .orderBy("source")
+    )
+
+
+def _x34_oracle() -> str:
+    from project_obsidian_core_spark.datapipe.text import (
+        ANCHOR_RE,
+        BOILER_LINK_PPM,
+        BOILER_MIN_CHARS,
+        TAG_RE,
+    )
+
+    markup = """concat_ws(chr(10),
+           '<nav>Home | About | Contact</nav>',
+           concat('<p>', substr(text, 1, len(text) // 2), '</p>'),
+           concat('<aside>Related: <a>item', CAST(doc_id % 7 AS VARCHAR),
+                  '</a> <a>item', CAST(doc_id % 5 AS VARCHAR),
+                  '</a> <a>item', CAST(doc_id % 3 AS VARCHAR),
+                  '</a></aside>'),
+           concat('<p>', substr(text, (len(text) // 2) + 1),
+                  ' see <a>ref', CAST(doc_id % 5 AS VARCHAR), '</a></p>'),
+           '<footer>(c) corp 2026</footer>')"""
+    strip = f"regexp_replace(l, '{TAG_RE}', '', 'g')"
+    noanchor = (
+        f"regexp_replace(regexp_replace(l, '{ANCHOR_RE}', '', 'g'),"
+        f" '{TAG_RE}', '', 'g')"
+    )
+    return f"""
+WITH m AS (
+    SELECT source, {markup} AS html
+    FROM documents
+), st AS (
+    SELECT source,
+           CAST(len(html) AS BIGINT) AS raw_chars,
+           len(string_split(html, chr(10))) AS n_lines,
+           list_filter(
+               list_transform(string_split(html, chr(10)), l ->
+                   struct_pack(clen := len({strip}),
+                               alen := len({strip}) - len({noanchor}))),
+               s -> s['clen'] >= {BOILER_MIN_CHARS}
+                    AND s['alen'] * 1000000 // greatest(s['clen'], 1)
+                        < {BOILER_LINK_PPM}) AS kept
+    FROM m
+), per AS (
+    SELECT source, raw_chars, n_lines,
+           CAST(coalesce(list_aggregate(
+               list_transform(kept, s -> CAST(s['clen'] AS BIGINT)),
+               'sum'), 0) AS BIGINT) AS content_chars,
+           len(kept) AS n_kept
+    FROM st
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(raw_chars) AS BIGINT) AS raw_chars,
+       CAST(sum(content_chars) AS BIGINT) AS content_chars,
+       CAST(sum(n_lines - n_kept) AS BIGINT) AS boiler_lines,
+       CAST(sum(n_kept) AS BIGINT) AS content_lines,
+       CAST(sum(raw_chars - content_chars) * 1000000 // sum(raw_chars)
+            AS BIGINT) AS removed_ppm,
+       CAST(max((raw_chars - content_chars) * 1000000 // raw_chars)
+            AS BIGINT) AS max_doc_removed_ppm
+FROM per
+GROUP BY source
+ORDER BY source
+"""
+
+
+ORACLE_text_extract_content = _x34_oracle()

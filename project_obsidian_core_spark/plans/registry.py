@@ -1308,6 +1308,16 @@ _ENTRIES: list[tuple[str, QueryFn, str | None]] = [
     # verbatim (per-user sequence state, full grid re-derive per emit,
     # shared dwell_report derivation)
     ("stream_dwell_time", st.stream_dwell_time, bh.ORACLE_events_dwell_time),
+    # ------------------------------------------------------------------
+    # round-16 additions
+    # X34: main-content extraction / boilerplate strip (tag strip +
+    # jusText length/link-density line rules over a deterministic
+    # markup fixture; the stage X32 only detects — r15 verdict #4)
+    (
+        "text_extract_content",
+        cu.text_extract_content,
+        cu.ORACLE_text_extract_content,
+    ),
 ]
 
 # ----------------------------------------------------------------------

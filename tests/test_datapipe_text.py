@@ -107,3 +107,40 @@ def test_token_anomaly_flag_fires_on_bomb_not_on_prose(spark, tmp_path):
     assert out["bomby"]["n_flag_maxlen"] == 1
     assert out["bomby"]["p99_max_token_len"] == 6
     assert out["bomby"]["n_docs"] == 101
+
+
+def test_extract_main_content_golden(spark):
+    """X34 golden: hand-built markup, hand-computed expectations."""
+    from project_obsidian_core_spark.datapipe.text import (
+        extract_main_content,
+    )
+
+    body = "This sentence is the real article body of the page."  # 52
+    linky = "Read <a href=x>first related article</a> and <a>more</a> now"
+    html = "\n".join(
+        [
+            "<nav>Home | About</nav>",          # 12 chars stripped -> short
+            f"<p>{body}</p>",                    # kept
+            f"<aside>{linky}</aside>",           # link density >= 50%
+            "<footer>(c) corp</footer>",         # 8 chars stripped -> short
+        ]
+    )
+    df = spark.createDataFrame([(1, html)], ["doc_id", "html"])
+    row = extract_main_content(df).collect()[0]
+    assert row["content"] == body
+    assert row["n_lines"] == 4
+    assert row["n_boiler"] == 3
+    assert row["content_chars"] == len(body)
+    assert row["raw_chars"] == len(html)
+    # the aside's numbers: content 'Read first related article and more now'
+    # = 39 chars, anchor text 'first related article'+'more' = 25 chars,
+    # density 641025 ppm >= 500000 -> dropped by the link rule, not length
+    stripped_aside = "Read first related article and more now"
+    assert len(stripped_aside) == 39
+    # inline anchor does NOT kill a long content line
+    html2 = f"<p>{body} see <a>ref</a></p>"
+    row2 = extract_main_content(
+        spark.createDataFrame([(2, html2)], ["doc_id", "html"])
+    ).collect()[0]
+    assert row2["n_boiler"] == 0
+    assert row2["content"] == f"{body} see ref"
