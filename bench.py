@@ -439,6 +439,7 @@ BENCH_QUERIES = [
     "stream_dwell_time",      # T46 dwell quantiles served live (r15b)
     # round-16 registrations
     "text_extract_content",   # X34 boilerplate strip / content extraction
+    "stream_state_budget",    # T47 state-size budget (4 replays; cold-only)
     # stream_cdc_merge is timed via _time_cdc_merge below (merge work
     # only): its checkpointed replay rewrites a bucketed parquet snapshot
     # per micro-batch (~12 s/run at sf0.1, >90% filesystem publish/rename
@@ -488,6 +489,13 @@ DEDICATED_TAIL = [
 #: slot falls back to the cold run with provenance recorded in
 #: `warm_source` — never a stale number reported as fresh.
 COLD_ONLY_EST_S = 8.0
+
+#: queries KNOWN heavy at registration time, seeded into the cold-only
+#: tier before any BENCH_LOCAL estimate exists (a new registration has
+#: no prior warm, so the est-based membership can't catch it)
+COLD_ONLY_SEED = {
+    "stream_state_budget",  # T47: four stateful replays, ~55 s
+}
 
 #: documented skip-priority tiers (r15 verdict #1): when the budget
 #: runs short, queries are sacrificed lowest-tier-first —
@@ -676,7 +684,7 @@ def main() -> None:
         for k in est_warm
         if est_warm[k] >= COLD_ONLY_EST_S
         or (k in prior_src and est_cold.get(k, 0.0) >= COLD_ONLY_EST_S)
-    } | (set(DEDICATED_TAIL) & set(QUERIES))
+    } | (set(DEDICATED_TAIL) & set(QUERIES)) | (COLD_ONLY_SEED & set(QUERIES))
     cold_only -= set(R1_SUBSET)
     cold_only.discard("stream_cdc_merge")
     for k in cold_only:

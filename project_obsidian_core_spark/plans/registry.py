@@ -1318,6 +1318,14 @@ _ENTRIES: list[tuple[str, QueryFn, str | None]] = [
         cu.text_extract_content,
         cu.ORACLE_text_extract_content,
     ),
+    # T47: streaming state-size budget — one representative per state
+    # family drained and SIZED (live measurements through the normal
+    # emission path), gated against the retention contracts in SQL
+    (
+        "stream_state_budget",
+        st.stream_state_budget,
+        st.ORACLE_stream_state_budget,
+    ),
 ]
 
 # ----------------------------------------------------------------------

@@ -3416,3 +3416,276 @@ def stream_dwell_time(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("cnt").alias("cnt")
     )
     return dwell_report(grid)
+
+
+# ---------- T47: streaming state-size budget report (round 16) ------------
+def _run_append(df: DataFrame, name: str, ckpt: str, spark: SparkSession) -> None:
+    """Drain an append-mode stateful emission into a memory sink (the
+    boilerplate every applyInPandasWithState twin repeats)."""
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            df.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+
+
+def stream_state_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T47: the streaming state-size BUDGET — one representative of each
+    state family drained and SIZED (r15 verdict #6: the bounds were
+    unit-pinned but never measured in a driver-visible artifact).  This
+    is the operational sizing table a 100x-scale deploy reads first:
+    per family, how many keys hold state, how many state rows exist in
+    total, and the largest single key.
+
+    Families and where the number comes from — every size is the LIVE
+    state measurement the operator itself emits, never a formula:
+
+    - ``cms_counters``: the T33 complete-mode counter relation — rows
+      of the drained (r, bucket) table, ≤ d·w = 4096 forever.
+    - ``ewma_bucket_sums``: the T23 per-metric exact-int bucket sums —
+      ``n_buckets`` is in the emission schema; max-version drain.
+    - ``kmv_minima``: the T34 k-smallest-distinct-hash fold —
+      ``n_state`` is in the emission schema, ≤ k = 64 per key forever.
+    - ``sequence_evict``: the per-user ordered-sequence family under
+      watermark eviction (T20e/T21e/T22e) — the
+      :func:`streaming_state_rows` probe applies the same retention
+      rule (bisect cut + one frozen anchor) on the same ordered-chunk
+      replay and emits each key's live row count; the aggressive
+      re-arm makes the final sweep watermark-exact, so the drained
+      sizes are chunk-independent.
+
+    Exactness: every reported int is gated against a DuckDB twin that
+    derives the SAME sizes from the retention contracts (distinct
+    buckets per metric; least(k, distinct hashes); distinct probe
+    buckets; the watermark-cut count) — the gate is therefore a proof
+    that the live state obeys its documented bound ON THIS DATA, which
+    is exactly what a capacity plan needs.  Scale: state sizes are
+    bounded by (metrics x horizon buckets), (types x k), (d x w) and
+    (users x horizon rows) respectively — none grows with replay
+    length."""
+    from project_obsidian_core_spark.datapipe.text import shared_hash60
+    from project_obsidian_core_spark.plans.analytics_ext_queries import (
+        _KMV_K,
+        cms_keyed,
+        cms_probes,
+    )
+    from project_obsidian_core_spark.plans.metrics_queries import HIT, READ
+    from project_obsidian_core_spark.streaming.sequence_state import (
+        streaming_ewma,
+        streaming_kmv,
+        streaming_state_rows,
+    )
+
+    run = next(_RUN_IDS)
+    src = _events_src(spark, sf_dir, run)
+    schema = spark.read.parquet(src).schema
+
+    def new_stream():
+        return (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "4")
+            .parquet(src)
+        )
+
+    def fam_row(df: DataFrame, family: str, key: str, rows: str) -> DataFrame:
+        return df.agg(
+            F.lit(family).alias("family"),
+            F.count_distinct(F.col(key)).cast("long").alias("n_keys"),
+            F.sum(rows).cast("long").alias("state_rows"),
+            F.max(rows).cast("long").alias("max_rows_per_key"),
+        )
+
+    tmp = tempfile.mkdtemp(prefix=f"obsidian_budget_{run}_")
+
+    # family: cms_counters (T33) — complete-mode counter table rows
+    counters_s = (
+        cms_keyed(new_stream())
+        .select(F.explode(cms_probes()).alias("p"))
+        .groupBy(F.col("p.r").alias("r"), F.col("p.bucket").alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    _run_complete(counters_s, f"budget_cms_{run}", f"{tmp}/cms", spark)
+    cms_rows = spark.table(f"budget_cms_{run}").select(
+        "r", F.lit(1).alias("one")
+    )
+    cms_fam = fam_row(
+        cms_rows.groupBy("r").agg(F.sum("one").alias("n_buckets")),
+        "cms_counters",
+        "r",
+        "n_buckets",
+    )
+
+    # family: ewma_bucket_sums (T23) — n_buckets from the emission
+    name_col = (
+        F.when(F.col("event_type") == "view", F.lit(HIT))
+        .when(F.col("event_type") == "click", F.lit(READ))
+        .otherwise(F.concat(F.lit("postgresql."), F.col("event_type")))
+    )
+    keyed_e = new_stream().select(
+        name_col.alias("metric_name"),
+        F.expr("unix_micros(ts) div 60000000").alias("bucket"),
+        F.col("cents").alias("v"),
+    )
+    _run_append(
+        streaming_ewma(keyed_e), f"budget_ewma_{run}", f"{tmp}/ewma", spark
+    )
+    we = Window.partitionBy("metric_name")
+    ewma_last = (
+        spark.table(f"budget_ewma_{run}")
+        .withColumn("_vmax", F.max("version").over(we))
+        .filter(F.col("version") == F.col("_vmax"))
+    )
+    ewma_fam = fam_row(
+        ewma_last, "ewma_bucket_sums", "metric_name", "n_buckets"
+    )
+
+    # family: kmv_minima (T34) — n_state from the emission
+    hashed_s = new_stream().select(
+        "event_type",
+        shared_hash60(
+            F.concat(F.lit("kmv:"), F.col("user_id").cast("string"))
+        ).alias("h"),
+    )
+    _run_append(
+        streaming_kmv(hashed_s, k=_KMV_K),
+        f"budget_kmv_{run}",
+        f"{tmp}/kmv",
+        spark,
+    )
+    wk = Window.partitionBy("event_type")
+    kmv_last = (
+        spark.table(f"budget_kmv_{run}")
+        .withColumn("_vmax", F.max("version").over(wk))
+        .filter(F.col("version") == F.col("_vmax"))
+    )
+    kmv_fam = fam_row(kmv_last, "kmv_minima", "event_type", "n_state")
+
+    # family: sequence_evict (T20e family) — the live-state probe on
+    # the ordered-chunk replay (the eviction contract's transport)
+    src_ord = _events_src_ordered(spark, sf_dir, run)
+    schema_ord = spark.read.parquet(src_ord).schema
+    stream_ord = (
+        spark.readStream.schema(schema_ord)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src_ord)
+        .withWatermark("ts", "1 minute")
+    )
+    _run_append(
+        streaming_state_rows(stream_ord),
+        f"budget_seq_{run}",
+        f"{tmp}/seq",
+        spark,
+    )
+    wu = Window.partitionBy("user_id")
+    seq_last = (
+        spark.table(f"budget_seq_{run}")
+        .withColumn("_vmax", F.max("version").over(wu))
+        .filter(F.col("version") == F.col("_vmax"))
+    )
+    seq_fam = fam_row(seq_last, "sequence_evict", "user_id", "n_state")
+
+    return (
+        cms_fam.unionByName(ewma_fam)
+        .unionByName(kmv_fam)
+        .unionByName(seq_fam)
+        .orderBy("family")
+    )
+
+
+def _state_budget_oracle() -> str:
+    """DuckDB twin of the T47 budget: derives each family's state size
+    from its retention CONTRACT — distinct probe buckets (CMS),
+    distinct minute buckets per metric (EWMA sums), least(k, distinct
+    hashes) (KMV), and the watermark-cut row count plus one anchor
+    (sequence eviction).  The watermark is millisecond-floored exactly
+    as Spark tracks event time (floor(max_us/1000)*1000 − 60 s)."""
+    from project_obsidian_core_spark.plans.analytics_ext_queries import (
+        _CMS_D,
+        _CMS_W,
+        _KMV_K,
+    )
+    from project_obsidian_core_spark.plans.metrics_queries import HIT, READ
+
+    h60 = "CAST('0x' || substr(md5({expr}), 1, 15) AS BIGINT)"
+    cms_hash = h60.format(
+        expr="'cms' || CAST(g.r AS VARCHAR) || ':' || key"
+    )
+    kmv_hash = h60.format(expr="'kmv:' || CAST(user_id AS VARCHAR)")
+    return f"""
+WITH cms_k AS (
+    SELECT CASE WHEN event_id % 3 != 0
+                THEN 'hot_' || CAST(user_id % 5 AS VARCHAR)
+                ELSE 'cold_' || CAST(event_id AS VARCHAR) END AS key
+    FROM events
+), cms_p AS (
+    SELECT DISTINCT g.r AS r, {cms_hash} % {_CMS_W} AS bucket
+    FROM cms_k, (SELECT unnest(generate_series(0, {_CMS_D - 1})) AS r) g
+), cms_per AS (
+    SELECT r, count(*) AS rows_ FROM cms_p GROUP BY r
+), cms_fam AS (
+    SELECT 'cms_counters' AS family,
+           CAST(count(*) AS BIGINT) AS n_keys,
+           CAST(sum(rows_) AS BIGINT) AS state_rows,
+           CAST(max(rows_) AS BIGINT) AS max_rows_per_key
+    FROM cms_per
+), ewma_k AS (
+    SELECT CASE WHEN event_type = 'view' THEN '{HIT}'
+                WHEN event_type = 'click' THEN '{READ}'
+                ELSE 'postgresql.' || event_type END AS metric_name,
+           epoch_us(ts) // 60000000 AS bucket
+    FROM events
+), ewma_per AS (
+    SELECT metric_name, count(DISTINCT bucket) AS rows_
+    FROM ewma_k GROUP BY metric_name
+), ewma_fam AS (
+    SELECT 'ewma_bucket_sums' AS family,
+           CAST(count(*) AS BIGINT) AS n_keys,
+           CAST(sum(rows_) AS BIGINT) AS state_rows,
+           CAST(max(rows_) AS BIGINT) AS max_rows_per_key
+    FROM ewma_per
+), kmv_h AS (
+    SELECT DISTINCT event_type, {kmv_hash} AS h FROM events
+), kmv_per AS (
+    SELECT event_type, least({_KMV_K}, count(*)) AS rows_
+    FROM kmv_h GROUP BY event_type
+), kmv_fam AS (
+    SELECT 'kmv_minima' AS family,
+           CAST(count(*) AS BIGINT) AS n_keys,
+           CAST(sum(rows_) AS BIGINT) AS state_rows,
+           CAST(max(rows_) AS BIGINT) AS max_rows_per_key
+    FROM kmv_per
+), wm AS (
+    SELECT (max(epoch_us(ts)) // 1000) * 1000 - 60000000 AS wm_us
+    FROM events
+), seq_per AS (
+    SELECT user_id, count(*) AS n,
+           sum(CASE WHEN epoch_us(ts) < wm_us THEN 1 ELSE 0 END) AS below
+    FROM events, wm GROUP BY user_id
+), seq_rows AS (
+    SELECT user_id, n - greatest(below - 1, 0) AS rows_ FROM seq_per
+), seq_fam AS (
+    SELECT 'sequence_evict' AS family,
+           CAST(count(*) AS BIGINT) AS n_keys,
+           CAST(sum(rows_) AS BIGINT) AS state_rows,
+           CAST(max(rows_) AS BIGINT) AS max_rows_per_key
+    FROM seq_rows
+)
+SELECT * FROM cms_fam
+UNION ALL SELECT * FROM ewma_fam
+UNION ALL SELECT * FROM kmv_fam
+UNION ALL SELECT * FROM seq_fam
+ORDER BY family
+"""
+
+
+ORACLE_stream_state_budget = _state_budget_oracle()

@@ -3154,3 +3154,97 @@ def streaming_dwell_grid(stream: DataFrame) -> DataFrame:
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# ------------- T47: per-user eviction state-size probe (round 16) ---------
+#: r15 verdict #6: the twins' state bounds were unit-pinned but never
+#: MEASURED in a driver-visible artifact.  This probe applies the
+#: make_sequence_fn(evict=True) retention rule — watermark cut at
+#: bisect_left + one below-watermark anchor — to the same ordered
+#: replay and emits the per-key LIVE STATE ROW COUNT through the
+#: normal output path, so the drained sizes are the real operational
+#: numbers, not a formula.  The timeout is re-armed at wm+1 on every
+#: pass (more aggressive than the production fn's next-freeze arming):
+#: the final quiescent sweep is then guaranteed to run AT the final
+#: watermark for every key holding more than the anchor, which makes
+#: the drained sizes replay-chunk-independent and therefore exactly
+#: SQL-expressible (the `stream_state_budget` gate).
+BUDGET_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("ts_us", T.ArrayType(T.LongType())),
+        T.StructField("version", T.LongType()),
+    ]
+)
+
+BUDGET_OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("n_state", T.LongType()),
+        T.StructField("version", T.LongType()),
+    ]
+)
+
+
+def make_state_budget_fn():
+    """Retention-rule mirror of ``make_sequence_fn(evict=True)``
+    (sequence_state.py:122 — the bisect cut keeping ``ts[cut-1:]``:
+    everything at/above the watermark plus ONE frozen anchor), reduced
+    to the ts list since only SIZE is reported."""
+    import bisect
+
+    def fn(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        user = int(key[0])
+        timed_out = state.hasTimedOut
+        if state.exists:
+            ts, version = state.get
+            ts = list(ts)
+        else:
+            ts, version = [], 0
+        absorbed = 0
+        if not timed_out:
+            for pdf in pdfs:
+                if not len(pdf):
+                    continue
+                absorbed += len(pdf)
+                for t in pdf["ts_us"]:
+                    bisect.insort(ts, int(t))
+        if not absorbed and not timed_out:
+            return
+        version += absorbed + (1 if timed_out else 0)
+
+        wm_ms = state.getCurrentWatermarkMs()
+        cut = bisect.bisect_left(ts, wm_ms * 1000)
+        if cut > 1:
+            ts = ts[cut - 1 :]
+        if len(ts) > 1:
+            # aggressive re-arm: sweep again on EVERY watermark advance
+            state.setTimeoutTimestamp(wm_ms + 1)
+        state.update((ts, version))
+        yield pd.DataFrame(
+            {
+                "user_id": [user],
+                "n_state": [len(ts)],
+                "version": [version],
+            }
+        )
+
+    return fn
+
+
+def streaming_state_rows(stream: DataFrame) -> DataFrame:
+    """Wire the state-size probe over a watermarked event stream;
+    expects (user_id, ts).  Drain = max-version row per user."""
+    keyed = stream.select(
+        F.col("user_id").cast("long").alias("user_id"),
+        F.unix_micros("ts").alias("ts_us"),
+        F.col("ts"),
+    )
+    return keyed.groupBy("user_id").applyInPandasWithState(
+        make_state_budget_fn(),
+        outputStructType=BUDGET_OUTPUT_SCHEMA,
+        stateStructType=BUDGET_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )

@@ -8,6 +8,7 @@ compared bit-exact first; on mismatch a 1e-9-relative retry distinguishes
 
 Usage: python scripts/oracle_check.py [sf_dir] [query ...]
        python scripts/oracle_check.py --changed [base] [sf_dir]
+       python scripts/oracle_check.py --rotate-sf01 N
 
 --changed (r14 verdict #6: the full sweep is ~20 min at sf0.01 and
 growing) selects only the queries whose plan module — or any package
@@ -15,6 +16,16 @@ module that plan module imports, one transitive closure — differs from
 git ``base`` (default HEAD, i.e. uncommitted work).  Intra-round
 iteration runs the changed subset; the round close still runs the full
 sweep.
+
+--rotate-sf01 N (r15 verdict #5: sf0.1 evidence ages — every operator
+is gated at sf0.01+sf0.1 on registration day, but the standing sweep
+runs at sf0.01 only) re-proves the N oracle-backed queries with the
+OLDEST sf0.1 evidence against /root/testdata/sf0.1.  Evidence lives in
+the committed SF01_LEDGER.json ({query: ISO date of last sf0.1 EXACT});
+never-recorded queries rotate first, and EVERY oracle_check run against
+an sf0.1 dir refreshes the ledger for its EXACT queries, so
+registration-day gates count automatically.  Cadence: N≈25 per round
+(SCALE.md r16).
 """
 
 from __future__ import annotations
@@ -142,15 +153,35 @@ def _changed_queries(queries: dict, base: str) -> set[str]:
     }
 
 
+LEDGER_PATH = os.path.join(REPO, "SF01_LEDGER.json")
+
+
+def _ledger_load() -> dict[str, str]:
+    import json
+
+    try:
+        with open(LEDGER_PATH) as fh:
+            return json.load(fh)
+    except (OSError, ValueError):
+        return {}
+
+
 def main() -> int:
     argv = list(sys.argv[1:])
     changed_base = None
+    rotate_n = 0
+    if "--rotate-sf01" in argv:
+        i = argv.index("--rotate-sf01")
+        rotate_n = int(argv[i + 1])
+        del argv[i : i + 2]
     if argv and argv[0] == "--changed":
         argv.pop(0)
         changed_base = "HEAD"
         if argv and not argv[0].startswith("/") and not argv[0].startswith("sf"):
             changed_base = argv.pop(0)
     sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
+    if rotate_n:
+        sf_dir = "/root/testdata/sf0.1"
     only = set(argv[1:])
 
     import __spark_entry__ as entry_mod
@@ -164,6 +195,18 @@ def main() -> int:
 
     queries = entry_mod.queries()
     oracles = entry_mod.oracle_sql()
+    if rotate_n:
+        ledger = _ledger_load()
+        # never-recorded first (empty date sorts before any ISO date),
+        # then oldest; dict order (the gate rotation) is the tiebreak
+        rotatable = [n for n in queries if n in oracles]
+        rotatable.sort(key=lambda n: ledger.get(n, ""))
+        sel = set(rotatable[:rotate_n])
+        print(
+            f"sf0.1 rotation: {len(sel)} oldest-evidence queries "
+            f"({sum(1 for n in sel if n not in ledger)} never recorded)"
+        )
+        only = sel | only
     if changed_base is not None:
         sel = _changed_queries(queries, changed_base)
         if not sel:
@@ -178,6 +221,7 @@ def main() -> int:
         print(f"UNKNOWN QUERY NAMES (not in registry): {sorted(unknown)}")
         return 2
     failures = []
+    exact_names: list[str] = []
     for name, fn in queries.items():
         if only and name not in only:
             continue
@@ -226,10 +270,27 @@ def main() -> int:
                         status.append(f"first diff row {i}: spark={ra} duck={rb}")
                         break
         ok = status[0] == "EXACT"
+        if ok:
+            exact_names.append(name)
         print(f"  {name:28s} rows={len(s_rows):7d} {'OK ' if ok else 'FAIL'} "
               f"{status[0]} spark={spark_s:.1f}s duck={duck_s:.2f}s")
         if not ok:
             failures.append((name, "; ".join(status)))
+
+    # ANY run against the sf0.1 dir refreshes the evidence ledger for its
+    # EXACT queries (registration-day gates count toward the rotation)
+    if exact_names and os.path.basename(os.path.normpath(sf_dir)) == "sf0.1":
+        import datetime
+        import json
+
+        ledger = _ledger_load()
+        today = datetime.date.today().isoformat()
+        for n in exact_names:
+            ledger[n] = today
+        with open(LEDGER_PATH, "w") as fh:
+            json.dump(dict(sorted(ledger.items())), fh, indent=1)
+            fh.write("\n")
+        print(f"SF01_LEDGER.json: {len(exact_names)} entries stamped {today}")
 
     if failures:
         print("\nFAILURES:")
