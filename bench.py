@@ -440,6 +440,10 @@ BENCH_QUERIES = [
     # round-16 registrations
     "text_extract_content",   # X34 boilerplate strip / content extraction
     "stream_state_budget",    # T47 state-size budget (4 replays; cold-only)
+    "stream_extract_content",  # T48 X34 boilerplate strip served live
+    "embedding_angle_probe",  # N27 bounded pairwise-cosine histogram
+    "corpus_mixture_dedup",   # P22 Hamilton shares on unique tokens
+    "orders_gini_segment",    # A114 Gini via distinct-value grid ranks
     # stream_cdc_merge is timed via _time_cdc_merge below (merge work
     # only): its checkpointed replay rewrites a bucketed parquet snapshot
     # per micro-batch (~12 s/run at sf0.1, >90% filesystem publish/rename

@@ -1740,37 +1740,63 @@ def text_extract_content(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: the fixture + extraction are ONE narrow in-row projection
     (higher-order functions over the 5-line split — no explode); the
     only exchange is the final ≤|sources|-group aggregate."""
+    docs = load(spark, sf_dir, "documents")
+    return extract_report(extract_sums(extract_doc_stats(docs)))
+
+
+def extract_doc_stats(docs: DataFrame) -> DataFrame:
+    """Per-doc (source, raw_chars, content_chars, n_lines, n_boiler,
+    doc_removed_ppm) over the synthesized markup fixture — stateless
+    in-row projection shared verbatim by the batch plan and the T48
+    streaming monitor (the T41/T44/T45 shared-expression rule)."""
     from pyspark.sql import functions as F
 
     from project_obsidian_core_spark.datapipe.text import (
         extract_main_content,
     )
 
-    docs = load(spark, sf_dir, "documents").select(
+    marked = docs.select(
         "doc_id", "source", F.expr(_markup_fixture_spark()).alias("html")
     )
-    ex = extract_main_content(docs).withColumn(
+    return extract_main_content(marked).withColumn(
         "doc_removed_ppm",
         F.expr(
             "(raw_chars - content_chars) * 1000000 div raw_chars"
         ),
     )
-    return (
-        ex.groupBy("source")
-        .agg(
-            F.count(F.lit(1)).alias("n_docs"),
-            F.sum("raw_chars").alias("raw_chars"),
-            F.sum("content_chars").alias("content_chars"),
-            F.sum("n_boiler").alias("boiler_lines"),
-            F.sum(F.expr("n_lines - n_boiler")).alias("content_lines"),
-            F.expr(
-                "sum(raw_chars - content_chars) * 1000000"
-                " div sum(raw_chars)"
-            ).alias("removed_ppm"),
-            F.max("doc_removed_ppm").alias("max_doc_removed_ppm"),
-        )
-        .orderBy("source")
+
+
+def extract_sums(per: DataFrame) -> DataFrame:
+    """≤|sources|-group sums + max — commutative, so a complete-mode
+    streaming aggregation merges to the identical relation."""
+    from pyspark.sql import functions as F
+
+    return per.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("raw_chars").alias("raw_chars"),
+        F.sum("content_chars").alias("content_chars"),
+        F.sum("n_boiler").alias("boiler_lines"),
+        F.sum(F.expr("n_lines - n_boiler")).alias("content_lines"),
+        F.max("doc_removed_ppm").alias("max_doc_removed_ppm"),
     )
+
+
+def extract_report(sums: DataFrame) -> DataFrame:
+    """The X34 ppm derivation over the reduced per-source sums."""
+    from pyspark.sql import functions as F
+
+    return sums.select(
+        "source",
+        "n_docs",
+        "raw_chars",
+        "content_chars",
+        "boiler_lines",
+        "content_lines",
+        F.expr(
+            "(raw_chars - content_chars) * 1000000 div raw_chars"
+        ).alias("removed_ppm"),
+        "max_doc_removed_ppm",
+    ).orderBy("source")
 
 
 def _x34_oracle() -> str:

@@ -4886,3 +4886,130 @@ FROM g
 GROUP BY 1
 ORDER BY decile
 """
+
+
+# ------- N27: pairwise-angle health probe over hash-sampled pairs ---------
+_ANGLE_BUCKETS = 256
+_ANGLE_SALT = "angle"
+
+
+def embedding_angle_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N27: the pairwise-cosine HISTOGRAM over a deterministic bounded
+    pair sample — the third leg of the embedding-health tripod (N25
+    answers "is there one dominant axis", N26 "are the magnitudes
+    sane"; this answers "are RANDOM pairs near-orthogonal the way a
+    healthy high-dim space is" — representation collapse shows up as
+    histogram mass piling into the high-cosine bands long before any
+    downstream eval notices).
+
+    Pair sampling is hash-deterministic and BOUNDED: each vector lands
+    in one of {_ANGLE_BUCKETS} hash buckets; a bucket contributes
+    exactly one pair (its min-id, max-id members) — ≤{_ANGLE_BUCKETS}
+    pairs whatever the corpus size, so the probe's cost is a corpus
+    scan + a broadcast-joined constant relation, never a self-join.
+
+    Exactness: dot and squared norms are exact int64 over the N25
+    micro-quantized vectors (|q| ≤ 5.3e5 ⇒ 64-term dot ≤ 1.8e13);
+    cos_ppm = floor(dot·10⁶ / sqrt(na·nb)) with the one sqrt and one
+    division in IEEE doubles of exactly-representable ints (the A102
+    one-sqrt precedent — correctly-rounded ops, engine-identical);
+    bands are cos_ppm div 10⁵ (truncation toward zero, both engines,
+    per the N25 div ≡ // note).  Scale: one narrow projection for the
+    bucket keys, one ≤{_ANGLE_BUCKETS}-group aggregate, two broadcast
+    lookups of the pair ids against the corpus scan."""
+    emb = load(spark, sf_dir, "embeddings")
+    b = F.pmod(
+        T.shared_hash60(
+            F.concat(F.lit(f"{_ANGLE_SALT}:"), F.col("vec_id").cast("string"))
+        ),
+        F.lit(_ANGLE_BUCKETS),
+    )
+    pairs = (
+        emb.select(F.col("vec_id"), b.alias("b"))
+        .groupBy("b")
+        .agg(F.min("vec_id").alias("ida"), F.max("vec_id").alias("idb"))
+        .filter(F.col("ida") != F.col("idb"))
+    )
+    q = (
+        "transform(embedding,"
+        " v -> cast(floor(cast(v as double) * 1000000) as bigint))"
+    )
+    qv = emb.select("vec_id", F.expr(q).alias("q"))
+    joined = (
+        qv.alias("a")
+        .join(F.broadcast(pairs), F.col("a.vec_id") == F.col("ida"))
+        .join(
+            qv.alias("c").hint("broadcast"),
+            F.col("c.vec_id") == F.col("idb"),
+        )
+        .select(
+            F.col("b"),
+            F.expr(
+                "aggregate(zip_with(a.q, c.q, (x, y) -> x * y),"
+                " 0L, (s, x) -> s + x)"
+            ).alias("dot"),
+            F.expr(
+                "aggregate(a.q, 0L, (s, x) -> s + x * x)"
+            ).alias("na"),
+            F.expr(
+                "aggregate(c.q, 0L, (s, x) -> s + x * x)"
+            ).alias("nb"),
+        )
+        .filter((F.col("na") > 0) & (F.col("nb") > 0))
+        .withColumn(
+            "cos_ppm",
+            F.expr(
+                "cast(floor(cast(dot as double) * 1000000"
+                " / sqrt(cast(na as double) * cast(nb as double)))"
+                " as bigint)"
+            ),
+        )
+    )
+    return (
+        joined.select(F.expr("cos_ppm div 100000").alias("band"), "cos_ppm")
+        .groupBy("band")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.min("cos_ppm").alias("min_cos_ppm"),
+            F.max("cos_ppm").alias("max_cos_ppm"),
+        )
+        .orderBy("band")
+    )
+
+
+ORACLE_embedding_angle_probe = f"""
+WITH keyed AS (
+    SELECT vec_id,
+           {{h}} % {_ANGLE_BUCKETS} AS b,
+           list_transform(embedding,
+               v -> CAST(floor(CAST(v AS DOUBLE) * 1000000) AS BIGINT)) AS q
+    FROM embeddings
+), pairs AS (
+    SELECT b, min(vec_id) AS ida, max(vec_id) AS idb
+    FROM keyed GROUP BY b HAVING min(vec_id) != max(vec_id)
+), scored AS (
+    SELECT p.b,
+           CAST(list_aggregate(
+               list_transform(generate_series(1, {_EMB_DIM}),
+                              i -> a.q[i] * c.q[i]), 'sum') AS BIGINT) AS dot,
+           CAST(list_aggregate(
+               list_transform(a.q, x -> x * x), 'sum') AS BIGINT) AS na,
+           CAST(list_aggregate(
+               list_transform(c.q, x -> x * x), 'sum') AS BIGINT) AS nb
+    FROM pairs p
+    JOIN keyed a ON a.vec_id = p.ida
+    JOIN keyed c ON c.vec_id = p.idb
+), cp AS (
+    SELECT b, CAST(floor(CAST(dot AS DOUBLE) * 1000000
+               / sqrt(CAST(na AS DOUBLE) * CAST(nb AS DOUBLE))) AS BIGINT)
+               AS cos_ppm
+    FROM scored WHERE na > 0 AND nb > 0
+)
+SELECT CAST(cos_ppm // 100000 AS BIGINT) AS band,
+       CAST(count(*) AS BIGINT) AS n_pairs,
+       CAST(min(cos_ppm) AS BIGINT) AS min_cos_ppm,
+       CAST(max(cos_ppm) AS BIGINT) AS max_cos_ppm
+FROM cp
+GROUP BY 1
+ORDER BY band
+""".format(h="CAST('0x' || substr(md5('" + _ANGLE_SALT + ":' || CAST(vec_id AS VARCHAR)), 1, 15) AS BIGINT)")

@@ -1517,3 +1517,132 @@ SELECT CAST(decile AS INT) AS decile,
 FROM per_decile
 ORDER BY decile
 """
+
+
+# -------- P22: dedup-aware mixture weights (round 16) ---------------------
+def corpus_mixture_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P22: the mixture plan computed on UNIQUE content — raw
+    proportional weights over-pay duplicate-heavy sources twice (once
+    in storage, once in the mixture: a source that is 80% duplicates
+    contributes 80% fewer novel tokens than its raw share claims, and
+    P21's yield curve shows exactly this saturation).  Per source:
+    raw and unique token counts, the Hamilton ppm share under each,
+    and the shift — the number a data-recipe review reads to decide
+    whether a source's weight survives dedup.
+
+    Semantics: content identity is the D1 md5; the KEEPER of a dup
+    group is its min-doc_id member (min_by/arg_min — deterministic,
+    ids unique), and the keeper's SOURCE gets the group's tokens, so
+    cross-source duplication shifts weight toward whichever source
+    crawled the content first — the same rule the D-family excision
+    operators apply.  Both apportionments are the P15 largest-remainder
+    rule (sums to 10⁶ exactly, remainder-desc/source tie-break).
+
+    Scale: one scan → one (hash → keeper) map-side-combined aggregate
+    + one ≤|sources| raw aggregate; every window rides the ≤|sources|
+    relation."""
+    from pyspark.sql import Window
+
+    docs = load(spark, sf_dir, "documents")
+    keyed = docs.select(
+        "source",
+        "doc_id",
+        F.md5("text").alias("h"),
+        F.expr("size(split(text, ' '))").cast("long").alias("nt"),
+    )
+    raw = keyed.groupBy("source").agg(F.sum("nt").alias("n_raw"))
+    keep = keyed.groupBy("h").agg(
+        F.expr("min_by(source, doc_id)").alias("source"),
+        F.expr("min_by(nt, doc_id)").alias("nt"),
+    )
+    uniq = keep.groupBy("source").agg(F.sum("nt").alias("n_uniq"))
+    per = raw.join(uniq, "source", "left").select(
+        "source", "n_raw", F.coalesce("n_uniq", F.lit(0)).alias("n_uniq")
+    )
+    tot = per.agg(
+        F.sum("n_raw").alias("t_raw"), F.sum("n_uniq").alias("t_uniq")
+    )
+    based = per.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_raw",
+        "n_uniq",
+        F.expr("1000000 * n_raw div t_raw").alias("base_r"),
+        F.expr("(1000000 * n_raw) % t_raw").alias("rem_r"),
+        F.expr("1000000 * n_uniq div t_uniq").alias("base_u"),
+        F.expr("(1000000 * n_uniq) % t_uniq").alias("rem_u"),
+    )
+    wr = Window.orderBy(F.col("rem_r").desc(), "source")
+    wu = Window.orderBy(F.col("rem_u").desc(), "source")
+    w_all = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    return (
+        based.withColumn("rk_r", F.row_number().over(wr))
+        .withColumn("rk_u", F.row_number().over(wu))
+        .withColumn("ex_r", F.lit(1_000_000) - F.sum("base_r").over(w_all))
+        .withColumn("ex_u", F.lit(1_000_000) - F.sum("base_u").over(w_all))
+        .select(
+            "source",
+            "n_raw",
+            "n_uniq",
+            (
+                F.col("base_r")
+                + F.when(F.col("rk_r") <= F.col("ex_r"), 1).otherwise(0)
+            ).alias("raw_share_ppm"),
+            (
+                F.col("base_u")
+                + F.when(F.col("rk_u") <= F.col("ex_u"), 1).otherwise(0)
+            ).alias("dedup_share_ppm"),
+        )
+        .withColumn(
+            "shift_ppm", F.col("dedup_share_ppm") - F.col("raw_share_ppm")
+        )
+        .orderBy("source")
+    )
+
+
+ORACLE_corpus_mixture_dedup = """
+WITH keyed AS (
+    SELECT source, doc_id, md5(text) AS h,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS nt
+    FROM documents
+), raw AS (
+    SELECT source, sum(nt) AS n_raw FROM keyed GROUP BY source
+), keep AS (
+    SELECT h, arg_min(source, doc_id) AS source, arg_min(nt, doc_id) AS nt
+    FROM keyed GROUP BY h
+), uniq AS (
+    SELECT source, sum(nt) AS n_uniq FROM keep GROUP BY source
+), per AS (
+    SELECT r.source, r.n_raw, coalesce(u.n_uniq, 0) AS n_uniq
+    FROM raw r LEFT JOIN uniq u ON r.source = u.source
+), tot AS (
+    SELECT sum(n_raw) AS t_raw, sum(n_uniq) AS t_uniq FROM per
+), based AS (
+    SELECT source, n_raw, n_uniq,
+           1000000 * n_raw // t_raw AS base_r,
+           (1000000 * n_raw) % t_raw AS rem_r,
+           1000000 * n_uniq // t_uniq AS base_u,
+           (1000000 * n_uniq) % t_uniq AS rem_u
+    FROM per, tot
+), ranked AS (
+    SELECT *,
+           row_number() OVER (ORDER BY rem_r DESC, source) AS rk_r,
+           row_number() OVER (ORDER BY rem_u DESC, source) AS rk_u,
+           1000000 - sum(base_r) OVER () AS ex_r,
+           1000000 - sum(base_u) OVER () AS ex_u
+    FROM based
+)
+SELECT source,
+       CAST(n_raw AS BIGINT) AS n_raw,
+       CAST(n_uniq AS BIGINT) AS n_uniq,
+       CAST(base_r + CASE WHEN rk_r <= ex_r THEN 1 ELSE 0 END AS BIGINT)
+           AS raw_share_ppm,
+       CAST(base_u + CASE WHEN rk_u <= ex_u THEN 1 ELSE 0 END AS BIGINT)
+           AS dedup_share_ppm,
+       CAST(base_u + CASE WHEN rk_u <= ex_u THEN 1 ELSE 0 END
+            - base_r - CASE WHEN rk_r <= ex_r THEN 1 ELSE 0 END AS BIGINT)
+           AS shift_ppm
+FROM ranked
+ORDER BY source
+"""

@@ -1326,6 +1326,34 @@ _ENTRIES: list[tuple[str, QueryFn, str | None]] = [
         st.stream_state_budget,
         st.ORACLE_stream_state_budget,
     ),
+    # T48: streaming content-extraction monitor — X34 served live via
+    # the shared expression set, gated on the batch oracle verbatim
+    (
+        "stream_extract_content",
+        st.stream_extract_content,
+        cu.ORACLE_text_extract_content,
+    ),
+    # N27: pairwise-angle health probe — bounded hash-sampled pair
+    # cosine histogram (the embedding-collapse alarm N25/N26 lack)
+    (
+        "embedding_angle_probe",
+        d.embedding_angle_probe,
+        d.ORACLE_embedding_angle_probe,
+    ),
+    # P22: dedup-aware mixture weights — Hamilton shares on raw vs
+    # UNIQUE tokens (keeper = min-doc_id, cross-source shift visible)
+    (
+        "corpus_mixture_dedup",
+        pl.corpus_mixture_dedup,
+        pl.ORACLE_corpus_mixture_dedup,
+    ),
+    # A114: Gini concentration per segment — distinct-value-grid rank
+    # sums (no per-row sort), the inequality complement of T43's HHI
+    (
+        "orders_gini_segment",
+        r.orders_gini_segment,
+        r.ORACLE_orders_gini_segment,
+    ),
 ]
 
 # ----------------------------------------------------------------------

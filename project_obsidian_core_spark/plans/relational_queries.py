@@ -3246,3 +3246,90 @@ FROM g
 GROUP BY nation
 ORDER BY nation
 """
+
+
+# -------- A114: order-value Gini concentration per segment (round 16) -----
+def orders_gini_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A114: the Gini coefficient of order value per market segment —
+    the inequality measure that complements T43's HHI (HHI asks "how
+    few keys hold the mass"; Gini asks "how unequal is the whole
+    distribution"), the standard concentration audit for revenue,
+    token-count and shard-size distributions alike.
+
+    Exactness: for values sorted ascending, G = (2·Σᵢ i·xᵢ − (n+1)·Σx)
+    / (n·Σx).  The rank sum is computed WITHOUT any per-row sort via
+    the distinct-value grid (the A106/P18 stage rule): a value v with
+    count c and cumulative count C occupies ranks C−c+1..C, so
+    2·Σ i·xᵢ = Σ_v v·c·(2C−c+1) — the factor-2 form is summed
+    directly, so no halving division ever happens and every term is
+    exact int64; Gini is one truncating ppm division.  Tie order
+    cannot matter: equal values occupy a contiguous rank block whose
+    sum is order-free.
+
+    Scale: one broadcast join (customer segment), one map-side-combined
+    (segment, cents) grid aggregate, windows on the ≤|segments|·
+    |distinct values| grid.  int64 bound: Σ i·x ≤ n²·max_x — at 10⁹
+    orders/segment switch the grid sums to the A33 two-level (hi/lo)
+    split; the gate pins today's regime."""
+    orders = load(spark, sf_dir, "orders")
+    cust = load(spark, sf_dir, "customer")
+    seg = orders.join(
+        F.broadcast(cust.select("c_custkey", "c_mktsegment")),
+        orders.o_custkey == F.col("c_custkey"),
+    ).select(
+        F.col("c_mktsegment").alias("segment"),
+        cents("o_totalprice").alias("v"),
+    )
+    grid = seg.groupBy("segment", "v").agg(F.count(F.lit(1)).alias("c"))
+    ws = Window.partitionBy("segment")
+    wcum = ws.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    g = (
+        grid.withColumn("cum", F.sum("c").over(wcum))
+        .withColumn("n", F.sum("c").over(ws))
+        .withColumn("s0", F.sum(F.expr("v * c")).over(ws))
+        .withColumn("t2", F.expr("v * c * (2 * cum - c + 1)"))
+    )
+    return (
+        g.groupBy("segment")
+        .agg(
+            F.first("n").alias("n_orders"),
+            F.first("s0").alias("total_cents"),
+            # truncation chain: (num div n)·10⁶ div s0 — dividing by n
+            # FIRST keeps the ×10⁶ product inside int64 (num ≤ n·s0, so
+            # num·10⁶ overflows at sf0.01 already); identical chain in
+            # the DuckDB twin, so the truncation drift is gate-pinned
+            F.expr(
+                "((sum(t2) - (first(n) + 1) * first(s0)) div first(n))"
+                " * 1000000 div first(s0)"
+            ).alias("gini_ppm"),
+        )
+        .orderBy("segment")
+    )
+
+
+ORACLE_orders_gini_segment = """
+WITH seg AS (
+    SELECT c.c_mktsegment AS segment,
+           CAST(round(o.o_totalprice * 100, 0) AS BIGINT) AS v
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+), grid AS (
+    SELECT segment, v, CAST(count(*) AS BIGINT) AS c
+    FROM seg GROUP BY segment, v
+), g AS (
+    SELECT segment, v, c,
+           sum(c) OVER (PARTITION BY segment ORDER BY v
+                        ROWS UNBOUNDED PRECEDING) AS cum,
+           sum(c) OVER (PARTITION BY segment) AS n,
+           sum(v * c) OVER (PARTITION BY segment) AS s0
+    FROM grid
+)
+SELECT segment,
+       CAST(any_value(n) AS BIGINT) AS n_orders,
+       CAST(any_value(s0) AS BIGINT) AS total_cents,
+       CAST(((sum(v * c * (2 * cum - c + 1)) - (any_value(n) + 1)
+              * any_value(s0)) // any_value(n)) * 1000000
+            // any_value(s0) AS BIGINT) AS gini_ppm
+FROM g
+GROUP BY segment
+ORDER BY segment
+"""

@@ -3689,3 +3689,46 @@ ORDER BY family
 
 
 ORACLE_stream_state_budget = _state_budget_oracle()
+
+
+# ---------- T48: streaming content-extraction monitor (X34 live) ----------
+def stream_extract_content(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T48: the X34 boilerplate-strip accounting served LIVE — the
+    extraction front door is where markup leakage is cheapest to catch
+    (a source whose removed-bytes share jumps mid-crawl started
+    shipping templated chrome; quarantining the batch after the
+    nightly report costs the whole batch): per-doc stats are the
+    SHARED `extract_doc_stats` projection (stateless — fixture
+    synthesis, tag strip, line rules), the per-source sums+max a
+    complete-mode streaming aggregation of the SHARED `extract_sums`
+    (commutative ints; max merges), the ppm derivation the SHARED
+    `extract_report` — one expression set, so the batch and live gates
+    cannot drift (the T41/T44/T45 rule).  Gated on the batch
+    `text_extract_content` oracle verbatim."""
+    from project_obsidian_core_spark.plans.curation_queries import (
+        extract_doc_stats,
+        extract_report,
+        extract_sums,
+    )
+
+    run = next(_RUN_IDS)
+    src = _SRC_CACHE.get(f"docs_x34:{sf_dir}")
+    if src is None:
+        tmp = tempfile.mkdtemp(prefix=f"obsidian_docx34_{run}_")
+        src = f"{tmp}/documents_src"
+        load(spark, sf_dir, "documents").select(
+            "doc_id", "source", "text"
+        ).write.mode("overwrite").parquet(src)
+        _SRC_CACHE[f"docs_x34:{sf_dir}"] = src
+
+    schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "4")
+        .parquet(src)
+    )
+    sums = extract_sums(extract_doc_stats(stream))
+    name = f"stream_x34_{run}"
+    tmp2 = tempfile.mkdtemp(prefix=f"obsidian_x34_{run}_")
+    _run_complete(sums, name, f"{tmp2}/ckpt", spark)
+    return extract_report(spark.table(name))

@@ -101,6 +101,11 @@ WHITELIST: dict[tuple[str, str], str] = {
         "remainder rank over the ≤|sources| weight table (the P15 "
         "Hamilton boundedness argument)"
     ),
+    ("plans/pipeline_queries.py", "corpus_mixture_dedup"): (
+        "two remainder ranks over the ≤|sources| weight table (the "
+        "P15/P19 Hamilton boundedness argument; the corpus-sized work "
+        "is the hash→keeper aggregate, which has no window)"
+    ),
     ("plans/pipeline_queries.py", "corpus_quota_apportion"): (
         "per-(source,lang) quota table: ≤ |sources|·|langs| rows "
         "(Hamilton largest-remainder ranking)"
