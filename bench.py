@@ -444,6 +444,8 @@ BENCH_QUERIES = [
     "embedding_angle_probe",  # N27 bounded pairwise-cosine histogram
     "corpus_mixture_dedup",   # P22 Hamilton shares on unique tokens
     "orders_gini_segment",    # A114 Gini via distinct-value grid ranks
+    "stream_gini_segment",    # T49 Gini served live (shared grid/report)
+    "corpus_compaction_plan",  # P23 BFD merge plan over shard sizes
     # stream_cdc_merge is timed via _time_cdc_merge below (merge work
     # only): its checkpointed replay rewrites a bucketed parquet snapshot
     # per micro-batch (~12 s/run at sf0.1, >90% filesystem publish/rename

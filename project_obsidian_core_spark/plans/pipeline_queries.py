@@ -1646,3 +1646,109 @@ SELECT source,
 FROM ranked
 ORDER BY source
 """
+
+
+# -------- P23: small-shard compaction plan (round 16) ---------------------
+_COMPACT_SHARDS = 64
+_COMPACT_SALT = "compact"
+
+
+def corpus_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P23: the SMALL-FILES compaction planner — the operational
+    counterpart of P20's skew audit (P20 finds the 1000-writer
+    imbalance; this one plans the fix): given per-shard byte totals
+    over a {_COMPACT_SHARDS}-way hash sharding, pack shards into merge
+    groups under a cap of TWICE the fair share via the P11 best-fit-
+    decreasing fold — the exact planning step a lakehouse compaction
+    service (or Spark's own OPTIMIZE-style file rewriter) runs before
+    touching any data, on a relation whose size is the SHARD COUNT,
+    not the corpus.
+
+    Semantics: bytes proxy = Σ n_chars per shard (the committed column,
+    so the plan is pinned to table metadata alone); cap = (2·total)
+    div {_COMPACT_SHARDS}; an oversized shard cannot fit any bin and
+    isolates as its own group (BFD opens it a bin no later item can
+    enter) — pass-through needs no special case.  BFD order is bytes
+    DESC, shard ASC — deterministic, and the DuckDB twin replays the
+    identical recurrence (the P11 recursive-CTE pattern).
+
+    Scale: one corpus scan → one ≤{_COMPACT_SHARDS}-group aggregate;
+    the packing fold runs on that bounded relation (single task); the
+    one driver collect is the 1-row total that parameterizes the cap —
+    a reduced-relation guard, not a data path."""
+    from project_obsidian_core_spark.datapipe.text import shared_hash60
+
+    docs = load(spark, sf_dir, "documents")
+    per = (
+        docs.select(
+            F.pmod(
+                shared_hash60(
+                    F.concat(
+                        F.lit(f"{_COMPACT_SALT}:"),
+                        F.col("doc_id").cast("string"),
+                    )
+                ),
+                F.lit(_COMPACT_SHARDS),
+            ).alias("shard"),
+            F.col("n_chars"),
+        )
+        .groupBy("shard")
+        .agg(F.sum("n_chars").alias("bytes_"))
+    )
+    total = per.agg(F.sum("bytes_").alias("t")).collect()[0]["t"]
+    cap = (2 * int(total)) // _COMPACT_SHARDS
+    items = per.select(
+        F.col("shard").alias("doc_id"),
+        F.lit("all").alias("source"),
+        F.col("bytes_").alias("n_tokens"),
+    )
+    out = P.pack_best_fit(items, cap)
+    return out.select(
+        F.col("doc_key").cast("long").alias("shard"),
+        F.col("n_tokens").alias("bytes_"),
+        F.col("pack_id").alias("merge_group"),
+        F.col("pack_fill").alias("fill_before"),
+    ).orderBy("shard")
+
+
+def _compaction_oracle() -> str:
+    cap = f"(2 * tot.t) // {_COMPACT_SHARDS}"
+    fit = "list_max(list_filter(r.fills, f -> f + o.bytes_ <= r.cap))"
+    return f"""
+WITH RECURSIVE per AS (
+    SELECT {_sql_hash60(f"'{_COMPACT_SALT}:' || CAST(doc_id AS VARCHAR)")}
+               % {_COMPACT_SHARDS} AS shard,
+           CAST(sum(n_chars) AS BIGINT) AS bytes_
+    FROM documents GROUP BY 1
+), tot AS (
+    SELECT CAST(sum(bytes_) AS BIGINT) AS t FROM per
+), t AS (
+    SELECT per.shard, per.bytes_, {cap} AS cap,
+           row_number() OVER (ORDER BY per.bytes_ DESC, per.shard) AS rn
+    FROM per, tot
+), rec AS (
+    SELECT shard, bytes_, cap, rn,
+           CAST(1 AS BIGINT) AS pack_id, CAST(0 AS BIGINT) AS pack_fill,
+           [bytes_] AS fills
+    FROM t WHERE rn = 1
+    UNION ALL
+    SELECT o.shard, o.bytes_, r.cap, o.rn,
+           coalesce(CAST(list_position(r.fills, {fit}) AS BIGINT),
+                    len(r.fills) + 1) AS pack_id,
+           coalesce({fit}, 0) AS pack_fill,
+           CASE WHEN {fit} IS NULL
+                THEN list_append(r.fills, o.bytes_)
+                ELSE [CASE WHEN k = list_position(r.fills, {fit})
+                           THEN r.fills[k] + o.bytes_
+                           ELSE r.fills[k] END
+                      for k in generate_series(1, len(r.fills))] END AS fills
+    FROM rec r JOIN t o ON o.rn = r.rn + 1
+)
+SELECT CAST(shard AS BIGINT) AS shard, bytes_,
+       pack_id AS merge_group, pack_fill AS fill_before
+FROM rec
+ORDER BY shard
+"""
+
+
+ORACLE_corpus_compaction_plan = _compaction_oracle()

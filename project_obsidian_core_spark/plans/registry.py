@@ -1354,6 +1354,20 @@ _ENTRIES: list[tuple[str, QueryFn, str | None]] = [
         r.orders_gini_segment,
         r.ORACLE_orders_gini_segment,
     ),
+    # T49: streaming Gini monitor — A114 served live via the shared
+    # grid/report expression set, gated on the batch oracle verbatim
+    (
+        "stream_gini_segment",
+        st.stream_gini_segment,
+        r.ORACLE_orders_gini_segment,
+    ),
+    # P23: small-shard compaction planner — P11 BFD fold over the
+    # <=64-row shard-size relation, DuckDB recursive-CTE twin
+    (
+        "corpus_compaction_plan",
+        pl.corpus_compaction_plan,
+        pl.ORACLE_corpus_compaction_plan,
+    ),
 ]
 
 # ----------------------------------------------------------------------

@@ -3280,7 +3280,18 @@ def orders_gini_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c_mktsegment").alias("segment"),
         cents("o_totalprice").alias("v"),
     )
-    grid = seg.groupBy("segment", "v").agg(F.count(F.lit(1)).alias("c"))
+    return gini_report(gini_grid(seg))
+
+
+def gini_grid(seg: DataFrame) -> DataFrame:
+    """(segment, v) → count grid — one commutative integer aggregate,
+    shared verbatim by the batch plan and the T49 streaming monitor
+    (complete-mode micro-batch merge ≡ this grid, the T41 rule)."""
+    return seg.groupBy("segment", "v").agg(F.count(F.lit(1)).alias("c"))
+
+
+def gini_report(grid: DataFrame) -> DataFrame:
+    """The A114 rank-sum derivation over the reduced grid."""
     ws = Window.partitionBy("segment")
     wcum = ws.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
     g = (

@@ -3732,3 +3732,51 @@ def stream_extract_content(spark: SparkSession, sf_dir: str) -> DataFrame:
     tmp2 = tempfile.mkdtemp(prefix=f"obsidian_x34_{run}_")
     _run_complete(sums, name, f"{tmp2}/ckpt", spark)
     return extract_report(spark.table(name))
+
+
+# ---------- T49: streaming Gini concentration monitor (A114 live) ---------
+def stream_gini_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T49: the A114 Gini concentration served LIVE — concentration
+    drift is an operational alarm, not a nightly report (a segment
+    whose Gini jumps mid-day means a few whales started dominating
+    revenue — exactly when rate limits and fraud checks should wake):
+    the (segment, value-cents) count grid is a complete-mode streaming
+    aggregation of the SHARED `gini_grid` (commutative integer counts:
+    micro-batch merge ≡ the batch grid), and the drained relation
+    feeds the SHARED `gini_report` rank-sum derivation — one
+    expression set, both engines, so the batch and live gates cannot
+    drift (the T41/T44/T45/T48 rule).  Gated on the batch
+    `orders_gini_segment` oracle verbatim."""
+    from project_obsidian_core_spark.plans.common import cents
+    from project_obsidian_core_spark.plans.relational_queries import (
+        gini_grid,
+        gini_report,
+    )
+
+    run = next(_RUN_IDS)
+    src = _SRC_CACHE.get(f"orders_seg:{sf_dir}")
+    if src is None:
+        tmp = tempfile.mkdtemp(prefix=f"obsidian_oseg_{run}_")
+        src = f"{tmp}/orders_seg_src"
+        orders = load(spark, sf_dir, "orders")
+        cust = load(spark, sf_dir, "customer")
+        orders.join(
+            F.broadcast(cust.select("c_custkey", "c_mktsegment")),
+            orders.o_custkey == F.col("c_custkey"),
+        ).select(
+            F.col("c_mktsegment").alias("segment"),
+            cents("o_totalprice").alias("v"),
+        ).write.mode("overwrite").parquet(src)
+        _SRC_CACHE[f"orders_seg:{sf_dir}"] = src
+
+    schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "4")
+        .parquet(src)
+    )
+    grid = gini_grid(stream)
+    name = f"stream_gini_{run}"
+    tmp2 = tempfile.mkdtemp(prefix=f"obsidian_gini_{run}_")
+    _run_complete(grid, name, f"{tmp2}/ckpt", spark)
+    return gini_report(spark.table(name))
