@@ -446,6 +446,8 @@ BENCH_QUERIES = [
     "orders_gini_segment",    # A114 Gini via distinct-value grid ranks
     "stream_gini_segment",    # T49 Gini served live (shared grid/report)
     "corpus_compaction_plan",  # P23 BFD merge plan over shard sizes
+    "orders_lorenz_deciles",  # A115 Lorenz curve via the A114 grid
+    "text_template_lines",    # X35 line-frequency template detection
     # stream_cdc_merge is timed via _time_cdc_merge below (merge work
     # only): its checkpointed replay rewrites a bucketed parquet snapshot
     # per micro-batch (~12 s/run at sf0.1, >90% filesystem publish/rename

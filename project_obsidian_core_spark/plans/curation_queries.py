@@ -1863,3 +1863,134 @@ ORDER BY source
 
 
 ORACLE_text_extract_content = _x34_oracle()
+
+
+# -------- X35: line-frequency template detection (round 16) ---------------
+TEMPLATE_DOC_SHARE_PPM = 500_000  # a line in >= half the source's docs
+
+
+def text_template_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X35: corpus-statistical boilerplate detection by LINE FREQUENCY
+    — the ccnet/Common-Crawl rule X34's per-line heuristics cannot
+    express: a line occurring in most of a source's documents is
+    template chrome NO MATTER how long or link-free it is (cookie
+    banners, legal footers, "subscribe" calls pass every local rule).
+    The two detectors compose: X34 drops lines a single document
+    convicts, X35 drops lines the CORPUS convicts.  Runs on the X34
+    markup fixture, where the nav/footer lines are identical across
+    docs and the paragraph lines are unique — so the report separates
+    them by frequency alone.
+
+    Per source: line instances, distinct lines, template lines (in ≥
+    {TEMPLATE_DOC_SHARE_PPM} ppm of the source's docs), and the ppm of
+    line INSTANCES a template-strip would remove.
+
+    Exactness: line identity is the md5 of the stripped line; doc
+    share per distinct line = distinct-doc count · 10⁶ div n_docs
+    (truncating); all counts int64.  Scale: the one explode is the
+    tf-idf-shaped (doc, line) relation — 5 rows/doc, bounded fan-out —
+    into a map-side-combined (source, line-hash) aggregate; the
+    report aggregate rides ≤|sources|·|distinct lines| rows."""
+    from pyspark.sql import functions as F
+
+    docs = load(spark, sf_dir, "documents")
+    lines = (
+        docs.select(
+            "doc_id",
+            "source",
+            F.explode(
+                F.expr(
+                    f"split({_markup_fixture_spark()}, chr(10))"
+                )
+            ).alias("line"),
+        )
+        .select(
+            "doc_id",
+            "source",
+            F.md5(F.expr("regexp_replace(line, '<[^>]*>', '')")).alias("lh"),
+        )
+    )
+    n_docs = docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    per_line = lines.groupBy("source", "lh").agg(
+        F.count(F.lit(1)).alias("n_inst"),
+        F.count_distinct("doc_id").alias("n_docs_with"),
+    )
+    flagged = per_line.join(F.broadcast(n_docs), "source").withColumn(
+        "is_template",
+        F.expr(
+            f"n_docs_with * 1000000 div n_docs >= {TEMPLATE_DOC_SHARE_PPM}"
+        ),
+    )
+    return (
+        flagged.groupBy("source")
+        .agg(
+            F.first("n_docs").alias("n_docs"),
+            F.sum("n_inst").alias("line_instances"),
+            F.count(F.lit(1)).alias("distinct_lines"),
+            F.sum(F.when(F.col("is_template"), 1).otherwise(0)).alias(
+                "template_lines"
+            ),
+            F.sum(
+                F.when(F.col("is_template"), F.col("n_inst")).otherwise(0)
+            ).alias("template_instances"),
+        )
+        .withColumn(
+            "template_share_ppm",
+            F.expr("template_instances * 1000000 div line_instances"),
+        )
+        .orderBy("source")
+    )
+
+
+def _x35_oracle() -> str:
+    markup = """concat_ws(chr(10),
+           '<nav>Home | About | Contact</nav>',
+           concat('<p>', substr(text, 1, len(text) // 2), '</p>'),
+           concat('<aside>Related: <a>item', CAST(doc_id % 7 AS VARCHAR),
+                  '</a> <a>item', CAST(doc_id % 5 AS VARCHAR),
+                  '</a> <a>item', CAST(doc_id % 3 AS VARCHAR),
+                  '</a></aside>'),
+           concat('<p>', substr(text, (len(text) // 2) + 1),
+                  ' see <a>ref', CAST(doc_id % 5 AS VARCHAR), '</a></p>'),
+           '<footer>(c) corp 2026</footer>')"""
+    return f"""
+WITH m AS (
+    SELECT doc_id, source, {markup} AS html FROM documents
+), lines AS (
+    SELECT doc_id, source,
+           md5(regexp_replace(l.line, '<[^>]*>', '', 'g')) AS lh
+    FROM m, unnest(string_split(html, chr(10))) AS l(line)
+), nd AS (
+    SELECT source, CAST(count(*) AS BIGINT) AS n_docs
+    FROM documents GROUP BY source
+), per_line AS (
+    SELECT source, lh,
+           CAST(count(*) AS BIGINT) AS n_inst,
+           CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs_with
+    FROM lines GROUP BY source, lh
+), flagged AS (
+    SELECT p.source, p.n_inst,
+           p.n_docs_with * 1000000 // nd.n_docs
+               >= {TEMPLATE_DOC_SHARE_PPM} AS is_template,
+           nd.n_docs
+    FROM per_line p JOIN nd ON p.source = nd.source
+)
+SELECT source,
+       CAST(any_value(n_docs) AS BIGINT) AS n_docs,
+       CAST(sum(n_inst) AS BIGINT) AS line_instances,
+       CAST(count(*) AS BIGINT) AS distinct_lines,
+       CAST(sum(CASE WHEN is_template THEN 1 ELSE 0 END) AS BIGINT)
+           AS template_lines,
+       CAST(sum(CASE WHEN is_template THEN n_inst ELSE 0 END) AS BIGINT)
+           AS template_instances,
+       CAST(sum(CASE WHEN is_template THEN n_inst ELSE 0 END) * 1000000
+            // sum(n_inst) AS BIGINT) AS template_share_ppm
+FROM flagged
+GROUP BY source
+ORDER BY source
+"""
+
+
+ORACLE_text_template_lines = _x35_oracle()

@@ -1368,6 +1368,20 @@ _ENTRIES: list[tuple[str, QueryFn, str | None]] = [
         pl.corpus_compaction_plan,
         pl.ORACLE_corpus_compaction_plan,
     ),
+    # A115: Lorenz curve deciles — the curve behind A114's Gini, same
+    # distinct-value grid, broadcast 10-row decile spine
+    (
+        "orders_lorenz_deciles",
+        r.orders_lorenz_deciles,
+        r.ORACLE_orders_lorenz_deciles,
+    ),
+    # X35: line-frequency template detection — the corpus-statistical
+    # boilerplate rule composing with X34's per-line heuristics
+    (
+        "text_template_lines",
+        cu.text_template_lines,
+        cu.ORACLE_text_template_lines,
+    ),
 ]
 
 # ----------------------------------------------------------------------

@@ -3344,3 +3344,113 @@ FROM g
 GROUP BY segment
 ORDER BY segment
 """
+
+
+# -------- A115: Lorenz curve deciles per segment (round 16) ---------------
+def orders_lorenz_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A115: the Lorenz curve behind A114's Gini — per segment, the
+    cumulative VALUE share held by the poorest d/10 of orders, the
+    curve a concentration review actually plots (Gini is its area;
+    the curve says WHERE the inequality lives: a kinked tail means a
+    few whales, a uniform bow means broad spread).
+
+    Exactness: population deciles are nearest-rank edges r_d =
+    (d·n) div 10 on the same distinct-value grid as A114 (value v with
+    cumulative count C occupies ranks C−c+1..C); the cumulative value
+    at rank r is S_v − v·(C_v − r) for the smallest v with C_v ≥ r —
+    the partial block subtracts exactly; shares are truncating ppm.
+    Scale: the A114 grid aggregate + a broadcast 10-row decile spine
+    joined against the ≤|segments|·|distinct values| grid — no per-row
+    sort, no new corpus exchange."""
+    from project_obsidian_core_spark.plans.common import cents as _cents
+
+    orders = load(spark, sf_dir, "orders")
+    cust = load(spark, sf_dir, "customer")
+    seg = orders.join(
+        F.broadcast(cust.select("c_custkey", "c_mktsegment")),
+        orders.o_custkey == F.col("c_custkey"),
+    ).select(
+        F.col("c_mktsegment").alias("segment"),
+        _cents("o_totalprice").alias("v"),
+    )
+    grid = gini_grid(seg)
+    ws = Window.partitionBy("segment")
+    wcum = ws.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    g = (
+        grid.withColumn("cum", F.sum("c").over(wcum))
+        .withColumn("cumval", F.sum(F.expr("v * c")).over(wcum))
+        .withColumn("n", F.sum("c").over(ws))
+        .withColumn("s0", F.sum(F.expr("v * c")).over(ws))
+    )
+    spine = spark.range(1, 11).select(F.col("id").cast("int").alias("decile"))
+    return (
+        g.crossJoin(F.broadcast(spine))
+        .withColumn("r", F.expr("(decile * n) div 10"))
+        .filter(F.col("cum") >= F.col("r"))
+        .groupBy("segment", "decile")
+        .agg(
+            F.first("r").alias("pop_rank"),
+            F.min(F.struct("v", "cum", "cumval")).alias("edge"),
+        )
+        .select(
+            "segment",
+            "decile",
+            "pop_rank",
+            F.expr("edge.cumval - edge.v * (edge.cum - pop_rank)").alias(
+                "cum_value_cents"
+            ),
+        )
+        .join(
+            F.broadcast(
+                g.groupBy("segment").agg(F.max("s0").alias("s0"))
+            ),
+            "segment",
+        )
+        .select(
+            "segment",
+            "decile",
+            "pop_rank",
+            "cum_value_cents",
+            F.expr("cum_value_cents * 1000000 div s0").alias(
+                "value_share_ppm"
+            ),
+        )
+        .orderBy("segment", "decile")
+    )
+
+
+ORACLE_orders_lorenz_deciles = """
+WITH seg AS (
+    SELECT c.c_mktsegment AS segment,
+           CAST(round(o.o_totalprice * 100, 0) AS BIGINT) AS v
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+), grid AS (
+    SELECT segment, v, CAST(count(*) AS BIGINT) AS c
+    FROM seg GROUP BY segment, v
+), g AS (
+    SELECT segment, v, c,
+           sum(c) OVER (PARTITION BY segment ORDER BY v
+                        ROWS UNBOUNDED PRECEDING) AS cum,
+           sum(v * c) OVER (PARTITION BY segment ORDER BY v
+                            ROWS UNBOUNDED PRECEDING) AS cumval,
+           sum(c) OVER (PARTITION BY segment) AS n,
+           sum(v * c) OVER (PARTITION BY segment) AS s0
+    FROM grid
+), edges AS (
+    SELECT segment, d.decile, (d.decile * n) // 10 AS r,
+           min(struct_pack(v := v, cum := cum, cumval := cumval)) AS edge,
+           max(s0) AS s0
+    FROM g, (SELECT unnest(generate_series(1, 10)) AS decile) d
+    WHERE cum >= (d.decile * n) // 10
+    GROUP BY segment, d.decile, (d.decile * n) // 10
+)
+SELECT segment,
+       CAST(decile AS INT) AS decile,
+       CAST(r AS BIGINT) AS pop_rank,
+       CAST(edge['cumval'] - edge['v'] * (edge['cum'] - r) AS BIGINT)
+           AS cum_value_cents,
+       CAST((edge['cumval'] - edge['v'] * (edge['cum'] - r)) * 1000000
+            // s0 AS BIGINT) AS value_share_ppm
+FROM edges
+ORDER BY segment, decile
+"""
