@@ -4935,24 +4935,31 @@ def embedding_angle_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         " v -> cast(floor(cast(v as double) * 1000000) as bigint))"
     )
     qv = emb.select("vec_id", F.expr(q).alias("q"))
+    # two corpus-side lookups against the BROADCAST pair list (never
+    # broadcast the corpus: each side of the pair is fished out of the
+    # scan by a broadcast join, and the two ≤-bucket-count results meet
+    # on the bucket key)
+    va = qv.join(
+        F.broadcast(pairs.select("b", "ida")),
+        qv.vec_id == F.col("ida"),
+    ).select("b", F.col("q").alias("qa"))
+    vc = qv.join(
+        F.broadcast(pairs.select("b", "idb")),
+        qv.vec_id == F.col("idb"),
+    ).select("b", F.col("q").alias("qc"))
     joined = (
-        qv.alias("a")
-        .join(F.broadcast(pairs), F.col("a.vec_id") == F.col("ida"))
-        .join(
-            qv.alias("c").hint("broadcast"),
-            F.col("c.vec_id") == F.col("idb"),
-        )
+        va.join(F.broadcast(vc), "b")
         .select(
             F.col("b"),
             F.expr(
-                "aggregate(zip_with(a.q, c.q, (x, y) -> x * y),"
+                "aggregate(zip_with(qa, qc, (x, y) -> x * y),"
                 " 0L, (s, x) -> s + x)"
             ).alias("dot"),
             F.expr(
-                "aggregate(a.q, 0L, (s, x) -> s + x * x)"
+                "aggregate(qa, 0L, (s, x) -> s + x * x)"
             ).alias("na"),
             F.expr(
-                "aggregate(c.q, 0L, (s, x) -> s + x * x)"
+                "aggregate(qc, 0L, (s, x) -> s + x * x)"
             ).alias("nb"),
         )
         .filter((F.col("na") > 0) & (F.col("nb") > 0))
