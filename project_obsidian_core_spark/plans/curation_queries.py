@@ -1799,15 +1799,9 @@ def extract_report(sums: DataFrame) -> DataFrame:
     ).orderBy("source")
 
 
-def _x34_oracle() -> str:
-    from project_obsidian_core_spark.datapipe.text import (
-        ANCHOR_RE,
-        BOILER_LINK_PPM,
-        BOILER_MIN_CHARS,
-        TAG_RE,
-    )
-
-    markup = """concat_ws(chr(10),
+#: DuckDB twin of :func:`_markup_fixture_spark` — ONE definition shared
+#: by the X34 and X35 oracles so the fixture cannot drift between them
+_MARKUP_SQL = """concat_ws(chr(10),
            '<nav>Home | About | Contact</nav>',
            concat('<p>', substr(text, 1, len(text) // 2), '</p>'),
            concat('<aside>Related: <a>item', CAST(doc_id % 7 AS VARCHAR),
@@ -1817,6 +1811,17 @@ def _x34_oracle() -> str:
            concat('<p>', substr(text, (len(text) // 2) + 1),
                   ' see <a>ref', CAST(doc_id % 5 AS VARCHAR), '</a></p>'),
            '<footer>(c) corp 2026</footer>')"""
+
+
+def _x34_oracle() -> str:
+    from project_obsidian_core_spark.datapipe.text import (
+        ANCHOR_RE,
+        BOILER_LINK_PPM,
+        BOILER_MIN_CHARS,
+        TAG_RE,
+    )
+
+    markup = _MARKUP_SQL
     strip = f"regexp_replace(l, '{TAG_RE}', '', 'g')"
     noanchor = (
         f"regexp_replace(regexp_replace(l, '{ANCHOR_RE}', '', 'g'),"
@@ -1945,16 +1950,7 @@ def text_template_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _x35_oracle() -> str:
-    markup = """concat_ws(chr(10),
-           '<nav>Home | About | Contact</nav>',
-           concat('<p>', substr(text, 1, len(text) // 2), '</p>'),
-           concat('<aside>Related: <a>item', CAST(doc_id % 7 AS VARCHAR),
-                  '</a> <a>item', CAST(doc_id % 5 AS VARCHAR),
-                  '</a> <a>item', CAST(doc_id % 3 AS VARCHAR),
-                  '</a></aside>'),
-           concat('<p>', substr(text, (len(text) // 2) + 1),
-                  ' see <a>ref', CAST(doc_id % 5 AS VARCHAR), '</a></p>'),
-           '<footer>(c) corp 2026</footer>')"""
+    markup = _MARKUP_SQL
     return f"""
 WITH m AS (
     SELECT doc_id, source, {markup} AS html FROM documents
