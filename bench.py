@@ -448,6 +448,8 @@ BENCH_QUERIES = [
     "corpus_compaction_plan",  # P23 BFD merge plan over shard sizes
     "orders_lorenz_deciles",  # A115 Lorenz curve via the A114 grid
     "text_template_lines",    # X35 line-frequency template detection
+    "stream_shard_skew",      # T50 P20 shard-balance served live
+    "dedup_group_histogram",  # D28 dup cluster-size distribution
     # stream_cdc_merge is timed via _time_cdc_merge below (merge work
     # only): its checkpointed replay rewrites a bucketed parquet snapshot
     # per micro-batch (~12 s/run at sf0.1, >90% filesystem publish/rename

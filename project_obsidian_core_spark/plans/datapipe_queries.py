@@ -5020,3 +5020,64 @@ FROM cp
 GROUP BY 1
 ORDER BY band
 """.format(h="CAST('0x' || substr(md5('" + _ANGLE_SALT + ":' || CAST(vec_id AS VARCHAR)), 1, 15) AS BIGINT)")
+
+
+# -------- D28: dedup group-size histogram (round 16) ----------------------
+def dedup_group_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D28: the duplicate-group SIZE distribution — the planning view
+    behind every dedup budget (P21 says WHEN dup mass arrives in scan
+    order; this says HOW it clusters: ten thousand pairs are a
+    different cleanup job than one 20,000-copy template, at identical
+    dup rates), and the shape MinHash banding parameters should be
+    tuned against.  Per exact-content group size s: the number of
+    groups, the documents they hold, the ppm of the corpus those
+    documents are, and the removable ppm ((s−1)/s of them).
+
+    Exactness: group identity is the D1 md5; all counts int64, shares
+    truncating ppm.  Scale: one (hash → size) map-side-combined
+    aggregate, then a ≤|distinct sizes| histogram aggregate — the
+    corpus is touched once, the histogram relation is tiny."""
+    docs = load(spark, sf_dir, "documents")
+    sizes = (
+        docs.select(F.md5("text").alias("h"))
+        .groupBy("h")
+        .agg(F.count(F.lit(1)).alias("s"))
+    )
+    tot = docs.agg(F.count(F.lit(1)).alias("n"))
+    return (
+        sizes.groupBy("s")
+        .agg(
+            F.count(F.lit(1)).alias("n_groups"),
+            F.sum("s").alias("n_docs"),
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.col("s").alias("group_size"),
+            "n_groups",
+            "n_docs",
+            F.expr("n_docs * 1000000 div n").alias("docs_ppm"),
+            F.expr(
+                "(n_docs - n_groups) * 1000000 div n"
+            ).alias("removable_ppm"),
+        )
+        .orderBy("group_size")
+    )
+
+
+ORACLE_dedup_group_histogram = """
+WITH sizes AS (
+    SELECT md5(text) AS h, CAST(count(*) AS BIGINT) AS s
+    FROM documents GROUP BY 1
+), tot AS (
+    SELECT CAST(count(*) AS BIGINT) AS n FROM documents
+)
+SELECT s AS group_size,
+       CAST(count(*) AS BIGINT) AS n_groups,
+       CAST(sum(s) AS BIGINT) AS n_docs,
+       CAST(sum(s) * 1000000 // n AS BIGINT) AS docs_ppm,
+       CAST((sum(s) - count(*)) * 1000000 // n AS BIGINT)
+           AS removable_ppm
+FROM sizes, tot
+GROUP BY s, n
+ORDER BY group_size
+"""

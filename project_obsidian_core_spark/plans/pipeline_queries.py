@@ -1365,15 +1365,45 @@ def corpus_shard_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
     (same seed, same width); counts/token sums int64; shares truncating
     integer ppm.  Scale: one narrow projection (in-row token count, no
     explode) + ONE map-side-combined ≤n_shards-group aggregate; the
-    share join is a broadcast of a 1-row total."""
+    share join is a broadcast of a 1-row total.  Since r16 the shard
+    key is the stateless hash-range expression directly (identical to
+    corpus_shuffle's, no rank windows to prune) and the three stages
+    are shared fns so the T50 streaming twin cannot drift."""
     docs = load(spark, sf_dir, "documents")
-    keyed = P.corpus_shuffle(
-        docs, seed=_SHUFFLE_SEED, n_shards=_SHUFFLE_SHARDS
-    ).select("shard", F.expr("size(split(text, ' '))").alias("n_tok"))
-    per = keyed.groupBy("shard").agg(
+    return shard_report(shard_sums(shard_stats(docs)))
+
+
+def shard_stats(docs: DataFrame) -> DataFrame:
+    """Per-row (shard, n_tok) — the P12 hash-range bucket as a pure
+    stateless expression (same seed/width as corpus_shuffle), shared
+    verbatim by the batch plan and the T50 streaming monitor."""
+    from project_obsidian_core_spark.datapipe.text import shared_hash60
+
+    key = shared_hash60(
+        F.concat(
+            F.lit(f"shuffle:{_SHUFFLE_SEED}:"),
+            F.col("doc_id").cast("string"),
+        )
+    )
+    return docs.select(
+        key.alias("_k"),
+        F.expr("size(split(text, ' '))").alias("n_tok"),
+    ).select(
+        F.expr(f"_k div {_SHUFFLE_WIDTH}").alias("shard"), "n_tok"
+    )
+
+
+def shard_sums(per: DataFrame) -> DataFrame:
+    """≤n_shards-group commutative integer sums — a complete-mode
+    streaming aggregation merges to the identical relation."""
+    return per.groupBy("shard").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_tok").alias("token_sum"),
     )
+
+
+def shard_report(per: DataFrame) -> DataFrame:
+    """The P20 share/is_hot derivation over the reduced relation."""
     tot = per.agg(
         F.sum("n_docs").alias("td"), F.sum("token_sum").alias("tt")
     )

@@ -1382,6 +1382,20 @@ _ENTRIES: list[tuple[str, QueryFn, str | None]] = [
         cu.text_template_lines,
         cu.ORACLE_text_template_lines,
     ),
+    # T50: streaming shard-skew monitor — P20 served live via the
+    # shared stats/sums/report expression set, batch oracle verbatim
+    (
+        "stream_shard_skew",
+        st.stream_shard_skew,
+        pl.ORACLE_corpus_shard_skew,
+    ),
+    # D28: dedup group-size histogram — how duplication CLUSTERS (the
+    # MinHash-banding tuning view next to P21's scan-order curve)
+    (
+        "dedup_group_histogram",
+        d.dedup_group_histogram,
+        d.ORACLE_dedup_group_histogram,
+    ),
 ]
 
 # ----------------------------------------------------------------------

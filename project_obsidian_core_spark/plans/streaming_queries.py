@@ -3780,3 +3780,45 @@ def stream_gini_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
     tmp2 = tempfile.mkdtemp(prefix=f"obsidian_gini_{run}_")
     _run_complete(grid, name, f"{tmp2}/ckpt", spark)
     return gini_report(spark.table(name))
+
+
+# ---------- T50: streaming shard-skew monitor (P20 served live) -----------
+def stream_shard_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T50: the P20 shard-balance audit served LIVE — writer skew is a
+    front-door alarm (a hot shard forming DURING ingestion means one
+    straggler task and one oversized file at commit time; catching it
+    live lets the writer re-salt before the job ends): the per-row
+    shard key is the SHARED `shard_stats` stateless expression, the
+    per-shard sums a complete-mode streaming aggregation of the SHARED
+    `shard_sums` (commutative ints — micro-batch merge ≡ the batch
+    relation), the share/is_hot derivation the SHARED `shard_report` —
+    one expression set, so the batch and live gates cannot drift (the
+    T41/T44/T45/T48/T49 rule).  Gated on the batch
+    `corpus_shard_skew` oracle verbatim."""
+    from project_obsidian_core_spark.plans.pipeline_queries import (
+        shard_report,
+        shard_stats,
+        shard_sums,
+    )
+
+    run = next(_RUN_IDS)
+    src = _SRC_CACHE.get(f"docs_x34:{sf_dir}")
+    if src is None:
+        tmp = tempfile.mkdtemp(prefix=f"obsidian_docx34_{run}_")
+        src = f"{tmp}/documents_src"
+        load(spark, sf_dir, "documents").select(
+            "doc_id", "source", "text"
+        ).write.mode("overwrite").parquet(src)
+        _SRC_CACHE[f"docs_x34:{sf_dir}"] = src
+
+    schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "4")
+        .parquet(src)
+    )
+    sums = shard_sums(shard_stats(stream))
+    name = f"stream_shskew_{run}"
+    tmp2 = tempfile.mkdtemp(prefix=f"obsidian_shskew_{run}_")
+    _run_complete(sums, name, f"{tmp2}/ckpt", spark)
+    return shard_report(spark.table(name))
