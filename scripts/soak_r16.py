@@ -193,6 +193,41 @@ def main() -> None:
         f"{oversized} oversized pass-throughs"
     )
 
+    # ---- 6. X35: template set invariant under replication ---------------
+    from project_obsidian_core_spark.plans.curation_queries import (
+        text_template_lines,
+    )
+
+    tb = {r["source"]: r.asDict() for r in text_template_lines(spark, sf_dir).collect()}
+    t0 = time.time()
+    tr = {r["source"]: r.asDict() for r in text_template_lines(spark, rep_dir).collect()}
+    t_tmpl = time.time() - t0
+    for s in tb:
+        # nav/footer stay corpus-wide; replicated paragraph lines reach
+        # only 10 docs of 10n (< the 50% threshold), so the TEMPLATE
+        # line set is invariant while instances scale by 10
+        assert tr[s]["template_lines"] == tb[s]["template_lines"], s
+        assert tr[s]["line_instances"] == 10 * tb[s]["line_instances"]
+    print(
+        f"X35 template_lines: 10x corpus in {t_tmpl:.1f}s, template set "
+        f"invariant across {len(tb)} sources"
+    )
+
+    # ---- 7. D28: histogram maps s -> 10s exactly under replication ------
+    from project_obsidian_core_spark.plans.datapipe_queries import (
+        dedup_group_histogram,
+    )
+
+    hb = {r["group_size"]: r["n_groups"] for r in dedup_group_histogram(spark, sf_dir).collect()}
+    t0 = time.time()
+    hr = {r["group_size"]: r["n_groups"] for r in dedup_group_histogram(spark, rep_dir).collect()}
+    t_hist = time.time() - t0
+    assert hr == {10 * s: n for s, n in hb.items()}, (hb, hr)
+    print(
+        f"D28 group_histogram: 10x corpus in {t_hist:.1f}s, histogram "
+        f"maps s->10s exactly ({hb} -> {hr})"
+    )
+
     print(f"SOAK r16 OK (docs base {n_docs})")
     spark.stop()
 
