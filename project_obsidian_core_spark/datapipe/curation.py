@@ -87,12 +87,23 @@ def word_ngrams(toks: Column, n: int) -> Column:
 
     Guarded for short docs: Spark ``sequence(1, 0)`` returns ``[1, 0]``
     (descending!), so the empty case is an explicit branch.
+
+    ``toks`` is bound ONCE per row via the single-element
+    ``transform(array(..), tk -> ..)`` wrapper: Spark does not hoist
+    lambda-invariant subexpressions, so a caller passing a raw
+    ``split(text, ' ')`` expression would otherwise re-tokenize the
+    document once per gram position — O(L²) per row (r16 optimization
+    round).  For callers that already pass a plain column attribute the
+    wrapper is a no-op-cost identity.
     """
-    idx = F.sequence(F.lit(1), F.size(toks) - F.lit(n - 1))
-    grams = F.transform(idx, lambda i: F.array_join(F.slice(toks, i, n), " "))
-    return F.when(F.size(toks) >= n, grams).otherwise(
-        F.expr("cast(array() as array<string>)")
-    )
+    def _grams(tk: Column) -> Column:
+        idx = F.sequence(F.lit(1), F.size(tk) - F.lit(n - 1))
+        grams = F.transform(idx, lambda i: F.array_join(F.slice(tk, i, n), " "))
+        return F.when(F.size(tk) >= n, grams).otherwise(
+            F.expr("cast(array() as array<string>)")
+        )
+
+    return F.element_at(F.transform(F.array(toks), _grams), 1)
 
 
 # -------------------------------------------------------- decontamination --
@@ -365,11 +376,25 @@ def tile_dedup(df: DataFrame, text_col: str = "text", tile: int = TILE_TOKENS) -
     """
     from pyspark.sql.window import Window
 
-    toks = _toks(text_col)
-    n_tiles = F.expr(f"(size(split({text_col}, ' ')) + {tile - 1}) div {tile}")
-    tiles = F.transform(
-        F.sequence(F.lit(1), n_tiles),
-        lambda i: F.array_join(F.slice(toks, (i - F.lit(1)) * tile + 1, tile), " "),
+    # tokenization bound ONCE per row (single-element transform wrapper):
+    # the naive form re-split the text once per tile (r16 optimization
+    # round; same lambda-invariant-hoisting fix as dedup.shingle_set)
+    tiles = F.element_at(
+        F.transform(
+            F.array(_toks(text_col)),
+            lambda tk: F.transform(
+                F.sequence(
+                    F.lit(1),
+                    F.floor(
+                        (F.size(tk) + F.lit(tile - 1)) / F.lit(tile)
+                    ).cast("int"),
+                ),
+                lambda i: F.array_join(
+                    F.slice(tk, (i - F.lit(1)) * tile + 1, tile), " "
+                ),
+            ),
+        ),
+        1,
     )
     ex = df.select(
         "doc_id", F.posexplode(tiles).alias("_pos", "tile")
@@ -558,16 +583,21 @@ def bigram_surprisal_score(df: DataFrame, text_col: str = "text") -> DataFrame:
         "doc_id",
         F.explode(
             # short-doc guard: sequence(1, 0) is DESCENDING in Spark, so
-            # generate >= 1 element and slice back to the true length
+            # generate >= 1 element and slice back to the true length.
+            # The split is bound ONCE via the single-element transform
+            # wrapper (Spark does not hoist lambda-invariant
+            # subexpressions: the naive form re-split the text twice per
+            # bigram position — O(L²) per row; r16 optimization round).
             F.expr(
-                f"slice(transform("
-                f"  sequence(1, greatest(size(split({text_col}, ' ')) - 1, 1)),"
+                f"element_at(transform(array(split({text_col}, ' ')), tk ->"
+                f" slice(transform("
+                f"  sequence(1, greatest(size(tk) - 1, 1)),"
                 f"  i -> named_struct("
-                f"    'prev', element_at(split({text_col}, ' '), i),"
+                f"    'prev', element_at(tk, i),"
                 # try_: the over-generated guard element indexes past the
                 # array end on 1-token docs (ANSI element_at raises)
-                f"    'next', try_element_at(split({text_col}, ' '), i + 1))),"
-                f" 1, greatest(size(split({text_col}, ' ')) - 1, 0))"
+                f"    'next', try_element_at(tk, i + 1))),"
+                f" 1, greatest(size(tk) - 1, 0))), 1)"
             )
         ).alias("bg"),
     ).select("doc_id", F.col("bg.prev").alias("prev"), F.col("bg.next").alias("next"))

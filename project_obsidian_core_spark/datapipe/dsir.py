@@ -49,13 +49,18 @@ DSIR_BUCKETS = 4096
 def _features(text_col: str) -> Column:
     """Unigrams + bigrams over whitespace-normalised tokens, one array.
     The size>=2 guard keeps sequence() from descending on 1-token docs."""
+    # tokenization bound ONCE per row (single-element transform wrapper):
+    # Spark does not hoist lambda-invariant subexpressions, so the naive
+    # form re-ran regexp_replace + split TWICE per bigram position —
+    # O(L²) per row with a regex pass each time (r16 optimization round)
     toks = f"split(trim(regexp_replace({text_col}, '\\\\s+', ' ')), ' ')"
     return F.expr(
-        f"concat({toks}, "
-        f" case when size({toks}) >= 2 then"
-        f"   transform(sequence(1, size({toks}) - 1),"
-        f"     i -> concat(element_at({toks}, i), ' ', element_at({toks}, i + 1)))"
-        f" else array() end)"
+        f"element_at(transform(array({toks}), tk ->"
+        f" concat(tk, "
+        f"  case when size(tk) >= 2 then"
+        f"    transform(sequence(1, size(tk) - 1),"
+        f"      i -> concat(element_at(tk, i), ' ', element_at(tk, i + 1)))"
+        f"  else array() end)), 1)"
     )
 
 
