@@ -3009,8 +3009,16 @@ def dedup_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(
             F.abs(F.length("pa") - F.length("pb")) <= F.lit(_EDIT_MAX)
         )
-        .withColumn("edit_dist", F.levenshtein("pa", "pb").cast("long"))
-        .filter(F.col("edit_dist") <= _EDIT_MAX)
+        # banded DP (Spark 3.5+ threshold form): computes the exact
+        # distance for pairs within the band and -1 beyond it, touching
+        # O((2k+1)·n) cells instead of O(n²) — result-identical because
+        # every -1 row is exactly a row the band filter discarded anyway
+        # (r16 optimization round; the >= 0 guard keeps the -1 sentinel
+        # out of the <= band predicate).
+        .withColumn(
+            "edit_dist", F.levenshtein("pa", "pb", _EDIT_MAX).cast("long")
+        )
+        .filter((F.col("edit_dist") >= 0) & (F.col("edit_dist") <= _EDIT_MAX))
     )
     return j.select(
         "doc_a",
