@@ -4697,65 +4697,104 @@ def embedding_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
         "transform(embedding,"
         " v -> cast(floor(cast(v as double) * 1000000.0) as bigint))"
     )
-    pairs = (
-        f"flatten(transform(sequence(0, {d - 1}), i ->"
-        f" transform(sequence(0, {d - 1}), j -> named_struct("
-        f"   'i', i, 'j', j,"
-        f"   'p', element_at(q, i + 1) * element_at(q, j + 1)))))"
+    # Gram build (r16 optimization round): explode only the ROW index i
+    # (d rows per vector, each carrying the quantized array) and compute
+    # the d column sums as d wide aggregate expressions — the partial
+    # (map-side) aggregation then folds everything into d groups × d sum
+    # buffers before the exchange.  The previous form exploded d² =
+    # 4096 named_structs per vector into the hash aggregate (measured
+    # 10.4 → 2.6 s warm at sf0.1).  Same exact int64 sums, same (i, j,
+    # g) relation.
+    ex = emb.select(F.expr(q).alias("q")).select(
+        F.posexplode("q").alias("i", "qi"), F.col("q")
     )
-    gram = (
-        emb.select(F.expr(q).alias("q"))
-        .select(F.explode(F.expr(pairs)).alias("t"))
-        .select(F.col("t.i").alias("i"), F.col("t.j").alias("j"),
-                F.col("t.p").alias("p"))
-        .groupBy("i", "j")
-        .agg(F.sum("p").alias("g"))
+    gram_wide = ex.groupBy("i").agg(
+        *[F.sum(F.col("qi") * F.col("q")[j]).alias(f"g{j}") for j in range(d)]
     )
-    gmax = gram.agg(F.max(F.abs(F.col("g"))).alias("gm"))
+    # The whole d×d iteration runs IN-ROW (r16 optimization round): the
+    # gram collapses to ONE row (transform(array_sort(collect_list))
+    # orders the d row-vectors by i) and the 3 unrolled mat-vec rounds +
+    # rayleigh are pure array expressions over it.  The previous
+    # relational unrolling re-planned and re-scheduled ~10 tiny
+    # join/agg/broadcast jobs per run — 11.5 s of fixed overhead for
+    # 4096-row relations (measured; the corpus scan itself is ~1 s).
+    # Exactness is untouched: every op is the same int64 chain (sums
+    # reordered only — int64 addition is associative, and the docstring
+    # bound |w| <= 64·10¹² keeps every partial in range); divisor-first
+    # rescale, truncating div, and the rayleigh truncation chain are
+    # verbatim.  Each intermediate is bound once via the single-element
+    # transform(array(..), name -> ..) wrapper, so nothing re-evaluates.
+    gg_row = gram_wide.select(
+        F.struct(
+            F.col("i"),
+            F.array(*[F.col(f"g{j}") for j in range(d)]).alias("gr"),
+        ).alias("s")
+    ).agg(F.expr("transform(array_sort(collect_list(s)), x -> x.gr)").alias("gg"))
+
+    def bind(val: str, name: str, body: str) -> str:
+        return f"element_at(transform(array({val}), {name} -> {body}), 1)"
+
+    def matvec(gs: str, v: str) -> str:
+        return (
+            f"transform({gs}, r -> aggregate(zip_with(r, {v},"
+            f" (a, b) -> a * b), 0L, (acc, x) -> acc + x))"
+        )
+
+    def maxabs(arr: str) -> str:
+        return f"aggregate({arr}, 0L, (m, x) -> greatest(m, abs(x)))"
+
+    def renorm(w: str, wm: str) -> str:
+        return f"transform({w}, x -> x div greatest({wm} div {_PCA_S}, 1))"
+
+    v0 = f"transform(sequence(1, {d}), z -> cast({_PCA_S} as bigint))"
+    ray = (
+        "aggregate(zip_with(vf, wf, (a, b) -> (a div 1000) * (b div 1000)),"
+        " 0L, (acc, x) -> acc + x)"
+        " div greatest(aggregate(vf, 0L,"
+        " (acc, x) -> acc + (x div 1000) * (x div 1000)), 1)"
+    )
+    body = bind(
+        matvec("gs", f"v{_PCA_ROUNDS}"),
+        "w4",
+        bind(
+            f"v{_PCA_ROUNDS}",
+            "vf",
+            bind(
+                "w4",
+                "wf",
+                f"named_struct('v', vf, 'ray', {ray})",
+            ),
+        ),
+    )
+    for k in range(_PCA_ROUNDS, 0, -1):
+        prev = f"v{k - 1}" if k > 1 else "v0_"
+        body = bind(
+            matvec("gs", prev),
+            f"w{k}",
+            bind(
+                renorm(f"w{k}", f"greatest({maxabs(f'w{k}')}, 1)"),
+                f"v{k}",
+                body,
+            ),
+        )
     # rescale as g div (gm div S): dividing the DIVISOR first keeps the
     # product out of int64 overflow (g·10^6 can exceed 2^63 at sf0.01);
     # the slightly different truncation is identical in both engines
-    gs = gram.crossJoin(F.broadcast(gmax)).select(
-        "i",
-        "j",
-        F.expr(f"g div greatest(gm div {_PCA_S}, 1)").alias("gs"),
+    expr = bind(
+        maxabs("flatten(gg)"),
+        "gm",
+        bind(
+            f"transform(gg, r0 -> transform(r0,"
+            f" g -> g div greatest(gm div {_PCA_S}, 1)))",
+            "gs",
+            bind(v0, "v0_", body),
+        ),
     )
-
-    v = spark.range(d).select(
-        F.col("id").cast("int").alias("j"), F.lit(_PCA_S).cast("long").alias("v")
-    )
-    for _ in range(_PCA_ROUNDS):
-        w = (
-            gs.join(F.broadcast(v), "j")
-            .groupBy("i")
-            .agg(F.sum(F.col("gs") * F.col("v")).alias("w"))
-        )
-        wmax = w.agg(F.greatest(F.max(F.abs(F.col("w"))), F.lit(1)).alias("wm"))
-        v = w.crossJoin(F.broadcast(wmax)).select(
-            F.col("i").alias("j"),
-            F.expr(f"w div greatest(wm div {_PCA_S}, 1)").alias("v"),
-        )
-    w4 = (
-        gs.join(F.broadcast(v), "j")
-        .groupBy("i")
-        .agg(F.sum(F.col("gs") * F.col("v")).alias("w"))
-    )
-    vw = v.select(F.col("j").alias("i"), "v").join(w4, "i")
-    ray = vw.agg(
-        F.expr(
-            "sum((v div 1000) * (w div 1000)) div"
-            " greatest(sum((v div 1000) * (v div 1000)), 1)"
-        ).alias("rayleigh_scaled")
-    )
-    return (
-        vw.crossJoin(F.broadcast(ray))
-        .select(
-            F.col("i").alias("dim"),
-            F.col("v").alias("component_scaled"),
-            "rayleigh_scaled",
-        )
-        .orderBy("dim")
-    )
+    row = gg_row.select(F.expr(expr).alias("res"))
+    return row.select(
+        F.posexplode("res.v").alias("dim", "component_scaled"),
+        F.col("res.ray").alias("rayleigh_scaled"),
+    ).orderBy("dim")
 
 
 def _pca_oracle() -> str:
