@@ -2364,22 +2364,32 @@ def embedding_crossmoments(spark: SparkSession, sf_dir: str) -> DataFrame:
         "transform(embedding,"
         " v -> cast(floor(cast(v as double) * 1000000.0) as bigint))"
     )
-    pairs = (
-        f"flatten(transform(sequence(0, {d - 1}), i ->"
-        f" transform(sequence(i, {d - 1}), j -> named_struct("
-        f"   'i', i, 'j', j,"
-        f"   'p', element_at(q, i + 1) * element_at(q, j + 1)))))"
+    # r16 optimization round: explode only the ROW index (d rows per
+    # vector, the array carried alongside) into a d-group aggregate with
+    # d sum buffers, then emit the upper triangle from the aggregated
+    # row — the previous form allocated 2080 named_structs per vector
+    # into the hash aggregate (the embedding_pca_power gram fix; 4.0 →
+    # ~1 s warm at sf0.1).  The full-row sums cost 2× the multiplies of
+    # the triangle in codegen but zero allocations; values identical
+    # (same int64 products, same per-(i,j) sums, n = corpus count for
+    # every pair in both forms).
+    ex = emb.select(F.expr(q).alias("q")).select(
+        F.posexplode("q").alias("dim_i", "qi"), F.col("q")
+    )
+    wide = ex.groupBy("dim_i").agg(
+        F.count(F.lit(1)).alias("n"),
+        *[F.sum(F.col("qi") * F.col("q")[j]).alias(f"s{j}") for j in range(d)],
     )
     return (
-        emb.select(F.expr(q).alias("q"))
-        .select(F.explode(F.expr(pairs)).alias("t"))
-        .select(F.col("t.i").alias("dim_i"), F.col("t.j").alias("dim_j"),
-                F.col("t.p").alias("p"))
-        .groupBy("dim_i", "dim_j")
-        .agg(
-            F.count(F.lit(1)).alias("n"),
-            F.sum("p").alias("sum_cross_micro2"),
+        wide.select(
+            "dim_i",
+            "n",
+            F.posexplode(F.array(*[F.col(f"s{j}") for j in range(d)])).alias(
+                "dim_j", "sum_cross_micro2"
+            ),
         )
+        .filter(F.col("dim_j") >= F.col("dim_i"))
+        .select("dim_i", "dim_j", "n", "sum_cross_micro2")
         .orderBy("dim_i", "dim_j")
     )
 
