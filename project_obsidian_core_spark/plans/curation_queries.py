@@ -477,7 +477,7 @@ ORACLE_corpus_weighted_sample = _weighted_oracle()
 # ---------------------------------------------------- composite QF report --
 def corpus_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C4/Gopher-style heuristic gate with an auditable reasons bitmask."""
-    return C.quality_filter(load(spark, sf_dir, "documents")).orderBy("doc_id")
+    return C.quality_filter(load(spark, sf_dir, "documents").orderBy("doc_id"))
 
 
 ORACLE_corpus_quality_filter = f"""

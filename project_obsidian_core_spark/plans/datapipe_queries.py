@@ -19,10 +19,28 @@ def _sql_list(words: tuple[str, ...]) -> str:
     return ", ".join(f"'{w}'" for w in words)
 
 
+def _docs_by_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents ordered by doc_id BEFORE the per-row feature projection.
+
+    For the pure per-row operators (token stats, quality, lang-id,
+    fingerprint, simhash) a trailing ``.orderBy`` made the range
+    exchange's boundary-sampling job re-execute the whole expensive
+    projection a second time (the sample pass runs the full child plan;
+    measured 2.5 → 1.5 s on text_fingerprint at sf0.1, r16 optimization
+    round).  Sorting the RAW rows first costs the sampling pass only the
+    scan, and a deterministic per-row projection preserves the range
+    partitioning and intra-partition order, so the output rows and
+    their order are identical.  Only valid for shuffle-free per-row
+    operators — anything with an internal exchange destroys the
+    pre-sort and must keep its own trailing orderBy.
+    """
+    return load(spark, sf_dir, "documents").orderBy("doc_id")
+
+
 # ------------------------------------------------------------- token stats
 def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token counting (whitespace + BPE-ish regex) over documents."""
-    return T.with_token_stats(load(spark, sf_dir, "documents")).orderBy("doc_id")
+    return T.with_token_stats(_docs_by_id(spark, sf_dir))
 
 
 ORACLE_text_token_stats = f"""
@@ -43,7 +61,7 @@ ORDER BY doc_id
 # ------------------------------------------------------------ quality score
 def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality scoring (length/punct/stopword/diversity ratios)."""
-    return T.with_quality_score(load(spark, sf_dir, "documents")).orderBy("doc_id")
+    return T.with_quality_score(_docs_by_id(spark, sf_dir))
 
 
 ORACLE_text_quality = f"""
@@ -81,7 +99,7 @@ ORDER BY doc_id
 # ----------------------------------------------------------------- lang id
 def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Profile-based language-ID with deterministic argmax."""
-    return T.with_lang_id(load(spark, sf_dir, "documents")).orderBy("doc_id")
+    return T.with_lang_id(_docs_by_id(spark, sf_dir))
 
 
 def _lang_oracle(body_only: bool = False) -> str:
@@ -125,7 +143,7 @@ ORACLE_text_lang_id = _lang_oracle()
 # -------------------------------------------------------------- fingerprint
 def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """k-gram min-hash content fingerprint per document."""
-    return T.with_fingerprint(load(spark, sf_dir, "documents")).orderBy("doc_id")
+    return T.with_fingerprint(_docs_by_id(spark, sf_dir))
 
 
 _K = T.FINGERPRINT_K
@@ -233,7 +251,7 @@ ORACLE_dedup_minhash_lsh = _minhash_oracle()
 
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document 32-bit SimHash signatures."""
-    return D.simhash_signatures(load(spark, sf_dir, "documents")).orderBy("doc_id")
+    return D.simhash_signatures(_docs_by_id(spark, sf_dir))
 
 
 def _simhash_oracle() -> str:
