@@ -1,12 +1,15 @@
 """Optimization-round measurement harness (guide §1).
 
-For each named query: capture .explain("formatted") to plans/r16/<q>_<tag>.txt
-and time the computation through the noop sink (cold + N warm, same
-methodology as bench.py), with the job labelled in the UI.
+For each named query: capture .explain("formatted") to
+plans/$SPARK_GRAFT_PLANS_ROUND/<q>_<tag>.txt (round dir defaults to r17 —
+ADVICE r16: derive the directory instead of hardcoding one round) and time
+the computation through the noop sink (cold + N warm, same methodology as
+bench.py), with the job labelled in the UI.
 
 Usage: python scripts/opt_measure.py <tag> <query> [query ...]
        SPARK_GRAFT_OPT_REPEAT=3  warm repeats (default 3)
        SPARK_GRAFT_SF_DIR        data dir (default /root/testdata/sf0.1)
+       SPARK_GRAFT_PLANS_ROUND   plans subdir (default r17)
 
 Prints one line per query:  <name> cold=<s> warm=[...] min=<s>
 """
@@ -33,7 +36,9 @@ def main() -> None:
     names = sys.argv[2:]
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     repeat = int(os.environ.get("SPARK_GRAFT_OPT_REPEAT", "3"))
-    plans_dir = os.path.join(REPO, "plans", "r16")
+    plans_dir = os.path.join(
+        REPO, "plans", os.environ.get("SPARK_GRAFT_PLANS_ROUND", "r17")
+    )
     os.makedirs(plans_dir, exist_ok=True)
 
     spark = build_session(app_name=f"obsidian-opt-{tag}")
