@@ -39,11 +39,44 @@ from __future__ import annotations
 
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+# --- per-group Python-boundary helpers (guide §4, r17 optimization) -------
+# applyInPandasWithState calls the state fn once per key per micro-batch
+# (~1.5k calls/batch here), so per-call constant costs dominate the replay
+# tier's wall time.  Two measured sinks, both fixed without changing a
+# single emitted value:
+#  * building output frames from dicts of PYTHON LISTS makes pandas run
+#    type inference per column (~0.3 ms/frame); preconverted numpy arrays
+#    with copy=False halve it.  Only provably non-null columns may be
+#    converted (np.asarray turns None into nan, which would silently
+#    change a NULL into a value) — nullable columns keep their existing
+#    list/pd.array paths.
+#  * iterating pandas Series row by row yields numpy scalars (one Python
+#    object + int() call per element); Series.tolist() is a single C
+#    conversion to builtins, ~4x cheaper, and feeds the same pure fold.
+
+
+def _i64(vals) -> np.ndarray:
+    """int64 column from a list of non-null Python ints."""
+    return np.asarray(vals, dtype=np.int64)
+
+
+def _full(n: int, v: int) -> np.ndarray:
+    """Constant int64 column."""
+    return np.full(n, v, dtype=np.int64)
+
+
+def _obj(vals: list) -> np.ndarray:
+    """object column (strings) without element-wise inference."""
+    a = np.empty(len(vals), dtype=object)
+    a[:] = vals
+    return a
 
 STATE_SCHEMA = T.StructType(
     [
@@ -163,23 +196,28 @@ def make_sequence_fn(evict: bool = False):
                 absorbed += len(pdf)
                 ts, eid, types = merge_sequence(
                     ts, eid, types,
-                    zip(pdf["ts_us"], pdf["event_id"], pdf["event_type"]),
+                    zip(
+                        pdf["ts_us"].tolist(),
+                        pdf["event_id"].tolist(),
+                        pdf["event_type"].tolist(),
+                    ),
                 )
         if not absorbed and not timed_out:
             return
         version += absorbed
 
         def frame(items, final):
+            n = len(items)
             cols = {
-                "user_id": [user] * len(items),
-                "prev_type": [p for (p, _), _ in items],
-                "next_type": [q for (_, q), _ in items],
-                "n": [c for _, c in items],
-                "version": [version] * len(items),
+                "user_id": _full(n, user),
+                "prev_type": _obj([p for (p, _), _ in items]),
+                "next_type": _obj([q for (_, q), _ in items]),
+                "n": _i64([c for _, c in items]),
+                "version": _full(n, version),
             }
             if evict:
-                cols["is_final"] = [final] * len(items)
-            return pd.DataFrame(cols)
+                cols["is_final"] = np.full(n, final, dtype=bool)
+            return pd.DataFrame(cols, copy=False)
 
         if evict:
             import bisect
@@ -366,7 +404,11 @@ def make_funnel_fn(stages: tuple[str, ...], within_us: int, evict: bool = False)
                     continue  # tombstoned: the outcome is immutable
                 ts, eid, types = merge_sequence(
                     ts, eid, types,
-                    zip(pdf["ts_us"], pdf["event_id"], pdf["event_type"]),
+                    zip(
+                        pdf["ts_us"].tolist(),
+                        pdf["event_id"].tolist(),
+                        pdf["event_type"].tolist(),
+                    ),
                 )
         if (not absorbed and not timed_out) or done:
             return
@@ -572,12 +614,11 @@ def make_session_fn(gap_us: int, evict: bool = False):
                 # payload column is the cents value instead of the type)
                 ts, eid, vals = merge_sequence(
                     ts, eid, vals,
-                    [
-                        (int(t), int(e), int(v))
-                        for t, e, v in zip(
-                            pdf["ts_us"], pdf["event_id"], pdf["cents"]
-                        )
-                    ],
+                    zip(
+                        pdf["ts_us"].tolist(),
+                        pdf["event_id"].tolist(),
+                        pdf["cents"].tolist(),
+                    ),
                 )
         if not absorbed and not timed_out:
             return
@@ -585,18 +626,19 @@ def make_session_fn(gap_us: int, evict: bool = False):
         rows = gap_sessions(ts, vals, gap_us)
 
         def frame(srows, final):
+            n = len(srows)
             cols = {
-                "user_id": [user] * len(srows),
-                "session_idx": [closed_n + r[0] for r in srows],
-                "session_start_us": [r[1] for r in srows],
-                "session_end_us": [r[2] for r in srows],
-                "n_events": [r[3] for r in srows],
-                "value_sum": [r[4] for r in srows],
-                "version": [version] * len(srows),
+                "user_id": _full(n, user),
+                "session_idx": _i64([closed_n + r[0] for r in srows]),
+                "session_start_us": _i64([r[1] for r in srows]),
+                "session_end_us": _i64([r[2] for r in srows]),
+                "n_events": _i64([r[3] for r in srows]),
+                "value_sum": _i64([r[4] for r in srows]),
+                "version": _full(n, version),
             }
             if evict:
-                cols["is_final"] = [final] * len(srows)
-            return pd.DataFrame(cols)
+                cols["is_final"] = np.full(n, final, dtype=bool)
+            return pd.DataFrame(cols, copy=False)
 
         if evict:
             wm_ms = state.getCurrentWatermarkMs()
@@ -752,7 +794,7 @@ def make_ewma_fn(alpha_fast: float, alpha_slow: float):
                 continue
             absorbed += len(pdf)
             buckets, sums = fold_bucket_sums(
-                buckets, sums, zip(pdf["bucket"], pdf["v"])
+                buckets, sums, zip(pdf["bucket"].tolist(), pdf["v"].tolist())
             )
         if not absorbed:
             return
@@ -863,6 +905,28 @@ def asof_lookup(
     return out
 
 
+def _asof_lookup_np(
+    c_ts: list[int], p_ts: list[int], p_cents: list[int]
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Vectorized :func:`asof_lookup`: one ``np.searchsorted`` over the
+    sorted purchase map instead of a Python ``bisect`` per click
+    (``side='right'`` IS ``bisect_right``, so the picked indices are
+    identical; unit-pinned against the scalar twin).  Returns
+    ``(ts values, cents values, null mask)`` sized for direct
+    ``pd.arrays.IntegerArray`` construction — values under the mask are
+    padding the nullable column never exposes."""
+    ct = np.asarray(c_ts, dtype=np.int64)
+    idx = np.searchsorted(np.asarray(p_ts, dtype=np.int64), ct, side="right")
+    mask = idx == 0
+    if not p_ts:
+        zeros = np.zeros(len(c_ts), dtype=np.int64)
+        return zeros, zeros, mask
+    safe = np.maximum(idx - 1, 0)
+    vals = np.asarray(p_ts, dtype=np.int64)[safe]
+    cents = np.asarray(p_cents, dtype=np.int64)[safe]
+    return vals, cents, mask
+
+
 def make_asof_fn(evict: bool = False):
     """``evict=True`` enables watermark eviction for the TWO-SIDED state
     (round 11, extending the interval_state contract to the as-of join):
@@ -909,43 +973,55 @@ def make_asof_fn(evict: bool = False):
                 if not len(pdf):
                     continue
                 absorbed += len(pdf)
-                clicks = pdf[pdf["side"] == "L"]
-                if len(clicks):
+                # one numpy side-mask instead of two pandas boolean
+                # row-subsets (per-group constant cost, guide §4)
+                sides = pdf["side"].to_numpy()
+                b_ts = pdf["ts_us"].tolist()
+                b_cents = pdf["cents"].tolist()
+                lmask = sides == "L"
+                if lmask.any():
+                    b_eid = pdf["event_id"].tolist()
                     c_ts, c_eid, c_cents = merge_sequence(
                         c_ts, c_eid, c_cents,
                         [
-                            (int(t), int(e), int(v))
-                            for t, e, v in zip(
-                                clicks["ts_us"], clicks["event_id"], clicks["cents"]
+                            (t, e, v)
+                            for t, e, v, is_l in zip(
+                                b_ts, b_eid, b_cents, lmask.tolist()
                             )
+                            if is_l
                         ],
                     )
-                rights = pdf[pdf["side"] == "R"]
-                if len(rights):
+                if not lmask.all():
                     p_ts, p_cents = fold_purchases(
-                        p_ts, p_cents, zip(rights["ts_us"], rights["cents"])
+                        p_ts, p_cents,
+                        [
+                            (t, v)
+                            for t, v, is_l in zip(b_ts, b_cents, lmask.tolist())
+                            if not is_l
+                        ],
                     )
         if not absorbed and not timed_out:
             return
         version += absorbed
 
         def frame(cts, ceid, ccents, hits, final):
+            n = len(cts)
+            # hits = (values int64 array, null mask) from asof_lookup;
+            # direct IntegerArray construction skips pd.array's per-element
+            # inference while producing the identical nullable column
+            h_vals, h_cents, h_mask = hits
             cols = {
-                "user_id": [user] * len(cts),
-                "event_id": ceid,
-                "ts_us": cts,
-                "cents": ccents,
-                "last_purchase_us": pd.array(
-                    [h[0] for h in hits], dtype="Int64"
-                ),
-                "last_purchase_cents": pd.array(
-                    [h[1] for h in hits], dtype="Int64"
-                ),
-                "version": [version] * len(cts),
+                "user_id": _full(n, user),
+                "event_id": _i64(ceid),
+                "ts_us": _i64(cts),
+                "cents": _i64(ccents),
+                "last_purchase_us": pd.arrays.IntegerArray(h_vals, h_mask),
+                "last_purchase_cents": pd.arrays.IntegerArray(h_cents, h_mask),
+                "version": _full(n, version),
             }
             if evict:
-                cols["is_final"] = [final] * len(cts)
-            return pd.DataFrame(cols)
+                cols["is_final"] = np.full(n, final, dtype=bool)
+            return pd.DataFrame(cols, copy=False)
 
         if evict:
             import bisect
@@ -985,7 +1061,7 @@ def make_asof_fn(evict: bool = False):
             if cut > 0:
                 # frozen clicks: matched against the FULL purchase map,
                 # emitted exactly once, then evicted
-                fh = asof_lookup(c_ts[:cut], p_ts, p_cents)
+                fh = _asof_lookup_np(c_ts[:cut], p_ts, p_cents)
                 yield frame(c_ts[:cut], c_eid[:cut], c_cents[:cut], fh, True)
                 c_ts, c_eid, c_cents = c_ts[cut:], c_eid[cut:], c_cents[cut:]
             # purchase purge: in-horizon ones plus the latest frozen one
@@ -1000,8 +1076,8 @@ def make_asof_fn(evict: bool = False):
         state.update((c_ts, c_eid, c_cents, p_ts, p_cents, version))
         if not c_ts:
             return
-        hits = asof_lookup(c_ts, p_ts, p_cents)
-        # no-match columns are all-None for purchase-less users: pandas
+        hits = _asof_lookup_np(c_ts, p_ts, p_cents)
+        # no-match columns are null for purchase-less users: pandas
         # nullable Int64 keeps them typed (an object column of Nones trips
         # the serializer's concat FutureWarning and loses the long dtype)
         yield frame(c_ts, c_eid, c_cents, hits, False)
@@ -1113,7 +1189,7 @@ def make_pettitt_fn():
                 continue
             absorbed += len(pdf)
             buckets, sums = fold_bucket_sums(
-                buckets, sums, zip(pdf["bucket"], pdf["v"])
+                buckets, sums, zip(pdf["bucket"].tolist(), pdf["v"].tolist())
             )
         if not absorbed:
             return
@@ -1225,7 +1301,7 @@ def make_bollinger_fn():
                 continue
             absorbed += len(pdf)
             buckets, sums = fold_bucket_sums(
-                buckets, sums, zip(pdf["bucket"], pdf["v"])
+                buckets, sums, zip(pdf["bucket"].tolist(), pdf["v"].tolist())
             )
         if not absorbed:
             return
@@ -1334,7 +1410,7 @@ def make_drawdown_fn():
                 continue
             absorbed += len(pdf)
             buckets, sums = fold_bucket_sums(
-                buckets, sums, zip(pdf["bucket"], pdf["v"])
+                buckets, sums, zip(pdf["bucket"].tolist(), pdf["v"].tolist())
             )
         if not absorbed:
             return
@@ -1437,7 +1513,7 @@ def make_cusum_fn():
                 continue
             absorbed += len(pdf)
             buckets, sums = fold_bucket_sums(
-                buckets, sums, zip(pdf["bucket"], pdf["v"])
+                buckets, sums, zip(pdf["bucket"].tolist(), pdf["v"].tolist())
             )
         if not absorbed:
             return
@@ -1532,7 +1608,7 @@ def make_holt_fn(alpha: float, beta: float):
                 continue
             absorbed += len(pdf)
             buckets, sums = fold_bucket_sums(
-                buckets, sums, zip(pdf["bucket"], pdf["v"])
+                buckets, sums, zip(pdf["bucket"].tolist(), pdf["v"].tolist())
             )
         if not absorbed:
             return
@@ -1655,7 +1731,7 @@ def make_acf_fn(max_lag: int):
                 continue
             absorbed += len(pdf)
             buckets, sums = fold_bucket_sums(
-                buckets, sums, zip(pdf["bucket"], pdf["v"])
+                buckets, sums, zip(pdf["bucket"].tolist(), pdf["v"].tolist())
             )
         if not absorbed:
             return
@@ -1753,7 +1829,7 @@ def make_theilsen_fn():
                 continue
             absorbed += len(pdf)
             buckets, sums = fold_bucket_sums(
-                buckets, sums, zip(pdf["bucket"], pdf["v"])
+                buckets, sums, zip(pdf["bucket"].tolist(), pdf["v"].tolist())
             )
         if not absorbed:
             return
@@ -1911,7 +1987,7 @@ def make_mannwhitney_fn():
                 continue
             absorbed += len(pdf)
             vals, da, db = fold_value_counts(
-                vals, da, db, zip(pdf["value"], pdf["is_a"])
+                vals, da, db, zip(pdf["value"].tolist(), pdf["is_a"].tolist())
             )
         if not absorbed:
             return
@@ -2006,7 +2082,7 @@ def make_kmv_fn(k: int = KMV_K):
             if not len(pdf):
                 continue
             absorbed += len(pdf)
-            incoming.update(int(h) for h in pdf["h"])
+            incoming.update(pdf["h"].tolist())
         if not absorbed:
             return
         merged = sorted(set(cur) | incoming)[:k]
@@ -2089,14 +2165,23 @@ def make_lasttouch_fn(lookback_us: int):
         rows = []
         for pdf in pdfs:
             if len(pdf):
-                rows.append(pdf)
+                rows.append(
+                    zip(
+                        pdf["ts_us"].tolist(),
+                        pdf["event_id"].tolist(),
+                        pdf["event_type"].tolist(),
+                        pdf["touch_ch"].tolist(),
+                        pdf["cents"].tolist(),
+                    )
+                )
         if not rows:
             return
-        batch = pd.concat(rows).sort_values(["ts_us", "event_id"])
-        for ts_us, eid, etype, ch, cents_ in zip(
-            batch["ts_us"], batch["event_id"], batch["event_type"],
-            batch["touch_ch"], batch["cents"],
-        ):
+        # plain-Python sort on (ts, event_id) replaces the per-group
+        # pd.concat + sort_values (event_id is unique, so the key pair is
+        # a total order — identical row order, ~5x less per-group cost)
+        batch = [r for part in rows for r in part]
+        batch.sort(key=lambda r: (r[0], r[1]))
+        for ts_us, eid, etype, ch, cents_ in batch:
             if isinstance(ch, str) and ch:
                 last_ts_us, last_id, last_ch = int(ts_us), int(eid), ch
             elif etype == "purchase":
@@ -2111,10 +2196,8 @@ def make_lasttouch_fn(lookback_us: int):
         state.update((last_ts_us, last_id, last_ch))
         if out_ch:
             yield pd.DataFrame(
-                {
-                    "channel": out_ch,
-                    "cents": pd.array(out_cents, dtype="Int64"),
-                }
+                {"channel": _obj(out_ch), "cents": _i64(out_cents)},
+                copy=False,
             )
 
     return fn
@@ -2208,7 +2291,7 @@ def make_spc_fn():
                 continue
             absorbed += len(pdf)
             buckets, sums = fold_bucket_sums(
-                buckets, sums, zip(pdf["bucket"], pdf["v"])
+                buckets, sums, zip(pdf["bucket"].tolist(), pdf["v"].tolist())
             )
         if not absorbed:
             return
@@ -2342,7 +2425,7 @@ def make_seasonal_fn():
                 continue
             absorbed += len(pdf)
             buckets, sums = fold_bucket_sums(
-                buckets, sums, zip(pdf["bucket"], pdf["v"])
+                buckets, sums, zip(pdf["bucket"].tolist(), pdf["v"].tolist())
             )
         if not absorbed:
             return
@@ -2474,7 +2557,7 @@ def make_autoperiod_fn():
                 continue
             absorbed += len(pdf)
             buckets, sums = fold_bucket_sums(
-                buckets, sums, zip(pdf["bucket"], pdf["v"])
+                buckets, sums, zip(pdf["bucket"].tolist(), pdf["v"].tolist())
             )
         if not absorbed:
             return
@@ -2590,7 +2673,7 @@ def make_winsorize_fn():
                 continue
             absorbed += len(pdf)
             buckets, sums = fold_bucket_sums(
-                buckets, sums, zip(pdf["bucket"], pdf["v"])
+                buckets, sums, zip(pdf["bucket"].tolist(), pdf["v"].tolist())
             )
         if not absorbed:
             return
@@ -2740,7 +2823,7 @@ def make_range_rate_fn():
                 continue
             absorbed += len(pdf)
             buckets, sums = fold_bucket_sums(
-                buckets, sums, zip(pdf["bucket"], pdf["v"])
+                buckets, sums, zip(pdf["bucket"].tolist(), pdf["v"].tolist())
             )
         if not absorbed:
             return
@@ -2895,7 +2978,7 @@ def make_forecast_backtest_fn(alpha: float, beta: float):
                 continue
             absorbed += len(pdf)
             buckets, sums = fold_bucket_sums(
-                buckets, sums, zip(pdf["bucket"], pdf["v"])
+                buckets, sums, zip(pdf["bucket"].tolist(), pdf["v"].tolist())
             )
         if not absorbed:
             return
@@ -3001,7 +3084,7 @@ def make_hhi_fn():
                 continue
             absorbed += len(pdf)
             buckets, sums = fold_bucket_sums(
-                buckets, sums, zip(pdf["bucket"], pdf["v"])
+                buckets, sums, zip(pdf["bucket"].tolist(), pdf["v"].tolist())
             )
         if not absorbed:
             return
@@ -3107,7 +3190,11 @@ def make_dwell_fn():
             absorbed += len(pdf)
             ts, eid, types = merge_sequence(
                 ts, eid, types,
-                zip(pdf["ts_us"], pdf["event_id"], pdf["event_type"]),
+                zip(
+                    pdf["ts_us"].tolist(),
+                    pdf["event_id"].tolist(),
+                    pdf["event_type"].tolist(),
+                ),
             )
         if not absorbed:
             return
@@ -3117,14 +3204,16 @@ def make_dwell_fn():
         if not grid:
             return
         items = sorted(grid.items())
+        n = len(items)
         yield pd.DataFrame(
             {
-                "user_id": [user] * len(items),
-                "event_type": [k[0] for k, _ in items],
-                "dwell_s": [k[1] for k, _ in items],
-                "cnt": [c for _, c in items],
-                "version": [version] * len(items),
-            }
+                "user_id": _full(n, user),
+                "event_type": _obj([k[0] for k, _ in items]),
+                "dwell_s": _i64([k[1] for k, _ in items]),
+                "cnt": _i64([c for _, c in items]),
+                "version": _full(n, version),
+            },
+            copy=False,
         )
 
     return fn
@@ -3163,12 +3252,13 @@ def streaming_dwell_grid(stream: DataFrame) -> DataFrame:
 #: bisect_left + one below-watermark anchor — to the same ordered
 #: replay and emits the per-key LIVE STATE ROW COUNT through the
 #: normal output path, so the drained sizes are the real operational
-#: numbers, not a formula.  The timeout is re-armed at wm+1 on every
-#: pass (more aggressive than the production fn's next-freeze arming):
-#: the final quiescent sweep is then guaranteed to run AT the final
-#: watermark for every key holding more than the anchor, which makes
-#: the drained sizes replay-chunk-independent and therefore exactly
-#: SQL-expressible (the `stream_state_budget` gate).
+#: numbers, not a formula.  The timeout re-arms at the exact next
+#: state-transition instant (ts[1] crossing the watermark — the
+#: production fns' next-freeze idiom; r17 replaced the wm+1 literal
+#: that woke every key each micro-batch): every key holding more than
+#: the anchor still sweeps at or before the final watermark whenever a
+#: trim remains, so the drained sizes stay replay-chunk-independent and
+#: exactly SQL-expressible (the `stream_state_budget` gate).
 BUDGET_STATE_SCHEMA = T.StructType(
     [
         T.StructField("ts_us", T.ArrayType(T.LongType())),
@@ -3208,8 +3298,10 @@ def make_state_budget_fn():
                 if not len(pdf):
                     continue
                 absorbed += len(pdf)
-                for t in pdf["ts_us"]:
-                    bisect.insort(ts, int(t))
+                # batch rows are unordered: one sort of state+batch (timsort
+                # gallops over the presorted state run) replaces per-row
+                # insort, and tolist() replaces per-element Series access
+                ts = sorted(ts + pdf["ts_us"].tolist())
         if not absorbed and not timed_out:
             return
         version += absorbed + (1 if timed_out else 0)
@@ -3219,15 +3311,26 @@ def make_state_budget_fn():
         if cut > 1:
             ts = ts[cut - 1 :]
         if len(ts) > 1:
-            # aggressive re-arm: sweep again on EVERY watermark advance
-            state.setTimeoutTimestamp(wm_ms + 1)
+            # exact re-arm (r17): the cut only advances when the watermark
+            # passes ts[1] (cut > 1 ⟺ ts[1] < wm), so waking at that
+            # instant — the sequence/session fns' proven idiom — sweeps at
+            # every state TRANSITION instead of every watermark advance
+            # (the r16 wm+1 literal woke all ~1.5k keys each micro-batch,
+            # doubling the replay's per-group fixed cost).  The final
+            # drained size is unchanged: a key whose ts[1] never falls
+            # below the final watermark has nothing left to trim, and one
+            # whose ts[1] does gets its sweep at or before the final
+            # batch; the max-version drain still selects each key's last
+            # emission.
+            state.setTimeoutTimestamp(max(ts[1] // 1000 + 1, wm_ms + 1))
         state.update((ts, version))
         yield pd.DataFrame(
             {
-                "user_id": [user],
-                "n_state": [len(ts)],
-                "version": [version],
-            }
+                "user_id": _full(1, user),
+                "n_state": _full(1, len(ts)),
+                "version": _full(1, version),
+            },
+            copy=False,
         )
 
     return fn
