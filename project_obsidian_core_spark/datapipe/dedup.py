@@ -434,6 +434,28 @@ def ngram_jaccard_pairs(
     total; bench round 7). Scores are identical unless two distinct grams
     collide in 64 bits (~2⁻⁶⁴ per pair-union — negligible, but the
     string path remains the default for the exactness-critical gate).
+
+    r17: the hashed path computes the intersections in a ``mapInArrow``
+    stage (guide §4.2 — hand whole Arrow batches to vectorized native
+    code) instead of per-pair ``array_intersect``: Spark's expression
+    boxes every long into an ``OpenHashSet[Any]`` probe (~25 µs per
+    ~300-element pair — the r16 probes put the JVM expression floor at
+    ~15.5 s for the sf0.1 pair population, with HOF merge loops 7x worse).
+
+    The unit of work shipped to Python is a CHUNK PAIR, not a doc pair:
+    docs hash into ``NGRAM_CHUNK_K`` chunks per block, chunks join on the
+    block key (c_x <= c_y), and one numpy matmul per chunk-pair row
+    computes the whole |X|x|Y| intersection grid at once.  A first r17
+    attempt shipped the two gram arrays per PAIR row and regressed 3x
+    (15.9 -> 46 s): the pair fan-out duplicates every doc's grams
+    O(block) times across the Arrow boundary (~2.9 GB at sf0.1), and
+    the transfer — not the intersection — becomes the cost.  Chunk-pair
+    grouping ships each doc's grams exactly K times (~50 MB), keeps the
+    quadratic spread over blocks x C(K+1,2) tasks (the join fan-out's
+    parallelism, unlike a per-block fold), and bounds per-task memory by
+    the chunk size, not the block size.  The pair set, scores, and
+    output rows are identical — the string twin's unit test pins
+    hashed == string bit-exactly.
     """
     gram_of = (
         f"xxhash64(substring({text_col}, i, {w}))"
@@ -455,6 +477,45 @@ def ngram_jaccard_pairs(
             .filter(F.col("__block_n") <= max_block)
             .drop("__block_n")
         )
+    if hashed_grams:
+        import pyspark.sql.types as ST
+
+        cg = (
+            t.withColumn(
+                "c", F.expr(f"pmod(xxhash64(doc_id), {NGRAM_CHUNK_K})")
+            )
+            .groupBy("block", "c")
+            .agg(
+                # sort_array keeps the doc->grams alignment deterministic
+                # (struct sort compares doc_id first)
+                F.expr("sort_array(collect_list(struct(doc_id, gr)))").alias(
+                    "ds"
+                )
+            )
+        )
+        cp = (
+            cg.alias("x")
+            .join(
+                cg.alias("y"),
+                (F.col("x.block") == F.col("y.block"))
+                & (F.col("x.c") <= F.col("y.c")),
+            )
+            .select(
+                F.col("x.block").alias("block"),
+                (F.col("x.c") == F.col("y.c")).alias("same_chunk"),
+                F.col("x.ds").alias("xs"),
+                F.col("y.ds").alias("ys"),
+            )
+        )
+        out_schema = ST.StructType(
+            [
+                ST.StructField("block", t.schema["block"].dataType),
+                ST.StructField("doc_a", t.schema["doc_id"].dataType),
+                ST.StructField("doc_b", t.schema["doc_id"].dataType),
+                ST.StructField("jaccard", ST.DoubleType()),
+            ]
+        )
+        return cp.mapInArrow(_chunk_pair_jaccard_arrow, schema=out_schema)
     # |A∪B| = |A| + |B| − |A∩B| (the gram arrays are already distinct):
     # one intersection per pair and three int sizes — never materializing
     # the union ARRAY, which copied ~|A|+|B| strings per pair and made
@@ -478,6 +539,97 @@ def ngram_jaccard_pairs(
             ).alias("jaccard"),
         )
     )
+
+
+#: chunks per block for the hashed-gram pair kernel: each doc's grams cross
+#: the Arrow boundary exactly K times, per-task memory is bounded by the
+#: CHUNK size (block/K docs), and the block's quadratic spreads over
+#: C(K+1, 2) independent chunk-pair tasks.
+NGRAM_CHUNK_K = 8
+
+
+def _chunk_side(col, r):
+    """Unpack one row's doc array: (doc_ids int64[], gram lengths int64[],
+    flat grams int64[])."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    docs = col.slice(r, 1).flatten()  # StructArray of this row's docs
+    ids = docs.field("doc_id").to_numpy()
+    gr = docs.field("gr")
+    lens = pc.list_value_length(gr).to_numpy().astype(np.int64)
+    flat = gr.flatten().to_numpy()
+    return ids, lens, flat
+
+
+def _chunk_pair_jaccard_arrow(batches):
+    """``mapInArrow`` kernel for the chunk-pair relation
+    (block, same_chunk, xs, ys) → (block, doc_a, doc_b, jaccard).
+
+    Per row: index the union of both sides' gram hashes (``np.unique``),
+    scatter each side into a docs x grams 0/1 matrix, and one sgemm
+    (``X @ Y.T``) yields EVERY pair's exact intersection count — counts
+    are ≤ |grams| < 2²⁴ so float32 accumulation is exact.  Same-chunk
+    rows keep the strict upper triangle (ds is doc_id-sorted, so i < j
+    ⟺ doc_id_i < doc_id_j); cross-chunk rows keep the full grid with
+    (doc_a, doc_b) = (min, max).  The score is the same IEEE double
+    division ``inter / (|A| + |B| − inter)`` the JVM expression
+    performed — bit-identical output (unit-pinned against the
+    string-gram path); the divisor is never 0 because every doc has ≥ 1
+    gram (the ``greatest(..., 1)`` floor upstream)."""
+    import numpy as np
+    import pyarrow as pa
+
+    for rb in batches:
+        if rb.num_rows == 0:
+            continue
+        blocks = rb.column(0)
+        same = rb.column(1).to_numpy(zero_copy_only=False)
+        out_blk, out_a, out_b, out_j = [], [], [], []
+        for r in range(rb.num_rows):
+            xd, xl, xf = _chunk_side(rb.column(2), r)
+            yd, yl, yf = _chunk_side(rb.column(3), r)
+            if not len(xd) or not len(yd):
+                continue
+            uniq, inv = np.unique(
+                np.concatenate([xf, yf]), return_inverse=True
+            )
+            xm = np.zeros((len(xd), uniq.size), dtype=np.float32)
+            xm[np.repeat(np.arange(len(xd)), xl), inv[: len(xf)]] = 1.0
+            if same[r]:
+                ym, yd2, yl2 = xm, xd, xl
+            else:
+                ym = np.zeros((len(yd), uniq.size), dtype=np.float32)
+                ym[np.repeat(np.arange(len(yd)), yl), inv[len(xf):]] = 1.0
+                yd2, yl2 = yd, yl
+            inter = (xm @ ym.T).astype(np.int64)
+            if same[r]:
+                ii, jj = np.triu_indices(len(xd), k=1)
+            else:
+                ii, jj = np.indices((len(xd), len(yd2)))
+                ii, jj = ii.ravel(), jj.ravel()
+            da, db = xd[ii], yd2[jj]
+            lo = np.minimum(da, db)
+            hi = np.maximum(da, db)
+            iv = inter[ii, jj]
+            jac = iv / (xl[ii] + yl2[jj] - iv)
+            out_blk.append(
+                pa.array([blocks[r].as_py()] * len(lo), type=blocks.type)
+            )
+            out_a.append(lo)
+            out_b.append(hi)
+            out_j.append(jac)
+        if not out_a:
+            continue
+        yield pa.RecordBatch.from_arrays(
+            [
+                pa.concat_arrays(out_blk),
+                pa.array(np.concatenate(out_a)),
+                pa.array(np.concatenate(out_b)),
+                pa.array(np.concatenate(out_j), type=pa.float64()),
+            ],
+            names=["block", "doc_a", "doc_b", "jaccard"],
+        )
 
 
 def ngram_containment_pairs(
