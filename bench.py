@@ -1130,8 +1130,160 @@ def dedicated_main() -> None:
         print(json.dumps(out), flush=True)
 
 
+#: scan-heavy declared queries over `documents` only — the probe's
+#: subjects — each with its own blow-up factor.  The per-row text queries
+#: are O(rows) compute on the scan (the shape that MUST scale with cores
+#: once the input amortizes fixed costs) and need a large factor because
+#: sf0.1 `documents` is only 5000 rows / 1.5 MB of text; the minhash join
+#: pipeline's pair space grows super-linearly, so a small factor already
+#: dwarfs fixed costs there.
+SCALE_PROBE_QUERIES = [
+    ("text_fingerprint", 40),
+    ("text_quality", 40),
+    ("text_gram_novelty", 20),
+    ("dedup_minhash_lsh", 5),
+]
+
+
+def scale_probe_worker_main() -> None:
+    """One fresh JVM at master local[$SPARK_GRAFT_CPUS] timing the probe
+    queries against $SPARK_GRAFT_PROBE_DIR (cold + 2 warm through the noop
+    sink, same methodology as the main bench).  Prints one JSON line
+    {query: [runs...]} for the parent to combine."""
+    probe_dir = os.environ["SPARK_GRAFT_PROBE_DIR"]
+    spark = build_session(app_name="obsidian-spark-scale-probe")
+    QUERIES["qan_distinct_metrics"](
+        spark, os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    ).write.format("noop").mode("overwrite").save()
+    out: dict[str, list[float]] = {}
+    for name, blowup in SCALE_PROBE_QUERIES:
+        runs = []
+        for i in range(3):
+            spark.sparkContext.setJobDescription(f"scale-probe:{name}:{i}")
+            t0 = time.time()
+            QUERIES[name](spark, f"{probe_dir}/bu{blowup}").write.format(
+                "noop"
+            ).mode("overwrite").save()
+            runs.append(round(time.time() - t0, 4))
+        out[name] = runs
+    print("SCALE_PROBE_WORKER " + json.dumps(out), flush=True)
+
+
+def _probe_blown_docs(spark, sf_dir: str, blowup: int):
+    """Union of ``blowup`` doc_id-shifted copies of `documents` — distinct
+    ids so dedup joins see a K x corpus, not K exact replicas of the pair
+    space per block."""
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    shift = (docs.agg(F.max("doc_id")).collect()[0][0] or 0) + 1
+    blown = docs
+    for i in range(1, blowup):
+        blown = blown.unionByName(
+            docs.withColumn("doc_id", F.col("doc_id") + F.lit(i * shift))
+        )
+    return blown
+
+
+def scale_probe_main() -> None:
+    """``bench.py --scale-probe`` (r16 verdict #2): a scaling signal the
+    sf0.1 bench cannot provide.  At sf0.1 scheduler/exchange fixed costs
+    dominate — the 8-core run beats the 32-core run on every contract query
+    (BENCH_r16_c8), so the driver's low-core ratio cannot separate a
+    genuinely serial operator from an overhead-bound one.
+
+    The probe blows `documents` up per query (SCALE_PROBE_QUERIES: union
+    of doc_id-shifted copies, written ONCE to a fresh temp dir from the
+    parquet inputs at probe time and deleted afterwards — nothing persists
+    across invocations), then times the scan-heavy probe queries in TWO
+    fresh subprocesses: one at the inherited $SPARK_GRAFT_CPUS and one at
+    a quarter of it — the same env contract as the main bench, so
+    `master` is still local[$SPARK_GRAFT_CPUS] inside each worker.  Prints
+    ONE JSON line (separate invocation — the default bench path and its
+    contract line are untouched):
+
+      {"metric": "scale_probe_seconds",
+       "cpus": {"lo": n, "hi": n},
+       "queries": {name: {"blowup": K, "lo": s, "hi": s,
+                          "ratio": lo/hi}}, ...}
+
+    ratio ≈ hi_cores/lo_cores means perfect scaling; ratio ≈ 1 means the
+    query is still fixed-cost-bound at this size; ratio < 1 at THIS size
+    means genuinely serial work dominates.
+    """
+    import shutil
+    import subprocess
+    import tempfile
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    hi = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    lo = max(2, hi // 4)
+    probe_dir = tempfile.mkdtemp(prefix="scale_probe_")
+    try:
+        spark = build_session(app_name="obsidian-spark-scale-probe-gen")
+        for blowup in sorted({b for _, b in SCALE_PROBE_QUERIES}):
+            (
+                _probe_blown_docs(spark, sf_dir, blowup)
+                .repartition(hi)
+                .write.mode("overwrite")
+                .parquet(f"{probe_dir}/bu{blowup}/documents.parquet")
+            )
+        spark.stop()
+        results: dict[int, dict] = {}
+        for cpus in (lo, hi):
+            env = dict(os.environ)
+            env["SPARK_GRAFT_CPUS"] = str(cpus)
+            env["SPARK_GRAFT_PROBE_DIR"] = probe_dir
+            proc = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--scale-probe-worker"],
+                capture_output=True,
+                text=True,
+                env=env,
+                timeout=3600,
+            )
+            line = [
+                ln
+                for ln in proc.stdout.splitlines()
+                if ln.startswith("SCALE_PROBE_WORKER ")
+            ]
+            if not line:
+                print(proc.stdout[-2000:], file=sys.stderr)
+                print(proc.stderr[-4000:], file=sys.stderr)
+                raise RuntimeError(f"scale-probe worker at {cpus} cpus failed")
+            results[cpus] = json.loads(line[-1].split(" ", 1)[1])
+        queries = {
+            name: {
+                "blowup": blowup,
+                "lo": min(results[lo][name][1:]),
+                "hi": min(results[hi][name][1:]),
+                "ratio": round(
+                    min(results[lo][name][1:]) / min(results[hi][name][1:]), 3
+                ),
+            }
+            for name, blowup in SCALE_PROBE_QUERIES
+        }
+        print(
+            json.dumps(
+                {
+                    "metric": "scale_probe_seconds",
+                    "sf_dir": sf_dir,
+                    "cpus": {"lo": lo, "hi": hi},
+                    "queries": queries,
+                    "runs": {str(c): results[c] for c in results},
+                }
+            ),
+            flush=True,
+        )
+    finally:
+        shutil.rmtree(probe_dir, ignore_errors=True)
+
+
 if __name__ == "__main__":
     if "--dedicated" in sys.argv[1:]:
         dedicated_main()
+    elif "--scale-probe-worker" in sys.argv[1:]:
+        scale_probe_worker_main()
+    elif "--scale-probe" in sys.argv[1:]:
+        scale_probe_main()
     else:
         main()
