@@ -1091,15 +1091,19 @@ def lsh_recall(
         buckets = ex.groupBy("s").agg(
             F.collect_list(F.struct("doc_id", "n")).alias("ds")
         )
+        # r17 (ADVICE): posexplode each bucket element before pairing so a
+        # bucket shared by the whole audit sample materializes ≤ B structs
+        # per row instead of one C(B,2) array — per-row memory O(B), same
+        # pairs, same task-local compute (max_eval stays the work bound)
         co = (
-            buckets.select(
+            buckets.select("ds", F.posexplode("ds").alias("i", "x"))
+            .select(
                 F.explode(
                     F.expr(
-                        "flatten(transform(ds, (x, i) ->"
-                        " transform(slice(ds, i + 2, size(ds)), y ->"
+                        "transform(slice(ds, i + 2, size(ds)), y ->"
                         "  struct(least(x.doc_id, y.doc_id) AS doc_a,"
                         "         greatest(x.doc_id, y.doc_id) AS doc_b,"
-                        "         x.n + y.n AS n_sum))))"
+                        "         x.n + y.n AS n_sum))"
                     )
                 ).alias("p")
             )
@@ -1157,6 +1161,7 @@ def prefix_filter_pairs(
     threshold_ppm: int = 600_000,
     text_col: str = "text",
     w: int = SHINGLE_W,
+    max_bucket: int = 4096,
 ) -> DataFrame:
     """EXACT-COMPLETE threshold Jaccard self-join via prefix filtering
     (SSJoin, Chaudhuri et al. ICDE'06 / PPJoin, Xiao et al. WWW'08) —
@@ -1188,6 +1193,12 @@ def prefix_filter_pairs(
     before the verify; verification is two co-partitioned hash joins on
     doc_id + one array intersection per surviving candidate.  All
     arithmetic is exact int64 (ppm scores, ceil via (a+b-1) div b).
+
+    ``max_bucket`` (r17): execution-time cap on the per-prefix-token
+    bucket size.  The in-bucket pair comprehension is quadratic in the
+    bucket, and the rarest-first ordering bounds it only statistically —
+    an oversized bucket now fails loudly with re-blocking/salting
+    guidance instead of silently degrading to a single-task quadratic.
 
     Returns every qualifying pair: (doc_a, doc_b, n_a, n_b, j_ppm).
     """
@@ -1244,29 +1255,56 @@ def prefix_filter_pairs(
     #    the verify population drops (measured 193,340 → 68,725
     #    candidates at sf0.1/t=0.6).  All arithmetic exact int64
     #    (ceil(a/b) as (a + b - 1) div b).
-    t_sz = (
-        f"{threshold_ppm} * greatest(x.n, y.n) <= 1000000 * least(x.n, y.n)"
-    )
-    t_pos = (
-        f"1 + least(x.n - x.pos, y.n - y.pos) >="
-        f" ({threshold_ppm}L * (x.n + y.n) + {1_000_000 + threshold_ppm - 1}L)"
-        f" div {1_000_000 + threshold_ppm}L"
-    )
+    def _pair_pred(xn: str, yn: str, xpos: str, ypos: str) -> str:
+        # both prunes from one template (r16 ADVICE: the old string
+        # .replace('x.n', ...) surgery would silently corrupt any future
+        # field whose name contains 'x.n' as a substring)
+        t_sz = (
+            f"{threshold_ppm} * greatest({xn}, {yn})"
+            f" <= 1000000 * least({xn}, {yn})"
+        )
+        t_pos = (
+            f"1 + least({xn} - {xpos}, {yn} - {ypos}) >="
+            f" ({threshold_ppm}L * ({xn} + {yn})"
+            f" + {1_000_000 + threshold_ppm - 1}L)"
+            f" div {1_000_000 + threshold_ppm}L"
+        )
+        return f"({t_sz}) AND ({t_pos})"
+
     buckets = pre.groupBy("tok").agg(
         F.collect_list(F.struct("doc_id", "n", "pos")).alias("ds")
     )
-    _pair_pred = f"({t_sz}) AND ({t_pos})"
+    # r17 (verdict #4): the in-bucket pair comprehension is a single-task
+    # quadratic — the rarest-first prefix ordering bounds it empirically
+    # (max bucket 10 at sf0.1) but nothing enforced the bound, so a
+    # pathological corpus (one token in every doc's prefix) degraded to one
+    # task holding an O(B²) array.  Two guards, output-neutral on any
+    # corpus that passes them:
+    #  * hard cap: buckets above ``max_bucket`` raise at execution time
+    #    with re-blocking guidance (assert_true inside the projection — no
+    #    extra pass, no plan-shape change);
+    #  * posexplode before pairing: each bucket element becomes a row whose
+    #    pair array is ≤ B structs, so per-row memory is O(B), not O(B²)
+    #    (the filtered pairs stay in the same task — compute is unchanged).
+    guard = (
+        f"coalesce(assert_true(size(ds) <= {max_bucket},"
+        f" 'prefix_filter_pairs: a prefix-token bucket exceeds max_bucket="
+        f"{max_bucket} — the frequency ordering no longer bounds bucket"
+        f" sizes on this corpus; re-block on a finer key, salt the hot"
+        f" token, or raise max_bucket deliberately'), ds)"
+    )
     cand = (
-        buckets.select(
+        buckets.select(F.expr(guard).alias("ds"))
+        .select("ds", F.posexplode("ds").alias("i", "x"))
+        .select(
             F.explode(
                 F.expr(
-                    "flatten(transform(ds, (x, i) ->"
-                    "  filter(transform(slice(ds, i + 2, size(ds)), y ->"
-                    "    struct(least(x.doc_id, y.doc_id) AS doc_a,"
-                    "           greatest(x.doc_id, y.doc_id) AS doc_b,"
-                    "           x.n AS xn, y.n AS yn,"
-                    "           x.pos AS xpos, y.pos AS ypos)),"
-                    f"   p -> {_pair_pred.replace('x.n', 'p.xn').replace('y.n', 'p.yn').replace('x.pos', 'p.xpos').replace('y.pos', 'p.ypos')})))"
+                    "filter(transform(slice(ds, i + 2, size(ds)), y ->"
+                    "  struct(least(x.doc_id, y.doc_id) AS doc_a,"
+                    "         greatest(x.doc_id, y.doc_id) AS doc_b,"
+                    "         x.n AS xn, y.n AS yn,"
+                    "         x.pos AS xpos, y.pos AS ypos)),"
+                    f" p -> {_pair_pred('p.xn', 'p.yn', 'p.xpos', 'p.ypos')})"
                 )
             ).alias("pr")
         )

@@ -108,6 +108,36 @@ def test_size_filter_never_drops_a_true_pair(spark):
     assert len(got) == 1 and got[0].j_ppm == 600_000
 
 
+def test_hot_token_bucket_cap_raises_with_guidance(spark):
+    """r16 verdict #4: the in-bucket pair comprehension is a single-task
+    quadratic whose bound was only empirical.  A hot-token corpus — every
+    doc shares one rare-looking token that lands in every prefix — must now
+    fail loudly at the cap instead of silently building an O(B²) array in
+    one task; the same corpus passes when the cap accommodates it, with
+    output identical to brute force (the guard is output-neutral)."""
+    import pytest
+
+    # every doc: a shared leading 3-gram shingle ("a b c") + unique tail —
+    # each doc has 2 shingles and at t=0.3 a prefix of 2, so the shared
+    # shingle sits in every prefix and its bucket holds all 30 docs
+    docs = spark.createDataFrame(
+        [(i, f"a b c u{i}") for i in range(30)], ["doc_id", "text"]
+    )
+    # Spark 4 surfaces assert_true as a converted SparkRuntimeException;
+    # match on the guidance text rather than the wrapper class
+    with pytest.raises(Exception, match="max_bucket"):
+        prefix_filter_pairs(docs, threshold_ppm=300_000, max_bucket=8).collect()
+    got = {
+        (r.doc_a, r.doc_b, r.j_ppm)
+        for r in prefix_filter_pairs(docs, threshold_ppm=300_000).collect()
+    }
+    want = {
+        (r.doc_a, r.doc_b, r.j_ppm)
+        for r in _brute_pairs(spark, docs, 300_000).collect()
+    }
+    assert got == want
+
+
 def test_prefix_clusters_close_transitively(spark):
     from project_obsidian_core_spark.datapipe.dedup import (
         connected_components,
