@@ -683,6 +683,130 @@ def pagerank_int(edges: DataFrame, iters: int = 2) -> DataFrame:
     return scores
 
 
+def _inrow_bind(val: str, name: str, body: str) -> str:
+    """Single-element transform wrapper: evaluates ``val`` exactly once and
+    binds it as ``name`` inside ``body`` (the r16 lambda-binding idiom —
+    plain nesting re-evaluates shared subexpressions per reference)."""
+    return f"element_at(transform(array({val}), {name} -> {body}), 1)"
+
+
+def pagerank_int_inrow(edges: DataFrame, iters: int = 2) -> DataFrame:
+    """Audit-scale in-row twin of :func:`pagerank_int` — bit-identical
+    scores (same truncating int64 chain, integer sums reordered only),
+    computed as array expressions over ONE collected-to-a-row edge list
+    instead of ``iters`` relational rounds.
+
+    Why (r16 verdict #5 / the embedding_pca_power pattern): each
+    relational round costs ~0.2 s of driver fixed overhead (plan +
+    broadcast towers) that dwarfs the data work on the ≤200-node audit
+    graphs the knn queries pin.  Here the whole iteration is one
+    expression over a one-row DataFrame: per round, contrib[j] is an
+    aggregate over the index-aligned edge array with quot looked up as
+    two ``element_at`` calls — every intermediate bound once via
+    ``_inrow_bind`` so nothing re-evaluates.
+
+    Scale contract: the caller guarantees a SMALL graph (one row holds
+    every edge).  Use :func:`pagerank_int` for web-scale graphs — this
+    twin exists for the bounded audit queries only.
+    """
+    dedges = edges.select(
+        F.col("a").alias("src"), F.col("b").alias("dst")
+    ).unionByName(edges.select(F.col("b").alias("src"), F.col("a").alias("dst")))
+    g = dedges.groupBy().agg(
+        F.expr("sort_array(collect_list(struct(src, dst)))").alias("es")
+    )
+    base = PR_DAMP_DEN - PR_DAMP_NUM
+    nodes_e = "array_sort(array_distinct(transform(es, e -> e.src)))"
+    eidx_e = (
+        "transform(es, e -> struct("
+        "cast(array_position(nds, e.src) as int) AS si,"
+        "cast(array_position(nds, e.dst) as int) AS di))"
+    )
+    deg_e = "transform(nds, nd -> size(filter(es, e -> e.src = nd)))"
+    s0_e = f"transform(nds, nd -> {PR_SCALE}L div size(nds))"
+
+    def step(prev: str) -> str:
+        # contrib[j] = Σ over edges into j of (score[src] div deg[src]);
+        # score/deg lookups are O(1) element_at on BOUND arrays, so the
+        # inline quot costs two probes per edge, never an array rebuild
+        return (
+            f"transform(sequence(1, size(nds)), j ->"
+            f" ({base} * ({PR_SCALE}L div size(nds))"
+            f" + {PR_DAMP_NUM} * aggregate(ei, 0L, (acc, e) ->"
+            f"     acc + IF(e.di = j,"
+            f"              element_at({prev}, e.si)"
+            f"               div element_at(dg, e.si), 0L)))"
+            f" div {PR_DAMP_DEN})"
+        )
+
+    body = "zip_with(nds, s" + str(iters) + ", (nd, sc) -> struct(nd AS node, sc AS score))"
+    for k in range(iters, 0, -1):
+        body = _inrow_bind(step(f"s{k - 1}"), f"s{k}", body)
+    body = _inrow_bind(s0_e, "s0", body)
+    body = _inrow_bind(deg_e, "dg", body)
+    body = _inrow_bind(eidx_e, "ei", body)
+    body = _inrow_bind(nodes_e, "nds", body)
+    return g.select(F.explode(F.expr(body)).alias("r")).select(
+        "r.node", "r.score"
+    )
+
+
+def label_propagation_inrow(edges: DataFrame, rounds: int = 3) -> DataFrame:
+    """Audit-scale in-row twin of :func:`label_propagation` — identical
+    labels (same synchronous most-frequent-neighbor rule, ties to the
+    SMALLEST label), as array expressions over one collected edge row
+    (see :func:`pagerank_int_inrow` for the why and the scale contract).
+
+    The per-node argmax sorts the neighbor-label array ascending and
+    folds it with a run-length aggregate: a strict ``>`` when closing a
+    run keeps the FIRST (smallest) label on count ties — exactly the
+    window's (count DESC, lbl ASC) rank-1 row.
+    """
+    dedges = edges.select(
+        F.col("a").alias("src"), F.col("b").alias("dst")
+    ).unionByName(edges.select(F.col("b").alias("src"), F.col("a").alias("dst")))
+    g = dedges.groupBy().agg(
+        F.expr("sort_array(collect_list(struct(src, dst)))").alias("es")
+    )
+    nodes_e = "array_sort(array_distinct(transform(es, e -> e.src)))"
+    eidx_e = (
+        "transform(es, e -> struct("
+        "cast(array_position(nds, e.src) as int) AS si,"
+        "cast(array_position(nds, e.dst) as int) AS di))"
+    )
+
+    def step(prev: str) -> str:
+        nb_sorted = (
+            f"array_sort(transform(filter(ei, e -> e.si = j),"
+            f" e -> element_at({prev}, e.di)))"
+        )
+        fold = (
+            f"aggregate({nb_sorted},"
+            " struct(cast(null as bigint) AS bl, 0 AS bc,"
+            "        cast(null as bigint) AS cl, 0 AS cc),"
+            " (a, l) -> IF(a.cl IS NOT NULL AND l = a.cl,"
+            "   struct(a.bl AS bl, a.bc AS bc, a.cl AS cl, a.cc + 1 AS cc),"
+            "   struct(IF(a.cc > a.bc, a.cl, a.bl) AS bl,"
+            "          IF(a.cc > a.bc, a.cc, a.bc) AS bc,"
+            "          l AS cl, 1 AS cc)),"
+            " a -> IF(a.cc > a.bc, a.cl, a.bl))"
+        )
+        return f"transform(sequence(1, size(nds)), j -> {fold})"
+
+    body = (
+        "zip_with(nds, l" + str(rounds)
+        + ", (nd, lb) -> struct(nd AS node, lb AS lbl))"
+    )
+    for k in range(rounds, 0, -1):
+        prev = f"l{k - 1}" if k > 1 else "nds"
+        body = _inrow_bind(step(prev), f"l{k}", body)
+    body = _inrow_bind(eidx_e, "ei", body)
+    body = _inrow_bind(nodes_e, "nds", body)
+    return g.select(F.explode(F.expr(body)).alias("r")).select(
+        "r.node", "r.lbl"
+    )
+
+
 # ------------------------------------------------------- triangle listing --
 def triangle_list(edges: DataFrame) -> DataFrame:
     """Degree-ordered triangle enumeration over an undirected edge list

@@ -1117,10 +1117,16 @@ def knn_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact-integer PageRank (2 rounds, ppb scale) over the symmetrized
     5-NN graph of the first 200 vectors — graph centrality for diversity
     sampling / hub detection, oracle-checked bit-exact because every step
-    is truncating int64 arithmetic (see datapipe/similarity.pagerank_int)."""
+    is truncating int64 arithmetic (see datapipe/similarity.pagerank_int).
+
+    r17: runs the IN-ROW twin — the graph is pinned to ≤_GRAPH_VECS=200
+    nodes, so the 2-round relational tower's driver fixed cost (~0.2 s of
+    plan/broadcast per round) dwarfs the data work; pagerank_int_inrow is
+    bit-identical (oracle-gated + randomized equivalence test) and the
+    web-scale relational twin stays for unbounded graphs."""
     emb = load(spark, sf_dir, "embeddings").filter(F.col("vec_id") < _GRAPH_VECS)
     edges = S.knn_edges(emb, k=_GRAPH_K)
-    return S.pagerank_int(edges, iters=2).orderBy("node")
+    return S.pagerank_int_inrow(edges, iters=2).orderBy("node")
 
 
 def _pagerank_oracle() -> str:
@@ -1598,10 +1604,13 @@ def knn_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
     the smallest label) over the symmetrized 5-NN graph of the first 200
     vectors — community detection for corpus diversity analysis and
     cluster-aware sampling; the iterative sibling of dedup's connected
-    components (CC finds *reachability*, LPA finds *density* groups)."""
+    components (CC finds *reachability*, LPA finds *density* groups).
+
+    r17: runs the IN-ROW twin (see knn_pagerank) — identical labels,
+    none of the 3 relational rounds' per-round driver fixed cost."""
     emb = load(spark, sf_dir, "embeddings").filter(F.col("vec_id") < _GRAPH_VECS)
     edges = S.knn_edges(emb, k=_GRAPH_K)
-    return S.label_propagation(edges, rounds=_LPA_ROUNDS).orderBy("node")
+    return S.label_propagation_inrow(edges, rounds=_LPA_ROUNDS).orderBy("node")
 
 
 def _lpa_oracle() -> str:
