@@ -1162,6 +1162,7 @@ def prefix_filter_pairs(
     text_col: str = "text",
     w: int = SHINGLE_W,
     max_bucket: int = 4096,
+    staged: bool = True,
 ) -> DataFrame:
     """EXACT-COMPLETE threshold Jaccard self-join via prefix filtering
     (SSJoin, Chaudhuri et al. ICDE'06 / PPJoin, Xiao et al. WWW'08) —
@@ -1200,9 +1201,21 @@ def prefix_filter_pairs(
     an oversized bucket now fails loudly with re-blocking/salting
     guidance instead of silently degrading to a single-task quadratic.
 
+    ``staged`` (r17): the shingle relation feeds FOUR branches of one
+    plan (token explode, document-frequency aggregate, and both verify
+    sides), and Spark does not canonicalize the duplicated subtrees — the
+    executed plan scanned `documents` and recomputed ``shingle_set`` four
+    times.  The default persists the shingle relation and releases it
+    via :func:`functions.cache.release_after` (the minhash/brute-topk
+    pattern: eager localCheckpoint of the ≤|pairs| result, then
+    unpersist — nothing leaks across the session).  ``staged=False``
+    keeps the lazy single plan for plan inspection/composition.
+
     Returns every qualifying pair: (doc_a, doc_b, n_a, n_b, j_ppm).
     """
     t = df.select("doc_id", shingle_set(text_col, w).alias("sh"))
+    if staged:
+        t = t.persist()
     ex = t.select("doc_id", F.explode("sh").alias("tok"))
     freq = ex.groupBy("tok").agg(F.count(F.lit(1)).alias("df_"))
     # Rebuild each set ordered by the global (df, tok) order: struct sort
@@ -1313,7 +1326,7 @@ def prefix_filter_pairs(
     )
     x, y = t.alias("x"), t.alias("y")
     inter = F.size(F.array_intersect("x.sh", "y.sh"))
-    return (
+    out = (
         cand.join(x, cand.doc_a == F.col("x.doc_id"))
         .join(y, cand.doc_b == F.col("y.doc_id"))
         .select(
@@ -1329,6 +1342,11 @@ def prefix_filter_pairs(
         )
         .filter(F.col("j_ppm") >= threshold_ppm)
     )
+    if staged:
+        from project_obsidian_core_spark.functions.cache import release_after
+
+        return release_after(out, t)
+    return out
 
 
 # ------------------------------------------------ sorted neighborhood -----

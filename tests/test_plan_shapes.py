@@ -338,11 +338,17 @@ def test_prefix_join_never_goes_cartesian(spark):
 
     rows = [(i, f"w{i % 9} w{i % 7} w{i % 5} w{i % 3} w{i % 2} end") for i in range(50)]
     docs = spark.createDataFrame(rows, ["doc_id", "text"])
-    plan = _plan(D.prefix_filter_pairs(docs, threshold_ppm=600_000))
+    # staged=False keeps the lazy plan inspectable (the default is
+    # checkpoint-backed — pinned below)
+    plan = _plan(D.prefix_filter_pairs(docs, threshold_ppm=600_000, staged=False))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     # candidate generation shuffles/joins on the prefix token equality
     assert "SortMergeJoin" in plan or "BroadcastHashJoin" in plan or "ShuffledHashJoin" in plan
+    # the default stages the four-branch shingle relation and returns a
+    # checkpoint-backed result (r17 — the dsir staged pattern)
+    ps = _plan(D.prefix_filter_pairs(docs, threshold_ppm=600_000))
+    assert "ExistingRDD" in ps or "Scan ExistingRDD" in ps
 
 
 def test_ks_test_windows_share_type_partitioning(spark):
