@@ -2790,43 +2790,91 @@ def events_markov_stationary(
     )
     totals = pairs.groupBy("from_type").agg(F.sum("c").alias("r"))
     matrix = pairs.join(totals, "from_type")
-    types = totals.select(F.col("from_type").alias("event_type"))
-    n_types_w = Window.rowsBetween(
-        Window.unboundedPreceding, Window.unboundedFollowing
+    # r17 (verdict #5, unblocking the r16 attempt): the 12 power-iteration
+    # rounds run IN-ROW over the one-row collected ≤|types|²-entry matrix.
+    # The r16 in-row draft nested one lambda bind per round and hit the
+    # analyzer's max-iterations ceiling at 12 rounds; the loop is now ONE
+    # `aggregate(sequence(1, R-1), pi0, (pi, k) -> step)` fold — the
+    # accumulator rebinds per iteration at RUNTIME, so analyzer depth is
+    # constant in the round count.  Arithmetic is verbatim: per-entry
+    # `pi[a]·c div r` truncation then int64 sums (reordered only —
+    # associative), largest-remainder uniform start ranked over the sorted
+    # from-types, and a relational join-miss ≡ the fold's 0-contribution,
+    # so the values are bit-identical (oracle-gated at both SFs).  The
+    # final inner joins restrict output to from∩to types, mirrored by the
+    # `keep` filter.  The corpus stage (lead window → matrix) is unchanged.
+    g = matrix.groupBy().agg(
+        F.expr(
+            "sort_array(collect_list(struct(from_type, to_type, c, r)))"
+        ).alias("ms")
     )
-    rank_w = Window.orderBy("event_type")
-    pi = types.withColumn("n_t", F.count(F.lit(1)).over(n_types_w)).select(
-        "event_type",
-        (
-            F.expr(f"{scale} div n_t")
-            + F.when(
-                F.row_number().over(rank_w) <= F.expr(f"{scale} % n_t"), 1
-            ).otherwise(0)
-        ).cast("long").alias("pi_ppm"),
+
+    def bind(val: str, name: str, body: str) -> str:
+        return f"element_at(transform(array({val}), {name} -> {body}), 1)"
+
+    step = (
+        "transform(sequence(1, size(un)), j ->"
+        " aggregate(ei, 0L, (acc, e) ->"
+        "  acc + IF(e.ti = j,"
+        "           element_at({pi}, e.fi) * e.c div e.r, 0L)))"
     )
-    prev = None
-    for _ in range(_MK_ROUNDS):
-        prev = pi
-        pi = (
-            matrix.join(
-                F.broadcast(pi.withColumnRenamed("event_type", "from_type")),
-                "from_type",
-            )
-            .groupBy(F.col("to_type").alias("event_type"))
-            .agg(F.sum(F.expr("pi_ppm * c div r")).alias("pi_ppm"))
-        )
+    final = (
+        "filter(transform(sequence(1, size(un)), j ->"
+        " struct("
+        "  element_at(un, j) AS event_type,"
+        "  aggregate(filter(ms, m -> m.from_type = element_at(un, j)),"
+        "            0L, (acc, m) -> acc + m.c) AS row_total,"
+        "  element_at(pb, j) AS pi_ppm,"
+        "  element_at(pa, j) AS pi_prev_ppm,"
+        "  abs(element_at(pb, j) - element_at(pa, j)) AS delta_ppm,"
+        "  array_position(fts, element_at(un, j)) > 0"
+        "   AND array_position(tts, element_at(un, j)) > 0 AS keep)),"
+        " s -> s.keep)"
+    )
+    body = bind(step.format(pi="pa"), "pb", final)
+    body = bind(
+        f"aggregate(sequence(1, {_MK_ROUNDS - 1}), p0,"
+        f" (pi, k) -> {step.format(pi='pi')})",
+        "pa",
+        body,
+    )
+    body = bind(
+        f"transform(un, u -> IF(array_position(fts, u) > 0,"
+        f" {scale} div size(fts)"
+        f" + IF(array_position(fts, u) <= {scale} % size(fts), 1L, 0L),"
+        f" 0L))",
+        "p0",
+        body,
+    )
+    body = bind(
+        "transform(ms, m -> struct("
+        "cast(array_position(un, m.from_type) as int) AS fi,"
+        "cast(array_position(un, m.to_type) as int) AS ti,"
+        "m.c AS c, m.r AS r))",
+        "ei",
+        body,
+    )
+    body = bind(
+        "array_sort(array_distinct(concat(fts, tts)))", "un", body
+    )
+    body = bind(
+        "array_sort(array_distinct(transform(ms, m -> m.to_type)))",
+        "tts",
+        body,
+    )
+    body = bind(
+        "array_sort(array_distinct(transform(ms, m -> m.from_type)))",
+        "fts",
+        body,
+    )
     return (
-        totals.withColumnRenamed("from_type", "event_type")
-        .join(pi, "event_type")
-        .join(
-            prev.withColumnRenamed("pi_ppm", "pi_prev_ppm"), "event_type"
-        )
+        g.select(F.explode(F.expr(body)).alias("s"))
         .select(
-            "event_type",
-            F.col("r").alias("row_total"),
-            "pi_ppm",
-            "pi_prev_ppm",
-            F.abs(F.col("pi_ppm") - F.col("pi_prev_ppm")).alias("delta_ppm"),
+            "s.event_type",
+            "s.row_total",
+            "s.pi_ppm",
+            "s.pi_prev_ppm",
+            "s.delta_ppm",
         )
         .orderBy("event_type")
     )
