@@ -55,10 +55,6 @@ WHITELIST: dict[tuple[str, str], str] = {
         "per-customer spend aggregate (exact Lorenz prefix sums); "
         "documented reduced relation, A41/A42 bucket twins cover scale"
     ),
-    ("plans/analytics_ext_queries.py", "events_markov_stationary"): (
-        "distinct event types: ≤ |types| rows (the transition matrix "
-        "side, never the event corpus)"
-    ),
     ("plans/behavior_queries.py", "customer_abc"): (
         "value-bucket histogram: ≤ n_buckets rows (the bucket-refinement "
         "pattern itself — the window rides the bucket grid)"
