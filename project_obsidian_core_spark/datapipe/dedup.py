@@ -916,6 +916,7 @@ def simhash_pairs(
     text_col: str = "text",
     hamming_max: int = SIMHASH_HAMMING_MAX,
     max_bucket: int | None = None,
+    staged: bool = True,
 ) -> DataFrame:
     """Near-dup pairs by SimHash: band-bucketed candidate join, then an
     exact popcount filter ``bit_count(a XOR b) <= hamming_max``.
@@ -925,9 +926,18 @@ def simhash_pairs(
     overlap. Plan shape mirrors minhash_candidates: explode to
     (band_idx, band_val) keys, equi-self-join within buckets (quadratic
     only in bucket size, guarded by ``max_bucket``), distinct, popcount.
+
+    ``staged`` (r17): both self-join sides derive from the signature
+    relation, and Spark duplicates the subtree — the 32-term majority-vote
+    signature build ran TWICE (plan evidence: 2 ``split`` sites, 4
+    document scans).  The default persists ``sigs`` and releases it via
+    :func:`functions.cache.release_after` (the prefix/minhash pattern);
+    ``staged=False`` keeps the lazy plan for inspection.
     """
     bits = SIMHASH_BITS // SIMHASH_BANDS
     sigs = simhash_signatures(df, text_col).select("doc_id", "simhash")
+    if staged:
+        sigs = sigs.persist()
     bands = sigs.select(
         "doc_id",
         "simhash",
@@ -972,11 +982,16 @@ def simhash_pairs(
         .distinct()
     )
     hamming = F.bit_count(F.expr("sim_a ^ sim_b"))
-    return (
+    out = (
         cands.withColumn("hamming", hamming.cast("long"))
         .filter(F.col("hamming") <= hamming_max)
         .select("doc_a", "doc_b", "hamming")
     )
+    if staged:
+        from project_obsidian_core_spark.functions.cache import release_after
+
+        return release_after(out, sigs)
+    return out
 
 
 def embedding_lsh_pairs(
